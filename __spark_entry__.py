@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end pipeline; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with its
+DuckDB oracle (see vectorflow_spark/queries.py for the definitions).
 """
 
 from __future__ import annotations
@@ -15,24 +13,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full vectorflow pipeline on sf0.001 documents —
+    scan -> validity filters -> char-chunk (built-ins) -> uuid5 ids ->
+    deterministic embed (mapInPandas) -> canonical sink projection."""
+    from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+    from vectorflow_spark.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
+        chunk_size=512,
+        chunk_overlap=256,
+        embeddings_type="deterministic",
+        embedding_dim=64,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return run_pipeline(docs, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vectorflow_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vectorflow_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): runs the headline query suite plus
+the end-to-end pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries are materialized with the noop writer so every column is computed
+(a bare count() would let Catalyst prune the interesting work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+    from vectorflow_spark.pipeline import run_pipeline
+    from vectorflow_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end pipeline: scan -> filter -> chunk -> embed -> sink projection
+    t0 = time.time()
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
+        chunk_size=512,
+        chunk_overlap=256,
+        embeddings_type="deterministic",
+        embedding_dim=64,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    materialize(run_pipeline(docs, cfg))
+    timings["e2e_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

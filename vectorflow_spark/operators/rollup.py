@@ -1,0 +1,48 @@
+"""Job / batch accounting (A1-A4) as conditional aggregations.
+
+The reference keeps Job/Batch counters in Postgres and updates them one row
+at a time on every batch completion (update_job_with_batch, reference
+src/services/database/job_service.py:32-51). In Spark the same facts are a
+single hash aggregation over a status DataFrame — partial aggregation
+(map-side combine) comes free from Catalyst, so this scales to billions of
+batch rows with one shuffle on job_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorflow_spark.config import BatchStatus, JobStatus
+
+
+def job_rollup(batch_status: DataFrame, job_col: str = "job_id", status_col: str = "batch_status") -> DataFrame:
+    """A1: per-job rollup with the reference's terminal-status rule —
+    COMPLETED if every batch succeeded, FAILED if none did,
+    PARTIALLY_COMPLETED otherwise (job_service.py:41-51)."""
+    succeeded = F.sum(F.when(F.col(status_col) == BatchStatus.COMPLETED.value, 1).otherwise(0))
+    processed = F.count(F.lit(1))
+    return (
+        batch_status.groupBy(job_col)
+        .agg(
+            processed.alias("batches_processed"),
+            succeeded.alias("batches_succeeded"),
+        )
+        .withColumn(
+            "job_status",
+            F.when(F.col("batches_succeeded") == F.col("batches_processed"), F.lit(JobStatus.COMPLETED.value))
+            .when(F.col("batches_succeeded") > 0, F.lit(JobStatus.PARTIALLY_COMPLETED.value))
+            .otherwise(F.lit(JobStatus.FAILED.value)),
+        )
+    )
+
+
+def status_lookup(jobs: DataFrame, job_ids: list, job_col: str = "job_id") -> DataFrame:
+    """A3: multi-job status lookup (an IN-list filter; partition-prunable)."""
+    return jobs.filter(F.col(job_col).isin(job_ids))
+
+
+def upload_report(manifest: DataFrame, class_col: str = "outcome") -> DataFrame:
+    """A4: per-request ingest report — counts by outcome class (successful /
+    failed / empty_file / duplicate_file, reference src/api/app.py:88-147)."""
+    return manifest.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))

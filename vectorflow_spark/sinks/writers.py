@@ -1,0 +1,207 @@
+"""Sinks (operators U1-U6).
+
+Canonical sink schema (reference README.md:201-207, built at
+src/worker/vector_uploader.py:55-62 / :88-98 / :146-151):
+
+    id: string, source_data: string, source_document: string,
+    embeddings: array<float>
+
+All external writers follow one pattern: ``foreachPartition`` with a
+partition-local client and a 128-row upsert buffer (PINECONE_BATCH_SIZE,
+reference src/worker/config.py:3, reused for Qdrant/Weaviate). Writes are
+idempotent because ids are deterministic (K1) — Spark's at-least-once task
+retry composes with upsert-by-id to give effectively-once (U6; the streaming
+variant relies on the same property).
+
+Vector-DB client libraries are not installed in the build environment; each
+writer import-gates its client and raises a clear error when missing. The
+parquet sink is the real, always-available path (and what tests/bench use).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorflow_spark.config import VECTOR_UPSERT_BATCH_SIZE, PipelineConfig
+
+
+def to_vector_records(
+    chunks: DataFrame,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+    doc_col: str = "source",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """U4: project the canonical upsert payload and drop duplicate ids
+    (the reference's documented dedup/idempotency use of its ids,
+    README.md:210). dropDuplicates is a partial-aggregated shuffle on id —
+    at scale, salt-free and safe because ids are uniformly distributed
+    hashes."""
+    return (
+        chunks.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("source_data"),
+            F.col(doc_col).alias("source_document"),
+            F.col(vector_col).alias("embeddings"),
+        )
+        .dropDuplicates(["id"])
+    )
+
+
+def _buffered(partition: Iterator, flush: Callable[[list], None], batch_size: int) -> None:
+    buf: list = []
+    for row in partition:
+        buf.append(row)
+        if len(buf) >= batch_size:
+            flush(buf)
+            buf = []
+    if buf:
+        flush(buf)
+
+
+def write_parquet(records: DataFrame, path: str, mode: str = "overwrite") -> None:
+    records.write.mode(mode).parquet(path)
+
+
+def write_qdrant(records: DataFrame, collection: str, url: str = "http://localhost:6333", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+    """U2: Qdrant upsert via PointStruct batches (reference
+    vector_uploader.py:100-129; gRPC preferred there, same here)."""
+
+    def per_partition(partition: Iterator) -> None:
+        try:
+            from qdrant_client import QdrantClient
+            from qdrant_client.models import PointStruct
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("qdrant-client is not installed; use the parquet sink") from e
+
+        client = QdrantClient(url=url, prefer_grpc=True)
+
+        def flush(rows: list) -> None:
+            points = [
+                PointStruct(
+                    id=r.id,
+                    vector=list(r.embeddings),
+                    payload={"source_data": r.source_data, "source_document": r.source_document},
+                )
+                for r in rows
+            ]
+            client.upsert(collection_name=collection, points=points)
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_pinecone(records: DataFrame, index_name: str, api_key_env: str = "VECTOR_DB_KEY", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+    """U1: Pinecone upsert in 128-slices with metadata payload (reference
+    vector_uploader.py:55-86)."""
+
+    def per_partition(partition: Iterator) -> None:
+        import os
+
+        try:
+            from pinecone import Pinecone
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("pinecone client is not installed; use the parquet sink") from e
+
+        pc = Pinecone(api_key=os.environ[api_key_env])
+        index = pc.Index(index_name)
+
+        def flush(rows: list) -> None:
+            index.upsert(
+                vectors=[
+                    (
+                        r.id,
+                        list(r.embeddings),
+                        {"source_text": r.source_data, "source_document": r.source_document},
+                    )
+                    for r in rows
+                ]
+            )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_weaviate(records: DataFrame, class_name: str, url: str = "http://localhost:8080", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+    """U3: Weaviate batch upsert. The reference writes the property key
+    'vectoflow_id' (typo preserved in its code at vector_uploader.py:149);
+    we write the documented 'vectorflow_id' and note the difference."""
+
+    def per_partition(partition: Iterator) -> None:
+        try:
+            import weaviate
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("weaviate-client is not installed; use the parquet sink") from e
+
+        client = weaviate.Client(url=url)
+
+        def flush(rows: list) -> None:
+            with client.batch(batch_size=batch_size, dynamic=True) as batch:
+                for r in rows:
+                    batch.add_data_object(
+                        data_object={
+                            "source_data": r.source_data,
+                            "vectorflow_id": r.id,
+                            "source_document": r.source_document,
+                        },
+                        class_name=class_name,
+                        vector=list(r.embeddings),
+                    )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+    """U5: POST chunks+vectors to a user webhook (reference
+    send_embeddings_to_webhook, src/shared/utils.py:15-32)."""
+
+    def per_partition(partition: Iterator) -> None:
+        import requests
+
+        def flush(rows: list) -> None:
+            payload = {
+                "Embeddings": [
+                    {
+                        "chunk_id": r.id,
+                        "text": r.source_data,
+                        "vector": list(r.embeddings),
+                        "source_document": r.source_document,
+                    }
+                    for r in rows
+                ],
+            }
+            resp = requests.post(
+                url,
+                json=payload,
+                headers={"X-Embeddings-Webhook-Key": webhook_key, "Content-Type": "application/json"},
+                timeout=30,
+            )
+            resp.raise_for_status()
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
+    """U4 dispatch: strategy map keyed on cfg.sink."""
+    opts = cfg.sink_options
+    if cfg.sink == "parquet":
+        write_parquet(records, opts["path"], opts.get("mode", "overwrite"))
+    elif cfg.sink == "qdrant":
+        write_qdrant(records, opts["collection"], opts.get("url", "http://localhost:6333"), cfg.upsert_batch_size)
+    elif cfg.sink == "pinecone":
+        write_pinecone(records, opts["index_name"], opts.get("api_key_env", "VECTOR_DB_KEY"), cfg.upsert_batch_size)
+    elif cfg.sink == "weaviate":
+        write_weaviate(records, opts["class_name"], opts.get("url", "http://localhost:8080"), cfg.upsert_batch_size)
+    elif cfg.sink == "webhook":
+        write_webhook(records, opts["url"], opts.get("webhook_key", ""), cfg.upsert_batch_size)
+    else:
+        raise ValueError(f"unknown sink: {cfg.sink}")
