@@ -1,0 +1,156 @@
+"""Dedup / similarity / text-analysis operator tests — behavioral checks
+that the oracle queries can't express (recall of ANN vs brute force,
+near-dup detection of planted duplicates, hamming locality of simhash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_expr_pipeline,
+)
+from vectorflow_spark.operators.similarity import (
+    hyperplanes,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk_cosine,
+    knn_join,
+    lsh_topk_cosine,
+    topk_cosine,
+    with_lsh_buckets,
+)
+from vectorflow_spark.operators.textstats import predict_language, quality_score
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away into "
+    "the deep green forest while the hunters are sleeping near the old river"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near duplicate of 1
+        (4, "completely different content about spark dataframes and shuffle partitions all over"),
+        (5, "yet another unrelated document mentioning embeddings vectors and cosine distances"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups_and_drop(self, dup_docs):
+        groups = exact_duplicate_groups(dup_docs).collect()
+        assert len(groups) == 1
+        assert groups[0].n_docs == 2
+        assert groups[0].keeper == 1
+        assert drop_exact_duplicates(dup_docs).count() == 4
+
+
+class TestMinhashLSH:
+    def test_planted_neardups_are_candidates(self, dup_docs):
+        pairs = {(r.a, r.b) for r in minhash_candidate_pairs(dup_docs).collect()}
+        assert (1, 2) in pairs  # exact dup always collides
+        assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in >=1 band
+        # unrelated docs should not pair with everything
+        assert (4, 5) not in pairs
+
+    def test_jaccard_verify(self, dup_docs):
+        out = {(r.a, r.b): r.jaccard for r in jaccard_pairs(dup_docs, kind="word", n=3, threshold=0.5).collect()}
+        assert out[(1, 2)] == 1.0
+        assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
+
+
+class TestSimhash:
+    def test_locality(self, dup_docs):
+        h = {r.doc_id: r.simhash for r in simhash_expr_pipeline(dup_docs).collect()}
+        assert h[1] == h[2]  # identical text -> identical fingerprint
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert hamming(h[1], h[3]) < hamming(h[1], h[4])
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def query_vec(self, emb):
+        return list(emb.filter(F.col("vec_id") == 7).first().embedding)
+
+    def test_lsh_planted_neighbor(self, spark, emb, query_vec):
+        # a true near-duplicate of the query must land in the same bucket
+        # and be retrieved (this is the case LSH exists for; uniform random
+        # vectors have no close neighbors, so raw recall there is weak by
+        # construction — the multiprobe scan fraction, not a bug)
+        near = [v * 0.99 + 0.001 for v in query_vec]
+        extra = spark.createDataFrame([(9001, near, 0)], "vec_id long, embedding array<float>, label int")
+        bucketed = with_lsh_buckets(emb.unionByName(extra), dim=64, n_planes=6)
+        approx = [r.vec_id for r in lsh_topk_cosine(bucketed, query_vec, k=10, n_planes=6).collect()]
+        assert 7 in approx  # the query vector itself
+        assert 9001 in approx  # the planted near-duplicate
+        # deterministic floor vs brute force on this fixed dataset
+        exact = [r.vec_id for r in topk_cosine(emb, query_vec, k=10).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.2
+
+    def test_ivf_recall_and_pruning(self, emb, query_vec):
+        cents = ivf_centroids(emb, n_centroids=8)
+        assigned = ivf_assign(emb, cents)
+        assert assigned.select("cluster").distinct().count() <= 8
+        exact = [r.vec_id for r in topk_cosine(emb, query_vec, k=10).collect()]
+        # nprobe=8 == scan everything -> must equal brute force exactly
+        full = [r.vec_id for r in ivf_topk_cosine(assigned, cents, query_vec, k=10, nprobe=8).collect()]
+        assert full == exact
+        approx = [r.vec_id for r in ivf_topk_cosine(assigned, cents, query_vec, k=10, nprobe=4).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.2  # deterministic on the fixed sf0.001 data
+
+    def test_knn_join_ranks(self, emb):
+        qs = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        out = knn_join(qs, emb, k=4).collect()
+        assert len(out) == 12
+        # rank 1 of each query is the query vector itself (cosine 1.0)
+        best = {r.q_id: r.vec_id for r in out if r.rank == 1}
+        assert best == {0: 0, 1: 1, 2: 2}
+
+
+class TestEmbeddingNearDup:
+    def test_blocked_pairs(self, spark):
+        v = [1.0, 0.0, 0.0, 0.0]
+        rows = [(1, v, 0), (2, v, 0), (3, [0.0, 1.0, 0.0, 0.0], 0), (4, v, 1)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = {(r.a, r.b) for r in embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()}
+        assert pairs == {(1, 2)}  # 4 is identical but in another block
+
+
+class TestTextStats:
+    def test_language_votes(self, spark):
+        rows = [
+            (1, "the cat and the dog is in that house with the mouse"),
+            (2, "el perro y la casa de que los gatos en una calle"),
+            (3, "zzz qqq xxx"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.pred_lang for r in predict_language(df).collect()}
+        assert got == {1: "en", 2: "es", 3: "und"}
+
+    def test_quality_score_ordering(self, spark):
+        rows = [
+            (1, "the cat and the dog is in the house with all of the mice"),
+            (2, "0101!!??$$%% 1234 @@@@ ???? 9999 !!!"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+        assert got[1] > got[2]

@@ -1,0 +1,254 @@
+"""Deduplication operators — exact and near-duplicate, at 100 TB scale.
+
+The reference only roadmaps dedup (README.md:290-299, SURVEY.md §2.11 X4);
+its deterministic ids are the hook ("can be used for deduplication and
+idempotency", README.md:210). Here dedup is a first-class operator family,
+built so every step is a built-in expression (codegen'd, shuffle-aware):
+
+  exact          hash-groupBy on content digest — one shuffle on a uniform key
+  minhash LSH    char-shingles -> k min-hashes -> banded buckets -> candidate
+                 pairs -> exact-Jaccard verify. All arithmetic is md5-derived
+                 integer math expressible in both Spark and DuckDB, so the
+                 whole chain is oracle-checkable.
+  simhash        32-bit sign-of-weighted-sums fingerprint; hamming-adjacent
+                 docs are near-dups
+  ngram jaccard  exact pairwise Jaccard via shingle-inverted-index self-join
+                 (the verify step of LSH, usable standalone on blocked pairs)
+  embedding      cosine-threshold near-dup over an embedding column
+
+Scale design notes:
+  * every candidate-pair generator blocks/buckets first (LSH bands, shared
+    shingles) — nothing does an O(n^2) crossJoin;
+  * shingle/band joins shuffle on hash-uniform keys, so no salting needed;
+  * `groupBy(doc).agg(min(...))` for minhash is partial-aggregated map-side;
+  * pair outputs are canonicalized (a < b) to halve the join output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed minhash parameters: k = bands * rows_per_band hash functions.
+# (a_i, b_i) pairs are small deterministic odd constants; modulus is a prime
+# below 2^31 so a_i*h + b_i stays under 2^62 (no bigint overflow in either
+# engine).
+MINHASH_PRIME = 2147483647
+MINHASH_COEFFS = [(2 * i + 1, 7919 * (i + 1) % MINHASH_PRIME) for i in range(16)]
+DEFAULT_BANDS = 4  # 4 bands x 4 rows -> catches jaccard >~ 0.6
+
+
+def shingles_expr(text_col: str, n: int = 5) -> Column:
+    """Distinct char n-gram shingles of lowercased text as array<string>.
+    Built-ins only: sequence + transform + substring + array_distinct."""
+    t = f"lower({text_col})"
+    return F.expr(
+        f"CASE WHEN length({t}) < {n} THEN array(lower({text_col})) "
+        f"ELSE array_distinct(transform(sequence(1, length({t}) - {n} + 1), "
+        f"i -> substring({t}, i, {n}))) END"
+    )
+
+
+def word_shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (whitespace tokens of lowercased text,
+    joined with single spaces). More selective than char shingles on
+    natural-language text — the right default for inverted-index joins."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    grams = ", ".join(f"element_at({toks}, i + {j})" for j in range(1, n + 1))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {grams}))) END"
+    )
+
+
+def shingle_hash_expr(shingle_col: str = "shingle") -> Column:
+    """Shingle -> 31-bit integer via the first 7 hex chars of md5 — the same
+    construction is expressible in DuckDB ('0x'||substr(md5(s),1,7))::BIGINT,
+    which is what makes the minhash chain oracle-checkable."""
+    return F.expr(f"CAST(conv(substring(md5({shingle_col}), 1, 7), 16, 10) AS BIGINT)")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document minhash signature: columns mh_0..mh_{k-1}.
+
+    explode(shingles) -> one row per (doc, shingle) -> groupBy(doc) with k
+    min() aggregates of affine-transformed shingle hashes. One shuffle on
+    doc_col; the min() aggregates combine map-side.
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    sh = docs.select(doc_col, F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    h = sh.withColumn("h", shingle_hash_expr())
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return h.groupBy(doc_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    doc_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Signature -> (doc, band, bucket): bucket is the concatenated band
+    slice. Docs sharing any (band, bucket) are candidate pairs."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("bucket"))
+        )
+    return signatures.select(
+        doc_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(doc_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).distinct()
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from LSH band-bucket collisions.
+    The bucket join shuffles on (band, bucket) — uniformly distributed
+    hash keys, no skew. Identical-text clusters of size m produce m^2/2
+    pairs, which is inherent to the problem, not the plan."""
+    bb = lsh_band_buckets(
+        minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
+    )
+    left = bb.select(F.col(doc_col).alias("a"), "band", "bucket")
+    right = bb.select(F.col(doc_col).alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    kind: str = "char",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs sharing >=1
+    shingle (inverted-index self-join — never a crossJoin). Optionally
+    restricted to a candidate-pair DataFrame (a, b) from LSH; ``kind``
+    selects char or word shingles.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); integer counts divided in
+    double — bit-exact across engines."""
+    mk = shingles_expr if kind == "char" else word_shingles_expr
+    sh = docs.select(doc_col, F.explode(mk(text_col, n)).alias("shingle"))
+    sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(doc_col).alias("a"), "shingle")
+    b = sh.select(F.col(doc_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(doc_col, "a").withColumnRenamed("n_shingles", "size_a"), "a")
+        .join(sizes.withColumnRenamed(doc_col, "b").withColumnRenamed("n_shingles", "size_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "n_common", "jaccard")
+
+
+def simhash_expr_pipeline(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document, entirely with built-ins.
+
+    tokens (whitespace split) -> md5-derived 31-bit token hash -> per (doc,
+    bit) signed votes -> fingerprint = sum of (1<<bit) where votes > 0.
+    Two shuffles (doc+bit, then doc), both on uniform keys; vote counting is
+    partial-aggregated."""
+    toks = docs.select(
+        doc_col,
+        F.explode(F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")).alias("tok"),
+    )
+    h = toks.withColumn("h", shingle_hash_expr("tok"))
+    votes = (
+        h.select(
+            doc_col,
+            F.explode(
+                F.expr(f"transform(sequence(0, {bits - 1}), j -> struct(j AS bit, CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote))")
+            ).alias("bv"),
+        )
+        .select(doc_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+        .groupBy(doc_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(doc_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def exact_duplicate_groups(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup accounting: one row per duplicated content digest with
+    group size and the keeper (min doc id) — the groupBy-on-digest plan that
+    scales to 100 TB (digest is uniform; partial agg combines map-side)."""
+    return (
+        docs.select(doc_col, F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(doc_col).alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content (first-wins per digest)."""
+    return docs.withColumn("_digest", F.md5(F.col(text_col))).dropDuplicates(["_digest"]).drop("_digest")
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs over an embedding column. With a
+    block_col (e.g. an LSH bucket or cluster id) the self-join is confined
+    to blocks; without one this is quadratic and should only run on samples."""
+    from vectorflow_spark.functions.vector import cosine_similarity
+
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *( [F.col(block_col).alias("blk")] if block_col else []))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), *( [F.col(block_col).alias("blk")] if block_col else []))
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (extension X2 made first-class).
+
+The reference documents (but does not ship) an /images/search top-K endpoint
+(README.md:319-345). Here search is an operator family designed for the
+100 TB shape: a brute-force scan baseline plus two sublinear-scan paths
+whose *pruning structure* lives in the data layout (bucket/cluster columns
+you can partition or Z-order by), not in driver-side logic.
+
+  topk_cosine        brute force: scan + TakeOrderedAndProject. The correct
+                     baseline and the recall oracle for the ANN paths.
+  random hyperplane  deterministic LSH bit-bucket per vector; queries probe
+  LSH                only their own bucket (+ optional multi-probe). The
+                     hyperplanes are derived from the deterministic
+                     embedding generator, so plans are reproducible and the
+                     bucket assignment is oracle-checkable SQL.
+  IVF                k centroids (deterministic sample); vectors carry their
+                     nearest-centroid id; a query scans only nprobe nearest
+                     clusters. Centroids broadcast; assignment is one pass.
+
+All scoring is the sequential-fold dot/cosine from functions/vector.py —
+JVM expressions, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorflow_spark.embed.backends import deterministic_embedding
+from vectorflow_spark.functions.vector import cosine_similarity, dot
+
+
+def _const_vec(vals: list[float]) -> Column:
+    return F.array([F.lit(float(v)) for v in vals])
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-K: one scan, partial top-K per partition
+    (TakeOrderedAndProject), no full sort. Deterministic tiebreak on id."""
+    scored = vectors.select(
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), _const_vec(query)), 9).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (from the E3 generator)."""
+    return [deterministic_embedding(f"hyperplane-{i}", dim) for i in range(n_planes)]
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i set iff dot(v, plane_i) > 0. Pure fold
+    expressions -> identical in DuckDB for the oracle."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(F.col(vec_col), _const_vec(p)) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_buckets(
+    vectors: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the LSH bucket column — at scale, write partitioned by it so a
+    probe prunes partitions at the scan."""
+    return vectors.withColumn("bucket", lsh_bucket_expr(vec_col, hyperplanes(dim, n_planes)))
+
+
+def lsh_topk_cosine(
+    vectors_with_buckets: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search: score only vectors whose bucket is within
+    ``multiprobe_hamming`` bit-flips of the query's bucket. With buckets as
+    a partition column this is a partition-pruned scan of ~(1+planes)/2^planes
+    of the data."""
+    planes = hyperplanes(len(query), n_planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0.0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if multiprobe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    cand = vectors_with_buckets.filter(F.col("bucket").isin(probes))
+    return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def ivf_centroids(
+    vectors: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seed: the n lowest-id vectors (a real build
+    would run k-means|| via pyspark.ml; the index structure downstream is
+    identical, and determinism matters more here for reproducible plans)."""
+    rows = vectors.orderBy(id_col).limit(n_centroids).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach nearest-centroid id (max rounded cosine, tiebreak lowest id)
+    as one expression: an array of C cosine scores + array_position of the
+    max — every score subexpression appears exactly once (a nested
+    when/otherwise fold would duplicate the tree 2^C times), no shuffle,
+    centroid constants inlined as literals in the plan."""
+    scores = F.array(
+        *[
+            F.round(cosine_similarity(F.col(vec_col), _const_vec(cvec)), 9)
+            for _, cvec in centroids
+        ]
+    )
+    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return vectors.withColumn("cluster", cluster)
+
+
+def ivf_topk_cosine(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the nprobe clusters whose centroids are nearest the
+    query. With ``cluster`` as a partition column, non-probed clusters are
+    pruned at the scan."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probe = sorted(centroids, key=lambda c: -cos(c[1], query))[:nprobe]
+    cand = assigned.filter(F.col("cluster").isin([c[0] for c in probe]))
+    return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN: every query row gets its top-k neighbors. Broadcast the
+    (small) query side; rank with a per-query window. The join is a
+    broadcast nested loop — the right plan when |queries| << |vectors|."""
+    from pyspark.sql import Window
+
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        q_id,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col(q_vec)), 9).alias("score"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,128 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is a projection — single pass, no shuffle, codegen'd
+built-ins — because at 100 TB a per-document score must cost one scan:
+
+  token_count_*     whitespace tokens + a BPE-ish regex token estimate
+  quality features  length / punctuation / stopword / digit / upper ratios
+                    and a fixed-weight composite score
+  language id       stopword-hit voting over fixed per-language word lists
+  fingerprint       whitespace-normalized md5 (exact-dup key robust to
+                    formatting); rolling-hash winnowing lives in dedup.py's
+                    shingle machinery
+
+Ratios divide exact integers in double, so scores are bit-reproducible
+across engines (the DuckDB oracles mirror each expression 1:1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword lists; enough signal for language voting on synthetic
+# corpora and cheap to evaluate as a single regexp per language.
+STOPWORDS = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
+}
+
+# GPT-2-flavored pre-tokenizer shape (see functions/tokenizer.py)
+BPE_ISH_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def _word_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count_ws(text_col: str) -> Column:
+    """Whitespace token count (the reference's implicit 'line of words'
+    unit)."""
+    return F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")).cast("bigint")
+
+
+def token_count_bpe_ish(text_col: str) -> Column:
+    """Regex token-count estimate matching the fallback tokenizer exactly."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_TOKEN_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns. Every feature is one regexp or length
+    expression over the row — a single projection."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    words = token_count_ws(text_col)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).cast("bigint")
+    n_digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0))).cast("bigint")
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), F.lit(0))).cast("bigint")
+    n_stop_en = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(_word_pattern(STOPWORDS["en"])), F.lit(0))
+    ).cast("bigint")
+    safe = F.when(n_chars > 0, n_chars)
+    return (
+        df.withColumn("n_chars_t", F.length(t).cast("bigint"))
+        .withColumn("n_words", words)
+        .withColumn("n_punct", n_punct)
+        .withColumn("punct_ratio", n_punct / safe)
+        .withColumn("digit_ratio", n_digits / safe)
+        .withColumn("upper_ratio", n_upper / safe)
+        .withColumn(
+            "mean_word_len",
+            F.when(words > 0, n_chars / words.cast("double")),
+        )
+        .withColumn("stopword_ratio", F.when(words > 0, n_stop_en / words.cast("double")))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixed-weight composite in [0,1]-ish: rewards stopword density and
+    moderate word length; penalizes punctuation/digit noise. Weights are
+    arbitrary but frozen — the operator contract is determinism, not
+    linguistics."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.lit(0.4) * F.coalesce(F.col("stopword_ratio"), F.lit(0.0))
+        + F.lit(0.3) * F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 1.0).otherwise(0.0)
+        - F.lit(0.2) * F.coalesce(F.col("punct_ratio"), F.lit(0.0))
+        - F.lit(0.1) * F.coalesce(F.col("digit_ratio"), F.lit(0.0))
+    )
+    return feats.withColumn("quality_score", F.round(score, 9))
+
+
+def language_scores(text_col: str) -> dict[str, Column]:
+    lowered = F.lower(F.col(text_col))
+    return {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(_word_pattern(words)), F.lit(0))).cast(
+            "bigint"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax stopword-vote language id with deterministic tiebreak
+    (alphabetical language order; 'und' = undetermined when all votes 0)."""
+    scores = language_scores(text_col)
+    langs = sorted(scores)  # de, en, es, fr — tiebreak order
+    best = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in langs:
+        s = scores[lang]
+        improved = s > best_score
+        best = F.when(improved, F.lit(lang)).otherwise(best)
+        best_score = F.when(improved, s).otherwise(best_score)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"votes_{lang}", scores[lang])
+    return out.withColumn("pred_lang", best)
+
+
+def fingerprint(text_col: str) -> Column:
+    """Whitespace-normalization fingerprint: md5 of lowercased text with
+    runs of whitespace collapsed and trimmed — catches formatting-only
+    duplicates that exact md5 misses."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))

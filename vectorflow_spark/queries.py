@@ -34,6 +34,7 @@ from vectorflow_spark.operators.filters import (
     filter_nonempty,
     filter_valid_source,
     semi_join_valid,
+    valid_source_predicate,
 )
 from vectorflow_spark.operators.rollup import job_rollup
 
@@ -89,11 +90,30 @@ _VALID_EXT_SQL = " OR ".join(
 
 @query(
     "q_filter_valid_source",
-    f"SELECT doc_id, source FROM documents WHERE {_VALID_EXT_SQL}",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_VALID_EXT_SQL} THEN 'extension' ELSE 'content_sniff' END AS accepted_by
+    FROM documents
+    WHERE ({_VALID_EXT_SQL})
+       OR (source NOT LIKE '%.%' AND length(text) > 0)
+    """,
 )
 def q_filter_valid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8: extension whitelist filter."""
-    return filter_valid_source(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+    """S8: full file-acceptance semantics — extension whitelist OR the
+    reference's fallback for extensionless files (content sniff: accept if
+    the head decodes as text, reference src/api/app.py:291-310; the driver's
+    synthetic sources are extensionless, so the sniff path carries)."""
+    df = _t(spark, sf_dir, "documents")
+    ext_ok = valid_source_predicate("source")
+    sniff_ok = (~F.col("source").contains(".")) & (F.length("text") > 0)
+    return (
+        df.filter(ext_ok | sniff_ok)
+        .select(
+            "doc_id",
+            "source",
+            F.when(ext_ok, F.lit("extension")).otherwise(F.lit("content_sniff")).alias("accepted_by"),
+        )
+    )
 
 
 @query(
@@ -410,3 +430,554 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("embedding"), ones), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (SURVEY.md §2.11 X4 + north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    WITH groups AS (
+        SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    )
+    SELECT n_docs AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+    FROM groups GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: histogram of content-digest group sizes
+    (group_size=1 -> unique docs; >1 -> exact duplicates). The histogram
+    form stays informative even on corpora with no duplicates."""
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+@query(
+    "q_fingerprint_dedup",
+    """
+    WITH groups AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    )
+    SELECT n_docs AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs_total
+    FROM groups GROUP BY 1
+    """,
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalization fingerprint dedup accounting (formatting-
+    robust): group-size histogram plus covered doc counts."""
+    from vectorflow_spark.operators.textstats import fingerprint
+
+    df = _t(spark, sf_dir, "documents").select(fingerprint("text").alias("fp"))
+    return (
+        df.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_docs_total"),
+        )
+    )
+
+
+def _duck_shingle_hash(col: str) -> str:
+    return f"('0x' || substr(md5({col}), 1, 7))::BIGINT"
+
+
+def _duck_char_shingles_cte(n: int = 5) -> str:
+    """DuckDB CTE 'sh(doc_id, shingle)': distinct char n-grams (mirrors
+    dedup.shingles_expr)."""
+    return f"""
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, substring(lower(text), CAST(i AS INT), {n}) AS shingle
+            FROM (SELECT doc_id, text, unnest(range(1, length(lower(text)) - {n} + 2)) AS i
+                  FROM documents WHERE length(lower(text)) >= {n})
+            UNION ALL
+            SELECT doc_id, lower(text) AS shingle FROM documents WHERE length(lower(text)) < {n}
+        )
+    )"""
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    from vectorflow_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+    aggs = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    return f"""
+    WITH {_duck_char_shingles_cte(5)},
+    hashed AS (SELECT doc_id, {_duck_shingle_hash('shingle')} AS h FROM sh)
+    SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id
+    """
+
+
+@query("q_minhash_signatures", _minhash_sig_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hash functions over char 5-gram shingles) —
+    the whole chain is built-in integer expressions, so the oracle mirrors
+    it exactly."""
+    from vectorflow_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _minhash_pairs_sql(bands: int = 4, num_hashes: int = 16) -> str:
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql(num_hashes)}),
+    bb AS (SELECT DISTINCT * FROM ({band_selects}))
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+    WHERE l.doc_id < r.doc_id
+    """
+
+
+@query("q_minhash_band_pairs", _minhash_pairs_sql())
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs via banded bucket collisions (4 bands x
+    4 rows). Shuffle key is the (band, bucket) hash — uniform, skew-free."""
+    from vectorflow_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM toks WHERE len(ts) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ts, ' ') AS shingle FROM toks WHERE len(ts) < 3
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sh l JOIN sh r ON l.shingle = r.shingle
+        WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.a = sa.doc_id
+    JOIN sizes sb ON i.b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.3
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index self-join
+    (the verify stage of MinHash-LSH, usable standalone)."""
+    from vectorflow_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        n=3,
+        threshold=0.3,
+        kind="word",
+    )
+
+
+@query(
+    "q_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h FROM toks),
+    votes AS (
+        SELECT doc_id, bit, sum(vote) AS v FROM (
+            SELECT doc_id,
+                   unnest(range(0, 32)) AS bit,
+                   unnest(list_transform(range(0, 32),
+                          j -> CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) AS vote
+            FROM hashed
+        ) GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints, all built-in integer arithmetic."""
+    from vectorflow_spark.operators.dedup import simhash_expr_pipeline
+
+    return simhash_expr_pipeline(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (X2): LSH buckets, IVF, batch kNN
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def _lsh_buckets_sql() -> str:
+    from vectorflow_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8)
+    terms = []
+    for i, p in enumerate(planes):
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = f"list_sum(list_transform(list_zip(embedding, {consts}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """
+
+
+@query("q_lsh_buckets", _lsh_buckets_sql())
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 deterministic planes over
+    dim-64 embeddings). At scale the bucket column is the partition key that
+    makes ANN probes partition-pruned scans."""
+    from vectorflow_spark.operators.similarity import with_lsh_buckets
+
+    df = with_lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=8)
+    return df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _ivf_assign_sql() -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid, round({cos}, 9) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM best WHERE rn = 1 GROUP BY 1
+    """
+
+
+@query("q_ivf_assign", _ivf_assign_sql())
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-assignment histogram: 16 deterministic centroids (lowest
+    vec_ids), nearest-centroid by cosine with lowest-cid tiebreak. The
+    assignment is a literal-folded expression — no shuffle, no UDF."""
+    from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=16)
+    # round like the oracle so tiebreaks agree
+    assigned = ivf_assign(emb, cents)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _knn_batch_sql(k: int = 5) -> str:
+    cos = _DUCK_COS.format(a="v.embedding", b="q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, v.vec_id, round({cos}, 9) AS score
+        FROM embeddings v CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_knn_batch", _knn_batch_sql())
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 5 query vectors x top-5 neighbors via broadcast join +
+    per-query window ranking."""
+    from vectorflow_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(qs, emb, k=5)
+    return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 9) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.25
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the block column
+    stands in for an LSH bucket at scale). Threshold 0.25 ~= 2σ for random
+    dim-64 vectors, so the pair set is small but non-empty."""
+    from vectorflow_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25)
+    return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts — one projection pass."""
+    from vectorflow_spark.operators.textstats import token_count_bpe_ish, token_count_ws
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe_ish("text").alias("n_tokens_bpe"),
+    )
+
+
+def _lang_sql() -> str:
+    from vectorflow_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    vote_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '\\b({'|'.join(STOPWORDS[lang])})\\b')) AS BIGINT) AS votes_{lang}"
+        for lang in langs
+    )
+    # argmax with strict-> improvement, alphabetical scan order (mirrors
+    # textstats.predict_language)
+    case = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in langs:
+        case = f"CASE WHEN votes_{lang} > {best} THEN '{lang}' ELSE {case} END"
+        best = f"greatest(votes_{lang}, {best})"
+    # rebuild: scan in order, with later langs only winning on strict >
+    return f"""
+    WITH votes AS (SELECT doc_id, lang, {vote_cols} FROM documents)
+    SELECT doc_id, lang, votes_de, votes_en, votes_es, votes_fr,
+           CASE
+             WHEN votes_fr > greatest(votes_de, votes_en, votes_es) THEN 'fr'
+             WHEN votes_es > greatest(votes_de, votes_en) THEN 'es'
+             WHEN votes_en > votes_de THEN 'en'
+             WHEN votes_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS pred_lang
+    FROM votes
+    """
+
+
+@query("q_lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language id with deterministic alphabetical tiebreak
+    (first language in de<en<es<fr order wins ties)."""
+    from vectorflow_spark.operators.textstats import predict_language
+
+    df = predict_language(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    return df.select("doc_id", "lang", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
+
+
+@query(
+    "q_quality_scores",
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_t,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|with)\b')) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars_t, n_words, n_punct,
+           round(0.4 * (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN n_words > 0 AND CAST(length_ratio AS DOUBLE) >= 3 AND length_ratio <= 10 THEN 1.0 ELSE 0.0 END)
+                 - 0.2 * (CASE WHEN n_chars_t > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_t ELSE 0.0 END)
+                 - 0.1 * (CASE WHEN n_chars_t > 0 THEN CAST(n_digits AS DOUBLE) / n_chars_t ELSE 0.0 END), 9) AS quality_score
+    FROM (SELECT *, CASE WHEN n_words > 0 THEN CAST(n_chars_t AS DOUBLE) / n_words END AS length_ratio FROM f)
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (stopword density + word-length sanity -
+    punctuation/digit noise), single projection pass."""
+    from vectorflow_spark.operators.textstats import quality_score
+
+    df = quality_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return df.select("doc_id", "n_chars_t", "n_words", "n_punct", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# L-group: client-side enrichment ops (deterministic parts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_truncate_tokenbudget",
+    "SELECT doc_id, substring(text, 1, 300) AS truncated, "
+    "CAST(least(length(text), 300) AS BIGINT) AS kept_chars FROM documents",
+)
+def q_truncate_tokenbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: fit-to-context truncation — the reference's 1:3 token:char
+    heuristic (chunk_enhancer.py:265-287) with a 100-token budget -> 300
+    chars."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("truncated"),
+        F.least(F.length("text"), F.lit(300)).cast("bigint").alias("kept_chars"),
+    )
+
+
+@query(
+    "q_concat_enhance",
+    "SELECT doc_id, text || ', ' || lang AS enhanced FROM documents",
+)
+def q_concat_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the deterministic enhancement concat (chunk + ', ' + context,
+    chunk_enhancer.py:104-151) — here text + lang tag."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", F.concat_ws(", ", "text", "lang").alias("enhanced"))
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage on the TPC-H-ish tables (SURVEY.md §2.12): decimal-
+# exact aggregation, multi-join, window top-n, time-bucketed events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lineitem_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the A1 conditional-rollup pattern at data-plane scale.
+    Double sums go through DECIMAL so both engines aggregate exactly (order-
+    independent), then convert to the identical double."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_revenue_topn",
+    """
+    SELECT c.c_mktsegment,
+           o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY revenue DESC, o.o_orderkey) <= 5
+    """,
+)
+def q_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + window top-n per segment: customer (small dim,
+    broadcast) -> orders -> lineitem, decimal-exact revenue, rank<=5."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@query(
+    "q_events_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed event aggregation — the batch shape of the streaming
+    windowed agg (streaming/ runs the same logic with watermarks).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; read it as raw nanos (legacy conf) and bucket arithmetically —
+    integer hour ids are also timezone-proof across engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("ts div 3600000000000").alias("hour_id"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
