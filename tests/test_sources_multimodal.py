@@ -1,0 +1,118 @@
+"""Extraction-source and multimodal-column tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    image_resize,
+    make_fake_audio,
+    make_fake_image,
+    make_fake_video,
+    decode_meta,
+    synth_assets,
+    video_frame_sample,
+    with_asset_meta,
+)
+from vectorflow_spark.sources.readers import extract_documents, read_raw_files
+
+
+class TestExtraction:
+    @pytest.fixture(scope="class")
+    def files(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("rawfiles")
+        (d / "a.txt").write_text("plain text file\nwith two lines")
+        (d / "b.md").write_text("# heading\n\nbody text")
+        (d / "c.html").write_text("<html><script>var x=1;</script><body><h1>Title</h1><p>para text</p></body></html>")
+        (d / "noext").write_text("sniffed as text because utf-8")
+        (d / "bad.exe").write_bytes(bytes([0xFF, 0xFE, 0x00, 0x01]) * 10)
+        return str(d)
+
+    def test_read_and_extract(self, spark, files):
+        raw = read_raw_files(spark, files)
+        assert raw.count() == 5
+        out = {r.source: r for r in extract_documents(raw).collect()}
+        assert out["a.txt"].kind == "txt" and "two lines" in out["a.txt"].text
+        assert out["b.md"].kind == "md" and out["b.md"].text.startswith("# heading")
+        # html extraction strips script blocks and tags (unlike the
+        # reference's repr() bug)
+        assert out["c.html"].kind == "html"
+        assert out["c.html"].text == "Title para text"
+        assert "var x=1" not in out["c.html"].text
+        # extensionless utf-8 file accepted via content sniff
+        assert out["noext"].kind == "txt"
+        # binary garbage rejected
+        assert "bad.exe" not in out
+
+    def test_pipeline_from_files(self, spark, files):
+        from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+        from vectorflow_spark.pipeline import run_pipeline
+
+        docs = extract_documents(read_raw_files(spark, files))
+        cfg = PipelineConfig(
+            chunk_strategy=ChunkStrategy.SENTENCE_BY_CHARACTERS,
+            chunk_size=64,
+            chunk_overlap=16,
+            embedding_dim=8,
+        )
+        out = run_pipeline(docs, cfg)
+        assert out.count() > 0
+        assert set(out.columns) == {"id", "source_data", "source_document", "embeddings"}
+
+
+class TestFakeCodecs:
+    def test_roundtrip_meta(self):
+        img = make_fake_image("s", 10, 8, 3)
+        assert decode_meta(img) == {"kind": "image", "width": 10, "height": 8, "channels": 3, "n_bytes": len(img)}
+        aud = make_fake_audio("s", 16000, 100)
+        assert decode_meta(aud)["sample_rate"] == 16000
+        vid = make_fake_video("s", 4, 8, 6)
+        assert decode_meta(vid)["n_frames"] == 4
+
+    def test_unknown_codec_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_meta(b"\x89PNG\r\n\x1a\n....")
+
+
+class TestMultimodalPipeline:
+    @pytest.fixture(scope="class")
+    def assets(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        return synth_assets(docs).cache()
+
+    def test_meta_plumbing(self, assets):
+        rows = with_asset_meta(assets).collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert r.meta.kind == r.kind
+            assert r.meta.n_bytes == len(r.data)
+
+    def test_image_resize_real_kernel(self, spark, assets):
+        imgs = assets.filter(F.col("kind") == "image")
+        out = image_resize(imgs, 4, 4).collect()
+        for r in out:
+            m = decode_meta(bytes(r.resized))
+            assert (m["width"], m["height"]) == (4, 4)
+
+    def test_image_features_deterministic(self, assets):
+        imgs = assets.filter(F.col("kind") == "image")
+        a = {r.asset_id: list(r.features) for r in image_features(imgs, dim=8).collect()}
+        b = {r.asset_id: list(r.features) for r in image_features(imgs, dim=8).collect()}
+        assert a == b
+        assert all(len(v) == 8 for v in a.values())
+
+    def test_video_frame_sample_fanout(self, assets):
+        vids = assets.filter(F.col("kind") == "video")
+        n_vids = vids.count()
+        frames = video_frame_sample(vids, every_k=2).collect()
+        assert len(frames) == n_vids * 4  # 8 frames, every 2nd
+        m = decode_meta(bytes(frames[0].frame))
+        assert m["kind"] == "image" and m["channels"] == 1
+
+    def test_audio_features(self, assets):
+        auds = assets.filter(F.col("kind") == "audio")
+        out = audio_features(auds).collect()
+        for r in out:
+            assert 0.0 <= r.mean_amp <= 255.0
+            assert r.peak_amp >= r.mean_amp

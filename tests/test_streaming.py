@@ -1,0 +1,129 @@
+"""Structured Streaming deployment tests — file source, availableNow
+trigger, checkpointed foreachBatch, watermarked windows, sessionization."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+from vectorflow_spark.streaming.pipeline import (
+    run_streaming_pipeline,
+    sessionize_batch,
+    windowed_event_counts,
+)
+
+
+def _cfg():
+    return PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
+        chunk_size=50,
+        chunk_overlap=10,
+        embedding_dim=8,
+    )
+
+
+class TestStreamingPipeline:
+    def test_file_stream_end_to_end(self, spark, tmp_path):
+        inp, ckpt, outp = str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+        (tmp_path / "in").mkdir()
+        with open(f"{inp}/batch1.json", "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"doc_id": i, "text": f"stream doc {i}. " * 10, "source": f"s{i}.txt"}) + "\n")
+
+        q = run_streaming_pipeline(spark, inp, ckpt, outp, _cfg())
+        q.awaitTermination(120)
+        out1 = spark.read.parquet(outp)
+        n1 = out1.count()
+        assert n1 > 0
+        assert set(out1.columns) == {"id", "source_data", "source_document", "embeddings", "_batch_id"}
+
+        # second micro-batch: only NEW files are processed (checkpointed
+        # offsets), and ids for identical content are identical (idempotent
+        # upsert key) — the at-least-once + deterministic-id composition
+        with open(f"{inp}/batch2.json", "w") as f:
+            f.write(json.dumps({"doc_id": 99, "text": "stream doc 0. " * 10, "source": "s0.txt"}) + "\n")
+        q2 = run_streaming_pipeline(spark, inp, ckpt, outp, _cfg())
+        q2.awaitTermination(120)
+        out2 = spark.read.parquet(outp)
+        assert out2.count() > n1
+        # the duplicate-content doc produced duplicate ids -> dropDuplicates
+        # on id collapses them (sink-side idempotency)
+        assert out2.dropDuplicates(["id"]).count() == n1
+
+
+class TestWindowedCounts:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        inp = tmp_path / "ev"
+        inp.mkdir()
+        rows = [
+            {"event_id": i, "ts": f"2024-01-01 0{i % 3}:15:00", "user_id": i % 2, "event_type": "click" if i % 2 else "view", "value": float(i)}
+            for i in range(12)
+        ]
+        with open(inp / "events.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+        stream = spark.readStream.schema(schema).json(str(inp))
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+
+        batch = spark.read.schema(schema).json(str(inp))
+        want = {
+            (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+            for r in windowed_event_counts(batch).collect()
+        }
+        assert got == want
+        assert len(got) == 6  # 3 hours x 2 event types
+
+
+class TestSessionize:
+    def test_batch_sessionization(self, spark):
+        base = 1_700_000_000
+        rows = [
+            (1, base), (1, base + 60), (1, base + 120),          # session 1: 3 events
+            (1, base + 120 + 3600), (1, base + 180 + 3600),      # session 2: 2 events
+            (2, base),                                           # session 1: 1 event
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        got = sorted(
+            (r.user_id, r.session_id, r.n_events, r.session_end - r.session_start)
+            for r in sessionize_batch(df, gap_seconds=1800).collect()
+        )
+        assert got == [(1, 0, 3, 120), (1, 1, 2, 60), (2, 0, 1, 0)]
+
+    def test_streaming_sessionize_runs(self, spark, tmp_path):
+        from vectorflow_spark.streaming.pipeline import sessionize_events
+
+        inp = tmp_path / "sess"
+        inp.mkdir()
+        with open(inp / "e.json", "w") as f:
+            for i in range(6):
+                f.write(json.dumps({"user_id": i % 2, "ts": f"2024-01-01 00:{i:02d}:00"}) + "\n")
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(inp))
+        q = (
+            sessionize_events(stream, gap_seconds=60)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # open sessions stay in state (nothing closed yet) — the query ran
+        # and the state machinery works; closed-session values are covered
+        # by the batch-equivalent test above
+        assert q.exception() is None

@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Real image/audio codec libraries are not installed in this environment, so
+decoding external formats is STUBBED behind ``NotImplementedError`` — but the
+Spark-side plumbing is real and tested: binary columns ride Arrow batches
+into pandas UDFs, metadata is a typed struct column, features come back as
+``array<float>``, and every operator is a per-row map (no shuffle) that
+scales by partitioning alone.
+
+A deterministic FAKE codec family substitutes for the external libraries:
+
+    FIMG | u16 width | u16 height | u8 channels | pixels (w*h*c bytes)
+    FAUD | u32 sample_rate | u16 n_samples | samples (u8 each)
+    FVID | u16 n_frames | u16 frame_w | u16 frame_h | frames (w*h bytes each)
+
+The generators are seeded from an id, so asset bytes are reproducible across
+runs/partitions — the multimodal analog of the E3 deterministic embedding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FIMG", b"FAUD", b"FVID"
+
+META_STRUCT = (
+    "struct<kind: string, width: int, height: int, channels: int, "
+    "sample_rate: int, n_samples: int, n_frames: int, n_bytes: bigint>"
+)
+
+
+def _seed_bytes(seed: str, n: int) -> bytes:
+    out = b""
+    block = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{seed}|{block}".encode(), digest_size=64).digest()
+        block += 1
+    return out[:n]
+
+
+def make_fake_image(seed: str, width: int = 16, height: int = 12, channels: int = 3) -> bytes:
+    header = IMG_MAGIC + struct.pack("<HHB", width, height, channels)
+    return header + _seed_bytes(seed, width * height * channels)
+
+
+def make_fake_audio(seed: str, sample_rate: int = 8000, n_samples: int = 256) -> bytes:
+    header = AUD_MAGIC + struct.pack("<IH", sample_rate, n_samples)
+    return header + _seed_bytes(seed, n_samples)
+
+
+def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> bytes:
+    header = VID_MAGIC + struct.pack("<HHH", n_frames, w, h)
+    return header + _seed_bytes(seed, n_frames * w * h)
+
+
+def decode_meta(data: bytes) -> dict:
+    """Parse the fake-codec header into typed metadata. Real formats (PNG/
+    JPEG/WAV/MP4) would dispatch to their libraries here — absent in this
+    environment, so they raise instead of silently guessing."""
+    magic = data[:4]
+    if magic == IMG_MAGIC:
+        w, h, c = struct.unpack("<HHB", data[4:9])
+        return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
+    if magic == AUD_MAGIC:
+        sr, n = struct.unpack("<IH", data[4:10])
+        return {"kind": "audio", "sample_rate": sr, "n_samples": n, "n_bytes": len(data)}
+    if magic == VID_MAGIC:
+        nf, w, h = struct.unpack("<HHH", data[4:10])
+        return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
+    raise NotImplementedError(
+        "real codec decode (PNG/JPEG/WAV/MP4) requires external libraries not "
+        "installed in this environment; only the FAKE codec family is supported"
+    )
+
+
+def with_asset_meta(assets: DataFrame, data_col: str = "data") -> DataFrame:
+    """Decode header -> typed metadata struct. mapInPandas so binary rides
+    Arrow; one pass, no shuffle."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += f", meta {META_STRUCT}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[data_col]:
+                m = dict.fromkeys(
+                    ["kind", "width", "height", "channels", "sample_rate", "n_samples", "n_frames", "n_bytes"]
+                )
+                m.update(decode_meta(bytes(b)))
+                metas.append(m)
+            yield pdf[fields].assign(meta=metas)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def image_resize(assets: DataFrame, out_w: int, out_h: int, data_col: str = "data") -> DataFrame:
+    """Nearest-neighbor resize of fake images — a real pixel kernel running
+    through the real plumbing (numpy over Arrow batches)."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", resized binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> bytes:
+            data = bytes(b)
+            if data[:4] != IMG_MAGIC:
+                raise NotImplementedError("resize supports the FAKE image codec only")
+            w, h, c = struct.unpack("<HHB", data[4:9])
+            px = np.frombuffer(data[9:], dtype=np.uint8).reshape(h, w, c)
+            ys = (np.arange(out_h) * h // out_h).astype(int)
+            xs = (np.arange(out_w) * w // out_w).astype(int)
+            out = px[np.ix_(ys, xs)]
+            return IMG_MAGIC + struct.pack("<HHB", out_w, out_h, c) + out.tobytes()
+
+        for pdf in batches:
+            yield pdf[fields].assign(resized=pdf[data_col].map(one))
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def image_features(assets: DataFrame, dim: int = 64, data_col: str = "data") -> DataFrame:
+    """Feature-extract stub: deterministic embedding of the pixel bytes
+    (stands in for a CNN/CLIP encoder; batch shape and schema are what a
+    real model would use)."""
+    from vectorflow_spark.embed.backends import deterministic_embedding
+
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                deterministic_embedding(hashlib.sha1(bytes(b)).hexdigest(), dim)
+                for b in pdf[data_col]
+            ]
+            yield pdf[fields].assign(features=pd.Series(feats, index=pdf.index, dtype=object))
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def video_frame_sample(assets: DataFrame, every_k: int = 2, data_col: str = "data") -> DataFrame:
+    """Frame sampling: explode every k-th frame of a fake video to one
+    image-coded row — the fan-out shape (1 video -> n frames) a real
+    ffmpeg-backed sampler would have."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", frame_idx int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[data_col])
+                if data[:4] != VID_MAGIC:
+                    raise NotImplementedError("frame sampling supports the FAKE video codec only")
+                nf, w, h = struct.unpack("<HHH", data[4:10])
+                frame_sz = w * h
+                for i in range(0, nf, every_k):
+                    frame_px = data[10 + i * frame_sz : 10 + (i + 1) * frame_sz]
+                    frame = IMG_MAGIC + struct.pack("<HHB", w, h, 1) + frame_px
+                    rows.append({**{f: row[f] for f in fields}, "frame_idx": i, "frame": frame})
+            yield pd.DataFrame(rows, columns=[*fields, "frame_idx", "frame"])
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def audio_features(assets: DataFrame, data_col: str = "data") -> DataFrame:
+    """Audio feature stub: mean/std/peak over samples (real MFCCs need
+    librosa — absent); same single-pass, no-shuffle shape."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", mean_amp double, std_amp double, peak_amp double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(b: bytes):
+            data = bytes(b)
+            if data[:4] != AUD_MAGIC:
+                raise NotImplementedError("audio features support the FAKE audio codec only")
+            samples = np.frombuffer(data[10:], dtype=np.uint8).astype(np.float64)
+            return float(samples.mean()), float(samples.std()), float(samples.max())
+
+        for pdf in batches:
+            s = pdf[data_col].map(stats)
+            yield pdf[fields].assign(
+                mean_amp=s.map(lambda t: t[0]),
+                std_amp=s.map(lambda t: t[1]),
+                peak_amp=s.map(lambda t: t[2]),
+            )
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake-asset table from any id column: kind cycles
+    image/audio/video by id mod 3. Used by tests and the rows-only driver
+    query to exercise the binary pipeline on driver data."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series, kinds: pd.Series) -> pd.Series:
+        def one(i, k):
+            if k == "image":
+                return make_fake_image(str(i))
+            if k == "audio":
+                return make_fake_audio(str(i))
+            return make_fake_video(str(i))
+
+        return pd.Series([one(i, k) for i, k in zip(ids, kinds)])
+
+    kind = (
+        F.when(F.col("asset_id") % 3 == 0, F.lit("image"))
+        .when(F.col("asset_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return (
+        docs.select(F.col(doc_col).alias("asset_id"))
+        .withColumn("kind", kind)
+        .withColumn("data", gen(F.col("asset_id"), F.col("kind")))
+    )

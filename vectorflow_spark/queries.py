@@ -981,3 +981,125 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sources / multimodal / sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_html_strip",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               '<html><body><h1>T</h1><p>' || text || '</p></body></html>',
+               '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS stripped
+    FROM documents
+    """,
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (fixed semantics): tag-strip + whitespace-collapse of documents
+    wrapped in synthetic HTML — the extraction path the reference's repr()
+    bug should have been (SURVEY.md §7)."""
+    from vectorflow_spark.sources.readers import strip_html_expr
+
+    df = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<html><body><h1>T</h1><p>"), F.col("text"), F.lit("</p></body></html>"))
+    return df.select("doc_id", strip_html_expr(html).alias("stripped"))
+
+
+@query(
+    "q_binary_assets",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+    FROM documents
+    """,
+)
+def q_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal scan surface: text -> binary columns with per-kind
+    dispatch (binary ops are JVM-side; octet_length must match DuckDB's
+    utf-8 encode)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 9 + 16*12*3
+                     WHEN doc_id % 3 = 1 THEN 10 + 256
+                     ELSE 10 + 8*8*6 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary pipeline round-trip: deterministic fake assets
+    (image/audio/video codecs) -> Arrow -> pandas UDF header decode ->
+    typed metadata. The oracle pins the exact byte sizes the codec layout
+    implies — a full-plumbing integrity check, not just a row count."""
+    from vectorflow_spark.operators.multimodal import synth_assets, with_asset_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = with_asset_meta(synth_assets(docs))
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "q_sessionize_batch",
+    """
+    WITH sec AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ),
+    g AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM sec
+    ),
+    s AS (
+        SELECT user_id, ts_s,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts_s) AS session_start, max(ts_s) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over the events stream table — the
+    batch twin of the applyInPandasWithState streaming operator. One shuffle
+    on user_id; window + rollup run within partitions."""
+    from vectorflow_spark.streaming.pipeline import sessionize_batch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000000").alias("ts")
+    )
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("session_start").cast("bigint").alias("session_start"),
+        F.col("session_end").cast("bigint").alias("session_end"),
+        "n_events",
+    )

