@@ -33,6 +33,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     total0 = time.time()
 
+    # warm the JVM + the Python/Arrow worker pool once so one-time startup
+    # cost is not attributed to whichever query happens to run first
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    _warm = F.pandas_udf(lambda s: s, LongType())
+    spark.range(1024, numPartitions=32).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["_warmup"] = round(time.time() - total0, 3)
+
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         materialize(fn(spark, sf_dir))
