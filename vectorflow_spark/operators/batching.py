@@ -33,9 +33,15 @@ def split_lines(df: DataFrame, text_col: str = "text", lines_per_batch: int = 10
         f"ELSE split({text_col}, '\\n') END"
     )
     carry = [c for c in df.columns if c != text_col]
+    # posexplode_outer + null filter: plain posexplode lets the optimizer
+    # infer size(_lines)>0 and push it below this projection with the whole
+    # line-split expression inlined (evaluated twice per row). The outer
+    # variant emits one null row per empty document, dropped by a cheap
+    # attribute filter — identical output, single evaluation.
     return (
         df.withColumn("_lines", lines)
-        .select(*carry, F.posexplode("_lines").alias("line_pos", "line"))
+        .select(*carry, F.posexplode_outer("_lines").alias("line_pos", "line"))
+        .filter(F.col("line").isNotNull())
         .withColumn("batch_id", (F.col("line_pos") / F.lit(lines_per_batch)).cast("long"))
     )
 

@@ -244,9 +244,16 @@ def chunk(
         arr = _pandas_chunk_udf(strategy, cfg.chunk_size, cfg.chunk_overlap)(F.col(text_col))
 
     carry = [c for c in df.columns if c != text_col]
+    # posexplode_outer + null filter instead of posexplode: plain posexplode
+    # lets InferFiltersFromGenerate push a size(_chunks)>0 predicate below
+    # this projection with the whole chunk-array expression (or pandas UDF)
+    # inlined, evaluating it twice per row. The outer variant emits a null
+    # chunk for empty documents, which the cheap attribute filter drops —
+    # identical rows, single evaluation.
     out = (
         df.withColumn("_chunks", arr)
-        .select(*carry, F.posexplode("_chunks").alias("chunk_seq", "_chunk"))
+        .select(*carry, F.posexplode_outer("_chunks").alias("chunk_seq", "_chunk"))
+        .filter(F.col("_chunk").isNotNull())
         .select(
             *carry,
             "chunk_seq",
@@ -309,9 +316,12 @@ def _chunk_custom(
         return texts.map(lambda t: [] if t is None else run_one(t))
 
     carry = [c for c in df.columns if c != text_col]
+    # posexplode_outer + null filter: see chunk() — keeps the inferred
+    # size()>0 predicate from re-evaluating the pandas UDF per row.
     out = (
         df.withColumn("_chunks", _udf(F.col(text_col)))
-        .select(*carry, F.posexplode("_chunks").alias("chunk_seq", "_chunk"))
+        .select(*carry, F.posexplode_outer("_chunks").alias("chunk_seq", "_chunk"))
+        .filter(F.col("_chunk").isNotNull())
         .select(
             *carry,
             "chunk_seq",

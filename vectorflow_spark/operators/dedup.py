@@ -40,26 +40,80 @@ DEFAULT_BANDS = 4  # 4 bands x 4 rows -> catches jaccard >~ 0.6
 
 def shingles_expr(text_col: str, n: int = 5) -> Column:
     """Distinct char n-gram shingles of lowercased text as array<string>.
-    Built-ins only: sequence + transform + substring + array_distinct."""
-    t = f"lower({text_col})"
+    Built-ins only: sequence + transform + substring + array_distinct.
+
+    IMPORTANT: ``text_col`` should be a plain attribute holding the ALREADY
+    LOWERCASED text (see ``with_shingles``). Higher-order-function lambdas
+    are interpreted (no codegen, no common-subexpression elimination), so a
+    composite expression here would be re-evaluated once per element —
+    O(len^2) per document."""
+    t = text_col
     return F.expr(
-        f"CASE WHEN length({t}) < {n} THEN array(lower({text_col})) "
+        f"CASE WHEN length({t}) < {n} THEN array({t}) "
         f"ELSE array_distinct(transform(sequence(1, length({t}) - {n} + 1), "
         f"i -> substring({t}, i, {n}))) END"
     )
 
 
-def word_shingles_expr(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (whitespace tokens of lowercased text,
-    joined with single spaces). More selective than char shingles on
-    natural-language text — the right default for inverted-index joins."""
-    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+def word_shingles_expr(tokens_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-tokenized array column,
+    joined with single spaces. More selective than char shingles on
+    natural-language text — the right default for inverted-index joins.
+
+    ``tokens_col`` must be a plain attribute (see ``with_shingles``): the
+    per-element ``element_at`` lookups are only O(1) when they hit a
+    materialized array, not a re-evaluated split/filter expression."""
+    toks = tokens_col
     grams = ", ".join(f"element_at({toks}, i + {j})" for j in range(1, n + 1))
     return F.expr(
         f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
         f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
         f"i -> concat_ws(' ', {grams}))) END"
     )
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Non-empty whitespace tokens of lowercased text."""
+    return F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+
+
+def with_shingle_array(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    kind: str = "char",
+    out: str = "shingles",
+) -> DataFrame:
+    """(doc, shingles: array<string>) with the expensive normalization
+    (lower / tokenize) materialized in its own projection. CollapseProject
+    keeps the two projections separate because the normalized column is
+    non-cheap and referenced multiple times, so it is computed once per row
+    instead of once per array element inside the interpreted HOF lambdas."""
+    if kind == "char":
+        base = docs.select(doc_col, F.lower(F.col(text_col)).alias("_t"))
+        return base.select(doc_col, shingles_expr("_t", n).alias(out))
+    base = docs.select(doc_col, tokens_expr(text_col).alias("_ts"))
+    return base.select(doc_col, word_shingles_expr("_ts", n).alias(out))
+
+
+def with_shingles(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    kind: str = "char",
+) -> DataFrame:
+    """Exploded (doc, shingle) rows — the inverted-index input.
+
+    explode_outer, not explode: the shingle array is never empty (the CASE
+    always emits >=1 element), so the rows are identical — but plain explode
+    lets InferFiltersFromGenerate add a ``size(shingles) > 0`` filter that
+    predicate pushdown then inlines BELOW the projections, re-substituting
+    the whole tokenize+gram expression (including per-element lambda
+    references) and turning shingling O(len) into O(len^2) per document."""
+    arr = with_shingle_array(docs, doc_col, text_col, n, kind)
+    return arr.select(doc_col, F.explode_outer("shingles").alias("shingle"))
 
 
 def shingle_hash_expr(shingle_col: str = "shingle") -> Column:
@@ -78,18 +132,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document minhash signature: columns mh_0..mh_{k-1}.
 
-    explode(shingles) -> one row per (doc, shingle) -> groupBy(doc) with k
-    min() aggregates of affine-transformed shingle hashes. One shuffle on
-    doc_col; the min() aggregates combine map-side.
+    Shuffle-free: shingle hashes are computed once per document as an array
+    column, and each of the k signature slots is an ``array_min`` over an
+    affine transform of that array — a pure projection, embarrassingly
+    parallel, no explode/groupBy exchange. (The equivalent explode +
+    groupBy(doc).agg(min...) plan shuffles |doc|x|shingles| rows; at 100 TB
+    that exchange dominates, and it buys nothing — the aggregation key is
+    the row it came from.)
     """
     coeffs = MINHASH_COEFFS[:num_hashes]
-    sh = docs.select(doc_col, F.explode(shingles_expr(text_col, n)).alias("shingle"))
-    h = sh.withColumn("h", shingle_hash_expr())
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+    arr = with_shingle_array(docs, doc_col, text_col, n, kind="char")
+    hashed = arr.select(
+        doc_col,
+        F.expr(
+            "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    sigs = [
+        F.array_min(F.expr(f"transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME})")).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return h.groupBy(doc_col).agg(*aggs)
+    return hashed.select(doc_col, *sigs)
 
 
 def lsh_band_buckets(
@@ -108,7 +171,7 @@ def lsh_band_buckets(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("bucket"))
         )
     return signatures.select(
-        doc_col, F.explode(F.array(*band_cols)).alias("bb")
+        doc_col, F.explode_outer(F.array(*band_cols)).alias("bb")
     ).select(doc_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).distinct()
 
 
@@ -152,15 +215,23 @@ def jaccard_pairs(
     selects char or word shingles.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); integer counts divided in
-    double — bit-exact across engines."""
-    mk = shingles_expr if kind == "char" else word_shingles_expr
-    sh = docs.select(doc_col, F.explode(mk(text_col, n)).alias("shingle"))
+    double — bit-exact across engines.
+
+    The inverted-index join keys on xxhash64(shingle), not the shingle
+    string: an 8-byte fixed-width shuffle/join key instead of a ~20-40 byte
+    string. A 64-bit collision would need ~2^32 distinct shingles to have
+    even-odds of occurring once anywhere in the corpus; per-doc shingles are
+    already distinct, so a collision could only merge two distinct shingles
+    and shift one intersection count by one."""
+    sh = with_shingles(docs, doc_col, text_col, n, kind).select(
+        doc_col, F.xxhash64("shingle").alias("k")
+    )
     sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.select(F.col(doc_col).alias("a"), "shingle")
-    b = sh.select(F.col(doc_col).alias("b"), "shingle")
+    a = sh.select(F.col(doc_col).alias("a"), "k")
+    b = sh.select(F.col(doc_col).alias("b"), "k")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "k")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -187,31 +258,34 @@ def simhash_expr_pipeline(
 ) -> DataFrame:
     """32-bit SimHash per document, entirely with built-ins.
 
-    tokens (whitespace split) -> md5-derived 31-bit token hash -> per (doc,
-    bit) signed votes -> fingerprint = sum of (1<<bit) where votes > 0.
-    Two shuffles (doc+bit, then doc), both on uniform keys; vote counting is
-    partial-aggregated."""
-    toks = docs.select(
+    tokens (whitespace split) -> md5-derived 31-bit token hash -> per-bit
+    signed votes -> fingerprint = sum of (1<<bit) where votes > 0.
+
+    Shuffle-free: token hashes live in an array column per document; the
+    per-bit vote is ``2 * ones_j - n_tokens`` folded over that array, and
+    the fingerprint sums the winning bits — all one projection. (The
+    explode-per-token-per-bit formulation shuffles |tokens| x bits rows
+    twice; this computes the same integers with zero exchanges.) Documents
+    with no tokens produce no fingerprint (same as the exploded form)."""
+    toks = docs.select(doc_col, tokens_expr(text_col).alias("_ts"))
+    hashed = toks.select(
         doc_col,
-        F.explode(F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")).alias("tok"),
+        F.expr(
+            "transform(_ts, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    fingerprint = F.expr(
+        f"""aggregate(
+            sequence(0, {bits - 1}),
+            CAST(0 AS BIGINT),
+            (acc, j) -> acc + CASE WHEN
+                2 * aggregate(hs, CAST(0 AS BIGINT),
+                              (a, h) -> a + (h div CAST(pow(2, j) AS BIGINT)) % 2)
+                > size(hs)
+            THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        )"""
     )
-    h = toks.withColumn("h", shingle_hash_expr("tok"))
-    votes = (
-        h.select(
-            doc_col,
-            F.explode(
-                F.expr(f"transform(sequence(0, {bits - 1}), j -> struct(j AS bit, CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote))")
-            ).alias("bv"),
-        )
-        .select(doc_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-        .groupBy(doc_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(doc_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return hashed.select(doc_col, fingerprint.alias("simhash"))
 
 
 def exact_duplicate_groups(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -240,15 +314,26 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. With a
     block_col (e.g. an LSH bucket or cluster id) the self-join is confined
-    to blocks; without one this is quadratic and should only run on samples."""
-    from vectorflow_spark.functions.vector import cosine_similarity
+    to blocks; without one this is quadratic and should only run on samples.
 
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), *( [F.col(block_col).alias("blk")] if block_col else []))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), *( [F.col(block_col).alias("blk")] if block_col else []))
+    Norms are computed once per ROW before the join (O(n) folds) so each of
+    the O(n^2/blocks) candidate pairs only pays the dot product — the norm
+    fold per pair would otherwise triple the join-side work."""
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *(["blk"] if block_col else []))
+    b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), *(["blk"] if block_col else []))
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    denom = F.col("na") * F.col("nb")
     return (
         joined.filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .withColumn("cosine", F.when(denom != 0.0, dot("va", "vb") / denom))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
