@@ -1,0 +1,79 @@
+"""Temporal join operators (operators/joins.py) and rolling fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.operators.joins import anti_join, asof_join
+from vectorflow_spark.operators.textstats import rolling_fingerprints
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 50, "t3"), (3, 10, "t4")],
+        "sym long, ts long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 100, 2.0), (1, 200, 3.0), (2, 60, 4.0)],
+        "sym long, ts long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_picks_latest_at_or_before(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r["trade"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(trades, quotes, on="sym", right_cols=["px"]).collect()
+    }
+    assert out["t1"] == (100, 2.0)  # equal-ts quote matches
+    assert out["t2"] == (200, 3.0)  # latest earlier, not first
+    assert out["t3"] == (None, None)  # quote is later -> no match
+    assert out["t4"] == (None, None)  # key with no quotes at all
+
+
+def test_asof_keeps_all_left_rows_and_columns(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", right_cols=["px"])
+    assert out.count() == trades.count()
+    assert out.columns == ["sym", "ts", "trade", "asof_ts", "asof_px"]
+
+
+def test_asof_right_ties_resolved_deterministically(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 100, "b")], "k long, ts long, v string"
+    )
+    # pre-aggregated unique right side is the documented contract; verify
+    # the raw-tie case still returns exactly one row
+    out = asof_join(left, right, on="k", right_cols=["v"]).collect()
+    assert len(out) == 1
+
+
+def test_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(2, "x"), (2, "y")], "rk long, v string")
+    got = sorted(r["k"] for r in anti_join(left, right, "k", "rk").collect())
+    assert got == [1, 3]
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "epsilon delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp_doc"] for r in rolling_fingerprints(docs).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_rolling_fingerprint_deterministic_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two three"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in rolling_fingerprints(docs, k=4).collect()}
+    assert rows[1]["fp_doc"] == rows[2]["fp_doc"]
+    # < k tokens: the min-kgram fingerprint degrades to the whole-doc hash
+    assert rows[1]["fp_min_kgram"] == rows[1]["fp_doc"]
+    # empty docs have no token sequence to fingerprint
+    assert 3 not in rows

@@ -1,0 +1,84 @@
+"""Temporal join operators for event/feature alignment.
+
+The reference has no joins in its data plane (SURVEY.md §2.12) — these are
+the extension operators a training-data pipeline needs when aligning event
+streams with slowly-changing context (features, labels, sessions).
+
+``asof_join`` is implemented as the union-sort-window composition rather
+than a range join: tag both sides, union, and carry the last right-side row
+forward within each key with an ``ignorenulls`` window. One shuffle on the
+key, one sort within partitions — the same cost profile as a sort-merge
+join, with no range-explosion and no skew beyond what the key itself has.
+(A ``l.ts BETWEEN r.ts AND r.ts + delta`` range join would make Catalyst
+fall back to a broadcast-nested-loop or an inequality sort-merge that
+re-scans the right side per row; the union form is linear.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    ``on`` key and ``right_ts <= left_ts`` (backward as-of, the common
+    "latest feature value at event time" alignment). Left rows with no
+    earlier right row keep nulls — LEFT ASOF semantics.
+
+    Right-side ties on (key, ts) are resolved by the ordering of
+    ``right_cols[0]`` descending (pre-aggregate the right side to unique
+    (key, ts) rows when exact tie semantics matter).
+
+    Returns every left column plus ``{prefix}{c}`` for each right column.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    r_struct = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        r_struct.alias("_r"),
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows (_tag 0) sort before left rows at equal ts, so "at or
+    # before" includes same-instant right rows; _r is null on left rows and
+    # last(ignorenulls) carries the latest right payload forward.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_m._rts").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def anti_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str | None = None) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (left_anti — one shuffle,
+    or a broadcast hash anti when the right side is small)."""
+    right_key = right_key or left_key
+    return left.join(
+        right.select(F.col(right_key).alias(left_key)).distinct(),
+        on=left_key,
+        how="left_anti",
+    )

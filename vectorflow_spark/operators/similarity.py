@@ -146,9 +146,11 @@ def ivf_topk_cosine(
         num = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a) ** 0.5
         nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
+        # round like the scored path (9 dp) so probe selection is
+        # reproducible across engines; tiebreak on centroid id
+        return round(num / (na * nb), 9) if na and nb else 0.0
 
-    probe = sorted(centroids, key=lambda c: -cos(c[1], query))[:nprobe]
+    probe = sorted(centroids, key=lambda c: (-cos(c[1], query), c[0]))[:nprobe]
     cand = assigned.filter(F.col("cluster").isin([c[0] for c in probe]))
     return topk_cosine(cand, query, k, id_col, vec_col)
 

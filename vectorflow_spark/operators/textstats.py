@@ -126,3 +126,46 @@ def fingerprint(text_col: str) -> Column:
     runs of whitespace collapsed and trimmed — catches formatting-only
     duplicates that exact md5 misses."""
     return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
+# Rolling-hash fingerprints share dedup.py's md5-derived 31-bit token hash
+# so the whole chain is integer arithmetic both engines compute identically.
+ROLLING_BASE = 31
+ROLLING_MOD = 2147483647  # MINHASH_PRIME; acc*31 + h < 2^36, no overflow
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Order-sensitive document fingerprints from a polynomial rolling hash
+    over token hashes (MOSS-style): ``fp_doc`` hashes the whole token
+    sequence (reordered text changes it — unlike the bag-of-words
+    normalization fingerprint), and ``fp_min_kgram`` is the minimum rolling
+    hash over all k-token windows (a 1-sample winnowing fingerprint, robust
+    to local edits). Shuffle-free single projection; documents with no
+    tokens are dropped (no sequence to fingerprint)."""
+    from vectorflow_spark.operators.dedup import tokens_expr
+
+    toks = docs.select(doc_col, tokens_expr(text_col).alias("_ts"))
+    hashed = toks.select(
+        doc_col,
+        F.expr(
+            "transform(_ts, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    fold = f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD}"
+    fp_doc = F.expr(f"aggregate(hs, CAST(0 AS BIGINT), {fold})")
+    fp_min_kgram = F.expr(
+        f"""CASE WHEN size(hs) < {k}
+            THEN aggregate(hs, CAST(0 AS BIGINT), {fold})
+            ELSE array_min(transform(
+                sequence(1, size(hs) - {k} + 1),
+                i -> aggregate(slice(hs, i, {k}), CAST(0 AS BIGINT), {fold})))
+            END"""
+    )
+    return hashed.select(
+        doc_col, fp_doc.alias("fp_doc"), fp_min_kgram.alias("fp_min_kgram")
+    )

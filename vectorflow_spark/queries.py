@@ -1061,6 +1061,260 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal / relational extensions: as-of join, anti join, set ops, rollup,
+# JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           v.ts AS asof_ts, v.view_event_id AS asof_view_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest view by the same
+    user at-or-before the purchase instant. Implemented as the union-sort-
+    window composition (operators/joins.py) — one shuffle on user_id, no
+    range-join explosion; the oracle is DuckDB's native ASOF LEFT JOIN.
+    Timestamps are compared in microseconds on both sides (DuckDB's parquet
+    reader truncates TIMESTAMP(NANOS) to us)."""
+    from vectorflow_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(purchases, views, on="user_id", right_cols=["view_event_id"])
+
+
+@query(
+    "q_anti_join",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order (the reference's
+    'documents with no chunks yet' shape). Catalyst picks broadcast-hash
+    anti when the distinct key side fits."""
+    from vectorflow_spark.operators.joins import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return anti_join(c, o, "c_custkey", "o_custkey").select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q_setops",
+    """
+    SELECT key FROM (
+        (SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000)
+        EXCEPT
+        SELECT c_custkey AS key FROM customer WHERE c_nationkey IN (1, 2, 3)
+    )
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT coverage: BUILDING-segment customers with a large
+    order, excluding three nations. Distinct set semantics on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("key"))
+    excl = c.filter(F.col("c_nationkey").isin([1, 2, 3])).select(F.col("c_custkey").alias("key"))
+    return building.intersect(big).subtract(excl)
+
+
+@query(
+    "q_events_rollup",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY ROLLUP (hour_id, event_type)
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the event stream: (hour, type) -> hourly
+    subtotal -> grand total in one pass (Spark expands to a single hash agg
+    with grouping-id; no per-level rescan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(
+        F.expr("ts div 3600000000000").alias("hour_id"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the reference's json.loads message parsing,
+    SURVEY.md §2.12 scalar-functions row) aggregated per event type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
+def _ivf_search_sql(k: int = 10, nprobe: int = 4) -> str:
+    ones_cos = (
+        "round(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)), 9)"
+    )
+    cos_ec = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    probe AS (
+        SELECT cid FROM (SELECT cid, {ones_cos.format(v="cvec")} AS s FROM cents)
+        ORDER BY s DESC, cid LIMIT {nprobe}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid, round({cos_ec}, 9) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT e.vec_id, {ones_cos.format(v="e.embedding")} AS score
+    FROM embeddings e
+    JOIN best b ON e.vec_id = b.vec_id
+    JOIN probe p ON b.cid = p.cid
+    ORDER BY score DESC, e.vec_id LIMIT {k}
+    """
+
+
+@query("q_ivf_search", _ivf_search_sql())
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end: deterministic centroids -> nearest-
+    centroid assignment -> probe the 4 clusters nearest the query -> brute-
+    force top-10 within the probed ~25% of vectors. With ``cluster`` as a
+    partition column the non-probed clusters never leave the scan."""
+    from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids, ivf_topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=16)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk_cosine(assigned, cents, [1.0] * 64, k=10, nprobe=4)
+
+
+@query(
+    "q_rolling_fingerprint",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(ts, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+        FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_doc,
+           CASE WHEN len(hs) < 4
+                THEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                                 (acc, h) -> (acc * 31 + h) % 2147483647)
+                ELSE list_min(list_transform(range(1, len(hs) - 2),
+                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + 3)),
+                                      (acc, h) -> (acc * 31 + h) % 2147483647)))
+           END AS fp_min_kgram
+    FROM hashed
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprints (whole-sequence
+    polynomial hash + MOSS-style min 4-gram window hash), one projection."""
+    from vectorflow_spark.operators.textstats import rolling_fingerprints
+
+    return rolling_fingerprints(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only declarations: token-based chunkers (tokenizer not SQL-
+# expressible), the custom-chunker plugin surface, and the mapInPandas
+# embed stage. Exact semantics are pinned by the ported reference unit
+# tests (tests/test_chunkers.py) instead of a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_query(strategy: ChunkStrategy):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = PipelineConfig(chunk_strategy=strategy, chunk_size=64, chunk_overlap=32)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return chunkers.chunk(docs, cfg)
+
+    return fn
+
+
+QUERIES["q_chunk_exact_tokens"] = _chunk_query(ChunkStrategy.EXACT)
+QUERIES["q_chunk_paragraph_tokens"] = _chunk_query(ChunkStrategy.PARAGRAPH)
+QUERIES["q_chunk_paragraph_chars"] = _chunk_query(ChunkStrategy.PARAGRAPH_BY_CHARACTERS)
+QUERIES["q_chunk_sentence_tokens"] = _chunk_query(ChunkStrategy.SENTENCE)
+
+
+@query("q_custom_chunker")  # rows-only: user-supplied Python plugin (C7)
+def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 plugin surface: a user chunker returning dicts with extra
+    metadata keys, validated like the reference's validate_chunked_data."""
+
+    def halves(text: str) -> list[dict]:
+        mid = max(1, len(text) // 2)
+        return [
+            {"text": text[:mid], "half": "first"},
+            {"text": text[mid:], "half": "second"},
+        ]
+
+    cfg = PipelineConfig(chunk_strategy=ChunkStrategy.CUSTOM)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, custom_chunker=halves)
+
+
+@query("q_embed_stage")  # rows-only: mapInPandas stage (E1 shape)
+def q_embed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E3: the batched mapInPandas embed stage with the deterministic
+    backend — exercises the Arrow batch slicing + thread-pool plumbing the
+    OpenAI/HF backends share."""
+    from vectorflow_spark.embed.backends import embed
+
+    cfg = PipelineConfig(embeddings_type="deterministic", embedding_dim=64)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    return embed(docs, cfg)
+
+
 @query(
     "q_sessionize_batch",
     """
