@@ -27,11 +27,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectorflow_spark.embed.backends import deterministic_embedding
-from vectorflow_spark.functions.vector import cosine_similarity, dot
+from vectorflow_spark.functions.vector import dot, l2_norm
 
 
 def _const_vec(vals: list[float]) -> Column:
     return F.array([F.lit(float(v)) for v in vals])
+
+
+def _py_norm(vals: list[float]) -> float:
+    """Left-to-right sequential fold, matching the SQL aggregate() order so
+    the precomputed literal is bit-identical to what the expression would
+    have produced."""
+    acc = 0.0
+    for v in vals:
+        acc += float(v) * float(v)
+    return acc**0.5
 
 
 def topk_cosine(
@@ -42,10 +52,17 @@ def topk_cosine(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force top-K: one scan, partial top-K per partition
-    (TakeOrderedAndProject), no full sort. Deterministic tiebreak on id."""
-    scored = vectors.select(
+    (TakeOrderedAndProject), no full sort. Deterministic tiebreak on id.
+
+    The query-side norm is folded to a literal driver-side — higher-order-
+    function expressions are not constant-foldable, so leaving it as an
+    expression would re-fold the 64-literal array once per row."""
+    qn = _py_norm(query)
+    base = vectors.select(id_col, F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_vn"))
+    denom = F.col("_vn") * F.lit(qn)
+    scored = base.select(
         id_col,
-        F.round(cosine_similarity(F.col(vec_col), _const_vec(query)), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot("_v", _const_vec(query)) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -118,15 +135,28 @@ def ivf_assign(
     as one expression: an array of C cosine scores + array_position of the
     max — every score subexpression appears exactly once (a nested
     when/otherwise fold would duplicate the tree 2^C times), no shuffle,
-    centroid constants inlined as literals in the plan."""
+    centroid constants inlined as literals in the plan. The vector's own
+    norm is computed once (not once per centroid) and every centroid norm
+    is a driver-side literal."""
+    vn = F.col("_vn")
     scores = F.array(
         *[
-            F.round(cosine_similarity(F.col(vec_col), _const_vec(cvec)), 9)
+            F.round(
+                F.when(
+                    vn * F.lit(_py_norm(cvec)) != 0.0,
+                    dot(F.col(vec_col), _const_vec(cvec)) / (vn * F.lit(_py_norm(cvec))),
+                ),
+                9,
+            )
             for _, cvec in centroids
         ]
     )
     cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return vectors.withColumn("cluster", cluster)
+    return (
+        vectors.withColumn("_vn", l2_norm(vec_col))
+        .withColumn("cluster", cluster)
+        .drop("_vn")
+    )
 
 
 def ivf_topk_cosine(
@@ -166,14 +196,19 @@ def knn_join(
 ) -> DataFrame:
     """Batch k-NN: every query row gets its top-k neighbors. Broadcast the
     (small) query side; rank with a per-query window. The join is a
-    broadcast nested loop — the right plan when |queries| << |vectors|."""
+    broadcast nested loop — the right plan when |queries| << |vectors|.
+    Both sides carry their norm as a precomputed column so each of the
+    |q| x |v| pairs pays only the dot product."""
     from pyspark.sql import Window
 
-    joined = vectors.crossJoin(F.broadcast(queries))
+    v = vectors.withColumn("_vn", l2_norm(vec_col))
+    qs = queries.withColumn("_qn", l2_norm(q_vec))
+    joined = v.crossJoin(F.broadcast(qs))
+    denom = F.col("_vn") * F.col("_qn")
     scored = joined.select(
         q_id,
         id_col,
-        F.round(cosine_similarity(F.col(vec_col), F.col(q_vec)), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot(F.col(vec_col), F.col(q_vec)) / denom), 9).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from vectorflow_spark.config import ChunkStrategy, PipelineConfig
 from vectorflow_spark.functions.ids import content_id, uuid5_udf
-from vectorflow_spark.functions.vector import cosine_similarity
 from vectorflow_spark.operators import chunkers
 from vectorflow_spark.operators.batching import batch_counts, minibatch_ids
 from vectorflow_spark.operators.filters import (
@@ -420,14 +419,20 @@ def q_upload_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: brute-force top-K cosine similarity against a fixed query vector
-    (all-ones, dim 8) as built-in array expressions; deterministic tiebreak
-    on vec_id. At scale this is a single scan + TakeOrderedAndProject."""
+    (all-ones, dim 64) as built-in array expressions; deterministic tiebreak
+    on vec_id. At scale this is a single scan + TakeOrderedAndProject. The
+    query norm (8.0) is a driver-side literal and the row norm is computed
+    once in its own projection — each row pays one dot + one norm fold."""
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
     df = _t(spark, sf_dir, "embeddings")
     ones = F.array([F.lit(1.0)] * 64)
-    scored = df.select(
+    base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
+    denom = F.col("_vn") * F.lit(8.0)
+    scored = base.select(
         "vec_id",
         "label",
-        F.round(cosine_similarity(F.col("embedding"), ones), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
 
