@@ -170,9 +170,12 @@ def lsh_band_buckets(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("bucket"))
         )
+    # no .distinct(): the explode emits exactly one row per (doc, band) with
+    # distinct band values, so rows are unique by construction — a distinct
+    # here would be a full shuffle for nothing
     return signatures.select(
         doc_col, F.explode_outer(F.array(*band_cols)).alias("bb")
-    ).select(doc_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).distinct()
+    ).select(doc_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_candidate_pairs(

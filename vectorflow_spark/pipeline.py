@@ -21,8 +21,16 @@ from vectorflow_spark.sinks.writers import to_vector_records
 
 def run_pipeline(documents: DataFrame, cfg: PipelineConfig, text_col: str = "text", doc_col: str = "source") -> DataFrame:
     """documents(doc_id, text, source, ...) -> (id, source_data,
-    source_document, embeddings) ready for any U1-U5 writer."""
+    source_document, embeddings) ready for any U1-U5 writer.
+
+    One repartition sits between the (pushed-down) filters and the chunk+
+    embed stages: scan partitions are sized for I/O bytes, but chunking and
+    embedding are CPU-bound per document, so partition count must track
+    cores, not input size — the Spark analog of the reference's 1000-line
+    batch fan-out (SURVEY.md §2.2 P1/P2)."""
     docs = filter_max_size(filter_nonempty(documents, text_col), text_col, cfg.max_file_size_bytes)
+    sc = documents.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism)
     chunks = chunk(docs, cfg, text_col=text_col)
     vectors = embed(chunks, cfg, text_col="text")
     return to_vector_records(vectors, doc_col=doc_col)

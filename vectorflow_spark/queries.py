@@ -41,8 +41,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> DataFrame:
+    """Read a driver table. ``split=True`` repartitions to the session's
+    parallelism: the testdata parquet files are single-row-group (one scan
+    partition), so any compute-heavy projection downstream would otherwise
+    run on one core. This mirrors the real-cluster discipline of sizing
+    partitions for CPU-bound stages rather than scan bytes; the shuffle
+    moves ~MBs locally and is dwarfed by the work it parallelizes."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def query(name: str, sql: str | None = None):
@@ -160,7 +169,7 @@ def q_chunk_exact_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=_CHUNK_SIZE,
         chunk_overlap=_CHUNK_OVERLAP,
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
     out = chunkers.chunk(docs, cfg, with_ids=False)
     return out.select("doc_id", "chunk_seq", "chunk_offset", F.col("text").alias("chunk_text"))
 
@@ -199,7 +208,7 @@ def q_chunk_sentence_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=_CHUNK_SIZE,
         chunk_overlap=_CHUNK_OVERLAP,
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
     out = chunkers.chunk(docs, cfg, with_ids=False)
     return out.select("doc_id", "chunk_offset", "chunk_tag", F.col("text").alias("chunk_text"))
 
@@ -259,7 +268,7 @@ def q_minibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 (JVM fast path): md5 deterministic content id, fully codegen'd."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", split=True)
     return df.select("doc_id", content_id("text", "doc_id", F.lit("doc")).alias("content_id"))
 
 
@@ -268,7 +277,7 @@ def q_uuid5_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 (reference parity): RFC-4122 uuid5 ids — rows-only check; exact
     parity with the reference's generate_uuid_from_tuple is pinned by unit
     tests against Python's uuid.uuid5 instead."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", split=True)
     return df.select("doc_id", uuid5_udf("text", "doc_id", F.lit("doc")).alias("chunk_id"))
 
 
@@ -425,7 +434,7 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     once in its own projection — each row pays one dot + one norm fold."""
     from vectorflow_spark.functions.vector import dot, l2_norm
 
-    df = _t(spark, sf_dir, "embeddings")
+    df = _t(spark, sf_dir, "embeddings", split=True)
     ones = F.array([F.lit(1.0)] * 64)
     base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
     denom = F.col("_vn") * F.lit(8.0)
@@ -457,7 +466,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting: histogram of content-digest group sizes
     (group_size=1 -> unique docs; >1 -> exact duplicates). The histogram
     form stays informative even on corpora with no duplicates."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", split=True)
     return (
         df.select(F.md5(F.col("text")).alias("digest"))
         .groupBy("digest")
@@ -485,7 +494,7 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust): group-size histogram plus covered doc counts."""
     from vectorflow_spark.operators.textstats import fingerprint
 
-    df = _t(spark, sf_dir, "documents").select(fingerprint("text").alias("fp"))
+    df = _t(spark, sf_dir, "documents", split=True).select(fingerprint("text").alias("fp"))
     return (
         df.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("group_size"))
@@ -537,7 +546,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     it exactly."""
     from vectorflow_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return minhash_signatures(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
 def _minhash_pairs_sql(bands: int = 4, num_hashes: int = 16) -> str:
@@ -563,7 +572,7 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows). Shuffle key is the (band, bucket) hash — uniform, skew-free."""
     from vectorflow_spark.operators.dedup import minhash_candidate_pairs
 
-    return minhash_candidate_pairs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return minhash_candidate_pairs(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
 @query(
@@ -602,7 +611,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _t(spark, sf_dir, "documents", split=True).select("doc_id", "text"),
         n=3,
         threshold=0.3,
         kind="word",
@@ -635,7 +644,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, all built-in integer arithmetic."""
     from vectorflow_spark.operators.dedup import simhash_expr_pipeline
 
-    return simhash_expr_pipeline(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_expr_pipeline(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +681,7 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes ANN probes partition-pruned scans."""
     from vectorflow_spark.operators.similarity import with_lsh_buckets
 
-    df = with_lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=8)
+    df = with_lsh_buckets(_t(spark, sf_dir, "embeddings", split=True), dim=64, n_planes=8)
     return df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
@@ -704,7 +713,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a literal-folded expression — no shuffle, no UDF."""
     from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     cents = ivf_centroids(emb, n_centroids=16)
     # round like the oracle so tiebreaks agree
     assigned = ivf_assign(emb, cents)
@@ -734,7 +743,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query window ranking."""
     from vectorflow_spark.operators.similarity import knn_join
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -757,7 +766,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-64 vectors, so the pair set is small but non-empty."""
     from vectorflow_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25)
     return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
@@ -780,7 +789,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts — one projection pass."""
     from vectorflow_spark.operators.textstats import token_count_bpe_ish, token_count_ws
 
-    return _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents", split=True).select(
         "doc_id",
         token_count_ws("text").alias("n_tokens_ws"),
         token_count_bpe_ish("text").alias("n_tokens_bpe"),
@@ -823,7 +832,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first language in de<en<es<fr order wins ties)."""
     from vectorflow_spark.operators.textstats import predict_language
 
-    df = predict_language(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    df = predict_language(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text", "lang"))
     return df.select("doc_id", "lang", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
 
 
@@ -852,7 +861,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation/digit noise), single projection pass."""
     from vectorflow_spark.operators.textstats import quality_score
 
-    df = quality_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    df = quality_score(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
     return df.select("doc_id", "n_chars_t", "n_words", "n_punct", "quality_score")
 
 
@@ -1009,7 +1018,7 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug should have been (SURVEY.md §7)."""
     from vectorflow_spark.sources.readers import strip_html_expr
 
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", split=True)
     html = F.concat(F.lit("<html><body><h1>T</h1><p>"), F.col("text"), F.lit("</p></body></html>"))
     return df.select("doc_id", strip_html_expr(html).alias("stripped"))
 
@@ -1057,7 +1066,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     implies — a full-plumbing integrity check, not just a row count."""
     from vectorflow_spark.operators.multimodal import synth_assets, with_asset_meta
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
     assets = with_asset_meta(synth_assets(docs))
     return assets.select(
         "asset_id",
@@ -1230,7 +1239,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition column the non-probed clusters never leave the scan."""
     from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids, ivf_topk_cosine
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", split=True)
     cents = ivf_centroids(emb, n_centroids=16)
     assigned = ivf_assign(emb, cents)
     return ivf_topk_cosine(assigned, cents, [1.0] * 64, k=10, nprobe=4)
@@ -1265,7 +1274,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial hash + MOSS-style min 4-gram window hash), one projection."""
     from vectorflow_spark.operators.textstats import rolling_fingerprints
 
-    return rolling_fingerprints(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return rolling_fingerprints(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -1279,7 +1288,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chunk_query(strategy: ChunkStrategy):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = PipelineConfig(chunk_strategy=strategy, chunk_size=64, chunk_overlap=32)
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
         return chunkers.chunk(docs, cfg)
 
     return fn
@@ -1304,7 +1313,7 @@ def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     cfg = PipelineConfig(chunk_strategy=ChunkStrategy.CUSTOM)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
     return chunkers.chunk(docs, cfg, custom_chunker=halves)
 
 
