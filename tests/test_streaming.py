@@ -90,6 +90,58 @@ class TestWindowedCounts:
         assert len(got) == 6  # 3 hours x 2 event types
 
 
+class TestWatermarkLateData:
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """Append-mode windowed agg: a row older than the watermark horizon
+        must not resurrect or alter an already-finalized window."""
+        import os
+
+        src = tmp_path / "wm"
+        src.mkdir()
+
+        def write(name: str, rows: list[tuple[str, str, float]], mtime: int) -> None:
+            p = src / name
+            with open(p, "w") as f:
+                for ts, et, v in rows:
+                    f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+            os.utime(p, (mtime, mtime))  # file source orders by mod time
+
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(str(src))
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("wm_counts")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            # batch 1: two on-time events in the 09:00 and 10:00 windows
+            write("b1.json", [("2024-01-01 09:30:00", "click", 1.0), ("2024-01-01 10:30:00", "click", 1.0)], 1000)
+            q.processAllAvailable()
+            # batch 2: 13:00 advances the watermark to 11:00
+            write("b2.json", [("2024-01-01 13:00:00", "click", 1.0)], 2000)
+            q.processAllAvailable()
+            # batch 3: a 09:45 straggler, older than the watermark -> dropped;
+            # its arrival also flushes the finalized 09:00/10:00 windows
+            write("b3.json", [("2024-01-01 09:45:00", "click", 100.0)], 3000)
+            q.processAllAvailable()
+            # batch 4: 16:00 — any (incorrect) late merge would re-emit here
+            write("b4.json", [("2024-01-01 16:00:00", "click", 1.0)], 4000)
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        rows = {
+            str(r.window_start): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+        # the 09:00 window emitted once, WITHOUT the late 100.0 straggler
+        assert rows["2024-01-01 09:00:00"] == (1, 1.0)
+        assert rows["2024-01-01 10:00:00"] == (1, 1.0)
+
+
 class TestSessionize:
     def test_batch_sessionization(self, spark):
         base = 1_700_000_000
