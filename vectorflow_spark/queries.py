@@ -1317,6 +1317,21 @@ def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunkers.chunk(docs, cfg, custom_chunker=halves)
 
 
+@query("q_enhance_chunks")  # rows-only: L1-L5 with the deterministic LLM stand-in
+def q_enhance_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L3+L4+L5: chunk -> per-document context extraction (mapInPandas
+    over an injectable completion fn) -> broadcast context join -> literal
+    concat enhancement -> summary rows appended via unionByName."""
+    from vectorflow_spark.operators.enhancer import enhance_chunks
+
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS, chunk_size=200, chunk_overlap=0
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text").limit(300)
+    chunked = chunkers.chunk(docs, cfg, with_ids=False)
+    return enhance_chunks(chunked)
+
+
 @query("q_embed_stage")  # rows-only: mapInPandas stage (E1 shape)
 def q_embed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E3: the batched mapInPandas embed stage with the deterministic
