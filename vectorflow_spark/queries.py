@@ -1075,6 +1075,63 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_survivors",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor selection: one keeper (min doc id) per content
+    digest — the row-level dedup operation itself, not just the histogram.
+    One shuffle on the uniform digest key, min/count combine map-side."""
+    df = _t(spark, sf_dir, "documents", split=True)
+    return (
+        df.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_stratified_sample",
+    """
+    WITH tagged AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 7))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM tagged GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) via a content-hash
+    bucket — the training-pipeline sampling primitive that is reproducible
+    across engines, runs, and cluster sizes (unlike rand()-based sampling),
+    counted per language stratum. Pure projection + one aggregation."""
+    df = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|split')), 1, 7), 16, 10) AS BIGINT) % 100"
+    )
+    return (
+        df.select("lang", bucket.alias("bucket"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0)).alias("n_test"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal / relational extensions: as-of join, anti join, set ops, rollup,
 # JSON extraction
