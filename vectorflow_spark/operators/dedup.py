@@ -187,20 +187,31 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band-bucket collisions.
-    The bucket join shuffles on (band, bucket) — uniformly distributed
-    hash keys, no skew. Identical-text clusters of size m produce m^2/2
-    pairs, which is inherent to the problem, not the plan."""
+
+    Pair generation goes through per-bucket posting lists (groupBy on the
+    uniformly-hashed (band, bucket) key, then pairs from the sorted doc
+    array) rather than a self-join: the signature pipeline is computed
+    ONCE instead of once per join side, singleton buckets are dropped
+    before any pair materializes, and there is a single shuffle. An
+    identical-text cluster of size m still produces m^2/2 pairs — inherent
+    to the problem, not the plan."""
     bb = lsh_band_buckets(
         minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
     )
-    left = bb.select(F.col(doc_col).alias("a"), "band", "bucket")
-    right = bb.select(F.col(doc_col).alias("b"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    posting = (
+        bb.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(doc_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = posting.select(
+        F.explode_outer(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
 def jaccard_pairs(
