@@ -56,26 +56,40 @@ def _deterministic_batch(texts: list[str], dim: int) -> list[list[float]]:
     return [deterministic_embedding(t or "", dim) for t in texts]
 
 
-def _openai_batch_fn(model: str, retries: int) -> Callable[[list[str]], list[list[float]]]:
-    """E1/E2: one API call per minibatch with the reference's retry policy
-    (5 attempts, 2^i seconds backoff — src/worker/worker.py:77-90). Raises
-    after the final attempt so Spark task retry is the outer layer."""
-    import openai  # import-gated; not installed in the build environment
+def with_retries(
+    fn: Callable[[list[str]], list[list[float]]],
+    retries: int,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Callable[[list[str]], list[list[float]]]:
+    """E2's retry policy as a reusable wrapper: ``retries`` attempts with
+    2^i-second backoff (reference src/worker/worker.py:77-90), raising after
+    the final attempt so Spark task retry is the outer layer."""
 
     def call(texts: list[str]) -> list[list[float]]:
         last: Exception | None = None
         for i in range(retries):
             try:
-                resp = openai.embeddings.create(input=texts, model=model)
-                # API responses are assumed order-aligned with the input
-                # (same assumption as the reference, worker.py:75-76)
-                return [d.embedding for d in resp.data]
-            except Exception as e:  # noqa: BLE001 — provider raises many types
+                return fn(texts)
+            except Exception as e:  # noqa: BLE001 — providers raise many types
                 last = e
-                time.sleep(2**i)
+                if i < retries - 1:
+                    sleep(2**i)
         raise RuntimeError(f"embedding failed after {retries} attempts: {last}")
 
     return call
+
+
+def _openai_batch_fn(model: str, retries: int) -> Callable[[list[str]], list[list[float]]]:
+    """E1/E2: one API call per minibatch, wrapped in the retry policy."""
+    import openai  # import-gated; not installed in the build environment
+
+    def call(texts: list[str]) -> list[list[float]]:
+        resp = openai.embeddings.create(input=texts, model=model)
+        # API responses are assumed order-aligned with the input
+        # (same assumption as the reference, worker.py:75-76)
+        return [d.embedding for d in resp.data]
+
+    return with_retries(call, retries)
 
 
 def _hugging_face_batch_fn(model: str) -> Callable[[list[str]], list[list[float]]]:
