@@ -751,6 +751,47 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
+def _lsh_search_sql(k: int = 10, n_planes: int = 8) -> str:
+    from vectorflow_spark.operators.similarity import hyperplanes
+
+    # the query's own bucket + single-bit multiprobe set, computed the same
+    # way lsh_topk_cosine computes it driver-side
+    planes = hyperplanes(64, n_planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(p) > 0.0:  # dot(ones, plane) == sum(plane)
+            qbucket |= 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    ones_cos = (
+        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)), 9)"
+    )
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = f"list_sum(list_transform(list_zip(embedding, {consts}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        bucket_terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
+    SELECT vec_id, {ones_cos} AS score
+    FROM b WHERE bucket IN ({', '.join(map(str, probes))})
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("q_lsh_search", _lsh_search_sql())
+def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN search end-to-end: assign sign-bit buckets, probe the query's
+    bucket plus its single-bit-flip neighbors (multiprobe hamming 1), brute-
+    force top-10 within the probed ~(1+8)/256 of bucket space. With bucket
+    as a partition column the filter is partition pruning at the scan."""
+    from vectorflow_spark.operators.similarity import lsh_topk_cosine, with_lsh_buckets
+
+    emb = with_lsh_buckets(_t(spark, sf_dir, "embeddings", split=True), dim=64, n_planes=8)
+    return lsh_topk_cosine(emb, [1.0] * 64, k=10, n_planes=8, multiprobe_hamming=1)
+
+
 @query(
     "q_embedding_neardup",
     f"""
