@@ -1278,6 +1278,48 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_value_percentiles",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END), 9) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END), 9) AS p95,
+           round(max(value), 9) AS max_value
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles per group via window ranking — the
+    deterministic construction that hash-matches across engines (value
+    interpolation does not). One shuffle on the group key; the sort is
+    within partitions."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("value"))), 9).alias("p50"),
+        F.round(F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("value"))), 9).alias("p95"),
+        F.round(F.max("value"), 9).alias("max_value"),
+    )
+
+
+@query(
     "q_json_extract",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
