@@ -1013,6 +1013,70 @@ def q_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys. l_returnflag has 3
+    values, so a direct groupBy at cluster scale lands ~all rows on 3
+    reducers; salting with pmod(xxhash64, 16) fans the partial aggregation
+    over 48 reducers, and the final phase combines 48 tiny rows. Decimal
+    partials are associative, so the two-phase result is bit-identical to
+    the oracle's single GROUP BY. (On skew Spark's own partial/hash-agg
+    handles much of this; the explicit salt is the pattern for when the
+    partial agg itself can't keep up, e.g. high-cardinality state per key.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_pq"),
+        F.count(F.lit(1)).alias("_pn"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_pq").cast("double").alias("sum_qty"),
+        F.sum("_pn").alias("n_items"),
+    )
+
+
+@query(
+    "q_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running-frame) window: per-customer spend ordered by
+    order date. Covers the UNBOUNDED PRECEDING frame the rank-based windows
+    don't; one shuffle on o_custkey, in-partition sort, decimal-exact
+    accumulation so the running values hash-match across engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
     "q_events_window",
     """
     SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
