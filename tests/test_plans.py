@@ -106,6 +106,42 @@ def test_e2e_pipeline_is_one_stage_after_split(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
+def test_regional_revenue_broadcasts_all_dims(spark, sf_dir, Q):
+    """TPC-H Q5 shape: every dimension (customer/supplier/nation/region)
+    broadcasts; the only shuffle joins lineitem to orders on orderkey."""
+    plan = physical(Q["q_regional_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_big_orders_semi_join_broadcasts_keys(spark, sf_dir, Q):
+    """Q18 shape: the HAVING-qualified key set is small and must broadcast
+    into the semi join (not shuffle the fact table a second time)."""
+    plan = physical(Q["q_big_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan.split("LeftSemi")[0] or "LeftSemi, BuildRight" in plan, plan
+
+
+def test_price_band_join_is_broadcast_nested_loop(spark, sf_dir, Q):
+    """Non-equi band join: tiny interval dim broadcasts; the fact side must
+    not shuffle at all for the join itself."""
+    plan = physical(Q["q_price_band_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_tfidf_partial_aggregates_and_topk_pushdown(spark, sf_dir, Q):
+    """TF-IDF at scale: the tf aggregation must combine map-side
+    (partial_count before the (doc_id, term) shuffle), and the per-doc
+    top-5 must push a partial WindowGroupLimit below the doc_id exchange so
+    each map task ships at most 5 rows per doc, not the whole vocabulary.
+    (The df side broadcasts here only because sf-scale size estimates say
+    it fits; with real table stats Catalyst flips it to a shuffle join —
+    that decision is size-driven, not plan-coded.)"""
+    plan = physical(Q["q_tfidf_topterms"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
     """The posexplode_outer discipline: no optimizer-inferred size()>0
     filter may sit below the chunk/shingle projections (it would inline and

@@ -128,6 +128,44 @@ def fingerprint(text_col: str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (sklearn-style
+    ``ln((1+N)/(1+df)) + 1``). Plan at scale: one explode projection, a
+    map-side-combinable tf aggregation shuffled on (doc_id, term), a df
+    aggregation shuffled on term, a shuffle join back on term (vocabulary is
+    large — never broadcast it), and a per-doc window for the top-k. N rides
+    along as a broadcast 1-row cross join, not a driver-side collect.
+    Scores are rounded to 9 decimals before ranking so the rank is identical
+    across engines despite ulp-level ln() differences."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1),
+                9,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
 # Rolling-hash fingerprints share dedup.py's md5-derived 31-bit token hash
 # so the whole chain is integer arithmetic both engines compute identically.
 ROLLING_BASE = 31

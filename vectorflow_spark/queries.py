@@ -1590,3 +1590,249 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("bigint").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage: multi-join shapes, distinct aggregation,
+# non-equi joins, lag/ntile windows, TF-IDF (SURVEY.md §2.12 / §2.13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_regional_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name IN ('ASIA', 'EUROPE')
+    GROUP BY 1
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with local-supplier correlation
+    (c_nationkey = s_nationkey). Plan at scale: region/nation/supplier/
+    customer are broadcast dims (the only shuffle is lineitem <-> orders on
+    orderkey); Catalyst folds the region filter into the nation broadcast so
+    partition pruning removes non-matching rows before the fact join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_big_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING subquery driving a left-semi join
+    back onto the fact table. Plan at scale: the HAVING aggregation is
+    map-side-combinable on l_orderkey; the qualifying-keys side is tiny
+    after the filter, so it broadcasts into the semi join and the re-join
+    reuses the orderkey shuffle. Customer is a broadcast dim."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q_distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation: Catalyst plans two distinct columns via
+    Expand (one row per distinct-column per input row) + two-phase hash
+    aggregation — distinct-by-key stays partial/map-side-combinable, so the
+    shuffle carries deduplicated keys, not raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_price_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('b0', 900.0, 920.0), ('b1', 920.0, 940.0), ('b2', 940.0, 960.0),
+               ('b3', 960.0, 980.0), ('b4', 980.0, 1000.0)
+    )
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """,
+)
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) band join: fact rows against a tiny interval
+    dimension. Spark has no interval-join operator, so the correct plan is
+    BroadcastNestedLoopJoin with the band table broadcast — each fact
+    partition scans 5 bands; no shuffle of the fact side at all."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b0", 900.0, 920.0), ("b1", 920.0, 940.0), ("b2", 940.0, 960.0),
+         ("b3", 960.0, 980.0), ("b4", 980.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_events_lag_delta",
+    """
+    SELECT user_id, event_id, ts_s,
+           ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s
+    FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+    """,
+)
+def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() interarrival gaps per user — the building block of
+    sessionization and rate-limit features. One shuffle on user_id; the
+    window sort is in-partition. Integer epoch-seconds keep it exact."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return ev.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+
+
+@query(
+    "q_customer_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS wealth_quartile
+    FROM customer
+    """,
+)
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() bucketing per segment — deterministic because the window
+    order is total (tiebreak on c_custkey); both engines place the
+    remainder rows in the leading buckets per the SQL standard."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("wealth_quartile")
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * (ln((1 + n.n_docs) / (1.0 + df.df)) + 1), 9) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (operators/textstats.py): explode ->
+    tf agg -> df agg -> shuffle join on term -> per-doc window. Scores are
+    rounded to 9 decimals BEFORE ranking so ulp-level ln() differences
+    between engines can't flip the rank."""
+    from vectorflow_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query("q_approx_distinct")  # rows-only: HLL sketch estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the sketch
+    path for cardinality at 100 TB where exact distinct would shuffle every
+    key. Estimates are engine-specific, so this is a rows-only check; the
+    exact twin q_distinct_agg is the hash-matched one."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
