@@ -185,6 +185,38 @@ def ivf_topk_cosine(
     return topk_cosine(cand, query, k, id_col, vec_col)
 
 
+def kmeans_update(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One k-means centroid-update step over assigned vectors: per
+    (cluster, dimension) mean. This is the iterative building block an IVF
+    index build loops (assign -> update) until convergence.
+
+    Plan at scale: posexplode is a projection (rows x dims, no shuffle),
+    then ONE map-side-combinable aggregation shuffled on (cluster, dim) —
+    64 dims x k clusters of partial sums per map task, regardless of input
+    size. Values are quantized to 1e-6 on the way in (floor(v*1e6 + 0.5) —
+    identical half-up rounding on every engine) so the per-group sum is
+    exact integer arithmetic: the mean is order-independent and
+    hash-matches the oracle, where a raw float sum would drift with
+    aggregation order. The mean itself is NOT re-rounded: int/int/int in
+    IEEE double is correctly-rounded and therefore bit-identical on every
+    engine, whereas a decimal round of a value sitting exactly on a
+    rounding boundary is implementation-defined."""
+    ex = assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+    qv = F.floor(F.col("val").cast("double") * quant + F.lit(0.5)).cast("bigint")
+    return (
+        ex.select("cluster", "dim", qv.alias("qv"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("qv") / F.count(F.lit(1)) / quant).alias("mean_val"),
+        )
+    )
+
+
 def knn_join(
     queries: DataFrame,
     vectors: DataFrame,

@@ -1824,6 +1824,166 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _kmeans_step_sql() -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid, round({cos}, 9) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scored
+    ),
+    ex AS (
+        SELECT CAST(cid AS INT) AS cluster, CAST(t.dim AS INT) AS dim,
+               CAST(floor(CAST(embedding[t.dim + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+        FROM best, unnest(range(0, len(embedding))) AS t(dim)
+        WHERE rn = 1
+    )
+    SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n_members,
+           sum(qv) / count(*) / 1000000 AS mean_val
+    FROM ex GROUP BY 1, 2
+    """
+
+
+@query("q_kmeans_step", _kmeans_step_sql())
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means iteration (assign + centroid update) — the iterative
+    loop body of an IVF index build (operators/similarity.py). Assignment
+    is the literal-folded IVF expression (no shuffle); the update is one
+    map-side-combinable aggregation on (cluster, dim) with quantized exact
+    means, so the whole step costs a scan plus one tiny shuffle."""
+    from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids, kmeans_update
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cents = ivf_centroids(emb, n_centroids=16)
+    return kmeans_update(ivf_assign(emb, cents))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_events_pivot",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+           CAST(coalesce(count(*) FILTER (event_type = 'click'), 0) AS BIGINT) AS click,
+           CAST(coalesce(count(*) FILTER (event_type = 'error'), 0) AS BIGINT) AS error,
+           CAST(coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(count(*) FILTER (event_type = 'signup'), 0) AS BIGINT) AS signup,
+           CAST(coalesce(count(*) FILTER (event_type = 'view'), 0) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): hourly counts per event type as columns. The
+    pivot values are passed explicitly so Spark skips the extra
+    distinct-scan job it would otherwise run to discover them; the plan is
+    then a single hash aggregation with one conditional count per column —
+    the same shape as the oracle's FILTER clauses."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.select(F.expr("ts div 3600000000000").alias("hour_id"), "event_type")
+        .groupBy("hour_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select("hour_id", *[F.col(t).cast("bigint").alias(t) for t in _EVENT_TYPES])
+
+
+@query(
+    "q_events_cube",
+    """
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_mod,
+           CAST(GROUPING(event_type, CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four rollup combinations in one pass):
+    Catalyst plans this as Expand (4 rows per input row) + one hash
+    aggregation — still map-side-combinable, so the shuffle carries
+    4 x |groups| partials, not 4 x |rows|. grouping_id disambiguates
+    aggregated NULLs from data NULLs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_mod")
+    )
+    return ev.cube("event_type", "user_mod").agg(
+        F.grouping_id().alias("grp"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join for skewed fact keys: the fact side gets a
+    deterministic salt pmod(event_id, 8); the dimension side is exploded
+    x8 so every (key, salt) pair still meets its match. The join key
+    becomes (user_id, salt) — a hot user's rows now spread over 8 reducers
+    instead of one. Result is identical to the unsalted join the oracle
+    runs. (AQE skew-join splitting is the config-level fix; explicit
+    salting is the pattern when the skew is known and extreme.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_salt = 8
+    fact = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int"))
+    dim = c.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    joined = fact.join(
+        dim, (fact.user_id == dim.c_custkey) & (fact._salt == dim._salt)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_brand_premium",
+    """
+    SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.02 * (
+        SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_brand_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL API: parts priced >2%
+    above their brand's mean. Catalyst decorrelates into a per-brand
+    aggregate joined back on p_brand — one map-side-combinable aggregation
+    plus one broadcast-sized join, never a per-row subquery execution. The
+    mean is decimal-exact so the predicate boundary is engine-identical."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM part_v p
+        WHERE p_retailprice > 1.02 * (
+            SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
 @query("q_approx_distinct")  # rows-only: HLL sketch estimates are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the sketch
