@@ -142,6 +142,73 @@ class TestWatermarkLateData:
         assert rows["2024-01-01 10:00:00"] == (1, 1.0)
 
 
+class TestStreamDedup:
+    def test_redelivery_within_watermark_dropped(self, spark, tmp_path):
+        """At-least-once re-deliveries of the same deterministic id inside
+        the watermark horizon collapse to one row; a genuinely new id
+        passes through."""
+        import os
+
+        from vectorflow_spark.streaming.pipeline import dedup_stream
+
+        src = tmp_path / "dd"
+        src.mkdir()
+
+        def write(name, rows, mtime):
+            p = src / name
+            with open(p, "w") as f:
+                for rid, ts in rows:
+                    f.write(json.dumps({"id": rid, "ts": ts}) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        stream = spark.readStream.schema("id string, ts timestamp").json(str(src))
+        q = (
+            dedup_stream(stream, ["id"], watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            write("b1.json", [("a", "2024-01-01 09:00:00"), ("b", "2024-01-01 09:01:00")], 1000)
+            q.processAllAvailable()
+            # re-delivery of 'a' within the horizon + one new id
+            write("b2.json", [("a", "2024-01-01 09:02:00"), ("c", "2024-01-01 09:03:00")], 2000)
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        ids = sorted(r.id for r in spark.sql("SELECT * FROM dedup_out").collect())
+        assert ids == ["a", "b", "c"]
+
+
+class TestStreamStaticJoin:
+    def test_dim_enrichment_broadcasts(self, spark, tmp_path):
+        from vectorflow_spark.streaming.pipeline import enrich_stream_with_dim
+
+        src = tmp_path / "ss"
+        src.mkdir()
+        with open(src / "b1.json", "w") as f:
+            for i in range(6):
+                f.write(json.dumps({"user_id": i % 3, "value": float(i)}) + "\n")
+        dim = spark.createDataFrame(
+            [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+        )
+        stream = spark.readStream.schema("user_id long, value double").json(str(src))
+        q = (
+            enrich_stream_with_dim(stream, dim, "user_id")
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM enriched").collect()
+        assert len(rows) == 6
+        assert all(r.tier in {"bronze", "silver", "gold"} for r in rows)
+
+
 class TestSessionize:
     def test_batch_sessionization(self, spark):
         base = 1_700_000_000

@@ -77,6 +77,37 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Effectively-once within the stream itself: drop re-deliveries of the
+    same deterministic id (K1 uuid5) arriving within the watermark horizon.
+    ``dropDuplicatesWithinWatermark`` bounds state to the horizon — a plain
+    streaming dropDuplicates would keep every id ever seen and OOM on an
+    unbounded stream. This composes with (does not replace) the idempotent
+    sink: the sink handles re-deliveries across restarts beyond the
+    horizon."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small) static
+    dimension, which Spark broadcasts — no stream-side shuffle, no state.
+    The static side is re-read per micro-batch, so a dim table updated
+    in-place (e.g. a Delta/parquet overwrite) is picked up without
+    restarting the query. For a LARGE dimension, pre-bucket both sides on
+    the key instead; for stream-stream, watermarked interval joins apply."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def sessionize_events(
     events: DataFrame,
     gap_seconds: int = 1800,
