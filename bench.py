@@ -76,6 +76,7 @@ def main() -> None:
     # any external interference) is reported alongside.
     total_wall = round(time.time() - total0, 3)
     total = round(sum(timings.values()), 3)
+    n_q = len(timings) - 1  # excluding _warmup
     print(
         json.dumps(
             {
@@ -84,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "n_queries": n_q,
+                "sec_per_query": round((total - timings["_warmup"]) / n_q, 3),
                 "wall_clock_incl_retries": total_wall,
             }
         )
