@@ -64,6 +64,34 @@ class TestPipeline:
             assert list(r.vector) == pytest.approx(deterministic_embedding(f"text-{r.i}", 4))
 
 
+class TestObservedPipeline:
+    def test_metrics_ride_the_action(self, spark, sf_dir):
+        """observe() metrics arrive with the single write action — no
+        second job — and the counts are mutually consistent."""
+        from vectorflow_spark.pipeline import job_status_row, run_pipeline_observed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        records, obs = run_pipeline_observed(docs, _cfg())
+        records.write.format("noop").mode("overwrite").save()
+        status = job_status_row(obs, job_id="job-1")
+        assert status["job_status"] == "COMPLETED"
+        assert status["n_docs"] > 0
+        assert status["n_records"] >= status["n_docs"]  # >=1 chunk per doc
+        # every record carries embedding_dim floats
+        assert obs["records_out"].get["n_floats"] == status["n_records"] * 16
+
+    def test_runtime_empty_input_is_not_started(self, spark, sf_dir):
+        """Zero surviving documents (runtime-empty, via a filter a file
+        source can't fold away) still produces a status row — the
+        NOT_STARTED terminal state."""
+        from vectorflow_spark.pipeline import job_status_row, run_pipeline_observed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 0)
+        records, obs = run_pipeline_observed(docs, _cfg())
+        records.write.format("noop").mode("overwrite").save()
+        assert job_status_row(obs, "job-2")["job_status"] == "NOT_STARTED"
+
+
 class TestBatching:
     def test_split_file_reference_counts(self, spark):
         # reference test_split_file: 2048 lines -> 3 batches of 1000/1000/48

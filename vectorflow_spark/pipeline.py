@@ -34,3 +34,81 @@ def run_pipeline(documents: DataFrame, cfg: PipelineConfig, text_col: str = "tex
     chunks = chunk(docs, cfg, text_col=text_col)
     vectors = embed(chunks, cfg, text_col="text")
     return to_vector_records(vectors, doc_col=doc_col)
+
+
+def run_pipeline_observed(
+    documents: DataFrame,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    doc_col: str = "source",
+):
+    """run_pipeline plus job accounting via ``observe()`` (SURVEY.md §2.8
+    A1/M6): per-stage row counts ride the SAME action as the data — no
+    second pass, no accumulator races, exact once-per-row semantics even
+    under task retries (unlike accumulators, observed metrics are tied to
+    the query execution). Returns ``(records, observations)``; read
+    ``observations[name].get`` AFTER an action has materialized the frame.
+
+    The reference updates Postgres counters row-by-row per batch
+    (job_service.py:32-51); here the same facts cost zero extra jobs.
+
+    When the plan runs zero tasks through an observe node (a statically
+    empty LocalRelation folds the node away; a fully partition-pruned scan
+    launches no tasks), the observation has no row to return —
+    ``job_status_row`` maps that to the zero-count NOT_STARTED record
+    instead of surfacing the raw error."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs_docs = Observation("docs_in")
+    obs_records = Observation("records_out")
+
+    docs = filter_max_size(filter_nonempty(documents, text_col), text_col, cfg.max_file_size_bytes)
+    docs = docs.observe(
+        obs_docs,
+        F.count(F.lit(1)).alias("n_docs"),
+        # coalesce: sum() over an empty frame is NULL, which breaks the
+        # observed-row conversion — 0 is the correct empty-job value anyway
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("n_chars"),
+    )
+    sc = documents.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism)
+    chunks = chunk(docs, cfg, text_col=text_col)
+    vectors = embed(chunks, cfg, text_col="text")
+    records = to_vector_records(vectors, doc_col=doc_col).observe(
+        obs_records,
+        F.count(F.lit(1)).alias("n_records"),
+        F.coalesce(F.sum(F.size("embeddings")), F.lit(0)).alias("n_floats"),
+    )
+    return records, {"docs_in": obs_docs, "records_out": obs_records}
+
+
+def job_status_row(observations: dict, job_id: str) -> dict:
+    """Fold observed metrics into one reference-shaped status record
+    (JobStatus semantics from config.py): COMPLETED when every surviving
+    document produced records, FAILED when none did. Appended to a status
+    table by the caller — the Spark analog of update_job_with_batch."""
+    from vectorflow_spark.config import JobStatus
+
+    def _get(name: str, defaults: dict) -> dict:
+        try:
+            row = dict(observations[name].get)
+        except Exception:  # zero tasks ran through the observe node
+            return defaults
+        return {k: (defaults[k] if row.get(k) is None else row[k]) for k in defaults}
+
+    docs = _get("docs_in", {"n_docs": 0, "n_chars": 0})
+    recs = _get("records_out", {"n_records": 0, "n_floats": 0})
+    if recs["n_records"] and docs["n_docs"]:
+        status = JobStatus.COMPLETED.value
+    elif docs["n_docs"]:
+        status = JobStatus.FAILED.value
+    else:
+        status = JobStatus.NOT_STARTED.value
+    return {
+        "job_id": job_id,
+        "n_docs": docs["n_docs"],
+        "n_chars": docs["n_chars"],
+        "n_records": recs["n_records"],
+        "job_status": status,
+    }
