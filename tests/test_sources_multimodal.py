@@ -45,6 +45,17 @@ class TestExtraction:
         # binary garbage rejected
         assert "bad.exe" not in out
 
+    def test_stage_presigned_urls(self, spark, files, tmp_path):
+        """S6: presigned-URL staging — file:// URLs stand in for S3
+        presigned HTTPS (same urllib code path, no network)."""
+        from vectorflow_spark.sources.readers import stage_presigned
+
+        urls = [f"file://{files}/a.txt", f"file://{files}/b.md"]
+        staged = stage_presigned(spark, urls, str(tmp_path / "staged"))
+        out = {r.source.split("_", 1)[1]: r for r in extract_documents(staged).collect()}
+        assert set(out) == {"a.txt", "b.md"}
+        assert "two lines" in out["a.txt"].text
+
     def test_pipeline_from_files(self, spark, files):
         from vectorflow_spark.config import ChunkStrategy, PipelineConfig
         from vectorflow_spark.pipeline import run_pipeline

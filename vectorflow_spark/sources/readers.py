@@ -44,6 +44,34 @@ def read_raw_files(spark: SparkSession, path: str, glob: str | None = None) -> D
     )
 
 
+def stage_presigned(
+    spark: SparkSession,
+    urls: list[str],
+    dest_dir: str,
+) -> DataFrame:
+    """S6: presigned-URL ingest (reference src/api/app.py:180-226). The
+    reference downloads in the API process, sniffs MIME with libmagic, and
+    dispatches to an extractor; here the driver stages each URL into
+    ``dest_dir`` (executors then read shared storage directly — the S7
+    MinIO hop never exists) and the regular binaryFile scan + sniff_kind
+    dispatch takes over. URL count is a driver-side list by definition
+    (presigned URLs arrive one per request), so a driver loop is the right
+    shape; bulk manifests should land as paths, not URLs.
+
+    Uses stdlib urllib so the helper works without extra deps; supports
+    file:// URLs, which is how tests exercise it offline."""
+    import pathlib
+    import urllib.parse
+    import urllib.request
+
+    dest = pathlib.Path(dest_dir)
+    dest.mkdir(parents=True, exist_ok=True)
+    for i, url in enumerate(urls):
+        name = pathlib.Path(urllib.parse.urlparse(url).path).name or f"url_{i}"
+        urllib.request.urlretrieve(url, dest / f"{i:04d}_{name}")
+    return read_raw_files(spark, str(dest))
+
+
 def sniff_kind(source_col: str = "source", content_col: str = "content"):
     """File-kind dispatch: extension first, magic bytes for extensionless
     files, utf-8-decodable head as the final txt fallback (S8)."""
