@@ -67,6 +67,18 @@ class TestMinhashLSH:
         assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
 
 
+class TestConnectedComponents:
+    def test_chain_converges_to_min_label(self, spark):
+        """A 4-chain needs multiple propagation rounds (diameter 3); the
+        singleton keeps its own id as component."""
+        from vectorflow_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long")
+        verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+        comp = {r.doc_id: r.component for r in connected_components(edges, verts).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 class TestSimhash:
     def test_locality(self, dup_docs):
         h = {r.doc_id: r.simhash for r in simhash_expr_pipeline(dup_docs).collect()}

@@ -319,6 +319,53 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("_digest", F.md5(F.col(text_col))).dropDuplicates(["_digest"]).drop("_digest")
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate GROUPS from near-dup pairs: every vertex gets
+    ``component`` = the minimum reachable id (min-label propagation to
+    fixpoint). This is the stage that turns pairwise LSH hits into
+    keep-one-per-group decisions — pairs alone can't dedup a chain
+    A~B, B~C where (A,C) was never a candidate.
+
+    Scale shape: each iteration is one join + one min-aggregation, both
+    shuffled on the node key; iteration count tracks the dup-graph
+    DIAMETER (near-dup graphs are small cliques/stars, so a handful) not
+    its size. Lineage is cut per iteration with localCheckpoint —
+    without it the plan doubles every loop and the driver, not the data,
+    becomes the bottleneck; on a cluster use a reliable checkpoint dir
+    (or GraphFrames) for fault tolerance across iterations."""
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    )
+    for _ in range(max_iter):
+        neigh = und.join(labels, und.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            neigh.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -1984,6 +1984,43 @@ def q_brand_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components_sql() -> str:
+    pairs = _minhash_pairs_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    und AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (
+        SELECT src AS node, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("q_dedup_components", _dedup_components_sql())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups: MinHash-LSH candidate pairs -> connected
+    components by iterative min-label propagation (operators/dedup.py) —
+    the keep-one-per-group stage a chain A~B~C needs and pairwise output
+    can't provide. The oracle computes the same components with a
+    recursive CTE; the Spark loop converges at the graph diameter with a
+    lineage cut (localCheckpoint) per iteration."""
+    from vectorflow_spark.operators.dedup import connected_components, minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    pairs = minhash_candidate_pairs(docs)
+    return connected_components(pairs, docs, id_col="doc_id")
+
+
 @query("q_approx_distinct")  # rows-only: HLL sketch estimates are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the sketch
