@@ -16,6 +16,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _prev_round_timings(repo_dir: str, sf: str) -> tuple[str | None, dict[str, float]]:
+    """Per-query timings from the newest BENCH_r*.json at the same sf —
+    the regression baseline. Driver snapshots store the raw bench line in
+    a 'tail' string (sometimes truncated), so fall back to regex-scraping
+    name:seconds pairs when no parsed dict is available."""
+    import glob
+    import re
+
+    out: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if str(d.get("sf", sf)) not in (sf, str(float(sf))):
+            continue
+        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        q = parsed.get("queries") if isinstance(parsed.get("queries"), dict) else None
+        if q:
+            out = {k: float(v) for k, v in q.items()}
+        else:
+            for m in re.finditer(r'"(q_\w+|e2e_pipeline)":\s*([0-9.]+)', d.get("tail") or ""):
+                out[m.group(1)] = float(m.group(2))
+        if out:
+            return os.path.basename(path), out
+    return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -77,6 +106,16 @@ def main() -> None:
     total_wall = round(time.time() - total0, 3)
     total = round(sum(timings.values()), 3)
     n_q = len(timings) - 1  # excluding _warmup
+
+    # regression guard vs the previous round at the same sf: flag any query
+    # >1.5x slower AND >0.5s absolute (absolute floor keeps sub-second
+    # JIT/scheduler noise out); improvements are reported alongside.
+    prev_file, prev = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)), sf)
+    regressions = {
+        name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0 and t > 1.5 * prev[name] and t - prev[name] > 0.5
+    }
     print(
         json.dumps(
             {
@@ -88,6 +127,9 @@ def main() -> None:
                 "n_queries": n_q,
                 "sec_per_query": round((total - timings["_warmup"]) / n_q, 3),
                 "wall_clock_incl_retries": total_wall,
+                "prev_bench": prev_file,
+                "regressions": regressions,
+                "regression_count": len(regressions),
             }
         )
     )

@@ -67,6 +67,52 @@ class TestMinhashLSH:
         assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
 
 
+class TestPostingListCap:
+    def test_viral_duplicate_cluster_is_bounded(self, spark):
+        """A 1000-copy boilerplate cluster must not explode: with
+        max_bucket=20 every band keeps only the 20 lowest ids, so pair
+        output is C(20,2)=190, not C(1000,2)≈500k — and the retained
+        members still link the cluster into one component."""
+        from vectorflow_spark.operators.dedup import connected_components
+
+        viral = "massively duplicated boilerplate text that went viral everywhere"
+        rows = [(i, viral) for i in range(1000)]
+        rows.append((2000, "a genuinely unique document about something else entirely"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        pairs = minhash_candidate_pairs(docs, max_bucket=20)
+        got = pairs.collect()
+        assert len(got) == 190
+        assert max(max(r.a, r.b) for r in got) == 19  # only the 20 lowest ids pair
+        comp = connected_components(pairs, docs.select("doc_id"))
+        n_components = comp.select("component").distinct().count()
+        # capped members beyond 20 become singletons (documented recall
+        # bound — exact dups are drop_exact_duplicates's job); the
+        # retained 20 collapse into ONE component plus the unique doc
+        assert comp.filter(F.col("component") == 0).count() == 20
+        assert n_components == 1 + (1000 - 20) + 1
+
+    def test_default_cap_leaves_small_buckets_untouched(self, dup_docs):
+        uncapped = {(r.a, r.b) for r in minhash_candidate_pairs(dup_docs, max_bucket=1000000).collect()}
+        default = {(r.a, r.b) for r in minhash_candidate_pairs(dup_docs).collect()}
+        assert uncapped == default
+
+
+class TestIvfKmeansSeeding:
+    def test_kmeans_parallel_seeding(self, spark, sf_dir):
+        """method='kmeans' runs pyspark.ml k-means|| + Lloyd: right
+        centroid count/dim, assignment covers multiple clusters, and the
+        downstream index structure is identical to the lowest-id seed."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+        cents = ivf_centroids(emb, n_centroids=4, method="kmeans", max_iter=3)
+        assert len(cents) == 4
+        assert all(len(v) == 64 for _, v in cents)
+        assigned = ivf_assign(emb, cents)
+        n_used = assigned.select("cluster").distinct().count()
+        assert 2 <= n_used <= 4
+        assert assigned.count() == 200
+
+
 class TestConnectedComponents:
     def test_chain_converges_to_min_label(self, spark):
         """A 4-chain needs multiple propagation rounds (diameter 3); the

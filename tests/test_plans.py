@@ -142,6 +142,46 @@ def test_tfidf_partial_aggregates_and_topk_pushdown(spark, sf_dir, Q):
     assert plan.count("WindowGroupLimit") >= 2, plan
 
 
+def test_extract_documents_triggers_no_jobs(spark, tmp_path_factory):
+    """S2/S3 dispatch is plan-only: r1 probed the data with two
+    limit(1).count() jobs to decide whether to attach the pdf/docx UDF
+    columns; now the whole extract builds with ZERO Spark jobs — the
+    caller's action is the first job."""
+    from vectorflow_spark.sources.readers import extract_documents, read_raw_files
+
+    d = tmp_path_factory.mktemp("extract_probe")
+    (d / "a.txt").write_text("hello")
+    (d / "b.pdf").write_bytes(b"%PDF-FAKE\nx")
+    sc = spark.sparkContext
+    sc.setJobGroup("extract_probe_group", "plan-only probe")
+    try:
+        extract_documents(read_raw_files(spark, str(d)))
+        jobs = sc.statusTracker().getJobIdsForGroup("extract_probe_group")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
+
+
+def test_minhash_pairs_single_bucket_exchange(spark, sf_dir, Q):
+    """The posting-list cap (row_number window) must reuse the (band,
+    bucket) hash partitioning of the groupBy — the cap adds NO exchange.
+    Expected shuffles: 1 on (band, bucket) + 1 for the output distinct."""
+    plan = physical(Q["q_minhash_band_pairs"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_connected_components_edges_checkpointed_once(spark):
+    """The iteration join must scan the materialized edge set, not re-run
+    the candidate-pair pipeline: localCheckpoint leaves Scan ExistingRDD
+    nodes in the final plan and the per-iteration plans stay flat."""
+    from vectorflow_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    out = connected_components(edges, verts)
+    assert "ExistingRDD" in physical(out)
+
+
 def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
     """The posexplode_outer discipline: no optimizer-inferred size()>0
     filter may sit below the chunk/shingle projections (it would inline and

@@ -1,0 +1,184 @@
+"""U1-U3 sink contract tests with injected fake clients — no network, no
+client packages.
+
+Each fake client records every flush it receives as one JSON file in a
+spool directory (executors are separate processes, so in-memory recording
+would be invisible to the test; the spool is the observable channel). The
+fakes are defined INSIDE factory functions so cloudpickle ships them by
+value to the workers (a module-level class in an unimportable test module
+would pickle by reference and fail there).
+
+Asserted per writer:
+  * 128-slicing: 300 rows in one partition arrive as flushes of
+    [128, 128, 44] — the reference's PINECONE_BATCH_SIZE contract
+    (src/worker/config.py:3) applied to every store;
+  * payload field names exactly match the documented shape
+    (src/worker/vector_uploader.py:55-62 / :88-98 / :146-151), including
+    our deliberate 'vectorflow_id' vs the reference's 'vectoflow_id' typo;
+  * idempotency: a re-run upserts the SAME ids with the SAME payloads, so
+    a keyed store converges to one copy (U6).
+"""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.sinks.writers import (
+    to_vector_records,
+    write_pinecone,
+    write_qdrant,
+    write_weaviate,
+)
+
+
+def _flushes(spool: str) -> list:
+    return [json.loads(p.read_text()) for p in sorted(pathlib.Path(spool).iterdir())]
+
+
+def make_fake_qdrant_factory(spool: str):
+    def factory():
+        import json as j
+        import pathlib as pl
+        import uuid as u
+
+        class FakeQdrant:
+            def upsert(self, collection_name, points):
+                (pl.Path(spool) / f"{u.uuid4().hex}.json").write_text(
+                    j.dumps({"collection": collection_name, "points": points})
+                )
+
+        return FakeQdrant()
+
+    return factory
+
+
+def make_fake_pinecone_factory(spool: str):
+    def factory():
+        import json as j
+        import pathlib as pl
+        import uuid as u
+
+        class FakeIndex:
+            def __init__(self, name):
+                self.name = name
+
+            def upsert(self, vectors):
+                (pl.Path(spool) / f"{u.uuid4().hex}.json").write_text(
+                    j.dumps(
+                        {
+                            "index": self.name,
+                            "vectors": [[i, list(v), m] for i, v, m in vectors],
+                        }
+                    )
+                )
+
+        class FakePinecone:
+            def Index(self, name):
+                return FakeIndex(name)
+
+        return FakePinecone()
+
+    return factory
+
+
+def make_fake_weaviate_factory(spool: str):
+    def factory():
+        import json as j
+        import pathlib as pl
+        import uuid as u
+
+        class FakeBatch:
+            def __init__(self, batch_size):
+                self.batch_size, self.objs = batch_size, []
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                (pl.Path(spool) / f"{u.uuid4().hex}.json").write_text(
+                    j.dumps({"batch_size": self.batch_size, "objects": self.objs})
+                )
+                return False
+
+            def add_data_object(self, data_object, class_name, vector):
+                self.objs.append(
+                    {
+                        "data_object": data_object,
+                        "class_name": class_name,
+                        "vector": list(vector),
+                    }
+                )
+
+        class FakeWeaviate:
+            def batch(self, batch_size, dynamic):
+                return FakeBatch(batch_size)
+
+        return FakeWeaviate()
+
+    return factory
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    chunks = spark.range(300).select(
+        F.col("id").cast("string").alias("chunk_id"),
+        F.concat(F.lit("chunk text "), F.col("id")).alias("text"),
+        F.concat(F.lit("doc"), (F.col("id") % 5).cast("string"), F.lit(".txt")).alias("source"),
+        F.array(F.lit(0.25), (F.col("id") % 10).cast("float") / 10).alias("vector"),
+    )
+    # single partition so the 128-row buffer actually slices: [128, 128, 44]
+    return to_vector_records(chunks).repartition(1)
+
+
+class TestQdrantContract:
+    def test_slicing_fields_idempotency(self, records, tmp_path):
+        spool = str(tmp_path)
+        write_qdrant(records, "chunks", client_factory=make_fake_qdrant_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["points"]) for f in flushes) == [44, 128, 128]
+        assert all(f["collection"] == "chunks" for f in flushes)
+        points = [p for f in flushes for p in f["points"]]
+        assert len(points) == 300
+        for p in points[:3]:
+            assert set(p) == {"id", "vector", "payload"}
+            assert set(p["payload"]) == {"source_data", "source_document"}
+
+        # idempotent re-run: the same ids upsert the same payloads, so a
+        # keyed store converges to exactly one copy per id
+        write_qdrant(records, "chunks", client_factory=make_fake_qdrant_factory(spool))
+        store = {}
+        for f in _flushes(spool):
+            for p in f.get("points", []):
+                if p["id"] in store:
+                    assert store[p["id"]] == p  # re-upsert is byte-identical
+                store[p["id"]] = p
+        assert len(store) == 300
+
+
+class TestPineconeContract:
+    def test_slicing_and_metadata_fields(self, records, tmp_path):
+        spool = str(tmp_path)
+        write_pinecone(records, "idx", client_factory=make_fake_pinecone_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["vectors"]) for f in flushes) == [44, 128, 128]
+        assert all(f["index"] == "idx" for f in flushes)
+        vid, vec, meta = flushes[0]["vectors"][0]
+        assert isinstance(vid, str) and isinstance(vec, list)
+        # reference vector_uploader.py:55-86 metadata keys
+        assert set(meta) == {"source_text", "source_document"}
+
+
+class TestWeaviateContract:
+    def test_slicing_and_property_names(self, records, tmp_path):
+        spool = str(tmp_path)
+        write_weaviate(records, "Chunk", client_factory=make_fake_weaviate_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["objects"]) for f in flushes) == [44, 128, 128]
+        obj = flushes[0]["objects"][0]
+        assert obj["class_name"] == "Chunk"
+        # documented divergence: 'vectorflow_id', not the reference's
+        # 'vectoflow_id' typo (vector_uploader.py:149)
+        assert set(obj["data_object"]) == {"source_data", "vectorflow_id", "source_document"}
+        assert len(obj["vector"]) == 2

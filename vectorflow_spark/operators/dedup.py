@@ -185,6 +185,7 @@ def minhash_candidate_pairs(
     n: int = 5,
     bands: int = DEFAULT_BANDS,
     num_hashes: int = 16,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band-bucket collisions.
 
@@ -192,14 +193,41 @@ def minhash_candidate_pairs(
     uniformly-hashed (band, bucket) key, then pairs from the sorted doc
     array) rather than a self-join: the signature pipeline is computed
     ONCE instead of once per join side, singleton buckets are dropped
-    before any pair materializes, and there is a single shuffle. An
-    identical-text cluster of size m still produces m^2/2 pairs — inherent
-    to the problem, not the plan."""
+    before any pair materializes, and there is a single shuffle.
+
+    ``max_bucket`` bounds the blast radius of a pathological bucket (one
+    viral boilerplate document duplicated m times would otherwise build an
+    m-element array and emit m^2/2 pairs from a single reducer): each
+    posting list keeps only its ``max_bucket`` LOWEST doc ids, so per-task
+    memory is O(max_bucket) and per-bucket pair output is O(max_bucket^2),
+    deterministically. Recall semantics, documented: docs beyond the cap
+    lose candidacy IN THAT BUCKET only (they can still pair in their other
+    bands); mass-duplicate clusters keep full recall *for dedup purposes*
+    because the retained lowest-id members still link the cluster into one
+    connected component, and exact duplicates should be removed by
+    ``drop_exact_duplicates`` before LSH anyway (the cheap groupBy handles
+    identical text; LSH is for the near-dup remainder).
+
+    The cap is applied with a row_number window BEFORE collect_set, not a
+    slice after it: collect_set is an in-memory ImperativeAggregate (an
+    m-doc bucket would still build the m-element set just to throw most of
+    it away), while the window sort spills and streams. The window's
+    hash-partitioning on (band, bucket) also satisfies the groupBy's
+    distribution requirement, so the cap adds NO extra shuffle — the plan
+    keeps the single exchange."""
+    from pyspark.sql import Window
+
     bb = lsh_band_buckets(
         minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
     )
+    w = Window.partitionBy("band", "bucket").orderBy(doc_col)
+    capped = (
+        bb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
     posting = (
-        bb.groupBy("band", "bucket")
+        capped.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(doc_col)).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -334,12 +362,19 @@ def connected_components(
     Scale shape: each iteration is one join + one min-aggregation, both
     shuffled on the node key; iteration count tracks the dup-graph
     DIAMETER (near-dup graphs are small cliques/stars, so a handful) not
-    its size. Lineage is cut per iteration with localCheckpoint —
-    without it the plan doubles every loop and the driver, not the data,
-    becomes the bottleneck; on a cluster use a reliable checkpoint dir
-    (or GraphFrames) for fault tolerance across iterations."""
-    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    its size. The EDGE SET is materialized ONCE up front (localCheckpoint)
+    — ``edges`` is typically the whole LSH candidate-pair pipeline
+    (shingle -> signature -> bucket -> pairs), and without the cut every
+    iteration's join would re-execute that entire pipeline. Labels carry
+    their previous value through the aggregation so the convergence count
+    is a cheap scan of the just-checkpointed result, not a second
+    execution of the join+agg: exactly ONE heavy action per iteration.
+    On a cluster use a reliable checkpoint dir (or GraphFrames) for fault
+    tolerance across iterations."""
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
     )
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
@@ -348,19 +383,15 @@ def connected_components(
         neigh = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new = (
+        merged = (
             neigh.unionByName(labels.select("node", "label"))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("_new"))
+            .join(labels.withColumnRenamed("label", "_old"), "node")
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("label", "_new")
-            .join(labels, "node")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
-        )
-        labels = new
+        changed = merged.filter(F.col("_new") != F.col("_old")).count()
+        labels = merged.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -109,6 +109,7 @@ def enhance_chunks(
     doc_col: str = "doc_id",
     text_col: str = "text",
     max_items: int = 5,
+    documents: DataFrame | None = None,
 ) -> DataFrame:
     """L1+L4: attach per-document context (broadcast dimension join — the
     context table is one short row per document), enhance each chunk with
@@ -116,12 +117,22 @@ def enhance_chunks(
     chunk_enhancer.py:104-151), and append one summary row per document
     (chunk_tag='summary') via unionByName.
 
-    Shuffle profile: the context/summary dimension derives from distinct
-    documents (one aggregation), then broadcasts — chunk rows never
-    shuffle."""
-    docs = chunks.select(doc_col, text_col).groupBy(doc_col).agg(
-        F.concat_ws("\n", F.collect_list(text_col)).alias("_doc_text")
-    )
+    ``documents``: the (doc_col, text) source the chunks came from. The
+    caller almost always still has it — pass it, and the context dimension
+    is built straight from it with NO shuffle of chunk text. Only without
+    it does the operator fall back to REASSEMBLING document text by
+    ``groupBy(doc).collect_list(chunk_text)`` — a shuffle of the fattest
+    column in the pipeline, kept only as the orphan-chunks escape hatch.
+
+    Shuffle profile (documents supplied): context/summary dimension is a
+    mapInPandas projection over documents, then broadcasts — chunk rows
+    never shuffle."""
+    if documents is not None:
+        docs = documents.select(F.col(doc_col), F.col(text_col).alias("_doc_text"))
+    else:
+        docs = chunks.select(doc_col, text_col).groupBy(doc_col).agg(
+            F.concat_ws("\n", F.collect_list(text_col)).alias("_doc_text")
+        )
     ctx = document_context(docs.withColumnRenamed("_doc_text", "text"), complete)
     dim = ctx.select(
         doc_col,

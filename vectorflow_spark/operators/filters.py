@@ -7,10 +7,13 @@ them into the parquet scan (check ``.explain`` for PushedFilters):
   F4  25 MB size guard            reference src/api/app.py:54-59
   S8  file-type whitelist + utf-8 content sniff  src/api/app.py:291-310
   K2  duplicate-filename skip     reference src/api/app.py:103-104
-  F1  chunk-validation semi-join  reference src/worker/worker.py:156-172
+  F1  chunk-validation webhook    reference src/worker/worker.py:156-172
 """
 
 from __future__ import annotations
+
+import json as _json
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,3 +58,82 @@ def semi_join_valid(df: DataFrame, valid: DataFrame, key: str = "chunk_id") -> D
     the reference's chunk-validation webhook reduced to its data-plane
     essence (a left-semi join; broadcast when the valid set is small)."""
     return df.join(valid.select(key).distinct(), key, "left_semi")
+
+
+# --- F1, full form: chunk-validation webhook ------------------------------
+#
+# Reference src/worker/worker.py:156-172: POST each batch of chunks to a
+# user-supplied validation endpoint with a 30 s timeout; keep only the
+# chunk ids the endpoint returns; a timeout / transport error FAILS THAT
+# BATCH (its chunks are dropped and the job continues) — not the whole job.
+#
+# The HTTP call is an injectable ``transport(rows) -> valid_ids`` callable
+# (the same external-service seam as enhancer.Completion / the embedding
+# backends), so the operator is fully testable offline and swapping in the
+# real endpoint changes one argument, not the plan.
+
+ValidationTransport = Callable[[list[dict]], list[str]]
+
+
+def http_validation_transport(
+    url: str, webhook_key: str = "", timeout: float = 30.0
+) -> ValidationTransport:
+    """The real F1 transport: POST ``{"chunks": [{"id", "text"}, ...]}``,
+    expect ``{"valid_ids": [...]}`` back. 30 s default timeout = reference
+    parity (worker.py:161). stdlib urllib — no extra deps; raises on
+    non-2xx / timeout, which the operator converts to a failed batch."""
+
+    def post(rows: list[dict]) -> list[str]:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps({"chunks": rows}).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "X-Chunk-Validation-Key": webhook_key,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = _json.loads(resp.read().decode("utf-8"))
+        return [str(i) for i in body.get("valid_ids", [])]
+
+    return post
+
+
+def validate_chunks_webhook(
+    chunks: DataFrame,
+    transport: ValidationTransport,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+    batch_size: int = 128,
+) -> DataFrame:
+    """F1: per-batch webhook validation as one mapInPandas pass — each
+    Arrow batch is sliced into ``batch_size`` groups, each group POSTed
+    via ``transport``, and only rows whose id comes back survive. A
+    transport exception (timeout, 5xx, connection refused) drops exactly
+    that batch's rows and moves on — reference fail-batch semantics.
+
+    Scale shape: embarrassingly parallel, no shuffle; each task talks to
+    the endpoint independently, so endpoint concurrency == task count
+    (tune with the input partitioning, not executor settings)."""
+    schema = chunks.schema
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                sub = pdf.iloc[start : start + batch_size]
+                rows = [
+                    {"id": str(i), "text": t if t is not None else ""}
+                    for i, t in zip(sub[id_col], sub[text_col])
+                ]
+                try:
+                    valid = {str(v) for v in transport(rows)}
+                except Exception:
+                    continue  # failed batch: drop its chunks, keep going
+                keep = sub[sub[id_col].astype(str).isin(valid)]
+                if len(keep):
+                    yield keep
+
+    return chunks.mapInPandas(run, schema=schema)

@@ -116,11 +116,39 @@ def lsh_topk_cosine(
 
 
 def ivf_centroids(
-    vectors: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lowest_id",
+    seed: int = 7,
+    max_iter: int = 5,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed: the n lowest-id vectors (a real build
-    would run k-means|| via pyspark.ml; the index structure downstream is
-    identical, and determinism matters more here for reproducible plans)."""
+    """IVF centroid seeding, two strategies behind one flag:
+
+    ``lowest_id`` (default): the n lowest-id vectors — fully deterministic
+    and oracle-checkable (the same rows are selectable in SQL), which is
+    what the hash-matched q_ivf_* queries need. Quality is whatever the
+    data order gives you; fine for tests and reproducible plans.
+
+    ``kmeans``: real k-means|| initialization + Lloyd refinement via
+    pyspark.ml.clustering.KMeans — the scale path for an actual index
+    build (distributed, O(iter) passes, no driver-side data). Fixed seed
+    keeps it reproducible run-to-run, but centers depend on partitioning
+    internals, so queries built on it are rows-only, not hash-matched.
+    Either way the collect is k centroid VECTORS (k*dim floats), never
+    data rows."""
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = vectors.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+        ).fit(feat)
+        return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     rows = vectors.orderBy(id_col).limit(n_centroids).collect()
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 

@@ -16,11 +16,19 @@ variant relies on the same property).
 Vector-DB client libraries are not installed in the build environment; each
 writer import-gates its client and raises a clear error when missing. The
 parquet sink is the real, always-available path (and what tests/bench use).
+
+Every external writer takes an optional ``client_factory`` — a picklable
+zero-arg callable built ON THE EXECUTOR (called once per partition). The
+default constructs the real client (import-gated); tests inject a fake that
+records upsert payloads to a spool directory, which is how the 128-slicing,
+payload field names, and idempotency contracts are asserted without any
+network or client package (tests/test_sink_contracts.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,22 +76,39 @@ def write_parquet(records: DataFrame, path: str, mode: str = "overwrite") -> Non
     records.write.mode(mode).parquet(path)
 
 
-def write_qdrant(records: DataFrame, collection: str, url: str = "http://localhost:6333", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+def write_qdrant(
+    records: DataFrame,
+    collection: str,
+    url: str = "http://localhost:6333",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
     """U2: Qdrant upsert via PointStruct batches (reference
-    vector_uploader.py:100-129; gRPC preferred there, same here)."""
+    vector_uploader.py:100-129; gRPC preferred there, same here). With an
+    injected ``client_factory`` the points are plain dicts of the same
+    field names (id/vector/payload) — PointStruct is exactly that shape."""
 
     def per_partition(partition: Iterator) -> None:
-        try:
-            from qdrant_client import QdrantClient
-            from qdrant_client.models import PointStruct
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("qdrant-client is not installed; use the parquet sink") from e
+        if client_factory is None:
+            try:
+                from qdrant_client import QdrantClient
+                from qdrant_client.models import PointStruct
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError("qdrant-client is not installed; use the parquet sink") from e
 
-        client = QdrantClient(url=url, prefer_grpc=True)
+            client = QdrantClient(url=url, prefer_grpc=True)
+
+            def make_point(**kw):
+                return PointStruct(**kw)
+        else:
+            client = client_factory()
+
+            def make_point(**kw):
+                return kw
 
         def flush(rows: list) -> None:
             points = [
-                PointStruct(
+                make_point(
                     id=r.id,
                     vector=list(r.embeddings),
                     payload={"source_data": r.source_data, "source_document": r.source_document},
@@ -97,19 +122,29 @@ def write_qdrant(records: DataFrame, collection: str, url: str = "http://localho
     records.foreachPartition(per_partition)
 
 
-def write_pinecone(records: DataFrame, index_name: str, api_key_env: str = "VECTOR_DB_KEY", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+def write_pinecone(
+    records: DataFrame,
+    index_name: str,
+    api_key_env: str = "VECTOR_DB_KEY",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
     """U1: Pinecone upsert in 128-slices with metadata payload (reference
-    vector_uploader.py:55-86)."""
+    vector_uploader.py:55-86). ``client_factory`` must return an object
+    with ``Index(name)`` -> ``upsert(vectors=[(id, vec, meta), ...])``."""
 
     def per_partition(partition: Iterator) -> None:
         import os
 
-        try:
-            from pinecone import Pinecone
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("pinecone client is not installed; use the parquet sink") from e
+        if client_factory is None:
+            try:
+                from pinecone import Pinecone
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError("pinecone client is not installed; use the parquet sink") from e
 
-        pc = Pinecone(api_key=os.environ[api_key_env])
+            pc = Pinecone(api_key=os.environ[api_key_env])
+        else:
+            pc = client_factory()
         index = pc.Index(index_name)
 
         def flush(rows: list) -> None:
@@ -129,18 +164,29 @@ def write_pinecone(records: DataFrame, index_name: str, api_key_env: str = "VECT
     records.foreachPartition(per_partition)
 
 
-def write_weaviate(records: DataFrame, class_name: str, url: str = "http://localhost:8080", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
+def write_weaviate(
+    records: DataFrame,
+    class_name: str,
+    url: str = "http://localhost:8080",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
     """U3: Weaviate batch upsert. The reference writes the property key
     'vectoflow_id' (typo preserved in its code at vector_uploader.py:149);
-    we write the documented 'vectorflow_id' and note the difference."""
+    we write the documented 'vectorflow_id' and note the difference.
+    ``client_factory`` must return an object whose ``batch(batch_size=...,
+    dynamic=...)`` is a context manager exposing ``add_data_object``."""
 
     def per_partition(partition: Iterator) -> None:
-        try:
-            import weaviate
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("weaviate-client is not installed; use the parquet sink") from e
+        if client_factory is None:
+            try:
+                import weaviate
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError("weaviate-client is not installed; use the parquet sink") from e
 
-        client = weaviate.Client(url=url)
+            client = weaviate.Client(url=url)
+        else:
+            client = client_factory()
 
         def flush(rows: list) -> None:
             with client.batch(batch_size=batch_size, dynamic=True) as batch:

@@ -19,6 +19,7 @@ is a bug we do not replicate (SURVEY.md §7 risk register).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,19 +99,27 @@ def sniff_kind(source_col: str = "source", content_col: str = "content"):
 
 def _pdf_extract_udf():
     """S2: PyMuPDF page-concat extraction (reference joins page texts,
-    src/extract/extract.py:93-97). Import-gated: fitz is absent here."""
-    import pandas as pd
+    src/extract/extract.py:93-97).
+
+    NULL-tolerant by contract: the caller feeds ``CASE WHEN kind='pdf'
+    THEN content END`` so non-pdf rows arrive as nulls and pass straight
+    through — Spark pulls pandas UDFs out of CASE expressions and
+    evaluates them on every row, so the null-gate (not the CASE) is what
+    keeps non-pdf bytes off the Python path. The fitz import is deferred
+    to the first NON-null row, so a pdf-free dataset never needs the
+    library installed."""
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
     def _udf(contents: pd.Series) -> pd.Series:
-        try:
-            import fitz  # PyMuPDF
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("PyMuPDF (fitz) not installed — cannot extract PDF") from e
-
-        def one(b: bytes) -> str:
-            with fitz.open(stream=b, filetype="pdf") as doc:
+        def one(b) -> str | None:
+            if b is None:
+                return None
+            try:
+                import fitz  # PyMuPDF; cached in sys.modules after first row
+            except ImportError as e:
+                raise RuntimeError("PyMuPDF (fitz) not installed — cannot extract PDF") from e
+            with fitz.open(stream=bytes(b), filetype="pdf") as doc:
                 return "".join(page.get_text() for page in doc)
 
         return contents.map(one)
@@ -119,21 +128,22 @@ def _pdf_extract_udf():
 
 
 def _docx_extract_udf():
-    """S3: python-docx paragraph-join (reference src/extract/extract.py:74-76)."""
+    """S3: python-docx paragraph-join (reference src/extract/extract.py:74-76).
+    Same NULL-tolerant / deferred-import contract as _pdf_extract_udf."""
     import io
 
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
     def _udf(contents: pd.Series) -> pd.Series:
-        try:
-            import docx
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("python-docx not installed — cannot extract DOCX") from e
-
-        def one(b: bytes) -> str:
-            d = docx.Document(io.BytesIO(b))
+        def one(b) -> str | None:
+            if b is None:
+                return None
+            try:
+                import docx
+            except ImportError as e:
+                raise RuntimeError("python-docx not installed — cannot extract DOCX") from e
+            d = docx.Document(io.BytesIO(bytes(b)))
             return "\n".join(p.text for p in d.paragraphs)
 
         return contents.map(one)
@@ -149,36 +159,40 @@ def strip_html_expr(decoded):
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
-def extract_documents(raw: DataFrame, strip_html: bool = True) -> DataFrame:
+def extract_documents(
+    raw: DataFrame, strip_html: bool = True, formats: set[str] | None = None
+) -> DataFrame:
     """Dispatch extraction -> (source, kind, text). Text formats decode
-    JVM-side; pdf/docx branch to their UDFs only for matching rows (the
-    CASE keeps non-matching rows off the Python path)."""
+    JVM-side; pdf/docx route through their pandas UDFs.
+
+    Plan-only — triggers ZERO Spark jobs (the r1 version probed the data
+    with two ``limit(1).count()`` jobs to decide whether to attach the
+    pdf/docx UDF columns; now they attach unconditionally and the UDF
+    input is null-gated JVM-side: ``CASE WHEN kind='pdf' THEN content
+    END``, so non-pdf rows ship a null through Arrow — a validity bit,
+    not the bytes — and the parser import only happens on a worker that
+    actually sees a pdf row).
+
+    ``formats``: optional explicit whitelist (e.g. {"txt", "md", "html"})
+    for callers that KNOW the corpus; formats outside it are not wired at
+    all, removing even the ArrowEvalPython node from pure-text plans."""
+    fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx"}
     kinds = raw.withColumn("kind", sniff_kind())
     utf8 = F.expr("CASE WHEN is_valid_utf8(content) THEN decode(content, 'UTF-8') END")
 
-    text = (
-        F.when(F.col("kind").isin("txt", "md"), utf8)
-        .when(F.col("kind") == "html", strip_html_expr(utf8) if strip_html else utf8)
-        .otherwise(F.lit(None))
-    )
+    text = F.lit(None).cast("string")
+    if {"txt", "md"} & fmts:
+        text = F.when(F.col("kind").isin(*sorted({"txt", "md"} & fmts)), utf8).otherwise(text)
+    if "html" in fmts:
+        text = F.when(
+            F.col("kind") == "html", strip_html_expr(utf8) if strip_html else utf8
+        ).otherwise(text)
+    if "pdf" in fmts:
+        pdf_in = F.when(F.col("kind") == "pdf", F.col("content"))
+        text = F.when(F.col("kind") == "pdf", _pdf_extract_udf()(pdf_in)).otherwise(text)
+    if "docx" in fmts:
+        docx_in = F.when(F.col("kind") == "docx", F.col("content"))
+        text = F.when(F.col("kind") == "docx", _docx_extract_udf()(docx_in)).otherwise(text)
 
     out = kinds.withColumn("text", text)
-
-    # route pdf/docx rows through their gated UDFs only if present
-    has_pdf = kinds.filter(F.col("kind") == "pdf").limit(1).count() > 0
-    has_docx = kinds.filter(F.col("kind") == "docx").limit(1).count() > 0
-    if has_pdf:
-        out = out.withColumn(
-            "text",
-            F.when(F.col("kind") == "pdf", _pdf_extract_udf()(F.col("content"))).otherwise(
-                F.col("text")
-            ),
-        )
-    if has_docx:
-        out = out.withColumn(
-            "text",
-            F.when(F.col("kind") == "docx", _docx_extract_udf()(F.col("content"))).otherwise(
-                F.col("text")
-            ),
-        )
     return out.select("source", "kind", "text").filter(F.col("kind") != "unsupported")
