@@ -1,0 +1,108 @@
+"""Training-data curation operator tests — planted-fixture behavioral
+checks the hash-match oracles can't express (does the repetition score
+actually fire on boilerplate? does the scrubber actually remove the
+email? does decontamination flag the overlapping doc and ONLY it?)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.operators.dedup import decontaminate
+from vectorflow_spark.operators.textstats import (
+    gopher_quality_rules,
+    pii_scrub,
+    repetition_scores,
+    token_length_histogram,
+)
+from vectorflow_spark.sources.readers import strip_markdown_expr
+
+
+class TestRepetition:
+    def test_boilerplate_scores_high_clean_scores_low(self, spark):
+        clean = " ".join(f"unique word number {i} appears here" for i in range(20))
+        spam = "click here to subscribe now\n" * 30 + "one real line"
+        df = spark.createDataFrame([(1, clean), (2, spam)], "doc_id long, text string")
+        out = {r.doc_id: r for r in repetition_scores(df).collect()}
+        assert out[2].dup_line_ratio > 0.9
+        assert out[2].top_line_count == 30
+        assert out[1].dup_line_ratio == 0.0
+        assert out[2].dup_2gram_ratio > out[1].dup_2gram_ratio
+
+
+class TestGopherRules:
+    def test_keep_and_reject_reasons(self, spark):
+        good = " ".join(["solid sentence with normal words here today"] * 10)
+        too_short = "tiny doc"
+        symbols = " ".join(["@#$% ^&*! 1234 ...."] * 30)
+        df = spark.createDataFrame(
+            [(1, good), (2, too_short), (3, symbols)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in gopher_quality_rules(df).collect()}
+        assert out[1].keep is True
+        assert out[2].keep is False and out[2].n_words < 50
+        assert out[3].keep is False and out[3].alpha_word_ratio < 0.8
+
+
+class TestPiiScrub:
+    def test_planted_pii_removed_and_counted(self, spark):
+        text = (
+            "contact alice.smith+work@example.co.uk or call 415 555-0199 x99; "
+            "card 4111 1111 1111 1111 stays out of the corpus"
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = pii_scrub(df).first()
+        assert r.n_emails == 1
+        assert r.n_digit_runs >= 2
+        assert "<EMAIL>" in r.scrubbed_text and "<NUMBER>" in r.scrubbed_text
+        assert "example.co.uk" not in r.scrubbed_text
+        assert "4111" not in r.scrubbed_text
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], "doc_id long, text string")
+        r = pii_scrub(df).first()
+        assert r.n_emails == 0 and r.n_digit_runs == 0
+        assert r.scrubbed_text == "no pii here at all"
+
+
+class TestTokenHistogram:
+    def test_power_of_two_edges_are_exact(self, spark):
+        # 1 token -> bucket 1; 2,3 -> 2; 4..7 -> 3; 8 -> 4
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 7, 8])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.log2_bucket: r for r in token_length_histogram(df).collect()}
+        assert out[1].n_docs == 1
+        assert out[2].n_docs == 2
+        assert out[3].n_docs == 2 and out[3].max_tokens == 7
+        assert out[4].min_tokens == 8
+
+
+class TestDecontamination:
+    def test_flags_exact_ngram_overlap_only(self, spark):
+        secret = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+        bench = spark.createDataFrame([(100, secret)], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [
+                (1, f"prefix words then {secret} and a suffix"),  # contains the 8-gram
+                (2, "completely unrelated text about spark shuffle partitions today ok"),
+                (3, "the quick brown fox jumps over nothing else here"),  # only 6-gram
+            ],
+            "doc_id long, text string",
+        )
+        flagged = {r.doc_id: r.n_shared_ngrams for r in decontaminate(corpus, bench, n=8).collect()}
+        assert 1 in flagged and flagged[1] >= 1
+        assert 2 not in flagged
+        assert 3 not in flagged
+
+
+class TestMarkdownExtract:
+    def test_strips_syntax_keeps_prose(self, spark):
+        md = (
+            "# Title\n\nSome **bold** and _em_ text with `inline code` and "
+            "a [link](http://example.com) plus\n```\nfenced code block\n```\n"
+            "and an image ![alt](img.png) end"
+        )
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        out = df.select(strip_markdown_expr(F.col("text")).alias("t")).first().t
+        assert "Title" in out and "bold" in out and "em" in out and "link" in out
+        assert "```" not in out and "fenced code block" not in out
+        assert "http://example.com" not in out
+        assert "![" not in out and "#" not in out

@@ -182,6 +182,26 @@ def test_connected_components_edges_checkpointed_once(spark):
     assert "ExistingRDD" in physical(out)
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir, Q):
+    """The benchmark shingle set must broadcast (eval sets are small by
+    definition); the corpus side joins without an exchange. Allowed
+    shuffles: the benchmark-side distinct (tiny) and the per-doc overlap
+    count — the CORPUS shingle rows themselves are never exchanged."""
+    plan = physical(Q["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_repetition_scores", "q_gopher_quality", "q_pii_scrub", "q_markdown_extract"],
+)
+def test_curation_projections_are_shuffle_free(spark, sf_dir, Q, name):
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
     """The posexplode_outer discipline: no optimizer-inferred size()>0
     filter may sit below the chunk/shingle projections (it would inline and

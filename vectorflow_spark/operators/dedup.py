@@ -242,6 +242,53 @@ def minhash_candidate_pairs(
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
+def minhash_candidate_edges(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Connectivity-preserving candidate EDGES (a < b) — the input
+    connected_components wants, NOT the all-pairs output.
+
+    Per (band, bucket) posting list this emits a STAR (lowest doc id ->
+    each other member): O(m) edges per bucket instead of the clique's
+    O(m^2/2) pairs, with IDENTICAL connected components — every member is
+    reachable through the hub, and any cross-bucket chain that merged two
+    cliques also merges the two stars. At sf0.1 this is 2.46M clique edges
+    vs ~20k star edges; at 100 TB it is the difference between an edge set
+    quadratic in duplicate-cluster size and one linear in corpus size.
+
+    Use ``minhash_candidate_pairs`` when the *pairs themselves* are the
+    product (e.g. to feed the exact-Jaccard verifier, which must score
+    every candidate pair); use this when the product is dedup GROUPS."""
+    from pyspark.sql import Window
+
+    bb = lsh_band_buckets(
+        minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
+    )
+    w = Window.partitionBy("band", "bucket").orderBy(doc_col)
+    capped = (
+        bb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    posting = (
+        capped.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(doc_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    edges = posting.select(
+        F.explode_outer(
+            F.expr("transform(slice(ds, 2, size(ds) - 1), y -> struct(ds[0] AS a, y AS b))")
+        ).alias("e")
+    )
+    return edges.select(F.col("e.a").alias("a"), F.col("e.b").alias("b")).distinct()
+
+
 def jaccard_pairs(
     docs: DataFrame,
     doc_col: str = "doc_id",
@@ -395,6 +442,44 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an evaluation/benchmark set (the standard n-gram-overlap
+    test-set-leakage check from public LM training pipelines; n=8..13
+    word-grams are the conventional window).
+
+    Plan at 100 TB: inverted-index join, never a crossJoin — both sides
+    project to (doc, shingle-hash) rows, the join keys on the 8-byte
+    xxhash64 of the shingle, and the benchmark side is explicitly
+    broadcast (an eval set is small BY DEFINITION — thousands of docs,
+    millions of 8-byte hashes at most — while post-aggregation size
+    stats would otherwise default the join to a full corpus-side
+    shuffle). The join itself therefore exchanges nothing; the only
+    shuffle is the final per-doc overlap count, partial-aggregated
+    map-side. Output is one row per contaminated corpus doc with the
+    overlap count — route to drop or review."""
+    c = with_shingles(corpus, doc_col, text_col, n, kind="word").select(
+        F.col(doc_col).alias("_cdoc"), F.xxhash64("shingle").alias("k")
+    )
+    b = (
+        with_shingles(benchmark, doc_col, text_col, n, kind="word")
+        .select(F.xxhash64("shingle").alias("k"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "k")
+        .groupBy("_cdoc")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .select(F.col("_cdoc").alias(doc_col), "n_shared_ngrams")
+    )
 
 
 def embedding_neardup_pairs(

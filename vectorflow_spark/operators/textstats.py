@@ -166,6 +166,141 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition signals (Gopher-style rep. removal, Rae et al. 2021
+    §A1.1 — public paper): per document,
+
+      dup_line_ratio   1 - distinct_lines / lines (0 = no repeated lines)
+      top_line_count   occurrences of the most frequent non-empty line
+      dup_2gram_ratio  1 - distinct_word_2grams / word_2grams
+
+    Boilerplate (nav bars, cookie banners, SEO spam) shows up as high
+    dup_line_ratio long before near-dup detection fires. One projection,
+    shuffle-free: lines/grams live in per-row arrays, counts come from
+    array folds, nothing explodes."""
+    lines = F.expr(f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '')")
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+    base = docs.select(doc_col, lines.alias("_ls"), toks.alias("_ts"))
+    n_lines = F.size("_ls").cast("bigint")
+    n_dist_lines = F.size(F.array_distinct("_ls")).cast("bigint")
+    # most frequent line's count: for each distinct line, fold a count over
+    # the full array; max of those. O(distinct * total) per row — fine for
+    # documents, and still one projection.
+    top_line = F.expr(
+        "CASE WHEN size(_ls) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "array_max(transform(array_distinct(_ls), d -> "
+        "size(filter(_ls, l -> l = d)))) END"
+    ).cast("bigint")
+    grams = F.expr(
+        "CASE WHEN size(_ts) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(_ts) - 1), i -> "
+        "concat(element_at(_ts, i), ' ', element_at(_ts, i + 1))) END"
+    )
+    with_grams = base.withColumn("_gs", grams)
+    n_grams = F.size("_gs").cast("bigint")
+    n_dist_grams = F.size(F.array_distinct("_gs")).cast("bigint")
+    return with_grams.select(
+        doc_col,
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, 1.0 - n_dist_lines / n_lines.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_ratio"),
+        top_line.alias("top_line_count"),
+        F.when(n_grams > 0, 1.0 - n_dist_grams / n_grams.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_ratio"),
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, Table A1 — public paper);
+# frozen constants are the operator contract.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+
+def gopher_quality_rules(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher rule-based quality filter: word-count bounds, mean-word-length
+    band, and the fraction of words containing an alphabetic character.
+    Emits the per-rule features plus ``keep`` so downstream can either
+    filter or audit rejection reasons. Single codegen'd projection."""
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+    base = docs.select(doc_col, toks.alias("_ts"))
+    n_words = F.size("_ts").cast("bigint")
+    # mean word length over token lengths (not chars/words: whitespace runs
+    # would skew it)
+    sum_len = F.expr("aggregate(_ts, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+    mean_wl = F.when(n_words > 0, sum_len / n_words.cast("double"))
+    n_alpha = F.expr("size(filter(_ts, t -> t rlike '[a-z]'))").cast("bigint")
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words.cast("double"))
+    out = base.select(
+        doc_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 9).alias("mean_word_len"),
+        F.round(alpha_ratio, 9).alias("alpha_word_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2-ish (DuckDB)
+# treat identically: no lookarounds, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS_RE = r"[0-9][0-9 ()\-]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII-ish scrubbing for training corpora: redact email addresses and
+    long digit runs (phone/account shaped), and count what was removed so
+    the pipeline can route heavy-PII documents to review instead of
+    training. Redaction-only — real PII policy needs NER, but the regex
+    tier is the cheap first pass every pipeline runs at full scale.
+    Single projection; counts via regexp_extract_all folds."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))).cast("bigint")
+    n_digit_runs = F.size(F.regexp_extract_all(t, F.lit(PII_LONG_DIGITS_RE), F.lit(0))).cast(
+        "bigint"
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_LONG_DIGITS_RE, "<NUMBER>"
+    )
+    return docs.select(
+        doc_col,
+        n_emails.alias("n_emails"),
+        n_digit_runs.alias("n_digit_runs"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def token_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-shape histogram: documents bucketed by power-of-two token
+    count. The bucket is ``length(bin(n))`` = floor(log2(n)) + 1 computed
+    in INTEGER space (binary-string length), so bucket edges are exact on
+    every engine — a float log2 would put exact powers of two on an
+    implementation-defined side. One map-side-combinable aggregation."""
+    n = token_count_ws(text_col)
+    base = docs.select(n.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    bucket = F.length(F.bin(F.col("n_tokens"))).cast("int")
+    return (
+        base.select(bucket.alias("log2_bucket"), "n_tokens")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 # Rolling-hash fingerprints share dedup.py's md5-derived 31-bit token hash
 # so the whole chain is integer arithmetic both engines compute identically.
 ROLLING_BASE = 31

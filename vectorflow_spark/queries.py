@@ -2044,17 +2044,20 @@ def _dedup_components_sql() -> str:
 
 @query("q_dedup_components", _dedup_components_sql())
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup groups: MinHash-LSH candidate pairs -> connected
-    components by iterative min-label propagation (operators/dedup.py) —
-    the keep-one-per-group stage a chain A~B~C needs and pairwise output
-    can't provide. The oracle computes the same components with a
-    recursive CTE; the Spark loop converges at the graph diameter with a
-    lineage cut (localCheckpoint) per iteration."""
-    from vectorflow_spark.operators.dedup import connected_components, minhash_candidate_pairs
+    """Transitive dedup groups: MinHash-LSH candidate STAR edges ->
+    connected components by iterative min-label propagation
+    (operators/dedup.py) — the keep-one-per-group stage a chain A~B~C
+    needs and pairwise output can't provide. The Spark side feeds the
+    star edge set (O(m) per bucket; identical components as the clique),
+    while the oracle's recursive CTE closes over the full all-pairs
+    graph — same fixpoint, so the hash match also proves the star
+    reduction correct. The loop converges at the graph diameter with the
+    edge set checkpointed once and a lineage cut per iteration."""
+    from vectorflow_spark.operators.dedup import connected_components, minhash_candidate_edges
 
     docs = _t(spark, sf_dir, "documents", split=True)
-    pairs = minhash_candidate_pairs(docs)
-    return connected_components(pairs, docs, id_col="doc_id")
+    edges = minhash_candidate_edges(docs)
+    return connected_components(edges, docs, id_col="doc_id")
 
 
 @query("q_approx_distinct")  # rows-only: HLL sketch estimates are engine-specific
@@ -2069,3 +2072,254 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation operators (round 2): repetition, rule filters,
+# PII scrub, corpus shape, decontamination, domain mixing, weighted
+# sampling, markdown extraction
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+
+@query(
+    "q_repetition_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                           l -> l != '') AS ls,
+               {_DUCK_TOKENS} AS ts
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ls,
+               CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+               END AS gs
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CASE WHEN len(ls) > 0
+                THEN 1.0 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
+                ELSE 0.0 END AS dup_line_ratio,
+           CAST(CASE WHEN len(ls) = 0 THEN 0
+                     ELSE list_max(list_transform(list_distinct(ls),
+                                                  d -> len(list_filter(ls, l -> l = d))))
+                END AS BIGINT) AS top_line_count,
+           CASE WHEN len(gs) > 0
+                THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
+                ELSE 0.0 END AS dup_2gram_ratio
+    FROM g
+    """,
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line ratio, top line count,
+    dup word-2gram ratio) as one shuffle-free projection."""
+    from vectorflow_spark.operators.textstats import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents", split=True))
+
+
+@query(
+    "q_gopher_quality",
+    f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CASE WHEN len(ts) > 0
+                    THEN round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                               / len(ts), 9) END AS mean_word_len,
+               CASE WHEN len(ts) > 0
+                    THEN round(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                               / CAST(len(ts) AS DOUBLE), 9) END AS alpha_word_ratio
+        FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+           coalesce(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND alpha_word_ratio >= 0.8, false) AS keep
+    FROM f
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (word-count bounds, mean-word-length
+    band, alpha-word fraction) with per-rule features + keep flag."""
+    from vectorflow_spark.operators.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(_t(spark, sf_dir, "documents", split=True))
+
+
+def _pii_sql() -> str:
+    from vectorflow_spark.operators.textstats import PII_EMAIL_RE, PII_LONG_DIGITS_RE
+
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_LONG_DIGITS_RE}')) AS BIGINT) AS n_digit_runs,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_LONG_DIGITS_RE}', '<NUMBER>', 'g') AS scrubbed_text
+    FROM documents
+    """
+
+
+@query("q_pii_scrub", _pii_sql())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish regex scrub (emails, long digit runs) with removal counts —
+    the cheap first-pass redaction tier of a training pipeline."""
+    from vectorflow_spark.operators.textstats import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents", split=True))
+
+
+@query(
+    "q_token_histogram",
+    f"""
+    WITH t AS (
+        SELECT CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM t WHERE n_tokens > 0
+    GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape histogram: docs bucketed by power-of-two token count,
+    bucket computed in integer space (binary-string length) so edges are
+    engine-exact."""
+    from vectorflow_spark.operators.textstats import token_length_histogram
+
+    return token_length_histogram(_t(spark, sf_dir, "documents", split=True))
+
+
+def _decontaminate_sql(n: int = 8, mod: int = 50) -> str:
+    grams = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ts) - {n - 2}),
+                   i -> {grams})) AS shingle
+            FROM toks WHERE len(ts) >= {n}
+            UNION ALL
+            SELECT doc_id, array_to_string(ts, ' ') AS shingle
+            FROM toks WHERE len(ts) < {n}
+        )
+    ),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {mod} = 0),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {mod} != 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM c JOIN b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """
+
+
+@query("q_decontaminate", _decontaminate_sql())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram with
+    the benchmark subset (doc_id % 50 == 0 stands in for an eval set) via
+    an inverted-index join on shingle hashes — never a crossJoin."""
+    from vectorflow_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=8)
+
+
+@query(
+    "q_domain_mix",
+    f"""
+    WITH t AS (
+        SELECT lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM t)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(*) / CAST(max(tot.total_docs) AS DOUBLE) AS doc_frac
+    FROM t, tot
+    GROUP BY lang
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing table: per-lang doc and token counts plus the
+    corpus fraction — the input to mixture-weight decisions. The corpus
+    total rides along as a broadcast 1-row cross join (no driver collect)."""
+    from vectorflow_spark.operators.textstats import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    t = docs.select("lang", token_count_ws("text").alias("n_tokens"))
+    tot = t.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.count(F.lit(1)) / F.max("total_docs").cast("double")).alias("doc_frac"),
+        )
+    )
+
+
+@query(
+    "q_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT / 268435456.0
+          < least(1.0, n_chars / 2000.0)
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted subsampling: keep a document with probability
+    proportional to a quality proxy (here min(1, n_chars/2000)), using an
+    md5-derived per-doc uniform so the SAME rows are kept on every engine,
+    every run, every partitioning — reproducible corpus construction, no
+    RNG state. Pure pushable predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    uniform = F.expr(
+        "conv(substring(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) / 268435456.0"
+    )
+    weight = F.least(F.lit(1.0), F.col("n_chars") / 2000.0)
+    return docs.filter(uniform < weight).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_markdown_extract",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(text, '(?s)```[^`]*```', ' ', 'g'),
+                                   '`([^`]*)`', '\1', 'g'),
+                               '(?m)^#{1,6}[ \t]*', '', 'g'),
+                           '!\[[^\]]*\]\([^)]*\)', ' ', 'g'),
+                       '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                   '[*_]{1,3}([^*_]+)[*_]{1,3}', '\1', 'g'),
+               '[ \t]+', ' ', 'g')) AS md_text
+    FROM documents
+    """,
+)
+def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 extractor-path parity: markdown syntax stripped, prose kept (the
+    reference's extractor service runs llama_index MarkdownReader and joins
+    doc texts, src/extract/extract.py:78-88). Pure regexp-chain projection;
+    the final whitespace collapse is part of strip_markdown_expr on the
+    Spark side and mirrored by the oracle's trim."""
+    from vectorflow_spark.sources.readers import strip_markdown_expr
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select("doc_id", strip_markdown_expr(F.col("text")).alias("md_text"))
+

@@ -151,6 +151,25 @@ def _docx_extract_udf():
     return _udf
 
 
+def strip_markdown_expr(decoded):
+    """S4, extractor-path parity: the reference's extractor service runs
+    llama_index MarkdownReader and joins the doc texts
+    (src/extract/extract.py:78-88) — i.e. markdown SYNTAX is stripped and
+    the prose kept. Re-expressed as a Catalyst regexp chain (one
+    projection, no Python): fenced code blocks -> removed, inline code ->
+    unwrapped, ATX heading markers -> removed, emphasis markers ->
+    unwrapped, links/images -> their text, residual blank runs collapsed.
+    Patterns avoid lookarounds/backreferences so the DuckDB oracle can
+    mirror them verbatim (RE2-compatible)."""
+    no_fence = F.regexp_replace(decoded, r"(?s)```[^`]*```", " ")
+    no_inline = F.regexp_replace(no_fence, r"`([^`]*)`", r"$1")
+    no_head = F.regexp_replace(no_inline, r"(?m)^#{1,6}[ \t]*", "")
+    no_img = F.regexp_replace(no_head, r"!\[[^\]]*\]\([^)]*\)", " ")
+    links = F.regexp_replace(no_img, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    no_emph = F.regexp_replace(links, r"[*_]{1,3}([^*_]+)[*_]{1,3}", r"$1")
+    return F.trim(F.regexp_replace(no_emph, r"[ \t]+", " "))
+
+
 def strip_html_expr(decoded):
     """S5 improvement: drop script/style blocks and tags, collapse space.
     (The reference's HTML path is repr() of the bytes — not replicated.)"""
