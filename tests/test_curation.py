@@ -93,6 +93,53 @@ class TestDecontamination:
         assert 3 not in flagged
 
 
+class TestSequencePacking:
+    def test_pack_ids_and_offsets(self, spark):
+        """Within one group: docs of 1000/1500/600 tokens at budget 2048 ->
+        cumulative starts 0/1000/2500 -> packs 0/0/1, offsets 0/1000/452."""
+        rows = [(64, 1000), (128, 1500), (192, 600)]  # all % 64 == 0 -> one group
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        from vectorflow_spark.operators.batching import pack_sequences
+
+        out = {r.doc_id: r for r in pack_sequences(df, budget_tokens=2048).collect()}
+        assert (out[64].pack_id, out[64].offset_in_pack) == (0, 0)
+        assert (out[128].pack_id, out[128].offset_in_pack) == (0, 1000)
+        assert (out[192].pack_id, out[192].offset_in_pack) == (1, 2500 - 2048)
+
+    def test_groups_pack_independently(self, spark):
+        df = spark.createDataFrame([(0, 100), (1, 100)], "doc_id long, n_tokens long")
+        from vectorflow_spark.operators.batching import pack_sequences
+
+        out = {r.doc_id: r for r in pack_sequences(df, budget_tokens=2048).collect()}
+        assert out[0].tokens_before == 0 and out[1].tokens_before == 0
+        assert out[0].pack_group != out[1].pack_group
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded_by_half_scale(self, spark):
+        from vectorflow_spark.functions.vector import (
+            dequantize_max_err,
+            int8_scale,
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.127]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = (
+            df.withColumn("scale", int8_scale("embedding"))
+            .withColumn("qv", quantize_int8("embedding", F.col("scale")))
+            .withColumn("err", dequantize_max_err("embedding", F.col("qv"), F.col("scale")))
+            .collect()
+        )
+        r = {row.vec_id: row for row in out}
+        assert r[1].qv[1] == -127  # max-magnitude element hits the rail
+        assert all(-127 <= v <= 127 for v in r[1].qv)
+        assert r[1].err <= r[1].scale / 2 + 1e-12  # half-step quantization bound
+        assert r[2].scale == 0.0 and r[2].qv == [0, 0, 0, 0]
+
+
 class TestMarkdownExtract:
     def test_strips_syntax_keeps_prose(self, spark):
         md = (

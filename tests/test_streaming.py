@@ -209,6 +209,37 @@ class TestStreamStaticJoin:
         assert all(r.tier in {"bronze", "silver", "gold"} for r in rows)
 
 
+class TestStreamStreamJoin:
+    def test_interval_join_attributes_within_window(self, spark, tmp_path):
+        """Clicks join conversions with the same user arriving within 15
+        minutes after the click; a conversion outside the interval or
+        with no matching user emits nothing."""
+        from vectorflow_spark.streaming.pipeline import join_streams_interval
+
+        clicks_dir, conv_dir = tmp_path / "clicks", tmp_path / "convs"
+        clicks_dir.mkdir(), conv_dir.mkdir()
+        with open(clicks_dir / "c.json", "w") as f:
+            f.write(json.dumps({"user_id": 1, "ts": "2024-01-01 09:00:00", "page": "a"}) + "\n")
+            f.write(json.dumps({"user_id": 2, "ts": "2024-01-01 09:00:00", "page": "b"}) + "\n")
+        with open(conv_dir / "v.json", "w") as f:
+            f.write(json.dumps({"user_id": 1, "r_ts": "2024-01-01 09:10:00", "amount": 5.0}) + "\n")  # in window
+            f.write(json.dumps({"user_id": 2, "r_ts": "2024-01-01 11:00:00", "amount": 7.0}) + "\n")  # too late
+            f.write(json.dumps({"user_id": 9, "r_ts": "2024-01-01 09:01:00", "amount": 9.0}) + "\n")  # no click
+        clicks = spark.readStream.schema("user_id long, ts timestamp, page string").json(str(clicks_dir))
+        convs = spark.readStream.schema("user_id long, r_ts timestamp, amount double").json(str(conv_dir))
+        q = (
+            join_streams_interval(clicks, convs, key="user_id", within_seconds=900)
+            .writeStream.format("memory")
+            .queryName("attributed")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM attributed").collect()
+        assert [(r.user_id, r.page, r.amount) for r in rows] == [(1, "a", 5.0)]
+
+
 class TestSessionize:
     def test_batch_sessionization(self, spark):
         base = 1_700_000_000

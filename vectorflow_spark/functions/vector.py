@@ -56,3 +56,32 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Per-vector symmetric int8 quantization scale: max|x| / 127. Zero
+    for the all-zero vector (quantize_int8 maps it to zeros)."""
+    return (
+        F.array_max(F.transform(_c(a), lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    )
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric scalar quantization to int8 range: q = floor(x/scale + .5)
+    (explicit half-up — engine round() tie rules differ, floor does not),
+    clamped by construction to [-127, 127]. 4x smaller vectors for ANN
+    shortlists; pair with the float rerank for the final order."""
+    return F.transform(
+        _c(a),
+        lambda x: F.when(scale != 0.0, F.floor(x.cast("double") / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def dequantize_max_err(a: Column | str, q: Column, scale: Column) -> Column:
+    """Max absolute reconstruction error of the quantized vector — the
+    audit metric for choosing int8 vs float at the shortlist stage."""
+    return F.array_max(
+        F.zip_with(q, _c(a), lambda qi, x: F.abs(qi.cast("double") * scale - x.cast("double")))
+    )

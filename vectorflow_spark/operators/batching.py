@@ -83,6 +83,42 @@ def batch_counts(df: DataFrame, text_col: str = "text", lines_per_batch: int = 1
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    doc_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_groups: int = 64,
+) -> DataFrame:
+    """LM-pretraining sequence packing: concatenate the token stream in
+    deterministic doc order and cut it every ``budget_tokens`` — each doc
+    gets (pack_id, offset_in_pack); a doc straddling a cut continues into
+    the next pack (standard concat-then-chunk packing; no padding waste).
+
+    Scale shape: a GLOBAL running sum would serialize onto one task, so
+    the corpus is sharded into ``n_groups`` deterministic hash groups
+    (pack_group = doc_id % n_groups) packed independently — the exact
+    trade real pipelines make, since packs need determinism, not a global
+    order. One shuffle on pack_group; the window's running sum streams."""
+    g = (F.col(doc_col) % n_groups).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(doc_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        docs.withColumn("pack_group", g)
+        .withColumn("tokens_before", before)
+        .withColumn(
+            "pack_id", F.floor(F.col("tokens_before") / F.lit(budget_tokens)).cast("long")
+        )
+        .withColumn(
+            "offset_in_pack", (F.col("tokens_before") % F.lit(budget_tokens)).cast("long")
+        )
+    )
+
+
 def minibatch_ids(df: DataFrame, group_cols: list[str], order_col: str, max_batch_size: int = 2048) -> DataFrame:
     """P3: assign embedding-minibatch numbers within each group —
     ``floor(row_number/max)`` over a deterministic order. The physical embed

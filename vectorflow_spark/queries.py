@@ -2323,3 +2323,143 @@ def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", split=True)
     return docs.select("doc_id", strip_markdown_expr(F.col("text")).alias("md_text"))
 
+
+@query(
+    "q_quantize_embeddings",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+               embedding
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x -> CAST(
+                   CASE WHEN scale != 0.0
+                        THEN floor(CAST(x AS DOUBLE) / scale + 0.5) ELSE 0 END AS INT)) AS qv,
+               embedding
+        FROM q
+    )
+    SELECT vec_id, scale,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+           list_max(list_transform(list_zip(qv, embedding),
+                    p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))) AS max_err
+    FROM qq
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (4x
+    smaller ANN shortlists) with per-vector scale and the max
+    reconstruction error as the audit metric. Half-up via floor(x+.5) —
+    engine round() tie rules differ, floor does not. Pure projection;
+    summary stats (not the arrays) are the oracle-compared output."""
+    from vectorflow_spark.functions.vector import dequantize_max_err, int8_scale, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    scaled = emb.withColumn("scale", int8_scale("embedding"))
+    qq = scaled.withColumn("qv", quantize_int8("embedding", F.col("scale")))
+    return qq.select(
+        "vec_id",
+        "scale",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + abs(v))").alias("q_l1"),
+        dequantize_max_err("embedding", F.col("qv"), F.col("scale")).alias("max_err"),
+    )
+
+
+@query(
+    "q_sequence_pack",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 64 AS INT) AS pack_group
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY pack_group ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tokens_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens, pack_group, tokens_before,
+           CAST(floor(tokens_before / 2048) AS BIGINT) AS pack_id,
+           CAST(tokens_before % 2048 AS BIGINT) AS offset_in_pack
+    FROM r
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-pretraining sequence packing: concat-then-chunk the token stream
+    into 2048-token packs within 64 deterministic hash groups (a global
+    running sum would serialize onto one task). Each doc gets its pack id
+    and offset; one shuffle on pack_group."""
+    from vectorflow_spark.operators.batching import pack_sequences
+    from vectorflow_spark.operators.textstats import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget_tokens=2048, n_groups=64)
+
+
+@query(
+    "q_curation_pipeline",
+    f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CASE WHEN len(ts) > 0
+                    THEN round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                               / len(ts), 9) END AS mean_word_len,
+               CASE WHEN len(ts) > 0
+                    THEN round(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                               / CAST(len(ts) AS DOUBLE), 9) END AS alpha_word_ratio
+        FROM base
+    ),
+    kept AS (
+        SELECT doc_id, n_words FROM f
+        WHERE coalesce(n_words >= 50 AND n_words <= 100000
+                       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                       AND alpha_word_ratio >= 0.8, false)
+    ),
+    fp AS (
+        SELECT d.doc_id, k.n_words,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    ),
+    s AS (SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint)
+    SELECT fp.doc_id, fp.n_words, fp.fingerprint
+    FROM fp JOIN s ON fp.fingerprint = s.fingerprint AND fp.doc_id = s.keeper
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation path a real corpus runs end to end: Gopher
+    rule filter -> formatting-robust fingerprint dedup (keep the lowest
+    doc id per normalized fingerprint) -> final keeper projection. Each
+    stage is an already-verified operator; this query verifies the
+    COMPOSITION (filters before dedup, survivor selection on the filtered
+    set) hash-exactly against the same chain in SQL."""
+    from vectorflow_spark.operators.textstats import fingerprint, gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    kept = gopher_quality_rules(docs).filter(F.col("keep")).select("doc_id", "n_words")
+    fp = docs.join(kept, "doc_id").select(
+        "doc_id", "n_words", fingerprint("text").alias("fingerprint")
+    )
+    keepers = (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("fingerprint", "doc_id")
+    )
+    return fp.join(keepers, ["fingerprint", "doc_id"], "left_semi").select(
+        "doc_id", "n_words", "fingerprint"
+    )
+

@@ -108,6 +108,32 @@ def enrich_stream_with_dim(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    within_seconds: int = 900,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side rows match a
+    left-side row with the same key arriving within ``within_seconds``
+    AFTER it (click->conversion attribution shape). Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can expire buffered state once the watermark passes the
+    interval — without the time bound the state store would grow
+    without limit. Column names must already be disjoint apart from the
+    key (rename the right side's ts before calling)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within_seconds} SECONDS"
+    )
+    return l.join(r, cond).drop(r[key])
+
+
 def sessionize_events(
     events: DataFrame,
     gap_seconds: int = 1800,
