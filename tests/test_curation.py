@@ -140,6 +140,60 @@ class TestInt8Quantization:
         assert r[2].scale == 0.0 and r[2].qv == [0, 0, 0, 0]
 
 
+class TestPackingRandomInvariants:
+    def test_seeded_corpus_invariants(self, spark):
+        """Seeded random token counts, one Spark job: within every group
+        the running total is exactly the sum of prior docs in id order,
+        offsets stay under the budget, and pack ids are the floor
+        quotient — the packing contract a trainer depends on."""
+        import numpy as np
+
+        from vectorflow_spark.operators.batching import pack_sequences
+
+        rng = np.random.default_rng(7)
+        rows = [(int(i), int(rng.integers(0, 5000))) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_sequences(df, budget_tokens=1024, n_groups=16).collect()
+        assert len(out) == 500
+        want = dict(rows)
+        by_group: dict[int, list] = {}
+        for r in out:
+            assert r.pack_group == r.doc_id % 16
+            by_group.setdefault(r.pack_group, []).append(r)
+        for rs in by_group.values():
+            running = 0
+            for r in sorted(rs, key=lambda r: r.doc_id):
+                assert r.tokens_before == running
+                assert r.pack_id == running // 1024
+                assert r.offset_in_pack == running % 1024 < 1024
+                running += want[r.doc_id]
+
+
+class TestQuantizeRandomInvariants:
+    def test_seeded_vectors_bounds(self, spark):
+        import numpy as np
+
+        from vectorflow_spark.functions.vector import (
+            dequantize_max_err,
+            int8_scale,
+            quantize_int8,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [(int(i), [float(x) for x in rng.uniform(-2, 2, 16)]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = (
+            df.withColumn("scale", int8_scale("embedding"))
+            .withColumn("qv", quantize_int8("embedding", F.col("scale")))
+            .withColumn("err", dequantize_max_err("embedding", F.col("qv"), F.col("scale")))
+            .collect()
+        )
+        for r in out:
+            assert all(-127 <= v <= 127 for v in r.qv)
+            assert r.err <= r.scale / 2 + 1e-9
+            assert abs(r.scale * 127 - max(abs(v) for v in r.embedding)) < 1e-6
+
+
 class TestMarkdownExtract:
     def test_strips_syntax_keeps_prose(self, spark):
         md = (
