@@ -73,6 +73,39 @@ def stage_presigned(
     return read_raw_files(spark, str(dest))
 
 
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSONL corpus ingest — the de-facto interchange format of training-data
+    pipelines (one JSON object per line). Normalizes to the documents shape
+    (doc_id, text, source): ``id_field`` supplies ids when the corpus has
+    them, otherwise a deterministic 63-bit xxhash64 of (file, text) — stable
+    across re-reads and partitionings, so downstream uuid5 chunk ids stay
+    idempotent (K1).
+
+    Scale notes: pass an explicit ``schema`` in production — schema
+    inference scans the data once before the real job; JSONL splits by line
+    so a single giant file still parallelizes (unlike multiline JSON)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    raw = reader.json(path).withColumn("source", F.input_file_name())
+    doc_id = (
+        F.col(id_field).cast("long")
+        if id_field
+        else F.pmod(F.xxhash64("source", text_field), F.lit(2**63 - 1))
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col(text_field).alias("text"),
+        F.element_at(F.split("source", "/"), -1).alias("source"),
+    )
+
+
 def sniff_kind(source_col: str = "source", content_col: str = "content"):
     """File-kind dispatch: extension first, magic bytes for extensionless
     files, utf-8-decodable head as the final txt fallback (S8)."""
