@@ -30,6 +30,27 @@ def _cfg(**kw):
     return PipelineConfig(**defaults)
 
 
+class TestCuratedPipeline:
+    def test_curation_stage_drops_junk_and_dups(self, spark):
+        """curate_quality drops the too-short/symbol docs; curate_dedup
+        collapses formatting-only duplicates — before chunk+embed ever run."""
+        good = " ".join(["a solid sentence with plenty of normal words here"] * 8)
+        rows = [
+            (1, good, "a.txt"),
+            (2, "tiny", "b.txt"),  # fails word-count rule
+            (3, good + "  ", "c.txt"),  # formatting-only duplicate of 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = run_pipeline(docs, _cfg(curate_quality=True, curate_dedup=True))
+        survivors = {r.source_document for r in out.collect()}
+        assert survivors == {"a.txt"}
+
+    def test_curation_off_by_default(self, spark):
+        rows = [(1, "tiny", "b.txt")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        assert run_pipeline(docs, _cfg()).count() > 0
+
+
 class TestPipeline:
     def test_canonical_schema_and_rows(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)

@@ -79,6 +79,10 @@ class PipelineConfig:
     sink_options: dict = field(default_factory=dict)
     upsert_batch_size: int = VECTOR_UPSERT_BATCH_SIZE
     max_file_size_bytes: int = MAX_FILE_SIZE_BYTES
+    # training-corpus curation stage (off by default: the reference embeds
+    # whatever it is given; a 100 TB corpus build wants both ON)
+    curate_quality: bool = False  # Gopher rule filter before chunking
+    curate_dedup: bool = False  # normalized-fingerprint dedup before chunking
 
     def __post_init__(self) -> None:
         if self.chunk_size <= 0:

@@ -19,6 +19,65 @@ from vectorflow_spark.operators.filters import filter_max_size, filter_nonempty
 from vectorflow_spark.sinks.writers import to_vector_records
 
 
+def curate_documents(
+    docs: DataFrame, cfg: PipelineConfig, text_col: str = "text", doc_col: str = "source"
+) -> DataFrame:
+    """Optional corpus-curation stage between ingest and chunking: Gopher
+    rule filter (quality) and/or normalized-fingerprint dedup (keeper =
+    lowest ``doc_col`` per fingerprint — DETERMINISTIC, where a plain
+    dropDuplicates would keep whichever row a partitioning happened to
+    deliver first and silently change the corpus between runs). Both are
+    cheap relative to embed — the filter is one projection, the dedup one
+    uniform-key shuffle — and both REMOVE rows, so running them before the
+    expensive chunk+embed stages is strictly cheaper than after. Each is
+    individually oracle-verified (q_gopher_quality, q_fingerprint_dedup);
+    the composition is verified by q_curation_pipeline."""
+    from pyspark.sql import functions as F
+
+    from vectorflow_spark.operators.textstats import fingerprint
+
+    out = docs
+    if cfg.curate_quality:
+        # the rules evaluate inline as a pure predicate over the text
+        # column (no id joins, no second pass) — same constants and
+        # arithmetic as gopher_quality_rules
+        from vectorflow_spark.operators.textstats import (
+            GOPHER_MAX_MEAN_WORD_LEN,
+            GOPHER_MAX_WORDS,
+            GOPHER_MIN_ALPHA_RATIO,
+            GOPHER_MIN_MEAN_WORD_LEN,
+            GOPHER_MIN_WORDS,
+        )
+
+        toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+        n_words = F.size(toks).cast("bigint")
+        sum_len = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        mean_wl = F.when(n_words > 0, sum_len / n_words.cast("double"))
+        alpha = F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words.cast("double"),
+        )
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha >= GOPHER_MIN_ALPHA_RATIO)
+        )
+        out = out.filter(F.coalesce(keep, F.lit(False)))
+    if cfg.curate_dedup:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_fp").orderBy(doc_col)
+        out = (
+            out.withColumn("_fp", fingerprint(text_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_fp", "_rn")
+        )
+    return out
+
+
 def run_pipeline(documents: DataFrame, cfg: PipelineConfig, text_col: str = "text", doc_col: str = "source") -> DataFrame:
     """documents(doc_id, text, source, ...) -> (id, source_data,
     source_document, embeddings) ready for any U1-U5 writer.
@@ -29,6 +88,7 @@ def run_pipeline(documents: DataFrame, cfg: PipelineConfig, text_col: str = "tex
     cores, not input size — the Spark analog of the reference's 1000-line
     batch fan-out (SURVEY.md §2.2 P1/P2)."""
     docs = filter_max_size(filter_nonempty(documents, text_col), text_col, cfg.max_file_size_bytes)
+    docs = curate_documents(docs, cfg, text_col, doc_col)
     sc = documents.sparkSession.sparkContext
     docs = docs.repartition(sc.defaultParallelism)
     chunks = chunk(docs, cfg, text_col=text_col)
