@@ -202,6 +202,17 @@ def test_curation_projections_are_shuffle_free(spark, sf_dir, Q, name):
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
+def test_enhance_chunks_no_chunk_text_shuffle(spark, sf_dir, Q):
+    """With the documents DataFrame supplied, the context dimension builds
+    straight from the source table and broadcasts — chunk rows never hash-
+    shuffle (the r1 version reassembled doc text via groupBy+collect_list
+    over chunk text, the fattest column in the pipeline)."""
+    plan = physical(Q["q_enhance_chunks"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "collect_list" not in plan, plan
+
+
 def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
     """The posexplode_outer discipline: no optimizer-inferred size()>0
     filter may sit below the chunk/shingle projections (it would inline and
