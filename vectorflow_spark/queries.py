@@ -1025,22 +1025,30 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-join + window top-n per segment: customer (small dim,
-    broadcast) -> orders -> lineitem, decimal-exact revenue, rank<=5."""
+    """Top-5 revenue orders per market segment. The aggregation is PUSHED
+    BELOW the join by hand: revenue depends only on lineitem columns and
+    the grouping key contains the join key (o_orderkey), so summing per
+    l_orderkey first is semantically identical — but the join then moves
+    one pre-aggregated row per order instead of every lineitem row (~4:1
+    here, fanout-sized in general), and the partial aggregation combines
+    map-side before its shuffle. Catalyst does not reorder aggregates
+    through joins; this is the hand-applied form of the classic
+    eager-aggregation rewrite. Customer (small dim) broadcasts; the
+    decimal sum keeps revenue engine-exact for the oracle."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("revenue")
+    )
     rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment", "o_orderkey")
-        .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
-            .cast("double")
-            .alias("revenue")
-        )
+        .select("c_mktsegment", "o_orderkey", "revenue")
     )
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
@@ -1107,6 +1115,50 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_spend"),
+    )
+
+
+@query(
+    "q_range_frame_sum",
+    """
+    WITH sec AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events
+    )
+    SELECT user_id, event_id, ts_s,
+           CAST(sum(v) OVER (
+               PARTITION BY user_id ORDER BY ts_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum
+    FROM sec
+    """,
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per-user sum of event values within the
+    trailing hour of EVENT TIME. A range frame's bounds move with the
+    ordering value (ties share a frame, gaps shrink it) — a physically
+    different window executor than the ROWS frames elsewhere in the suite.
+    Decimal-exact accumulation; one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    # ts arrives as raw BIGINT nanos (legacy conf, see q_events_window);
+    # integer `div` keeps the conversion exact — nanos exceed 2^53, so a
+    # double division could flip a second boundary vs the oracle's epoch()
+    sec = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").alias("ts_s"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return sec.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.sum("v").over(w).cast("double").alias("hour_sum"),
     )
 
 
