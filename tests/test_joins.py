@@ -39,6 +39,33 @@ def test_asof_keeps_all_left_rows_and_columns(spark, trades_quotes):
     assert out.columns == ["sym", "ts", "trade", "asof_ts", "asof_px"]
 
 
+def test_asof_forward_picks_earliest_at_or_after(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r["trade"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, on="sym", right_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert out["t1"] == (100, 2.0)  # equal-ts quote matches in both directions
+    assert out["t2"] == (None, None)  # nothing after 205
+    assert out["t3"] == (60, 4.0)  # the later quote now matches
+    assert out["t4"] == (None, None)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r["trade"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, on="sym", right_cols=["px"], tolerance=4
+        ).collect()
+    }
+    assert out["t1"] == (100, 2.0)  # distance 0 <= 4
+    assert out["t2"] == (None, None)  # nearest is 5 away -> too stale
+    assert out["t3"] == (None, None)
+
+
 def test_asof_right_ties_resolved_deterministically(spark):
     left = spark.createDataFrame([(1, 100)], "k long, ts long")
     right = spark.createDataFrame(

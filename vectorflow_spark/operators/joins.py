@@ -28,11 +28,21 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with the same
-    ``on`` key and ``right_ts <= left_ts`` (backward as-of, the common
-    "latest feature value at event time" alignment). Left rows with no
-    earlier right row keep nulls — LEFT ASOF semantics.
+    """For each left row, attach the nearest right row with the same ``on``
+    key: ``backward`` (default) takes the most recent right row with
+    ``right_ts <= left_ts`` ("latest feature value at event time");
+    ``forward`` takes the earliest right row with ``right_ts >= left_ts``
+    ("next outcome after the event" — label alignment). Left rows with no
+    qualifying right row keep nulls — LEFT ASOF semantics.
+
+    ``tolerance`` (same units as the ts columns) bounds the match
+    distance: a nearest match farther than the tolerance becomes NULL —
+    "a feature older than 10 minutes is no feature". Applied AFTER the
+    window scan, so it adds one projection, not a join condition (the
+    union-sort-window plan is unchanged).
 
     Right-side ties on (key, ts) are resolved by the ordering of
     ``right_cols[0]`` descending (pre-aggregate the right side to unique
@@ -40,6 +50,8 @@ def asof_join(
 
     Returns every left column plus ``{prefix}{c}`` for each right column.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -55,18 +67,27 @@ def asof_join(
         r_struct.alias("_r"),
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # right rows (_tag 0) sort before left rows at equal ts, so "at or
-    # before" includes same-instant right rows; _r is null on left rows and
-    # last(ignorenulls) carries the latest right payload forward.
+    # right rows (_tag 0) sort before left rows at equal ts, so the
+    # boundary instant is included in both directions; _r is null on left
+    # rows and last(ignorenulls) carries the nearest right payload along
+    # the scan direction (ascending for backward, descending for forward).
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
         u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_tag") == 1)
     )
+    if tolerance is not None:
+        dist = (
+            F.col("_ts") - F.col("_m._rts")
+            if direction == "backward"
+            else F.col("_m._rts") - F.col("_ts")
+        )
+        matched = matched.withColumn("_m", F.when(dist <= tolerance, F.col("_m")))
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("_m._rts").alias(f"{prefix}{right_ts}"))
     out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols)

@@ -1366,6 +1366,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_forward_tol",
+    """
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           CASE WHEN v.ts - p.ts <= 600000000 THEN v.ts END AS asof_ts,
+           CASE WHEN v.ts - p.ts <= 600000000 THEN v.view_event_id END AS asof_view_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase gets the NEXT view by
+    the same user within 10 minutes (label-alignment shape: 'did a view
+    follow the purchase soon after'). Same union-sort-window plan as the
+    backward form, scanned descending; the tolerance is one projection
+    after the window, mirrored by the oracle's CASE over DuckDB's native
+    forward ASOF."""
+    from vectorflow_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["view_event_id"],
+        direction="forward",
+        tolerance=600_000_000,
+    )
+
+
+@query(
     "q_anti_join",
     "SELECT c_custkey, c_name, c_acctbal FROM customer "
     "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
