@@ -336,3 +336,29 @@ def _chunk_custom(
 
         out = out.withColumn("chunk_id", uuid5_udf("text", "chunk_offset", "chunk_tag"))
     return out
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function): one document in,
+    one numbered row per sentence out, for SQL ``LATERAL`` use. Completes
+    the UDF-surface matrix next to the scalar pandas UDFs (embed), the
+    array-returning chunk UDFs here, mapInPandas (extract/enhance/validate)
+    and applyInPandasWithState (sessionize): a UDTF is the right shape when
+    SQL users need a row-generating function they can join laterally,
+    without leaving the SQL dialect for the DataFrame API.
+
+    Same sentence regex as C5 (SENTENCE_ENDINGS, reference
+    src/worker/worker.py:286), so the rows line up with the sentence
+    chunkers'. Row-based evaluation (per-row Python) — fine for a lateral
+    over documents; the hot chunk path stays on the Arrow-batched UDFs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(re.split(SENTENCE_ENDINGS, text)):
+                yield i, s
+
+    return SplitSentences

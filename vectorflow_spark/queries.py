@@ -2421,6 +2421,35 @@ def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udtf_sentences",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS INT) AS sent_pos,
+           unnest(parts) AS sentence
+    FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?…]) +', '\\1' || chr(1), 'g'),
+                            chr(1)) AS parts
+        FROM documents
+    )
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through SQL LATERAL: every document cross-applied to its
+    numbered sentences (operators/chunkers.sentence_split_udtf). The oracle
+    reproduces the lookbehind sentence split with the capture-group +
+    chr(1) separator trick (RE2 has no lookbehind)."""
+    from vectorflow_spark.operators.chunkers import sentence_split_udtf
+
+    spark.udtf.register("split_sentences", sentence_split_udtf())
+    _t(spark, sf_dir, "documents", split=True).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_pos, s.sentence "
+        "FROM docs_udtf d, LATERAL split_sentences(d.text) s"
+    )
+
+
+@query(
     "q_quantize_embeddings",
     """
     WITH q AS (
