@@ -132,6 +132,23 @@ def records(spark):
     return to_vector_records(chunks).repartition(1)
 
 
+class TestCompaction:
+    def test_small_files_compact_and_data_survives(self, spark, tmp_path):
+        from vectorflow_spark.sinks.writers import compact_parquet
+
+        path = str(tmp_path / "frag")
+        spark.range(10_000).repartition(32).write.parquet(path)
+        before = spark.read.parquet(path)
+        assert len(before.inputFiles()) >= 32
+        total_before = before.groupBy().sum("id").first()[0]
+
+        n_out = compact_parquet(spark, path, target_file_bytes=1 << 30, sort_cols=["id"])
+        after = spark.read.parquet(path)
+        assert n_out == 1 and len(after.inputFiles()) == 1
+        assert after.count() == 10_000
+        assert after.groupBy().sum("id").first()[0] == total_before
+
+
 class TestQdrantContract:
     def test_slicing_fields_idempotency(self, records, tmp_path):
         spool = str(tmp_path)

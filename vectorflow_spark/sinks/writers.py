@@ -27,6 +27,7 @@ network or client package (tests/test_sink_contracts.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -236,6 +237,49 @@ def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_siz
         _buffered(partition, flush, batch_size)
 
     records.foreachPartition(per_partition)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance: rewrite a parquet dataset into
+    ceil(total_bytes / target) files (~128 MB default — the HDFS/S3 sweet
+    spot where scan tasks amortize open/seek cost). Streaming foreachBatch
+    sinks and per-micro-batch appends accumulate thousands of KB-sized
+    files; at 100 TB that is metadata-bound listing and task-per-tiny-file
+    scheduling. ``sort_cols`` sorts within partitions on the way through
+    (run-length + min/max-pruning locality for the columns queries filter
+    on). Returns the new file count.
+
+    Swap is write-to-staging + atomic-ish directory rename (Spark cannot
+    overwrite a path it is reading). On object stores, prefer writing a
+    new versioned prefix and flipping a pointer; this helper implements
+    the filesystem form."""
+    import math
+    import shutil
+    import urllib.parse
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total = 0
+    for uri in files:
+        p = urllib.parse.urlparse(uri).path
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + ".compact.tmp"
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_out
 
 
 def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
