@@ -1,0 +1,104 @@
+"""Round-2 operators: SimHash Hamming pairing, incremental ingest dedup,
+BPE token stats on Spark, and corpus-rarity signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.functions.bpe import BPETokenizer, train_ranks
+from vectorflow_spark.operators.dedup import (
+    incremental_dedup,
+    lsh_band_buckets,
+    minhash_signatures,
+    simhash_candidate_pairs,
+    simhash_expr_pipeline,
+)
+from vectorflow_spark.operators.textstats import bpe_token_stats, rare_token_stats
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
+    """Banded pairing must equal all-pairs hamming<=3 exactly (pigeonhole:
+    3 differing bits cannot touch all 4 bands)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_candidate_pairs(docs, n_bands=4, max_hamming=3).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in simhash_expr_pipeline(docs).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated legal boilerplate paragraph here")],
+        "doc_id long, text string",
+    )
+    rows = simhash_candidate_pairs(docs).collect()
+    assert [(r.a, r.b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_simhash_pairs_rejects_loose_bands():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidate_pairs(None, n_bands=4, max_hamming=4)
+
+
+def test_incremental_dedup_drops_collisions_keeps_fresh(spark):
+    corpus = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (4, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup
+         (13, "zq xv jw kd pf mg bh ln rt cy unique gibberish corpus miss")],
+        "doc_id long, text string",
+    )
+    idx = lsh_band_buckets(minhash_signatures(corpus))
+    out = incremental_dedup(new, idx)
+    assert [r.doc_id for r in out.collect()] == [13]
+
+
+def test_bpe_token_stats_matches_pure_python(spark):
+    tok = BPETokenizer(train_ranks(["the cat sat on the mat"] * 3, 32))
+    texts = ["the cat sat", "on the mat the cat", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(docs, tok).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i].n_bpe_tokens == len(tok.encode(t))
+        assert rows[i].n_chars == len(t)
+    assert rows[2].chars_per_token is None  # empty text: no division by zero
+
+
+def test_rare_token_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in rare_token_stats(docs, rare_below=3).collect()}
+    # corpus freqs: a=3, b=1, c=1
+    assert (rows[1].n_tokens, rows[1].n_rare) == (3, 1)
+    assert rows[1].mean_token_freq == round((3 + 3 + 1) / 3, 9)
+    assert (rows[2].n_tokens, rows[2].n_rare) == (2, 1)
+    assert rows[2].rare_ratio == 0.5
+    assert rows[2].mean_token_freq == 2.0
+
+
+def test_rare_token_stats_drops_empty_docs(spark):
+    docs = spark.createDataFrame([(1, "only doc"), (2, "   ")], "doc_id long, text string")
+    out = rare_token_stats(docs)
+    assert [r.doc_id for r in out.collect()] == [1]

@@ -514,3 +514,105 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a < b, hamming) from SimHash fingerprints via
+    Hamming-ball banding — the pairing stage SimHash needs to be a dedup
+    operator rather than just a fingerprint column (reference roadmaps
+    dedup families only; pairing strategy is ours).
+
+    EXACT by pigeonhole, not probabilistic: split the ``bits``-bit
+    fingerprint into ``n_bands`` contiguous bands; two fingerprints within
+    ``max_hamming < n_bands`` differing bits must agree EXACTLY on at least
+    one band (at most max_hamming bands can contain a differing bit). So an
+    equi-join on (band, band_bits) finds every qualifying pair; the cheap
+    ``bit_count(xor)`` then computes the true distance and drops false
+    positives. Same single-shuffle shape as MinHash-LSH: the join key is a
+    uniform hash slice, skew-free; no crossJoin at any scale. A pair
+    agreeing on several bands materializes once per shared band and is
+    collapsed by the final per-pair aggregation (grouping on (a, b) keeps
+    the dedup map-side-combinable; hamming is constant within a pair so
+    ``first`` is exact)."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs max_hamming < n_bands (pigeonhole)")
+    width = bits // n_bands
+    fp = simhash_expr_pipeline(docs, doc_col, text_col, bits)
+    bands = fp.select(
+        doc_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {n_bands - 1}), b -> named_struct(
+                        'band', b,
+                        'key', (simhash div CAST(pow(2, b * {width}) AS BIGINT)) % {1 << width}))"""
+            )
+        ).alias("bb"),
+    ).select(doc_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    left = bands.select(
+        F.col(doc_col).alias("a"), F.col("simhash").alias("sim_a"), "band", "key"
+    )
+    right = bands.select(
+        F.col(doc_col).alias("b"), F.col("simhash").alias("sim_b"), "band", "key"
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("a", "b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_buckets: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Drop new-batch documents that LSH-collide with an EXISTING corpus —
+    the nightly-ingest shape of a 100 TB training pipeline: the corpus's
+    (band, bucket) posting table is computed ONCE and persisted; each new
+    batch only shingles/hashes ITS OWN rows and joins against the stored
+    index, instead of re-running minhash over the full corpus per ingest.
+
+    ``corpus_buckets``: a (band, bucket) DataFrame, e.g. the persisted
+    output of ``lsh_band_buckets(minhash_signatures(corpus))``. Store it
+    bucketed/partitioned by (band, bucket) and the semi-join needs no
+    corpus-side shuffle; only the (small) new batch repartitions. The
+    candidate check is a LEFT SEMI against bucket keys projected to just
+    (band, bucket) — doc ids of the corpus side never move.
+
+    Returns the new rows that are NOT near-dup candidates of the corpus
+    (anti-join on the collided ids). Collided rows should go to the full
+    verify stage (``jaccard_pairs`` with ``candidates=...``) rather than
+    being dropped blind when precision matters."""
+    nb = lsh_band_buckets(
+        minhash_signatures(new_docs, doc_col, text_col, n, num_hashes),
+        doc_col,
+        bands,
+        num_hashes,
+    )
+    suspects = (
+        nb.join(
+            corpus_buckets.select("band", "bucket"), ["band", "bucket"], "left_semi"
+        )
+        .select(doc_col)
+        .distinct()
+    )
+    return new_docs.join(suspects, doc_col, "left_anti")

@@ -342,3 +342,92 @@ def rolling_fingerprints(
     return hashed.select(
         doc_col, fp_doc.alias("fp_doc"), fp_min_kgram.alias("fp_min_kgram")
     )
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    rare_below: int = 3,
+) -> DataFrame:
+    """Corpus-frequency rarity signals per document — the unigram-LM slice
+    of quality scoring (a doc whose tokens are mostly corpus-rare is likely
+    noise, OCR garbage, or another language; a doc of only ultra-common
+    tokens is likely boilerplate).
+
+    Two-pass: (1) corpus token frequencies via groupBy(token) — map-side
+    combinable, vocabulary-sized output; (2) join doc tokens back to their
+    frequency. Output per doc: n_tokens, n_rare (corpus freq < rare_below),
+    rare_ratio, mean_token_freq. All derived from INTEGER sums with one
+    final division each, so the values are bit-stable across engines (no
+    order-dependent float accumulation — summing doubles would hash-differ
+    between Spark and an oracle on reduction order alone).
+
+    Scale notes: the frequency join is keyed on the token itself and token
+    frequency is zipfian — the hot keys ("the", "of") are real skew. AQE
+    skew-join splitting handles it at runtime; structurally the join is
+    unavoidable because the vocabulary at 100 TB does not broadcast. The
+    per-doc re-aggregation groups on doc_id (uniform)."""
+    from vectorflow_spark.operators.dedup import tokens_expr
+
+    toks = docs.select(doc_col, F.explode(tokens_expr(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("freq") < rare_below, 1).otherwise(0)).alias("n_rare"),
+            F.sum("freq").alias("_freq_sum"),
+        )
+    )
+    return per_doc.select(
+        doc_col,
+        "n_tokens",
+        "n_rare",
+        F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 9).alias("rare_ratio"),
+        F.round(F.col("_freq_sum").cast("double") / F.col("n_tokens"), 9).alias("mean_token_freq"),
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    tokenizer,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token count + compression ratio under a REAL byte-level BPE
+    vocabulary (functions/bpe.py — the algorithm tiktoken runs; reference
+    src/worker/worker.py:191 uses tiktoken cl100k_base). Pure per-row map:
+    BPE merges are confined to pre-tokenizer pieces, so this is a stateless
+    Arrow-batched pandas UDF with no shuffle. The ranks table rides the
+    serialized closure (once per task launch, cached per worker by module
+    import); for the ~2 MB cl100k table prefer ``spark.sparkContext
+    .broadcast`` and pass a thin wrapper, or ship the ranks FILE with
+    addFile + the VECTORFLOW_SPARK_BPE_FILE env (functions/tokenizer.py)
+    so workers load it locally at import."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _n_bpe(s):
+        return s.map(lambda t: len(tokenizer.encode(t)) if t else 0)
+
+    # real annotation objects, not strings: this module uses
+    # `from __future__ import annotations`, which would stringify inline
+    # hints and break pandas_udf's signature introspection (pd isn't in the
+    # module globals it resolves against)
+    _n_bpe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    n_bpe = pandas_udf(_n_bpe, "long")
+
+    return docs.select(
+        doc_col,
+        F.length(text_col).alias("n_chars"),
+        n_bpe(F.col(text_col)).alias("n_bpe_tokens"),
+    ).withColumn(
+        "chars_per_token",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.when(F.col("n_bpe_tokens") > 0, F.col("n_bpe_tokens")),
+            9,
+        ),
+    )

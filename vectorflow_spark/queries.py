@@ -652,9 +652,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_simhash",
-    """
+# DuckDB mirror of dedup.simhash_expr_pipeline — shared by the fingerprint
+# query and the Hamming-pair query below.
+_SIMHASH_SQL = """
     WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS tok
         FROM documents
@@ -672,8 +672,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("q_simhash", _SIMHASH_SQL)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, all built-in integer arithmetic."""
     from vectorflow_spark.operators.dedup import simhash_expr_pipeline
@@ -2588,3 +2590,136 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "fingerprint"
     )
 
+
+
+@query(
+    "q_simhash_pairs",
+    f"""
+    WITH fp AS ({_SIMHASH_SQL})
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-ball banding (4 bands x 8 bits,
+    hamming <= 3). EXACT by pigeonhole — any pair within 3 bits agrees on
+    at least one band — so the oracle can verify with a direct all-pairs
+    hamming check while the Spark plan stays a single uniform-key
+    equi-join (never a crossJoin; the oracle's all-pairs form is only
+    viable at oracle scale)."""
+    from vectorflow_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        _t(spark, sf_dir, "documents", split=True).select("doc_id", "text"),
+        n_bands=4,
+        max_hamming=3,
+    )
+
+
+@query(
+    "q_rare_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN f.freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               CAST(sum(f.freq) AS BIGINT) AS fs
+        FROM toks t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           round(CAST(n_rare AS DOUBLE) / n_tokens, 9) AS rare_ratio,
+           round(CAST(fs AS DOUBLE) / n_tokens, 9) AS mean_token_freq
+    FROM per_doc
+    """,
+)
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency rarity signals (rare-token ratio, mean
+    token frequency) — the quality-scoring slice that needs a corpus pass,
+    not just per-row features. Integer sums + one final division keep the
+    values bit-stable across engines."""
+    from vectorflow_spark.operators.textstats import rare_token_stats
+
+    return rare_token_stats(
+        _t(spark, sf_dir, "documents", split=True).select("doc_id", "text"),
+        rare_below=3,
+    )
+
+
+def _duck_band_selects(bands: int = 4, num_hashes: int = 16) -> str:
+    rows = num_hashes // bands
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+
+
+@query(
+    "q_incremental_dedup",
+    f"""
+    WITH sig AS ({_minhash_sig_sql(16)}),
+    bb AS ({_duck_band_selects(4, 16)}),
+    corpus AS (SELECT band, bucket FROM bb WHERE doc_id % 2 = 0),
+    suspects AS (
+        SELECT DISTINCT n.doc_id
+        FROM bb n JOIN corpus c ON n.band = c.band AND n.bucket = c.bucket
+        WHERE n.doc_id % 2 = 1
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM suspects)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: even doc_ids play the persisted corpus
+    (its (band,bucket) index computed once), odd doc_ids are the new batch;
+    survivors are new docs with no LSH collision against the index. The
+    corpus side ships only (band,bucket) keys through the semi-join — at
+    100 TB the index is stored bucketed on that key and never reshuffles
+    per ingest."""
+    from vectorflow_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_buckets = lsh_band_buckets(minhash_signatures(corpus))
+    survivors = incremental_dedup(new, corpus_buckets)
+    return survivors.select("doc_id", F.length("text").alias("n_chars"))
+
+
+# Fixed seed corpus for the demo BPE vocabulary: vocab must NOT depend on the
+# input data (that would make tokenization a two-pass op); in production the
+# ranks come from the published cl100k_base file instead.
+_BPE_SEED = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump",
+    "sphinx of black quartz judge my vow",
+] * 4
+
+
+@query("q_bpe_token_counts")  # rows-only: greedy BPE merging is not SQL-expressible
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + chars-per-token compression under a real byte-level
+    BPE vocabulary (functions/bpe.py — the tiktoken algorithm; bit-equal to
+    tiktoken cl100k_base when given its ranks file, here a deterministic
+    128-merge vocab trained on a fixed pangram corpus). Verified in pytest
+    against the pure-Python encoder; declared rows-only because the merge
+    loop has no SQL equivalent."""
+    from vectorflow_spark.functions.bpe import BPETokenizer, train_ranks
+    from vectorflow_spark.operators.textstats import bpe_token_stats
+
+    tok = BPETokenizer(train_ranks(_BPE_SEED, n_merges=128))
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return bpe_token_stats(docs, tok)
