@@ -523,6 +523,7 @@ def simhash_candidate_pairs(
     bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs (a < b, hamming) from SimHash fingerprints via
     Hamming-ball banding — the pairing stage SimHash needs to be a dedup
@@ -532,21 +533,29 @@ def simhash_candidate_pairs(
     EXACT by pigeonhole, not probabilistic: split the ``bits``-bit
     fingerprint into ``n_bands`` contiguous bands; two fingerprints within
     ``max_hamming < n_bands`` differing bits must agree EXACTLY on at least
-    one band (at most max_hamming bands can contain a differing bit). So an
-    equi-join on (band, band_bits) finds every qualifying pair; the cheap
-    ``bit_count(xor)`` then computes the true distance and drops false
-    positives. Same single-shuffle shape as MinHash-LSH: the join key is a
-    uniform hash slice, skew-free; no crossJoin at any scale. A pair
-    agreeing on several bands materializes once per shared band and is
-    collapsed by the final per-pair aggregation (grouping on (a, b) keeps
-    the dedup map-side-combinable; hamming is constant within a pair so
-    ``first`` is exact)."""
+    one band (at most max_hamming bands can contain a differing bit), so
+    band-bucket collisions find every qualifying pair and the cheap
+    ``bit_count(xor)`` computes true distance and drops false positives.
+
+    Same plan shape as ``minhash_candidate_pairs``, for the same reasons:
+    pairs come from per-(band, key) POSTING LISTS — the fingerprint
+    pipeline runs ONCE (a self-join would scan + fingerprint the corpus
+    twice), singleton buckets drop before any pair materializes, and the
+    single shuffle keys on a uniform hash slice (skew-free; never a
+    crossJoin). ``max_bucket`` caps a pathological bucket at its lowest
+    doc ids — O(cap) reducer memory, window-sort applied BEFORE the
+    collect so the cap itself streams/spills (same recall semantics as
+    the minhash cap: a doc beyond the cap keeps candidacy in its other
+    bands). The posting list carries struct(id, simhash) so hamming is
+    computed inside the pair expression — fingerprints never re-join."""
+    from pyspark.sql import Window
+
     if max_hamming >= n_bands:
         raise ValueError("exactness needs max_hamming < n_bands (pigeonhole)")
     width = bits // n_bands
     fp = simhash_expr_pipeline(docs, doc_col, text_col, bits)
     bands = fp.select(
-        doc_col,
+        F.col(doc_col).alias("id"),
         "simhash",
         F.explode(
             F.expr(
@@ -555,25 +564,27 @@ def simhash_candidate_pairs(
                         'key', (simhash div CAST(pow(2, b * {width}) AS BIGINT)) % {1 << width}))"""
             )
         ).alias("bb"),
-    ).select(doc_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
-    left = bands.select(
-        F.col(doc_col).alias("a"), F.col("simhash").alias("sim_a"), "band", "key"
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    w = Window.partitionBy("band", "key").orderBy("id")
+    capped = bands.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket
     )
-    right = bands.select(
-        F.col(doc_col).alias("b"), F.col("simhash").alias("sim_b"), "band", "key"
+    posting = (
+        capped.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .groupBy("a", "b")
-        .agg(F.first("hamming").alias("hamming"))
-    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct("
+                "x.id AS a, y.id AS b, "
+                "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.hamming")
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def incremental_dedup(
