@@ -102,3 +102,57 @@ def test_rare_token_stats_drops_empty_docs(spark):
     docs = spark.createDataFrame([(1, "only doc"), (2, "   ")], "doc_id long, text string")
     out = rare_token_stats(docs)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_pq_seed_vectors_encode_to_their_own_slices(spark, sf_dir):
+    """A codebook-seed vector's code in each subspace must select a
+    centroid whose subvector equals its own slice (distance 0)."""
+    from vectorflow_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cbs = pq_codebooks(emb, m=8, ksub=16)
+    seeds = emb.orderBy("vec_id").limit(16).collect()
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, cbs).filter(
+            F.col("vec_id").isin([s.vec_id for s in seeds])
+        ).collect()
+    }
+    for r in seeds:
+        full = [float(x) for x in r.embedding]
+        for s in range(8):
+            code = codes[r.vec_id][s]
+            assert cbs[s][code][1] == full[s * 8 : (s + 1) * 8]
+
+
+def test_pq_adc_matches_python_reference(spark, sf_dir):
+    import math
+
+    from vectorflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cbs = pq_codebooks(emb, m=8, ksub=16)
+    codes_df = pq_encode(emb, cbs)
+    query = [1.0] * 64
+    got = {r.vec_id: r.adc_dist for r in pq_adc_topk(codes_df, cbs, query, k=5).collect()}
+    # python twin: same quantized distance table, same lookups
+    dt = []
+    for s, cb in enumerate(cbs):
+        qs = query[s * 8 : (s + 1) * 8]
+        row = []
+        for _, c in cb:
+            acc = 0.0
+            for x, y in zip(qs, c):
+                acc += (x - y) * (x - y)
+            row.append(int(math.floor(acc * 10**9 + 0.5)))
+        dt.append(row)
+    codes = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+    want_all = {
+        vid: sum(dt[s][c] for s, c in enumerate(cs)) / 10**9 for vid, cs in codes.items()
+    }
+    top5 = sorted(want_all.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert got == dict(top5)

@@ -2723,3 +2723,98 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = BPETokenizer(train_ranks(_BPE_SEED, n_merges=128))
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
     return bpe_token_stats(docs, tok)
+
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
+
+
+def _pq_sqdist_sql(vec: str, cvec: str, s: str) -> str:
+    """Squared L2 between 8-dim subspace slices — list_sum folds the same
+    left-to-right order as the Spark aggregate()."""
+    return (
+        f"list_sum(list_transform("
+        f"list_zip(list_slice({vec}, {s}*{_PQ_DSUB}+1, {s}*{_PQ_DSUB}+{_PQ_DSUB}),"
+        f" list_slice({cvec}, {s}*{_PQ_DSUB}+1, {s}*{_PQ_DSUB}+{_PQ_DSUB})),"
+        f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def _pq_codes_cte() -> str:
+    return f"""
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB}
+    ),
+    subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    dists AS (
+        SELECT e.vec_id, subs.s AS subspace, c.code,
+               round({_pq_sqdist_sql('e.embedding', 'c.cvec', 'subs.s')}, 9) AS d
+        FROM embeddings e CROSS JOIN subs CROSS JOIN cents c
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_pq_encode",
+    f"""
+    WITH {_pq_codes_cte()}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM codes
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 64-dim vectors -> 8 one-byte codes (8
+    subspaces x 16 deterministic lowest-id centroids). Emitted exploded as
+    (vec_id, subspace, code) scalar rows for the hash check. The encode is
+    one literal-folded projection — the oracle's cross-join formulation is
+    only viable at oracle scale."""
+    from vectorflow_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cbs = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, cbs)
+    return codes.select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+
+
+@query(
+    "q_pq_search",
+    f"""
+    WITH {_pq_codes_cte()},
+    dt AS (
+        SELECT subs.s AS subspace, c.code,
+               CAST(floor({_pq_sqdist_sql('[{ones}]'.format(
+                   ones=', '.join(['1.0'] * 64)), 'c.cvec', 'subs.s')} * 1000000000 + 0.5) AS BIGINT) AS qd
+        FROM subs CROSS JOIN cents c
+    ),
+    scored AS (
+        SELECT cd.vec_id, sum(dt.qd) AS q
+        FROM codes cd JOIN dt ON cd.subspace = dt.subspace AND cd.code = dt.code
+        GROUP BY cd.vec_id
+    )
+    SELECT vec_id, CAST(q AS DOUBLE) / 1000000000 AS adc_dist
+    FROM scored ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: the all-ones query scans CODES only
+    (m lookups + an integer fold per row -> TakeOrderedAndProject), never
+    the raw vectors — the scan half of the 32x-compressed 100 TB index.
+    Distance-table entries are 1e-9-quantized integers so the row score is
+    exact integer math, order-independent across engines."""
+    from vectorflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cbs = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, cbs)
+    return pq_adc_topk(codes, cbs, [1.0] * 64, k=10)
