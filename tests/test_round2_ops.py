@@ -156,3 +156,50 @@ def test_pq_adc_matches_python_reference(spark, sf_dir):
     }
     top5 = sorted(want_all.items(), key=lambda kv: (kv[1], kv[0]))[:5]
     assert got == dict(top5)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
+    """The bloom-pruned semi join must equal the plain semi join exactly
+    (no false negatives), and the prefilter alone must pass every true
+    member while rejecting most non-members."""
+    from vectorflow_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bits,
+        bloom_pruned_anti_join,
+        bloom_pruned_semi_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plain_semi = {
+        r.o_orderkey
+        for r in orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+        ).collect()
+    }
+    got_semi = {
+        r.o_orderkey
+        for r in bloom_pruned_semi_join(orders, cust, "o_custkey", "c_custkey").collect()
+    }
+    assert got_semi == plain_semi
+
+    all_keys = {r.o_orderkey for r in orders.collect()}
+    got_anti = {
+        r.o_orderkey
+        for r in bloom_pruned_anti_join(orders, cust, "o_custkey", "c_custkey").collect()
+    }
+    assert got_anti == all_keys - plain_semi
+
+    bits = build_bloom_bits(cust, "c_custkey")
+    passed = orders.filter(
+        bloom_might_contain(bits, F.col("o_custkey"))
+    ).count()
+    n = orders.count()
+    assert passed >= len(plain_semi)          # every member survives
+    assert passed < n                         # and the filter actually prunes

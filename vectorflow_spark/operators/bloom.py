@@ -1,0 +1,151 @@
+"""Broadcast Bloom-filter membership pruning — filter a 100 TB side by a
+small key set WITHOUT shuffling the big side.
+
+The classic scale problem: ``big LEFT SEMI JOIN small`` still shuffles (or
+at best broadcast-hashes) every big-side row into the join operator before
+any row is dropped. When the small side is a nightly ingest batch, a
+blocklist, or a probe set, a Bloom filter built over its keys turns the
+membership test into k bit-probes of a literal bit array evaluated INSIDE
+the big side's scan stage — Catalyst folds it into the same
+WholeStageCodegen as the parquet reader, so definite-misses die before any
+exchange. The exact join then runs only on the tiny surviving fraction.
+
+Everything is built from public Spark primitives, JVM-side end to end:
+
+- bit positions: ``pmod(xxhash64(key, seed_i), num_bits)`` for k seeds —
+  deterministic, no Python in either the build or the probe path;
+- the build is a distributed OR-fold: explode k positions per key, map to
+  ``(word_index, bit_mask)``, ``bit_or`` per word — one map-side-combinable
+  shuffle over at most ``num_bits/64`` groups, then a collect of that many
+  longs (the filter itself, NOT the keys — size is set by ``num_bits``,
+  independent of either table's row count);
+- the probe is ``element_at(<array literal>, word+1) & mask != 0`` ANDed
+  over the k probes.
+
+Bloom filters have NO false negatives, so composing the prefilter with the
+exact join reproduces the exact semi/anti join bit-for-bit — which is what
+makes these operators oracle-checkable against plain ``IN`` /
+``NOT IN`` SQL.
+
+Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k for n keys, m bits. The
+defaults (m=2^16, k=5) hold fpp < 1% to ~4.7k keys; at 100 TB you size m
+from the ingest-batch cardinality, not from the corpus.
+
+Reference parity: the reference pipeline has no bloom stage (its scale
+ceiling never needed one); this generalizes its duplicate-filename /
+incremental-dedup membership checks (src/api/app.py filename dedup) to
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "build_bloom_bits",
+    "bloom_might_contain",
+    "bloom_pruned_semi_join",
+    "bloom_pruned_anti_join",
+]
+
+DEFAULT_NUM_BITS = 1 << 16
+DEFAULT_NUM_HASHES = 5
+
+
+def _shl1(nbits: Column) -> Column:
+    """``1L << nbits`` with a column shift amount — ``F.shiftleft`` only
+    accepts a Python int here, the SQL function accepts a column."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), nbits.cast("int"))
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> list[int]:
+    """Build the filter distributedly and return it as ``num_bits/64``
+    longs. The only driver-side materialization is the bit array itself —
+    the keys never leave the executors un-aggregated."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = F.explode(F.array(*_positions(F.col(key_col), num_bits, num_hashes)))
+    words = (
+        keys.select(pos.alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word"),
+            _shl1(F.pmod(F.col("pos"), F.lit(64))).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r.word] = r.bits
+    return dense
+
+
+def bloom_might_contain(
+    bits: list[int],
+    key: Column,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Membership probe as a pure Catalyst expression over an array
+    literal; false positives possible, false negatives impossible."""
+    arr = F.lit(bits)
+    cond = F.lit(True)
+    for p in _positions(key, num_bits, num_hashes):
+        word = F.shiftright(p, 6).cast("int")
+        mask = _shl1(F.pmod(p, F.lit(64)))
+        cond = cond & (F.element_at(arr, word + 1).bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_pruned_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    small_key_col: str | None = None,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Exact ``big LEFT SEMI JOIN small`` with a bloom prefilter in big's
+    scan stage. Identical output to the plain semi join (the exact join
+    removes bloom false positives); only definite-maybe rows reach the
+    exchange."""
+    sk = small_key_col or key_col
+    bits = build_bloom_bits(small, sk, num_bits, num_hashes)
+    pruned = big.filter(bloom_might_contain(bits, F.col(key_col), num_bits, num_hashes))
+    rhs = small.select(F.col(sk).alias(key_col)).distinct()
+    return pruned.join(rhs, key_col, "left_semi")
+
+
+def bloom_pruned_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    small_key_col: str | None = None,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Exact ``big LEFT ANTI JOIN small``: definite-misses (the vast
+    majority when the small side is small) pass straight through the scan
+    with no join at all; only bloom-positive rows pay the exact anti
+    join that clears false positives."""
+    sk = small_key_col or key_col
+    bits = build_bloom_bits(small, sk, num_bits, num_hashes)
+    might = bloom_might_contain(bits, F.col(key_col), num_bits, num_hashes)
+    rhs = small.select(F.col(sk).alias(key_col)).distinct()
+    return big.filter(~might).unionByName(
+        big.filter(might).join(rhs, key_col, "left_anti")
+    )

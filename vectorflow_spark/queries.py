@@ -2818,3 +2818,62 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     codes = pq_encode(emb, cbs)
     return pq_adc_topk(codes, cbs, [1.0] * 64, k=10)
+
+
+@query(
+    "q_bloom_semi_join",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: the fact scan is prefiltered by a literal
+    bit array built from the BUILDING customers' keys, so definite-miss
+    orders never reach the join exchange; the exact semi join clears the
+    false positives, making the result identical to the plain IN — which
+    is exactly what the oracle checks. At 100 TB this is the membership
+    shape (blocklist / probe set / ingest batch) where shuffling the fact
+    side would dominate the job."""
+    from vectorflow_spark.operators.bloom import bloom_pruned_semi_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom_pruned_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+
+@query(
+    "q_bloom_anti_join",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(o_orderkey) AS BIGINT) AS keysum
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned anti join (the incremental-dedup direction: keep rows
+    NOT in the batch). No false negatives means bloom-misses are exact
+    anti-join rows for free; only bloom-positives pay the join. Output is
+    an exact count + keysum digest so the oracle hashes the whole result
+    without shipping every row."""
+    from vectorflow_spark.operators.bloom import bloom_pruned_anti_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    kept = bloom_pruned_anti_join(orders, cust, "o_custkey", "c_custkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("o_orderkey").alias("keysum"),
+    )
