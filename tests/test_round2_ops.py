@@ -203,3 +203,31 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
     n = orders.count()
     assert passed >= len(plain_semi)          # every member survives
     assert passed < n                         # and the filter actually prunes
+
+
+def test_ivfpq_scans_only_probed_clusters(spark, sf_dir):
+    """IVF+PQ must consider exactly the vectors assigned to the nprobe
+    probed clusters — never the whole corpus — and every returned id must
+    come from a probed cluster."""
+    from vectorflow_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_search,
+        pq_codebooks,
+        probe_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = ivf_centroids(emb, n_centroids=16)
+    cbs = pq_codebooks(emb, m=8, ksub=16)
+    query = [1.0] * 64
+    probes = set(probe_clusters(cents, query, 4))
+    assert len(probes) == 4
+
+    assigned = {r.vec_id: r.cluster for r in ivf_assign(emb, cents).collect()}
+    in_probed = {v for v, c in assigned.items() if c in probes}
+    assert 0 < len(in_probed) < len(assigned)  # pruning is real
+
+    got = [r.vec_id for r in ivfpq_search(emb, cents, cbs, query, k=10, nprobe=4).collect()]
+    assert len(got) == 10
+    assert set(got) <= in_probed

@@ -323,6 +323,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach PQ codes: per subspace, the index of the nearest codebook
     entry by squared L2 (rounded to 9 dp; first-minimum tiebreak = lowest
@@ -337,7 +338,7 @@ def pq_encode(
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
         dists = F.array(*[F.round(_sqdist(sub, c), 9) for _, c in cb])
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return vectors.select(id_col, F.array(*code_cols).alias("codes"))
+    return vectors.select(id_col, *keep_cols, F.array(*code_cols).alias("codes"))
 
 
 def pq_adc_topk(
@@ -384,3 +385,50 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def probe_clusters(
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The nprobe centroid ids nearest the query by rounded cosine with a
+    lowest-id tiebreak — the same driver-side selection ``ivf_topk_cosine``
+    makes, factored out so IVF+PQ can share it. Cost: C small dot products
+    on the driver, never data-scale."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(num / (na * nb), 9) if na and nb else 0.0
+
+    return [c[0] for c in sorted(centroids, key=lambda c: (-cos(c[1], query), c[0]))[:nprobe]]
+
+
+def ivfpq_search(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the production 100 TB vector-index shape (FAISS IVFPQ,
+    SPANN-style): coarse quantizer prunes the scan to nprobe clusters,
+    product quantizer makes the scanned payload m bytes/vector instead of
+    d*4, ADC scores candidates without touching a raw float vector.
+
+    Plan: assignment and encode are both literal-folded projections (one
+    pass, no shuffle); the probe filter is ``cluster IN (...)`` — with
+    ``cluster`` as a partition/cluster key at scale this prunes at the
+    source — and the top-k is a TakeOrderedAndProject over m integer
+    lookups per surviving row. In a real deployment assign+encode run once
+    at ingest and persist; search touches only the code table."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    codes = pq_encode(assigned, codebooks, id_col, vec_col, keep_cols=("cluster",))
+    probes = probe_clusters(centroids, query, nprobe)
+    cand = codes.filter(F.col("cluster").isin(probes)).drop("cluster")
+    return pq_adc_topk(cand, codebooks, query, k, id_col)

@@ -2877,3 +2877,87 @@ def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("o_orderkey").alias("keysum"),
     )
+
+
+_IVFPQ_NPROBE = 4
+
+
+@query(
+    "q_ivfpq_search",
+    f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB}
+    ),
+    probe AS (
+        SELECT cid FROM (
+            SELECT cid,
+                   round(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)), 9) AS s
+            FROM cents
+        ) ORDER BY s DESC, cid LIMIT {_IVFPQ_NPROBE}
+    ),
+    ascored AS (
+        SELECT e.vec_id, c.cid,
+               round({{cos_ec}}, 9) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM ascored
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN best b ON e.vec_id = b.vec_id
+        JOIN probe p ON b.cid = p.cid
+    ),
+    subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    dists AS (
+        SELECT e.vec_id, subs.s AS subspace, c.cid AS code,
+               round({{sq_ec}}, 9) AS d
+        FROM cand e CROSS JOIN subs CROSS JOIN cents c
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT subs.s AS subspace, c.cid AS code,
+               CAST(floor({{sq_qc}} * 1000000000 + 0.5) AS BIGINT) AS qd
+        FROM subs CROSS JOIN cents c
+    ),
+    adc AS (
+        SELECT cd.vec_id, sum(dt.qd) AS q
+        FROM codes cd JOIN dt ON cd.subspace = dt.subspace AND cd.code = dt.code
+        GROUP BY cd.vec_id
+    )
+    SELECT vec_id, CAST(q AS DOUBLE) / 1000000000 AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """.format(
+        cos_ec=_DUCK_COS.format(a="e.embedding", b="c.cvec"),
+        sq_ec=_pq_sqdist_sql("e.embedding", "c.cvec", "subs.s"),
+        sq_qc=_pq_sqdist_sql("[{}]".format(", ".join(["1.0"] * 64)), "c.cvec", "subs.s"),
+    ),
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN search (the FAISS-IVFPQ shape): coarse-quantize
+    to 16 clusters, probe the 4 nearest the all-ones query, ADC-score ONLY
+    the probed clusters' one-byte-per-subspace codes. At 100 TB: cluster is
+    the partition key (scan prunes to nprobe/C of the index) and the
+    scanned payload is 8 bytes/vector instead of 256 — raw vectors are
+    never read at search time."""
+    from vectorflow_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_search,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cents = ivf_centroids(emb, n_centroids=_PQ_KSUB)
+    cbs = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return ivfpq_search(emb, cents, cbs, [1.0] * 64, k=10, nprobe=_IVFPQ_NPROBE)
