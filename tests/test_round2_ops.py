@@ -231,3 +231,32 @@ def test_ivfpq_scans_only_probed_clusters(spark, sf_dir):
     got = [r.vec_id for r in ivfpq_search(emb, cents, cbs, query, k=10, nprobe=4).collect()]
     assert len(got) == 10
     assert set(got) <= in_probed
+
+
+def test_interval_overlap_join_equals_bruteforce(spark):
+    """Binned equi-join must equal the brute-force inequality join exactly
+    — including pairs spanning many bins emitted exactly once."""
+    from vectorflow_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 250), (2, 90, 110), (3, 500, 501), (4, 700, 1000)],
+        "l_id long, i_start long, i_end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 240, 260), (11, 0, 1000), (12, 100, 100), (13, 502, 600)],
+        "r_id long, s_start long, s_end long",
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "i_start", "i_end", "s_start", "s_end", bin_size=100
+        ).collect()
+    )
+    brute = sorted(
+        (r.l_id, r.r_id)
+        for r in left.crossJoin(right)
+        .filter((F.col("i_start") <= F.col("s_end")) & (F.col("s_start") <= F.col("i_end")))
+        .collect()
+    )
+    assert got == brute
+    assert len(got) == len(set(got))  # exactly-once emission

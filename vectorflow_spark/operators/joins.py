@@ -103,3 +103,48 @@ def anti_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str |
         on=left_key,
         how="left_anti",
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_size: int,
+) -> DataFrame:
+    """Inner join on interval overlap (``l_start <= r_end AND r_start <=
+    l_end``; closed bounds, integer columns) — the scale-safe alternative
+    to what Spark plans for a raw inequality join: a broadcast-nested-loop
+    over the full cross product.
+
+    Both sides explode their intervals into fixed-width bins
+    (``sequence(start div bin, end div bin)``) and equi-join on the bin, so
+    only temporally-close rows ever meet, and AQE/skew handling applies
+    because it IS an equi-join. A pair overlapping several shared bins is
+    emitted exactly once — from the bin containing ``greatest(l_start,
+    r_start)`` — so no distinct pass is needed afterwards.
+
+    Cost model: each row fans out to ``interval_len/bin_size + 1`` bin
+    rows; pick ``bin_size`` near the median interval length so the fan-out
+    stays O(1) per row. A pathologically long interval degrades to many
+    bins (never to a cross product); cap such outliers upstream if the
+    domain allows. Columns must be integers (epoch seconds/nanos) and
+    distinct between the two sides."""
+    lb = left.withColumn(
+        "_bin", F.explode(F.sequence(F.expr(f"`{l_start}` div {bin_size}"), F.expr(f"`{l_end}` div {bin_size}")))
+    )
+    rb = right.withColumn(
+        "_bin", F.explode(F.sequence(F.expr(f"`{r_start}` div {bin_size}"), F.expr(f"`{r_end}` div {bin_size}")))
+    )
+    pair_bin = F.expr(f"greatest(`{l_start}`, `{r_start}`) div {bin_size}")
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == pair_bin)
+        )
+        .drop("_bin")
+    )

@@ -2961,3 +2961,56 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(emb, n_centroids=_PQ_KSUB)
     cbs = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     return ivfpq_search(emb, cents, cbs, [1.0] * 64, k=10, nprobe=_IVFPQ_NPROBE)
+
+
+@query(
+    "q_interval_overlap",
+    """
+    WITH spans AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_id,
+               min(epoch_ns(ts)) AS s_start, max(epoch_ns(ts)) AS s_end
+        FROM events GROUP BY 1, 2
+    ),
+    inc AS (
+        SELECT event_id, epoch_ns(ts) AS i_start,
+               epoch_ns(ts) + 3600000000000 AS i_end
+        FROM events WHERE event_type = 'error' AND value >= 18.0
+    )
+    SELECT i.event_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM inc i JOIN spans s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY 1
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap join: per-(user, day) activity spans vs
+    1-hour incident windows around high-value error events. The bin-explode
+    + equi-join plan replaces the BroadcastNestedLoopJoin Spark would pick
+    for the raw inequality predicate — at 100 TB the cross product is fatal
+    while the binned join shuffles only (bin, row) pairs. Exactly-once pair
+    emission (the greatest-start bin) means no distinct pass. All-integer
+    nanos arithmetic keeps both engines bit-identical."""
+    from vectorflow_spark.operators.joins import interval_overlap_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.expr("ts div 86400000000000").alias("day_id")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    inc = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") >= 18.0))
+        .select(
+            "event_id",
+            F.col("ts").alias("i_start"),
+            (F.col("ts") + F.lit(3_600_000_000_000)).alias("i_end"),
+        )
+    )
+    pairs = interval_overlap_join(
+        inc, spans, "i_start", "i_end", "s_start", "s_end", bin_size=3_600_000_000_000
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
