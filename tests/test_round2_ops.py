@@ -260,3 +260,62 @@ def test_interval_overlap_join_equals_bruteforce(spark):
     )
     assert got == brute
     assert len(got) == len(set(got))  # exactly-once emission
+
+
+def test_zorder_write_localizes_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout must give BOTH key columns narrow per-file ranges;
+    a single-column sort only localizes its own column."""
+    from vectorflow_spark.operators.layout import zorder_write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c0"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("c1"),
+    )
+    glob = o.agg(
+        (F.max("c0") - F.min("c0")).alias("s0"), (F.max("c1") - F.min("c1")).alias("s1")
+    ).first()
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(o, zpath, ["c0", "c1"], bits=16, num_files=16)
+
+    spans = (
+        spark.read.parquet(zpath)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(
+            (F.max("c0") - F.min("c0")).alias("s0"),
+            (F.max("c1") - F.min("c1")).alias("s1"),
+        )
+        .agg(F.avg("s0").alias("a0"), F.avg("s1").alias("a1"))
+        .first()
+    )
+    assert spans.a0 < 0.7 * glob.s0
+    assert spans.a1 < 0.7 * glob.s1
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: squared pairwise distances survive 64->16 projection
+    up to bounded distortion (loose bounds — k=16 is a coarse sketch)."""
+    from vectorflow_spark.operators.similarity import random_projection
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 20)
+    )
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj: dict[int, list[float]] = {}
+    for r in random_projection(emb).collect():
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim_id] = r.value
+
+    ids = sorted(orig)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            do = sum((x - y) ** 2 for x, y in zip(orig[ids[a]], orig[ids[b]]))
+            dp = sum((x - y) ** 2 for x, y in zip(proj[ids[a]], proj[ids[b]]))
+            if do > 0:
+                ratios.append(dp / do)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3           # unbiased on average
+    assert all(0.2 < r < 3.0 for r in ratios)

@@ -1,0 +1,96 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+Parquet pruning is one-dimensional: sorting by ``a`` gives tight per-file
+min/max for ``a`` and useless ranges for ``b``. Interleaving the bits of
+several key columns into one Morton code and range-partitioning + sorting
+by it gives every participating column LOCALLY NARROW ranges in every
+file, so min/max (and partition-level) pruning works for predicates on ANY
+of the dimensions — the standard lakehouse layout for a 100 TB fact table
+queried by more than one key (same idea as Delta/Iceberg OPTIMIZE ZORDER,
+built here from public Spark primitives only).
+
+The z-value is a pure integer expression (shift/mask/or terms, one per
+(column, bit) pair — all inside WholeStageCodegen); the layout write is
+one ``repartitionByRange`` (range exchange with sampled bounds) plus an
+in-partition sort, i.e. exactly the cost of a global sort by one column.
+
+Inputs are masked to ``bits`` low bits so the expression is total; callers
+bucketize wider domains first (e.g. epoch-days, id mod 2^bits, or a
+quantile rank for skewed/continuous columns).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue", "zorder_write"]
+
+
+def zvalue(cols: list[str], bits: int = 16) -> Column:
+    """Morton code: bit ``j`` of column ``i`` lands at position
+    ``j * n_cols + i``. Deterministic integer math — the same expression is
+    writable in ANSI SQL, which is what q_zorder_key hash-checks."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError("bits * n_cols must fit in a signed 64-bit value")
+    terms = [
+        F.shiftleft(
+            F.shiftright(F.col(c).cast("long"), j).bitwiseAND(F.lit(1).cast("long")),
+            j * n + i,
+        )
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    normalize: bool = True,
+) -> None:
+    """Write ``df`` clustered by the Morton code of ``cols``: range-
+    partition on the z-value (co-locates z-neighbors in the same file) and
+    sort within each file (tightens row-group min/max). The z column
+    itself is dropped — it exists to arrange rows, not to be stored.
+
+    ``normalize`` (default on) first min-max-scales every column onto the
+    full ``[0, 2^bits)`` range via one cheap agg job. Without it, a column
+    whose domain uses fewer bits than the others contributes only LOW
+    z-bits, so file splits (which cut on high bits) never localize it —
+    interleaving is only fair when all dimensions have equal bit width.
+    Inputs must fit ``(col - min) * 2^bits`` in a signed 64-bit long."""
+    work = df
+    zcols = list(cols)
+    if normalize:
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        top = (1 << bits) - 1
+        zcols = []
+        for c in cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            span = max(int(mx) - int(mn), 1)
+            work = work.withColumn(
+                f"_zn_{c}",
+                F.expr(f"((`{c}` - {int(mn)}) * {top}) div {span}").cast("long"),
+            )
+            zcols.append(f"_zn_{c}")
+    zed = work.withColumn("_z", zvalue(zcols, bits)).drop(
+        *[c for c in zcols if c not in cols]
+    )
+    parts = (
+        zed.repartitionByRange(num_files, "_z")
+        if num_files
+        else zed.repartitionByRange("_z")
+    )
+    parts.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)

@@ -432,3 +432,40 @@ def ivfpq_search(
     probes = probe_clusters(centroids, query, nprobe)
     cand = codes.filter(F.col("cluster").isin(probes)).drop("cluster")
     return pq_adc_topk(cand, codebooks, query, k, id_col)
+
+
+def projection_planes(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss projection matrix: ``out_dim``
+    rows of uniform[-1,1] entries (variance 1/3) from the E3 generator
+    under a dedicated salt, scaled at apply time by sqrt(3/out_dim) so
+    squared distances are preserved in expectation."""
+    return [deterministic_embedding(f"randproj-{j}", in_dim) for j in range(out_dim)]
+
+
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL dimensionality reduction 64 -> 16: one literal-folded projection
+    (out_dim sequential-fold dot products per row), no shuffle, no Python.
+    The cheap half of embedding-table compression at 100 TB — 4x fewer
+    floats per vector with distance distortion bounded by JL — and the
+    standard preprocessing before brute-force/IVF at high dim.
+
+    Output is kept as scalar (vec_id, dim_id, value) rows rounded to 9 dp:
+    the scale multiplier is the identical double literal in the Spark plan
+    and the oracle SQL, so values are bit-reproducible engine-to-engine."""
+    scale = (3.0 / out_dim) ** 0.5
+    planes = projection_planes(in_dim, out_dim)
+    vals = F.array(
+        *[
+            F.round(dot(F.col(vec_col), _const_vec(p)) * F.lit(scale), 9)
+            for p in planes
+        ]
+    )
+    return vectors.select(
+        id_col, F.posexplode(vals).alias("dim_id", "value")
+    )

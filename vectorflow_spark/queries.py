@@ -3014,3 +3014,66 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def _random_projection_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    from vectorflow_spark.operators.similarity import projection_planes
+
+    scale = repr((3.0 / out_dim) ** 0.5)
+    rows = []
+    for j, p in enumerate(projection_planes(in_dim, out_dim)):
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {consts}),"
+            f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+        rows.append(f"SELECT vec_id, {j} AS dim_id, round({dot} * {scale}, 9) AS value FROM embeddings")
+    return (
+        "SELECT vec_id, CAST(dim_id AS INT) AS dim_id, value FROM ("
+        + " UNION ALL ".join(rows)
+        + ")"
+    )
+
+
+@query("q_random_projection", _random_projection_sql())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic uniform[-1,1] matrix: 4x embedding compression as one
+    literal-folded projection. Emitted as scalar (vec_id, dim_id, value)
+    rows for engine-to-engine hashing."""
+    from vectorflow_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    return random_projection(emb, out_dim=16, in_dim=64)
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = []
+    for i, c in enumerate(("c0", "c1")):
+        terms += [f"((({c} >> {j}) & 1) << {j * 2 + i})" for j in range(bits)]
+    z = " | ".join(terms)
+    return f"""
+    SELECT o_orderkey, {z} AS zval
+    FROM (
+        SELECT o_orderkey, o_custkey AS c0,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS c1
+        FROM orders
+    )
+    """
+
+
+@query("q_zorder_key", _zorder_sql())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day): the
+    layout key that gives BOTH columns tight per-file min/max ranges when
+    the table is range-partitioned and sorted by it (operators/layout.py
+    zorder_write) — multi-dimensional pruning for a fact table queried by
+    either key. Pure integer bit-interleave, bit-identical across engines."""
+    from vectorflow_spark.operators.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c0"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("c1"),
+    )
+    return o.select("o_orderkey", zvalue(["c0", "c1"], bits=16).alias("zval"))
