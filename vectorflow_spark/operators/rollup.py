@@ -46,3 +46,32 @@ def upload_report(manifest: DataFrame, class_col: str = "outcome") -> DataFrame:
     """A4: per-request ingest report — counts by outcome class (successful /
     failed / empty_file / duplicate_file, reference src/api/app.py:88-147)."""
     return manifest.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: (column_name, n_rows, n_nulls,
+    n_distinct) per column — the stats that drive layout choices (z-order
+    candidates, broadcast thresholds, skew detection) and that a catalog
+    would persist for CBO.
+
+    One aggregation job for the whole table: Catalyst plans the
+    multi-distinct via a single Expand (#cols replicas of each row,
+    map-side partial aggregation applies), which is the exact-count scale
+    ceiling — at 100 TB you'd flip the distinct counts to HLL
+    (approx_count_distinct) and keep the same one-pass shape; counts are
+    kept exact here so the result is engine-hashable. The wide->long
+    reshape runs on the single aggregated row, not on data."""
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n, _n - _nn_{c}, _nd_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )

@@ -3077,3 +3077,31 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("c1"),
     )
     return o.select("o_orderkey", zvalue(["c0", "c1"], bits=16).alias("zval"))
+
+
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = [
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_profile_table", _profile_sql())
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders in ONE aggregation pass (Expand +
+    map-side-combined multi-distinct) — the stats feed that layout and
+    join-strategy decisions read."""
+    from vectorflow_spark.operators.rollup import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
