@@ -319,3 +319,45 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3           # unbiased on average
     assert all(0.2 < r < 3.0 for r in ratios)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min property: estimate >= true count for every key, and a
+    sketch built from unioned halves equals the whole-data sketch
+    (mergeability)."""
+    from vectorflow_spark.operators.sketches import cms_build, cms_estimate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    truth = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+    est = {r.user_id: r.est for r in cms_estimate(sketch, keys, "user_id").collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+
+    h1 = ev.filter(F.col("user_id") % 2 == 0)
+    h2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = (
+        cms_build(h1, "user_id").unionByName(cms_build(h2, "user_id"))
+        .groupBy("row_id", "col_id").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.row_id, r.col_id): r.cnt for r in sketch.collect()}
+    got = {(r.row_id, r.col_id): r.cnt for r in merged.collect()}
+    assert got == whole
+
+
+def test_snapshot_diff_classifies(spark):
+    from vectorflow_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 changed (string), 3 changed (NULL -> value), 4 removed, 5 added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}

@@ -3105,3 +3105,119 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.operators.rollup import profile_table
 
     return profile_table(_t(spark, sf_dir, "orders"))
+
+
+_CMS_SEEDS_CTE = """
+    seeds AS (SELECT unnest(range(0, 4)) AS seed),
+    cells AS (
+        SELECT s.seed AS row_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(s.seed AS VARCHAR)), 1, 7))::BIGINT % 64 AS col_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN seeds s
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "q_cms_cells",
+    f"""
+    WITH {_CMS_SEEDS_CTE}
+    SELECT CAST(row_id AS INT) AS row_id, col_id, cnt FROM cells
+    """,
+)
+def q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build over event user ids (4x64 grid): the shuffle
+    carries at most depth*width cell rows per partition after map-side
+    combine — sketch-sized, not data-sized — and the result is mergeable
+    across any partitioning of the input. Portable md5-substring hashing
+    keeps every counter integer-exact across engines."""
+    from vectorflow_spark.operators.sketches import cms_build
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return cms_build(ev, "user_id", depth=4, width=64)
+
+
+@query(
+    "q_cms_estimate",
+    f"""
+    WITH {_CMS_SEEDS_CTE},
+    users AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY 1
+    ),
+    addr AS (
+        SELECT u.user_id, s.seed AS row_id,
+               ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|' || CAST(s.seed AS VARCHAR)), 1, 7))::BIGINT % 64 AS col_id
+        FROM users u CROSS JOIN seeds s
+    ),
+    est AS (
+        SELECT a.user_id, min(c.cnt) AS est
+        FROM addr a JOIN cells c ON a.row_id = c.row_id AND a.col_id = c.col_id
+        GROUP BY 1
+    )
+    SELECT u.user_id, e.est, u.true_n
+    FROM users u JOIN est e ON u.user_id = e.user_id
+    """,
+)
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates vs ground truth for every user: min over
+    the d addressed counters, never an undercount. The sketch side of the
+    join is broadcast (d*w rows by construction)."""
+    from vectorflow_spark.operators.sketches import cms_build, cms_estimate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_estimate(sketch, users.select("user_id"), "user_id", depth=4, width=64)
+    return users.join(est, "user_id").select("user_id", "est", "true_n")
+
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    n AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 != 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 5
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice != n.o_totalprice
+                     OR o.o_orderstatus != n.o_orderstatus THEN 'changed'
+           END AS change
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice != n.o_totalprice
+          OR o.o_orderstatus != n.o_orderstatus
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between orders and a simulated next ingest (drops
+    every 97th key, bumps prices on keys =3 mod 7, re-keys every 101st as
+    new rows): one digest-compressed full-outer join classifying
+    added/removed/changed; unchanged keys die inside the join. The oracle
+    classifies by comparing raw values — digest vs value comparison
+    agreeing IS the check that the digest faithfully detects change."""
+    from vectorflow_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    retained = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 101 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+    )
+    new = retained.unionByName(added)
+    return snapshot_diff(o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
