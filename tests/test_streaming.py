@@ -277,3 +277,55 @@ class TestSessionize:
         # and the state machinery works; closed-session values are covered
         # by the batch-equivalent test above
         assert q.exception() is None
+
+
+class TestStreamingSketch:
+    def test_streaming_cms_matches_batch_and_is_idempotent(self, spark, tmp_path):
+        """Per-batch sketch deltas merged over the stream must equal the
+        batch-built sketch; re-writing a batch's delta (replay) changes
+        nothing because the delta path is keyed by batch_id."""
+        import json as _json
+
+        from vectorflow_spark.operators.sketches import cms_build
+        from vectorflow_spark.streaming.pipeline import read_cms, streaming_cms
+
+        inp = tmp_path / "keys"
+        inp.mkdir()
+        for fno in range(3):
+            with open(inp / f"f{fno}.json", "w") as f:
+                for i in range(40):
+                    f.write(_json.dumps({"user_id": (i * 7 + fno) % 11}) + "\n")
+
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = streaming_cms(
+            stream,
+            "user_id",
+            str(tmp_path / "sketch"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.row_id, r.col_id): r.cnt
+            for r in read_cms(spark, str(tmp_path / "sketch")).collect()
+        }
+        batch = spark.read.schema("user_id long").json(str(inp))
+        want = {
+            (r.row_id, r.col_id): r.cnt for r in cms_build(batch, "user_id").collect()
+        }
+        assert got == want
+
+        # replay batch 0: overwrite its delta path again, totals unchanged
+        first = spark.read.schema("user_id long").json(str(inp / "f0.json"))
+        cms_build(first, "user_id").write.mode("overwrite").parquet(
+            str(tmp_path / "sketch" / "batch_id=0")
+        )
+        again = {
+            (r.row_id, r.col_id): r.cnt
+            for r in read_cms(spark, str(tmp_path / "sketch")).collect()
+        }
+        assert again == want

@@ -627,3 +627,45 @@ def incremental_dedup(
         .distinct()
     )
     return new_docs.join(suspects, doc_col, "left_anti")
+
+
+def blocked_edit_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Record linkage / fuzzy entity matching: candidate pairs whose
+    ``name_col`` values are within ``max_dist`` Levenshtein edits,
+    generated ONLY within equal ``block`` values (first token, phonetic
+    key, length band, ...) — the classic blocking design that turns the
+    O(n^2) all-pairs comparison into an equi-self-join per block.
+
+    Scale shape: one shuffle on the block key; cost is sum of block^2, so
+    the blocking expression is the scale knob (compose several AND-ed
+    block keys to shrink blocks; a skewed block is a salting candidate,
+    operators/joins — same playbook as the LSH posting lists in this
+    module, dedup.py:158-214). Levenshtein runs JVM-side (codegen'd) and
+    identically in ANSI SQL engines, so pairs are oracle-checkable.
+
+    Returns (a_id, b_id, a_name, b_name, dist) with a_id < b_id so each
+    pair appears once."""
+    a = records.select(
+        F.col(id_col).alias("a_id"),
+        F.col(name_col).alias("a_name"),
+        block.alias("_blk"),
+    )
+    b = records.select(
+        F.col(id_col).alias("b_id"),
+        F.col(name_col).alias("b_name"),
+        block.alias("_blk"),
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .drop("_blk")
+    )

@@ -3221,3 +3221,33 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = retained.unionByName(added)
     return snapshot_diff(o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+    )
+    SELECT a.p_name AS a_name, CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY 1, 2
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over part names: block on the first token,
+    Levenshtein <= 2 within blocks, aggregated to (name, distance) pair
+    counts. The blocked self-join is one shuffle on the block key — never
+    the all-pairs cross product — and the edit distance is JVM codegen
+    shared bit-for-bit with the SQL oracle."""
+    from vectorflow_spark.operators.dedup import blocked_edit_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = blocked_edit_pairs(
+        p, "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)), max_dist=2
+    )
+    return pairs.groupBy(
+        F.col("a_name"), F.col("dist").cast("int").alias("dist")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -234,3 +234,47 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800, ts_col: str = "
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def streaming_cms(
+    stream: DataFrame,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 64,
+):
+    """Maintain a count-min sketch over a stream: each micro-batch writes
+    its own sketch DELTA to ``sketch_dir/batch_id=N`` (overwrite — replays
+    of the same batch after a failure land on the same path, so
+    at-least-once delivery still yields exactly-once counts), and readers
+    merge deltas by summing cells. Mergeability is the whole point of the
+    sketch: the per-batch write is bounded by d*w cells regardless of
+    batch size, and no read-modify-write of global state ever happens —
+    the commutative merge replaces transactional state.
+
+    Returns the started StreamingQuery (availableNow trigger is the
+    caller's choice via .trigger on the returned query's writeStream —
+    here we start with whatever the default trigger is)."""
+    from vectorflow_spark.operators.sketches import cms_build
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch_df, key_col, depth, width)
+        delta.write.mode("overwrite").parquet(f"{sketch_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark, sketch_dir: str) -> DataFrame:
+    """Merge all per-batch sketch deltas into the current global sketch:
+    one sum over <= n_batches * d * w tiny rows."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
