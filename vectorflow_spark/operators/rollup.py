@@ -75,3 +75,52 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS (column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+def rolling_zscore_flags(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    window_rows: int = 20,
+    min_history: int = 10,
+    z_threshold: int = 3,
+    quant: int = 100,
+) -> DataFrame:
+    """Per-key rolling anomaly flags: is the current value more than
+    ``z_threshold`` standard deviations from the trailing-window mean?
+
+    The z-test is evaluated ENTIRELY in integer arithmetic: values are
+    quantized to ``1/quant`` units, and ``|x - mu| > z * sigma`` is squared
+    and cleared of divisions into
+
+        (x*n - s)^2 > z^2 * (n*ss - s^2)
+
+    with s = sum, ss = sum of squares over the window — no float mean, no
+    float sqrt, so the flags are bit-identical across engines and immune
+    to accumulation-order noise (a float stddev differs between Spark and
+    DuckDB in the last ulp, which is exactly where a threshold comparison
+    flips). One shuffle on the key; the window sums are O(1) per row.
+    ``min_history`` suppresses flags until the window has enough rows for
+    the statistic to mean anything."""
+    from pyspark.sql import Window
+
+    q = F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    base = events.withColumn("_q", q)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("_q").over(w)
+    ss = F.sum(F.col("_q") * F.col("_q")).over(w)
+    lhs = (F.col("_q") * n - s) * (F.col("_q") * n - s)
+    rhs = F.lit(z_threshold * z_threshold) * (n * ss - s * s)
+    return base.select(
+        key_col,
+        id_col,
+        F.col("_q").alias("qvalue"),
+        ((lhs > rhs) & (n >= min_history)).alias("is_anomaly"),
+    )

@@ -3251,3 +3251,35 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.col("a_name"), F.col("dist").cast("int").alias("dist")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "q_rolling_anomaly",
+    """
+    WITH q AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_n,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, qv,
+               count(*) OVER w AS n, sum(qv) OVER w AS s, sum(qv * qv) OVER w AS ss
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_n, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, qv AS qvalue,
+           ((qv * n - s) * (qv * n - s) > 9 * (n * ss - s * s)) AND n >= 10 AS is_anomaly
+    FROM stats
+    """,
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly flags over a 20-event trailing
+    window, evaluated in exact integer space — the division- and sqrt-free
+    form (x*n - s)^2 > z^2 (n*ss - s^2) cannot flip on engine fold-order
+    noise, which float stddev thresholds do. One shuffle on user_id."""
+    from vectorflow_spark.operators.rollup import rolling_zscore_flags
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore_flags(ev)
