@@ -186,6 +186,7 @@ def minhash_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     num_hashes: int = 16,
     max_bucket: int = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band-bucket collisions.
 
@@ -217,9 +218,9 @@ def minhash_candidate_pairs(
     keeps the single exchange."""
     from pyspark.sql import Window
 
-    bb = lsh_band_buckets(
-        minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
-    )
+    if signatures is None:
+        signatures = minhash_signatures(docs, doc_col, text_col, n, num_hashes)
+    bb = lsh_band_buckets(signatures, doc_col, bands, num_hashes)
     w = Window.partitionBy("band", "bucket").orderBy(doc_col)
     capped = (
         bb.withColumn("_rn", F.row_number().over(w))
@@ -267,9 +268,9 @@ def minhash_candidate_edges(
     every candidate pair); use this when the product is dedup GROUPS."""
     from pyspark.sql import Window
 
-    bb = lsh_band_buckets(
-        minhash_signatures(docs, doc_col, text_col, n, num_hashes), doc_col, bands, num_hashes
-    )
+    if signatures is None:
+        signatures = minhash_signatures(docs, doc_col, text_col, n, num_hashes)
+    bb = lsh_band_buckets(signatures, doc_col, bands, num_hashes)
     w = Window.partitionBy("band", "bucket").orderBy(doc_col)
     capped = (
         bb.withColumn("_rn", F.row_number().over(w))
@@ -668,4 +669,46 @@ def blocked_edit_pairs(
         .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
         .drop("_blk")
+    )
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Estimated Jaccard similarity for every LSH candidate pair: the
+    fraction of agreeing minhash signature components. Returns
+    (a, b, n_agree int, jaccard_est double) — the estimate is the small
+    rational n_agree/num_hashes, exact in double on any engine.
+
+    This is the cheap verify step between candidate generation and the
+    exact n-gram Jaccard join (``jaccard_pairs``): signatures are already
+    materialized, so scoring a pair costs k integer compares against
+    re-shingling both documents. Plan: candidate pairs (single-shuffle
+    posting lists) + two broadcast-friendly joins back to the signature
+    table keyed by doc id; no new shuffle shape at 100 TB — signatures
+    partition by doc id, pairs by (a, b)."""
+    sig = minhash_signatures(docs, doc_col, text_col, n, num_hashes)
+    pairs = minhash_candidate_pairs(
+        docs, doc_col, text_col, n, bands, num_hashes, max_bucket, signatures=sig
+    )
+    sa = sig.select(F.col(doc_col).alias("a"), *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(doc_col).alias("b"), *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            agree.cast("int").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
     )

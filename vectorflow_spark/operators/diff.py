@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_digest", "snapshot_diff"]
+__all__ = ["row_digest", "scd2_apply", "snapshot_diff"]
 
 
 def row_digest(cols: list[str]) -> Column:
@@ -55,4 +55,79 @@ def snapshot_diff(
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    effective_ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply ``updates`` (one row
+    per key, attribute columns only) to a versioned dimension ``current``
+    (attribute columns + valid_from/valid_to, open rows have
+    valid_to IS NULL) as of ``effective_ts`` (a Column or literal).
+
+    Emitted rows:
+      * closed history rows of ``current`` — untouched;
+      * open rows whose key is absent from updates, or present with an
+        identical attribute digest — untouched;
+      * open rows whose update differs — CLOSED with valid_to=effective;
+      * one new OPEN row per changed or brand-new key.
+
+    Plan at scale: digests collapse the comparison to one 32-byte column
+    per side, the single full-outer join on the key is the only shuffle,
+    and each branch is a filter over that join's output (Catalyst shares
+    the join across the union via plan reuse). This is the MERGE INTO
+    WHEN MATCHED/NOT MATCHED shape expressed as a pure DataFrame plan —
+    no table format required, so it runs identically over parquet
+    snapshots."""
+    eff = effective_ts if not isinstance(effective_ts, str) else F.lit(effective_ts).cast("timestamp")
+    open_rows = current.filter(F.col(valid_to_col).isNull())
+    closed_rows = current.filter(F.col(valid_to_col).isNotNull())
+
+    cur_d = open_rows.withColumn("_cur_digest", row_digest(compare_cols))
+    upd_d = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in compare_cols],
+    ).withColumn("_new_digest", row_digest([f"_u_{c}" for c in compare_cols]))
+
+    j = cur_d.join(upd_d, key_cols, "full_outer")
+    matched_same = j.filter(
+        F.col("_cur_digest").isNotNull() & (F.col("_cur_digest") == F.col("_new_digest"))
+    )
+    matched_diff = j.filter(
+        F.col("_cur_digest").isNotNull()
+        & F.col("_new_digest").isNotNull()
+        & (F.col("_cur_digest") != F.col("_new_digest"))
+    )
+    cur_only = j.filter(F.col("_new_digest").isNull())
+    upd_new = j.filter(F.col("_cur_digest").isNull())
+
+    keep_cols = [*key_cols, *compare_cols, valid_from_col, valid_to_col]
+    unchanged = matched_same.select(*keep_cols).unionByName(cur_only.select(*keep_cols))
+    closed = matched_diff.select(
+        *key_cols,
+        *compare_cols,
+        F.col(valid_from_col),
+        eff.alias(valid_to_col),
+    )
+    opened = (
+        matched_diff.unionByName(upd_new, allowMissingColumns=False)
+        .select(
+            *key_cols,
+            *[F.col(f"_u_{c}").alias(c) for c in compare_cols],
+            eff.alias(valid_from_col),
+            F.lit(None).cast(current.schema[valid_to_col].dataType).alias(valid_to_col),
+        )
+    )
+    return (
+        closed_rows.select(*keep_cols)
+        .unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(opened)
     )

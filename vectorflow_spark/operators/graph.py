@@ -1,0 +1,95 @@
+"""Graph shape statistics over candidate-pair edge sets.
+
+The dedup family (operators/dedup.py) emits candidate-pair GRAPHS —
+minhash/LSH edges, simhash Hamming-ball edges — and connected components
+turns them into groups. Triangle count is the standard cohesion metric on
+those graphs: near-dup clusters that are real duplicates triangulate
+densely, while hash-collision noise produces stars with few triangles.
+
+Algorithm: degree-ordered node-iterator (the MapReduce-standard scheme,
+cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+Reducer", WWW'11). Orient every undirected edge from its lower-ranked to
+its higher-ranked endpoint under the total order (degree, id); each
+triangle {u,v,w} then has EXACTLY ONE wedge (u->v, u->w) whose closing
+edge v->w is also oriented forward, so a wedge self-join + one edge join
+counts each triangle once. The orientation bounds the wedge explosion by
+the graph's arboricity: every node's out-degree is O(sqrt(m)) regardless
+of how skewed the raw degree distribution is — the property that makes
+this safe on a 100 TB edge set where a celebrity node would otherwise
+generate degree^2 wedges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["orient_edges", "triangle_count"]
+
+# rank = degree * RANK_BASE + id gives a single comparable int64 for the
+# (degree, id) total order; ids must be < RANK_BASE.
+RANK_BASE = 1_000_000_000
+
+
+def orient_edges(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Orient undirected (a, b) edges low-rank -> high-rank under the
+    (degree, id) total order. Input must be canonical (a < b, distinct);
+    output columns (src, dst, dst_rank).
+
+    Degrees are one map-side-combinable aggregation over the exploded
+    endpoints; the two rank lookups join back on the endpoint id."""
+    deg = (
+        edges.select(F.explode(F.array(a_col, b_col)).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg") * F.lit(RANK_BASE) + F.col("node")).alias("rank"),
+        )
+    )
+    ra = deg.select(F.col("node").alias("_na"), F.col("rank").alias("_ra"))
+    rb = deg.select(F.col("node").alias("_nb"), F.col("rank").alias("_rb"))
+    e = (
+        edges.join(ra, F.col(a_col) == F.col("_na"))
+        .join(rb, F.col(b_col) == F.col("_nb"))
+    )
+    fwd = F.col("_ra") < F.col("_rb")
+    return e.select(
+        F.when(fwd, F.col(a_col)).otherwise(F.col(b_col)).alias("src"),
+        F.when(fwd, F.col(b_col)).otherwise(F.col(a_col)).alias("dst"),
+        F.greatest(F.col("_ra"), F.col("_rb")).alias("dst_rank"),
+    )
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Count triangles in the undirected graph given by canonical (a, b)
+    pairs. Returns one row: (n_nodes, n_edges, n_triangles).
+
+    Plan: orient (two broadcast-able rank joins), wedge self-join on src
+    (out-adjacency only — arboricity-bounded), then one join probing the
+    wedge's closing edge; every shuffle keys on a node id. No driver-side
+    iteration and no crossJoin anywhere."""
+    directed = orient_edges(edges, a_col, b_col)
+    lo = directed.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("w_lo"), F.col("dst_rank").alias("_lo_rank")
+    )
+    hi = directed.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("w_hi"), F.col("dst_rank").alias("_hi_rank")
+    )
+    wedges = lo.join(hi, "w_src").filter(F.col("_lo_rank") < F.col("_hi_rank"))
+    closing = directed.select(F.col("src").alias("w_lo"), F.col("dst").alias("w_hi"))
+    tri = wedges.join(closing, ["w_lo", "w_hi"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    nodes = (
+        edges.select(F.explode(F.array(a_col, b_col)).alias("node"))
+        .agg(F.count_distinct(F.col("node")).alias("n_nodes"))
+    )
+    return (
+        nodes.join(F.broadcast(stats))
+        .join(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

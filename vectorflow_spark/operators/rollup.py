@@ -124,3 +124,33 @@ def rolling_zscore_flags(
         F.col("_q").alias("qvalue"),
         ((lhs > rhs) & (n >= min_history)).alias("is_anomaly"),
     )
+
+
+def width_bucket_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi): (bin, bin_lo, bin_hi, cnt) with
+    underflow clamped into bin 0 and overflow into bin nbins-1 (SQL
+    width_bucket semantics minus the sentinel buckets). One map-side-
+    combinable aggregation over at most ``nbins`` groups — the shuffle
+    carries the histogram, not the data, so it is 100 TB-safe by
+    construction. Bin edges are double literals folded by Catalyst."""
+    width = (hi - lo) / nbins
+    bin_expr = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    return (
+        df.groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cell_expr", "cms_build", "cms_estimate"]
+__all__ = ["cms_cell_expr", "cms_build", "cms_estimate", "cms_heavy_hitters"]
 
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 64
@@ -100,3 +100,25 @@ def cms_estimate(
         0, subset=["cnt"]
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Keys whose count-min ESTIMATE meets ``threshold`` — the sketch-side
+    heavy-hitter report. Because estimates never undercount, this set is a
+    SUPERSET of the true heavy hitters (no false negatives, bounded false
+    positives: P[overcount > 2N/w] <= (1/2)^d per key); callers needing the
+    exact set verify the survivors with one exact count over this usually
+    tiny key list. Plan: sketch build (sketch-sized shuffle) + estimate of
+    each distinct key (broadcast of the d*w cell table) + filter; the
+    distinct-key aggregation is the only data-sized exchange and is
+    map-side combined."""
+    sketch = cms_build(df, key_col, depth, width)
+    keys = df.select(key_col).distinct()
+    est = cms_estimate(sketch, keys, key_col, depth, width)
+    return est.filter(F.col("est") >= threshold)

@@ -431,3 +431,49 @@ def bpe_token_stats(
             9,
         ),
     )
+
+
+def word_entropy(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the lowercase whitespace-token
+    distribution — the information-density quality signal (boilerplate and
+    keyword-stuffed spam score low; natural prose scores ~7-10 bits).
+
+    H = log2(N) - (sum_t c_t * log2(c_t)) / N over token counts c_t.
+
+    Cross-engine determinism: the inner sum is a SEQUENTIAL LEFT FOLD over
+    the (count, token)-sorted count list — Spark ``aggregate`` and DuckDB
+    ``list_reduce`` both fold left over an identically ordered list, so
+    the float accumulation order is pinned (a plain SUM would let each
+    engine add in its own partition order). The result is rounded to
+    ``round_to`` decimals to absorb last-ulp log2 differences between
+    libm implementations.
+
+    Plan at scale: explode -> (doc, token) count -> per-doc sorted
+    collect. Two shuffles; the collected list is vocabulary-sized per doc
+    (bounded by document length, the same bound every per-doc operator
+    here carries)."""
+    toks = docs.select(
+        F.col(doc_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy(doc_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy(doc_col).agg(
+        F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("_cs"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    inner = F.aggregate(
+        "_cs",
+        F.lit(0.0).cast("double"),
+        lambda acc, c: acc + c["cnt"].cast("double") * F.log2(c["cnt"].cast("double")),
+    )
+    h = F.log2(F.col("n_tokens").cast("double")) - inner / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        doc_col,
+        F.col("n_tokens"),
+        F.round(h, round_to).alias("entropy_bits"),
+    )

@@ -49,6 +49,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> Data
     partitions for CPU-bound stages rather than scan bytes; the shuffle
     moves ~MBs locally and is dwarfed by the work it parallelizes."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts arrives as parquet timestamp (read as TIMESTAMP_NTZ);
+        # every consumer here does integer time arithmetic, so present it
+        # uniformly as epoch NANOS (bigint). The session timezone is UTC,
+        # so the ntz->timestamp cast is value-preserving, and the *1000
+        # matches DuckDB's epoch_ns() on the same micro-precision values.
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("bigint")
+        )
     if split:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
@@ -1144,7 +1153,6 @@ def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal-exact accumulation; one shuffle on user_id."""
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     # ts arrives as raw BIGINT nanos (legacy conf, see q_events_window);
     # integer `div` keeps the conversion exact — nanos exceed 2^53, so a
@@ -1180,7 +1188,6 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     rejects; read it as raw nanos (legacy conf) and bucket arithmetically —
     integer hour ids are also timezone-proof across engines."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.expr("ts div 3600000000000").alias("hour_id"), "event_type"
@@ -1356,7 +1363,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader truncates TIMESTAMP(NANOS) to us)."""
     from vectorflow_spark.operators.joins import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
     views = (
@@ -1393,7 +1399,6 @@ def q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward ASOF."""
     from vectorflow_spark.operators.joins import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
     views = (
@@ -1463,7 +1468,6 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over the event stream: (hour, type) -> hourly
     subtotal -> grand total in one pass (Spark expands to a single hash agg
     with grouping-id; no per-level rescan)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.rollup(
         F.expr("ts div 3600000000000").alias("hour_id"), F.col("event_type")
@@ -1497,7 +1501,6 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     within partitions."""
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
@@ -1526,7 +1529,6 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (the reference's json.loads message parsing,
     SURVEY.md §2.12 scalar-functions row) aggregated per event type."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1712,7 +1714,6 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id; window + rollup run within partitions."""
     from vectorflow_spark.streaming.pipeline import sessionize_batch
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000000000").alias("ts")
     )
@@ -1898,7 +1899,6 @@ def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort is in-partition. Integer epoch-seconds keep it exact."""
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_s")
     )
@@ -2021,7 +2021,6 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-scan job it would otherwise run to discover them; the plan is
     then a single hash aggregation with one conditional count per column —
     the same shape as the oracle's FILTER clauses."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     out = (
         ev.select(F.expr("ts div 3600000000000").alias("hour_id"), "event_type")
@@ -2048,7 +2047,6 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — still map-side-combinable, so the shuffle carries
     4 x |groups| partials, not 4 x |rows|. grouping_id disambiguates
     aggregated NULLs from data NULLs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "event_type", (F.col("user_id") % 10).alias("user_mod")
     )
@@ -2075,7 +2073,6 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one. Result is identical to the unsalted join the oracle
     runs. (AQE skew-join splitting is the config-level fix; explicit
     salting is the pattern when the skew is known and extreme.)"""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     n_salt = 8
@@ -2164,7 +2161,6 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for cardinality at 100 TB where exact distinct would shuffle every
     key. Estimates are engine-specific, so this is a rows-only check; the
     exact twin q_distinct_agg is the hash-matched one."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -2994,7 +2990,6 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos arithmetic keeps both engines bit-identical."""
     from vectorflow_spark.operators.joins import interval_overlap_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     spans = ev.groupBy(
         "user_id", F.expr("ts div 86400000000000").alias("day_id")
@@ -3133,7 +3128,6 @@ def q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every counter integer-exact across engines."""
     from vectorflow_spark.operators.sketches import cms_build
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id")
     return cms_build(ev, "user_id", depth=4, width=64)
 
@@ -3165,7 +3159,6 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is broadcast (d*w rows by construction)."""
     from vectorflow_spark.operators.sketches import cms_build, cms_estimate
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id", depth=4, width=64)
     users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
@@ -3280,7 +3273,6 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, which float stddev thresholds do. One shuffle on user_id."""
     from vectorflow_spark.operators.rollup import rolling_zscore_flags
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return rolling_zscore_flags(ev)
 
@@ -3602,5 +3594,431 @@ def q_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pr"),
             F.cume_dist().over(w).alias("cd"),
             F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 batch B: event analytics, SCD2, graph stats, entropy, sketch HH
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_conversion",
+    """
+    WITH s0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s1 AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT 1, 'view', count(*) FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel signup -> view -> click -> purchase
+    over the events table: a user advances only via an event strictly
+    after their previous-stage conversion time. Single DataFrame plan (no
+    driver-side count per stage); every aggregation keys on user_id.
+    Timestamps are raw parquet nanos on the Spark side (the NANOS
+    timestamp the vectorized reader rejects) — pure comparisons, so the
+    integer reading is order-identical to DuckDB's native timestamps."""
+    from vectorflow_spark.operators.events import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["signup", "view", "click", "purchase"])
+
+
+@query(
+    "q_gap_fill",
+    """
+    WITH hourly AS (
+        SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_id,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS lo,
+               max(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT k.key, g.bucket_id
+        FROM (SELECT DISTINCT event_type AS key FROM events) k
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bucket_id FROM bounds) g
+    )
+    SELECT s.key, s.bucket_id,
+           CAST(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.key ORDER BY s.bucket_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+           h.v IS NULL AS was_gap
+    FROM spine s LEFT JOIN hourly h ON s.key = h.key AND s.bucket_id = h.bucket_id
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly per-type value sums on a dense hour
+    spine with LOCF carry-forward for quiet hours. The spine is generated
+    from a 1-row bound aggregate (no driver collect); sums are
+    decimal-exact; hour ids are integer nano arithmetic on the Spark side
+    and epoch division in DuckDB — the same integers."""
+    from vectorflow_spark.operators.events import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_locf(ev, F.expr("ts div 3600000000000"))
+
+
+@query(
+    "q_scd2_apply",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'SEG_FRESH' FROM customer WHERE c_custkey % 97 = 0
+    ),
+    unchanged AS (
+        SELECT c.* FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        WHERE u.c_custkey IS NULL OR u.c_mktsegment = c.c_mktsegment
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+               TIMESTAMP '2000-06-01' AS valid_to
+        FROM cur c JOIN upd u ON c.c_custkey = u.c_custkey
+        WHERE u.c_mktsegment != c.c_mktsegment
+    ),
+    opened AS (
+        SELECT u.c_custkey, u.c_mktsegment,
+               TIMESTAMP '2000-06-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM upd u LEFT JOIN cur c ON c.c_custkey = u.c_custkey
+        WHERE c.c_custkey IS NULL OR u.c_mktsegment != c.c_mktsegment
+    )
+    SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (the MERGE INTO WHEN
+    MATCHED/NOT MATCHED shape as a pure DataFrame plan): a deterministic
+    update batch against the customer dimension closes changed rows at
+    the effective date and opens new versions; brand-new keys insert
+    open rows. One digest-compressed full-outer join on the key is the
+    only shuffle. Updates derived arithmetically from customer so the
+    oracle reproduces them exactly."""
+    from vectorflow_spark.operators.diff import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("SEG_NEW"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("SEG_FRESH").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        current,
+        updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_mktsegment"],
+        effective_ts="2000-06-01",
+    )
+
+
+@query(
+    "q_triangle_count",
+    f"""
+    WITH edges AS ({_minhash_pairs_sql()}),
+    nodes AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges),
+    rk AS (
+        SELECT node, count(*) * 1000000000 + node AS rank
+        FROM nodes GROUP BY node
+    ),
+    directed AS (
+        SELECT CASE WHEN ra.rank < rb.rank THEN e.a ELSE e.b END AS src,
+               CASE WHEN ra.rank < rb.rank THEN e.b ELSE e.a END AS dst,
+               greatest(ra.rank, rb.rank) AS dst_rank
+        FROM edges e JOIN rk ra ON e.a = ra.node JOIN rk rb ON e.b = rb.node
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM directed l
+        JOIN directed h ON l.src = h.src AND l.dst_rank < h.dst_rank
+        JOIN directed d ON d.src = l.dst AND d.dst = h.dst
+    )
+    SELECT (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the minhash near-dup candidate graph — the
+    cohesion statistic separating real duplicate clusters (dense,
+    triangle-rich) from hash-collision stars. Degree-ordered node
+    iterator: wedge explosion bounded by arboricity (out-degree O(sqrt m)
+    after orientation), every shuffle keys on a node id, each triangle
+    counted exactly once at its lowest-rank vertex."""
+    from vectorflow_spark.operators.dedup import minhash_candidate_pairs
+    from vectorflow_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    pairs = minhash_candidate_pairs(docs)
+    return triangle_count(pairs)
+
+
+@query(
+    "q_numeric_histogram",
+    """
+    SELECT bin,
+           CAST(bin * 50000.0 AS DOUBLE) AS bin_lo,
+           CAST((bin + 1) * 50000.0 AS DOUBLE) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT least(11, greatest(0, CAST(floor((o_totalprice - 0.0) / 50000.0) AS INT))) AS bin
+        FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 12-bin histogram of order totals with under/overflow
+    clamped into the edge bins. The aggregation groups on at most 12
+    values, so the shuffle carries the histogram, not the data; bin edges
+    are literal doubles folded by Catalyst and identical in DuckDB."""
+    from vectorflow_spark.operators.rollup import width_bucket_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return width_bucket_histogram(o, "o_totalprice", lo=0.0, hi=600000.0, nbins=12)
+
+
+@query(
+    "q_word_entropy",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    counts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    perdoc AS (
+        SELECT doc_id,
+               list(CAST(cnt AS DOUBLE) ORDER BY cnt, tok) AS cs,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(
+               log2(CAST(n_tokens AS DOUBLE))
+               - list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE), list_transform(cs, c -> c * log2(c))),
+                     (a, b) -> a + b
+                 ) / CAST(n_tokens AS DOUBLE),
+               6) AS entropy_bits
+    FROM perdoc
+    """,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (information
+    -density quality signal). The inner sum is a sequential left fold over
+    the (count, token)-sorted list on BOTH engines — float accumulation
+    order pinned, result rounded to 6 decimals to absorb last-ulp libm
+    log2 differences."""
+    from vectorflow_spark.operators.textstats import word_entropy
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return word_entropy(docs)
+
+
+@query(
+    "q_cms_heavy_hitters",
+    """
+    WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+    cells AS (
+        SELECT s.seed AS row_id,
+               ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '|' || CAST(s.seed AS VARCHAR)), 1, 7))::BIGINT % 64 AS col_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem CROSS JOIN seeds s
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
+    addr AS (
+        SELECT k.l_suppkey, s.seed AS row_id,
+               ('0x' || substr(md5(CAST(k.l_suppkey AS VARCHAR) || '|' || CAST(s.seed AS VARCHAR)), 1, 7))::BIGINT % 64 AS col_id
+        FROM keys k CROSS JOIN seeds s
+    ),
+    est AS (
+        SELECT a.l_suppkey, min(c.cnt) AS est
+        FROM addr a JOIN cells c ON a.row_id = c.row_id AND a.col_id = c.col_id
+        GROUP BY 1
+    )
+    SELECT l_suppkey, est FROM est WHERE est >= 700
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side heavy hitters: suppliers whose count-min estimate over
+    lineitem occurrences reaches the threshold. Never-undercount makes
+    this a superset of the true heavy hitters (no false negatives); the
+    shuffle is sketch-sized. Oracle reproduces the md5 cell addressing
+    bit-for-bit."""
+    from vectorflow_spark.operators.sketches import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    return cms_heavy_hitters(li, "l_suppkey", threshold=700)
+
+
+@query(
+    "q_minhash_jaccard_est",
+    f"""
+    WITH sig AS ({_minhash_sig_sql(16)}),
+    pairs AS ({_minhash_pairs_sql()})
+    SELECT p.a, p.b,
+           CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(16))} AS INT) AS n_agree,
+           CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(16))} AS DOUBLE) / 16.0 AS jaccard_est
+    FROM pairs p JOIN sig sa ON p.a = sa.doc_id JOIN sig sb ON p.b = sb.doc_id
+    """,
+)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimates for every LSH candidate pair
+    — the cheap verify tier between candidate generation and the exact
+    n-gram join. n_agree/16 is a small rational, exact in double on both
+    engines."""
+    from vectorflow_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return minhash_jaccard_estimate(docs)
+
+
+@query(
+    "q_range_search",
+    """
+    WITH scored AS (
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(64.0)),
+                 9) AS score
+        FROM embeddings
+    )
+    SELECT vec_id, label, score FROM scored WHERE score >= 0.2
+    """,
+)
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (radius query): every vector within a similarity
+    threshold of the query — the dual of top-K, used for near-dup audit
+    sweeps where the result size is data-dependent. Same single-scan plan
+    as q_topk_cosine but the filter replaces TakeOrderedAndProject, so the
+    output needs no global sort at all (fully parallel emit at 100 TB);
+    scores rounded to 9 decimals before the threshold so both engines
+    compare identical values."""
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
+    df = _t(spark, sf_dir, "embeddings", split=True)
+    ones = F.array([F.lit(1.0)] * 64)
+    base = df.select(
+        "vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
+    )
+    denom = F.col("_vn") * F.lit(8.0)
+    scored = base.select(
+        "vec_id",
+        "label",
+        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
+    )
+    return scored.filter(F.col("score") >= 0.2)
+
+
+@query(
+    "q_oov_rate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+            ORDER BY cnt DESC, tok LIMIT 200
+        )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY 1
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-200
+    vocabulary — the vocabulary-coverage quality signal (docs full of rare
+    tokens are OCR noise, code, or foreign-language leakage). Two passes:
+    corpus token counts -> top-200 (TakeOrdered, deterministic cnt-then-
+    token tiebreak), then a broadcast left join of the tiny vocab onto the
+    token stream + one per-doc aggregation. The rate is a small-integer
+    ratio — exact in double on both engines."""
+    docs = _t(spark, sf_dir, "documents", split=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(200)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )

@@ -278,3 +278,116 @@ def read_cms(spark, sketch_dir: str) -> DataFrame:
         .groupBy("row_id", "col_id")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def streaming_scd2(
+    update_stream: DataFrame,
+    dim_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+):
+    """Maintain a slowly-changing-dimension type-2 table from a stream of
+    update batches: each micro-batch applies ``scd2_apply`` (operators/
+    diff.py) against the current snapshot and writes the next version to
+    ``dim_dir/version=N`` (N = streaming batch id). Version directories
+    make replays idempotent under at-least-once delivery — a re-fired
+    batch overwrites ITS OWN version path, never a later one — and give
+    readers time travel for free (read the max version, or any prior).
+
+    Each update row must carry an ``effective_ts`` timestamp column; the
+    batch's effective time is its max (deterministic under replay, unlike
+    wall clock). The per-batch cost is one digest-compressed full-outer
+    join of snapshot x batch — the same plan shape as the batch operator,
+    just driven by the scheduler."""
+    from vectorflow_spark.operators.diff import scd2_apply
+
+    spark = update_stream.sparkSession
+
+    def prior_version(batch_id: int) -> int | None:
+        """Largest written version STRICTLY below this batch id — correct
+        both live (prior batch) and on replay (re-fired batch N must not
+        read its own or any later output; empty batches may leave holes in
+        the version sequence, so "batch_id - 1" would be wrong)."""
+        import glob
+        import os
+        import re
+
+        versions = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(dim_dir, "version=*"))
+            if (m := re.search(r"version=(\d+)$", p))
+        ]
+        below = [x for x in versions if x < batch_id]
+        return max(below) if below else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            eff = batch_df.agg(F.max("effective_ts")).collect()[0][0]
+            prior = prior_version(batch_id)
+            if prior is None:
+                current = (
+                    batch_df.sparkSession.createDataFrame(
+                        [],
+                        batch_df.select(
+                            *key_cols, *compare_cols, "effective_ts"
+                        ).schema,
+                    )
+                    .select(
+                        *key_cols,
+                        *compare_cols,
+                        F.col("effective_ts").alias(valid_from_col),
+                    )
+                    .withColumn(valid_to_col, F.lit(None).cast("timestamp"))
+                    .drop("effective_ts")
+                )
+                keep = [*key_cols, *compare_cols, valid_from_col, valid_to_col]
+                current = current.select(*keep)
+            else:
+                current = batch_df.sparkSession.read.parquet(
+                    f"{dim_dir}/version={prior}"
+                )
+            updates = batch_df.select(*key_cols, *compare_cols)
+            nxt = scd2_apply(
+                current,
+                updates,
+                key_cols,
+                compare_cols,
+                F.lit(eff),
+                valid_from_col,
+                valid_to_col,
+            )
+            nxt.write.mode("overwrite").parquet(f"{dim_dir}/version={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        update_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2(spark, dim_dir: str, version: int | None = None) -> DataFrame:
+    """Read an SCD2 dimension maintained by ``streaming_scd2`` — the
+    latest version by default, or any retained prior version (time
+    travel)."""
+    import glob
+    import os
+    import re
+
+    versions = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(dim_dir, "version=*"))
+        if (m := re.search(r"version=(\d+)$", p))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no versions under {dim_dir}")
+    v = version if version is not None else versions[-1]
+    return spark.read.parquet(f"{dim_dir}/version={v}")
