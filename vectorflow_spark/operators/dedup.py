@@ -251,6 +251,7 @@ def minhash_candidate_edges(
     bands: int = DEFAULT_BANDS,
     num_hashes: int = 16,
     max_bucket: int = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Connectivity-preserving candidate EDGES (a < b) — the input
     connected_components wants, NOT the all-pairs output.

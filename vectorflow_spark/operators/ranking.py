@@ -1,0 +1,90 @@
+"""Distributed global ranking / equi-depth binning.
+
+Spark's ``row_number()`` over an un-partitioned window collapses the whole
+dataset into ONE task — the canonical scale trap. These helpers compute an
+exact global row number (and ntile-style equi-depth bins derived from it)
+with the classic range-sort + partition-offset construction instead:
+
+1. ``repartitionByRange`` on the sort key: rows land in range-ordered
+   partitions (boundary placement is sampled, but whatever the boundaries,
+   concatenating partitions in range order IS the global sort order as long
+   as the key tuple is total — callers must include a tiebreak column).
+2. a within-partition ``row_number`` (bounded by partition size, parallel),
+3. per-partition row counts (a ~numPartitions-row aggregate) turned into
+   cumulative offsets with a window over that tiny table, broadcast back.
+
+Net cost: one range shuffle + one broadcast of a numPartitions-row table.
+No stage ever sees more than one partition's rows — this is the plan you
+want at 100 TB, unlike the reference-style "sort it all in one place"
+(the reference has no ranking operator at all; this extends the engine
+surface, SURVEY.md §2 extension families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number", "equidepth_bins"]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number by ``order_cols`` without a global
+    single-partition window. ``order_cols`` must be a TOTAL order (add a
+    unique tiebreak column, e.g. the primary key) or ranks of tied rows
+    are arbitrary between runs."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # within-partition rank: window keyed on _pid keeps each task bounded
+    # by one range partition; the hash shuffle on _pid moves each range
+    # partition as a unit (tiny skew risk only if ranges are skewed, which
+    # repartitionByRange's sampling already balances).
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    # per-partition counts -> cumulative offsets; numPartitions rows, so a
+    # single-partition window over it is O(numPartitions), not O(rows).
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    k: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Assign each row to one of ``k`` equal-depth bins by rank:
+    ``bin = floor((rn - 1) * k / n) + 1`` — the even-spread variant of
+    ntile (remainder rows distributed across bins rather than ntile's
+    front-loading) chosen because the closed form needs only (rn, n), both
+    of which we can compute scalably. n comes from re-aggregating the
+    per-partition counts (no second scan of the data)."""
+    ranked = global_row_number(df, order_cols, out_col="_rn")
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            # integral DIV, not float division + floor: at 1e12 rows the
+            # double quotient's ulp is comparable to remainder/n and could
+            # flip a bin boundary.
+            out_col,
+            (F.expr(f"(_rn - 1) * {int(k)} div _n") + 1).cast("int"),
+        )
+        .drop("_rn", "_n")
+    )
