@@ -4686,3 +4686,246 @@ def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation batch 2: semantic dedup, window-function family, calendar report,
+# skew profiling, join-size estimation, winsorized robust stats.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_sql(threshold: float = 0.25) -> str:
+    cos_ec = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    cos_xy = _DUCK_COS.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid, round({cos_ec}, 9) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    e2 AS (
+        SELECT e.vec_id, e.embedding, b.cid
+        FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id AS b
+        FROM e2 x JOIN e2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE {cos_xy} >= {threshold}
+    )
+    SELECT e2.vec_id, CAST(e2.cid AS INT) AS cluster
+    FROM e2 WHERE e2.vec_id NOT IN (SELECT b FROM dropped)
+    """
+
+
+@query("q_semantic_dedup", _semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: cluster embeddings (IVF
+    assignment against deterministic seeds), find within-cluster cosine
+    near-dups, and keep only vectors with no smaller-id neighbor above the
+    threshold. The pairwise pass is confined to clusters — the whole point
+    of SemDeDup at scale: O(sum of cluster^2) not O(n^2), and the cluster
+    column doubles as a partition key so each block's self-join is
+    co-located. Composition of ivf_assign + embedding_neardup_pairs +
+    one anti join; no new shuffle shapes."""
+    from vectorflow_spark.operators.dedup import embedding_neardup_pairs
+    from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cents = ivf_centroids(emb, n_centroids=16)
+    assigned = ivf_assign(emb, cents)
+    pairs = embedding_neardup_pairs(assigned, block_col="cluster", threshold=0.25)
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+    )
+
+
+@query(
+    "q_window_family",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tsn, value FROM events
+    )
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_v,
+           lead(value) OVER w AS next_v,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    """,
+)
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one plan: lag/lead (default
+    frame), first_value (running frame), last_value and nth_value over the
+    full-partition frame. All five share ONE window spec partitioned by
+    user_id, so Spark computes them in a single WindowExec pass after a
+    single shuffle — adding functions to a shared spec is free; adding
+    specs is not. Values pass through untouched (no float arithmetic), so
+    cross-engine equality is exact."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 2).over(w_full).alias("second_v"),
+    )
+
+
+@query(
+    "q_calendar_report",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (dayofweek(o_orderdate) IN (0, 6)) AS BIGINT) AS weekend_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_calendar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function family: year/quarter extraction, day-of-week
+    classification (DuckDB dayofweek is 0=Sunday..6=Saturday; Spark
+    dayofweek is 1=Sunday..7, so the weekend sets are {0,6} and {1,7}),
+    filtered aggregate, exact decimal revenue. One map-side-combinable
+    aggregation over ~28 (year,quarter) groups."""
+    o = _t(spark, sf_dir, "orders")
+    weekend = F.dayofweek("o_orderdate").isin(1, 7)
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(weekend, 1).otherwise(0)).alias("weekend_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "q_key_skew_profile",
+    """
+    WITH k AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM k)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt, CAST(cnt AS DOUBLE) / n AS share
+    FROM k CROSS JOIN t
+    ORDER BY cnt DESC, key LIMIT 20
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest keys with their share of
+    total rows — what you run BEFORE choosing salting factors or AQE skew
+    thresholds for a big join. One map-side-combinable count per key, a
+    1-row broadcast total, TakeOrderedAndProject for the top-20 (never a
+    global sort of the key histogram)."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    t = k.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        k.join(F.broadcast(t))
+        .select("key", "cnt", (F.col("cnt").cast("double") / F.col("n")).alias("share"))
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(20)
+    )
+
+
+@query(
+    "q_join_size_estimate",
+    """
+    WITH a AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+         b AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1)
+    SELECT CAST(sum(a.c * b.c) AS BIGINT) AS est_rows,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(max(a.c * b.c) AS BIGINT) AS max_key_output
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join: per-key
+    count tables joined and the per-key products summed — sum(c_a * c_b)
+    is exactly |A join B| on the key. The estimator's own cost is two
+    map-side-combinable aggs + a join on the (much smaller) key tables;
+    max_key_output is the skew headline (the single key that would
+    dominate the real join's largest task). This is the planning query
+    you run before committing a 100 TB shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    prod = F.col("ca") * F.col("cb")
+    return a.join(b, "k").agg(
+        F.sum(prod).alias("est_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(prod).alias("max_key_output"),
+    )
+
+
+@query(
+    "q_winsorized_stats",
+    """
+    WITH r AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem
+    ),
+    cuts AS (
+        SELECT max(CASE WHEN rn = CAST(ceil(n * CAST(0.01 AS DOUBLE)) AS BIGINT) THEN v END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(n * CAST(0.99 AS DOUBLE)) AS BIGINT) THEN v END) AS hi
+        FROM r
+    )
+    SELECT CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+           CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+           max(lo) AS lo, max(hi) AS hi,
+           CAST(sum(CAST(least(greatest(v, lo), hi) AS DECIMAL(28,10))) AS DOUBLE) AS winsorized_sum
+    FROM r CROSS JOIN cuts
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (1%/99% nearest-rank clamp) robust sum — the outlier
+    trim step of a numeric-feature pipeline. The oracle states the rank
+    semantics with a global window; the Spark side computes ranks with
+    operators/ranking.py's range-sort construction, so the 100 TB plan has
+    no single-partition stage. Rank indices use ceil(n * double(0.01)) on
+    BOTH engines (the literal forced to double — DuckDB would otherwise
+    fold n*0.01 in decimal and disagree with Spark's IEEE product at some
+    n). Clamped sum is exact decimal."""
+    from vectorflow_spark.operators.ranking import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], out_col="rn")
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    with_n = ranked.join(F.broadcast(n_row))
+    k_lo = F.ceil(F.col("n") * F.lit(0.01)).cast("long")
+    k_hi = F.ceil(F.col("n") * F.lit(0.99)).cast("long")
+    cuts = with_n.agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("v"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return ranked.join(F.broadcast(cuts)).agg(
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias("n_clamped_lo"),
+        F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0)).alias("n_clamped_hi"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum(clamped.cast("decimal(28,10)")).cast("double").alias("winsorized_sum"),
+    )
