@@ -68,8 +68,17 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     Plan: orient (two broadcast-able rank joins), wedge self-join on src
     (out-adjacency only — arboricity-bounded), then one join probing the
     wedge's closing edge; every shuffle keys on a node id. No driver-side
-    iteration and no crossJoin anywhere."""
-    directed = orient_edges(edges, a_col, b_col)
+    iteration and no crossJoin anywhere.
+
+    The edge set and the oriented edge set are localCheckpointed first:
+    ``edges`` is typically an expensive candidate-generation pipeline
+    (minhash -> bands -> posting lists) and this plan references it in SIX
+    places (degrees, orientation, both wedge sides, closing probe, stats)
+    — without the lineage cut Spark re-executes the generator per
+    reference (the q_dedup_components lesson; 115 s -> ~3 s at sf0.1).
+    Both checkpoints are edge-count-sized, far smaller than the data."""
+    edges = edges.localCheckpoint()
+    directed = orient_edges(edges, a_col, b_col).localCheckpoint()
     lo = directed.select(
         F.col("src").alias("w_src"), F.col("dst").alias("w_lo"), F.col("dst_rank").alias("_lo_rank")
     )
@@ -93,3 +102,56 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         .join(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iterations: int = 3,
+    total_mass: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer (quantized) mass units.
+
+    Classic PageRank sums double contributions whose result depends on
+    float fold order — unverifiable across engines. This variant keeps ALL
+    mass in int64 micro-units and replaces every division with integral
+    DIV: r0(v) = M div N; each round, contrib(u->v) = r(u) div outdeg(u)
+    and r'(v) = (15 * (M div N)) div 100 + (85 * sum contribs) div 100.
+    Truncation leaks a little mass (documented spec, identical everywhere)
+    in exchange for bit-exact reproducibility on any engine and any
+    partitioning — the same trade q_kmeans_step and q_unigram_logprob make.
+
+    Input ``edges`` is DIRECTED (src, dst); pass both directions for an
+    undirected graph. Nodes = every id appearing as a src (for an
+    undirected input that is every node). Plan per iteration: one join of
+    the rank table onto edges by src (both sides hash-partitioned on the
+    same key — AQE reuses the exchange) + one map-side-combinable sum by
+    dst. O(iterations) shuffles total, no driver-side state; the loop
+    unrolls into one lineage, so for large iteration counts callers should
+    localCheckpoint every ~10 rounds (connected_components does the same).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("nn"))
+    base_unit = F.expr(f"{total_mass} div nn")
+    r = deg.join(F.broadcast(n_nodes)).select(
+        F.col("src").alias("v"), base_unit.alias("r")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(r.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = contribs.join(F.broadcast(n_nodes)).select(
+            F.col("dst").alias("v"),
+            (
+                F.expr(f"(15 * ({total_mass} div nn)) div 100")
+                + F.expr("(85 * contrib) div 100")
+            ).alias("r"),
+        )
+    return r

@@ -618,9 +618,10 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
-@query(
-    "q_ngram_jaccard_pairs",
-    """
+def _jaccard_pairs_sql(threshold: float = 0.3) -> str:
+    """Word-3-gram exact Jaccard pairs >= threshold — shared by the
+    standalone verify query and the LSH recall audit."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
         FROM documents
@@ -645,9 +646,11 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON i.a = sa.doc_id
     JOIN sizes sb ON i.b = sb.doc_id
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.3
-    """,
-)
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) >= {threshold}
+    """
+
+
+@query("q_ngram_jaccard_pairs", _jaccard_pairs_sql())
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted-index self-join
     (the verify stage of MinHash-LSH, usable standalone)."""
@@ -3765,7 +3768,7 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_triangle_count",
     f"""
-    WITH edges AS ({_minhash_pairs_sql()}),
+    WITH edges AS ({_minhash_pairs_sql(max_bucket=64)}),
     nodes AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges),
     rk AS (
         SELECT node, count(*) * 1000000000 + node AS rank
@@ -3793,14 +3796,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the minhash near-dup candidate graph — the
     cohesion statistic separating real duplicate clusters (dense,
     triangle-rich) from hash-collision stars. Degree-ordered node
-    iterator: wedge explosion bounded by arboricity (out-degree O(sqrt m)
-    after orientation), every shuffle keys on a node id, each triangle
-    counted exactly once at its lowest-rank vertex."""
+    iterator: each triangle counted exactly once at its lowest-rank
+    vertex, every shuffle keys on a node id.
+
+    The audit runs with a 64-doc posting-list cap (vs the dedup default
+    1000): candidate CLIQUES make wedge work cubic in cluster size — the
+    synthetic corpus has ~1000-doc near-dup families, i.e. ~10^9 wedges
+    uncapped (measured 115 s at sf0.1) — and the cohesion statistic needs
+    only a bounded per-bucket sample of each cluster, not the full clique
+    (a real cluster stays triangle-dense under any uniform member cap;
+    collision stars stay triangle-free). Same cap in the oracle SQL."""
     from vectorflow_spark.operators.dedup import minhash_candidate_pairs
     from vectorflow_spark.operators.graph import triangle_count
 
     docs = _t(spark, sf_dir, "documents", split=True)
-    pairs = minhash_candidate_pairs(docs)
+    pairs = minhash_candidate_pairs(docs, max_bucket=64)
     return triangle_count(pairs)
 
 
@@ -4928,4 +4938,225 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
         F.sum(clamped.cast("decimal(28,10)")).cast("double").alias("winsorized_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: quantized PageRank, retention cohorts, LSH recall audit, BM25.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 3, m: int = 10**12) -> str:
+    prev = "r0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    c{i} AS (
+        SELECT e.dst AS v, sum(r.r // d.d) AS contrib
+        FROM edges e JOIN {prev} r ON e.src = r.v JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r{i} AS (
+        SELECT v, (15 * ({m} // nn)) // 100 + (85 * contrib) // 100 AS r
+        FROM c{i} CROSS JOIN n
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH eo AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s + 1000000 AS dst FROM eo
+        UNION ALL
+        SELECT s + 1000000 AS src, c AS dst FROM eo
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM deg),
+    r0 AS (SELECT src AS v, {m} // nn AS r FROM deg CROSS JOIN n),{",".join(iter_ctes)}
+    SELECT CAST(v AS BIGINT) AS v, CAST(r AS BIGINT) AS rank_micro
+    FROM {prev} ORDER BY r DESC, v LIMIT 20
+    """
+
+
+@query("q_pagerank3", _pagerank_sql())
+def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration quantized PageRank over the undirected customer<->
+    supplier trade graph (edges from distinct (custkey, suppkey) pairs in
+    joined orders x lineitem; supplier ids offset by 1e6). All mass in
+    int64 micro-units with integral DIV everywhere, so the result is
+    bit-exact on any engine/partitioning — see
+    operators/graph.pagerank_quantized for the spec and the per-iteration
+    plan (one src join + one dst sum, O(iters) shuffles)."""
+    from vectorflow_spark.operators.graph import pagerank_quantized
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    eo = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = eo.select(F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")).union(
+        eo.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
+    )
+    r = pagerank_quantized(edges, iterations=3)
+    return (
+        r.orderBy(F.col("r").desc(), "v")
+        .limit(20)
+        .select(F.col("v").cast("bigint").alias("v"), F.col("r").cast("bigint").alias("rank_micro"))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH u AS (
+        SELECT user_id, min(epoch_ns(ts)) // 604800000000000 AS cohort_w
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS w FROM events
+    )
+    SELECT cohort_w, CAST(w - cohort_w AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN u USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week, then
+    counted per (cohort, weeks-since-first-seen). Integer epoch-week ids
+    via integral DIV (epoch nanos exceed double's 2^53). Plan: both the
+    first-seen agg and the distinct-activity agg key on user_id — one
+    shuffle partitioning reused across them and the join; the final
+    rollup groups on the tiny (cohort, offset) grid."""
+    e = _t(spark, sf_dir, "events")
+    week = F.expr("ts div 604800000000000")
+    u = e.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    a = e.select("user_id", week.alias("w")).distinct()
+    return (
+        a.join(u, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_lsh_recall",
+    f"""
+    WITH exact AS ({_jaccard_pairs_sql()}),
+    cand AS ({_minhash_pairs_sql()}),
+    j AS (
+        SELECT e.a, e.b, (c.a IS NOT NULL) AS hit
+        FROM exact e LEFT JOIN cand c ON e.a = c.a AND e.b = c.b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (hit) AS BIGINT) AS n_hit,
+           CAST(count(*) FILTER (hit) AS DOUBLE) / count(*) AS recall
+    FROM j
+    """,
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: recall of the MinHash band-bucket candidate
+    generator against ground-truth word-3-gram Jaccard >= 0.3 pairs — the
+    eval you run before trusting an approximate dedup config at scale.
+    Composition of two already-verified pipelines + one left join on the
+    (a, b) pair key; the join input is pairs (already small), never
+    documents."""
+    from vectorflow_spark.operators.dedup import jaccard_pairs, minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    exact = jaccard_pairs(docs, n=3, threshold=0.3, kind="word").select("a", "b")
+    cand = minhash_candidate_pairs(docs).select(
+        "a", "b", F.lit(True).alias("hit")
+    )
+    j = exact.join(cand, ["a", "b"], "left")
+    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.cast("bigint").alias("n_hit"),
+        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+@query(
+    "q_bm25_topterms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(round(
+                   ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   * 1000000) AS BIGINT) AS score_micro
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.tok = df.tok
+        CROSS JOIN stats
+    )
+    SELECT doc_id, tok, score_micro, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, tok, score_micro,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-3 terms per document — the search-ranking
+    sibling of q_tfidf_topterms. The score is computed with an identical
+    expression tree on both engines then micro-quantized BEFORE ranking,
+    so rank comparisons happen on integers (ties on the term string).
+    Plan: tf/dl/df are map-side-combinable aggs; df joins tf on the token
+    key (never broadcast — open vocabulary); corpus stats are a 1-row
+    broadcast; final per-doc top-3 is WindowGroupLimit-prunable."""
+    docs = _t(spark, sf_dir, "documents", split=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        ((F.col("nd") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    den = F.col("tf").cast("double") + 1.2 * (
+        F.lit(1.0) - 0.75 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    score = idf * (F.col("tf").cast("double") * 2.2) / den
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df, "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(score * 1000000).cast("bigint").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "score_micro", "rn")
     )
