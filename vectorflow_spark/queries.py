@@ -5160,3 +5160,144 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "score_micro", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: skyline, Markov transitions, rolling distinct actives.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline_orders",
+    """
+    WITH g AS (
+        SELECT o_orderpriority, o_totalprice, min(o_orderdate) AS mdate
+        FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT o_orderpriority, o_totalprice,
+               min(mdate) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pref_min
+        FROM g
+    )
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS odate
+    FROM orders o JOIN p ON o.o_orderpriority = p.o_orderpriority
+                      AND o.o_totalprice = p.o_totalprice
+    WHERE p.pref_min IS NULL OR p.pref_min >= o.o_orderdate
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-dominance 2D skyline (Pareto frontier) per order priority:
+    orders not strictly dominated on (higher price, earlier date). The
+    naive formulation is a quadratic NOT EXISTS self-join; this plan
+    compresses to DISTINCT PRICE LEVELS first (groupBy price -> min date),
+    takes a running min of date over strictly-higher price levels (the
+    1-PRECEDING frame excludes the current level = strictness), and joins
+    the verdict back — O(n log n) by levels, the frame never scans raw
+    rows. A row survives iff no higher price level saw an earlier date."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_totalprice").agg(F.min("o_orderdate").alias("mdate"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = g.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.min("mdate").over(w).alias("pref_min"),
+    )
+    return (
+        o.join(p, ["o_orderpriority", "o_totalprice"])
+        .filter(F.col("pref_min").isNull() | (F.col("pref_min") >= F.col("o_orderdate")))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("odate"),
+        )
+    )
+
+
+@query(
+    "q_markov_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev, event_type AS curr, count(*) AS cnt
+        FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    f AS (SELECT prev, sum(cnt) AS tot FROM t GROUP BY 1)
+    SELECT t.prev, t.curr, CAST(t.cnt AS BIGINT) AS cnt,
+           CAST(t.cnt AS DOUBLE) / tot AS p
+    FROM t JOIN f ON t.prev = f.prev
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: bigram counts via one lag window, row-normalized to
+    probabilities (small-integer ratio — exact in double). Plan: one
+    user_id shuffle for the lag, then aggregation over the tiny
+    (state x state) grid; the normalizer joins on the handful of prev
+    states. The sequence-model sibling of q_funnel_conversion."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    t = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    f = t.groupBy("prev").agg(F.sum("cnt").alias("tot"))
+    return t.join(f, "prev").select(
+        "prev",
+        "curr",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("tot")).alias("p"),
+    )
+
+
+@query(
+    "q_rolling_dau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+    ),
+    bound AS (SELECT max(day) AS mx FROM ud),
+    contrib AS (
+        SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS wday FROM ud
+    )
+    SELECT wday AS day, CAST(count(*) AS BIGINT) AS active_7d
+    FROM contrib CROSS JOIN bound
+    WHERE wday <= mx
+    GROUP BY 1
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Rolling COUNT
+    DISTINCT is not window-expressible without holding per-day user sets;
+    the scalable identity: a user active on day d is active-in-window for
+    days d..d+6, so explode each distinct (user, day) into its 7 target
+    days, de-dup, and count — two shuffles on uniform keys, state bounded
+    by 7x the distinct (user, day) pairs, never a per-window set. Days in
+    integral DIV epoch-days; the max-day bound trims windows that extend
+    past the observed range."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    bound = ud.agg(F.max("day").alias("mx"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(bound))
+        .filter(F.col("wday") <= F.col("mx"))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count(F.lit(1)).alias("active_7d"))
+    )
