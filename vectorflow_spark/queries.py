@@ -5301,3 +5301,146 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wday").alias("day"))
         .agg(F.count(F.lit(1)).alias("active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: data-quality audit, corpus bigrams, audience overlap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_audit",
+    """
+    SELECT rule, CAST(n AS BIGINT) AS n FROM (
+        SELECT 'orphan_lineitem' AS rule, count(*) AS n
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0
+        UNION ALL
+        SELECT 'deep_discount', count(*) FROM lineitem WHERE l_discount > 0.08
+        UNION ALL
+        SELECT 'ship_before_order', count(*)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate
+        UNION ALL
+        SELECT 'null_customer_name', count(*) FROM customer WHERE c_name IS NULL
+    )
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule audit in one result set: referential integrity
+    (orphan facts via anti join — Spark's decorrelation of NOT IN on a
+    non-null key), domain checks (pushable predicates, counted at the
+    scan), and a cross-table ordering invariant (ship-before-order). Each
+    rule is a 1-row aggregate; the union is of COUNTS, so the audit costs
+    one pass per rule over pruned scans, not one pass per rule over wide
+    rows. Zero-violation rules stay in the report — an audit that omits
+    passing rules can't distinguish 'passed' from 'not run'."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(rule).alias("rule"), "n")
+
+    orphan = li.select("l_orderkey").join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    ship_before = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") < F.col("o_orderdate")
+    )
+    return (
+        one("orphan_lineitem", orphan)
+        .unionByName(one("nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)))
+        .unionByName(one("deep_discount", li.filter(F.col("l_discount") > 0.08)))
+        .unionByName(one("ship_before_order", ship_before))
+        .unionByName(one("null_customer_name", c.filter(F.col("c_name").isNull())))
+    )
+
+
+@query(
+    "q_top_bigrams",
+    r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks WHERE len(ts) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams — the n-gram statistics pass of an LM
+    data pipeline. Bigrams come from one in-row array transform (no
+    self-join of the token stream on position); the count is map-side
+    combinable and the top-20 is TakeOrderedAndProject with a bigram
+    tiebreak, never a global sort."""
+    docs = _t(spark, sf_dir, "documents", split=True)
+    ts = F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+    bigrams = (
+        docs.select(ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_audience_overlap",
+    """
+    WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM ue GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS ni
+        FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ta, tb, CAST(ni AS BIGINT) AS n_common,
+           CAST(ni AS DOUBLE) / least(sa.n, sb.n) AS overlap
+    FROM inter
+    JOIN sz sa ON ta = sa.event_type
+    JOIN sz sb ON tb = sb.event_type
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap coefficient |A∩B| / min(|A|,|B|) for every pair of
+    event types. The self-join keys on user_id (uniform, skew-free); the
+    per-type pair grid is tiny so the intersection agg collapses
+    map-side. Sizes broadcast back onto the grid. Exact small-integer
+    ratio — deterministic in double."""
+    e = _t(spark, sf_dir, "events")
+    ue = e.select("event_type", "user_id").distinct()
+    sz = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ue.select(F.col("event_type").alias("ta"), "user_id")
+    b = ue.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sz.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("ni").alias("n_common"),
+            (F.col("ni").cast("double") / F.least("na", "nb")).alias("overlap"),
+        )
+    )
