@@ -127,3 +127,30 @@ class TestMultimodalPipeline:
         for r in out:
             assert 0.0 <= r.mean_amp <= 255.0
             assert r.peak_amp >= r.mean_amp
+
+
+def test_image_dhash_exact_dup_groups(spark):
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    gen = F.pandas_udf(
+        lambda ids: pd.Series([make_fake_image(str(int(i) % 5)) for i in ids]),
+        BinaryType(),
+    )
+    assets = (
+        spark.range(0, 50)
+        .select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+    )
+    hashed = image_dhash(assets)
+    groups = hashed.groupBy("dhash").count().collect()
+    # 5 distinct seeds -> at most 5 hash groups (dhash may collide but
+    # identical pixels always hash identically), each holding 10 images
+    assert sum(r["count"] for r in groups) == 50
+    assert len(groups) <= 5
+    assert all(r["count"] % 10 == 0 for r in groups)
+    # deterministic: re-hash produces identical values
+    again = {r.asset_id: r.dhash for r in image_dhash(assets).collect()}
+    first = {r.asset_id: r.dhash for r in hashed.collect()}
+    assert first == again

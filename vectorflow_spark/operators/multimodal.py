@@ -226,3 +226,40 @@ def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
         .withColumn("kind", kind)
         .withColumn("data", gen(F.col("asset_id"), F.col("kind")))
     )
+
+
+def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) -> DataFrame:
+    """Perceptual difference-hash (dHash) of fake-codec images: resize to
+    9x8 luma, compare horizontal neighbors, pack 64 bits into a BIGINT.
+    The standard near-duplicate-image signature — robust to re-encoding
+    and mild resizing because only neighbor ORDER survives. Pixel work is
+    numpy over Arrow batches (real plumbing; the fake codec stands in for
+    absent image libraries, mirroring image_resize). Downstream dedup is
+    engine-side: group or Hamming-band the integer exactly like SimHash
+    (operators/dedup.simhash_candidate_pairs)."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", dhash bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> int:
+            data = bytes(b)
+            if data[:4] != IMG_MAGIC:
+                raise NotImplementedError("dhash supports the FAKE image codec only")
+            w, h, c = struct.unpack("<HHB", data[4:9])
+            px = np.frombuffer(data[9:], dtype=np.uint8).reshape(h, w, c)
+            luma = px.mean(axis=2)
+            ys = (np.arange(8) * h // 8).astype(int)
+            xs = (np.arange(9) * w // 9).astype(int)
+            small = luma[np.ix_(ys, xs)]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            v = 0
+            for bit in bits:
+                v = (v << 1) | int(bit)
+            # keep int64-signed-safe: drop to 63 bits (top bit unused)
+            return v & 0x7FFFFFFFFFFFFFFF
+
+        for pdf in batches:
+            yield pdf[fields].assign(dhash=pdf[data_col].map(one).astype("int64"))
+
+    return assets.mapInPandas(run, schema=schema)

@@ -5444,3 +5444,137 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ni").cast("double") / F.least("na", "nb")).alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: mergeable histogram quantiles, aggregate-function family,
+# perceptual image dedup (rows-only).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_histogram_quantiles",
+    """
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n
+        FROM orders
+    ),
+    hist AS (
+        SELECT least(CAST(floor(((o_totalprice - lo) / (hi - lo)) * 128) AS BIGINT), 127) AS bin,
+               count(*) AS cnt
+        FROM orders CROSS JOIN bounds GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        FROM hist
+    )
+    SELECT q, CAST(min(bin) AS BIGINT) AS bin,
+           CAST(min(lo + (hi - lo) * (bin / 128.0)) AS DOUBLE) AS est_value
+    FROM cum CROSS JOIN bounds
+    CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    WHERE cdf >= q * n
+    GROUP BY q
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantile estimation: one-pass 128-bin equi-width
+    histogram, cumulative counts, first bin whose CDF crosses each target
+    — p50/p90/p99 with error bounded by range/128, from state that is 128
+    counters regardless of data size (the scale alternative to exact
+    ranking when ±1 bin suffices; q_winsorized_stats is the exact path).
+    The bin function and the bin->value reconstruction are identical
+    expressions on both engines; the CDF window runs over 128 rows, not
+    data. Integer bin ids; only the final est_value is float (same
+    expression both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # explicit floor before the integer cast: DuckDB's double->BIGINT cast
+    # ROUNDS to nearest while Spark's truncates — floor() first makes the
+    # binning identical (and is the intended semantics).
+    binc = F.least(
+        F.floor((((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * 128)).cast("bigint"),
+        F.lit(127).cast("bigint"),
+    )
+    hist = (
+        o.join(F.broadcast(bounds))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cdf", F.sum("cnt").over(w))
+    qs = spark.range(1).select(F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"))
+    return (
+        cum.join(F.broadcast(bounds))
+        .join(F.broadcast(qs))
+        .filter(F.col("cdf") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min(F.col("lo") + (F.col("hi") - F.col("lo")) * (F.col("bin") / F.lit(128.0))).alias("est_value"),
+        )
+    )
+
+
+@query(
+    "q_agg_family",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           bool_or(o_totalprice > 400000.0) AS any_jumbo,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining aggregate-function surface in one grouped pass:
+    filtered count, bool_or/bool_and (ANY/EVERY), distinct count, min/max.
+    All map-side combinable; the distinct-count expands to the standard
+    two-phase plan. Values compare exactly (booleans, integers, raw
+    doubles passed through)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query("q_image_dhash_dedup")
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (rows-only: the pixel kernel is a Python
+    mapInPandas stage DuckDB cannot mirror): synthesize fake-codec images
+    whose seed is doc_id mod 97 — guaranteeing duplicate pixel content —
+    dHash them, and report hash groups with >1 member (Hamming-0 exact
+    groups; Hamming-band the integer like SimHash for near-dups). Plan:
+    Arrow-batched hash UDF, then one groupBy on the 8-byte hash."""
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    # lambda form: pyspark's signature parser can't resolve `pd.Series`
+    # annotations when pandas is imported function-locally
+    gen = F.pandas_udf(
+        lambda ids: pd.Series([make_fake_image(str(int(i) % 97)) for i in ids]),
+        BinaryType(),
+    )
+
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    hashed = image_dhash(assets)
+    return (
+        hashed.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n_images"), F.min("asset_id").alias("keeper"))
+        .filter(F.col("n_images") > 1)
+    )
