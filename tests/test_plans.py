@@ -222,3 +222,34 @@ def test_no_inferred_filter_reevaluates_generators(spark, sf_dir, Q):
         for line in plan.splitlines():
             if line.strip().startswith("Filter"):
                 assert "transform(" not in line, (name, line)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir, Q):
+    """rn <= k must be rewritten to WindowGroupLimit so each map task
+    prunes to its local top-k per group BEFORE the exchange."""
+    plan = physical(Q["q_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir, Q):
+    """TPC-H Q6 shape: shipdate/discount/quantity filters must reach the
+    parquet scan as PushedFilters — the scan is the whole query."""
+    plan = physical(Q["q_forecast_revenue"](spark, sf_dir))
+    scan = plan.split("Scan parquet")[1][:2000]
+    assert "PushedFilters" in scan, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("ReadSchema")[0], f"{col} not pushed:\n{scan}"
+
+
+def test_waiting_suppliers_shares_orderkey_partitioning(spark, sf_dir, Q):
+    """Q21 shape: the two per-order aggregates and the joins all key on
+    orderkey; supplier broadcasts. No more than the orderkey exchanges."""
+    plan = physical(Q["q_waiting_suppliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # lineitem-sized exchanges must all key on orderkey; the only other
+    # hash exchange allowed is the final tiny s_name group-by.
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
+        key = m.group(1)
+        assert "orderkey" in key or "ok" in key or "s_name" in key, m.group(0)

@@ -5578,3 +5578,167 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_images"), F.min("asset_id").alias("keeper"))
         .filter(F.col("n_images") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: resetting running sums, windowed funnel via as-of composition,
+# decile lift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_resetting_running_sum",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               CAST(value AS DECIMAL(18,4)) AS v, event_type
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, event_id, tsn, v,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        FROM e
+    )
+    SELECT user_id, event_id, CAST(seg AS BIGINT) AS seg,
+           CAST(sum(v) OVER (PARTITION BY user_id, seg ORDER BY tsn, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+    FROM g
+    """,
+)
+def q_resetting_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum that RESETS at each marker event (spend since last
+    purchase) — the two-window identity: a cumulative count of markers
+    becomes the segment id, then the running sum partitions on (user,
+    segment). No self-join against 'the previous marker', no driver
+    loop; both windows share the user_id shuffle (the second adds seg to
+    the partition key of already co-located rows). Sums are exact
+    decimal."""
+    e = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w1).alias("seg"),
+    )
+    w2 = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "user_id",
+        "event_id",
+        F.col("seg").cast("bigint").alias("seg"),
+        F.sum("v").over(w2).cast("double").alias("run_sum"),
+    )
+
+
+@query(
+    "q_windowed_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+    v AS (SELECT user_id, tsn FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, tsn FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, tsn FROM e WHERE event_type = 'purchase'),
+    vc AS (
+        SELECT v.user_id, v.tsn AS vts,
+               (SELECT min(c.tsn) FROM c
+                WHERE c.user_id = v.user_id AND c.tsn >= v.tsn
+                  AND c.tsn <= v.tsn + 3600000000000) AS cts
+        FROM v
+    ),
+    vcp AS (
+        SELECT user_id, cts,
+               (SELECT min(p.tsn) FROM p
+                WHERE p.user_id = vc.user_id AND p.tsn >= vc.cts
+                  AND p.tsn <= vc.cts + 3600000000000) AS pts
+        FROM vc WHERE cts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_funnels,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM vcp WHERE pts IS NOT NULL
+    """,
+)
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel view -> first click within 1h -> first purchase
+    within 1h of that click. The oracle states it with correlated MIN
+    subqueries; the Spark plan is TWO forward as-of joins (union-sort-
+    window, operators/joins.asof_join) — each hop is one user_id shuffle,
+    linear in events, where the naive three-way inequality join is
+    quadratic per user in step density. The first-next semantics (not
+    any-combination) is what product funnels mean and what keeps the
+    composition linear."""
+    from vectorflow_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    tol = 3_600_000_000_000
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    vc = asof_join(
+        v, c, on="user_id", left_ts="ts", right_ts="ts",
+        prefix="c_", direction="forward", tolerance=tol,
+    ).filter(F.col("c_ts").isNotNull())
+    vcp = asof_join(
+        vc, p, on="user_id", left_ts="c_ts", right_ts="ts",
+        prefix="p_", direction="forward", tolerance=tol,
+    ).filter(F.col("p_ts").isNotNull())
+    return vcp.agg(
+        F.count(F.lit(1)).alias("n_funnels"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q_decile_lift",
+    """
+    WITH r AS (
+        SELECT c_custkey, c_acctbal,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER () AS n
+        FROM customer
+    ),
+    d AS (SELECT c_custkey, CAST((rn - 1) * 10 // n + 1 AS INT) AS decile FROM r),
+    o AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+           coalesce(CAST(sum(rev) AS DOUBLE), 0.0) AS revenue
+    FROM d LEFT JOIN o ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: customers ranked into account-balance deciles
+    (the distributed equi-depth operator — no single-partition window),
+    left-joined to per-customer order rollups — which balance tier buys.
+    The order rollup aggregates BEFORE the join (map-side combinable,
+    custkey key) so the join moves one row per customer per side."""
+    from vectorflow_spark.operators.ranking import equidepth_bins
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    d = equidepth_bins(c, ["c_acctbal", "c_custkey"], k=10, out_col="decile")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    return (
+        d.join(o, d.c_custkey == o.o_custkey, "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+        )
+    )
