@@ -40,8 +40,19 @@ def global_row_number(
     are arbitrary between runs."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint is REQUIRED for correctness, not a cache hint:
+    # repartitionByRange samples split points with a per-execution seed,
+    # and this frame feeds two plan branches (the local ranks and the
+    # per-partition offsets). Without pinning, the branches can re-execute
+    # the exchange with DIFFERENT sampled boundaries — offsets from one
+    # partitioning applied to ranks from another = silently wrong global
+    # ranks (observed: exchange reuse is not guaranteed once the operator
+    # is embedded in a larger plan). Cost: one materialization of the
+    # ranged data, on top of the shuffle that already moved it.
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # within-partition rank: window keyed on _pid keeps each task bounded
     # by one range partition; the hash shuffle on _pid moves each range

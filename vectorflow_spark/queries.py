@@ -5742,3 +5742,138 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("rev").cast("double"), F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: ratio-to-report, YoY growth, robust dispersion (MAD).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_share_of_total",
+    """
+    WITH n AS (
+        SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           CAST(round(rev, 2) AS DOUBLE)
+           / (SELECT CAST(round(sum(rev), 2) AS DOUBLE) FROM n) AS share
+    FROM n
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier nation's share of total revenue.
+    The grand total re-aggregates the (tiny) per-nation result and joins
+    back as a 1-row broadcast — NOT an un-partitioned window over the
+    fact rows, and not a second scan. Sums are round()ed to cents BEFORE
+    the double cast: a 28-digit decimal exceeds double precision and the
+    engines' decimal->double conversions can differ by 1 ulp, while
+    cents-scale values of this magnitude convert exactly. Explicit
+    round(), not a decimal downcast — DuckDB's decimal downcast TRUNCATES
+    where Spark's rounds HALF_UP; round() is half-away-from-zero on
+    both."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)"))
+            .alias("rev")
+        )
+    )
+    total = rev.agg(F.round(F.sum("rev"), 2).cast("double").alias("_tot"))
+    rev2 = F.round(F.col("rev"), 2).cast("double")
+    return rev.join(F.broadcast(total)).select(
+        "n_name",
+        rev2.alias("revenue"),
+        (rev2 / F.col("_tot")).alias("share"),
+    )
+
+
+@query(
+    "q_yoy_growth",
+    """
+    WITH y AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY yr) AS DOUBLE) - 1.0 AS yoy
+    FROM y
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth. The lag window is un-partitioned BY
+    DESIGN: it runs over the aggregated year series (a handful of rows at
+    any data scale — the aggregation upstream is what absorbed the 100 TB),
+    which is the one place a global window is the right plan. First year's
+    growth is NULL."""
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("yr")
+    return y.select(
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1.0).alias("yoy"),
+    )
+
+
+@query(
+    "q_mad_prices",
+    """
+    WITH r AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem
+    ),
+    med AS (SELECT v AS m, n FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+        SELECT abs(r.v - med.m) AS dev, med.m, med.n,
+               row_number() OVER (ORDER BY abs(r.v - med.m), r.rn) AS drn
+        FROM r CROSS JOIN med
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n, max(m) AS median,
+           max(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+    FROM d
+    """,
+)
+def q_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of extended price — the robust dispersion
+    statistic outlier pipelines prefer over stddev. Exact lower-median
+    semantics at rank (n+1) DIV 2, computed twice (values, then absolute
+    deviations) with the distributed ranking operator — the oracle's
+    global row_number windows never appear in the Spark plan. Deviations
+    are |double - double| of identical operands on both engines, and rank
+    selection is integer, so the result is bit-stable."""
+    from vectorflow_spark.operators.ranking import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    r = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], out_col="rn")
+    nrow = r.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        r.join(F.broadcast(nrow))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("v").alias("m"), "n")
+    )
+    d = r.join(F.broadcast(med)).select(
+        F.abs(F.col("v") - F.col("m")).alias("dev"), "m", "n", "rn"
+    )
+    dr = global_row_number(d, ["dev", "rn"], out_col="drn")
+    return dr.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("median"),
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad"),
+    )
