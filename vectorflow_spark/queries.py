@@ -5877,3 +5877,90 @@ def q_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("median"),
         F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: exact interpolated group quantiles, quantized-exact correlation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_group_medians",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group quantiles (PERCENTILE_CONT semantics):
+    both engines sort the group and interpolate at p*(n-1); results are
+    rounded to 4 dp because the engines associate the interpolation
+    arithmetic differently (lower + d*(upper-lower) vs (1-d)*lower +
+    d*upper) — identical to 4 dp for money-scale inputs, not to the last
+    ulp. Spark's percentile is a true aggregate (per-group sort inside the
+    agg, no window): one shuffle on the 5-value priority key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_corr_price_qty",
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM q GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+    FROM s
+    """,
+)
+def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price and quantity per return flag — the
+    built-in corr() sums doubles in partition order and is NOT
+    reproducible across engines or partitionings; this computes the six
+    sufficient statistics in EXACT integer/decimal space (price quantized
+    to cents) and applies the closed form once in double, identically on
+    both engines. One map-side-combinable aggregation; the moment sums use
+    DECIMAL(38,0) because sum(x^2) overflows int64 at real scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    y = F.col("l_quantity").cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    yd = y.cast("decimal(38,0)")
+    s = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y"), xd.alias("xd"), yd.alias("yd")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("xd") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("yd") * F.col("y")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", F.col("n").cast("bigint").alias("n"), corr.alias("corr_xy")
+    )
