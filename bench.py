@@ -85,10 +85,13 @@ def main() -> None:
     prev_file, prev = _prev_round_timings(os.path.dirname(os.path.abspath(__file__)), sf)
 
     def anomalous(name: str, elapsed: float) -> bool:
-        if elapsed > RETRY_THRESHOLD_S:
-            return True
         p = prev.get(name)
-        return p is not None and elapsed > 1.5 * p and elapsed - p > 0.5
+        if p is not None:
+            # a known timing exists: retry only on apparent regression —
+            # a query that is legitimately slow every round (big inherent
+            # output) should not burn two retries per run
+            return elapsed > 1.5 * p and elapsed - p > 0.5
+        return elapsed > RETRY_THRESHOLD_S
 
     for name, fn in entrymod.queries().items():
         t0 = time.time()
