@@ -3688,9 +3688,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_locf(ev, F.expr("ts div 3600000000000"))
 
 
-@query(
-    "q_scd2_apply",
-    """
+_SCD2_SQL = """
     WITH cur AS (
         SELECT c_custkey, c_mktsegment,
                TIMESTAMP '1995-01-01' AS valid_from,
@@ -3722,8 +3720,10 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey IS NULL OR u.c_mktsegment != c.c_mktsegment
     )
     SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened
-    """,
-)
+"""
+
+
+@query("q_scd2_apply", _SCD2_SQL)
 def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 merge (the MERGE INTO WHEN
     MATCHED/NOT MATCHED shape as a pure DataFrame plan): a deterministic
@@ -5963,4 +5963,48 @@ def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "l_returnflag", F.col("n").cast("bigint").alias("n"), corr.alias("corr_xy")
+    )
+
+
+@query(
+    "q_scd2_asof",
+    f"""
+    WITH scd AS ({_SCD2_SQL}),
+    at_t AS (
+        SELECT t, c_mktsegment FROM scd
+        CROSS JOIN (SELECT unnest([TIMESTAMP '1999-01-01', TIMESTAMP '2001-01-01']) AS t)
+        WHERE valid_from <= t AND (valid_to IS NULL OR t < valid_to)
+    )
+    SELECT CAST(strftime(t, '%Y%m%d') AS INT) AS t, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM at_t GROUP BY 1, 2
+    """,
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: reconstruct the dimension
+    state at two instants (before and after the merge's effective date)
+    from the same versioned table q_scd2_apply produces — the
+    valid_from/valid_to half-open interval filter IS the as-of read, no
+    log replay. Segment counts flip between the instants exactly where
+    the merge closed/opened versions. The instants table is a 2-row
+    broadcast; the filter is a pushable conjunction at any scale."""
+    versioned = QUERIES["q_scd2_apply"](spark, sf_dir)
+    instants = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("1999-01-01").cast("timestamp"),
+                F.lit("2001-01-01").cast("timestamp"),
+            )
+        ).alias("t")
+    )
+    return (
+        versioned.join(F.broadcast(instants))
+        .filter(
+            (F.col("valid_from") <= F.col("t"))
+            & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to")))
+        )
+        .groupBy(
+            F.date_format("t", "yyyyMMdd").cast("int").alias("t"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
