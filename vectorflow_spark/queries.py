@@ -6008,3 +6008,119 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: containment near-dup, exact-moment dispersion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_containment_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM toks WHERE len(ts) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ts, ' ') AS shingle FROM toks WHERE len(ts) < 3
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sh l JOIN sh r ON l.shingle = r.shingle
+        WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.a = sa.doc_id
+    JOIN sizes sb ON i.b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= 0.6
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) >= 0.6 over word
+    3-gram sets. Jaccard misses excerpt duplication (a page quoted inside
+    a much larger document scores low because the union is huge);
+    containment normalizes by the SMALLER set, which is exactly the
+    training-data case — boilerplate and quotations embedded in long
+    docs. Same inverted-index plan as the Jaccard verify (one shingle-key
+    self-join, sizes joined back); only the denominator differs."""
+    from vectorflow_spark.operators.dedup import with_shingles
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    sh = with_shingles(docs, "doc_id", "text", 3, "word").select(
+        "doc_id", F.xxhash64("shingle").alias("k")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("a"), "k")
+    b = sh.select(F.col("doc_id").alias("b"), "k")
+    inter = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("size_b"))
+    cont = F.col("n_common").cast("double") / F.least("size_a", "size_b")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(cont >= 0.6)
+        .select("a", "b", "n_common", cont.alias("containment"))
+    )
+
+
+@query(
+    "q_stddev_prices",
+    """
+    WITH q AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+        FROM q GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) / 100.0 AS stddev_price
+    FROM s
+    """,
+)
+def q_stddev_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation per return flag from EXACT moments: the
+    built-in stddev sums doubles in partition order (different answer per
+    partitioning/engine); here price is quantized to cents, the count /
+    sum / sum-of-squares accumulate exactly in integer-decimal space, and
+    the closed form runs once in double — identical expression both
+    engines. Same pattern as q_corr_price_qty; one map-side-combinable
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    s = li.select("l_returnflag", x.alias("x"), xd.alias("xd")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum(F.col("xd") * F.col("x")).cast("double").alias("sxx"),
+    )
+    std = (
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - 1.0))
+        )
+        / 100.0
+    )
+    return s.select(
+        "l_returnflag", F.col("n").cast("bigint").alias("n"), std.alias("stddev_price")
+    )
