@@ -6124,3 +6124,44 @@ def q_stddev_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", F.col("n").cast("bigint").alias("n"), std.alias("stddev_price")
     )
+
+
+@query(
+    "q_top_names_per_segment",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list(c_name ORDER BY c_acctbal DESC, c_custkey)[1:3], ',') AS top_names
+    FROM customer GROUP BY 1
+    """,
+)
+def q_top_names_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: the top-3 customer names per segment AS
+    AN ARRAY — the list(x ORDER BY ...) surface. Spark has no ordered
+    collect_list, so the order key rides inside the struct (negated
+    balance for DESC), array_sort gives the total order, and transform
+    projects the payload. collect_list is a real aggregate (map-side
+    partials); the arrays are group-sized only until the slice — for
+    unbounded groups at scale, cap with the WindowGroupLimit top-k
+    (q_topk_per_group) BEFORE collecting."""
+    c = _t(spark, sf_dir, "customer")
+    top3 = F.slice(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("c_acctbal")).alias("negbal"),
+                        F.col("c_custkey").alias("ck"),
+                        F.col("c_name").alias("nm"),
+                    )
+                )
+            ),
+            lambda x: x["nm"],
+        ),
+        1,
+        3,
+    )
+    # joined to a string: the oracle comparator sorts rows by every output
+    # column and array cells are unhashable there
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", top3).alias("top_names")
+    )
