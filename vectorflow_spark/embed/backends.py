@@ -79,12 +79,33 @@ def with_retries(
     return call
 
 
-def _openai_batch_fn(model: str, retries: int) -> Callable[[list[str]], list[list[float]]]:
-    """E1/E2: one API call per minibatch, wrapped in the retry policy."""
-    import openai  # import-gated; not installed in the build environment
+def _openai_batch_fn(
+    model: str,
+    retries: int,
+    client_factory: Callable[[], object] | None = None,
+) -> Callable[[list[str]], list[list[float]]]:
+    """E1/E2: one API call per minibatch, wrapped in the retry policy.
+
+    ``client_factory`` makes the transport injectable (the same pattern as
+    the sink writers' fake clients and the enhancer's Completion): it runs
+    INSIDE the Spark python worker and must return an object exposing
+    ``.embeddings.create(input=texts, model=model)`` whose result has
+    order-aligned ``.data[i].embedding``. Default: the real openai module
+    (import-gated; not installed in the build environment).
+    """
+    if client_factory is None:
+
+        def client_factory() -> object:
+            import openai  # import-gated; not installed in the build environment
+
+            return openai
+
+    state: dict[str, object] = {}
 
     def call(texts: list[str]) -> list[list[float]]:
-        resp = openai.embeddings.create(input=texts, model=model)
+        if "client" not in state:
+            state["client"] = client_factory()
+        resp = state["client"].embeddings.create(input=texts, model=model)
         # API responses are assumed order-aligned with the input
         # (same assumption as the reference, worker.py:75-76)
         return [d.embedding for d in resp.data]
@@ -92,20 +113,39 @@ def _openai_batch_fn(model: str, retries: int) -> Callable[[list[str]], list[lis
     return with_retries(call, retries)
 
 
-def _hugging_face_batch_fn(model: str) -> Callable[[list[str]], list[list[float]]]:
-    """X1: local sentence-transformers model, broadcast-per-task, batch 32
-    (HUGGING_FACE_BATCH_SIZE, reference src/worker/config.py:6)."""
-    from sentence_transformers import SentenceTransformer  # import-gated
+def _hugging_face_batch_fn(
+    model: str,
+    model_loader: Callable[[str], object] | None = None,
+) -> Callable[[list[str]], list[list[float]]]:
+    """X1: local sentence-transformers model, loaded once per task, batch 32
+    (HUGGING_FACE_BATCH_SIZE, reference src/worker/config.py:6).
 
-    m = SentenceTransformer(model)
+    ``model_loader(model_name)`` must return an object exposing
+    ``.encode(texts, batch_size=32) -> sequence of array-likes``; default is
+    the real SentenceTransformer (import-gated).
+    """
+    if model_loader is None:
+
+        def model_loader(name: str) -> object:
+            from sentence_transformers import SentenceTransformer  # import-gated
+
+            return SentenceTransformer(name)
+
+    m = model_loader(model)
 
     def call(texts: list[str]) -> list[list[float]]:
-        return [v.tolist() for v in m.encode(texts, batch_size=32)]
+        return [list(map(float, v)) for v in m.encode(texts, batch_size=32)]
 
     return call
 
 
-def embed(df: DataFrame, cfg: PipelineConfig, text_col: str = "text") -> DataFrame:
+def embed(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    client_factory: Callable[[], object] | None = None,
+    model_loader: Callable[[str], object] | None = None,
+) -> DataFrame:
     """Append ``vector: array<float>`` to ``df`` using cfg's backend."""
     out_fields = df.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
@@ -125,9 +165,9 @@ def embed(df: DataFrame, cfg: PipelineConfig, text_col: str = "text") -> DataFra
         if backend == "deterministic":
             fn = lambda texts: _deterministic_batch(texts, dim)  # noqa: E731
         elif backend == "openai":
-            fn = _openai_batch_fn(model, retries)
+            fn = _openai_batch_fn(model, retries, client_factory)
         elif backend == "hugging_face":
-            fn = _hugging_face_batch_fn(model)
+            fn = _hugging_face_batch_fn(model, model_loader)
         else:
             raise ValueError(f"unknown embeddings_type: {backend}")
 
