@@ -109,3 +109,75 @@ class TestHttpTransport:
         transport = http_validation_transport(f"{server}/slow", timeout=1.0)
         out = validate_chunks_webhook(chunks, transport, batch_size=15)
         assert out.count() == 0
+
+
+class TestRequestValidation:
+    """F2: ordered first-failure dispatch parity with
+    reference src/api/validators.py:34-46."""
+
+    def _req(self, spark, **over):
+        base = {
+            "vectorflow_key": "key-0",
+            "embeddings_type": "open_ai",
+            "vector_db_type": "qdrant",
+            "vector_db_index": "idx",
+            "vector_db_key": "dbk",
+            "webhook_url": None,
+            "webhook_key": None,
+            "has_source_data": True,
+            "presigned_url": None,
+        }
+        base.update(over)
+        schema = (
+            "vectorflow_key string, embeddings_type string, vector_db_type string, "
+            "vector_db_index string, vector_db_key string, webhook_url string, "
+            "webhook_key string, has_source_data boolean, presigned_url string"
+        )
+        return spark.createDataFrame([tuple(base[k] for k in base)], schema)
+
+    def _run(self, spark, checks=None, valid_keys=("key-0",), local=False, **over):
+        from vectorflow_spark.operators.filters import EMBED_CHECKS, validate_requests
+
+        df = validate_requests(
+            self._req(spark, **over),
+            checks=checks or EMBED_CHECKS,
+            valid_keys=valid_keys,
+            local_vector_db=local,
+        )
+        return df.select("failed_validation", "error", "status_code").first()
+
+    def test_accepted(self, spark):
+        r = self._run(spark)
+        assert (r.failed_validation, r.error, r.status_code) == (None, None, 200)
+
+    def test_cred_fails_first_even_if_everything_else_fails(self, spark):
+        # ordered dispatch: CRED wins over the later failures (validators.py:45)
+        r = self._run(spark, vectorflow_key="wrong", embeddings_type=None, has_source_data=False)
+        assert (r.failed_validation, r.status_code) == ("CRED", 401)
+        assert r.error == "Invalid credentials"
+
+    def test_metadata_requires_db_key_unless_local(self, spark):
+        assert self._run(spark, vector_db_key=None).failed_validation == "METADATA"
+        assert self._run(spark, vector_db_key=None, local=True).failed_validation is None
+
+    def test_embedding_type_gate(self, spark):
+        r = self._run(spark, embeddings_type="cohere")
+        assert (r.failed_validation, r.status_code) == ("EMBEDDING_TYPE", 400)
+        assert "hugging_face_model_name" in r.error
+
+    def test_webhook_url_without_key(self, spark):
+        r = self._run(spark, webhook_url="https://x")
+        assert (r.failed_validation, r.error) == ("WEBHOOK", "Webhook URL provided but no webhook key")
+        assert self._run(spark, webhook_url="https://x", webhook_key="k").failed_validation is None
+
+    def test_jobs_checks_use_has_files(self, spark):
+        from vectorflow_spark.operators.filters import JOBS_CHECKS
+
+        r = self._run(spark, checks=JOBS_CHECKS, has_source_data=False)
+        assert (r.failed_validation, r.error) == ("HAS_FILES", "No file part in the request")
+
+    def test_presigned_variant(self, spark):
+        checks = ("CRED", "METADATA", "PRE_SIGNED")
+        r = self._run(spark, checks=checks)
+        assert (r.failed_validation, r.status_code) == ("PRE_SIGNED", 400)
+        assert self._run(spark, checks=checks, presigned_url="https://s3/x").failed_validation is None

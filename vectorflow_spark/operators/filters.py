@@ -137,3 +137,96 @@ def validate_chunks_webhook(
                     yield keep
 
     return chunks.mapInPandas(run, schema=schema)
+
+
+# --- F2: request-validation chain -----------------------------------------
+#
+# Reference src/api/validators.py:7-46 + app.py:40-45,79-84: every endpoint
+# runs an ORDERED list of named validations over the incoming
+# VectorflowRequest and dispatches the FIRST failure to an (error message,
+# status code) pair; a request with no failure proceeds (200).
+#
+# Data-plane form: a batch of requests is a DataFrame (one row per request,
+# columns = the VectorflowRequest surface, shared/vectorflow_request.py:6-19)
+# and the chain is ONE Catalyst CASE expression — first-match-wins exactly
+# like the reference's ``next(v for v in checks if not VALID[v])``. Pure
+# projection: no shuffle, no Python, fully pushdown-friendly, and the whole
+# chain whole-stage-codegens into the scan at any scale.
+
+# validators.py:18-27 (message, status) — order of _EMBED_CHECKS is
+# app.py:40-45; _JOBS_CHECKS is app.py:79-84.
+DISPATCH_ERROR_MAP = {
+    "CRED": ("Invalid credentials", 401),
+    "METADATA": ("Missing required fields", 400),
+    "METADATA2": ("Missing required fields", 400),
+    "EMBEDDING_TYPE": (
+        'Hugging face embeddings models require a "hugging_face_model_name" '
+        'in the "embeddings_metadata"',
+        400,
+    ),
+    "WEBHOOK": ("Webhook URL provided but no webhook key", 400),
+    "SOURCE_DATA": ("No file part in the request", 400),
+    "HAS_FILES": ("No file part in the request", 400),
+    "PRE_SIGNED": ("Missing required fields", 400),
+}
+
+EMBED_CHECKS = ("CRED", "METADATA", "EMBEDDING_TYPE", "WEBHOOK", "SOURCE_DATA")
+JOBS_CHECKS = ("CRED", "METADATA", "EMBEDDING_TYPE", "WEBHOOK", "HAS_FILES")
+
+
+def _nonempty(col: str):
+    c = F.col(col)
+    return c.isNotNull() & (F.length(c) > 0)
+
+
+def validate_requests(
+    requests: DataFrame,
+    checks: tuple[str, ...] = EMBED_CHECKS,
+    valid_keys: tuple[str, ...] = (),
+    local_vector_db: bool = False,
+) -> DataFrame:
+    """F2: the validation chain as one first-match-wins CASE projection.
+
+    Expected columns (the VectorflowRequest surface; any may be null):
+      vectorflow_key, embeddings_type, vector_db_type, vector_db_index,
+      vector_db_key, webhook_url, webhook_key, has_source_data (boolean).
+
+    Per-check truth (validators.py:35-44):
+      CRED            key present AND in ``valid_keys`` (Auth stand-in)
+      METADATA        embeddings_metadata AND vector_db_metadata AND
+                      (vector_db_key OR LOCAL_VECTOR_DB)
+      METADATA2       vector_db_metadata AND (vector_db_key OR LOCAL_VECTOR_DB)
+      EMBEDDING_TYPE  embeddings_type == 'open_ai' (EmbeddingsType.OPEN_AI)
+      WEBHOOK         no webhook_url OR webhook_key present
+      SOURCE_DATA /   modeled by the ``has_source_data`` boolean (the
+      HAS_FILES       multipart body never reaches the data plane)
+
+    ``local_vector_db`` mirrors the LOCAL_VECTOR_DB env toggle
+    (validators.py:37-38). Output: input columns + ``failed_validation``,
+    ``error``, ``status_code`` (null/null/200 for accepted requests).
+    """
+    meta_db = F.col("vector_db_type").isNotNull() & F.col("vector_db_index").isNotNull()
+    db_key_ok = _nonempty("vector_db_key") | F.lit(bool(local_vector_db))
+    ok = {
+        "CRED": _nonempty("vectorflow_key")
+        & (F.col("vectorflow_key").isin(*valid_keys) if valid_keys else F.lit(False)),
+        "METADATA": F.col("embeddings_type").isNotNull() & meta_db & db_key_ok,
+        "METADATA2": meta_db & db_key_ok,
+        "EMBEDDING_TYPE": F.col("embeddings_type") == "open_ai",
+        "WEBHOOK": F.col("webhook_url").isNull() | _nonempty("webhook_key"),
+        "SOURCE_DATA": F.col("has_source_data"),
+        "HAS_FILES": F.col("has_source_data"),
+        "PRE_SIGNED": _nonempty("presigned_url"),
+    }
+    failed = F.lit(None).cast("string")
+    for name in reversed(checks):
+        failed = F.when(~F.coalesce(ok[name], F.lit(False)), F.lit(name)).otherwise(failed)
+    out = requests.withColumn("failed_validation", failed)
+    err = F.lit(None).cast("string")
+    code = F.lit(200)
+    for name in checks:
+        msg, status = DISPATCH_ERROR_MAP[name]
+        hit = F.col("failed_validation") == name
+        err = F.when(hit, F.lit(msg)).otherwise(err)
+        code = F.when(hit, F.lit(status)).otherwise(code)
+    return out.withColumn("error", err).withColumn("status_code", code)

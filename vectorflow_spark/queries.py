@@ -6165,3 +6165,93 @@ def q_top_names_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.concat_ws(",", top3).alias("top_names")
     )
+
+
+@query(
+    "q_request_validation",
+    """
+    WITH reqs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE 'key-' || CAST(doc_id % 3 AS VARCHAR) END AS vectorflow_key,
+        (['open_ai','cohere','open_ai',NULL,'open_ai'])[CAST(doc_id % 5 AS INT) + 1]
+            AS embeddings_type,
+        CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'qdrant' END AS vector_db_type,
+        CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'dbkey' END AS vector_db_key,
+        CASE WHEN doc_id % 4 = 0 THEN 'https://hook.example' ELSE NULL END AS webhook_url,
+        CASE WHEN doc_id % 8 = 0 THEN NULL ELSE 'whk' END AS webhook_key,
+        (doc_id % 17) <> 0 AS has_source_data
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+        (vectorflow_key IS NOT NULL AND length(vectorflow_key) > 0
+         AND vectorflow_key IN ('key-0','key-1')) AS ok_cred,
+        (embeddings_type IS NOT NULL AND vector_db_type IS NOT NULL
+         AND vector_db_key IS NOT NULL AND length(vector_db_key) > 0) AS ok_meta,
+        coalesce(embeddings_type = 'open_ai', false) AS ok_et,
+        (webhook_url IS NULL OR (webhook_key IS NOT NULL AND length(webhook_key) > 0))
+            AS ok_wh,
+        has_source_data AS ok_src
+      FROM reqs
+    )
+    SELECT doc_id,
+      CASE WHEN NOT ok_cred THEN 'CRED'
+           WHEN NOT ok_meta THEN 'METADATA'
+           WHEN NOT ok_et  THEN 'EMBEDDING_TYPE'
+           WHEN NOT ok_wh  THEN 'WEBHOOK'
+           WHEN NOT ok_src THEN 'SOURCE_DATA' END AS failed_validation,
+      CASE WHEN NOT ok_cred THEN 'Invalid credentials'
+           WHEN NOT ok_meta THEN 'Missing required fields'
+           WHEN NOT ok_et  THEN 'Hugging face embeddings models require a "hugging_face_model_name" in the "embeddings_metadata"'
+           WHEN NOT ok_wh  THEN 'Webhook URL provided but no webhook key'
+           WHEN NOT ok_src THEN 'No file part in the request' END AS error,
+      CASE WHEN NOT ok_cred THEN 401
+           WHEN NOT ok_meta THEN 400
+           WHEN NOT ok_et  THEN 400
+           WHEN NOT ok_wh  THEN 400
+           WHEN NOT ok_src THEN 400
+           ELSE 200 END AS status_code
+    FROM flags
+    """,
+)
+def q_request_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2, data-plane form: the /embed endpoint's ordered validation chain
+    (reference src/api/validators.py:7-46 dispatched at app.py:40-45) run
+    over a batch of synthetic requests derived deterministically from
+    doc_id. One first-match-wins CASE projection — no shuffle, no Python;
+    the whole chain codegens into the scan (operators/filters.validate_requests)."""
+    from vectorflow_spark.operators.filters import validate_requests
+
+    d = _t(spark, sf_dir, "documents")
+    reqs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("key-"), (F.col("doc_id") % 3).cast("string")))
+        .alias("vectorflow_key"),
+        F.element_at(
+            F.array(
+                F.lit("open_ai"),
+                F.lit("cohere"),
+                F.lit("open_ai"),
+                F.lit(None).cast("string"),
+                F.lit("open_ai"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("embeddings_type"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("qdrant"))
+        .alias("vector_db_type"),
+        F.lit("corpus-index").alias("vector_db_index"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("dbkey"))
+        .alias("vector_db_key"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("https://hook.example"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("webhook_url"),
+        F.when(F.col("doc_id") % 8 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("whk"))
+        .alias("webhook_key"),
+        (F.col("doc_id") % 17 != 0).alias("has_source_data"),
+    )
+    out = validate_requests(reqs, valid_keys=("key-0", "key-1"))
+    return out.select("doc_id", "failed_validation", "error", "status_code")
