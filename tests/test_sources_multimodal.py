@@ -154,3 +154,96 @@ def test_image_dhash_exact_dup_groups(spark):
     again = {r.asset_id: r.dhash for r in image_dhash(assets).collect()}
     first = {r.asset_id: r.dhash for r in hashed.collect()}
     assert first == again
+
+
+# --- S4 extractor-path parity: markdown_reader_expr vs a python twin -------
+
+
+def _md_reader_twin(content: str) -> str:
+    """Direct transcription of llama_hub MarkdownReader's published
+    algorithm (the reference runs it at src/extract/extract.py:78-88)."""
+    import re
+
+    content = re.sub(r"\[(.*?)\]\((.*?)\)", r"\1", content)
+    content = re.sub(r"!{1}\[\[(.*)\]\]", "", content)
+    tups = []
+    cur_h, cur_t = None, ""
+    for line in content.split("\n"):
+        if re.match(r"^#+\s", line):
+            if cur_h is not None:
+                if cur_t == "":
+                    continue  # swallows the header line entirely
+                tups.append((cur_h, cur_t))
+            else:
+                tups.append((cur_h, cur_t))
+            cur_h, cur_t = line, ""
+        else:
+            cur_t += line + "\n"
+    tups.append((cur_h, cur_t))
+    tups = [
+        (re.sub(r"#", "", k).strip() if k else k, re.sub(r"<.*?>", "", v))
+        for k, v in tups
+    ]
+    return "\n".join(v if k is None else f"\n\n{k}\n{v}" for k, v in tups)
+
+
+class TestMarkdownReaderParity:
+    CASES = [
+        "plain text\nno headers at all\n",
+        "# A\ntext under a\n## B\n## C\nunder one of them\n",
+        "# A\n## B\n## C\ntext\n## D\nmore",
+        "lead text\n# A\n# B\n\n# C\ntail",
+        "# only header",
+        "",
+        "x [link](http://a) y ![[img]] z <b>bold</b>\n# H <i>i</i> #x\nbody <tag>\n",
+        "# A\n### Tail",
+        "intro\n#### \nweird empty header title\n",
+        "#nospace not a header\n# real\n",
+    ]
+
+    def test_fold_matches_twin_on_edge_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectorflow_spark.sources.readers import markdown_reader_expr
+
+        df = spark.createDataFrame(list(enumerate(self.CASES)), "i int, md string")
+        got = {r.i: r.o for r in df.select("i", markdown_reader_expr(F.col("md")).alias("o")).collect()}
+        for i, c in enumerate(self.CASES):
+            assert got[i] == _md_reader_twin(c), f"case {i}: {c!r}"
+
+    def test_fold_matches_twin_on_random_docs(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from vectorflow_spark.sources.readers import markdown_reader_expr
+
+        rng = random.Random(42)
+        pieces = [
+            "# H{}", "## Sub {} x", "#### ", "text {}", "", "  ", "[a{}](http://x)",
+            "![[im{}]]", "<b>t{}</b>", "#notaheader{}", "\tindent {}",
+        ]
+        docs = [
+            "\n".join(rng.choice(pieces).format(rng.randrange(10)) for _ in range(rng.randrange(0, 20)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(list(enumerate(docs)), "i int, md string")
+        got = {r.i: r.o for r in df.select("i", markdown_reader_expr(F.col("md")).alias("o")).collect()}
+        for i, c in enumerate(docs):
+            assert got[i] == _md_reader_twin(c), f"doc {i}: {c!r}"
+
+    def test_extract_documents_reader_mode(self, spark, tmp_path):
+        import pathlib
+
+        p = pathlib.Path(tmp_path)
+        (p / "a.md").write_text("# Title\n## Gone\nbody [x](http://y)\n")
+        (p / "b.txt").write_text("plain text")
+        from vectorflow_spark.sources.readers import extract_documents
+
+        raw = spark.read.format("binaryFile").load(str(p)).selectExpr(
+            "path AS source", "content"
+        )
+        rows = {r.kind: r.text for r in extract_documents(raw, markdown_mode="reader").collect()}
+        assert rows["txt"] == "plain text"
+        assert rows["md"] == _md_reader_twin("# Title\n## Gone\nbody [x](http://y)\n")
+        assert "## Gone" not in rows["md"] and "Title" in rows["md"]

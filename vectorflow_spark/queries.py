@@ -6255,3 +6255,96 @@ def q_request_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = validate_requests(reqs, valid_keys=("key-0", "key-1"))
     return out.select("doc_id", "failed_validation", "error", "status_code")
+
+
+@query(
+    "q_markdown_extract",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        '## Empty' || chr(10) ||
+        'Intro [link](http://ex.com/' || CAST(doc_id AS VARCHAR) || ') and <b>tag</b>.' || chr(10) ||
+        '## Body' || chr(10) ||
+        substring(text, 1, 150) || chr(10) ||
+        '![[image' || CAST(doc_id AS VARCHAR) || ']]' || chr(10) ||
+        '### Tail' AS md
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(md, '\\[(.*?)\\]\\((.*?)\\)', '\\1', 'g'),
+                            '!\\[\\[(.*)\\]\\]', '', 'g') AS c
+      FROM src
+    ),
+    ls AS (SELECT doc_id, string_split(c, chr(10)) AS arr FROM clean),
+    lines AS (
+      SELECT doc_id, unnest(arr) AS line, generate_subscripts(arr, 1) AS pos FROM ls
+    ),
+    flagged AS (
+      SELECT doc_id, line, pos,
+             regexp_matches(line, '^#+\\s') AS ish,
+             coalesce(lag(regexp_matches(line, '^#+\\s'))
+                      OVER (PARTITION BY doc_id ORDER BY pos), false) AS prev_ish
+      FROM lines
+    ),
+    kept AS (
+      SELECT doc_id, line, pos, (ish AND NOT prev_ish) AS eff
+      FROM flagged
+      WHERE NOT (ish AND prev_ish)
+    ),
+    sec AS (
+      SELECT doc_id, line, pos, eff,
+             sum(CASE WHEN eff THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM kept
+    ),
+    grp AS (
+      SELECT doc_id, sid,
+             max(CASE WHEN eff THEN line END) AS header,
+             coalesce(string_agg(CASE WHEN NOT eff THEN line || chr(10) END,
+                                 '' ORDER BY pos), '') AS body
+      FROM sec GROUP BY doc_id, sid
+    ),
+    tups AS (
+      SELECT d.doc_id, 0 AS sid, CAST(NULL AS VARCHAR) AS header,
+             coalesce(g.body, '') AS body
+      FROM (SELECT DISTINCT doc_id FROM grp) d
+      LEFT JOIN grp g ON g.doc_id = d.doc_id AND g.sid = 0
+      UNION ALL
+      SELECT doc_id, sid, header, body FROM grp WHERE sid > 0
+    ),
+    rendered AS (
+      SELECT doc_id, sid,
+             CASE WHEN header IS NULL THEN regexp_replace(body, '<.*?>', '', 'g')
+                  ELSE chr(10) || chr(10) || trim(regexp_replace(header, '#', '', 'g'))
+                       || chr(10) || regexp_replace(body, '<.*?>', '', 'g') END AS txt
+      FROM tups
+    )
+    SELECT doc_id, string_agg(txt, chr(10) ORDER BY sid) AS md_text
+    FROM rendered GROUP BY doc_id
+    """,
+)
+def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4, exact extractor-path parity: synthetic markdown (headers, a
+    deliberately swallowed back-to-back header, a hyperlink, an html tag,
+    an ![[image]] line, a trailing empty-bodied header) built around each
+    document's text, pushed through sources/readers.markdown_reader_expr —
+    the llama_hub MarkdownReader algorithm as one zero-shuffle Catalyst
+    fold. The oracle reproduces the same semantics with a structurally
+    INDEPENDENT lag/window/group formulation, so a bug in either shape
+    can't self-confirm."""
+    from vectorflow_spark.sources.readers import markdown_reader_expr
+
+    d = _t(spark, sf_dir, "documents", split=True)
+    did = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Doc "), did, F.lit("\n"),
+        F.lit("## Empty\n"),
+        F.lit("Intro [link](http://ex.com/"), did, F.lit(") and <b>tag</b>.\n"),
+        F.lit("## Body\n"),
+        F.substring("text", 1, 150), F.lit("\n"),
+        F.lit("![[image"), did, F.lit("]]\n"),
+        F.lit("### Tail"),
+    )
+    return d.select("doc_id", markdown_reader_expr(md).alias("md_text"))

@@ -203,6 +203,84 @@ def strip_markdown_expr(decoded):
     return F.trim(F.regexp_replace(no_emph, r"[ \t]+", " "))
 
 
+def markdown_reader_expr(decoded):
+    """S4, EXACT extractor-path parity: the reference's extractor service
+    feeds .md files through llama_index/llama_hub's public ``MarkdownReader``
+    and joins the resulting doc texts with "\\n"
+    (reference src/extract/extract.py:78-88). This reimplements that
+    reader's published algorithm as ONE zero-shuffle Catalyst expression —
+    an ``aggregate`` (fold) over the line array, state =
+    (tups, current_header, current_text, started):
+
+      * hyperlinks ``[text](url)`` -> text, images ``![[x]]`` -> removed
+        (the reader's remove_hyperlinks/remove_images defaults);
+      * lines matching ``^#+\\s`` open a new (header, text) tuple;
+      * QUIRK, faithfully kept: a header line arriving while the current
+        section's text is still empty is SWALLOWED ENTIRELY (the reader's
+        ``continue`` skips the header-variable update too), so of a run of
+        back-to-back headers only the first survives;
+      * the leading pre-header text (possibly empty) is a header-less tup;
+      * on finish, ``#`` chars are stripped from headers (then trimmed),
+        ``<...>`` tags are stripped from section bodies, headered sections
+        render as "\\n\\n{header}\\n{body}", and everything joins on "\\n".
+
+    Parity is pinned by tests/test_sources_multimodal.py's twin-vs-fold
+    property test; the scale story is a pure per-row projection — no
+    shuffle, no Python, no UDF."""
+    c = F.regexp_replace(decoded, r"\[(.*?)\]\((.*?)\)", "$1")
+    c = F.regexp_replace(c, r"!\[\[(.*)\]\]", "")
+    lines = F.split(c, "\n", -1)
+    init = F.struct(
+        F.expr("cast(array() as array<struct<h:string,t:string>>)").alias("tups"),
+        F.lit(None).cast("string").alias("h"),
+        F.lit("").alias("t"),
+        F.lit(False).alias("started"),
+    )
+
+    def merge(acc, line):
+        is_hdr = line.rlike(r"^#+\s")
+        appended = F.concat(
+            acc["tups"],
+            F.array(
+                F.struct(
+                    F.when(acc["started"], acc["h"]).otherwise(F.lit(None).cast("string")).alias("h"),
+                    acc["t"].alias("t"),
+                )
+            ),
+        )
+        accept = F.struct(
+            appended.alias("tups"), line.alias("h"), F.lit("").alias("t"), F.lit(True).alias("started")
+        )
+        grow = F.struct(
+            acc["tups"].alias("tups"),
+            acc["h"].alias("h"),
+            F.concat(acc["t"], line, F.lit("\n")).alias("t"),
+            acc["started"].alias("started"),
+        )
+        return F.when(is_hdr & acc["started"] & (acc["t"] == ""), acc).otherwise(
+            F.when(is_hdr, accept).otherwise(grow)
+        )
+
+    def fin(acc):
+        tups = F.concat(acc["tups"], F.array(F.struct(acc["h"].alias("h"), acc["t"].alias("t"))))
+        texts = F.transform(
+            tups,
+            lambda tp: F.when(
+                tp["h"].isNull(), F.regexp_replace(tp["t"], "<.*?>", "")
+            ).otherwise(
+                F.concat(
+                    F.lit("\n\n"),
+                    F.trim(F.regexp_replace(tp["h"], "#", "")),
+                    F.lit("\n"),
+                    F.regexp_replace(tp["t"], "<.*?>", ""),
+                )
+            ),
+        )
+        return F.array_join(texts, "\n")
+
+    return F.aggregate(lines, init, merge, fin)
+
+
 def strip_html_expr(decoded):
     """S5 improvement: drop script/style blocks and tags, collapse space.
     (The reference's HTML path is repr() of the bytes — not replicated.)"""
@@ -212,7 +290,10 @@ def strip_html_expr(decoded):
 
 
 def extract_documents(
-    raw: DataFrame, strip_html: bool = True, formats: set[str] | None = None
+    raw: DataFrame,
+    strip_html: bool = True,
+    formats: set[str] | None = None,
+    markdown_mode: str = "raw",
 ) -> DataFrame:
     """Dispatch extraction -> (source, kind, text). Text formats decode
     JVM-side; pdf/docx route through their pandas UDFs.
@@ -227,14 +308,25 @@ def extract_documents(
 
     ``formats``: optional explicit whitelist (e.g. {"txt", "md", "html"})
     for callers that KNOW the corpus; formats outside it are not wired at
-    all, removing even the ArrowEvalPython node from pure-text plans."""
+    all, removing even the ArrowEvalPython node from pure-text plans.
+
+    ``markdown_mode``: "raw" = the reference's API path (md bytes decoded
+    verbatim, src/api/pipeline flow); "reader" = the extractor-service
+    path (llama_hub MarkdownReader section semantics,
+    src/extract/extract.py:78-88) via ``markdown_reader_expr`` — still a
+    pure projection, no Python."""
+    if markdown_mode not in ("raw", "reader"):
+        raise ValueError(f"markdown_mode must be 'raw' or 'reader', got {markdown_mode!r}")
     fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx"}
     kinds = raw.withColumn("kind", sniff_kind())
     utf8 = F.expr("CASE WHEN is_valid_utf8(content) THEN decode(content, 'UTF-8') END")
 
     text = F.lit(None).cast("string")
-    if {"txt", "md"} & fmts:
-        text = F.when(F.col("kind").isin(*sorted({"txt", "md"} & fmts)), utf8).otherwise(text)
+    if "txt" in fmts:
+        text = F.when(F.col("kind") == "txt", utf8).otherwise(text)
+    if "md" in fmts:
+        md_text = markdown_reader_expr(utf8) if markdown_mode == "reader" else utf8
+        text = F.when(F.col("kind") == "md", md_text).otherwise(text)
     if "html" in fmts:
         text = F.when(
             F.col("kind") == "html", strip_html_expr(utf8) if strip_html else utf8
