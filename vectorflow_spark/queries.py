@@ -6258,7 +6258,7 @@ def q_request_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_markdown_extract",
+    "q_markdown_reader",
     """
     WITH src AS (
       SELECT doc_id,
@@ -6325,7 +6325,7 @@ def q_request_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rendered GROUP BY doc_id
     """,
 )
-def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_markdown_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4, exact extractor-path parity: synthetic markdown (headers, a
     deliberately swallowed back-to-back header, a hyperlink, an html tag,
     an ![[image]] line, a trailing empty-bodied header) built around each
