@@ -129,3 +129,40 @@ def minibatch_ids(df: DataFrame, group_cols: list[str], order_col: str, max_batc
         "minibatch_id",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)).cast("long"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+    shards: int = 16,
+) -> DataFrame:
+    """Length-bucketed training-batch assignment (extension family:
+    training-batch shaping; no reference counterpart — the standard
+    padding-efficiency technique for packed LM/seq2seq batches).
+
+    Rows are bucketed by token-length magnitude (bucket = bit-length of
+    the token count — pure integer expression, no float log2 whose libm
+    rounding could differ across engines), sharded by ``id % shards``,
+    then batch ids are assigned by a row_number window over
+    (bucket, shard): batches group near-equal-length rows, so per-batch
+    padding (batch_max - row_len) stays small.
+
+    Scale shape: the only shuffle is the (bucket, shard) window; shards
+    bound each window task at rows/(buckets*shards) regardless of data
+    size — a single-bucket corpus still parallelizes. Emits per-row
+    ``bucket``, ``shard``, ``batch_id``, plus ``batch_max`` /
+    ``pad_waste`` via one second window over the SAME partitioning (no
+    extra exchange; Spark reuses the hash partitioning)."""
+    nbits = F.length(F.bin(F.col(token_col)))
+    shard = (F.col(id_col) % F.lit(shards)).cast("int")
+    with_keys = df.withColumn("bucket", nbits.cast("int")).withColumn("shard", shard)
+    w = Window.partitionBy("bucket", "shard").orderBy(F.col(token_col), F.col(id_col))
+    assigned = with_keys.withColumn(
+        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long")
+    )
+    wb = Window.partitionBy("bucket", "shard", "batch_id")
+    return assigned.withColumn("batch_max", F.max(token_col).over(wb)).withColumn(
+        "pad_waste", (F.col("batch_max") - F.col(token_col)).cast("long")
+    )

@@ -6348,3 +6348,99 @@ def q_markdown_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("### Tail"),
     )
     return d.select("doc_id", markdown_reader_expr(md).alias("md_text"))
+
+
+@query(
+    "q_global_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training-data ordering:
+    every row gets an exact global position under ORDER BY
+    md5(seed || id) — reproducible across runs, partitionings, and
+    cluster sizes, with NO single-partition sort: the position comes from
+    operators/ranking.global_row_number (range-sort + partition-offset),
+    so the plan holds at 100 TB where a bare row_number() window
+    serializes. Changing the seed literal reshuffles epochs."""
+    from vectorflow_spark.operators.ranking import global_row_number
+
+    d = _t(spark, sf_dir, "documents", split=True)
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    ranked = global_row_number(
+        d.select("doc_id", key.alias("_k")), ["_k", "doc_id"], out_col="shuffle_pos"
+    )
+    return ranked.select("doc_id", "shuffle_pos")
+
+
+@query(
+    "q_length_bucketed_batches",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tok,
+             CAST(length(bin(n_tok)) AS INT) AS bucket,
+             CAST(doc_id % 16 AS INT) AS shard
+      FROM toks
+    ),
+    assigned AS (
+      SELECT doc_id, n_tok, bucket, shard,
+             CAST((row_number() OVER (PARTITION BY bucket, shard
+                                      ORDER BY n_tok, doc_id) - 1) // 8 AS BIGINT)
+                 AS batch_id
+      FROM keyed
+    ),
+    batches AS (
+      SELECT bucket, shard, batch_id,
+             count(*) AS n_rows,
+             max(n_tok) AS batch_max,
+             sum(n_tok) AS batch_tok
+      FROM assigned GROUP BY bucket, shard, batch_id
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_rows) AS BIGINT) AS n_docs,
+           CAST(sum(batch_max * n_rows - batch_tok) AS BIGINT) AS padding_waste
+    FROM batches GROUP BY bucket
+    """,
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment + padding-waste audit
+    (operators/batching.length_bucketed_batches): docs bucketed by
+    token-count bit-length, sharded for bounded window tasks, batched 8
+    at a time in length order; the audit sums per-batch padding
+    (batch_max - len) — the number a pipeline owner watches to decide
+    bucket granularity. All integer-exact."""
+    from vectorflow_spark.operators.batching import length_bucketed_batches
+    from vectorflow_spark.operators.textstats import token_count_ws
+
+    d = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", token_count_ws("text").alias("n_tok")
+    )
+    assigned = length_bucketed_batches(d, token_col="n_tok", id_col="doc_id")
+    return (
+        assigned.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_tok").alias("batch_max"),
+            F.sum("n_tok").alias("batch_tok"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("n_rows").cast("long").alias("n_docs"),
+            F.sum(F.col("batch_max") * F.col("n_rows") - F.col("batch_tok"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )
