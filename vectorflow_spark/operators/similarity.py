@@ -469,3 +469,41 @@ def random_projection(
     return vectors.select(
         id_col, F.posexplode(vals).alias("dim_id", "value")
     )
+
+
+def power_iteration_step(
+    vectors: DataFrame,
+    weights: list[int],
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One distributed power-iteration step w = A^T (A v) — the dominant-
+    eigendirection building block (spectral embedding quality checks, PCA
+    seeding) expressed as two matvecs that never materialize A^T A.
+
+    ``weights`` is the current iterate v as SMALL INTEGERS (the caller
+    re-quantizes between iterations); components are micro-quantized with
+    the same half-up rule as kmeans_update, so u_i = <eq_i, v> is exact
+    int64 and the per-dimension reduction runs in DECIMAL(38,0) (sums
+    reach ~n*quant^2*|v|, past int64 at corpus scale). The emitted vector
+    is scaled back by ``quant`` with exact integral division.
+
+    Plan at scale: u is a zero-shuffle projection (zip_with fold against
+    a literal array); the second matvec is posexplode + ONE map-side-
+    combinable aggregation shuffled on dim — exactly ``dim`` groups with
+    partial sums per map task, independent of row count."""
+    vlit = F.array(*[F.lit(int(x)).cast("bigint") for x in weights])
+    qcast = lambda c: F.floor(c.cast("double") * quant + F.lit(0.5)).cast("bigint")  # noqa: E731
+    u = F.aggregate(
+        F.zip_with(F.col(vec_col), vlit, lambda x, w: qcast(x) * w),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    rows = vectors.withColumn("_u", u).select(
+        "_u", F.posexplode(vec_col).alias("dim", "val")
+    )
+    return (
+        rows.select("dim", (qcast(F.col("val")) * F.col("_u")).cast("decimal(38,0)").alias("_p"))
+        .groupBy("dim")
+        .agg(F.expr(f"CAST(sum(_p) div {quant} AS BIGINT)").alias("w_q"))
+    )

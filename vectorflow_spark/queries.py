@@ -6444,3 +6444,122 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("padding_waste"),
         )
     )
+
+
+@query(
+    "q_pmi_bigrams",
+    r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    uni AS (SELECT unnest(ts) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+        FROM toks WHERE len(ts) >= 2
+    ),
+    mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bg),
+    bc AS (
+        SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    scored AS (
+        SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+               CAST(bc.cab AS BIGINT) AS cnt,
+               CAST((CAST(bc.cab AS HUGEINT) * t.n * t.n * 1000000)
+                    // (CAST(m.m AS HUGEINT) * a.c * b.c) AS BIGINT) AS pmi_q
+        FROM bc
+        JOIN uc a ON bc.w1 = a.w
+        JOIN uc b ON bc.w2 = b.w, tot t, mtot m
+    )
+    SELECT bigram, cnt, pmi_q
+    FROM scored ORDER BY pmi_q DESC, bigram LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI-scored collocations — the association-strength pass an
+    LM data pipeline runs after raw bigram counts (q_top_bigrams finds
+    FREQUENT pairs; PMI finds BOUND pairs). PMI = log p(ab)/(p(a)p(b))
+    is rank-equivalent to the integer ratio cab*N^2/(M*ca*cb), so the
+    score is micro-quantized exact DECIMAL(38,0)/HUGEINT arithmetic —
+    no float log whose libm rounding could flip ranks cross-engine.
+
+    Plan: one (w1,w2) bigram-count shuffle with map-side combine + one
+    token-count shuffle; N and M come from broadcast 1-row aggregates;
+    the two unigram joins key on the token (the unigram table is NOT
+    broadcast — it scales with vocabulary); min-count >= 3 prunes the
+    long tail before the joins; top-20 is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents", split=True)
+    ts = F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+    toks = docs.select(ts.alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uc.agg(F.sum("c").cast("long").alias("n"))
+    bg = toks.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    mtot = bg.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        bc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mtot))
+        .withColumn("_num", d38("cab") * d38("n") * d38("n") * F.lit(1000000).cast("decimal(38,0)"))
+        .withColumn("_den", d38("m") * d38("ca") * d38("cb"))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cab").cast("long").alias("cnt"),
+            F.expr("CAST(_num div _den AS BIGINT)").alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_q").desc(), "bigram").limit(20)
+
+
+@query(
+    "q_power_iteration",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    u AS (
+      SELECT eq,
+             CAST(list_sum(list_transform(range(1, len(eq) + 1),
+                                          i -> eq[i] * (1 + ((i - 1) % 7)))) AS BIGINT) AS u
+      FROM q
+    ),
+    ex AS (
+      SELECT unnest(eq) AS qv, generate_subscripts(eq, 1) - 1 AS dim, u FROM u
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(sum(CAST(qv AS HUGEINT) * u) // 1000000 AS BIGINT) AS w_q
+    FROM ex GROUP BY dim
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power-iteration step w = A^T(A v) over the embeddings
+    matrix with a deterministic integer seed vector v_j = 1 + (j mod 7)
+    (operators/similarity.power_iteration_step). The first matvec is a
+    zero-shuffle literal-array fold; the second is posexplode + one
+    64-group map-side-combinable aggregation. Micro-quantized half-up
+    components make both matvecs exact integer/decimal arithmetic, so
+    the result hash-matches DuckDB's HUGEINT fold bit-for-bit."""
+    from vectorflow_spark.operators.similarity import power_iteration_step
+
+    e = _t(spark, sf_dir, "embeddings", split=True)
+    v = [1 + (j % 7) for j in range(64)]
+    return power_iteration_step(e, v).select(F.col("dim").cast("int").alias("dim"), "w_q")
