@@ -465,16 +465,18 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id. At scale this is a single scan + TakeOrderedAndProject. The
     query norm (8.0) is a driver-side literal and the row norm is computed
     once in its own projection — each row pays one dot + one norm fold."""
-    from vectorflow_spark.functions.vector import dot, l2_norm
+    from vectorflow_spark.functions.vector import dot_const, l2_norm_unrolled
 
     df = _t(spark, sf_dir, "embeddings", split=True)
-    ones = F.array([F.lit(1.0)] * 64)
-    base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
+    base = df.select(
+        "vec_id", "label", F.col("embedding").alias("_v"),
+        l2_norm_unrolled("embedding", 64).alias("_vn"),
+    )
     denom = F.col("_vn") * F.lit(8.0)
     scored = base.select(
         "vec_id",
         "label",
-        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot_const("_v", [1.0] * 64) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
 
@@ -795,7 +797,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = knn_join(qs, emb, k=5)
+    out = knn_join(qs, emb, k=5, dim=64)
     return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
@@ -856,7 +858,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings", split=True)
-    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25)
+    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25, dim=64)
     return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -3961,6 +3963,9 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare identical values."""
     from vectorflow_spark.functions.vector import dot, l2_norm
 
+    # HOF form on purpose: the filter re-evaluates the projected score, so
+    # an unrolled score doubles past the codegen size budget (see
+    # functions/vector.py) and the stage falls out of codegen entirely.
     df = _t(spark, sf_dir, "embeddings", split=True)
     ones = F.array([F.lit(1.0)] * 64)
     base = df.select(
@@ -4752,7 +4757,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings", split=True)
     cents = ivf_centroids(emb, n_centroids=16)
     assigned = ivf_assign(emb, cents)
-    pairs = embedding_neardup_pairs(assigned, block_col="cluster", threshold=0.25)
+    pairs = embedding_neardup_pairs(assigned, block_col="cluster", threshold=0.25, dim=64)
     dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
     return (
         assigned.join(dropped, "vec_id", "left_anti")
