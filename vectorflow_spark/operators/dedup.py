@@ -425,9 +425,17 @@ def connected_components(
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
-    )
+    # Iterate ONLY over edge-incident nodes: in a dedup graph the vast
+    # majority of documents touch no candidate edge, so carrying every
+    # vertex through every iteration would shuffle the full corpus per
+    # round for labels that cannot change. The active set (distinct src —
+    # und holds both directions, so src covers every incident node) is
+    # orders of magnitude smaller; small enough that AQE broadcasts it
+    # into the edge join, leaving the checkpointed edge set un-shuffled.
+    # Isolated vertices rejoin once at the end with label = own id.
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node").cast("long")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neigh = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -443,7 +451,13 @@ def connected_components(
         labels = merged.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    out = vertices.select(F.col(id_col).alias("node")).join(
+        labels, "node", "left"
+    )
+    return out.select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", F.col("node").cast("long")).alias("component"),
+    )
 
 
 def decontaminate(

@@ -2992,7 +2992,13 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the raw inequality predicate — at 100 TB the cross product is fatal
     while the binned join shuffles only (bin, row) pairs. Exactly-once pair
     emission (the greatest-start bin) means no distinct pass. All-integer
-    nanos arithmetic keeps both engines bit-identical."""
+    nanos arithmetic keeps both engines bit-identical.
+
+    Bin size = one DAY, not the 1-hour incident length: fan-out is
+    max(interval)/bin rows per input, so day bins keep the day-long span
+    side at 1-2 bin rows each (1-hour bins exploded every span 24x for no
+    extra selectivity — overlap here is dense, the pair output is the same
+    either way, and the exploded input was the actual cost)."""
     from vectorflow_spark.operators.joins import interval_overlap_join
 
     ev = _t(spark, sf_dir, "events")
@@ -3008,7 +3014,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = interval_overlap_join(
-        inc, spans, "i_start", "i_end", "s_start", "s_end", bin_size=3_600_000_000_000
+        inc, spans, "i_start", "i_end", "s_start", "s_end", bin_size=86_400_000_000_000
     )
     return pairs.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
