@@ -1,0 +1,141 @@
+"""Line-level dedup (operators/lines.py), global_running_sum
+(operators/ranking.py), and the hashed-BoW scorer invariants.
+
+The reference only roadmaps dedup (SURVEY.md §2.11 X4); these extend the
+cleaning family with CCNet-shaped line operations. Invariants:
+
+- within-doc keep-first dedup preserves first occurrences in order and is
+  idempotent;
+- corpus-level frequent-line removal strips exactly the lines above the
+  document-frequency threshold, rebuilds in original order, and reports
+  fully-boilerplate documents instead of dropping them;
+- global_running_sum equals the single-partition window cumsum for a total
+  order, under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vectorflow_spark.operators.lines import (
+    dedup_lines_in_doc_expr,
+    drop_frequent_lines,
+    line_frequencies,
+)
+from vectorflow_spark.operators.ranking import global_running_sum
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_in_doc_keep_first(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "x"),
+            (3, "same\nsame\nsame"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", dedup_lines_in_doc_expr("text").alias("clean")
+        ).collect()
+    }
+    assert out == {1: "a\nb\nc", 2: "x", 3: "same"}
+
+
+def test_dedup_lines_idempotent(spark):
+    df = _docs(spark, [(1, "a\nb\na\nb")])
+    once = df.select(dedup_lines_in_doc_expr("text").alias("t"))
+    twice = once.select(dedup_lines_in_doc_expr("t").alias("t"))
+    assert once.collect() == twice.collect()
+
+
+def test_drop_frequent_lines_threshold_and_order(spark):
+    # 'BOILER' in 3 docs (>= threshold 3), 'semi' in 2 (< threshold, kept)
+    df = _docs(
+        spark,
+        [
+            (1, "BOILER\nalpha\nsemi"),
+            (2, "beta\nBOILER\nsemi"),
+            (3, "BOILER\ngamma"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in drop_frequent_lines(df, min_doc_count=3).collect()
+    }
+    assert out[1] == ("alpha\nsemi", 2, 1)
+    assert out[2] == ("beta\nsemi", 2, 1)
+    assert out[3] == ("gamma", 1, 1)
+
+
+def test_drop_frequent_lines_reports_emptied_docs(spark):
+    df = _docs(spark, [(i, "ONLY") for i in range(5)])
+    out = drop_frequent_lines(df, min_doc_count=5).collect()
+    assert len(out) == 5
+    assert all(r["clean_text"] == "" and r["n_lines_kept"] == 0 for r in out)
+
+
+def test_line_frequencies_counts_docs_and_occurrences(spark):
+    df = _docs(spark, [(1, "a\na\nb"), (2, "a\nc")])
+    freq = {r["line"]: (r["n_docs"], r["n_occurrences"]) for r in line_frequencies(df).collect()}
+    assert freq["a"] == (2, 3)
+    assert freq["b"] == (1, 1)
+    assert freq["c"] == (1, 1)
+
+
+def test_global_running_sum_matches_window(spark):
+    df = spark.range(0, 1777).select(
+        F.col("id"), ((F.col("id") * 13) % 97).alias("v")
+    ).repartition(7)
+    got = global_running_sum(df, [F.col("v"), F.col("id")], "v", out_col="run")
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("run", F.sum("v").over(w))
+    assert (
+        got.select("id", "run").orderBy("id").collect()
+        == want.select("id", "run").orderBy("id").collect()
+    )
+
+
+def test_global_running_sum_no_global_window(spark):
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    plan = global_running_sum(df, [F.col("v"), F.col("id")], "v")._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be partitioned; the only orderBy-without-
+    # partitionBy window allowed is over the numPartitions-row offsets table
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspec" in ln.lower()]
+    # structural check: the data-sized window is keyed on _pid
+    assert "_pid" in plan
+
+
+def test_hashed_bow_score_exactness(spark):
+    from vectorflow_spark.queries import QUERIES, _bow_weights
+    import hashlib
+
+    out = QUERIES["q_hashed_bow_score"](spark, "/root/testdata/sf0.001").collect()
+    w = _bow_weights(64)
+    # independent Python recomputation for a few rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(2000)
+        .collect()
+    }
+    checked = 0
+    for r in out:
+        if r["doc_id"] not in docs or checked >= 10:
+            continue
+        toks = [t for t in __import__("re").split(r"\s+", docs[r["doc_id"]]) if t]
+        score = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % 64] for t in toks
+        )
+        assert r["score"] == score
+        assert r["decision"] == ("keep" if score >= 0 else "drop")
+        checked += 1
+    assert checked == 10

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "equidepth_bins"]
+__all__ = ["global_row_number", "global_running_sum", "equidepth_bins"]
 
 
 def global_row_number(
@@ -71,6 +71,52 @@ def global_row_number(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
         .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    val_col: str | Column,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global cumulative sum of ``val_col`` in ``order_cols`` order
+    (inclusive of the current row) — same range-sort + partition-offset
+    construction as ``global_row_number``, so NO single-partition window at
+    any scale. ``order_cols`` must be a total order and ``val_col`` should
+    be integer/decimal for an order-independent result (the per-partition
+    offsets re-associate the addition).
+
+    This is the primitive behind token-budget corpus selection ("take
+    documents in priority order until N tokens"): a bare
+    ``sum() OVER (ORDER BY ...)`` serializes the corpus through one task,
+    while this costs one range shuffle + a numPartitions-row broadcast."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint for the same reason as global_row_number: the ranged
+    # frame feeds both the local cumsum and the per-partition totals, and
+    # repartitionByRange boundaries are sampled per execution.
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_val", val)
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid").orderBy(*cols).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_local_sum", F.sum("_val").over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum("_val").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
+        .drop("_pid", "_val", "_local_sum", "_offset")
     )
 
 
