@@ -137,8 +137,14 @@ def sqdist_const(a: Column | str, vals: list[float], offset: int = 0) -> Column:
 
 def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Column-column dot with the element loop unrolled for a known
-    dimension — the join-side scoring twin of ``dot`` (same left-to-right
-    double accumulation), codegen'd instead of interpreted."""
+    dimension — same left-to-right double accumulation as ``dot``.
+
+    MEASURED CAVEAT: unlike the literal-operand unrolls (whose constants
+    inline into the generated code), BOTH sides here pay an element_at
+    bounds/null check per term, and at dim 64 that loses to the HOF
+    iterator (~2-3x slower on the kNN/near-dup pair stages). Kept for
+    callers with small dims or pre-validated non-null fixed-width arrays;
+    the default call sites use the HOF ``dot``."""
     av, bv = _c(a), _c(b)
     acc: Column = F.lit(0.0)
     for i in range(dim):

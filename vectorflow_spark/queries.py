@@ -797,7 +797,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = knn_join(qs, emb, k=5, dim=64)
+    out = knn_join(qs, emb, k=5)
     return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
@@ -858,7 +858,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings", split=True)
-    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25, dim=64)
+    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25)
     return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -4763,7 +4763,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings", split=True)
     cents = ivf_centroids(emb, n_centroids=16)
     assigned = ivf_assign(emb, cents)
-    pairs = embedding_neardup_pairs(assigned, block_col="cluster", threshold=0.25, dim=64)
+    pairs = embedding_neardup_pairs(assigned, block_col="cluster", threshold=0.25)
     dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
     return (
         assigned.join(dropped, "vec_id", "left_anti")
