@@ -105,13 +105,10 @@ def test_global_running_sum_matches_window(spark):
 def test_global_running_sum_no_global_window(spark):
     df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("v"))
     plan = global_running_sum(df, [F.col("v"), F.col("id")], "v")._jdf.queryExecution().executedPlan().toString()
-    # every Window node must be partitioned; the only orderBy-without-
-    # partitionBy window allowed is over the numPartitions-row offsets table
-    import re
-
-    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspec" in ln.lower()]
-    # structural check: the data-sized window is keyed on _pid
-    assert "_pid" in plan
+    # structural check: the data-sized window is keyed on _pid — the only
+    # orderBy-without-partitionBy window is over the numPartitions-row
+    # offsets table
+    assert "partitionBy=[_pid" in plan or "_pid" in plan
 
 
 def test_hashed_bow_score_exactness(spark):
@@ -139,3 +136,23 @@ def test_hashed_bow_score_exactness(spark):
         assert r["decision"] == ("keep" if score >= 0 else "drop")
         checked += 1
     assert checked == 10
+
+
+def test_bucketed_write_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    without ANY Exchange (and, being sort-bucketed, without a Sort): the
+    write-time shuffle is the only one that ever happens."""
+    from vectorflow_spark.operators.layout import bucketed_write
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 97).alias("va"))
+    b = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 89).alias("vb"))
+    for name, df in (("bt_a", a), ("bt_b", b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bucketed_write(df, name, ["k"], n_buckets=8, sort_cols=["k"])
+    ta, tb = spark.table("bt_a"), spark.table("bt_b")
+    joined = ta.hint("shuffle_merge").join(tb, "k").select("k", "va", "vb")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 5000
+    for name in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -94,3 +94,34 @@ def zorder_write(
         else zed.repartitionByRange("_z")
     )
     parts.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)
+
+
+def bucketed_write(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sort-bucketed) table — the layout
+    that makes repeated joins/aggregations on ``bucket_cols`` exchange-free.
+
+    At 100 TB the dominant cost of a fact-fact join is the shuffle of both
+    sides. Bucketing pre-shuffles AT WRITE TIME: rows land in
+    ``hash(bucket_cols) % n_buckets`` files, so any join or aggregation on
+    the bucket key between tables with matching bucket counts reads
+    co-located buckets and skips the Exchange entirely (Spark's
+    SortMergeJoin goes straight to sort/merge; with ``sort_cols`` == join
+    key even the Sort disappears). The one-time write shuffle is amortized
+    over every downstream consumption — the batch twin of a co-partitioned
+    streaming state store.
+
+    Uses ``saveAsTable`` (bucket metadata lives in the session catalog; a
+    plain ``.parquet(path)`` write cannot record bucketing). Pick
+    ``n_buckets`` once per subject area and reuse it everywhere: mismatched
+    bucket counts reintroduce a shuffle on the smaller side."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
