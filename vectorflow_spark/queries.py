@@ -7006,3 +7006,118 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(
         F.col("label").alias("true_label"), F.col("clabel").alias("assigned_label")
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "q_bpe_merge_step",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))
+               AS tok
+        FROM documents
+    ),
+    wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, i, 2)))
+               AS pair,
+               freq
+        FROM wf WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE-training merge step: the most frequent adjacent
+    symbol pair over the corpus, weighted by word frequency — exactly what
+    a tokenizer trainer (functions/bpe.py consumes the resulting ranks)
+    computes per merge round. Plan: token explode -> word-frequency count
+    (map-side combined, distinct-word sized) -> per-word adjacent-pair
+    explode over the DISTINCT word table (corpus scale drops out after the
+    first count: pair generation touches vocabulary, not corpus) -> one
+    pair aggregation + TakeOrderedAndProject top-20. Integer counts,
+    deterministic pair tiebreak."""
+    d = _t(spark, sf_dir, "documents", split=True)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    wf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # positional substring needs the lambda variable as the start index —
+    # expressed via SQL transform (the python-lambda substr form can't take
+    # a Column start before Spark 4's substr(Column, Column))
+    pairs = (
+        wf.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))
+               AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    run AS (
+        SELECT tok, freq,
+               sum(freq) OVER (ORDER BY freq DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM tf
+    ),
+    tot AS (SELECT sum(freq) AS n_total FROM tf)
+    SELECT CAST(rank AS BIGINT) AS rank, tok, freq,
+           CAST(cum_freq AS BIGINT) AS cum_freq,
+           CAST(cum_freq * 1000000 // n_total AS BIGINT) AS coverage_ppm
+    FROM run, tot WHERE rank <= 30
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (top 30): cumulative share of corpus
+    tokens covered by the k most frequent terms — how a tokenizer/vocab
+    size is chosen ("cover 99.x% of tokens"). The cumulative sum comes
+    from operators/ranking.global_running_sum over the DISTINCT-term
+    table in (freq DESC, term) order — vocabulary-sized input, and still
+    no single-task global window even when the vocabulary itself is
+    huge. Coverage is integral ppm: integer-exact on both engines."""
+    from vectorflow_spark.operators.ranking import global_row_number, global_running_sum
+
+    d = _t(spark, sf_dir, "documents", split=True)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    order = [F.col("freq").desc(), F.col("tok")]
+    run = global_running_sum(tf, order, "freq", out_col="cum_freq")
+    ranked = global_row_number(run, order, out_col="rank")
+    tot = tf.agg(F.sum("freq").alias("_n_total"))
+    return (
+        ranked.filter(F.col("rank") <= 30)
+        .join(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "freq",
+            F.col("cum_freq").cast("long").alias("cum_freq"),
+            F.expr("CAST(cum_freq * 1000000 div _n_total AS BIGINT)").alias("coverage_ppm"),
+        )
+    )
