@@ -156,3 +156,30 @@ def test_bucketed_write_join_is_exchange_free(spark, tmp_path):
     assert joined.count() == 5000
     for name in ("bt_a", "bt_b"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_versioned_vector_store_roundtrip_and_time_travel(spark, tmp_path):
+    """X4 'vector version control': immutable v=N directories + pointer.
+    Writing never mutates an old version; readers follow the pointer or
+    pin a version; a re-embed (v2) is instantly revertible."""
+    import os
+    from vectorflow_spark.sinks.writers import (
+        read_latest_version,
+        read_versioned,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "vecs")
+    os.makedirs(root)
+    v1 = spark.range(0, 100).select(F.col("id").alias("vec_id"), F.lit("m1").alias("model"))
+    v2 = spark.range(0, 100).select(F.col("id").alias("vec_id"), F.lit("m2").alias("model"))
+    assert versioned_write(v1, root) == 1
+    assert versioned_write(v2, root) == 2
+    assert read_latest_version(root) == 2
+    assert read_versioned(spark, root).select("model").distinct().collect()[0][0] == "m2"
+    # time travel to the pre-upgrade embedding set
+    assert read_versioned(spark, root, version=1).select("model").distinct().collect()[0][0] == "m1"
+    # immutability: writing v3 does not touch v1/v2 files
+    files_before = set(read_versioned(spark, root, version=1).inputFiles())
+    versioned_write(v1, root)
+    assert set(read_versioned(spark, root, version=1).inputFiles()) == files_before

@@ -297,3 +297,52 @@ def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
         write_webhook(records, opts["url"], opts.get("webhook_key", ""), cfg.upsert_batch_size)
     else:
         raise ValueError(f"unknown sink: {cfg.sink}")
+
+
+# ---------------------------------------------------------------------------
+# Versioned vector store (reference roadmap X4 "vector version control",
+# reference README.md:290-299 — no code exists there; SURVEY.md §2.11).
+# ---------------------------------------------------------------------------
+
+
+def versioned_write(df: DataFrame, root: str) -> int:
+    """Write the next immutable version of a dataset and flip the pointer.
+
+    Layout: ``root/v=N/`` parquet directories plus a tiny ``_LATEST`` text
+    file holding N. Writers never mutate an existing version (object-store
+    friendly: no rename-into-place, no read-modify-write of data files);
+    readers either follow the pointer or pin a version, which is what
+    makes embedding-model upgrades auditable and instantly revertible —
+    re-embedding writes v=N+1 while serving keeps reading v=N until the
+    pointer flips. Returns the version written.
+
+    The pointer flip is the only non-atomic step; on a real object store
+    put-if-absent on ``_LATEST.N`` or a manifest table makes it one.
+    Old versions are retained for time travel; vacuum by deleting v<K
+    directories after updating any pinned readers."""
+    latest = read_latest_version(root)
+    version = latest + 1
+    df.write.mode("errorifexists").parquet(f"{root}/v={version}")
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, "_LATEST"))
+    return version
+
+
+def read_latest_version(root: str) -> int:
+    """Current pointer value; 0 when the store is empty."""
+    try:
+        with open(os.path.join(root, "_LATEST")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read the pointed-to version (default) or pin ``version`` for time
+    travel. Raises if the store is empty or the pinned version is absent."""
+    v = version if version is not None else read_latest_version(root)
+    if v <= 0:
+        raise ValueError(f"no versions written under {root}")
+    return spark.read.parquet(f"{root}/v={v}")
