@@ -128,12 +128,18 @@ def pagerank_quantized(
     undirected input that is every node). Plan per iteration: one join of
     the rank table onto edges by src (both sides hash-partitioned on the
     same key — AQE reuses the exchange) + one map-side-combinable sum by
-    dst. O(iterations) shuffles total, no driver-side state; the loop
-    unrolls into one lineage, so for large iteration counts callers should
-    localCheckpoint every ~10 rounds (connected_components does the same).
+    dst. O(iterations) shuffles total, no driver-side state.
+
+    The edge set and degree table are localCheckpointed ONCE up front:
+    ``edges`` is typically an expensive derivation (here a fact-fact join
+    + distinct), and since the unrolled loop references it every
+    iteration, an uncut lineage re-executes that derivation
+    O(iterations) times inside the single action — the same trap
+    connected_components closes for its LSH candidate pipeline. For large
+    iteration counts additionally cut the rank lineage every ~10 rounds.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     n_nodes = deg.agg(F.count(F.lit(1)).alias("nn"))
     base_unit = F.expr(f"{total_mass} div nn")
     r = deg.join(F.broadcast(n_nodes)).select(
