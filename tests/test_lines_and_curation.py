@@ -183,3 +183,64 @@ def test_versioned_vector_store_roundtrip_and_time_travel(spark, tmp_path):
     files_before = set(read_versioned(spark, root, version=1).inputFiles())
     versioned_write(v1, root)
     assert set(read_versioned(spark, root, version=1).inputFiles()) == files_before
+
+
+def test_streaming_line_frequencies_matches_batch_and_replay_idempotent(spark, tmp_path):
+    """Streamed line-frequency deltas merged over micro-batches equal the
+    batch computation; replaying a batch overwrites its own delta path so
+    totals do not change."""
+    import json as _json
+
+    from vectorflow_spark.operators.lines import line_frequencies
+    from vectorflow_spark.streaming.pipeline import (
+        read_boilerplate_lines,
+        read_line_frequencies,
+        streaming_line_frequencies,
+    )
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    for fno in range(3):
+        with open(inp / f"f{fno}.json", "w") as f:
+            for i in range(20):
+                did = fno * 100 + i
+                f.write(
+                    _json.dumps({"doc_id": did, "text": f"BOILER\nbody {did}\nBOILER"})
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = streaming_line_frequencies(
+        stream, str(tmp_path / "lines"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in read_line_frequencies(spark, str(tmp_path / "lines")).collect()
+    }
+    batch = spark.read.schema("doc_id long, text string").json(str(inp))
+    want = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in line_frequencies(batch).collect()
+    }
+    assert got == want
+    assert got["BOILER"] == (60, 120)
+
+    # replay batch 0's delta: overwrite the same path, totals unchanged
+    first = spark.read.schema("doc_id long, text string").json(str(inp / "f0.json"))
+    line_frequencies(first).write.mode("overwrite").parquet(
+        str(tmp_path / "lines" / "batch_id=0")
+    )
+    again = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in read_line_frequencies(spark, str(tmp_path / "lines")).collect()
+    }
+    assert again == got
+
+    boiler = [r["line"] for r in read_boilerplate_lines(spark, str(tmp_path / "lines"), 30).collect()]
+    assert boiler == ["BOILER"]

@@ -391,3 +391,60 @@ def read_scd2(spark, dim_dir: str, version: int | None = None) -> DataFrame:
         raise FileNotFoundError(f"no versions under {dim_dir}")
     v = version if version is not None else versions[-1]
     return spark.read.parquet(f"{dim_dir}/version={v}")
+
+
+def streaming_line_frequencies(
+    stream: DataFrame,
+    line_dir: str,
+    checkpoint_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Maintain corpus line frequencies over a document stream — the
+    incremental half of CCNet-style boilerplate removal
+    (operators/lines.py): each micro-batch writes its own (line, n_docs,
+    n_occurrences) DELTA to ``line_dir/batch_id=N`` (overwrite — a
+    replayed batch lands on its own path, so at-least-once delivery still
+    yields exactly-once counts) and readers merge deltas by summing.
+    Same replay-idempotent commutative-merge shape as ``streaming_cms``;
+    unlike the sketch the delta is distinct-line-sized, which is exactly
+    what makes boilerplate detectable: the lines worth catching are the
+    ones that combine hard.
+
+    n_docs sums per-batch distinct-doc counts, so it is exact while a
+    document's lines never straddle batches (one row per doc, as in the
+    ingest pipeline). Nightly boilerplate updates then read the merged
+    frequencies and feed ``drop_frequent_lines``'s frequent set."""
+    from vectorflow_spark.operators.lines import line_frequencies
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = line_frequencies(batch_df, doc_col=doc_col, text_col=text_col)
+        delta.write.mode("overwrite").parquet(f"{line_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_line_frequencies(spark, line_dir: str) -> DataFrame:
+    """Merge all per-batch line-frequency deltas: one map-side-combinable
+    sum keyed on the line."""
+    return (
+        spark.read.parquet(line_dir)
+        .groupBy("line")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+    )
+
+
+def read_boilerplate_lines(spark, line_dir: str, min_doc_count: int = 10) -> DataFrame:
+    """The current frequent-line (boilerplate) set from the merged stream
+    state — drop-in as the frequent set for batch-side line stripping."""
+    return read_line_frequencies(spark, line_dir).filter(
+        F.col("n_docs") >= min_doc_count
+    ).select("line")
