@@ -71,6 +71,22 @@ def main() -> None:
     spark.range(1024, numPartitions=32).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the interpreted higher-order-function path: the first
+    # aggregate/zip_with-heavy stage in a fresh JVM pays 10-50 s of JIT
+    # that later stages do in seconds — without this, that cost lands on
+    # whichever HOF query (LSH/IVF/PQ/simhash) runs first in the suite
+    hof = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(64)),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    spark.range(200_000, numPartitions=32).select(hof.alias("h")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings["_warmup"] = round(time.time() - total0, 3)
 
     # Report the min over attempts: a query whose run is anomalously slow

@@ -361,3 +361,55 @@ def test_snapshot_diff_classifies(spark):
     got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
     # 1 unchanged (absent), 2 changed (string), 3 changed (NULL -> value), 4 removed, 5 added
     assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_span_overlap_counts_equals_pair_join(spark):
+    """The order-statistics overlap counter must match the materialized
+    pair join exactly — including same-day vs cross-midnight windows, the
+    double-count correction, and zero-overlap incidents being absent."""
+    from pyspark.sql import functions as F
+
+    from vectorflow_spark.operators.events import span_overlap_counts
+    from vectorflow_spark.operators.joins import interval_overlap_join
+
+    D = 1000  # toy "day"
+    spans = spark.createDataFrame(
+        [
+            # (user, day, s_start, s_end)
+            (1, 0, 100, 900),
+            (1, 1, 1050, 1800),
+            (2, 0, 400, 450),
+            (3, 1, 1300, 1400),
+            (4, 2, 2100, 2900),
+        ],
+        "user_id long, day_id long, s_start long, s_end long",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, 200, 350),    # same-day, overlaps u1 only
+            (11, 880, 1100),   # cross-midnight: u1 both days (corrected), u3 no
+            (12, 940, 990),    # same-day, overlaps nothing -> absent
+            (13, 1350, 1990),  # same-day in day 1: u1, u3
+            (14, 2950, 3050),  # cross-midnight with empty day 3: none... u4 s_end=2900 < 2950 -> absent
+        ],
+        "event_id long, i_start long, i_end long",
+    )
+    pairs = interval_overlap_join(
+        inc, spans, "i_start", "i_end", "s_start", "s_end", bin_size=D
+    )
+    want = {
+        r["event_id"]: (r["n_spans"], r["n_users"])
+        for r in pairs.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    got = {
+        r["event_id"]: (r["n_spans"], r["n_users"])
+        for r in span_overlap_counts(spans, inc, D).collect()
+    }
+    assert got == want
+    assert got[11] == (2, 1)  # two spans, one user — the correction fired
+    assert 12 not in got and 14 not in got

@@ -120,3 +120,138 @@ def gap_fill_locf(
             F.col("_v").isNull().alias("was_gap"),
         )
     )
+
+
+def span_overlap_counts(
+    spans: "DataFrame",
+    incidents: "DataFrame",
+    day_ns: int,
+    user_col: str = "user_id",
+    day_col: str = "day_id",
+) -> "DataFrame":
+    """(n_spans, n_users) of per-(user, day) activity spans overlapping
+    each sub-day incident window — WITHOUT materializing the overlap
+    pairs.
+
+    The pair join (binned or not) is O(output): a 1-hour window over a
+    busy day overlaps nearly every active user's span, so the pair set is
+    |incidents| x |active users| — 7.2M rows at sf0.1, unbounded at
+    100 TB — all to compute two counts per incident. This operator uses
+    order statistics instead. Spans are day-confined (min/max of a day's
+    events) and windows shorter than a day, so an incident [t0, t1]
+    touches at most days ds = t0 div day and de = t1 div day:
+
+      same-day (ds == de):   n = N_ds - |s_start > t1| - |s_end < t0|
+                             (the two excluded sets are disjoint)
+      cross-midnight:        P = N_ds - |s_end < t0|   (day-ds overlaps)
+                             Q = N_de - |s_start > t1| (day-de overlaps)
+                             n_spans = P + Q
+                             n_users = P + Q - R,  R = |users whose ds
+                             AND ds+1 spans both overlap|
+
+    The rank terms come from ONE sorted-merge pass per boundary column:
+    union spans with incident probes, window per day, running count of
+    span rows (span-before-probe tie order for <=, probe-before-span for
+    strict <) — |spans| + |incidents| rows per pass, two passes. R joins
+    the ~1/24 of incidents that cross midnight against per-user
+    consecutive-day span tuples — both sides small. Every identity is
+    exact integer set arithmetic, so results hash-match the pair-join
+    formulation row for row.
+
+    At extreme per-day cardinalities replace the per-day window with the
+    distributed ranking operator (operators/ranking.py) partitioned by
+    (day, shard); days bound the groups here."""
+    from pyspark.sql import Window
+
+    D = int(day_ns)
+    inc = incidents.select(
+        "event_id",
+        "i_start",
+        "i_end",
+        F.expr(f"i_start div {D}").alias("_ds"),
+        F.expr(f"i_end div {D}").alias("_de"),
+    )
+    sp = spans.select(
+        F.col(user_col).alias("_u"),
+        F.col(day_col).alias("_d"),
+        "s_start",
+        "s_end",
+    )
+    n_day = sp.groupBy("_d").agg(F.count(F.lit(1)).alias("_nd"))
+
+    def rank_pass(value_col: str, probes, probe_day: str, probe_val: str, strict: bool, out: str):
+        """Running span-count per probe: spans contribute (day, v, 1);
+        probes read the inclusive running sum. Tie order encodes <= vs <."""
+        s_rows = sp.select(
+            F.col("_d").alias("_day"),
+            F.col(value_col).alias("_v"),
+            F.lit(1).alias("_is_span"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+        p_rows = probes.select(
+            F.col(probe_day).alias("_day"),
+            F.col(probe_val).alias("_v"),
+            F.lit(0).alias("_is_span"),
+            "event_id",
+        )
+        # <=: spans sort before probes at equal value (desc on _is_span);
+        # < : probes first, so equal-valued spans are excluded
+        order = F.col("_is_span").asc() if strict else F.col("_is_span").desc()
+        w = (
+            Window.partitionBy("_day")
+            .orderBy(F.col("_v"), order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        merged = s_rows.unionByName(p_rows).withColumn("_cnt", F.sum("_is_span").over(w))
+        return merged.filter(F.col("_is_span") == 0).select("event_id", F.col("_cnt").alias(out))
+
+    # pass 1 over s_start: cnt_le_start = |s_start <= i_end| in the probe day
+    # (same-day probes use day ds; cross-midnight probes day de)
+    start_probes = inc.select(
+        "event_id", F.when(F.col("_ds") == F.col("_de"), F.col("_ds")).otherwise(F.col("_de")).alias("_pd"), "i_end"
+    )
+    le_start = rank_pass("s_start", start_probes, "_pd", "i_end", strict=False, out="_le_start")
+    # pass 2 over s_end: cnt_lt_end = |s_end < i_start| in day ds (both cases)
+    end_probes = inc.select("event_id", F.col("_ds").alias("_pd"), "i_start")
+    lt_end = rank_pass("s_end", end_probes, "_pd", "i_start", strict=True, out="_lt_end")
+
+    base = (
+        inc.join(le_start, "event_id")
+        .join(lt_end, "event_id")
+        .join(n_day.withColumnRenamed("_d", "_ds").withColumnRenamed("_nd", "_n_ds"), "_ds", "left")
+        .join(n_day.withColumnRenamed("_d", "_de").withColumnRenamed("_nd", "_n_de"), "_de", "left")
+        .na.fill({"_n_ds": 0, "_n_de": 0})
+    )
+
+    # cross-midnight double-count correction: users whose consecutive-day
+    # spans BOTH overlap. Small x small: ~1/day_len of incidents vs
+    # per-user (day, day+1) span tuples.
+    d0 = sp.select(F.col("_u"), F.col("_d"), F.col("s_end").alias("_x"))
+    d1 = sp.select(F.col("_u"), (F.col("_d") - 1).alias("_d"), F.col("s_start").alias("_y"))
+    tuples = d0.join(d1, ["_u", "_d"])
+    cross = inc.filter(F.col("_ds") != F.col("_de"))
+    r_cnt = (
+        cross.join(tuples, cross._ds == tuples._d)
+        .filter((F.col("_x") >= F.col("i_start")) & (F.col("_y") <= F.col("i_end")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("_r"))
+    )
+
+    out = base.join(r_cnt, "event_id", "left").na.fill({"_r": 0})
+    same = F.col("_ds") == F.col("_de")
+    # same-day: probes measured in day ds; le_start = |s_start <= i_end|
+    n_spans = F.when(
+        same,
+        (F.col("_le_start") - F.col("_lt_end")),
+    ).otherwise(
+        (F.col("_n_ds") - F.col("_lt_end")) + F.col("_le_start")
+    )
+    n_users = F.when(same, n_spans).otherwise(n_spans - F.col("_r"))
+    return (
+        out.select(
+            "event_id",
+            n_spans.cast("long").alias("n_spans"),
+            n_users.cast("long").alias("n_users"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )

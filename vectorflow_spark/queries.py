@@ -2986,20 +2986,20 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned interval-overlap join: per-(user, day) activity spans vs
-    1-hour incident windows around high-value error events. The bin-explode
-    + equi-join plan replaces the BroadcastNestedLoopJoin Spark would pick
-    for the raw inequality predicate — at 100 TB the cross product is fatal
-    while the binned join shuffles only (bin, row) pairs. Exactly-once pair
-    emission (the greatest-start bin) means no distinct pass. All-integer
-    nanos arithmetic keeps both engines bit-identical.
-
-    Bin size = one DAY, not the 1-hour incident length: fan-out is
-    max(interval)/bin rows per input, so day bins keep the day-long span
-    side at 1-2 bin rows each (1-hour bins exploded every span 24x for no
-    extra selectivity — overlap here is dense, the pair output is the same
-    either way, and the exploded input was the actual cost)."""
-    from vectorflow_spark.operators.joins import interval_overlap_join
+    """Interval-overlap aggregation: per-(user, day) activity spans vs
+    1-hour incident windows around high-value error events — computed by
+    ORDER STATISTICS, not a pair join
+    (operators/events.span_overlap_counts). A 1-hour window over a busy
+    day overlaps nearly every active span, so any pair-materializing plan
+    (the generic binned interval_overlap_join included, 7.2M pairs at
+    sf0.1) is O(incidents x users-per-day) just to produce two counts per
+    incident. The counting plan does two sorted-merge rank passes of
+    |spans| + |incidents| rows (tie order encoding <= vs <) plus a
+    cross-midnight correction join over ~1/24 of the incidents — exact
+    integer set identities, hash-identical to the join formulation (its
+    equivalence to the binned join is pinned by test; the binned join
+    remains the right operator when downstream needs the PAIRS)."""
+    from vectorflow_spark.operators.events import span_overlap_counts
 
     ev = _t(spark, sf_dir, "events")
     spans = ev.groupBy(
@@ -3013,13 +3013,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") + F.lit(3_600_000_000_000)).alias("i_end"),
         )
     )
-    pairs = interval_overlap_join(
-        inc, spans, "i_start", "i_end", "s_start", "s_end", bin_size=86_400_000_000_000
-    )
-    return pairs.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
+    return span_overlap_counts(spans, inc, 86_400_000_000_000)
 
 
 def _random_projection_sql(out_dim: int = 16, in_dim: int = 64) -> str:
