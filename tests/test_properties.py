@@ -148,3 +148,50 @@ def test_spark_sessionize_matches_python_spec(spark):
             last, n = t, n + 1
         expected[(u, sid)] = (start, last, n)
     assert got == expected
+
+
+def test_span_overlap_counts_matches_bruteforce_randomized(spark):
+    """Property test for operators/events.span_overlap_counts: on random
+    day-confined spans and sub-day windows (including exact-boundary ties
+    and midnight crossings), the order-statistics counts must equal the
+    O(n*m) python brute force."""
+    import random
+
+    rnd = random.Random(42)
+    D = 100
+    spans = []
+    for u in range(1, 25):
+        for d in range(0, 4):
+            if rnd.random() < 0.7:
+                a = rnd.randrange(d * D, (d + 1) * D)
+                b = rnd.randrange(a, (d + 1) * D)
+                spans.append((u, d, a, b))
+    incidents = []
+    for e in range(200):
+        t0 = rnd.randrange(0, 4 * D)
+        # window shorter than a day; bias some ends onto exact span bounds
+        t1 = t0 + rnd.randrange(0, D - 1)
+        if rnd.random() < 0.3 and spans:
+            s = rnd.choice(spans)
+            # bias the end onto an exact span bound, clamped to the
+            # operator's sub-day window contract
+            t1 = min(max(t0, rnd.choice([s[2], s[3]])), t0 + D - 1)
+        incidents.append((e, t0, t1))
+
+    want = {}
+    for e, t0, t1 in incidents:
+        hits = [(u, d) for (u, d, a, b) in spans if a <= t1 and t0 <= b]
+        if hits:
+            want[e] = (len(hits), len({u for u, _ in hits}))
+
+    from vectorflow_spark.operators.events import span_overlap_counts
+
+    sdf = spark.createDataFrame(
+        spans, "user_id long, day_id long, s_start long, s_end long"
+    )
+    idf = spark.createDataFrame(incidents, "event_id long, i_start long, i_end long")
+    got = {
+        r["event_id"]: (r["n_spans"], r["n_users"])
+        for r in span_overlap_counts(sdf, idf, D).collect()
+    }
+    assert got == want
