@@ -7115,3 +7115,106 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum_freq * 1000000 div _n_total AS BIGINT)").alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "q_doc_embedding_pool",
+    """
+    WITH q AS (
+        SELECT vec_id // 10 AS doc_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT doc_id, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v FROM q
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           CAST(sum(v) // count(*) AS BIGINT) AS pooled_q
+    FROM ex GROUP BY doc_id, dim
+    """,
+)
+def q_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool chunk embeddings back to document embeddings — the
+    standard reduction after the reference's chunk->embed pipeline when
+    a doc-level vector is wanted (chunks of a doc = vec_id div 10 here).
+    Exactness: micro-quantize each component half-up to int64 BEFORE the
+    mean, integral sum div count — a float mean would be partitioning-
+    dependent. Plan: one posexplode + one (doc, dim) aggregation,
+    map-side combined, groups = docs x dims; no window, no join. At
+    100 TB this is the same shape as the k-means centroid update
+    (q_kmeans_step) keyed by document instead of cluster."""
+    quant = 1_000_000
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    q = emb.select(
+        F.expr("vec_id div 10").alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    ex = q.select("doc_id", F.posexplode("qv").alias("dim", "v"))
+    return ex.groupBy("doc_id", F.col("dim").cast("int").alias("dim")).agg(
+        F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("pooled_q")
+    )
+
+
+def _hard_negatives_sql(n_anchors: int = 5, k: int = 3) -> str:
+    cos = _DUCK_COS.format(a="v.embedding", b="a.embedding")
+    return f"""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, label AS a_label, embedding
+        FROM embeddings WHERE vec_id < {n_anchors}
+    ),
+    scored AS (
+        SELECT a.a_id, a.a_label, v.vec_id, v.label, round({cos}, 9) AS score
+        FROM embeddings v CROSS JOIN anchors a
+        WHERE v.label <> a.a_label
+    ),
+    ranked AS (
+        SELECT a_id, a_label, vec_id, label AS neg_label, score,
+               row_number() OVER (PARTITION BY a_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT a_id, a_label, vec_id, neg_label, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_hard_negatives", _hard_negatives_sql())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-k most-similar vectors with a DIFFERENT label — the
+    pairs that actually move a metric-learning loss. Same broadcast
+    nested-loop + per-anchor window shape as q_knn_batch with the label
+    disagreement pushed into the join predicate, so same-label pairs
+    never reach the scorer. At corpus scale the anchor side is the
+    (small) training batch and the vector side is the indexed corpus —
+    swap the brute-force scan for the IVF/LSH probe to mine from an
+    index."""
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_vec"),
+    )
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
+    v = emb.withColumn("_vn", l2_norm("embedding"))
+    a = anchors.withColumn("_an", l2_norm("a_vec"))
+    joined = v.join(F.broadcast(a), F.col("label") != F.col("a_label"))
+    denom = F.col("_vn") * F.col("_an")
+    scored = joined.select(
+        "a_id",
+        "a_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            F.when(denom != 0.0, dot("embedding", "a_vec") / denom), 9
+        ).alias("score"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
