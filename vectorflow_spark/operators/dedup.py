@@ -758,8 +758,11 @@ def minhash_jaccard_estimate(
     re-shingling both documents. Plan: candidate pairs (single-shuffle
     posting lists) + two broadcast-friendly joins back to the signature
     table keyed by doc id; no new shuffle shape at 100 TB — signatures
-    partition by doc id, pairs by (a, b)."""
-    sig = minhash_signatures(docs, doc_col, text_col, n, num_hashes)
+    partition by doc id, pairs by (a, b). The signature frame feeds THREE
+    plan branches (bucketing + both join sides), so it is
+    localCheckpointed once — uncut, the shingle+minhash projection would
+    re-execute per branch inside the single action."""
+    sig = minhash_signatures(docs, doc_col, text_col, n, num_hashes).localCheckpoint()
     pairs = minhash_candidate_pairs(
         docs, doc_col, text_col, n, bands, num_hashes, max_bucket, signatures=sig
     )
