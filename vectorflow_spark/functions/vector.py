@@ -88,79 +88,26 @@ def dequantize_max_err(a: Column | str, q: Column, scale: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Unrolled (codegen'd) variants for literal operands.
+# A note on "unrolling" these folds (measured, Spark 4.1, round 2):
 #
-# Catalyst evaluates higher-order functions (aggregate/zip_with/transform)
-# by interpreting the lambda per element — they sit OUTSIDE whole-stage
-# codegen. For the ANN hot paths (PQ encode: m*ksub distances/row, IVF
-# assign: C cosines/row) that interpretation dominates the stage. When one
-# operand is a driver-side literal (codebooks, centroids, hyperplanes, the
-# query vector) the fold can be unrolled into plain chained arithmetic over
-# element_at calls: identical left-to-right IEEE-double accumulation order
-# (acc starts at 0.0, exactly like the fold), so results are BIT-IDENTICAL
-# to the aggregate() form and to the DuckDB list_sum oracle — but the whole
-# expression now lives inside WholeStageCodegen.
+# It is tempting to replace aggregate/zip_with with chained per-element
+# arithmetic (element_at(a, i) * lit(c_i) + ...) so the math sits inside
+# WholeStageCodegen. Every variant of that LOSES on this engine:
 #
-# SIZE BUDGET (measured, Spark 4.1): whole-stage codegen CANNOT split one
-# output expression across methods (its inputs are local variables, not the
-# input row), so a stage whose unrolled expressions exceed ~500 arithmetic
-# terms overflows janino's 64 KB method limit and the ENTIRE stage falls
-# back to interpreted execution — 3-6x SLOWER than the HOF form it replaced
-# (q_pq_encode went 5 s -> 28 s that way). Use these helpers only where the
-# per-stage total stays small: one dot/norm per row or per join pair
-# (~64-200 terms). Multi-codeword constructs (PQ codebooks, IVF centroid
-# arrays, LSH plane banks, projection matrices) must keep the aggregate()
-# fold form.
+#   * narrow literal-operand unrolls (one 64-dim dot + norm per row) ran
+#     ~3x SLOWER than the HOF fold (0.3s -> 1.0s on brute-force top-k at
+#     sf0.1): each element_at pays bounds/null checks and the generated
+#     term chain beats the HOF's tight primitive-array loop nowhere;
+#   * column-column unrolls (join-side pair scoring) were 2-3x slower for
+#     the same reason, doubled;
+#   * wide constructs (16 centroids x 64 dims, PQ codebooks) overflow
+#     janino's 64 KB method limit — WSCG cannot split a single output
+#     expression — and the ENTIRE stage falls back to interpreted
+#     execution, 3-6x slower (q_pq_encode: 5s -> 28s);
+#   * fusing zip_with+aggregate into one aggregate-over-index-sequence
+#     halves lambda invocations but element_at per access cancels it.
+#
+# Conclusion: the sequential HOF fold IS the fast JVM form for
+# array<float> math here. Keep it, and keep constant operands as literal
+# arrays (driver-side norms folded to literals stay worthwhile).
 # ---------------------------------------------------------------------------
-
-
-def dot_const(a: Column | str, vals: list[float], offset: int = 0) -> Column:
-    """``sum_i a[offset+i] * vals[i]`` with left-to-right double
-    accumulation — unrolled twin of ``dot(a, array(vals))``."""
-    av = _c(a)
-    acc: Column = F.lit(0.0)
-    for i, v in enumerate(vals):
-        acc = acc + F.element_at(av, offset + i + 1).cast("double") * F.lit(float(v))
-    return acc
-
-
-def sqdist_const(a: Column | str, vals: list[float], offset: int = 0) -> Column:
-    """Squared L2 between ``a[offset:offset+len(vals)]`` and a literal
-    vector — unrolled twin of the zip_with+aggregate form used by PQ."""
-    av = _c(a)
-    acc: Column = F.lit(0.0)
-    for i, v in enumerate(vals):
-        d = F.element_at(av, offset + i + 1).cast("double") - F.lit(float(v))
-        acc = acc + d * d
-    return acc
-
-
-def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
-    """Column-column dot with the element loop unrolled for a known
-    dimension — same left-to-right double accumulation as ``dot``.
-
-    MEASURED CAVEAT: unlike the literal-operand unrolls (whose constants
-    inline into the generated code), BOTH sides here pay an element_at
-    bounds/null check per term, and at dim 64 that loses to the HOF
-    iterator (~2-3x slower on the kNN/near-dup pair stages). Kept for
-    callers with small dims or pre-validated non-null fixed-width arrays;
-    the default call sites use the HOF ``dot``."""
-    av, bv = _c(a), _c(b)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.element_at(av, i + 1).cast("double") * F.element_at(bv, i + 1).cast(
-            "double"
-        )
-    return acc
-
-
-def l2_norm_unrolled(a: Column | str, dim: int) -> Column:
-    """``l2_norm`` with the element loop unrolled for a known dimension —
-    same accumulation order, codegen'd. Falls back to the HOF form only
-    when the width is genuinely dynamic (callers pass the known dim)."""
-    av = _c(a)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.element_at(av, i + 1).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)

@@ -504,7 +504,6 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.99,
-    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. With a
     block_col (e.g. an LSH bucket or cluster id) the self-join is confined
@@ -512,18 +511,13 @@ def embedding_neardup_pairs(
 
     Norms are computed once per ROW before the join (O(n) folds) so each of
     the O(n^2/blocks) candidate pairs only pays the dot product — the norm
-    fold per pair would otherwise triple the join-side work. Pass ``dim``
-    when the embedding width is known: the dot/norm unroll into chained
-    codegen'd arithmetic (bit-identical accumulation order) instead of
-    interpreted HOF lambdas — on the pair side that interpretation is the
-    dominant cost."""
-    from vectorflow_spark.functions.vector import dot, dot_unrolled, l2_norm, l2_norm_unrolled
+    fold per pair would otherwise triple the join-side work."""
+    from vectorflow_spark.functions.vector import dot, l2_norm
 
-    norm = l2_norm_unrolled(vec_col, dim) if dim else l2_norm(vec_col)
     base = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm.alias("_n"),
+        l2_norm(vec_col).alias("_n"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *(["blk"] if block_col else []))
@@ -532,13 +526,7 @@ def embedding_neardup_pairs(
     denom = F.col("na") * F.col("nb")
     return (
         joined.filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            F.when(
-                denom != 0.0,
-                (dot_unrolled("va", "vb", dim) if dim else dot("va", "vb")) / denom,
-            ),
-        )
+        .withColumn("cosine", F.when(denom != 0.0, dot("va", "vb") / denom))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

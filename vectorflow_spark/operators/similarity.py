@@ -27,13 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectorflow_spark.embed.backends import deterministic_embedding
-from vectorflow_spark.functions.vector import (
-    dot,
-    dot_const,
-    dot_unrolled,
-    l2_norm,
-    l2_norm_unrolled,
-)
+from vectorflow_spark.functions.vector import dot, l2_norm
 
 
 def _const_vec(vals: list[float]) -> Column:
@@ -64,15 +58,11 @@ def topk_cosine(
     function expressions are not constant-foldable, so leaving it as an
     expression would re-fold the 64-literal array once per row."""
     qn = _py_norm(query)
-    base = vectors.select(
-        id_col,
-        F.col(vec_col).alias("_v"),
-        l2_norm_unrolled(vec_col, len(query)).alias("_vn"),
-    )
+    base = vectors.select(id_col, F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_vn"))
     denom = F.col("_vn") * F.lit(qn)
     scored = base.select(
         id_col,
-        F.round(F.when(denom != 0.0, dot_const("_v", query) / denom), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot("_v", _const_vec(query)) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -263,7 +253,6 @@ def knn_join(
     q_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Batch k-NN: every query row gets its top-k neighbors. Broadcast the
     (small) query side; rank with a per-query window. The join is a
@@ -272,26 +261,14 @@ def knn_join(
     |q| x |v| pairs pays only the dot product."""
     from pyspark.sql import Window
 
-    norm = (lambda c: l2_norm_unrolled(c, dim)) if dim else l2_norm
-    v = vectors.withColumn("_vn", norm(vec_col))
-    qs = queries.withColumn("_qn", norm(q_vec))
+    v = vectors.withColumn("_vn", l2_norm(vec_col))
+    qs = queries.withColumn("_qn", l2_norm(q_vec))
     joined = v.crossJoin(F.broadcast(qs))
     denom = F.col("_vn") * F.col("_qn")
     scored = joined.select(
         q_id,
         id_col,
-        F.round(
-            F.when(
-                denom != 0.0,
-                (
-                    dot_unrolled(F.col(vec_col), F.col(q_vec), dim)
-                    if dim
-                    else dot(F.col(vec_col), F.col(q_vec))
-                )
-                / denom,
-            ),
-            9,
-        ).alias("score"),
+        F.round(F.when(denom != 0.0, dot(F.col(vec_col), F.col(q_vec)) / denom), 9).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -522,12 +499,13 @@ def power_iteration_step(
     a literal array); the second matvec is posexplode + ONE map-side-
     combinable aggregation shuffled on dim — exactly ``dim`` groups with
     partial sums per map task, independent of row count."""
+    vlit = F.array(*[F.lit(int(x)).cast("bigint") for x in weights])
     qcast = lambda c: F.floor(c.cast("double") * quant + F.lit(0.5)).cast("bigint")  # noqa: E731
-    # unrolled integer chain (int64 addition is associative — order can't
-    # matter — so this is exactly the fold, minus the interpreted lambdas)
-    u = F.lit(0).cast("bigint")
-    for i, w in enumerate(weights):
-        u = u + qcast(F.element_at(F.col(vec_col), i + 1)) * F.lit(int(w)).cast("bigint")
+    u = F.aggregate(
+        F.zip_with(F.col(vec_col), vlit, lambda x, w: qcast(x) * w),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
     rows = vectors.withColumn("_u", u).select(
         "_u", F.posexplode(vec_col).alias("dim", "val")
     )

@@ -465,18 +465,16 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id. At scale this is a single scan + TakeOrderedAndProject. The
     query norm (8.0) is a driver-side literal and the row norm is computed
     once in its own projection — each row pays one dot + one norm fold."""
-    from vectorflow_spark.functions.vector import dot_const, l2_norm_unrolled
+    from vectorflow_spark.functions.vector import dot, l2_norm
 
     df = _t(spark, sf_dir, "embeddings", split=True)
-    base = df.select(
-        "vec_id", "label", F.col("embedding").alias("_v"),
-        l2_norm_unrolled("embedding", 64).alias("_vn"),
-    )
+    ones = F.array([F.lit(1.0)] * 64)
+    base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
     denom = F.col("_vn") * F.lit(8.0)
     scored = base.select(
         "vec_id",
         "label",
-        F.round(F.when(denom != 0.0, dot_const("_v", [1.0] * 64) / denom), 9).alias("score"),
+        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
 
