@@ -741,7 +741,7 @@ def _ivf_assign_sql() -> str:
         FROM embeddings ORDER BY vec_id LIMIT 16
     ),
     scored AS (
-        SELECT e.vec_id, c.cid, round({cos}, 9) AS s
+        SELECT e.vec_id, c.cid, {cos} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
@@ -1555,7 +1555,7 @@ def _ivf_search_sql(k: int = 10, nprobe: int = 4) -> str:
         ORDER BY s DESC, cid LIMIT {nprobe}
     ),
     scored AS (
-        SELECT e.vec_id, c.cid, round({cos_ec}, 9) AS s
+        SELECT e.vec_id, c.cid, {cos_ec} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
@@ -1969,7 +1969,7 @@ def _kmeans_step_sql() -> str:
         FROM embeddings ORDER BY vec_id LIMIT 16
     ),
     scored AS (
-        SELECT e.vec_id, e.embedding, c.cid, round({cos}, 9) AS s
+        SELECT e.vec_id, e.embedding, c.cid, {cos} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
@@ -2748,7 +2748,7 @@ def _pq_codes_cte() -> str:
     subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
     dists AS (
         SELECT e.vec_id, subs.s AS subspace, c.code,
-               round({_pq_sqdist_sql('e.embedding', 'c.cvec', 'subs.s')}, 9) AS d
+               {_pq_sqdist_sql('e.embedding', 'c.cvec', 'subs.s')} AS d
         FROM embeddings e CROSS JOIN subs CROSS JOIN cents c
     ),
     codes AS (
@@ -2898,7 +2898,7 @@ _IVFPQ_NPROBE = 4
     ),
     ascored AS (
         SELECT e.vec_id, c.cid,
-               round({{cos_ec}}, 9) AS s
+               {{cos_ec}} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
@@ -2915,7 +2915,7 @@ _IVFPQ_NPROBE = 4
     subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
     dists AS (
         SELECT e.vec_id, subs.s AS subspace, c.cid AS code,
-               round({{sq_ec}}, 9) AS d
+               {{sq_ec}} AS d
         FROM cand e CROSS JOIN subs CROSS JOIN cents c
     ),
     codes AS (
@@ -4716,7 +4716,7 @@ def _semantic_dedup_sql(threshold: float = 0.25) -> str:
         FROM embeddings ORDER BY vec_id LIMIT 16
     ),
     scored AS (
-        SELECT e.vec_id, c.cid, round({cos_ec}, 9) AS s
+        SELECT e.vec_id, c.cid, {cos_ec} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
@@ -6861,7 +6861,7 @@ def _ivf_recall_sql(k: int = 25, nprobe: int = 4) -> str:
         ORDER BY s DESC, cid LIMIT {nprobe}
     ),
     scored AS (
-        SELECT e.vec_id, c.cid, round({cos_ec}, 9) AS s
+        SELECT e.vec_id, c.cid, {cos_ec} AS s
         FROM embeddings e CROSS JOIN cents c
     ),
     best AS (
