@@ -7216,3 +7216,36 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "q_variant_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    once into the binary variant encoding, then typed variant_get paths —
+    the engine-native successor to per-access get_json_object string
+    re-parsing (each string access re-tokenizes the JSON; variant decodes
+    once and field access is an offset lookup, the difference between
+    O(fields * len) and O(len) per row on wide metadata blobs). Aggregated
+    to integer sums so the check is exact; the oracle reads the same
+    fields with DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type", F.variant_get("p", "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
