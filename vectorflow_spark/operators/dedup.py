@@ -313,9 +313,16 @@ def jaccard_pairs(
     string. A 64-bit collision would need ~2^32 distinct shingles to have
     even-odds of occurring once anywhere in the corpus; per-doc shingles are
     already distinct, so a collision could only merge two distinct shingles
-    and shift one intersection count by one."""
-    sh = with_shingles(docs, doc_col, text_col, n, kind).select(
-        doc_col, F.xxhash64("shingle").alias("k")
+    and shift one intersection count by one.
+
+    The hashed-shingle frame feeds FOUR plan branches (both self-join
+    sides + the per-doc size table used twice), so it is localCheckpointed
+    once — uncut, the shingle explode re-executes per branch inside the
+    single action."""
+    sh = (
+        with_shingles(docs, doc_col, text_col, n, kind)
+        .select(doc_col, F.xxhash64("shingle").alias("k"))
+        .localCheckpoint()
     )
     sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 

@@ -5425,7 +5425,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. Sizes broadcast back onto the grid. Exact small-integer
     ratio — deterministic in double."""
     e = _t(spark, sf_dir, "events")
-    ue = e.select("event_type", "user_id").distinct()
+    # the distinct frame feeds three branches (sizes + both join sides);
+    # checkpoint so the events-wide distinct shuffle runs once
+    ue = e.select("event_type", "user_id").distinct().localCheckpoint()
     sz = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ue.select(F.col("event_type").alias("ta"), "user_id")
     b = ue.select(F.col("event_type").alias("tb"), "user_id")
@@ -6059,8 +6061,11 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.operators.dedup import with_shingles
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
-    sh = with_shingles(docs, "doc_id", "text", 3, "word").select(
-        "doc_id", F.xxhash64("shingle").alias("k")
+    # checkpointed for the same reason as jaccard_pairs: four plan branches
+    sh = (
+        with_shingles(docs, "doc_id", "text", 3, "word")
+        .select("doc_id", F.xxhash64("shingle").alias("k"))
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("a"), "k")
