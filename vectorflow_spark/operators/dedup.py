@@ -518,7 +518,11 @@ def embedding_neardup_pairs(
 
     Norms are computed once per ROW before the join (O(n) folds) so each of
     the O(n^2/blocks) candidate pairs only pays the dot product — the norm
-    fold per pair would otherwise triple the join-side work."""
+    fold per pair would otherwise triple the join-side work. "Once" needs
+    a lineage cut: the normed frame feeds BOTH join sides, and the caller's
+    input may itself be expensive (semantic_dedup passes a
+    cluster-assignment projection), so base is localCheckpointed — without
+    it each side re-executes norms + upstream per branch."""
     from vectorflow_spark.functions.vector import dot, l2_norm
 
     base = vectors.select(
@@ -526,7 +530,7 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).localCheckpoint()
     a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *(["blk"] if block_col else []))
     b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), *(["blk"] if block_col else []))
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)
