@@ -700,7 +700,13 @@ def blocked_edit_pairs(
     unequal pair (plus the equal-name diagonal) because which name becomes
     a_name depends on ID order, not name order."""
     salts = F.sequence(F.lit(0), F.lit(num_salts - 1))
-    dn = records.select(block.alias("_blk"), F.col(name_col).alias("_nm")).distinct()
+    # distinct-name frame feeds both salted join sides — cut the lineage
+    # so the distinct shuffle runs once, not once per side
+    dn = (
+        records.select(block.alias("_blk"), F.col(name_col).alias("_nm"))
+        .distinct()
+        .localCheckpoint()
+    )
     na = dn.select(
         F.col("_blk"),
         F.col("_nm").alias("a_name"),
