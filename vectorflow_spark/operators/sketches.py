@@ -29,7 +29,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cell_expr", "cms_build", "cms_estimate", "cms_heavy_hitters"]
+__all__ = [
+    "cms_cell_expr",
+    "cms_build",
+    "cms_estimate",
+    "cms_heavy_hitters",
+    "kmv_hash_expr",
+    "kmv_sketch",
+    "kmv_distinct_estimate",
+    "kmv_intersection_estimate",
+]
 
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 64
@@ -122,3 +131,120 @@ def cms_heavy_hitters(
     keys = df.select(key_col).distinct()
     est = cms_estimate(sketch, keys, key_col, depth, width)
     return est.filter(F.col("est") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+#
+# The mergeable DISTINCT-count counterpart of count-min: hash every key to
+# a uniform integer, keep only the k smallest distinct hash values per
+# group. If the k-th smallest normalized hash is U_(k), the group has
+# about (k-1)/U_(k) distinct keys (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD'07 for the unbiased form and set operations) with ~1/sqrt(k)
+# relative error. Unlike approx_count_distinct's HLL — whose register
+# layout Spark does not expose for cross-group set algebra — a KMV sketch
+# supports INTERSECTION estimation: the k smallest of the union of two
+# sketches is exactly the union's sketch, and the fraction of those that
+# appear in both sketches estimates the Jaccard ratio. That gives
+# |A ∩ B| without ever joining A against B — the 100 TB way to answer
+# "how much does corpus A overlap corpus B" for every pair of sources
+# (contamination / cross-source duplication screens) at sketch-sized cost.
+#
+# Hashing is the portable md5-substring integer (28 bits, normalized by
+# 2^28) so every sketch member, rank, and estimate is integer-derived and
+# bit-reproducible in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_SPACE = float(1 << 28)  # 7 hex chars of md5 -> [0, 2^28)
+
+
+def kmv_hash_expr(key: Column, salt: str = "kmv") -> Column:
+    """28-bit salted hash of ``key`` — uniform over [0, 2^28), identical in
+    DuckDB via ('0x' || substr(md5(key || '|kmv'), 1, 7))::BIGINT."""
+    salted = F.concat(key.cast("string"), F.lit(f"|{salt}"))
+    return F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketch: (group, hs) where ``hs`` is the ascending array
+    of the k smallest distinct key hashes (shorter if the group has fewer).
+
+    Two-level bottom-k so the merge exchange is SKETCH-sized, not
+    data-sized: each input partition first reduces to its own bottom-k per
+    group (bottom-k of per-partition bottom-ks == global bottom-k, so the
+    result is partitioning-invariant), and only n_partitions * k hashes per
+    group cross the wire. A single-level collect_set would ship every
+    distinct hash of every group through the shuffle — the thing the sketch
+    exists to avoid."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"), kmv_hash_expr(F.col(key_col)).alias("h")
+    )
+    partial = hashed.groupBy("grp", F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+    return (
+        partial.select("grp", F.explode("hs").alias("h"))
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group distinct-key estimate from the KMV sketch: (k-1) * 2^28 /
+    h_(k) when the sketch is full, the exact distinct-hash count when the
+    group never filled it (a short sketch IS the whole hash set). The
+    estimate is one double division of exact integers — deterministic and
+    engine-portable (numerator < 2^53)."""
+    sk = kmv_sketch(df, group_col, key_col, k)
+    n = F.size("hs")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit((k - 1) * KMV_SPACE) / F.element_at("hs", k), 3)
+    )
+    return sk.select(F.col("grp").alias(group_col), est.alias("est_distinct"))
+
+
+def kmv_intersection_estimate(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Estimated |A ∩ B| for every unordered pair of groups, computed purely
+    on the sketches (Beyer et al.'s union-resketch rule): X = the k smallest
+    of sketch(A) ∪ sketch(B) is exactly the union's KMV sketch, so
+    U_est = (k-1) * 2^28 / max(X) estimates |A ∪ B| and the fraction of X
+    present in BOTH sketches estimates Jaccard; their product estimates the
+    intersection. When the combined sketch never fills (both groups fully
+    observed), the exact intersection count is returned instead.
+
+    Plan shape: the pair join touches only sketch rows — G groups of k
+    8-byte hashes — so all-pairs over hundreds of sources is a broadcast
+    join of kilobytes, with the raw data read exactly once to build the
+    sketches. The per-pair arithmetic stays in exact integers until a
+    single final division (numerator <= (k-1) * k * 2^28 < 2^53)."""
+    sk = kmv_sketch(df, group_col, key_col, k)
+    a, b = sk.alias("a"), sk.alias("b")
+    paired = a.join(
+        F.broadcast(b), F.col("a.grp") < F.col("b.grp"), "inner"
+    ).select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.col("a.hs").alias("ha"),
+        F.col("b.hs").alias("hb"),
+    )
+    x = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    withx = paired.select(
+        "grp_a",
+        "grp_b",
+        x.alias("x"),
+        F.size(x).alias("nx"),
+        F.size(F.array_intersect(F.array_intersect("ha", "hb"), x)).alias("both"),
+    )
+    est = F.when(F.col("nx") < k, F.col("both").cast("double")).otherwise(
+        F.round(
+            (F.col("both") * F.lit((k - 1) * KMV_SPACE))
+            / (F.lit(k) * F.element_at("x", k)),
+            3,
+        )
+    )
+    return withx.select("grp_a", "grp_b", est.alias("est_common"))

@@ -3169,6 +3169,112 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.join(est, "user_id").select("user_id", "est", "true_n")
 
 
+_KMV_SKETCH_CTE = """
+    sh AS (
+        SELECT source, substring(lower(text), CAST(i AS INT), 5) AS shingle
+        FROM (SELECT source, text, unnest(range(1, length(lower(text)) - 3)) AS i
+              FROM documents WHERE length(lower(text)) >= 5)
+        UNION ALL
+        SELECT source, lower(text) AS shingle FROM documents WHERE length(lower(text)) < 5
+    ),
+    hashed AS (
+        SELECT DISTINCT source AS grp,
+               ('0x' || substr(md5(shingle || '|kmv'), 1, 7))::BIGINT AS h
+        FROM sh
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sk AS (SELECT grp, h FROM ranked WHERE rn <= 128)"""
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH {_KMV_SKETCH_CTE},
+    agg AS (SELECT grp, count(*) AS n, max(h) AS hk FROM sk GROUP BY 1),
+    exact AS (SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct FROM hashed GROUP BY 1)
+    SELECT a.grp AS source,
+           CASE WHEN a.n < 128 THEN CAST(a.n AS DOUBLE)
+                ELSE round(127 * 268435456.0 / a.hk, 3) END AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN exact e ON a.grp = e.grp
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source over char-5 shingles, reported
+    against the exact distinct-hash count: keep the 128 smallest distinct
+    28-bit shingle hashes per source, estimate (k-1) * 2^28 / h_(k). The
+    sketch build is a two-level bottom-k (per-partition truncation to k
+    BEFORE the merge shuffle), so the exchange is sketch-sized no matter
+    how many distinct shingles a source has — the mergeable distinct
+    counter for corpus accounting at 100 TB. The exact side here is the
+    eval ground truth, same pattern as q_cms_estimate's true_n."""
+    from vectorflow_spark.operators.dedup import with_shingles
+    from vectorflow_spark.operators.sketches import kmv_distinct_estimate, kmv_hash_expr
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    sh = with_shingles(docs, "source", "text", 5, "char")
+    est = kmv_distinct_estimate(sh, "source", "shingle", 128)
+    exact = (
+        sh.select("source", kmv_hash_expr(F.col("shingle")).alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "source")
+
+
+@query(
+    "q_kmv_overlap",
+    f"""
+    WITH {_KMV_SKETCH_CTE},
+    grps AS (SELECT DISTINCT grp FROM sk),
+    u AS (
+        SELECT ga, gb, h, count(*) AS hits FROM (
+            SELECT a.grp AS ga, b.grp AS gb, a.h
+            FROM sk a JOIN grps b ON a.grp < b.grp
+            UNION ALL
+            SELECT a.grp AS ga, b.grp AS gb, b.h
+            FROM grps a JOIN sk b ON a.grp < b.grp
+        ) GROUP BY 1, 2, 3
+    ),
+    rx AS (
+        SELECT ga, gb, h, hits,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM u
+    ),
+    agg AS (
+        SELECT ga, gb, count(*) AS nx, max(h) AS xk,
+               sum(CASE WHEN hits = 2 THEN 1 ELSE 0 END) AS n_both
+        FROM rx WHERE rn <= 128 GROUP BY 1, 2
+    )
+    SELECT ga AS grp_a, gb AS grp_b,
+           CASE WHEN nx < 128 THEN CAST(n_both AS DOUBLE)
+                ELSE round(n_both * 127 * 268435456.0 / (128 * xk), 3) END AS est_common
+    FROM agg
+    """,
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source shingle overlap |A ∩ B| estimated purely from
+    KMV sketches (Beyer et al. SIGMOD'07): the k smallest of
+    sketch(A) ∪ sketch(B) IS the union's sketch, so the union size and the
+    both-members fraction multiply into the intersection — the raw corpus
+    is read ONCE to build per-source sketches, and all 190 source pairs are
+    scored on kilobytes via a broadcast pair join. This is the 100 TB
+    contamination / cross-source-duplication screen: the same answer via a
+    direct self-join would shuffle every (source, shingle) row twice.
+    approx_count_distinct's HLL cannot do this — Spark never exposes its
+    registers for set algebra, which is exactly what KMV keeps."""
+    from vectorflow_spark.operators.dedup import with_shingles
+    from vectorflow_spark.operators.sketches import kmv_intersection_estimate
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    sh = with_shingles(docs, "source", "text", 5, "char")
+    return kmv_intersection_estimate(sh, "source", "shingle", 128)
+
+
 @query(
     "q_snapshot_diff",
     """
