@@ -329,3 +329,57 @@ class TestStreamingSketch:
             for r in read_cms(spark, str(tmp_path / "sketch")).collect()
         }
         assert again == want
+
+
+class TestStreamingKMV:
+    def test_running_distinct_bounded_state(self, spark, tmp_path):
+        """transformWithStateInPandas KMV: running per-group distinct counts
+        converge to the batch sketch's answer, state survives a restart, and
+        replayed keys cannot move the estimate (idempotent merge)."""
+        from vectorflow_spark.streaming.pipeline import streaming_kmv_distinct
+
+        inp = tmp_path / "kmv_in"
+        inp.mkdir()
+        ckpt, outp = str(tmp_path / "kmv_ckpt"), str(tmp_path / "kmv_out")
+        with open(inp / "b1.json", "w") as f:
+            for i in range(40):
+                f.write(json.dumps({"g": "S", "k": i}) + "\n")
+            for i in range(5000):
+                f.write(json.dumps({"g": "L", "k": i}) + "\n")
+
+        def run():
+            stream = spark.readStream.schema("g string, k long").json(str(inp))
+            est = streaming_kmv_distinct(stream, "g", "k", k=128)
+            q = (
+                est.writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda df, bid: df.withColumn("_b", F.lit(bid))
+                    .write.mode("append")
+                    .parquet(outp)
+                )
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        out = spark.read.parquet(outp)
+        got = {r.g: r.est_distinct for r in out.collect()}
+        assert got["S"] == 40.0  # sketch not full -> exact
+        assert abs(got["L"] - 5000) / 5000 < 0.36  # 4 sigma at k=128
+
+        # second run: 40 replayed keys + 20 genuinely new ones for S; the
+        # checkpoint-restored state must absorb the replay without movement
+        with open(inp / "b2.json", "w") as f:
+            for i in range(60):
+                f.write(json.dumps({"g": "S", "k": i}) + "\n")
+        run()
+        latest = {
+            r.g: r.est_distinct
+            for r in spark.read.parquet(outp)
+            .groupBy("g")
+            .agg(F.max("est_distinct").alias("est_distinct"))
+            .collect()
+        }
+        assert latest["S"] == 60.0

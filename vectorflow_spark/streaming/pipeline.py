@@ -448,3 +448,66 @@ def read_boilerplate_lines(spark, line_dir: str, min_doc_count: int = 10) -> Dat
     return read_line_frequencies(spark, line_dir).filter(
         F.col("n_docs") >= min_doc_count
     ).select("line")
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 128,
+):
+    """Running distinct-count per group over an unbounded stream in O(k)
+    state: a KMV sketch (the k smallest distinct key hashes — see
+    operators/sketches.py) lives in the per-group GroupState; each
+    micro-batch folds its new hashes into the sketch and emits the
+    refreshed (k-1) * 2^28 / h_(k) estimate (exact count while the sketch
+    is short). Because the KMV merge is commutative and idempotent,
+    replayed micro-batches (at-least-once delivery) cannot move the
+    estimate — the state converges to the same sketch no matter how input
+    is batched, and it is checkpointed/restored across restarts like any
+    streaming state.
+
+    Implemented on ``applyInPandasWithState``; the Spark-4 successor
+    (``transformWithStateInPandas``, SPARK-49048) would hold the sketch in
+    a named ValueState instead, but its state protocol requires the
+    protobuf package, absent from this environment — a single-tuple
+    GroupState carries the array just as well.
+
+    The key hash is computed JVM-side BEFORE the stateful operator — the
+    portable md5-substring integer — so the Python function only merges
+    int64 arrays; per-group state never exceeds k * 8 bytes regardless of
+    stream cardinality. Returns an update-mode stream of
+    (group, est_distinct)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    space = float(1 << 28)
+    out_schema = f"{group_col} string, est_distinct double"
+    state_schema = "hs array<bigint>"
+
+    def fn(key, pdfs, state: GroupState):
+        merged = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["h"])
+        hs = sorted(merged)[:k]
+        state.update((hs,))
+        est = float(len(hs)) if len(hs) < k else round((k - 1) * space / hs[-1], 3)
+        yield pd.DataFrame({group_col: [key[0]], "est_distinct": [est]})
+
+    hashed = stream.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|kmv"))), 1, 7),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
