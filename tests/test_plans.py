@@ -253,3 +253,23 @@ def test_waiting_suppliers_shares_orderkey_partitioning(spark, sf_dir, Q):
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
         key = m.group(1)
         assert "orderkey" in key or "ok" in key or "s_name" in key, m.group(0)
+
+
+def test_kmv_sketch_exchanges_are_sketch_sized(spark, sf_dir, Q):
+    """The KMV build must cap state BEFORE its one merge shuffle: the
+    mapInPandas bottom-k sits BELOW the single hashpartitioning exchange of
+    the sketch aggregation. q_kmv_overlap adds only a broadcast pair join
+    on top — 1 hash exchange total; q_kmv_distinct adds the exact-side
+    ground-truth distinct+count (2 more); neither may sort-merge join."""
+    pairs = Q["q_kmv_overlap"](spark, sf_dir)
+    ppln = physical(pairs)
+    # the sketch frame is checkpointed before the self-join: the query plan
+    # reads the materialized sketch (no rebuild per side, no exchange)
+    assert ppln.count("Exchange hashpartitioning") == 0, ppln
+    assert "BroadcastNestedLoopJoin" in ppln and "Scan ExistingRDD" in ppln, ppln
+    est = Q["q_kmv_distinct"](spark, sf_dir)
+    plan = physical(est)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    # truncation below the exchange: the Python stage feeds the merge agg
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning"), plan
+    assert "SortMergeJoin" not in plan and "SortMergeJoin" not in ppln, plan

@@ -170,23 +170,34 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int = KMV_K) -> D
     """Per-group KMV sketch: (group, hs) where ``hs`` is the ascending array
     of the k smallest distinct key hashes (shorter if the group has fewer).
 
-    Two-level bottom-k so the merge exchange is SKETCH-sized, not
-    data-sized: each input partition first reduces to its own bottom-k per
-    group (bottom-k of per-partition bottom-ks == global bottom-k, so the
-    result is partitioning-invariant), and only n_partitions * k hashes per
-    group cross the wire. A single-level collect_set would ship every
-    distinct hash of every group through the shuffle — the thing the sketch
-    exists to avoid."""
+    The build caps state BEFORE the shuffle, the way an RDD
+    ``aggregateByKey`` seqOp would: an Arrow-batched mapInPandas keeps only
+    the bottom-k distinct hashes per group per batch (bottom-k of
+    bottom-ks == global bottom-k, so the result is batching- and
+    partitioning-invariant), then ONE merge aggregation per group finishes
+    the sketch. The exchange therefore carries at most k hashes per
+    (group, batch) — sketch-sized — where a plain
+    ``collect_set`` + slice would ship every distinct hash of every group
+    as untruncated partial buffers (the slice in an aggregate's result
+    expression runs AFTER the exchange; verified in the physical plan).
+    Hashing stays JVM-side; the Python stage only sorts int64 columns."""
     hashed = df.select(
         F.col(group_col).alias("grp"), kmv_hash_expr(F.col(key_col)).alias("h")
     )
-    partial = hashed.groupBy("grp", F.spark_partition_id().alias("_p")).agg(
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.drop_duplicates(["grp", "h"])
+                    .sort_values("h", kind="mergesort")
+                    .groupby("grp", sort=False, dropna=False)
+                    .head(k)
+                )
+
+    capped = hashed.mapInPandas(bottom_k, schema=hashed.schema)
+    return capped.groupBy("grp").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
-    )
-    return (
-        partial.select("grp", F.explode("hs").alias("h"))
-        .groupBy("grp")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
     )
 
 
@@ -220,9 +231,12 @@ def kmv_intersection_estimate(
     Plan shape: the pair join touches only sketch rows — G groups of k
     8-byte hashes — so all-pairs over hundreds of sources is a broadcast
     join of kilobytes, with the raw data read exactly once to build the
-    sketches. The per-pair arithmetic stays in exact integers until a
-    single final division (numerator <= (k-1) * k * 2^28 < 2^53)."""
-    sk = kmv_sketch(df, group_col, key_col, k)
+    sketches (the sketch frame is localCheckpointed: both sides of the
+    self-join reference it, and an uncheckpointed frame would re-run the
+    hash + bottom-k pipeline per side). The per-pair arithmetic stays in
+    exact integers until a single final division
+    (numerator <= (k-1) * k * 2^28 < 2^53)."""
+    sk = kmv_sketch(df, group_col, key_col, k).localCheckpoint()
     a, b = sk.alias("a"), sk.alias("b")
     paired = a.join(
         F.broadcast(b), F.col("a.grp") < F.col("b.grp"), "inner"

@@ -3206,8 +3206,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch per source over char-5 shingles, reported
     against the exact distinct-hash count: keep the 128 smallest distinct
     28-bit shingle hashes per source, estimate (k-1) * 2^28 / h_(k). The
-    sketch build is a two-level bottom-k (per-partition truncation to k
-    BEFORE the merge shuffle), so the exchange is sketch-sized no matter
+    sketch build caps state to k per group per Arrow batch BEFORE the merge
+    shuffle (see kmv_sketch), so the exchange is sketch-sized no matter
     how many distinct shingles a source has — the mergeable distinct
     counter for corpus accounting at 100 TB. The exact side here is the
     eval ground truth, same pattern as q_cms_estimate's true_n."""
