@@ -55,3 +55,25 @@ def test_kmv_sketch_partitioning_invariant(spark, keyed):
     many = {r.grp: r.hs for r in kmv_sketch(keyed.repartition(17), "g", "k").collect()}
     assert one == many
     assert all(len(v) == KMV_K and v == sorted(v) for v in one.values())
+
+
+def test_bigram_perplexity_ranks_repetition_low(spark):
+    from vectorflow_spark.operators.textstats import bigram_perplexity
+
+    # disjoint vocabularies so the corpus-fit model doesn't couple the docs:
+    # doc 1 cycles deterministically (every history has ONE successor);
+    # doc 2 branches (history 'a' has 8 equally likely successors)
+    branching = (" ".join(f"a s{i}" for i in range(8)) + " ") * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r " * 20),
+            (2, branching),
+            (3, "x"),  # single token -> excluded (no bigrams)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bigram_perplexity(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].ppl < rows[2].ppl
+    assert rows[1].n_bigrams == 59 and rows[2].n_bigrams == 63
+    assert rows[1].ppl >= 1.0  # perplexity is bounded below by 1

@@ -477,3 +477,74 @@ def word_entropy(
         F.col("n_tokens"),
         F.round(h, round_to).alias("entropy_bits"),
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM estimated
+    from the corpus itself — the distributed form of CCNet/FineWeb-style
+    LM quality ranking (there a pretrained KenLM scores each doc; here the
+    n-gram model is fit and applied in the same two passes, which is what
+    you actually do at 100 TB when no external LM fits the domain).
+
+    p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N, ppl =
+    2^(-mean log2 p). Low perplexity = predictable/repetitive text,
+    high = noise; both tails are the filter targets.
+
+    Plan at scale: bigram and unigram count tables are map-side-combinable
+    aggregations on uniform token keys; scoring joins each doc's bigrams
+    against them (equi joins on the same keys — skew from stopword pairs
+    is AQE's skew-join case), and N rides along as a broadcast single row,
+    never a driver value. Cross-engine determinism: each term is rounded
+    to 9 dp, the per-doc sum is a sequential fold over the pos-sorted term
+    list (same order both engines), and the final perplexity is rounded to
+    ``round_to``.
+    """
+    ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toked = docs.select(F.col(doc_col), ts.alias("_ts")).filter(F.size("_ts") >= 2)
+    bg = toked.select(
+        doc_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_ts) - 1), "
+                "i -> struct(i AS pos, element_at(_ts, i) AS w1, element_at(_ts, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select(doc_col, "b.pos", "b.w1", "b.w2")
+    uni = (
+        toked.select(F.explode("_ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    n_tot = toked.select(F.explode("_ts").alias("w")).agg(
+        F.count(F.lit(1)).alias("nn")
+    )
+    p = (
+        F.lit(lam) * F.col("cb") / F.col("cu1")
+        + F.lit(1.0 - lam) * F.col("cu2") / F.col("nn")
+    )
+    terms = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(doc_col, "pos", F.round(F.log2(p), 9).alias("lp"))
+    )
+    per_doc = terms.groupBy(doc_col).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("_lps"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    s = F.aggregate("_lps", F.lit(0.0).cast("double"), lambda a, x: a + x["lp"])
+    return per_doc.select(
+        doc_col,
+        "n_bigrams",
+        F.round(
+            F.pow(F.lit(2.0), -s / F.col("n_bigrams").cast("double")), round_to
+        ).alias("ppl"),
+    )

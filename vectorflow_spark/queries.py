@@ -3984,6 +3984,53 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_perplexity",
+    r"""
+    WITH ts0 AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    ts AS (SELECT doc_id, ts FROM ts0 WHERE len(ts) >= 2),
+    bg AS (
+        SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM ts)
+    ),
+    uni AS (SELECT w, count(*) AS cu FROM (SELECT unnest(ts) AS w FROM ts) GROUP BY 1),
+    big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    n AS (SELECT count(*) AS nn FROM (SELECT unnest(ts) AS w FROM ts)),
+    terms AS (
+        SELECT g.doc_id, g.pos,
+               round(log2(0.75 * b.cb / u1.cu + 0.25 * u2.cu / n.nn), 9) AS lp
+        FROM bg g
+        JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        JOIN uni u1 ON g.w1 = u1.w
+        JOIN uni u2 ON g.w2 = u2.w
+        CROSS JOIN n
+    ),
+    perdoc AS (
+        SELECT doc_id, list(lp ORDER BY pos) AS lps, CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM terms GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           round(
+               pow(2.0, - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+                          / CAST(n_bigrams AS DOUBLE)),
+               6) AS ppl
+    FROM perdoc
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-fit interpolated bigram LM —
+    the CCNet/FineWeb LM-quality ranking signal, with model estimation and
+    scoring fused into the same distributed passes (see
+    textstats.bigram_perplexity for the plan and determinism notes)."""
+    from vectorflow_spark.operators.textstats import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return bigram_perplexity(docs)
+
+
+@query(
     "q_cms_heavy_hitters",
     """
     WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
