@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+from vectorflow_spark.functions import tokenizer
 from vectorflow_spark.functions.ids import content_id, uuid5_udf
 from vectorflow_spark.operators import chunkers
 from vectorflow_spark.operators.batching import batch_counts, minibatch_ids
@@ -1635,7 +1636,44 @@ def _chunk_query(strategy: ChunkStrategy):
     return fn
 
 
-QUERIES["q_chunk_exact_tokens"] = _chunk_query(ChunkStrategy.EXACT)
+# C1's oracle exists only under the regex tokenizer backend: its findall
+# semantics are reproducible in DuckDB (RE2's regexp_extract_all has the
+# same leftmost-first alternation), so the full window CONTENT hash-matches.
+# Under tiktoken/BPE backends the tokens are merge-table-dependent and the
+# query reverts to rows-only — the registration reflects the live backend.
+# chunk_id is intentionally not projected: uuid5 needs sha1, absent from
+# DuckDB; id correctness is carried by q_uuid5_ids + unit tests vs uuid.uuid5.
+_C1_SQL = (
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+') AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // 32 AS INT) AS chunk_seq,
+           CAST(i AS INT) AS chunk_offset,
+           'exact' AS chunk_tag,
+           array_to_string(ts[i + 1 : i + 64], '') AS text
+    FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 32)) AS i FROM tok)
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_exact_tokens", _C1_SQL)
+def q_chunk_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 token sliding window (size 64, overlap 32) — full content parity:
+    every chunk's text, token offset, and emission order hash-match the
+    SQL reconstruction of the same tokenizer + window arithmetic."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+
 QUERIES["q_chunk_paragraph_tokens"] = _chunk_query(ChunkStrategy.PARAGRAPH)
 QUERIES["q_chunk_paragraph_chars"] = _chunk_query(ChunkStrategy.PARAGRAPH_BY_CHARACTERS)
 QUERIES["q_chunk_sentence_tokens"] = _chunk_query(ChunkStrategy.SENTENCE)
