@@ -1674,9 +1674,172 @@ def q_chunk_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunkers.chunk(docs, cfg, with_ids=False)
 
 
-QUERIES["q_chunk_paragraph_tokens"] = _chunk_query(ChunkStrategy.PARAGRAPH)
-QUERIES["q_chunk_paragraph_chars"] = _chunk_query(ChunkStrategy.PARAGRAPH_BY_CHARACTERS)
-QUERIES["q_chunk_sentence_tokens"] = _chunk_query(ChunkStrategy.SENTENCE)
+# C3's oracle: the greedy '\n\n'-paragraph merge (accumulate until >= 48
+# tokens) is a resetting threshold scan, expressed as a RECURSIVE CTE over
+# (group start, group end) pairs per document, with group end found from a
+# 0-prepended cumulative token-count list. Parity quirks mirrored exactly:
+# merged text concatenates paragraphs WITHOUT the consumed '\n\n' (decode of
+# concatenated token lists), the fallback threshold uses the CONCATENATED
+# count while fallback windows RE-tokenize the merged string, and the
+# non-fallback offset is the paragraph index AFTER the merge with tag
+# 'exact' (reference src/worker/worker.py:246). Regex-backend-conditional
+# like C1/C5.
+_C3_TOKRE = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+"
+_C3_SQL = (
+    rf"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, ps, len(ps) AS n,
+               list_prepend(0, [list_sum(list_prepend(0, tc[1:i])) FOR i IN range(1, len(tc) + 1)]) AS cum
+        FROM (
+            SELECT doc_id, ps,
+                   [CAST(len(regexp_extract_all(p, '{_C3_TOKRE}')) AS BIGINT) FOR p IN ps] AS tc
+            FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM documents)
+        )
+    ),
+    grps AS (
+        SELECT doc_id, ps, n, cum, 0 AS gno, CAST(1 AS BIGINT) AS s,
+               coalesce(list_min([CAST(i AS BIGINT) FOR i IN range(1, n + 1) IF cum[i + 1] - cum[1] >= 48]), n) AS e
+        FROM base WHERE n >= 1
+        UNION ALL
+        SELECT doc_id, ps, n, cum, gno + 1, s2,
+               coalesce(list_min([CAST(i AS BIGINT) FOR i IN range(s2, n + 1) IF cum[i + 1] - cum[s2] >= 48]), n) AS e
+        FROM (SELECT doc_id, ps, n, cum, gno, e + 1 AS s2 FROM grps WHERE e < n)
+    ),
+    gsel AS (
+        SELECT doc_id, gno, e, cum[e + 1] - cum[s] AS mcnt,
+               array_to_string(ps[s : e], '') AS mtext
+        FROM grps
+    ),
+    pieces AS (
+        SELECT doc_id, gno, 0 AS wi, CAST(e AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, mtext AS text
+        FROM gsel WHERE mcnt <= 64
+        UNION ALL
+        SELECT doc_id, gno, CAST(i // 32 AS INT) AS wi, CAST(i AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, array_to_string(mts[i + 1 : i + 64], '') AS text
+        FROM (SELECT doc_id, gno, mts, unnest(range(0, len(mts), 32)) AS i
+              FROM (SELECT doc_id, gno, regexp_extract_all(mtext, '{_C3_TOKRE}') AS mts
+                    FROM gsel WHERE mcnt > 64))
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gno, wi) - 1 AS INT) AS chunk_seq,
+           chunk_offset, chunk_tag, text
+    FROM pieces
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_paragraph_tokens", _C3_SQL)
+def q_chunk_paragraph_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 paragraph chunker (merge to >= 0.75*64 tokens, C1 fallback) —
+    full content parity against the recursive-CTE reconstruction of the
+    greedy merge; see the _C3_SQL comment for the mirrored quirks."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.PARAGRAPH, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+
+# C4's oracle: the sequential char scan (cut at the next '\n\n' starting in
+# [start+48, start+64) — the delimiter fully inside the window — else at
+# start+64; chunk text extends 32 chars past the cut while the next chunk
+# starts AT the cut) as a recursive CTE whose state is the 0-based cut
+# position. Pure character arithmetic — no tokenizer — so the oracle is
+# unconditional. Python str.find(sub, a, b)'s containment rule maps to
+# strpos over substr(text, start+49, end0-start-48).
+_C4_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, len(text) AS total FROM documents WHERE len(text) > 0
+    ),
+    cuts AS (
+        SELECT doc_id, text, total, 0 AS gno, CAST(0 AS BIGINT) AS s,
+               least(0 + 64, total) AS e0,
+               strpos(substr(text, 0 + 49, least(0 + 64, total) - 0 - 48), chr(10) || chr(10)) AS rpos
+        FROM base
+        UNION ALL
+        SELECT doc_id, text, total, gno + 1, s2,
+               least(s2 + 64, total) AS e0,
+               strpos(substr(text, s2 + 49, least(s2 + 64, total) - s2 - 48), chr(10) || chr(10)) AS rpos
+        FROM (
+            SELECT doc_id, text, total, gno,
+                   CASE WHEN rpos > 0 THEN s + 48 + rpos + 1 ELSE e0 END AS s2
+            FROM cuts
+        )
+        WHERE s2 < total
+    )
+    SELECT doc_id, CAST(gno AS INT) AS chunk_seq, CAST(s AS INT) AS chunk_offset,
+           'exact' AS chunk_tag,
+           substr(text, s + 1, (CASE WHEN rpos > 0 THEN s + 48 + rpos + 1 ELSE e0 END) + 32 - s) AS text
+    FROM cuts
+    """
+
+
+@query("q_chunk_paragraph_chars", _C4_SQL)
+def q_chunk_paragraph_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 paragraph-by-characters chunker — full content parity against the
+    recursive-CTE scan reconstruction (see _C4_SQL)."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.PARAGRAPH_BY_CHARACTERS,
+        chunk_size=64,
+        chunk_overlap=32,
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+# C5's oracle: Python's lookbehind sentence split '(?<=[.!?…]) +' has no RE2
+# equivalent, but marking the boundary with a control char and splitting on
+# it consumes the same delimiter runs and keeps the same text. Token-count
+# fallback threshold + window contents come from the same regex tokenizer as
+# C1, so the oracle is likewise conditional on the regex backend. chunk_seq
+# is reconstructed as the (sentence, window) emission order.
+_C5_SQL = (
+    r"""
+    WITH marked AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?…]) +', '\1' || chr(1), 'g'), chr(1)) AS ss
+        FROM documents
+    ),
+    sent AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS sidx, ss[i] AS s
+        FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM marked)
+    ),
+    tok AS (
+        SELECT doc_id, sidx, s,
+               regexp_extract_all(s, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+') AS ts
+        FROM sent
+    ),
+    pieces AS (
+        SELECT doc_id, sidx, 0 AS wi, sidx AS chunk_offset, 'sentence' AS chunk_tag, s AS text
+        FROM tok WHERE len(ts) <= 64
+        UNION ALL
+        SELECT doc_id, sidx, CAST(i // 32 AS INT) AS wi, CAST(i AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, array_to_string(ts[i + 1 : i + 64], '') AS text
+        FROM (SELECT doc_id, sidx, ts, unnest(range(0, len(ts), 32)) AS i
+              FROM tok WHERE len(ts) > 64)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sidx, wi) - 1 AS INT) AS chunk_seq,
+           chunk_offset, chunk_tag, text
+    FROM pieces
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_sentence_tokens", _C5_SQL)
+def q_chunk_sentence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 sentence chunker (token threshold 64, C1 fallback) — full content
+    parity like q_chunk_exact_tokens: sentence boundaries, fallback windows,
+    offsets, and emission order all hash-match the SQL reconstruction."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.SENTENCE, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
 
 
 @query("q_custom_chunker")  # rows-only: user-supplied Python plugin (C7)
