@@ -244,3 +244,41 @@ def test_streaming_line_frequencies_matches_batch_and_replay_idempotent(spark, t
 
     boiler = [r["line"] for r in read_boilerplate_lines(spark, str(tmp_path / "lines"), 30).collect()]
     assert boiler == ["BOILER"]
+
+
+def test_write_training_shards_deterministic_and_bounded(spark, tmp_path):
+    """Shards hold exact rank ranges of the seeded order, one file per
+    shard directory, and a second writer run reproduces the assignment."""
+    import glob
+
+    from vectorflow_spark.operators.layout import write_training_shards
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.concat(F.col("id"), F.lit("|shard"))), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    p1 = str(tmp_path / "shards1")
+    m1 = write_training_shards(df, p1, 128, ["h", "doc_id"], token_col="n_tokens")
+    rows = {r.shard: (r.n_rows, r.n_tokens) for r in m1.collect()}
+    assert set(rows) == set(range(8))  # ceil(1000/128) = 8 shards
+    assert all(rows[s][0] == 128 for s in range(7)) and rows[7][0] == 1000 - 7 * 128
+    assert sum(t for _, t in rows.values()) == sum(
+        i % 7 + 1 for i in range(1000)
+    )
+    # one data file per shard directory
+    for s in range(8):
+        files = glob.glob(f"{p1}/shard={s}/*.parquet")
+        assert len(files) == 1, files
+    # deterministic assignment: same rows land in the same shard on re-run
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(df, p2, 128, ["h", "doc_id"], token_col="n_tokens")
+    a = {r.doc_id: r.shard for r in spark.read.parquet(p1).collect()}
+    b = {r.doc_id: r.shard for r in spark.read.parquet(p2).collect()}
+    assert a == b
+    # shard s is exactly ranks (s*128, (s+1)*128] of the (h, doc_id) order
+    order = [d for _, d in sorted((r.h, r.doc_id) for r in df.collect())]
+    want = {d: i // 128 for i, d in enumerate(order)}
+    assert a == want

@@ -125,3 +125,39 @@ def bucketed_write(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_cols: list,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Materialize a training corpus as deterministic, size-bounded shards —
+    the endgame of the pack -> shuffle -> shard pipeline (WebDataset/Arrow
+    shard discipline): shard s holds EXACTLY rows (s*R, (s+1)*R] of the
+    global ``order_cols`` order (the last shard holds the remainder), so a
+    reader can address any shard independently and a re-run of the writer
+    reproduces byte-identical assignment. Pass the seeded-shuffle hash as
+    the order (operators/ranking + q_global_shuffle) to get the shuffled
+    shards training wants.
+
+    Plan: one range shuffle for the exact global rank (global_row_number —
+    no single-partition window), one hash shuffle on shard id so each
+    shard's rows sit in ONE task, then a partitionBy(shard) write — one
+    file per shard directory. Returns the manifest read back from the
+    WRITTEN files (shard -> rows, token sum): ground truth of what landed
+    on disk, and itself the reader's index for budget-bounded loading."""
+    from vectorflow_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(df, order_cols, out_col="_rn")
+    sharded = ranked.withColumn(
+        "shard", ((F.col("_rn") - 1) / F.lit(rows_per_shard)).cast("int")
+    ).drop("_rn")
+    sharded.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return written.groupBy("shard").agg(*aggs)
