@@ -282,3 +282,40 @@ def test_write_training_shards_deterministic_and_bounded(spark, tmp_path):
     order = [d for _, d in sorted((r.h, r.doc_id) for r in df.collect())]
     want = {d: i // 128 for i, d in enumerate(order)}
     assert a == want
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files -> a handful of target-sized ones, identical rows,
+    clustering restored when order_cols is given."""
+    import glob
+
+    from vectorflow_spark.operators.layout import compact_small_files
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(64).write.parquet(p)
+    assert len(glob.glob(f"{p}/*.parquet")) == 64
+    before = sorted((r.k, r.v) for r in spark.read.parquet(p).collect())
+    total = sum(
+        spark.read.parquet(p)
+        .select(F.col("_metadata.file_size").alias("sz"), F.col("_metadata.file_path").alias("f"))
+        .groupBy("f").agg(F.first("sz").alias("sz"))
+        .agg(F.sum("sz").alias("t")).collect()[0].t for _ in [0]
+    )
+    n_out = compact_small_files(spark, p, target_bytes=(total + 3) // 4, order_cols=["k"])
+    files = glob.glob(f"{p}/*.parquet")
+    assert len(files) == n_out <= 6
+    after_df = spark.read.parquet(p)
+    after = sorted((r.k, r.v) for r in after_df.collect())
+    assert after == before
+    # range-compaction restored clustering: per-file k ranges are disjoint
+    ranges = sorted(
+        (r.mn, r.mx)
+        for r in after_df.select("k", F.col("_metadata.file_path").alias("f"))
+        .groupBy("f").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    )
+    for (_, amx), (bmn, _) in zip(ranges, ranges[1:]):
+        assert amx < bmn

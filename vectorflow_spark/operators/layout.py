@@ -21,12 +21,19 @@ quantile rank for skewed/continuous columns).
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "zorder_write"]
+__all__ = [
+    "zvalue",
+    "zorder_write",
+    "bucketed_write",
+    "write_training_shards",
+    "compact_small_files",
+]
 
 
 def zvalue(cols: list[str], bits: int = 16) -> Column:
@@ -161,3 +168,48 @@ def write_training_shards(
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("n_tokens"))
     return written.groupBy("shard").agg(*aggs)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory's many small files into files of about
+    ``target_bytes`` — the standard maintenance pass after streaming or
+    fine-grained-partitioned ingest (thousands of KB-files make every
+    downstream scan pay per-file open/footer costs and defeat row-group
+    pruning). Returns the new file count.
+
+    Sizing uses the FILES' aggregate bytes (input_file_name + one distinct
+    pass over file metadata via the _metadata hidden columns), not a guess
+    from row counts, so the target holds whatever the row width is.
+    ``order_cols`` re-sorts while compacting (repartitionByRange) so the
+    rewrite also restores clustering (min/max pruning) that tiny appends
+    destroyed; without it the coalesce is a pure file-count fix with no
+    extra sort. The rewrite is staged through a temp subtree then moved,
+    so a failed compaction never leaves the directory half-written."""
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    sizes = (
+        df.select(F.col("_metadata.file_path").alias("f"), F.col("_metadata.file_size").alias("sz"))
+        .groupBy("f")
+        .agg(F.first("sz").alias("sz"))
+        .agg(F.sum("sz").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    n_out = max(1, math.ceil((sizes.total or 0) / target_bytes))
+    staged = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    out = (
+        df.repartitionByRange(n_out, *order_cols)
+        if order_cols
+        else df.coalesce(n_out)
+    )
+    out.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    return n_out
