@@ -134,3 +134,24 @@ def test_tokenizer_env_backend_wiring(tmp_path, monkeypatch):
         assert mod.BACKEND == "regex"
         # invertibility still holds on the fallback path
         assert mod.decode(mod.encode("abab xyz")) == "abab xyz"
+
+
+def test_distributed_train_matches_inmemory(spark):
+    """The cluster trainer must produce the IDENTICAL merges table (same
+    merges, same order) as functions.bpe.train_ranks, and the resulting
+    tokenizer must encode identically."""
+    from vectorflow_spark.functions.bpe import BPETokenizer, train_ranks
+    from vectorflow_spark.operators.textstats import distributed_train_ranks
+
+    corpus = [
+        "the cat sat on the mat. the cat sat again!",
+        "low lower lowest, slow slower slowest",
+        "banana bandana ananas",
+        "numbers 12345 and 99 mix with words",
+    ] * 3
+    want = train_ranks(corpus, 25)
+    docs = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = distributed_train_ranks(docs, 25)
+    assert got == want
+    probe = "the slowest banana numbers 99"
+    assert BPETokenizer(got).encode(probe) == BPETokenizer(want).encode(probe)

@@ -548,3 +548,112 @@ def bigram_perplexity(
             F.pow(F.lit(2.0), -s / F.col("n_bigrams").cast("double")), round_to
         ).alias("ppl"),
     )
+
+
+def distributed_train_ranks(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    pattern: str | None = None,
+) -> dict:
+    """Distributed BPE tokenizer TRAINING — the cluster-scale twin of
+    functions.bpe.train_ranks (pytest-pinned to produce the identical
+    merges table): repeatedly find the most frequent adjacent symbol pair
+    over the piece-frequency table and merge it, ties broken by byte
+    order.
+
+    Why this scales where the in-memory trainer cannot: the corpus is
+    touched ONCE (pre-tokenize + piece-frequency count, map-side
+    combinable); every merge round then runs on the PIECE TABLE, whose
+    size is the distinct pre-tokenizer vocabulary — millions of rows at
+    web scale, not the corpus's trillions of tokens. Per round: one
+    pair-count aggregation + a 1-row TakeOrderedAndProject for the best
+    pair (count desc, pair byte-lex asc — Spark's unsigned binary order ==
+    Python bytes order), then an Arrow-batched re-merge of the symbol
+    arrays and a re-aggregation of now-identical pieces. The table is
+    localCheckpointed each round, so lineage stays one round deep instead
+    of accreting n_merges plan layers.
+
+    The known-rank exclusion (candidates already in the vocabulary) rides
+    as an isin filter over the ~256+merges byte-string literals — a
+    broadcast-sized predicate, exactly the trainer's `p not in ranks`."""
+    import pandas as pd
+
+    from vectorflow_spark.functions.bpe import (
+        _FALLBACK_PATTERN,
+        _HAVE_REGEX,
+        CL100K_PATTERN,
+        byte_ranks,
+    )
+
+    pat_str = pattern if pattern is not None else (
+        CL100K_PATTERN if _HAVE_REGEX else _FALLBACK_PATTERN
+    )
+
+    def to_pieces(batches):
+        if _HAVE_REGEX:
+            import regex as re_mod
+        else:
+            import re as re_mod
+        pat = re_mod.compile(pat_str)
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                for piece in pat.findall(t or ""):
+                    b = piece.encode("utf-8")
+                    if b:
+                        out.append([b[i : i + 1] for i in range(len(b))])
+            yield pd.DataFrame({"sym": out})
+
+    pieces = (
+        docs.select(text_col)
+        .mapInPandas(to_pieces, schema="sym array<binary>")
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+
+    ranks = byte_ranks()
+    adjacent = F.expr(
+        "transform(sequence(1, size(sym) - 1), "
+        "i -> concat(element_at(sym, i), element_at(sym, i + 1)))"
+    )
+    for _ in range(n_merges):
+        cand = (
+            pieces.filter(F.size("sym") >= 2)
+            .select(F.explode(adjacent).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .filter(~F.col("pair").isin([k for k in ranks]))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        best = bytes(cand[0].pair)
+        ranks[best] = len(ranks)
+
+        def apply_merge(batches, best=best):
+            for pdf in batches:
+                def m(sym):
+                    out, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and bytes(sym[i]) + bytes(sym[i + 1]) == best:
+                            out.append(best)
+                            i += 2
+                        else:
+                            out.append(bytes(sym[i]))
+                            i += 1
+                    return out
+                pdf = pdf.copy()
+                pdf["sym"] = pdf["sym"].map(m)
+                yield pdf
+
+        pieces = (
+            pieces.mapInPandas(apply_merge, schema="sym array<binary>, freq bigint")
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("freq"))
+            .localCheckpoint()
+        )
+    return ranks
