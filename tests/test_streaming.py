@@ -383,3 +383,50 @@ class TestStreamingKMV:
             .collect()
         }
         assert latest["S"] == 60.0
+
+
+class TestFailureReplay:
+    def test_crash_after_write_before_commit_is_effectively_once(self, spark, tmp_path):
+        """Inject the worst-case fault for an at-least-once sink: the batch
+        WRITES its output, then dies before the checkpoint commit. The
+        restart must replay the batch (duplicating rows physically), and
+        the deterministic uuid5 ids must collapse the replay logically —
+        the exact composition the reference relies on (manual acks +
+        content-keyed upserts) and SURVEY.md §2.9 claims for this engine."""
+        from vectorflow_spark.pipeline import run_pipeline
+
+        inp, ckpt, outp = tmp_path / "in", str(tmp_path / "ck"), str(tmp_path / "out")
+        inp.mkdir()
+        with open(inp / "b.json", "w") as f:
+            for i in range(4):
+                f.write(json.dumps({"doc_id": i, "text": f"replay doc {i}. " * 12, "source": f"r{i}.txt"}) + "\n")
+        marker = tmp_path / "crashed_once"
+        cfg = _cfg()
+
+        def run():
+            stream = spark.readStream.schema("doc_id long, text string, source string").json(str(inp))
+
+            def process(bdf, bid):
+                run_pipeline(bdf, cfg).write.mode("append").parquet(outp)
+                if not marker.exists():
+                    marker.write_text("x")
+                    raise RuntimeError("injected crash after write, before commit")
+
+            q = (
+                stream.writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(process)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                pass  # first run dies on the injected fault
+
+        run()
+        assert marker.exists()
+        n_after_crash = spark.read.parquet(outp).count()
+        run()  # offsets were never committed -> the batch replays
+        out = spark.read.parquet(outp)
+        assert out.count() == 2 * n_after_crash  # physical duplication happened
+        assert out.dropDuplicates(["id"]).count() == n_after_crash  # ids collapse it
