@@ -319,3 +319,31 @@ def test_compact_small_files(spark, tmp_path):
     )
     for (_, amx), (bmn, _) in zip(ranges, ranges[1:]):
         assert amx < bmn
+
+
+def test_read_shards_by_budget_prunes_directories(spark, tmp_path):
+    from vectorflow_spark.operators.layout import (
+        read_shards_by_budget,
+        write_training_shards,
+    )
+
+    p = str(tmp_path / "budget_shards")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(10).alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.concat(F.col("id"), F.lit("|b"))), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    manifest = write_training_shards(df, p, 100, ["h", "doc_id"], token_col="n_tokens")
+    # 10 shards x 1000 tokens; budget 3500 -> exactly shards 0..2
+    got = read_shards_by_budget(spark, p, manifest, 3500)
+    assert got.count() == 300
+    assert {r.shard for r in got.select("shard").distinct().collect()} == {0, 1, 2}
+    # pruning reaches the scan: the shard isin filter is a PartitionFilter
+    # (inputFiles() lists the pre-pruning index, so inspect the plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf, plan
+    # degenerate budget -> empty frame, same schema
+    assert read_shards_by_budget(spark, p, manifest, 5).count() == 0

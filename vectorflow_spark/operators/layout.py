@@ -32,6 +32,7 @@ __all__ = [
     "zorder_write",
     "bucketed_write",
     "write_training_shards",
+    "read_shards_by_budget",
     "compact_small_files",
 ]
 
@@ -213,3 +214,30 @@ def compact_small_files(
     shutil.rmtree(path)
     shutil.move(staged, path)
     return n_out
+
+
+def read_shards_by_budget(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    token_budget: int,
+    budget_col: str = "n_tokens",
+) -> DataFrame:
+    """Load whole training shards in shard order until the NEXT shard would
+    exceed ``token_budget`` — the reader half of write_training_shards.
+    The decision runs on the manifest (n_shards rows, driver-side by
+    design: it IS the index), and the selected shards reach the scan as a
+    partition-column isin filter, so excluded shards are pruned at the
+    directory level — a budget-bounded load of a 100 TB corpus reads only
+    the bytes it returns, never scanning to discard."""
+    rows = sorted(manifest.collect(), key=lambda r: r.shard)
+    chosen: list[int] = []
+    cum = 0
+    for r in rows:
+        tok = getattr(r, budget_col)
+        if cum + tok > token_budget:
+            break
+        chosen.append(r.shard)
+        cum += tok
+    df = spark.read.parquet(path)
+    return df.filter(F.col("shard").isin(chosen) if chosen else F.lit(False))
