@@ -104,3 +104,51 @@ def test_rolling_fingerprint_deterministic_and_short_doc(spark):
     assert rows[1]["fp_min_kgram"] == rows[1]["fp_doc"]
     # empty docs have no token sequence to fingerprint
     assert 3 not in rows
+
+
+class TestCogroupedAsof:
+    def _cmp(self, spark, trades_quotes, **kw):
+        from vectorflow_spark.operators.joins import asof_join_cogrouped
+
+        trades, quotes = trades_quotes
+        a = sorted(map(tuple, asof_join(trades, quotes, "sym", **kw).collect()))
+        b = sorted(map(tuple, asof_join_cogrouped(trades, quotes, "sym", **kw).collect()))
+        assert a == b and a  # equivalence with the oracle-verified operator
+
+    def test_backward_matches_window_form(self, spark, trades_quotes):
+        self._cmp(spark, trades_quotes)
+
+    def test_forward_matches_window_form(self, spark, trades_quotes):
+        self._cmp(spark, trades_quotes, direction="forward")
+
+    def test_tolerance_matches_window_form(self, spark, trades_quotes):
+        self._cmp(spark, trades_quotes, tolerance=15)
+
+    def test_integer_right_cols_null_on_no_match(self, spark):
+        from vectorflow_spark.operators.joins import asof_join_cogrouped
+
+        left = spark.createDataFrame([(1, 5, "x")], "k long, ts long, l string")
+        right = spark.createDataFrame([(1, 50, 7)], "k long, ts long, n long")
+        [row] = asof_join_cogrouped(left, right, "k").collect()
+        assert row.asof_n is None  # Int64 interchange keeps the long schema
+
+
+def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
+    from vectorflow_spark.sinks.writers import (
+        read_latest_version,
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    (tmp_path / "store").mkdir()
+    for i in range(4):
+        versioned_write(spark.range(i, i + 3).toDF("id"), root)
+    assert read_latest_version(root) == 4
+    removed = vacuum_versions(root, keep_last=2)
+    assert removed == [1, 2]
+    assert read_versioned(spark, root).count() == 3  # pointer still serves v4
+    assert read_versioned(spark, root, version=3).count() == 3  # kept
+    with pytest.raises(Exception):
+        read_versioned(spark, root, version=1).count()  # vacuumed

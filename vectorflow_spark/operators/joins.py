@@ -148,3 +148,76 @@ def interval_overlap_join(
         )
         .drop("_bin")
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """The cogrouped-pandas twin of ``asof_join``: each key's left and
+    right rows meet in one Arrow batch (``groupBy().cogroup()``) and
+    pandas ``merge_asof`` performs the alignment. Pinned to the
+    union-sort-window operator by an equivalence test — the declarative
+    form stays the default (oracle-verified, one shuffle of the UNION);
+    this twin is the escape hatch for per-key alignment logic the window
+    plan cannot express (custom interpolation, multi-column nearest,
+    per-key state machines), at the cost model of cogroup: BOTH inputs
+    shuffle on the key and cross the Python boundary.
+
+    Integer right columns ride as pandas nullable Int64 so left rows with
+    no qualifying match surface as NULL (merge_asof's NaN would otherwise
+    break the Arrow long conversion)."""
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    # column contract == asof_join's: matched right ts first, then payloads
+    out_fields += [f"{prefix}{right_ts} {rtypes[right_ts]}"]
+    out_fields += [f"{prefix}{c} {rtypes[c]}" for c in rcols]
+    schema = ", ".join(out_fields)
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lp = lpdf.sort_values(left_ts, kind="mergesort")
+        if lp.empty:
+            return lp.assign(
+                **{
+                    f"{prefix}{c}": pd.Series(dtype="object")
+                    for c in [right_ts] + rcols
+                }
+            )
+        rp = rpdf[[right_ts] + rcols].sort_values(right_ts, kind="mergesort")
+        rp.columns = ["_rts"] + [f"{prefix}{c}" for c in rcols]
+        for c in rp.columns:
+            # value columns only — the merge key must keep the left dtype
+            if c != "_rts" and pd.api.types.is_integer_dtype(rp[c]):
+                rp[c] = rp[c].astype("Int64")
+        out = pd.merge_asof(
+            lp,
+            rp,
+            left_on=left_ts,
+            right_on="_rts",
+            direction=direction,
+            tolerance=tolerance,
+        )
+        out = out.rename(columns={"_rts": f"{prefix}{right_ts}"})
+        mk = f"{prefix}{right_ts}"
+        if pd.api.types.is_integer_dtype(rpdf[right_ts]):
+            out[mk] = out[mk].astype("Int64")
+        return out[list(lpdf.columns) + [mk] + [f"{prefix}{c}" for c in rcols]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(align, schema=schema)
+    )

@@ -346,3 +346,28 @@ def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
     if v <= 0:
         raise ValueError(f"no versions written under {root}")
     return spark.read.parquet(f"{root}/v={v}")
+
+
+def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
+    """Delete version directories older than the newest ``keep_last``,
+    never the pointer target — the retention half of the versioned store
+    (the docstring of versioned_write promises this pass). Returns the
+    versions removed. Callers are responsible for having repointed any
+    pinned time-travel readers first; the pointer file itself is never
+    touched, so a concurrent reader following ``_LATEST`` cannot observe
+    a missing version."""
+    import glob
+    import re
+    import shutil
+
+    latest = read_latest_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in glob.glob(os.path.join(root, "v=*"))
+        if (m := re.search(r"v=(\d+)$", d))
+    )
+    keep = set(versions[-keep_last:]) | {latest}
+    removed = [v for v in versions if v not in keep]
+    for v in removed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return removed
