@@ -1378,6 +1378,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_cogrouped",
+    """
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           v.ts AS asof_ts, v.view_event_id AS asof_view_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as q_asof_join through the other engine
+    path: groupBy().cogroup().applyInPandas + pandas merge_asof (the
+    escape hatch for per-key alignment logic the window plan can't
+    express) — hash-checked against DuckDB's native ASOF LEFT JOIN, so
+    both the declarative and the Arrow-cogroup implementations carry a
+    driver-verified row."""
+    from vectorflow_spark.operators.joins import asof_join_cogrouped
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join_cogrouped(purchases, views, on="user_id", right_cols=["view_event_id"])
+
+
+@query(
     "q_asof_forward_tol",
     """
     WITH p AS (
