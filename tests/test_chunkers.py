@@ -200,3 +200,34 @@ class TestSparkChunkers:
         assert all(r.chunk_tag == "custom" for r in rows)
         assert all(r.metadata["kind"] == "para" for r in rows)
         assert all(r.chunk_id for r in rows)
+
+
+class TestSmartChunker:
+    def test_splits_at_similarity_drops_and_size_cap(self, spark):
+        """With the deterministic embedder, identical sentences are
+        maximally similar and distinct ones are uncorrelated, so chunks
+        break exactly at repetition boundaries; the char cap forces a cut
+        even inside a similar run."""
+        from vectorflow_spark.operators.chunkers import py_chunk_smart, smart_chunk
+        from vectorflow_spark.embed.backends import deterministic_embedding
+
+        text = "aaa. aaa. aaa. bbb. bbb. zzzz zzz zz z. aaa."
+        fn = lambda s: deterministic_embedding(s, 16)  # noqa: E731
+        got = py_chunk_smart(text, 200, fn, threshold=0.99)
+        assert [(t, o) for t, o, _ in got] == [
+            ("aaa. aaa. aaa.", 0),
+            ("bbb. bbb.", 3),
+            ("zzzz zzz zz z.", 5),
+            ("aaa.", 6),
+        ]
+        # size cap: the run of identical sentences still cuts at max_chars
+        capped = py_chunk_smart("x. " * 9 + "x.", 8, fn, threshold=0.99)
+        assert all(len(t) <= 8 for t, _, _ in capped)
+        assert len(capped) == 4  # 10 sentences, 3 per 8-char chunk + remainder
+
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = smart_chunk(docs, threshold=0.99).orderBy("chunk_seq").collect()
+        assert [(r.text, r.chunk_offset, r.chunk_tag) for r in rows] == [
+            (t, o, "smart") for t, o, _ in got
+        ]
+        assert rows[0].chunk_seq == 0 and len({r.chunk_id for r in rows}) == len(rows)

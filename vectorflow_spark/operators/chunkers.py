@@ -362,3 +362,99 @@ def sentence_split_udtf():
                 yield i, s
 
     return SplitSentences
+
+
+def py_chunk_smart(
+    text: str,
+    max_chars: int,
+    embed_fn: Callable[[str], list[float]],
+    threshold: float = 0.5,
+) -> list[tuple[str, int, str]]:
+    """Smart (semantic-boundary) chunking — the reference's roadmap item
+    (reference README.md:290-299 "smart chunking", no code in the
+    snapshot; SURVEY.md §2.11 X4): split into sentences, embed each, and
+    cut a chunk wherever the cosine similarity between ADJACENT sentences
+    drops below ``threshold`` (topic shift) or the chunk would exceed
+    ``max_chars``. Chunks re-join their sentences with single spaces
+    (the split consumed the delimiter runs); offset = sentence index of
+    the chunk start, tag 'smart'."""
+    sentences = re.split(SENTENCE_ENDINGS, text)
+    if not sentences:
+        return []
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    cache: dict[str, list[float]] = {}
+
+    def emb(s: str) -> list[float]:
+        if s not in cache:
+            cache[s] = embed_fn(s)
+        return cache[s]
+
+    out: list[tuple[str, int, str]] = []
+    start = 0
+    cur = [sentences[0]]
+    cur_len = len(sentences[0])
+    for i in range(1, len(sentences)):
+        s = sentences[i]
+        boundary = cos(emb(sentences[i - 1]), emb(s)) < threshold
+        if boundary or cur_len + 1 + len(s) > max_chars:
+            out.append((" ".join(cur), start, "smart"))
+            start, cur, cur_len = i, [s], len(s)
+        else:
+            cur.append(s)
+            cur_len += 1 + len(s)
+    out.append((" ".join(cur), start, "smart"))
+    return out
+
+
+def smart_chunk(
+    df: DataFrame,
+    text_col: str = "text",
+    max_chars: int = 512,
+    threshold: float = 0.5,
+    embed_fn: Callable[[str], list[float]] | None = None,
+    embedding_dim: int = 16,
+    with_ids: bool = True,
+) -> DataFrame:
+    """X4 smart chunker as a Spark operator: same row shape as every other
+    chunker (carry cols, chunk_seq, chunk_offset, chunk_tag, text,
+    chunk_id), so downstream stages are strategy-agnostic. The embedder is
+    INJECTABLE (enhancer-Completion pattern): default is the deterministic
+    hash embedding — offline-testable, splits exactly at repeated-vs-new
+    sentence transitions — and a real sentence-transformers callable drops
+    in for true semantic boundaries. Plan: per-row flatMap (Arrow-batched
+    pandas UDF), no shuffle; per-doc sentence embeddings are cached within
+    the row, so cost is O(distinct sentences) embeddings per document."""
+    from vectorflow_spark.embed.backends import deterministic_embedding
+
+    fn = embed_fn or (lambda s: deterministic_embedding(s, embedding_dim))
+
+    @F.pandas_udf(_CHUNK_STRUCT)
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [] if t is None else py_chunk_smart(t, max_chars, fn, threshold)
+        )
+
+    carry = [c for c in df.columns if c != text_col]
+    out = (
+        df.withColumn("_chunks", _udf(F.col(text_col)))
+        .select(*carry, F.posexplode_outer("_chunks").alias("chunk_seq", "_chunk"))
+        .filter(F.col("_chunk").isNotNull())
+        .select(
+            *carry,
+            "chunk_seq",
+            F.col("_chunk.chunk_offset").alias("chunk_offset"),
+            F.col("_chunk.chunk_tag").alias("chunk_tag"),
+            F.col("_chunk.text").alias("text"),
+        )
+    )
+    if with_ids:
+        from vectorflow_spark.functions.ids import uuid5_udf
+
+        out = out.withColumn("chunk_id", uuid5_udf("text", "chunk_offset", "chunk_tag"))
+    return out

@@ -1877,6 +1877,19 @@ def q_chunk_sentence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunkers.chunk(docs, cfg, with_ids=False)
 
 
+@query("q_smart_chunker")  # rows-only: blake2b embedder not expressible in SQL
+def q_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 roadmap "smart chunking" (reference README.md:290-299, no code
+    in the snapshot): semantic-boundary chunker — cut where adjacent
+    sentences' embedding cosine drops below threshold or the chunk
+    exceeds max_chars. Deterministic embedder here; a real model is
+    injectable (tests pin boundary behavior)."""
+    from vectorflow_spark.operators.chunkers import smart_chunk
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return smart_chunk(docs, max_chars=256, threshold=0.99)
+
+
 @query("q_custom_chunker")  # rows-only: user-supplied Python plugin (C7)
 def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 plugin surface: a user chunker returning dicts with extra
