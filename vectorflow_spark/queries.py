@@ -1399,7 +1399,14 @@ def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch for per-key alignment logic the window plan can't
     express) — hash-checked against DuckDB's native ASOF LEFT JOIN, so
     both the declarative and the Arrow-cogroup implementations carry a
-    driver-verified row."""
+    driver-verified row.
+
+    This pair is a deliberate cost-model measurement, not two equal
+    options: cogroup invokes Python once per key (thousands of tiny
+    frames here), so expect it several times slower than q_asof_join's
+    union-sort-window plan at the same sf — the quantified tax you pay
+    when the alignment logic genuinely needs Python, and the reason the
+    declarative form is the default."""
     from vectorflow_spark.operators.joins import asof_join_cogrouped
 
     ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
