@@ -88,7 +88,7 @@ def test_oracle_matches_python_on_boundary_cases(fn, sql, tag, text):
 @settings(max_examples=60, deadline=None)
 @given(
     st.text(
-        alphabet="ab .!?…\n0123456789",
+        alphabet="ab .!?…\n0123456789\té",
         min_size=0,
         max_size=400,
     )

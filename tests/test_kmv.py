@@ -77,3 +77,15 @@ def test_bigram_perplexity_ranks_repetition_low(spark):
     assert rows[1].ppl < rows[2].ppl
     assert rows[1].n_bigrams == 59 and rows[2].n_bigrams == 63
     assert rows[1].ppl >= 1.0  # perplexity is bounded below by 1
+
+
+def test_kmv_sketch_length_is_min_k_distinct(spark):
+    from vectorflow_spark.operators.sketches import kmv_sketch
+
+    df = (
+        spark.range(0, 127).select(F.lit("under").alias("g"), F.col("id").alias("k"))
+        .union(spark.range(0, 128).select(F.lit("exact").alias("g"), F.col("id").alias("k")))
+        .union(spark.range(0, 129).select(F.lit("over").alias("g"), F.col("id").alias("k")))
+    )
+    sizes = {r.grp: len(r.hs) for r in kmv_sketch(df, "g", "k").collect()}
+    assert sizes == {"under": 127, "exact": 128, "over": 128}
