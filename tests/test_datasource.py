@@ -36,11 +36,16 @@ def _urls(corpus, names):
     return [f"file://{corpus}/{n}" for n in names]
 
 
+def _read(registered):
+    """file:// is opt-in (SSRF guard defaults to http,https)."""
+    return registered.read.format("vf_docs").option("allowedSchemes", "http,https,file")
+
+
 def test_manifest_fetch_and_sniff(registered, corpus, tmp_path):
     manifest = tmp_path / "manifest.txt"
     names = ["a.txt", "b.txt", "fake.pdf", "fake.docx", "blob.bin"]
     manifest.write_text("\n".join(_urls(corpus, names)))
-    df = registered.read.format("vf_docs").option("manifest", str(manifest)).load()
+    df = _read(registered).option("manifest", str(manifest)).load()
     rows = {r["source"]: r for r in df.collect()}
     assert set(rows) == set(names)
     assert rows["a.txt"]["kind"] == "txt" and rows["a.txt"]["text"] == "plain text alpha"
@@ -54,7 +59,7 @@ def test_manifest_fetch_and_sniff(registered, corpus, tmp_path):
 def test_inline_urls_and_partition_fanout(registered, corpus):
     urls = _urls(corpus, ["a.txt", "b.txt", "fake.pdf", "fake.docx", "blob.bin"])
     df = (
-        registered.read.format("vf_docs")
+        _read(registered)
         .option("urls", json.dumps(urls))
         .option("numPartitions", "3")
         .load()
@@ -65,7 +70,7 @@ def test_inline_urls_and_partition_fanout(registered, corpus):
 
 def test_dead_link_yields_error_row_not_failure(registered, corpus):
     urls = _urls(corpus, ["a.txt"]) + [f"file://{corpus}/missing.txt"]
-    df = registered.read.format("vf_docs").option("urls", json.dumps(urls)).load()
+    df = _read(registered).option("urls", json.dumps(urls)).load()
     rows = {r["source"]: r for r in df.collect()}
     assert rows["a.txt"]["kind"] == "txt"
     err = rows["missing.txt"]
@@ -79,8 +84,18 @@ def test_composes_with_extract_dispatch(registered, corpus):
     from pyspark.sql import functions as F
 
     urls = _urls(corpus, ["a.txt", "fake.pdf", "fake.docx"])
-    df = registered.read.format("vf_docs").option("urls", json.dumps(urls)).load()
+    df = _read(registered).option("urls", json.dumps(urls)).load()
     ready = df.filter(F.col("kind") == "txt").select("source", "text")
     needs_extract = df.filter(F.col("kind").isin("pdf", "docx"))
     assert ready.count() == 1
     assert needs_extract.count() == 2
+
+
+def test_default_schemes_reject_file_urls(registered, corpus):
+    """Without the explicit opt-in, a file:// manifest line yields an error
+    row (never a local read on the executor) and the scan survives."""
+    urls = _urls(corpus, ["a.txt"])
+    df = registered.read.format("vf_docs").option("urls", json.dumps(urls)).load()
+    [row] = df.collect()
+    assert row["kind"] == "error" and "allowedSchemes" in row["error"]
+    assert row["text"] is None and row["n_bytes"] == 0

@@ -163,3 +163,6 @@ def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     assert read_versioned(spark, root, version=3).count() == 3  # kept
     with pytest.raises(Exception):
         read_versioned(spark, root, version=1).count()  # vacuumed
+    with pytest.raises(ValueError):
+        vacuum_versions(root, keep_last=0)  # would otherwise keep everything
+    assert read_versioned(spark, root, version=3).count() == 3  # untouched

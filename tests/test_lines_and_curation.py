@@ -319,6 +319,16 @@ def test_compact_small_files(spark, tmp_path):
     )
     for (_, amx), (bmn, _) in zip(ranges, ranges[1:]):
         assert amx < bmn
+    # crash-safety bookkeeping: the rename-aside copy is cleaned up on
+    # success, and a stale .old left by a crashed prior run is tolerated
+    import os
+    import shutil
+
+    assert not os.path.exists(p + ".old")
+    shutil.copytree(p, p + ".old")  # simulate debris from a crashed swap
+    compact_small_files(spark, p, target_bytes=(total + 3) // 4)
+    assert not os.path.exists(p + ".old")
+    assert sorted((r.k, r.v) for r in spark.read.parquet(p).collect()) == before
 
 
 def test_read_shards_by_budget_prunes_directories(spark, tmp_path):

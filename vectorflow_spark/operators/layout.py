@@ -189,8 +189,15 @@ def compact_small_files(
     ``order_cols`` re-sorts while compacting (repartitionByRange) so the
     rewrite also restores clustering (min/max pruning) that tiny appends
     destroyed; without it the coalesce is a pure file-count fix with no
-    extra sort. The rewrite is staged through a temp subtree then moved,
-    so a failed compaction never leaves the directory half-written."""
+    extra sort.
+
+    Swap protocol (local/POSIX filesystems — on an object store use the
+    versioned store's manifest pointer in sinks/writers.py instead, since
+    S3 has no atomic directory rename): write the rewrite to a staged
+    temp dir, rename the original aside to ``path + '.old'``, move the
+    staged tree into place, then delete the old copy. A crash at any
+    point leaves the full dataset on disk — either still at ``path`` or
+    recoverable from ``path.old`` — never a window where both are gone."""
     import math
     import shutil
     import tempfile
@@ -211,8 +218,12 @@ def compact_small_files(
         else df.coalesce(n_out)
     )
     out.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    shutil.move(staged, path)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a previous crashed compaction
+    os.replace(path.rstrip("/"), old)
+    os.replace(staged, path.rstrip("/"))
+    shutil.rmtree(old)
     return n_out
 
 

@@ -360,6 +360,11 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     import re
     import shutil
 
+    if keep_last <= 0:
+        # versions[-0:] would silently keep EVERYTHING — the opposite of
+        # the caller's likely intent — and keep_last=0 would also delete
+        # the pointer target; both are bugs at the call site, so refuse.
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = read_latest_version(root)
     versions = sorted(
         int(m.group(1))

@@ -52,6 +52,16 @@ class VfDocsReader(DataSourceReader):
         else:
             self.urls = json.loads(options.get("urls", "[]"))
         self.num_partitions = int(options.get("numpartitions", "8"))
+        # SSRF guard: a manifest is untrusted input, and fetches run on
+        # executors inside the cluster network — without a scheme gate a
+        # hostile manifest line can read worker-local files (file://) or
+        # probe internal endpoints. Default http/https; tests opt in to
+        # file:// explicitly via .option("allowedSchemes", "...,file").
+        self.allowed_schemes = frozenset(
+            s.strip().lower()
+            for s in options.get("allowedschemes", "http,https").split(",")
+            if s.strip()
+        )
 
     def partitions(self):
         n = max(1, min(self.num_partitions, len(self.urls) or 1))
@@ -65,7 +75,19 @@ class VfDocsReader(DataSourceReader):
         import urllib.request
 
         for url in partition.urls:
-            name = pathlib.Path(urllib.parse.urlparse(url).path).name or url
+            parsed = urllib.parse.urlparse(url)
+            name = pathlib.Path(parsed.path).name or url
+            if parsed.scheme.lower() not in self.allowed_schemes:
+                yield (
+                    url,
+                    name,
+                    "error",
+                    0,
+                    None,
+                    f"scheme '{parsed.scheme}' not in allowedSchemes "
+                    f"({','.join(sorted(self.allowed_schemes))})",
+                )
+                continue
             try:
                 with urllib.request.urlopen(url, timeout=30) as r:
                     payload = r.read()
