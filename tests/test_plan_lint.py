@@ -1,0 +1,98 @@
+"""Blanket plan-lint gate: EVERY registered query's physical plan is
+checked for scale anti-patterns (vectorflow_spark/planlint.py) — no
+CartesianProduct, no unbounded-broadcast nested-loop join, no
+single-partition exchange / global sort / global window over a
+non-aggregated input. tests/test_plans.py pins the *intended* shape of
+~25 representative plans; this gate pins the *absence of incidents* for
+all of them, so a new query (or an optimizer-version change) that
+compiles to a scale-killer fails CI by name.
+
+The lint is structural; plans whose safety rests on a statistical bound
+the plan text cannot prove carry an ALLOWED entry documenting that bound.
+An entry here is a reviewed design decision, not an escape hatch — each
+finding code must be listed explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vectorflow_spark.planlint import lint_plan
+
+# query -> (allowed finding codes, documented bound making the plan safe)
+ALLOWED: dict[str, tuple[set[str], str]] = {
+    "q_knn_batch": (
+        {"BNLJ_UNBOUNDED"},
+        "broadcast side is the query batch (vec_id < 5 — k=5 vectors by "
+        "construction); BNLJ IS the intended brute-force kNN baseline: "
+        "O(n·k) dot products, zero shuffle of the corpus",
+    ),
+    "q_hard_negatives": (
+        {"BNLJ_UNBOUNDED"},
+        "broadcast side is the anchor batch (vec_id < 5); hard-negative "
+        "mining scores corpus × k anchors, same bounded-k contract as "
+        "q_knn_batch",
+    ),
+}
+
+
+def _query_names():
+    from vectorflow_spark.queries import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    from vectorflow_spark.queries import QUERIES
+
+    findings = set(lint_plan(QUERIES[name](spark, sf_dir)))
+    allowed, _reason = ALLOWED.get(name, (set(), ""))
+    assert findings <= allowed, (
+        f"{name}: plan has scale anti-patterns {sorted(findings - allowed)} "
+        f"(allowed here: {sorted(allowed) or 'none'}) — see "
+        f"vectorflow_spark/planlint.py for what each code means"
+    )
+
+
+def test_allowlist_entries_still_needed(spark, sf_dir):
+    """An ALLOWED entry whose query now lints clean is stale — remove it
+    so the gate stays tight."""
+    from vectorflow_spark.queries import QUERIES
+
+    for name, (allowed, _reason) in ALLOWED.items():
+        findings = set(lint_plan(QUERIES[name](spark, sf_dir)))
+        assert findings & allowed, f"{name}: allow-list entry is stale ({allowed})"
+
+
+def test_lint_catches_seeded_antipatterns(spark, sf_dir):
+    """The gate must actually fire: seed each anti-pattern with a plan
+    that exhibits it and assert the classifier reports it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_cross = spark.conf.get("spark.sql.crossJoin.enabled", "true")
+    assert with_cross  # Spark 4 allows explicit crossJoin
+
+    # global window over a raw table — the classic straggler
+    w = Window.orderBy("doc_id")
+    assert "GLOBAL_WINDOW_UNREDUCED" in lint_plan(
+        docs.select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+
+    # global sort of a non-aggregated input
+    assert "GLOBAL_SORT_UNREDUCED" in lint_plan(docs.orderBy("doc_id"))
+
+    # unbounded broadcast: force a nested-loop join whose build side is a
+    # full table (no aggregate/limit below the broadcast)
+    left = docs.select("doc_id")
+    right = docs.select(F.col("doc_id").alias("other_id"))
+    bnlj = left.join(
+        F.broadcast(right), F.col("doc_id") < F.col("other_id"), "inner"
+    )
+    assert "BNLJ_UNBOUNDED" in lint_plan(bnlj)
+
+    # and the clean counterparts stay clean
+    assert lint_plan(docs.groupBy("lang").count().orderBy("lang")) == []
+    assert lint_plan(docs.select("doc_id").limit(5).orderBy("doc_id")) == []

@@ -1,0 +1,133 @@
+"""Physical-plan lint: the 100×-scale contract, enforceable in CI.
+
+Every query this engine ships must compile to a plan that survives a
+1000-executor cluster reading 100 TB. Correctness tests at sf0.01 cannot
+catch the failure modes that matter there, so this module walks the
+compiled ``SparkPlan`` tree (via py4j) and classifies the patterns that
+turn into incidents at scale:
+
+* ``CARTESIAN``                        — ``CartesianProduct``: both sides
+  big, O(n·m) rows materialized. Never acceptable; there is no allow-list
+  for this one.
+* ``BNLJ_UNBOUNDED``                   — ``BroadcastNestedLoopJoin`` whose
+  broadcast side is not *provably* bounded by its own subtree (no
+  aggregate/limit/top-k below the broadcast, not a driver-literal frame).
+  A BNLJ is the right plan for k-vectors × corpus — but only when k is
+  bounded by construction; broadcasting an unbounded table OOMs every
+  executor at once.
+* ``SINGLE_PARTITION_EXCHANGE_UNREDUCED`` — ``Exchange SinglePartition``
+  above a subtree with no partial aggregate/limit: ships every surviving
+  row to ONE task.
+* ``GLOBAL_SORT_UNREDUCED``            — global ``Sort`` over a
+  non-aggregated input (range-partitions the world; top-k should be
+  ``TakeOrderedAndProject``, global ranks the repartitionByRange operator
+  in operators/ranking.py).
+* ``GLOBAL_WINDOW_UNREDUCED`` / ``GLOBAL_WINDOWGROUPLIMIT_UNREDUCED`` —
+  a ``Window`` with an empty partition spec over non-aggregated input:
+  the classic "works in tests, one straggler task at scale" bug.
+
+"Reduced" means some node below the boundary provably bounds the row
+count crossing it: a (partial) aggregate, a limit, a WindowGroupLimit, a
+TakeOrderedAndProject, a k-capping Python sketch stage (MapInPandas), or
+a driver-literal/checkpointed constant-size frame (LocalTableScan,
+ExistingRDD, Range).
+
+The lint is structural, not statistical — it cannot see that a pushed
+filter like ``vec_id < 5`` bounds a side to 5 rows. Such cases are
+legitimate plans and carry a per-query allow-list entry with the
+documented bound (tests/test_plan_lint.py::ALLOWED).
+"""
+
+from __future__ import annotations
+
+# Nodes whose presence below a single-partition boundary proves the row
+# count crossing that boundary is bounded (per-partition partials, limits,
+# top-k prunes) rather than the full input. Matched by nodeName prefix.
+REDUCING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "LocalLimit",
+    "GlobalLimit",
+    "WindowGroupLimit",
+)
+
+# Leaf/stage nodes that are constant-size or k-capped by construction:
+# driver literals, checkpointed sketch/centroid frames, Range spines, and
+# the Arrow sketch stages that truncate state to k per batch.
+BOUNDED_LEAVES = ("LocalTableScan", "Scan ExistingRDD", "Range", "MapInPandas")
+
+
+def iter_nodes(jnode):
+    """Yield every SparkPlan node, descending through AQE wrappers and
+    reused exchanges/subqueries so shared subtrees are still inspected."""
+    name = jnode.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from iter_nodes(jnode.initialPlan())
+        return
+    if name in ("ReusedExchange", "ReusedSubquery"):
+        yield from iter_nodes(jnode.child())
+        return
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from iter_nodes(ch.apply(i))
+
+
+def _subtree_reduces(jnode) -> bool:
+    for n in iter_nodes(jnode):
+        name = n.nodeName()
+        if name.startswith(REDUCING_NODES) or name.startswith(BOUNDED_LEAVES):
+            return True
+    return False
+
+
+def _bnlj_broadcast_is_bounded(jnode) -> bool:
+    """The BNLJ build side must aggregate/limit down or be a driver-literal
+    frame; the stream side stays partitioned either way."""
+    build_right = "BuildRight" in str(jnode.buildSide())
+    return _subtree_reduces(jnode.children().apply(1 if build_right else 0))
+
+
+def _window_partition_is_empty(jnode) -> bool:
+    try:
+        return jnode.partitionSpec().size() == 0
+    except Exception:
+        return False
+
+
+def _sort_is_global(jnode) -> bool:
+    # SortExec.global is a Scala val; py4j exposes it as the accessor
+    # method named 'global' (shadowed keyword — reach it via getattr).
+    for acc in ("global_", "global"):
+        try:
+            return bool(getattr(jnode, acc)())
+        except Exception:
+            continue
+    return False
+
+
+def lint_plan(df) -> list[str]:
+    """Classify scale anti-patterns in ``df``'s compiled physical plan.
+    Returns finding codes (possibly repeated); empty list = clean."""
+    findings: list[str] = []
+    root = df._jdf.queryExecution().executedPlan()
+    for n in iter_nodes(root):
+        name = n.nodeName()
+        if name == "CartesianProduct":
+            findings.append("CARTESIAN")
+        elif name == "BroadcastNestedLoopJoin":
+            if not _bnlj_broadcast_is_bounded(n):
+                findings.append("BNLJ_UNBOUNDED")
+        elif name == "Exchange":
+            if "SinglePartition" in n.simpleStringWithNodeId() and not _subtree_reduces(n):
+                findings.append("SINGLE_PARTITION_EXCHANGE_UNREDUCED")
+        elif name == "Sort":
+            if _sort_is_global(n) and not _subtree_reduces(n):
+                findings.append("GLOBAL_SORT_UNREDUCED")
+        elif name in ("Window", "WindowGroupLimit"):
+            if _window_partition_is_empty(n) and not _subtree_reduces(n):
+                findings.append(f"GLOBAL_{name.upper()}_UNREDUCED")
+    return findings
