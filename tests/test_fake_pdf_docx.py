@@ -2,15 +2,22 @@
 
 PyMuPDF / python-docx are not installable in this environment, so the
 pdf/docx UDF branches are proven two ways:
-  1. the import gate fails LOUDLY when a real pdf row is routed and no
-     parser exists (never a silent null);
+  1. without the libraries the stdlib fallbacks take over (pdfmini /
+     docxmini): a streamless pdf blob extracts to "" (the honest result
+     of a minimal parser, never a silent null), and a corrupt docx
+     container raises LOUDLY;
   2. fake ``fitz`` / ``docx`` modules shipped to executors via addPyFile
      implement the reference's extraction shape — PyMuPDF page-concat
      (src/extract/extract.py:93-97) and python-docx paragraph-join
-     (:74-76) — and the dispatch produces the expected text.
+     (:74-76) — and take PRIORITY over the fallbacks, proving the
+     installed-library upgrade path.
 
-Test order inside this file matters: addPyFile is session-sticky, so the
-import-gate test runs first (pytest preserves definition order).
+Real-format extraction through the fallbacks is covered by
+tests/test_extract_minimal_formats.py, which must run BEFORE this file
+(addPyFile is session-sticky, and the file names sort that way).
+
+Test order inside this file matters too: the fallback tests run first
+(pytest preserves definition order).
 """
 
 import pytest
@@ -79,12 +86,17 @@ def pdf_docx_dir(tmp_path_factory):
     return str(d)
 
 
-def test_import_gate_fails_loudly(spark, pdf_docx_dir):
-    """A pdf row routed with no parser installed must raise the clear
-    import-gate message — not silently yield null text."""
-    out = extract_documents(read_raw_files(spark, pdf_docx_dir))
-    with pytest.raises(Exception, match="PyMuPDF|python-docx"):
-        out.collect()
+def test_stdlib_fallbacks_without_libraries(spark, pdf_docx_dir):
+    """No fitz/docx installed: the pdf branch falls back to pdfmini — the
+    fixture blob has no content streams, so it extracts to "" (a value,
+    never a silent null) — and the docx branch falls back to docxmini,
+    which raises loudly on the non-zip fixture instead of guessing."""
+    out = extract_documents(read_raw_files(spark, pdf_docx_dir), formats={"txt", "pdf"})
+    rows = {r.source: r for r in out.collect()}
+    assert rows["x.pdf"].text == ""
+    assert rows["z.txt"].text == "plain text passenger"
+    with pytest.raises(Exception, match="[Zz]ip"):
+        extract_documents(read_raw_files(spark, pdf_docx_dir)).collect()
 
 
 def test_txt_only_formats_skip_the_gate(spark, pdf_docx_dir):

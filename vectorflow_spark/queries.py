@@ -7663,3 +7663,65 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").cast("bigint").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S2/S3 de-gated: real-format encode -> extract roundtrips (round 3).
+# The documents table is rendered to REAL container bytes row-by-row
+# (pdfmini/docxmini writers), then routed through the SAME pandas-UDF
+# extraction branches extract_documents dispatches to (sources/readers.py)
+# — so the oracle hash-match proves the whole parser, not a fixture
+# sample: every literal-string escape, Flate round-trip, and OOXML
+# paragraph/tab/run mapping must reproduce the source text exactly for
+# all 500+ documents.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_frame(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from pyspark.sql.types import BinaryType, StringType
+
+    from vectorflow_spark.sources.docxmini import build_docx, extract_docx_text
+    from vectorflow_spark.sources.pdfmini import build_pdf, extract_pdf_text
+
+    if fmt == "pdf":
+        build, extract = (lambda t: build_pdf([t])), extract_pdf_text
+    else:
+        build, extract = build_docx, extract_docx_text
+
+    @F.pandas_udf(BinaryType())
+    def _encode(texts):
+        return texts.map(build)
+
+    @F.pandas_udf(StringType())
+    def _decode(blobs):
+        return blobs.map(lambda b: extract(bytes(b)))
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select("doc_id", _decode(_encode(F.col("text"))).alias(f"{fmt}_text"))
+
+
+@query(
+    "q_pdf_roundtrip",
+    "SELECT doc_id, text || chr(10) AS pdf_text FROM documents",
+)
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 content-verified: documents -> valid one-page PDFs (pdfmini
+    writer: Flate content streams, escaped literal strings) -> the
+    stdlib extraction path (Tj/TJ evaluation, page-concat semantics of
+    reference src/extract/extract.py:93-97). The oracle is the page-
+    concat identity text || '\\n'. Pure per-row projection — no shuffle
+    beyond the input split; at scale this is the plan shape of any
+    extract stage: CPU-bound Arrow batches, zero exchanges."""
+    return _roundtrip_frame(spark, sf_dir, "pdf")
+
+
+@query(
+    "q_docx_roundtrip",
+    "SELECT doc_id, text AS docx_text FROM documents",
+)
+def q_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 content-verified: documents -> valid .docx zips (docxmini
+    writer: one w:p per line, tabs as w:tab runs) -> the stdlib
+    extraction path with python-docx's paragraph-join semantics
+    (reference src/extract/extract.py:74-76). Oracle = identity."""
+    return _roundtrip_frame(spark, sf_dir, "docx")

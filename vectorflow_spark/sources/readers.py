@@ -132,15 +132,20 @@ def sniff_kind(source_col: str = "source", content_col: str = "content"):
 
 def _pdf_extract_udf():
     """S2: PyMuPDF page-concat extraction (reference joins page texts,
-    src/extract/extract.py:93-97).
+    src/extract/extract.py:93-97), with a pure-stdlib fallback
+    (sources/pdfmini.py) when fitz is not installed — the fallback covers
+    the common case (Flate/plain content streams, Tj/TJ text operators)
+    with the same page-concat semantics, so simple/generated PDFs extract
+    without any external dependency; installing PyMuPDF upgrades fidelity
+    (CID fonts, encodings, layout) without a code change.
 
     NULL-tolerant by contract: the caller feeds ``CASE WHEN kind='pdf'
     THEN content END`` so non-pdf rows arrive as nulls and pass straight
     through — Spark pulls pandas UDFs out of CASE expressions and
     evaluates them on every row, so the null-gate (not the CASE) is what
     keeps non-pdf bytes off the Python path. The fitz import is deferred
-    to the first NON-null row, so a pdf-free dataset never needs the
-    library installed."""
+    to the first NON-null row, so a pdf-free dataset never touches either
+    parser."""
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
@@ -150,8 +155,10 @@ def _pdf_extract_udf():
                 return None
             try:
                 import fitz  # PyMuPDF; cached in sys.modules after first row
-            except ImportError as e:
-                raise RuntimeError("PyMuPDF (fitz) not installed — cannot extract PDF") from e
+            except ImportError:
+                from vectorflow_spark.sources.pdfmini import extract_pdf_text
+
+                return extract_pdf_text(bytes(b))
             with fitz.open(stream=bytes(b), filetype="pdf") as doc:
                 return "".join(page.get_text() for page in doc)
 
@@ -161,8 +168,12 @@ def _pdf_extract_udf():
 
 
 def _docx_extract_udf():
-    """S3: python-docx paragraph-join (reference src/extract/extract.py:74-76).
-    Same NULL-tolerant / deferred-import contract as _pdf_extract_udf."""
+    """S3: python-docx paragraph-join (reference src/extract/extract.py:74-76),
+    with a pure-stdlib fallback (sources/docxmini.py — a .docx is a zip of
+    OOXML, so zipfile + ElementTree cover the paragraph-join case with
+    python-docx's exact Run.text mapping). Same NULL-tolerant /
+    deferred-import contract as _pdf_extract_udf; corrupt containers raise
+    loudly rather than yielding silent nulls."""
     import io
 
     from pyspark.sql.types import StringType
@@ -174,8 +185,10 @@ def _docx_extract_udf():
                 return None
             try:
                 import docx
-            except ImportError as e:
-                raise RuntimeError("python-docx not installed — cannot extract DOCX") from e
+            except ImportError:
+                from vectorflow_spark.sources.docxmini import extract_docx_text
+
+                return extract_docx_text(bytes(b))
             d = docx.Document(io.BytesIO(bytes(b)))
             return "\n".join(p.text for p in d.paragraphs)
 
