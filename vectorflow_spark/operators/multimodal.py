@@ -1,13 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Real image/audio codec libraries are not installed in this environment, so
-decoding external formats is STUBBED behind ``NotImplementedError`` — but the
-Spark-side plumbing is real and tested: binary columns ride Arrow batches
-into pandas UDFs, metadata is a typed struct column, features come back as
-``array<float>``, and every operator is a per-row map (no shuffle) that
-scales by partitioning alone.
+The Spark-side plumbing is real and tested: binary columns ride Arrow
+batches into pandas UDFs, metadata is a typed struct column, features come
+back as ``array<float>``, and every operator is a per-row map (no shuffle)
+that scales by partitioning alone.
 
-A deterministic FAKE codec family substitutes for the external libraries:
+Container support (operators/codecs.py): REAL stdlib-decodable formats —
+BMP images (uncompressed 24/32-bit) and PCM WAV audio (8/16-bit) — plus
+the deterministic FAKE codec family below; every image/audio kernel
+(metadata, resize, dHash, audio features) dispatches on magic bytes and
+runs the same pixel/sample math for both. Formats that genuinely need
+external libraries (PNG/JPEG/MP3/MP4) raise ``NotImplementedError``
+loudly — parse correctly or refuse, never guess.
+
+The FAKE codec family (seeded, reproducible test assets):
 
     FIMG | u16 width | u16 height | u8 channels | pixels (w*h*c bytes)
     FAUD | u32 sample_rate | u16 n_samples | samples (u8 each)
@@ -27,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from vectorflow_spark.operators import codecs
 
 IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FIMG", b"FAUD", b"FVID"
 
@@ -61,9 +69,10 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 
 def decode_meta(data: bytes) -> dict:
-    """Parse the fake-codec header into typed metadata. Real formats (PNG/
-    JPEG/WAV/MP4) would dispatch to their libraries here — absent in this
-    environment, so they raise instead of silently guessing."""
+    """Parse container headers into typed metadata: FAKE family, BMP
+    (header fields only — pixels untouched) and PCM WAV (stdlib wave).
+    PNG/JPEG/MP3/MP4 would dispatch to their libraries here — absent in
+    this environment, so they raise instead of silently guessing."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -74,9 +83,15 @@ def decode_meta(data: bytes) -> dict:
     if magic == VID_MAGIC:
         nf, w, h = struct.unpack("<HHH", data[4:10])
         return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
+    if data[:2] == codecs.BMP_MAGIC:
+        w, h_raw = struct.unpack_from("<ii", data, 18)
+        return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
+    if magic == codecs.RIFF_MAGIC:
+        samples, rate = codecs.decode_wav(bytes(data))
+        return {"kind": "audio", "sample_rate": rate, "n_samples": len(samples), "n_bytes": len(data)}
     raise NotImplementedError(
-        "real codec decode (PNG/JPEG/WAV/MP4) requires external libraries not "
-        "installed in this environment; only the FAKE codec family is supported"
+        "codec decode supports the FAKE family, BMP and PCM WAV; PNG/JPEG/MP3/"
+        "MP4 require external libraries not installed in this environment"
     )
 
 
@@ -102,8 +117,9 @@ def with_asset_meta(assets: DataFrame, data_col: str = "data") -> DataFrame:
 
 
 def image_resize(assets: DataFrame, out_w: int, out_h: int, data_col: str = "data") -> DataFrame:
-    """Nearest-neighbor resize of fake images — a real pixel kernel running
-    through the real plumbing (numpy over Arrow batches)."""
+    """Nearest-neighbor resize — a real pixel kernel (numpy over Arrow
+    batches) over any decodable image container (FAKE or BMP); the result
+    re-encodes in the SAME container family as the input."""
     fields = [f.name for f in assets.schema.fields]
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
     schema += ", resized binary"
@@ -111,14 +127,11 @@ def image_resize(assets: DataFrame, out_w: int, out_h: int, data_col: str = "dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> bytes:
             data = bytes(b)
-            if data[:4] != IMG_MAGIC:
-                raise NotImplementedError("resize supports the FAKE image codec only")
-            w, h, c = struct.unpack("<HHB", data[4:9])
-            px = np.frombuffer(data[9:], dtype=np.uint8).reshape(h, w, c)
+            px = codecs.decode_image(data)
+            h, w = px.shape[:2]
             ys = (np.arange(out_h) * h // out_h).astype(int)
             xs = (np.arange(out_w) * w // out_w).astype(int)
-            out = px[np.ix_(ys, xs)]
-            return IMG_MAGIC + struct.pack("<HHB", out_w, out_h, c) + out.tobytes()
+            return codecs.encode_image_like(px[np.ix_(ys, xs)], data)
 
         for pdf in batches:
             yield pdf[fields].assign(resized=pdf[data_col].map(one))
@@ -182,10 +195,7 @@ def audio_features(assets: DataFrame, data_col: str = "data") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stats(b: bytes):
-            data = bytes(b)
-            if data[:4] != AUD_MAGIC:
-                raise NotImplementedError("audio features support the FAKE audio codec only")
-            samples = np.frombuffer(data[10:], dtype=np.uint8).astype(np.float64)
+            samples, _rate = codecs.decode_audio(bytes(b))
             return float(samples.mean()), float(samples.std()), float(samples.max())
 
         for pdf in batches:
@@ -229,12 +239,13 @@ def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
 
 
 def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) -> DataFrame:
-    """Perceptual difference-hash (dHash) of fake-codec images: resize to
-    9x8 luma, compare horizontal neighbors, pack 64 bits into a BIGINT.
-    The standard near-duplicate-image signature — robust to re-encoding
-    and mild resizing because only neighbor ORDER survives. Pixel work is
-    numpy over Arrow batches (real plumbing; the fake codec stands in for
-    absent image libraries, mirroring image_resize). Downstream dedup is
+    """Perceptual difference-hash (dHash) over any decodable image
+    container (FAKE or BMP): resize to 9x8 luma, compare horizontal
+    neighbors, pack 64 bits into a BIGINT. The standard near-duplicate-
+    image signature — robust to re-encoding and mild resizing because
+    only neighbor ORDER survives; identical pixels hash identically
+    regardless of container, which is what makes it a cross-format dedup
+    key. Pixel work is numpy over Arrow batches. Downstream dedup is
     engine-side: group or Hamming-band the integer exactly like SimHash
     (operators/dedup.simhash_candidate_pairs)."""
     fields = [f.name for f in assets.schema.fields]
@@ -243,11 +254,8 @@ def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> int:
-            data = bytes(b)
-            if data[:4] != IMG_MAGIC:
-                raise NotImplementedError("dhash supports the FAKE image codec only")
-            w, h, c = struct.unpack("<HHB", data[4:9])
-            px = np.frombuffer(data[9:], dtype=np.uint8).reshape(h, w, c)
+            px = codecs.decode_image(bytes(b))
+            h, w = px.shape[:2]
             luma = px.mean(axis=2)
             ys = (np.arange(8) * h // 8).astype(int)
             xs = (np.arange(9) * w // 9).astype(int)

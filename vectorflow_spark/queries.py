@@ -5967,21 +5967,32 @@ def q_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_image_dhash_dedup")
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (rows-only: the pixel kernel is a Python
-    mapInPandas stage DuckDB cannot mirror): synthesize fake-codec images
-    whose seed is doc_id mod 97 — guaranteeing duplicate pixel content —
+    mapInPandas stage DuckDB cannot mirror): synthesize images whose
+    pixel seed is doc_id mod 97 — guaranteeing duplicate pixel content —
     dHash them, and report hash groups with >1 member (Hamming-0 exact
-    groups; Hamming-band the integer like SimHash for near-dups). Plan:
-    Arrow-batched hash UDF, then one groupBy on the 8-byte hash."""
+    groups; Hamming-band the integer like SimHash for near-dups).
+    CROSS-CONTAINER by construction: even ids ship FAKE-codec blobs, odd
+    ids re-encode the same pixels as real BMP files, so every duplicate
+    group mixes both container families — the dedup key is the pixels,
+    not the bytes. Plan: Arrow-batched hash UDF, then one groupBy on the
+    8-byte hash."""
+    from vectorflow_spark.operators.codecs import decode_image, encode_bmp
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
+    def _one(i) -> bytes:
+        blob = make_fake_image(str(int(i) % 97))
+        if int(i) % 2:
+            return encode_bmp(decode_image(blob))
+        return blob
+
     # lambda form: pyspark's signature parser can't resolve `pd.Series`
     # annotations when pandas is imported function-locally
     gen = F.pandas_udf(
-        lambda ids: pd.Series([make_fake_image(str(int(i) % 97)) for i in ids]),
+        lambda ids: pd.Series([_one(i) for i in ids]),
         BinaryType(),
     )
 
