@@ -67,6 +67,46 @@ class TestMinhashLSH:
         assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
 
 
+class TestLshRecallAudit:
+    def test_sample_one_equals_full_audit(self, spark, sf_dir):
+        """sample=1.0 must be the exact full-corpus audit — same numbers
+        the q_lsh_recall oracle verifies (the sampled scale mode changes
+        cost, never the sample=1.0 semantics)."""
+        from vectorflow_spark.operators.dedup import lsh_recall_audit
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(200)
+        )
+        [full] = lsh_recall_audit(docs, sample=1.0).collect()
+        [again] = lsh_recall_audit(docs).collect()
+        assert (full.n_exact, full.n_hit, full.recall) == (again.n_exact, again.n_hit, again.recall)
+        assert full.n_exact > 0
+
+    def test_sampled_mode_is_deterministic_and_smaller(self, spark, sf_dir):
+        from vectorflow_spark.operators.dedup import lsh_recall_audit
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        [a] = lsh_recall_audit(docs, sample=0.5).collect()
+        [b] = lsh_recall_audit(docs.repartition(7), sample=0.5).collect()
+        # hash-slice: stable across runs AND partitionings (not RNG)
+        assert (a.n_exact, a.n_hit) == (b.n_exact, b.n_hit)
+        [full] = lsh_recall_audit(docs).collect()
+        assert 0 < a.n_exact < full.n_exact
+
+    def test_sample_bounds_validated(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from vectorflow_spark.operators.dedup import lsh_recall_audit
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        with _pytest.raises(ValueError):
+            lsh_recall_audit(docs, sample=0.0)
+        with _pytest.raises(ValueError):
+            lsh_recall_audit(docs, sample=1.5)
+
+
 class TestPostingListCap:
     def test_viral_duplicate_cluster_is_bounded(self, spark):
         """A 1000-copy boilerplate cluster must not explode: with

@@ -166,3 +166,36 @@ def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     with pytest.raises(ValueError):
         vacuum_versions(root, keep_last=0)  # would otherwise keep everything
     assert read_versioned(spark, root, version=3).count() == 3  # untouched
+
+
+def test_manifest_commits_gate_visibility(spark, tmp_path):
+    """The manifest is the source of truth: an orphan version directory
+    from a crashed write is invisible to every reader and self-heals on
+    the next write; legacy stores without a manifest still read via the
+    glob fallback."""
+    from vectorflow_spark.sinks.writers import (
+        read_latest_version,
+        read_versioned,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    (tmp_path / "store").mkdir()
+    versioned_write(spark.range(0, 3).toDF("id"), root)
+    versioned_write(spark.range(0, 5).toDF("id"), root)
+    # simulate a crash AFTER the parquet write, BEFORE the manifest commit
+    spark.range(0, 99).toDF("id").write.parquet(f"{root}/v=3")
+    assert read_latest_version(root) == 2  # orphan not visible
+    assert read_versioned(spark, root).count() == 5
+    with pytest.raises(ValueError, match="not committed"):
+        read_versioned(spark, root, version=3)
+    # the next write claims v=3, overwriting the orphan
+    assert versioned_write(spark.range(0, 7).toDF("id"), root) == 3
+    assert read_versioned(spark, root, version=3).count() == 7
+    # legacy store (no manifest): glob fallback still serves reads
+    legacy = str(tmp_path / "legacy")
+    spark.range(0, 4).toDF("id").write.parquet(f"{legacy}/v=1")
+    from vectorflow_spark.sinks.writers import list_versions
+
+    assert list_versions(legacy) == [1]
+    assert read_versioned(spark, legacy, version=1).count() == 4

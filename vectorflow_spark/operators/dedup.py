@@ -348,6 +348,51 @@ def jaccard_pairs(
     return out.select("a", "b", "n_common", "jaccard")
 
 
+def lsh_recall_audit(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    kind: str = "word",
+    sample: float = 1.0,
+) -> DataFrame:
+    """Recall of the MinHash band-bucket candidate generator against exact
+    n-gram-Jaccard ground truth — the audit you run before trusting an
+    approximate dedup config. Returns one row (n_exact, n_hit, recall).
+
+    Scale contract: the exact side costs O(pairs sharing a shingle) —
+    that's the bill for ground truth, and at corpus scale you don't pay
+    it on the full corpus. ``sample`` keeps a deterministic hash-slice of
+    DOCUMENTS (xxhash64(doc_id) bucket < sample x 1e6, so the slice is
+    stable across runs, partitionings and engines — not Bernoulli RNG)
+    and measures recall within it: both the exact pairs and the LSH
+    candidates are computed over the same sub-corpus, so the ratio is an
+    unbiased estimate of full-corpus recall at O(sample²) pair cost.
+    ``sample=1.0`` is the exact full-corpus audit (the oracle mode): the
+    filter short-circuits to nothing and the plan is identical."""
+    if not (0.0 < sample <= 1.0):
+        raise ValueError(f"sample must be in (0, 1], got {sample}")
+    if sample < 1.0:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col(doc_col)), F.lit(1_000_000))
+            < F.lit(int(sample * 1_000_000))
+        )
+    exact = jaccard_pairs(docs, doc_col, text_col, n=n, threshold=threshold, kind=kind).select(
+        "a", "b"
+    )
+    cand = minhash_candidate_pairs(docs, doc_col, text_col).select(
+        "a", "b", F.lit(True).alias("hit")
+    )
+    j = exact.join(cand, ["a", "b"], "left")
+    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.cast("bigint").alias("n_hit"),
+        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
 def simhash_expr_pipeline(
     docs: DataFrame,
     doc_col: str = "doc_id",

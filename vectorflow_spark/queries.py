@@ -5475,21 +5475,18 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval you run before trusting an approximate dedup config at scale.
     Composition of two already-verified pipelines + one left join on the
     (a, b) pair key; the join input is pairs (already small), never
-    documents."""
-    from vectorflow_spark.operators.dedup import jaccard_pairs, minhash_candidate_pairs
+    documents.
+
+    This oracle runs ``sample=1.0`` (full exact ground truth — that cost
+    is the point of an audit, paid once per config). At 100 TB the same
+    operator runs on a deterministic hash-slice of documents
+    (operators/dedup.lsh_recall_audit's ``sample`` parameter), making the
+    exact-Jaccard side O(sample²) while estimating the identical ratio;
+    tests pin sample=1.0 ≡ this query and the slice's determinism."""
+    from vectorflow_spark.operators.dedup import lsh_recall_audit
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
-    exact = jaccard_pairs(docs, n=3, threshold=0.3, kind="word").select("a", "b")
-    cand = minhash_candidate_pairs(docs).select(
-        "a", "b", F.lit(True).alias("hit")
-    )
-    j = exact.join(cand, ["a", "b"], "left")
-    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
-    return j.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        hits.cast("bigint").alias("n_hit"),
-        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
-    )
+    return lsh_recall_audit(docs, sample=1.0)
 
 
 @query(

@@ -305,33 +305,87 @@ def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
 # ---------------------------------------------------------------------------
 
 
-def versioned_write(df: DataFrame, root: str) -> int:
-    """Write the next immutable version of a dataset and flip the pointer.
+MANIFEST_NAME = "_MANIFEST"
 
-    Layout: ``root/v=N/`` parquet directories plus a tiny ``_LATEST`` text
-    file holding N. Writers never mutate an existing version (object-store
-    friendly: no rename-into-place, no read-modify-write of data files);
-    readers either follow the pointer or pin a version, which is what
-    makes embedding-model upgrades auditable and instantly revertible —
-    re-embedding writes v=N+1 while serving keeps reading v=N until the
-    pointer flips. Returns the version written.
 
-    The pointer flip is the only non-atomic step; on a real object store
-    put-if-absent on ``_LATEST.N`` or a manifest table makes it one.
-    Old versions are retained for time travel; vacuum by deleting v<K
-    directories after updating any pinned readers."""
-    latest = read_latest_version(root)
-    version = latest + 1
-    df.write.mode("errorifexists").parquet(f"{root}/v={version}")
-    tmp = os.path.join(root, "_LATEST.tmp")
+def _read_manifest(root: str) -> dict | None:
+    """The committed store state, or None for legacy/empty stores."""
+    import json
+
+    try:
+        with open(os.path.join(root, MANIFEST_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_manifest(root: str, versions: set[int]) -> None:
+    """Atomically replace the manifest (write-temp + rename-commit). The
+    manifest is the ONLY source of truth for which versions exist; a
+    version directory not listed here is uncommitted debris. On a real
+    object store this maps to put-object of a single small key (readers
+    see old-or-new manifest, never a partial listing), which is what
+    makes the store safe without S3 listing consistency."""
+    import json
+
+    payload = {"versions": sorted(versions), "latest": max(versions) if versions else 0}
+    tmp = os.path.join(root, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(root, "_LATEST"))
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(root, MANIFEST_NAME))
+
+
+def list_versions(root: str, prefix: str = "v") -> list[int]:
+    """Committed versions, ascending. Reads the manifest; falls back to a
+    directory glob only for legacy stores that predate it (local-FS only
+    — the glob path is what the manifest exists to replace)."""
+    m = _read_manifest(root)
+    if m is not None:
+        return sorted(int(v) for v in m["versions"])
+    import glob
+    import re
+
+    return sorted(
+        int(mt.group(1))
+        for d in glob.glob(os.path.join(root, f"{prefix}=*"))
+        if (mt := re.search(rf"{prefix}=(\d+)$", d))
+    )
+
+
+def versioned_write(df: DataFrame, root: str) -> int:
+    """Write the next immutable version of a dataset and commit it to the
+    manifest.
+
+    Layout: ``root/v=N/`` parquet directories plus one ``_MANIFEST`` JSON
+    file (``{"versions": [...], "latest": N}``) replaced atomically by
+    rename-commit. Writers never mutate an existing version (object-store
+    friendly: no read-modify-write of data files); readers either follow
+    the manifest's latest or pin a version, which is what makes
+    embedding-model upgrades auditable and instantly revertible —
+    re-embedding writes v=N+1 while serving keeps reading v=N until the
+    manifest flips. Returns the version written.
+
+    Crash-safe without listing consistency: a writer that dies after the
+    parquet write but before the manifest commit leaves an orphan
+    directory that NO reader can observe (readers only trust the
+    manifest); the next write self-heals by overwriting that orphan
+    path. Old versions are retained for time travel; ``vacuum_versions``
+    is the retention pass."""
+    versions = set(list_versions(root))
+    version = (max(versions) if versions else 0) + 1
+    # overwrite: the target is either absent or an uncommitted orphan
+    df.write.mode("overwrite").parquet(f"{root}/v={version}")
+    _commit_manifest(root, versions | {version})
     return version
 
 
 def read_latest_version(root: str) -> int:
-    """Current pointer value; 0 when the store is empty."""
+    """Latest committed version; 0 when the store is empty. Reads the
+    manifest, falling back to the legacy ``_LATEST`` pointer file for
+    stores written before the manifest existed."""
+    m = _read_manifest(root)
+    if m is not None:
+        return int(m["latest"])
     try:
         with open(os.path.join(root, "_LATEST")) as f:
             return int(f.read().strip())
@@ -340,24 +394,28 @@ def read_latest_version(root: str) -> int:
 
 
 def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
-    """Read the pointed-to version (default) or pin ``version`` for time
-    travel. Raises if the store is empty or the pinned version is absent."""
+    """Read the latest committed version (default) or pin ``version`` for
+    time travel. Raises if the store is empty or the pinned version is
+    absent/uncommitted — an orphan directory from a crashed write is NOT
+    readable, by design."""
     v = version if version is not None else read_latest_version(root)
     if v <= 0:
         raise ValueError(f"no versions written under {root}")
+    m = _read_manifest(root)
+    if m is not None and v not in set(m["versions"]):
+        raise ValueError(f"version {v} is not committed under {root}")
     return spark.read.parquet(f"{root}/v={v}")
 
 
 def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     """Delete version directories older than the newest ``keep_last``,
-    never the pointer target — the retention half of the versioned store
-    (the docstring of versioned_write promises this pass). Returns the
-    versions removed. Callers are responsible for having repointed any
-    pinned time-travel readers first; the pointer file itself is never
-    touched, so a concurrent reader following ``_LATEST`` cannot observe
-    a missing version."""
-    import glob
-    import re
+    never the latest — the retention half of the versioned store.
+    Returns the versions removed. The manifest is committed FIRST (drop
+    the versions, rename-commit) and the directories deleted after, so a
+    crash mid-vacuum leaves unreferenced debris, never a manifest entry
+    pointing at missing data; a concurrent reader following the manifest
+    cannot observe a half-deleted version. Callers are responsible for
+    having repointed any pinned time-travel readers first."""
     import shutil
 
     if keep_last <= 0:
@@ -366,13 +424,10 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
         # the pointer target; both are bugs at the call site, so refuse.
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = read_latest_version(root)
-    versions = sorted(
-        int(m.group(1))
-        for d in glob.glob(os.path.join(root, "v=*"))
-        if (m := re.search(r"v=(\d+)$", d))
-    )
+    versions = list_versions(root)
     keep = set(versions[-keep_last:]) | {latest}
     removed = [v for v in versions if v not in keep]
+    _commit_manifest(root, keep)
     for v in removed:
-        shutil.rmtree(os.path.join(root, f"v={v}"))
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return removed

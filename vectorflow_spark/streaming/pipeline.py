@@ -307,20 +307,17 @@ def streaming_scd2(
     spark = update_stream.sparkSession
 
     def prior_version(batch_id: int) -> int | None:
-        """Largest written version STRICTLY below this batch id — correct
+        """Largest COMMITTED version STRICTLY below this batch id — correct
         both live (prior batch) and on replay (re-fired batch N must not
         read its own or any later output; empty batches may leave holes in
-        the version sequence, so "batch_id - 1" would be wrong)."""
-        import glob
-        import os
-        import re
+        the version sequence, so "batch_id - 1" would be wrong). Versions
+        come from the store's manifest (sinks/writers.list_versions), not
+        a directory listing, so a version directory whose batch crashed
+        before the manifest commit is invisible — S3-listing-consistency
+        safe and replay-correct in the same stroke."""
+        from vectorflow_spark.sinks.writers import list_versions
 
-        versions = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(dim_dir, "version=*"))
-            if (m := re.search(r"version=(\d+)$", p))
-        ]
-        below = [x for x in versions if x < batch_id]
+        below = [x for x in list_versions(dim_dir, prefix="version") if x < batch_id]
         return max(below) if below else None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -363,6 +360,12 @@ def streaming_scd2(
                 valid_to_col,
             )
             nxt.write.mode("overwrite").parquet(f"{dim_dir}/version={batch_id}")
+            # commit AFTER the data write: a crash in between leaves an
+            # uncommitted orphan the replay overwrites; a re-fired batch
+            # re-adds its own id (set semantics, idempotent)
+            from vectorflow_spark.sinks.writers import _commit_manifest, list_versions
+
+            _commit_manifest(dim_dir, set(list_versions(dim_dir, prefix="version")) | {batch_id})
         finally:
             batch_df.unpersist()
 
@@ -376,20 +379,17 @@ def streaming_scd2(
 
 def read_scd2(spark, dim_dir: str, version: int | None = None) -> DataFrame:
     """Read an SCD2 dimension maintained by ``streaming_scd2`` — the
-    latest version by default, or any retained prior version (time
-    travel)."""
-    import glob
-    import os
-    import re
+    latest COMMITTED version by default, or any retained prior version
+    (time travel). Committed = present in the store manifest; uncommitted
+    orphans from crashed batches are invisible."""
+    from vectorflow_spark.sinks.writers import list_versions
 
-    versions = sorted(
-        int(m.group(1))
-        for p in glob.glob(os.path.join(dim_dir, "version=*"))
-        if (m := re.search(r"version=(\d+)$", p))
-    )
+    versions = list_versions(dim_dir, prefix="version")
     if not versions:
         raise FileNotFoundError(f"no versions under {dim_dir}")
     v = version if version is not None else versions[-1]
+    if v not in set(versions):
+        raise ValueError(f"version {v} is not committed under {dim_dir}")
     return spark.read.parquet(f"{dim_dir}/version={v}")
 
 
