@@ -255,6 +255,49 @@ def test_waiting_suppliers_shares_orderkey_partitioning(spark, sf_dir, Q):
         assert "orderkey" in key or "ok" in key or "s_name" in key, m.group(0)
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime-filter pushdown, the third leg of the scale toolkit next to
+    broadcast and AQE skew handling: a selective dimension filter injects
+    a bloom filter into the fact side (bloom_filter_agg on the dim,
+    might_contain above the fact scan), so fact rows that cannot join die
+    at the scan instead of shuffling. Thresholds are lowered because the
+    injection is size-gated (at sf-scale the dim is tiny and the fact scan
+    under the default 10 GB application-side gate)."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "10GB")
+        spark.conf.set(keys[2], "0")
+        spark.conf.set(keys[3], "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_kmv_sketch_exchanges_are_sketch_sized(spark, sf_dir, Q):
     """The KMV build must cap state BEFORE its one merge shuffle: the
     mapInPandas bottom-k sits BELOW the single hashpartitioning exchange of
