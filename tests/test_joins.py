@@ -168,6 +168,37 @@ def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     assert read_versioned(spark, root, version=3).count() == 3  # untouched
 
 
+def test_versioned_merge_upsert_delete_timetravel(spark, tmp_path):
+    """Delta-style MERGE on the manifest store: init from updates, then a
+    merge that updates/deletes/inserts; the prior version still serves
+    the pre-merge snapshot (time travel through copy-on-write)."""
+    from vectorflow_spark.sinks.writers import read_versioned, versioned_merge
+
+    root = str(tmp_path / "dim")
+    (tmp_path / "dim").mkdir()
+    init = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).withColumn("del", F.lit(False))
+    assert versioned_merge(spark, root, init, ["k"], delete_col="del") == 1
+    upd = spark.createDataFrame(
+        [(2, "B", False), (3, "x", True), (4, "d", False)], "k long, v string, del boolean"
+    )
+    assert versioned_merge(spark, root, upd, ["k"], delete_col="del") == 2
+    now = {r.k: r.v for r in read_versioned(spark, root).collect()}
+    assert now == {1: "a", 2: "B", 4: "d"}  # updated, deleted, inserted
+    before = {r.k: r.v for r in read_versioned(spark, root, version=1).collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_upsert_requires_value_columns(spark):
+    from vectorflow_spark.operators.diff import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    s = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="missing value columns"):
+        merge_upsert(t, s, ["k"])
+
+
 def test_manifest_commits_gate_visibility(spark, tmp_path):
     """The manifest is the source of truth: an orphan version directory
     from a crashed write is invisible to every reader and self-heals on

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_digest", "scd2_apply", "snapshot_diff"]
+__all__ = ["merge_upsert", "row_digest", "scd2_apply", "snapshot_diff"]
 
 
 def row_digest(cols: list[str]) -> Column:
@@ -56,6 +56,61 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (SCD type 1) as one DataFrame plan — the
+    upsert/delete primitive around every incremental refresh:
+
+      * WHEN MATCHED [AND NOT source.delete] THEN UPDATE — source values
+        replace the target row;
+      * WHEN MATCHED AND source.``delete_col`` THEN DELETE;
+      * WHEN NOT MATCHED [AND NOT delete] THEN INSERT;
+      * target rows with no source match pass through unchanged.
+
+    ``source`` must carry the key columns plus the same value columns as
+    ``target`` (and optionally a boolean ``delete_col``); one row per key.
+
+    Plan at scale: ONE full-outer join on the key is the only shuffle —
+    the same shape as ``snapshot_diff``/``scd2_apply``, so bucketed or
+    z-ordered snapshots degrade it to a co-located merge. No table format
+    required: compose with ``sinks.writers.versioned_write`` (see
+    ``versioned_merge`` there) to get Delta-style MERGE + time travel on
+    plain parquet with a manifest commit."""
+    value_cols = [c for c in target.columns if c not in set(key_cols)]
+    missing = [c for c in value_cols if c not in set(source.columns)]
+    if missing:
+        raise ValueError(f"source is missing value columns {missing}")
+    t = target.select(
+        *key_cols,
+        *[F.col(c).alias(f"_t_{c}") for c in value_cols],
+        F.lit(True).alias("_t_present"),
+    )
+    src_cols = [
+        *key_cols,
+        *[F.col(c).alias(f"_s_{c}") for c in value_cols],
+        (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col
+            else F.lit(False)
+        ).alias("_s_delete"),
+        F.lit(True).alias("_s_present"),
+    ]
+    s = source.select(*src_cols)
+    j = t.join(s, key_cols, "full_outer")
+    survives = ~(F.coalesce(F.col("_s_present"), F.lit(False)) & F.col("_s_delete"))
+    picked = [
+        F.when(F.coalesce(F.col("_s_present"), F.lit(False)), F.col(f"_s_{c}"))
+        .otherwise(F.col(f"_t_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return j.filter(survives).select(*key_cols, *picked)
 
 
 def scd2_apply(

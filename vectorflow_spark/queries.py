@@ -7733,3 +7733,55 @@ def q_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction path with python-docx's paragraph-join semantics
     (reference src/extract/extract.py:74-76). Oracle = identity."""
     return _roundtrip_frame(spark, sf_dir, "docx")
+
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH target AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey,
+               'UPDATED' AS c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) + 100.0 AS bal,
+               (c_custkey % 7 = 0) AS del
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG', 0.0, FALSE
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal
+    FROM target t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT COALESCE(s.del, FALSE)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a pure plan (operators/diff.merge_upsert): every 5th
+    customer is updated (segment + balance), every 35th deleted, and a
+    synthetic new-key batch inserted — matched-update / matched-delete /
+    not-matched-insert / untouched-passthrough all exercised in one
+    oracle. ONE full-outer join on the key is the only shuffle; this is
+    the per-refresh primitive versioned_merge commits to the manifest
+    store."""
+    from vectorflow_spark.operators.diff import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal"))
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("bal"),
+        (F.col("c_custkey") % 7 == 0).alias("del"),
+    )
+    ins = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("bal"),
+        F.lit(False).alias("del"),
+    )
+    return merge_upsert(target, upd.unionByName(ins), ["c_custkey"], delete_col="del")

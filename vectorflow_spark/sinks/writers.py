@@ -407,6 +407,42 @@ def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(f"{root}/v={v}")
 
 
+def versioned_merge(
+    spark,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Delta-style MERGE INTO on the plain-parquet versioned store: read
+    the latest committed version, apply ``operators.diff.merge_upsert``
+    (matched -> update/delete, not-matched -> insert), write the result
+    as version N+1 and commit the manifest. Returns the new version.
+
+    The write is copy-on-write at VERSION granularity — simple, atomic
+    via the manifest, and time travel falls out for free. The cost is
+    rewriting the full snapshot per merge; for update streams frequent
+    enough that this matters, ``streaming/pipeline.streaming_scd2``
+    amortizes exactly this plan per micro-batch, and a real lakehouse
+    format (Delta/Iceberg) would add file-level copy-on-write beneath the
+    same merge plan. An EMPTY store (no versions yet) treats the updates
+    as the initial snapshot (surviving rows only)."""
+    from vectorflow_spark.operators.diff import merge_upsert
+
+    latest = read_latest_version(root)
+    if latest <= 0:
+        survivors = updates
+        if delete_col is not None:
+            survivors = updates.filter(
+                ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            )
+        base_cols = [c for c in updates.columns if c != delete_col]
+        return versioned_write(survivors.select(*base_cols), root)
+    current = read_versioned(spark, root, latest)
+    merged = merge_upsert(current, updates, key_cols, delete_col=delete_col)
+    return versioned_write(merged, root)
+
+
 def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     """Delete version directories older than the newest ``keep_last``,
     never the latest — the retention half of the versioned store.
