@@ -298,6 +298,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """COUNT(*)/MIN/MAX without filters can be answered from parquet
+    row-group footers — at 100 TB that's the difference between a
+    metadata read and a full scan for table-stats queries. The V2 parquet
+    source (parquet removed from useV1SourceList) + aggregatePushdown
+    must show the aggregates in PushedAggregation and return the same
+    values the V1 scan computes. Both confs are dynamic; restored after."""
+    from pyspark.sql import functions as F
+
+    keys = ["spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown"]
+    old = {k: spark.conf.get(k) for k in keys}
+    path = f"{sf_dir}/lineitem.parquet"
+    expected = spark.read.parquet(path).agg(
+        F.count("*").alias("n"), F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    try:
+        spark.conf.set(keys[0], "avro,csv,json,kafka,orc,text")
+        spark.conf.set(keys[1], "true")
+        agg = spark.read.parquet(path).agg(
+            F.count("*").alias("n"), F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+        )
+        plan = physical(agg)
+        seg = plan.split("PushedAggregation: [")[1].split("]")[0]
+        assert "COUNT(*)" in seg and "MIN(l_orderkey)" in seg and "MAX(l_orderkey)" in seg, plan
+        [got] = agg.collect()
+        assert (got.n, got.mn, got.mx) == (expected.n, expected.mn, expected.mx)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_kmv_sketch_exchanges_are_sketch_sized(spark, sf_dir, Q):
     """The KMV build must cap state BEFORE its one merge shuffle: the
     mapInPandas bottom-k sits BELOW the single hashpartitioning exchange of
