@@ -105,6 +105,35 @@ def test_real_pdf_and_docx_extract_end_to_end(spark, fixture_dir):
     assert out["notes.txt"].text == "control row"
 
 
+def test_streaming_extract_exactly_once_per_file(spark, tmp_path):
+    """binaryFile as a STREAMING source through the same extract dispatch:
+    drain once (txt + real pdf + real docx), add a file, drain again —
+    the checkpoint guarantees each file extracts exactly once, and the
+    pdf row went through the stdlib parser inside a micro-batch."""
+    from vectorflow_spark.streaming.pipeline import streaming_extract
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("streamed text")
+    (src / "b.pdf").write_bytes(build_pdf(["streamed pdf page"]))
+    (src / "c.docx").write_bytes(build_docx("streamed docx para"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = streaming_extract(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    rows = {r.source: r for r in spark.read.parquet(out).collect()}
+    assert rows["a.txt"].text == "streamed text"
+    assert rows["b.pdf"].text == "streamed pdf page\n"
+    assert rows["c.docx"].text == "streamed docx para"
+
+    (src / "d.txt").write_text("late arrival")
+    q2 = streaming_extract(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 4  # a/b/c NOT re-extracted, d appended once
+    assert {r.source: r.text for r in again}["d.txt"] == "late arrival"
+
+
 def test_extensionless_real_pdf_sniffs_and_extracts(spark, tmp_path):
     """Magic-byte sniff (S8) + real extraction compose: a real PDF with no
     extension still routes through pdfmini."""

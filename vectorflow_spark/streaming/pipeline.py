@@ -52,6 +52,54 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def streaming_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint: str,
+    glob: str | None = None,
+    markdown_mode: str = "raw",
+    trigger_available_now: bool = True,
+):
+    """Continuous raw-file ingest through the S1-S5 extraction dispatch:
+    ``binaryFile`` as a STREAMING source (checkpointed file offsets, so
+    each file extracts exactly once across restarts) -> the same
+    ``extract_documents`` projection the batch path uses — txt/md/html
+    decode JVM-side, pdf/docx through the pandas-UDF parsers (PyMuPDF /
+    python-docx when installed, the stdlib pdfmini/docxmini fallbacks
+    otherwise) -> append-only parquet of (source, kind, text).
+
+    This is the drop-a-file-in-a-bucket deployment of the reference's
+    extractor service (reference src/extract/extract.py consumes a
+    RabbitMQ queue of staged files): the directory IS the queue, the
+    checkpoint IS the ack. Extraction is a pure per-row projection, so
+    the stream needs no state store, no watermark, and scales by file
+    partitioning alone; maxFilesPerTrigger bounds micro-batch size in
+    continuous mode."""
+    from vectorflow_spark.sources.readers import extract_documents
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(input_dir).select(
+        F.col("path"),
+        F.element_at(F.split("path", "/"), -1).alias("source"),
+        F.col("length"),
+        F.col("content"),
+    )
+    docs = extract_documents(raw, markdown_mode=markdown_mode)
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
