@@ -252,3 +252,66 @@ class TestTextStats:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
         assert got[1] > got[2]
+
+
+class TestRrfFuse:
+    def test_known_fusion(self, spark):
+        from vectorflow_spark.operators.similarity import rrf_fuse
+
+        dense = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+        lex = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "id long, rank int")
+        rows = {r.id: r for r in rrf_fuse([dense, lex], k=60).collect()}
+        # hand-computed micro contributions: 1e6/61=16393, 1e6/62=16129, 1e6/63=15873
+        assert rows[10].rrf_micro == 16393 + 16129
+        assert rows[20].rrf_micro == 16129 + 16393
+        assert rows[30].rrf_micro == 15873 and rows[30].n_lists == 1
+        assert rows[40].rrf_micro == 15873
+        # both-list ids outrank single-list ids
+        ordered = [r.id for r in rrf_fuse([dense, lex]).collect()]
+        assert set(ordered[:2]) == {10, 20}
+
+    def test_empty_rankings_rejected(self, spark):
+        from vectorflow_spark.operators.similarity import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
+class TestDuplicateSubstringSpans:
+    def test_shared_span_detected(self, spark):
+        from vectorflow_spark.operators.dedup import duplicate_substring_spans
+
+        boiler = "this license text is repeated verbatim across documents here"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha unique opening words {boiler} tail one"),
+                (2, f"totally different beginning prose {boiler} other ending"),
+                (3, "no shared material at all in this third document body text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in duplicate_substring_spans(docs, window=8).collect()}
+        # docs 1 and 2 share the 9-word boilerplate -> two 8-word spans each
+        assert set(out) == {1, 2}
+        assert out[1].n_dup_windows == 2 and out[2].n_dup_windows == 2
+        assert out[1].n_dup_hashes == 2
+
+    def test_within_doc_repetition_counts(self, spark):
+        from vectorflow_spark.operators.dedup import duplicate_substring_spans
+
+        rep = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, f"{rep} filler alpha beta gamma delta {rep}")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in duplicate_substring_spans(docs, window=8).collect()}
+        # the 8-word block repeats inside the same doc: both occurrences count
+        assert out[1].n_dup_windows == 2 and out[1].n_dup_hashes == 1
+
+    def test_short_docs_excluded(self, spark):
+        from vectorflow_spark.operators.dedup import duplicate_substring_spans
+
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "also short")], "doc_id long, text string"
+        )
+        assert duplicate_substring_spans(docs, window=8).count() == 0

@@ -831,3 +831,47 @@ def minhash_jaccard_estimate(
             (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
         )
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate SUBSTRING detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    arXiv:2107.06499, window-hash formulation): hash every ``window``-word
+    sliding span of every document, and report per document how many of
+    its spans also occur elsewhere in the corpus (or again in itself).
+    Document-level dedup misses exactly this — boilerplate licenses,
+    quoted passages, templated paragraphs repeated inside otherwise-unique
+    documents.
+
+    Returns (doc_col, n_dup_windows, n_dup_hashes); the positions behind
+    the counts are available one projection earlier for a removal pass
+    (merge adjacent duplicated positions into spans, cut them from the
+    token array, re-join).
+
+    Plan at scale: span hashing is a zero-shuffle projection (token array
+    -> transform over a position sequence -> md5 per span); the only
+    data-sized exchange is ONE hash partitioning on the span hash, reused
+    by the count-over window; the per-doc rollup then groups the
+    surviving (duplicated) spans only. The window-count formulation
+    avoids the groupBy+self-join shape, which would shuffle the span
+    table twice on the same key."""
+    from pyspark.sql import Window as W
+
+    ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = docs.select(doc_col, ts.alias("_ts")).filter(F.size("_ts") >= window)
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_ts") - window),
+        lambda i: F.md5(F.array_join(F.slice("_ts", i + F.lit(1), window), " ")),
+    )
+    wins = base.select(doc_col, F.posexplode(span_hashes).alias("pos", "h"))
+    counted = wins.withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("h")))
+    dup = counted.filter(F.col("_n") > 1)
+    return dup.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.countDistinct("h").alias("n_dup_hashes"),
+    )

@@ -538,3 +538,40 @@ def power_iteration_step(
         .groupBy("dim")
         .agg(F.expr(f"CAST(sum(_p) div {quant} AS BIGINT)").alias("w_q"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard way
+    to combine dense (embedding) and lexical (BM25) retrieval without
+    score calibration: fused(id) = Σ_lists 1/(k + rank_in_list), ids
+    missing from a list contribute nothing. Each input carries
+    (``id_col``, ``rank_col``) with 1-based ranks (ties already broken).
+
+    Each term is quantized to integer micro-units BEFORE the sum, so the
+    fused score is an exact integer — bit-identical on any engine or
+    partitioning (a double Σ over 3+ lists would be order-dependent).
+    Plan: union of the (tiny, top-k-sized) ranking frames, one groupBy on
+    the id — at scale the candidate lists are already k-sized per query,
+    so fusion is never a data-sized operation. Returns (id, rrf_micro,
+    n_lists) sorted by fused score desc, id asc."""
+    contrib = None
+    for r in rankings:
+        s = r.select(
+            F.col(id_col),
+            F.round(F.lit(1_000_000.0) / (F.lit(k) + F.col(rank_col)))
+            .cast("bigint")
+            .alias("_c"),
+        )
+        contrib = s if contrib is None else contrib.unionByName(s)
+    if contrib is None:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("_c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+    )

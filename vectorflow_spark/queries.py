@@ -7785,3 +7785,121 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("del"),
     )
     return merge_upsert(target, upd.unionByName(ins), ["c_custkey"], delete_col="del")
+
+
+@query(
+    "q_rrf_fusion",
+    r"""
+    WITH dense_scored AS (
+        SELECT vec_id AS id,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)),
+                 9) AS score
+        FROM embeddings
+    ),
+    dense AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+            FROM dense_scored
+        ) WHERE rank <= 50
+    ),
+    lex_scored AS (
+        SELECT doc_id AS id,
+               len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'the')) AS tf
+        FROM documents
+    ),
+    lex AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank
+            FROM lex_scored
+        ) WHERE rank <= 50
+    ),
+    contrib AS (
+        SELECT id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense
+        UNION ALL
+        SELECT id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+    )
+    SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro, CAST(count(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY id
+    ORDER BY rrf_micro DESC, id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of dense and lexical retrieval
+    (operators/similarity.rrf_fuse): top-50 by cosine against the fixed
+    all-ones query (the q_topk_cosine scorer) fused with top-50 by
+    term-frequency of 'the' — no score calibration, just ranks. Each
+    1/(k+rank) term is micro-quantized before the sum so the fused score
+    is an exact integer on both engines. Plan: each ranking is a
+    TakeOrderedAndProject (never a global sort of the corpus) and the
+    row_number windows run over 50-row limited frames; fusion itself
+    groups k-sized lists."""
+    from pyspark.sql import Window as W
+
+    from vectorflow_spark.functions.vector import dot, l2_norm
+    from vectorflow_spark.operators.similarity import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    ones = F.array([F.lit(1.0)] * 64)
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
+    )
+    denom = F.col("_vn") * F.lit(8.0)
+    scored = base.select(
+        "id", F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score")
+    )
+    dense = (
+        scored.orderBy(F.col("score").desc(), "id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), "id")))
+        .select("id", "rank")
+    )
+    docs = _t(spark, sf_dir, "documents", split=True)
+    tf = F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x == "the"))
+    lex = (
+        docs.select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .orderBy(F.col("tf").desc(), "id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.col("tf").desc(), "id")))
+        .select("id", "rank")
+    )
+    return rrf_fuse([dense, lex], id_col="id").limit(20)
+
+
+@query(
+    "q_dup_substring_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS i, ts
+        FROM toks WHERE len(ts) >= 8
+    ),
+    hashed AS (
+        SELECT doc_id, md5(array_to_string(ts[i+1:i+8], ' ')) AS h FROM wins
+    ),
+    counted AS (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS n FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_windows,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_dup_hashes
+    FROM counted WHERE n > 1 GROUP BY doc_id
+    """,
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring detection (operators/dedup.
+    duplicate_substring_spans): every 8-word sliding span is hashed and
+    spans occurring more than once corpus-wide are counted per document —
+    the Lee-et-al substring-dedup signal that document-level dedup
+    misses (boilerplate, quoted passages, templates inside otherwise-
+    unique documents). Span hashing is a zero-shuffle projection; the
+    one data-sized exchange keys on the span hash."""
+    from vectorflow_spark.operators.dedup import duplicate_substring_spans
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return duplicate_substring_spans(docs, window=8)
