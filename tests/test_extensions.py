@@ -315,3 +315,38 @@ class TestDuplicateSubstringSpans:
             [(1, "too short"), (2, "also short")], "doc_id long, text string"
         )
         assert duplicate_substring_spans(docs, window=8).count() == 0
+
+
+class TestRemoveDuplicateSpans:
+    def test_keep_first_cut_later(self, spark):
+        from vectorflow_spark.operators.dedup import remove_duplicate_spans
+
+        boiler = "This License Text Is Repeated Verbatim Across Many Documents Here"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha unique opening words {boiler} tail one"),
+                (2, f"totally different beginning prose {boiler.lower()} other ending"),
+                (3, "untouched third document with enough words to be eligible here"),
+                (4, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_duplicate_spans(docs, window=8).collect()}
+        # first occurrence kept WITH original case; later (case-insensitive
+        # match) occurrence fully cut, overlapping windows unioned
+        assert boiler in out[1].clean_text and out[1].n_removed_tokens == 0
+        assert out[2].clean_text == "totally different beginning prose other ending"
+        assert out[2].n_removed_tokens == 10
+        assert out[3].n_removed_tokens == 0 and out[4].clean_text == "tiny doc"
+        assert len(out) == 4  # every input doc comes back
+
+    def test_whole_doc_removed_yields_empty(self, spark):
+        from vectorflow_spark.operators.dedup import remove_duplicate_spans
+
+        rep = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, rep), (2, rep)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_duplicate_spans(docs, window=8).collect()}
+        assert out[1].clean_text == rep and out[1].n_removed_tokens == 0
+        assert out[2].clean_text == "" and out[2].n_removed_tokens == 8

@@ -875,3 +875,64 @@ def duplicate_substring_spans(
         F.count(F.lit(1)).alias("n_dup_windows"),
         F.countDistinct("h").alias("n_dup_hashes"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """The removal half of substring dedup (Lee et al., arXiv:2107.06499):
+    delete every LATER occurrence of a duplicated ``window``-word span,
+    keeping the globally-first one (min (doc, position) per span hash).
+    Returns (doc_col, clean_text, n_removed_tokens) for EVERY input
+    document — untouched docs pass through with n_removed_tokens = 0.
+
+    Overlapping removable spans union into intervals before cutting, so
+    a run of duplicated text is removed once, not re-counted per window.
+
+    Plan at scale: span hashing is the same zero-shuffle projection as
+    ``duplicate_substring_spans``; the keep-first ranking is ONE window
+    over the span-hash partitioning (same exchange); removable positions
+    then roll up per doc (second, smaller exchange) and broadcast-join
+    back to the token arrays. The cut itself is an interpreted-HOF filter
+    O(tokens x removable_spans) per doc — acceptable because removable
+    spans per doc are few by construction; a sorted-interval merge drops
+    it to O(tokens + spans log spans) if a pathological corpus needs it.
+
+    Matching is case-insensitive (spans hash on lowercased words, like
+    ``duplicate_substring_spans``) but the cleaned text preserves the
+    original token case; inter-token whitespace normalizes to single
+    spaces (the tokens are rejoined)."""
+    from pyspark.sql import Window as W
+
+    ts = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = docs.select(doc_col, ts.alias("_ts"))
+    eligible = base.filter(F.size("_ts") >= window)
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_ts") - window),
+        lambda i: F.md5(F.lower(F.array_join(F.slice("_ts", i + F.lit(1), window), " "))),
+    )
+    wins = eligible.select(doc_col, F.posexplode(span_hashes).alias("pos", "h"))
+    w_first = W.partitionBy("h").orderBy(doc_col, "pos")
+    ranked = wins.withColumn("_rk", F.row_number().over(w_first))
+    removable = ranked.filter(F.col("_rk") > 1)
+    dups = removable.groupBy(doc_col).agg(F.array_sort(F.collect_list("pos")).alias("_dups"))
+
+    joined = base.join(dups, doc_col, "left")
+    dup_arr = F.coalesce(F.col("_dups"), F.expr("cast(array() as array<int>)"))
+    # guard: sequence(0, -1) would DESCEND for an empty token array
+    idx = F.when(
+        F.size("_ts") > 0, F.sequence(F.lit(0), F.size("_ts") - 1)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    keep_idx = F.filter(
+        idx,
+        lambda j: ~F.exists(dup_arr, lambda p: (p <= j) & (j < p + window)),
+    )
+    clean = F.array_join(F.transform(keep_idx, lambda j: F.element_at("_ts", j + 1)), " ")
+    return joined.select(
+        doc_col,
+        clean.alias("clean_text"),
+        (F.size("_ts") - F.size(keep_idx)).cast("bigint").alias("n_removed_tokens"),
+    )

@@ -7903,3 +7903,63 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", split=True)
     return duplicate_substring_spans(docs, window=8)
+
+
+@query(
+    "q_remove_dup_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS i, ts
+        FROM toks WHERE len(ts) >= 8
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (
+                   PARTITION BY md5(lower(array_to_string(ts[i+1:i+8], ' ')))
+                   ORDER BY doc_id, i
+               ) AS rk
+        FROM wins
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS j
+        FROM ranked WHERE rk > 1
+    ),
+    tok_rows AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               unnest(generate_series(0, len(ts) - 1)) AS j
+        FROM toks WHERE len(ts) > 0
+    ),
+    kept AS (
+        SELECT t.doc_id, t.j, t.tok
+        FROM tok_rows t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+        WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (operators/dedup.
+    remove_duplicate_spans): later occurrences of duplicated 8-word spans
+    are cut (keep-first by global (doc, pos)), overlapping spans union
+    before cutting, untouched docs pass through. Content-verified: the
+    oracle reconstructs the cleaned text relationally (token explode +
+    covered-position anti-join + ordered string_agg) and must match the
+    engine's array-expression formulation byte-for-byte on every
+    document."""
+    from vectorflow_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return remove_duplicate_spans(docs, window=8)
