@@ -195,3 +195,103 @@ def test_span_overlap_counts_matches_bruteforce_randomized(spark):
         for r in span_overlap_counts(sdf, idf, D).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 3: stdlib container parsers — fuzz the encode->extract roundtrips.
+# These run WITHOUT Spark (pure kernels), so hypothesis can hammer them.
+# ---------------------------------------------------------------------------
+
+# PDF literal strings normalize raw CR to LF per spec; the writer escapes
+# CR as octal so the roundtrip is exact — include every escape-relevant
+# character class plus unicode.
+_pdf_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=[]
+    ),
+    max_size=400,
+)
+
+
+@given(pages=st.lists(_pdf_text, min_size=1, max_size=4))
+@settings(max_examples=150, deadline=None)
+def test_pdf_roundtrip_fuzz(pages):
+    from vectorflow_spark.sources.pdfmini import build_pdf, extract_pdf_text
+
+    assert extract_pdf_text(build_pdf(pages)) == "".join(p + "\n" for p in pages)
+
+
+# XML 1.0 cannot carry C0 controls other than \t \n \r (not even as
+# entities) — build_docx refuses them loudly; fuzz the legal space.
+_xml_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters=[c for c in map(chr, range(0x20)) if c not in "\t\n\r"]
+        + ["￾", "￿"],  # CR itself is fine: the writer emits &#13;
+    ),
+    max_size=400,
+)
+
+
+@given(text=_xml_text)
+@settings(max_examples=150, deadline=None)
+def test_docx_roundtrip_fuzz(text):
+    from vectorflow_spark.sources.docxmini import build_docx, extract_docx_text
+
+    assert extract_docx_text(build_docx(text)) == text
+
+
+def test_docx_refuses_xml_illegal_controls():
+    import pytest as _pytest
+
+    from vectorflow_spark.sources.docxmini import build_docx
+
+    with _pytest.raises(ValueError, match="not representable"):
+        build_docx("bell \x07 char")
+    with _pytest.raises(ValueError, match="not representable"):
+        build_docx("\x08")
+
+
+def _reference_remove_spans(corpus: list[tuple[int, str]], w: int) -> dict[int, tuple[str, int]]:
+    """Independent pure-Python model of remove_duplicate_spans: global
+    keep-first by (doc, pos) on case-insensitive w-word span keys."""
+    toks = {d: [t for t in text.split() if t] for d, text in corpus}
+    first_seen: dict[tuple, tuple[int, int]] = {}
+    removable: dict[int, set[int]] = {d: set() for d, _ in corpus}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - w + 1):
+            key = tuple(x.lower() for x in ts[i : i + w])
+            if key in first_seen:
+                removable[d].update(range(i, i + w))
+            else:
+                first_seen[key] = (d, i)
+    out = {}
+    for d, _ in corpus:
+        kept = [t for j, t in enumerate(toks[d]) if j not in removable[d]]
+        out[d] = (" ".join(kept), len(toks[d]) - len(kept))
+    return out
+
+
+def test_remove_spans_matches_reference_model(spark):
+    """Engine vs independent pure-Python model on a collision-heavy
+    corpus: 40 docs over a 6-word alphabet, so duplicated 4-word spans
+    are everywhere, overlaps union, and keep-first ordering is exercised
+    across documents. Seeded — deterministic."""
+    import random
+
+    from vectorflow_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    corpus = [
+        (d, " ".join(rng.choice(words) for _ in range(rng.randint(2, 30))))
+        for d in range(40)
+    ]
+    model = _reference_remove_spans(corpus, w=4)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    assert got == model

@@ -83,12 +83,32 @@ def _run_xml(segment: str) -> str:
     for k, piece in enumerate(pieces):
         if k > 0:
             runs.append("<w:r><w:tab/></w:r>")
-        runs.append(f'<w:r><w:t xml:space="preserve">{escape(piece)}</w:t></w:r>')
+        # literal CR would be normalized to LF by any conformant XML
+        # parser; the character reference survives, keeping CR exact
+        body = escape(piece).replace("\r", "&#13;")
+        runs.append(f'<w:r><w:t xml:space="preserve">{body}</w:t></w:r>')
     return "".join(runs)
 
 
+_XML_ILLEGAL = [
+    c
+    for c in map(chr, range(0x20))
+    if c not in "\t\n\r"
+]
+
+
 def build_docx(text: str) -> bytes:
-    """Write a well-formed minimal .docx: one paragraph per input line."""
+    """Write a well-formed minimal .docx: one paragraph per input line.
+
+    XML 1.0 cannot represent C0 control characters other than tab/LF/CR —
+    not even as numeric references — so text containing them is REFUSED
+    with ValueError rather than silently producing a container every
+    conformant reader (including this module's extractor) would reject."""
+    bad = next((c for c in text if c in _XML_ILLEGAL or c in "￾￿"), None)
+    if bad is not None:
+        raise ValueError(
+            f"character U+{ord(bad):04X} is not representable in XML 1.0 / OOXML"
+        )
     paras = "".join(f"<w:p>{_run_xml(line)}</w:p>" for line in text.split("\n"))
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
