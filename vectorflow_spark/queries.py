@@ -7963,3 +7963,45 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", split=True)
     return remove_duplicate_spans(docs, window=8)
+
+
+@query(
+    "q_warc_roundtrip",
+    "SELECT doc_id, text AS warc_text FROM documents",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingest content-verified (sources/warcmini.py): every
+    documents row is written as a gzipped WARC response record (archived
+    HTTP payload, Content-Length framing, one gzip member per record —
+    the Common Crawl .warc.gz layout) and parsed back through the
+    production record parser; the oracle is the exact identity, so the
+    hash-match proves header framing, member-gzip handling, and HTTP
+    body splitting over the whole corpus. Pure per-row projection."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    from vectorflow_spark.sources.warcmini import build_warc, parse_warc
+
+    @F.pandas_udf(BinaryType())
+    def _encode(ids, texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                build_warc([(f"http://corpus.local/{i}", t.encode("utf-8"), "text/plain")])
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    @F.pandas_udf(StringType())
+    def _decode(blobs):
+        def one(b: bytes) -> str:
+            recs = [r for r in parse_warc(bytes(b)) if r["warc-type"] == "response"]
+            [rec] = recs
+            return rec["body"].decode("utf-8")
+
+        return blobs.map(one)
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select(
+        "doc_id", _decode(_encode(F.col("doc_id"), F.col("text"))).alias("warc_text")
+    )
