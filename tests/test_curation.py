@@ -207,3 +207,50 @@ class TestMarkdownExtract:
         assert "```" not in out and "fenced code block" not in out
         assert "http://example.com" not in out
         assert "![" not in out and "#" not in out
+
+
+class TestUrlCanonicalization:
+    CASES = [
+        ("https://WWW.Example.COM/Path/Sub/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path/Sub?a=1&b=2", "example.com"),
+        ("http://example.com", "http://example.com/", "example.com"),
+        ("https://example.com/", "https://example.com/", "example.com"),
+        ("https://sub.example.com/A/B?fbclid=123", "https://sub.example.com/A/B", "sub.example.com"),
+        ("https://example.com/p?gclid=9&z=1&a=2&utm_campaign=c",
+         "https://example.com/p?a=2&z=1", "example.com"),
+        ("https://example.com/p/", "https://example.com/p", "example.com"),
+        ("ftp://Files.example.org/data.bin", "ftp://files.example.org/data.bin", "files.example.org"),
+        ("https://example.com/?utm_x=1", "https://example.com/", "example.com"),
+    ]
+
+    def test_rules(self, spark):
+        from vectorflow_spark.operators.urls import canonical_url_expr, url_host_expr
+
+        df = spark.createDataFrame([(u,) for u, _, _ in self.CASES], "url string")
+        out = {
+            r.url: (r.c, r.h)
+            for r in df.select(
+                "url",
+                canonical_url_expr(F.col("url")).alias("c"),
+                url_host_expr(F.col("url")).alias("h"),
+            ).collect()
+        }
+        for u, want_c, want_h in self.CASES:
+            assert out[u] == (want_c, want_h), u
+
+    def test_variants_collapse_to_one_key(self, spark):
+        """The dedup property: www/case/tracking/fragment/slash variants
+        of one page all canonicalize to a single key."""
+        from vectorflow_spark.operators.urls import canonical_url_expr
+
+        variants = [
+            "https://www.example.com/page",
+            "https://WWW.EXAMPLE.COM/page",
+            "https://example.com/page/",
+            "https://example.com/page?utm_source=tw",
+            "https://example.com/page#section-2",
+            "https://example.com/page?fbclid=abc#x",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        keys = {r.c for r in df.select(canonical_url_expr(F.col("url")).alias("c")).collect()}
+        assert keys == {"https://example.com/page"}

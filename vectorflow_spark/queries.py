@@ -8005,3 +8005,71 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", _decode(_encode(F.col("doc_id"), F.col("text"))).alias("warc_text")
     )
+
+
+@query(
+    "q_url_canonical",
+    r"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.example/Path'
+               || CAST(doc_id % 5 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&a=' || CAST(doc_id % 4 AS VARCHAR)
+               || '#frag' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\.', '') AS host,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM urls
+    ),
+    kept AS (
+        SELECT *, list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]*|fbclid|gclid)=')))
+               AS ps
+        FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host ||
+           CASE WHEN raw_path = '' THEN '/'
+                WHEN length(raw_path) > 1 AND raw_path LIKE '%/'
+                     THEN substring(raw_path, 1, length(raw_path) - 1)
+                ELSE raw_path END ||
+           CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
+           AS canonical_url,
+           host
+    FROM kept
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) — the first dedup key of
+    crawl curation: scheme/host lowercase, www. and fragment dropped,
+    tracking params removed, surviving params SORTED, trailing slash
+    normalized. Input URLs are synthesized deterministically from doc_id
+    (www-prefix, mixed case, tracking params, fragments, trailing-slash
+    variants all present); the oracle reimplements the full rule chain in
+    SQL, so the hash-match pins every rule. Pure codegen projection —
+    zero Python on the 100 TB crawl-manifest hot path."""
+    from vectorflow_spark.operators.urls import canonical_url_expr, url_host_expr
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/Path"), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 4).cast("string"),
+        F.lit("#frag"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        canonical_url_expr(url).alias("canonical_url"),
+        url_host_expr(url).alias("host"),
+    )
