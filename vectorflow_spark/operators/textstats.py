@@ -657,3 +657,28 @@ def distributed_train_ranks(
             .localCheckpoint()
         )
     return ranks
+
+
+def normalize_text_nfc(docs, text_col: str = "text", out_col: str = "norm_text"):
+    """Unicode NFC normalization — the canonicalization step every text
+    corpus needs before hashing/dedup: visually-identical strings with
+    decomposed combining marks (e + U+0301 vs é) hash differently and
+    silently defeat exact dedup, sharding keys, and tokenizer caches.
+
+    Runs as an Arrow-batched pandas UDF over Python's unicodedata (the
+    JVM exposes java.text.Normalizer but Spark ships no SQL function for
+    it); stays a per-row projection — zero shuffle, scales by
+    partitioning alone. Verified engine-vs-engine: unicodedata.normalize
+    ('NFC', s) is codepoint-identical to DuckDB's nfc_normalize on the
+    oracle corpus (q_unicode_normalize)."""
+    from pyspark.sql.types import StringType
+
+    def _nfc(texts):
+        import unicodedata
+
+        return texts.map(lambda s: None if s is None else unicodedata.normalize("NFC", s))
+
+    # lambda form: pyspark's signature parser can't resolve pd.Series
+    # annotations when pandas is imported function-locally
+    nfc_udf = F.pandas_udf(_nfc, StringType())
+    return docs.withColumn(out_col, nfc_udf(F.col(text_col)))

@@ -8073,3 +8073,45 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url_expr(url).alias("canonical_url"),
         url_host_expr(url).alias("host"),
     )
+
+
+_NFC_VARIANTS = ['café', 'Å ring', 'ñ tilde', 'plain']
+
+
+@query(
+    "q_unicode_normalize",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' ' || (['café', 'Å ring', 'ñ tilde', 'plain'])[CAST(doc_id % 4 + 1 AS INT)] AS raw_text
+        FROM documents
+    )
+    SELECT doc_id, nfc_normalize(raw_text) AS norm_text,
+           nfc_normalize(raw_text) <> raw_text AS changed
+    FROM aug
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textstats.normalize_text_nfc):
+    every document is suffixed with a doc_id-selected DECOMPOSED form
+    (combining acute/ring/tilde) so the normalizer provably rewrites 3/4
+    of rows; the oracle is DuckDB's nfc_normalize — two independent
+    Unicode implementations must agree codepoint-for-codepoint on the
+    whole corpus. Arrow-batched projection, zero shuffle."""
+    from vectorflow_spark.operators.textstats import normalize_text_nfc
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    variants = F.array(*[F.lit(v) for v in _NFC_VARIANTS])
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.element_at(variants, (F.col("doc_id") % 4 + 1).cast("int")),
+        ).alias("raw_text"),
+    )
+    out = normalize_text_nfc(aug, text_col="raw_text")
+    return out.select(
+        "doc_id",
+        F.col("norm_text"),
+        (F.col("norm_text") != F.col("raw_text")).alias("changed"),
+    )
