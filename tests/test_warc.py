@@ -75,3 +75,26 @@ def test_read_warc_scan_and_html_compose(spark, tmp_path):
         .groupBy("warc_file").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_file == {"seg1.warc.gz": 2, "seg2.warc.gz": 1}
+
+
+def test_warc_roundtrip_fuzz():
+    """Hypothesis: arbitrary (url-ish, body-bytes) records survive the
+    build->parse roundtrip under both compressions — Content-Length
+    framing must never depend on body content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E), min_size=1, max_size=40
+    ).map(lambda s: f"http://h/{s}")
+    rec_st = st.tuples(url_st, st.binary(max_size=300), st.just("application/octet-stream"))
+
+    @given(recs=st.lists(rec_st, min_size=1, max_size=5), compress=st.booleans())
+    @settings(max_examples=120, deadline=None)
+    def inner(recs, compress):
+        parsed = parse_warc(build_warc(recs, compress=compress))
+        resp = [r for r in parsed if r["warc-type"] == "response"]
+        assert [r["body"] for r in resp] == [b for _, b, _ in recs]
+        assert [r["warc-target-uri"] for r in resp] == [u for u, _, _ in recs]
+
+    inner()
