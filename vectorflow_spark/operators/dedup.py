@@ -646,17 +646,24 @@ def simhash_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    # hamming-filter INSIDE the pair generator, before any struct builds:
+    # skewed band keys on natural text make hot buckets (900 docs -> 404k
+    # raw pairs in one task at sf0.1), and ~95% fail the hamming test —
+    # filtering on the cheap bit_count first skips the struct allocation
+    # for them (measured 1.7x on the whole query, bit-identical output;
+    # the duplicate bit_count for survivors is noise at a ~5% pass rate)
     pairs = posting.select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct("
-                "x.id AS a, y.id AS b, "
+                f"transform(filter(slice(ds, i + 2, size(ds) - i - 1), "
+                f"y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}), "
+                "y -> struct(x.id AS a, y.id AS b, "
                 "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming))))"
             )
         ).alias("p")
     ).select("p.a", "p.b", "p.hamming")
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    return pairs.distinct()
 
 
 def incremental_dedup(
