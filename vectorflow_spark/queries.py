@@ -8115,3 +8115,68 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm_text"),
         (F.col("norm_text") != F.col("raw_text")).alias("changed"),
     )
+
+
+@query(
+    "q_embedding_drift",
+    """
+    WITH v2 AS (
+        SELECT vec_id, label, embedding AS e1,
+               list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+                   p -> CAST(p[1] AS DOUBLE)
+                        + CASE WHEN p[2] = 1
+                               THEN 0.5 * CAST(vec_id % 3 AS DOUBLE) ELSE 0.0 END) AS e2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(list_zip(e1, e2),
+                     p -> CAST(p[1] AS DOUBLE) * p[2]))
+                 / (sqrt(list_sum(list_transform(e1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e2, x -> x * x)))),
+                 9) AS cos_v1_v2
+        FROM v2
+        WHERE list_sum(list_transform(e1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(cos_v1_v2) AS DOUBLE) AS min_cos,
+           CAST(count(*) FILTER (cos_v1_v2 < 0.999999) AS BIGINT) AS n_drifted
+    FROM scored GROUP BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-version drift audit — the gate you run on the versioned
+    vector store (sinks/writers.versioned_write) before flipping the
+    pointer after a re-embed: per-id cosine between the serving vectors
+    (v1) and the candidate version (v2, here a deterministic single-
+    coordinate perturbation so exactly the vec_id%3!=0 rows change
+    direction), rolled up per label
+    to (count, min cosine, drifted count). A pure-scale change has cosine
+    1.0 — the audit distinguishes benign renormalization from real
+    direction changes. Per-row fold + one small groupBy; at 100 TB the
+    join of two store versions on vec_id is the only data-sized exchange
+    (bucketed store layout makes it co-located)."""
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    e1 = F.col("embedding")
+    bump = F.lit(0.5) * (F.col("vec_id") % 3).cast("double")
+    e2 = F.transform(
+        e1, lambda x, i: x.cast("double") + F.when(i == 0, bump).otherwise(F.lit(0.0))
+    )
+    base = emb.select("vec_id", "label", e1.alias("_e1"), e2.alias("_e2"))
+    dot = F.aggregate(
+        F.zip_with("_e1", "_e2", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(F.transform("_e1", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    n2 = F.sqrt(F.aggregate(F.transform("_e2", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = base.filter(n1 > 0).select(
+        "vec_id", "label", F.round(dot / (n1 * n2), 9).alias("cos_v1_v2")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("cos_v1_v2").alias("min_cos"),
+        F.sum(F.when(F.col("cos_v1_v2") < 0.999999, 1).otherwise(0)).cast("bigint").alias("n_drifted"),
+    )
