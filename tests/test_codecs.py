@@ -181,3 +181,46 @@ def test_meta_plumbing_mixed_real_and_fake(spark):
         assert r.meta.kind == "image"
         assert r.meta.n_bytes == len(r.data)
         assert (r.meta.width, r.meta.height) == (16, 12)
+
+
+class TestHammingPairs:
+    def test_perturbed_image_pairs_with_base(self, spark):
+        """A one-pixel nudge moves dHash a few bits at most: the base and
+        its perturbed re-encode must pair at small hamming; unrelated
+        seeds must not flood the pair set."""
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+
+        def one(i) -> bytes:
+            blob = make_fake_image(str(int(i) % 6))
+            if int(i) >= 6:  # ids 6..11 are perturbed twins of 0..5
+                px = decode_image(blob).copy()
+                px[0, 0, 0] ^= 0x40
+                return encode_bmp(px)
+            return blob
+
+        gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
+        assets = spark.range(0, 12).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+        hashed = image_dhash(assets)
+        pairs = {
+            (r.a, r.b): r.hamming
+            for r in hamming_candidate_pairs(
+                hashed, "asset_id", "dhash", bits=63, n_bands=7, max_hamming=6
+            ).collect()
+        }
+        for base in range(6):
+            assert (base, base + 6) in pairs, f"twin pair {base} missing"
+            assert pairs[(base, base + 6)] <= 6
+
+    def test_pigeonhole_guard(self, spark):
+        from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+
+        fp = spark.createDataFrame([(1, 5)], "id long, fp long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            hamming_candidate_pairs(fp, "id", "fp", bits=64, n_bands=4, max_hamming=4)
+        with _pytest.raises(ValueError, match="divide"):
+            hamming_candidate_pairs(fp, "id", "fp", bits=63, n_bands=4, max_hamming=2)

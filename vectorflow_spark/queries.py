@@ -8180,3 +8180,43 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cos_v1_v2").alias("min_cos"),
         F.sum(F.when(F.col("cos_v1_v2") < 0.999999, 1).otherwise(0)).cast("bigint").alias("n_drifted"),
     )
+
+
+@query("q_image_neardup_pairs")
+def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
+    is Python): images share a pixel seed mod 17, and every 5th image is
+    a PERTURBED re-encode (one pixel nudged, shipped as BMP) — a true
+    near-duplicate that exact Hamming-0 grouping (q_image_dhash_dedup)
+    misses. dHash fingerprints feed the generic Hamming-ball bander
+    (operators/dedup.hamming_candidate_pairs; the 63-bit dHash splits
+    into 7 bands of 9 bits), pairing anything within 6 differing bits —
+    exact by pigeonhole. Counts per hamming distance keep the result
+    small and deterministic."""
+    from vectorflow_spark.operators.codecs import decode_image, encode_bmp
+    from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _one(i) -> bytes:
+        blob = make_fake_image(str(int(i) % 17))
+        if int(i) % 5 == 0:
+            px = decode_image(blob).copy()
+            px[0, 0, 0] ^= 0x40  # nudge one channel of one pixel
+            return encode_bmp(px)
+        return blob
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    hashed = image_dhash(assets)
+    pairs = hamming_candidate_pairs(
+        hashed, "asset_id", "dhash", bits=63, n_bands=7, max_hamming=6
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a")).alias("min_a"),
+    )
