@@ -8220,3 +8220,53 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.col("a")).alias("min_a"),
     )
+
+
+@query(
+    "q_session_window_native",
+    """
+    WITH sec AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ),
+    g AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) >= 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM sec
+    ),
+    s AS (
+        SELECT user_id, ts_s,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           min(ts_s) AS session_start,
+           max(ts_s) + 1800 AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-NATIVE session windows: ``F.session_window(ts, gap)`` in a
+    plain groupBy — the built-in operator behind streaming session aggs,
+    here proven equivalent to the classical gaps-and-islands SQL. Boundary
+    semantics pinned by the oracle: Spark closes a session when the next
+    event is >= gap away (window end is last_ts + gap, and a window
+    STARTING exactly at a previous end does not overlap it), so the
+    islands formulation must break on ``diff >= gap`` — the off-by-one
+    that silently differs from the common ``>`` folklore. One shuffle on
+    (user, session); at scale this is the same plan the watermarked
+    streaming version runs per state update."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.expr("ts div 1000000000")).alias("t")
+    )
+    out = ev.groupBy("user_id", F.session_window("t", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
