@@ -142,6 +142,78 @@ class TestWatermarkLateData:
         assert rows["2024-01-01 10:00:00"] == (1, 1.0)
 
 
+class TestNativeSessionWindow:
+    def test_streaming_session_window_with_watermark(self, spark, tmp_path):
+        """ENGINE-native streaming sessionization: groupBy(session_window)
+        under a watermark in append mode — sessions finalize once the
+        watermark passes their end+gap, and the emitted (start, end, n)
+        match the batch q_session_window_native semantics (touching
+        windows merge; break only on gap > 30 min)."""
+        import json
+        import os
+
+        src = tmp_path / "native_sess"
+        src.mkdir()
+
+        def write(name, rows, mtime):
+            p = src / name
+            with open(p, "w") as f:
+                for u, ts in rows:
+                    f.write(json.dumps({"user_id": u, "ts": ts}) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                F.col("w.end").cast("string").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("native_sess")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            write(
+                "b1.json",
+                [
+                    (1, "2024-01-01 09:00:00"),
+                    (1, "2024-01-01 09:10:00"),   # same session (10 min gap)
+                    (1, "2024-01-01 09:40:00"),   # exactly 30 min after 09:10:
+                    #  touching windows MERGE (probed: batch and streaming agree)
+                    (2, "2024-01-01 09:00:00"),
+                ],
+                1000,
+            )
+            q.processAllAvailable()
+            # advance the watermark far enough to finalize everything above
+            write("b2.json", [(9, "2024-01-01 15:00:00")], 2000)
+            q.processAllAvailable()
+            write("b3.json", [(9, "2024-01-01 20:00:00")], 3000)
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        rows = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM native_sess").collect()
+        }
+        # user 1: ONE merged session — the event exactly at the previous
+        # window's end extends it (end = 09:40 + 30min)
+        assert rows[(1, "2024-01-01 09:00:00")] == ("2024-01-01 10:10:00", 3)
+        assert rows[(2, "2024-01-01 09:00:00")] == ("2024-01-01 09:30:00", 1)
+        # exactly one (merged) session for user 1 — no splinter windows;
+        # the watermark-driver rows for user 9 may also finalize, ignore
+        assert len([k for k in rows if k[0] == 1]) == 1
+
+
 class TestStreamDedup:
     def test_redelivery_within_watermark_dropped(self, spark, tmp_path):
         """At-least-once re-deliveries of the same deterministic id inside

@@ -8230,7 +8230,7 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
         SELECT user_id, ts_s,
-               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) >= 1800
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
                     THEN 1 ELSE 0 END AS ns
         FROM sec
     ),
@@ -8251,13 +8251,13 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-NATIVE session windows: ``F.session_window(ts, gap)`` in a
     plain groupBy — the built-in operator behind streaming session aggs,
     here proven equivalent to the classical gaps-and-islands SQL. Boundary
-    semantics pinned by the oracle: Spark closes a session when the next
-    event is >= gap away (window end is last_ts + gap, and a window
-    STARTING exactly at a previous end does not overlap it), so the
-    islands formulation must break on ``diff >= gap`` — the off-by-one
-    that silently differs from the common ``>`` folklore. One shuffle on
-    (user, session); at scale this is the same plan the watermarked
-    streaming version runs per state update."""
+    semantics pinned empirically (batch AND streaming probed, round 3): a
+    window STARTING exactly at a previous session's end DOES merge into it
+    — touching counts as overlapping — so the islands formulation breaks
+    on ``diff > gap``, and an event exactly gap-seconds after its
+    predecessor extends the session. One shuffle on (user, session); at
+    scale this is the same plan the watermarked streaming version runs
+    per state update."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.timestamp_seconds(F.expr("ts div 1000000000")).alias("t")
     )
