@@ -9,8 +9,18 @@ content ids make every write idempotent; custom logic is confined to pandas
 UDFs / ``mapInPandas`` / ``foreachPartition`` — no RDDs, no driver-side loops.
 """
 
-from vectorflow_spark.config import PipelineConfig
+from vectorflow_spark.config import ChunkStrategy, PipelineConfig
 from vectorflow_spark.session import get_spark
 
-__all__ = ["PipelineConfig", "get_spark"]
+
+def run_pipeline(documents, cfg, text_col: str = "text", doc_col: str = "source"):
+    """Top-level convenience re-export: documents -> sink records (see
+    vectorflow_spark.pipeline.run_pipeline). Imported lazily so
+    ``import vectorflow_spark`` stays cheap for config-only callers."""
+    from vectorflow_spark.pipeline import run_pipeline as _run
+
+    return _run(documents, cfg, text_col=text_col, doc_col=doc_col)
+
+
+__all__ = ["ChunkStrategy", "PipelineConfig", "get_spark", "run_pipeline"]
 __version__ = "0.1.0"

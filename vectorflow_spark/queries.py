@@ -8185,10 +8185,12 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_image_neardup_pairs")
 def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
-    is Python): images share a pixel seed mod 17, and every 5th image is
-    a PERTURBED re-encode (one pixel nudged, shipped as BMP) — a true
-    near-duplicate that exact Hamming-0 grouping (q_image_dhash_dedup)
-    misses. dHash fingerprints feed the generic Hamming-ball bander
+    is Python): the corpus is UNIQUE images (seed = id) except every 5th,
+    which is a PERTURBED BMP re-encode of its successor (three interior
+    sampled pixels nudged) — true near-duplicates whose dHash lands 1-4
+    bits away, so exact Hamming-0 grouping (q_image_dhash_dedup) misses
+    ~80% of them, without the mass-duplicate clusters that belong to the
+    exact pass. dHash fingerprints feed the generic Hamming-ball bander
     (operators/dedup.hamming_candidate_pairs; the 63-bit dHash splits
     into 7 bands of 9 bits), pairing anything within 6 differing bits —
     exact by pigeonhole. Counts per hamming distance keep the result
@@ -8202,12 +8204,14 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import BinaryType
 
     def _one(i) -> bytes:
-        blob = make_fake_image(str(int(i) % 17))
-        if int(i) % 5 == 0:
-            px = decode_image(blob).copy()
-            px[0, 0, 0] ^= 0x40  # nudge one channel of one pixel
+        if int(i) % 5 == 0:  # perturbed twin of image i+1
+            px = decode_image(make_fake_image(str(int(i) + 1))).copy()
+            # Nudge three dHash-sampled interior pixels: (0,0) would only
+            # touch bit 63, which the int64-safe mask drops.
+            for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                px[y, x, :] ^= 0x60
             return encode_bmp(px)
-        return blob
+        return make_fake_image(str(int(i)))
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
