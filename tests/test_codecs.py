@@ -16,13 +16,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectorflow_spark.operators.codecs import (
+    PNG_MAGIC,
     decode_audio,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_wav,
     encode_bmp,
     encode_image_like,
+    encode_png,
     encode_wav,
+    png_meta,
 )
 from vectorflow_spark.operators.multimodal import (
     audio_features,
@@ -78,6 +82,157 @@ class TestBmp:
             decode_bmp(bytes(data))
 
 
+def _png_forward_filter(px: np.ndarray, filters: list[int]) -> bytes:
+    """Independent forward PNG filterer (the inverse of what the decoder
+    must undo), straight from the spec, one filter type per scanline."""
+    h, w, c = px.shape
+    stride = w * c
+    flat = px.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y, ft in enumerate(filters):
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        cur = flat[y]
+        out.append(ft)
+        for i in range(stride):
+            a = int(cur[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out.append((int(cur[i]) - pred) & 0xFF)
+    return bytes(out)
+
+
+def _raw_png(w: int, h: int, color: int, payload: bytes, extra: bytes = b"") -> bytes:
+    """Hand-assemble a PNG from already-filtered scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + extra
+        + chunk(b"IDAT", zlib.compress(payload))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestPng:
+    def test_encode_decode_roundtrip(self):
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+        gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_each_filter_type_unfilters(self, ft):
+        """Every scanline filter the spec defines, cross-checked against an
+        independent forward implementation."""
+        rng = np.random.default_rng(100 + ft)
+        px = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+        blob = _raw_png(11, 7, 2, _png_forward_filter(px, [ft] * 7))
+        assert np.array_equal(decode_png(blob), px)
+
+    def test_mixed_filters_per_row(self):
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+        blob = _raw_png(8, 10, 2, _png_forward_filter(px, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]))
+        assert np.array_equal(decode_png(blob), px)
+
+    def test_gray_and_alpha_color_types(self):
+        rng = np.random.default_rng(5)
+        # type 0: gray -> replicated channels
+        g = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+        blob = _raw_png(6, 4, 0, _png_forward_filter(g, [1, 3, 4, 2]))
+        assert np.array_equal(decode_png(blob), np.repeat(g, 3, axis=2))
+        # type 4: gray+alpha -> alpha dropped
+        ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+        blob = _raw_png(6, 4, 4, _png_forward_filter(ga, [0, 1, 2, 4]))
+        assert np.array_equal(decode_png(blob), np.repeat(ga[:, :, :1], 3, axis=2))
+        # type 6: RGBA -> alpha dropped
+        rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+        blob = _raw_png(6, 4, 6, _png_forward_filter(rgba, [4, 3, 2, 1]))
+        assert np.array_equal(decode_png(blob), rgba[:, :, :3])
+
+    def test_palette_color_type(self):
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(5, 7, 1), dtype=np.uint8)
+        plte_body = pal.tobytes()
+        plte = (
+            struct.pack(">I", len(plte_body))
+            + b"PLTE"
+            + plte_body
+            + struct.pack(">I", zlib.crc32(b"PLTE" + plte_body) & 0xFFFFFFFF)
+        )
+        blob = _raw_png(7, 5, 3, _png_forward_filter(idx, [0, 1, 2, 3, 4]), extra=plte)
+        assert np.array_equal(decode_png(blob), pal[idx[:, :, 0]])
+
+    def test_crc_corruption_raises(self):
+        blob = bytearray(encode_png(np.zeros((3, 3, 3), dtype=np.uint8)))
+        blob[40] ^= 0xFF  # somewhere inside IDAT
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(blob))
+
+    def test_unsupported_variants_refused(self):
+        import struct
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        good = bytearray(encode_png(px))
+        # patch IHDR depth byte (offset 8+4+4+8 = 24) to 16 and re-CRC
+        import zlib as z
+
+        for offset, value, err in ((24, 16, "depth"), (28, 1, "interlace")):
+            blob = bytearray(good)
+            blob[offset] = value
+            ihdr = bytes(blob[16:29])
+            blob[29:33] = struct.pack(">I", z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+            with pytest.raises(NotImplementedError):
+                decode_png(bytes(blob))
+
+    def test_meta_is_header_only(self):
+        px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        blob = encode_png(px)
+        assert png_meta(blob) == (5, 4, 3)
+        m = decode_meta(blob)
+        assert (m["kind"], m["width"], m["height"], m["channels"]) == ("image", 5, 4, 3)
+        # truncate the IDAT: header-only probing must still succeed
+        assert png_meta(blob[:40]) == (5, 4, 3)
+
+    def test_dhash_invariant_across_all_three_containers(self):
+        from vectorflow_spark.operators.codecs import encode_image_like
+
+        blob = make_fake_image("png-parity")
+        px = decode_image(blob)
+        as_png = encode_png(px)
+        assert as_png[:8] == PNG_MAGIC
+        assert np.array_equal(decode_image(as_png), px)
+        assert encode_image_like(px, as_png)[:8] == PNG_MAGIC
+
+
 class TestWav:
     def test_u8_roundtrip(self):
         s = np.arange(256, dtype=np.uint8)
@@ -94,11 +249,18 @@ class TestWav:
         assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 16000, 123)
 
 
-def test_png_jpeg_magic_still_refused():
+def test_jpeg_and_mp3_magic_still_refused():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg frame")
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+
+
+def test_garbage_png_is_a_parse_error_not_a_refusal():
+    """PNG is now a supported container: corrupt bytes must be a loud
+    ValueError (parse failure), never silently decoded or mis-refused."""
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 # ---------------------------------------------------------------------------
@@ -107,36 +269,45 @@ def test_png_jpeg_magic_still_refused():
 
 
 def _mixed_image_assets(spark, n=24):
-    """Same pixel content per (id mod 5), alternating FAKE/BMP container."""
+    """Same pixel content per (id mod 5), rotating FAKE/BMP/PNG container."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
     def one(i) -> bytes:
         blob = make_fake_image(str(int(i) % 5))
-        return encode_bmp(decode_image(blob)) if int(i) % 2 else blob
+        k = int(i) % 3
+        if k == 1:
+            return encode_bmp(decode_image(blob))
+        if k == 2:
+            return encode_png(decode_image(blob))
+        return blob
 
     gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
     return spark.range(0, n).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
 
 
 def test_dhash_is_container_independent(spark):
-    """doc mod 5 pixel seeds, half FAKE half BMP: every hash group must
-    contain BOTH parities — the dedup key is the pixels, not the bytes."""
+    """doc mod 5 pixel seeds rotated through FAKE/BMP/PNG: every hash
+    group must contain ALL THREE containers — the dedup key is the
+    pixels, not the bytes."""
     hashed = image_dhash(_mixed_image_assets(spark)).collect()
     by_hash: dict[int, set[int]] = {}
     for r in hashed:
-        by_hash.setdefault(r.dhash, set()).add(r.asset_id % 2)
+        by_hash.setdefault(r.dhash, set()).add(r.asset_id % 3)
     assert len(by_hash) <= 5
-    for parities in by_hash.values():
-        assert parities == {0, 1}
+    for containers in by_hash.values():
+        assert containers == {0, 1, 2}
 
 
 def test_resize_preserves_container_family(spark):
     out = image_resize(_mixed_image_assets(spark, n=6), 4, 4).collect()
     for r in out:
         blob = bytes(r.resized)
-        if r.asset_id % 2:
+        k = r.asset_id % 3
+        if k == 1:
             assert blob[:2] == b"BM"
+        elif k == 2:
+            assert blob[:8] == PNG_MAGIC
         else:
             assert blob[:4] == b"FIMG"
         m = decode_meta(blob)

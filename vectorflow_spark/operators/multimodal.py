@@ -6,12 +6,12 @@ back as ``array<float>``, and every operator is a per-row map (no shuffle)
 that scales by partitioning alone.
 
 Container support (operators/codecs.py): REAL stdlib-decodable formats —
-BMP images (uncompressed 24/32-bit) and PCM WAV audio (8/16-bit) — plus
-the deterministic FAKE codec family below; every image/audio kernel
-(metadata, resize, dHash, audio features) dispatches on magic bytes and
-runs the same pixel/sample math for both. Formats that genuinely need
-external libraries (PNG/JPEG/MP3/MP4) raise ``NotImplementedError``
-loudly — parse correctly or refuse, never guess.
+BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib) and PCM
+WAV audio (8/16-bit) — plus the deterministic FAKE codec family below;
+every image/audio kernel (metadata, resize, dHash, audio features)
+dispatches on magic bytes and runs the same pixel/sample math for all.
+Formats that genuinely need external libraries (JPEG/MP3/MP4) raise
+``NotImplementedError`` loudly — parse correctly or refuse, never guess.
 
 The FAKE codec family (seeded, reproducible test assets):
 
@@ -69,10 +69,11 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 
 def decode_meta(data: bytes) -> dict:
-    """Parse container headers into typed metadata: FAKE family, BMP
-    (header fields only — pixels untouched) and PCM WAV (stdlib wave).
-    PNG/JPEG/MP3/MP4 would dispatch to their libraries here — absent in
-    this environment, so they raise instead of silently guessing."""
+    """Parse container headers into typed metadata: FAKE family, BMP and
+    PNG (header fields only — pixels stay compressed/untouched) and PCM
+    WAV (stdlib wave). JPEG/MP3/MP4 would dispatch to their libraries
+    here — absent in this environment, so they raise instead of silently
+    guessing."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -89,8 +90,11 @@ def decode_meta(data: bytes) -> dict:
     if magic == codecs.RIFF_MAGIC:
         samples, rate = codecs.decode_wav(bytes(data))
         return {"kind": "audio", "sample_rate": rate, "n_samples": len(samples), "n_bytes": len(data)}
+    if data[:8] == codecs.PNG_MAGIC:
+        w, h, c = codecs.png_meta(bytes(data))
+        return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     raise NotImplementedError(
-        "codec decode supports the FAKE family, BMP and PCM WAV; PNG/JPEG/MP3/"
+        "codec decode supports the FAKE family, BMP, PNG and PCM WAV; JPEG/MP3/"
         "MP4 require external libraries not installed in this environment"
     )
 
@@ -118,7 +122,7 @@ def with_asset_meta(assets: DataFrame, data_col: str = "data") -> DataFrame:
 
 def image_resize(assets: DataFrame, out_w: int, out_h: int, data_col: str = "data") -> DataFrame:
     """Nearest-neighbor resize — a real pixel kernel (numpy over Arrow
-    batches) over any decodable image container (FAKE or BMP); the result
+    batches) over any decodable image container (FAKE, BMP or PNG); the result
     re-encodes in the SAME container family as the input."""
     fields = [f.name for f in assets.schema.fields]
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
@@ -240,7 +244,7 @@ def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
 
 def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) -> DataFrame:
     """Perceptual difference-hash (dHash) over any decodable image
-    container (FAKE or BMP): resize to 9x8 luma, compare horizontal
+    container (FAKE, BMP or PNG): resize to 9x8 luma, compare horizontal
     neighbors, pack 64 bits into a BIGINT. The standard near-duplicate-
     image signature — robust to re-encoding and mild resizing because
     only neighbor ORDER survives; identical pixels hash identically

@@ -5968,12 +5968,12 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel seed is doc_id mod 97 — guaranteeing duplicate pixel content —
     dHash them, and report hash groups with >1 member (Hamming-0 exact
     groups; Hamming-band the integer like SimHash for near-dups).
-    CROSS-CONTAINER by construction: even ids ship FAKE-codec blobs, odd
-    ids re-encode the same pixels as real BMP files, so every duplicate
-    group mixes both container families — the dedup key is the pixels,
-    not the bytes. Plan: Arrow-batched hash UDF, then one groupBy on the
-    8-byte hash."""
-    from vectorflow_spark.operators.codecs import decode_image, encode_bmp
+    CROSS-CONTAINER by construction: ids rotate mod 3 through FAKE-codec
+    blobs, real BMP files and real PNG files (stdlib zlib decode), so
+    every duplicate group mixes all three container families — the dedup
+    key is the pixels, not the bytes. Plan: Arrow-batched hash UDF, then
+    one groupBy on the 8-byte hash."""
+    from vectorflow_spark.operators.codecs import decode_image, encode_bmp, encode_png
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
@@ -5982,8 +5982,11 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _one(i) -> bytes:
         blob = make_fake_image(str(int(i) % 97))
-        if int(i) % 2:
+        k = int(i) % 3
+        if k == 1:
             return encode_bmp(decode_image(blob))
+        if k == 2:
+            return encode_png(decode_image(blob))
         return blob
 
     # lambda form: pyspark's signature parser can't resolve `pd.Series`
