@@ -385,6 +385,25 @@ class TestHammingPairs:
             assert (base, base + 6) in pairs, f"twin pair {base} missing"
             assert pairs[(base, base + 6)] <= 6
 
+    def test_negative_fingerprints_pair(self, spark):
+        """Sign-bit-set int64 fingerprints must band identically to their
+        raw bit pattern: -1 (all ones) and -1^0b100 differ by 1 bit and
+        MUST pair; under `div`/`%` banding (sign-following) the top-band
+        keys diverged and the pair was silently dropped."""
+        from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+
+        fp = spark.createDataFrame(
+            [(0, -1), (1, -1 ^ 0b100), (2, 0), (3, 0x0F0F0F0F0F0F0F0F)],
+            "id long, fp long",
+        )
+        pairs = {
+            (r.a, r.b): r.hamming
+            for r in hamming_candidate_pairs(
+                fp, "id", "fp", bits=64, n_bands=8, max_hamming=4
+            ).collect()
+        }
+        assert pairs == {(0, 1): 1}
+
     def test_pigeonhole_guard(self, spark):
         from vectorflow_spark.operators.dedup import hamming_candidate_pairs
 

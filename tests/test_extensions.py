@@ -95,6 +95,19 @@ class TestLshRecallAudit:
         [full] = lsh_recall_audit(docs).collect()
         assert 0 < a.n_exact < full.n_exact
 
+    def test_sampled_recall_within_tolerance_of_exact(self, spark, sf_dir):
+        """The production (sampled) audit must estimate the exact-mode
+        recall: within 0.15 absolute on the driver corpus — the pin that
+        makes q_lsh_recall_sampled a trustworthy stand-in for the 4 s
+        exact oracle mode in the bench."""
+        from vectorflow_spark.operators.dedup import lsh_recall_audit
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        [exact] = lsh_recall_audit(docs, sample=1.0).collect()
+        [sampled] = lsh_recall_audit(docs, sample=0.3).collect()
+        assert sampled.n_exact > 0
+        assert abs(sampled.recall - exact.recall) <= 0.15
+
     def test_sample_bounds_validated(self, spark, sf_dir):
         import pytest as _pytest
 
@@ -231,6 +244,19 @@ class TestEmbeddingNearDup:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
         pairs = {(r.a, r.b) for r in embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()}
         assert pairs == {(1, 2)}  # 4 is identical but in another block
+
+    def test_unblocked_requires_explicit_cap(self, spark):
+        """The quadratic (no block_col) path must be an explicit opt-in."""
+        import pytest
+
+        v = [1.0, 0.0]
+        df = spark.createDataFrame([(1, v), (2, v)], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_rows"):
+            embedding_neardup_pairs(df)
+        with pytest.raises(ValueError, match="exceeds"):
+            embedding_neardup_pairs(df, max_rows=1)
+        pairs = {(r.a, r.b) for r in embedding_neardup_pairs(df, max_rows=10).collect()}
+        assert pairs == {(1, 2)}
 
 
 class TestTextStats:

@@ -168,6 +168,61 @@ def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     assert read_versioned(spark, root, version=3).count() == 3  # untouched
 
 
+def test_vacuum_wrong_prefix_refuses(spark, tmp_path):
+    """A store laid out with a different directory prefix must make vacuum
+    fail loudly BEFORE the manifest commit — not drop manifest entries
+    while rmtree silently deletes nothing."""
+    from vectorflow_spark.sinks.writers import (
+        list_versions,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    (tmp_path / "store").mkdir()
+    for i in range(4):
+        versioned_write(spark.range(3).toDF("id"), root)
+    import os
+
+    for v in range(1, 5):  # relabel the layout as a version= store
+        os.rename(f"{root}/v={v}", f"{root}/version={v}")
+    with pytest.raises(ValueError, match="prefix"):
+        vacuum_versions(root, keep_last=2)  # default prefix="v" mismatches
+    assert list_versions(root) == [1, 2, 3, 4]  # manifest untouched
+    removed = vacuum_versions(root, keep_last=2, prefix="version")
+    assert removed == [1, 2]
+    assert not os.path.isdir(f"{root}/version=1")
+    assert os.path.isdir(f"{root}/version=3")
+
+
+def test_versioned_write_refuses_concurrent_commit(spark, tmp_path):
+    """Two writers racing from the same manifest: the second to commit
+    must refuse rather than silently overwrite the first's committed
+    version."""
+    from vectorflow_spark.sinks.writers import read_versioned, versioned_write
+
+    root = str(tmp_path / "store")
+    (tmp_path / "store").mkdir()
+    versioned_write(spark.range(3).toDF("id"), root)
+
+    # Simulate the race with a df proxy whose .write access runs the
+    # rival's full commit first — i.e. the rival lands version 2 between
+    # our manifest read and our data write.
+    class RaceDF:
+        def __init__(self, df):
+            self._df = df
+
+        @property
+        def write(self):
+            versioned_write(spark.range(5).toDF("id"), root)
+            return self._df.write
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        versioned_write(RaceDF(spark.range(7).toDF("id")), root)
+    # the rival's committed data survives untouched
+    assert read_versioned(spark, root, version=2).count() == 5
+
+
 def test_versioned_merge_upsert_delete_timetravel(spark, tmp_path):
     """Delta-style MERGE on the manifest store: init from updates, then a
     merge that updates/deletes/inserts; the prior version still serves

@@ -96,3 +96,38 @@ def test_lint_catches_seeded_antipatterns(spark, sf_dir):
     # and the clean counterparts stay clean
     assert lint_plan(docs.groupBy("lang").count().orderBy("lang")) == []
     assert lint_plan(docs.select("doc_id").limit(5).orderBy("doc_id")) == []
+
+
+def test_lint_flags_row_at_a_time_python_udf(spark, sf_dir):
+    """BatchEvalPython (pickled row-at-a-time UDF) must flag; the Arrow
+    boundaries (ArrowEvalPython via pandas_udf, MapInPandas) must not."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row_udf = F.udf(lambda s: len(s or ""), LongType(), useArrow=False)
+    assert "PYTHON_ROW_UDF" in lint_plan(docs.select(row_udf("text").alias("n")))
+
+    arrow_udf = F.pandas_udf(lambda s: s.str.len().astype("int64"), LongType())
+    assert "PYTHON_ROW_UDF" not in lint_plan(docs.select(arrow_udf("text").alias("n")))
+
+    def ident(batches):
+        yield from batches
+
+    assert "PYTHON_ROW_UDF" not in lint_plan(
+        docs.select("doc_id").mapInPandas(ident, "doc_id long")
+    )
+
+
+def test_mapinpandas_no_longer_proves_bounded(spark, sf_dir):
+    """A mapInPandas stage can EXPAND rows (read_warc: one row per record
+    per file), so a global sort above one must still flag — MapInPandas
+    was removed from BOUNDED_LEAVES."""
+
+    def ident(batches):
+        yield from batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expanded = docs.select("doc_id").mapInPandas(ident, "doc_id long")
+    assert "GLOBAL_SORT_UNREDUCED" in lint_plan(expanded.orderBy("doc_id"))

@@ -1,5 +1,7 @@
 """Extraction-source and multimodal-column tests."""
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -82,8 +84,22 @@ class TestFakeCodecs:
         assert decode_meta(vid)["n_frames"] == 4
 
     def test_unknown_codec_raises(self):
+        # A magic no supported codec recognises -> refuse, don't guess.
         with pytest.raises(NotImplementedError):
+            decode_meta(b"JPEGNOPE....")
+
+    def test_malformed_png_raises_value_error(self):
+        # Valid PNG magic but garbage chunk layout: the PNG parser owns this
+        # and must fail loudly (malformed input != unsupported codec).
+        with pytest.raises(ValueError):
             decode_meta(b"\x89PNG\r\n\x1a\n....")
+
+    def test_core_header_bmp_refused(self):
+        # BITMAPCOREHEADER (hdr_size=12): decode_meta must refuse like
+        # decode_bmp does, not read garbage at BITMAPINFOHEADER offsets.
+        core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + b"\x00" * 24
+        with pytest.raises(NotImplementedError):
+            decode_meta(core)
 
 
 class TestMultimodalPipeline:

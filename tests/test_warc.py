@@ -1,14 +1,19 @@
 """WARC ingestion (sources/warcmini.py): the Common Crawl-shaped entry
 point of a web-scale corpus pipeline. Pure-python framing roundtrips,
-then the Spark scan: binaryFile -> mapInPandas record rows -> HTML strip
-into the documents shape."""
+then the Spark scan: the vf_warc streaming DataSource -> record rows ->
+HTML strip into the documents shape."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from vectorflow_spark.sources.warcmini import build_warc, parse_warc, read_warc
+from vectorflow_spark.sources.warcmini import (
+    build_warc,
+    iter_warc_records,
+    parse_warc,
+    read_warc,
+)
 
 
 class TestFraming:
@@ -75,6 +80,93 @@ def test_read_warc_scan_and_html_compose(spark, tmp_path):
         .groupBy("warc_file").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_file == {"seg1.warc.gz": 2, "seg2.warc.gz": 1}
+
+
+class TestStreamingScan:
+    """The vf_warc DataSource contract: records stream — peak memory is
+    record-bounded, not file-bounded."""
+
+    def test_first_record_yields_before_file_is_consumed(self, tmp_path):
+        """On a many-record file the iterator must hand back record 1
+        having read ~1 record's worth of bytes, not the whole file."""
+
+        class CountingFile:
+            def __init__(self, f):
+                self._f = f
+                self.bytes_read = 0
+
+            def read(self, n=-1):
+                data = self._f.read(n)
+                self.bytes_read += len(data)
+                return data
+
+        body = b"x" * 100_000
+        recs = [(f"http://h/{i}", body, "text/plain") for i in range(20)]
+        blob = build_warc(recs, compress=False)
+        p = tmp_path / "big.warc"
+        p.write_bytes(blob)
+        with open(p, "rb") as f:
+            cf = CountingFile(f)
+            it = iter_warc_records(cf, chunk_size=1 << 16)
+            next(it)  # warcinfo
+            next(it)  # first response
+            # consumed ~2 records + one chunk, nowhere near the 2 MB file
+            assert cf.bytes_read < 2 * (100_000 + 1024) + (1 << 16)
+            assert len(blob) > 1_900_000
+            rest = list(it)
+            assert len(rest) == 19
+
+    def test_max_buffer_is_record_bounded(self, tmp_path):
+        """Track the parser's high-water buffer via read-call accounting:
+        between yields it may hold at most one record + one chunk."""
+        import vectorflow_spark.sources.warcmini as wm
+
+        body = b"y" * 50_000
+        recs = [(f"http://h/{i}", body, "text/plain") for i in range(10)]
+        p = tmp_path / "seg.warc"
+        p.write_bytes(build_warc(recs, compress=False))
+
+        high_water = 0
+        with open(p, "rb") as f:
+            outstanding = 0  # bytes read but not yet yielded as payload
+
+            class Meter:
+                def read(self, n=-1):
+                    nonlocal outstanding, high_water
+                    data = f.read(n)
+                    outstanding += len(data)
+                    high_water = max(high_water, outstanding)
+                    return data
+
+            for rec in wm.iter_warc_records(Meter(), chunk_size=1 << 14):
+                outstanding = 0  # record handed off; buffer credit resets
+        record_bound = 50_000 + 1024 + (1 << 14)
+        assert high_water <= 2 * record_bound  # ~1 record + skew, << file size
+
+    def test_gzip_members_stream(self, tmp_path):
+        """.warc.gz: per-member gzip must also stream through iter_warc_file."""
+        from vectorflow_spark.sources.warcmini import iter_warc_file
+
+        recs = [(f"http://h/{i}", f"body {i}".encode(), "text/plain") for i in range(5)]
+        p = tmp_path / "seg.warc.gz"
+        p.write_bytes(build_warc(recs, compress=True))
+        got = [r for r in iter_warc_file(str(p)) if r["warc-type"] == "response"]
+        assert [r["body"] for r in got] == [f"body {i}".encode() for i in range(5)]
+
+    def test_datasource_partitions_one_per_file(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"s{i}.warc.gz").write_bytes(
+                build_warc([(f"http://h/{i}", b"hi", "text/plain")])
+            )
+        df = read_warc(spark, str(tmp_path))
+        assert df.rdd.getNumPartitions() == 3
+        assert df.filter(F.col("warc_type") == "response").count() == 3
+
+    def test_glob_filter(self, spark, tmp_path):
+        (tmp_path / "a.warc.gz").write_bytes(build_warc([("http://h/a", b"1", "text/plain")]))
+        (tmp_path / "b.other").write_bytes(b"not a warc")
+        df = read_warc(spark, str(tmp_path), glob="*.warc.gz")
+        assert df.filter(F.col("warc_type") == "response").count() == 1
 
 
 def test_warc_roundtrip_fuzz():

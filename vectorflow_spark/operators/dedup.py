@@ -556,10 +556,13 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.99,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. With a
     block_col (e.g. an LSH bucket or cluster id) the self-join is confined
-    to blocks; without one this is quadratic and should only run on samples.
+    to blocks; without one this is quadratic, so the unblocked path REQUIRES
+    an explicit ``max_rows`` opt-in (enforced by a driver-side count before
+    the crossJoin — a caller cannot ship the O(n^2) plan by accident).
 
     Norms are computed once per ROW before the join (O(n) folds) so each of
     the O(n^2/blocks) candidate pairs only pays the dot product — the norm
@@ -570,6 +573,19 @@ def embedding_neardup_pairs(
     it each side re-executes norms + upstream per branch."""
     from vectorflow_spark.functions.vector import dot, l2_norm
 
+    if block_col is None:
+        if max_rows is None:
+            raise ValueError(
+                "embedding_neardup_pairs without block_col is O(n^2): pass "
+                "block_col (LSH bucket / cluster id) or opt in to the "
+                "quadratic path with an explicit max_rows cap"
+            )
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"unblocked embedding_neardup_pairs over {n} rows exceeds "
+                f"max_rows={max_rows}; block or sample first"
+            )
     base = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -980,10 +996,15 @@ def hamming_candidate_pairs(
         F.col(id_col).alias("id"),
         F.col(fp_col).alias("fp"),
         F.explode(
+            # shiftrightunsigned = logical shift: band keys are the raw bit
+            # pattern regardless of sign. (`div`/`%` truncate toward zero and
+            # follow the dividend's sign, so sign-bit-set int64 fingerprints
+            # would get different keys than the same bits unsigned — dropping
+            # pairs and breaking the pigeonhole exactness claim.)
             F.expr(
                 f"""transform(sequence(0, {n_bands - 1}), b -> named_struct(
                         'band', b,
-                        'key', ({fp_col} div CAST(pow(2, b * {width}) AS BIGINT)) % {1 << width}))"""
+                        'key', shiftrightunsigned({fp_col}, b * {width}) & {(1 << width) - 1}))"""
             )
         ).alias("bb"),
     ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))

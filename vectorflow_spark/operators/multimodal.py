@@ -85,7 +85,15 @@ def decode_meta(data: bytes) -> dict:
         nf, w, h = struct.unpack("<HHH", data[4:10])
         return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
     if data[:2] == codecs.BMP_MAGIC:
+        # Mirror decode_bmp's guards: a BITMAPCOREHEADER or compressed BMP
+        # would yield garbage at the BITMAPINFOHEADER offsets — refuse instead.
+        (hdr_size,) = struct.unpack_from("<I", data, 14)
+        if hdr_size < 40:
+            raise NotImplementedError(f"BMP core-header size {hdr_size} not supported")
         w, h_raw = struct.unpack_from("<ii", data, 18)
+        (compression,) = struct.unpack_from("<I", data, 30)
+        if compression != 0:
+            raise NotImplementedError(f"compressed BMP (compression={compression}) not supported")
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC:
         samples, rate = codecs.decode_wav(bytes(data))

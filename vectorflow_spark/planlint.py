@@ -25,6 +25,11 @@ turn into incidents at scale:
 * ``GLOBAL_WINDOW_UNREDUCED`` / ``GLOBAL_WINDOWGROUPLIMIT_UNREDUCED`` —
   a ``Window`` with an empty partition spec over non-aggregated input:
   the classic "works in tests, one straggler task at scale" bug.
+* ``PYTHON_ROW_UDF``                   — ``BatchEvalPython``: a
+  row-at-a-time (pickled, non-Arrow) Python UDF in the plan. This engine
+  has zero of them by design — every Python boundary is Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``,
+  10-100× faster) — and this finding keeps it that way.
 
 "Reduced" means some node below the boundary provably bounds the row
 count crossing it: a (partial) aggregate, a limit, a WindowGroupLimit, a
@@ -55,9 +60,13 @@ REDUCING_NODES = (
 )
 
 # Leaf/stage nodes that are constant-size or k-capped by construction:
-# driver literals, checkpointed sketch/centroid frames, Range spines, and
-# the Arrow sketch stages that truncate state to k per batch.
-BOUNDED_LEAVES = ("LocalTableScan", "Scan ExistingRDD", "Range", "MapInPandas")
+# driver literals, checkpointed sketch/centroid frames, Range spines.
+# MapInPandas is deliberately NOT here: a mapInPandas stage can expand
+# rows arbitrarily (read_warc emits one row per record per file), so it
+# proves nothing about the row count above it; queries whose Arrow sketch
+# stage genuinely truncates to k per batch carry an explicit allow-list
+# entry documenting that bound (tests/test_plan_lint.py::ALLOWED).
+BOUNDED_LEAVES = ("LocalTableScan", "Scan ExistingRDD", "Range")
 
 
 def iter_nodes(jnode):
@@ -130,4 +139,6 @@ def lint_plan(df) -> list[str]:
         elif name in ("Window", "WindowGroupLimit"):
             if _window_partition_is_empty(n) and not _subtree_reduces(n):
                 findings.append(f"GLOBAL_{name.upper()}_UNREDUCED")
+        elif name == "BatchEvalPython":
+            findings.append("PYTHON_ROW_UDF")
     return findings

@@ -370,12 +370,41 @@ def versioned_write(df: DataFrame, root: str) -> int:
     directory that NO reader can observe (readers only trust the
     manifest); the next write self-heals by overwriting that orphan
     path. Old versions are retained for time travel; ``vacuum_versions``
-    is the retention pass."""
+    is the retention pass.
+
+    Concurrency: two writers racing from the same manifest compute the
+    same N+1, so the data is written to a private staging directory
+    first; after the (slow) write we re-read the manifest and REFUSE if
+    someone committed our version (or a later one) meanwhile — the loser
+    deletes its staging and raises, never having touched the committed
+    path. The clobber window shrinks from the whole parquet write to one
+    directory rename. (Last-writer-wins on the manifest itself is still
+    possible on a filesystem without compare-and-swap; full multi-writer
+    safety needs a CAS'd manifest a la Delta/Iceberg.)"""
+    import shutil
+    import tempfile
+
     versions = set(list_versions(root))
     version = (max(versions) if versions else 0) + 1
-    # overwrite: the target is either absent or an uncommitted orphan
-    df.write.mode("overwrite").parquet(f"{root}/v={version}")
-    _commit_manifest(root, versions | {version})
+    os.makedirs(root, exist_ok=True)
+    staging = tempfile.mkdtemp(dir=root, prefix=".staging-")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        committed_now = set(list_versions(root))
+        if any(v >= version for v in committed_now):
+            raise RuntimeError(
+                f"concurrent writer committed version >= {version} under {root} "
+                "while this write was in flight; refusing to commit over it — "
+                "re-run to write the next free version"
+            )
+        target = os.path.join(root, f"v={version}")
+        # target, if present, is an uncommitted orphan (just re-verified)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _commit_manifest(root, committed_now | {version})
     return version
 
 
@@ -443,7 +472,7 @@ def versioned_merge(
     return versioned_write(merged, root)
 
 
-def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
+def vacuum_versions(root: str, keep_last: int = 2, prefix: str = "v") -> list[int]:
     """Delete version directories older than the newest ``keep_last``,
     never the latest — the retention half of the versioned store.
     Returns the versions removed. The manifest is committed FIRST (drop
@@ -460,10 +489,21 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
         # the pointer target; both are bugs at the call site, so refuse.
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = read_latest_version(root)
-    versions = list_versions(root)
+    versions = list_versions(root, prefix=prefix)
     keep = set(versions[-keep_last:]) | {latest}
     removed = [v for v in versions if v not in keep]
+    # Validate BEFORE the manifest commit: a prefix mismatch (e.g. a
+    # streaming_scd2 store laid out as version=N vacuumed with the default
+    # "v") would otherwise drop manifest entries while deleting nothing,
+    # leaving unreadable-but-present data on disk.
+    paths = {v: os.path.join(root, f"{prefix}={v}") for v in removed}
+    missing = [p for p in paths.values() if not os.path.isdir(p)]
+    if missing:
+        raise ValueError(
+            f"vacuum_versions(prefix={prefix!r}): version directories not found: "
+            f"{missing}; wrong prefix for this store's layout?"
+        )
     _commit_manifest(root, keep)
-    for v in removed:
-        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    for p in paths.values():
+        shutil.rmtree(p)
     return removed

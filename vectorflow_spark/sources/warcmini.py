@@ -16,13 +16,14 @@ natively. So ingestion needs no external library:
 * ``build_warc(records)``   — the inverse writer (warcinfo +
   response records, correct Content-Length, one gzip member each),
   used for fixtures and the ingest roundtrip oracle.
-* ``read_warc(spark, path)``— ``binaryFile`` scan -> ``mapInPandas``
-  record generator -> one row per WARC record (url, type,
+* ``read_warc(spark, path)``— the ``vf_warc`` streaming Data Source
+  (sources/warcsource.py) -> one row per WARC record (url, type,
   content_type, http body). WARC files are non-splittable (like any
   gzip), so the parallel unit is the FILE — exactly how Common Crawl
   shards its dumps (1 GB segments, thousands per crawl), which makes a
-  file-per-task scan the natural 100 TB plan; record parsing streams
-  within the task.
+  file-per-partition scan the natural 100 TB plan; within a partition
+  records STREAM off disk (``iter_warc_records``), so peak task memory
+  is one record + a 64 KB chunk, never the file.
 
 Scope: WARC/1.0 and 1.1 record framing, gzip or plain, response /
 request / warcinfo / resource / metadata types. Chunked
@@ -57,37 +58,80 @@ def _split_http_payload(payload: bytes) -> bytes:
     return payload[sep + 4 :]
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Parse WARC bytes into records: each a dict with lowercase header
-    keys plus ``payload`` (raw bytes) and, for http payloads, ``body``."""
-    raw = _decompress_if_gzip(data)
-    records: list[dict] = []
-    i, n = 0, len(raw)
-    while i < n:
+def iter_warc_records(fileobj, chunk_size: int = 1 << 16) -> Iterator[dict]:
+    """Incremental record iterator over an open binary stream: yields each
+    record as soon as its framing completes, buffering at most one record
+    (header block + ``Content-Length`` payload) plus one read chunk — the
+    memory contract that lets a 1 GB Common Crawl segment stream through
+    an executor task without ever existing as a single bytes value. The
+    single source of framing truth: ``parse_warc`` (bytes in memory) and
+    the ``vf_warc`` DataSource (files on disk) both delegate here."""
+    buf = b""
+    consumed = 0  # bytes consumed before buf's start, for error offsets
+
+    def fill() -> bool:
+        nonlocal buf
+        chunk = fileobj.read(chunk_size)
+        if not chunk:
+            return False
+        buf += chunk
+        return True
+
+    while True:
         # skip inter-record CRLFs
-        while i < n and raw[i : i + 2] == CRLF:
-            i += 2
-        if i >= n:
-            break
-        if not raw.startswith(b"WARC/", i):
-            raise ValueError(f"malformed WARC: expected record header at byte {i}")
-        hdr_end = raw.find(b"\r\n\r\n", i)
-        if hdr_end < 0:
-            raise ValueError("malformed WARC: unterminated header block")
-        header_lines = raw[i:hdr_end].split(CRLF)
+        while True:
+            while len(buf) < 2 and fill():
+                pass
+            if buf[:2] == CRLF:
+                buf = buf[2:]
+                consumed += 2
+            else:
+                break
+        if not buf and not fill():
+            return
+        while len(buf) < 5 and fill():
+            pass
+        if not buf.startswith(b"WARC/"):
+            raise ValueError(f"malformed WARC: expected record header at byte {consumed}")
+        while (hdr_end := buf.find(b"\r\n\r\n")) < 0:
+            if not fill():
+                raise ValueError("malformed WARC: unterminated header block")
+        header_lines = buf[:hdr_end].split(CRLF)
         headers: dict[str, str] = {}
         for line in header_lines[1:]:  # line 0 is the WARC/1.x version
             k, _, v = line.partition(b":")
             headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
         length = int(headers.get("content-length", "0"))
-        payload_start = hdr_end + 4
-        payload = raw[payload_start : payload_start + length]
+        buf = buf[hdr_end + 4 :]
+        consumed += hdr_end + 4
+        while len(buf) < length and fill():
+            pass
+        payload = buf[:length]
+        buf = buf[length:]
+        consumed += length
         rec = {**headers, "payload": payload}
         if "application/http" in headers.get("content-type", ""):
             rec["body"] = _split_http_payload(payload)
-        records.append(rec)
-        i = payload_start + length
-    return records
+        yield rec
+
+
+def iter_warc_file(path: str, chunk_size: int = 1 << 16) -> Iterator[dict]:
+    """Stream records from a WARC file on disk, gzipped or plain. gzip
+    decompression is itself streamed (GzipFile reads concatenated
+    members incrementally), so peak memory stays record-bounded for
+    ``.warc.gz`` too."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rb") as f:
+        yield from iter_warc_records(f, chunk_size=chunk_size)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes into records: each a dict with lowercase header
+    keys plus ``payload`` (raw bytes) and, for http payloads, ``body``."""
+    raw = _decompress_if_gzip(data)
+    return list(iter_warc_records(io.BytesIO(raw)))
 
 
 def build_warc(
@@ -131,45 +175,22 @@ def build_warc(
     return bytes(out)
 
 
-_WARC_ROW_SCHEMA = (
-    "warc_file string, url string, warc_type string, payload_type string, "
-    "n_bytes long, body binary"
-)
 
 
 def read_warc(spark, path: str, glob: str | None = None):
-    """One row per WARC record across every file under ``path``.
-
-    Plan: binaryFile scan (one task per file — WARC's natural parallel
-    unit, matching how crawls shard into ~1 GB segments) -> mapInPandas
-    generator that parses records and yields (warc_file, url, warc_type,
-    payload_type, n_bytes, body). Compose with ``strip_html_expr`` /
+    """One row per WARC record across every file under ``path``, via the
+    ``vf_warc`` streaming Data Source (sources/warcsource.py): one
+    partition per file — WARC's natural parallel unit, matching how
+    crawls shard into ~1 GB segments — and records stream off disk
+    inside each task, so peak memory is record-bounded rather than
+    file-bounded (the round-3 ``binaryFile`` scan materialized each file
+    as a single bytes row first). Compose with ``strip_html_expr`` /
     ``extract_documents`` downstream to turn response bodies into the
     documents table."""
-    import pandas as pd
-    from vectorflow_spark.sources.readers import read_raw_files
+    from vectorflow_spark.sources import warcsource
 
-    raw = read_raw_files(spark, path, glob=glob)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                for rec in parse_warc(bytes(r["content"])):
-                    body = rec.get("body", rec["payload"])
-                    rows.append(
-                        {
-                            "warc_file": r["source"],
-                            "url": rec.get("warc-target-uri"),
-                            "warc_type": rec.get("warc-type"),
-                            "payload_type": rec.get("content-type"),
-                            "n_bytes": len(body),
-                            "body": body,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["warc_file", "url", "warc_type", "payload_type", "n_bytes", "body"],
-            )
-
-    return raw.mapInPandas(gen, schema=_WARC_ROW_SCHEMA)
+    warcsource.register(spark)
+    reader = spark.read.format("vf_warc")
+    if glob:
+        reader = reader.option("glob", glob)
+    return reader.load(path)

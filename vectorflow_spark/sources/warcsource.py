@@ -1,0 +1,103 @@
+"""``vf_warc``: a streaming WARC Data Source (Spark 4 Python API).
+
+Replaces the round-3 ``binaryFile`` + ``mapInPandas`` WARC scan, whose
+one-row-per-FILE input meant a 1 GB Common Crawl segment materialized as
+a single 1 GB bytes value inside the task before parsing (fine at
+local[32]/128 GiB, an OOM class at 100 TB). Here each file is an
+``InputPartition`` and the reader streams records straight off disk via
+``warcmini.iter_warc_records`` — peak task memory is one RECORD (header
++ Content-Length payload) plus a 64 KB read chunk, regardless of file
+size, and gzip members decompress incrementally.
+
+The parallel unit stays the FILE: WARC's per-record gzip members make
+the format non-splittable (like any gzip), which is exactly how Common
+Crawl shards its dumps — thousands of ~1 GB segments per crawl, so a
+file-per-partition scan saturates a 1000-executor cluster with no
+planning cleverness. Within a partition, records stream.
+
+Reference parity: the reference ingests web corpora one downloaded file
+at a time in its API process (src/api/app.py); this source is the
+cluster-scale counterpart (SURVEY.md §2.1 S6 family).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+WARC_ROW_SCHEMA = (
+    "warc_file string, url string, warc_type string, payload_type string, "
+    "n_bytes long, body binary"
+)
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class VfWarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vf_warc requires a load path: .load('/dir/of/warcs')")
+        self.glob = options.get("glob")
+        self.chunk_size = int(options.get("chunksize", str(1 << 16)))
+
+    def _files(self) -> list[str]:
+        if os.path.isfile(self.path):
+            return [self.path]
+        out = []
+        for root, _dirs, names in os.walk(self.path):
+            for name in sorted(names):
+                if name.startswith((".", "_")):
+                    continue  # match binaryFile's hidden/metadata exclusion
+                if self.glob and not fnmatch.fnmatch(name, self.glob):
+                    continue
+                out.append(os.path.join(root, name))
+        return sorted(out)
+
+    def partitions(self):
+        files = self._files()
+        if not files:
+            raise FileNotFoundError(f"no WARC files under {self.path}")
+        return [_WarcFilePartition(p) for p in files]
+
+    def read(self, partition: _WarcFilePartition):
+        # runs on the executor; stdlib-only
+        from vectorflow_spark.sources.warcmini import iter_warc_file
+
+        source = os.path.basename(partition.path)
+        for rec in iter_warc_file(partition.path, chunk_size=self.chunk_size):
+            body = rec.get("body", rec["payload"])
+            yield (
+                source,
+                rec.get("warc-target-uri"),
+                rec.get("warc-type"),
+                rec.get("content-type"),
+                len(body),
+                body,
+            )
+
+
+class VfWarcDataSource(DataSource):
+    """``spark.read.format("vf_warc").load(path)``; register once per
+    session with ``spark.dataSource.register(VfWarcDataSource)`` (or use
+    ``warcmini.read_warc`` which does both)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vf_warc"
+
+    def schema(self) -> str | StructType:
+        return WARC_ROW_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return VfWarcReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VfWarcDataSource)
