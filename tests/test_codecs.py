@@ -249,11 +249,20 @@ class TestWav:
         assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 16000, 123)
 
 
-def test_jpeg_and_mp3_magic_still_refused():
+def test_webp_and_mp3_magic_still_refused():
+    # WebP carries a RIFF magic but is not WAV; MP3 has no supported path.
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg frame")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+
+
+def test_garbage_jpeg_is_a_parse_error_not_a_refusal():
+    """Baseline JPEG is now a supported container (operators/jpegmini.py):
+    corrupt bytes behind a JPEG magic must be a loud ValueError (parse
+    failure), never silently decoded or mis-refused."""
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg frame")
 
 
 def test_garbage_png_is_a_parse_error_not_a_refusal():

@@ -1,0 +1,257 @@
+"""Baseline JPEG codec (operators/jpegmini.py).
+
+The decoder is pinned to ITU-T T.81 with HAND-CONSTRUCTED streams whose
+expected pixels are analytic (a DC-only block IDCTs to a flat value), so
+its correctness does not depend on our own encoder; the encoder is then
+verified against the decoder with PSNR bounds (JPEG is lossy — bit
+equality is never asserted) and feeds the mixed-container dedup corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectorflow_spark.operators.jpegmini import (
+    AC_CHROM,
+    AC_LUM,
+    DC_CHROM,
+    DC_LUM,
+    _BitWriter,
+    _encode_codes,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_meta,
+)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_ones(tq: int = 0) -> bytes:
+    return _seg(0xDB, bytes([tq]) + b"\x01" * 64)
+
+
+def _dht(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _write_dc_only(writer: _BitWriter, diff: int, dc_codes, ac_codes) -> None:
+    s = int(abs(diff)).bit_length()
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    code, length = ac_codes[0x00]  # EOB
+    writer.write(code, length)
+
+
+class TestSpecDecode:
+    """Streams built bit-by-bit from the spec; expected pixels analytic."""
+
+    def test_single_mcu_flat_gray(self):
+        """One 8x8 grayscale block, quant all-ones, DC=64, no AC: the
+        2-D IDCT of a lone DC coefficient c is c/8 everywhere, so every
+        pixel is 128 + 64/8 = 136. The entropy bytes are written by hand
+        from the Annex K canonical codes (cat-7 DC '11110' + 7 magnitude
+        bits + AC EOB '1010' = 0xF4 0x0A)."""
+        sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        sos = _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones()
+            + sof
+            + _dht(0, 0, DC_LUM)
+            + _dht(1, 0, AC_LUM)
+            + sos
+            + bytes([0xF4, 0x0A])
+            + b"\xff\xd9"
+        )
+        px = decode_jpeg(blob)
+        assert px.shape == (8, 8, 3)
+        assert np.all(px == 136)
+        assert jpeg_meta(blob) == (8, 8, 1)
+
+    def test_restart_markers_reset_dc_prediction(self):
+        """8x16 grayscale, DRI=1: MCU2 sits after an RST0 marker in its
+        own entropy segment, so its DC diff decodes against a RESET
+        predictor (absolute), not MCU1's. Left half 128+64/8=136, right
+        half 128-64/8=120."""
+        dc_codes = _encode_codes(*DC_LUM)
+        ac_codes = _encode_codes(*AC_LUM)
+        w1 = _BitWriter()
+        _write_dc_only(w1, 64, dc_codes, ac_codes)
+        w2 = _BitWriter()
+        _write_dc_only(w2, -64, dc_codes, ac_codes)
+        sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        sos = _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones()
+            + sof
+            + _dht(0, 0, DC_LUM)
+            + _dht(1, 0, AC_LUM)
+            + _seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+            + sos
+            + w1.flush()
+            + b"\xff\xd0"  # RST0
+            + w2.flush()
+            + b"\xff\xd9"
+        )
+        px = decode_jpeg(blob)
+        assert px.shape == (8, 16, 3)
+        assert np.all(px[:, :8] == 136)
+        assert np.all(px[:, 8:] == 120)
+
+    def test_420_subsampled_color(self):
+        """16x16 4:2:0 (Y 2x2, Cb/Cr 1x1), one MCU of six DC-only
+        blocks. Flat Y=136, Cb=128+4, Cr=128-4: expected RGB is the
+        analytic JFIF conversion of those constants, chroma upsampled
+        2x2."""
+        dc_l, ac_l = _encode_codes(*DC_LUM), _encode_codes(*AC_LUM)
+        dc_c, ac_c = _encode_codes(*DC_CHROM), _encode_codes(*AC_CHROM)
+        w = _BitWriter()
+        _write_dc_only(w, 64, dc_l, ac_l)  # Y block 1: DC 64 -> 136
+        for _ in range(3):  # Y blocks 2-4: diff 0 -> same 136
+            _write_dc_only(w, 0, dc_l, ac_l)
+        _write_dc_only(w, 32, dc_c, ac_c)  # Cb: 128 + 32/8 = 132
+        _write_dc_only(w, -32, dc_c, ac_c)  # Cr: 128 - 32/8 = 124
+        sof = _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0])  # Y 2x2, quant 0
+            + bytes([2, 0x11, 1])  # Cb 1x1, quant 1
+            + bytes([3, 0x11, 1]),  # Cr 1x1, quant 1
+        )
+        sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones(0)
+            + _dqt_ones(1)
+            + sof
+            + _dht(0, 0, DC_LUM)
+            + _dht(1, 0, AC_LUM)
+            + _dht(0, 1, DC_CHROM)
+            + _dht(1, 1, AC_CHROM)
+            + sos
+            + w.flush()
+            + b"\xff\xd9"
+        )
+        px = decode_jpeg(blob)
+        assert px.shape == (16, 16, 3)
+        y, cb, cr = 136.0, 132.0 - 128.0, 124.0 - 128.0
+        exp = np.clip(
+            np.rint(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.all(px == exp[None, None, :])
+        assert jpeg_meta(blob) == (16, 16, 3)
+
+    def test_progressive_refused(self):
+        sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        blob = b"\xff\xd8" + _dqt_ones() + sof2
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            decode_jpeg(blob + b"\xff\xd9")
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            jpeg_meta(blob + b"\xff\xd9")
+
+    def test_garbage_refused(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG not a jpeg")
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8\xff\xe0no real segments here")
+
+
+class TestRoundtrip:
+    def _psnr(self, a: np.ndarray, b: np.ndarray) -> float:
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    @pytest.mark.parametrize("shape", [(8, 8), (24, 33), (17, 9), (64, 48)])
+    def test_smooth_color_high_quality(self, shape):
+        h, w = shape
+        x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+        y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+        img = np.stack([x, y, (x + y) / 2], axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (h, w, 3)
+        assert self._psnr(img, out) > 40
+
+    def test_noise_survives_reasonably(self):
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert self._psnr(img, out) > 30
+
+    def test_grayscale_input_broadcasts(self):
+        g = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == (16, 16, 3)
+        assert np.all(out[:, :, 0] == out[:, :, 1])
+
+    def test_lower_quality_smaller_file(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        hi = encode_jpeg(img, quality=95)
+        lo = encode_jpeg(img, quality=20)
+        assert len(lo) < len(hi)
+        decode_jpeg(lo)  # low quality still decodes
+
+    def test_meta_matches_decode(self):
+        img = np.zeros((20, 30, 3), dtype=np.uint8)
+        blob = encode_jpeg(img)
+        assert jpeg_meta(blob) == (30, 20, 3)
+        assert decode_jpeg(blob).shape == (20, 30, 3)
+
+
+class TestDispatch:
+    """codecs/multimodal integration: JPEG flows through the same unified
+    entry points as FAKE/BMP/PNG."""
+
+    def test_decode_image_and_meta(self):
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta
+
+        img = np.full((12, 16, 3), 77, dtype=np.uint8)
+        blob = encode_jpeg(img, quality=100)
+        assert decode_image(blob).shape == (12, 16, 3)
+        m = decode_meta(blob)
+        assert (m["kind"], m["width"], m["height"]) == ("image", 16, 12)
+
+    def test_encode_image_like_jpeg_container(self):
+        from vectorflow_spark.operators.codecs import decode_image, encode_image_like
+
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        blob = encode_jpeg(img)
+        re = encode_image_like(decode_image(blob), blob)
+        assert re[:3] == b"\xff\xd8\xff"
+        assert decode_image(re).shape == (8, 8, 3)
+
+    def test_dhash_stable_under_q100_reencode(self):
+        """The near-dup corpus contract: a q100 re-encode moves dHash at
+        most a few bits (within the hamming<=6 band the pair query uses)."""
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        def dhash(px):
+            h, w = px.shape[:2]
+            luma = px.mean(axis=2)
+            ys = (np.arange(8) * h // 8).astype(int)
+            xs = (np.arange(9) * w // 9).astype(int)
+            small = luma[np.ix_(ys, xs)]
+            v = 0
+            for bit in (small[:, 1:] > small[:, :-1]).flatten():
+                v = (v << 1) | int(bit)
+            return v & 0x7FFFFFFFFFFFFFFF
+
+        for i in range(30):
+            px = decode_image(make_fake_image(str(i)))
+            tw = decode_jpeg(encode_jpeg(px, quality=100))
+            assert bin(dhash(px) ^ dhash(tw)).count("1") <= 6

@@ -23,9 +23,12 @@ stdlib ``wave`` module, so this layer de-gates them:
   (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8.
   This is the container most web corpora actually carry.
 
-Formats that genuinely need external libraries (JPEG/WebP entropy coding,
-MP3/AAC, MP4) still raise ``NotImplementedError`` loudly — the contract
-is "parse correctly or refuse", never guess.
+* baseline JPEG (SOF0) decodes/encodes via ``operators/jpegmini.py`` —
+  canonical Huffman + numpy IDCT, no external library. See that module.
+
+Formats that genuinely need external libraries (WebP, progressive or
+arithmetic JPEG, MP3/AAC, MP4) still raise ``NotImplementedError``
+loudly — the contract is "parse correctly or refuse", never guess.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ FAKE_IMG_MAGIC, FAKE_AUD_MAGIC, FAKE_VID_MAGIC = b"FIMG", b"FAUD", b"FVID"
 BMP_MAGIC = b"BM"
 RIFF_MAGIC = b"RIFF"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +316,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 1) -> byt
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """FIMG or BMP -> (h, w, c) uint8. Raises loudly for other containers."""
+    """FIMG, BMP, PNG or baseline JPEG -> (h, w, c) uint8. Raises loudly
+    for other containers."""
     if data[:4] == FAKE_IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
         return np.frombuffer(data, dtype=np.uint8, offset=9).reshape(h, w, c)
@@ -320,9 +325,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
+    if data[:3] == JPEG_MAGIC:
+        from vectorflow_spark.operators.jpegmini import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "image decode supports the FAKE codec, BMP and PNG; JPEG/WebP need "
-        "external libraries not installed in this environment"
+        "image decode supports the FAKE codec, BMP, PNG and baseline JPEG; "
+        "WebP/progressive-JPEG need external libraries not installed in "
+        "this environment"
     )
 
 
@@ -337,6 +347,10 @@ def encode_image_like(px: np.ndarray, container: bytes) -> bytes:
         return bytes(encode_bmp(px))
     if container[:8] == PNG_MAGIC:
         return encode_png(px)
+    if container[:3] == JPEG_MAGIC:
+        from vectorflow_spark.operators.jpegmini import encode_jpeg
+
+        return encode_jpeg(px)
     raise NotImplementedError("unsupported image container")
 
 

@@ -1,0 +1,535 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) codec in numpy + stdlib.
+
+JPEG is the dominant container of real web-image corpora (the refuse-list
+note in codecs.py made image dedup PNG/BMP-only), and baseline JPEG is a
+fully public spec whose entropy stage is plain canonical Huffman — no
+external library required:
+
+* ``decode_jpeg(data)``  — marker walk (SOI/APP*/DQT/SOF0/DHT/DRI/SOS),
+  canonical-Huffman entropy decode with byte-destuffing and restart
+  markers, DC prediction, zigzag + dequantize, separable 2-D IDCT (one
+  einsum over all blocks of a component, not a per-block Python loop),
+  chroma upsampling for any 1-2 h/v sampling factors (4:4:4, 4:2:2,
+  4:2:0), JFIF YCbCr -> RGB. Returns (h, w, 3) uint8 (grayscale
+  broadcast to 3 channels, matching decode_bmp/decode_png).
+* ``encode_jpeg(px, quality)`` — the inverse writer (4:4:4, Annex K
+  quantization tables scaled IJG-style, Annex K Huffman tables), used
+  for fixtures and PSNR roundtrips. JPEG is lossy: roundtrip tests
+  assert reconstruction error bounds, never bit equality.
+* ``jpeg_meta(data)``    — header-only (width, height, channels).
+
+Out-of-scope variants refuse loudly (the codecs.py contract: parse
+correctly or refuse): progressive (SOF2), arithmetic coding (SOF9+),
+12-bit precision, hierarchical. The spec-based unit test decodes a
+HAND-CONSTRUCTED single-MCU stream (flat DC block whose IDCT value is
+analytic), so the decoder is pinned to T.81 independently of the encoder.
+
+Reference parity note: the reference pipeline has no image decode at all
+(it is a text ETL); this exists for the training-data multimodal family
+(SURVEY.md §2.13), feeding image_dhash / resize / near-dup over the
+containers web corpora actually carry.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag position -> raster offset within an 8x8 block (T.81 Figure 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 / K.2 quantization tables (raster order)
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[16], values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# separable DCT basis: _DCT[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """Magnitude-category decode (T.81 F.2.2.1): low-order s bits -> value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _destuff(scan: bytes) -> list[bytes]:
+    """Entropy bytes -> restart-interval segments with 0xFF00 stuffing
+    removed. Segment boundaries are the RSTn markers (D0-D7)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i, n = 0, len(scan)
+    while i < n:
+        b = scan[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = scan[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker — scan ends
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+def _parse_segments(data: bytes):
+    """Marker walk up to (and including) SOS; returns parsed state + the
+    entropy-coded bytes that follow SOS."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> codes
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: EOI before scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", data, i)
+        seg = data[i + 2 : i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl  # DQT stores zigzag order
+                quant[tq] = raster
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nvals])
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                j += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline JPEG (SOF0) supported, got SOF marker 0x{marker:02x}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tbls >> 4, tbls & 0x0F)
+            return frame, quant, huff, scan_tables, restart_interval, data[i:]
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG: no scan (SOS) found")
+
+
+def jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the SOF0 header, entropy untouched."""
+    if data[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG file")
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, i)
+        if marker == 0xC0:
+            h, w = struct.unpack_from(">HH", data, i + 3)
+            ncomp = data[i + 7]
+            return w, h, (3 if ncomp == 3 else 1)
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline JPEG (SOF0) supported, got SOF marker 0x{marker:02x}"
+            )
+        i += seglen
+    raise ValueError("JPEG: no frame header found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    frame, quant, huff, scan_tables, restart_interval, scan = _parse_segments(bytes(data))
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    # coefficient storage: per component, one (n_blocks, 64) int array
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    segments = _destuff(scan)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    interval = restart_interval or n_mcus
+
+    for mcu in range(n_mcus):
+        if mcu and mcu % interval == 0:
+            seg_idx += 1  # RST boundary: new segment, predictors reset
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            dc_tbl = huff[(0, scan_tables[c["id"]][0])]
+            ac_tbl = huff[(1, scan_tables[c["id"]][1])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block = np.zeros(64, dtype=np.int64)
+                    s = _read_huffman(reader, dc_tbl)
+                    diff = _extend(reader.bits(s), s)
+                    pred[c["id"]] += diff
+                    block[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huffman(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        block[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    row = (my * c["v"] + by) * (mcus_x * c["h"]) + (mx * c["h"] + bx)
+                    coefs[c["id"]][row] = block
+
+    # dequantize + inverse zigzag + IDCT, one einsum per component
+    planes = []
+    for c in comps:
+        q = quant[c["tq"]]
+        raster = np.zeros((coefs[c["id"]].shape[0], 64), dtype=np.float64)
+        raster[:, ZIGZAG] = coefs[c["id"]] * q[ZIGZAG]
+        blocks = raster.reshape(-1, 8, 8)
+        # pixels = DCT^T @ F @ DCT  (DCT-III both axes)
+        px = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT) + 128.0
+        bw = mcus_x * c["h"]  # blocks per row
+        bh = mcus_y * c["v"]
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        # upsample to full MCU-padded resolution, then crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (4:4:4 baseline, fixtures + PSNR roundtrips)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _encode_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    return {v: (code, length) for (length, code), v in _canonical_codes(bits, values).items()}
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling)."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+    else:
+        rgb = px[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    q_lum = _scaled_quant(QUANT_LUM, quality)
+    q_chrom = _scaled_quant(QUANT_CHROM, quality)
+    quants = [q_lum] + [q_chrom] * (len(planes) - 1)
+
+    # pad to 8 | edge-replicate, block, forward DCT, quantize, zigzag
+    bh, bw = -(-h // 8), -(-w // 8)
+    all_zz = []
+    for plane, q in zip(planes, quants):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT).reshape(-1, 64)
+        zz = np.rint(coefs[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+        all_zz.append(zz)
+
+    dc_lum_codes, ac_lum_codes = _encode_codes(*DC_LUM), _encode_codes(*AC_LUM)
+    dc_chrom_codes, ac_chrom_codes = _encode_codes(*DC_CHROM), _encode_codes(*AC_CHROM)
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    for blk in range(bh * bw):
+        for ci in range(len(planes)):
+            dc_c = dc_lum_codes if ci == 0 else dc_chrom_codes
+            ac_c = ac_lum_codes if ci == 0 else ac_chrom_codes
+            preds[ci] = _encode_block(writer, all_zz[ci][blk], preds[ci], dc_c, ac_c)
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in q_lum[ZIGZAG]))
+    if len(planes) > 1:
+        out += seg(0xDB, b"\x01" + bytes(int(v) for v in q_chrom[ZIGZAG]))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, table) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUM) + dht(1, 0, AC_LUM)
+    if ncomp > 1:
+        out += dht(0, 1, DC_CHROM) + dht(1, 1, AC_CHROM)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

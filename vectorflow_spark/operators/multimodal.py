@@ -101,9 +101,15 @@ def decode_meta(data: bytes) -> dict:
     if data[:8] == codecs.PNG_MAGIC:
         w, h, c = codecs.png_meta(bytes(data))
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
+    if data[:3] == codecs.JPEG_MAGIC:
+        from vectorflow_spark.operators.jpegmini import jpeg_meta
+
+        w, h, c = jpeg_meta(bytes(data))
+        return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     raise NotImplementedError(
-        "codec decode supports the FAKE family, BMP, PNG and PCM WAV; JPEG/MP3/"
-        "MP4 require external libraries not installed in this environment"
+        "codec decode supports the FAKE family, BMP, PNG, baseline JPEG and "
+        "PCM WAV; WebP/MP3/MP4 require external libraries not installed in "
+        "this environment"
     )
 
 

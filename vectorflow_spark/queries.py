@@ -8227,33 +8227,47 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_image_neardup_pairs")
 def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
-    is Python): the corpus is UNIQUE images (seed = id) except every 5th,
-    which is a PERTURBED BMP re-encode of its successor (three interior
-    sampled pixels nudged) — true near-duplicates whose dHash lands 1-4
-    bits away, so exact Hamming-0 grouping (q_image_dhash_dedup) misses
-    ~80% of them, without the mass-duplicate clusters that belong to the
-    exact pass. dHash fingerprints feed the generic Hamming-ball bander
+    is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
+    unique images (seed = id) rotate through FAKE blobs, real BMP files
+    and real baseline JPEGs (our own SOF0 codec, operators/jpegmini.py),
+    except every 5th, which is a PERTURBED JPEG-q100 re-encode of its
+    successor's decoded pixels (three interior sampled pixels nudged +
+    DCT rounding) — true near-duplicates whose dHash lands 0-6 bits
+    away, usually ≥1, so exact Hamming-0 grouping (q_image_dhash_dedup)
+    misses most of them, and the pair is usually JPEG↔BMP/FAKE: the
+    dedup key is the pixels, never the container bytes. dHash
+    fingerprints feed the generic Hamming-ball bander
     (operators/dedup.hamming_candidate_pairs; the 63-bit dHash splits
     into 7 bands of 9 bits), pairing anything within 6 differing bits —
     exact by pigeonhole. Counts per hamming distance keep the result
     small and deterministic."""
     from vectorflow_spark.operators.codecs import decode_image, encode_bmp
     from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.jpegmini import encode_jpeg
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
+    def _base(i: int) -> bytes:
+        blob = make_fake_image(str(i))
+        k = i % 3
+        if k == 1:
+            return encode_bmp(decode_image(blob))
+        if k == 2:
+            return encode_jpeg(decode_image(blob), quality=100)
+        return blob
+
     def _one(i) -> bytes:
         if int(i) % 5 == 0:  # perturbed twin of image i+1
-            px = decode_image(make_fake_image(str(int(i) + 1))).copy()
+            px = decode_image(_base(int(i) + 1)).copy()
             # Nudge three dHash-sampled interior pixels: (0,0) would only
             # touch bit 63, which the int64-safe mask drops.
             for (y, x) in ((4, 7), (7, 5), (9, 10)):
                 px[y, x, :] ^= 0x60
-            return encode_bmp(px)
-        return make_fake_image(str(int(i)))
+            return encode_jpeg(px, quality=100)
+        return _base(int(i))
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
