@@ -12,7 +12,14 @@ session — the host has a periodic external load that can inflate any
 single run 5-10x.
 
 Usage: python scripts/scaling_probe.py [--queries q1,q2,...] [--attempts N]
+                                       [--sf1 DIR]
 Prints one markdown table + one JSON line (for BASELINE.md).
+
+``--sf1`` adds a fourth decade from locally synthesized 10x data
+(scripts/make_sf1.py; /root/testdata ships no sf1) so queries whose
+0.01->0.1 slope is still fixed-overhead-dominated (alpha ~ 0) get a
+point where data cost exceeds round cost. Its slope column is
+alpha1 = log10(t_sf1 / t_sf0.1).
 """
 
 from __future__ import annotations
@@ -52,6 +59,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument("--sf1", default=None, help="dir of make_sf1.py output; adds the sf1 decade")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
@@ -71,8 +79,10 @@ def main() -> None:
             print(f"!! unknown query {name}", file=sys.stderr)
             continue
         per_sf: dict[str, float] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        dirs = [(sf, f"/root/testdata/sf{sf}") for sf in SFS]
+        if args.sf1:
+            dirs.append(("1", args.sf1))
+        for sf, sf_dir in dirs:
             best = float("inf")
             for _ in range(args.attempts):
                 t0 = time.monotonic()
@@ -84,15 +94,23 @@ def main() -> None:
 
     import math
 
-    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha (0.01→0.1) |")
-    print("|---|---|---|---|---|")
+    sf1_cols = " sf1 s | alpha (0.1→1) |" if args.sf1 else ""
+    print(f"| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha (0.01→0.1) |{sf1_cols}")
+    print("|---|---|---|---|---|" + ("---|---|" if args.sf1 else ""))
     out = {}
     for name, per_sf in results.items():
         a, b, c = per_sf["0.001"], per_sf["0.01"], per_sf["0.1"]
         alpha = math.log10(c / b) if b > 0 else float("nan")
         flag = " **super-linear**" if alpha > 1.05 else ""
-        print(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {alpha:.2f}{flag} |")
+        row = f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {alpha:.2f}{flag} |"
         out[name] = {**per_sf, "alpha": round(alpha, 3)}
+        if args.sf1:
+            d = per_sf["1"]
+            alpha1 = math.log10(d / c) if c > 0 else float("nan")
+            flag1 = " **super-linear**" if alpha1 > 1.05 else ""
+            row += f" {d:.2f} | {alpha1:.2f}{flag1} |"
+            out[name]["alpha1"] = round(alpha1, 3)
+        print(row)
     print(json.dumps({"probe": "scaling", "attempts": args.attempts, "results": out}))
 
 

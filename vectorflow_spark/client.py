@@ -1,0 +1,226 @@
+"""User-facing client façade: the reference's ``Vectorflow`` client API
+re-expressed over the Spark pipeline.
+
+The reference ships a pip-installable client
+(client/src/vectorflow_client/vectorflow.py:43-137) whose surface is:
+
+* ``embed(filepath)``          -> POST /embed, one file, returns JobID
+* ``upload(file_paths)``       -> POST /jobs, many files, returns
+  successful_uploads {filename: job_id} + failed_uploads +
+  empty_files_count + duplicate_files_count (src/api/app.py:88-147)
+* ``get_job_status(job_id)`` / ``get_job_statuses(ids)`` -> poll loop
+
+Here the "server" is the Spark session itself, so the same calls run the
+pipeline DIRECTLY — no HTTP hop, no queue, no polling gap between submit
+and execution — but the request/response SHAPES are kept so a reference
+user's driver script ports by swapping the import: ``Response`` carries
+the same field names the reference's Response.from_json produces, and
+job statuses use the same JobStatus enum (config.py:30-39).
+
+Jobs persist as JSON rows in ``job_root/_JOBS.jsonl`` (append-only,
+rewritten atomically on update) so ``get_job_status`` works from a fresh
+client instance, mirroring the reference's Postgres job table at the
+fidelity a local engine needs. Each job's vectors land under
+``job_root/job_<id>/`` for the default parquet sink; external sinks
+(qdrant/pinecone/weaviate/webhook) route through the same import-gated
+writers as the pipeline (sinks/writers.write_vectors).
+
+File classification mirrors the reference /jobs endpoint exactly:
+unsupported extension -> failed_uploads, empty file -> empty_files_count,
+same filename twice in one request -> duplicate_files_count (K2),
+oversized (>25 MB) -> failed_uploads (the /embed 400, app.py:54-59).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from vectorflow_spark.config import JobStatus, PipelineConfig
+
+SUPPORTED_CLIENT_EXTENSIONS = (".txt", ".md", ".html", ".pdf", ".docx")
+
+
+@dataclass
+class Job:
+    """Mirror of the reference client's Job (client job.py:1-15)."""
+
+    job_id: int
+    job_status: str | None = None
+    filename: str | None = None
+
+
+@dataclass
+class Response:
+    """Mirror of the reference client's Response field names."""
+
+    error: str | None = None
+    message: str | None = None
+    successful_uploads: list[Job] | None = None
+    failed_uploads: list[str] | None = None
+    empty_files_count: int | None = None
+    duplicate_files_count: int | None = None
+    job_id: int | None = None
+    jobs: list[Job] | None = None
+    job_status: str | None = None
+    status_code: int = 200
+
+
+@dataclass
+class Vectorflow:
+    """``Vectorflow(spark).embed('doc.txt')`` — the reference client's
+    call shape against the Spark engine."""
+
+    spark: object
+    cfg: PipelineConfig = field(default_factory=PipelineConfig)
+    job_root: str = "spark-warehouse/vf_jobs"
+
+    # -- job registry -------------------------------------------------
+
+    def _jobs_path(self) -> str:
+        return os.path.join(self.job_root, "_JOBS.jsonl")
+
+    def _load_jobs(self) -> dict[int, dict]:
+        try:
+            with open(self._jobs_path()) as f:
+                return {int(j["job_id"]): j for j in map(json.loads, f) if j}
+        except OSError:
+            return {}
+
+    def _save_jobs(self, jobs: dict[int, dict]) -> None:
+        os.makedirs(self.job_root, exist_ok=True)
+        tmp = self._jobs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            for j in jobs.values():
+                f.write(json.dumps(j) + "\n")
+        os.replace(tmp, self._jobs_path())
+
+    def _new_job(self, filename: str) -> int:
+        jobs = self._load_jobs()
+        job_id = max(jobs, default=0) + 1
+        jobs[job_id] = {
+            "job_id": job_id,
+            "filename": filename,
+            "job_status": JobStatus.NOT_STARTED.value,
+        }
+        self._save_jobs(jobs)
+        return job_id
+
+    def _update_job(self, job_id: int, **fields) -> None:
+        jobs = self._load_jobs()
+        jobs[job_id].update(fields)
+        self._save_jobs(jobs)
+
+    # -- request classification (the /jobs endpoint rules) ------------
+
+    def _classify(self, file_paths: list[str]):
+        ok: list[str] = []
+        failed: list[str] = []
+        empty = dup = 0
+        seen: set[str] = set()
+        for p in file_paths:
+            name = os.path.basename(p)
+            if name.lower() in seen:  # K2: duplicate filename in one request
+                dup += 1
+                continue
+            seen.add(name.lower())
+            if not name.lower().endswith(SUPPORTED_CLIENT_EXTENSIONS):
+                failed.append(name)
+                continue
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                failed.append(name)
+                continue
+            if size == 0:  # F3
+                empty += 1
+                continue
+            if size > self.cfg.max_file_size_bytes:  # F4: the 25 MB 400
+                failed.append(name)
+                continue
+            ok.append(p)
+        return ok, failed, empty, dup
+
+    # -- execution ----------------------------------------------------
+
+    def _run_one(self, path: str, job_id: int):
+        from vectorflow_spark.pipeline import job_status_row, run_pipeline_observed
+        from vectorflow_spark.sinks.writers import write_vectors
+        from vectorflow_spark.sources.readers import extract_documents, read_raw_files
+
+        self._update_job(job_id, job_status=JobStatus.IN_PROGRESS.value)
+        try:
+            raw = read_raw_files(self.spark, path)
+            docs = extract_documents(raw)
+            records, obs = run_pipeline_observed(docs, self.cfg, text_col="text", doc_col="source")
+            cfg = self.cfg
+            if cfg.sink == "parquet" and "path" not in cfg.sink_options:
+                from dataclasses import replace
+
+                cfg = replace(
+                    cfg, sink_options={**cfg.sink_options, "path": os.path.join(self.job_root, f"job_{job_id}")}
+                )
+            write_vectors(records, cfg)
+            status = job_status_row(obs, str(job_id))
+            self._update_job(
+                job_id,
+                job_status=status["job_status"],
+                n_docs=status["n_docs"],
+                n_records=status["n_records"],
+            )
+        except Exception as e:  # noqa: BLE001 — job accounting, A4/A5
+            self._update_job(job_id, job_status=JobStatus.FAILED.value, error=str(e)[:500])
+
+    # -- public API (reference call shapes) ---------------------------
+
+    def embed(self, filepath: str) -> Response:
+        """POST /embed: one file -> one job, run synchronously."""
+        ok, failed, empty, dup = self._classify([filepath])
+        if not ok:
+            reason = (
+                "empty file" if empty else "unsupported or oversized file"
+            )
+            return Response(error=reason, status_code=400)
+        job_id = self._new_job(os.path.basename(filepath))
+        self._run_one(filepath, job_id)
+        return Response(job_id=job_id, message="Job created", status_code=200)
+
+    def upload(self, file_paths: list[str]) -> Response:
+        """POST /jobs: classify each file, one job per valid file."""
+        ok, failed, empty, dup = self._classify(file_paths)
+        uploads: list[Job] = []
+        for p in ok:
+            name = os.path.basename(p)
+            job_id = self._new_job(name)
+            self._run_one(p, job_id)
+            uploads.append(Job(job_id=job_id, filename=name))
+        return Response(
+            successful_uploads=uploads or None,
+            failed_uploads=failed or None,
+            empty_files_count=empty,
+            duplicate_files_count=dup,
+            status_code=200 if uploads else 400,
+        )
+
+    def get_job_status(self, job_id: int) -> Response:
+        """GET /jobs/<id>/status."""
+        j = self._load_jobs().get(int(job_id))
+        if j is None:
+            return Response(error=f"job {job_id} not found", status_code=404)
+        return Response(job_id=int(job_id), job_status=j["job_status"], status_code=200)
+
+    def get_job_statuses(self, job_ids: list[int]) -> Response:
+        """POST /jobs/status (A3 multi-lookup)."""
+        jobs = self._load_jobs()
+        found = [
+            Job(job_id=int(i), job_status=jobs[int(i)]["job_status"])
+            for i in job_ids
+            if int(i) in jobs
+        ]
+        return Response(jobs=found or None, status_code=200)
+
+    def read_job_vectors(self, job_id: int):
+        """Engine-side convenience the reference cannot offer: the job's
+        sink records as a DataFrame (parquet sink only)."""
+        return self.spark.read.parquet(os.path.join(self.job_root, f"job_{int(job_id)}"))
