@@ -56,12 +56,31 @@ def main() -> None:
 
     emit("region", "*", cross=False)
     emit("nation", "*", cross=False)
+    # names get a per-copy PREFIX for k>0 ('c3_...'): identical names
+    # replicated 10x would create cross-copy matches in name-keyed
+    # operators — blocked fuzzy linkage both grows first-token blocks 10x
+    # (quadratic distinct-name comparisons) and expands each name pair
+    # through 10x10 id joins, a ~100x blowup the real corpus lacks. A
+    # prefix changes the BLOCK key too, so every copy keeps sf0.1's exact
+    # block-size distribution; substring/LIKE predicates on name bodies
+    # still match.
+    def prefixed(col: str) -> str:
+        return f"CASE WHEN k = 0 THEN {col} ELSE 'c' || k || '_' || {col} END AS {col}"
+
     emit(
         "customer",
-        f"c_custkey + k*{STRIDE} AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment",
+        f"c_custkey + k*{STRIDE} AS c_custkey, {prefixed('c_name')}, "
+        "c_nationkey, c_acctbal, c_mktsegment",
     )
-    emit("supplier", f"s_suppkey + k*{STRIDE} AS s_suppkey, s_name, s_nationkey, s_acctbal")
-    emit("part", f"p_partkey + k*{STRIDE} AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice")
+    emit(
+        "supplier",
+        f"s_suppkey + k*{STRIDE} AS s_suppkey, {prefixed('s_name')}, s_nationkey, s_acctbal",
+    )
+    emit(
+        "part",
+        f"p_partkey + k*{STRIDE} AS p_partkey, {prefixed('p_name')}, "
+        "p_brand, p_type, p_size, p_retailprice",
+    )
     emit(
         "orders",
         f"o_orderkey + k*{STRIDE} AS o_orderkey, o_custkey + k*{STRIDE} AS o_custkey, "

@@ -394,6 +394,40 @@ class TestHammingPairs:
             assert (base, base + 6) in pairs, f"twin pair {base} missing"
             assert pairs[(base, base + 6)] <= 6
 
+    def test_audio_fingerprint_twins_pair(self, spark):
+        """Noise-perturbed audio twins land inside the hamming-8 ball;
+        unrelated clips stay out (measured margin: twins 0-8, others
+        15+) — the audio leg of the cross-modal dedup family."""
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from vectorflow_spark.operators.codecs import decode_audio, encode_wav
+        from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+        from vectorflow_spark.operators.multimodal import audio_fingerprint, make_fake_audio
+
+        def one(i) -> bytes:
+            if int(i) >= 6:  # ids 6..11 are noisy twins of 0..5
+                samples, rate = decode_audio(make_fake_audio(str(int(i) - 6), 8000, 2048))
+                rng = np.random.default_rng(int(i))
+                noisy = np.clip(samples + rng.normal(0, 2, len(samples)), 0, 255)
+                return encode_wav(noisy.astype(np.uint8), rate)
+            return make_fake_audio(str(int(i)), 8000, 2048)
+
+        gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
+        assets = spark.range(0, 12).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+        printed = audio_fingerprint(assets)
+        pairs = {
+            (r.a, r.b): r.hamming
+            for r in hamming_candidate_pairs(
+                printed, "asset_id", "afp", bits=63, n_bands=9, max_hamming=8
+            ).collect()
+        }
+        for base in range(6):
+            assert (base, base + 6) in pairs, f"audio twin pair {base} missing"
+        # no unrelated-base pair sneaks inside the ball
+        for (a, b) in pairs:
+            assert b - a == 6, f"unexpected pair {(a, b)}"
+
     def test_negative_fingerprints_pair(self, spark):
         """Sign-bit-set int64 fingerprints must band identically to their
         raw bit pattern: -1 (all ones) and -1^0b100 differ by 1 bit and

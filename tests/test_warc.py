@@ -169,6 +169,34 @@ class TestStreamingScan:
         assert df.filter(F.col("warc_type") == "response").count() == 1
 
 
+class TestDistributedSink:
+    def test_write_read_roundtrip_and_determinism(self, spark, tmp_path):
+        from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"http://h/{i}", f"body text {i}") for i in range(50)],
+            "doc_id long, url string, text string",
+        )
+        out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        m1 = write_warc_corpus(docs, out1, n_files=4).collect()
+        assert sum(r.n_records for r in m1) == 50
+        assert len(m1) <= 4
+        got = {
+            r.url: bytes(r.body).decode()
+            for r in read_warc(spark, out1).filter(F.col("warc_type") == "response").collect()
+        }
+        assert got == {f"http://h/{i}": f"body text {i}" for i in range(50)}
+        # reruns are byte-identical (deterministic segment content)
+        write_warc_corpus(docs, out2, n_files=4).collect()
+        import os
+
+        for r in m1:
+            name = os.path.basename(r.path)
+            assert open(r.path, "rb").read() == open(os.path.join(out2, name), "rb").read()
+        # no temp debris left behind
+        assert not [f for f in os.listdir(out1) if f.startswith(".tmp-")]
+
+
 def test_warc_roundtrip_fuzz():
     """Hypothesis: arbitrary (url-ish, body-bytes) records survive the
     build->parse roundtrip under both compressions — Content-Length

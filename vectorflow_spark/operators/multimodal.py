@@ -227,6 +227,72 @@ def audio_features(assets: DataFrame, data_col: str = "data") -> DataFrame:
     return assets.mapInPandas(run, schema=schema)
 
 
+def audio_fingerprint(
+    assets: DataFrame,
+    data_col: str = "data",
+    frame: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Perceptual audio fingerprint — the Chromaprint/Shazam SHAPE with
+    stdlib math: frame the PCM stream (``frame`` samples, half-overlap,
+    Hann window), FFT each frame (numpy rfft), fold bins into ``n_bands``
+    log-spaced band energies, take the sign of the band-energy DERIVATIVE
+    along time per band (robust to gain and mild noise — only energy
+    ORDER survives, the same trick dHash plays on pixels), then
+    majority-vote the per-frame bit rows into ONE 63-bit clip
+    fingerprint. Near-identical clips (re-encodes, light noise) agree on
+    most frame bits, so the majority bits move only a few positions —
+    feed ``afp`` straight into operators/dedup.hamming_candidate_pairs
+    exactly like image dHash and SimHash; the container is irrelevant
+    (FAKE or WAV decode to the same samples).
+
+    One Arrow-batched pass, no shuffle; downstream pairing shuffles only
+    on band keys. 63 bits = n_bands x the first 63/n_bands derivative
+    positions, masked int64-safe like image_dhash."""
+    fields = [f.name for f in assets.schema.fields]
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
+    schema += ", afp bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+        n_bins = frame // 2 + 1
+        # log-spaced band edges over the rfft bins (skip DC); integer
+        # collapse can merge low edges, so the effective band count is
+        # len(edges)-1 <= n_bands — never an index past the last bin
+        edges = np.unique(
+            np.clip(
+                np.geomspace(1, n_bins - 1, n_bands + 1).astype(int), 1, n_bins - 1
+            )
+        )
+        n_eff = len(edges) - 1
+
+        def one(b: bytes) -> int:
+            samples, _rate = codecs.decode_audio(bytes(b))
+            hop = frame // 2
+            n = (len(samples) - frame) // hop + 1
+            if n < 2:
+                return 0
+            idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+            spec = np.abs(np.fft.rfft(samples[idx] * hann, axis=1)) ** 2
+            bands = np.add.reduceat(spec, edges[:-1], axis=1)[:, :n_eff]
+            bits = (np.diff(bands, axis=0) > 0)  # (n-1, n_bands)
+            votes = bits.mean(axis=0) > 0.5  # majority per band over time
+            # widen to 63 bits: band-majority over successive time thirds
+            thirds = np.array_split(bits, 3, axis=0)
+            allbits = np.concatenate(
+                [votes] + [t.mean(axis=0) > 0.5 for t in thirds if len(t)]
+            )[:63]
+            v = 0
+            for bit in allbits:
+                v = (v << 1) | int(bit)
+            return v & 0x7FFFFFFFFFFFFFFF
+
+        for pdf in batches:
+            yield pdf[fields].assign(afp=pdf[data_col].map(one).astype("int64"))
+
+    return assets.mapInPandas(run, schema=schema)
+
+
 def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """Deterministic fake-asset table from any id column: kind cycles
     image/audio/video by id mod 3. Used by tests and the rows-only driver

@@ -8283,6 +8283,90 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_warc_scan",
+    "SELECT doc_id, text AS warc_text FROM documents",
+)
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL web-archive cycle through the production entry points —
+    distinct from q_warc_roundtrip, which proves per-row framing inside a
+    UDF: here the corpus is written as multi-record ``.warc.gz`` segment
+    files by the DISTRIBUTED sink (warcmini.write_warc_corpus: hash(url)
+    segmenting, per-task build, rename-commit) and read back by the
+    ``vf_warc`` streaming Data Source (one partition per file, records
+    streamed off disk, never a whole-file row). The oracle is exact text
+    identity over every document, so a hash-match proves the sink's
+    framing, the source's incremental parser, gzip member handling and
+    the url<->doc_id keying all at once. Scan parallelism = segment
+    files, exactly how Common Crawl shards."""
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    out_dir = tempfile.mkdtemp(prefix="vf_warc_scan_")
+    manifest = write_warc_corpus(docs, out_dir, n_files=16)
+    manifest.count()  # materialize: the write IS this action
+    rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "response")
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    )
+
+
+@query("q_audio_fingerprint_dedup")
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-duplicate pairs (rows-only: FFT kernel is
+    Python) — the audio leg of the cross-modal dedup family: clips are
+    unique 2048-sample streams (seed = id) rotating FAKE/WAV containers,
+    except every 5th, which is a deterministic light-noise re-render of
+    its successor (the re-encode/transcode model). The fingerprint is
+    operators/multimodal.audio_fingerprint — framed rfft band-energy
+    derivative signs majority-voted to a 63-bit clip code (measured:
+    twins land 0-8 bits apart, unrelated clips 15+) — and pairing is the
+    SAME generic Hamming-ball bander image dHash and SimHash use
+    (9 bands x 7 bits, max_hamming 8 < 9 bands = exact by pigeonhole).
+    Counts per hamming distance keep the result small; one Arrow pass +
+    one band-key shuffle."""
+    from vectorflow_spark.operators.codecs import decode_audio, encode_wav
+    from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.multimodal import audio_fingerprint, make_fake_audio
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _base(i: int) -> bytes:
+        blob = make_fake_audio(str(i), 8000, 2048)
+        if i % 2:  # odd ids carry real WAV containers
+            samples, rate = decode_audio(blob)
+            return encode_wav(samples.astype(np.uint8), rate)
+        return blob
+
+    def _one(i) -> bytes:
+        i = int(i)
+        if i % 5 == 0:  # noise-perturbed twin of clip i+1
+            samples, rate = decode_audio(_base(i + 1))
+            rng = np.random.default_rng(i)  # deterministic per id
+            noisy = np.clip(samples + rng.normal(0, 2, len(samples)), 0, 255)
+            return encode_wav(noisy.astype(np.uint8), rate)
+        return _base(i)
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    printed = audio_fingerprint(assets)
+    pairs = hamming_candidate_pairs(
+        printed, "asset_id", "afp", bits=63, n_bands=9, max_hamming=8
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a")).alias("min_a"),
+    )
+
+
+@query(
     "q_session_window_native",
     """
     WITH sec AS (

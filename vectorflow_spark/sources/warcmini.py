@@ -160,7 +160,10 @@ def build_warc(
         if url is not None:
             headers.insert(2, f"WARC-Target-URI: {url}".encode())
         rec = CRLF.join(headers) + CRLF + CRLF + payload + CRLF + CRLF
-        return gzip.compress(rec) if compress else rec
+        # mtime=0: the gzip header embeds a timestamp by default, which
+        # would make byte-identical reruns impossible (the sink's
+        # determinism contract)
+        return gzip.compress(rec, mtime=0) if compress else rec
 
     out += one_record("warcinfo", None, b"software: vectorflow-spark warcmini\r\n", "application/warc-fields")
     for url, body, mime in records:
@@ -175,6 +178,62 @@ def build_warc(
     return bytes(out)
 
 
+
+
+def write_warc_corpus(
+    docs,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    mime: str = "text/plain",
+    n_files: int = 16,
+    compress: bool = True,
+):
+    """Distributed WARC SINK: write a corpus back out as ``n_files``
+    ``.warc.gz`` segment files — the inverse of the ``vf_warc`` scan, and
+    the export shape a crawl-processing pipeline hands downstream
+    consumers. Returns the manifest DataFrame (segment, path, n_records,
+    n_bytes); the files are written when the manifest materializes.
+
+    Plan: segment = hash(url) mod n_files (uniform, deterministic), one
+    shuffle on segment, then each task builds ITS file with the same
+    deterministic ``build_warc`` the fixtures use (records sorted by url
+    within the segment, so reruns are byte-identical) and commits it via
+    write-temp + rename — a re-run or task retry can never leave a
+    half-written segment visible. Sizing contract at 100 TB: one
+    segment's records sit in one task's memory while its file builds, so
+    pick ``n_files ~ corpus_bytes / 1 GiB`` (the Common Crawl segment
+    size) exactly as you would size shuffle partitions."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def one_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["_seg"].iloc[0])
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        records = [
+            (str(u), str(t).encode("utf-8"), mime)
+            for u, t in zip(pdf[url_col], pdf[text_col])
+        ]
+        blob = build_warc(records, compress=compress)
+        path = os.path.join(out_dir, f"segment-{seg:05d}.warc" + (".gz" if compress else ""))
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-seg-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [{"segment": seg, "path": path, "n_records": len(records), "n_bytes": len(blob)}]
+        )
+
+    return (
+        docs.withColumn("_seg", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files)))
+        .groupBy("_seg")
+        .applyInPandas(one_segment, "segment int, path string, n_records long, n_bytes long")
+    )
 
 
 def read_warc(spark, path: str, glob: str | None = None):
