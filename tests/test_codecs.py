@@ -394,6 +394,38 @@ class TestHammingPairs:
             assert (base, base + 6) in pairs, f"twin pair {base} missing"
             assert pairs[(base, base + 6)] <= 6
 
+    def test_video_neardup_temporal_alignment(self, spark):
+        """Perturbed re-renders match on every aligned frame; unrelated
+        videos never clear the min_frames bar — the composition of
+        frame-explode + dHash + Hamming bander + temporal rollup."""
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from vectorflow_spark.operators.multimodal import (
+            make_fake_video,
+            video_neardup_pairs,
+        )
+
+        NF, W, H = 8, 16, 12
+
+        def one(i) -> bytes:
+            if int(i) >= 6:  # ids 6..11 are per-frame-nudged twins of 0..5
+                blob = bytearray(make_fake_video(str(int(i) - 6), NF, W, H))
+                frames = np.frombuffer(bytes(blob[10:]), dtype=np.uint8).reshape(NF, H * W).copy()
+                for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                    frames[:, y * W + x] ^= 0x60
+                return bytes(blob[:10]) + frames.tobytes()
+            return make_fake_video(str(int(i)), NF, W, H)
+
+        gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
+        assets = spark.range(0, 12).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+        pairs = {
+            (r.video_a, r.video_b): r.n_frames_matched
+            for r in video_neardup_pairs(assets, frame_hamming=6, min_frames=6).collect()
+        }
+        assert set(pairs) == {(b, b + 6) for b in range(6)}
+        assert all(n >= 6 for n in pairs.values())
+
     def test_audio_fingerprint_twins_pair(self, spark):
         """Noise-perturbed audio twins land inside the hamming-8 ball;
         unrelated clips stay out (measured margin: twins 0-8, others

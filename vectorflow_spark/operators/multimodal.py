@@ -227,6 +227,57 @@ def audio_features(assets: DataFrame, data_col: str = "data") -> DataFrame:
     return assets.mapInPandas(run, schema=schema)
 
 
+def video_neardup_pairs(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+    every_k: int = 1,
+    frame_hamming: int = 6,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Video near-duplicate pairs as a COMPOSITION of the existing
+    distributed operators — no new Python kernel: explode frames
+    (``video_frame_sample``), dHash each frame (``image_dhash`` — frames
+    are image-coded rows), pair frames within ``frame_hamming`` bits via
+    the generic Hamming-ball bander, then roll frame pairs up to video
+    pairs requiring TEMPORAL ALIGNMENT (same frame index) on at least
+    ``min_frames`` sampled frames. A re-encoded/lightly-edited video
+    matches frame-for-frame; unrelated videos virtually never align on
+    ``min_frames`` distinct indices inside the Hamming ball.
+
+    Frame ids pack (video_id, frame_idx) into one BIGINT (idx < 4096) so
+    the bander's id machinery applies unchanged; everything after the
+    dHash kernel is engine-side (one band-key shuffle + one (a,b)
+    aggregation). Scale: frames-per-video is a small constant (sampling
+    stride), so the frame table is O(videos) and every stage inherits
+    the bander's posting-list caps."""
+    from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+
+    frames = video_frame_sample(assets.select(id_col, data_col), every_k=every_k)
+    hashed = image_dhash(frames, data_col="frame")
+    packed = hashed.select(
+        (F.col(id_col) * 4096 + F.col("frame_idx")).alias("fid"), "dhash"
+    )
+    pairs = hamming_candidate_pairs(
+        packed, "fid", "dhash", bits=63, n_bands=7, max_hamming=frame_hamming
+    )
+    aligned = pairs.filter(
+        (F.col("a") % 4096 == F.col("b") % 4096)  # same frame position
+        & (F.expr("a div 4096") != F.expr("b div 4096"))
+    )
+    return (
+        aligned.groupBy(
+            F.expr("a div 4096").alias("video_a"),
+            F.expr("b div 4096").alias("video_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_matched"),
+            F.max("hamming").alias("max_frame_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def audio_fingerprint(
     assets: DataFrame,
     data_col: str = "data",

@@ -8315,6 +8315,47 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_video_neardup_pairs")
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection (rows-only: dHash kernel is
+    Python) — the video leg of the cross-modal dedup triad, built by
+    COMPOSING verified operators rather than a new kernel
+    (multimodal.video_neardup_pairs): frame explode -> per-frame dHash ->
+    Hamming-ball frame pairs -> temporally-aligned (same frame index)
+    video-pair rollup requiring >= 6 of 8 matching frames. Corpus: unique
+    8-frame 16x12 videos (seed = id) except every 5th, a re-render of its
+    successor with three pixels nudged IN EVERY FRAME (the re-encode
+    model); twins match on all 8 aligned frames within a few bits,
+    unrelated videos virtually never align. Per-video id count keeps the
+    result deterministic and small."""
+    from vectorflow_spark.operators.multimodal import make_fake_video, video_neardup_pairs
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    NF, W, H = 8, 16, 12
+
+    def _one(i) -> bytes:
+        i = int(i)
+        if i % 5 == 0:  # perturbed twin of video i+1
+            blob = bytearray(make_fake_video(str(i + 1), NF, W, H))
+            frames = np.frombuffer(bytes(blob[10:]), dtype=np.uint8).reshape(NF, H * W).copy()
+            for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                frames[:, y * W + x] ^= 0x60
+            return bytes(blob[:10]) + frames.tobytes()
+        return make_fake_video(str(i), NF, W, H)
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    pairs = video_neardup_pairs(assets, frame_hamming=6, min_frames=6)
+    return pairs.groupBy("n_frames_matched").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("video_a").alias("min_a"),
+    )
+
+
 @query("q_audio_fingerprint_dedup")
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-duplicate pairs (rows-only: FFT kernel is
