@@ -197,6 +197,45 @@ class TestDistributedSink:
         assert not [f for f in os.listdir(out1) if f.startswith(".tmp-")]
 
 
+class TestStreamingSource:
+    def test_new_segments_arrive_incrementally(self, spark, tmp_path):
+        """readStream.format('vf_warc'): batch 1 sees the initial
+        segments, a newly dropped segment arrives as its own micro-batch
+        with ONLY its records (offset = seen-file set)."""
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        src = tmp_path / "stream"
+        src.mkdir()
+        for i in range(2):
+            (src / f"s{i}.warc.gz").write_bytes(
+                build_warc([(f"http://h/{i}", f"b{i}".encode(), "text/plain")])
+            )
+        batches: list[set[str]] = []
+
+        def sink(df, _bid):
+            batches.append({r.url for r in df.filter(F.col("warc_type") == "response").collect()})
+
+        q = (
+            spark.readStream.format("vf_warc")
+            .load(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (src / "s2.warc.gz").write_bytes(
+                build_warc([("http://h/2", b"b2", "text/plain")])
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        seen = [b for b in batches if b]
+        assert seen[0] == {"http://h/0", "http://h/1"}
+        assert seen[1] == {"http://h/2"}  # ONLY the new segment's records
+
+
 def test_warc_roundtrip_fuzz():
     """Hypothesis: arbitrary (url-ish, body-bytes) records survive the
     build->parse roundtrip under both compressions — Content-Length

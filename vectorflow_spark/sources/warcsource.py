@@ -25,7 +25,12 @@ from __future__ import annotations
 import fnmatch
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 WARC_ROW_SCHEMA = (
@@ -83,9 +88,52 @@ class VfWarcReader(DataSourceReader):
             )
 
 
+class VfWarcStreamReader(DataSourceStreamReader):
+    """Continuous crawl ingest: each micro-batch processes the WARC
+    segment files that APPEARED since the last batch — the Common Crawl
+    delivery model (a crawler keeps dropping ~1 GB segments into a
+    prefix) as a Structured Streaming source. Offsets are the sorted
+    list of file names already planned, so recovery from the checkpoint
+    replans exactly the unprocessed files; records stream off disk
+    inside each task exactly like the batch reader (one file = one
+    partition = one InputPartition). A file must be dropped in COMPLETE
+    (write-temp + rename, as write_warc_corpus does) — the discovery
+    glob has no way to tell a half-written file from a finished one,
+    which is the same contract Spark's own file source imposes.
+
+    The offset carries the full seen-file list (not a high-watermark
+    name) so files may arrive in any lexical order; at millions of
+    segments you would switch to (mtime, name) watermarks — documented
+    trade-off, same as spark.readStream.format('binaryFile')'s file log."""
+
+    def __init__(self, options: dict):
+        self._batch = VfWarcReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"seen": self._batch._files()}
+        except FileNotFoundError:  # empty dir: no batch yet
+            return {"seen": []}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [_WarcFilePartition(p) for p in new]
+
+    def read(self, partition: _WarcFilePartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
 class VfWarcDataSource(DataSource):
-    """``spark.read.format("vf_warc").load(path)``; register once per
-    session with ``spark.dataSource.register(VfWarcDataSource)`` (or use
+    """``spark.read.format("vf_warc").load(path)`` for batch,
+    ``spark.readStream.format("vf_warc").load(path)`` for continuous
+    segment ingest; register once per session with
+    ``spark.dataSource.register(VfWarcDataSource)`` (or use
     ``warcmini.read_warc`` which does both)."""
 
     @classmethod
@@ -97,6 +145,9 @@ class VfWarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return VfWarcReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return VfWarcStreamReader(self.options)
 
 
 def register(spark) -> None:
