@@ -2347,6 +2347,45 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skew_autojoin",
+    """
+    WITH f AS (
+        SELECT CASE WHEN user_id % 10 < 3 THEN 1 ELSE user_id END AS k, value
+        FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM f JOIN customer ON k = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_skew_autojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-detected skew join (operators/joins.skew_profiled_join): the
+    fact key is deliberately skewed (~30% of events collapse onto key 1 —
+    the null-ish-user / default-tenant shape), the operator profiles the
+    key histogram, salts ONLY the heavy keys across 16 reducers, and
+    unions with the untouched light path. The oracle is the PLAIN join —
+    salting must be row-invisible. Distinct from q_salted_join (static
+    all-rows salting when skew is known a priori): here detection is part
+    of the operator and the light 99% pays zero replication."""
+    from vectorflow_spark.operators.joins import skew_profiled_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew_profiled_join(ev, c, "k", "c_custkey", heavy_threshold=1000, num_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "q_brand_premium",
     """
     SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
