@@ -197,6 +197,40 @@ class TestDistributedSink:
         assert not [f for f in os.listdir(out1) if f.startswith(".tmp-")]
 
 
+class TestCorruptSegments:
+    def test_corrupt_file_yields_error_row_not_task_failure(self, spark, tmp_path):
+        """Default onCorrupt='row': a truncated/garbage segment contributes
+        one error row (records parsed before the corruption survive); good
+        segments are unaffected — at 100 TB one bad file must not kill the
+        job."""
+        good = build_warc([("http://h/ok", b"fine", "text/plain")])
+        (tmp_path / "good.warc.gz").write_bytes(good)
+        (tmp_path / "bad.warc.gz").write_bytes(good[: len(good) - 7])  # truncated gzip
+        (tmp_path / "junk.warc").write_bytes(b"NOT A WARC AT ALL")
+        rows = read_warc(spark, str(tmp_path)).collect()
+        ok = [r for r in rows if r.warc_type == "response"]
+        errs = [r for r in rows if r.warc_type == "error"]
+        assert {r.url for r in ok} == {"http://h/ok"}
+        assert {r.warc_file for r in errs} == {"bad.warc.gz", "junk.warc"}
+        assert all(r.payload_type for r in errs)  # message carried
+
+    def test_strict_mode_fails(self, spark, tmp_path):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        (tmp_path / "junk.warc").write_bytes(b"NOT A WARC AT ALL")
+        df = (
+            spark.read.format("vf_warc")
+            .option("onCorrupt", "strict")
+            .load(str(tmp_path))
+        )
+        with pytest.raises((PythonException, Py4JJavaError)):
+            df.collect()
+
+
 class TestStreamingSource:
     def test_new_segments_arrive_incrementally(self, spark, tmp_path):
         """readStream.format('vf_warc'): batch 1 sees the initial

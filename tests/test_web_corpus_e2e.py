@@ -38,6 +38,26 @@ def warc_dir(tmp_path_factory):
     return str(d)
 
 
+def test_packaged_warc_pipeline_entry(spark, warc_dir):
+    """run_pipeline_from_warc: the one-call crawl-to-vectors path must
+    reproduce the composed steps — url-deduped docs in, sink records out
+    with the canonical schema and idempotent ids."""
+    from vectorflow_spark.config import PipelineConfig
+    from vectorflow_spark.pipeline import run_pipeline_from_warc
+
+    cfg = PipelineConfig(embeddings_type="deterministic", embedding_dim=8, chunk_size=64, chunk_overlap=0)
+    out = run_pipeline_from_warc(spark, warc_dir, cfg)
+    rows = out.collect()
+    assert set(out.columns) == {"id", "source_data", "source_document", "embeddings"}
+    assert len(rows) > 0
+    assert all(len(r.embeddings) == 8 for r in rows)
+    # url-dedup: the www/tracking variant must not contribute records
+    assert len({r.source_document for r in rows}) == 4
+    # deterministic ids: re-running yields the identical id set
+    again = {r.id for r in run_pipeline_from_warc(spark, warc_dir, cfg).collect()}
+    assert again == {r.id for r in rows}
+
+
 def test_warc_to_sink_records(spark, warc_dir):
     from vectorflow_spark.config import ChunkStrategy, PipelineConfig
     from vectorflow_spark.operators.dedup import drop_exact_duplicates

@@ -96,6 +96,49 @@ def run_pipeline(documents: DataFrame, cfg: PipelineConfig, text_col: str = "tex
     return to_vector_records(vectors, doc_col=doc_col)
 
 
+def run_pipeline_from_warc(
+    spark,
+    warc_dir: str,
+    cfg: PipelineConfig,
+    glob: str | None = None,
+    url_dedup: bool = True,
+) -> DataFrame:
+    """The packaged crawl-to-vectors entry: ``.warc.gz`` segments ->
+    streaming ``vf_warc`` scan -> HTML strip -> canonical-URL dedup ->
+    the standard pipeline (curation per cfg, chunk, embed, sink schema).
+    This is the composition tests/test_web_corpus_e2e.py verifies step by
+    step, exposed as one call so the Common Crawl case is a one-liner:
+
+        records = run_pipeline_from_warc(spark, "s3a://bucket/crawl/", cfg)
+
+    URL dedup keeps the lexically-smallest raw url per canonical url —
+    deterministic, and the canonicalization is pure codegen
+    (operators/urls.py). Non-UTF8 and non-response records drop out
+    before chunking; error rows from corrupt segments (warc_type =
+    'error') are excluded by the response filter and can be audited from
+    ``read_warc`` directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectorflow_spark.operators.urls import canonical_url_expr
+    from vectorflow_spark.sources.readers import strip_html_expr
+    from vectorflow_spark.sources.warcmini import read_warc
+
+    rows = read_warc(spark, warc_dir, glob=glob).filter(F.col("warc_type") == "response")
+    docs = rows.select(
+        F.col("url").alias("source"),
+        canonical_url_expr(F.col("url")).alias("_curl"),
+        strip_html_expr(
+            F.expr("CASE WHEN is_valid_utf8(body) THEN decode(body, 'UTF-8') END")
+        ).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    if url_dedup:
+        w = Window.partitionBy("_curl").orderBy("source")
+        docs = docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    docs = docs.select("source", "text")
+    return run_pipeline(docs, cfg, text_col="text", doc_col="source")
+
+
 def run_pipeline_observed(
     documents: DataFrame,
     cfg: PipelineConfig,

@@ -51,6 +51,16 @@ class VfWarcReader(DataSourceReader):
             raise ValueError("vf_warc requires a load path: .load('/dir/of/warcs')")
         self.glob = options.get("glob")
         self.chunk_size = int(options.get("chunksize", str(1 << 16)))
+        # onCorrupt: what a malformed/truncated segment does to the scan.
+        #   "row"  (default) — records parsed so far are kept and ONE
+        #     error row (warc_type='error', payload_type=<message>,
+        #     warc_file=<segment>) marks the file, so per-file error
+        #     accounting composes downstream (the vf_docs policy: at
+        #     100 TB a single corrupt segment must not fail a 6-hour job);
+        #   "strict" — propagate the ValueError and fail the task.
+        self.on_corrupt = options.get("oncorrupt", "row").lower()
+        if self.on_corrupt not in ("row", "strict"):
+            raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
 
     def _files(self) -> list[str]:
         if os.path.isfile(self.path):
@@ -73,10 +83,25 @@ class VfWarcReader(DataSourceReader):
 
     def read(self, partition: _WarcFilePartition):
         # runs on the executor; stdlib-only
+        import zlib
+
         from vectorflow_spark.sources.warcmini import iter_warc_file
 
         source = os.path.basename(partition.path)
-        for rec in iter_warc_file(partition.path, chunk_size=self.chunk_size):
+        it = iter_warc_file(partition.path, chunk_size=self.chunk_size)
+        while True:
+            try:
+                rec = next(it)
+            except StopIteration:
+                return
+            # gzip truncation surfaces as EOFError/zlib.error, framing as
+            # ValueError, filesystem as OSError (BadGzipFile is OSError)
+            except (ValueError, OSError, EOFError, zlib.error) as e:
+                if self.on_corrupt == "strict":
+                    raise
+                # records already yielded stay; one error row marks the file
+                yield (source, None, "error", str(e)[:500], 0, None)
+                return
             body = rec.get("body", rec["payload"])
             yield (
                 source,
