@@ -154,6 +154,49 @@ class TestSpecDecode:
         assert np.all(px == exp[None, None, :])
         assert jpeg_meta(blob) == (16, 16, 3)
 
+    def test_422_subsampled_color(self):
+        """16x8 4:2:2 (Y 2x1, Cb/Cr 1x1): horizontal-only chroma
+        upsampling — one MCU of four DC-only blocks (2 Y + Cb + Cr)."""
+        dc_l, ac_l = _encode_codes(*DC_LUM), _encode_codes(*AC_LUM)
+        dc_c, ac_c = _encode_codes(*DC_CHROM), _encode_codes(*AC_CHROM)
+        w = _BitWriter()
+        _write_dc_only(w, 64, dc_l, ac_l)  # Y block 1 -> 136
+        _write_dc_only(w, 0, dc_l, ac_l)  # Y block 2, diff 0
+        _write_dc_only(w, 32, dc_c, ac_c)  # Cb 132
+        _write_dc_only(w, -32, dc_c, ac_c)  # Cr 124
+        sof = _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 16, 3)
+            + bytes([1, 0x21, 0])  # Y 2x1
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        )
+        sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones(0)
+            + _dqt_ones(1)
+            + sof
+            + _dht(0, 0, DC_LUM)
+            + _dht(1, 0, AC_LUM)
+            + _dht(0, 1, DC_CHROM)
+            + _dht(1, 1, AC_CHROM)
+            + sos
+            + w.flush()
+            + b"\xff\xd9"
+        )
+        px = decode_jpeg(blob)
+        assert px.shape == (8, 16, 3)
+        y, cb, cr = 136.0, 4.0, -4.0
+        exp = np.clip(
+            np.rint(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.all(px == exp[None, None, :])
+
     def test_progressive_refused(self):
         sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
         blob = b"\xff\xd8" + _dqt_ones() + sof2
@@ -203,6 +246,33 @@ class TestRoundtrip:
         lo = encode_jpeg(img, quality=20)
         assert len(lo) < len(hi)
         decode_jpeg(lo)  # low quality still decodes
+
+    def test_fuzz_roundtrip_property(self):
+        """Hypothesis: arbitrary sizes/contents/qualities decode without
+        error to the right shape, and reconstruction error stays bounded
+        at quality >= 70 (PSNR floor 18 dB even for tiny pure-noise images,
+        where edge padding + chroma quantization bite hardest)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(1, 40),
+            quality=st.integers(70, 100),
+            seed=st.integers(0, 2**31 - 1),
+            gray=st.booleans(),
+        )
+        @settings(max_examples=40, deadline=None)
+        def inner(h, w, quality, seed, gray):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=quality))
+            assert out.shape == (h, w, 3)
+            ref = img if not gray else np.repeat(img[:, :, None], 3, axis=2)
+            assert self._psnr(ref, out) > 18
+
+        inner()
 
     def test_meta_matches_decode(self):
         img = np.zeros((20, 30, 3), dtype=np.uint8)

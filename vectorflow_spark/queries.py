@@ -2887,6 +2887,113 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_curation_funnel",
+    f"""
+    WITH en AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id % 50 != 0
+    ),
+    base AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM en),
+    f AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CASE WHEN len(ts) > 0
+                    THEN round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                               / len(ts), 9) END AS mean_word_len,
+               CASE WHEN len(ts) > 0
+                    THEN round(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                               / CAST(len(ts) AS DOUBLE), 9) END AS alpha_word_ratio
+        FROM base
+    ),
+    kept AS (
+        SELECT doc_id FROM f
+        WHERE coalesce(n_words >= 50 AND n_words <= 100000
+                       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                       AND alpha_word_ratio >= 0.8, false)
+    ),
+    fp AS (
+        SELECT d.doc_id,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM en d JOIN kept k ON d.doc_id = k.doc_id
+    ),
+    keeper AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    ktoks AS (SELECT b.doc_id, b.ts FROM base b JOIN keeper k ON b.doc_id = k.doc_id),
+    csh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                        || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                        || ' ' || ts[i+7])) AS shingle
+            FROM ktoks WHERE len(ts) >= 8
+            UNION ALL
+            SELECT doc_id, array_to_string(ts, ' ') AS shingle FROM ktoks WHERE len(ts) < 8
+        )
+    ),
+    btoks AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents WHERE doc_id % 50 = 0),
+    bsh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_transform(range(1, len(ts) - 6),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                        || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                        || ' ' || ts[i+7])) AS shingle
+            FROM btoks WHERE len(ts) >= 8
+            UNION ALL
+            SELECT array_to_string(ts, ' ') AS shingle FROM btoks WHERE len(ts) < 8
+        )
+    ),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shingle = b.shingle),
+    clean AS (SELECT k.doc_id FROM keeper k ANTI JOIN contaminated x ON k.doc_id = x.doc_id)
+    SELECT stage, n_surviving FROM (
+        SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_surviving, 0 AS o FROM documents
+        UNION ALL SELECT '1_en_nonbench', CAST(count(*) AS BIGINT), 1 FROM en
+        UNION ALL SELECT '2_gopher_quality', CAST(count(*) AS BIGINT), 2 FROM kept
+        UNION ALL SELECT '3_fingerprint_dedup', CAST(count(*) AS BIGINT), 3 FROM keeper
+        UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT), 4 FROM clean
+    ) ORDER BY o
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/C4-shape corpus-curation FUNNEL with per-stage
+    survivor counts — the report a data team actually reads before a
+    training run: total -> language + eval-holdout removal -> Gopher
+    quality -> fingerprint dedup -> benchmark decontamination (word
+    8-gram overlap). Every stage is an already-verified operator
+    (q_lang_id / q_gopher_quality / q_fingerprint_dedup /
+    q_decontaminate); this query verifies the STAGED composition and its
+    accounting hash-exactly. Plan: each stage count is a 1-row partial
+    agg over the progressively-filtered lineage — five scans of a
+    shrinking frame, all map-side combined, and the union is 5 rows."""
+    from vectorflow_spark.operators.dedup import decontaminate
+    from vectorflow_spark.operators.textstats import fingerprint, gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    en = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 50 != 0)).select(
+        "doc_id", "text"
+    )
+    kept = gopher_quality_rules(en).filter(F.col("keep")).select("doc_id")
+    fp = en.join(kept, "doc_id").select("doc_id", fingerprint("text").alias("fingerprint"))
+    keeper = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    contaminated = decontaminate(en.join(keeper, "doc_id"), bench, n=8).select("doc_id")
+    clean = keeper.join(contaminated, "doc_id", "left_anti")
+
+    def stage(name: str, frame: DataFrame, order: int) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_surviving"),
+            F.lit(order).alias("_o"),
+        )
+
+    out = (
+        stage("0_total", docs, 0)
+        .unionByName(stage("1_en_nonbench", en, 1))
+        .unionByName(stage("2_gopher_quality", kept, 2))
+        .unionByName(stage("3_fingerprint_dedup", keeper, 3))
+        .unionByName(stage("4_decontaminated", clean, 4))
+    )
+    return out.orderBy("_o").drop("_o")
+
+
+@query(
     "q_simhash_pairs",
     f"""
     WITH fp AS ({_SIMHASH_SQL})
