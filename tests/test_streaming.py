@@ -502,3 +502,53 @@ class TestFailureReplay:
         out = spark.read.parquet(outp)
         assert out.count() == 2 * n_after_crash  # physical duplication happened
         assert out.dropDuplicates(["id"]).count() == n_after_crash  # ids collapse it
+
+
+class TestStreamingIncrementalDedup:
+    def test_cross_batch_and_within_batch_dedup(self, spark, tmp_path):
+        """Batches arrive one file at a time: within-batch LSH collisions
+        keep the lowest id, later batches drop near-dups of EARLIER
+        batches via the persisted index, and the index grows only by
+        survivors."""
+        import json as _json
+
+        from vectorflow_spark.streaming.pipeline import (
+            read_dedup_survivors,
+            streaming_incremental_dedup,
+        )
+
+        uniq = {
+            1: "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima",
+            2: "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray",
+            4: "zulu yankee xavier walrus violet umbrella tiger sunset river quartz panda orange",
+        }
+        inp = tmp_path / "docs"
+        inp.mkdir()
+        with open(inp / "f0.json", "w") as f:  # batch 0: two uniques
+            f.write(_json.dumps({"doc_id": 1, "text": uniq[1]}) + "\n")
+            f.write(_json.dumps({"doc_id": 2, "text": uniq[2]}) + "\n")
+        with open(inp / "f1.json", "w") as f:  # batch 1: dup-of-1 + unique
+            f.write(_json.dumps({"doc_id": 3, "text": uniq[1]}) + "\n")
+            f.write(_json.dumps({"doc_id": 4, "text": uniq[4]}) + "\n")
+        with open(inp / "f2.json", "w") as f:  # batch 2: two dups of 4 (also within-batch dups)
+            f.write(_json.dumps({"doc_id": 5, "text": uniq[4]}) + "\n")
+            f.write(_json.dumps({"doc_id": 6, "text": uniq[4]}) + "\n")
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = streaming_incremental_dedup(
+            stream,
+            str(tmp_path / "index"),
+            str(tmp_path / "survivors"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+        got = {r.doc_id for r in read_dedup_survivors(spark, str(tmp_path / "survivors")).collect()}
+        assert got == {1, 2, 4}
+        # the index holds postings for survivors only (4 bands each)
+        idx = spark.read.parquet(str(tmp_path / "index"))
+        assert idx.count() == 3 * 4

@@ -559,3 +559,92 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = 4,
+    num_hashes: int = 16,
+):
+    """Continuous-ingest near-dup dedup: each micro-batch of new documents
+    is deduplicated WITHIN the batch (LSH band collisions keep the lowest
+    id) and AGAINST the persisted corpus index built by all prior batches,
+    then appends its survivors' (band, bucket) postings to the index —
+    the streaming twin of ``operators/dedup.incremental_dedup`` and the
+    shape a 100 TB corpus actually grows by (nightly/hourly crawl drops,
+    never a full-corpus re-minhash).
+
+    Replay-idempotent the same way streaming_cms/scd2 are: both the
+    survivor output and the index delta land at ``.../batch_id=N`` with
+    overwrite, so an at-least-once re-fire of batch N rewrites its own
+    files and the union view is unchanged — no transactional read-modify-
+    write of global state. The index join reads the CURRENT union of
+    deltas at batch time; because replays see at least the index state
+    they saw before, a replayed batch can only re-drop the same rows.
+
+    Index scale: postings are (band, bucket) longs — 4 rows per surviving
+    document at the defaults — and the per-batch join is
+    new-batch-bands x index, an equi-join on uniform 8-byte keys.
+    Compact the delta directories periodically with
+    ``operators/layout.compact_parquet`` exactly like any small-file
+    stream sink. Returns the started StreamingQuery (availableNow)."""
+    import os
+
+    from vectorflow_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bb = lsh_band_buckets(
+            minhash_signatures(batch_df, doc_col, text_col, n, num_hashes),
+            doc_col,
+            bands,
+            num_hashes,
+        ).localCheckpoint()  # batch_df is a one-shot micro-batch frame: it
+        # feeds the within-batch dedup AND the index join AND the delta
+        # write; the cut keeps minhash from re-running per consumer
+        # within-batch: keep the lowest doc id per colliding bucket
+        keeper = bb.groupBy("band", "bucket").agg(F.min(doc_col).alias("_keep"))
+        dropped_within = (
+            bb.join(keeper, ["band", "bucket"])
+            .filter(F.col(doc_col) != F.col("_keep"))
+            .select(doc_col)
+            .distinct()
+        )
+        batch_unique = batch_df.join(dropped_within, doc_col, "left_anti")
+        # against the persisted corpus index (empty on the first batch)
+        prior = [d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+                 if d.startswith("batch_id=") and d != f"batch_id={batch_id}"]
+        if prior:
+            idx = spark.read.parquet(*[os.path.join(index_dir, d) for d in prior])
+            survivors = incremental_dedup(
+                batch_unique, idx, doc_col, text_col, n, bands, num_hashes
+            )
+        else:
+            survivors = batch_unique
+        survivors = survivors.localCheckpoint()  # two writes below
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        bb.join(survivors.select(doc_col), doc_col, "left_semi").select(
+            "band", "bucket"
+        ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dedup_survivors(spark, out_dir: str) -> DataFrame:
+    """All surviving documents across batches (union of per-batch dirs)."""
+    return spark.read.parquet(out_dir)
