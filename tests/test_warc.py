@@ -169,6 +169,54 @@ class TestStreamingScan:
         assert df.filter(F.col("warc_type") == "response").count() == 1
 
 
+def test_object_store_scheme_refused_with_fallback_pointer(spark, tmp_path):
+    """vf_warc cannot list s3a:// (no Hadoop client in Python workers):
+    it must refuse loudly and name the binaryFile fallback, and the
+    fallback itself must produce the same rows on local data."""
+    from vectorflow_spark.sources.warcmini import read_warc_binaryfile
+
+    df = read_warc(spark, "s3a://bucket/crawl/")
+    with pytest.raises(Exception, match="read_warc_binaryfile"):
+        df.collect()
+
+    (tmp_path / "s.warc.gz").write_bytes(build_warc([("http://h/x", b"hello", "text/plain")]))
+    a = read_warc(spark, str(tmp_path)).filter(F.col("warc_type") == "response").collect()
+    b = read_warc_binaryfile(spark, str(tmp_path)).filter(
+        F.col("warc_type") == "response"
+    ).collect()
+    assert [(r.url, bytes(r.body)) for r in a] == [(r.url, bytes(r.body)) for r in b]
+
+
+def test_wet_conversion_records_pass_through(spark, tmp_path):
+    """Common Crawl WET files are WARC whose records are
+    WARC-Type: conversion with text/plain payloads (no HTTP envelope).
+    The parser must hand the payload through as the body — the WET path
+    needs no HTML strip and is the cheapest text-corpus entry."""
+    from vectorflow_spark.sources.warcmini import CRLF
+
+    import gzip
+
+    def wet_record(url: str, text: bytes) -> bytes:
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            f"WARC-Target-URI: {url}".encode(),
+            b"Content-Type: text/plain",
+            f"Content-Length: {len(text)}".encode(),
+        ]
+        return gzip.compress(CRLF.join(headers) + CRLF + CRLF + text + CRLF + CRLF, mtime=0)
+
+    blob = wet_record("http://h/a", b"extracted plain text a") + wet_record(
+        "http://h/b", b"text b"
+    )
+    (tmp_path / "seg.warc.wet.gz").write_bytes(blob)
+    rows = read_warc(spark, str(tmp_path)).filter(F.col("warc_type") == "conversion").collect()
+    got = {r.url: bytes(r.body).decode() for r in rows}
+    assert got == {"http://h/a": "extracted plain text a", "http://h/b": "text b"}
+    # no HTTP envelope: body IS the payload, byte for byte
+    assert all(r.n_bytes == len(bytes(r.body)) for r in rows)
+
+
 class TestDistributedSink:
     def test_write_read_roundtrip_and_determinism(self, spark, tmp_path):
         from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus

@@ -236,6 +236,44 @@ def write_warc_corpus(
     )
 
 
+def read_warc_binaryfile(spark, path: str, glob: str | None = None):
+    """Object-store fallback for ``read_warc``: the ``binaryFile`` JVM
+    source speaks every Hadoop filesystem (s3a://, gs://, hdfs://...),
+    which the Python ``vf_warc`` DataSource cannot (its workers have no
+    Hadoop client). Cost: each segment materializes as ONE whole-file row
+    before parsing — file-bounded memory instead of record-bounded, fine
+    for ~1 GB crawl segments on executors sized for them, and the reason
+    the local-path scan prefers ``vf_warc``. Same output schema."""
+    import pandas as pd
+
+    from vectorflow_spark.sources.readers import read_raw_files
+
+    raw = read_raw_files(spark, path, glob=glob)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_file", "url", "warc_type", "payload_type", "n_bytes", "body"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for rec in parse_warc(bytes(r["content"])):
+                    body = rec.get("body", rec["payload"])
+                    rows.append(
+                        {
+                            "warc_file": r["source"],
+                            "url": rec.get("warc-target-uri"),
+                            "warc_type": rec.get("warc-type"),
+                            "payload_type": rec.get("content-type"),
+                            "n_bytes": len(body),
+                            "body": body,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    from vectorflow_spark.sources.warcsource import WARC_ROW_SCHEMA
+
+    return raw.mapInPandas(gen, schema=WARC_ROW_SCHEMA)
+
+
 def read_warc(spark, path: str, glob: str | None = None):
     """One row per WARC record across every file under ``path``, via the
     ``vf_warc`` streaming Data Source (sources/warcsource.py): one

@@ -63,6 +63,25 @@ class VfWarcReader(DataSourceReader):
             raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
 
     def _files(self) -> list[str]:
+        # Discovery walks the LOCAL filesystem: a Python DataSource's
+        # partitions()/read() run in Python workers with no Hadoop
+        # FileSystem client, so s3a://-style paths cannot be listed or
+        # opened here. Refuse loudly and point at the fallback instead of
+        # producing an empty scan (warcmini.read_warc_binaryfile rides
+        # the JVM binaryFile source, which speaks every Hadoop scheme, at
+        # the cost of whole-file rows).
+        scheme = self.path.split("://", 1)[0] if "://" in self.path else "file"
+        if scheme not in ("file",):
+            # ValueError, deliberately NOT NotImplementedError: the
+            # DataSource API treats NotImplementedError from partitions()
+            # as "source is unpartitioned" and silently falls back to a
+            # single None partition, swallowing the message.
+            raise ValueError(
+                f"vf_warc lists the local filesystem only (got scheme "
+                f"'{scheme}'); for object stores use "
+                "warcmini.read_warc_binaryfile (JVM binaryFile scan, "
+                "whole-file rows) or stage segments locally"
+            )
         if os.path.isfile(self.path):
             return [self.path]
         out = []
