@@ -8444,6 +8444,7 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, the source's incremental parser, gzip member handling and
     the url<->doc_id keying all at once. Scan parallelism = segment
     files, exactly how Common Crawl shards."""
+    import os
     import tempfile
 
     from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
@@ -8451,7 +8452,11 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", split=True).select(
         "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
     )
-    out_dir = tempfile.mkdtemp(prefix="vf_warc_scan_")
+    # fixed per-sf dir, overwritten per run (segment writes rename-commit),
+    # so repeated bench runs don't accumulate tmp debris
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"vf_warc_scan_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     manifest = write_warc_corpus(docs, out_dir, n_files=16)
     manifest.count()  # materialize: the write IS this action
     rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "response")

@@ -274,20 +274,21 @@ def read_warc_binaryfile(spark, path: str, glob: str | None = None):
     return raw.mapInPandas(gen, schema=WARC_ROW_SCHEMA)
 
 
-def read_warc(spark, path: str, glob: str | None = None):
+def read_warc(spark, path: str, glob: str | None = None, on_corrupt: str = "row"):
     """One row per WARC record across every file under ``path``, via the
     ``vf_warc`` streaming Data Source (sources/warcsource.py): one
     partition per file — WARC's natural parallel unit, matching how
     crawls shard into ~1 GB segments — and records stream off disk
     inside each task, so peak memory is record-bounded rather than
     file-bounded (the round-3 ``binaryFile`` scan materialized each file
-    as a single bytes row first). Compose with ``strip_html_expr`` /
-    ``extract_documents`` downstream to turn response bodies into the
-    documents table."""
+    as a single bytes row first). ``on_corrupt``: 'row' (default) marks a
+    malformed segment with one error row, 'strict' fails the task.
+    Compose with ``strip_html_expr`` / ``extract_documents`` downstream
+    to turn response bodies into the documents table."""
     from vectorflow_spark.sources import warcsource
 
     warcsource.register(spark)
-    reader = spark.read.format("vf_warc")
+    reader = spark.read.format("vf_warc").option("onCorrupt", on_corrupt)
     if glob:
         reader = reader.option("glob", glob)
     return reader.load(path)
