@@ -259,6 +259,32 @@ class TestEmbeddingNearDup:
         assert pairs == {(1, 2)}
 
 
+class TestMaxSim:
+    def test_late_interaction_beats_single_vector_intuition(self, spark):
+        """The defining MaxSim property: a doc covering EVERY query token
+        moderately outranks one matching a single token perfectly."""
+        from vectorflow_spark.operators.similarity import maxsim_rerank
+
+        q = spark.createDataFrame(
+            [(0, [[1.0, 0.0], [0.0, 1.0]])],
+            "query_id long, qtoks array<array<double>>",
+        )
+        docs = spark.createDataFrame(
+            [
+                (10, [[0.9, 0.1], [0.1, 0.9]]),  # covers both tokens well
+                (11, [[1.0, 0.0], [1.0, 0.0]]),  # perfect on token 1 only
+                (12, [[0.0, 0.0], [0.0, 0.0]]),  # zero vectors: cos -> 0
+            ],
+            "doc_id long, dtoks array<array<double>>",
+        )
+        rows = maxsim_rerank(q, docs, topk=3).collect()
+        order = [r.doc_id for r in rows]
+        assert order == [10, 11, 12]
+        scores = {r.doc_id: r.maxsim_micro for r in rows}
+        assert scores[10] > scores[11] > scores[12] == 0
+        assert [r.rnk for r in rows] == [1, 2, 3]
+
+
 class TestTextStats:
     def test_language_votes(self, spark):
         rows = [

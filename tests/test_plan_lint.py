@@ -33,6 +33,13 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "mining scores corpus × k anchors, same bounded-k contract as "
         "q_knn_batch",
     ),
+    "q_maxsim_rerank": (
+        {"BNLJ_UNBOUNDED"},
+        "broadcast side is the query batch (vec_id < 4 — k multi-vector "
+        "queries by construction); MaxSim rerank scores corpus × k "
+        "queries with the corpus never shuffling, the q_knn_batch "
+        "contract applied to late-interaction retrieval",
+    ),
 }
 
 

@@ -575,3 +575,50 @@ def rrf_fuse(
         .agg(F.sum("_c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists"))
         .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
     )
+
+
+def maxsim_rerank(
+    queries: DataFrame,
+    docs: DataFrame,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    qtok_col: str = "qtoks",
+    dtok_col: str = "dtoks",
+    topk: int = 3,
+) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim rerank: both sides carry a
+    BAG of token vectors (``array<array<double>>``); relevance is, for
+    every query token, its best cosine over the doc's tokens, summed
+    over query tokens. Single-vector search cannot express this — a doc
+    matching every query token weakly can outrank one matching a single
+    token perfectly.
+
+    Per-token cosines micro-quantize (floor(cos*1e6+0.5)) BEFORE the
+    max/sum folds, so ranking is integer-exact and engine-portable. Plan:
+    ``queries`` is the (small, bounded-by-construction) candidate batch
+    and broadcasts; the whole MaxSim fold is ONE HOF expression per
+    (query, doc) pair — no explode, no shuffle of the corpus — and the
+    per-query top-k prunes via WindowGroupLimit. Deploy shape at 100 TB:
+    an IVF/LSH first stage bounds ``docs`` to candidates, this reranks —
+    exactly how late-interaction engines run. Returns (query_id, doc_id,
+    maxsim_micro, rnk <= topk)."""
+    from pyspark.sql import Window
+
+    dot = "aggregate(zip_with(qt, dt, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    qn = "sqrt(aggregate(transform(qt, x -> x * x), 0D, (a, x) -> a + x))"
+    dn = "sqrt(aggregate(transform(dt, x -> x * x), 0D, (a, x) -> a + x))"
+    maxsim = (
+        f"aggregate({qtok_col}, 0L, (acc, qt) -> acc + "
+        f"array_max(transform({dtok_col}, dt -> "
+        f"CAST(floor(CASE WHEN {qn} * {dn} = 0D THEN 0D "
+        f"ELSE {dot} / ({qn} * {dn}) END * 1000000D + 0.5D) AS BIGINT))))"
+    )
+    scored = docs.join(F.broadcast(queries)).select(
+        query_id, doc_id, F.expr(maxsim).alias("maxsim_micro")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim_micro"), F.asc(doc_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= topk)
+        .select(query_id, doc_id, "maxsim_micro", "rnk")
+    )

@@ -7562,6 +7562,82 @@ def _centroid_classify_sql(quant: int = 1_000_000) -> str:
     """
 
 
+def _maxsim_sql(n_tok: int = 8, dsub: int = 8, n_queries: int = 4, topk: int = 3) -> str:
+    dot = " + ".join(f"qt[{j}] * dt[{j}]" for j in range(1, dsub + 1))
+    qnorm = "sqrt(" + " + ".join(f"qt[{j}] * qt[{j}]" for j in range(1, dsub + 1)) + ")"
+    dnorm = "sqrt(" + " + ".join(f"dt[{j}] * dt[{j}]" for j in range(1, dsub + 1)) + ")"
+    return f"""
+    WITH toks AS (
+        SELECT vec_id,
+               list_transform(range(1, {n_tok + 1}),
+                   t -> list_transform(embedding[(t-1)*{dsub}+1 : t*{dsub}],
+                                       x -> CAST(x AS DOUBLE))) AS tokens
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, tokens AS qtoks FROM toks WHERE vec_id < {n_queries}),
+    d AS (SELECT vec_id AS doc_id, tokens AS dtoks FROM toks WHERE vec_id >= {n_queries}),
+    scored AS (
+        SELECT q.query_id, d.doc_id,
+               list_sum(list_transform(q.qtoks, qt ->
+                   CAST(list_max(list_transform(d.dtoks, dt ->
+                       CAST(floor(
+                           CASE WHEN {qnorm} * {dnorm} = 0 THEN 0.0
+                                ELSE ({dot}) / ({qnorm} * {dnorm}) END * 1000000 + 0.5
+                       ) AS BIGINT))) AS BIGINT)
+               )) AS maxsim_micro
+        FROM q CROSS JOIN d
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, CAST(maxsim_micro AS BIGINT) AS maxsim_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim_micro DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, doc_id, maxsim_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {topk}
+    """
+
+
+@query("q_maxsim_rerank", _maxsim_sql())
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval scoring: each document and
+    query carries a BAG of token vectors (the 64-dim embedding split into
+    8 x 8-dim token vectors — the multi-vector shape), and relevance is
+    MaxSim — for every query token take its best cosine against the doc's
+    tokens, sum over query tokens. The op single-vector search cannot
+    express: a doc matching every query token weakly can outrank one
+    matching a single token perfectly. Per-token cosines are
+    micro-quantized (floor(cos*1e6+0.5)) BEFORE the max/sum folds so
+    ranking is integer-exact cross-engine — the house determinism
+    discipline.
+
+    Plan: the query side is k documents by construction (vec_id < 4) and
+    broadcasts; scoring is a bounded BNLJ (corpus never shuffles — the
+    q_knn_batch contract) with the whole MaxSim fold as ONE transform/
+    aggregate HOF expression per pair, then a per-query WindowGroupLimit
+    top-k. At 100 TB the same plan reranks the candidate set an IVF/LSH
+    first stage returns, which is exactly how late-interaction engines
+    deploy (coarse retrieve -> MaxSim rerank)."""
+    from vectorflow_spark.operators.similarity import maxsim_rerank
+
+    n_tok, dsub, n_queries, topk = 8, 8, 4, 3
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    toks = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {n_tok}), t -> transform("
+            f"slice(embedding, (t-1)*{dsub}+1, {dsub}), x -> CAST(x AS DOUBLE)))"
+        ).alias("tokens"),
+    )
+    q = toks.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("tokens").alias("qtoks")
+    )
+    d = toks.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("doc_id"), F.col("tokens").alias("dtoks")
+    )
+    return maxsim_rerank(q, d, topk=topk)
+
+
 @query("q_centroid_classify", _centroid_classify_sql())
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid (prototype) classification with a confusion-matrix
