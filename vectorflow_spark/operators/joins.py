@@ -129,7 +129,14 @@ def skew_profiled_join(
     SQL. AQE's skew-join handles the moderate cases at runtime; this is
     the explicit form for EXTREME known skew, where you also want the
     profile (step 1) logged as a first-class artifact. ``how`` supports
-    inner/left joins (fact side preserved)."""
+    inner/left joins (fact side preserved).
+
+    Cost note at 100 TB: the profile is a second scan of the fact table
+    (map-side combined, so it ships only the count table — cheap in
+    shuffle, not in read I/O). When even that scan is too dear, profile a
+    ``fact.sample(0.01)`` with ``heavy_threshold`` scaled by the fraction:
+    a key heavy enough to hurt is heavy in any 1% sample, and a
+    false-positive heavy key merely pays harmless salting."""
     if how not in ("inner", "left"):
         raise ValueError(f"skew_profiled_join supports inner/left, got {how!r}")
     counts = fact.groupBy(F.col(fact_key).alias("_hk")).agg(F.count(F.lit(1)).alias("_n"))

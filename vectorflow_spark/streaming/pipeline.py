@@ -593,7 +593,11 @@ def streaming_incremental_dedup(
     new-batch-bands x index, an equi-join on uniform 8-byte keys.
     Compact the delta directories periodically with
     ``operators/layout.compact_parquet`` exactly like any small-file
-    stream sink. Returns the started StreamingQuery (availableNow)."""
+    stream sink. Delta discovery here is a driver-side ``os.listdir``
+    (local paths, matching this environment); a cluster deployment lists
+    the same ``batch_id=N`` layout through the Hadoop FileSystem client —
+    foreachBatch runs on the driver, where that client exists. Returns
+    the started StreamingQuery (availableNow)."""
     import os
 
     from vectorflow_spark.operators.dedup import (
