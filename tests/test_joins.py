@@ -199,6 +199,26 @@ class TestSkewProfiledJoin:
         with pytest.raises(ValueError, match="inner/left"):
             skew_profiled_join(fact, dim, "k", "dk", how="full")
 
+    def test_null_keys_routed_around_the_join(self, spark):
+        """NULL fact keys — the literal null-ish-user skew — never match
+        under SQL equality yet would all hash to ONE reducer; they must
+        bypass the join: dropped for inner (like the plain join), kept
+        with null dim columns for left."""
+        from vectorflow_spark.operators.joins import skew_profiled_join
+
+        rows = [(None, i) for i in range(50)] + [(1, 100), (2, 200)]
+        fact = spark.createDataFrame(rows, "k long, v long")
+        dim = spark.createDataFrame([(1, "d1")], "dk long, name string")
+        inner = skew_profiled_join(fact, dim, "k", "dk", heavy_threshold=10)
+        plain_inner = fact.join(dim, fact.k == dim.dk)
+        assert sorted(map(tuple, inner.collect())) == sorted(map(tuple, plain_inner.collect()))
+        left = skew_profiled_join(fact, dim, "k", "dk", heavy_threshold=10, how="left")
+        plain_left = fact.join(dim, fact.k == dim.dk, "left")
+        assert sorted(map(tuple, left.collect()), key=str) == sorted(
+            map(tuple, plain_left.collect()), key=str
+        )
+        assert left.filter(F.col("k").isNull()).count() == 50
+
 
 def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     from vectorflow_spark.sinks.writers import (

@@ -211,6 +211,28 @@ class TestSpecDecode:
         with pytest.raises(ValueError):
             decode_jpeg(b"\xff\xd8\xff\xe0no real segments here")
 
+    def test_truncated_entropy_is_value_error(self):
+        """The parse-or-refuse contract: cut entropy bytes must surface
+        as ValueError, never a raw IndexError from the bit reader."""
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = encode_jpeg(img, quality=90)
+        cut = blob[: blob.rindex(b"\xff\xd9") - 2]  # drop tail entropy + EOI
+        with pytest.raises(ValueError, match="truncated entropy"):
+            decode_jpeg(cut)
+
+    def test_undefined_huffman_table_is_value_error(self):
+        """SOS referencing a DHT id that was never defined: ValueError,
+        not KeyError."""
+        sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        sos = _seg(0xDA, bytes([1, 1, 0x33]) + b"\x00\x3f\x00")  # tables 3/3 undefined
+        blob = (
+            b"\xff\xd8" + _dqt_ones() + sof
+            + _dht(0, 0, DC_LUM) + _dht(1, 0, AC_LUM)
+            + sos + bytes([0xF4, 0x0A]) + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="Huffman table"):
+            decode_jpeg(blob)
+
 
 class TestRoundtrip:
     def _psnr(self, a: np.ndarray, b: np.ndarray) -> float:

@@ -94,6 +94,12 @@ class TestFakeCodecs:
         with pytest.raises(ValueError):
             decode_meta(b"\x89PNG\r\n\x1a\n....")
 
+    def test_truncated_bmp_meta_is_value_error(self):
+        # BMP magic + too few bytes for the INFO header: contracted
+        # ValueError, never a raw struct.error
+        with pytest.raises(ValueError, match="truncated BMP"):
+            decode_meta(b"BM" + b"\x00" * 20)
+
     def test_core_header_bmp_refused(self):
         # BITMAPCOREHEADER (hdr_size=12): decode_meta must refuse like
         # decode_bmp does, not read garbage at BITMAPINFOHEADER offsets.

@@ -169,15 +169,32 @@ class TestStreamingScan:
         assert df.filter(F.col("warc_type") == "response").count() == 1
 
 
-def test_object_store_scheme_refused_with_fallback_pointer(spark, tmp_path):
-    """vf_warc cannot list s3a:// (no Hadoop client in Python workers):
-    it must refuse loudly and name the binaryFile fallback, and the
-    fallback itself must produce the same rows on local data."""
+def test_object_store_paths_dispatch_and_refuse_correctly(spark, tmp_path):
+    """read_warc dispatches on scheme: s3a:// routes to the binaryFile
+    fallback (whole-file rows, every Hadoop FS), file:// works through
+    vf_warc, and DIRECT vf_warc format usage on an object-store path
+    still refuses loudly naming the fallback."""
+    from vectorflow_spark.sources import warcsource
     from vectorflow_spark.sources.warcmini import read_warc_binaryfile
 
-    df = read_warc(spark, "s3a://bucket/crawl/")
+    # s3a path must dispatch to the binaryFile fallback (this sandbox has
+    # no S3 filesystem jars, so assert the routing, not the S3 plan)
+    import vectorflow_spark.sources.warcmini as wm
+
+    orig = wm.read_warc_binaryfile
+    calls = []
+    wm.read_warc_binaryfile = lambda s, p, glob=None: calls.append(p) or "SENTINEL"
+    try:
+        assert read_warc(spark, "s3a://bucket/crawl/") == "SENTINEL"
+        assert calls == ["s3a://bucket/crawl/"]
+    finally:
+        wm.read_warc_binaryfile = orig
+
+    # direct format usage keeps the loud refusal
+    warcsource.register(spark)
+    strict = spark.read.format("vf_warc").load("s3a://bucket/crawl/")
     with pytest.raises(Exception, match="read_warc_binaryfile"):
-        df.collect()
+        strict.collect()
 
     (tmp_path / "s.warc.gz").write_bytes(build_warc([("http://h/x", b"hello", "text/plain")]))
     a = read_warc(spark, str(tmp_path)).filter(F.col("warc_type") == "response").collect()
@@ -185,6 +202,9 @@ def test_object_store_scheme_refused_with_fallback_pointer(spark, tmp_path):
         F.col("warc_type") == "response"
     ).collect()
     assert [(r.url, bytes(r.body)) for r in a] == [(r.url, bytes(r.body)) for r in b]
+    # file:// URI form lists the same directory through vf_warc
+    c = read_warc(spark, f"file://{tmp_path}").filter(F.col("warc_type") == "response").collect()
+    assert [(r.url, bytes(r.body)) for r in c] == [(r.url, bytes(r.body)) for r in a]
 
 
 def test_wet_conversion_records_pass_through(spark, tmp_path):
@@ -244,6 +264,35 @@ class TestDistributedSink:
         # no temp debris left behind
         assert not [f for f in os.listdir(out1) if f.startswith(".tmp-")]
 
+    def test_duplicate_urls_stay_deterministic(self, spark, tmp_path):
+        """Two rows sharing a url (re-crawl shape): segment bytes must
+        still be rerun-identical (tiebreak on text) and the records get
+        DISTINCT WARC-Record-IDs (id covers the payload)."""
+        from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+        rows = [(1, "http://h/same", "body one"), (2, "http://h/same", "body two")]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        m1 = write_warc_corpus(docs.repartition(4), out1, n_files=1).collect()
+        write_warc_corpus(docs.repartition(2), out2, n_files=1).collect()
+        import os
+
+        [r] = m1
+        name = os.path.basename(r.path)
+        assert open(r.path, "rb").read() == open(os.path.join(out2, name), "rb").read()
+        recs = read_warc(spark, out1).filter(F.col("warc_type") == "response").collect()
+        assert len(recs) == 2
+        # distinct record payloads survive; ids differ (checked at parse level)
+        from vectorflow_spark.sources.warcmini import parse_warc
+
+        parsed = [
+            rec
+            for rec in parse_warc(open(r.path, "rb").read())
+            if rec["warc-type"] == "response"
+        ]
+        ids = {rec["warc-record-id"] for rec in parsed}
+        assert len(ids) == 2
+
 
 class TestCorruptSegments:
     def test_corrupt_file_yields_error_row_not_task_failure(self, spark, tmp_path):
@@ -255,12 +304,17 @@ class TestCorruptSegments:
         (tmp_path / "good.warc.gz").write_bytes(good)
         (tmp_path / "bad.warc.gz").write_bytes(good[: len(good) - 7])  # truncated gzip
         (tmp_path / "junk.warc").write_bytes(b"NOT A WARC AT ALL")
+        # PLAIN (uncompressed) truncation mid-payload: EOF arrives
+        # silently, so the parser must detect the short payload itself
+        plain = build_warc([("http://h/cut", b"x" * 500, "text/plain")], compress=False)
+        (tmp_path / "cut.warc").write_bytes(plain[: len(plain) - 100])
         rows = read_warc(spark, str(tmp_path)).collect()
         ok = [r for r in rows if r.warc_type == "response"]
         errs = [r for r in rows if r.warc_type == "error"]
         assert {r.url for r in ok} == {"http://h/ok"}
-        assert {r.warc_file for r in errs} == {"bad.warc.gz", "junk.warc"}
+        assert {r.warc_file for r in errs} == {"bad.warc.gz", "junk.warc", "cut.warc"}
         assert all(r.payload_type for r in errs)  # message carried
+        assert any("truncated WARC" in r.payload_type for r in errs)
 
     def test_strict_mode_fails(self, spark, tmp_path):
         from py4j.protocol import Py4JJavaError

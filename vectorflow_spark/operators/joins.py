@@ -139,6 +139,13 @@ def skew_profiled_join(
     false-positive heavy key merely pays harmless salting."""
     if how not in ("inner", "left"):
         raise ValueError(f"skew_profiled_join supports inner/left, got {how!r}")
+    # NULL fact keys can never match (SQL equality), yet a hash shuffle
+    # sends them ALL to one partition — the literal "null-ish user" skew
+    # this operator exists to fix. Route them around the join entirely:
+    # inner drops them (what the plain join does), left appends them with
+    # null dim columns, and neither path ever shuffles them.
+    fact_null = fact.filter(F.col(fact_key).isNull())
+    fact = fact.filter(F.col(fact_key).isNotNull())
     counts = fact.groupBy(F.col(fact_key).alias("_hk")).agg(F.count(F.lit(1)).alias("_n"))
     heavy = counts.filter(F.col("_n") > heavy_threshold).select("_hk").localCheckpoint()
 
@@ -172,7 +179,13 @@ def skew_profiled_join(
         .drop("_fsalt")
         .drop("_dsalt")
     )
-    return light.unionByName(heavy_joined)
+    out = light.unionByName(heavy_joined)
+    if how == "left":
+        nulls = fact_null
+        for c in dim.columns:
+            nulls = nulls.withColumn(c, F.lit(None).cast(dim.schema[c].dataType))
+        out = out.unionByName(nulls)
+    return out
 
 
 def anti_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str | None = None) -> DataFrame:

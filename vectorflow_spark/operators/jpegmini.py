@@ -136,6 +136,10 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def bit(self) -> int:
+        if (self.pos >> 3) >= len(self.data):
+            # contract: malformed input is always ValueError, never a
+            # raw IndexError escaping the codec layer
+            raise ValueError("JPEG: truncated entropy data")
         byte = self.data[self.pos >> 3]
         b = (byte >> (7 - (self.pos & 7))) & 1
         self.pos += 1
@@ -322,8 +326,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcus_x)
         for c in comps:
-            dc_tbl = huff[(0, scan_tables[c["id"]][0])]
-            ac_tbl = huff[(1, scan_tables[c["id"]][1])]
+            try:
+                dc_tbl = huff[(0, scan_tables[c["id"]][0])]
+                ac_tbl = huff[(1, scan_tables[c["id"]][1])]
+            except KeyError as e:
+                raise ValueError(f"JPEG: scan references undefined Huffman table {e}") from None
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     block = np.zeros(64, dtype=np.int64)
@@ -351,6 +358,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # dequantize + inverse zigzag + IDCT, one einsum per component
     planes = []
     for c in comps:
+        if c["tq"] not in quant:
+            raise ValueError(f"JPEG: component references undefined quant table {c['tq']}")
         q = quant[c["tq"]]
         raster = np.zeros((coefs[c["id"]].shape[0], 64), dtype=np.float64)
         raster[:, ZIGZAG] = coefs[c["id"]] * q[ZIGZAG]

@@ -87,6 +87,8 @@ def decode_meta(data: bytes) -> dict:
     if data[:2] == codecs.BMP_MAGIC:
         # Mirror decode_bmp's guards: a BITMAPCOREHEADER or compressed BMP
         # would yield garbage at the BITMAPINFOHEADER offsets — refuse instead.
+        if len(data) < 34:
+            raise ValueError("truncated BMP header")
         (hdr_size,) = struct.unpack_from("<I", data, 14)
         if hdr_size < 40:
             raise NotImplementedError(f"BMP core-header size {hdr_size} not supported")

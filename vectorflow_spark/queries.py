@@ -8528,11 +8528,16 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", split=True).select(
         "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
     )
-    # fixed per-sf dir, overwritten per run (segment writes rename-commit),
-    # so repeated bench runs don't accumulate tmp debris
+    # fixed per-sf dir, WIPED before each run: rename-commit only replaces
+    # segments the current run produces, so a layout change (n_files, the
+    # segment key) would otherwise leave stale segments that the scan
+    # re-ingests as duplicate records
+    import shutil
+
     out_dir = os.path.join(
         tempfile.gettempdir(), f"vf_warc_scan_{os.path.basename(os.path.normpath(sf_dir))}"
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
     manifest = write_warc_corpus(docs, out_dir, n_files=16)
     manifest.count()  # materialize: the write IS this action
     rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "response")

@@ -66,15 +66,17 @@ def iter_warc_records(fileobj, chunk_size: int = 1 << 16) -> Iterator[dict]:
     an executor task without ever existing as a single bytes value. The
     single source of framing truth: ``parse_warc`` (bytes in memory) and
     the ``vf_warc`` DataSource (files on disk) both delegate here."""
-    buf = b""
+    # bytearray: += is amortized O(1); an immutable bytes buffer would
+    # copy the whole accumulation per chunk — quadratic in record size
+    # (a 100 MB payload at 64 KB chunks would memmove ~80 GB)
+    buf = bytearray()
     consumed = 0  # bytes consumed before buf's start, for error offsets
 
     def fill() -> bool:
-        nonlocal buf
         chunk = fileobj.read(chunk_size)
         if not chunk:
             return False
-        buf += chunk
+        buf.extend(chunk)
         return True
 
     while True:
@@ -106,7 +108,15 @@ def iter_warc_records(fileobj, chunk_size: int = 1 << 16) -> Iterator[dict]:
         consumed += hdr_end + 4
         while len(buf) < length and fill():
             pass
-        payload = buf[:length]
+        if len(buf) < length:
+            # plain-file truncation reaches EOF silently (gzip truncation
+            # raises EOFError on its own); a short payload must never
+            # flow downstream as valid data
+            raise ValueError(
+                f"truncated WARC: record at byte {consumed} declares "
+                f"Content-Length {length} but only {len(buf)} bytes remain"
+            )
+        payload = bytes(buf[:length])
         buf = buf[length:]
         consumed += length
         rec = {**headers, "payload": payload}
@@ -148,7 +158,9 @@ def build_warc(
     out = bytearray()
 
     def one_record(kind: str, url: str | None, payload: bytes, ctype: str) -> bytes:
-        rid = hashlib.md5((url or kind).encode()).hexdigest()
+        # id covers the payload too: two records sharing a url (re-crawls
+        # of the same page) must not share a WARC-Record-ID
+        rid = hashlib.md5((url or kind).encode() + b"\x00" + payload).hexdigest()
         headers = [
             b"WARC/1.0",
             f"WARC-Type: {kind}".encode(),
@@ -214,7 +226,9 @@ def write_warc_corpus(
 
     def one_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["_seg"].iloc[0])
-        pdf = pdf.sort_values(url_col, kind="mergesort")
+        # sort on (url, text): url alone leaves duplicate-url rows in
+        # shuffle arrival order and reruns would be byte-different
+        pdf = pdf.sort_values([url_col, text_col], kind="mergesort")
         records = [
             (str(u), str(t).encode("utf-8"), mime)
             for u, t in zip(pdf[url_col], pdf[text_col])
@@ -275,16 +289,29 @@ def read_warc_binaryfile(spark, path: str, glob: str | None = None):
 
 
 def read_warc(spark, path: str, glob: str | None = None, on_corrupt: str = "row"):
-    """One row per WARC record across every file under ``path``, via the
-    ``vf_warc`` streaming Data Source (sources/warcsource.py): one
-    partition per file — WARC's natural parallel unit, matching how
-    crawls shard into ~1 GB segments — and records stream off disk
-    inside each task, so peak memory is record-bounded rather than
-    file-bounded (the round-3 ``binaryFile`` scan materialized each file
-    as a single bytes row first). ``on_corrupt``: 'row' (default) marks a
-    malformed segment with one error row, 'strict' fails the task.
-    Compose with ``strip_html_expr`` / ``extract_documents`` downstream
-    to turn response bodies into the documents table."""
+    """One row per WARC record across every file under ``path``,
+    dispatching on the path's scheme:
+
+    * local paths (no scheme or ``file://``) ride the ``vf_warc``
+      streaming Data Source (sources/warcsource.py): one partition per
+      file — WARC's natural parallel unit, matching how crawls shard
+      into ~1 GB segments — and records stream off disk inside each
+      task, so peak memory is record-bounded rather than file-bounded
+      (the round-3 ``binaryFile`` scan materialized each file as a
+      single bytes row first);
+    * any other scheme (s3a://, hdfs://, gs://...) falls back to
+      ``read_warc_binaryfile`` — the JVM binaryFile scan speaks every
+      Hadoop filesystem, which the Python DataSource's workers cannot —
+      at the cost of whole-file rows (``on_corrupt`` does not apply
+      there; a malformed file fails its task).
+
+    ``on_corrupt``: 'row' (default) marks a malformed segment with one
+    error row, 'strict' fails the task. Compose with ``strip_html_expr``
+    / ``extract_documents`` downstream to turn response bodies into the
+    documents table."""
+    scheme = path.split("://", 1)[0] if "://" in path else "file"
+    if scheme != "file":
+        return read_warc_binaryfile(spark, path, glob=glob)
     from vectorflow_spark.sources import warcsource
 
     warcsource.register(spark)

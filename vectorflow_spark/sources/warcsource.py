@@ -82,10 +82,11 @@ class VfWarcReader(DataSourceReader):
                 "warcmini.read_warc_binaryfile (JVM binaryFile scan, "
                 "whole-file rows) or stage segments locally"
             )
-        if os.path.isfile(self.path):
-            return [self.path]
+        local = self.path[len("file://"):] if self.path.startswith("file://") else self.path
+        if os.path.isfile(local):
+            return [local]
         out = []
-        for root, _dirs, names in os.walk(self.path):
+        for root, _dirs, names in os.walk(local):
             for name in sorted(names):
                 if name.startswith((".", "_")):
                     continue  # match binaryFile's hidden/metadata exclusion
@@ -157,10 +158,10 @@ class VfWarcStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        try:
-            return {"seen": self._batch._files()}
-        except FileNotFoundError:  # empty dir: no batch yet
-            return {"seen": []}
+        # _files() returns [] for an empty/missing dir (os.walk yields
+        # nothing); the no-files error lives in partitions(), so no
+        # exception handling is needed here
+        return {"seen": self._batch._files()}
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end["seen"]) - set(start["seen"]))
