@@ -44,13 +44,28 @@ class TestEmbed:
         path = _write(tmp_path, "data.csv", b"a,b,c")
         resp = client.embed(path)
         assert resp.status_code == 400
-        assert "unsupported" in resp.error
+        assert "not a TXT, PDF, Markdown or DOCX" in resp.error  # reference message
 
-    def test_embed_empty_file_400(self, client, tmp_path):
+    def test_embed_zero_byte_file_creates_a_job(self, client, tmp_path):
+        """Reference parity: a 0-byte file with a valid name passes every
+        /embed check and creates a job ('empty' means empty FILENAME in
+        the reference, not zero bytes)."""
         path = _write(tmp_path, "empty.txt", b"")
         resp = client.embed(path)
-        assert resp.status_code == 400
-        assert "empty" in resp.error
+        assert resp.status_code == 200 and resp.job_id is not None
+        # zero surviving documents -> NOT_STARTED per job_status_row
+        assert client.get_job_status(resp.job_id).job_status == JobStatus.NOT_STARTED.value
+
+    def test_embed_oversize_is_413(self, spark, tmp_path):
+        small_cap = Vectorflow(
+            spark,
+            cfg=PipelineConfig(embeddings_type="deterministic", max_file_size_bytes=10),
+            job_root=str(tmp_path / "jobs413"),
+        )
+        path = _write(tmp_path, "big.txt", b"x" * 100)
+        resp = small_cap.embed(path)
+        assert resp.status_code == 413
+        assert "/jobs" in resp.error  # the reference message points at /jobs
 
 
 class TestUpload:
@@ -58,26 +73,41 @@ class TestUpload:
         good1 = _write(tmp_path, "a.txt", b"first document body text")
         good2 = _write(tmp_path, "b.md", b"# title\n\nsome prose")
         bad = _write(tmp_path, "c.exe", b"MZbinary")
-        empty = _write(tmp_path, "d.txt", b"")
+        zero = _write(tmp_path, "d.txt", b"")
         dup_dir = tmp_path / "other"
         dup_dir.mkdir()
         dup = dup_dir / "a.txt"
         dup.write_bytes(b"same filename, different dir")
-        resp = client.upload([good1, good2, bad, empty, str(dup)])
-        assert resp.status_code == 200
-        assert [j.filename for j in resp.successful_uploads] == ["a.txt", "b.md"]
+        resp = client.upload([good1, good2, bad, zero, str(dup)])
+        assert resp.status_code == 200 and resp.message == "Files processed"
+        # reference parity: the zero-byte file SUCCEEDS (no size/content
+        # check on /jobs); the second a.txt is a case-sensitive duplicate
+        # of an earlier SUCCESS
+        assert [j.filename for j in resp.successful_uploads] == ["a.txt", "b.md", "d.txt"]
         assert resp.failed_uploads == ["c.exe"]
-        assert resp.empty_files_count == 1
+        assert resp.empty_files_count == 0
         assert resp.duplicate_files_count == 1
-        # every successful upload has a completed job
-        for j in resp.successful_uploads:
+        for j in resp.successful_uploads[:2]:
             assert client.get_job_status(j.job_id).job_status == JobStatus.COMPLETED.value
 
-    def test_upload_all_bad_is_400(self, client, tmp_path):
+    def test_case_sensitive_duplicates_and_failed_first(self, client, tmp_path):
+        """Reference parity details: 'A.txt' and 'a.txt' are DIFFERENT
+        filenames (two jobs); a name that previously FAILED is not a
+        duplicate when retried valid."""
+        a1 = _write(tmp_path, "A.txt", b"uppercase doc body")
+        a2 = _write(tmp_path, "a.txt", b"lowercase doc body")
+        resp = client.upload([a1, a2])
+        assert [j.filename for j in resp.successful_uploads] == ["A.txt", "a.txt"]
+        assert resp.duplicate_files_count == 0
+
+    def test_upload_all_bad_still_200(self, client, tmp_path):
+        """Reference parity: /jobs always returns 200 'Files processed';
+        the caller reads failed_uploads."""
         bad = _write(tmp_path, "x.bin", b"\x00\x01")
         resp = client.upload([bad])
-        assert resp.status_code == 400
+        assert resp.status_code == 200
         assert resp.successful_uploads is None
+        assert resp.failed_uploads == ["x.bin"]
 
 
 class TestStatusLookup:
@@ -88,6 +118,9 @@ class TestStatusLookup:
         assert [j.job_id for j in multi.jobs] == [r.job_id]
         missing = client.get_job_status(999)
         assert missing.status_code == 404
+        # reference parity: /jobs/status with NO matches is a 404
+        none_found = client.get_job_statuses([998, 999])
+        assert none_found.status_code == 404 and none_found.error == "Jobs not found"
 
     def test_registry_survives_new_client_instance(self, client, spark, tmp_path):
         p = _write(tmp_path, "s.txt", b"content for the job")

@@ -25,10 +25,17 @@ fidelity a local engine needs. Each job's vectors land under
 (qdrant/pinecone/weaviate/webhook) route through the same import-gated
 writers as the pipeline (sinks/writers.write_vectors).
 
-File classification mirrors the reference /jobs endpoint exactly:
-unsupported extension -> failed_uploads, empty file -> empty_files_count,
-same filename twice in one request -> duplicate_files_count (K2),
-oversized (>25 MB) -> failed_uploads (the /embed 400, app.py:54-59).
+File classification mirrors the reference endpoints exactly
+(src/api/app.py:40-146): on /jobs, per file IN ORDER — empty FILENAME ->
+empty_files_count (the reference counts no-file-selected parts, NOT
+zero-byte files), unsupported extension -> failed_uploads,
+case-sensitive filename already among the SUCCESSFUL uploads ->
+duplicate_files_count (K2), processing error -> failed_uploads; /jobs
+has NO size cap and always returns 200 'Files processed'. Only /embed
+enforces the 25 MB cap (413, app.py:58-59) and the empty-filename /
+invalid-type 400s. get_job_statuses returns 404 when no id matches
+(app.py:174-178). Zero-byte files create jobs on both endpoints, as in
+the reference.
 """
 
 from __future__ import annotations
@@ -112,36 +119,6 @@ class Vectorflow:
         jobs[job_id].update(fields)
         self._save_jobs(jobs)
 
-    # -- request classification (the /jobs endpoint rules) ------------
-
-    def _classify(self, file_paths: list[str]):
-        ok: list[str] = []
-        failed: list[str] = []
-        empty = dup = 0
-        seen: set[str] = set()
-        for p in file_paths:
-            name = os.path.basename(p)
-            if name.lower() in seen:  # K2: duplicate filename in one request
-                dup += 1
-                continue
-            seen.add(name.lower())
-            if not name.lower().endswith(SUPPORTED_CLIENT_EXTENSIONS):
-                failed.append(name)
-                continue
-            try:
-                size = os.path.getsize(p)
-            except OSError:
-                failed.append(name)
-                continue
-            if size == 0:  # F3
-                empty += 1
-                continue
-            if size > self.cfg.max_file_size_bytes:  # F4: the 25 MB 400
-                failed.append(name)
-                continue
-            ok.append(p)
-        return ok, failed, empty, dup
-
     # -- execution ----------------------------------------------------
 
     def _run_one(self, path: str, job_id: int):
@@ -175,32 +152,65 @@ class Vectorflow:
     # -- public API (reference call shapes) ---------------------------
 
     def embed(self, filepath: str) -> Response:
-        """POST /embed: one file -> one job, run synchronously."""
-        ok, failed, empty, dup = self._classify([filepath])
-        if not ok:
-            reason = (
-                "empty file" if empty else "unsupported or oversized file"
+        """POST /embed (app.py:40-75): 25 MB cap -> 413; empty filename ->
+        400 'No selected file'; invalid type -> 400; else one job, run
+        synchronously. A zero-byte file passes, as in the reference."""
+        name = os.path.basename(filepath)
+        try:
+            size = os.path.getsize(filepath)
+        except OSError:
+            return Response(error="No selected file", status_code=400)
+        if size > self.cfg.max_file_size_bytes:
+            return Response(
+                error="File is too large. The /embed endpoint currently only "
+                "supports 25 MB files or less. Please use /jobs for streaming "
+                "large files or multiple files.",
+                status_code=413,
             )
-            return Response(error=reason, status_code=400)
-        job_id = self._new_job(os.path.basename(filepath))
+        if name == "":
+            return Response(error="No selected file", status_code=400)
+        if not name.lower().endswith(SUPPORTED_CLIENT_EXTENSIONS):
+            return Response(
+                error="Uploaded file is not a TXT, PDF, Markdown or DOCX file",
+                status_code=400,
+            )
+        job_id = self._new_job(name)
         self._run_one(filepath, job_id)
         return Response(job_id=job_id, message="Job created", status_code=200)
 
     def upload(self, file_paths: list[str]) -> Response:
-        """POST /jobs: classify each file, one job per valid file."""
-        ok, failed, empty, dup = self._classify(file_paths)
+        """POST /jobs (app.py:77-146): the reference's per-file loop,
+        faithfully — check order, case-sensitive dup detection against
+        SUCCESSFUL uploads only, no size cap, always 200."""
+        succeeded: dict[str, int] = {}
         uploads: list[Job] = []
-        for p in ok:
+        failed: list[str] = []
+        empty = dup = 0
+        for p in file_paths:
             name = os.path.basename(p)
+            if name == "":  # reference: empty filename = no file selected
+                empty += 1
+                continue
+            if not name.lower().endswith(SUPPORTED_CLIENT_EXTENSIONS):
+                failed.append(name)
+                continue
+            if name in succeeded:  # case-sensitive, successes only
+                dup += 1
+                continue
+            if not os.path.exists(p):  # the reference's upload-error path
+                failed.append(name)
+                continue
             job_id = self._new_job(name)
             self._run_one(p, job_id)
+            succeeded[name] = job_id
             uploads.append(Job(job_id=job_id, filename=name))
         return Response(
+            message="Files processed",
             successful_uploads=uploads or None,
             failed_uploads=failed or None,
             empty_files_count=empty,
             duplicate_files_count=dup,
-            status_code=200 if uploads else 400,
+            status_code=200,
         )
 
     def get_job_status(self, job_id: int) -> Response:
@@ -211,14 +221,17 @@ class Vectorflow:
         return Response(job_id=int(job_id), job_status=j["job_status"], status_code=200)
 
     def get_job_statuses(self, job_ids: list[int]) -> Response:
-        """POST /jobs/status (A3 multi-lookup)."""
+        """POST /jobs/status (A3 multi-lookup; 404 when nothing matches,
+        app.py:174-178)."""
         jobs = self._load_jobs()
         found = [
             Job(job_id=int(i), job_status=jobs[int(i)]["job_status"])
             for i in job_ids
             if int(i) in jobs
         ]
-        return Response(jobs=found or None, status_code=200)
+        if not found:
+            return Response(error="Jobs not found", status_code=404)
+        return Response(jobs=found, status_code=200)
 
     def read_job_vectors(self, job_id: int):
         """Engine-side convenience the reference cannot offer: the job's

@@ -93,9 +93,15 @@ def decode_meta(data: bytes) -> dict:
         if hdr_size < 40:
             raise NotImplementedError(f"BMP core-header size {hdr_size} not supported")
         w, h_raw = struct.unpack_from("<ii", data, 18)
+        _planes, bpp = struct.unpack_from("<HH", data, 26)
         (compression,) = struct.unpack_from("<I", data, 30)
-        if compression != 0:
-            raise NotImplementedError(f"compressed BMP (compression={compression}) not supported")
+        if compression != 0 or bpp not in (24, 32):
+            # full decode_bmp parity: palette/16-bpp BMPs must refuse here
+            # too, not report channels=3 metadata the pixel kernels then
+            # refuse to decode
+            raise NotImplementedError(
+                f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, compression={compression})"
+            )
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC:
         samples, rate = codecs.decode_wav(bytes(data))
@@ -257,8 +263,21 @@ def video_neardup_pairs(
 
     frames = video_frame_sample(assets.select(id_col, data_col), every_k=every_k)
     hashed = image_dhash(frames, data_col="frame")
+    # bigint cast BEFORE the multiply (a 32-bit id column would wrap), and
+    # the frame_idx < 4096 packing precondition enforced in-plan: FVID
+    # allows up to 65535 frames, and a silently-wrapped fid would
+    # misattribute frames across videos
     packed = hashed.select(
-        (F.col(id_col) * 4096 + F.col("frame_idx")).alias("fid"), "dhash"
+        (
+            F.col(id_col).cast("bigint") * 4096
+            + F.expr(
+                "CASE WHEN frame_idx >= 4096 THEN "
+                "raise_error('video_neardup_pairs: frame_idx >= 4096 breaks "
+                "(video, frame) id packing — sample frames with a larger every_k') "
+                "ELSE frame_idx END"
+            )
+        ).alias("fid"),
+        "dhash",
     )
     pairs = hamming_candidate_pairs(
         packed, "fid", "dhash", bits=63, n_bands=7, max_hamming=frame_hamming
@@ -319,6 +338,13 @@ def audio_fingerprint(
         )
         n_eff = len(edges) - 1
 
+        # enough time-sliced majority groups to genuinely FILL 63 bits:
+        # integer edge collapse can leave n_eff < n_bands, and a fixed
+        # group count would then leave the top bits always-zero — which
+        # silently degenerates the top Hamming bands into corpus-wide
+        # mega-buckets downstream
+        n_groups = -(-63 // n_eff)
+
         def one(b: bytes) -> int:
             samples, _rate = codecs.decode_audio(bytes(b))
             hop = frame // 2
@@ -328,13 +354,12 @@ def audio_fingerprint(
             idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
             spec = np.abs(np.fft.rfft(samples[idx] * hann, axis=1)) ** 2
             bands = np.add.reduceat(spec, edges[:-1], axis=1)[:, :n_eff]
-            bits = (np.diff(bands, axis=0) > 0)  # (n-1, n_bands)
-            votes = bits.mean(axis=0) > 0.5  # majority per band over time
-            # widen to 63 bits: band-majority over successive time thirds
-            thirds = np.array_split(bits, 3, axis=0)
-            allbits = np.concatenate(
-                [votes] + [t.mean(axis=0) > 0.5 for t in thirds if len(t)]
-            )[:63]
+            bits = (np.diff(bands, axis=0) > 0)  # (n-1, n_eff)
+            slices = [s for s in np.array_split(bits, n_groups, axis=0) if len(s)]
+            allbits = np.concatenate([s.mean(axis=0) > 0.5 for s in slices])
+            if len(allbits) < 63:  # very short clips: repeat the pattern
+                allbits = np.tile(allbits, -(-63 // len(allbits)))
+            allbits = allbits[:63]
             v = 0
             for bit in allbits:
                 v = (v << 1) | int(bit)

@@ -601,7 +601,6 @@ def streaming_incremental_dedup(
     import os
 
     from vectorflow_spark.operators.dedup import (
-        incremental_dedup,
         lsh_band_buckets,
         minhash_signatures,
     )
@@ -625,14 +624,21 @@ def streaming_incremental_dedup(
             .distinct()
         )
         batch_unique = batch_df.join(dropped_within, doc_col, "left_anti")
-        # against the persisted corpus index (empty on the first batch)
+        # against the persisted corpus index (empty on the first batch) —
+        # probing with the CHECKPOINTED bb postings, not incremental_dedup
+        # directly: that operator would re-shingle + re-minhash the batch,
+        # doubling the dominant per-doc cost for a bit-identical result
+        # (signatures are deterministic)
         prior = [d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
                  if d.startswith("batch_id=") and d != f"batch_id={batch_id}"]
         if prior:
             idx = spark.read.parquet(*[os.path.join(index_dir, d) for d in prior])
-            survivors = incremental_dedup(
-                batch_unique, idx, doc_col, text_col, n, bands, num_hashes
+            suspects = (
+                bb.join(idx.select("band", "bucket"), ["band", "bucket"], "left_semi")
+                .select(doc_col)
+                .distinct()
             )
+            survivors = batch_unique.join(suspects, doc_col, "left_anti")
         else:
             survivors = batch_unique
         survivors = survivors.localCheckpoint()  # two writes below
