@@ -372,6 +372,38 @@ class TestStreamingSource:
         assert seen[1] == {"http://h/2"}  # ONLY the new segment's records
 
 
+def test_truncation_never_yields_wrong_records_fuzz():
+    """Property: for ANY prefix of a valid plain WARC, the incremental
+    parser yields only records that are byte-identical to the full
+    parse's — a cut mid-stream raises ValueError, never a short/garbled
+    record."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectorflow_spark.sources.warcmini import iter_warc_records
+
+    full_blob = build_warc(
+        [(f"http://h/{i}", bytes([i]) * (20 + 13 * i), "text/plain") for i in range(6)],
+        compress=False,
+    )
+    want = [(r.get("warc-target-uri"), r["payload"]) for r in parse_warc(full_blob)]
+
+    @given(cut=st.integers(0, len(full_blob)))
+    @settings(max_examples=120, deadline=None)
+    def inner(cut):
+        got = []
+        try:
+            for rec in iter_warc_records(io.BytesIO(full_blob[:cut]), chunk_size=7):
+                got.append((rec.get("warc-target-uri"), rec["payload"]))
+        except ValueError:
+            pass  # loud failure is the contract for a mid-record cut
+        assert got == want[: len(got)]  # yielded prefix is exact
+
+    inner()
+
+
 def test_warc_roundtrip_fuzz():
     """Hypothesis: arbitrary (url-ish, body-bytes) records survive the
     build->parse roundtrip under both compressions — Content-Length
