@@ -2453,6 +2453,50 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, docs, id_col="doc_id")
 
 
+@query(
+    "q_dedup_cluster_sizes",
+    f"""
+    WITH comps AS ({_dedup_components_sql()}),
+    sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comps GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN cluster_size > 1 THEN (cluster_size - 1) * count(*)
+                     ELSE 0 END AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a data team reads before pulling the trigger: the
+    duplicate-cluster size distribution — how many clusters of each
+    size, how many documents they hold, and how many rows dedup would
+    REMOVE (size-1 per cluster). Composes the verified transitive-
+    components operator with two tiny aggregations; the oracle closes
+    the same fixpoint with a recursive CTE, so the hash match re-proves
+    the component structure through a different lens (size histogram
+    instead of labels). Shuffles: components' iterations + one
+    component-key agg + one size-key agg over cluster-count rows."""
+    from vectorflow_spark.operators.dedup import connected_components, minhash_candidate_edges
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    comps = connected_components(minhash_candidate_edges(docs), docs, id_col="doc_id")
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        F.when(
+            F.col("cluster_size") > 1,
+            (F.col("cluster_size") - 1) * F.count(F.lit(1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
 @query("q_approx_distinct")  # rows-only: HLL sketch estimates are engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the sketch
