@@ -219,6 +219,17 @@ class TestSkewProfiledJoin:
         )
         assert left.filter(F.col("k").isNull()).count() == 50
 
+    def test_overlapping_column_names_refused(self, spark):
+        """A shared fact/dim column name would let the left-join null
+        path overwrite the FACT's column with NULL (withColumn on a
+        duplicate name) — refuse up front instead of corrupting rows."""
+        from vectorflow_spark.operators.joins import skew_profiled_join
+
+        fact = spark.createDataFrame([(1, "f")], "k long, name string")
+        dim = spark.createDataFrame([(1, "d")], "dk long, name string")
+        with pytest.raises(ValueError, match="share column names.*name"):
+            skew_profiled_join(fact, dim, "k", "dk")
+
 
 def test_vacuum_versions_keeps_pointer_and_last_n(spark, tmp_path):
     from vectorflow_spark.sinks.writers import (

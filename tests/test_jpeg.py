@@ -220,6 +220,18 @@ class TestSpecDecode:
         with pytest.raises(ValueError, match="truncated entropy"):
             decode_jpeg(cut)
 
+    def test_fill_bytes_before_rst_and_eoi_are_skipped(self):
+        """T.81 B.1.1.2: runs of 0xFF FILL bytes may precede any marker
+        (RSTn, EOI) in the entropy stream; _destuff must consume them
+        instead of truncating the scan, and FF FF 00 must still decode
+        as a stuffed data 0xFF."""
+        from vectorflow_spark.operators.jpegmini import _destuff
+
+        scan = b"\x12\xff\xff\x00\x34\xff\xff\xff\xd0\x56\xff\xff\xd9trailer"
+        assert _destuff(scan) == [b"\x12\xff\x34", b"\x56"]
+        # fill bytes at end-of-buffer (no terminating marker byte at all)
+        assert _destuff(b"\x12\xff\xff") == [b"\x12"]
+
     def test_undefined_huffman_table_is_value_error(self):
         """SOS referencing a DHT id that was never defined: ValueError,
         not KeyError."""

@@ -30,8 +30,13 @@ File classification mirrors the reference endpoints exactly
 empty_files_count (the reference counts no-file-selected parts, NOT
 zero-byte files), unsupported extension -> failed_uploads,
 case-sensitive filename already among the SUCCESSFUL uploads ->
-duplicate_files_count (K2), processing error -> failed_uploads; /jobs
-has NO size cap and always returns 200 'Files processed'. Only /embed
+duplicate_files_count (K2), unreadable path (the upload-error case) ->
+failed_uploads; /jobs has NO size cap and always returns 200 'Files
+processed'. A file that uploads but then fails PROCESSING still counts
+as a successful upload — the error surfaces via ``get_job_status`` as
+JobStatus.FAILED, matching the reference's async model where /jobs
+returns once jobs are created and the worker reports failures through
+the job table (app.py:118-141). Only /embed
 enforces the 25 MB cap (413, app.py:58-59) and the empty-filename /
 invalid-type 400s. get_job_statuses returns 404 when no id matches
 (app.py:174-178). Zero-byte files create jobs on both endpoints, as in

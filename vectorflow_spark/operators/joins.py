@@ -139,6 +139,16 @@ def skew_profiled_join(
     false-positive heavy key merely pays harmless salting."""
     if how not in ("inner", "left"):
         raise ValueError(f"skew_profiled_join supports inner/left, got {how!r}")
+    # Overlapping names would silently corrupt the left-join null path
+    # (withColumn(c, NULL) over a shared name overwrites the FACT column)
+    # and degrade unionByName across the light/heavy branches, so refuse
+    # up front; rename dim columns before calling.
+    overlap = sorted(set(fact.columns) & set(dim.columns))
+    if overlap:
+        raise ValueError(
+            f"skew_profiled_join: fact and dim share column names {overlap}; "
+            "alias the dim side first"
+        )
     # NULL fact keys can never match (SQL equality), yet a hash shuffle
     # sends them ALL to one partition — the literal "null-ish user" skew
     # this operator exists to fix. Route them around the join entirely:

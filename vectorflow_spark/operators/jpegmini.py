@@ -182,6 +182,11 @@ def _destuff(scan: bytes) -> list[bytes]:
             cur.append(b)
             i += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker code (including RSTn); skip the run so the first
+        # non-0xFF byte decides stuffing vs marker
+        while i + 1 < n and scan[i + 1] == 0xFF:
+            i += 1
         nxt = scan[i + 1] if i + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)

@@ -8572,14 +8572,17 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", split=True).select(
         "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
     )
-    # fixed per-sf dir, WIPED before each run: rename-commit only replaces
-    # segments the current run produces, so a layout change (n_files, the
-    # segment key) would otherwise leave stale segments that the scan
-    # re-ingests as duplicate records
+    # per-sf AND per-process dir, WIPED before each run: rename-commit
+    # only replaces segments the current run produces, so a layout change
+    # (n_files, the segment key) would otherwise leave stale segments the
+    # scan re-ingests as duplicates; keying by PID keeps two concurrent
+    # drivers on the same sf (bench + oracle check) from wiping each
+    # other's segments mid-scan
     import shutil
 
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"vf_warc_scan_{os.path.basename(os.path.normpath(sf_dir))}"
+        tempfile.gettempdir(),
+        f"vf_warc_scan_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     manifest = write_warc_corpus(docs, out_dir, n_files=16)

@@ -257,12 +257,24 @@ def read_warc_binaryfile(spark, path: str, glob: str | None = None):
     Hadoop client). Cost: each segment materializes as ONE whole-file row
     before parsing — file-bounded memory instead of record-bounded, fine
     for ~1 GB crawl segments on executors sized for them, and the reason
-    the local-path scan prefers ``vf_warc``. Same output schema."""
+    the local-path scan prefers ``vf_warc``. Same output schema, and the
+    same LISTING semantics as the vf_warc reader's ``_files()``:
+    recursive (recursiveFileLookup, matching its os.walk), hidden
+    ``.``/``_`` names excluded (binaryFile's default, mirrored there),
+    and ``glob`` matching the BASENAME — stick to the ``*``/``?`` subset
+    shared by Hadoop globs and fnmatch so both paths select identical
+    file sets."""
     import pandas as pd
 
-    from vectorflow_spark.sources.readers import read_raw_files
+    from pyspark.sql import functions as F
 
-    raw = read_raw_files(spark, path, glob=glob)
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path).select(
+        F.element_at(F.split("path", "/"), -1).alias("source"),
+        F.col("content"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["warc_file", "url", "warc_type", "payload_type", "n_bytes", "body"]

@@ -85,6 +85,11 @@ class VfWarcReader(DataSourceReader):
         local = self.path[len("file://"):] if self.path.startswith("file://") else self.path
         if os.path.isfile(local):
             return [local]
+        # Listing contract shared with read_warc_binaryfile (which sets
+        # recursiveFileLookup to match this walk): recursive, hidden
+        # ./_ names excluded, glob matches the BASENAME (use the */?
+        # subset common to fnmatch and Hadoop globs so both paths list
+        # identically).
         out = []
         for root, _dirs, names in os.walk(local):
             for name in sorted(names):
