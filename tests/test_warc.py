@@ -207,6 +207,181 @@ def test_object_store_paths_dispatch_and_refuse_correctly(spark, tmp_path):
     assert [(r.url, bytes(r.body)) for r in c] == [(r.url, bytes(r.body)) for r in a]
 
 
+class TestObjectStoreOpeners:
+    """The injectable IO layer (warcsource._resolve_io): object-store
+    paths stream per-record through vf_warc instead of refusing. The
+    mount backend is stdlib-only, so it doubles as the deterministic
+    fake object store for proving the opener contract end to end."""
+
+    def _bucket(self, tmp_path, n=2):
+        d = tmp_path / "bucket" / "crawl"
+        d.mkdir(parents=True)
+        for i in range(n):
+            (d / f"seg-{i}.warc.gz").write_bytes(
+                build_warc([(f"http://h/{i}/{j}", f"body {i}-{j}".encode(), "text/plain") for j in range(3)])
+            )
+        (d / ".hidden.warc.gz").write_bytes(b"junk")  # excluded by listing
+        return d
+
+    def test_mount_opener_lists_and_streams_in_process(self, tmp_path):
+        """partitions()/read() called directly (no Spark): s3:// paths
+        list through the mount root, keep their object-store form, and
+        records stream."""
+        from vectorflow_spark.sources.warcsource import VfWarcReader
+
+        self._bucket(tmp_path)
+        r = VfWarcReader({"path": "s3://bucket/crawl", "io": f"mount:{tmp_path}"})
+        parts = r.partitions()
+        assert [p.path for p in parts] == [
+            "s3://bucket/crawl/seg-0.warc.gz",
+            "s3://bucket/crawl/seg-1.warc.gz",
+        ]
+        rows = [row for p in parts for row in r.read(p)]
+        resp = [row for row in rows if row[2] == "response"]
+        assert len(resp) == 6
+        assert resp[0][0] == "seg-0.warc.gz"  # warc_file = basename
+        assert resp[0][5] == b"body 0-0"
+
+    def test_mount_opener_end_to_end_spark(self, spark, tmp_path):
+        """The cross-process proof: the io option string survives
+        pickling to executors, which resolve their own _MountFS."""
+        from vectorflow_spark.sources import warcsource
+
+        self._bucket(tmp_path)
+        warcsource.register(spark)
+        df = (
+            spark.read.format("vf_warc")
+            .option("io", f"mount:{tmp_path}")
+            .load("s3://bucket/crawl")
+        )
+        assert df.rdd.getNumPartitions() == 2
+        got = sorted(
+            (r.url, bytes(r.body).decode())
+            for r in df.filter(F.col("warc_type") == "response").collect()
+        )
+        assert got == sorted(
+            (f"http://h/{i}/{j}", f"body {i}-{j}") for i in range(2) for j in range(3)
+        )
+
+    def test_read_warc_routes_explicit_io_through_vf_warc(self, spark, tmp_path):
+        """read_warc with io=mount must use the streaming source, not
+        the binaryFile fallback, for an object-store path."""
+        import vectorflow_spark.sources.warcmini as wm
+
+        self._bucket(tmp_path)
+
+        def boom(*a, **k):  # the fallback must NOT be taken
+            raise AssertionError("binaryFile fallback taken despite explicit io")
+
+        orig = wm.read_warc_binaryfile
+        wm.read_warc_binaryfile = boom
+        try:
+            df = read_warc(spark, "s3://bucket/crawl", io=f"mount:{tmp_path}")
+            assert df.filter(F.col("warc_type") == "response").count() == 6
+        finally:
+            wm.read_warc_binaryfile = orig
+
+    def test_opener_streaming_is_record_bounded(self, tmp_path):
+        """The peak-row-size contract holds THROUGH the opener layer:
+        read() over a metered custom fs holds at most ~one record + one
+        chunk between yields, never the file."""
+        from vectorflow_spark.sources.warcsource import VfWarcReader, _WarcFilePartition
+
+        body = b"z" * 50_000
+        blob = build_warc(
+            [(f"http://h/{i}", body, "text/plain") for i in range(20)], compress=False
+        )
+        p = tmp_path / "seg.warc"
+        p.write_bytes(blob)
+        high_water = 0
+        outstanding = 0
+
+        class MeterFS:
+            def list_files(self, path, glob):
+                return [path]
+
+            def open(self, path):
+                f = open(p, "rb")
+
+                class Meter:
+                    def read(self, n=-1):
+                        nonlocal outstanding, high_water
+                        data = f.read(n)
+                        outstanding += len(data)
+                        high_water = max(high_water, outstanding)
+                        return data
+
+                    def seek(self, pos):
+                        nonlocal outstanding
+                        f.seek(pos)
+                        outstanding = 0
+
+                    def close(self):
+                        f.close()
+
+                return Meter()
+
+        r = VfWarcReader({"path": "s3://b/seg.warc", "io": "mount:/nonexistent"})
+        r._fs_cache = MeterFS()  # inject: the contract is the opener PROTOCOL
+        for _ in r.read(_WarcFilePartition("s3://b/seg.warc")):
+            outstanding = 0  # record handed off; buffer credit resets
+        record_bound = 50_000 + 1024 + (1 << 16)
+        assert high_water <= 2 * record_bound
+        assert len(blob) > 5 * record_bound
+
+    def test_auto_without_fsspec_refuses_with_guidance(self):
+        try:
+            import fsspec  # noqa: F401
+
+            pytest.skip("fsspec installed; the refusal path is unreachable")
+        except ImportError:
+            pass
+        from vectorflow_spark.sources.warcsource import VfWarcReader
+
+        r = VfWarcReader({"path": "s3://bucket/crawl"})
+        with pytest.raises(ValueError) as ei:
+            r.partitions()
+        msg = str(ei.value)
+        assert "fsspec" in msg and "mount:" in msg and "read_warc_binaryfile" in msg
+
+    def test_fsspec_memory_opener(self, tmp_path):
+        """Runs wherever fsspec IS installed (skips here): the memory://
+        filesystem proves list+stream through the fsspec backend."""
+        fsspec = pytest.importorskip("fsspec")
+        from vectorflow_spark.sources.warcsource import VfWarcReader
+
+        fs = fsspec.filesystem("memory")
+        fs.pipe("/crawl/seg-0.warc.gz", build_warc([("http://h/m", b"mem body", "text/plain")]))
+        r = VfWarcReader({"path": "memory://crawl", "io": "fsspec"})
+        parts = r.partitions()
+        assert len(parts) == 1
+        rows = [row for row in r.read(parts[0]) if row[2] == "response"]
+        assert rows[0][1] == "http://h/m" and rows[0][5] == b"mem body"
+
+    def test_mount_glob_and_corrupt_error_row(self, spark, tmp_path):
+        """glob filtering and the onCorrupt=row contract both hold
+        through the mount opener, end to end."""
+        from vectorflow_spark.sources import warcsource
+
+        d = self._bucket(tmp_path, n=1)
+        (d / "bad.warc.gz").write_bytes(b"\x1f\x8b garbage not gzip really")
+        (d / "notes.txt").write_bytes(b"not a warc")
+        warcsource.register(spark)
+        df = (
+            spark.read.format("vf_warc")
+            .option("io", f"mount:{tmp_path}")
+            .option("glob", "*.warc.gz")
+            .load("s3://bucket/crawl")
+        )
+        rows = df.collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.warc_type, []).append(r)
+        assert len(by_type["response"]) == 3  # seg-0 only; notes.txt globbed out
+        assert len(by_type["error"]) == 1
+        assert by_type["error"][0].warc_file == "bad.warc.gz"
+
+
 def test_wet_conversion_records_pass_through(spark, tmp_path):
     """Common Crawl WET files are WARC whose records are
     WARC-Type: conversion with text/plain payloads (no HTTP envelope).

@@ -125,16 +125,28 @@ def iter_warc_records(fileobj, chunk_size: int = 1 << 16) -> Iterator[dict]:
         yield rec
 
 
-def iter_warc_file(path: str, chunk_size: int = 1 << 16) -> Iterator[dict]:
-    """Stream records from a WARC file on disk, gzipped or plain. gzip
-    decompression is itself streamed (GzipFile reads concatenated
-    members incrementally), so peak memory stays record-bounded for
-    ``.warc.gz`` too."""
-    with open(path, "rb") as probe:
-        magic = probe.read(2)
-    opener = gzip.open if magic == b"\x1f\x8b" else open
-    with opener(path, "rb") as f:
+def iter_warc_stream(raw, chunk_size: int = 1 << 16) -> Iterator[dict]:
+    """Stream records from an open seekable binary stream, sniffing gzip
+    by magic — the shared entry for local files AND object-store streams
+    (the ``vf_warc`` opener layer hands fsspec/mount file objects here).
+    gzip decompression is itself streamed (GzipFile reads concatenated
+    members incrementally off ``raw``), so peak memory stays
+    record-bounded for ``.warc.gz`` too. The caller owns ``raw``'s
+    lifetime; the gzip wrapper (when any) is closed here."""
+    magic = raw.read(2)
+    raw.seek(0)
+    f = gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" else raw
+    try:
         yield from iter_warc_records(f, chunk_size=chunk_size)
+    finally:
+        if f is not raw:
+            f.close()
+
+
+def iter_warc_file(path: str, chunk_size: int = 1 << 16) -> Iterator[dict]:
+    """Stream records from a WARC file on disk, gzipped or plain."""
+    with open(path, "rb") as raw:
+        yield from iter_warc_stream(raw, chunk_size=chunk_size)
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -300,9 +312,16 @@ def read_warc_binaryfile(spark, path: str, glob: str | None = None):
     return raw.mapInPandas(gen, schema=WARC_ROW_SCHEMA)
 
 
-def read_warc(spark, path: str, glob: str | None = None, on_corrupt: str = "row"):
+def read_warc(
+    spark,
+    path: str,
+    glob: str | None = None,
+    on_corrupt: str = "row",
+    io: str = "auto",
+    io_register: str | None = None,
+):
     """One row per WARC record across every file under ``path``,
-    dispatching on the path's scheme:
+    dispatching on the path's scheme and the installed IO stack:
 
     * local paths (no scheme or ``file://``) ride the ``vf_warc``
       streaming Data Source (sources/warcsource.py): one partition per
@@ -311,23 +330,33 @@ def read_warc(spark, path: str, glob: str | None = None, on_corrupt: str = "row"
       task, so peak memory is record-bounded rather than file-bounded
       (the round-3 ``binaryFile`` scan materialized each file as a
       single bytes row first);
-    * any other scheme (s3a://, hdfs://, gs://...) falls back to
+    * object-store schemes (s3://, gs://...) ALSO stream per-record
+      through ``vf_warc`` when fsspec (+ the protocol driver) is
+      importable, or when ``io`` names a backend explicitly
+      (``'fsspec'``, ``'mount:<root>'`` for FUSE mounts — see
+      sources/warcsource.py); ``io_register`` names a module imported
+      in every task first (credentials / custom protocols);
+    * with NO usable Python backend for the scheme, falls back to
       ``read_warc_binaryfile`` — the JVM binaryFile scan speaks every
-      Hadoop filesystem, which the Python DataSource's workers cannot —
-      at the cost of whole-file rows (``on_corrupt`` does not apply
-      there; a malformed file fails its task).
+      Hadoop filesystem — at the cost of whole-file rows (``on_corrupt``
+      does not apply there; a malformed file fails its task).
 
     ``on_corrupt``: 'row' (default) marks a malformed segment with one
     error row, 'strict' fails the task. Compose with ``strip_html_expr``
     / ``extract_documents`` downstream to turn response bodies into the
     documents table."""
     scheme = path.split("://", 1)[0] if "://" in path else "file"
-    if scheme != "file":
-        return read_warc_binaryfile(spark, path, glob=glob)
+    if scheme != "file" and io == "auto":
+        try:
+            import fsspec  # noqa: F401
+        except ImportError:
+            return read_warc_binaryfile(spark, path, glob=glob)
     from vectorflow_spark.sources import warcsource
 
     warcsource.register(spark)
-    reader = spark.read.format("vf_warc").option("onCorrupt", on_corrupt)
+    reader = spark.read.format("vf_warc").option("onCorrupt", on_corrupt).option("io", io)
     if glob:
         reader = reader.option("glob", glob)
+    if io_register:
+        reader = reader.option("io_register", io_register)
     return reader.load(path)

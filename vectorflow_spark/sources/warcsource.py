@@ -15,6 +15,29 @@ Crawl shards its dumps — thousands of ~1 GB segments per crawl, so a
 file-per-partition scan saturates a 1000-executor cluster with no
 planning cleverness. Within a partition, records stream.
 
+Object stores: a Python DataSource's ``partitions()``/``read()`` run in
+Python workers with no Hadoop client, so ``s3a://``-style paths cannot
+ride the JVM filesystems here. Instead the source takes an injectable
+OPENER via ``.option("io", ...)`` (the same import-gate pattern as the
+embed/sink clients):
+
+* ``io=auto`` (default) — local filesystem for plain/``file://`` paths;
+  for any other scheme, fsspec if importable, else a loud refusal
+  naming the alternatives;
+* ``io=fsspec`` — list+stream through ``fsspec`` (s3://, gs://,
+  abfs://, memory://... — whatever protocols the installed fsspec
+  stack provides). ``option("io_register", "my.module")`` names a
+  module imported FIRST, in planning and in every task, the hook for
+  registering credentials or custom protocols;
+* ``io=mount:/mnt/root`` — map ``scheme://bucket/key`` to
+  ``/mnt/root/bucket/key``: the FUSE-mount deployment pattern
+  (s3fs-fuse/goofys/gcsfuse), zero extra dependencies, and the
+  cross-process-testable stand-in for an object store.
+
+Records stream through every opener: the partition reader pulls 64 KB
+chunks off the opened stream, so peak task memory stays one record +
+one chunk no matter the backend.
+
 Reference parity: the reference ingests web corpora one downloaded file
 at a time in its API process (src/api/app.py); this source is the
 cluster-scale counterpart (SURVEY.md §2.1 S6 family).
@@ -44,6 +67,153 @@ class _WarcFilePartition(InputPartition):
         self.path = path
 
 
+def _keep_name(name: str, glob: str | None) -> bool:
+    """The shared listing filter: hidden ``.``/``_`` basenames excluded
+    (binaryFile's convention) and ``glob`` matched against the BASENAME
+    (stick to the ``*``/``?`` subset shared with Hadoop globs)."""
+    if name.startswith((".", "_")):
+        return False
+    return not glob or fnmatch.fnmatch(name, glob)
+
+
+def _strip_scheme(path: str) -> tuple[str, str]:
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        return scheme, rest
+    return "file", path
+
+
+class _LocalFS:
+    """Opener for the local filesystem (plain and ``file://`` paths)."""
+
+    def list_files(self, path: str, glob: str | None) -> list[str]:
+        _, local = _strip_scheme(path)
+        if os.path.isfile(local):
+            return [local]
+        out = []
+        for root, _dirs, names in os.walk(local):
+            out.extend(os.path.join(root, n) for n in names if _keep_name(n, glob))
+        return sorted(out)
+
+    def open(self, path: str):
+        _, local = _strip_scheme(path)
+        return open(local, "rb")
+
+
+class _MountFS:
+    """Opener mapping ``scheme://bucket/key`` -> ``<root>/bucket/key`` —
+    the FUSE-mount deployment shape (s3fs-fuse/goofys/gcsfuse present the
+    bucket as a directory). Partition paths KEEP the object-store form so
+    error rows and lineage name the real segment URL; only open/list
+    translate. Stdlib-only, so it also serves as the deterministic test
+    double for the opener contract."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _to_local(self, path: str) -> str:
+        _, rest = _strip_scheme(path)
+        return os.path.join(self.root, rest.lstrip("/"))
+
+    def list_files(self, path: str, glob: str | None) -> list[str]:
+        scheme, rest = _strip_scheme(path)
+        local = self._to_local(path)
+        if os.path.isfile(local):
+            return [path]
+        out = []
+        for root, _dirs, names in os.walk(local):
+            rel = os.path.relpath(root, self.root)
+            for n in names:
+                if _keep_name(n, glob):
+                    out.append(f"{scheme}://{os.path.join(rel, n)}")
+        return sorted(out)
+
+    def open(self, path: str):
+        return open(self._to_local(path), "rb")
+
+
+class _FsspecFS:
+    """Opener riding fsspec (import-gated): lists via ``fs.find`` and
+    streams via ``fs.open`` — s3://, gs://, abfs://, memory://, whatever
+    the installed fsspec stack registers. Holds only STRINGS so pickling
+    to executors never ships a live client; each process resolves its own
+    filesystem (and runs the ``io_register`` hook first — the place to
+    install credentials or custom protocols)."""
+
+    def __init__(self, sample_path: str, register: str | None):
+        self.protocol = _strip_scheme(sample_path)[0]
+        self.register = register
+
+    def _fs(self):
+        fs = getattr(self, "_fs_cache", None)
+        if fs is None:
+            if self.register:
+                import importlib
+
+                importlib.import_module(self.register)
+            try:
+                import fsspec
+            except ImportError as e:
+                raise ValueError(
+                    "vf_warc io=fsspec requires the fsspec package (plus the "
+                    "protocol's driver, e.g. s3fs) on driver and executors; "
+                    "alternatives: io=mount:<root> over a FUSE mount, or "
+                    "warcmini.read_warc_binaryfile (JVM scan, whole-file rows)"
+                ) from e
+            fs = self._fs_cache = fsspec.filesystem(self.protocol)
+        return fs
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs_cache", None)
+        return d
+
+    def list_files(self, path: str, glob: str | None) -> list[str]:
+        fs = self._fs()
+        root = fs._strip_protocol(path)
+        if fs.isfile(root):
+            return [fs.unstrip_protocol(root)]
+        return sorted(
+            fs.unstrip_protocol(p)
+            for p in fs.find(root)
+            if _keep_name(p.rsplit("/", 1)[-1], glob)
+        )
+
+    def open(self, path: str):
+        return self._fs().open(path, "rb")
+
+
+def _resolve_io(io: str, path: str, register: str | None):
+    """``io`` option string -> opener object. Raises the loud guidance
+    ValueError for an object-store path with no usable backend."""
+    scheme = _strip_scheme(path)[0]
+    if io == "auto":
+        if scheme == "file":
+            io = "local"
+        else:
+            try:
+                import fsspec  # noqa: F401
+
+                io = "fsspec"
+            except ImportError:
+                raise ValueError(
+                    f"vf_warc has no backend for scheme '{scheme}': install "
+                    "fsspec (+ the protocol driver) for streaming reads, pass "
+                    ".option('io', 'mount:<root>') over a FUSE mount, use "
+                    "warcmini.read_warc_binaryfile (JVM binaryFile scan, "
+                    "whole-file rows), or stage segments locally"
+                ) from None
+    if io == "local":
+        if scheme != "file":
+            raise ValueError(f"vf_warc io=local cannot open scheme '{scheme}'")
+        return _LocalFS()
+    if io == "fsspec":
+        return _FsspecFS(path, register)
+    if io.startswith("mount:"):
+        return _MountFS(io[len("mount:"):])
+    raise ValueError(f"vf_warc: unknown io backend {io!r} (local | fsspec | mount:<root>)")
+
+
 class VfWarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -51,6 +221,8 @@ class VfWarcReader(DataSourceReader):
             raise ValueError("vf_warc requires a load path: .load('/dir/of/warcs')")
         self.glob = options.get("glob")
         self.chunk_size = int(options.get("chunksize", str(1 << 16)))
+        self.io = options.get("io", "auto")
+        self.io_register = options.get("io_register")
         # onCorrupt: what a malformed/truncated segment does to the scan.
         #   "row"  (default) — records parsed so far are kept and ONE
         #     error row (warc_type='error', payload_type=<message>,
@@ -62,43 +234,30 @@ class VfWarcReader(DataSourceReader):
         if self.on_corrupt not in ("row", "strict"):
             raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
 
+    def _fs(self):
+        """Resolve the opener lazily (and cache per process): the reader
+        is pickled to executors, so resolution — including the fsspec
+        import gate and the io_register hook — must run wherever the
+        call lands, not once on the driver. Errors raise ValueError, NOT
+        NotImplementedError: the DataSource API treats
+        NotImplementedError from partitions() as 'source is
+        unpartitioned' and silently swallows the message."""
+        fs = getattr(self, "_fs_cache", None)
+        if fs is None:
+            fs = self._fs_cache = _resolve_io(self.io, self.path, self.io_register)
+        return fs
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs_cache", None)
+        return d
+
     def _files(self) -> list[str]:
-        # Discovery walks the LOCAL filesystem: a Python DataSource's
-        # partitions()/read() run in Python workers with no Hadoop
-        # FileSystem client, so s3a://-style paths cannot be listed or
-        # opened here. Refuse loudly and point at the fallback instead of
-        # producing an empty scan (warcmini.read_warc_binaryfile rides
-        # the JVM binaryFile source, which speaks every Hadoop scheme, at
-        # the cost of whole-file rows).
-        scheme = self.path.split("://", 1)[0] if "://" in self.path else "file"
-        if scheme not in ("file",):
-            # ValueError, deliberately NOT NotImplementedError: the
-            # DataSource API treats NotImplementedError from partitions()
-            # as "source is unpartitioned" and silently falls back to a
-            # single None partition, swallowing the message.
-            raise ValueError(
-                f"vf_warc lists the local filesystem only (got scheme "
-                f"'{scheme}'); for object stores use "
-                "warcmini.read_warc_binaryfile (JVM binaryFile scan, "
-                "whole-file rows) or stage segments locally"
-            )
-        local = self.path[len("file://"):] if self.path.startswith("file://") else self.path
-        if os.path.isfile(local):
-            return [local]
         # Listing contract shared with read_warc_binaryfile (which sets
-        # recursiveFileLookup to match this walk): recursive, hidden
-        # ./_ names excluded, glob matches the BASENAME (use the */?
-        # subset common to fnmatch and Hadoop globs so both paths list
-        # identically).
-        out = []
-        for root, _dirs, names in os.walk(local):
-            for name in sorted(names):
-                if name.startswith((".", "_")):
-                    continue  # match binaryFile's hidden/metadata exclusion
-                if self.glob and not fnmatch.fnmatch(name, self.glob):
-                    continue
-                out.append(os.path.join(root, name))
-        return sorted(out)
+        # recursiveFileLookup to match): recursive, hidden ./_ basenames
+        # excluded, glob matches the BASENAME (use the */? subset common
+        # to fnmatch and Hadoop globs so both paths list identically).
+        return self._fs().list_files(self.path, self.glob)
 
     def partitions(self):
         files = self._files()
@@ -107,13 +266,21 @@ class VfWarcReader(DataSourceReader):
         return [_WarcFilePartition(p) for p in files]
 
     def read(self, partition: _WarcFilePartition):
-        # runs on the executor; stdlib-only
+        # runs on the executor; records STREAM through whichever opener
+        # resolved — peak memory is one record + one chunk for local,
+        # mount and fsspec backends alike
+        import contextlib
         import zlib
 
-        from vectorflow_spark.sources.warcmini import iter_warc_file
+        from vectorflow_spark.sources.warcmini import iter_warc_stream
 
-        source = os.path.basename(partition.path)
-        it = iter_warc_file(partition.path, chunk_size=self.chunk_size)
+        source = partition.path.rsplit("/", 1)[-1]
+
+        def records():
+            with contextlib.closing(self._fs().open(partition.path)) as raw:
+                yield from iter_warc_stream(raw, chunk_size=self.chunk_size)
+
+        it = records()
         while True:
             try:
                 rec = next(it)
