@@ -197,13 +197,87 @@ class TestSpecDecode:
         ).astype(np.uint8)
         assert np.all(px == exp[None, None, :])
 
-    def test_progressive_refused(self):
-        sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        blob = b"\xff\xd8" + _dqt_ones() + sof2
+    def test_arithmetic_coding_refused(self):
+        """SOF9 (arithmetic sequential) stays refuse-loudly; SOF2 is now
+        a supported frame type."""
+        sof9 = _seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        blob = b"\xff\xd8" + _dqt_ones() + sof9
         with pytest.raises(NotImplementedError, match="SOF0"):
             decode_jpeg(blob + b"\xff\xd9")
         with pytest.raises(NotImplementedError, match="SOF0"):
             jpeg_meta(blob + b"\xff\xd9")
+
+    def test_progressive_hand_built_successive_approximation(self):
+        """SOF2 pinned to T.81 Annex G independently of our encoder: a
+        hand-written 4-scan stream (DC first Al=1, AC first Al=1, DC
+        refinement, AC refinement with a correction bit behind an EOB
+        run) must reconstruct DC=33, coef[zigzag 1]=3 exactly —
+        expected pixels computed from the analytic IDCT:
+        p(x, y) = 128 + 33/8 + (3 / (4*sqrt(2))) * cos((2y+1)*pi/16)."""
+        import math
+
+        from vectorflow_spark.operators.jpegmini import AC_PROG
+
+        dc_codes = _encode_codes(*DC_LUM)
+        ac_codes = _encode_codes(*AC_PROG)
+
+        def bitsw() -> _BitWriter:
+            return _BitWriter()
+
+        # scan 1 — DC first, Al=1: codes 33>>1 = 16 (cat 5, bits 10000)
+        w1 = bitsw()
+        code, length = dc_codes[5]
+        w1.write(code, length)
+        w1.write(16, 5)
+        # scan 2 — AC first (Ss=1, Se=63, Al=1): coef 3>>1 = +1 at k=1
+        # (symbol run=0/size=1, sign bit 1), then EOB (r=0)
+        w2 = bitsw()
+        code, length = ac_codes[0x01]
+        w2.write(code, length)
+        w2.write(1, 1)  # +1 -> stored 1<<1 = 2
+        code, length = ac_codes[0x00]
+        w2.write(code, length)
+        # scan 3 — DC refinement (Ah=1, Al=0): appended bit = 33 & 1
+        w3 = bitsw()
+        w3.write(1, 1)
+        # scan 4 — AC refinement (Ah=1, Al=0): EOB run of 1 whose pending
+        # correction bit (3 & 1 = 1) lifts coef 2 -> 3
+        w4 = bitsw()
+        code, length = ac_codes[0x00]
+        w4.write(code, length)
+        w4.write(1, 1)
+
+        def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+            return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+        sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones()
+            + sof2
+            + _dht(0, 0, DC_LUM)
+            + _dht(1, 0, AC_PROG)
+            + sos(0, 0, 0, 1)
+            + w1.flush()
+            + sos(1, 63, 0, 1)
+            + w2.flush()
+            + sos(0, 0, 1, 0)
+            + w3.flush()
+            + sos(1, 63, 1, 0)
+            + w4.flush()
+            + b"\xff\xd9"
+        )
+        assert jpeg_meta(blob) == (8, 8, 1)
+        px = decode_jpeg(blob)
+        assert px.shape == (8, 8, 3)
+        exp = np.empty((8, 8))
+        for y in range(8):
+            exp[:, y] = 128.0 + 33.0 / 8.0 + 3.0 / (4.0 * math.sqrt(2)) * math.cos(
+                (2 * y + 1) * math.pi / 16
+            )
+        exp8 = np.clip(np.rint(exp), 0, 255).astype(np.uint8)
+        assert np.array_equal(px[:, :, 0], exp8)
+        assert np.array_equal(px[:, :, 1], exp8) and np.array_equal(px[:, :, 2], exp8)
 
     def test_garbage_refused(self):
         with pytest.raises(ValueError):
@@ -244,6 +318,48 @@ class TestSpecDecode:
         )
         with pytest.raises(ValueError, match="Huffman table"):
             decode_jpeg(blob)
+
+
+class TestProgressiveRoundtrip:
+    """encode_jpeg_progressive transmits the same quantized coefficients
+    as encode_jpeg, so decoding both must be BIT-IDENTICAL — this pins
+    spectral selection, successive approximation, EOB runs, refinement
+    and correction-bit buffering in one equality."""
+
+    @pytest.mark.parametrize("successive", [False, True])
+    @pytest.mark.parametrize("shape", [(8, 8, 3), (17, 31, 3), (40, 56, 3), (12, 12, 1)])
+    def test_bit_identical_to_baseline(self, shape, successive):
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+
+        rng = np.random.default_rng(int(np.prod(shape)))
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for quality in (50, 90, 100):
+            base = decode_jpeg(encode_jpeg(px, quality=quality))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(px, quality=quality, successive=successive)
+            )
+            assert np.array_equal(prog, base)
+
+    def test_meta_and_frame_type(self):
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+
+        px = np.zeros((10, 20, 3), dtype=np.uint8)
+        blob = encode_jpeg_progressive(px)
+        assert blob[:3] == b"\xff\xd8\xff"
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob.split(b"\xff\xda")[0][8:]
+        assert jpeg_meta(blob) == (20, 10, 3)
+
+    def test_eob_run_aggregation_across_blocks(self):
+        """A mostly-flat image makes long EOB runs across many blocks
+        (the EOBn path with extension bits on both encode and decode)."""
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+
+        px = np.full((64, 64, 3), 77, dtype=np.uint8)
+        px[30, 30] = (200, 10, 90)  # one impulse so not every block is empty
+        for successive in (False, True):
+            base = decode_jpeg(encode_jpeg(px, quality=85))
+            prog = decode_jpeg(encode_jpeg_progressive(px, quality=85, successive=successive))
+            assert np.array_equal(prog, base)
 
 
 class TestRoundtrip:

@@ -23,12 +23,13 @@ stdlib ``wave`` module, so this layer de-gates them:
   (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8.
   This is the container most web corpora actually carry.
 
-* baseline JPEG (SOF0) decodes/encodes via ``operators/jpegmini.py`` —
-  canonical Huffman + numpy IDCT, no external library. See that module.
+* JPEG — baseline (SOF0) AND progressive (SOF2) decode, baseline +
+  progressive encode, via ``operators/jpegmini.py`` — canonical Huffman
+  + numpy IDCT, no external library. See that module.
 
-Formats that genuinely need external libraries (WebP, progressive or
-arithmetic JPEG, MP3/AAC, MP4) still raise ``NotImplementedError``
-loudly — the contract is "parse correctly or refuse", never guess.
+Formats that genuinely need external libraries (WebP, arithmetic-coded
+JPEG, MP3/AAC, MP4) still raise ``NotImplementedError`` loudly — the
+contract is "parse correctly or refuse", never guess.
 """
 
 from __future__ import annotations
@@ -330,9 +331,9 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_jpeg(data)
     raise NotImplementedError(
-        "image decode supports the FAKE codec, BMP, PNG and baseline JPEG; "
-        "WebP/progressive-JPEG need external libraries not installed in "
-        "this environment"
+        "image decode supports the FAKE codec, BMP, PNG and JPEG "
+        "(baseline + progressive); WebP needs external libraries not "
+        "installed in this environment"
     )
 
 

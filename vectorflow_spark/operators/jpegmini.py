@@ -1,28 +1,41 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) codec in numpy + stdlib.
+"""Baseline + progressive JPEG (ITU-T T.81 / ISO 10918-1) codec in
+numpy + stdlib.
 
 JPEG is the dominant container of real web-image corpora (the refuse-list
-note in codecs.py made image dedup PNG/BMP-only), and baseline JPEG is a
-fully public spec whose entropy stage is plain canonical Huffman — no
-external library required:
+note in codecs.py made image dedup PNG/BMP-only), and Huffman-coded JPEG
+is a fully public spec whose entropy stage is plain canonical Huffman —
+no external library required:
 
-* ``decode_jpeg(data)``  — marker walk (SOI/APP*/DQT/SOF0/DHT/DRI/SOS),
+* ``decode_jpeg(data)``  — marker walk (SOI/APP*/DQT/SOF/DHT/DRI/SOS),
   canonical-Huffman entropy decode with byte-destuffing and restart
   markers, DC prediction, zigzag + dequantize, separable 2-D IDCT (one
   einsum over all blocks of a component, not a per-block Python loop),
   chroma upsampling for any 1-2 h/v sampling factors (4:4:4, 4:2:2,
   4:2:0), JFIF YCbCr -> RGB. Returns (h, w, 3) uint8 (grayscale
-  broadcast to 3 channels, matching decode_bmp/decode_png).
+  broadcast to 3 channels, matching decode_bmp/decode_png). Handles
+  BOTH frame types real crawls carry: sequential baseline (SOF0) and
+  progressive (SOF2) with full spectral selection + successive
+  approximation (T.81 Annex G: multi-scan coefficient accumulation,
+  EOB runs, DC/AC refinement bits) — a large share of real web JPEGs
+  are progressive, so image dedup over a crawl needs this path.
 * ``encode_jpeg(px, quality)`` — the inverse writer (4:4:4, Annex K
   quantization tables scaled IJG-style, Annex K Huffman tables), used
   for fixtures and PSNR roundtrips. JPEG is lossy: roundtrip tests
   assert reconstruction error bounds, never bit equality.
+* ``encode_jpeg_progressive(px, quality, successive)`` — SOF2 writer
+  (DC scan + per-component AC scans; with ``successive``, a 2-level
+  successive-approximation script exercising refinement scans). It
+  transmits exactly the same quantized coefficients as ``encode_jpeg``,
+  so decode(progressive) == decode(baseline) BIT-IDENTICALLY — the
+  roundtrip tests assert that equality, which pins the whole Annex G
+  decode path against the proven baseline path.
 * ``jpeg_meta(data)``    — header-only (width, height, channels).
 
 Out-of-scope variants refuse loudly (the codecs.py contract: parse
-correctly or refuse): progressive (SOF2), arithmetic coding (SOF9+),
-12-bit precision, hierarchical. The spec-based unit test decodes a
-HAND-CONSTRUCTED single-MCU stream (flat DC block whose IDCT value is
-analytic), so the decoder is pinned to T.81 independently of the encoder.
+correctly or refuse): arithmetic coding (SOF9+), 12-bit precision,
+lossless, hierarchical. The spec-based unit tests decode
+HAND-CONSTRUCTED streams (flat DC block whose IDCT value is analytic),
+so the decoder is pinned to T.81 independently of the encoder.
 
 Reference parity note: the reference pipeline has no image decode at all
 (it is a text ETL); this exists for the training-data multimodal family
@@ -201,24 +214,56 @@ def _destuff(scan: bytes) -> list[bytes]:
     return segments
 
 
-def _parse_segments(data: bytes):
-    """Marker walk up to (and including) SOS; returns parsed state + the
-    entropy-coded bytes that follow SOS."""
+def _entropy_end(data: bytes, i: int) -> int:
+    """First index at/after ``i`` where a REAL marker begins (0xFF + a
+    code that is neither 0x00 stuffing nor RSTn), skipping 0xFF fill
+    runs per T.81 B.1.1.2. Returns len(data) when the stream just ends."""
+    n = len(data)
+    j = i
+    while j < n:
+        if data[j] != 0xFF:
+            j += 1
+            continue
+        k = j
+        while k + 1 < n and data[k + 1] == 0xFF:
+            k += 1  # fill bytes
+        if k + 1 >= n:
+            return n  # trailing 0xFFs at EOF: no marker materializes
+        nxt = data[k + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            j = k + 2  # stuffing / restart: still entropy data
+            continue
+        return j  # a real marker (its fill run excluded from entropy)
+    return n
+
+
+def _parse_stream(data: bytes):
+    """Full marker walk: returns ``(frame, quant, scans)`` where frame is
+    ``{h, w, comps, progressive}`` and each scan captures its component
+    list, resolved Huffman tables, spectral/approximation parameters,
+    restart interval and destuffed entropy segments — tables and DRI are
+    snapshotted per scan because progressive files routinely redefine
+    them between scans."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> codes
     frame = None
     restart_interval = 0
+    scans: list[dict] = []
     i = 2
     n = len(data)
     while i < n:
         if data[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at byte {i}")
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1  # fill bytes before the marker code (B.1.1.2)
+        if i + 1 >= n:
+            break
         marker = data[i + 1]
         i += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG: EOI before scan data")
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         (seglen,) = struct.unpack_from(">H", data, i)
@@ -247,7 +292,7 @@ def _parse_segments(data: bytes):
                 vals = list(seg[j + 17 : j + 17 + nvals])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 j += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} not supported")
@@ -255,28 +300,52 @@ def _parse_segments(data: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) supported, got SOF marker 0x{marker:02x}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
+                f"got SOF marker 0x{marker:02x}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG: SOS before SOF0")
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scan_comps, tables = [], {}
             for c in range(ns):
                 cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cid] = (tbls >> 4, tbls & 0x0F)
-            return frame, quant, huff, scan_tables, restart_interval, data[i:]
+                if cid not in by_id:
+                    raise ValueError(f"JPEG: scan references unknown component {cid}")
+                scan_comps.append(by_id[cid])
+                # snapshot the RESOLVED dicts: a later DHT replaces the
+                # huff entry with a new dict, leaving these intact
+                tables[cid] = (huff.get((0, tbls >> 4)), huff.get((1, tbls & 0x0F)))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            end = _entropy_end(data, i)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "tables": tables,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "restart_interval": restart_interval,
+                    "segments": _destuff(data[i:end]),
+                }
+            )
+            i = end
         # APPn / COM / others: skipped
-    raise ValueError("JPEG: no scan (SOS) found")
+    if frame is None or not scans:
+        raise ValueError("JPEG: no scan (SOS) found")
+    return frame, quant, scans
 
 
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the SOF0 header, entropy untouched."""
+    """(width, height, channels) from the SOF0/SOF2 header, entropy
+    untouched."""
     if data[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG file")
     i, n = 2, len(data)
@@ -288,39 +357,37 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack_from(">H", data, i)
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             h, w = struct.unpack_from(">HH", data, i + 3)
             ncomp = data[i + 7]
             return w, h, (3 if ncomp == 3 else 1)
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) supported, got SOF marker 0x{marker:02x}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
+                f"got SOF marker 0x{marker:02x}"
             )
         i += seglen
     raise ValueError("JPEG: no frame header found")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
-    frame, quant, huff, scan_tables, restart_interval, scan = _parse_segments(bytes(data))
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+def _require_tables(scan: dict, cid: int, dc: bool, ac: bool) -> tuple:
+    dc_tbl, ac_tbl = scan["tables"][cid]
+    if dc and dc_tbl is None:
+        raise ValueError("JPEG: scan references undefined Huffman table (DC)")
+    if ac and ac_tbl is None:
+        raise ValueError("JPEG: scan references undefined Huffman table (AC)")
+    return dc_tbl, ac_tbl
+
+
+def _decode_baseline_scan(frame, scan, coefs, mcus_x, mcus_y) -> None:
+    """Sequential DC+AC interleaved MCU loop (T.81 F.2)."""
+    comps = scan["comps"]
     n_mcus = mcus_x * mcus_y
-
-    # coefficient storage: per component, one (n_blocks, 64) int array
-    coefs = {
-        c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
-        for c in comps
-    }
-
-    segments = _destuff(scan)
+    segments = scan["segments"]
     seg_idx = 0
     reader = _BitReader(segments[0])
     pred = {c["id"]: 0 for c in comps}
-    interval = restart_interval or n_mcus
+    interval = scan["restart_interval"] or n_mcus
 
     for mcu in range(n_mcus):
         if mcu and mcu % interval == 0:
@@ -331,11 +398,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcus_x)
         for c in comps:
-            try:
-                dc_tbl = huff[(0, scan_tables[c["id"]][0])]
-                ac_tbl = huff[(1, scan_tables[c["id"]][1])]
-            except KeyError as e:
-                raise ValueError(f"JPEG: scan references undefined Huffman table {e}") from None
+            dc_tbl, ac_tbl = _require_tables(scan, c["id"], dc=True, ac=True)
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     block = np.zeros(64, dtype=np.int64)
@@ -359,6 +422,188 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         k += 1
                     row = (my * c["v"] + by) * (mcus_x * c["h"]) + (mx * c["h"] + bx)
                     coefs[c["id"]][row] = block
+
+
+def _ac_first(reader, ac_tbl, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2 / F.2.2.2
+    semantics with EOB runs); returns the updated EOB run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huffman(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC run past band end")
+        coef[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_tbl, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±1<<Al, history-nonzero ones get
+    one correction bit each; EOB runs cover whole blocks whose remaining
+    nonzero coefficients still consume correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.bit() and not (coef[k] & p1):
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huffman(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: invalid AC refinement magnitude")
+                newval = p1 if reader.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            # advance over r zero-history coefficients (r=15 => ZRL skips
+            # 16 with the trailing k+=1), correcting nonzero-history ones
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG: refinement position past band end")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
+    """Accumulate coefficients across every scan (T.81 Annex G). DC
+    scans may interleave components (MCU order); AC scans are always
+    single-component in that component's own block-raster order, whose
+    grid derives from the SAMPLED dimensions (not the MCU-padded grid)."""
+    h, w = frame["h"], frame["w"]
+    for scan in scans:
+        comps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        segments = scan["segments"]
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive DC scan must have Se=0")
+        if ss > 0 and len(comps) != 1:
+            raise ValueError("JPEG: progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG: invalid spectral selection")
+
+        if ss == 0 and len(comps) > 1:  # interleaved DC scan, MCU order
+            n_mcus = mcus_x * mcus_y
+            interval = scan["restart_interval"] or n_mcus
+            seg_idx = 0
+            reader = _BitReader(segments[0])
+            pred = {c["id"]: 0 for c in comps}
+            for mcu in range(n_mcus):
+                if mcu and mcu % interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart segment")
+                    reader = _BitReader(segments[seg_idx])
+                    pred = {c["id"]: 0 for c in comps}
+                my, mx = divmod(mcu, mcus_x)
+                for c in comps:
+                    cid = c["id"]
+                    if ah == 0:
+                        dc_tbl, _ = _require_tables(scan, cid, dc=True, ac=False)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = (my * c["v"] + by) * (mcus_x * c["h"]) + (mx * c["h"] + bx)
+                            coef = coefs[cid][row]
+                            if ah == 0:
+                                s = _read_huffman(reader, dc_tbl)
+                                pred[cid] += _extend(reader.bits(s), s)
+                                coef[0] = pred[cid] << al
+                            elif reader.bit():
+                                coef[0] |= 1 << al
+        else:  # single-component scan: the component's own block raster
+            c = comps[0]
+            cid = c["id"]
+            bw_c = -(-(-(-w * c["h"] // hmax)) // 8)
+            bh_c = -(-(-(-h * c["v"] // vmax)) // 8)
+            n_blocks = bw_c * bh_c
+            interval = scan["restart_interval"] or n_blocks
+            seg_idx = 0
+            reader = _BitReader(segments[0])
+            pred = 0
+            eobrun = 0
+            if ss == 0 and ah == 0:
+                dc_tbl, _ = _require_tables(scan, cid, dc=True, ac=False)
+            if ss > 0:
+                _, ac_tbl = _require_tables(scan, cid, dc=False, ac=True)
+            for b in range(n_blocks):
+                if b and b % interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart segment")
+                    reader = _BitReader(segments[seg_idx])
+                    pred = 0
+                    eobrun = 0
+                by, bx = divmod(b, bw_c)
+                coef = coefs[cid][by * (mcus_x * c["h"]) + bx]
+                if ss == 0:
+                    if ah == 0:
+                        s = _read_huffman(reader, dc_tbl)
+                        pred += _extend(reader.bits(s), s)
+                        coef[0] = pred << al
+                    elif reader.bit():
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(reader, ac_tbl, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, ac_tbl, coef, ss, se, al, eobrun)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes -> (h, w, 3)
+    uint8 RGB."""
+    frame, quant, scans = _parse_stream(bytes(data))
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # coefficient storage: per component, one (n_blocks, 64) int array
+    # in zigzag order, MCU-padded grid
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    if frame["progressive"]:
+        _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax)
+    else:
+        _decode_baseline_scan(frame, scans[0], coefs, mcus_x, mcus_y)
 
     # dequantize + inverse zigzag + IDCT, one einsum per component
     planes = []
@@ -475,8 +720,10 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling)."""
+def _quantize_planes(px: np.ndarray, quality: int):
+    """Shared encoder front half: pixels -> per-component quantized
+    zigzag coefficient arrays (4:4:4). Returns
+    (h, w, bh, bw, all_zz, q_lum, q_chrom)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -506,44 +753,223 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
         coefs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT).reshape(-1, 64)
         zz = np.rint(coefs[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
         all_zz.append(zz)
+    return h, w, bh, bw, all_zz, q_lum, q_chrom
+
+
+def _seg_bytes(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables) -> bytes:
+    """SOI + APP0 + DQT + SOF + DHT prologue shared by both encoders.
+    ``huff_tables``: list of (tc, th, (bits, values))."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg_bytes(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg_bytes(0xDB, b"\x00" + bytes(int(v) for v in q_lum[ZIGZAG]))
+    if ncomp > 1:
+        out += _seg_bytes(0xDB, b"\x01" + bytes(int(v) for v in q_chrom[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += _seg_bytes(sof_marker, sof)
+    for tc, th, (bits, vals) in huff_tables:
+        out += _seg_bytes(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    return bytes(out)
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling)."""
+    h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
+    ncomp = len(all_zz)
 
     dc_lum_codes, ac_lum_codes = _encode_codes(*DC_LUM), _encode_codes(*AC_LUM)
     dc_chrom_codes, ac_chrom_codes = _encode_codes(*DC_CHROM), _encode_codes(*AC_CHROM)
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     for blk in range(bh * bw):
-        for ci in range(len(planes)):
+        for ci in range(ncomp):
             dc_c = dc_lum_codes if ci == 0 else dc_chrom_codes
             ac_c = ac_lum_codes if ci == 0 else ac_chrom_codes
             preds[ci] = _encode_block(writer, all_zz[ci][blk], preds[ci], dc_c, ac_c)
     entropy = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xDB, b"\x00" + bytes(int(v) for v in q_lum[ZIGZAG]))
-    if len(planes) > 1:
-        out += seg(0xDB, b"\x01" + bytes(int(v) for v in q_chrom[ZIGZAG]))
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
-    out += seg(0xC0, sof)
-
-    def dht(tc: int, th: int, table) -> bytes:
-        bits, vals = table
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, DC_LUM) + dht(1, 0, AC_LUM)
+    tables = [(0, 0, DC_LUM), (1, 0, AC_LUM)]
     if ncomp > 1:
-        out += dht(0, 1, DC_CHROM) + dht(1, 1, AC_CHROM)
+        tables += [(0, 1, DC_CHROM), (1, 1, AC_CHROM)]
+    out = bytearray(_header_bytes(0xC0, h, w, ncomp, q_lum, q_chrom, tables))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _seg_bytes(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — exercises the Annex G decode path with the
+# SAME quantized coefficients as encode_jpeg, so decode() of both forms is
+# bit-identical (the roundtrip tests assert that equality).
+# ---------------------------------------------------------------------------
+
+# A static AC table covering ALL 256 (run, size) symbols — progressive
+# scans emit EOBn symbols (0x10..0xE0) that the Annex K tables lack, and a
+# fixed ~9-bit/symbol table keeps the encoder table-free. Canonical and
+# Kraft-valid: one 8-bit code + 255 9-bit codes.
+AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 1, 255, 0, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+class _ProgACState:
+    """Cross-block AC scan state: the pending EOB run and the correction
+    bits buffered behind it (T.81 G.1.2.3 'bit buffer')."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _emit_eobrun(writer: _BitWriter, ac_codes, st: _ProgACState) -> None:
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+    for bit in st.pending:
+        writer.write(bit, 1)
+    st.pending = []
+
+
+def _enc_ac_first(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        if st.eobrun:
+            _emit_eobrun(writer, ac_codes, st)
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = t.bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        tv = t if v >= 0 else -t
+        writer.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(writer, ac_codes, st)
+
+
+def _enc_ac_refine(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
+    absvals = {}
+    eob = ss - 1  # position of the LAST newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absvals[k] = t
+        if t == 1:
+            eob = k
+    run = 0
+    br: list[int] = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        t = absvals[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _emit_eobrun(writer, ac_codes, st)
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:  # history-nonzero: buffer its correction bit
+            br.append(t & 1)
+            continue
+        # newly significant at this precision
+        _emit_eobrun(writer, ac_codes, st)
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(0 if int(zz[k]) < 0 else 1, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 900:
+            _emit_eobrun(writer, ac_codes, st)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality: int = 85, successive: bool = True
+) -> bytes:
+    """(h, w, 3|1) uint8 -> progressive (SOF2) JFIF JPEG bytes, 4:4:4.
+
+    Scan script: an interleaved DC scan, then one full-band AC scan per
+    component; with ``successive`` (the default) each splits into a
+    first pass at Al=1 plus a refinement pass at Al=0 — the
+    successive-approximation shape real encoders emit, exercising DC
+    refinement bits, newly-significant AC coding, correction bits and
+    EOB-run buffering in the decoder. Transmits exactly the quantized
+    coefficients of ``encode_jpeg(px, quality)``."""
+    h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
+    ncomp = len(all_zz)
+    n_blocks = bh * bw
+
+    dc_codes = [_encode_codes(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(ncomp)]
+    ac_codes = _encode_codes(*AC_PROG)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for blk in range(n_blocks):
+            for ci in range(ncomp):
+                v = int(all_zz[ci][blk][0])
+                if ah == 0:
+                    tmp = v >> al  # arithmetic shift, per G.1.2.1
+                    diff = tmp - preds[ci]
+                    preds[ci] = tmp
+                    s = _category(diff)
+                    code, length = dc_codes[ci][s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                else:
+                    writer.write((v >> al) & 1, 1)
+        comps = bytes([ncomp]) + b"".join(
+            bytes([ci + 1, (0 if ci == 0 else 1) << 4]) for ci in range(ncomp)
+        )
+        return _seg_bytes(0xDA, comps + bytes([0, 0, (ah << 4) | al])) + writer.flush()
+
+    def ac_scan(ci: int, ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        st = _ProgACState()
+        enc = _enc_ac_refine if ah else _enc_ac_first
+        for blk in range(n_blocks):
+            enc(writer, ac_codes, all_zz[ci][blk], 1, 63, al, st)
+        _emit_eobrun(writer, ac_codes, st)
+        sos = bytes([1, ci + 1, 0x00]) + bytes([1, 63, (ah << 4) | al])
+        return _seg_bytes(0xDA, sos) + writer.flush()
+
+    tables = [(0, 0, DC_LUM), (1, 0, AC_PROG)]
+    if ncomp > 1:
+        tables += [(0, 1, DC_CHROM)]
+    out = bytearray(_header_bytes(0xC2, h, w, ncomp, q_lum, q_chrom, tables))
+    passes = [(0, 1), (1, 0)] if successive else [(0, 0)]
+    for ah, al in passes:
+        out += dc_scan(ah, al)
+    for ci in range(ncomp):
+        for ah, al in passes:
+            out += ac_scan(ci, ah, al)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -8494,14 +8494,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
     is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
-    unique images (seed = id) rotate through FAKE blobs, real BMP files
-    and real baseline JPEGs (our own SOF0 codec, operators/jpegmini.py),
-    except every 5th, which is a PERTURBED JPEG-q100 re-encode of its
-    successor's decoded pixels (three interior sampled pixels nudged +
-    DCT rounding) — true near-duplicates whose dHash lands 0-6 bits
-    away, usually ≥1, so exact Hamming-0 grouping (q_image_dhash_dedup)
-    misses most of them, and the pair is usually JPEG↔BMP/FAKE: the
-    dedup key is the pixels, never the container bytes. dHash
+    unique images (seed = id) rotate through FAKE blobs, real BMP files,
+    real baseline JPEGs and real PROGRESSIVE JPEGs (SOF2 with successive
+    approximation — our own codec, operators/jpegmini.py), except every
+    5th, which is a PERTURBED JPEG-q100 re-encode of its successor's
+    decoded pixels (three interior sampled pixels nudged + DCT rounding;
+    twins alternate baseline/progressive containers) — true
+    near-duplicates whose dHash lands 0-6 bits away, usually ≥1, so
+    exact Hamming-0 grouping (q_image_dhash_dedup) misses most of them,
+    and the pair is usually JPEG↔BMP/FAKE: the dedup key is the pixels,
+    never the container bytes. dHash
     fingerprints feed the generic Hamming-ball bander
     (operators/dedup.hamming_candidate_pairs; the 63-bit dHash splits
     into 7 bands of 9 bits), pairing anything within 6 differing bits —
@@ -8509,7 +8511,7 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and deterministic."""
     from vectorflow_spark.operators.codecs import decode_image, encode_bmp
     from vectorflow_spark.operators.dedup import hamming_candidate_pairs
-    from vectorflow_spark.operators.jpegmini import encode_jpeg
+    from vectorflow_spark.operators.jpegmini import encode_jpeg, encode_jpeg_progressive
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
 
     import numpy as np
@@ -8518,11 +8520,13 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _base(i: int) -> bytes:
         blob = make_fake_image(str(i))
-        k = i % 3
+        k = i % 4
         if k == 1:
             return encode_bmp(decode_image(blob))
         if k == 2:
             return encode_jpeg(decode_image(blob), quality=100)
+        if k == 3:
+            return encode_jpeg_progressive(decode_image(blob), quality=100)
         return blob
 
     def _one(i) -> bytes:
@@ -8532,7 +8536,8 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # touch bit 63, which the int64-safe mask drops.
             for (y, x) in ((4, 7), (7, 5), (9, 10)):
                 px[y, x, :] ^= 0x60
-            return encode_jpeg(px, quality=100)
+            enc = encode_jpeg_progressive if int(i) % 2 == 0 else encode_jpeg
+            return enc(px, quality=100)
         return _base(int(i))
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
