@@ -249,6 +249,70 @@ class TestWav:
         assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 16000, 123)
 
 
+class TestAviMjpeg:
+    """MJPEG AVI (operators/codecs.py): a REAL video container — RIFF
+    framing + one baseline JPEG per frame — decodable with the in-repo
+    jpegmini codec; other AVI codecs and MP4 keep refusing."""
+
+    def _frames(self, nf=6, h=12, w=16, seed=9):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+
+    def test_roundtrip_near_exact_and_deterministic(self):
+        from vectorflow_spark.operators.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+        frames = self._frames()
+        blob = encode_avi_mjpeg(frames, fps=5, quality=100)
+        assert blob == encode_avi_mjpeg(frames, fps=5, quality=100)  # byte-stable
+        dec = decode_avi_mjpeg(blob)
+        assert dec.shape == (6, 12, 16, 3)
+        # q100 quant tables are all-ones: only DCT rounding wobble remains
+        err = np.abs(dec[:, :, :, 0].astype(int) - frames.astype(int)).max()
+        assert err <= 3
+
+    def test_meta_header_only(self):
+        from vectorflow_spark.operators.codecs import avi_meta, encode_avi_mjpeg
+
+        blob = encode_avi_mjpeg(self._frames(), fps=10)
+        m = avi_meta(blob)
+        assert (m["n_frames"], m["width"], m["height"]) == (6, 16, 12)
+        assert m["usec_per_frame"] == 100_000
+        dm = decode_meta(blob)
+        assert (dm["kind"], dm["n_frames"], dm["width"], dm["height"]) == ("video", 6, 16, 12)
+
+    def test_non_mjpg_avi_refused_mp4_refused(self):
+        from vectorflow_spark.operators.codecs import decode_avi_mjpeg, decode_video, encode_avi_mjpeg
+
+        blob = bytearray(encode_avi_mjpeg(self._frames()))
+        i = bytes(blob).find(b"vidsMJPG")
+        blob[i + 4 : i + 8] = b"XVID"
+        with pytest.raises(NotImplementedError, match="MJPEG"):
+            decode_avi_mjpeg(bytes(blob))
+        # MP4 (ftyp box) keeps the refuse-loudly contract
+        with pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x00\x00\x18ftypmp42 not supported")
+        # an AVI is RIFF but never audio
+        with pytest.raises(NotImplementedError):
+            decode_audio(bytes(encode_avi_mjpeg(self._frames())))
+
+    def test_frame_sample_dispatches_avi(self, spark):
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from vectorflow_spark.operators.codecs import encode_avi_mjpeg
+        from vectorflow_spark.operators.multimodal import video_frame_sample
+
+        frames = self._frames(nf=8)
+        blob = encode_avi_mjpeg(frames, quality=100)
+        gen = F.pandas_udf(lambda ids: pd.Series([blob for _ in ids]), BinaryType())
+        assets = spark.range(0, 2).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+        out = video_frame_sample(assets, every_k=2).collect()
+        assert len(out) == 2 * 4  # 8 frames, stride 2
+        assert sorted({r.frame_idx for r in out}) == [0, 2, 4, 6]
+        px = decode_image(bytes(out[0].frame))
+        assert px.shape == (12, 16, 3)
+
+
 def test_webp_and_mp3_magic_still_refused():
     # WebP carries a RIFF magic but is not WAV; MP3 has no supported path.
     with pytest.raises(NotImplementedError):
@@ -416,6 +480,46 @@ class TestHammingPairs:
                     frames[:, y * W + x] ^= 0x60
                 return bytes(blob[:10]) + frames.tobytes()
             return make_fake_video(str(int(i)), NF, W, H)
+
+        gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
+        assets = spark.range(0, 12).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+        pairs = {
+            (r.video_a, r.video_b): r.n_frames_matched
+            for r in video_neardup_pairs(assets, frame_hamming=6, min_frames=6).collect()
+        }
+        assert set(pairs) == {(b, b + 6) for b in range(6)}
+        assert all(n >= 6 for n in pairs.values())
+
+    def test_video_neardup_across_containers(self, spark):
+        """FAKE↔MJPEG-AVI twins still pair: the dedup key is the frames'
+        pixels, never the container bytes — same contract the image
+        family proves for FAKE/BMP/JPEG."""
+        import struct
+
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from vectorflow_spark.operators.codecs import encode_avi_mjpeg
+        from vectorflow_spark.operators.multimodal import (
+            make_fake_video,
+            video_neardup_pairs,
+        )
+
+        NF, W, H = 8, 16, 12
+
+        def frames_of(i: int) -> np.ndarray:
+            blob = make_fake_video(str(i), NF, W, H)
+            return np.frombuffer(blob[10:], dtype=np.uint8).reshape(NF, H, W).copy()
+
+        def one(i) -> bytes:
+            i = int(i)
+            fr = frames_of(i % 6)  # ids 6..11 re-render 0..5
+            if i >= 6:
+                for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                    fr[:, y, x] ^= 0x60
+            if (i % 2 == 0) != (i >= 6):  # twins land in the OTHER container
+                return encode_avi_mjpeg(fr, quality=100)
+            return b"FVID" + struct.pack("<HHH", NF, W, H) + fr.tobytes()
 
         gen = F.pandas_udf(lambda ids: pd.Series([one(i) for i in ids]), BinaryType())
         assets = spark.range(0, 12).select(F.col("id").alias("asset_id"), gen("id").alias("data"))

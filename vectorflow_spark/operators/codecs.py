@@ -312,6 +312,126 @@ def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 1) -> byt
 
 
 # ---------------------------------------------------------------------------
+# AVI / MJPEG — a REAL video container in pure stdlib + the jpegmini codec.
+# Motion-JPEG AVI is plain RIFF framing around one baseline JPEG per frame
+# (the format cameras and capture cards emit), so it needs no external
+# library and turns the video operators (frame sample, near-dup) from
+# FAKE-only into real-container paths. Non-MJPG AVI codecs and MP4 keep
+# the refuse-loudly contract.
+# ---------------------------------------------------------------------------
+
+AVI_FORM = b"AVI "
+WAVE_FORM = b"WAVE"
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run;
+    chunks pad to even sizes per the RIFF spec."""
+    i = start
+    while i + 8 <= end:
+        fourcc = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        yield fourcc, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def _avi_walk(data: bytes):
+    """-> (avih fields dict, list of MJPEG frame byte-slices). Validates
+    the stream is MJPG; refuses other codecs loudly."""
+    if data[:4] != RIFF_MAGIC or data[8:12] != AVI_FORM:
+        raise ValueError("not an AVI file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    header = None
+    handler = None
+    frames: list[bytes] = []
+    for fourcc, body, size in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue  # idx1 / JUNK: not needed for decode
+        form = data[body : body + 4]
+        if form == b"hdrl":
+            for cc, b2, s2 in _riff_chunks(data, body + 4, body + size):
+                if cc == b"avih":
+                    usec, _mbps, _pad, _flags, total, _init, _streams, _buf, w, h = (
+                        struct.unpack_from("<10I", data, b2)
+                    )
+                    header = {"n_frames": total, "width": w, "height": h,
+                              "usec_per_frame": usec}
+                elif cc == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    for cc3, b3, _s3 in _riff_chunks(data, b2 + 4, b2 + s2):
+                        if cc3 == b"strh" and data[b3 : b3 + 4] == b"vids":
+                            handler = data[b3 + 4 : b3 + 8]
+        elif form == b"movi":
+            for cc, b2, s2 in _riff_chunks(data, body + 4, body + size):
+                if cc[2:] in (b"dc", b"db"):  # compressed/uncompressed video chunk
+                    frames.append(data[b2 : b2 + s2])
+    if header is None:
+        raise ValueError("AVI: missing avih header")
+    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"only MJPEG AVI supported (stream handler {handler!r}); other "
+            "codecs need external libraries not installed in this environment"
+        )
+    return header, frames
+
+
+def avi_meta(data: bytes) -> dict:
+    """Header-only AVI metadata (frames stay compressed)."""
+    header, frames = _avi_walk(bytes(data))
+    if header["n_frames"] == 0 and frames:
+        header["n_frames"] = len(frames)
+    return header
+
+
+def decode_avi_mjpeg(data: bytes) -> np.ndarray:
+    """MJPEG AVI -> (n_frames, h, w, 3) uint8 RGB via the jpegmini
+    decoder (baseline or progressive frames both decode)."""
+    from vectorflow_spark.operators.jpegmini import decode_jpeg
+
+    _header, frames = _avi_walk(bytes(data))
+    if not frames:
+        raise ValueError("AVI: no video frames in movi list")
+    px = [decode_jpeg(f) for f in frames]
+    shapes = {p.shape for p in px}
+    if len(shapes) > 1:
+        raise ValueError(f"AVI: inconsistent frame shapes {sorted(shapes)}")
+    return np.stack(px)
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 100) -> bytes:
+    """(n_frames, h, w[, 3]) uint8 -> MJPEG AVI bytes: RIFF hdrl
+    (avih + vids/MJPG strl) + movi of one baseline JPEG per frame.
+    Deterministic for fixed inputs (the JPEG encoder is)."""
+    from vectorflow_spark.operators.jpegmini import encode_jpeg
+
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[:, :, :, None]
+    nf, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(nf)]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    usec = 1_000_000 // max(fps, 1)
+    max_bytes = max(map(len, jpegs))
+    avih = struct.pack("<10I", usec, max_bytes * fps, 0, 0x10, nf, 0, 1, max_bytes, w, h)
+    avih += b"\x00" * 16  # dwReserved[4]
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = AVI_FORM + hdrl + movi
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # Unified dispatch used by the multimodal kernels
 # ---------------------------------------------------------------------------
 
@@ -360,9 +480,24 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == FAKE_AUD_MAGIC:
         (rate, n) = struct.unpack("<IH", data[4:10])
         return np.frombuffer(data, dtype=np.uint8, offset=10, count=n).astype(np.float64), rate
-    if data[:4] == RIFF_MAGIC:
+    if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_FORM:
         return decode_wav(data)
     raise NotImplementedError(
         "audio decode supports the FAKE codec and PCM WAV; MP3/AAC need "
         "external libraries not installed in this environment"
+    )
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """FVID or MJPEG AVI -> (n_frames, h, w, channels) uint8 frames
+    (FAKE frames are grayscale (nf, h, w, 1); AVI frames RGB)."""
+    if data[:4] == FAKE_VID_MAGIC:
+        nf, w, h = struct.unpack("<HHH", data[4:10])
+        px = np.frombuffer(data, dtype=np.uint8, offset=10, count=nf * w * h)
+        return px.reshape(nf, h, w, 1)
+    if data[:4] == RIFF_MAGIC and data[8:12] == AVI_FORM:
+        return decode_avi_mjpeg(data)
+    raise NotImplementedError(
+        "video decode supports the FAKE codec and MJPEG AVI; MP4 and other "
+        "AVI codecs need external libraries not installed in this environment"
     )

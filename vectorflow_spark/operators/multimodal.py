@@ -6,12 +6,14 @@ back as ``array<float>``, and every operator is a per-row map (no shuffle)
 that scales by partitioning alone.
 
 Container support (operators/codecs.py): REAL stdlib-decodable formats —
-BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib) and PCM
-WAV audio (8/16-bit) — plus the deterministic FAKE codec family below;
-every image/audio kernel (metadata, resize, dHash, audio features)
-dispatches on magic bytes and runs the same pixel/sample math for all.
-Formats that genuinely need external libraries (JPEG/MP3/MP4) raise
-``NotImplementedError`` loudly — parse correctly or refuse, never guess.
+BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib), JPEG
+(baseline + progressive via operators/jpegmini.py), PCM WAV audio
+(8/16-bit) and MJPEG AVI video (RIFF + one JPEG per frame) — plus the
+deterministic FAKE codec family below; every kernel (metadata, resize,
+dHash, frame sample, audio features) dispatches on magic bytes and runs
+the same pixel/sample math for all. Formats that genuinely need external
+libraries (WebP/MP3/MP4, non-MJPG AVI) raise ``NotImplementedError``
+loudly — parse correctly or refuse, never guess.
 
 The FAKE codec family (seeded, reproducible test assets):
 
@@ -69,11 +71,11 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 
 def decode_meta(data: bytes) -> dict:
-    """Parse container headers into typed metadata: FAKE family, BMP and
-    PNG (header fields only — pixels stay compressed/untouched) and PCM
-    WAV (stdlib wave). JPEG/MP3/MP4 would dispatch to their libraries
-    here — absent in this environment, so they raise instead of silently
-    guessing."""
+    """Parse container headers into typed metadata: FAKE family, BMP,
+    PNG, JPEG, MJPEG AVI (header fields only — pixels stay
+    compressed/untouched) and PCM WAV (stdlib wave). MP3/MP4 would
+    dispatch to their libraries here — absent in this environment, so
+    they raise instead of silently guessing."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -84,6 +86,15 @@ def decode_meta(data: bytes) -> dict:
     if magic == VID_MAGIC:
         nf, w, h = struct.unpack("<HHH", data[4:10])
         return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
+    if magic == codecs.RIFF_MAGIC and data[8:12] == codecs.AVI_FORM:
+        m = codecs.avi_meta(bytes(data))
+        return {
+            "kind": "video",
+            "n_frames": m["n_frames"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_bytes": len(data),
+        }
     if data[:2] == codecs.BMP_MAGIC:
         # Mirror decode_bmp's guards: a BITMAPCOREHEADER or compressed BMP
         # would yield garbage at the BITMAPINFOHEADER offsets — refuse instead.
@@ -104,7 +115,7 @@ def decode_meta(data: bytes) -> dict:
             )
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC:
-        samples, rate = codecs.decode_wav(bytes(data))
+        samples, rate = codecs.decode_wav(bytes(data))  # WAVE form (AVI matched above)
         return {"kind": "audio", "sample_rate": rate, "n_samples": len(samples), "n_bytes": len(data)}
     if data[:8] == codecs.PNG_MAGIC:
         w, h, c = codecs.png_meta(bytes(data))
@@ -115,9 +126,9 @@ def decode_meta(data: bytes) -> dict:
         w, h, c = jpeg_meta(bytes(data))
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     raise NotImplementedError(
-        "codec decode supports the FAKE family, BMP, PNG, baseline JPEG and "
-        "PCM WAV; WebP/MP3/MP4 require external libraries not installed in "
-        "this environment"
+        "codec decode supports the FAKE family, BMP, PNG, JPEG "
+        "(baseline/progressive), PCM WAV and MJPEG AVI; WebP/MP3/MP4 "
+        "require external libraries not installed in this environment"
     )
 
 
@@ -187,9 +198,12 @@ def image_features(assets: DataFrame, dim: int = 64, data_col: str = "data") -> 
 
 
 def video_frame_sample(assets: DataFrame, every_k: int = 2, data_col: str = "data") -> DataFrame:
-    """Frame sampling: explode every k-th frame of a fake video to one
-    image-coded row — the fan-out shape (1 video -> n frames) a real
-    ffmpeg-backed sampler would have."""
+    """Frame sampling: explode every k-th frame of a video (FAKE codec or
+    real MJPEG AVI) to one image-coded row — the fan-out shape (1 video
+    -> n frames) a real ffmpeg-backed sampler would have. Sampled frames
+    are emitted as raw-pixel FAKE image blobs (what a decoder hands
+    downstream), so every frame kernel composes regardless of the source
+    container; other containers (MP4, non-MJPG AVI) refuse loudly."""
     fields = [f.name for f in assets.schema.fields]
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
     schema += ", frame_idx int, frame binary"
@@ -199,13 +213,10 @@ def video_frame_sample(assets: DataFrame, every_k: int = 2, data_col: str = "dat
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[data_col])
-                if data[:4] != VID_MAGIC:
-                    raise NotImplementedError("frame sampling supports the FAKE video codec only")
-                nf, w, h = struct.unpack("<HHH", data[4:10])
-                frame_sz = w * h
+                frames = codecs.decode_video(data)  # FAKE or MJPEG AVI
+                nf, h, w, c = frames.shape
                 for i in range(0, nf, every_k):
-                    frame_px = data[10 + i * frame_sz : 10 + (i + 1) * frame_sz]
-                    frame = IMG_MAGIC + struct.pack("<HHB", w, h, 1) + frame_px
+                    frame = IMG_MAGIC + struct.pack("<HHB", w, h, c) + frames[i].tobytes()
                     rows.append({**{f: row[f] for f in fields}, "frame_idx": i, "frame": frame})
             yield pd.DataFrame(rows, columns=[*fields, "frame_idx", "frame"])
 

@@ -8607,12 +8607,20 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.video_neardup_pairs): frame explode -> per-frame dHash ->
     Hamming-ball frame pairs -> temporally-aligned (same frame index)
     video-pair rollup requiring >= 6 of 8 matching frames. Corpus: unique
-    8-frame 16x12 videos (seed = id) except every 5th, a re-render of its
-    successor with three pixels nudged IN EVERY FRAME (the re-encode
-    model); twins match on all 8 aligned frames within a few bits,
-    unrelated videos virtually never align. Per-video id count keeps the
-    result deterministic and small."""
+    8-frame 16x12 videos (seed = id) in a MIXED-CONTAINER rotation —
+    every 3rd rides a REAL MJPEG AVI (operators/codecs.encode_avi_mjpeg:
+    RIFF framing + one baseline JPEG per frame), the rest the FAKE
+    container — except every 5th, a re-render of its successor with
+    three pixels nudged IN EVERY FRAME (the re-encode model), usually
+    landing in the OTHER container family: the dedup key is the frames'
+    pixels, never the container bytes. Twins match on aligned frames
+    within a few bits (JPEG-q100 wobble ≤~2/pixel included); unrelated
+    videos virtually never align. Per-video id count keeps the result
+    deterministic and small."""
+    from vectorflow_spark.operators.codecs import encode_avi_mjpeg
     from vectorflow_spark.operators.multimodal import make_fake_video, video_neardup_pairs
+
+    import struct as _struct
 
     import numpy as np
     import pandas as pd
@@ -8620,15 +8628,23 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NF, W, H = 8, 16, 12
 
+    def _frames(i: int) -> np.ndarray:
+        blob = make_fake_video(str(i), NF, W, H)
+        return np.frombuffer(blob[10:], dtype=np.uint8).reshape(NF, H, W).copy()
+
+    def _pack(i: int, frames: np.ndarray) -> bytes:
+        if i % 3 == 1:  # real MJPEG AVI container
+            return encode_avi_mjpeg(frames, quality=100)
+        return b"FVID" + _struct.pack("<HHH", NF, W, H) + frames.tobytes()
+
     def _one(i) -> bytes:
         i = int(i)
         if i % 5 == 0:  # perturbed twin of video i+1
-            blob = bytearray(make_fake_video(str(i + 1), NF, W, H))
-            frames = np.frombuffer(bytes(blob[10:]), dtype=np.uint8).reshape(NF, H * W).copy()
+            frames = _frames(i + 1)
             for (y, x) in ((4, 7), (7, 5), (9, 10)):
-                frames[:, y * W + x] ^= 0x60
-            return bytes(blob[:10]) + frames.tobytes()
-        return make_fake_video(str(i), NF, W, H)
+                frames[:, y, x] ^= 0x60
+            return _pack(i, frames)
+        return _pack(i, _frames(i))
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
