@@ -552,3 +552,73 @@ class TestStreamingIncrementalDedup:
         # the index holds postings for survivors only (4 bands each)
         idx = spark.read.parquet(str(tmp_path / "index"))
         assert idx.count() == 3 * 4
+
+    def test_compaction_preserves_decisions_byte_identically(self, spark, tmp_path):
+        """Two identical pipelines diverge only in that B compacts its
+        index between batch 2 and batch 3: every decision afterwards —
+        survivor rows AND the distinct posting set — must be identical,
+        and B's delta pile must have collapsed to one base."""
+        import json as _json
+        import os
+
+        from vectorflow_spark.streaming.pipeline import (
+            compact_dedup_index,
+            read_dedup_survivors,
+            streaming_incremental_dedup,
+        )
+
+        uniq = {
+            1: "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima",
+            2: "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray",
+            4: "zulu yankee xavier walrus violet umbrella tiger sunset river quartz panda orange",
+            8: "comet danube ember flint gorge harbor indigo jasper kelp lagoon mesa nectar",
+        }
+
+        def write_initial(inp):
+            inp.mkdir()
+            with open(inp / "f0.json", "w") as f:
+                f.write(_json.dumps({"doc_id": 1, "text": uniq[1]}) + "\n")
+                f.write(_json.dumps({"doc_id": 2, "text": uniq[2]}) + "\n")
+            with open(inp / "f1.json", "w") as f:
+                f.write(_json.dumps({"doc_id": 3, "text": uniq[1]}) + "\n")
+                f.write(_json.dumps({"doc_id": 4, "text": uniq[4]}) + "\n")
+            with open(inp / "f2.json", "w") as f:
+                f.write(_json.dumps({"doc_id": 5, "text": uniq[4]}) + "\n")
+
+        def run(root):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(root / "docs"))
+            )
+            streaming_incremental_dedup(
+                stream, str(root / "index"), str(root / "survivors"), str(root / "ckpt")
+            ).awaitTermination(180)
+
+        a, b = tmp_path / "a", tmp_path / "b"
+        for root in (a, b):
+            root.mkdir()
+            write_initial(root / "docs")
+            run(root)
+
+        # B compacts; A never does
+        w = compact_dedup_index(spark, str(b / "index"), checkpoint_dir=str(b / "ckpt"))
+        assert w == 2
+        assert os.listdir(b / "index") == ["batch_id=-1"]
+        # second compaction with nothing new folds nothing
+        assert compact_dedup_index(spark, str(b / "index"), upto_batch_id=2) is None
+
+        # batch 3: one near-dup of batch-0 survivor 1, one genuinely new
+        for root in (a, b):
+            with open(root / "docs" / "f3.json", "w") as f:
+                f.write(_json.dumps({"doc_id": 6, "text": uniq[1]}) + "\n")
+                f.write(_json.dumps({"doc_id": 7, "text": uniq[8]}) + "\n")
+            run(root)
+
+        surv_a = sorted(map(tuple, read_dedup_survivors(spark, str(a / "survivors")).collect()))
+        surv_b = sorted(map(tuple, read_dedup_survivors(spark, str(b / "survivors")).collect()))
+        assert surv_a == surv_b
+        assert {r[0] for r in surv_b} == {1, 2, 4, 7}  # 6 dropped vs the compacted base
+        post_a = {(r.band, r.bucket) for r in spark.read.parquet(str(a / "index")).collect()}
+        post_b = {(r.band, r.bucket) for r in spark.read.parquet(str(b / "index")).collect()}
+        assert post_a == post_b

@@ -591,9 +591,9 @@ def streaming_incremental_dedup(
     Index scale: postings are (band, bucket) longs — 4 rows per surviving
     document at the defaults — and the per-batch join is
     new-batch-bands x index, an equi-join on uniform 8-byte keys.
-    Compact the delta directories periodically with
-    ``operators/layout.compact_parquet`` exactly like any small-file
-    stream sink. Delta discovery here is a driver-side ``os.listdir``
+    ``compact_dedup_index`` folds committed deltas into one ``base_id=W``
+    directory periodically (below) so the delta count stays bounded.
+    Delta discovery here is a driver-side ``os.listdir``
     (local paths, matching this environment); a cluster deployment lists
     the same ``batch_id=N`` layout through the Hadoop FileSystem client —
     foreachBatch runs on the driver, where that client exists. Returns
@@ -629,8 +629,16 @@ def streaming_incremental_dedup(
         # directly: that operator would re-shingle + re-minhash the batch,
         # doubling the dominant per-doc cost for a bit-identical result
         # (signatures are deterministic)
-        prior = [d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
-                 if d.startswith("batch_id=") and d != f"batch_id={batch_id}"]
+        # the CURRENT index = the compacted base (batch_id=-1, if any) +
+        # deltas, minus this batch's own delta (a replayed batch must not
+        # collide with its own postings — compact_dedup_index only ever
+        # folds COMMITTED batches into the base, which never re-fire, so
+        # base postings are always genuinely prior; streaming batch ids
+        # are >= 0, so the exclusion can never match the base)
+        prior = [
+            d for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+            if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+        ]
         if prior:
             idx = spark.read.parquet(*[os.path.join(index_dir, d) for d in prior])
             suspects = (
@@ -653,6 +661,82 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_dedup_index(
+    spark,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    upto_batch_id: int | None = None,
+    n_files: int = 8,
+) -> int | None:
+    """Retention/compaction for ``streaming_incremental_dedup``'s index:
+    fold every COMMITTED ``batch_id=N`` delta (N <= watermark) plus any
+    prior base into one distinct base directory, then drop the folded
+    deltas — the delta count stays bounded while the stream runs
+    forever. The base lives at ``batch_id=-1``: streaming batch ids are
+    non-negative, so it stays inside the partition-column namespace
+    (whole-root parquet reads keep working) while the per-batch replay
+    exclusion can never match it.
+
+    Replay-idempotency is preserved by construction: the watermark is the
+    newest batch id in the streaming checkpoint's ``commits`` log (derived
+    automatically from ``checkpoint_dir``; pass ``upto_batch_id`` only if
+    you track commits yourself). Structured Streaming never re-executes a
+    committed batch, so no replayed batch can ever meet its OWN postings
+    inside the base — the property the per-batch
+    ``d != f"batch_id={batch_id}"`` exclusion provides for deltas.
+    Postings are semantically a SET (the probe is a left-semi join on
+    (band, bucket)), so the distinct fold changes no decision — new
+    batches dedup byte-identically against base+deltas vs the original
+    delta pile. Crash-safe: the base is written to a dot-temp dir and
+    renamed in, and folded deltas are removed only after the rename; a
+    crash in between leaves base + deltas coexisting, whose union is
+    decision-identical (duplicate postings are harmless under semi-join),
+    and a re-run folds them again.
+
+    Returns the watermark folded up to, or None when there is nothing to
+    fold (fewer than two directories at/below the watermark)."""
+    import os
+    import shutil
+
+    if upto_batch_id is None:
+        if checkpoint_dir is None:
+            raise ValueError("compact_dedup_index needs checkpoint_dir or upto_batch_id")
+        commits = os.path.join(checkpoint_dir, "commits")
+        ids = (
+            [int(f) for f in os.listdir(commits) if f.isdigit()]
+            if os.path.isdir(commits)
+            else []
+        )
+        if not ids:
+            return None
+        upto_batch_id = max(ids)
+    entries = os.listdir(index_dir) if os.path.isdir(index_dir) else []
+    fold = [
+        (int(d.split("=", 1)[1]), d)
+        for d in entries
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto_batch_id
+    ]  # the -1 base, when present, folds in automatically
+    if len(fold) < 2:
+        return None
+    new_w = max(n for n, _ in fold)
+    merged = (
+        spark.read.parquet(*[os.path.join(index_dir, d) for _, d in fold])
+        .select("band", "bucket")
+        .distinct()
+        .coalesce(n_files)
+    )
+    tmp = os.path.join(index_dir, ".tmp_base")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)  # reads all sources HERE
+    target = os.path.join(index_dir, "batch_id=-1")
+    shutil.rmtree(target, ignore_errors=True)  # prior base already folded into tmp
+    os.replace(tmp, target)
+    for _, d in fold:
+        if d != "batch_id=-1":
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return new_w
 
 
 def read_dedup_survivors(spark, out_dir: str) -> DataFrame:
