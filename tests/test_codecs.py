@@ -313,6 +313,67 @@ class TestAviMjpeg:
         assert px.shape == (12, 16, 3)
 
 
+class TestMp3Meta:
+    """MP3 frame-header walking (operators/codecs.mp3_meta): real audio
+    ingest classifies MP3s (version/layer/bitrate/rate/duration) while
+    SAMPLE decode keeps refusing — headers are public-spec arithmetic."""
+
+    def test_frame_walk_exact_counts(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        blob = build_mp3(7, bitrate_kbps=128, sample_rate=44100, seed=1)
+        m = mp3_meta(blob)
+        assert (m["version"], m["layer"], m["channels"]) == ("MPEG1", 3, 1)
+        assert (m["bitrate_kbps"], m["sample_rate"]) == (128, 44100)
+        assert m["n_frames"] == 7 and m["n_samples"] == 7 * 1152
+        assert m["n_bytes"] == 7 * (144000 * 128 // 44100)  # header arithmetic
+        assert abs(m["duration_s"] - 7 * 1152 / 44100) < 1e-9
+
+    def test_mpeg2_layer3_and_layer1_geometry(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        m2 = mp3_meta(build_mp3(4, bitrate_kbps=64, sample_rate=22050, version="MPEG2"))
+        assert m2["n_samples"] == 4 * 576  # MPEG2 layer III halves the frame
+        assert m2["n_bytes"] == 4 * (72000 * 64 // 22050)
+        l1 = mp3_meta(build_mp3(3, bitrate_kbps=224, sample_rate=48000, layer=1))
+        assert l1["layer"] == 1 and l1["n_samples"] == 3 * 384
+        assert l1["n_bytes"] == 3 * ((12000 * 224 // 48000) * 4)
+
+    def test_id3v2_skip_and_id3v1_trailer(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        frames = build_mp3(3, seed=2)
+        tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 30]) + b"\x00" * 30
+        trailer = b"TAG" + b"\x00" * 125
+        m = mp3_meta(tag + frames + trailer)
+        assert m["n_frames"] == 3
+        assert m["n_bytes"] == len(tag) + len(frames) + len(trailer)
+
+    def test_garbage_and_free_format_refuse(self):
+        from vectorflow_spark.operators.codecs import mp3_meta
+
+        with pytest.raises(ValueError, match="frame sync"):
+            mp3_meta(b"\x00\x01\x02\x03 not an mp3")
+        # free-format bitrate index 0
+        with pytest.raises(ValueError, match="bitrate"):
+            mp3_meta(bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"\x00" * 100)
+        # truncated mid-stream garbage after a valid frame
+        from vectorflow_spark.operators.codecs import build_mp3
+
+        good = build_mp3(2)
+        with pytest.raises(ValueError):
+            mp3_meta(good + b"junkjunk")
+
+    def test_meta_dispatch_and_decode_still_refused(self):
+        from vectorflow_spark.operators.codecs import build_mp3
+
+        blob = build_mp3(5)
+        m = decode_meta(blob)
+        assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 44100, 5 * 1152)
+        with pytest.raises(NotImplementedError):
+            decode_audio(blob)  # headers parse; samples refuse
+
+
 def test_webp_and_mp3_magic_still_refused():
     # WebP carries a RIFF magic but is not WAV; MP3 has no supported path.
     with pytest.raises(NotImplementedError):

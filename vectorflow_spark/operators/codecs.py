@@ -475,6 +475,152 @@ def encode_image_like(px: np.ndarray, container: bytes) -> bytes:
     raise NotImplementedError("unsupported image container")
 
 
+# ---------------------------------------------------------------------------
+# MP3 — HEADER-ONLY metadata (ISO 11172-3 / 13818-3 frame headers). Real
+# audio ingest must classify MP3s (version/layer/bitrate/sample rate/
+# duration) even while full decode stays refused (the synthesis filterbank
+# genuinely needs external libraries). Frame headers are 4 public-spec
+# bytes, and hopping header→header via the computed frame length gives an
+# EXACT frame count/duration for CBR and VBR alike.
+# ---------------------------------------------------------------------------
+
+# bitrate kbps tables, index 1-14 (0 = free-format, 15 = invalid)
+_MP3_BITRATES = {
+    ("V1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("V1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("V1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("V2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("V2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("V2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"MPEG1": (44100, 48000, 32000), "MPEG2": (22050, 24000, 16000),
+              "MPEG2.5": (11025, 12000, 8000)}
+
+
+def _mp3_frame(data: bytes, o: int):
+    """Parse one frame header at offset ``o`` -> (info dict, frame_len)."""
+    b1, b2, b3 = data[o + 1], data[o + 2], data[o + 3]
+    ver_bits = (b1 >> 3) & 3
+    version = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}.get(ver_bits)
+    if version is None:
+        raise ValueError(f"MP3: reserved version bits at byte {o}")
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+    if layer is None:
+        raise ValueError(f"MP3: reserved layer bits at byte {o}")
+    br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+    if br_idx in (0, 15):
+        raise ValueError(f"MP3: free-format/invalid bitrate index at byte {o}")
+    if sr_idx == 3:
+        raise ValueError(f"MP3: reserved sample-rate index at byte {o}")
+    group = "V1" if version == "MPEG1" else "V2"
+    bitrate = _MP3_BITRATES[(group, layer)][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        samples, frame_len = 384, (12000 * bitrate // rate + pad) * 4
+    elif layer == 2:
+        samples, frame_len = 1152, 144000 * bitrate // rate + pad
+    else:  # layer III
+        samples = 1152 if version == "MPEG1" else 576
+        coef = 144000 if version == "MPEG1" else 72000
+        frame_len = coef * bitrate // rate + pad
+    info = {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "channels": 1 if (b3 >> 6) == 3 else 2,
+        "samples_per_frame": samples,
+    }
+    return info, frame_len
+
+
+def mp3_meta(data: bytes) -> dict:
+    """Header-only MP3 metadata: skips a leading ID3v2 tag, then hops
+    frame headers via each frame's computed length — exact ``n_frames``
+    and duration without touching a single audio sample. Pixel... sample
+    decode stays refused (``decode_audio``); mid-stream garbage raises
+    (parse correctly or refuse). Tolerates a trailing ID3v1 'TAG' block."""
+    data = bytes(data)
+    o = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        size = 0
+        for b in data[6:10]:  # syncsafe 28-bit size
+            if b & 0x80:
+                raise ValueError("MP3: invalid ID3v2 syncsafe size")
+            size = (size << 7) | b
+        o = 10 + size + (10 if data[5] & 0x10 else 0)  # + footer if flagged
+    first = None
+    n_frames = 0
+    duration = 0.0
+    n = len(data)
+    while o < n:
+        if n - o < 4:
+            raise ValueError(f"MP3: truncated frame header at byte {o}")
+        if data[o : o + 3] == b"TAG":  # ID3v1 trailer (128 bytes)
+            break
+        if not (data[o] == 0xFF and (data[o + 1] & 0xE0) == 0xE0):
+            raise ValueError(f"MP3: expected frame sync at byte {o}")
+        info, frame_len = _mp3_frame(data, o)
+        if frame_len <= 4:
+            raise ValueError(f"MP3: degenerate frame length at byte {o}")
+        if first is None:
+            first = info
+        n_frames += 1
+        duration += info["samples_per_frame"] / info["sample_rate"]
+        o += frame_len
+    if first is None:
+        raise ValueError("MP3: no audio frames found")
+    return {
+        "kind": "audio",
+        **{k: first[k] for k in ("version", "layer", "bitrate_kbps", "sample_rate", "channels")},
+        "n_frames": n_frames,
+        "n_samples": n_frames * first["samples_per_frame"],
+        "duration_s": duration,
+        "n_bytes": len(data),
+    }
+
+
+def looks_like_mp3(data: bytes) -> bool:
+    """Sniff: ID3v2 tag or a valid frame sync in the first 2 bytes."""
+    return data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    )
+
+
+def build_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    version: str = "MPEG1",
+    layer: int = 3,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic spec-shaped MP3 fixture: real frame headers with
+    zeroed payloads sized exactly per the header arithmetic — what the
+    header walker consumes; no claim of decodable audio."""
+    group = "V1" if version == "MPEG1" else "V2"
+    br_idx = _MP3_BITRATES[(group, layer)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[version].index(sample_rate)
+    ver_bits = {"MPEG1": 3, "MPEG2": 2, "MPEG2.5": 0}[version]
+    layer_bits = {3: 1, 2: 2, 1: 3}[layer]
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,  # no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0xC0,  # mono
+        ]
+    )
+    _info, frame_len = _mp3_frame(hdr + b"\x00" * 4, 0)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    for _ in range(n_frames):
+        out += hdr + bytes(rng.integers(0, 255, frame_len - 4, dtype=np.uint8))
+    return bytes(out)
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """FAUD or WAV -> (samples float64, sample_rate)."""
     if data[:4] == FAKE_AUD_MAGIC:

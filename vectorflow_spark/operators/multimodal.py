@@ -8,12 +8,13 @@ that scales by partitioning alone.
 Container support (operators/codecs.py): REAL stdlib-decodable formats —
 BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib), JPEG
 (baseline + progressive via operators/jpegmini.py), PCM WAV audio
-(8/16-bit) and MJPEG AVI video (RIFF + one JPEG per frame) — plus the
-deterministic FAKE codec family below; every kernel (metadata, resize,
-dHash, frame sample, audio features) dispatches on magic bytes and runs
-the same pixel/sample math for all. Formats that genuinely need external
-libraries (WebP/MP3/MP4, non-MJPG AVI) raise ``NotImplementedError``
-loudly — parse correctly or refuse, never guess.
+(8/16-bit), MJPEG AVI video (RIFF + one JPEG per frame) and MP3 frame
+headers (metadata only) — plus the deterministic FAKE codec family
+below; every kernel (metadata, resize, dHash, frame sample, audio
+features) dispatches on magic bytes and runs the same pixel/sample math
+for all. Formats that genuinely need external libraries (WebP/MP4,
+non-MJPG AVI, MP3 sample decode) raise ``NotImplementedError`` loudly —
+parse correctly or refuse, never guess.
 
 The FAKE codec family (seeded, reproducible test assets):
 
@@ -72,10 +73,11 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 def decode_meta(data: bytes) -> dict:
     """Parse container headers into typed metadata: FAKE family, BMP,
-    PNG, JPEG, MJPEG AVI (header fields only — pixels stay
-    compressed/untouched) and PCM WAV (stdlib wave). MP3/MP4 would
-    dispatch to their libraries here — absent in this environment, so
-    they raise instead of silently guessing."""
+    PNG, JPEG, MJPEG AVI, MP3 frame headers (header fields only —
+    pixels/samples stay compressed/untouched) and PCM WAV (stdlib wave).
+    MP4 would dispatch to its library here — absent in this environment,
+    so it raises instead of silently guessing (MP3 SAMPLE decode
+    likewise stays refused; only its headers parse)."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -86,6 +88,14 @@ def decode_meta(data: bytes) -> dict:
     if magic == VID_MAGIC:
         nf, w, h = struct.unpack("<HHH", data[4:10])
         return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
+    if codecs.looks_like_mp3(bytes(data[:4])):
+        m = codecs.mp3_meta(bytes(data))
+        return {
+            "kind": "audio",
+            "sample_rate": m["sample_rate"],
+            "n_samples": m["n_samples"],
+            "n_bytes": len(data),
+        }
     if magic == codecs.RIFF_MAGIC and data[8:12] == codecs.AVI_FORM:
         m = codecs.avi_meta(bytes(data))
         return {

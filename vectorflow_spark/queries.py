@@ -1280,6 +1280,79 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mp3_meta",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(3 + doc_id % 5 AS INT) AS n_frames,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 96 WHEN doc_id % 4 = 1 THEN 128
+                     WHEN doc_id % 4 = 2 THEN 192 ELSE 320 END AS INT) AS bitrate_kbps,
+           44100 AS sample_rate,
+           CAST((3 + doc_id % 5) * 1152 AS BIGINT) AS n_samples,
+           CAST((3 + doc_id % 5)
+                * CAST(FLOOR(144000 * (CASE WHEN doc_id % 4 = 0 THEN 96
+                                            WHEN doc_id % 4 = 1 THEN 128
+                                            WHEN doc_id % 4 = 2 THEN 192
+                                            ELSE 320 END) / 44100) AS BIGINT)
+                + CASE WHEN doc_id % 3 = 0 THEN 10 + 17 + doc_id % 7 ELSE 0 END
+                AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-audio-container classification WITHOUT decode: spec-shaped
+    MP3 streams (operators/codecs.build_mp3 — true MPEG1 Layer III frame
+    headers, zeroed payloads, every 3rd prefixed with an ID3v2 tag) are
+    walked header-to-header by ``mp3_meta``, which hops via each frame's
+    computed length for EXACT frame counts — the classify-before-decode
+    step a 100 TB audio crawl needs while sample decode stays refused.
+    The oracle re-derives every field from the public header arithmetic
+    (frame_len = floor(144000*bitrate/rate), 1152 samples/frame, 10-byte
+    ID3v2 header + syncsafe size), so a hash match pins the whole parser,
+    tag skip included."""
+    from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    cols = ["asset_id", "n_frames", "bitrate_kbps", "sample_rate", "n_samples", "n_bytes"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_mp3(
+                    3 + i % 5, bitrate_kbps=(96, 128, 192, 320)[i % 4], seed=i
+                )
+                if i % 3 == 0:  # ID3v2.3 tag, syncsafe body size 17 + i%7
+                    size = 17 + i % 7
+                    blob = (
+                        b"ID3\x03\x00\x00"
+                        + bytes([0, 0, size >> 7, size & 0x7F])
+                        + b"\x00" * size
+                        + blob
+                    )
+                m = mp3_meta(blob)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "n_frames": m["n_frames"],
+                        "bitrate_kbps": m["bitrate_kbps"],
+                        "sample_rate": m["sample_rate"],
+                        "n_samples": m["n_samples"],
+                        "n_bytes": m["n_bytes"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "asset_id bigint, n_frames int, bitrate_kbps int, sample_rate int, "
+        "n_samples bigint, n_bytes bigint",
+    )
+
+
+@query(
     "q_dedup_survivors",
     """
     SELECT md5(text) AS digest, min(doc_id) AS keeper,
