@@ -50,9 +50,11 @@ HEADLINERS = [
     ("q_url_canonical", "crawl-manifest canonicalization: single whole-stage-codegen projection, no UDF"),
     ("q_skew_autojoin", "auto-skew join: profiled heavy keys broadcast, salted heavy path unioned with untouched light path"),
     ("q_warc_scan", "vf_warc DataSource scan: one partition per segment file, records streamed (no whole-file rows)"),
+    ("q_warc_scan_mount", "vf_warc object-store scan: s3://-style paths through the injectable mount/fsspec opener, same streamed-record plan"),
     ("q_video_neardup_pairs", "video near-dup: frame explode + dHash + Hamming bander + aligned-frame rollup"),
     ("q_maxsim_rerank", "late-interaction MaxSim: broadcast query batch, one HOF fold per pair, WindowGroupLimit top-k"),
     ("q_curation_funnel", "staged curation accounting: five 1-row partial aggs over a shrinking lineage"),
+    ("q_mp3_meta", "MP3 header classification: one mapInPandas pass, no shuffle, no sample decode"),
 ]
 
 
