@@ -46,6 +46,7 @@ containers web corpora actually carry.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -141,39 +142,83 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[tuple[int, int]
     return out
 
 
+class _DecoderTable:
+    """Decode-side Huffman table: the canonical code dict plus a 16-bit
+    peek LUT — ``lut[next16bits] = (symbol << 5) | code_length`` (0 for
+    prefixes no code owns) — so each symbol decodes with ONE list index
+    instead of a bit-by-bit dict walk (codes are <= 16 bits, so 16 peek
+    bits always disambiguate)."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, bits: tuple[int, ...], values: tuple[int, ...]):
+        self.codes = _canonical_codes(list(bits), list(values))
+        lut = [0] * 65536
+        for (length, code), sym in self.codes.items():
+            base = code << (16 - length)
+            entry = (sym << 5) | length
+            for j in range(1 << (16 - length)):
+                lut[base + j] = entry
+        self.lut = lut
+
+
+@_lru_cache(maxsize=64)
+def _decoder_table(bits: tuple[int, ...], values: tuple[int, ...]) -> _DecoderTable:
+    # cached on the raw DHT payload: real corpora reuse a handful of
+    # tables (usually Annex K), so the 65536-entry build amortizes to
+    # zero across images
+    return _DecoderTable(bits, values)
+
+
 class _BitReader:
-    """MSB-first bit reader over destuffed entropy bytes."""
+    """MSB-first bit reader over destuffed entropy bytes. ``peek16``
+    pads past end-of-stream (with 1s) so table lookups never fault; any
+    CONSUMPTION past the end raises — the truncated-input contract."""
+
+    __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = data
+        # three pad bytes make peek16 slice-safe at any valid position
+        self.data = data + b"\xff\xff\xff"
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
 
-    def bit(self) -> int:
-        if (self.pos >> 3) >= len(self.data):
+    def peek16(self) -> int:
+        i = self.pos >> 3
+        v = int.from_bytes(self.data[i : i + 3], "big")
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        pos = self.pos
+        if pos + n > self.nbits:
             # contract: malformed input is always ValueError, never a
             # raw IndexError escaping the codec layer
             raise ValueError("JPEG: truncated entropy data")
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
+        i = pos >> 3
+        end = (pos + n + 7) >> 3
+        v = int.from_bytes(self.data[i:end], "big") >> ((end << 3) - pos - n)
+        self.pos = pos + n
+        return v & ((1 << n) - 1)
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+    def bit(self) -> int:
+        return self.bits(1)
 
 
-def _read_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code in entropy stream")
+def _read_huffman(reader: _BitReader, table: _DecoderTable) -> int:
+    entry = table.lut[reader.peek16()]
+    if entry == 0:
+        # a LUT hole within the stream is a genuinely bad code; one fed
+        # by end-of-stream padding is a truncated input — report which
+        if reader.pos + 16 > reader.nbits:
+            raise ValueError("JPEG: truncated entropy data")
+        raise ValueError("JPEG: invalid Huffman code in entropy stream")
+    length = entry & 31
+    if reader.pos + length > reader.nbits:
+        raise ValueError("JPEG: truncated entropy data")
+    reader.pos += length
+    return entry >> 5
 
 
 def _extend(v: int, s: int) -> int:
@@ -287,10 +332,10 @@ def _parse_stream(data: bytes):
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
-                bits = list(seg[j + 1 : j + 17])
+                bits = tuple(seg[j + 1 : j + 17])
                 nvals = sum(bits)
-                vals = list(seg[j + 17 : j + 17 + nvals])
-                huff[(tc, th)] = _canonical_codes(bits, vals)
+                vals = tuple(seg[j + 17 : j + 17 + nvals])
+                huff[(tc, th)] = _decoder_table(bits, vals)
                 j += 17 + nvals
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
