@@ -382,6 +382,96 @@ class TestObjectStoreOpeners:
         assert by_type["error"][0].warc_file == "bad.warc.gz"
 
 
+class TestScanPushdown:
+    """pushFilters: warc_file filters prune whole segment partitions;
+    warc_type filters drop records inside the parser. Exact semantics —
+    the source claims the filters, so it must enforce them fully."""
+
+    def _dir(self, tmp_path, n=4):
+        for i in range(n):
+            (tmp_path / f"seg-{i}.warc.gz").write_bytes(
+                build_warc([(f"http://h/{i}", f"b{i}".encode(), "text/plain")])
+            )
+        return str(tmp_path)
+
+    def test_file_equality_prunes_partitions(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        d = self._dir(tmp_path)
+        warcsource.register(spark)
+        df = (
+            spark.read.format("vf_warc").load(d)
+            .filter(F.col("warc_file") == "seg-2.warc.gz")
+        )
+        assert df.rdd.getNumPartitions() == 1  # 3 of 4 segments never scheduled
+        rows = df.collect()
+        assert {r.warc_file for r in rows} == {"seg-2.warc.gz"}
+
+    def test_file_isin_and_prefix(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        d = self._dir(tmp_path)
+        warcsource.register(spark)
+        df = (
+            spark.read.format("vf_warc").load(d)
+            .filter(F.col("warc_file").isin("seg-0.warc.gz", "seg-3.warc.gz"))
+        )
+        assert df.rdd.getNumPartitions() == 2
+        assert {r.warc_file for r in df.collect()} == {"seg-0.warc.gz", "seg-3.warc.gz"}
+        pre = (
+            spark.read.format("vf_warc").load(d)
+            .filter(F.col("warc_file").startswith("seg-1"))
+        )
+        assert pre.rdd.getNumPartitions() == 1
+
+    def test_pruned_to_empty_is_empty_not_error(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        d = self._dir(tmp_path)
+        warcsource.register(spark)
+        df = spark.read.format("vf_warc").load(d).filter(F.col("warc_file") == "nope.gz")
+        assert df.count() == 0
+        # but a genuinely empty directory still errors loudly
+        empty = tmp_path / "void"
+        empty.mkdir()
+        with pytest.raises(Exception, match="no WARC files"):
+            spark.read.format("vf_warc").load(str(empty)).collect()
+
+    def test_type_filter_drops_records_and_conjunction_intersects(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        d = self._dir(tmp_path, n=2)
+        warcsource.register(spark)
+        base = spark.read.format("vf_warc").load(d)
+        assert base.filter(F.col("warc_type") == "response").count() == 2
+        assert base.filter(F.col("warc_type").isin("warcinfo", "response")).count() == 4
+        # conjunction of two different equalities = empty, never a union
+        both = base.filter(
+            (F.col("warc_type") == "response") & (F.col("warc_type") == "warcinfo")
+        )
+        assert both.count() == 0
+
+    def test_pushed_results_match_unpushed(self, spark, tmp_path):
+        """Ground truth: pushdown is pure work-avoidance — the same
+        filters WITHOUT pushFilters (collect-then-filter in Spark) give
+        identical rows."""
+        d = self._dir(tmp_path)
+        rows_pushed = sorted(
+            (r.warc_file, r.warc_type, r.url)
+            for r in read_warc(spark, d)
+            .filter(F.col("warc_type") == "response")
+            .filter(F.col("warc_file").startswith("seg-"))
+            .collect()
+        )
+        all_rows = read_warc(spark, d).collect()  # no filter: nothing pushed
+        rows_manual = sorted(
+            (r.warc_file, r.warc_type, r.url)
+            for r in all_rows
+            if r.warc_type == "response" and r.warc_file.startswith("seg-")
+        )
+        assert rows_pushed == rows_manual and len(rows_pushed) == 4
+
+
 def test_wet_conversion_records_pass_through(spark, tmp_path):
     """Common Crawl WET files are WARC whose records are
     WARC-Type: conversion with text/plain payloads (no HTTP envelope).

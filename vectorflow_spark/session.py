@@ -35,6 +35,9 @@ def get_spark(app_name: str = "vectorflow_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (vf_warc prunes segment
+        # partitions on warc_file and skips records on warc_type)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_SIZE))
         .config("spark.ui.enabled", "false")
         # single-JVM local mode: the driver heap IS the executor heap; sized

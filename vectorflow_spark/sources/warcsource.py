@@ -38,6 +38,14 @@ Records stream through every opener: the partition reader pulls 64 KB
 chunks off the opened stream, so peak task memory stays one record +
 one chunk no matter the backend.
 
+Scan pushdown (``pushFilters``, Spark 4.1 Python DataSource API):
+``warc_file`` equality/IN/prefix filters prune whole segment PARTITIONS
+at planning time (the Python-source analog of parquet partition
+pruning), and ``warc_type`` equality/IN filters skip records inside the
+parser before they become Arrow rows — a raw crawl WARC is ~half
+request/metadata records a text pipeline drops immediately. Requires
+``spark.sql.python.filterPushdown.enabled`` (register() sets it).
+
 Reference parity: the reference ingests web corpora one downloaded file
 at a time in its API process (src/api/app.py); this source is the
 cluster-scale counterpart (SURVEY.md §2.1 S6 family).
@@ -252,18 +260,81 @@ class VfWarcReader(DataSourceReader):
         d.pop("_fs_cache", None)
         return d
 
+    def pushFilters(self, filters):
+        """Scan pushdown (Spark 4 Python DataSource API) — the two
+        filters a crawl scan actually writes:
+
+        * ``warc_file`` equality/IN/prefix prunes whole SEGMENT
+          partitions at planning time — the Python-source analog of
+          parquet partition pruning, and the difference between
+          scheduling 80,000 Common Crawl segments and the three you
+          asked for;
+        * ``warc_type`` equality/IN skips records inside the parser
+          before they ever become Arrow rows (a raw WARC is ~half
+          request/metadata records a text pipeline immediately drops).
+
+        Everything else is returned for Spark to re-apply; accepted
+        filters are also still re-applied by Spark (exact semantics
+        preserved — pushdown here is purely work-avoidance)."""
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
+
+        # the filter list is a CONJUNCTION: value-set constraints on one
+        # attribute INTERSECT (two different EqualTo = empty result)
+        self.file_values: set[str] | None = None
+        self.file_prefixes: list[str] = []
+        self.type_values: set[str] | None = None
+
+        def narrow(current: set[str] | None, vals: set[str]) -> set[str]:
+            return vals if current is None else current & vals
+
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, EqualTo) and attr == ("warc_file",) and isinstance(f.value, str):
+                self.file_values = narrow(self.file_values, {f.value})
+            elif isinstance(f, In) and attr == ("warc_file",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.file_values = narrow(self.file_values, set(f.value))
+            elif isinstance(f, StringStartsWith) and attr == ("warc_file",) and isinstance(f.value, str):
+                self.file_prefixes.append(f.value)
+            elif isinstance(f, EqualTo) and attr == ("warc_type",) and isinstance(f.value, str):
+                self.type_values = narrow(self.type_values, {f.value})
+            elif isinstance(f, In) and attr == ("warc_type",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.type_values = narrow(self.type_values, set(f.value))
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep_file(self, path: str) -> bool:
+        name = path.rsplit("/", 1)[-1]
+        values = getattr(self, "file_values", None)
+        prefixes = getattr(self, "file_prefixes", [])
+        if values is not None and name not in values:
+            return False
+        return all(name.startswith(p) for p in prefixes)
+
     def _files(self) -> list[str]:
         # Listing contract shared with read_warc_binaryfile (which sets
         # recursiveFileLookup to match): recursive, hidden ./_ basenames
         # excluded, glob matches the BASENAME (use the */? subset common
         # to fnmatch and Hadoop globs so both paths list identically).
+        # (UNPRUNED: the streaming reader shares this; pushed warc_file
+        # filters prune in the batch partitions() below.)
         return self._fs().list_files(self.path, self.glob)
 
     def partitions(self):
         files = self._files()
         if not files:
             raise FileNotFoundError(f"no WARC files under {self.path}")
-        return [_WarcFilePartition(p) for p in files]
+        kept = [f for f in files if self._keep_file(f)]
+        if not kept:
+            # filters pruned every segment: a legitimately EMPTY scan
+            # (distinct from the no-files-at-all error above)
+            return [_WarcFilePartition(None)]
+        return [_WarcFilePartition(p) for p in kept]
 
     def read(self, partition: _WarcFilePartition):
         # runs on the executor; records STREAM through whichever opener
@@ -274,7 +345,15 @@ class VfWarcReader(DataSourceReader):
 
         from vectorflow_spark.sources.warcmini import iter_warc_stream
 
+        if partition.path is None:  # every segment pruned by pushdown
+            return
+
         source = partition.path.rsplit("/", 1)[-1]
+        # pushed warc_type filter: matching is exact-semantics (we claim
+        # the filter, so WE must enforce it), applied before a record
+        # ever becomes an Arrow row — including error rows, whose
+        # warc_type is 'error'
+        types = getattr(self, "type_values", None)
 
         def records():
             with contextlib.closing(self._fs().open(partition.path)) as raw:
@@ -292,8 +371,11 @@ class VfWarcReader(DataSourceReader):
                 if self.on_corrupt == "strict":
                     raise
                 # records already yielded stay; one error row marks the file
-                yield (source, None, "error", str(e)[:500], 0, None)
+                if types is None or "error" in types:
+                    yield (source, None, "error", str(e)[:500], 0, None)
                 return
+            if types is not None and rec.get("warc-type") not in types:
+                continue
             body = rec.get("body", rec["payload"])
             yield (
                 source,
@@ -368,4 +450,8 @@ class VfWarcDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters(); Spark refuses to plan a
+    # pushdown-capable Python source while this conf is off (runtime
+    # SQLConf, safe to set here — every vf_warc entry point registers)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VfWarcDataSource)
