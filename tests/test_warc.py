@@ -636,6 +636,40 @@ class TestStreamingSource:
         assert seen[0] == {"http://h/0", "http://h/1"}
         assert seen[1] == {"http://h/2"}  # ONLY the new segment's records
 
+    def test_streaming_through_mount_opener(self, spark, tmp_path):
+        """Continuous crawl ingest from an OBJECT-STORE-style path: the
+        stream reader lists/opens through the same injectable IO layer,
+        so s3://-shaped prefixes stream per-record too."""
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        src = tmp_path / "bucket" / "crawl"
+        src.mkdir(parents=True)
+        (src / "s0.warc.gz").write_bytes(build_warc([("http://h/0", b"b0", "text/plain")]))
+        batches: list[set[str]] = []
+
+        def sink(df, _bid):
+            batches.append({r.url for r in df.filter(F.col("warc_type") == "response").collect()})
+
+        q = (
+            spark.readStream.format("vf_warc")
+            .option("io", f"mount:{tmp_path}")
+            .load("s3://bucket/crawl")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (src / "s1.warc.gz").write_bytes(
+                build_warc([("http://h/1", b"b1", "text/plain")])
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        seen = [b for b in batches if b]
+        assert seen == [{"http://h/0"}, {"http://h/1"}]
+
 
 def test_truncation_never_yields_wrong_records_fuzz():
     """Property: for ANY prefix of a valid plain WARC, the incremental
