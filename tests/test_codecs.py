@@ -205,13 +205,72 @@ class TestPng:
         # patch IHDR depth byte (offset 8+4+4+8 = 24) to 16 and re-CRC
         import zlib as z
 
-        for offset, value, err in ((24, 16, "depth"), (28, 1, "interlace")):
-            blob = bytearray(good)
-            blob[offset] = value
-            ihdr = bytes(blob[16:29])
-            blob[29:33] = struct.pack(">I", z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-            with pytest.raises(NotImplementedError):
-                decode_png(bytes(blob))
+        blob = bytearray(good)
+        blob[24] = 16
+        ihdr = bytes(blob[16:29])
+        blob[29:33] = struct.pack(">I", z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(blob))
+        # interlace now decodes; a LYING interlace flag over a sequential
+        # payload must fail the pass-size accounting, not mis-decode
+        blob = bytearray(good)
+        blob[28] = 1
+        ihdr = bytes(blob[16:29])
+        blob[29:33] = struct.pack(">I", z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        with pytest.raises(ValueError):
+            decode_png(bytes(blob))
+
+    @pytest.mark.parametrize("shape", [(1, 1), (3, 2), (7, 5), (8, 8), (13, 17), (32, 9)])
+    def test_adam7_interlaced_roundtrip_bit_exact(self, shape):
+        """Adam7 (PNG spec 8.2): encode interlaced -> decode must equal
+        the original EXACTLY at every size, including sizes where some
+        of the seven passes are empty (w or h below the pass origin)."""
+        h, w = shape
+        rng = np.random.default_rng(h * 100 + w)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_png(px, interlace=True)
+        assert blob[28] == 1  # IHDR interlace byte
+        got = decode_png(blob)
+        assert np.array_equal(got, px)
+        # and identical to the sequential decode of the same pixels
+        assert np.array_equal(got, decode_png(encode_png(px)))
+
+    def test_adam7_with_real_filters(self):
+        """An interlaced stream whose passes use non-zero filters must
+        unfilter per pass: rebuild the payload with Sub/Up filters
+        applied inside each pass sub-image and confirm exact decode."""
+        import struct as st
+        import zlib as z
+
+        h, w = 10, 11
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        from vectorflow_spark.operators.codecs import _ADAM7, _png_chunk, PNG_MAGIC
+
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            s3 = px[y0::ys, x0::xs]
+            ph, pw = s3.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = s3.reshape(ph, pw * 3).astype(np.int16)
+            for y in range(ph):
+                if y % 2 == 0:  # Sub filter
+                    row = flat[y].copy()
+                    enc = row.copy()
+                    enc[3:] = (row[3:] - row[:-3]) % 256
+                    parts.append(b"\x01" + enc.astype(np.uint8).tobytes())
+                else:  # Up filter
+                    enc = (flat[y] - flat[y - 1]) % 256
+                    parts.append(b"\x02" + enc.astype(np.uint8).tobytes())
+        ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        blob = (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", z.compress(b"".join(parts)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(blob), px)
 
     def test_meta_is_header_only(self):
         px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)

@@ -20,8 +20,10 @@ stdlib ``wave`` module, so this layer de-gates them:
 * ``decode_png`` / ``encode_png`` — PNG's entropy stage is DEFLATE, i.e.
   stdlib ``zlib``, so a full spec-correct decoder needs no external
   library: chunk walk with CRC verification, all five scanline filters
-  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8.
-  This is the container most web corpora actually carry.
+  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8,
+  both interlace methods (sequential and Adam7 — seven independently
+  filtered pass sub-images). This is the container most web corpora
+  actually carry.
 
 * JPEG — baseline (SOF0) AND progressive (SOF2) decode, baseline +
   progressive encode, via ``operators/jpegmini.py`` — canonical Huffman
@@ -187,11 +189,20 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> (h, w, 3) uint8 RGB. Bit depth 8, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is dropped and
-    gray broadcast so every container family lands on the same pixel
-    shape the kernels expect. Interlaced (Adam7) and 1/2/4/16-bit images
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace methods 0
+    (sequential) and 1 (Adam7 — each of the seven passes is an
+    independently filtered sub-image scattered onto the pass grid);
+    alpha is dropped and gray broadcast so every container family lands
+    on the same pixel shape the kernels expect. 1/2/4/16-bit images
     raise — parse correctly or refuse."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG file")
@@ -210,12 +221,31 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError(f"PNG compression={comp}/filter={filt} not in the spec")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} not in the spec")
     if depth != 8 or color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG depth={depth} color type={color} not supported")
     ch = _PNG_CHANNELS[color]
-    px = _png_unfilter(zlib.decompress(b"".join(idat)), h, w * ch, ch).reshape(h, w, ch)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # pass absent at this image size (spec 8.2)
+            stride = pw * ch
+            need = (stride + 1) * ph
+            sub = _png_unfilter(raw[off : off + need], ph, stride, ch)
+            off += need
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG interlaced payload is {len(raw)} bytes, passes consume {off}"
+            )
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -237,10 +267,12 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray) -> bytes:
-    """(h, w, 3|1) uint8 -> 8-bit truecolor PNG (filter 0 scanlines).
-    Together with ``decode_png`` this roundtrips bit-exactly, so PNG
-    fixtures are self-contained and openable by any viewer."""
+def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3|1) uint8 -> 8-bit truecolor PNG (filter 0 scanlines);
+    ``interlace`` writes Adam7 (seven independently filtered pass
+    sub-images). Together with ``decode_png`` this roundtrips
+    bit-exactly either way, so PNG fixtures are self-contained and
+    openable by any viewer."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -249,13 +281,26 @@ def encode_png(px: np.ndarray) -> bytes:
         px = np.repeat(px, 3, axis=2)
     elif c != 3:
         raise ValueError(f"expected 1 or 3 channels, got {c}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
-    scan[:, 1:] = px.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    if not interlace:
+        scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+        scan[:, 1:] = px.reshape(h, w * 3)
+        payload = scan.tobytes()
+    else:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            scan = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
+            scan[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(scan.tobytes())
+        payload = b"".join(parts)
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IDAT", zlib.compress(payload, 6))
         + _png_chunk(b"IEND", b"")
     )
 
