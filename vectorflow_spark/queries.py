@@ -8567,9 +8567,10 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
     is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
-    unique images (seed = id) rotate through FAKE blobs, real BMP files,
-    real baseline JPEGs and real PROGRESSIVE JPEGs (SOF2 with successive
-    approximation — our own codec, operators/jpegmini.py), except every
+    unique images (seed = id) rotate through FAKE blobs, real BMP files
+    alternating with Adam7-INTERLACED PNGs, real baseline JPEGs and real
+    PROGRESSIVE JPEGs (SOF2 with successive approximation — our own
+    codecs, operators/jpegmini.py + codecs.py), except every
     5th, which is a PERTURBED JPEG-q100 re-encode of its successor's
     decoded pixels (three interior sampled pixels nudged + DCT rounding;
     twins alternate baseline/progressive containers) — true
@@ -8582,7 +8583,7 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 7 bands of 9 bits), pairing anything within 6 differing bits —
     exact by pigeonhole. Counts per hamming distance keep the result
     small and deterministic."""
-    from vectorflow_spark.operators.codecs import decode_image, encode_bmp
+    from vectorflow_spark.operators.codecs import decode_image, encode_bmp, encode_png
     from vectorflow_spark.operators.dedup import hamming_candidate_pairs
     from vectorflow_spark.operators.jpegmini import encode_jpeg, encode_jpeg_progressive
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
@@ -8595,6 +8596,8 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blob = make_fake_image(str(i))
         k = i % 4
         if k == 1:
+            if (i // 4) % 2 == 1:  # lossless slot alternates BMP / Adam7 PNG
+                return encode_png(decode_image(blob), interlace=True)
             return encode_bmp(decode_image(blob))
         if k == 2:
             return encode_jpeg(decode_image(blob), quality=100)
