@@ -279,6 +279,87 @@ class TestSpecDecode:
         assert np.array_equal(px[:, :, 0], exp8)
         assert np.array_equal(px[:, :, 1], exp8) and np.array_equal(px[:, :, 2], exp8)
 
+    def test_progressive_420_subsampled_hand_built(self):
+        """SOF2 with 4:2:0 sampling: the interleaved DC scan walks the
+        2x2+1+1 MCU structure while each AC scan iterates its
+        component's OWN block grid (comp_w = ceil(w*h_i/hmax), NOT the
+        MCU-padded grid) — the non-interleaved geometry only subsampled
+        frames exercise. Flat DC-only blocks make the expected RGB
+        analytic, identical to the baseline 4:2:0 test's constants."""
+        from vectorflow_spark.operators.jpegmini import AC_PROG
+
+        dc_l = _encode_codes(*DC_LUM)
+        dc_c = _encode_codes(*DC_CHROM)
+        ac_codes = _encode_codes(*AC_PROG)
+
+        def dc(writer, diff, codes):
+            s = int(abs(diff)).bit_length()
+            code, length = codes[s]
+            writer.write(code, length)
+            if s:
+                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+        # scan 1 — interleaved DC, Ah=Al=0: one MCU = 4 Y + 1 Cb + 1 Cr
+        w1 = _BitWriter()
+        dc(w1, 64, dc_l)  # Y1 -> 136
+        for _ in range(3):
+            dc(w1, 0, dc_l)  # Y2-4 same
+        dc(w1, 32, dc_c)  # Cb 132
+        dc(w1, -32, dc_c)  # Cr 124
+        # scans 2-4 — per-component AC (1,63,0,0), all zero: one EOBn
+        # covering that component's whole block grid (Y: 4 blocks -> EOB2
+        # run; Cb/Cr: 1 block -> plain EOB)
+        wy = _BitWriter()
+        code, length = ac_codes[0x20]  # EOB2: run = 4 blocks
+        wy.write(code, length)
+        wy.write(0, 2)  # extension bits: 4 = (1<<2) + 0
+        wc1, wc2 = _BitWriter(), _BitWriter()
+        for wc in (wc1, wc2):
+            code, length = ac_codes[0x00]
+            wc.write(code, length)
+
+        sof2 = _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        )
+
+        def sos(cid_tbl, ss, se, ahal):
+            return _seg(0xDA, bytes([len(cid_tbl) // 2, *cid_tbl, ss, se, ahal]))
+
+        blob = (
+            b"\xff\xd8"
+            + _dqt_ones(0)
+            + _dqt_ones(1)
+            + sof2
+            + _dht(0, 0, DC_LUM)
+            + _dht(0, 1, DC_CHROM)
+            + _dht(1, 0, AC_PROG)
+            + sos([1, 0x00, 2, 0x10, 3, 0x10], 0, 0, 0)
+            + w1.flush()
+            + sos([1, 0x00], 1, 63, 0)
+            + wy.flush()
+            + sos([2, 0x00], 1, 63, 0)
+            + wc1.flush()
+            + sos([3, 0x00], 1, 63, 0)
+            + wc2.flush()
+            + b"\xff\xd9"
+        )
+        px = decode_jpeg(blob)
+        assert px.shape == (16, 16, 3)
+        y, cb, cr = 136.0, 4.0, -4.0
+        exp = np.clip(
+            np.rint(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.all(px == exp[None, None, :])
+        assert jpeg_meta(blob) == (16, 16, 3)
+
     def test_garbage_refused(self):
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
