@@ -692,3 +692,31 @@ def decode_video(data: bytes) -> np.ndarray:
         "video decode supports the FAKE codec and MJPEG AVI; MP4 and other "
         "AVI codecs need external libraries not installed in this environment"
     )
+
+
+def sample_video_frames(data: bytes, every_k: int = 1):
+    """Yield ``(frame_idx, (h, w, c) uint8)`` for every k-th frame,
+    decoding ONLY the sampled frames — for MJPEG AVI the RIFF walk
+    locates each frame's byte slice without touching the others, so a
+    stride-k sample pays 1/k of the JPEG decode cost (the whole point
+    of frame sampling at crawl scale). Same container contract as
+    ``decode_video``."""
+    data = bytes(data)
+    if data[:4] == FAKE_VID_MAGIC:
+        frames = decode_video(data)  # a reshape view, no decode cost
+        for i in range(0, frames.shape[0], every_k):
+            yield i, frames[i]
+        return
+    if data[:4] == RIFF_MAGIC and data[8:12] == AVI_FORM:
+        from vectorflow_spark.operators.jpegmini import decode_jpeg
+
+        _header, chunks = _avi_walk(data)
+        if not chunks:
+            raise ValueError("AVI: no video frames in movi list")
+        for i in range(0, len(chunks), every_k):
+            yield i, decode_jpeg(chunks[i])
+        return
+    raise NotImplementedError(
+        "video decode supports the FAKE codec and MJPEG AVI; MP4 and other "
+        "AVI codecs need external libraries not installed in this environment"
+    )

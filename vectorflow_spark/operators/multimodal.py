@@ -223,10 +223,10 @@ def video_frame_sample(assets: DataFrame, every_k: int = 2, data_col: str = "dat
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[data_col])
-                frames = codecs.decode_video(data)  # FAKE or MJPEG AVI
-                nf, h, w, c = frames.shape
-                for i in range(0, nf, every_k):
-                    frame = IMG_MAGIC + struct.pack("<HHB", w, h, c) + frames[i].tobytes()
+                # decodes ONLY the sampled frames (AVI: per-chunk JPEG)
+                for i, px in codecs.sample_video_frames(data, every_k):
+                    h, w, c = px.shape
+                    frame = IMG_MAGIC + struct.pack("<HHB", w, h, c) + px.tobytes()
                     rows.append({**{f: row[f] for f in fields}, "frame_idx": i, "frame": frame})
             yield pd.DataFrame(rows, columns=[*fields, "frame_idx", "frame"])
 
