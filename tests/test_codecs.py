@@ -292,6 +292,149 @@ class TestPng:
         assert encode_image_like(px, as_png)[:8] == PNG_MAGIC
 
 
+class TestGif:
+    """GIF87a/89a (operators/codecs.py): LZW + palette + interlace +
+    animation compositing, pure stdlib+numpy. The decoder is pinned by a
+    HAND-PACKED stream (m=7 makes literal codes plain bytes), so its
+    correctness does not depend on our encoder."""
+
+    def test_lzw_property_roundtrip(self):
+        from vectorflow_spark.operators.codecs import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(42)
+        for m in (2, 3, 5, 8):
+            for n in (1, 7, 300, 20_000):  # 20k forces 4096-entry overflow + clear
+                seq = bytes(rng.integers(0, 1 << m, n, dtype=np.uint8))
+                assert _lzw_decode(_lzw_encode(seq, m), m, n) == seq
+        # low-entropy data (long runs) exercises deep dictionary chains
+        seq = bytes([5] * 10_000 + [9, 5] * 2_000)
+        assert _lzw_decode(_lzw_encode(seq, 4), 4, len(seq)) == seq
+
+    def test_hand_packed_stream_pins_decoder(self):
+        """m=7: width starts at 8, clear=0x80, end=0x81, so an
+        uncompressed stream is literally [0x80, pixels..., 0x81] —
+        fully spec-determined, no encoder involved."""
+        import struct as st
+
+        from vectorflow_spark.operators.codecs import decode_gif
+
+        w, h = 4, 3
+        pixels = bytes(range(12))
+        lzw = bytes([0x80]) + pixels + bytes([0x81])
+        gray = b"".join(bytes([i, i, i]) for i in range(256))
+        blob = (
+            b"GIF89a"
+            + st.pack("<HHBBB", w, h, 0x87, 0, 0)  # GCT, 256 entries
+            + gray
+            + b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([7])  # LZW min code size
+            + bytes([len(lzw)]) + lzw + b"\x00"
+            + b"\x3b"
+        )
+        px = decode_gif(blob)
+        assert px.shape == (1, 3, 4, 3)
+        assert np.array_equal(px[0, :, :, 0].ravel(), np.arange(12))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_roundtrip_single_and_animated(self, interlace):
+        from vectorflow_spark.operators.codecs import decode_gif, encode_gif, gif_meta
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (4, 9, 13), dtype=np.uint8)
+        blob = encode_gif(frames, interlace=interlace)
+        dec = decode_gif(blob)
+        assert dec.shape == (4, 9, 13, 3)
+        assert np.array_equal(dec[:, :, :, 0], frames)
+        assert np.array_equal(dec[:, :, :, 0], dec[:, :, :, 2])  # gray palette
+        m = gif_meta(blob)
+        assert (m["width"], m["height"], m["n_frames"]) == (13, 9, 4)
+
+    def test_small_palette_colors(self):
+        from vectorflow_spark.operators.codecs import decode_gif, encode_gif
+
+        palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        dec = decode_gif(encode_gif(idx, palette=palette))
+        assert np.array_equal(dec[0], palette[idx])
+
+    def test_transparency_and_disposal_compositing(self):
+        """Frame 2 overlays a 2x2 sub-region with one TRANSPARENT pixel
+        (prior canvas shows through); its disposal=2 clears the region
+        to background before frame 3 renders."""
+        import struct as st
+
+        from vectorflow_spark.operators.codecs import decode_gif
+
+        gray = b"".join(bytes([i, i, i]) for i in range(256))
+
+        def img(left, top, w, h, pixels, gce=None):
+            lzw = bytes([0x80]) + bytes(pixels) + bytes([0x81])
+            out = b""
+            if gce is not None:
+                out += b"\x21\xf9\x04" + bytes(gce) + b"\x00"
+            out += b"\x2c" + st.pack("<HHHHB", left, top, w, h, 0)
+            out += bytes([7, len(lzw)]) + lzw + b"\x00"
+            return out
+
+        blob = (
+            b"GIF89a"
+            + st.pack("<HHBBB", 4, 4, 0x87, 200, 0)  # bg index 200
+            + gray
+            + img(0, 0, 4, 4, [10] * 16)  # frame 1: flat 10
+            # frame 2: 2x2 at (1,1), disposal=2, transparent index 77,
+            # pixels [50, 77, 60, 70] — the 77 shows frame 1's 10
+            + img(1, 1, 2, 2, [50, 77, 60, 70], gce=[(2 << 2) | 1, 0, 0, 77])
+            + img(0, 0, 1, 1, [30])  # frame 3: one px after region cleared
+            + b"\x3b"
+        )
+        px = decode_gif(blob)
+        assert px.shape == (3, 4, 4, 3)
+        f1, f2, f3 = px[:, :, :, 0]
+        assert np.all(f1 == 10)
+        assert f2[1, 1] == 50 and f2[1, 2] == 10  # transparent -> prior pixel
+        assert f2[2, 1] == 60 and f2[2, 2] == 70
+        assert np.all(f2[0] == 10)
+        # frame 3: disposal-2 restored the 2x2 region to bg (200)
+        assert f3[0, 0] == 30
+        assert f3[1, 1] == 200 and f3[2, 2] == 200
+        assert f3[0, 3] == 10  # outside the disposed region: untouched
+
+    def test_dispatch_image_video_meta(self, spark):
+        from vectorflow_spark.operators.codecs import (
+            decode_video,
+            encode_gif,
+            sample_video_frames,
+        )
+
+        rng = np.random.default_rng(8)
+        one = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+        single = encode_gif(one)
+        assert np.array_equal(decode_image(single)[:, :, 0], one)
+        m = decode_meta(single)
+        assert (m["kind"], m["width"], m["height"]) == ("image", 8, 6)
+        anim = encode_gif(rng.integers(0, 256, (4, 6, 8), dtype=np.uint8))
+        m = decode_meta(anim)
+        assert (m["kind"], m["n_frames"]) == ("video", 4)
+        assert decode_video(anim).shape == (4, 6, 8, 3)
+        assert [i for i, _ in sample_video_frames(anim, every_k=2)] == [0, 2]
+
+    def test_garbage_and_truncation_refuse(self):
+        from vectorflow_spark.operators.codecs import decode_gif, encode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF10a not a gif")
+        good = encode_gif(np.zeros((4, 4), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_gif(good[: len(good) // 2])
+        # corrupt LZW: truncate the data sub-block content mid-stream
+        blob = bytearray(good)
+        blob[-3] = 0xFF  # mangle last LZW byte region
+        try:
+            decode_gif(bytes(blob))  # may decode (pixel change) or raise ValueError
+        except ValueError:
+            pass
+
+
 class TestWav:
     def test_u8_roundtrip(self):
         s = np.arange(256, dtype=np.uint8)

@@ -319,6 +319,321 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# GIF — GIF87a/89a in pure stdlib + numpy. The third real web-image
+# container (after PNG/JPEG), and the one that is ALSO an animation
+# format: LZW-compressed palette frames with per-frame disposal and
+# transparency. Decode composites animation frames exactly per the spec,
+# so animated GIFs feed the video operators (frame sample, near-dup) and
+# single-frame GIFs feed the image operators.
+# ---------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF8"
+
+
+class _LsbBits:
+    """LSB-first bit reader (GIF's LZW packs codes little-endian — the
+    opposite of JPEG's MSB-first entropy stream)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        pos = self.pos
+        i = pos >> 3
+        end = (pos + n + 7) >> 3
+        if end > len(self.data):
+            raise ValueError("GIF: truncated LZW stream")
+        v = int.from_bytes(self.data[i:end], "little") >> (pos & 7)
+        self.pos = pos + n
+        return v & ((1 << n) - 1)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: clear/end codes, code width m+1..12, table cap
+    4096 with deferred clear. Stops after ``n_pixels`` outputs (spec:
+    excess data is ignored; short data raises)."""
+    clear = 1 << min_code
+    end = clear + 1
+    bits = _LsbBits(data)
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        next_code = clear + 2
+        prev = None
+
+    width = min_code + 1
+    next_code = clear + 2
+    prev: bytes | None = None
+    reset()
+    while len(out) < n_pixels:
+        code = bits.read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF: first LZW code after clear is not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table size {next_code}")
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(f"GIF: LZW stream ended at {len(out)} of {n_pixels} pixels")
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """The matching encoder (real LZW, table cap 4096 then clear)."""
+    clear = 1 << min_code
+    end = clear + 1
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    width = min_code + 1
+    next_code = clear + 2
+    emit(clear, width)
+    w = b""
+    for px in indices:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1  # decoder lags one entry: switch one late
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code + 1
+            next_code = clear + 2
+        w = bytes([px])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace passes: (row_start, row_step), spec appendix E
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace_gif(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _GIF_INTERLACE:
+        n = len(range(start, h, step))
+        out[start::step] = rows[src : src + n]
+        src += n
+    return out
+
+
+def _interlace_gif(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    return np.concatenate([rows[start::step] for start, step in _GIF_INTERLACE])
+
+
+def _gif_subblocks(data: bytes, i: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at ``i``; returns (bytes,
+    index past the 0x00 terminator)."""
+    out = bytearray()
+    while True:
+        if i >= len(data):
+            raise ValueError("GIF: truncated sub-block chain")
+        n = data[i]
+        i += 1
+        if n == 0:
+            return bytes(out), i
+        out += data[i : i + n]
+        if len(out) and i + n > len(data):
+            raise ValueError("GIF: truncated sub-block")
+        i += n
+
+
+def _gif_walk(data: bytes, with_pixels: bool):
+    """Shared parser: header + per-frame records. ``with_pixels`` False
+    skips LZW entirely (metadata is O(block lengths))."""
+    if data[:4] != GIF_MAGIC or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    frames = []
+    transparent = None
+    disposal = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[i + 1]
+            if label == 0xF9:  # graphic control
+                body, j = _gif_subblocks(data, i + 2)
+                flags = body[0]
+                disposal = (flags >> 2) & 7
+                transparent = body[3] if flags & 1 else None
+                i = j
+            else:  # comment / application / plain text: skip sub-blocks
+                _, i = _gif_subblocks(data, i + 2)
+            continue
+        if b == 0x2C:  # image descriptor
+            left, top, fw, fh, fp = struct.unpack_from("<HHHHB", data, i + 1)
+            i += 10
+            pal = gct
+            if fp & 0x80:
+                n = 2 << (fp & 7)
+                pal = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF: frame has neither local nor global color table")
+            min_code = data[i]
+            lzw, i = _gif_subblocks(data, i + 1)
+            idx = None
+            if with_pixels:
+                idx = np.frombuffer(
+                    _lzw_decode(lzw, min_code, fw * fh), dtype=np.uint8
+                ).reshape(fh, fw)
+                if fp & 0x40:  # interlaced
+                    idx = _deinterlace_gif(idx)
+                if int(idx.max(initial=0)) >= len(pal):
+                    raise ValueError("GIF: pixel index beyond color table")
+            frames.append(
+                {
+                    "left": left, "top": top, "w": fw, "h": fh,
+                    "palette": pal, "transparent": transparent,
+                    "disposal": disposal, "indices": idx,
+                }
+            )
+            transparent = None
+            disposal = 0
+            continue
+        raise ValueError(f"GIF: unknown block 0x{b:02x} at byte {i}")
+    if not frames:
+        raise ValueError("GIF: no image frames")
+    return w, h, bg, gct, frames
+
+
+def gif_meta(data: bytes) -> dict:
+    """Header-only: (width, height, n_frames) without LZW decode."""
+    w, h, _bg, _gct, frames = _gif_walk(bytes(data), with_pixels=False)
+    return {"width": w, "height": h, "n_frames": len(frames)}
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF -> (n_frames, h, w, 3) uint8 RGB, composited per the spec:
+    each frame renders its region onto the canvas (transparent indices
+    leave prior pixels), then its DISPOSAL runs — 2 clears the region to
+    the background color, 3 restores the pre-frame canvas."""
+    data = bytes(data)
+    w, h, bg, gct, frames = _gif_walk(data, with_pixels=True)
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.tile(bg_rgb.astype(np.uint8), (h, w, 1))
+    out = []
+    for f in frames:
+        y, x, fh, fw = f["top"], f["left"], f["h"], f["w"]
+        if y + fh > h or x + fw > w:
+            raise ValueError("GIF: frame region exceeds logical screen")
+        saved = canvas.copy() if f["disposal"] == 3 else None
+        region = canvas[y : y + fh, x : x + fw]
+        rgb = f["palette"][f["indices"]]
+        if f["transparent"] is not None:
+            mask = f["indices"] != f["transparent"]
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        out.append(canvas.copy())
+        if f["disposal"] == 2:
+            canvas[y : y + fh, x : x + fw] = bg_rgb
+        elif f["disposal"] == 3:
+            canvas = saved
+    return np.stack(out)
+
+
+def encode_gif(
+    frames: np.ndarray,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+    transparent: int | None = None,
+    disposal: int = 1,
+) -> bytes:
+    """(n_frames, h, w) palette-INDEX uint8 frames (+ a (n,3) palette,
+    default 256-level grayscale) -> GIF89a bytes; multi-frame input
+    writes an animated GIF (one graphic-control block per frame).
+    Deterministic; together with ``decode_gif`` it roundtrips indices
+    bit-exactly, so GIF fixtures are self-contained and viewer-openable."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    nf, h, w = frames.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    n_colors = len(palette)
+    size_pow = max(1, (n_colors - 1).bit_length())
+    pal = np.zeros((2 << (size_pow - 1), 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((size_pow - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    if nf > 1:  # NETSCAPE loop-forever, the standard animation marker
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, size_pow)
+    for f in frames:
+        flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags, 0, 0, transparent or 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        rows = _interlace_gif(f) if interlace else f
+        lzw = _lzw_encode(rows.tobytes(), min_code)
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
@@ -482,8 +797,8 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 100) -> b
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """FIMG, BMP, PNG or baseline JPEG -> (h, w, c) uint8. Raises loudly
-    for other containers."""
+    """FIMG, BMP, PNG, JPEG or GIF (first frame) -> (h, w, c) uint8.
+    Raises loudly for other containers."""
     if data[:4] == FAKE_IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
         return np.frombuffer(data, dtype=np.uint8, offset=9).reshape(h, w, c)
@@ -495,10 +810,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from vectorflow_spark.operators.jpegmini import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == GIF_MAGIC:
+        return np.ascontiguousarray(decode_gif(data)[0])
     raise NotImplementedError(
-        "image decode supports the FAKE codec, BMP, PNG and JPEG "
-        "(baseline + progressive); WebP needs external libraries not "
-        "installed in this environment"
+        "image decode supports the FAKE codec, BMP, PNG, JPEG "
+        "(baseline + progressive) and GIF; WebP needs external libraries "
+        "not installed in this environment"
     )
 
 
@@ -517,6 +834,18 @@ def encode_image_like(px: np.ndarray, container: bytes) -> bytes:
         from vectorflow_spark.operators.jpegmini import encode_jpeg
 
         return encode_jpeg(px)
+    if container[:4] == GIF_MAGIC:
+        # GIF is palette-indexed: re-encode via the 256-gray palette on
+        # the luma (ITU-R 601 weights), the lossy-but-shape-faithful
+        # analog of JPEG's re-encode
+        px = np.asarray(px, dtype=np.float64)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        luma = (
+            px[:, :, 0] if px.shape[2] == 1
+            else 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        )
+        return encode_gif(np.clip(np.rint(luma), 0, 255).astype(np.uint8))
     raise NotImplementedError("unsupported image container")
 
 
@@ -688,9 +1017,12 @@ def decode_video(data: bytes) -> np.ndarray:
         return px.reshape(nf, h, w, 1)
     if data[:4] == RIFF_MAGIC and data[8:12] == AVI_FORM:
         return decode_avi_mjpeg(data)
+    if data[:4] == GIF_MAGIC:
+        return decode_gif(data)
     raise NotImplementedError(
-        "video decode supports the FAKE codec and MJPEG AVI; MP4 and other "
-        "AVI codecs need external libraries not installed in this environment"
+        "video decode supports the FAKE codec, MJPEG AVI and animated GIF; "
+        "MP4 and other AVI codecs need external libraries not installed in "
+        "this environment"
     )
 
 
@@ -716,7 +1048,16 @@ def sample_video_frames(data: bytes, every_k: int = 1):
         for i in range(0, len(chunks), every_k):
             yield i, decode_jpeg(chunks[i])
         return
+    if data[:4] == GIF_MAGIC:
+        # GIF frames COMPOSITE (disposal/transparency chain), so sampling
+        # decodes all frames up to the last sampled one; still bounded by
+        # the container, and most corpus GIFs are full-frame updates
+        frames = decode_gif(data)
+        for i in range(0, frames.shape[0], every_k):
+            yield i, frames[i]
+        return
     raise NotImplementedError(
-        "video decode supports the FAKE codec and MJPEG AVI; MP4 and other "
-        "AVI codecs need external libraries not installed in this environment"
+        "video decode supports the FAKE codec, MJPEG AVI and animated GIF; "
+        "MP4 and other AVI codecs need external libraries not installed in "
+        "this environment"
     )

@@ -6,15 +6,17 @@ back as ``array<float>``, and every operator is a per-row map (no shuffle)
 that scales by partitioning alone.
 
 Container support (operators/codecs.py): REAL stdlib-decodable formats —
-BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib), JPEG
-(baseline + progressive via operators/jpegmini.py), PCM WAV audio
-(8/16-bit), MJPEG AVI video (RIFF + one JPEG per frame) and MP3 frame
-headers (metadata only) — plus the deterministic FAKE codec family
-below; every kernel (metadata, resize, dHash, frame sample, audio
-features) dispatches on magic bytes and runs the same pixel/sample math
-for all. Formats that genuinely need external libraries (WebP/MP4,
-non-MJPG AVI, MP3 sample decode) raise ``NotImplementedError`` loudly —
-parse correctly or refuse, never guess.
+BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib; sequential
++ Adam7), JPEG (baseline + progressive via operators/jpegmini.py), GIF
+(LZW, palettes, interlace, animation compositing — single-frame GIFs are
+images, animated GIFs are videos), PCM WAV audio (8/16-bit), MJPEG AVI
+video (RIFF + one JPEG per frame) and MP3 frame headers (metadata only)
+— plus the deterministic FAKE codec family below; every kernel
+(metadata, resize, dHash, frame sample, audio features) dispatches on
+magic bytes and runs the same pixel/sample math for all. Formats that
+genuinely need external libraries (WebP/MP4, non-MJPG AVI, MP3 sample
+decode) raise ``NotImplementedError`` loudly — parse correctly or
+refuse, never guess.
 
 The FAKE codec family (seeded, reproducible test assets):
 
@@ -73,11 +75,12 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 def decode_meta(data: bytes) -> dict:
     """Parse container headers into typed metadata: FAKE family, BMP,
-    PNG, JPEG, MJPEG AVI, MP3 frame headers (header fields only —
-    pixels/samples stay compressed/untouched) and PCM WAV (stdlib wave).
-    MP4 would dispatch to its library here — absent in this environment,
-    so it raises instead of silently guessing (MP3 SAMPLE decode
-    likewise stays refused; only its headers parse)."""
+    PNG, JPEG, GIF (single-frame -> image, animated -> video), MJPEG
+    AVI, MP3 frame headers (header fields only — pixels/samples stay
+    compressed/untouched) and PCM WAV (stdlib wave). MP4 would dispatch
+    to its library here — absent in this environment, so it raises
+    instead of silently guessing (MP3 SAMPLE decode likewise stays
+    refused; only its headers parse)."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -88,6 +91,13 @@ def decode_meta(data: bytes) -> dict:
     if magic == VID_MAGIC:
         nf, w, h = struct.unpack("<HHH", data[4:10])
         return {"kind": "video", "n_frames": nf, "width": w, "height": h, "n_bytes": len(data)}
+    if magic == codecs.GIF_MAGIC:
+        m = codecs.gif_meta(bytes(data))
+        if m["n_frames"] == 1:
+            return {"kind": "image", "width": m["width"], "height": m["height"],
+                    "channels": 3, "n_bytes": len(data)}
+        return {"kind": "video", "n_frames": m["n_frames"], "width": m["width"],
+                "height": m["height"], "n_bytes": len(data)}
     if codecs.looks_like_mp3(bytes(data[:4])):
         m = codecs.mp3_meta(bytes(data))
         return {

@@ -8725,16 +8725,17 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-ball frame pairs -> temporally-aligned (same frame index)
     video-pair rollup requiring >= 6 of 8 matching frames. Corpus: unique
     8-frame 16x12 videos (seed = id) in a MIXED-CONTAINER rotation —
-    every 3rd rides a REAL MJPEG AVI (operators/codecs.encode_avi_mjpeg:
-    RIFF framing + one baseline JPEG per frame), the rest the FAKE
-    container — except every 5th, a re-render of its successor with
+    thirds ride a REAL MJPEG AVI (operators/codecs.encode_avi_mjpeg:
+    RIFF framing + one baseline JPEG per frame), a REAL animated GIF
+    (LZW + grayscale palette — lossless for these gray frames), or the
+    FAKE container — except every 5th, a re-render of its successor with
     three pixels nudged IN EVERY FRAME (the re-encode model), usually
     landing in the OTHER container family: the dedup key is the frames'
     pixels, never the container bytes. Twins match on aligned frames
     within a few bits (JPEG-q100 wobble ≤~2/pixel included); unrelated
     videos virtually never align. Per-video id count keeps the result
     deterministic and small."""
-    from vectorflow_spark.operators.codecs import encode_avi_mjpeg
+    from vectorflow_spark.operators.codecs import encode_avi_mjpeg, encode_gif
     from vectorflow_spark.operators.multimodal import make_fake_video, video_neardup_pairs
 
     import struct as _struct
@@ -8752,6 +8753,8 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pack(i: int, frames: np.ndarray) -> bytes:
         if i % 3 == 1:  # real MJPEG AVI container
             return encode_avi_mjpeg(frames, quality=100)
+        if i % 3 == 2:  # real animated GIF (gray palette: lossless here)
+            return encode_gif(frames)
         return b"FVID" + _struct.pack("<HHH", NF, W, H) + frames.tobytes()
 
     def _one(i) -> bytes:
