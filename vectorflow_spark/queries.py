@@ -1353,6 +1353,64 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gif_meta",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'video' END AS kind,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 + doc_id % 4 END AS INT) AS n_frames,
+           CAST(8 + doc_id % 3 AS INT) AS width,
+           CAST(6 + doc_id % 5 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF classification through the typed-metadata pipeline: real GIF89a
+    bytes (codecs.encode_gif — LZW-compressed grayscale frames, every 4th
+    single-frame) parsed by decode_meta, which walks blocks WITHOUT LZW
+    decode and calls single-frame GIFs images, animated ones videos. The
+    oracle re-derives kind/frame-count/dimensions from the construction
+    arithmetic, so a hash match pins the header walk, sub-block skipping
+    and the image/video kind split. Pixel content is hash-seeded (not
+    SQL-expressible), which is exactly why this query checks METADATA —
+    the pixel path is pinned by q_video_neardup_pairs and unit tests."""
+    from vectorflow_spark.operators.codecs import encode_gif
+    from vectorflow_spark.operators.multimodal import decode_meta
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 1 if i % 4 == 0 else 2 + i % 4
+                w, h = 8 + i % 3, 6 + i % 5
+                seed = hashlib.sha256(f"gif{i}".encode()).digest()
+                rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+                blob = encode_gif(rng.integers(0, 256, (nf, h, w), dtype=np.uint8))
+                m = decode_meta(blob)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "kind": m["kind"],
+                        "n_frames": m.get("n_frames") or 1,
+                        "width": m["width"],
+                        "height": m["height"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "n_frames", "width", "height"])
+
+    return docs.mapInPandas(
+        run, "asset_id bigint, kind string, n_frames int, width int, height int"
+    )
+
+
+@query(
     "q_dedup_survivors",
     """
     SELECT md5(text) AS digest, min(doc_id) AS keeper,
