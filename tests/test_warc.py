@@ -207,6 +207,25 @@ def test_object_store_paths_dispatch_and_refuse_correctly(spark, tmp_path):
     assert [(r.url, bytes(r.body)) for r in c] == [(r.url, bytes(r.body)) for r in a]
 
 
+def test_build_warc_record_types_wet_wat(tmp_path):
+    """record_type='conversion' (WET) and 'metadata' (WAT) store the
+    body VERBATIM with the given mime — no HTTP envelope — and roundtrip
+    through the production parser; the default stays the HTTP-wrapped
+    response shape."""
+    wat_body = b'{"Envelope": {"Links": [1, 2]}}'
+    blob = build_warc(
+        [("http://h/a", wat_body, "application/json")], record_type="metadata"
+    )
+    recs = parse_warc(blob)
+    [rec] = [r for r in recs if r["warc-type"] == "metadata"]
+    assert rec["payload"] == wat_body  # verbatim: no HTTP status line
+    assert rec["content-type"] == "application/json"
+    assert "body" not in rec  # body-splitting is the application/http path
+    wet = build_warc([("http://h/a", b"plain text", "text/plain")], record_type="conversion")
+    [rec] = [r for r in parse_warc(wet) if r["warc-type"] == "conversion"]
+    assert rec["payload"] == b"plain text"
+
+
 class TestObjectStoreOpeners:
     """The injectable IO layer (warcsource._resolve_io): object-store
     paths stream per-record through vf_warc instead of refusing. The

@@ -8774,6 +8774,96 @@ def q_warc_scan_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_wat_outlinks",
+    """
+    SELECT 'd' || CAST((doc_id + k) % 11 AS VARCHAR) || '.example' AS domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents, range(0, 4) t(k)
+    WHERE k <= doc_id % 4
+    GROUP BY 1
+    """,
+)
+def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT ingestion — the third leg of the Common Crawl triple (WARC
+    response bodies, WET extracted text, WAT JSON metadata sidecars):
+    per-document link metadata is built ENGINE-SIDE (to_json over the
+    WAT envelope nesting, pure Catalyst), written as WARC ``metadata``
+    records with ``application/json`` payloads by the distributed sink
+    (write_warc_corpus record_type='metadata'), scanned back through
+    ``vf_warc`` (the warc_type filter pushes into the parser), and the
+    outlink graph re-extracted with get_json_object + from_json +
+    explode — the crawl-graph aggregation (links per target domain) a
+    ranking pipeline starts from. The oracle re-derives the link
+    arithmetic relationally, so a hash match proves JSON envelope
+    construction, WAT record framing, the streamed scan and the JSON
+    re-extraction end to end. Every doc carries 1 + doc_id%4 links to
+    hash-spread domains; one shuffle for the final aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    links = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda k: F.struct(
+            F.concat(
+                F.lit("https://d"),
+                ((F.col("doc_id") + k) % 11).cast("string"),
+                F.lit(".example/p"),
+                k.cast("string"),
+            ).alias("url")
+        ),
+    )
+    wat_json = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias(
+                        "WARC-Target-URI"
+                    )
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(F.struct(links.alias("Links")).alias("HTML-Metadata")).alias(
+                        "HTTP-Response-Metadata"
+                    )
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    wat_docs = docs.select(
+        F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"),
+        wat_json.alias("text"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wat_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_corpus(
+        wat_docs, out_dir, n_files=8, record_type="metadata", mime="application/json"
+    ).count()  # materialize: the write IS this action
+    rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "metadata")
+    links_json = F.get_json_object(
+        F.decode("body", "UTF-8"),
+        "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']['Links']",
+    )
+    parsed = rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.from_json(links_json, "array<struct<url:string>>").alias("links"),
+    )
+    exploded = parsed.select(
+        "doc_id", F.explode("links").alias("link")
+    ).select("doc_id", F.regexp_extract("link.url", r"^https://([^/]+)/", 1).alias("domain"))
+    return exploded.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 @query("q_video_neardup_pairs")
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection (rows-only: dHash kernel is

@@ -160,11 +160,16 @@ def build_warc(
     records: list[tuple[str, bytes, str]],
     compress: bool = True,
     warc_date: str = "2024-01-01T00:00:00Z",
+    record_type: str = "response",
 ) -> bytes:
-    """Write (url, body bytes, mime) triples as WARC response records
-    with archived HTTP payloads — one gzip member per record when
-    ``compress`` (the standard .warc.gz layout). Deterministic: the
-    record ids derive from the url, the date is fixed unless given."""
+    """Write (url, body bytes, mime) triples as WARC records — one gzip
+    member per record when ``compress`` (the standard .warc.gz layout).
+    ``record_type='response'`` wraps bodies in archived HTTP payloads
+    (the .warc crawl shape); ``'conversion'`` / ``'metadata'`` store the
+    body verbatim with the given mime — the WET (extracted text) and WAT
+    (JSON metadata sidecar) shapes Common Crawl publishes alongside each
+    crawl. Deterministic: the record ids derive from the url+payload,
+    the date is fixed unless given."""
     import hashlib
 
     out = bytearray()
@@ -191,14 +196,17 @@ def build_warc(
 
     out += one_record("warcinfo", None, b"software: vectorflow-spark warcmini\r\n", "application/warc-fields")
     for url, body, mime in records:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: "
-            + mime.encode()
-            + f"\r\nContent-Length: {len(body)}".encode()
-            + b"\r\n\r\n"
-            + body
-        )
-        out += one_record("response", url, http, 'application/http; msgtype=response')
+        if record_type == "response":
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + mime.encode()
+                + f"\r\nContent-Length: {len(body)}".encode()
+                + b"\r\n\r\n"
+                + body
+            )
+            out += one_record("response", url, http, 'application/http; msgtype=response')
+        else:  # conversion (WET) / metadata (WAT): body stored verbatim
+            out += one_record(record_type, url, body, mime)
     return bytes(out)
 
 
@@ -212,6 +220,7 @@ def write_warc_corpus(
     mime: str = "text/plain",
     n_files: int = 16,
     compress: bool = True,
+    record_type: str = "response",
 ):
     """Distributed WARC SINK: write a corpus back out as ``n_files``
     ``.warc.gz`` segment files — the inverse of the ``vf_warc`` scan, and
@@ -245,7 +254,7 @@ def write_warc_corpus(
             (str(u), str(t).encode("utf-8"), mime)
             for u, t in zip(pdf[url_col], pdf[text_col])
         ]
-        blob = build_warc(records, compress=compress)
+        blob = build_warc(records, compress=compress, record_type=record_type)
         path = os.path.join(out_dir, f"segment-{seg:05d}.warc" + (".gz" if compress else ""))
         fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-seg-")
         with os.fdopen(fd, "wb") as f:
