@@ -8864,6 +8864,59 @@ def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_webdataset_scan",
+    """
+    SELECT doc_id, text AS wds_text, CAST(doc_id % 7 AS INT) AS label
+    FROM documents
+    """,
+)
+def q_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset cycle through the production entry points: every
+    document becomes a two-member SAMPLE (``<key>.txt`` text +
+    ``<key>.json`` metadata with a label) written as tar shards by the
+    distributed sink (wds.write_webdataset: hash(key) sharding, zeroed
+    tar metadata, rename-commit), scanned back by the ``vf_tar``
+    streaming source (one partition per shard, members streamed) and
+    reassembled into samples by the ZERO-SHUFFLE adjacency pass
+    (wds.webdataset_samples). The oracle is exact text identity plus the
+    label recovered from the json leg, so a hash match proves tar
+    framing, the member stream, key/ext splitting, cross-batch sample
+    assembly and both payload paths (utf-8 text and JSON) end to end —
+    the multimodal-training-corpus analog of q_warc_scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.wds import read_webdataset, write_webdataset
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.col("text").alias("txt"),
+        F.to_json(
+            F.struct(F.col("doc_id"), (F.col("doc_id") % 7).cast("int").alias("label"))
+        ).alias("meta"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"txt": "txt", "meta": "json"}, n_shards=16
+    ).count()  # materialize: the write IS this action
+    samples = read_webdataset(spark, out_dir)
+    meta = F.from_json(
+        F.decode(F.element_at(F.col("parts"), "json"), "UTF-8"),
+        "doc_id bigint, label int",
+    )
+    return samples.select(
+        meta["doc_id"].alias("doc_id"),
+        F.decode(F.element_at(F.col("parts"), "txt"), "UTF-8").alias("wds_text"),
+        meta["label"].alias("label"),
+    )
+
+
 @query("q_video_neardup_pairs")
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection (rows-only: dHash kernel is

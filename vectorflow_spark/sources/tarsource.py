@@ -1,0 +1,223 @@
+"""``vf_tar``: a streaming TAR-shard Data Source (Spark 4 Python API) —
+the WebDataset ingestion path.
+
+Large-scale multimodal training data ships as TAR SHARDS (WebDataset:
+thousands of ``shard-00042.tar`` files, each holding samples as adjacent
+members ``<key>.jpg`` + ``<key>.json`` + ``<key>.txt``), because tar
+preserves member adjacency and streams sequentially — the same
+properties that make WARC the crawl container. The scan mirrors
+``vf_warc`` exactly:
+
+* one partition per shard file (tar has no random index when streamed,
+  so the FILE is the parallel unit — WebDataset shards are sized
+  ~100 MB-1 GB for exactly this reason);
+* members STREAM via ``tarfile``'s pipe mode (``r|*``): peak task
+  memory is one member + tarfile's 10 KB block buffer, never the shard;
+* the same injectable IO layer (``io=auto|fsspec|mount:<root>``,
+  ``io_register`` hook — sources/openers.py) lists and opens shards on
+  local disk, FUSE mounts, or any fsspec protocol;
+* scan pushdown: ``shard`` equality/IN/prefix prunes whole shard
+  partitions at planning; ``ext`` equality/IN skips members inside the
+  tar walk before they become Arrow rows (reading only the ``.txt``
+  leg of an image-text corpus never deserializes the images).
+
+Rows: ``shard, member, key, ext, n_bytes, data`` where WebDataset's
+``key``/``ext`` split is the FIRST dot in the basename (so
+``a/b/0001.seg.json`` -> key ``a/b/0001``, ext ``seg.json``), matching
+the webdataset library's grouping rule. ``sources/wds.py`` builds the
+sample-assembly and shard-writing layers on top.
+
+Reference parity note: the reference ingests one uploaded file at a time
+(src/api/app.py); tar-shard streaming is the cluster-scale counterpart
+for the multimodal corpora the extension operators target (SURVEY.md
+§2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from vectorflow_spark.sources.openers import _resolve_io
+
+TAR_ROW_SCHEMA = (
+    "shard string, member string, key string, ext string, n_bytes long, data binary"
+)
+
+
+class _TarShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def split_member_name(name: str) -> tuple[str, str]:
+    """WebDataset key/ext split: first dot in the BASENAME (directories
+    may contain dots)."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
+        return name, ""
+    return name[:dot], name[dot + 1 :]
+
+
+class VfTarReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vf_tar requires a load path: .load('/dir/of/shards')")
+        self.glob = options.get("glob")
+        self.io = options.get("io", "auto")
+        self.io_register = options.get("io_register")
+        # onCorrupt mirrors vf_warc: 'row' (default) keeps members parsed
+        # so far and emits ONE error row (ext='error', member=<message>);
+        # 'strict' fails the task.
+        self.on_corrupt = options.get("oncorrupt", "row").lower()
+        if self.on_corrupt not in ("row", "strict"):
+            raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
+
+    def _fs(self):
+        fs = getattr(self, "_fs_cache", None)
+        if fs is None:
+            fs = self._fs_cache = _resolve_io(self.io, self.path, self.io_register)
+        return fs
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs_cache", None)
+        return d
+
+    def pushFilters(self, filters):
+        """``shard`` filters prune whole shard partitions; ``ext``
+        equality/IN skips members during the tar walk (their bytes are
+        still streamed past — tar is sequential — but never copied into
+        rows). Conjunction semantics: same-attribute value sets
+        intersect."""
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
+
+        self.shard_values: set[str] | None = None
+        self.shard_prefixes: list[str] = []
+        self.ext_values: set[str] | None = None
+
+        def narrow(current: set[str] | None, vals: set[str]) -> set[str]:
+            return vals if current is None else current & vals
+
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, EqualTo) and attr == ("shard",) and isinstance(f.value, str):
+                self.shard_values = narrow(self.shard_values, {f.value})
+            elif isinstance(f, In) and attr == ("shard",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.shard_values = narrow(self.shard_values, set(f.value))
+            elif isinstance(f, StringStartsWith) and attr == ("shard",) and isinstance(f.value, str):
+                self.shard_prefixes.append(f.value)
+            elif isinstance(f, EqualTo) and attr == ("ext",) and isinstance(f.value, str):
+                self.ext_values = narrow(self.ext_values, {f.value})
+            elif isinstance(f, In) and attr == ("ext",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.ext_values = narrow(self.ext_values, set(f.value))
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep_shard(self, path: str) -> bool:
+        name = path.rsplit("/", 1)[-1]
+        values = getattr(self, "shard_values", None)
+        prefixes = getattr(self, "shard_prefixes", [])
+        if values is not None and name not in values:
+            return False
+        return all(name.startswith(p) for p in prefixes)
+
+    def partitions(self):
+        files = self._fs().list_files(self.path, self.glob)
+        if not files:
+            raise FileNotFoundError(f"no tar shards under {self.path}")
+        kept = [f for f in files if self._keep_shard(f)]
+        if not kept:
+            return [_TarShardPartition(None)]  # pruned-to-empty: legit empty scan
+        return [_TarShardPartition(p) for p in kept]
+
+    def read(self, partition: _TarShardPartition):
+        import contextlib
+        import tarfile
+
+        if partition.path is None:
+            return
+        shard = partition.path.rsplit("/", 1)[-1]
+        exts = getattr(self, "ext_values", None)
+        try:
+            with contextlib.closing(self._fs().open(partition.path)) as raw:
+                # 'r|*': pure forward streaming (plain or gzip tar) — no
+                # seeks, so the opener only needs read(); members arrive
+                # one at a time and extractfile reads member-bounded data
+                with tarfile.open(fileobj=raw, mode="r|*") as tar:
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        key, ext = split_member_name(member.name)
+                        if exts is not None and ext not in exts:
+                            continue  # skipped BEFORE materializing bytes
+                        f = tar.extractfile(member)
+                        data = f.read() if f is not None else b""
+                        yield (shard, member.name, key, ext, len(data), data)
+        except (tarfile.TarError, OSError, EOFError) as e:
+            if self.on_corrupt == "strict":
+                raise
+            yield (shard, str(e)[:500], None, "error", 0, None)
+
+
+class VfTarStreamReader(DataSourceStreamReader):
+    """Continuous shard ingest: each micro-batch processes shard files
+    that APPEARED since the last batch — identical offset model to
+    ``vf_warc``'s stream reader (drop shards in complete via
+    write-temp + rename)."""
+
+    def __init__(self, options: dict):
+        self._batch = VfTarReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._batch._fs().list_files(self._batch.path, self._batch.glob)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [_TarShardPartition(p) for p in new]
+
+    def read(self, partition: _TarShardPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
+class VfTarDataSource(DataSource):
+    """``spark.read.format("vf_tar").load(path)`` for batch,
+    ``spark.readStream.format("vf_tar").load(path)`` for continuous
+    shard ingest; register with ``tarsource.register(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vf_tar"
+
+    def schema(self) -> str | StructType:
+        return TAR_ROW_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return VfTarReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return VfTarStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VfTarDataSource)
