@@ -450,6 +450,32 @@ class TestWav:
         m = decode_meta(encode_wav(np.zeros(123, np.uint8), 16000))
         assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 16000, 123)
 
+    def test_float32_wav_roundtrip(self):
+        """IEEE-float WAV (fmt audio_format 3 — the ML-dataset shape
+        stdlib wave refuses): values pass through bit-exactly at f32."""
+        from vectorflow_spark.operators.codecs import encode_wav_float
+
+        s = np.array([-1.0, -0.25, 0.0, 0.5, 1.0, 1e-7], dtype=np.float32)
+        got, rate = decode_wav(encode_wav_float(s, 22050))
+        assert rate == 22050
+        assert np.array_equal(got.astype(np.float32), s)
+        m = decode_meta(encode_wav_float(s, 22050))
+        assert (m["kind"], m["sample_rate"], m["n_samples"]) == ("audio", 22050, 6)
+
+    def test_unsupported_wav_formats_refuse(self):
+        import struct as st
+
+        from vectorflow_spark.operators.codecs import encode_wav_float
+
+        blob = bytearray(encode_wav_float(np.zeros(4, np.float32), 8000))
+        i = bytes(blob).find(b"fmt ") + 8
+        blob[i : i + 2] = st.pack("<H", 0xFFFE)  # extensible
+        with pytest.raises(NotImplementedError):
+            decode_wav(bytes(blob))
+        blob[i : i + 2] = st.pack("<H", 7)  # mu-law
+        with pytest.raises((NotImplementedError, Exception)):
+            decode_wav(bytes(blob))
+
 
 class TestAviMjpeg:
     """MJPEG AVI (operators/codecs.py): a REAL video container — RIFF

@@ -639,14 +639,20 @@ def encode_gif(
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> (samples float64 [first channel], sample_rate). 8-bit is
-    unsigned 0..255, 16-bit signed -32768..32767 — values pass through
-    unscaled so feature stats are exact and testable."""
-    with wave.open(io.BytesIO(data), "rb") as f:
-        rate = f.getframerate()
-        width = f.getsampwidth()
-        n_ch = f.getnchannels()
-        frames = f.readframes(f.getnframes())
+    """WAV -> (samples float64 [first channel], sample_rate). Integer
+    PCM (format 1): 8-bit unsigned 0..255, 16-bit signed — values pass
+    through unscaled so feature stats are exact and testable. IEEE
+    float (format 3, the shape ML audio datasets ship): 32/64-bit,
+    values pass through as-is. The float path parses RIFF chunks
+    directly (stdlib ``wave`` refuses format 3)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            rate = f.getframerate()
+            width = f.getsampwidth()
+            n_ch = f.getnchannels()
+            frames = f.readframes(f.getnframes())
+    except wave.Error:
+        return _decode_wav_float(data)
     if width == 1:
         samples = np.frombuffer(frames, dtype=np.uint8)
     elif width == 2:
@@ -656,6 +662,48 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         samples = samples[::n_ch]  # first channel
     return samples.astype(np.float64), rate
+
+
+def _decode_wav_float(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE with fmt audio_format 3 (IEEE float) -> samples."""
+    if data[:4] != RIFF_MAGIC or data[8:12] != WAVE_FORM:
+        raise ValueError("not a WAV file")
+    fmt = None
+    payload = None
+    for fourcc, body, size in _riff_chunks(data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
+        if fourcc == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, body)
+        elif fourcc == b"data":
+            payload = data[body : body + size]
+    if fmt is None or payload is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_format, n_ch, rate, _bps, _align, bits = fmt
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+    if audio_format != 3:
+        raise NotImplementedError(f"WAV audio format {audio_format} not supported")
+    if bits == 32:
+        samples = np.frombuffer(payload, dtype="<f4")
+    elif bits == 64:
+        samples = np.frombuffer(payload, dtype="<f8")
+    else:
+        raise NotImplementedError(f"{bits}-bit float WAV not supported (32/64 only)")
+    if n_ch > 1:
+        samples = samples[::n_ch]
+    return samples.astype(np.float64), rate
+
+
+def encode_wav_float(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono IEEE-float32 WAV writer (format 3) for fixtures and the
+    float roundtrip."""
+    raw = np.asarray(samples, dtype="<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, sample_rate, sample_rate * 4, 4, 32)
+    body = (
+        WAVE_FORM
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 1) -> bytes:
