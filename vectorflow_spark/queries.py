@@ -8917,6 +8917,70 @@ def q_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_wds_caption_leg",
+    """
+    SELECT doc_id,
+           'img ' || CAST(doc_id AS VARCHAR) || ' cat ' || CAST(doc_id % 7 AS VARCHAR)
+               AS caption,
+           CAST(doc_id % 7 AS INT) AS category
+    FROM documents
+    """,
+)
+def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-leg read that makes WebDataset work at 100 TB: the
+    corpus is written as IMAGE+CAPTION shards (a real FAKE-codec image
+    plus a caption per sample — the LAION shape), but the scan filters
+    ``ext = 'txt'`` and the vf_tar pushdown drops every image member
+    INSIDE the tar walk, so the caption-only pass never copies image
+    bytes into rows (tar is sequential, so the bytes stream past but are
+    never materialized — at crawl scale that is the difference between
+    reading 2% and 100% of the corpus into Arrow). The oracle re-derives
+    the captions relationally, proving the caption leg byte-exact while
+    the image leg stays untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.wds import read_tar, write_webdataset
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from vectorflow_spark.operators.multimodal import make_fake_image
+
+    gen = F.pandas_udf(
+        lambda ids: pd.Series([make_fake_image(str(i)) for i in ids]), BinaryType()
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.concat(
+            F.lit("img "), F.col("doc_id").cast("string"),
+            F.lit(" cat "), (F.col("doc_id") % 7).cast("string"),
+        ).alias("caption"),
+        gen("doc_id").alias("img"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_cap_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"caption": "txt", "img": "fimg"}, n_shards=8
+    ).count()  # materialize: the write IS this action
+    texts = (
+        read_tar(spark, out_dir)
+        .filter(F.col("ext") == "txt")  # pushed into the tar walk
+        .select(
+            F.col("key").cast("bigint").alias("doc_id"),
+            F.decode("data", "UTF-8").alias("caption"),
+        )
+    )
+    return texts.withColumn(
+        "category", F.element_at(F.split("caption", " "), -1).cast("int")
+    )
+
+
 @query("q_video_neardup_pairs")
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection (rows-only: dHash kernel is
