@@ -8981,6 +8981,62 @@ def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_wds_image_dedup")
+def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard image dedup over a WebDataset corpus (rows-only:
+    pixel kernel is Python) — the LAION-style pipeline: image+caption
+    samples land in tar shards (every 5th image a DUPLICATE of its
+    successor's pixels, usually in a different shard since sharding
+    hashes the key), the scan reads ONLY the image leg (ext pushdown),
+    and exact-duplicate groups form by pixel dHash — proving the dedup
+    key survives the container round-trip and crosses shard boundaries.
+    Composition of verified operators: vf_tar scan -> image_dhash ->
+    hash-groupBy; one shuffle on the 8-byte hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+    from vectorflow_spark.sources.wds import read_tar, write_webdataset
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _one(i) -> bytes:
+        i = int(i)
+        return make_fake_image(str(i + 1 if i % 5 == 0 else i))
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        gen("doc_id").alias("img"),
+        F.concat(F.lit("cap "), F.col("doc_id")).alias("caption"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_dedup_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"img": "fimg", "caption": "txt"}, n_shards=8
+    ).count()
+    imgs = (
+        read_tar(spark, out_dir)
+        .filter(F.col("ext") == "fimg")
+        .select(F.col("key").cast("bigint").alias("asset_id"), "data")
+    )
+    hashed = image_dhash(imgs)
+    groups = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("asset_id").alias("keeper"),
+        F.countDistinct((F.col("asset_id") % 8)).alias("n_home_shards"),
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("keeper").alias("min_keeper"),
+    )
+
+
 @query("q_video_neardup_pairs")
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection (rows-only: dHash kernel is
