@@ -235,6 +235,77 @@ class TestScanContracts:
         assert seen == [{"a", "b"}, {"c"}]
 
 
+class TestIndexedSplittableScan:
+    """The wids-style index sidecar: tar shards become SPLITTABLE —
+    sample-aligned byte-range partitions with seek reads, so a few huge
+    shards no longer cap parallelism and ext-pushdown skips members
+    without streaming past them."""
+
+    def test_range_partitions_match_streamed_scan(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_webdataset(
+            _docs(spark, n=200), d, "key", {"txt": "txt", "json": "json"},
+            n_shards=2, index=True,
+        ).count()
+        import os
+
+        assert sorted(f for f in os.listdir(d) if f.startswith("_")) == [
+            "_shard-00000.tar.idx.json",
+            "_shard-00001.tar.idx.json",
+        ]
+        idx = read_tar(spark, d, samples_per_task=25)
+        assert idx.rdd.getNumPartitions() > 2  # split beyond shard count
+        streamed = read_tar(spark, d, index="never")
+        assert streamed.rdd.getNumPartitions() == 2
+        a = sorted((r.shard, r.member, bytes(r.data)) for r in idx.collect())
+        b = sorted((r.shard, r.member, bytes(r.data)) for r in streamed.collect())
+        assert a == b and len(a) == 400
+
+    def test_sample_alignment_at_tiny_tasks(self, spark, tmp_path):
+        """samples_per_task=1: maximal splitting must still never cut a
+        sample across partitions — assembly sees every pair whole."""
+        d = str(tmp_path)
+        write_webdataset(
+            _docs(spark, n=40), d, "key", {"txt": "txt", "json": "json"},
+            n_shards=1, index=True,
+        ).count()
+        rows = read_tar(spark, d, samples_per_task=1)
+        assert rows.rdd.getNumPartitions() == 40  # one sample per partition
+        samples = webdataset_samples(rows).collect()
+        assert len(samples) == 40 and all(r.n_parts == 2 for r in samples)
+
+    def test_ext_pushdown_on_indexed_scan(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_webdataset(
+            _docs(spark, n=30), d, "key", {"txt": "txt", "json": "json"},
+            n_shards=1, index=True,
+        ).count()
+        got = read_tar(spark, d, samples_per_task=10).filter(F.col("ext") == "json").collect()
+        assert len(got) == 30 and all(r.ext == "json" for r in got)
+
+    def test_index_require_and_compress_guard(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_webdataset(_docs(spark, n=10), d, "key", {"txt": "txt"}, n_shards=1).count()
+        with pytest.raises(Exception, match="index sidecar"):
+            read_tar(spark, d, index="require").collect()
+        with pytest.raises(ValueError, match="seekable"):
+            write_webdataset(
+                _docs(spark, n=5), d, "key", {"txt": "txt"}, compress=True, index=True
+            )
+
+    def test_indexed_through_mount_opener(self, spark, tmp_path):
+        d = tmp_path / "bucket" / "wds"
+        d.mkdir(parents=True)
+        write_webdataset(
+            _docs(spark, n=30), str(d), "key", {"txt": "txt"}, n_shards=1, index=True
+        ).count()
+        rows = read_tar(
+            spark, "s3://bucket/wds", io=f"mount:{tmp_path}", samples_per_task=10
+        )
+        assert rows.rdd.getNumPartitions() == 3
+        assert rows.count() == 30
+
+
 def test_samples_compose_with_text_operators(spark, tmp_path):
     """The point of the container: assembled samples feed the SAME text
     operators as any documents table — decode the txt leg and run the

@@ -55,6 +55,15 @@ class _TarShardPartition(InputPartition):
         self.path = path
 
 
+class _TarRangePartition(InputPartition):
+    """A sample-aligned slice of one shard: (name, offset, size) member
+    metas from the index sidecar; the reader seeks straight to each."""
+
+    def __init__(self, path: str, members: list):
+        self.path = path
+        self.members = members
+
+
 def split_member_name(name: str) -> tuple[str, str]:
     """WebDataset key/ext split: first dot in the BASENAME (directories
     may contain dots)."""
@@ -79,6 +88,15 @@ class VfTarReader(DataSourceReader):
         self.on_corrupt = options.get("oncorrupt", "row").lower()
         if self.on_corrupt not in ("row", "strict"):
             raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
+        # index: 'auto' (default) uses a _<shard>.tar.idx.json sidecar
+        # when present to SPLIT the shard into sample-aligned byte-range
+        # partitions (seek-based reads; ext pushdown then skips members
+        # without even streaming past them); 'never' always walks whole
+        # shards; 'require' errors on a missing sidecar.
+        self.index = options.get("index", "auto").lower()
+        if self.index not in ("auto", "never", "require"):
+            raise ValueError(f"index must be auto|never|require, got {self.index!r}")
+        self.samples_per_task = int(options.get("samplespertask", "2048"))
 
     def _fs(self):
         fs = getattr(self, "_fs_cache", None)
@@ -135,6 +153,20 @@ class VfTarReader(DataSourceReader):
             return False
         return all(name.startswith(p) for p in prefixes)
 
+    def _load_index(self, path: str) -> list | None:
+        """Member metas from the sidecar, or None when absent."""
+        import contextlib
+        import json
+
+        head, _, name = path.rpartition("/")
+        side = (head + "/" if head else "") + f"_{name}.idx.json"
+        try:
+            with contextlib.closing(self._fs().open(side)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return [(m["name"], int(m["offset"]), int(m["size"])) for m in doc["members"]]
+
     def partitions(self):
         files = self._fs().list_files(self.path, self.glob)
         if not files:
@@ -142,9 +174,34 @@ class VfTarReader(DataSourceReader):
         kept = [f for f in files if self._keep_shard(f)]
         if not kept:
             return [_TarShardPartition(None)]  # pruned-to-empty: legit empty scan
-        return [_TarShardPartition(p) for p in kept]
+        parts = []
+        for p in kept:
+            metas = self._load_index(p) if self.index != "never" else None
+            if metas is None:
+                if self.index == "require":
+                    raise ValueError(f"vf_tar index=require: no index sidecar for {p}")
+                parts.append(_TarShardPartition(p))
+                continue
+            # split at SAMPLE boundaries (never inside a key) so the
+            # zero-shuffle assembly stays correct under range partitions
+            chunk: list = []
+            n_samples = 0
+            last_key = None
+            for meta in metas:
+                key = split_member_name(meta[0])[0]
+                if key != last_key:
+                    if n_samples >= self.samples_per_task and chunk:
+                        parts.append(_TarRangePartition(p, chunk))
+                        chunk = []
+                        n_samples = 0
+                    n_samples += 1
+                    last_key = key
+                chunk.append(meta)
+            if chunk:
+                parts.append(_TarRangePartition(p, chunk))
+        return parts
 
-    def read(self, partition: _TarShardPartition):
+    def read(self, partition):
         import contextlib
         import tarfile
 
@@ -152,6 +209,21 @@ class VfTarReader(DataSourceReader):
             return
         shard = partition.path.rsplit("/", 1)[-1]
         exts = getattr(self, "ext_values", None)
+        if isinstance(partition, _TarRangePartition):
+            # seek-based range read: pushdown-skipped members are never
+            # even streamed past, and a few huge shards no longer cap
+            # parallelism (the point of the index sidecar)
+            with contextlib.closing(self._fs().open(partition.path)) as raw:
+                for name, offset, size in partition.members:
+                    key, ext = split_member_name(name)
+                    if exts is not None and ext not in exts:
+                        continue
+                    raw.seek(offset)
+                    data = raw.read(size)
+                    if len(data) != size:
+                        raise ValueError(f"vf_tar: short read for member {name} of {shard}")
+                    yield (shard, name, key, ext, size, data)
+            return
         try:
             with contextlib.closing(self._fs().open(partition.path)) as raw:
                 # 'r|*': pure forward streaming (plain or gzip tar) — no

@@ -32,18 +32,30 @@ def read_tar(
     on_corrupt: str = "row",
     io: str = "auto",
     io_register: str | None = None,
+    index: str = "auto",
+    samples_per_task: int | None = None,
 ) -> DataFrame:
     """One row per tar member across every shard under ``path`` (vf_tar:
-    one partition per shard, members streamed; same ``io`` backends and
-    pushdown as vf_warc — see sources/tarsource.py)."""
+    one partition per shard — or many sample-aligned RANGE partitions
+    per shard when the ``_<shard>.tar.idx.json`` sidecar exists and
+    ``index`` allows (auto|never|require) — members streamed or
+    seek-read; same ``io`` backends and pushdown as vf_warc — see
+    sources/tarsource.py)."""
     from vectorflow_spark.sources import tarsource
 
     tarsource.register(spark)
-    reader = spark.read.format("vf_tar").option("onCorrupt", on_corrupt).option("io", io)
+    reader = (
+        spark.read.format("vf_tar")
+        .option("onCorrupt", on_corrupt)
+        .option("io", io)
+        .option("index", index)
+    )
     if glob:
         reader = reader.option("glob", glob)
     if io_register:
         reader = reader.option("io_register", io_register)
+    if samples_per_task is not None:
+        reader = reader.option("samplesPerTask", str(samples_per_task))
     return reader.load(path)
 
 
@@ -103,6 +115,7 @@ def write_webdataset(
     n_shards: int = 16,
     shard_prefix: str = "shard",
     compress: bool = False,
+    index: bool = False,
 ) -> DataFrame:
     """Distributed WebDataset SINK: each row becomes one sample whose
     members are ``<key>.<ext>`` for every (column -> ext) in
@@ -113,14 +126,25 @@ def write_webdataset(
     are byte-identical, committed via write-temp + rename. Returns the
     manifest (shard, path, n_samples, n_bytes); files exist when it
     materializes. Size shards ~100 MB-1 GB at scale, exactly like
-    n_files on the WARC sink."""
+    n_files on the WARC sink.
+
+    ``index=True`` (plain tar only — gzip is not seekable) also writes a
+    ``_<shard>.tar.idx.json`` SIDECAR of member (name, offset, size) —
+    the wids-style index that makes tar shards SPLITTABLE: the
+    ``vf_tar`` scan's ``index`` mode turns each shard into many
+    sample-aligned byte-range partitions, so a few huge shards no
+    longer cap parallelism. The leading underscore keeps sidecars out
+    of shard listings (the hidden-name rule every scan applies)."""
     import io
+    import json
     import os
     import tarfile
     import tempfile
 
     import pandas as pd
 
+    if index and compress:
+        raise ValueError("write_webdataset: index=True requires compress=False (gzip tars are not seekable)")
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, *part_cols.keys()]
     suffix = ".tar.gz" if compress else ".tar"
@@ -157,11 +181,24 @@ def write_webdataset(
         if gz is not None:
             gz.close()
         blob = buf.getvalue()
-        path = os.path.join(out_dir, f"{shard_prefix}-{seg:05d}{suffix}")
+        name = f"{shard_prefix}-{seg:05d}{suffix}"
+        path = os.path.join(out_dir, name)
         fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-shard-")
         with os.fdopen(fd, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
+        if index:
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as t:
+                members = [
+                    {"name": m.name, "offset": m.offset_data, "size": m.size}
+                    for m in t
+                    if m.isfile()
+                ]
+            side = os.path.join(out_dir, f"_{name}.idx.json")
+            fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-idx-")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"members": members}, f)
+            os.replace(tmp, side)
         return pd.DataFrame(
             [{"shard": seg, "path": path, "n_samples": n, "n_bytes": len(blob)}]
         )
