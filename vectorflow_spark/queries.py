@@ -8935,9 +8935,12 @@ def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSIDE the tar walk, so the caption-only pass never copies image
     bytes into rows (tar is sequential, so the bytes stream past but are
     never materialized — at crawl scale that is the difference between
-    reading 2% and 100% of the corpus into Arrow). The oracle re-derives
-    the captions relationally, proving the caption leg byte-exact while
-    the image leg stays untouched."""
+    reading 2% and 100% of the corpus into Arrow). Shards carry INDEX
+    sidecars (write_webdataset index=True), so the scan takes the
+    seek-based range-partition path, where pushdown-skipped image
+    members are not even streamed past. The oracle re-derives the
+    captions relationally, proving the caption leg byte-exact while the
+    image leg stays untouched."""
     import os
     import shutil
     import tempfile
@@ -8966,7 +8969,7 @@ def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     write_webdataset(
-        docs, out_dir, "key", {"caption": "txt", "img": "fimg"}, n_shards=8
+        docs, out_dir, "key", {"caption": "txt", "img": "fimg"}, n_shards=8, index=True
     ).count()  # materialize: the write IS this action
     texts = (
         read_tar(spark, out_dir)
