@@ -255,7 +255,8 @@ class TestObjectStoreOpeners:
             "s3://bucket/crawl/seg-0.warc.gz",
             "s3://bucket/crawl/seg-1.warc.gz",
         ]
-        rows = [row for p in parts for row in r.read(p)]
+        # _rows: the raw record generator (read() wraps it in Arrow batches)
+        rows = [row for p in parts for row in r._rows(p)]
         resp = [row for row in rows if row[2] == "response"]
         assert len(resp) == 6
         assert resp[0][0] == "seg-0.warc.gz"  # warc_file = basename
@@ -342,7 +343,9 @@ class TestObjectStoreOpeners:
 
         r = VfWarcReader({"path": "s3://b/seg.warc", "io": "mount:/nonexistent"})
         r._fs_cache = MeterFS()  # inject: the contract is the opener PROTOCOL
-        for _ in r.read(_WarcFilePartition("s3://b/seg.warc")):
+        # _rows is where the record-bounded contract lives; read() adds a
+        # BOUNDED (16 MB / 256-row) Arrow batch buffer on top by design
+        for _ in r._rows(_WarcFilePartition("s3://b/seg.warc")):
             outstanding = 0  # record handed off; buffer credit resets
         record_bound = 50_000 + 1024 + (1 << 16)
         assert high_water <= 2 * record_bound
@@ -374,7 +377,7 @@ class TestObjectStoreOpeners:
         r = VfWarcReader({"path": "memory://crawl", "io": "fsspec"})
         parts = r.partitions()
         assert len(parts) == 1
-        rows = [row for row in r.read(parts[0]) if row[2] == "response"]
+        rows = [row for row in r._rows(parts[0]) if row[2] == "response"]
         assert rows[0][1] == "http://h/m" and rows[0][5] == b"mem body"
 
     def test_mount_glob_and_corrupt_error_row(self, spark, tmp_path):

@@ -178,7 +178,9 @@ class TestScanContracts:
         r = VfTarReader({"path": str(tmp_path)})
         r._fs_cache = MeterFS()
         n = 0
-        for _row in r.read(_TarShardPartition(str(p))):
+        # _rows is the member-bounded contract; read() adds the bounded
+        # Arrow batch buffer on top
+        for _row in r._rows(_TarShardPartition(str(p))):
             outstanding = 0  # member handed off
             n += 1
         assert n == 30

@@ -157,3 +157,35 @@ def _resolve_io(io: str, path: str, register: str | None):
     if io.startswith("mount:"):
         return _MountFS(io[len("mount:"):])
     raise ValueError(f"vf_warc: unknown io backend {io!r} (local | fsspec | mount:<root>)")
+
+
+def arrow_record_batches(rows, schema, max_rows: int = 256, max_bytes: int = 16 << 20,
+                         size_idx: int | None = None):
+    """Buffer row tuples into pyarrow RecordBatches — the Python
+    DataSource fast path (one Arrow transfer per batch instead of
+    per-row pickling). Flushes at ``max_rows`` or, when ``size_idx``
+    names a row field holding a payload size, at ``max_bytes`` of
+    accumulated payload — so a batch of 1 MB crawl documents stays
+    memory-bounded while small-row scans still amortize."""
+    import pyarrow as pa
+
+    buf: list = []
+    pending = 0
+
+    def flush():
+        cols = list(zip(*buf))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(cols[i], type=f.type) for i, f in enumerate(schema)],
+            schema=schema,
+        )
+
+    for row in rows:
+        buf.append(row)
+        if size_idx is not None:
+            pending += row[size_idx] or 0
+        if len(buf) >= max_rows or pending >= max_bytes:
+            yield flush()
+            buf = []
+            pending = 0
+    if buf:
+        yield flush()

@@ -202,6 +202,25 @@ class VfTarReader(DataSourceReader):
         return parts
 
     def read(self, partition):
+        """Rows ride ARROW RecordBatches (per-batch transfer instead of
+        per-row pickling), flushed at 256 rows / 16 MB of member bytes."""
+        import pyarrow as pa
+
+        from vectorflow_spark.sources.openers import arrow_record_batches
+
+        schema = pa.schema(
+            [
+                ("shard", pa.string()),
+                ("member", pa.string()),
+                ("key", pa.string()),
+                ("ext", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("data", pa.binary()),
+            ]
+        )
+        return arrow_record_batches(self._rows(partition), schema, size_idx=4)
+
+    def _rows(self, partition):
         import contextlib
         import tarfile
 

@@ -165,11 +165,13 @@ def write_webdataset(
             gz = None
             tar = tarfile.open(fileobj=buf, mode=mode)
         n = 0
-        for _, row in pdf.iterrows():
-            for col, ext in part_cols.items():
-                v = row[col]
+        col_names = list(part_cols)
+        # zip over columns, not iterrows: the per-row Series construction
+        # dominates the task otherwise
+        for key, *vals in zip(pdf[key_col], *(pdf[c] for c in col_names)):
+            for col, v in zip(col_names, vals):
                 data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                info = tarfile.TarInfo(name=f"{row[key_col]}.{ext}")
+                info = tarfile.TarInfo(name=f"{key}.{part_cols[col]}")
                 info.size = len(data)
                 info.mtime = 0
                 info.uid = info.gid = 0
