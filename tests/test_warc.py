@@ -551,6 +551,30 @@ class TestCdxIndexedScan:
         assert len(errs) == 1 and errs[0].warc_file == "segment-00000.warc.gz"
         assert len(ok) == 29  # every OTHER record in the zapped segment survives
 
+    def test_url_pushdown_wayback_lookup(self, spark, tmp_path):
+        """URL filters prune at the INDEX: a prefix lookup plans only
+        the matching record ranges (the wayback-style access), and the
+        rows equal the manually filtered full scan — in streamed mode
+        too (post-parse enforcement, since the filter was accepted)."""
+        self._corpus(spark, tmp_path, n=120)
+        base = read_warc(spark, str(tmp_path), records_per_task=10)
+        one = base.filter(F.col("url") == "http://h/17")
+        rows = one.collect()
+        assert [(r.url, bytes(r.body)) for r in rows] == [("http://h/17", b"body 17")]
+        # the equality lookup planned a single record-range partition
+        assert one.rdd.getNumPartitions() <= 2
+        pre = read_warc(spark, str(tmp_path)).filter(F.col("url").startswith("http://h/1"))
+        got = sorted(r.url for r in pre.collect())
+        exp = sorted(
+            f"http://h/{i}" for i in range(120) if str(i).startswith("1")
+        )
+        assert got == exp
+        # streamed mode (no index): same rows via post-parse enforcement
+        st = read_warc(spark, str(tmp_path), index="never").filter(
+            F.col("url").startswith("http://h/1")
+        )
+        assert sorted(r.url for r in st.collect()) == exp
+
     def test_cdx_through_mount_opener(self, spark, tmp_path):
         d = tmp_path / "bucket" / "crawl"
         d.mkdir(parents=True)

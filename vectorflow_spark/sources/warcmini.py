@@ -287,10 +287,22 @@ def write_warc_corpus(
             f.write(blob)
         os.replace(tmp, path)
         if index:
+            # urls per member: warcinfo first (null), then the sorted
+            # records — real CDX indexes carry the URL so lookups prune
+            # at the INDEX, and the scan's url pushdown does the same
+            urls = [None] + [u for u, _, _ in records]
             side = os.path.join(out_dir, f"_{name}.cdx.json")
             fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-cdx-")
             with os.fdopen(fd, "w") as f:
-                json.dump({"records": [{"offset": o, "length": n} for o, n in rec_index]}, f)
+                json.dump(
+                    {
+                        "records": [
+                            {"offset": o, "length": n, "url": u}
+                            for (o, n), u in zip(rec_index, urls)
+                        ]
+                    },
+                    f,
+                )
             os.replace(tmp, side)
         return pd.DataFrame(
             [{"segment": seg, "path": path, "n_records": len(records), "n_bytes": len(blob)}]

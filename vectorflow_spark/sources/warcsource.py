@@ -140,11 +140,16 @@ class VfWarcReader(DataSourceReader):
           asked for;
         * ``warc_type`` equality/IN skips records inside the parser
           before they ever become Arrow rows (a raw WARC is ~half
-          request/metadata records a text pipeline immediately drops).
+          request/metadata records a text pipeline immediately drops);
+        * ``url`` equality/IN/prefix — the wayback-style lookup: with a
+          URL-carrying CDX sidecar the matching RANGES are selected at
+          planning time, so "all records for this domain prefix" seeks
+          straight to them; without a sidecar (or with a pre-url
+          sidecar) the filter is enforced after parsing each record.
 
         Everything else is returned for Spark to re-apply; accepted
-        filters are also still re-applied by Spark (exact semantics
-        preserved — pushdown here is purely work-avoidance)."""
+        filters are enforced by the source in every mode (exact
+        semantics — pushdown is work-avoidance, never approximation)."""
         from pyspark.sql.datasource import EqualTo, In, StringStartsWith
 
         # the filter list is a CONJUNCTION: value-set constraints on one
@@ -152,6 +157,8 @@ class VfWarcReader(DataSourceReader):
         self.file_values: set[str] | None = None
         self.file_prefixes: list[str] = []
         self.type_values: set[str] | None = None
+        self.url_values: set[str] | None = None
+        self.url_prefixes: list[str] = []
 
         def narrow(current: set[str] | None, vals: set[str]) -> set[str]:
             return vals if current is None else current & vals
@@ -173,9 +180,33 @@ class VfWarcReader(DataSourceReader):
                 isinstance(v, str) for v in f.value
             ):
                 self.type_values = narrow(self.type_values, set(f.value))
+            elif isinstance(f, EqualTo) and attr == ("url",) and isinstance(f.value, str):
+                self.url_values = narrow(self.url_values, {f.value})
+            elif isinstance(f, In) and attr == ("url",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.url_values = narrow(self.url_values, set(f.value))
+            elif isinstance(f, StringStartsWith) and attr == ("url",) and isinstance(f.value, str):
+                self.url_prefixes.append(f.value)
             else:
                 remaining.append(f)
         return remaining
+
+    def _url_constrained(self) -> bool:
+        return getattr(self, "url_values", None) is not None or bool(
+            getattr(self, "url_prefixes", [])
+        )
+
+    def _url_match(self, url: str | None) -> bool:
+        """SQL semantics: any url predicate is false for NULL urls."""
+        if not self._url_constrained():
+            return True
+        if url is None:
+            return False
+        values = getattr(self, "url_values", None)
+        if values is not None and url not in values:
+            return False
+        return all(url.startswith(p) for p in getattr(self, "url_prefixes", []))
 
     def _keep_file(self, path: str) -> bool:
         name = path.rsplit("/", 1)[-1]
@@ -194,8 +225,11 @@ class VfWarcReader(DataSourceReader):
         # filters prune in the batch partitions() below.)
         return self._fs().list_files(self.path, self.glob)
 
-    def _load_cdx(self, path: str) -> list | None:
-        """Record (offset, length) list from the CDX sidecar, or None."""
+    def _load_cdx(self, path: str) -> tuple[list, bool] | None:
+        """(records, has_urls) from the CDX sidecar, or None. Each
+        record is (offset, length, url_or_None); ``has_urls`` False for
+        pre-url sidecars, where url pushdown must post-filter instead
+        of pruning ranges."""
         import contextlib
         import json
 
@@ -206,7 +240,12 @@ class VfWarcReader(DataSourceReader):
                 doc = json.load(f)
         except (OSError, ValueError):
             return None
-        return [(int(r["offset"]), int(r["length"])) for r in doc["records"]]
+        recs = doc["records"]
+        has_urls = bool(recs) and "url" in recs[0]
+        return (
+            [(int(r["offset"]), int(r["length"]), r.get("url")) for r in recs],
+            has_urls,
+        )
 
     def partitions(self):
         files = self._files()
@@ -219,12 +258,16 @@ class VfWarcReader(DataSourceReader):
             return [_WarcFilePartition(None)]
         parts = []
         for p in kept:
-            ranges = self._load_cdx(p) if self.index != "never" else None
-            if ranges is None:
+            loaded = self._load_cdx(p) if self.index != "never" else None
+            if loaded is None:
                 if self.index == "require":
                     raise ValueError(f"vf_warc index=require: no CDX sidecar for {p}")
                 parts.append(_WarcFilePartition(p))
                 continue
+            ranges, has_urls = loaded
+            if has_urls and self._url_constrained():
+                # the wayback lookup: only matching records get planned
+                ranges = [r for r in ranges if self._url_match(r[2])]
             for i in range(0, len(ranges), self.records_per_task):
                 parts.append(_WarcRangePartition(p, ranges[i : i + self.records_per_task]))
         return parts
@@ -280,7 +323,7 @@ class VfWarcReader(DataSourceReader):
             from vectorflow_spark.sources.warcmini import iter_warc_records
 
             with contextlib.closing(self._fs().open(partition.path)) as raw:
-                for offset, length in partition.ranges:
+                for offset, length, _idx_url in partition.ranges:
                     try:
                         raw.seek(offset)
                         data = raw.read(length)
@@ -299,6 +342,8 @@ class VfWarcReader(DataSourceReader):
                         continue
                     if types is not None and rec.get("warc-type") not in types:
                         continue
+                    if not self._url_match(rec.get("warc-target-uri")):
+                        continue  # belt over the index's braces
                     body = rec.get("body", rec["payload"])
                     yield (
                         source,
@@ -331,6 +376,8 @@ class VfWarcReader(DataSourceReader):
                 return
             if types is not None and rec.get("warc-type") not in types:
                 continue
+            if not self._url_match(rec.get("warc-target-uri")):
+                continue  # accepted url filter: enforce in stream mode too
             body = rec.get("body", rec["payload"])
             yield (
                 source,
