@@ -9043,6 +9043,48 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cdx_lookup",
+    """
+    SELECT doc_id, text AS warc_text FROM documents
+    WHERE doc_id % 211 = 42
+    """,
+)
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wayback lookup through the correctness gate: a URL-predicate
+    scan over CDX-indexed WARC segments plans ONLY the matching record
+    ranges (vf_warc url pushdown reads the URL-carrying sidecars at
+    planning; each hit is one seek + one gzip member), so fetching a
+    handful of pages out of a crawl costs a handful of record reads —
+    never a segment walk. The oracle selects the same sparse id set
+    relationally; exact text identity proves the index-driven path
+    returns precisely the demanded records."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_cdx_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
+    wanted = docs.filter(F.col("doc_id") % 211 == 42).select("url")
+    urls = [r.url for r in wanted.collect()]  # the lookup's query set:
+    # driver-sized by construction (sparse ids), exactly like a wayback
+    # request batch
+    rows = read_warc(spark, out_dir).filter(F.col("url").isin(urls))
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    )
+
+
 @query("q_video_neardup_pairs")
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection (rows-only: dHash kernel is
