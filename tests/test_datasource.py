@@ -99,3 +99,166 @@ def test_default_schemes_reject_file_urls(registered, corpus):
     [row] = df.collect()
     assert row["kind"] == "error" and "allowedSchemes" in row["error"]
     assert row["text"] is None and row["n_bytes"] == 0
+
+
+class TestDocsPushdown:
+    """pushFilters (Spark 4.1): url/source filters prune the manifest at
+    PLANNING — pruned URLs are never fetched — and kind filters drop rows
+    after the sniff. Exact semantics: the source claims these filters, so
+    it must enforce them fully in every mode."""
+
+    def test_url_prefix_prunes_fetches(self, registered, corpus):
+        """Partition count proves the prune happened at planning (one
+        kept URL -> one partition), and the absence of error rows proves
+        the DEAD links were never even fetched."""
+        from pyspark.sql import functions as F
+
+        urls = _urls(corpus, ["a.txt"]) + [
+            f"file://{corpus}/dead/{i}.txt" for i in range(6)
+        ]
+        df = (
+            _read(registered)
+            .option("urls", json.dumps(urls))
+            .option("numPartitions", "8")
+            .load()
+            .filter(F.col("url").startswith(f"file://{corpus}/a"))
+        )
+        assert df.rdd.getNumPartitions() == 1
+        rows = df.collect()
+        assert [r["source"] for r in rows] == ["a.txt"]
+        assert rows[0]["kind"] == "txt"
+
+    def test_source_isin_and_url_equality(self, registered, corpus):
+        from pyspark.sql import functions as F
+
+        urls = _urls(corpus, ["a.txt", "b.txt", "fake.pdf", "blob.bin"])
+        by_src = (
+            _read(registered)
+            .option("urls", json.dumps(urls))
+            .load()
+            .filter(F.col("source").isin("a.txt", "fake.pdf"))
+        )
+        assert {r["source"] for r in by_src.collect()} == {"a.txt", "fake.pdf"}
+        by_url = (
+            _read(registered)
+            .option("urls", json.dumps(urls))
+            .load()
+            .filter(F.col("url") == urls[1])
+        )
+        assert by_url.rdd.getNumPartitions() == 1
+        assert [r["source"] for r in by_url.collect()] == ["b.txt"]
+
+    def test_kind_filter_drops_after_sniff(self, registered, corpus):
+        from pyspark.sql import functions as F
+
+        urls = _urls(corpus, ["a.txt", "b.txt", "fake.pdf", "fake.docx", "blob.bin"])
+        df = _read(registered).option("urls", json.dumps(urls)).load()
+        assert df.filter(F.col("kind") == "txt").count() == 2
+        assert df.filter(F.col("kind").isin("pdf", "docx")).count() == 2
+        # conjunction of two different equalities = empty, never a union
+        both = df.filter((F.col("kind") == "txt") & (F.col("kind") == "pdf"))
+        assert both.count() == 0
+
+    def test_pruned_to_empty_is_empty_scan(self, registered, corpus):
+        from pyspark.sql import functions as F
+
+        urls = _urls(corpus, ["a.txt"])
+        df = (
+            _read(registered)
+            .option("urls", json.dumps(urls))
+            .load()
+            .filter(F.col("url").startswith("file:///nowhere"))
+        )
+        assert df.count() == 0
+
+    def test_pushed_results_match_unpushed(self, registered, corpus):
+        """Ground truth: pushdown is pure work-avoidance — the same
+        filters applied to the full collect give identical rows."""
+        from pyspark.sql import functions as F
+
+        urls = _urls(corpus, ["a.txt", "b.txt", "fake.pdf", "fake.docx", "blob.bin"])
+        base = _read(registered).option("urls", json.dumps(urls))
+        full = {
+            (r["source"], r["kind"])
+            for r in base.load().collect()
+            if r["kind"] in ("txt", "binary") and r["source"].startswith(("a", "b"))
+        }
+        pushed = {
+            (r["source"], r["kind"])
+            for r in base.load()
+            .filter(F.col("kind").isin("txt", "binary"))
+            .filter(F.col("source").isin("a.txt", "b.txt", "blob.bin"))
+            .collect()
+        }
+        assert pushed == full == {("a.txt", "txt"), ("b.txt", "txt"), ("blob.bin", "binary")}
+
+
+class TestDocsObjectStoreIO:
+    """The injectable io layer on the fetch path: object-store URL
+    schemes route through sources/openers.py (mount:<root> is the
+    stdlib-testable twin of the fsspec backend), while http/https/file
+    keep the stdlib urllib contract. Scheme gate still applies."""
+
+    def test_mount_backend_fetches_bucket_urls(self, registered, tmp_path):
+        bucket = tmp_path / "bucket" / "docs"
+        bucket.mkdir(parents=True)
+        (bucket / "m1.txt").write_text("mounted one")
+        (bucket / "m2.pdf").write_bytes(b"%PDF-1.7 payload")
+        urls = ["s3://bucket/docs/m1.txt", "s3://bucket/docs/m2.pdf"]
+        df = (
+            registered.read.format("vf_docs")
+            .option("urls", json.dumps(urls))
+            .option("allowedSchemes", "s3")
+            .option("io", f"mount:{tmp_path}")
+            .load()
+        )
+        rows = {r["source"]: r for r in df.collect()}
+        assert rows["m1.txt"]["kind"] == "txt" and rows["m1.txt"]["text"] == "mounted one"
+        assert rows["m2.pdf"]["kind"] == "pdf"
+        assert rows["m1.txt"]["url"] == "s3://bucket/docs/m1.txt"
+
+    def test_object_store_scheme_needs_optin(self, registered, tmp_path):
+        """s3:// without allowedSchemes opt-in -> error row, no fetch."""
+        df = (
+            registered.read.format("vf_docs")
+            .option("urls", json.dumps(["s3://bucket/docs/m1.txt"]))
+            .option("io", f"mount:{tmp_path}")
+            .load()
+        )
+        [row] = df.collect()
+        assert row["kind"] == "error" and "allowedSchemes" in row["error"]
+
+    def test_manifest_on_object_store(self, registered, tmp_path):
+        """The manifest file itself opens through the io layer."""
+        bucket = tmp_path / "bkt"
+        bucket.mkdir()
+        (bucket / "doc.txt").write_text("from mounted manifest")
+        (bucket / "manifest.txt").write_text("s3://bkt/doc.txt\n")
+        df = (
+            registered.read.format("vf_docs")
+            .option("manifest", "s3://bkt/manifest.txt")
+            .option("allowedSchemes", "s3")
+            .option("io", f"mount:{tmp_path}")
+            .load()
+        )
+        [row] = df.collect()
+        assert row["text"] == "from mounted manifest" and row["kind"] == "txt"
+
+    def test_mixed_scheme_manifest(self, registered, corpus, tmp_path):
+        """file:// via urllib and s3:// via the opener in ONE scan; a
+        dead mounted key stays a per-row error."""
+        bucket = tmp_path / "b2"
+        bucket.mkdir()
+        (bucket / "ok.txt").write_text("mounted ok")
+        urls = _urls(corpus, ["a.txt"]) + ["s3://b2/ok.txt", "s3://b2/gone.txt"]
+        df = (
+            registered.read.format("vf_docs")
+            .option("urls", json.dumps(urls))
+            .option("allowedSchemes", "file,s3")
+            .option("io", f"mount:{tmp_path}")
+            .load()
+        )
+        rows = {r["source"]: r for r in df.collect()}
+        assert rows["a.txt"]["text"] == "plain text alpha"
+        assert rows["ok.txt"]["text"] == "mounted ok"
+        assert rows["gone.txt"]["kind"] == "error" and rows["gone.txt"]["error"]

@@ -9244,3 +9244,82 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("w.end")).alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "q_docs_bulk_fetch",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+                WHEN substr(text, 1, 2) = 'PK' THEN 'docx'
+                ELSE 'txt' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(text, 1, 4) = '%PDF' OR substr(text, 1, 2) = 'PK'
+                THEN md5('') ELSE md5(text) END AS text_md5
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_docs_bulk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BULK-URL ingestion cycle through ``vf_docs`` (the reference's
+    presigned-URL path S6 made cluster-scale, sources/datasource.py):
+    every 7th document is materialized as a ``.txt`` file by a
+    DISTRIBUTED mapInPandas writer (no driver loop over payloads), the
+    resulting URL manifest feeds ``spark.read.format("vf_docs")``, and
+    the fetches run on executors — partitioned, Arrow-batched, with the
+    same MIME sniff the binaryFile path uses. The oracle is exact
+    payload identity (md5 over the fetched bytes re-derived from the
+    table), so a hash-match proves the writer, the manifest plumbing,
+    the executor-side fetch and the sniff classification all at once.
+    The manifest ``collect()`` is driver-sized by construction: a
+    manifest IS driver-resident metadata in this source (VfDocsReader
+    holds the URL list for planning-time pushdown pruning), and each row
+    is one short path string, never a payload."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from vectorflow_spark.sources import datasource
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_docs_fetch_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_files(pdfs):
+        for pdf in pdfs:
+            urls = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                p = os.path.join(out_dir, f"{int(doc_id)}.txt")
+                with open(p, "wb") as f:
+                    f.write(str(text).encode("utf-8"))
+                urls.append("file://" + p)
+            yield pd.DataFrame({"url": urls})
+
+    urls = [r.url for r in docs.mapInPandas(write_files, "url string").collect()]
+    datasource.register(spark)
+    fetched = (
+        spark.read.format("vf_docs")
+        .option("urls", _json.dumps(sorted(urls)))
+        .option("allowedSchemes", "http,https,file")
+        .option("numPartitions", "32")
+        .load()
+    )
+    return fetched.select(
+        F.split(F.col("source"), r"\.").getItem(0).cast("bigint").alias("doc_id"),
+        "kind",
+        "n_bytes",
+        F.when(F.col("kind") == "txt", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .otherwise(F.md5(F.lit("")))
+        .alias("text_md5"),
+    )

@@ -19,11 +19,35 @@ Why a real DataSource instead of a UDF over a manifest DataFrame:
   utf-8 probe) classifies each payload so the extract dispatch (S1-S5)
   composes unchanged.
 
-Offline-testable with file:// URLs (stdlib urllib; no extra deps), which
-is how tests/test_datasource.py exercises it. Failure policy mirrors the
-reference's per-file accounting (A4): a fetch error yields a row with
-kind='error' and the message in ``error`` instead of killing the scan —
-at 100 TB a 1-in-a-million dead link must not fail a 6-hour job.
+Scale features (mirroring ``vf_warc``/``vf_tar``):
+
+* **Injectable IO** — ``.option("io", ...)`` routes non-HTTP URL schemes
+  through the shared opener layer (sources/openers.py): ``io=auto``
+  resolves ``file://`` locally and any other scheme via fsspec
+  (import-gated; ``io_register`` hook for credentials), ``io=mount:<root>``
+  maps ``scheme://bucket/key`` under a FUSE mount. http/https always go
+  through stdlib urllib (the presigned-URL contract). The ``manifest``
+  option itself may live on an object store and is opened the same way.
+* **Arrow transfer** — rows ride RecordBatches (one Arrow transfer per
+  batch instead of per-row pickling), flushed at 256 rows / 16 MB of
+  payload so a batch of 1 MB documents stays memory-bounded.
+* **Scan pushdown** (Spark 4.1 ``pushFilters``; the conf is set by
+  ``register()``): ``url`` equality/IN/prefix and ``source`` equality/IN
+  prune the manifest AT PLANNING — non-matching URLs are never fetched,
+  which is the difference between a 40-request wayback-style lookup and
+  a million GETs; ``kind`` equality/IN drops rows after the sniff so
+  filtered payloads never become Arrow rows.
+
+The scheme gate stays strict: a manifest is untrusted input, and fetches
+run on executors inside the cluster network — object-store schemes must
+be opted into via ``allowedSchemes`` exactly like ``file``.
+
+Offline-testable with file:// URLs and the mount backend (stdlib only),
+which is how tests/test_datasource.py exercises it. Failure policy
+mirrors the reference's per-file accounting (A4): a fetch error yields a
+row with kind='error' and the message in ``error`` instead of killing
+the scan — at 100 TB a 1-in-a-million dead link must not fail a 6-hour
+job.
 """
 
 from __future__ import annotations
@@ -32,6 +56,8 @@ import json
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
+
+from vectorflow_spark.sources.openers import _resolve_io, _strip_scheme
 
 _SCHEMA = (
     "url string, source string, kind string, n_bytes long, text string, error string"
@@ -43,12 +69,34 @@ class _ManifestPartition(InputPartition):
         self.urls = urls
 
 
+def _basename(url: str) -> str:
+    import pathlib
+    import urllib.parse
+
+    return pathlib.Path(urllib.parse.urlparse(url).path).name or url
+
+
+def sniff_kind(payload: bytes) -> tuple[str, str | None]:
+    """The shared MIME sniff: magic-byte prefixes, then a utf-8 probe."""
+    if payload[:4] == b"%PDF":
+        return "pdf", None
+    if payload[:2] == b"PK":
+        return "docx", None
+    try:
+        return "txt", payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return "binary", None
+
+
 class VfDocsReader(DataSourceReader):
     def __init__(self, options: dict):
+        self.io = options.get("io", "auto")
+        self.io_register = options.get("io_register")
         manifest = options.get("manifest")
         if manifest:
-            with open(manifest) as f:
-                self.urls = [ln.strip() for ln in f if ln.strip()]
+            self.urls = [
+                ln.strip() for ln in self._read_manifest(manifest).splitlines() if ln.strip()
+            ]
         else:
             self.urls = json.loads(options.get("urls", "[]"))
         self.num_partitions = int(options.get("numpartitions", "8"))
@@ -56,62 +104,172 @@ class VfDocsReader(DataSourceReader):
         # executors inside the cluster network — without a scheme gate a
         # hostile manifest line can read worker-local files (file://) or
         # probe internal endpoints. Default http/https; tests opt in to
-        # file:// explicitly via .option("allowedSchemes", "...,file").
+        # file:// explicitly via .option("allowedSchemes", "...,file"),
+        # and object-store schemes (s3, gs, ...) opt in the same way.
         self.allowed_schemes = frozenset(
             s.strip().lower()
             for s in options.get("allowedschemes", "http,https").split(",")
             if s.strip()
         )
 
+    def _read_manifest(self, manifest: str) -> str:
+        """The manifest file itself may sit on an object store — open it
+        through the same io layer as the payload URLs. Driver-side, so a
+        missing backend is a loud error, not a per-row one."""
+        import contextlib
+
+        scheme = _strip_scheme(manifest)[0]
+        if scheme in ("file",) and "://" not in manifest:
+            with open(manifest) as f:
+                return f.read()
+        with contextlib.closing(
+            _resolve_io(self.io, manifest, self.io_register).open(manifest)
+        ) as f:
+            return f.read().decode("utf-8")
+
+    def pushFilters(self, filters):
+        """``url``/``source`` filters prune the manifest at PLANNING time
+        (pruned URLs are never fetched); ``kind`` filters drop rows after
+        the payload sniff. Conjunction semantics: same-attribute value
+        sets intersect; accepted filters are fully enforced here, so they
+        are consumed (not returned). Returned filters are the INPUT
+        objects by reference, per the API contract."""
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
+
+        self.kind_values: set[str] | None = None
+        url_values: set[str] | None = None
+        url_prefixes: list[str] = []
+        source_values: set[str] | None = None
+
+        def narrow(current: set[str] | None, vals: set[str]) -> set[str]:
+            return vals if current is None else current & vals
+
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, EqualTo) and attr == ("url",) and isinstance(f.value, str):
+                url_values = narrow(url_values, {f.value})
+            elif isinstance(f, In) and attr == ("url",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                url_values = narrow(url_values, set(f.value))
+            elif isinstance(f, StringStartsWith) and attr == ("url",) and isinstance(
+                f.value, str
+            ):
+                url_prefixes.append(f.value)
+            elif isinstance(f, EqualTo) and attr == ("source",) and isinstance(f.value, str):
+                source_values = narrow(source_values, {f.value})
+            elif isinstance(f, In) and attr == ("source",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                source_values = narrow(source_values, set(f.value))
+            elif isinstance(f, EqualTo) and attr == ("kind",) and isinstance(f.value, str):
+                self.kind_values = narrow(self.kind_values, {f.value})
+            elif isinstance(f, In) and attr == ("kind",) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                self.kind_values = narrow(self.kind_values, set(f.value))
+            else:
+                remaining.append(f)
+
+        def keep(url: str) -> bool:
+            if url_values is not None and url not in url_values:
+                return False
+            if source_values is not None and _basename(url) not in source_values:
+                return False
+            return all(url.startswith(p) for p in url_prefixes)
+
+        if url_values is not None or source_values is not None or url_prefixes:
+            self.urls = [u for u in self.urls if keep(u)]
+        return remaining
+
     def partitions(self):
         n = max(1, min(self.num_partitions, len(self.urls) or 1))
         slices = [self.urls[i::n] for i in range(n)]
-        return [_ManifestPartition(s) for s in slices if s]
+        return [_ManifestPartition(s) for s in slices if s] or [_ManifestPartition([])]
 
-    def read(self, partition: _ManifestPartition):
-        # runs on the executor: stdlib-only so no cluster deps
-        import pathlib
-        import urllib.parse
+    def _fetch(self, url: str, scheme: str) -> bytes:
+        """One payload: stdlib urllib for http/https/file (the presigned
+        contract), the injectable opener for everything else. Openers are
+        cached per scheme so a mixed-scheme manifest resolves each
+        backend once per task."""
+        import contextlib
         import urllib.request
 
+        if scheme in ("http", "https", "file"):
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return r.read()
+        openers = getattr(self, "_openers", None)
+        if openers is None:
+            openers = self._openers = {}
+        fs = openers.get(scheme)
+        if fs is None:
+            fs = openers[scheme] = _resolve_io(self.io, url, self.io_register)
+        with contextlib.closing(fs.open(url)) as f:
+            return f.read()
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_openers", None)
+        return d
+
+    def read(self, partition: _ManifestPartition):
+        """Rows ride ARROW RecordBatches, flushed at 256 rows / 16 MB of
+        payload bytes (openers.arrow_record_batches)."""
+        import pyarrow as pa
+
+        from vectorflow_spark.sources.openers import arrow_record_batches
+
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("source", pa.string()),
+                ("kind", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("text", pa.string()),
+                ("error", pa.string()),
+            ]
+        )
+        return arrow_record_batches(self._rows(partition), schema, size_idx=3)
+
+    def _rows(self, partition: _ManifestPartition):
+        # runs on the executor: stdlib-only unless an opener needs more
+        import urllib.parse
+
+        kinds = getattr(self, "kind_values", None)
         for url in partition.urls:
-            parsed = urllib.parse.urlparse(url)
-            name = pathlib.Path(parsed.path).name or url
-            if parsed.scheme.lower() not in self.allowed_schemes:
+            scheme = urllib.parse.urlparse(url).scheme.lower()
+            name = _basename(url)
+            if scheme not in self.allowed_schemes:
+                if kinds is not None and "error" not in kinds:
+                    continue
                 yield (
                     url,
                     name,
                     "error",
                     0,
                     None,
-                    f"scheme '{parsed.scheme}' not in allowedSchemes "
+                    f"scheme '{scheme}' not in allowedSchemes "
                     f"({','.join(sorted(self.allowed_schemes))})",
                 )
                 continue
             try:
-                with urllib.request.urlopen(url, timeout=30) as r:
-                    payload = r.read()
+                payload = self._fetch(url, scheme)
             except Exception as e:  # noqa: BLE001 — per-file accounting, A4
+                if kinds is not None and "error" not in kinds:
+                    continue
                 yield (url, name, "error", 0, None, str(e)[:500])
                 continue
-            head = payload[:4]
-            if head[:4] == b"%PDF":
-                kind, text = "pdf", None
-            elif head[:2] == b"PK":
-                kind, text = "docx", None
-            else:
-                try:
-                    text = payload.decode("utf-8")
-                    kind = "txt"
-                except UnicodeDecodeError:
-                    kind, text = "binary", None
+            kind, text = sniff_kind(payload)
+            if kinds is not None and kind not in kinds:
+                continue  # pushed kind filter: dropped before Arrow
             yield (url, name, kind, len(payload), text, None)
 
 
 class VfDocsDataSource(DataSource):
     """``spark.read.format("vf_docs").option("manifest", path)`` or
     ``.option("urls", json_list)``; register once per session with
-    ``spark.dataSource.register(VfDocsDataSource)``."""
+    ``datasource.register(spark)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -125,4 +283,7 @@ class VfDocsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters(); Spark refuses to plan a
+    # pushFilters-defining source unless the conf is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VfDocsDataSource)
