@@ -559,3 +559,113 @@ class TestDispatch:
             px = decode_image(make_fake_image(str(i)))
             tw = decode_jpeg(encode_jpeg(px, quality=100))
             assert bin(dhash(px) ^ dhash(tw)).count("1") <= 6
+
+
+class TestOptimizedHuffman:
+    """Two-pass optimized entropy coding (encode_jpeg(optimize=True),
+    T.81 Annex K.2): the quantized coefficients are untouched, so the
+    decode must be BIT-IDENTICAL to the standard-table encode — only the
+    entropy layer and the (now symbol-pruned) DHT segments differ."""
+
+    def test_table_builder_hand_example(self):
+        """Two equal-frequency symbols + the reserved 256: symbol 0 gets
+        the 1-bit code, symbol 1 the 2-bit one (256 absorbed the all-1s
+        slot at max depth and is then dropped)."""
+        from vectorflow_spark.operators.jpegmini import optimal_huffman_table
+
+        bits, vals = optimal_huffman_table({0: 1, 1: 1})
+        assert bits == [1, 1] + [0] * 14
+        assert vals == [0, 1]
+
+    def test_table_builder_skewed_freqs(self):
+        """A strongly skewed distribution: the hot symbol must get the
+        shortest code, Kraft strictly < 1 (the reserved all-ones leaf
+        stays unassigned), all lengths <= 16, values unique."""
+        from vectorflow_spark.operators.jpegmini import optimal_huffman_table
+
+        counts = {s: 1 << max(0, 20 - s) for s in range(40)}
+        bits, vals = optimal_huffman_table(counts)
+        assert sum(bits) == len(vals) == 40
+        assert len(set(vals)) == 40
+        assert vals[0] == 0  # most frequent symbol owns the shortest code
+        kraft = sum(n / (1 << (ln + 1)) for ln, n in enumerate(bits))
+        assert kraft < 1.0
+
+    def test_length_limit_sixteen(self):
+        """257 near-equal tiny frequencies would want depth ~9; a
+        fibonacci-ish blowup wants depth > 16 — ADJUST_BITS must cap it."""
+        from vectorflow_spark.operators.jpegmini import optimal_huffman_table
+
+        a, b, counts = 1, 1, {}
+        for s in range(30):
+            counts[s] = a
+            a, b = b, a + b
+        bits, vals = optimal_huffman_table(counts)
+        assert sum(bits) == len(vals) == 30
+        assert all(b >= 0 for b in bits)
+        kraft = sum(n / (1 << (ln + 1)) for ln, n in enumerate(bits))
+        assert kraft <= 1.0
+
+    def test_empty_counts_empty_table(self):
+        from vectorflow_spark.operators.jpegmini import optimal_huffman_table
+
+        assert optimal_huffman_table({}) == ([0] * 16, [])
+
+    @pytest.mark.parametrize("quality", [50, 85, 100])
+    def test_decode_bit_identical_to_standard_tables(self, quality):
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        for i in range(6):
+            px = decode_image(make_fake_image(str(i)))
+            std = encode_jpeg(px, quality=quality)
+            opt = encode_jpeg(px, quality=quality, optimize=True)
+            assert np.array_equal(decode_jpeg(std), decode_jpeg(opt))
+
+    def test_optimized_is_smaller(self):
+        """On realistic content the measured-frequency tables beat the
+        Annex K defaults — both in entropy bytes and in DHT size."""
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        total_std = total_opt = 0
+        for i in range(8):
+            px = decode_image(make_fake_image(str(i)))
+            total_std += len(encode_jpeg(px, quality=85))
+            total_opt += len(encode_jpeg(px, quality=85, optimize=True))
+        assert total_opt < total_std
+
+    def test_noise_and_edge_shapes(self):
+        """Pure noise (dense AC symbols), grayscale, and a flat image
+        (degenerate 1-symbol tables) all roundtrip identically."""
+        rng = np.random.default_rng(9)
+        cases = [
+            rng.integers(0, 256, (64, 48, 3), dtype=np.uint8),
+            rng.integers(0, 256, (17, 23), dtype=np.uint8),
+            np.full((8, 8, 3), 128, dtype=np.uint8),
+            np.full((3, 5), 0, dtype=np.uint8),
+        ]
+        for px in cases:
+            std = encode_jpeg(px, quality=100)
+            opt = encode_jpeg(px, quality=100, optimize=True)
+            assert np.array_equal(decode_jpeg(std), decode_jpeg(opt))
+
+    def test_counting_pass_matches_emission(self):
+        """The optimize pass tallies through the REAL _encode_block, so
+        every symbol pass 2 emits is in the tables — a foreign decoder
+        contract check: our own strict decoder raises on any undefined
+        code, so a successful decode proves full coverage."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(seed=st.integers(0, 2**31 - 1), q=st.integers(30, 100))
+        @settings(max_examples=15, deadline=None)
+        def inner(seed, q):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, (rng.integers(1, 33), rng.integers(1, 33), 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(px, quality=q, optimize=True)),
+                decode_jpeg(encode_jpeg(px, quality=q)),
+            )
+
+        inner()

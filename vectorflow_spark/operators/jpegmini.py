@@ -720,6 +720,95 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+class _NullWriter:
+    """Sink for the optimize=True counting pass."""
+
+    def write(self, value: int, n: int) -> None:
+        pass
+
+
+class _CountingCodes:
+    """Stands in for a symbol->(code, length) dict during the counting
+    pass: every lookup tallies the symbol and returns a zero-length
+    write. Because it runs through the REAL ``_encode_block``, the tally
+    is symbol-for-symbol what pass 2 will emit — the two passes cannot
+    drift."""
+
+    def __init__(self) -> None:
+        self.counts: dict[int, int] = {}
+
+    def __getitem__(self, symbol: int) -> tuple[int, int]:
+        self.counts[symbol] = self.counts.get(symbol, 0) + 1
+        return (0, 0)
+
+
+def optimal_huffman_table(counts: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited (<=16 bit) Huffman table for the measured
+    symbol frequencies — T.81 Annex K.2 (figures K.1-K.4): pairwise
+    least-frequency merge with the largest-value tie-break, code-length
+    histogram, the ADJUST_BITS push-down for lengths past 16, and the
+    reserved symbol 256 guaranteeing no real symbol gets the all-ones
+    codeword. Returns (bits[16], huffval) exactly as a DHT segment wants
+    them. Deterministic for a given count multiset."""
+    freq = [0] * 257
+    for sym, c in counts.items():
+        if not 0 <= sym <= 255:
+            raise ValueError(f"huffman symbol out of range: {sym}")
+        if c > 0:
+            freq[sym] = int(c)
+    freq[256] = 1  # K.2: reserve the all-1s code point
+    if sum(1 for f in freq if f > 0) < 2:
+        return [0] * 16, []  # no real symbols: an empty (unused) table
+    codesize = [0] * 257
+    others = [-1] * 257
+
+    while True:
+        # v1 = least nonzero freq (largest symbol on ties); v2 = next
+        cands = sorted((f, -i) for i, f in enumerate(freq) if f > 0)
+        if len(cands) < 2:
+            break
+        v1, v2 = -cands[0][1], -cands[1][1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+
+    bits = [0] * 60  # index = code length; merge depth < 57 for 257 leaves
+    for cs in codesize:
+        if cs:
+            bits[cs] += 1
+
+    # ADJUST_BITS (figure K.3): fold any length > 16 down by moving one
+    # prefix up — removes two leaves at i, adds one at i-1 and a pair
+    # below the nearest shorter occupied level.
+    i = len(bits) - 1
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # drop the reserved symbol's code (it sits at the longest length)
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+
+    huffval = [s for _, s in sorted((codesize[s], s) for s in range(256) if codesize[s])]
+    return bits[1:17], huffval
+
+
 def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -822,13 +911,45 @@ def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables) -> 
     return bytes(out)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling)."""
+def encode_jpeg(px: np.ndarray, quality: int = 85, optimize: bool = False) -> bytes:
+    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling).
+
+    ``optimize=True`` is the two-pass mode real encoders ship (cjpeg
+    -optimize, mozjpeg's default): pass 1 runs the identical block walk
+    through ``_CountingCodes`` to tally the exact DC/AC symbol stream,
+    ``optimal_huffman_table`` builds per-table-class length-limited
+    canonical codes from those frequencies (T.81 Annex K.2), and pass 2
+    encodes with them. The quantized coefficients are untouched, so
+    decode(optimized) == decode(standard) BIT-IDENTICALLY — only the
+    entropy layer (and the DHT segments, which shrink to the symbols
+    actually used) changes."""
     h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
     ncomp = len(all_zz)
 
-    dc_lum_codes, ac_lum_codes = _encode_codes(*DC_LUM), _encode_codes(*AC_LUM)
-    dc_chrom_codes, ac_chrom_codes = _encode_codes(*DC_CHROM), _encode_codes(*AC_CHROM)
+    if optimize:
+        null = _NullWriter()
+        dc_cnt = [_CountingCodes(), _CountingCodes()]
+        ac_cnt = [_CountingCodes(), _CountingCodes()]
+        preds = [0] * ncomp
+        for blk in range(bh * bw):
+            for ci in range(ncomp):
+                t = 0 if ci == 0 else 1
+                preds[ci] = _encode_block(
+                    null, all_zz[ci][blk], preds[ci], dc_cnt[t], ac_cnt[t]
+                )
+        dc_lum_t = optimal_huffman_table(dc_cnt[0].counts)
+        ac_lum_t = optimal_huffman_table(ac_cnt[0].counts)
+        if ncomp > 1:
+            dc_chrom_t = optimal_huffman_table(dc_cnt[1].counts)
+            ac_chrom_t = optimal_huffman_table(ac_cnt[1].counts)
+    else:
+        dc_lum_t, ac_lum_t = DC_LUM, AC_LUM
+        dc_chrom_t, ac_chrom_t = DC_CHROM, AC_CHROM
+
+    dc_lum_codes, ac_lum_codes = _encode_codes(*dc_lum_t), _encode_codes(*ac_lum_t)
+    if ncomp > 1:
+        dc_chrom_codes = _encode_codes(*dc_chrom_t)
+        ac_chrom_codes = _encode_codes(*ac_chrom_t)
     writer = _BitWriter()
     preds = [0] * ncomp
     for blk in range(bh * bw):
@@ -838,9 +959,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
             preds[ci] = _encode_block(writer, all_zz[ci][blk], preds[ci], dc_c, ac_c)
     entropy = writer.flush()
 
-    tables = [(0, 0, DC_LUM), (1, 0, AC_LUM)]
+    tables = [(0, 0, dc_lum_t), (1, 0, ac_lum_t)]
     if ncomp > 1:
-        tables += [(0, 1, DC_CHROM), (1, 1, AC_CHROM)]
+        tables += [(0, 1, dc_chrom_t), (1, 1, ac_chrom_t)]
     out = bytearray(_header_bytes(0xC0, h, w, ncomp, q_lum, q_chrom, tables))
     sos = bytes([ncomp])
     for ci in range(ncomp):

@@ -9323,3 +9323,86 @@ def q_docs_bulk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5(F.lit("")))
         .alias("text_md5"),
     )
+
+
+@query(
+    "q_jpeg_optimize_recompress",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 16 AS INT) AS w,
+           CAST(12 + doc_id % 8 AS INT) AS h,
+           (doc_id % 3 = 0) AS gray,
+           TRUE AS bit_identical,
+           TRUE AS opt_smaller
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_jpeg_optimize_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless STORAGE-RECOMPRESSION pass over an image corpus — the
+    petabyte-scale win real archives run (jpegtran/mozjpeg style): each
+    baseline JPEG is re-encoded with measured-frequency optimized Huffman
+    tables (operators/jpegmini.encode_jpeg(optimize=True), T.81 Annex
+    K.2 two-pass), which changes ONLY the entropy layer. The query
+    verifies both contracts per asset inside the scan — decode
+    bit-identity between the standard-table and optimized encodes, and
+    strict size reduction — and returns them as oracle-checked booleans,
+    so a single hash-match proves the symbol-counting pass, the
+    length-limited table builder and the DHT emission over 250 varied
+    images (sizes 16-31 x 12-19, every third grayscale). Embarrassingly
+    parallel: one Arrow-batched projection, no shuffle; at 100 TB this
+    runs as a mapInPandas over the blob store with the same kernel."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("gray", BooleanType()),
+            StructField("bit_identical", BooleanType()),
+            StructField("opt_smaller", BooleanType()),
+        ]
+    )
+
+    def recompress(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.jpegmini import decode_jpeg, encode_jpeg
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, gray = 16 + i % 16, 12 + i % 8, i % 3 == 0
+                px = decode_image(make_fake_image(str(i), width=w, height=h))
+                if gray:
+                    px = px[:, :, 0]
+                std = encode_jpeg(px, quality=85)
+                opt = encode_jpeg(px, quality=85, optimize=True)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        gray,
+                        bool(np.array_equal(decode_jpeg(std), decode_jpeg(opt))),
+                        len(opt) < len(std),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(recompress, out_schema)
