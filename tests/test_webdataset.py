@@ -322,3 +322,49 @@ def test_samples_compose_with_text_operators(spark, tmp_path):
         F.sum("n_tokens")
     ).first()[0]
     assert n == 60 * 2  # "text <i>"
+
+
+class TestByteBalancedRangePartitions:
+    """bytesPerTask: with skewed member sizes a pure sample count makes
+    straggler tasks — a range chunk must close when EITHER the sample
+    budget or the byte budget hits, still never cutting a sample."""
+
+    def _skewed(self, spark, n=30):
+        # every 10th sample carries a ~50 KB payload among ~20 B ones
+        return spark.range(0, n).select(
+            F.concat(F.lit("s-"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("key"),
+            F.when(F.col("id") % 10 == 0, F.expr("repeat('x', 50000)"))
+            .otherwise(F.concat(F.lit("small "), F.col("id")))
+            .alias("txt"),
+            F.to_json(F.struct(F.col("id").alias("n"))).alias("json"),
+        )
+
+    def test_byte_budget_splits_skewed_shard(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_webdataset(
+            self._skewed(spark), d, "key", {"txt": "txt", "json": "json"},
+            n_shards=1, index=True,
+        ).count()
+        # sample budget alone would keep all 30 samples in ONE partition
+        by_count = read_tar(spark, d, samples_per_task=2048)
+        assert by_count.rdd.getNumPartitions() == 1
+        # a 40 KB byte budget (under one big member) forces a split at
+        # the next sample boundary after every big sample
+        by_bytes = read_tar(spark, d, samples_per_task=2048, bytes_per_task=40_000)
+        assert by_bytes.rdd.getNumPartitions() == 4
+        a = sorted((r.shard, r.member, bytes(r.data)) for r in by_count.collect())
+        b = sorted((r.shard, r.member, bytes(r.data)) for r in by_bytes.collect())
+        assert a == b and len(a) == 60
+
+    def test_byte_split_is_sample_aligned(self, spark, tmp_path):
+        d = str(tmp_path)
+        write_webdataset(
+            self._skewed(spark, n=20), d, "key", {"txt": "txt", "json": "json"},
+            n_shards=1, index=True,
+        ).count()
+        rows = read_tar(spark, d, samples_per_task=2048, bytes_per_task=1)
+        # 1-byte budget = maximal byte splitting = one sample per chunk,
+        # and assembly must still see every pair whole
+        assert rows.rdd.getNumPartitions() == 20
+        samples = webdataset_samples(rows).collect()
+        assert len(samples) == 20 and all(r.n_parts == 2 for r in samples)

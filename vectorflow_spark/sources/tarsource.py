@@ -97,6 +97,10 @@ class VfTarReader(DataSourceReader):
         if self.index not in ("auto", "never", "require"):
             raise ValueError(f"index must be auto|never|require, got {self.index!r}")
         self.samples_per_task = int(options.get("samplespertask", "2048"))
+        # byte budget per range partition: with skewed member sizes (a
+        # few 100 MB videos among 10 KB captions) a pure sample count
+        # makes straggler tasks — a chunk closes when EITHER bound hits.
+        self.bytes_per_task = int(options.get("bytespertask", str(128 << 20)))
 
     def _fs(self):
         fs = getattr(self, "_fs_cache", None)
@@ -183,20 +187,28 @@ class VfTarReader(DataSourceReader):
                 parts.append(_TarShardPartition(p))
                 continue
             # split at SAMPLE boundaries (never inside a key) so the
-            # zero-shuffle assembly stays correct under range partitions
+            # zero-shuffle assembly stays correct under range partitions;
+            # a chunk closes at samplesPerTask OR bytesPerTask, whichever
+            # hits first, so byte-skewed shards stay balanced
             chunk: list = []
             n_samples = 0
+            chunk_bytes = 0
             last_key = None
             for meta in metas:
                 key = split_member_name(meta[0])[0]
                 if key != last_key:
-                    if n_samples >= self.samples_per_task and chunk:
+                    if chunk and (
+                        n_samples >= self.samples_per_task
+                        or chunk_bytes >= self.bytes_per_task
+                    ):
                         parts.append(_TarRangePartition(p, chunk))
                         chunk = []
                         n_samples = 0
+                        chunk_bytes = 0
                     n_samples += 1
                     last_key = key
                 chunk.append(meta)
+                chunk_bytes += meta[2]
             if chunk:
                 parts.append(_TarRangePartition(p, chunk))
         return parts

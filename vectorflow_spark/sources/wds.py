@@ -34,13 +34,16 @@ def read_tar(
     io_register: str | None = None,
     index: str = "auto",
     samples_per_task: int | None = None,
+    bytes_per_task: int | None = None,
 ) -> DataFrame:
     """One row per tar member across every shard under ``path`` (vf_tar:
     one partition per shard — or many sample-aligned RANGE partitions
     per shard when the ``_<shard>.tar.idx.json`` sidecar exists and
     ``index`` allows (auto|never|require) — members streamed or
-    seek-read; same ``io`` backends and pushdown as vf_warc — see
-    sources/tarsource.py)."""
+    seek-read; a range chunk closes at ``samples_per_task`` samples OR
+    ``bytes_per_task`` bytes (default 128 MB), whichever hits first, so
+    byte-skewed shards split into balanced tasks; same ``io`` backends
+    and pushdown as vf_warc — see sources/tarsource.py)."""
     from vectorflow_spark.sources import tarsource
 
     tarsource.register(spark)
@@ -56,6 +59,8 @@ def read_tar(
         reader = reader.option("io_register", io_register)
     if samples_per_task is not None:
         reader = reader.option("samplesPerTask", str(samples_per_task))
+    if bytes_per_task is not None:
+        reader = reader.option("bytesPerTask", str(bytes_per_task))
     return reader.load(path)
 
 
