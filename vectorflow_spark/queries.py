@@ -9406,3 +9406,49 @@ def q_jpeg_optimize_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(recompress, out_schema)
+
+
+@query(
+    "q_split_leakage_audit",
+    f"""
+    WITH cand AS ({_minhash_pairs_sql()}),
+    x AS (
+        SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS holdout_doc,
+               CASE WHEN a % 10 = 7 THEN b ELSE a END AS train_doc
+        FROM cand
+        WHERE (a % 10 = 7) <> (b % 10 = 7)
+    )
+    SELECT holdout_doc,
+           CAST(count(*) AS BIGINT) AS n_train_neardups,
+           CAST(min(train_doc) AS BIGINT) AS nearest_train_doc
+    FROM x GROUP BY 1
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout SPLIT-LEAKAGE audit — the eval-hygiene gate run
+    before trusting a benchmark number: documents split 90/10 by a
+    deterministic id rule (doc_id % 10 = 7 is the holdout; at 100 TB the
+    rule is a hash of a stable doc key, same plan), then every
+    MinHash-LSH candidate near-dup pair CROSSING the boundary is charged
+    to its holdout-side doc — a holdout doc with train near-dups is a
+    leaked eval item (the model saw a near-copy in training). Output:
+    one row per leaked holdout doc with its train-side near-dup count
+    and the smallest offending train doc id. Composes the verified
+    candidate generator (operators/dedup.minhash_candidate_pairs);
+    the only data-sized shuffle is the generator's own uniform
+    (band, bucket) key — the split predicate and the final rollup ride
+    on the tiny pair set."""
+    from vectorflow_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    cand = minhash_candidate_pairs(docs)
+    a_h = F.col("a") % 10 == 7
+    b_h = F.col("b") % 10 == 7
+    crossing = cand.filter(a_h != b_h).select(
+        F.when(a_h, F.col("a")).otherwise(F.col("b")).alias("holdout_doc"),
+        F.when(a_h, F.col("b")).otherwise(F.col("a")).alias("train_doc"),
+    )
+    return crossing.groupBy("holdout_doc").agg(
+        F.count(F.lit(1)).alias("n_train_neardups"),
+        F.min("train_doc").alias("nearest_train_doc"),
+    )
