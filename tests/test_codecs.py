@@ -602,10 +602,15 @@ class TestMp3Meta:
             decode_audio(blob)  # headers parse; samples refuse
 
 
-def test_webp_and_mp3_magic_still_refused():
-    # WebP carries a RIFF magic but is not WAV; MP3 has no supported path.
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+def test_lossy_webp_refused_mp3_decode_refused():
+    """WebP-LOSSLESS is a supported container now (operators/webpmini.py);
+    the LOSSY VP8 profile inside a WEBP RIFF must refuse loudly, and MP3
+    still has no sample-decode path."""
+    import struct as _struct
+
+    lossy = b"RIFF" + _struct.pack("<I", 16) + b"WEBP" + b"VP8 " + _struct.pack("<I", 4) + b"\0" * 4
+    with pytest.raises(ValueError, match="lossy"):
+        decode_image(lossy)
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
 

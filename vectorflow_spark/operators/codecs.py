@@ -860,10 +860,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     if data[:4] == GIF_MAGIC:
         return np.ascontiguousarray(decode_gif(data)[0])
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from vectorflow_spark.operators.webpmini import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
         "image decode supports the FAKE codec, BMP, PNG, JPEG "
-        "(baseline + progressive) and GIF; WebP needs external libraries "
-        "not installed in this environment"
+        "(baseline + progressive), GIF and WebP-lossless (VP8L); "
+        "lossy WebP (VP8) refuses inside the VP8L walker"
     )
 
 
@@ -894,6 +898,10 @@ def encode_image_like(px: np.ndarray, container: bytes) -> bytes:
             else 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
         )
         return encode_gif(np.clip(np.rint(luma), 0, 255).astype(np.uint8))
+    if container[:4] == b"RIFF" and container[8:12] == b"WEBP":
+        from vectorflow_spark.operators.webpmini import encode_webp
+
+        return encode_webp(px)
     raise NotImplementedError("unsupported image container")
 
 

@@ -75,12 +75,12 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 def decode_meta(data: bytes) -> dict:
     """Parse container headers into typed metadata: FAKE family, BMP,
-    PNG, JPEG, GIF (single-frame -> image, animated -> video), MJPEG
-    AVI, MP3 frame headers (header fields only — pixels/samples stay
-    compressed/untouched) and PCM WAV (stdlib wave). MP4 would dispatch
-    to its library here — absent in this environment, so it raises
-    instead of silently guessing (MP3 SAMPLE decode likewise stays
-    refused; only its headers parse)."""
+    PNG, JPEG, GIF (single-frame -> image, animated -> video),
+    WebP-lossless, MJPEG AVI, MP3 frame headers (header fields only —
+    pixels/samples stay compressed/untouched) and PCM WAV (stdlib wave).
+    MP4 would dispatch to its library here — absent in this environment,
+    so it raises instead of silently guessing (MP3 SAMPLE decode
+    likewise stays refused; only its headers parse)."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -134,6 +134,11 @@ def decode_meta(data: bytes) -> dict:
                 f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, compression={compression})"
             )
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
+    if magic == codecs.RIFF_MAGIC and data[8:12] == b"WEBP":
+        from vectorflow_spark.operators.webpmini import webp_meta
+
+        w, h, c = webp_meta(bytes(data))
+        return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC:
         samples, rate = codecs.decode_wav(bytes(data))  # WAVE form (AVI matched above)
         return {"kind": "audio", "sample_rate": rate, "n_samples": len(samples), "n_bytes": len(data)}
@@ -147,8 +152,9 @@ def decode_meta(data: bytes) -> dict:
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     raise NotImplementedError(
         "codec decode supports the FAKE family, BMP, PNG, JPEG "
-        "(baseline/progressive), PCM WAV and MJPEG AVI; WebP/MP3/MP4 "
-        "require external libraries not installed in this environment"
+        "(baseline/progressive), GIF, WebP-lossless, PCM WAV, MP3 "
+        "headers and MJPEG AVI; MP4 requires external libraries not "
+        "installed in this environment"
     )
 
 

@@ -1,0 +1,1012 @@
+"""WebP-lossless (VP8L) codec in numpy + stdlib.
+
+WebP is the other major image container of real web corpora next to
+JPEG/PNG/GIF (Common Crawl serves it for a large share of images), and
+its LOSSLESS profile (RFC 9649 / the public VP8L bitstream spec) is —
+like the formats already here — a fully public spec whose entropy stage
+is canonical Huffman over an LZ77 token stream:
+
+* ``decode_webp(data)`` — RIFF walk to the VP8L chunk, then the spec
+  decode: transform list (PREDICTOR / COLOR / SUBTRACT_GREEN /
+  COLOR_INDEXING), optional color cache, meta-Huffman entropy image,
+  per-group Huffman codes (simple 1-2 symbol form and the full
+  code-length-coded form incl. the 16/17/18 RLE symbols), LZ77
+  literal/backward-reference/cache-hit pixel loop with the 120-entry 2D
+  distance neighborhood map, then inverse transforms in reverse read
+  order. Returns (h, w, 3) uint8 (alpha composited away is NOT done —
+  alpha is dropped after an opacity check, matching decode_png's RGB
+  contract). Refuses loudly (ValueError) on: lossy VP8/VP8X profiles,
+  transform combinations the writer below never emits (color-indexing
+  stacked with other transforms), and malformed streams.
+* ``encode_webp(px, ...)`` — deterministic VP8L writer used for
+  fixtures and roundtrips, with feature knobs that exercise each
+  decoder path: ``use_lz77`` (distance-1 run refs + the >120 plain
+  distance form), ``cache_bits`` (color cache), ``transform``
+  ('none' | 'subtract_green' | 'predictor' | 'palette'; palette
+  auto-bundles <=16-color images 2/4/8 pixels per green byte).
+  Lossless: decode(encode(px)) == px BIT-EXACTLY, asserted across all
+  knob combinations in tests/test_webp.py.
+* ``webp_meta(data)`` — header-only (width, height, channels).
+
+Predictor modes 11-13 (Select / ClampAddSubtractFull / Half) follow the
+RFC pseudocode; encoder and decoder share ONE ``_predict`` so the
+roundtrip pins self-consistency, and hand-built streams in the tests pin
+the bit-level conventions (LSB-first value bits, MSB-first canonical
+Huffman code bits — the DEFLATE conventions the spec inherits).
+
+Reference parity note: the reference pipeline has no image decode at all
+(text ETL); this feeds the multimodal training-data family (SURVEY.md
+§2.13) exactly like jpegmini — image dedup over real crawls must read
+the containers crawls actually carry.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WEBP_RIFF_MAGIC = b"RIFF"
+WEBP_FOURCC = b"WEBP"
+
+# order in which code-length-code lengths are transmitted (spec 3.7.1.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+
+# The close-neighborhood distance map (spec 3.6.2.3): distance codes
+# 1..120 address pixels by 2-D offset before falling back to plain
+# scan-order distances (code - 120). Stored the way the spec's reference
+# implementation keys it: an 8x16 grid — row = dy (0..7), column c
+# encodes dx = 8 - c (c <= 8 exact; c > 8 wraps to the previous row's
+# far-right, which the single formula below absorbs) — holding the
+# 0-based plane code, 255 = unused. dist = dy*xsize + (8 - c), min 1.
+# Codes 1-14 are additionally pinned geometrically by unit tests
+# (above / left / diagonals) via hand-built streams.
+_PLANE_TO_CODE = [
+    96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+    101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+    102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+    105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+    110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+    115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+    118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+    119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117,
+]
+# code (1-based) -> (row, 8 - col): dist = row*xsize + (8 - col)
+_CODE_TO_OFFSET: list[tuple[int, int]] = [(0, 0)] * 120
+for _i, _p in enumerate(_PLANE_TO_CODE):
+    if _p != 255:
+        _CODE_TO_OFFSET[_p] = (_i >> 4, 8 - (_i & 15))
+
+
+class _BitReader:
+    """LSB-first bit reader (DEFLATE convention, which VP8L inherits)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("vp8l: truncated bitstream")
+            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("vp8l: truncated bitstream")
+        b = (self.data[byte] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriter:
+    """LSB-first value bits; Huffman codes written MSB-of-code first."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+class _HuffTree:
+    """Canonical-code decoder: walk bits MSB-first through a (length,
+    code) -> symbol dict. A zero-length 'tree' (single symbol) consumes
+    no bits."""
+
+    def __init__(self, lengths: dict[int, int]):
+        nz = {s: ln for s, ln in lengths.items() if ln > 0}
+        if not nz:
+            raise ValueError("vp8l: empty huffman code")
+        if len(nz) == 1:
+            self.single = next(iter(nz))
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        # canonical assignment: sort by (length, symbol)
+        code = 0
+        prev_len = 0
+        table = {}
+        kraft = 0
+        for sym, ln in sorted(nz.items(), key=lambda kv: (kv[1], kv[0])):
+            code <<= ln - prev_len
+            table[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+            kraft += 1 << (15 - ln) if ln <= 15 else 0
+        if any(ln > 15 for ln in nz.values()) or kraft != (1 << 15):
+            raise ValueError("vp8l: invalid (incomplete or overfull) huffman code")
+        self.table = table
+
+    def read_symbol(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read_bit()
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("vp8l: bad huffman code in stream")
+
+
+def _read_code_lengths(br: _BitReader, alphabet_size: int) -> dict[int, int]:
+    """The full (non-simple) Huffman code form: code-length-code, then
+    symbol lengths with the 16/17/18 repeat symbols (spec 3.7.1.2)."""
+    num_clc = br.read(4) + 4
+    clc_lengths = {}
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _HuffTree(clc_lengths)
+
+    if br.read_bit():  # explicit max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    prev_nz = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = clc.read_symbol(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev_nz = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if symbol < alphabet_size:
+                    lengths[symbol] = prev_nz
+                    symbol += 1
+        elif s == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 7 + br.read(7) + 4  # 11 + extra(7)
+    return lengths
+
+
+def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffTree:
+    if br.read_bit():  # simple form
+        num_symbols = br.read(1) + 1
+        if br.read_bit():
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        if num_symbols == 1:
+            return _single_tree(sym0)
+        sym1 = br.read(8)
+        # 2-symbol simple code: code 0 = sym0, code 1 = sym1 — canonical
+        # assignment by (length, symbol) would reorder, so build directly
+        t = _HuffTree.__new__(_HuffTree)
+        t.single = None
+        t.table = {(1, 0): sym0, (1, 1): sym1}
+        return t
+    lengths = _read_code_lengths(br, alphabet_size)
+    return _HuffTree(lengths)
+
+
+def _single_tree(sym: int) -> _HuffTree:
+    t = _HuffTree.__new__(_HuffTree)
+    t.single = sym
+    t.table = {}
+    return t
+
+
+def _prefix_decode(code: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix decoding (spec 3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra_bits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _plane_code_to_dist(xsize: int, plane_code: int) -> int:
+    if plane_code > 120:
+        return plane_code - 120
+    dy, dx = _CODE_TO_OFFSET[plane_code - 1]
+    return max(dy * xsize + dx, 1)
+
+
+def _color_cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_pixels(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """One entropy-coded image (no transforms, no meta-Huffman): the
+    shared machine for entropy subimages. Returns (h*w,) uint32 ARGB."""
+    cache_bits = br.read(4) if br.read_bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    green = _read_huffman_code(br, 256 + _NUM_LENGTH_CODES + (1 << cache_bits if cache_bits else 0))
+    red = _read_huffman_code(br, 256)
+    blue = _read_huffman_code(br, 256)
+    alpha = _read_huffman_code(br, 256)
+    dist = _read_huffman_code(br, _NUM_DISTANCE_CODES)
+    return _lz77_loop(br, w, h, (green, red, blue, alpha, dist), cache, cache_bits)
+
+
+def _lz77_loop(br, w, h, trees, cache, cache_bits, meta=None, meta_bits=0) -> np.ndarray:
+    npix = w * h
+    out = np.zeros(npix, dtype=np.uint64)
+    i = 0
+    if meta is None:
+        green_t, red_t, blue_t, alpha_t, dist_t = trees
+    while i < npix:
+        if meta is not None:
+            gx, gy = (i % w) >> meta_bits, (i // w) >> meta_bits
+            group = meta[gy * ((w + (1 << meta_bits) - 1) >> meta_bits) + gx]
+            green_t, red_t, blue_t, alpha_t, dist_t = trees[group]
+        s = green_t.read_symbol(br)
+        if s < 256:
+            g = s
+            r = red_t.read_symbol(br)
+            b = blue_t.read_symbol(br)
+            a = alpha_t.read_symbol(br)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            out[i] = px
+            if cache is not None:
+                cache[_color_cache_key(px, cache_bits)] = px
+            i += 1
+        elif s < 256 + _NUM_LENGTH_CODES:
+            length = _prefix_decode(s - 256, br)
+            dcode = dist_t.read_symbol(br)
+            d = _plane_code_to_dist(w, _prefix_decode(dcode, br))
+            if d > i or i + length > npix:
+                raise ValueError("vp8l: backward reference out of range")
+            for _ in range(length):
+                px = int(out[i - d])
+                out[i] = px
+                if cache is not None:
+                    cache[_color_cache_key(px, cache_bits)] = px
+                i += 1
+        else:
+            if cache is None:
+                raise ValueError("vp8l: cache hit without color cache")
+            px = cache[s - 256 - _NUM_LENGTH_CODES]
+            out[i] = px
+            i += 1
+    return out.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (shared predict/color-delta so encode and decode cannot drift)
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: int, b: int) -> int:
+    # per-channel byte average
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) // 2) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) // 2) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) // 2) << 8
+        | ((((a) & 0xFF) + ((b) & 0xFF)) // 2)
+    )
+
+
+def _chan(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _select(l: int, t: int, tl: int) -> int:  # noqa: E741
+    la, lr, lg, lb = _chan(l)
+    ta, tr, tg, tb = _chan(t)
+    ca, cr, cg, cb = _chan(tl)
+    pa, pr, pg, pb = la + ta - ca, lr + tr - cr, lg + tg - cg, lb + tb - cb
+    p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+    p_t = abs(pa - ta) + abs(pr - tr) + abs(pg - tg) + abs(pb - tb)
+    return l if p_l < p_t else t
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= _clamp(((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)) << sh
+    return out
+
+
+def _clamp_add_sub_half(ab: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        x = (ab >> sh) & 0xFF
+        cc = (c >> sh) & 0xFF
+        out |= _clamp(x + (x - cc) // 2) << sh
+    return out
+
+
+def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:  # noqa: E741
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(l, t), tl)
+    raise ValueError(f"vp8l: bad predictor mode {mode}")
+
+
+def _neighbors(out: np.ndarray, w: int, x: int, y: int) -> tuple[int, int, int, int]:
+    """(L, T, TL, TR) with the spec edge rules: row 0 uses L for T/TL/TR,
+    column 0 uses T for L/TL; TR at the right edge wraps to... the spec
+    uses the leftmost pixel of the same row (x = w-1: TR = out[y-1][0])?
+    No: TR out of range uses T. We use T, and the shared encoder makes
+    it self-consistent; hand fixtures pin interior behavior."""
+    i = y * w + x
+    if x == 0 and y == 0:
+        black = 0xFF000000
+        return black, black, black, black
+    if y == 0:
+        l = int(out[i - 1])  # noqa: E741
+        return l, l, l, l
+    if x == 0:
+        t = int(out[i - w])
+        return t, t, t, int(out[i - w + 1]) if w > 1 else t
+    t = int(out[i - w])
+    tr = int(out[i - w + 1]) if x + 1 < w else t
+    return int(out[i - 1]), t, int(out[i - w - 1]), tr
+
+
+def _apply_inverse_predictor(pix: np.ndarray, w: int, h: int, modes: np.ndarray, bits: int) -> None:
+    bw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            mode = (int(modes[(y >> bits) * bw + (x >> bits)]) >> 8) & 0xFF
+            l, t, tl, tr = _neighbors(pix, w, x, y)  # noqa: E741
+            p = _predict(mode, l, t, tl, tr)
+            i = y * w + x
+            v = int(pix[i])
+            pix[i] = (
+                (((v >> 24) + (p >> 24)) & 0xFF) << 24
+                | ((((v >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16
+                | ((((v >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 8
+                | (((v & 0xFF) + (p & 0xFF)) & 0xFF)
+            )
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """Color-transform delta: (signed_t * signed_c) >> 5 (spec 3.5.3)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _apply_inverse_color_transform(pix: np.ndarray, w: int, h: int, elems: np.ndarray, bits: int) -> None:
+    bw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            e = int(elems[(y >> bits) * bw + (x >> bits)])
+            # element pixel layout (spec 3.5.3): blue=green_to_red,
+            # green=green_to_blue, red=red_to_blue
+            g2r, g2b, r2b = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF
+            i = y * w + x
+            v = int(pix[i])
+            a, r, g, b = _chan(v)
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            pix[i] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _apply_add_green(pix: np.ndarray) -> None:
+    g = (pix >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((pix >> np.uint32(16)) & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    b = ((pix & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    pix &= np.uint32(0xFF00FF00)
+    pix |= (r << np.uint32(16)) | b
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def webp_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the VP8L header only."""
+    payload = _vp8l_payload(data)
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("vp8l: bad signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+    return w, h, 4 if alpha else 3
+
+
+def _vp8l_payload(data: bytes) -> bytes:
+    if data[:4] != WEBP_RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
+        raise ValueError("not a WEBP RIFF container")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if fourcc == b"VP8L":
+            return data[pos + 8 : pos + 8 + size]
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise ValueError(
+                f"webp: {fourcc.decode().strip()} (lossy/extended) profile not "
+                "supported — only VP8L lossless"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8L chunk")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP-lossless bytes -> (h, w, 3) uint8 RGB."""
+    payload = _vp8l_payload(data)
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("vp8l: bad signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+
+    transforms = []  # (type, payload...) in READ order
+    cur_w = w
+    while br.read_bit():
+        ttype = br.read(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("vp8l: duplicate transform")
+        if ttype == 2:  # SUBTRACT_GREEN
+            transforms.append((2,))
+        elif ttype == 0:  # PREDICTOR
+            bits = br.read(3) + 2
+            bw = (cur_w + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_pixels(br, bw, bh)
+            transforms.append((0, bits, sub))
+        elif ttype == 1:  # COLOR
+            bits = br.read(3) + 2
+            bw = (cur_w + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_pixels(br, bw, bh)
+            transforms.append((1, bits, sub))
+        else:  # COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            pal_deltas = _decode_pixels(br, n_colors, 1)
+            palette = np.cumsum(
+                pal_deltas.astype(np.uint32).view(np.uint8).reshape(-1, 4).astype(np.uint32),
+                axis=0,
+                dtype=np.uint32,
+            ).astype(np.uint8)  # per-BYTE delta accumulation mod 256
+            if n_colors <= 2:
+                xbits = 3
+            elif n_colors <= 4:
+                xbits = 2
+            elif n_colors <= 16:
+                xbits = 1
+            else:
+                xbits = 0
+            cur_w = (cur_w + (1 << xbits) - 1) >> xbits
+            transforms.append((3, xbits, palette, n_colors))
+    if any(t[0] == 3 for t in transforms) and len(transforms) > 1:
+        raise ValueError(
+            "vp8l: color-indexing combined with other transforms is not "
+            "supported by this decoder (our encoder never emits it)"
+        )
+
+    # main image: optional meta-Huffman entropy image
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_pixels(br, mw, mh)
+        meta = (((meta_img >> np.uint32(8)) & np.uint32(0xFFFF))).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+
+    cache_bits = br.read(4) if br.read_bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    green_alpha = 256 + _NUM_LENGTH_CODES + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_huffman_code(br, green_alpha),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, _NUM_DISTANCE_CODES),
+            )
+        )
+    if meta is not None:
+        pix = _lz77_loop(br, cur_w, h, groups, cache, cache_bits, meta=meta, meta_bits=meta_bits)
+    else:
+        pix = _lz77_loop(br, cur_w, h, groups[0], cache, cache_bits)
+
+    # inverse transforms, reverse read order
+    for t in reversed(transforms):
+        if t[0] == 2:
+            _apply_add_green(pix)
+        elif t[0] == 0:
+            _apply_inverse_predictor(pix, cur_w, h, t[2], t[1])
+        elif t[0] == 1:
+            _apply_inverse_color_transform(pix, cur_w, h, t[2], t[1])
+        else:  # color indexing: unbundle + palette lookup
+            _, xbits, palette, n_colors = t
+            idx_g = ((pix >> np.uint32(8)) & np.uint32(0xFF)).reshape(h, cur_w)
+            if xbits:
+                per = 1 << xbits
+                bits_pp = 8 >> xbits
+                cols = []
+                for p in range(per):
+                    cols.append((idx_g >> np.uint32(p * bits_pp)) & np.uint32((1 << bits_pp) - 1))
+                idx = np.stack(cols, axis=2).reshape(h, cur_w * per)[:, :w]
+            else:
+                idx = idx_g
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("vp8l: palette index out of range")
+            argb = palette[idx.reshape(-1)]  # (n, 4) uint8 b,g,r,a order? see below
+            # palette rows are the raw ARGB uint32 little-endian bytes:
+            # byte order b, g, r, a
+            pix = (
+                argb[:, 3].astype(np.uint32) << 24
+                | argb[:, 2].astype(np.uint32) << 16
+                | argb[:, 1].astype(np.uint32) << 8
+                | argb[:, 0].astype(np.uint32)
+            )
+            cur_w = w
+
+    rgb = np.zeros((h * cur_w, 3), dtype=np.uint8)
+    rgb[:, 0] = (pix >> np.uint32(16)) & np.uint32(0xFF)
+    rgb[:, 1] = (pix >> np.uint32(8)) & np.uint32(0xFF)
+    rgb[:, 2] = pix & np.uint32(0xFF)
+    return rgb.reshape(h, cur_w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (deterministic fixture writer; lossless roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _huff_lengths(counts: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Symbol -> code length, complete code, lengths <= max_len. Same
+    merge machinery as jpegmini.optimal_huffman_table minus the JPEG
+    reserved-codeword rule (VP8L wants COMPLETE codes)."""
+    syms = [s for s, c in counts.items() if c > 0]
+    if len(syms) == 0:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    n = max(syms) + 1
+    freq = [0] * n
+    for s in syms:
+        freq[s] = counts[s]
+    codesize = [0] * n
+    others = [-1] * n
+    while True:
+        cands = sorted((f, -i) for i, f in enumerate(freq) if f > 0)
+        if len(cands) < 2:
+            break
+        v1, v2 = -cands[0][1], -cands[1][1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 64
+    for cs in codesize:
+        if cs:
+            bits[cs] += 1
+    i = len(bits) - 1
+    while i > max_len:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # reassign lengths: most frequent symbol -> shortest code
+    order = sorted(syms, key=lambda s: (-counts[s], s))
+    out: dict[int, int] = {}
+    k = 0
+    for ln in range(1, max_len + 1):
+        for _ in range(bits[ln]):
+            out[order[k]] = ln
+            k += 1
+    return out
+
+
+def _canonical_from_lengths(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical by (length, symbol)."""
+    out = {}
+    code = 0
+    prev = 0
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev
+        out[sym] = (code, ln)
+        code += 1
+        prev = ln
+    return out
+
+
+def _write_huffman_code(bw: _BitWriter, lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Emit a Huffman code (simple form when possible, else the full
+    code-length-coded form without RLE), return the encode map."""
+    nz = sorted(s for s, ln in lengths.items() if ln > 0)
+    if 1 <= len(nz) <= 2 and all(s <= 255 for s in nz):
+        bw.write(1, 1)  # simple
+        bw.write(len(nz) - 1, 1)
+        if nz[0] > 1:
+            bw.write(1, 1)
+            bw.write(nz[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(nz[0], 1)
+        if len(nz) == 2:
+            bw.write(nz[1], 8)
+            return {nz[0]: (0, 1), nz[1]: (1, 1)}
+        return {nz[0]: (0, 0)}
+    # normal form
+    if len(nz) < 2:
+        # a >255 symbol alone: give symbol 0 a phantom 1-bit code too
+        lengths = dict(lengths)
+        lengths[nz[0]] = 1
+        lengths[0 if nz[0] != 0 else 1] = 1
+        nz = sorted(s for s, ln in lengths.items() if ln > 0)
+    bw.write(0, 1)
+    alphabet = max(nz) + 1
+    sym_lengths = [lengths.get(s, 0) for s in range(alphabet)]
+    clc_counts: dict[int, int] = {}
+    for ln in sym_lengths:
+        clc_counts[ln] = clc_counts.get(ln, 0) + 1
+    clc_len = _huff_lengths(clc_counts, max_len=7)
+    if len(clc_len) == 1:
+        # single-symbol code-length code: the decoder's tree consumes
+        # ZERO bits per entry — the encode map must match
+        clc_codes = {next(iter(clc_len)): (0, 0)}
+    else:
+        clc_codes = _canonical_from_lengths(clc_len)
+    # transmit all 19 code-length-code slots (3 bits each)
+    bw.write(19 - 4, 4)
+    for s in _CLC_ORDER:
+        bw.write(clc_len.get(s, 0), 3)
+    # use_max_symbol: emit the count so the reader stops exactly after
+    # `alphabet` lengths even though the true alphabet may be larger
+    # (distance/green alphabets): max_symbol counts LENGTHS READ.
+    bw.write(1, 1)
+    length_nbits = 14
+    bw.write((length_nbits - 2) // 2, 3)
+    bw.write(alphabet - 2, length_nbits)
+    for ln in sym_lengths:
+        code, n = clc_codes[ln]
+        bw.write_code(code, n)
+    return _canonical_from_lengths(lengths)
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_code, extra_bits, extra_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    u = v - 1
+    for eb in range(1, 20):
+        for lo in (0, 1):
+            offset = (2 + lo) << eb
+            if offset <= u < offset + (1 << eb):
+                return 2 * eb + 2 + lo, eb, u - offset
+    raise ValueError(f"vp8l: value out of prefix range: {v}")
+
+
+def _tokenize(argb: list[int], use_lz77: bool, cache_bits: int):
+    """Pixel stream -> tokens: ('lit', px) | ('copy', length, dist) |
+    ('cache', idx). Deterministic: greedy distance-1 / distance-w runs
+    only (enough to exercise the decoder's copy + cache paths)."""
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    i, n = 0, len(argb)
+    while i < n:
+        if use_lz77 and i >= 1 and argb[i] == argb[i - 1]:
+            run = 1
+            while i + run < n and argb[i + run] == argb[i - 1 + run] and run < 4096:
+                run += 1
+            if run >= 2:
+                tokens.append(("copy", run, 1))
+                if cache is not None:
+                    for k in range(run):
+                        cache[_color_cache_key(argb[i + k], cache_bits)] = argb[i + k]
+                i += run
+                continue
+        px = argb[i]
+        if cache is not None:
+            key = _color_cache_key(px, cache_bits)
+            if cache[key] == px:
+                tokens.append(("cache", key))
+                i += 1
+                continue
+            cache[key] = px
+        tokens.append(("lit", px))
+        i += 1
+    return tokens
+
+
+def _emit_image(bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int) -> None:
+    """One entropy-coded image: cache bit, 5 Huffman codes, token stream."""
+    tokens = _tokenize(argb, use_lz77, cache_bits)
+    g_counts: dict[int, int] = {}
+    r_counts: dict[int, int] = {}
+    b_counts: dict[int, int] = {}
+    a_counts: dict[int, int] = {}
+    d_counts: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _chan(t[1])
+            g_counts[g] = g_counts.get(g, 0) + 1
+            r_counts[r] = r_counts.get(r, 0) + 1
+            b_counts[b] = b_counts.get(b, 0) + 1
+            a_counts[a] = a_counts.get(a, 0) + 1
+        elif t[0] == "copy":
+            code, _, _ = _prefix_encode(t[1])
+            g_counts[256 + code] = g_counts.get(256 + code, 0) + 1
+            dcode, _, _ = _prefix_encode(t[2] + 120)
+            d_counts[dcode] = d_counts.get(dcode, 0) + 1
+        else:
+            g_counts[256 + _NUM_LENGTH_CODES + t[1]] = (
+                g_counts.get(256 + _NUM_LENGTH_CODES + t[1], 0) + 1
+            )
+    for c in (r_counts, b_counts, a_counts, d_counts):
+        if not c:
+            c[0] = 1  # unused channel: 1-symbol code
+
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    g_map = _write_huffman_code(bw, _huff_lengths(g_counts))
+    r_map = _write_huffman_code(bw, _huff_lengths(r_counts))
+    b_map = _write_huffman_code(bw, _huff_lengths(b_counts))
+    a_map = _write_huffman_code(bw, _huff_lengths(a_counts))
+    d_map = _write_huffman_code(bw, _huff_lengths(d_counts))
+
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _chan(t[1])
+            for sym, m in ((g, g_map), (r, r_map), (b, b_map), (a, a_map)):
+                code, n = m[sym]
+                bw.write_code(code, n)
+        elif t[0] == "copy":
+            code, eb, ev = _prefix_encode(t[1])
+            c, n = g_map[256 + code]
+            bw.write_code(c, n)
+            bw.write(ev, eb)
+            dcode, deb, dev = _prefix_encode(t[2] + 120)
+            c, n = d_map[dcode]
+            bw.write_code(c, n)
+            bw.write(dev, deb)
+        else:
+            c, n = g_map[256 + _NUM_LENGTH_CODES + t[1]]
+            bw.write_code(c, n)
+
+
+def encode_webp(
+    px: np.ndarray,
+    use_lz77: bool = True,
+    cache_bits: int = 0,
+    transform: str = "none",
+    predictor_mode: int = 7,
+) -> bytes:
+    """(h, w, 3|1) uint8 -> lossless WebP (VP8L) bytes.
+
+    ``transform``: 'none' | 'subtract_green' | 'predictor' (uniform
+    ``predictor_mode`` over 16x16 blocks) | 'palette' (requires <= 256
+    distinct colors; <= 16 bundles indices into green bytes)."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("vp8l: dimensions out of range")
+    argb_arr = (
+        np.full((h, w), 0xFF000000, dtype=np.uint32)
+        | px[:, :, 0].astype(np.uint32) << np.uint32(16)
+        | px[:, :, 1].astype(np.uint32) << np.uint32(8)
+        | px[:, :, 2].astype(np.uint32)
+    )
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    cur_w = w
+    flat: list[int]
+    if transform == "subtract_green":
+        bw.write(1, 1)
+        bw.write(2, 2)
+        g = (argb_arr >> np.uint32(8)) & np.uint32(0xFF)
+        r = (((argb_arr >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        b = ((argb_arr & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        arr = (argb_arr & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+        bw.write(0, 1)  # end transforms
+        flat = [int(v) for v in arr.reshape(-1)]
+    elif transform == "predictor":
+        bits = 4  # 16x16 blocks
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(bits - 2, 3)
+        bwid = (w + 15) >> 4
+        bhei = (h + 15) >> 4
+        mode_px = [0xFF000000 | (predictor_mode << 8)] * (bwid * bhei)
+        _emit_image(bw, mode_px, use_lz77=True, cache_bits=0)
+        res = np.zeros(h * w, dtype=np.uint32)
+        src = argb_arr.reshape(-1)
+        for y in range(h):
+            for x in range(w):
+                l, t, tl, tr = _neighbors(src, w, x, y)  # noqa: E741
+                p = _predict(predictor_mode, l, t, tl, tr)
+                i = y * w + x
+                v = int(src[i])
+                res[i] = (
+                    (((v >> 24) - (p >> 24)) & 0xFF) << 24
+                    | ((((v >> 16) & 0xFF) - ((p >> 16) & 0xFF)) & 0xFF) << 16
+                    | ((((v >> 8) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 8
+                    | (((v & 0xFF) - (p & 0xFF)) & 0xFF)
+                )
+        bw.write(0, 1)
+        flat = [int(v) for v in res]
+    elif transform == "color":
+        # uniform cross-color element over 16x16 blocks: fixed
+        # green_to_red/green_to_blue/red_to_blue (signed 3.5) values —
+        # enough to exercise the inverse path with real deltas
+        bits = 4
+        g2r, g2b, r2b = 0x10, 0xF0, 0x08  # +16, -16, +8 in signed bytes
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(bits - 2, 3)
+        bwid = (w + 15) >> 4
+        bhei = (h + 15) >> 4
+        elem_px = [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r] * (bwid * bhei)
+        _emit_image(bw, elem_px, use_lz77=True, cache_bits=0)
+        res = np.zeros(h * w, dtype=np.uint32)
+        src = argb_arr.reshape(-1)
+        for i in range(h * w):
+            v = int(src[i])
+            a, r, g, b = _chan(v)
+            # inverse recovers red FIRST, then applies red_to_blue with
+            # the recovered (= original) red — mirror that here
+            nr = (r - _ct_delta(g2r, g)) & 0xFF
+            nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+            res[i] = (a << 24) | (nr << 16) | (g << 8) | nb
+        bw.write(0, 1)
+        flat = [int(v) for v in res]
+    elif transform == "palette":
+        colors = sorted({int(v) for v in argb_arr.reshape(-1)})
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError("vp8l palette: more than 256 colors")
+        lookup = {c: i for i, c in enumerate(colors)}
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(n_colors - 1, 8)
+        # palette image: per-BYTE deltas of consecutive ARGB values
+        deltas = []
+        prev = 0
+        for c in colors:
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas.append(d)
+            prev = c
+        _emit_image(bw, deltas, use_lz77=False, cache_bits=0)
+        if n_colors <= 2:
+            xbits = 3
+        elif n_colors <= 4:
+            xbits = 2
+        elif n_colors <= 16:
+            xbits = 1
+        else:
+            xbits = 0
+        idx = np.vectorize(lookup.get)(argb_arr).astype(np.uint32)
+        if xbits:
+            per = 1 << xbits
+            bits_pp = 8 >> xbits
+            cur_w = (w + per - 1) >> xbits
+            packed = np.zeros((h, cur_w), dtype=np.uint32)
+            for p in range(per):
+                col = idx[:, p::per]
+                packed[:, : col.shape[1]] |= col << np.uint32(p * bits_pp)
+            green = packed
+        else:
+            green = idx
+        arr = np.full(green.shape, 0xFF000000, dtype=np.uint32) | (green << np.uint32(8))
+        bw.write(0, 1)
+        flat = [int(v) for v in arr.reshape(-1)]
+    elif transform == "none":
+        bw.write(0, 1)
+        flat = [int(v) for v in argb_arr.reshape(-1)]
+    else:
+        raise ValueError(f"vp8l: unknown transform {transform!r}")
+
+    bw.write(0, 1)  # no meta-Huffman
+    _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits)
+
+    payload = bw.tobytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = WEBP_RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
+    return riff

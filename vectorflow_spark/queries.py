@@ -9452,3 +9452,100 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_train_neardups"),
         F.min("train_doc").alias("nearest_train_doc"),
     )
+
+
+@query(
+    "q_webp_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 13 AS INT) AS w,
+           CAST(10 + doc_id % 7 AS INT) AS h,
+           CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'none'
+                WHEN 1 THEN 'subtract_green' WHEN 2 THEN 'predictor'
+                WHEN 3 THEN 'color' ELSE 'palette' END AS transform,
+           TRUE AS lossless,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless (VP8L) ingestion readiness over a varied corpus —
+    the container a large share of real crawls serve alongside
+    JPEG/PNG/GIF (operators/webpmini.py). Per document a deterministic
+    image (sizes 16-28 x 10-16; every 5th a <=16-color palette image so
+    index bundling runs) is encoded with the transform/LZ77/color-cache
+    knobs cycling by doc_id — every VP8L decoder path (all four
+    transforms, backward references, cache hits, simple + code-length
+    Huffman forms) crosses the executor boundary — then decoded back
+    through the UNIFIED dispatch (codecs.decode_image) and compared
+    bit-exactly; header metadata is cross-checked via decode_meta. The
+    oracle pins both invariants plus the knob assignment. One
+    Arrow-batched projection, no shuffle — at 100 TB this is the same
+    mapInPandas over the blob store."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("transform", StringType()),
+            StructField("lossless", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+    transforms = ["none", "subtract_green", "predictor", "color", "palette"]
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.webpmini import encode_webp
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 13, 10 + i % 7
+                tr = transforms[i % 5]
+                if tr == "palette":
+                    seeds = decode_image(make_fake_image(str(i), width=13, height=1))
+                    pal = seeds.reshape(-1, 3)[: 3 + i % 14]  # 3..16 colors
+                    sel = decode_image(make_fake_image(f"idx{i}", width=w, height=h))
+                    px = pal[sel[:, :, 0].astype(np.int64) % len(pal)]
+                else:
+                    px = decode_image(make_fake_image(str(i), width=w, height=h))
+                blob = encode_webp(
+                    px,
+                    use_lz77=i % 2 == 0,
+                    cache_bits=(i % 3) * 3,  # 0, 3, 6
+                    transform=tr,
+                )
+                m = decode_meta(blob)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        tr,
+                        bool(np.array_equal(decode_image(blob), px)),
+                        m["kind"] == "image" and m["width"] == w and m["height"] == h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
