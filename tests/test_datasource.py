@@ -262,3 +262,87 @@ class TestDocsObjectStoreIO:
         assert rows["a.txt"]["text"] == "plain text alpha"
         assert rows["ok.txt"]["text"] == "mounted ok"
         assert rows["gone.txt"]["kind"] == "error" and rows["gone.txt"]["error"]
+
+
+class TestDocsManifestStreaming:
+    """readStream.format("vf_docs").option("manifestDir", dir): each
+    micro-batch fetches exactly the URLs of manifests that appeared
+    since the last batch — exactly-once by checkpointed seen-list
+    offsets, manifests immutable once dropped (write-temp + rename)."""
+
+    def test_manifests_stream_incrementally(self, registered, corpus, tmp_path):
+        mdir = tmp_path / "manifests"
+        mdir.mkdir()
+
+        def drop(name, urls):
+            tmp = mdir / f".{name}.tmp"
+            tmp.write_text("\n".join(urls) + "\n")
+            tmp.rename(mdir / name)
+
+        drop("m-0.txt", _urls(corpus, ["a.txt", "fake.pdf"]))
+        batches = []
+
+        def sink(df, _bid):
+            batches.append({(r.source, r.kind) for r in df.collect()})
+
+        q = (
+            registered.readStream.format("vf_docs")
+            .option("manifestDir", str(mdir))
+            .option("allowedSchemes", "file")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            drop("m-1.txt", _urls(corpus, ["b.txt"]) + [f"file://{corpus}/dead.txt"])
+            q.processAllAvailable()
+            q.processAllAvailable()  # no new manifests -> no re-fetch
+        finally:
+            q.stop()
+        seen = [b for b in batches if b]
+        assert seen[0] == {("a.txt", "txt"), ("fake.pdf", "pdf")}
+        assert {s for s in seen[1] if s[1] != "error"} == {("b.txt", "txt")}
+        assert sum(1 for s in seen[1] if s[1] == "error") == 1  # dead link row
+        assert len(seen) == 2  # exactly-once: nothing re-fetched
+
+    def test_urls_per_task_fans_out(self, registered, corpus, tmp_path):
+        mdir = tmp_path / "m2"
+        mdir.mkdir()
+        (mdir / "big.txt").write_text(
+            "\n".join(_urls(corpus, ["a.txt", "b.txt", "fake.pdf", "blob.bin"]))
+        )
+        parts = []
+
+        def sink(df, _bid):
+            if df.count():
+                parts.append(df.rdd.getNumPartitions())
+
+        q = (
+            registered.readStream.format("vf_docs")
+            .option("manifestDir", str(mdir))
+            .option("allowedSchemes", "file")
+            .option("urlsPerTask", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert parts and parts[0] == 4  # one URL per partition
+
+    def test_stream_requires_manifest_dir(self, registered):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(Exception, match="manifestDir"):
+            (
+                registered.readStream.format("vf_docs")
+                .load()
+                .writeStream.format("noop")
+                .start()
+                .processAllAvailable()
+            )

@@ -42,6 +42,13 @@ The scheme gate stays strict: a manifest is untrusted input, and fetches
 run on executors inside the cluster network — object-store schemes must
 be opted into via ``allowedSchemes`` exactly like ``file``.
 
+Streaming: ``spark.readStream.format("vf_docs").option("manifestDir",
+dir)`` turns the drop-a-manifest delivery model into a Structured
+Streaming source (VfDocsStreamReader) — each micro-batch fetches exactly
+the URLs of manifests that appeared since the last batch, exactly-once
+via checkpointed seen-list offsets, each manifest fanned out at
+``urlsPerTask`` URLs per partition.
+
 Offline-testable with file:// URLs and the mount backend (stdlib only),
 which is how tests/test_datasource.py exercises it. Failure policy
 mirrors the reference's per-file accounting (A4): a fetch error yields a
@@ -54,7 +61,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from vectorflow_spark.sources.openers import _resolve_io, _strip_scheme
@@ -266,9 +278,75 @@ class VfDocsReader(DataSourceReader):
             yield (url, name, kind, len(payload), text, None)
 
 
+class VfDocsStreamReader(DataSourceStreamReader):
+    """Continuous BULK-URL ingest — the drop-a-manifest delivery model:
+    a producer keeps writing manifest files (one URL per line) into a
+    directory, and each micro-batch fetches exactly the URLs of the
+    manifests that APPEARED since the last batch. Offsets are the sorted
+    seen-manifest list (the vf_warc/vf_tar model), so checkpoint
+    recovery replans exactly the unprocessed manifests; a manifest must
+    be dropped COMPLETE (write-temp + rename) and is treated as
+    immutable — the same contract Spark's own file source imposes.
+    Each manifest splits into ceil(n_urls / urlsPerTask) partitions
+    (default 256 URLs/task) so one big manifest still fans out across
+    the cluster. Scheme gate, io backends, Arrow batching and per-URL
+    error rows are the batch reader's, shared via ``VfDocsReader``."""
+
+    def __init__(self, options: dict):
+        self.manifest_dir = options.get("manifestdir")
+        if not self.manifest_dir:
+            raise ValueError(
+                "vf_docs stream requires .option('manifestDir', <dir of manifest files>)"
+            )
+        self.glob = options.get("glob")
+        self.urls_per_task = max(1, int(options.get("urlspertask", "256")))
+        proto_opts = {k: v for k, v in options.items() if k not in ("manifest", "urls")}
+        proto_opts["urls"] = "[]"
+        self._proto = VfDocsReader(proto_opts)
+
+    def _fs(self):
+        fs = getattr(self, "_fs_cache", None)
+        if fs is None:
+            fs = self._fs_cache = _resolve_io(
+                self._proto.io, self.manifest_dir, self._proto.io_register
+            )
+        return fs
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs_cache", None)
+        return d
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(self._fs().list_files(self.manifest_dir, self.glob))}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for mf in sorted(set(end["seen"]) - set(start["seen"])):
+            urls = [
+                ln.strip()
+                for ln in self._proto._read_manifest(mf).splitlines()
+                if ln.strip()
+            ]
+            for i in range(0, len(urls), self.urls_per_task):
+                parts.append(_ManifestPartition(urls[i : i + self.urls_per_task]))
+        return parts or [_ManifestPartition([])]
+
+    def read(self, partition: _ManifestPartition):
+        return self._proto.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
 class VfDocsDataSource(DataSource):
     """``spark.read.format("vf_docs").option("manifest", path)`` or
-    ``.option("urls", json_list)``; register once per session with
+    ``.option("urls", json_list)`` for batch;
+    ``spark.readStream.format("vf_docs").option("manifestDir", dir)``
+    for continuous manifest-drop ingest. Register once per session with
     ``datasource.register(spark)``."""
 
     @classmethod
@@ -280,6 +358,9 @@ class VfDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return VfDocsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return VfDocsStreamReader(self.options)
 
 
 def register(spark) -> None:
