@@ -9342,7 +9342,7 @@ def q_docs_bulk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
            (doc_id % 3 = 0) AS gray,
            TRUE AS bit_identical,
            TRUE AS opt_smaller
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE doc_id % 4 = 0
     """,
 )
 def q_jpeg_optimize_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9410,7 +9410,7 @@ def q_jpeg_optimize_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         _t(spark, sf_dir, "documents", split=True)
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("doc_id") % 4 == 0)
         .select("doc_id")
     )
     return docs.mapInPandas(recompress, out_schema)
