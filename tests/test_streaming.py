@@ -622,3 +622,62 @@ class TestStreamingIncrementalDedup:
         post_a = {(r.band, r.bucket) for r in spark.read.parquet(str(a / "index")).collect()}
         post_b = {(r.band, r.bucket) for r in spark.read.parquet(str(b / "index")).collect()}
         assert post_a == post_b
+
+
+class TestManifestPipeline:
+    """streaming_manifest_pipeline: the full upload->fetch->extract->
+    chunk->embed->sink cycle over dropped URL manifests — exactly-once
+    per manifest, dead-letter channel for fetch failures."""
+
+    def test_end_to_end_with_dead_letter(self, spark, tmp_path):
+        from vectorflow_spark.config import PipelineConfig
+        from vectorflow_spark.streaming.pipeline import streaming_manifest_pipeline
+
+        corpus = tmp_path / "files"
+        corpus.mkdir()
+        (corpus / "d1.txt").write_text("alpha text one. second sentence here.")
+        (corpus / "d2.txt").write_text("beta text two, rather longer body of words.")
+        mdir = tmp_path / "manifests"
+        mdir.mkdir()
+
+        def drop(name, urls):
+            tmp = mdir / f".{name}.tmp"
+            tmp.write_text("\n".join(urls) + "\n")
+            tmp.rename(mdir / name)
+
+        drop("m0.txt", [f"file://{corpus}/d1.txt", f"file://{corpus}/dead.txt"])
+        out = str(tmp_path / "records")
+        errs = str(tmp_path / "errors")
+        cfg = PipelineConfig(chunk_size=16, chunk_overlap=8, embedding_dim=8)
+
+        def drain():
+            q = streaming_manifest_pipeline(
+                spark,
+                str(mdir),
+                str(tmp_path / "ckpt"),
+                out,
+                cfg,
+                errors_path=errs,
+                allowed_schemes="file",
+            )
+            q.awaitTermination(120)
+
+        drain()
+        recs = spark.read.parquet(out)
+        assert recs.count() > 0
+        assert {r.source_document for r in recs.select("source_document").distinct().collect()} == {"d1.txt"}
+        first_ids = {r.id for r in recs.select("id").collect()}
+        dead = spark.read.parquet(errs).collect()
+        assert len(dead) == 1 and dead[0].source == "dead.txt" and dead[0].error
+
+        # second manifest: only NEW urls processed; d1's records unchanged
+        drop("m1.txt", [f"file://{corpus}/d2.txt"])
+        drain()
+        recs2 = spark.read.parquet(out)
+        assert {r.source_document for r in recs2.select("source_document").distinct().collect()} == {"d1.txt", "d2.txt"}
+        ids_d1 = {r.id for r in recs2.filter("source_document = 'd1.txt'").select("id").collect()}
+        assert ids_d1 == first_ids  # exactly-once: no re-fetch, no dup rows
+        assert spark.read.parquet(errs).count() == 1
+        # embeddings carry the configured dim
+        [v] = recs2.limit(1).select("embeddings").collect()
+        assert len(v.embeddings) == 8

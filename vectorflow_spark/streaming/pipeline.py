@@ -52,6 +52,65 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def streaming_manifest_pipeline(
+    spark: SparkSession,
+    manifest_dir: str,
+    checkpoint: str,
+    output_path: str,
+    cfg: PipelineConfig,
+    errors_path: str | None = None,
+    allowed_schemes: str = "http,https",
+    io: str = "auto",
+    urls_per_task: int = 256,
+    trigger_available_now: bool = True,
+):
+    """The reference's FULL ingestion cycle (upload -> fetch -> extract ->
+    chunk -> embed -> sink) as ONE continuous stream over dropped URL
+    manifests: the ``vf_docs`` streaming source fetches each new
+    manifest's URLs on executors (checkpointed seen-manifest offsets =
+    exactly-once per manifest), txt payloads run the SAME batch pipeline
+    (run_pipeline: chunk -> uuid5 ids -> embed -> canonical payload) per
+    micro-batch into an idempotent parquet sink, and fetch failures ride
+    a DEAD-LETTER channel (``errors_path``) instead of failing the
+    stream — the reference's per-file accounting (A4) made continuous.
+    The micro-batch is persisted so the URL fetch happens once even
+    though two sinks (records + errors) consume it."""
+    from vectorflow_spark.sources import datasource
+
+    datasource.register(spark)
+    stream = (
+        spark.readStream.format("vf_docs")
+        .option("manifestDir", manifest_dir)
+        .option("allowedSchemes", allowed_schemes)
+        .option("io", io)
+        .option("urlsPerTask", str(urls_per_task))
+        .load()
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            docs = batch_df.filter(F.col("kind") == "txt").select("url", "source", "text")
+            records = run_pipeline(docs, cfg)
+            records.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                output_path
+            )
+            if errors_path:
+                errs = batch_df.filter(F.col("kind") == "error").select(
+                    "url", "source", "error"
+                )
+                errs.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                    errors_path
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.option("checkpointLocation", checkpoint).foreachBatch(process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_extract(
     spark: SparkSession,
     input_dir: str,
