@@ -9001,7 +9001,9 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel kernel is Python) — the LAION-style pipeline: image+caption
     samples land in tar shards (every 5th image a DUPLICATE of its
     successor's pixels, usually in a different shard since sharding
-    hashes the key), the scan reads ONLY the image leg (ext pushdown),
+    hashes the key; every 3rd rides a WebP-VP8L container so dup pairs
+    routinely cross FORMATS too), the scan reads ONLY the image leg
+    (ext pushdown),
     and exact-duplicate groups form by pixel dHash — proving the dedup
     key survives the container round-trip and crosses shard boundaries.
     Composition of verified operators: vf_tar scan -> image_dhash ->
@@ -9018,7 +9020,15 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _one(i) -> bytes:
         i = int(i)
-        return make_fake_image(str(i + 1 if i % 5 == 0 else i))
+        blob = make_fake_image(str(i + 1 if i % 5 == 0 else i))
+        if i % 3 == 0:  # every 3rd sample rides a WebP-VP8L container —
+            # LAION-style shards mix formats; pixels (the dedup key) are
+            # identical, so groups are container-independent
+            from vectorflow_spark.operators.codecs import decode_image
+            from vectorflow_spark.operators.webpmini import encode_webp
+
+            return encode_webp(decode_image(blob), transform="subtract_green", cache_bits=4)
+        return blob
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
     docs = _t(spark, sf_dir, "documents", split=True).select(
