@@ -58,6 +58,11 @@ HEADLINERS = [
     ("q_wat_outlinks", "WAT sidecar graph: engine-side JSON envelope, warc_type pushdown scan, one aggregate shuffle"),
     ("q_webdataset_scan", "WebDataset cycle: tar-shard sink, vf_tar scan, zero-shuffle sample assembly"),
     ("q_wds_caption_leg", "selective-leg WebDataset read: ext pushdown + indexed seek partitions, images never materialize"),
+    ("q_cdx_lookup", "wayback-style CDX lookup: URL pushdown plans one record-range partition per hit"),
+    ("q_docs_bulk_fetch", "vf_docs bulk-URL fetch: manifest partitions, Arrow batches, executor-side GETs"),
+    ("q_split_leakage_audit", "split-leakage audit: banded minhash pairs, boundary filter + rollup on the tiny pair set"),
+    ("q_jpeg_optimize_recompress", "two-pass optimized-Huffman recompression: one mapInPandas projection, no shuffle"),
+    ("q_webp_roundtrip", "WebP VP8L roundtrip: one mapInPandas projection, no shuffle"),
 ]
 
 
