@@ -356,3 +356,33 @@ class TestDispatch:
 
         wav = encode_wav(np.zeros(32, dtype=np.int16), 8000)
         assert decode_meta(wav)["kind"] == "audio"
+
+
+class TestPlaneCodeEmission:
+    """The encoder emits real 2-D plane codes (1 = above, 2 = left), so
+    the neighborhood map is pinned by roundtrips through the decoder —
+    not only by the hand-built streams."""
+
+    def test_vertical_runs_use_plane_code_one(self):
+        from vectorflow_spark.operators.webpmini import _tokenize
+
+        w = 9
+        # constant columns: every row equals the row above
+        row = [0xFF000000 | (c << 8) for c in range(w)]
+        argb = row * 6
+        tokens = _tokenize(argb, use_lz77=True, cache_bits=0, width=w)
+        assert ("copy", 45, 9) in tokens or any(
+            t[0] == "copy" and t[2] == w for t in tokens
+        )
+
+    def test_columnar_image_roundtrip_and_smaller(self):
+        """An image of constant columns must roundtrip (vertical copies
+        decode via plane code 1) and compress far below the literal
+        form."""
+        col = np.arange(40, dtype=np.uint8)
+        px = np.stack([np.stack([col, col // 2, col * 3], axis=1)] * 30, axis=0)
+        assert px.shape == (30, 40, 3)
+        with_lz = encode_webp(px, use_lz77=True)
+        without = encode_webp(px, use_lz77=False)
+        assert np.array_equal(decode_webp(with_lz), px)
+        assert len(with_lz) < len(without) / 3

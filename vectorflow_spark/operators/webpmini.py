@@ -20,7 +20,8 @@ is canonical Huffman over an LZ77 token stream:
   stacked with other transforms), and malformed streams.
 * ``encode_webp(px, ...)`` — deterministic VP8L writer used for
   fixtures and roundtrips, with feature knobs that exercise each
-  decoder path: ``use_lz77`` (distance-1 run refs + the >120 plain
+  decoder path: ``use_lz77`` (horizontal dist-1 runs -> plane code 2,
+  vertical dist-width runs -> plane code 1, plus the >120 plain
   distance form), ``cache_bits`` (color cache), ``transform``
   ('none' | 'subtract_green' | 'predictor' | 'palette'; palette
   auto-bundles <=16-color images 2/4/8 pixels per green byte).
@@ -769,24 +770,37 @@ def _prefix_encode(v: int) -> tuple[int, int, int]:
     raise ValueError(f"vp8l: value out of prefix range: {v}")
 
 
-def _tokenize(argb: list[int], use_lz77: bool, cache_bits: int):
+def _tokenize(argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0):
     """Pixel stream -> tokens: ('lit', px) | ('copy', length, dist) |
-    ('cache', idx). Deterministic: greedy distance-1 / distance-w runs
-    only (enough to exercise the decoder's copy + cache paths)."""
+    ('cache', idx). Deterministic: greedy horizontal (dist 1) and
+    vertical (dist = width) runs — enough to exercise the decoder's
+    copy + cache paths AND both ends of the plane-code map (vertical
+    copies transmit as plane code 1, horizontal as code 2)."""
     tokens = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
     i, n = 0, len(argb)
+
+    def run_at(d: int) -> int:
+        if i < d or argb[i] != argb[i - d]:
+            return 0
+        run = 1
+        while i + run < n and argb[i + run] == argb[i + run - d] and run < 4096:
+            run += 1
+        return run
+
     while i < n:
-        if use_lz77 and i >= 1 and argb[i] == argb[i - 1]:
-            run = 1
-            while i + run < n and argb[i + run] == argb[i - 1 + run] and run < 4096:
-                run += 1
-            if run >= 2:
-                tokens.append(("copy", run, 1))
+        if use_lz77:
+            best_d, best_run = 1, run_at(1)
+            if width > 1:
+                vrun = run_at(width)
+                if vrun > best_run:
+                    best_d, best_run = width, vrun
+            if best_run >= 2:
+                tokens.append(("copy", best_run, best_d))
                 if cache is not None:
-                    for k in range(run):
+                    for k in range(best_run):
                         cache[_color_cache_key(argb[i + k], cache_bits)] = argb[i + k]
-                i += run
+                i += best_run
                 continue
         px = argb[i]
         if cache is not None:
@@ -801,9 +815,23 @@ def _tokenize(argb: list[int], use_lz77: bool, cache_bits: int):
     return tokens
 
 
-def _emit_image(bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int) -> None:
+def _dist_to_plane(width: int, dist: int) -> int:
+    """Inverse of _plane_code_to_dist for the two offsets the tokenizer
+    emits: left neighbor -> plane code 2, pixel above -> plane code 1
+    (the map's first entries — pinned by roundtrips through the real
+    decoder); anything else rides the plain dist+120 form."""
+    if dist == 1 and width != 1:
+        return 2
+    if width > 1 and dist == width:
+        return 1
+    return dist + 120
+
+
+def _emit_image(
+    bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0
+) -> None:
     """One entropy-coded image: cache bit, 5 Huffman codes, token stream."""
-    tokens = _tokenize(argb, use_lz77, cache_bits)
+    tokens = _tokenize(argb, use_lz77, cache_bits, width)
     g_counts: dict[int, int] = {}
     r_counts: dict[int, int] = {}
     b_counts: dict[int, int] = {}
@@ -819,7 +847,7 @@ def _emit_image(bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int
         elif t[0] == "copy":
             code, _, _ = _prefix_encode(t[1])
             g_counts[256 + code] = g_counts.get(256 + code, 0) + 1
-            dcode, _, _ = _prefix_encode(t[2] + 120)
+            dcode, _, _ = _prefix_encode(_dist_to_plane(width, t[2]))
             d_counts[dcode] = d_counts.get(dcode, 0) + 1
         else:
             g_counts[256 + _NUM_LENGTH_CODES + t[1]] = (
@@ -851,7 +879,7 @@ def _emit_image(bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int
             c, n = g_map[256 + code]
             bw.write_code(c, n)
             bw.write(ev, eb)
-            dcode, deb, dev = _prefix_encode(t[2] + 120)
+            dcode, deb, dev = _prefix_encode(_dist_to_plane(width, t[2]))
             c, n = d_map[dcode]
             bw.write_code(c, n)
             bw.write(dev, deb)
@@ -911,7 +939,7 @@ def encode_webp(
         bwid = (w + 15) >> 4
         bhei = (h + 15) >> 4
         mode_px = [0xFF000000 | (predictor_mode << 8)] * (bwid * bhei)
-        _emit_image(bw, mode_px, use_lz77=True, cache_bits=0)
+        _emit_image(bw, mode_px, use_lz77=True, cache_bits=0, width=bwid)
         res = np.zeros(h * w, dtype=np.uint32)
         src = argb_arr.reshape(-1)
         for y in range(h):
@@ -940,7 +968,7 @@ def encode_webp(
         bwid = (w + 15) >> 4
         bhei = (h + 15) >> 4
         elem_px = [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r] * (bwid * bhei)
-        _emit_image(bw, elem_px, use_lz77=True, cache_bits=0)
+        _emit_image(bw, elem_px, use_lz77=True, cache_bits=0, width=bwid)
         res = np.zeros(h * w, dtype=np.uint32)
         src = argb_arr.reshape(-1)
         for i in range(h * w):
@@ -971,7 +999,7 @@ def encode_webp(
                 d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
             deltas.append(d)
             prev = c
-        _emit_image(bw, deltas, use_lz77=False, cache_bits=0)
+        _emit_image(bw, deltas, use_lz77=False, cache_bits=0, width=n_colors)
         if n_colors <= 2:
             xbits = 3
         elif n_colors <= 4:
@@ -1002,7 +1030,7 @@ def encode_webp(
         raise ValueError(f"vp8l: unknown transform {transform!r}")
 
     bw.write(0, 1)  # no meta-Huffman
-    _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits)
+    _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits, width=cur_w)
 
     payload = bw.tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
