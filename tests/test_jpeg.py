@@ -669,3 +669,49 @@ class TestOptimizedHuffman:
             )
 
         inner()
+
+
+class TestOptimizedProgressive:
+    """encode_jpeg_progressive(optimize=True): measured-frequency tables
+    (mozjpeg's default mode) replace the static all-symbol AC table —
+    decode must stay bit-identical to both the static-table progressive
+    encode and the baseline encode; files shrink ~2x."""
+
+    @pytest.mark.parametrize("successive", [False, True])
+    @pytest.mark.parametrize("quality", [60, 100])
+    def test_decode_bit_identical(self, successive, quality):
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        for i in range(4):
+            px = decode_image(make_fake_image(str(i), width=24, height=20))
+            opt = encode_jpeg_progressive(
+                px, quality, successive=successive, optimize=True
+            )
+            assert np.array_equal(
+                decode_jpeg(opt), decode_jpeg(encode_jpeg(px, quality))
+            )
+
+    def test_optimized_is_smaller(self):
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        ts = to = 0
+        for i in range(6):
+            px = decode_image(make_fake_image(str(i), width=24, height=20))
+            ts += len(encode_jpeg_progressive(px, 85))
+            to += len(encode_jpeg_progressive(px, 85, optimize=True))
+        assert to < ts * 0.75
+
+    def test_degenerate_images(self):
+        from vectorflow_spark.operators.jpegmini import encode_jpeg_progressive
+
+        flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+        gray = np.arange(63, dtype=np.uint8).reshape(9, 7)
+        for px in (flat, gray):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_progressive(px, optimize=True)),
+                decode_jpeg(encode_jpeg_progressive(px)),
+            )

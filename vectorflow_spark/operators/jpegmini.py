@@ -1077,7 +1077,7 @@ def _enc_ac_refine(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
 
 
 def encode_jpeg_progressive(
-    px: np.ndarray, quality: int = 85, successive: bool = True
+    px: np.ndarray, quality: int = 85, successive: bool = True, optimize: bool = False
 ) -> bytes:
     """(h, w, 3|1) uint8 -> progressive (SOF2) JFIF JPEG bytes, 4:4:4.
 
@@ -1087,16 +1087,21 @@ def encode_jpeg_progressive(
     successive-approximation shape real encoders emit, exercising DC
     refinement bits, newly-significant AC coding, correction bits and
     EOB-run buffering in the decoder. Transmits exactly the quantized
-    coefficients of ``encode_jpeg(px, quality)``."""
+    coefficients of ``encode_jpeg(px, quality)``.
+
+    ``optimize=True`` mirrors mozjpeg's default progressive mode: a
+    counting pass runs the identical scan script through
+    ``_CountingCodes``, then measured-frequency tables (one shared AC
+    table covering the EOBn/literal symbols all scans actually emit,
+    per-class DC) replace the static ~9-bit ``AC_PROG`` table — a large
+    size win since progressive AC streams are EOB-run heavy. Decode
+    stays BIT-IDENTICAL either way."""
     h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
     ncomp = len(all_zz)
     n_blocks = bh * bw
+    passes = [(0, 1), (1, 0)] if successive else [(0, 0)]
 
-    dc_codes = [_encode_codes(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(ncomp)]
-    ac_codes = _encode_codes(*AC_PROG)
-
-    def dc_scan(ah: int, al: int) -> bytes:
-        writer = _BitWriter()
+    def dc_scan_core(writer, codes_list, ah: int, al: int) -> None:
         preds = [0] * ncomp
         for blk in range(n_blocks):
             for ci in range(ncomp):
@@ -1106,12 +1111,42 @@ def encode_jpeg_progressive(
                     diff = tmp - preds[ci]
                     preds[ci] = tmp
                     s = _category(diff)
-                    code, length = dc_codes[ci][s]
+                    code, length = codes_list[ci][s]
                     writer.write(code, length)
                     if s:
                         writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
                 else:
                     writer.write((v >> al) & 1, 1)
+
+    def ac_scan_core(writer, codes, ci: int, ah: int, al: int) -> None:
+        st = _ProgACState()
+        enc = _enc_ac_refine if ah else _enc_ac_first
+        for blk in range(n_blocks):
+            enc(writer, codes, all_zz[ci][blk], 1, 63, al, st)
+        _emit_eobrun(writer, codes, st)
+
+    if optimize:
+        null = _NullWriter()
+        dc_cnt = [_CountingCodes(), _CountingCodes()]
+        ac_cnt = _CountingCodes()  # one shared AC table, as emitted (id 0)
+        cnt_list = [dc_cnt[0 if ci == 0 else 1] for ci in range(ncomp)]
+        for ah, al in passes:
+            dc_scan_core(null, cnt_list, ah, al)
+        for ci in range(ncomp):
+            for ah, al in passes:
+                ac_scan_core(null, ac_cnt, ci, ah, al)
+        dc_lum_t = optimal_huffman_table(dc_cnt[0].counts)
+        dc_chrom_t = optimal_huffman_table(dc_cnt[1].counts) if ncomp > 1 else DC_CHROM
+        ac_t = optimal_huffman_table(ac_cnt.counts)
+    else:
+        dc_lum_t, dc_chrom_t, ac_t = DC_LUM, DC_CHROM, AC_PROG
+
+    dc_codes = [_encode_codes(*(dc_lum_t if ci == 0 else dc_chrom_t)) for ci in range(ncomp)]
+    ac_codes = _encode_codes(*ac_t)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        dc_scan_core(writer, dc_codes, ah, al)
         comps = bytes([ncomp]) + b"".join(
             bytes([ci + 1, (0 if ci == 0 else 1) << 4]) for ci in range(ncomp)
         )
@@ -1119,19 +1154,14 @@ def encode_jpeg_progressive(
 
     def ac_scan(ci: int, ah: int, al: int) -> bytes:
         writer = _BitWriter()
-        st = _ProgACState()
-        enc = _enc_ac_refine if ah else _enc_ac_first
-        for blk in range(n_blocks):
-            enc(writer, ac_codes, all_zz[ci][blk], 1, 63, al, st)
-        _emit_eobrun(writer, ac_codes, st)
+        ac_scan_core(writer, ac_codes, ci, ah, al)
         sos = bytes([1, ci + 1, 0x00]) + bytes([1, 63, (ah << 4) | al])
         return _seg_bytes(0xDA, sos) + writer.flush()
 
-    tables = [(0, 0, DC_LUM), (1, 0, AC_PROG)]
+    tables = [(0, 0, dc_lum_t), (1, 0, ac_t)]
     if ncomp > 1:
-        tables += [(0, 1, DC_CHROM)]
+        tables += [(0, 1, dc_chrom_t)]
     out = bytearray(_header_bytes(0xC2, h, w, ncomp, q_lum, q_chrom, tables))
-    passes = [(0, 1), (1, 0)] if successive else [(0, 0)]
     for ah, al in passes:
         out += dc_scan(ah, al)
     for ci in range(ncomp):
