@@ -386,3 +386,43 @@ class TestPlaneCodeEmission:
         without = encode_webp(px, use_lz77=False)
         assert np.array_equal(decode_webp(with_lz), px)
         assert len(with_lz) < len(without) / 3
+
+
+class TestMetaHuffmanGroups:
+    """meta_groups=True: a checkerboard entropy image selects between
+    two per-group Huffman code sets — the decoder's meta path (group
+    lookup per token start, shared color cache) pinned by roundtrips."""
+
+    @pytest.mark.parametrize("transform", ["none", "subtract_green", "predictor"])
+    def test_roundtrip_with_groups(self, transform):
+        px = _rng(13).integers(0, 256, (20, 28, 3), dtype=np.uint8)
+        out = decode_webp(encode_webp(px, transform=transform, meta_groups=True))
+        assert np.array_equal(out, px)
+
+    def test_groups_with_cache_and_lz77(self):
+        """Copies may START in one group and run into the other; the
+        cache is shared across groups."""
+        rng = _rng(3)
+        pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 5, (24, 40))]
+        blob = encode_webp(px, use_lz77=True, cache_bits=4, meta_groups=True)
+        assert np.array_equal(decode_webp(blob), px)
+
+    def test_single_block_image_degenerates_to_one_group(self):
+        px = _rng(4).integers(0, 256, (6, 6, 3), dtype=np.uint8)  # < 8x8 block
+        assert np.array_equal(decode_webp(encode_webp(px, meta_groups=True)), px)
+
+    def test_fuzz_groups(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(h=st.integers(1, 30), w=st.integers(1, 30), seed=st.integers(0, 2**31 - 1),
+               cb=st.integers(0, 5), lz=st.booleans())
+        @settings(max_examples=25, deadline=None)
+        def inner(h, w, seed, cb, lz):
+            px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_webp(encode_webp(px, use_lz77=lz, cache_bits=cb, meta_groups=True)), px
+            )
+
+        inner()

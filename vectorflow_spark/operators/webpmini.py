@@ -23,8 +23,10 @@ is canonical Huffman over an LZ77 token stream:
   decoder path: ``use_lz77`` (horizontal dist-1 runs -> plane code 2,
   vertical dist-width runs -> plane code 1, plus the >120 plain
   distance form), ``cache_bits`` (color cache), ``transform``
-  ('none' | 'subtract_green' | 'predictor' | 'palette'; palette
-  auto-bundles <=16-color images 2/4/8 pixels per green byte).
+  ('none' | 'subtract_green' | 'predictor' | 'color' | 'palette';
+  palette auto-bundles <=16-color images 2/4/8 pixels per green byte),
+  ``meta_groups`` (a checkerboard meta-Huffman entropy image with two
+  per-group measured code sets — the spec's spatially-adaptive form).
   Lossless: decode(encode(px)) == px BIT-EXACTLY, asserted across all
   knob combinations in tests/test_webp.py.
 * ``webp_meta(data)`` — header-only (width, height, channels).
@@ -888,12 +890,109 @@ def _emit_image(
             bw.write_code(c, n)
 
 
+def _emit_main_grouped(
+    bw: _BitWriter,
+    argb: list[int],
+    use_lz77: bool,
+    cache_bits: int,
+    width: int,
+    height: int,
+    meta_bits: int = 3,
+) -> None:
+    """The meta-Huffman main-image form: a checkerboard entropy image
+    assigns each (1<<meta_bits)-square block to one of two Huffman
+    groups, each with its own measured 5-code set; a token is coded with
+    the group of its STARTING pixel (copies may run into other groups
+    without re-selection — the spec's semantics, which the decoder's
+    per-token group lookup mirrors). The color cache is shared."""
+    bsz = 1 << meta_bits
+    mw = (width + bsz - 1) >> meta_bits
+    mh = (height + bsz - 1) >> meta_bits
+    meta_px = [
+        0xFF000000 | (((bx + by) & 1) << 8) for by in range(mh) for bx in range(mw)
+    ]
+    n_groups = (max(p >> 8 & 0xFFFF for p in meta_px)) + 1
+    bw.write(1, 1)  # meta-Huffman present
+    bw.write(meta_bits - 2, 3)
+    _emit_image(bw, meta_px, use_lz77=False, cache_bits=0, width=mw)
+
+    tokens = _tokenize(argb, use_lz77, cache_bits, width)
+
+    def group_of(i: int) -> int:
+        return (((i % width) >> meta_bits) + ((i // width) >> meta_bits)) & 1 if n_groups > 1 else 0
+
+    counts = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(n_groups)
+    ]
+    i = 0
+    for t in tokens:
+        c = counts[group_of(i)]
+        if t[0] == "lit":
+            a, r, g, b = _chan(t[1])
+            for ch, v in (("g", g), ("r", r), ("b", b), ("a", a)):
+                c[ch][v] = c[ch].get(v, 0) + 1
+            i += 1
+        elif t[0] == "copy":
+            code, _, _ = _prefix_encode(t[1])
+            c["g"][256 + code] = c["g"].get(256 + code, 0) + 1
+            dcode, _, _ = _prefix_encode(_dist_to_plane(width, t[2]))
+            c["d"][dcode] = c["d"].get(dcode, 0) + 1
+            i += t[1]
+        else:
+            sym = 256 + _NUM_LENGTH_CODES + t[1]
+            c["g"][sym] = c["g"].get(sym, 0) + 1
+            i += 1
+
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    maps = []
+    for g in range(n_groups):
+        c = counts[g]
+        for ch in ("g", "r", "b", "a", "d"):
+            if not c[ch]:
+                c[ch][0] = 1  # group never starts a token / unused channel
+        maps.append(
+            tuple(
+                _write_huffman_code(bw, _huff_lengths(c[ch]))
+                for ch in ("g", "r", "b", "a", "d")
+            )
+        )
+
+    i = 0
+    for t in tokens:
+        g_map, r_map, b_map, a_map, d_map = maps[group_of(i)]
+        if t[0] == "lit":
+            a, r, g, b = _chan(t[1])
+            for sym, m in ((g, g_map), (r, r_map), (b, b_map), (a, a_map)):
+                code, n = m[sym]
+                bw.write_code(code, n)
+            i += 1
+        elif t[0] == "copy":
+            code, eb, ev = _prefix_encode(t[1])
+            cd, n = g_map[256 + code]
+            bw.write_code(cd, n)
+            bw.write(ev, eb)
+            dcode, deb, dev = _prefix_encode(_dist_to_plane(width, t[2]))
+            cd, n = d_map[dcode]
+            bw.write_code(cd, n)
+            bw.write(dev, deb)
+            i += t[1]
+        else:
+            cd, n = g_map[256 + _NUM_LENGTH_CODES + t[1]]
+            bw.write_code(cd, n)
+            i += 1
+
+
 def encode_webp(
     px: np.ndarray,
     use_lz77: bool = True,
     cache_bits: int = 0,
     transform: str = "none",
     predictor_mode: int = 7,
+    meta_groups: bool = False,
 ) -> bytes:
     """(h, w, 3|1) uint8 -> lossless WebP (VP8L) bytes.
 
@@ -1029,8 +1128,11 @@ def encode_webp(
     else:
         raise ValueError(f"vp8l: unknown transform {transform!r}")
 
-    bw.write(0, 1)  # no meta-Huffman
-    _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits, width=cur_w)
+    if meta_groups:
+        _emit_main_grouped(bw, flat, use_lz77, cache_bits, cur_w, h)
+    else:
+        bw.write(0, 1)  # no meta-Huffman
+        _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits, width=cur_w)
 
     payload = bw.tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
