@@ -9481,6 +9481,7 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'none'
                 WHEN 1 THEN 'subtract_green' WHEN 2 THEN 'predictor'
                 WHEN 3 THEN 'color' ELSE 'palette' END AS transform,
+           (doc_id % 7 = 0) AS meta_groups,
            TRUE AS lossless,
            TRUE AS meta_ok
     FROM documents WHERE doc_id % 3 = 0
@@ -9494,7 +9495,8 @@ def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     index bundling runs) is encoded with the transform/LZ77/color-cache
     knobs cycling by doc_id — every VP8L decoder path (all four
     transforms, backward references, cache hits, simple + code-length
-    Huffman forms) crosses the executor boundary — then decoded back
+    Huffman forms, and every 7th asset the meta-Huffman group path)
+    crosses the executor boundary — then decoded back
     through the UNIFIED dispatch (codecs.decode_image) and compared
     bit-exactly; header metadata is cross-checked via decode_meta. The
     oracle pins both invariants plus the knob assignment. One
@@ -9516,6 +9518,7 @@ def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("w", IntegerType()),
             StructField("h", IntegerType()),
             StructField("transform", StringType()),
+            StructField("meta_groups", BooleanType()),
             StructField("lossless", BooleanType()),
             StructField("meta_ok", BooleanType()),
         ]
@@ -9547,6 +9550,7 @@ def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     use_lz77=i % 2 == 0,
                     cache_bits=(i % 3) * 3,  # 0, 3, 6
                     transform=tr,
+                    meta_groups=i % 7 == 0,
                 )
                 m = decode_meta(blob)
                 rows.append(
@@ -9555,6 +9559,7 @@ def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w,
                         h,
                         tr,
+                        i % 7 == 0,
                         bool(np.array_equal(decode_image(blob), px)),
                         m["kind"] == "image" and m["width"] == w and m["height"] == h,
                     )
