@@ -26,12 +26,18 @@ stdlib ``wave`` module, so this layer de-gates them:
   actually carry.
 
 * JPEG — baseline (SOF0) AND progressive (SOF2) decode, baseline +
-  progressive encode, via ``operators/jpegmini.py`` — canonical Huffman
-  + numpy IDCT, no external library. See that module.
+  progressive encode (both with optional two-pass optimized Huffman
+  tables), via ``operators/jpegmini.py`` — canonical Huffman + numpy
+  IDCT, no external library. See that module.
 
-Formats that genuinely need external libraries (WebP, arithmetic-coded
-JPEG, MP3/AAC, MP4) still raise ``NotImplementedError`` loudly — the
-contract is "parse correctly or refuse", never guess.
+* WebP-lossless (VP8L) — full transform/entropy decode + deterministic
+  encoder via ``operators/webpmini.py``; baseline TIFF (strips,
+  PackBits, TIFF-LZW, predictor, both byte orders) via
+  ``operators/tiffmini.py``.
+
+Formats that genuinely need external libraries (lossy WebP,
+arithmetic-coded JPEG, MP3/AAC sample decode, MP4) still raise loudly —
+the contract is "parse correctly or refuse", never guess.
 """
 
 from __future__ import annotations
@@ -864,10 +870,14 @@ def decode_image(data: bytes) -> np.ndarray:
         from vectorflow_spark.operators.webpmini import decode_webp
 
         return decode_webp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from vectorflow_spark.operators.tiffmini import decode_tiff
+
+        return decode_tiff(data)
     raise NotImplementedError(
         "image decode supports the FAKE codec, BMP, PNG, JPEG "
-        "(baseline + progressive), GIF and WebP-lossless (VP8L); "
-        "lossy WebP (VP8) refuses inside the VP8L walker"
+        "(baseline + progressive), GIF, WebP-lossless (VP8L) and "
+        "baseline TIFF; lossy WebP (VP8) refuses inside the VP8L walker"
     )
 
 
@@ -902,6 +912,10 @@ def encode_image_like(px: np.ndarray, container: bytes) -> bytes:
         from vectorflow_spark.operators.webpmini import encode_webp
 
         return encode_webp(px)
+    if container[:4] in (b"II*\x00", b"MM\x00*"):
+        from vectorflow_spark.operators.tiffmini import encode_tiff
+
+        return encode_tiff(px, compression="lzw", predictor=True)
     raise NotImplementedError("unsupported image container")
 
 

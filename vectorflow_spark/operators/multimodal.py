@@ -9,14 +9,16 @@ Container support (operators/codecs.py): REAL stdlib-decodable formats —
 BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib; sequential
 + Adam7), JPEG (baseline + progressive via operators/jpegmini.py), GIF
 (LZW, palettes, interlace, animation compositing — single-frame GIFs are
-images, animated GIFs are videos), PCM WAV audio (8/16-bit), MJPEG AVI
-video (RIFF + one JPEG per frame) and MP3 frame headers (metadata only)
-— plus the deterministic FAKE codec family below; every kernel
+images, animated GIFs are videos), WebP-lossless (VP8L via
+operators/webpmini.py), baseline TIFF (strips/PackBits/TIFF-LZW/
+predictor via operators/tiffmini.py), PCM WAV audio (8/16-bit), MJPEG
+AVI video (RIFF + one JPEG per frame) and MP3 frame headers (metadata
+only) — plus the deterministic FAKE codec family below; every kernel
 (metadata, resize, dHash, frame sample, audio features) dispatches on
 magic bytes and runs the same pixel/sample math for all. Formats that
-genuinely need external libraries (WebP/MP4, non-MJPG AVI, MP3 sample
-decode) raise ``NotImplementedError`` loudly — parse correctly or
-refuse, never guess.
+genuinely need external libraries (MP4, non-MJPG AVI, lossy WebP, MP3
+sample decode) raise ``NotImplementedError`` loudly — parse correctly
+or refuse, never guess.
 
 The FAKE codec family (seeded, reproducible test assets):
 
@@ -139,6 +141,11 @@ def decode_meta(data: bytes) -> dict:
 
         w, h, c = webp_meta(bytes(data))
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
+    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+        from vectorflow_spark.operators.tiffmini import tiff_meta
+
+        w, h, c = tiff_meta(bytes(data))
+        return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC:
         samples, rate = codecs.decode_wav(bytes(data))  # WAVE form (AVI matched above)
         return {"kind": "audio", "sample_rate": rate, "n_samples": len(samples), "n_bytes": len(data)}
@@ -152,7 +159,7 @@ def decode_meta(data: bytes) -> dict:
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
     raise NotImplementedError(
         "codec decode supports the FAKE family, BMP, PNG, JPEG "
-        "(baseline/progressive), GIF, WebP-lossless, PCM WAV, MP3 "
+        "(baseline/progressive), GIF, WebP-lossless, baseline TIFF, PCM WAV, MP3 "
         "headers and MJPEG AVI; MP4 requires external libraries not "
         "installed in this environment"
     )

@@ -9572,3 +9572,98 @@ def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_tiff_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(14 + doc_id % 11 AS INT) AS w,
+           CAST(9 + doc_id % 6 AS INT) AS h,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'none'
+                WHEN 1 THEN 'packbits' ELSE 'lzw' END AS compression,
+           (doc_id % 3 = 2 AND doc_id % 2 = 0) AS predictor,
+           (doc_id % 4 = 0) AS big_endian,
+           TRUE AS lossless,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id % 5 = 1
+    """,
+)
+def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF ingestion readiness — the container scanned-document
+    corpora carry (operators/tiffmini.py). Per document a deterministic
+    image encodes with compression (none/PackBits/TIFF-LZW), horizontal
+    predictor, multi-strip layout and byte order cycling by doc_id, then
+    decodes back through the UNIFIED dispatch (codecs.decode_image) and
+    compares bit-exactly; header metadata cross-checked via decode_meta.
+    The oracle pins the knob assignment plus both invariants. One
+    Arrow-batched projection, no shuffle — the same mapInPandas a 100 TB
+    scan-archive sweep runs."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("compression", StringType()),
+            StructField("predictor", BooleanType()),
+            StructField("big_endian", BooleanType()),
+            StructField("lossless", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+    comps = ["none", "packbits", "lzw"]
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.tiffmini import encode_tiff
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 14 + i % 11, 9 + i % 6
+                comp = comps[i % 3]
+                pred = comp == "lzw" and i % 2 == 0
+                be = i % 4 == 0
+                px = decode_image(make_fake_image(str(i), width=w, height=h))
+                blob = encode_tiff(
+                    px,
+                    compression=comp,
+                    predictor=pred,
+                    rows_per_strip=4 if i % 2 else None,
+                    big_endian=be,
+                )
+                m = decode_meta(blob)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        comp,
+                        pred,
+                        be,
+                        bool(np.array_equal(decode_image(blob), px)),
+                        m["kind"] == "image" and m["width"] == w and m["height"] == h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
