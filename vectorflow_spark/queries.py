@@ -8627,9 +8627,10 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
     unique images (seed = id) rotate through FAKE blobs, a lossless slot
     cycling real BMP / Adam7-INTERLACED PNG / WebP-VP8L (predictor
-    transform + color cache), real baseline JPEGs and real PROGRESSIVE
-    JPEGs (SOF2 with successive approximation — our own
-    codecs, operators/jpegmini.py + codecs.py + webpmini.py), except every
+    transform + color cache) / TIFF-LZW (horizontal predictor), real
+    baseline JPEGs and real PROGRESSIVE JPEGs (SOF2 with successive
+    approximation — our own codecs: jpegmini, webpmini, tiffmini,
+    codecs.py), except every
     5th, which is a PERTURBED JPEG-q100 re-encode of its successor's
     decoded pixels (three interior sampled pixels nudged + DCT rounding;
     twins alternate baseline/progressive containers) — true
@@ -8655,15 +8656,20 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blob = make_fake_image(str(i))
         k = i % 4
         if k == 1:
-            # lossless slot rotates BMP / Adam7 PNG / WebP-VP8L — pixels
-            # (the dedup key) are identical across the three containers
-            r = (i // 4) % 3
+            # lossless slot rotates BMP / Adam7 PNG / WebP-VP8L /
+            # TIFF-LZW — pixels (the dedup key) are identical across all
+            # four containers
+            r = (i // 4) % 4
             if r == 1:
                 return encode_png(decode_image(blob), interlace=True)
             if r == 2:
                 from vectorflow_spark.operators.webpmini import encode_webp
 
                 return encode_webp(decode_image(blob), transform="predictor", cache_bits=4)
+            if r == 3:
+                from vectorflow_spark.operators.tiffmini import encode_tiff
+
+                return encode_tiff(decode_image(blob), compression="lzw", predictor=True)
             return encode_bmp(decode_image(blob))
         if k == 2:
             return encode_jpeg(decode_image(blob), quality=100)
