@@ -887,3 +887,46 @@ class TestHammingPairs:
             hamming_candidate_pairs(fp, "id", "fp", bits=64, n_bands=4, max_hamming=4)
         with _pytest.raises(ValueError, match="divide"):
             hamming_candidate_pairs(fp, "id", "fp", bits=63, n_bands=4, max_hamming=2)
+
+
+class TestG711Wav:
+    """G.711 telephony WAV (format 7 mu-law / 6 A-law) — the container
+    speech corpora ship. Decode tables pinned against the reference
+    expansion's hand-computed values; full 256-code roundtrip through
+    the writer."""
+
+    def test_ulaw_table_pins(self):
+        from vectorflow_spark.operators.codecs import _ULAW_TABLE
+
+        assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+        assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+
+    def test_alaw_table_pins(self):
+        from vectorflow_spark.operators.codecs import _ALAW_TABLE
+
+        assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+        assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+
+    def test_all_codes_roundtrip_both_laws(self):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import (
+            _ALAW_TABLE, _ULAW_TABLE, decode_audio, encode_wav_g711)
+
+        codes = np.arange(256, dtype=np.uint8)
+        for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+            samples, rate = decode_audio(encode_wav_g711(codes, 8000, law))
+            assert rate == 8000
+            assert np.array_equal(samples, table.astype(np.float64))
+
+    def test_g711_must_be_8bit(self):
+        import struct
+
+        from vectorflow_spark.operators.codecs import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="8-bit"):
+            decode_wav(blob)

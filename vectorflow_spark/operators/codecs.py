@@ -670,8 +670,58 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.astype(np.float64), rate
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """G.711 mu-law decode table (the classic ulaw2linear expansion to
+    16-bit scale: BIAS 0x84, 3-bit mantissa shift, complemented input)."""
+    out = np.zeros(256, dtype=np.int32)
+    for u in range(256):
+        v = ~u & 0xFF
+        t = ((v & 0x0F) << 3) + 0x84
+        t <<= (v & 0x70) >> 4
+        out[u] = (0x84 - t) if v & 0x80 else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """G.711 A-law decode table (alaw2linear: 0x55 toggle, segment
+    expansion)."""
+    out = np.zeros(256, dtype=np.int32)
+    for a in range(256):
+        v = a ^ 0x55
+        t = (v & 0x0F) << 4
+        seg = (v & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[a] = t if v & 0x80 else -t
+    return out
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
+def encode_wav_g711(codes: np.ndarray, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Mono G.711 WAV writer (format 7 = mu-law, 6 = A-law): ``codes``
+    are the raw 8-bit companded bytes — fixtures for the telephony-audio
+    decode path."""
+    fmt_id = {"ulaw": 7, "alaw": 6}[law]
+    raw = np.asarray(codes, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_id, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        WAVE_FORM
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav_float(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE with fmt audio_format 3 (IEEE float) -> samples."""
+    """RIFF/WAVE with fmt audio_format 3 (IEEE float) or the G.711
+    telephony formats 6 (A-law) / 7 (mu-law) -> samples."""
     if data[:4] != RIFF_MAGIC or data[8:12] != WAVE_FORM:
         raise ValueError("not a WAV file")
     fmt = None
@@ -686,6 +736,14 @@ def _decode_wav_float(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, n_ch, rate, _bps, _align, bits = fmt
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+    if audio_format in (6, 7):  # G.711 A-law / mu-law (telephony speech)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(payload, dtype=np.uint8)]
+        if n_ch > 1:
+            samples = samples[::n_ch]
+        return samples.astype(np.float64), rate
     if audio_format != 3:
         raise NotImplementedError(f"WAV audio format {audio_format} not supported")
     if bits == 32:
