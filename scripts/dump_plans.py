@@ -63,6 +63,7 @@ HEADLINERS = [
     ("q_split_leakage_audit", "split-leakage audit: banded minhash pairs, boundary filter + rollup on the tiny pair set"),
     ("q_jpeg_optimize_recompress", "two-pass optimized-Huffman recompression: one mapInPandas projection, no shuffle"),
     ("q_webp_roundtrip", "WebP VP8L roundtrip: one mapInPandas projection, no shuffle"),
+    ("q_tiff_roundtrip", "baseline TIFF roundtrip: one mapInPandas projection, no shuffle"),
 ]
 
 
