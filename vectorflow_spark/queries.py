@@ -9673,3 +9673,99 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_g711_decode",
+    """
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2),
+    k AS (
+        SELECT doc_id, unnest(range(32 + doc_id % 17)) AS i FROM docs
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST((doc_id * 7 + i * 13) % 256 AS BIGINT) AS code,
+               (doc_id % 2 = 0) AS is_ulaw
+        FROM k
+    ),
+    v AS (
+        SELECT doc_id,
+          CASE WHEN is_ulaw THEN
+            CASE WHEN (255 - code) >= 128
+                 THEN 132 - ((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8))
+                 ELSE ((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8)) - 132 END
+          ELSE
+            CASE WHEN xor(code, 85) >= 128
+                 THEN CASE WHEN (xor(code, 85) // 16) % 8 = 0 THEN (xor(code, 85) % 16) * 16 + 8
+                           WHEN (xor(code, 85) // 16) % 8 = 1 THEN (xor(code, 85) % 16) * 16 + 264
+                           ELSE ((xor(code, 85) % 16) * 16 + 264) << ((xor(code, 85) // 16) % 8 - 1) END
+                 ELSE -(CASE WHEN (xor(code, 85) // 16) % 8 = 0 THEN (xor(code, 85) % 16) * 16 + 8
+                             WHEN (xor(code, 85) // 16) % 8 = 1 THEN (xor(code, 85) % 16) * 16 + 264
+                             ELSE ((xor(code, 85) % 16) * 16 + 264) << ((xor(code, 85) // 16) % 8 - 1) END) END
+          END AS val
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(min(val) AS BIGINT) AS min_val,
+           CAST(max(val) AS BIGINT) AS max_val
+    FROM v GROUP BY doc_id
+    """,
+)
+def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio ingestion (operators/codecs.encode_wav_g711
+    / decode_wav formats 7 and 6) verified against an INDEPENDENT SQL
+    implementation of the expansion: per document a deterministic
+    companded byte stream rides a real mu-law or A-law WAV container
+    through the executor-side decode, and the per-doc sample statistics
+    must hash-match DuckDB computing the same values straight from the
+    G.711 bit arithmetic (complement/XOR-0x55, mantissa shift, segment
+    scaling) — two implementations, one from the C reference expansion
+    and one in relational algebra, agreeing on every sample. One
+    Arrow-batched projection + a per-doc rollup; no shuffle beyond the
+    tiny aggregate."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("law", StringType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_val", LongType()),
+            StructField("min_val", LongType()),
+            StructField("max_val", LongType()),
+        ]
+    )
+
+    def decode(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_audio, encode_wav_g711
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 32 + i % 17
+                codes = np.array([(i * 7 + k * 13) % 256 for k in range(n)], dtype=np.uint8)
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                samples, rate = decode_audio(encode_wav_g711(codes, 8000, law))
+                assert rate == 8000
+                v = samples.astype(np.int64)
+                rows.append((i, law, n, int(v.sum()), int(v.min()), int(v.max())))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 6 == 2)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(decode, out_schema)
