@@ -9007,7 +9007,7 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel kernel is Python) — the LAION-style pipeline: image+caption
     samples land in tar shards (every 5th image a DUPLICATE of its
     successor's pixels, usually in a different shard since sharding
-    hashes the key; every 3rd rides a WebP-VP8L container so dup pairs
+    hashes the key; every 5th rides a WebP-VP8L container so dup pairs
     routinely cross FORMATS too), the scan reads ONLY the image leg
     (ext pushdown),
     and exact-duplicate groups form by pixel dHash — proving the dedup
@@ -9027,7 +9027,7 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _one(i) -> bytes:
         i = int(i)
         blob = make_fake_image(str(i + 1 if i % 5 == 0 else i))
-        if i % 3 == 0:  # every 3rd sample rides a WebP-VP8L container —
+        if i % 5 == 3:  # every 5th sample rides a WebP-VP8L container —
             # LAION-style shards mix formats; pixels (the dedup key) are
             # identical, so groups are container-independent
             from vectorflow_spark.operators.codecs import decode_image
