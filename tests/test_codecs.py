@@ -930,3 +930,47 @@ class TestG711Wav:
         blob = b"RIFF" + struct.pack("<I", len(body)) + body
         with pytest.raises(ValueError, match="8-bit"):
             decode_wav(blob)
+
+
+class TestAdaptivePngFilters:
+    """encode_png picks per-row filters by the spec's min-sum-of-abs
+    heuristic (the real-encoder strategy); decode_png must undo every
+    mix, and smooth content must compress far below filter-0."""
+
+    def test_roundtrip_and_smaller_on_smooth(self):
+        x = np.linspace(0, 255, 200)[None, :].repeat(150, 0)
+        smooth = np.stack([x, x / 2, x / 3], axis=2).astype(np.uint8)
+        a = encode_png(smooth)
+        z = encode_png(smooth, adaptive=False)
+        assert np.array_equal(decode_png(a), smooth)
+        assert np.array_equal(decode_png(z), smooth)
+        assert len(a) < len(z) * 0.6
+
+    def test_adaptive_actually_mixes_filters(self):
+        import zlib
+
+        rng = np.random.default_rng(3)
+        # top half smooth (wants Sub/Up/Paeth), bottom half noise (wants 0)
+        smooth = np.tile(np.arange(60, dtype=np.uint8) * 4, (10, 1))
+        noise = rng.integers(0, 256, (10, 60), dtype=np.uint8)
+        px = np.repeat(np.vstack([smooth, noise])[:, :, None], 3, axis=2)
+        blob = encode_png(px)
+        # pull the filter byte of each scanline out of the IDAT payload
+        idat = b"".join(
+            body for t, body in __import__(
+                "vectorflow_spark.operators.codecs", fromlist=["_png_chunks"]
+            )._png_chunks(blob) if t == b"IDAT"
+        )
+        raw = zlib.decompress(idat)
+        stride = 60 * 3 + 1
+        fts = {raw[y * stride] for y in range(20)}
+        assert len(fts) > 1  # genuinely adaptive, not one global choice
+        assert np.array_equal(decode_png(blob), px)
+
+    def test_interlaced_adaptive_roundtrip(self):
+        px = _rng_img((21, 13, 3), 9)
+        assert np.array_equal(decode_png(encode_png(px, interlace=True)), px)
+
+
+def _rng_img(shape, seed):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)

@@ -273,10 +273,53 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
-    """(h, w, 3|1) uint8 -> 8-bit truecolor PNG (filter 0 scanlines);
-    ``interlace`` writes Adam7 (seven independently filtered pass
-    sub-images). Together with ``decode_png`` this roundtrips
+def _png_filter_image(sub: np.ndarray, adaptive: bool) -> bytes:
+    """(ph, pw, 3) -> filtered scanline bytes. ``adaptive`` picks the
+    per-row filter by the spec's minimum-sum-of-absolute-differences
+    heuristic (values read as signed) — the strategy real encoders use;
+    fully vectorized because the reconstructed neighbors of a lossless
+    filter ARE the original pixels. Otherwise filter 0 everywhere."""
+    ph, pw = sub.shape[:2]
+    stride = pw * 3
+    flat = sub.reshape(ph, stride).astype(np.int16)
+    if not adaptive:
+        scan = np.zeros((ph, stride + 1), dtype=np.uint8)
+        scan[:, 1:] = flat.astype(np.uint8)
+        return scan.tobytes()
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, 3:] = flat[:-1, :-3]
+    # Paeth predictor, vectorized
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    cands = np.stack(
+        [
+            flat,
+            (flat - left) & 0xFF,
+            (flat - up) & 0xFF,
+            (flat - (left + up) // 2) & 0xFF,
+            (flat - paeth) & 0xFF,
+        ]
+    ).astype(np.uint8)  # (5, ph, stride)
+    signed = cands.astype(np.int16)
+    cost = np.minimum(signed, 256 - signed).sum(axis=2)  # (5, ph)
+    best = cost.argmin(axis=0)  # first minimum: deterministic
+    scan = np.zeros((ph, stride + 1), dtype=np.uint8)
+    scan[:, 0] = best
+    scan[:, 1:] = cands[best, np.arange(ph)]
+    return scan.tobytes()
+
+
+def encode_png(px: np.ndarray, interlace: bool = False, adaptive: bool = True) -> bytes:
+    """(h, w, 3|1) uint8 -> 8-bit truecolor PNG; per-row ADAPTIVE filter
+    selection (min-sum-of-absolute-differences over all five spec
+    filters — the strategy real encoders use; ``adaptive=False`` pins
+    filter 0); ``interlace`` writes Adam7 (seven independently filtered
+    pass sub-images). Together with ``decode_png`` this roundtrips
     bit-exactly either way, so PNG fixtures are self-contained and
     openable by any viewer."""
     px = np.asarray(px, dtype=np.uint8)
@@ -289,9 +332,7 @@ def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
         raise ValueError(f"expected 1 or 3 channels, got {c}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     if not interlace:
-        scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
-        scan[:, 1:] = px.reshape(h, w * 3)
-        payload = scan.tobytes()
+        payload = _png_filter_image(px, adaptive)
     else:
         parts = []
         for x0, y0, xs, ys in _ADAM7:
@@ -299,9 +340,7 @@ def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
-            scan = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
-            scan[:, 1:] = sub.reshape(ph, pw * 3)
-            parts.append(scan.tobytes())
+            parts.append(_png_filter_image(np.ascontiguousarray(sub), adaptive))
         payload = b"".join(parts)
     return (
         PNG_MAGIC
