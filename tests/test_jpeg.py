@@ -715,3 +715,28 @@ class TestOptimizedProgressive:
                 decode_jpeg(encode_jpeg_progressive(px, optimize=True)),
                 decode_jpeg(encode_jpeg_progressive(px)),
             )
+
+
+class TestRestartIntervalEncoding:
+    """encode_jpeg(restart_interval=N): DRI + RSTn every N MCUs with
+    per-segment predictor resets — roundtrip-pins the decoder's restart
+    path (previously covered only by hand-built streams), composing
+    with optimize=True."""
+
+    @pytest.mark.parametrize("ri", [1, 3, 7])
+    @pytest.mark.parametrize("optimize", [False, True])
+    def test_decode_matches_unrestarted(self, ri, optimize):
+        rng = np.random.default_rng(ri)
+        px = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, 90))
+        blob = encode_jpeg(px, 90, optimize=optimize, restart_interval=ri)
+        assert b"\xff\xdd" in blob
+        assert np.array_equal(decode_jpeg(blob), base)
+
+    def test_marker_cycle_wraps_past_eight(self):
+        """> 8 segments: RSTn must cycle m%8 and the decoder must follow."""
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, (8, 96, 3), dtype=np.uint8)  # 12 MCUs
+        blob = encode_jpeg(px, 90, restart_interval=1)  # 11 RST markers
+        assert blob.count(b"\xff\xd0") >= 2  # RST0 reused after wrap
+        assert np.array_equal(decode_jpeg(blob), decode_jpeg(encode_jpeg(px, 90)))

@@ -911,7 +911,12 @@ def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables) -> 
     return bytes(out)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85, optimize: bool = False) -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    optimize: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling).
 
     ``optimize=True`` is the two-pass mode real encoders ship (cjpeg
@@ -922,16 +927,26 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, optimize: bool = False) -> by
     encodes with them. The quantized coefficients are untouched, so
     decode(optimized) == decode(standard) BIT-IDENTICALLY — only the
     entropy layer (and the DHT segments, which shrink to the symbols
-    actually used) changes."""
+    actually used) changes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs with per-segment DC predictor resets — the error-
+    resilience form real camera/encoder output carries, and the knob
+    that roundtrip-pins the decoder's restart path (byte-aligned
+    segment boundaries, m%8 marker cycling) beyond its hand-built
+    stream tests."""
     h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
     ncomp = len(all_zz)
+    n_mcus = bh * bw
 
     if optimize:
         null = _NullWriter()
         dc_cnt = [_CountingCodes(), _CountingCodes()]
         ac_cnt = [_CountingCodes(), _CountingCodes()]
         preds = [0] * ncomp
-        for blk in range(bh * bw):
+        for blk in range(n_mcus):
+            if restart_interval and blk and blk % restart_interval == 0:
+                preds = [0] * ncomp  # mirror the emission pass resets
             for ci in range(ncomp):
                 t = 0 if ci == 0 else 1
                 preds[ci] = _encode_block(
@@ -950,19 +965,30 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, optimize: bool = False) -> by
     if ncomp > 1:
         dc_chrom_codes = _encode_codes(*dc_chrom_t)
         ac_chrom_codes = _encode_codes(*ac_chrom_t)
+    segments: list[bytes] = []
     writer = _BitWriter()
     preds = [0] * ncomp
-    for blk in range(bh * bw):
+    for blk in range(n_mcus):
+        if restart_interval and blk and blk % restart_interval == 0:
+            segments.append(writer.flush())
+            writer = _BitWriter()
+            preds = [0] * ncomp
         for ci in range(ncomp):
             dc_c = dc_lum_codes if ci == 0 else dc_chrom_codes
             ac_c = ac_lum_codes if ci == 0 else ac_chrom_codes
             preds[ci] = _encode_block(writer, all_zz[ci][blk], preds[ci], dc_c, ac_c)
-    entropy = writer.flush()
+    segments.append(writer.flush())
+    entropy = b"".join(
+        seg + (bytes([0xFF, 0xD0 + i % 8]) if i < len(segments) - 1 else b"")
+        for i, seg in enumerate(segments)
+    )
 
     tables = [(0, 0, dc_lum_t), (1, 0, ac_lum_t)]
     if ncomp > 1:
         tables += [(0, 1, dc_chrom_t), (1, 1, ac_chrom_t)]
     out = bytearray(_header_bytes(0xC0, h, w, ncomp, q_lum, q_chrom, tables))
+    if restart_interval:
+        out += _seg_bytes(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
