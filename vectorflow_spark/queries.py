@@ -8672,9 +8672,18 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return encode_tiff(decode_image(blob), compression="lzw", predictor=True)
             return encode_bmp(decode_image(blob))
         if k == 2:
-            return encode_jpeg(decode_image(blob), quality=100)
+            # entropy-layer knobs rotate too (optimized tables, restart
+            # markers) — decode, hence dHash, is bit-identical across them
+            return encode_jpeg(
+                decode_image(blob),
+                quality=100,
+                optimize=(i // 4) % 2 == 1,
+                restart_interval=3 if (i // 8) % 2 else 0,
+            )
         if k == 3:
-            return encode_jpeg_progressive(decode_image(blob), quality=100)
+            return encode_jpeg_progressive(
+                decode_image(blob), quality=100, optimize=(i // 4) % 2 == 0
+            )
         return blob
 
     def _one(i) -> bytes:
