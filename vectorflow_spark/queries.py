@@ -9169,7 +9169,14 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pack(i, _frames(i))
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
-    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    # contiguous half-corpus: keeps every (i, i+1) twin pair intact while
+    # halving the per-video codec cost that dominates this query (the
+    # suite's heaviest Python kernel after the round-5 GIF/AVI rotation)
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
     assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
     pairs = video_neardup_pairs(assets, frame_hamming=6, min_frames=6)
     return pairs.groupBy("n_frames_matched").agg(
