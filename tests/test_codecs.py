@@ -974,3 +974,59 @@ class TestAdaptivePngFilters:
 
 def _rng_img(shape, seed):
     return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+class TestPaletteBmp:
+    """8-bit palette BMP (BI_RGB + the legacy BI_RLE8 run-length form):
+    the containers old web content carries; previously refused."""
+
+    @pytest.mark.parametrize("rle", [False, True])
+    def test_roundtrip_through_dispatch(self, rle):
+        from vectorflow_spark.operators.codecs import encode_bmp_palette
+
+        rng = np.random.default_rng(6)
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, (13, 19), dtype=np.uint8)
+        blob = encode_bmp_palette(idx, pal, rle=rle)
+        assert np.array_equal(decode_image(blob), pal[idx])
+        m = decode_meta(blob)
+        assert (m["kind"], m["width"], m["height"]) == ("image", 19, 13)
+
+    def test_rle8_escapes_hand_built(self):
+        """End-of-line, end-of-bitmap, delta and absolute-run escapes,
+        written by hand so the decoder is pinned independently."""
+        import struct
+
+        from vectorflow_spark.operators.codecs import decode_bmp
+
+        pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        palb = np.zeros((4, 4), np.uint8)
+        palb[:, :3] = pal[:, ::-1]
+        # 4x2 image, bottom row first: run of 2 index 1, absolute run
+        # [2, 3] (padded), EOL; delta (1,0) skips one pixel of top row,
+        # run of 3 index 2, EOB  -> top row = [0, 2, 2, 2]
+        body = bytes([2, 1, 0, 3, 2, 3, 2, 0,  0, 0,  0, 2, 1, 0, 3, 2, 0, 1])
+        off = 14 + 40 + 16
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(body), 0, 0, 4, 0)
+        out = decode_bmp(hdr + dib + palb.tobytes() + body)
+        assert np.array_equal(out[1], pal[[1, 1, 2, 3]])  # bottom row
+        assert np.array_equal(out[0], pal[[0, 2, 2, 2]])  # top row (delta skip)
+
+    def test_sixteen_bit_still_refused(self):
+        import struct
+
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp
+
+        bad = bytearray(encode_bmp(np.zeros((4, 4, 3), np.uint8)))
+        struct.pack_into("<H", bad, 28, 16)
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(bad))
+
+    def test_palette_index_out_of_range(self):
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
+
+        pal = np.zeros((4, 3), np.uint8)
+        idx = np.full((3, 3), 7, np.uint8)  # beyond the 4-color palette
+        with pytest.raises(ValueError, match="palette"):
+            decode_bmp(encode_bmp_palette(idx, pal))

@@ -6,8 +6,9 @@ in-repo FAKE codec could feed them. BMP and PCM WAV are fully specified
 public formats parseable with nothing beyond ``struct``/``numpy``/the
 stdlib ``wave`` module, so this layer de-gates them:
 
-* ``decode_image``  — FIMG (fake), BMP (BITMAPINFOHEADER, uncompressed
-  BI_RGB, 24/32-bit, bottom-up or top-down) or PNG -> (h, w, c) uint8.
+* ``decode_image``  — FIMG (fake), BMP (BITMAPINFOHEADER: uncompressed
+  BI_RGB 24/32-bit, bottom-up or top-down, plus 8-bit palette-indexed
+  incl. the legacy BI_RLE8 run-length form) or PNG -> (h, w, c) uint8.
 * ``encode_bmp``    — the inverse writer (24-bit, bottom-up, row padding),
   so encode->decode roundtrips bit-exactly and fixtures are real files any
   image viewer opens.
@@ -61,8 +62,46 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 # ---------------------------------------------------------------------------
 
 
+def _bmp_rle8(src: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 decompression (the legacy compressed-BMP form): encoded
+    runs, escape 0/0 = end of line, 0/1 = end of bitmap, 0/2 = position
+    delta, 0/n>=3 = word-aligned absolute run. Rows come bottom-up;
+    unwritten pixels stay index 0, per the format's sparse semantics."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    while i + 1 < len(src):
+        n, v = src[i], src[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            out[y, x : min(x + n, w)] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= len(src):
+                raise ValueError("BMP: truncated RLE8 delta")
+            x += src[i]
+            y += src[i + 1]
+            i += 2
+        else:  # absolute run of v literal pixels, padded to a word
+            if i + v > len(src):
+                raise ValueError("BMP: truncated RLE8 absolute run")
+            out[y, x : min(x + v, w)] = np.frombuffer(src, np.uint8, count=min(v, w - x), offset=i)
+            x += v
+            i += v + (v & 1)
+        if y >= h or x > w:
+            x = min(x, w)
+    return out[::-1]  # RLE8 is always bottom-up
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BI_RGB -> (h, w, 3) uint8 RGB array."""
+    """BMP -> (h, w, 3) uint8 RGB: uncompressed 24/32-bit BI_RGB, plus
+    8-bit palette-indexed (BI_RGB and the legacy BI_RLE8 run-length
+    form) — the containers old web content actually carries."""
     if data[:2] != BMP_MAGIC:
         raise ValueError("not a BMP file")
     (pixel_offset,) = struct.unpack_from("<I", data, 10)
@@ -72,9 +111,33 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_raw = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp == 8 and compression in (0, 1):
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        h = abs(h_raw)
+        if compression == 1:
+            if h_raw < 0:
+                raise ValueError("BMP: RLE8 cannot be top-down")
+            idx = _bmp_rle8(data[pixel_offset:], w, h)
+        else:
+            row_bytes = (w + 3) & ~3
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=row_bytes * h, offset=pixel_offset
+            ).reshape(h, row_bytes)
+            idx = rows[:, :w]
+            if h_raw > 0:
+                idx = idx[::-1]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP: palette index out of range")
+        return np.ascontiguousarray(pal[idx])
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, compression={compression})"
+            f"only uncompressed 24/32-bit and palette 8-bit (BI_RGB/BI_RLE8) "
+            f"BMP supported (bpp={bpp}, compression={compression})"
         )
     top_down = h_raw < 0
     h = abs(h_raw)
@@ -88,6 +151,46 @@ def decode_bmp(data: bytes) -> np.ndarray:
         px = px[::-1]
     # BGR(A) -> RGB; alpha dropped (metadata keeps channels=3 for both)
     return np.ascontiguousarray(px[:, :, :3][:, :, ::-1])
+
+
+def encode_bmp_palette(idx: np.ndarray, palette: np.ndarray, rle: bool = False) -> bytes:
+    """(h, w) uint8 indices + (n<=256, 3) RGB palette -> 8-bit BMP
+    (BI_RGB, or BI_RLE8 with per-row encoded runs when ``rle``) —
+    fixtures for the palette decode path."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError("BMP palette holds at most 256 colors")
+    pal = np.zeros((n_colors, 4), dtype=np.uint8)
+    pal[:, :3] = palette[:, ::-1]  # RGB -> BGRX
+    if rle:
+        body = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body += bytes([run, row[x]])
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        body = bytes(body)
+        compression = 1
+    else:
+        row_bytes = (w + 3) & ~3
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, :w] = idx
+        body = rows[::-1].tobytes()
+        compression = 0
+    pixel_offset = 14 + 40 + 4 * n_colors
+    header = BMP_MAGIC + struct.pack("<IHHI", pixel_offset + len(body), 0, 0, pixel_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(body), 2835, 2835, n_colors, 0
+    )
+    return header + dib + pal.tobytes() + body
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
