@@ -1013,6 +1013,23 @@ class TestPaletteBmp:
         assert np.array_equal(out[1], pal[[1, 1, 2, 3]])  # bottom row
         assert np.array_equal(out[0], pal[[0, 2, 2, 2]])  # top row (delta skip)
 
+    def test_rle8_delta_past_bottom_raises_valueerror(self):
+        """A malformed delta escape that pushes the cursor below the last
+        row must raise the codec-contract ValueError, not numpy
+        IndexError, when the next run writes."""
+        import struct
+
+        from vectorflow_spark.operators.codecs import decode_bmp
+
+        palb = bytes(16)  # 4 palette entries
+        # 4x2 image: delta (0, 5) jumps 5 rows down (h=2), then a run
+        body = bytes([0, 2, 0, 5, 2, 1, 0, 1])
+        off = 14 + 40 + 16
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(body), 0, 0, 4, 0)
+        with pytest.raises(ValueError, match="RLE8 cursor"):
+            decode_bmp(hdr + dib + palb + body)
+
     def test_sixteen_bit_still_refused(self):
         import struct
 

@@ -608,6 +608,16 @@ class TestStreamingIncrementalDedup:
         # second compaction with nothing new folds nothing
         assert compact_dedup_index(spark, str(b / "index"), upto_batch_id=2) is None
 
+        # crash-safety shape: a re-compaction that DOES fold (base + a new
+        # delta) installs the next versioned base BEFORE deleting anything,
+        # so no instant ever lacks the old postings; afterwards only the
+        # fresh base remains
+        spark.read.parquet(str(b / "index" / "batch_id=-1")).limit(2).write.mode(
+            "overwrite"
+        ).parquet(str(b / "index" / "batch_id=9"))
+        assert compact_dedup_index(spark, str(b / "index"), upto_batch_id=9) == 9
+        assert os.listdir(b / "index") == ["batch_id=-2"]
+
         # batch 3: one near-dup of batch-0 survivor 1, one genuinely new
         for root in (a, b):
             with open(root / "docs" / "f3.json", "w") as f:

@@ -575,6 +575,17 @@ class TestCdxIndexedScan:
         )
         assert sorted(r.url for r in st.collect()) == exp
 
+    def test_url_pruned_to_empty_is_empty_not_error(self, spark, tmp_path):
+        """A wayback lookup for a URL absent from EVERY CDX-indexed
+        segment prunes all ranges; partitions() must hand back the
+        empty-scan sentinel (PySpark turns a bare empty list into
+        read(None), which used to crash with AttributeError)."""
+        self._corpus(spark, tmp_path, n=20)
+        gone = read_warc(spark, str(tmp_path), records_per_task=10).filter(
+            F.col("url") == "http://h/not-in-archive"
+        )
+        assert gone.count() == 0
+
     def test_cdx_through_mount_opener(self, spark, tmp_path):
         d = tmp_path / "bucket" / "crawl"
         d.mkdir(parents=True)

@@ -126,6 +126,20 @@ class TestScanContracts:
         got = rows.collect()
         assert len(got) == 60 and all(r.ext == "txt" for r in got)
 
+    def test_empty_index_sidecars_yield_empty_scan_not_error(self, spark, tmp_path):
+        """Index sidecars listing zero members leave partitions() with no
+        range partitions; it must return the empty-scan sentinel instead
+        of an empty list (PySpark would call read(None) and crash)."""
+        import json
+
+        d = str(tmp_path)
+        write_webdataset(
+            _docs(spark, n=4), d, "key", {"txt": "txt"}, n_shards=1, compress=False, index=True
+        ).count()
+        for side in tmp_path.glob("_*.idx.json"):
+            side.write_text(json.dumps({"members": []}))
+        assert read_tar(spark, d).count() == 0
+
     def test_corrupt_shard_yields_error_row(self, spark, tmp_path):
         d = str(tmp_path)
         write_webdataset(_docs(spark, n=10), d, "key", {"txt": "txt"}, n_shards=1).count()

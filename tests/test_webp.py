@@ -272,6 +272,60 @@ class TestRoundtrip:
         assert webp_meta(encode_webp(px)) == (34, 12, 3)
 
 
+class TestPredictorBorderRules:
+    """Spec/libwebp border semantics pinned by an independent reference
+    inverse written HERE (not shared with the module): (0,0) predicts
+    black, the rest of row 0 predicts L, the rest of column 0 predicts T
+    — regardless of the block's mode — and TR at the right edge is the
+    scan-order wrap out[i-w+1] (the leftmost, already-reconstructed
+    pixel of the SAME row), never T. Roundtrips alone cannot catch a
+    deviation here because encoder and decoder share the neighbor code;
+    this reference decodes the residuals independently."""
+
+    @staticmethod
+    def _add(a: int, b: int) -> int:
+        out = 0
+        for sh in (0, 8, 16, 24):
+            out |= (((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) & 0xFF) << sh
+        return out
+
+    @pytest.mark.parametrize("mode", [0, 2, 3, 12])
+    def test_inverse_matches_independent_reference(self, mode):
+        from vectorflow_spark.operators.webpmini import _apply_inverse_predictor
+
+        rng = _rng(40 + mode)
+        w, h = 7, 5
+        res = rng.integers(0, 2**32, w * h, dtype=np.uint64).astype(np.uint32)
+        got = res.copy()
+        modes = np.array([0xFF000000 | (mode << 8)], dtype=np.uint32)
+        _apply_inverse_predictor(got, w, h, modes, bits=4)  # one 16x16 block
+
+        exp = res.copy()
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if y == 0 and x == 0:
+                    p = 0xFF000000
+                elif y == 0:
+                    p = int(exp[i - 1])
+                elif x == 0:
+                    p = int(exp[i - w])
+                elif mode == 0:
+                    p = 0xFF000000
+                elif mode == 2:
+                    p = int(exp[i - w])
+                elif mode == 3:
+                    p = int(exp[i - w + 1])  # scan-order wrap at x == w-1
+                else:  # mode 12: per-channel clamp(L + T - TL)
+                    l, t, tl = int(exp[i - 1]), int(exp[i - w]), int(exp[i - w - 1])
+                    p = 0
+                    for sh in (0, 8, 16, 24):
+                        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+                        p |= max(0, min(255, v)) << sh
+                exp[i] = self._add(int(exp[i]), p)
+        assert np.array_equal(got, exp)
+
+
 class TestRefusals:
     def test_lossy_vp8_refused(self):
         blob = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4

@@ -87,6 +87,9 @@ def _bmp_rle8(src: bytes, w: int, h: int) -> np.ndarray:
             x += src[i]
             y += src[i + 1]
             i += 2
+            if y >= h or x > w:  # next run would write out[y>=h] (IndexError,
+                # not the ValueError the codec contract promises on bad input)
+                raise ValueError("BMP: RLE8 cursor out of bounds")
         else:  # absolute run of v literal pixels, padded to a word
             if i + v > len(src):
                 raise ValueError("BMP: truncated RLE8 absolute run")

@@ -397,25 +397,21 @@ def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:  # noqa: E741
     raise ValueError(f"vp8l: bad predictor mode {mode}")
 
 
-def _neighbors(out: np.ndarray, w: int, x: int, y: int) -> tuple[int, int, int, int]:
-    """(L, T, TL, TR) with the spec edge rules: row 0 uses L for T/TL/TR,
-    column 0 uses T for L/TL; TR at the right edge wraps to... the spec
-    uses the leftmost pixel of the same row (x = w-1: TR = out[y-1][0])?
-    No: TR out of range uses T. We use T, and the shared encoder makes
-    it self-consistent; hand fixtures pin interior behavior."""
+def _predict_at(out: np.ndarray, w: int, x: int, y: int, mode: int) -> int:
+    """Spec/libwebp border rules (overriding the block's mode): (0,0) is
+    predicted black, the rest of row 0 uses L, the rest of column 0 uses
+    T. Interior pixels dispatch on mode with TR = out[i-w+1] ALWAYS — at
+    the right edge that scan-order wrap lands on the leftmost pixel of
+    the SAME row (already reconstructed), exactly as libwebp reads its
+    contiguous row buffer."""
     i = y * w + x
-    if x == 0 and y == 0:
-        black = 0xFF000000
-        return black, black, black, black
     if y == 0:
-        l = int(out[i - 1])  # noqa: E741
-        return l, l, l, l
+        return 0xFF000000 if x == 0 else int(out[i - 1])
     if x == 0:
-        t = int(out[i - w])
-        return t, t, t, int(out[i - w + 1]) if w > 1 else t
-    t = int(out[i - w])
-    tr = int(out[i - w + 1]) if x + 1 < w else t
-    return int(out[i - 1]), t, int(out[i - w - 1]), tr
+        return int(out[i - w])
+    return _predict(
+        mode, int(out[i - 1]), int(out[i - w]), int(out[i - w - 1]), int(out[i - w + 1])
+    )
 
 
 def _apply_inverse_predictor(pix: np.ndarray, w: int, h: int, modes: np.ndarray, bits: int) -> None:
@@ -423,8 +419,7 @@ def _apply_inverse_predictor(pix: np.ndarray, w: int, h: int, modes: np.ndarray,
     for y in range(h):
         for x in range(w):
             mode = (int(modes[(y >> bits) * bw + (x >> bits)]) >> 8) & 0xFF
-            l, t, tl, tr = _neighbors(pix, w, x, y)  # noqa: E741
-            p = _predict(mode, l, t, tl, tr)
+            p = _predict_at(pix, w, x, y, mode)
             i = y * w + x
             v = int(pix[i])
             pix[i] = (
@@ -1043,8 +1038,7 @@ def encode_webp(
         src = argb_arr.reshape(-1)
         for y in range(h):
             for x in range(w):
-                l, t, tl, tr = _neighbors(src, w, x, y)  # noqa: E741
-                p = _predict(predictor_mode, l, t, tl, tr)
+                p = _predict_at(src, w, x, y, predictor_mode)
                 i = y * w + x
                 v = int(src[i])
                 res[i] = (

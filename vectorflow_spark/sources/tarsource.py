@@ -211,7 +211,11 @@ class VfTarReader(DataSourceReader):
                 chunk_bytes += meta[2]
             if chunk:
                 parts.append(_TarRangePartition(p, chunk))
-        return parts
+        # Empty index sidecars (or pushed filters pruning every member of
+        # every shard) can leave parts empty; PySpark turns an empty list
+        # into [None] and read(None) would crash, so hand back the same
+        # empty-scan sentinel the shard-pruned case uses.
+        return parts or [_TarShardPartition(None)]
 
     def read(self, partition):
         """Rows ride ARROW RecordBatches (per-batch transfer instead of

@@ -270,7 +270,11 @@ class VfWarcReader(DataSourceReader):
                 ranges = [r for r in ranges if self._url_match(r[2])]
             for i in range(0, len(ranges), self.records_per_task):
                 parts.append(_WarcRangePartition(p, ranges[i : i + self.records_per_task]))
-        return parts
+        # A pushed url filter can prune every range in every CDX-indexed
+        # segment (wayback lookup for an absent URL). PySpark replaces an
+        # empty partitions() list with [None] and calls read(None), so
+        # return the same empty-scan sentinel the file-pruned case uses.
+        return parts or [_WarcFilePartition(None)]
 
     def read(self, partition):
         """Rows ride ARROW RecordBatches (the Python DataSource fast

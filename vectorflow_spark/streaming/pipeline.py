@@ -733,10 +733,11 @@ def compact_dedup_index(
     fold every COMMITTED ``batch_id=N`` delta (N <= watermark) plus any
     prior base into one distinct base directory, then drop the folded
     deltas — the delta count stays bounded while the stream runs
-    forever. The base lives at ``batch_id=-1``: streaming batch ids are
-    non-negative, so it stays inside the partition-column namespace
-    (whole-root parquet reads keep working) while the per-batch replay
-    exclusion can never match it.
+    forever. Bases live at NEGATIVE batch ids (``batch_id=-1``, then
+    ``-2``, ... — each compaction installs a fresh versioned base):
+    streaming batch ids are non-negative, so bases stay inside the
+    partition-column namespace (whole-root parquet reads keep working)
+    while the per-batch replay exclusion can never match them.
 
     Replay-idempotency is preserved by construction: the watermark is the
     newest batch id in the streaming checkpoint's ``commits`` log (derived
@@ -748,16 +749,19 @@ def compact_dedup_index(
     Postings are semantically a SET (the probe is a left-semi join on
     (band, bucket)), so the distinct fold changes no decision — new
     batches dedup byte-identically against base+deltas vs the original
-    delta pile. Crash-safe: the base is written to a dot-temp dir and
-    renamed in, and folded deltas are removed only after the rename; a
-    crash in between leaves base + deltas coexisting, whose union is
+    delta pile. Crash-safe: the new base is written to a dot-temp dir and
+    renamed in AT A FRESH NAME before the old base or any folded delta is
+    removed; every intermediate state is a superset union that is
     decision-identical (duplicate postings are harmless under semi-join),
-    and a re-run folds them again.
+    and a re-run folds whatever coexists again.
 
     Returns the watermark folded up to, or None when there is nothing to
     fold (fewer than two directories at/below the watermark)."""
     import os
     import shutil
+
+    def _bid(d: str) -> int:
+        return int(d.split("=", 1)[1])
 
     if upto_batch_id is None:
         if checkpoint_dir is None:
@@ -773,10 +777,10 @@ def compact_dedup_index(
         upto_batch_id = max(ids)
     entries = os.listdir(index_dir) if os.path.isdir(index_dir) else []
     fold = [
-        (int(d.split("=", 1)[1]), d)
+        (_bid(d), d)
         for d in entries
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto_batch_id
-    ]  # the -1 base, when present, folds in automatically
+        if d.startswith("batch_id=") and _bid(d) <= upto_batch_id
+    ]  # prior bases (negative ids), when present, fold in automatically
     if len(fold) < 2:
         return None
     new_w = max(n for n, _ in fold)
@@ -789,12 +793,18 @@ def compact_dedup_index(
     tmp = os.path.join(index_dir, ".tmp_base")
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)  # reads all sources HERE
-    target = os.path.join(index_dir, "batch_id=-1")
-    shutil.rmtree(target, ignore_errors=True)  # prior base already folded into tmp
-    os.replace(tmp, target)
+    # Install the new base at a FRESH versioned name (next id below every
+    # existing base) BEFORE removing anything: at no instant does a
+    # concurrent micro-batch listing miss a posting — between install and
+    # cleanup the union is a superset (duplicates harmless under the
+    # semi-join probe), and a crash anywhere leaves a state a re-run
+    # simply folds again. Never delete-then-install (the old base held
+    # postings whose deltas were removed by prior compactions — a crash
+    # in a delete-first window would lose them permanently).
+    new_base_id = min([n for n, _ in fold if n < 0] or [0]) - 1
+    os.replace(tmp, os.path.join(index_dir, f"batch_id={new_base_id}"))
     for _, d in fold:
-        if d != "batch_id=-1":
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return new_w
 
 
