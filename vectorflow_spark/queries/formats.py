@@ -1,0 +1,1683 @@
+"""Format gates: encode->extract roundtrips, WARC/WebDataset/codec scan queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from vectorflow_spark.queries._core import _t, query
+from vectorflow_spark.queries.dedup import _minhash_pairs_sql
+
+
+# ---------------------------------------------------------------------------
+# S2/S3 de-gated: real-format encode -> extract roundtrips (round 3).
+# The documents table is rendered to REAL container bytes row-by-row
+# (pdfmini/docxmini writers), then routed through the SAME pandas-UDF
+# extraction branches extract_documents dispatches to (sources/readers.py)
+# — so the oracle hash-match proves the whole parser, not a fixture
+# sample: every literal-string escape, Flate round-trip, and OOXML
+# paragraph/tab/run mapping must reproduce the source text exactly for
+# all 500+ documents.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_frame(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from pyspark.sql.types import BinaryType, StringType
+
+    from vectorflow_spark.sources.docxmini import build_docx, extract_docx_text
+    from vectorflow_spark.sources.pdfmini import build_pdf, extract_pdf_text
+
+    if fmt == "pdf":
+        build, extract = (lambda t: build_pdf([t])), extract_pdf_text
+    else:
+        build, extract = build_docx, extract_docx_text
+
+    @F.pandas_udf(BinaryType())
+    def _encode(texts):
+        return texts.map(build)
+
+    @F.pandas_udf(StringType())
+    def _decode(blobs):
+        return blobs.map(lambda b: extract(bytes(b)))
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select("doc_id", _decode(_encode(F.col("text"))).alias(f"{fmt}_text"))
+
+
+@query(
+    "q_pdf_roundtrip",
+    "SELECT doc_id, text || chr(10) AS pdf_text FROM documents",
+)
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 content-verified: documents -> valid one-page PDFs (pdfmini
+    writer: Flate content streams, escaped literal strings) -> the
+    stdlib extraction path (Tj/TJ evaluation, page-concat semantics of
+    reference src/extract/extract.py:93-97). The oracle is the page-
+    concat identity text || '\\n'. Pure per-row projection — no shuffle
+    beyond the input split; at scale this is the plan shape of any
+    extract stage: CPU-bound Arrow batches, zero exchanges."""
+    return _roundtrip_frame(spark, sf_dir, "pdf")
+
+
+@query(
+    "q_docx_roundtrip",
+    "SELECT doc_id, text AS docx_text FROM documents",
+)
+def q_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 content-verified: documents -> valid .docx zips (docxmini
+    writer: one w:p per line, tabs as w:tab runs) -> the stdlib
+    extraction path with python-docx's paragraph-join semantics
+    (reference src/extract/extract.py:74-76). Oracle = identity."""
+    return _roundtrip_frame(spark, sf_dir, "docx")
+
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH target AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey,
+               'UPDATED' AS c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) + 100.0 AS bal,
+               (c_custkey % 7 = 0) AS del
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG', 0.0, FALSE
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal
+    FROM target t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT COALESCE(s.del, FALSE)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a pure plan (operators/diff.merge_upsert): every 5th
+    customer is updated (segment + balance), every 35th deleted, and a
+    synthetic new-key batch inserted — matched-update / matched-delete /
+    not-matched-insert / untouched-passthrough all exercised in one
+    oracle. ONE full-outer join on the key is the only shuffle; this is
+    the per-refresh primitive versioned_merge commits to the manifest
+    store."""
+    from vectorflow_spark.operators.diff import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal"))
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("bal"),
+        (F.col("c_custkey") % 7 == 0).alias("del"),
+    )
+    ins = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("bal"),
+        F.lit(False).alias("del"),
+    )
+    return merge_upsert(target, upd.unionByName(ins), ["c_custkey"], delete_col="del")
+
+
+@query(
+    "q_rrf_fusion",
+    r"""
+    WITH dense_scored AS (
+        SELECT vec_id AS id,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)),
+                 9) AS score
+        FROM embeddings
+    ),
+    dense AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+            FROM dense_scored
+        ) WHERE rank <= 50
+    ),
+    lex_scored AS (
+        SELECT doc_id AS id,
+               len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'the')) AS tf
+        FROM documents
+    ),
+    lex AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank
+            FROM lex_scored
+        ) WHERE rank <= 50
+    ),
+    contrib AS (
+        SELECT id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense
+        UNION ALL
+        SELECT id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+    )
+    SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro, CAST(count(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY id
+    ORDER BY rrf_micro DESC, id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of dense and lexical retrieval
+    (operators/similarity.rrf_fuse): top-50 by cosine against the fixed
+    all-ones query (the q_topk_cosine scorer) fused with top-50 by
+    term-frequency of 'the' — no score calibration, just ranks. Each
+    1/(k+rank) term is micro-quantized before the sum so the fused score
+    is an exact integer on both engines. Plan: each ranking is a
+    TakeOrderedAndProject (never a global sort of the corpus) and the
+    row_number windows run over 50-row limited frames; fusion itself
+    groups k-sized lists."""
+    from pyspark.sql import Window as W
+
+    from vectorflow_spark.functions.vector import dot, l2_norm
+    from vectorflow_spark.operators.similarity import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    ones = F.array([F.lit(1.0)] * 64)
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
+    )
+    denom = F.col("_vn") * F.lit(8.0)
+    scored = base.select(
+        "id", F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score")
+    )
+    dense = (
+        scored.orderBy(F.col("score").desc(), "id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), "id")))
+        .select("id", "rank")
+    )
+    docs = _t(spark, sf_dir, "documents", split=True)
+    tf = F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x == "the"))
+    lex = (
+        docs.select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .orderBy(F.col("tf").desc(), "id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.col("tf").desc(), "id")))
+        .select("id", "rank")
+    )
+    return rrf_fuse([dense, lex], id_col="id").limit(20)
+
+
+@query(
+    "q_dup_substring_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS i, ts
+        FROM toks WHERE len(ts) >= 8
+    ),
+    hashed AS (
+        SELECT doc_id, md5(array_to_string(ts[i+1:i+8], ' ')) AS h FROM wins
+    ),
+    counted AS (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS n FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_windows,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_dup_hashes
+    FROM counted WHERE n > 1 GROUP BY doc_id
+    """,
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring detection (operators/dedup.
+    duplicate_substring_spans): every 8-word sliding span is hashed and
+    spans occurring more than once corpus-wide are counted per document —
+    the Lee-et-al substring-dedup signal that document-level dedup
+    misses (boilerplate, quoted passages, templates inside otherwise-
+    unique documents). Span hashing is a zero-shuffle projection; the
+    one data-sized exchange keys on the span hash."""
+    from vectorflow_spark.operators.dedup import duplicate_substring_spans
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return duplicate_substring_spans(docs, window=8)
+
+
+@query(
+    "q_remove_dup_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS i, ts
+        FROM toks WHERE len(ts) >= 8
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (
+                   PARTITION BY md5(lower(array_to_string(ts[i+1:i+8], ' ')))
+                   ORDER BY doc_id, i
+               ) AS rk
+        FROM wins
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS j
+        FROM ranked WHERE rk > 1
+    ),
+    tok_rows AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               unnest(generate_series(0, len(ts) - 1)) AS j
+        FROM toks WHERE len(ts) > 0
+    ),
+    kept AS (
+        SELECT t.doc_id, t.j, t.tok
+        FROM tok_rows t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+        WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.ts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (operators/dedup.
+    remove_duplicate_spans): later occurrences of duplicated 8-word spans
+    are cut (keep-first by global (doc, pos)), overlapping spans union
+    before cutting, untouched docs pass through. Content-verified: the
+    oracle reconstructs the cleaned text relationally (token explode +
+    covered-position anti-join + ordered string_agg) and must match the
+    engine's array-expression formulation byte-for-byte on every
+    document."""
+    from vectorflow_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return remove_duplicate_spans(docs, window=8)
+
+
+@query(
+    "q_warc_roundtrip",
+    "SELECT doc_id, text AS warc_text FROM documents",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingest content-verified (sources/warcmini.py): every
+    documents row is written as a gzipped WARC response record (archived
+    HTTP payload, Content-Length framing, one gzip member per record —
+    the Common Crawl .warc.gz layout) and parsed back through the
+    production record parser; the oracle is the exact identity, so the
+    hash-match proves header framing, member-gzip handling, and HTTP
+    body splitting over the whole corpus. Pure per-row projection."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    from vectorflow_spark.sources.warcmini import build_warc, parse_warc
+
+    @F.pandas_udf(BinaryType())
+    def _encode(ids, texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                build_warc([(f"http://corpus.local/{i}", t.encode("utf-8"), "text/plain")])
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    @F.pandas_udf(StringType())
+    def _decode(blobs):
+        def one(b: bytes) -> str:
+            recs = [r for r in parse_warc(bytes(b)) if r["warc-type"] == "response"]
+            [rec] = recs
+            return rec["body"].decode("utf-8")
+
+        return blobs.map(one)
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select(
+        "doc_id", _decode(_encode(F.col("doc_id"), F.col("text"))).alias("warc_text")
+    )
+
+
+@query(
+    "q_url_canonical",
+    r"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.example/Path'
+               || CAST(doc_id % 5 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&a=' || CAST(doc_id % 4 AS VARCHAR)
+               || '#frag' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\.', '') AS host,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM urls
+    ),
+    kept AS (
+        SELECT *, list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]*|fbclid|gclid)=')))
+               AS ps
+        FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host ||
+           CASE WHEN raw_path = '' THEN '/'
+                WHEN length(raw_path) > 1 AND raw_path LIKE '%/'
+                     THEN substring(raw_path, 1, length(raw_path) - 1)
+                ELSE raw_path END ||
+           CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
+           AS canonical_url,
+           host
+    FROM kept
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) — the first dedup key of
+    crawl curation: scheme/host lowercase, www. and fragment dropped,
+    tracking params removed, surviving params SORTED, trailing slash
+    normalized. Input URLs are synthesized deterministically from doc_id
+    (www-prefix, mixed case, tracking params, fragments, trailing-slash
+    variants all present); the oracle reimplements the full rule chain in
+    SQL, so the hash-match pins every rule. Pure codegen projection —
+    zero Python on the 100 TB crawl-manifest hot path."""
+    from vectorflow_spark.operators.urls import canonical_url_expr, url_host_expr
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/Path"), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 4).cast("string"),
+        F.lit("#frag"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        canonical_url_expr(url).alias("canonical_url"),
+        url_host_expr(url).alias("host"),
+    )
+
+
+_NFC_VARIANTS = ['café', 'Å ring', 'ñ tilde', 'plain']
+
+
+@query(
+    "q_unicode_normalize",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' ' || (['café', 'Å ring', 'ñ tilde', 'plain'])[CAST(doc_id % 4 + 1 AS INT)] AS raw_text
+        FROM documents
+    )
+    SELECT doc_id, nfc_normalize(raw_text) AS norm_text,
+           nfc_normalize(raw_text) <> raw_text AS changed
+    FROM aug
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textstats.normalize_text_nfc):
+    every document is suffixed with a doc_id-selected DECOMPOSED form
+    (combining acute/ring/tilde) so the normalizer provably rewrites 3/4
+    of rows; the oracle is DuckDB's nfc_normalize — two independent
+    Unicode implementations must agree codepoint-for-codepoint on the
+    whole corpus. Arrow-batched projection, zero shuffle."""
+    from vectorflow_spark.operators.textstats import normalize_text_nfc
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    variants = F.array(*[F.lit(v) for v in _NFC_VARIANTS])
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.element_at(variants, (F.col("doc_id") % 4 + 1).cast("int")),
+        ).alias("raw_text"),
+    )
+    out = normalize_text_nfc(aug, text_col="raw_text")
+    return out.select(
+        "doc_id",
+        F.col("norm_text"),
+        (F.col("norm_text") != F.col("raw_text")).alias("changed"),
+    )
+
+
+@query(
+    "q_embedding_drift",
+    """
+    WITH v2 AS (
+        SELECT vec_id, label, embedding AS e1,
+               list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+                   p -> CAST(p[1] AS DOUBLE)
+                        + CASE WHEN p[2] = 1
+                               THEN 0.5 * CAST(vec_id % 3 AS DOUBLE) ELSE 0.0 END) AS e2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(list_zip(e1, e2),
+                     p -> CAST(p[1] AS DOUBLE) * p[2]))
+                 / (sqrt(list_sum(list_transform(e1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e2, x -> x * x)))),
+                 9) AS cos_v1_v2
+        FROM v2
+        WHERE list_sum(list_transform(e1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(cos_v1_v2) AS DOUBLE) AS min_cos,
+           CAST(count(*) FILTER (cos_v1_v2 < 0.999999) AS BIGINT) AS n_drifted
+    FROM scored GROUP BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-version drift audit — the gate you run on the versioned
+    vector store (sinks/writers.versioned_write) before flipping the
+    pointer after a re-embed: per-id cosine between the serving vectors
+    (v1) and the candidate version (v2, here a deterministic single-
+    coordinate perturbation so exactly the vec_id%3!=0 rows change
+    direction), rolled up per label
+    to (count, min cosine, drifted count). A pure-scale change has cosine
+    1.0 — the audit distinguishes benign renormalization from real
+    direction changes. Per-row fold + one small groupBy; at 100 TB the
+    join of two store versions on vec_id is the only data-sized exchange
+    (bucketed store layout makes it co-located)."""
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    e1 = F.col("embedding")
+    bump = F.lit(0.5) * (F.col("vec_id") % 3).cast("double")
+    e2 = F.transform(
+        e1, lambda x, i: x.cast("double") + F.when(i == 0, bump).otherwise(F.lit(0.0))
+    )
+    base = emb.select("vec_id", "label", e1.alias("_e1"), e2.alias("_e2"))
+    dot = F.aggregate(
+        F.zip_with("_e1", "_e2", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(F.transform("_e1", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    n2 = F.sqrt(F.aggregate(F.transform("_e2", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = base.filter(n1 > 0).select(
+        "vec_id", "label", F.round(dot / (n1 * n2), 9).alias("cos_v1_v2")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("cos_v1_v2").alias("min_cos"),
+        F.sum(F.when(F.col("cos_v1_v2") < 0.999999, 1).otherwise(0)).cast("bigint").alias("n_drifted"),
+    )
+
+
+@query("q_image_neardup_pairs")
+def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
+    is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
+    unique images (seed = id) rotate through FAKE blobs, a lossless slot
+    cycling real BMP / Adam7-INTERLACED PNG / WebP-VP8L (predictor
+    transform + color cache) / TIFF-LZW (horizontal predictor), real
+    baseline JPEGs and real PROGRESSIVE JPEGs (SOF2 with successive
+    approximation — our own codecs: jpegmini, webpmini, tiffmini,
+    codecs.py), except every
+    5th, which is a PERTURBED JPEG-q100 re-encode of its successor's
+    decoded pixels (three interior sampled pixels nudged + DCT rounding;
+    twins alternate baseline/progressive containers) — true
+    near-duplicates whose dHash lands 0-6 bits away, usually ≥1, so
+    exact Hamming-0 grouping (q_image_dhash_dedup) misses most of them,
+    and the pair is usually JPEG↔BMP/FAKE: the dedup key is the pixels,
+    never the container bytes. dHash
+    fingerprints feed the generic Hamming-ball bander
+    (operators/dedup.hamming_candidate_pairs; the 63-bit dHash splits
+    into 7 bands of 9 bits), pairing anything within 6 differing bits —
+    exact by pigeonhole. Counts per hamming distance keep the result
+    small and deterministic."""
+    from vectorflow_spark.operators.codecs import decode_image, encode_bmp, encode_png
+    from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.jpegmini import encode_jpeg, encode_jpeg_progressive
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _base(i: int) -> bytes:
+        blob = make_fake_image(str(i))
+        k = i % 4
+        if k == 1:
+            # lossless slot rotates BMP / Adam7 PNG / WebP-VP8L /
+            # TIFF-LZW — pixels (the dedup key) are identical across all
+            # four containers
+            r = (i // 4) % 4
+            if r == 1:
+                return encode_png(decode_image(blob), interlace=True)
+            if r == 2:
+                from vectorflow_spark.operators.webpmini import encode_webp
+
+                return encode_webp(decode_image(blob), transform="predictor", cache_bits=4)
+            if r == 3:
+                from vectorflow_spark.operators.tiffmini import encode_tiff
+
+                return encode_tiff(decode_image(blob), compression="lzw", predictor=True)
+            return encode_bmp(decode_image(blob))
+        if k == 2:
+            # entropy-layer knobs rotate too (optimized tables, restart
+            # markers) — decode, hence dHash, is bit-identical across them
+            return encode_jpeg(
+                decode_image(blob),
+                quality=100,
+                optimize=(i // 4) % 2 == 1,
+                restart_interval=3 if (i // 8) % 2 else 0,
+            )
+        if k == 3:
+            return encode_jpeg_progressive(
+                decode_image(blob), quality=100, optimize=(i // 4) % 2 == 0
+            )
+        return blob
+
+    def _one(i) -> bytes:
+        if int(i) % 5 == 0:  # perturbed twin of image i+1
+            px = decode_image(_base(int(i) + 1)).copy()
+            # Nudge three dHash-sampled interior pixels: (0,0) would only
+            # touch bit 63, which the int64-safe mask drops.
+            for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                px[y, x, :] ^= 0x60
+            enc = encode_jpeg_progressive if int(i) % 2 == 0 else encode_jpeg
+            return enc(px, quality=100)
+        return _base(int(i))
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    hashed = image_dhash(assets)
+    pairs = hamming_candidate_pairs(
+        hashed, "asset_id", "dhash", bits=63, n_bands=7, max_hamming=6
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a")).alias("min_a"),
+    )
+
+
+@query(
+    "q_warc_scan",
+    "SELECT doc_id, text AS warc_text FROM documents",
+)
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL web-archive cycle through the production entry points —
+    distinct from q_warc_roundtrip, which proves per-row framing inside a
+    UDF: here the corpus is written as multi-record ``.warc.gz`` segment
+    files by the DISTRIBUTED sink (warcmini.write_warc_corpus: hash(url)
+    segmenting, per-task build, rename-commit) and read back by the
+    ``vf_warc`` streaming Data Source (one partition per file, records
+    streamed off disk, never a whole-file row). The oracle is exact text
+    identity over every document, so a hash-match proves the sink's
+    framing, the source's incremental parser, gzip member handling and
+    the url<->doc_id keying all at once. Scan parallelism = segment
+    files, exactly how Common Crawl shards."""
+    import os
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    # per-sf AND per-process dir, WIPED before each run: rename-commit
+    # only replaces segments the current run produces, so a layout change
+    # (n_files, the segment key) would otherwise leave stale segments the
+    # scan re-ingests as duplicates; keying by PID keeps two concurrent
+    # drivers on the same sf (bench + oracle check) from wiping each
+    # other's segments mid-scan
+    import shutil
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_warc_scan_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_warc_corpus(docs, out_dir, n_files=16)
+    manifest.count()  # materialize: the write IS this action
+    rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "response")
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    )
+
+
+@query(
+    "q_warc_scan_mount",
+    "SELECT doc_id, text AS warc_text FROM documents",
+)
+def q_warc_scan_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBJECT-STORE leg of the WARC cycle: same distributed sink +
+    streaming scan as q_warc_scan, but the scan addresses the segments
+    as ``s3://corpus/crawl/...`` through the injectable IO layer
+    (sources/warcsource.py ``io=mount:<root>`` — the FUSE-mount
+    deployment shape, and the stdlib-testable twin of the fsspec
+    backend) — and through the CDX RANDOM-ACCESS path: the sink writes
+    per-record (offset, length) sidecars (index=True), so the scan
+    splits each segment into record-range partitions that seek straight
+    to their records, Common Crawl's own CDX access pattern. The
+    exact-text oracle proves listing, scheme mapping, the sidecars and
+    per-member gzip slicing end to end — the round-4 verdict's #1 gap
+    (vf_warc refused non-file schemes) exercised inside the correctness
+    gate. q_warc_scan keeps the sequential-stream path covered."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    mount_root = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_warc_mount_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(mount_root, ignore_errors=True)
+    out_dir = os.path.join(mount_root, "corpus", "crawl")
+    manifest = write_warc_corpus(docs, out_dir, n_files=16, index=True)
+    manifest.count()  # materialize: the write IS this action
+    rows = read_warc(
+        spark, "s3://corpus/crawl", io=f"mount:{mount_root}", records_per_task=256
+    ).filter(F.col("warc_type") == "response")
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    )
+
+
+@query(
+    "q_wat_outlinks",
+    """
+    SELECT 'd' || CAST((doc_id + k) % 11 AS VARCHAR) || '.example' AS domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents, range(0, 4) t(k)
+    WHERE k <= doc_id % 4
+    GROUP BY 1
+    """,
+)
+def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT ingestion — the third leg of the Common Crawl triple (WARC
+    response bodies, WET extracted text, WAT JSON metadata sidecars):
+    per-document link metadata is built ENGINE-SIDE (to_json over the
+    WAT envelope nesting, pure Catalyst), written as WARC ``metadata``
+    records with ``application/json`` payloads by the distributed sink
+    (write_warc_corpus record_type='metadata'), scanned back through
+    ``vf_warc`` (the warc_type filter pushes into the parser), and the
+    outlink graph re-extracted with get_json_object + from_json +
+    explode — the crawl-graph aggregation (links per target domain) a
+    ranking pipeline starts from. The oracle re-derives the link
+    arithmetic relationally, so a hash match proves JSON envelope
+    construction, WAT record framing, the streamed scan and the JSON
+    re-extraction end to end. Every doc carries 1 + doc_id%4 links to
+    hash-spread domains; one shuffle for the final aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    links = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda k: F.struct(
+            F.concat(
+                F.lit("https://d"),
+                ((F.col("doc_id") + k) % 11).cast("string"),
+                F.lit(".example/p"),
+                k.cast("string"),
+            ).alias("url")
+        ),
+    )
+    wat_json = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias(
+                        "WARC-Target-URI"
+                    )
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(F.struct(links.alias("Links")).alias("HTML-Metadata")).alias(
+                        "HTTP-Response-Metadata"
+                    )
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    wat_docs = docs.select(
+        F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"),
+        wat_json.alias("text"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wat_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_corpus(
+        wat_docs, out_dir, n_files=8, record_type="metadata", mime="application/json"
+    ).count()  # materialize: the write IS this action
+    rows = read_warc(spark, out_dir).filter(F.col("warc_type") == "metadata")
+    links_json = F.get_json_object(
+        F.decode("body", "UTF-8"),
+        "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']['Links']",
+    )
+    parsed = rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.from_json(links_json, "array<struct<url:string>>").alias("links"),
+    )
+    exploded = parsed.select(
+        "doc_id", F.explode("links").alias("link")
+    ).select("doc_id", F.regexp_extract("link.url", r"^https://([^/]+)/", 1).alias("domain"))
+    return exploded.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "q_webdataset_scan",
+    """
+    SELECT doc_id, text AS wds_text, CAST(doc_id % 7 AS INT) AS label
+    FROM documents
+    """,
+)
+def q_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset cycle through the production entry points: every
+    document becomes a two-member SAMPLE (``<key>.txt`` text +
+    ``<key>.json`` metadata with a label) written as tar shards by the
+    distributed sink (wds.write_webdataset: hash(key) sharding, zeroed
+    tar metadata, rename-commit), scanned back by the ``vf_tar``
+    streaming source (one partition per shard, members streamed) and
+    reassembled into samples by the ZERO-SHUFFLE adjacency pass
+    (wds.webdataset_samples). The oracle is exact text identity plus the
+    label recovered from the json leg, so a hash match proves tar
+    framing, the member stream, key/ext splitting, cross-batch sample
+    assembly and both payload paths (utf-8 text and JSON) end to end —
+    the multimodal-training-corpus analog of q_warc_scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.wds import read_webdataset, write_webdataset
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.col("text").alias("txt"),
+        F.to_json(
+            F.struct(F.col("doc_id"), (F.col("doc_id") % 7).cast("int").alias("label"))
+        ).alias("meta"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"txt": "txt", "meta": "json"}, n_shards=16
+    ).count()  # materialize: the write IS this action
+    samples = read_webdataset(spark, out_dir)
+    meta = F.from_json(
+        F.decode(F.element_at(F.col("parts"), "json"), "UTF-8"),
+        "doc_id bigint, label int",
+    )
+    return samples.select(
+        meta["doc_id"].alias("doc_id"),
+        F.decode(F.element_at(F.col("parts"), "txt"), "UTF-8").alias("wds_text"),
+        meta["label"].alias("label"),
+    )
+
+
+@query(
+    "q_wds_caption_leg",
+    """
+    SELECT doc_id,
+           'img ' || CAST(doc_id AS VARCHAR) || ' cat ' || CAST(doc_id % 7 AS VARCHAR)
+               AS caption,
+           CAST(doc_id % 7 AS INT) AS category
+    FROM documents
+    """,
+)
+def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-leg read that makes WebDataset work at 100 TB: the
+    corpus is written as IMAGE+CAPTION shards (a real FAKE-codec image
+    plus a caption per sample — the LAION shape), but the scan filters
+    ``ext = 'txt'`` and the vf_tar pushdown drops every image member
+    INSIDE the tar walk, so the caption-only pass never copies image
+    bytes into rows (tar is sequential, so the bytes stream past but are
+    never materialized — at crawl scale that is the difference between
+    reading 2% and 100% of the corpus into Arrow). Shards carry INDEX
+    sidecars (write_webdataset index=True), so the scan takes the
+    seek-based range-partition path, where pushdown-skipped image
+    members are not even streamed past. The oracle re-derives the
+    captions relationally, proving the caption leg byte-exact while the
+    image leg stays untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.wds import read_tar, write_webdataset
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from vectorflow_spark.operators.multimodal import make_fake_image
+
+    gen = F.pandas_udf(
+        lambda ids: pd.Series([make_fake_image(str(i)) for i in ids]), BinaryType()
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.concat(
+            F.lit("img "), F.col("doc_id").cast("string"),
+            F.lit(" cat "), (F.col("doc_id") % 7).cast("string"),
+        ).alias("caption"),
+        gen("doc_id").alias("img"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_cap_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"caption": "txt", "img": "fimg"}, n_shards=8, index=True
+    ).count()  # materialize: the write IS this action
+    texts = (
+        read_tar(spark, out_dir)
+        .filter(F.col("ext") == "txt")  # pushed into the tar walk
+        .select(
+            F.col("key").cast("bigint").alias("doc_id"),
+            F.decode("data", "UTF-8").alias("caption"),
+        )
+    )
+    return texts.withColumn(
+        "category", F.element_at(F.split("caption", " "), -1).cast("int")
+    )
+
+
+@query("q_wds_image_dedup")
+def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard image dedup over a WebDataset corpus (rows-only:
+    pixel kernel is Python) — the LAION-style pipeline: image+caption
+    samples land in tar shards (every 5th image a DUPLICATE of its
+    successor's pixels, usually in a different shard since sharding
+    hashes the key; every 5th rides a WebP-VP8L container so dup pairs
+    routinely cross FORMATS too), the scan reads ONLY the image leg
+    (ext pushdown),
+    and exact-duplicate groups form by pixel dHash — proving the dedup
+    key survives the container round-trip and crosses shard boundaries.
+    Composition of verified operators: vf_tar scan -> image_dhash ->
+    hash-groupBy; one shuffle on the 8-byte hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
+    from vectorflow_spark.sources.wds import read_tar, write_webdataset
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _one(i) -> bytes:
+        i = int(i)
+        blob = make_fake_image(str(i + 1 if i % 5 == 0 else i))
+        if i % 5 == 3:  # every 5th sample rides a WebP-VP8L container —
+            # LAION-style shards mix formats; pixels (the dedup key) are
+            # identical, so groups are container-independent
+            from vectorflow_spark.operators.codecs import decode_image
+            from vectorflow_spark.operators.webpmini import encode_webp
+
+            return encode_webp(decode_image(blob), transform="subtract_green", cache_bits=4)
+        return blob
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        gen("doc_id").alias("img"),
+        F.concat(F.lit("cap "), F.col("doc_id")).alias("caption"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_wds_dedup_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(
+        docs, out_dir, "key", {"img": "fimg", "caption": "txt"}, n_shards=8
+    ).count()
+    imgs = (
+        read_tar(spark, out_dir)
+        .filter(F.col("ext") == "fimg")
+        .select(F.col("key").cast("bigint").alias("asset_id"), "data")
+    )
+    hashed = image_dhash(imgs)
+    groups = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("asset_id").alias("keeper"),
+        F.countDistinct((F.col("asset_id") % 8)).alias("n_home_shards"),
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("keeper").alias("min_keeper"),
+    )
+
+
+@query(
+    "q_cdx_lookup",
+    """
+    SELECT doc_id, text AS warc_text FROM documents
+    WHERE doc_id % 211 = 42
+    """,
+)
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wayback lookup through the correctness gate: a URL-predicate
+    scan over CDX-indexed WARC segments plans ONLY the matching record
+    ranges (vf_warc url pushdown reads the URL-carrying sidecars at
+    planning; each hit is one seek + one gzip member), so fetching a
+    handful of pages out of a crawl costs a handful of record reads —
+    never a segment walk. The oracle selects the same sparse id set
+    relationally; exact text identity proves the index-driven path
+    returns precisely the demanded records."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_cdx_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
+    wanted = docs.filter(F.col("doc_id") % 211 == 42).select("url")
+    urls = [r.url for r in wanted.collect()]  # the lookup's query set:
+    # driver-sized by construction (sparse ids), exactly like a wayback
+    # request batch
+    rows = read_warc(spark, out_dir).filter(F.col("url").isin(urls))
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    )
+
+
+@query("q_video_neardup_pairs")
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection (rows-only: dHash kernel is
+    Python) — the video leg of the cross-modal dedup triad, built by
+    COMPOSING verified operators rather than a new kernel
+    (multimodal.video_neardup_pairs): frame explode -> per-frame dHash ->
+    Hamming-ball frame pairs -> temporally-aligned (same frame index)
+    video-pair rollup requiring >= 6 of 8 matching frames. Corpus: unique
+    8-frame 16x12 videos (seed = id) in a MIXED-CONTAINER rotation —
+    thirds ride a REAL MJPEG AVI (operators/codecs.encode_avi_mjpeg:
+    RIFF framing + one baseline JPEG per frame), a REAL animated GIF
+    (LZW + grayscale palette — lossless for these gray frames), or the
+    FAKE container — except every 5th, a re-render of its successor with
+    three pixels nudged IN EVERY FRAME (the re-encode model), usually
+    landing in the OTHER container family: the dedup key is the frames'
+    pixels, never the container bytes. Twins match on aligned frames
+    within a few bits (JPEG-q100 wobble ≤~2/pixel included); unrelated
+    videos virtually never align. Per-video id count keeps the result
+    deterministic and small."""
+    from vectorflow_spark.operators.codecs import encode_avi_mjpeg, encode_gif
+    from vectorflow_spark.operators.multimodal import make_fake_video, video_neardup_pairs
+
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    NF, W, H = 8, 16, 12
+
+    def _frames(i: int) -> np.ndarray:
+        blob = make_fake_video(str(i), NF, W, H)
+        return np.frombuffer(blob[10:], dtype=np.uint8).reshape(NF, H, W).copy()
+
+    def _pack(i: int, frames: np.ndarray) -> bytes:
+        if i % 3 == 1:  # real MJPEG AVI container
+            return encode_avi_mjpeg(frames, quality=100)
+        if i % 3 == 2:  # real animated GIF (gray palette: lossless here)
+            return encode_gif(frames)
+        return b"FVID" + _struct.pack("<HHH", NF, W, H) + frames.tobytes()
+
+    def _one(i) -> bytes:
+        i = int(i)
+        if i % 5 == 0:  # perturbed twin of video i+1
+            frames = _frames(i + 1)
+            for (y, x) in ((4, 7), (7, 5), (9, 10)):
+                frames[:, y, x] ^= 0x60
+            return _pack(i, frames)
+        return _pack(i, _frames(i))
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    # contiguous half-corpus: keeps every (i, i+1) twin pair intact while
+    # halving the per-video codec cost that dominates this query (the
+    # suite's heaviest Python kernel after the round-5 GIF/AVI rotation)
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    pairs = video_neardup_pairs(assets, frame_hamming=6, min_frames=6)
+    return pairs.groupBy("n_frames_matched").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("video_a").alias("min_a"),
+    )
+
+
+@query("q_audio_fingerprint_dedup")
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-duplicate pairs (rows-only: FFT kernel is
+    Python) — the audio leg of the cross-modal dedup family: clips are
+    unique 2048-sample streams (seed = id) rotating FAKE/WAV containers,
+    except every 5th, which is a deterministic light-noise re-render of
+    its successor (the re-encode/transcode model). The fingerprint is
+    operators/multimodal.audio_fingerprint — framed rfft band-energy
+    derivative signs majority-voted to a 63-bit clip code (measured:
+    twins land 0-8 bits apart, unrelated clips 15+) — and pairing is the
+    SAME generic Hamming-ball bander image dHash and SimHash use
+    (9 bands x 7 bits, max_hamming 8 < 9 bands = exact by pigeonhole).
+    Counts per hamming distance keep the result small; one Arrow pass +
+    one band-key shuffle."""
+    from vectorflow_spark.operators.codecs import decode_audio, encode_wav
+    from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.multimodal import audio_fingerprint, make_fake_audio
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _base(i: int) -> bytes:
+        blob = make_fake_audio(str(i), 8000, 2048)
+        if i % 2:  # odd ids carry real WAV containers
+            samples, rate = decode_audio(blob)
+            return encode_wav(samples.astype(np.uint8), rate)
+        return blob
+
+    def _one(i) -> bytes:
+        i = int(i)
+        if i % 5 == 0:  # noise-perturbed twin of clip i+1
+            samples, rate = decode_audio(_base(i + 1))
+            rng = np.random.default_rng(i)  # deterministic per id
+            noisy = np.clip(samples + rng.normal(0, 2, len(samples)), 0, 255)
+            return encode_wav(noisy.astype(np.uint8), rate)
+        return _base(i)
+
+    gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
+    printed = audio_fingerprint(assets)
+    pairs = hamming_candidate_pairs(
+        printed, "asset_id", "afp", bits=63, n_bands=9, max_hamming=8
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a")).alias("min_a"),
+    )
+
+
+@query(
+    "q_session_window_native",
+    """
+    WITH sec AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ),
+    g AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM sec
+    ),
+    s AS (
+        SELECT user_id, ts_s,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           min(ts_s) AS session_start,
+           max(ts_s) + 1800 AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-NATIVE session windows: ``F.session_window(ts, gap)`` in a
+    plain groupBy — the built-in operator behind streaming session aggs,
+    here proven equivalent to the classical gaps-and-islands SQL. Boundary
+    semantics pinned empirically (batch AND streaming probed, round 3): a
+    window STARTING exactly at a previous session's end DOES merge into it
+    — touching counts as overlapping — so the islands formulation breaks
+    on ``diff > gap``, and an event exactly gap-seconds after its
+    predecessor extends the session. One shuffle on (user, session); at
+    scale this is the same plan the watermarked streaming version runs
+    per state update."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.expr("ts div 1000000000")).alias("t")
+    )
+    out = ev.groupBy("user_id", F.session_window("t", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "q_docs_bulk_fetch",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+                WHEN substr(text, 1, 2) = 'PK' THEN 'docx'
+                ELSE 'txt' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(text, 1, 4) = '%PDF' OR substr(text, 1, 2) = 'PK'
+                THEN md5('') ELSE md5(text) END AS text_md5
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_docs_bulk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BULK-URL ingestion cycle through ``vf_docs`` (the reference's
+    presigned-URL path S6 made cluster-scale, sources/datasource.py):
+    every 7th document is materialized as a ``.txt`` file by a
+    DISTRIBUTED mapInPandas writer (no driver loop over payloads), the
+    resulting URL manifest feeds ``spark.read.format("vf_docs")``, and
+    the fetches run on executors — partitioned, Arrow-batched, with the
+    same MIME sniff the binaryFile path uses. The oracle is exact
+    payload identity (md5 over the fetched bytes re-derived from the
+    table), so a hash-match proves the writer, the manifest plumbing,
+    the executor-side fetch and the sniff classification all at once.
+    The manifest ``collect()`` is driver-sized by construction: a
+    manifest IS driver-resident metadata in this source (VfDocsReader
+    holds the URL list for planning-time pushdown pruning), and each row
+    is one short path string, never a payload."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from vectorflow_spark.sources import datasource
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_docs_fetch_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_files(pdfs):
+        for pdf in pdfs:
+            urls = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                p = os.path.join(out_dir, f"{int(doc_id)}.txt")
+                with open(p, "wb") as f:
+                    f.write(str(text).encode("utf-8"))
+                urls.append("file://" + p)
+            yield pd.DataFrame({"url": urls})
+
+    urls = [r.url for r in docs.mapInPandas(write_files, "url string").collect()]
+    datasource.register(spark)
+    fetched = (
+        spark.read.format("vf_docs")
+        .option("urls", _json.dumps(sorted(urls)))
+        .option("allowedSchemes", "http,https,file")
+        .option("numPartitions", "32")
+        .load()
+    )
+    return fetched.select(
+        F.split(F.col("source"), r"\.").getItem(0).cast("bigint").alias("doc_id"),
+        "kind",
+        "n_bytes",
+        F.when(F.col("kind") == "txt", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .otherwise(F.md5(F.lit("")))
+        .alias("text_md5"),
+    )
+
+
+@query(
+    "q_jpeg_optimize_recompress",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 16 AS INT) AS w,
+           CAST(12 + doc_id % 8 AS INT) AS h,
+           (doc_id % 3 = 0) AS gray,
+           TRUE AS bit_identical,
+           TRUE AS opt_smaller
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def q_jpeg_optimize_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless STORAGE-RECOMPRESSION pass over an image corpus — the
+    petabyte-scale win real archives run (jpegtran/mozjpeg style): each
+    baseline JPEG is re-encoded with measured-frequency optimized Huffman
+    tables (operators/jpegmini.encode_jpeg(optimize=True), T.81 Annex
+    K.2 two-pass), which changes ONLY the entropy layer. The query
+    verifies both contracts per asset inside the scan — decode
+    bit-identity between the standard-table and optimized encodes, and
+    strict size reduction — and returns them as oracle-checked booleans,
+    so a single hash-match proves the symbol-counting pass, the
+    length-limited table builder and the DHT emission over 250 varied
+    images (sizes 16-31 x 12-19, every third grayscale). Embarrassingly
+    parallel: one Arrow-batched projection, no shuffle; at 100 TB this
+    runs as a mapInPandas over the blob store with the same kernel."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("gray", BooleanType()),
+            StructField("bit_identical", BooleanType()),
+            StructField("opt_smaller", BooleanType()),
+        ]
+    )
+
+    def recompress(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.jpegmini import decode_jpeg, encode_jpeg
+        from vectorflow_spark.operators.multimodal import make_fake_image
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, gray = 16 + i % 16, 12 + i % 8, i % 3 == 0
+                px = decode_image(make_fake_image(str(i), width=w, height=h))
+                if gray:
+                    px = px[:, :, 0]
+                std = encode_jpeg(px, quality=85)
+                opt = encode_jpeg(px, quality=85, optimize=True)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        gray,
+                        bool(np.array_equal(decode_jpeg(std), decode_jpeg(opt))),
+                        len(opt) < len(std),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(recompress, out_schema)
+
+
+@query(
+    "q_split_leakage_audit",
+    f"""
+    WITH cand AS ({_minhash_pairs_sql()}),
+    x AS (
+        SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS holdout_doc,
+               CASE WHEN a % 10 = 7 THEN b ELSE a END AS train_doc
+        FROM cand
+        WHERE (a % 10 = 7) <> (b % 10 = 7)
+    )
+    SELECT holdout_doc,
+           CAST(count(*) AS BIGINT) AS n_train_neardups,
+           CAST(min(train_doc) AS BIGINT) AS nearest_train_doc
+    FROM x GROUP BY 1
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout SPLIT-LEAKAGE audit — the eval-hygiene gate run
+    before trusting a benchmark number: documents split 90/10 by a
+    deterministic id rule (doc_id % 10 = 7 is the holdout; at 100 TB the
+    rule is a hash of a stable doc key, same plan), then every
+    MinHash-LSH candidate near-dup pair CROSSING the boundary is charged
+    to its holdout-side doc — a holdout doc with train near-dups is a
+    leaked eval item (the model saw a near-copy in training). Output:
+    one row per leaked holdout doc with its train-side near-dup count
+    and the smallest offending train doc id. Composes the verified
+    candidate generator (operators/dedup.minhash_candidate_pairs);
+    the only data-sized shuffle is the generator's own uniform
+    (band, bucket) key — the split predicate and the final rollup ride
+    on the tiny pair set."""
+    from vectorflow_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    cand = minhash_candidate_pairs(docs)
+    a_h = F.col("a") % 10 == 7
+    b_h = F.col("b") % 10 == 7
+    crossing = cand.filter(a_h != b_h).select(
+        F.when(a_h, F.col("a")).otherwise(F.col("b")).alias("holdout_doc"),
+        F.when(a_h, F.col("b")).otherwise(F.col("a")).alias("train_doc"),
+    )
+    return crossing.groupBy("holdout_doc").agg(
+        F.count(F.lit(1)).alias("n_train_neardups"),
+        F.min("train_doc").alias("nearest_train_doc"),
+    )
+
+
+@query(
+    "q_webp_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 13 AS INT) AS w,
+           CAST(10 + doc_id % 7 AS INT) AS h,
+           CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'none'
+                WHEN 1 THEN 'subtract_green' WHEN 2 THEN 'predictor'
+                WHEN 3 THEN 'color' ELSE 'palette' END AS transform,
+           (doc_id % 7 = 0) AS meta_groups,
+           TRUE AS lossless,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless (VP8L) ingestion readiness over a varied corpus —
+    the container a large share of real crawls serve alongside
+    JPEG/PNG/GIF (operators/webpmini.py). Per document a deterministic
+    image (sizes 16-28 x 10-16; every 5th a <=16-color palette image so
+    index bundling runs) is encoded with the transform/LZ77/color-cache
+    knobs cycling by doc_id — every VP8L decoder path (all four
+    transforms, backward references, cache hits, simple + code-length
+    Huffman forms, and every 7th asset the meta-Huffman group path)
+    crosses the executor boundary — then decoded back
+    through the UNIFIED dispatch (codecs.decode_image) and compared
+    bit-exactly; header metadata is cross-checked via decode_meta. The
+    oracle pins both invariants plus the knob assignment. One
+    Arrow-batched projection, no shuffle — at 100 TB this is the same
+    mapInPandas over the blob store."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("transform", StringType()),
+            StructField("meta_groups", BooleanType()),
+            StructField("lossless", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+    transforms = ["none", "subtract_green", "predictor", "color", "palette"]
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.webpmini import encode_webp
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 13, 10 + i % 7
+                tr = transforms[i % 5]
+                if tr == "palette":
+                    seeds = decode_image(make_fake_image(str(i), width=13, height=1))
+                    pal = seeds.reshape(-1, 3)[: 3 + i % 14]  # 3..16 colors
+                    sel = decode_image(make_fake_image(f"idx{i}", width=w, height=h))
+                    px = pal[sel[:, :, 0].astype(np.int64) % len(pal)]
+                else:
+                    px = decode_image(make_fake_image(str(i), width=w, height=h))
+                blob = encode_webp(
+                    px,
+                    use_lz77=i % 2 == 0,
+                    cache_bits=(i % 3) * 3,  # 0, 3, 6
+                    transform=tr,
+                    meta_groups=i % 7 == 0,
+                )
+                m = decode_meta(blob)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        tr,
+                        i % 7 == 0,
+                        bool(np.array_equal(decode_image(blob), px)),
+                        m["kind"] == "image" and m["width"] == w and m["height"] == h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_tiff_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(14 + doc_id % 11 AS INT) AS w,
+           CAST(9 + doc_id % 6 AS INT) AS h,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'none'
+                WHEN 1 THEN 'packbits' ELSE 'lzw' END AS compression,
+           (doc_id % 3 = 2 AND doc_id % 2 = 0) AS predictor,
+           (doc_id % 4 = 0) AS big_endian,
+           TRUE AS lossless,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id % 5 = 1
+    """,
+)
+def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF ingestion readiness — the container scanned-document
+    corpora carry (operators/tiffmini.py). Per document a deterministic
+    image encodes with compression (none/PackBits/TIFF-LZW), horizontal
+    predictor, multi-strip layout and byte order cycling by doc_id, then
+    decodes back through the UNIFIED dispatch (codecs.decode_image) and
+    compares bit-exactly; header metadata cross-checked via decode_meta.
+    The oracle pins the knob assignment plus both invariants. One
+    Arrow-batched projection, no shuffle — the same mapInPandas a 100 TB
+    scan-archive sweep runs."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("compression", StringType()),
+            StructField("predictor", BooleanType()),
+            StructField("big_endian", BooleanType()),
+            StructField("lossless", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+    comps = ["none", "packbits", "lzw"]
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.tiffmini import encode_tiff
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 14 + i % 11, 9 + i % 6
+                comp = comps[i % 3]
+                pred = comp == "lzw" and i % 2 == 0
+                be = i % 4 == 0
+                px = decode_image(make_fake_image(str(i), width=w, height=h))
+                blob = encode_tiff(
+                    px,
+                    compression=comp,
+                    predictor=pred,
+                    rows_per_strip=4 if i % 2 else None,
+                    big_endian=be,
+                )
+                m = decode_meta(blob)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        comp,
+                        pred,
+                        be,
+                        bool(np.array_equal(decode_image(blob), px)),
+                        m["kind"] == "image" and m["width"] == w and m["height"] == h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_g711_decode",
+    """
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2),
+    k AS (
+        SELECT doc_id, unnest(range(32 + doc_id % 17)) AS i FROM docs
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST((doc_id * 7 + i * 13) % 256 AS BIGINT) AS code,
+               (doc_id % 2 = 0) AS is_ulaw
+        FROM k
+    ),
+    v AS (
+        SELECT doc_id,
+          CASE WHEN is_ulaw THEN
+            CASE WHEN (255 - code) >= 128
+                 THEN 132 - ((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8))
+                 ELSE ((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8)) - 132 END
+          ELSE
+            CASE WHEN xor(code, 85) >= 128
+                 THEN CASE WHEN (xor(code, 85) // 16) % 8 = 0 THEN (xor(code, 85) % 16) * 16 + 8
+                           WHEN (xor(code, 85) // 16) % 8 = 1 THEN (xor(code, 85) % 16) * 16 + 264
+                           ELSE ((xor(code, 85) % 16) * 16 + 264) << ((xor(code, 85) // 16) % 8 - 1) END
+                 ELSE -(CASE WHEN (xor(code, 85) // 16) % 8 = 0 THEN (xor(code, 85) % 16) * 16 + 8
+                             WHEN (xor(code, 85) // 16) % 8 = 1 THEN (xor(code, 85) % 16) * 16 + 264
+                             ELSE ((xor(code, 85) % 16) * 16 + 264) << ((xor(code, 85) // 16) % 8 - 1) END) END
+          END AS val
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(min(val) AS BIGINT) AS min_val,
+           CAST(max(val) AS BIGINT) AS max_val
+    FROM v GROUP BY doc_id
+    """,
+)
+def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio ingestion (operators/codecs.encode_wav_g711
+    / decode_wav formats 7 and 6) verified against an INDEPENDENT SQL
+    implementation of the expansion: per document a deterministic
+    companded byte stream rides a real mu-law or A-law WAV container
+    through the executor-side decode, and the per-doc sample statistics
+    must hash-match DuckDB computing the same values straight from the
+    G.711 bit arithmetic (complement/XOR-0x55, mantissa shift, segment
+    scaling) — two implementations, one from the C reference expansion
+    and one in relational algebra, agreeing on every sample. One
+    Arrow-batched projection + a per-doc rollup; no shuffle beyond the
+    tiny aggregate."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("law", StringType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_val", LongType()),
+            StructField("min_val", LongType()),
+            StructField("max_val", LongType()),
+        ]
+    )
+
+    def decode(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_audio, encode_wav_g711
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 32 + i % 17
+                codes = np.array([(i * 7 + k * 13) % 256 for k in range(n)], dtype=np.uint8)
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                samples, rate = decode_audio(encode_wav_g711(codes, 8000, law))
+                assert rate == 8000
+                v = samples.astype(np.int64)
+                rows.append((i, law, n, int(v.sum()), int(v.min()), int(v.max())))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 6 == 2)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(decode, out_schema)

@@ -1,0 +1,745 @@
+"""Reference-pipeline parity: scans, chunkers, ids, joins/sinks, rollups, enrichment, token chunk declarations (SURVEY §2 S/C/K/F/U/A/L groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+from vectorflow_spark.functions import tokenizer
+from vectorflow_spark.functions.ids import content_id, uuid5_udf
+from vectorflow_spark.operators import chunkers
+from vectorflow_spark.operators.batching import batch_counts, minibatch_ids
+from vectorflow_spark.operators.filters import (
+    dedup_filenames,
+    filter_nonempty,
+    filter_valid_source,
+    semi_join_valid,
+    valid_source_predicate,
+)
+from vectorflow_spark.operators.rollup import job_rollup
+from vectorflow_spark.queries._core import _t, query
+
+
+# ---------------------------------------------------------------------------
+# S-group: scans / source filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_documents",
+    "SELECT doc_id, text, n_chars FROM documents",
+)
+def q_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: projection scan — column pruning must reach the parquet reader."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+
+@query(
+    "q_filter_nonempty",
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE length(text) > 0 AND length(text) <= 26214400",
+)
+def q_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F4: empty-file filter and 25 MB cap as pushable predicates."""
+    from vectorflow_spark.operators.filters import filter_max_size
+
+    df = filter_max_size(filter_nonempty(_t(spark, sf_dir, "documents")))
+    return df.select("doc_id", "source", "n_chars")
+
+
+_VALID_EXT_SQL = " OR ".join(
+    f"lower(source) LIKE '%{e}'" for e in (".txt", ".pdf", ".docx", ".md", ".html")
+)
+
+
+@query(
+    "q_filter_valid_source",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_VALID_EXT_SQL} THEN 'extension' ELSE 'content_sniff' END AS accepted_by
+    FROM documents
+    WHERE ({_VALID_EXT_SQL})
+       OR (source NOT LIKE '%.%' AND length(text) > 0)
+    """,
+)
+def q_filter_valid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: full file-acceptance semantics — extension whitelist OR the
+    reference's fallback for extensionless files (content sniff: accept if
+    the head decodes as text, reference src/api/app.py:291-310; the driver's
+    synthetic sources are extensionless, so the sniff path carries)."""
+    df = _t(spark, sf_dir, "documents")
+    ext_ok = valid_source_predicate("source")
+    sniff_ok = (~F.col("source").contains(".")) & (F.length("text") > 0)
+    return (
+        df.filter(ext_ok | sniff_ok)
+        .select(
+            "doc_id",
+            "source",
+            F.when(ext_ok, F.lit("extension")).otherwise(F.lit("content_sniff")).alias("accepted_by"),
+        )
+    )
+
+
+@query(
+    "q_dedup_filenames",
+    "SELECT count(*) AS n_files, count(DISTINCT source) AS n_distinct, "
+    "count(*) - count(DISTINCT source) AS n_duplicates FROM documents",
+)
+def q_dedup_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: duplicate-filename accounting (the dropped-count the reference
+    reports per request, src/api/app.py:103-104)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("source").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("source")).alias("n_duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-group: chunkers
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 100  # stride 100
+
+
+@query(
+    "q_chunk_exact_chars",
+    f"""
+    WITH g AS (
+        SELECT doc_id, text,
+               unnest(range(0, length(text), {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // {_CHUNK_SIZE - _CHUNK_OVERLAP} AS INT) AS chunk_seq,
+           CAST(i AS INT) AS chunk_offset,
+           substring(text, CAST(i AS INT) + 1, {_CHUNK_SIZE}) AS chunk_text
+    FROM g
+    """,
+)
+def q_chunk_exact_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: sliding char window as pure built-ins (no Python in the plan)."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
+        chunk_size=_CHUNK_SIZE,
+        chunk_overlap=_CHUNK_OVERLAP,
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    out = chunkers.chunk(docs, cfg, with_ids=False)
+    return out.select("doc_id", "chunk_seq", "chunk_offset", F.col("text").alias("chunk_text"))
+
+
+@query(
+    "q_chunk_sentence_chars",
+    f"""
+    WITH sent AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(text, '([.!?…]) +', '\\1' || chr(1), 'g'), chr(1))) AS sentence,
+               generate_subscripts(string_split(regexp_replace(text, '([.!?…]) +', '\\1' || chr(1), 'g'), chr(1)), 1) - 1 AS sent_pos
+        FROM documents
+    )
+    SELECT doc_id, CAST(sent_pos AS INT) AS chunk_offset, 'sentence' AS chunk_tag,
+           sentence AS chunk_text
+    FROM sent WHERE len(sentence) <= {_CHUNK_SIZE}
+    UNION ALL
+    SELECT doc_id, CAST(i AS INT) AS chunk_offset, 'exact' AS chunk_tag,
+           substring(sentence, CAST(i AS INT) + 1, {_CHUNK_SIZE}) AS chunk_text
+    FROM (
+        SELECT doc_id, sentence,
+               unnest(range(0, len(sentence), {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS i
+        FROM sent WHERE len(sentence) > {_CHUNK_SIZE}
+    )
+    """,
+)
+def q_chunk_sentence_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the full chunk-row output of the built-in sentence chunker
+    (whole sentences tagged 'sentence' with the sentence index as offset;
+    oversize sentences fall back to C2 windows tagged 'exact'). The oracle
+    replicates the lookbehind split with a replace-then-split construction
+    (RE2 has no lookbehind); comparison is multiset-exact over
+    (doc_id, chunk_offset, chunk_tag, chunk_text)."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.SENTENCE_BY_CHARACTERS,
+        chunk_size=_CHUNK_SIZE,
+        chunk_overlap=_CHUNK_OVERLAP,
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    out = chunkers.chunk(docs, cfg, with_ids=False)
+    return out.select("doc_id", "chunk_offset", "chunk_tag", F.col("text").alias("chunk_text"))
+
+
+@query(
+    "q_split_file_batches",
+    """
+    WITH lines AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    WHEN substring(text, length(text), 1) = chr(10)
+                    THEN len(string_split(text, chr(10))) - 1
+                    ELSE len(string_split(text, chr(10))) END AS line_count
+        FROM documents
+    )
+    SELECT doc_id, CAST(line_count AS BIGINT) AS line_count,
+           CAST(ceil(line_count / 100.0) AS BIGINT) AS total_batches
+    FROM lines
+    """,
+)
+def q_split_file_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: per-document line + batch counts (splitlines edge: a trailing
+    newline adds no empty line), lines_per_batch=100."""
+    return batch_counts(_t(spark, sf_dir, "documents").select("doc_id", "text"), lines_per_batch=100)
+
+
+@query(
+    "q_minibatch_counts",
+    """
+    WITH numbered AS (
+        SELECT label, row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS rn
+        FROM embeddings
+    )
+    SELECT label, CAST(count(DISTINCT rn // 64) AS BIGINT) AS n_minibatches,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM numbered GROUP BY label
+    """,
+)
+def q_minibatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: ceil(n/64) minibatch numbering per group via row_number."""
+    df = minibatch_ids(_t(spark, sf_dir, "embeddings"), ["label"], "vec_id", max_batch_size=64)
+    return df.groupBy("label").agg(
+        F.countDistinct("minibatch_id").cast("bigint").alias("n_minibatches"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-group: ids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_content_ids",
+    "SELECT doc_id, md5(concat_ws('-', text, CAST(doc_id AS VARCHAR), 'doc')) AS content_id "
+    "FROM documents",
+)
+def q_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 (JVM fast path): md5 deterministic content id, fully codegen'd."""
+    df = _t(spark, sf_dir, "documents", split=True)
+    return df.select("doc_id", content_id("text", "doc_id", F.lit("doc")).alias("content_id"))
+
+
+@query("q_uuid5_ids")  # rows-only: DuckDB 1.0 has no sha1()
+def q_uuid5_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 (reference parity): RFC-4122 uuid5 ids — rows-only check; exact
+    parity with the reference's generate_uuid_from_tuple is pinned by unit
+    tests against Python's uuid.uuid5 instead."""
+    df = _t(spark, sf_dir, "documents", split=True)
+    return df.select("doc_id", uuid5_udf("text", "doc_id", F.lit("doc")).alias("chunk_id"))
+
+
+# ---------------------------------------------------------------------------
+# F/U-group: joins and sink payload
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semijoin_valid_chunks",
+    "SELECT vec_id, label FROM embeddings WHERE vec_id IN "
+    "(SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)",
+)
+def q_semijoin_valid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: chunk-validation as a left-semi join against the valid-id set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    valid = emb.filter(F.col("vec_id") % 7 == 0)
+    return semi_join_valid(emb, valid, key="vec_id").select("vec_id", "label")
+
+
+def _even_length_transport(rows: list[dict]) -> list[str]:
+    """Deterministic stand-in for the F1 validation endpoint: approves
+    chunks with even text length (mirrored exactly by the oracle's
+    ``length(text) % 2 = 0``)."""
+    return [r["id"] for r in rows if len(r["text"]) % 2 == 0]
+
+
+@query(
+    "q_validate_webhook",
+    "SELECT doc_id, text FROM documents WHERE length(text) % 2 = 0",
+)
+def q_validate_webhook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1, full form: per-batch webhook validation through the injectable
+    transport seam (operators/filters.validate_chunks_webhook) — mapInPandas
+    slices Arrow batches into 128-row POSTs and keeps only returned ids;
+    a transport error fails that batch only (reference worker.py:156-172).
+    The deterministic transport approves even-length texts, so the filter
+    semantics hash-match a plain SQL predicate."""
+    from vectorflow_spark.operators.filters import validate_chunks_webhook
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return validate_chunks_webhook(docs, _even_length_transport, id_col="doc_id")
+
+
+@query(
+    "q_sink_payload",
+    """
+    SELECT CAST(e.vec_id AS VARCHAR) AS id,
+           substring(d.text, 1, 256) AS source_data,
+           d.source AS source_document,
+           CAST(len(e.embedding) AS INT) AS dim
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+def q_sink_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: the canonical sink projection built by a broadcast equi-join of
+    vectors to their source documents (the reference fetches source_filename
+    per batch from Postgres; here it is a dimension join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    return (
+        e.join(F.broadcast(d), e.vec_id == d.doc_id)
+        .select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.substring("text", 1, 256).alias("source_data"),
+            F.col("source").alias("source_document"),
+            F.size("embedding").cast("int").alias("dim"),
+        )
+    )
+
+
+@query(
+    "q_embed_dim",
+    "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, label "
+    "FROM embeddings WHERE len(embedding) = 64",
+)
+def q_embed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 parity surface: embedding dimension check (driver testdata dim=64)."""
+    df = _t(spark, sf_dir, "embeddings")
+    return df.select("vec_id", F.size("embedding").cast("int").alias("dim"), "label").filter(
+        F.col("dim") == 64
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-group: rollups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_job_rollup",
+    """
+    SELECT o_custkey AS job_id,
+           CAST(count(*) AS BIGINT) AS batches_processed,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS batches_succeeded,
+           CASE WHEN sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = count(*) THEN 'COMPLETED'
+                WHEN sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 THEN 'PARTIALLY_COMPLETED'
+                ELSE 'FAILED' END AS job_status
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_job_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the terminal-status conditional aggregation on TPC-H shapes —
+    o_custkey plays job_id, o_orderstatus='F' plays batch COMPLETED."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("job_id"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("COMPLETED")).otherwise(F.lit("FAILED")).alias("batch_status"),
+    )
+    return job_rollup(orders)
+
+
+@query(
+    "q_isin_lookup",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey IN (1, 7, 32, 64, 129, 4000, 12345)",
+)
+def q_isin_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: IN-list status lookup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isin([1, 7, 32, 64, 129, 4000, 12345]))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "q_upload_report",
+    """
+    SELECT CASE WHEN length(text) = 0 THEN 'empty_file'
+                WHEN NOT (lower(source) LIKE '%.txt' OR lower(source) LIKE '%.pdf'
+                          OR lower(source) LIKE '%.docx' OR lower(source) LIKE '%.md'
+                          OR lower(source) LIKE '%.html') THEN 'invalid_file_type'
+                ELSE 'successful_upload' END AS outcome,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def q_upload_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ingest-outcome report (empty / invalid-type / success classes)."""
+    from vectorflow_spark.operators.filters import valid_source_predicate
+    from vectorflow_spark.operators.rollup import upload_report
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "outcome",
+        F.when(F.length("text") == 0, F.lit("empty_file"))
+        .when(~valid_source_predicate("source"), F.lit("invalid_file_type"))
+        .otherwise(F.lit("successful_upload")),
+    )
+    return upload_report(df)
+
+
+# ---------------------------------------------------------------------------
+# L-group: client-side enrichment ops (deterministic parts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_truncate_tokenbudget",
+    "SELECT doc_id, substring(text, 1, 300) AS truncated, "
+    "CAST(least(length(text), 300) AS BIGINT) AS kept_chars FROM documents",
+)
+def q_truncate_tokenbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: fit-to-context truncation — the reference's 1:3 token:char
+    heuristic (chunk_enhancer.py:265-287) with a 100-token budget -> 300
+    chars."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("truncated"),
+        F.least(F.length("text"), F.lit(300)).cast("bigint").alias("kept_chars"),
+    )
+
+
+@query(
+    "q_concat_enhance",
+    "SELECT doc_id, text || ', ' || lang AS enhanced FROM documents",
+)
+def q_concat_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the deterministic enhancement concat (chunk + ', ' + context,
+    chunk_enhancer.py:104-151) — here text + lang tag."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", F.concat_ws(", ", "text", "lang").alias("enhanced"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only declarations: token-based chunkers (tokenizer not SQL-
+# expressible), the custom-chunker plugin surface, and the mapInPandas
+# embed stage. Exact semantics are pinned by the ported reference unit
+# tests (tests/test_chunkers.py) instead of a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_query(strategy: ChunkStrategy):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = PipelineConfig(chunk_strategy=strategy, chunk_size=64, chunk_overlap=32)
+        docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+        return chunkers.chunk(docs, cfg)
+
+    return fn
+
+
+# C1's oracle exists only under the regex tokenizer backend: its findall
+# semantics are reproducible in DuckDB (RE2's regexp_extract_all has the
+# same leftmost-first alternation), so the full window CONTENT hash-matches.
+# Under tiktoken/BPE backends the tokens are merge-table-dependent and the
+# query reverts to rows-only — the registration reflects the live backend.
+# chunk_id is intentionally not projected: uuid5 needs sha1, absent from
+# DuckDB; id correctness is carried by q_uuid5_ids + unit tests vs uuid.uuid5.
+_C1_SQL = (
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+') AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // 32 AS INT) AS chunk_seq,
+           CAST(i AS INT) AS chunk_offset,
+           'exact' AS chunk_tag,
+           array_to_string(ts[i + 1 : i + 64], '') AS text
+    FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 32)) AS i FROM tok)
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_exact_tokens", _C1_SQL)
+def q_chunk_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 token sliding window (size 64, overlap 32) — full content parity:
+    every chunk's text, token offset, and emission order hash-match the
+    SQL reconstruction of the same tokenizer + window arithmetic."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+
+# C3's oracle: the greedy '\n\n'-paragraph merge (accumulate until >= 48
+# tokens) is a resetting threshold scan, expressed as a RECURSIVE CTE over
+# (group start, group end) pairs per document, with group end found from a
+# 0-prepended cumulative token-count list. Parity quirks mirrored exactly:
+# merged text concatenates paragraphs WITHOUT the consumed '\n\n' (decode of
+# concatenated token lists), the fallback threshold uses the CONCATENATED
+# count while fallback windows RE-tokenize the merged string, and the
+# non-fallback offset is the paragraph index AFTER the merge with tag
+# 'exact' (reference src/worker/worker.py:246). Regex-backend-conditional
+# like C1/C5.
+_C3_TOKRE = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+"
+_C3_SQL = (
+    rf"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, ps, len(ps) AS n,
+               list_prepend(0, [list_sum(list_prepend(0, tc[1:i])) FOR i IN range(1, len(tc) + 1)]) AS cum
+        FROM (
+            SELECT doc_id, ps,
+                   [CAST(len(regexp_extract_all(p, '{_C3_TOKRE}')) AS BIGINT) FOR p IN ps] AS tc
+            FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM documents)
+        )
+    ),
+    grps AS (
+        SELECT doc_id, ps, n, cum, 0 AS gno, CAST(1 AS BIGINT) AS s,
+               coalesce(list_min([CAST(i AS BIGINT) FOR i IN range(1, n + 1) IF cum[i + 1] - cum[1] >= 48]), n) AS e
+        FROM base WHERE n >= 1
+        UNION ALL
+        SELECT doc_id, ps, n, cum, gno + 1, s2,
+               coalesce(list_min([CAST(i AS BIGINT) FOR i IN range(s2, n + 1) IF cum[i + 1] - cum[s2] >= 48]), n) AS e
+        FROM (SELECT doc_id, ps, n, cum, gno, e + 1 AS s2 FROM grps WHERE e < n)
+    ),
+    gsel AS (
+        SELECT doc_id, gno, e, cum[e + 1] - cum[s] AS mcnt,
+               array_to_string(ps[s : e], '') AS mtext
+        FROM grps
+    ),
+    pieces AS (
+        SELECT doc_id, gno, 0 AS wi, CAST(e AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, mtext AS text
+        FROM gsel WHERE mcnt <= 64
+        UNION ALL
+        SELECT doc_id, gno, CAST(i // 32 AS INT) AS wi, CAST(i AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, array_to_string(mts[i + 1 : i + 64], '') AS text
+        FROM (SELECT doc_id, gno, mts, unnest(range(0, len(mts), 32)) AS i
+              FROM (SELECT doc_id, gno, regexp_extract_all(mtext, '{_C3_TOKRE}') AS mts
+                    FROM gsel WHERE mcnt > 64))
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gno, wi) - 1 AS INT) AS chunk_seq,
+           chunk_offset, chunk_tag, text
+    FROM pieces
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_paragraph_tokens", _C3_SQL)
+def q_chunk_paragraph_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 paragraph chunker (merge to >= 0.75*64 tokens, C1 fallback) —
+    full content parity against the recursive-CTE reconstruction of the
+    greedy merge; see the _C3_SQL comment for the mirrored quirks."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.PARAGRAPH, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+
+# C4's oracle: the sequential char scan (cut at the next '\n\n' starting in
+# [start+48, start+64) — the delimiter fully inside the window — else at
+# start+64; chunk text extends 32 chars past the cut while the next chunk
+# starts AT the cut) as a recursive CTE whose state is the 0-based cut
+# position. Pure character arithmetic — no tokenizer — so the oracle is
+# unconditional. Python str.find(sub, a, b)'s containment rule maps to
+# strpos over substr(text, start+49, end0-start-48).
+_C4_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, len(text) AS total FROM documents WHERE len(text) > 0
+    ),
+    cuts AS (
+        SELECT doc_id, text, total, 0 AS gno, CAST(0 AS BIGINT) AS s,
+               least(0 + 64, total) AS e0,
+               strpos(substr(text, 0 + 49, least(0 + 64, total) - 0 - 48), chr(10) || chr(10)) AS rpos
+        FROM base
+        UNION ALL
+        SELECT doc_id, text, total, gno + 1, s2,
+               least(s2 + 64, total) AS e0,
+               strpos(substr(text, s2 + 49, least(s2 + 64, total) - s2 - 48), chr(10) || chr(10)) AS rpos
+        FROM (
+            SELECT doc_id, text, total, gno,
+                   CASE WHEN rpos > 0 THEN s + 48 + rpos + 1 ELSE e0 END AS s2
+            FROM cuts
+        )
+        WHERE s2 < total
+    )
+    SELECT doc_id, CAST(gno AS INT) AS chunk_seq, CAST(s AS INT) AS chunk_offset,
+           'exact' AS chunk_tag,
+           substr(text, s + 1, (CASE WHEN rpos > 0 THEN s + 48 + rpos + 1 ELSE e0 END) + 32 - s) AS text
+    FROM cuts
+    """
+
+
+@query("q_chunk_paragraph_chars", _C4_SQL)
+def q_chunk_paragraph_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 paragraph-by-characters chunker — full content parity against the
+    recursive-CTE scan reconstruction (see _C4_SQL)."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.PARAGRAPH_BY_CHARACTERS,
+        chunk_size=64,
+        chunk_overlap=32,
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+# C5's oracle: Python's lookbehind sentence split '(?<=[.!?…]) +' has no RE2
+# equivalent, but marking the boundary with a control char and splitting on
+# it consumes the same delimiter runs and keeps the same text. Token-count
+# fallback threshold + window contents come from the same regex tokenizer as
+# C1, so the oracle is likewise conditional on the regex backend. chunk_seq
+# is reconstructed as the (sentence, window) emission order.
+_C5_SQL = (
+    r"""
+    WITH marked AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?…]) +', '\1' || chr(1), 'g'), chr(1)) AS ss
+        FROM documents
+    ),
+    sent AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS sidx, ss[i] AS s
+        FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM marked)
+    ),
+    tok AS (
+        SELECT doc_id, sidx, s,
+               regexp_extract_all(s, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+') AS ts
+        FROM sent
+    ),
+    pieces AS (
+        SELECT doc_id, sidx, 0 AS wi, sidx AS chunk_offset, 'sentence' AS chunk_tag, s AS text
+        FROM tok WHERE len(ts) <= 64
+        UNION ALL
+        SELECT doc_id, sidx, CAST(i // 32 AS INT) AS wi, CAST(i AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, array_to_string(ts[i + 1 : i + 64], '') AS text
+        FROM (SELECT doc_id, sidx, ts, unnest(range(0, len(ts), 32)) AS i
+              FROM tok WHERE len(ts) > 64)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sidx, wi) - 1 AS INT) AS chunk_seq,
+           chunk_offset, chunk_tag, text
+    FROM pieces
+    """
+    if tokenizer.BACKEND == "regex"
+    else None
+)
+
+
+@query("q_chunk_sentence_tokens", _C5_SQL)
+def q_chunk_sentence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 sentence chunker (token threshold 64, C1 fallback) — full content
+    parity like q_chunk_exact_tokens: sentence boundaries, fallback windows,
+    offsets, and emission order all hash-match the SQL reconstruction."""
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.SENTENCE, chunk_size=64, chunk_overlap=32
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, with_ids=False)
+
+
+@query("q_smart_chunker")  # rows-only: blake2b embedder not expressible in SQL
+def q_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 roadmap "smart chunking" (reference README.md:290-299, no code
+    in the snapshot): semantic-boundary chunker — cut where adjacent
+    sentences' embedding cosine drops below threshold or the chunk
+    exceeds max_chars. Deterministic embedder here; a real model is
+    injectable (tests pin boundary behavior)."""
+    from vectorflow_spark.operators.chunkers import smart_chunk
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return smart_chunk(docs, max_chars=256, threshold=0.99)
+
+
+@query("q_custom_chunker")  # rows-only: user-supplied Python plugin (C7)
+def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 plugin surface: a user chunker returning dicts with extra
+    metadata keys, validated like the reference's validate_chunked_data."""
+
+    def halves(text: str) -> list[dict]:
+        mid = max(1, len(text) // 2)
+        return [
+            {"text": text[:mid], "half": "first"},
+            {"text": text[mid:], "half": "second"},
+        ]
+
+    cfg = PipelineConfig(chunk_strategy=ChunkStrategy.CUSTOM)
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return chunkers.chunk(docs, cfg, custom_chunker=halves)
+
+
+@query("q_enhance_chunks")  # rows-only: L1-L5 with the deterministic LLM stand-in
+def q_enhance_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L3+L4+L5: chunk -> per-document context extraction (mapInPandas
+    over an injectable completion fn) -> broadcast context join -> literal
+    concat enhancement -> summary rows appended via unionByName."""
+    from vectorflow_spark.operators.enhancer import enhance_chunks
+
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS, chunk_size=200, chunk_overlap=0
+    )
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text").limit(300)
+    chunked = chunkers.chunk(docs, cfg, with_ids=False)
+    # documents supplied -> context dim built from the source table, no
+    # collect_list shuffle of chunk text (r1 verdict "What's wrong" #3)
+    return enhance_chunks(chunked, documents=docs)
+
+
+@query("q_embed_stage")  # rows-only: mapInPandas stage (E1 shape)
+def q_embed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E3: the batched mapInPandas embed stage with the deterministic
+    backend — exercises the Arrow batch slicing + thread-pool plumbing the
+    OpenAI/HF backends share."""
+    from vectorflow_spark.embed.backends import embed
+
+    cfg = PipelineConfig(embeddings_type="deterministic", embedding_dim=64)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    return embed(docs, cfg)
+
+
+@query(
+    "q_sessionize_batch",
+    """
+    WITH sec AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ),
+    g AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM sec
+    ),
+    s AS (
+        SELECT user_id, ts_s,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts_s) AS session_start, max(ts_s) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over the events stream table — the
+    batch twin of the applyInPandasWithState streaming operator. One shuffle
+    on user_id; window + rollup run within partitions."""
+    from vectorflow_spark.streaming.pipeline import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000000").alias("ts")
+    )
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("session_start").cast("bigint").alias("session_start"),
+        F.col("session_end").cast("bigint").alias("session_end"),
+        "n_events",
+    )
+
+

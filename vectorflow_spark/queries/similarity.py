@@ -1,0 +1,215 @@
+"""Similarity search / ANN: top-K cosine, LSH, IVF, kNN, PQ, rerank (X2 family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from vectorflow_spark.queries._core import _t, query
+
+
+# ---------------------------------------------------------------------------
+# X-group: similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_cosine",
+    """
+    WITH scored AS (
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(64.0)),
+                 9) AS score
+        FROM embeddings
+    )
+    SELECT vec_id, label, score FROM scored
+    ORDER BY score DESC, vec_id LIMIT 25
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: brute-force top-K cosine similarity against a fixed query vector
+    (all-ones, dim 64) as built-in array expressions; deterministic tiebreak
+    on vec_id. At scale this is a single scan + TakeOrderedAndProject. The
+    query norm (8.0) is a driver-side literal and the row norm is computed
+    once in its own projection — each row pays one dot + one norm fold."""
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
+    df = _t(spark, sf_dir, "embeddings", split=True)
+    ones = F.array([F.lit(1.0)] * 64)
+    base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
+    denom = F.col("_vn") * F.lit(8.0)
+    scored = base.select(
+        "vec_id",
+        "label",
+        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (X2): LSH buckets, IVF, batch kNN
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def _lsh_buckets_sql() -> str:
+    from vectorflow_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8)
+    terms = []
+    for i, p in enumerate(planes):
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = f"list_sum(list_transform(list_zip(embedding, {consts}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """
+
+
+@query("q_lsh_buckets", _lsh_buckets_sql())
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 deterministic planes over
+    dim-64 embeddings). At scale the bucket column is the partition key that
+    makes ANN probes partition-pruned scans."""
+    from vectorflow_spark.operators.similarity import with_lsh_buckets
+
+    df = with_lsh_buckets(_t(spark, sf_dir, "embeddings", split=True), dim=64, n_planes=8)
+    return df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _ivf_assign_sql() -> str:
+    cos = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid, {cos} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM best WHERE rn = 1 GROUP BY 1
+    """
+
+
+@query("q_ivf_assign", _ivf_assign_sql())
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-assignment histogram: 16 deterministic centroids (lowest
+    vec_ids), nearest-centroid by cosine with lowest-cid tiebreak. The
+    assignment is a literal-folded expression — no shuffle, no UDF."""
+    from vectorflow_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    cents = ivf_centroids(emb, n_centroids=16)
+    # round like the oracle so tiebreaks agree
+    assigned = ivf_assign(emb, cents)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _knn_batch_sql(k: int = 5) -> str:
+    cos = _DUCK_COS.format(a="v.embedding", b="q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, v.vec_id, round({cos}, 9) AS score
+        FROM embeddings v CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_knn_batch", _knn_batch_sql())
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 5 query vectors x top-5 neighbors via broadcast join +
+    per-query window ranking."""
+    from vectorflow_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(qs, emb, k=5)
+    return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def _lsh_search_sql(k: int = 10, n_planes: int = 8) -> str:
+    from vectorflow_spark.operators.similarity import hyperplanes
+
+    # the query's own bucket + single-bit multiprobe set, computed the same
+    # way lsh_topk_cosine computes it driver-side
+    planes = hyperplanes(64, n_planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(p) > 0.0:  # dot(ones, plane) == sum(plane)
+            qbucket |= 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    ones_cos = (
+        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)), 9)"
+    )
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = f"list_sum(list_transform(list_zip(embedding, {consts}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        bucket_terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
+    SELECT vec_id, {ones_cos} AS score
+    FROM b WHERE bucket IN ({', '.join(map(str, probes))})
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("q_lsh_search", _lsh_search_sql())
+def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN search end-to-end: assign sign-bit buckets, probe the query's
+    bucket plus its single-bit-flip neighbors (multiprobe hamming 1), brute-
+    force top-10 within the probed ~(1+8)/256 of bucket space. With bucket
+    as a partition column the filter is partition pruning at the scan."""
+    from vectorflow_spark.operators.similarity import lsh_topk_cosine, with_lsh_buckets
+
+    emb = with_lsh_buckets(_t(spark, sf_dir, "embeddings", split=True), dim=64, n_planes=8)
+    return lsh_topk_cosine(emb, [1.0] * 64, k=10, n_planes=8, multiprobe_hamming=1)
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 9) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.25
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the block column
+    stands in for an LSH bucket at scale). Threshold 0.25 ~= 2σ for random
+    dim-64 vectors, so the pair set is small but non-empty."""
+    from vectorflow_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=0.25)
+    return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
