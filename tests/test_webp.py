@@ -63,8 +63,8 @@ class TestHandBuiltStreams:
         bw = _BitWriter()
         _header(bw, 1, 1)
         bw.write(0, 1)  # no transforms
-        bw.write(0, 1)  # no meta
         bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta (spec order: cache info first)
         _simple_code(bw, [123])  # green
         _simple_code(bw, [45])  # red
         _simple_code(bw, [67])  # blue
@@ -149,10 +149,10 @@ class TestHandBuiltStreams:
         """A cache-hit symbol must reproduce the earlier literal."""
         bw = _BitWriter()
         _header(bw, 2, 1)
-        bw.write(0, 1)
-        bw.write(0, 1)
-        bw.write(1, 1)  # color cache
+        bw.write(0, 1)  # no transforms
+        bw.write(1, 1)  # color cache (spec order: cache info BEFORE meta bit)
         bw.write(1, 4)  # 1 bit -> 2 slots
+        bw.write(0, 1)  # no meta-Huffman
         # green alphabet 256+24+2; pixel = a=255 r=0 g=77 b=0
         key = ((0x1E35A7BD * 0xFF004D00) & 0xFFFFFFFF) >> 31
         # green code: symbols {77, 256+24+key}: normal form

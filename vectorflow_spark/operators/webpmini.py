@@ -361,7 +361,11 @@ def _clamp_add_sub_half(ab: int, c: int) -> int:
     for sh in (24, 16, 8, 0):
         x = (ab >> sh) & 0xFF
         cc = (c >> sh) & 0xFF
-        out |= _clamp(x + (x - cc) // 2) << sh
+        d = x - cc
+        # C's / 2 truncates toward ZERO (libwebp AddSubtractComponentHalf);
+        # Python // floors, which is off by one for negative deltas
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp(x + half) << sh
     return out
 
 
@@ -554,7 +558,12 @@ def decode_webp(data: bytes) -> np.ndarray:
             "supported by this decoder (our encoder never emits it)"
         )
 
-    # main image: optional meta-Huffman entropy image
+    # main (ARGB) image: spec order is color-cache info FIRST, then the
+    # optional meta-Huffman entropy image (sub-images read neither a meta
+    # bit nor share this cache — _decode_pixels reads its own cache flag)
+    cache_bits = br.read(4) if br.read_bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
     meta = None
     meta_bits = 0
     n_groups = 1
@@ -565,9 +574,6 @@ def decode_webp(data: bytes) -> np.ndarray:
         meta_img = _decode_pixels(br, mw, mh)
         meta = (((meta_img >> np.uint32(8)) & np.uint32(0xFFFF))).astype(np.int64)
         n_groups = int(meta.max()) + 1
-
-    cache_bits = br.read(4) if br.read_bit() else 0
-    cache = [0] * (1 << cache_bits) if cache_bits else None
     green_alpha = 256 + _NUM_LENGTH_CODES + ((1 << cache_bits) if cache_bits else 0)
     groups = []
     for _ in range(n_groups):
@@ -825,9 +831,13 @@ def _dist_to_plane(width: int, dist: int) -> int:
 
 
 def _emit_image(
-    bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0
+    bw: _BitWriter, argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0,
+    main: bool = False,
 ) -> None:
-    """One entropy-coded image: cache bit, 5 Huffman codes, token stream."""
+    """One entropy-coded image: cache info, 5 Huffman codes, token stream.
+    ``main=True`` emits the ARGB image's extra meta-Huffman-absent bit
+    between the cache info and the codes (spec order; sub-images have no
+    such bit)."""
     tokens = _tokenize(argb, use_lz77, cache_bits, width)
     g_counts: dict[int, int] = {}
     r_counts: dict[int, int] = {}
@@ -859,6 +869,8 @@ def _emit_image(
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
+    if main:
+        bw.write(0, 1)  # no meta-Huffman
     g_map = _write_huffman_code(bw, _huff_lengths(g_counts))
     r_map = _write_huffman_code(bw, _huff_lengths(r_counts))
     b_map = _write_huffman_code(bw, _huff_lengths(b_counts))
@@ -907,6 +919,12 @@ def _emit_main_grouped(
         0xFF000000 | (((bx + by) & 1) << 8) for by in range(mh) for bx in range(mw)
     ]
     n_groups = (max(p >> 8 & 0xFFFF for p in meta_px)) + 1
+    # spec order: the ARGB image's cache info precedes the meta bit
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
     bw.write(1, 1)  # meta-Huffman present
     bw.write(meta_bits - 2, 3)
     _emit_image(bw, meta_px, use_lz77=False, cache_bits=0, width=mw)
@@ -938,11 +956,6 @@ def _emit_main_grouped(
             c["g"][sym] = c["g"].get(sym, 0) + 1
             i += 1
 
-    if cache_bits:
-        bw.write(1, 1)
-        bw.write(cache_bits, 4)
-    else:
-        bw.write(0, 1)
     maps = []
     for g in range(n_groups):
         c = counts[g]
@@ -1125,8 +1138,7 @@ def encode_webp(
     if meta_groups:
         _emit_main_grouped(bw, flat, use_lz77, cache_bits, cur_w, h)
     else:
-        bw.write(0, 1)  # no meta-Huffman
-        _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits, width=cur_w)
+        _emit_image(bw, flat, use_lz77=use_lz77, cache_bits=cache_bits, width=cur_w, main=True)
 
     payload = bw.tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
