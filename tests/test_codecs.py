@@ -602,15 +602,23 @@ class TestMp3Meta:
             decode_audio(blob)  # headers parse; samples refuse
 
 
-def test_lossy_webp_refused_mp3_decode_refused():
-    """WebP-LOSSLESS is a supported container now (operators/webpmini.py);
-    the LOSSY VP8 profile inside a WEBP RIFF must refuse loudly, and MP3
-    still has no sample-decode path."""
+def test_lossy_webp_decodes_mp3_decode_refused():
+    """Lossy WebP (VP8 keyframes) is a supported container now
+    (operators/vp8mini.py): it decodes through the dispatch; a truncated
+    VP8 payload is a loud parse error. MP3 still has no sample-decode
+    path."""
     import struct as _struct
 
-    lossy = b"RIFF" + _struct.pack("<I", 16) + b"WEBP" + b"VP8 " + _struct.pack("<I", 4) + b"\0" * 4
-    with pytest.raises(ValueError, match="lossy"):
-        decode_image(lossy)
+    from vectorflow_spark.operators.vp8mini import encode_webp_lossy
+
+    px = np.full((16, 24, 3), 150, np.uint8)
+    out = decode_image(encode_webp_lossy(px, qi=4))
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+
+    bad = b"RIFF" + _struct.pack("<I", 16) + b"WEBP" + b"VP8 " + _struct.pack("<I", 4) + b"\0" * 4
+    with pytest.raises(ValueError, match="vp8"):
+        decode_image(bad)
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
 

@@ -327,10 +327,24 @@ class TestPredictorBorderRules:
 
 
 class TestRefusals:
-    def test_lossy_vp8_refused(self):
+    def test_lossy_vp8_now_dispatches_to_vp8mini(self):
+        """A VP8 (lossy) chunk routes to the keyframe decoder; a truncated
+        payload is a loud parse error, an interframe a loud refusal."""
         blob = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-        with pytest.raises(ValueError, match="lossy"):
+        with pytest.raises(ValueError, match="vp8"):
             decode_webp(blob)
+        inter = bytes([1, 0, 0]) + b"\x9d\x01\x2a" + b"\x00" * 8
+        blob2 = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8 " + struct.pack("<I", len(inter)) + inter
+        with pytest.raises(NotImplementedError, match="interframe"):
+            decode_webp(blob2)
+
+    def test_lossy_roundtrip_through_container_walk(self):
+        from vectorflow_spark.operators.vp8mini import encode_webp_lossy, rgb_to_yuv420
+
+        px = np.full((16, 16, 3), 180, np.uint8)
+        out = decode_webp(encode_webp_lossy(px, qi=4))
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 6  # lossy, near-exact
 
     def test_garbage_refused(self):
         with pytest.raises(ValueError):

@@ -31,12 +31,14 @@ stdlib ``wave`` module, so this layer de-gates them:
   tables), via ``operators/jpegmini.py`` — canonical Huffman + numpy
   IDCT, no external library. See that module.
 
-* WebP-lossless (VP8L) — full transform/entropy decode + deterministic
-  encoder via ``operators/webpmini.py``; baseline TIFF (strips,
-  PackBits, TIFF-LZW, predictor, both byte orders) via
+* WebP — lossless (VP8L: full transform/entropy decode + deterministic
+  encoder, ``operators/webpmini.py``) AND lossy (VP8 keyframes: full
+  RFC 6386 decode incl. in-loop filters, bit-exact vs libwebp, plus an
+  intra16 fixture encoder, ``operators/vp8mini.py``); baseline TIFF
+  (strips, PackBits, TIFF-LZW, predictor, both byte orders) via
   ``operators/tiffmini.py``.
 
-Formats that genuinely need external libraries (lossy WebP,
+Formats that genuinely need external libraries (VP8 interframes,
 arithmetic-coded JPEG, MP3/AAC sample decode, MP4) still raise loudly —
 the contract is "parse correctly or refuse", never guess.
 """
@@ -1079,8 +1081,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_tiff(data)
     raise NotImplementedError(
         "image decode supports the FAKE codec, BMP, PNG, JPEG "
-        "(baseline + progressive), GIF, WebP-lossless (VP8L) and "
-        "baseline TIFF; lossy WebP (VP8) refuses inside the VP8L walker"
+        "(baseline + progressive), GIF, WebP (VP8L lossless + VP8 lossy "
+        "keyframes) and baseline TIFF"
     )
 
 

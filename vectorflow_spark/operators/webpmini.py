@@ -471,8 +471,14 @@ def _apply_add_green(pix: np.ndarray) -> None:
 
 
 def webp_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the VP8L header only."""
-    payload = _vp8l_payload(data)
+    """(width, height, channels) from the VP8L or VP8 header only."""
+    try:
+        payload = _vp8l_payload(data)
+    except _LossyWebp as lw:
+        from vectorflow_spark.operators.vp8mini import vp8_dimensions
+
+        w, h = vp8_dimensions(lw.payload)
+        return w, h, 3
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("vp8l: bad signature byte")
@@ -493,18 +499,34 @@ def _vp8l_payload(data: bytes) -> bytes:
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         if fourcc == b"VP8L":
             return data[pos + 8 : pos + 8 + size]
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
+            raise _LossyWebp(data[pos + 8 : pos + 8 + size])
+        if fourcc == b"VP8X":
             raise ValueError(
-                f"webp: {fourcc.decode().strip()} (lossy/extended) profile not "
-                "supported — only VP8L lossless"
+                "webp: VP8X (extended) profile not supported — "
+                "VP8L lossless and VP8 lossy keyframes only"
             )
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk")
 
 
+class _LossyWebp(Exception):
+    """Internal dispatch signal: the container holds a VP8 (lossy) chunk."""
+
+    def __init__(self, payload: bytes):
+        super().__init__("lossy")
+        self.payload = payload
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP-lossless bytes -> (h, w, 3) uint8 RGB."""
-    payload = _vp8l_payload(data)
+    """WebP bytes -> (h, w, 3) uint8 RGB: VP8L lossless (this module) or
+    VP8 lossy keyframes (operators/vp8mini)."""
+    try:
+        payload = _vp8l_payload(data)
+    except _LossyWebp as lw:
+        from vectorflow_spark.operators.vp8mini import decode_vp8, yuv420_to_rgb
+
+        return yuv420_to_rgb(*decode_vp8(lw.payload))
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("vp8l: bad signature byte")
