@@ -523,10 +523,11 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
     unique images (seed = id) rotate through FAKE blobs, a lossless slot
     cycling real BMP / Adam7-INTERLACED PNG / WebP-VP8L (predictor
-    transform + color cache) / TIFF-LZW (horizontal predictor), real
-    baseline JPEGs and real PROGRESSIVE JPEGs (SOF2 with successive
-    approximation — our own codecs: jpegmini, webpmini, tiffmini,
-    codecs.py), except every
+    transform + color cache) / TIFF-LZW (horizontal predictor), a lossy
+    slot alternating baseline JPEG and LOSSY VP8 WebP (vp8mini, qi=4),
+    and real PROGRESSIVE JPEGs (SOF2 with successive
+    approximation — our own codecs: jpegmini, webpmini, vp8mini,
+    tiffmini, codecs.py), except every
     5th, which is a PERTURBED JPEG-q100 re-encode of its successor's
     decoded pixels (three interior sampled pixels nudged + DCT rounding;
     twins alternate baseline/progressive containers) — true
@@ -568,8 +569,15 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return encode_tiff(decode_image(blob), compression="lzw", predictor=True)
             return encode_bmp(decode_image(blob))
         if k == 2:
+            # the lossy slot: every other pass rotates VP8 (lossy WebP,
+            # qi=4 near-lossless — the majority real-crawl image format,
+            # operators/vp8mini.py) against baseline JPEG whose
             # entropy-layer knobs rotate too (optimized tables, restart
-            # markers) — decode, hence dHash, is bit-identical across them
+            # markers) — the dedup key stays the DECODED pixels
+            if (i // 16) % 2:
+                from vectorflow_spark.operators.vp8mini import encode_webp_lossy
+
+                return encode_webp_lossy(decode_image(blob), qi=4)
             return encode_jpeg(
                 decode_image(blob),
                 quality=100,
@@ -912,9 +920,11 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel kernel is Python) — the LAION-style pipeline: image+caption
     samples land in tar shards (every 5th image a DUPLICATE of its
     successor's pixels, usually in a different shard since sharding
-    hashes the key; every 5th rides a WebP-VP8L container so dup pairs
-    routinely cross FORMATS too), the scan reads ONLY the image leg
-    (ext pushdown),
+    hashes the key; containers mix — WebP-VP8L every 5th source, and
+    every OTHER dup-source rides a LOSSY VP8 container whose duplicate
+    is a lossless PNG of the VP8-DECODED pixels, so exact dup pairs
+    routinely cross FORMATS incl. lossy-WebP↔PNG), the scan reads ONLY
+    the image leg (ext pushdown),
     and exact-duplicate groups form by pixel dHash — proving the dedup
     key survives the container round-trip and crosses shard boundaries.
     Composition of verified operators: vf_tar scan -> image_dhash ->
@@ -929,17 +939,31 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
-    def _one(i) -> bytes:
-        i = int(i)
-        blob = make_fake_image(str(i + 1 if i % 5 == 0 else i))
-        if i % 5 == 3:  # every 5th sample rides a WebP-VP8L container —
-            # LAION-style shards mix formats; pixels (the dedup key) are
-            # identical, so groups are container-independent
-            from vectorflow_spark.operators.codecs import decode_image
+    def _container(i: int) -> bytes:
+        # the container a SOURCE image (i % 5 != 0) rides
+        blob = make_fake_image(str(i))
+        from vectorflow_spark.operators.codecs import decode_image
+
+        if i % 5 == 3:  # WebP-VP8L leg — pixels (the dedup key) identical
             from vectorflow_spark.operators.webpmini import encode_webp
 
             return encode_webp(decode_image(blob), transform="subtract_green", cache_bits=4)
+        if i % 5 == 1 and (i // 5) % 2 == 1:  # lossy VP8 leg (vp8mini)
+            from vectorflow_spark.operators.vp8mini import encode_webp_lossy
+
+            return encode_webp_lossy(decode_image(blob), qi=4)
         return blob
+
+    def _one(i) -> bytes:
+        i = int(i)
+        if i % 5 == 0:
+            # exact-PIXEL duplicate of the successor in a different
+            # (lossless) container: decode whatever container i+1 rides
+            # (incl. lossy VP8 — the DECODED pixels are the dedup key)
+            from vectorflow_spark.operators.codecs import decode_image, encode_png
+
+            return encode_png(decode_image(_container(i + 1)))
+        return _container(i)
 
     gen = F.pandas_udf(lambda ids: pd.Series([_one(i) for i in ids]), BinaryType())
     docs = _t(spark, sf_dir, "documents", split=True).select(
@@ -1681,3 +1705,106 @@ def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(decode, out_schema)
+
+
+@query(
+    "q_vp8_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 21 AS INT) AS w,
+           CAST(10 + doc_id % 11 AS INT) AS h,
+           CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 12 END AS INT) AS qi,
+           CAST(doc_id % 4 AS INT) AS ymode,
+           TRUE AS near_lossless,
+           TRUE AS dual_decode_ok,
+           TRUE AS meta_ok,
+           TRUE AS deterministic,
+           TRUE AS interframe_refuses
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
+def q_vp8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP (VP8 keyframe) ingestion readiness — the MAJORITY image
+    format of real crawls (operators/vp8mini.py, decoder pinned bit-exact
+    vs libwebp in tests/test_vp8_libwebp_parity.py). Per document a
+    deterministic image (16-36 x 10-20, so single- and multi-MB frames
+    with edge cropping all occur) is VP8-encoded with the quantizer
+    (4/8/12) and intra16 mode (DC/V/H/TM) cycling by doc_id, then decoded
+    back through the UNIFIED dispatch. The oracle pins: near-losslessness
+    at these quantizers (max luma error <= 40, far under garbage but
+    over the analytic DCT bound), dual-decode agreement (container walk
+    vs direct decode_vp8 + yuv conversion), header metadata, encode
+    determinism, and the interframe refusal contract (the keyframe bit
+    flipped must raise). One Arrow-batched projection, no shuffle — the
+    100 TB plan is this same mapInPandas over the crawl's image leg."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("qi", IntegerType()),
+            StructField("ymode", IntegerType()),
+            StructField("near_lossless", BooleanType()),
+            StructField("dual_decode_ok", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+            StructField("deterministic", BooleanType()),
+            StructField("interframe_refuses", BooleanType()),
+        ]
+    )
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.vp8mini import (
+            decode_vp8,
+            encode_webp_lossy,
+            rgb_to_yuv420,
+            yuv420_to_rgb,
+        )
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 21, 10 + i % 11
+                qi = (4, 8, 12)[i % 3]
+                ymode = i % 4
+                px = decode_image(make_fake_image(str(i), width=w, height=h))
+                blob = encode_webp_lossy(px, qi=qi, ymode=ymode)
+                payload = blob[20 : 20 + int.from_bytes(blob[16:20], "little")]
+                y, u, v = decode_vp8(payload)
+                src_y, _, _ = rgb_to_yuv420(px)
+                near = int(np.abs(y.astype(int) - src_y.astype(int)).max()) <= 40
+                dual = bool(
+                    np.array_equal(decode_image(blob), yuv420_to_rgb(y, u, v))
+                )
+                m = decode_meta(blob)
+                meta_ok = m["kind"] == "image" and m["width"] == w and m["height"] == h
+                det = blob == encode_webp_lossy(px, qi=qi, ymode=ymode)
+                try:
+                    decode_vp8(bytes([payload[0] | 1]) + payload[1:])
+                    refuses = False
+                except NotImplementedError:
+                    refuses = True
+                except ValueError:
+                    refuses = False  # wrong error class would be a defect
+                rows.append((i, w, h, qi, ymode, near, dual, meta_ok, det, refuses))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
