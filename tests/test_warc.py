@@ -586,6 +586,41 @@ class TestCdxIndexedScan:
         )
         assert gone.count() == 0
 
+    def test_consolidated_index_plans_without_sidecars(self, spark, tmp_path):
+        """The crawl-scale wayback path: consolidate_cdx folds every
+        per-segment sidecar into ONE parquet URL index; URL-pushdown
+        planning then reads only the index — proven by DELETING all the
+        per-segment sidecars before the lookup (planning cannot have
+        touched them), while the unfiltered scan still streams segments
+        and never lists the index dataset as a segment."""
+        import os
+
+        from vectorflow_spark.sources.warcmini import consolidate_cdx
+
+        self._corpus(spark, tmp_path, n=120)
+        n = consolidate_cdx(spark, str(tmp_path))
+        assert n == 120  # responses only: warcinfo rows have no url
+        for side in list(tmp_path.glob("_*.cdx.json")):
+            os.remove(side)
+        one = read_warc(spark, str(tmp_path), records_per_task=10).filter(
+            F.col("url") == "http://h/17"
+        )
+        rows = one.collect()
+        assert [(r.url, bytes(r.body)) for r in rows] == [("http://h/17", b"body 17")]
+        assert one.rdd.getNumPartitions() <= 2
+        pre = read_warc(spark, str(tmp_path)).filter(F.col("url").startswith("http://h/1"))
+        exp = sorted(f"http://h/{i}" for i in range(120) if str(i).startswith("1"))
+        assert sorted(r.url for r in pre.collect()) == exp
+        # absent-url lookup through the index: empty scan, not a crash
+        assert read_warc(spark, str(tmp_path)).filter(
+            F.col("url") == "http://h/nope"
+        ).count() == 0
+        # unfiltered scan: segments stream whole (sidecars gone), and the
+        # _url_index parquet files are never mistaken for segments
+        full = read_warc(spark, str(tmp_path))
+        assert full.filter(F.col("warc_type") == "response").count() == 120
+        assert full.filter(F.col("warc_type") == "error").count() == 0
+
     def test_cdx_through_mount_opener(self, spark, tmp_path):
         d = tmp_path / "bucket" / "crawl"
         d.mkdir(parents=True)

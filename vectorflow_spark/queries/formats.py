@@ -1004,19 +1004,26 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The wayback lookup through the correctness gate: a URL-predicate
-    scan over CDX-indexed WARC segments plans ONLY the matching record
-    ranges (vf_warc url pushdown reads the URL-carrying sidecars at
-    planning; each hit is one seek + one gzip member), so fetching a
-    handful of pages out of a crawl costs a handful of record reads —
-    never a segment walk. The oracle selects the same sparse id set
-    relationally; exact text identity proves the index-driven path
-    returns precisely the demanded records."""
+    """The wayback lookup through the correctness gate, planned from the
+    CONSOLIDATED URL index (warcmini.consolidate_cdx): the per-segment
+    sidecars are folded into one partitioned parquet url->(segment,
+    offset, length) dataset and then DELETED, so the vf_warc url
+    pushdown can only have planned from the index — one indexed dataset
+    read instead of one sidecar read per segment (the shape that
+    survives 100k-segment crawls). Each hit is one seek + one gzip
+    member. The oracle selects the same sparse id set relationally;
+    exact text identity proves the index-driven path returns precisely
+    the demanded records."""
+    import glob as _glob
     import os
     import shutil
     import tempfile
 
-    from vectorflow_spark.sources.warcmini import read_warc, write_warc_corpus
+    from vectorflow_spark.sources.warcmini import (
+        consolidate_cdx,
+        read_warc,
+        write_warc_corpus,
+    )
 
     docs = _t(spark, sf_dir, "documents", split=True).select(
         "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
@@ -1027,6 +1034,9 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
+    consolidate_cdx(spark, out_dir)
+    for side in _glob.glob(os.path.join(out_dir, "_*.cdx.json")):
+        os.remove(side)  # planning below can only use the consolidated index
     wanted = docs.filter(F.col("doc_id") % 211 == 42).select("url")
     urls = [r.url for r in wanted.collect()]  # the lookup's query set:
     # driver-sized by construction (sparse ids), exactly like a wayback

@@ -36,7 +36,10 @@ class _LocalFS:
         if os.path.isfile(local):
             return [local]
         out = []
-        for root, _dirs, names in os.walk(local):
+        for root, dirs, names in os.walk(local):
+            # hidden DIRECTORIES pruned too (Hadoop's convention): index
+            # datasets like _url_index must never be listed as segments
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             out.extend(os.path.join(root, n) for n in names if _keep_name(n, glob))
         return sorted(out)
 
@@ -66,7 +69,8 @@ class _MountFS:
         if os.path.isfile(local):
             return [path]
         out = []
-        for root, _dirs, names in os.walk(local):
+        for root, dirs, names in os.walk(local):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             rel = os.path.relpath(root, self.root)
             for n in names:
                 if _keep_name(n, glob):
@@ -122,6 +126,11 @@ class _FsspecFS:
             fs.unstrip_protocol(p)
             for p in fs.find(root)
             if _keep_name(p.rsplit("/", 1)[-1], glob)
+            # hidden path COMPONENTS below the root excluded (dir pruning)
+            and not any(
+                c.startswith((".", "_"))
+                for c in p[len(root):].strip("/").split("/")[:-1]
+            )
         )
 
     def open(self, path: str):

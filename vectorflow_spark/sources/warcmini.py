@@ -315,6 +315,76 @@ def write_warc_corpus(
     )
 
 
+def consolidate_cdx(spark, out_dir: str, n_files: int = 4):
+    """Fold every per-segment ``_*.cdx.json`` sidecar into ONE partitioned
+    parquet URL index at ``<out_dir>/_url_index`` — what real CDX
+    collections are (Common Crawl publishes a consolidated cdx-index, not
+    300k per-segment files). The ``vf_warc`` scan's URL pushdown plans
+    wayback-style lookups from this index when present: one indexed
+    dataset read at planning instead of one sidecar read PER SEGMENT,
+    which at crawl scale (100k+ segments) would mean 100k driver-side
+    reads per planned query.
+
+    Distributed: sidecar paths are listed once on the driver, parsed on
+    executors, range-partitioned and SORTED by url (row-group statistics
+    then prune equality/prefix lookups inside each part file), and
+    committed via write-temp + os.replace — a crash mid-install leaves
+    either the old index or none, and planning falls back to the
+    per-segment sidecars. warcinfo records (null url) are not lookup
+    targets and are skipped. Returns the indexed record count."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    sides = sorted(_glob.glob(os.path.join(out_dir, "_*.cdx.json")))
+    if not sides:
+        raise FileNotFoundError(f"consolidate_cdx: no _*.cdx.json sidecars under {out_dir}")
+
+    def parse(pdfs):
+        import json
+
+        for pdf in pdfs:
+            rows = []
+            for side in pdf["side"]:
+                name = os.path.basename(side)[1 : -len(".cdx.json")]
+                with open(side) as f:
+                    doc = json.load(f)
+                rows.extend(
+                    (r["url"], name, int(r["offset"]), int(r["length"]))
+                    for r in doc["records"]
+                    if r.get("url") is not None
+                )
+            yield pd.DataFrame(rows, columns=["url", "segment", "offset", "length"])
+
+    rows_df = (
+        spark.createDataFrame([(p,) for p in sides], "side string")
+        .repartition(min(len(sides), 64))
+        .mapInPandas(parse, "url string, segment string, offset long, length long")
+    )
+    tmp = os.path.join(out_dir, f".tmp_url_index_{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rows_df.repartitionByRange(n_files, "url")
+        .sortWithinPartitions("url")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    target = os.path.join(out_dir, "_url_index")
+    shutil.rmtree(target, ignore_errors=True)
+    os.replace(tmp, target)
+    # count AFTER install: Spark ignores dot-prefixed paths, so reading
+    # the temp dir directly would see no files
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(target, f)).num_rows
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    )
+
+
 def read_warc_binaryfile(spark, path: str, glob: str | None = None):
     """Object-store fallback for ``read_warc``: the ``binaryFile`` JVM
     source speaks every Hadoop filesystem (s3a://, gs://, hdfs://...),

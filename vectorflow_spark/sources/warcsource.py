@@ -247,7 +247,87 @@ class VfWarcReader(DataSourceReader):
             has_urls,
         )
 
+    def _consolidated_ranges(self):
+        """Matching (segment_name, offset, length, url) rows from the
+        consolidated ``_url_index`` parquet dataset (warcmini.
+        consolidate_cdx), or None when no index exists. This is the
+        crawl-scale wayback path: ONE indexed dataset read at planning —
+        url-sorted part files, so equality/IN lookups prune row groups by
+        statistics on local paths — instead of one sidecar read per
+        segment (100k driver reads on a real crawl)."""
+        import contextlib
+        import posixpath
+
+        idx_dir = posixpath.join(self.path.rstrip("/"), "_url_index")
+        try:
+            parts = self._fs().list_files(idx_dir, "*.parquet")
+        except (OSError, ValueError, FileNotFoundError):
+            return None
+        if not parts:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        values = getattr(self, "url_values", None)
+        prefixes = getattr(self, "url_prefixes", [])
+        out = []
+        for p in parts:
+            try:
+                local = p if "://" not in p else None
+                if local is not None:
+                    filters = None
+                    if values is not None:
+                        filters = [("url", "in", sorted(values))]
+                    elif len(prefixes) == 1:
+                        filters = [
+                            ("url", ">=", prefixes[0]),
+                            ("url", "<", prefixes[0] + "\U0010ffff"),
+                        ]
+                    t = pq.read_table(local, filters=filters)
+                else:  # mount / fsspec backends: open via the opener
+                    with contextlib.closing(self._fs().open(p)) as f:
+                        t = pq.read_table(f)
+            except (OSError, ValueError) as e:
+                raise ValueError(f"vf_warc: corrupt _url_index part {p}: {e}") from None
+            mask = None
+            if values is not None:
+                mask = pc.is_in(t["url"], value_set=pa.array(sorted(values)))
+            for pref in prefixes:
+                m2 = pc.starts_with(t["url"], pref)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            if mask is not None:
+                t = t.filter(mask)
+            out.extend(
+                zip(
+                    t["segment"].to_pylist(),
+                    t["offset"].to_pylist(),
+                    t["length"].to_pylist(),
+                    t["url"].to_pylist(),
+                )
+            )
+        return out
+
     def partitions(self):
+        if self._url_constrained() and self.index != "never":
+            cons = self._consolidated_ranges()
+            if cons is not None:
+                import posixpath
+
+                by_seg: dict = {}
+                for seg, off, ln, url in cons:
+                    by_seg.setdefault(seg, []).append((off, ln, url))
+                parts = []
+                for seg in sorted(by_seg):
+                    seg_path = posixpath.join(self.path.rstrip("/"), seg)
+                    if not self._keep_file(seg_path):
+                        continue  # pushed warc_file filters compose
+                    ranges = sorted(by_seg[seg])
+                    for i in range(0, len(ranges), self.records_per_task):
+                        parts.append(
+                            _WarcRangePartition(seg_path, ranges[i : i + self.records_per_task])
+                        )
+                return parts or [_WarcFilePartition(None)]
         files = self._files()
         if not files:
             raise FileNotFoundError(f"no WARC files under {self.path}")
