@@ -77,12 +77,12 @@ def make_fake_video(seed: str, n_frames: int = 8, w: int = 8, h: int = 6) -> byt
 
 def decode_meta(data: bytes) -> dict:
     """Parse container headers into typed metadata: FAKE family, BMP,
-    PNG, JPEG, GIF (single-frame -> image, animated -> video),
-    WebP-lossless, MJPEG AVI, MP3 frame headers (header fields only —
-    pixels/samples stay compressed/untouched) and PCM WAV (stdlib wave).
-    MP4 would dispatch to its library here — absent in this environment,
-    so it raises instead of silently guessing (MP3 SAMPLE decode
-    likewise stays refused; only its headers parse)."""
+    PNG, JPEG, GIF (single-frame -> image, animated -> video), WebP
+    (VP8L lossless + VP8 lossy keyframes), MJPEG AVI, MP3 frame headers,
+    MP4/ISO-BMFF box headers (duration/tracks/codec fourcc — header
+    fields only, samples stay compressed/untouched) and PCM WAV (stdlib
+    wave). MP4/MP3 SAMPLE decode stays refused (external codecs); only
+    their headers parse."""
     magic = data[:4]
     if magic == IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", data[4:9])
@@ -159,10 +159,34 @@ def decode_meta(data: bytes) -> dict:
 
         w, h, c = jpeg_meta(bytes(data))
         return {"kind": "image", "width": w, "height": h, "channels": c, "n_bytes": len(data)}
+    if len(data) >= 12 and bytes(data[4:8]) == b"ftyp":
+        # MP4/ISO-BMFF: header-only box walk (operators/mp4mini.py) — the
+        # q_mp3_meta pattern for video; SAMPLE decode still refuses in
+        # codecs.decode_video (H.264/AAC need external libraries)
+        from vectorflow_spark.operators.mp4mini import mp4_meta
+
+        m = mp4_meta(bytes(data))
+        if m["kind"] == "video":
+            vid = next(t for t in m["tracks"] if t["kind"] == "video")
+            return {
+                "kind": "video",
+                "n_frames": vid["n_samples"],
+                "width": m["width"],
+                "height": m["height"],
+                "n_bytes": len(data),
+            }
+        aud = next((t for t in m["tracks"] if t["kind"] == "audio"), None)
+        return {
+            "kind": "audio",
+            "sample_rate": aud["timescale"] if aud else None,
+            "n_samples": aud["n_samples"] if aud else None,
+            "n_bytes": len(data),
+        }
     raise NotImplementedError(
         "codec decode supports the FAKE family, BMP, PNG, JPEG "
-        "(baseline/progressive), GIF, WebP-lossless, baseline TIFF, PCM WAV, MP3 "
-        "headers and MJPEG AVI; MP4 requires external libraries not "
+        "(baseline/progressive), GIF, WebP (lossless + lossy keyframes), "
+        "baseline TIFF, PCM WAV, MP3 headers, MJPEG AVI and MP4/ISO-BMFF "
+        "headers; MP4 SAMPLE decode requires external libraries not "
         "installed in this environment"
     )
 

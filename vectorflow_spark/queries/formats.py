@@ -1818,3 +1818,117 @@ def q_vp8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_mp4_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(1000 + (doc_id % 29) * 250 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS video_codec,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE 160 + CAST(doc_id % 13 AS INT) * 16 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE 96 + CAST(doc_id % 7 AS INT) * 16 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE 24 + CAST(doc_id % 41 AS INT) END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 1 OR doc_id % 3 = 0
+                THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END
+                ELSE NULL END AS BIGINT) AS sample_rate
+    FROM documents WHERE doc_id % 5 = 2
+    """,
+)
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF header metadata at scale — the video-ingest triage
+    step (operators/mp4mini.py): classify/route real crawl MP4s by a
+    header-only box walk (duration, track count, codec fourcc, frame
+    count, dimensions) without touching a coded sample — the q_mp3_meta
+    pattern for video. Per document a deterministic spec-shaped skeleton
+    (audio-only / video+audio / video-only cycling; mvhd version and the
+    64-bit largesize box form rotate too) is built and walked back; the
+    oracle recomputes every field from the doc_id formulas, so a
+    hash-match pins the full box-walk layout. One Arrow-batched
+    projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("duration_ms", LongType()),
+            StructField("n_tracks", IntegerType()),
+            StructField("video_codec", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("sample_rate", LongType()),
+        ]
+    )
+
+    def walk(pdfs):
+        from vectorflow_spark.operators.mp4mini import build_mp4, mp4_meta
+        from vectorflow_spark.operators.multimodal import decode_meta
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                dur = 1000 + (i % 29) * 250
+                sr = 44100 if i % 2 == 0 else 16000
+                audio = {
+                    "kind": "audio", "codec": "mp4a", "timescale": sr,
+                    "duration": dur * sr // 1000, "n_samples": 100 + i % 50,
+                }
+                video = {
+                    "kind": "video",
+                    "codec": "avc1" if i % 2 == 0 else "hvc1",
+                    "timescale": 30000,
+                    "duration": dur * 30,
+                    "n_samples": 24 + i % 41,
+                    "width": 160 + (i % 13) * 16,
+                    "height": 96 + (i % 7) * 16,
+                    "version": 1 if i % 7 == 0 else 0,
+                }
+                tracks = {0: [audio], 1: [video, audio], 2: [video]}[i % 3]
+                blob = build_mp4(
+                    tracks,
+                    duration_ms=dur,
+                    mvhd_version=1 if i % 4 == 0 else 0,
+                    largesize_moov=i % 6 == 0,
+                )
+                m = mp4_meta(blob)
+                dm = decode_meta(blob)  # the unified dispatch agrees
+                assert dm["kind"] == m["kind"]
+                vid = next((t for t in m["tracks"] if t["kind"] == "video"), None)
+                aud = next((t for t in m["tracks"] if t["kind"] == "audio"), None)
+                rows.append(
+                    (
+                        i,
+                        m["kind"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        vid["codec"] if vid else None,
+                        m["width"],
+                        m["height"],
+                        vid["n_samples"] if vid else None,
+                        aud["timescale"] if aud else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(walk, out_schema)
