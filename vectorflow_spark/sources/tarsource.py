@@ -39,7 +39,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -306,10 +308,139 @@ class VfTarStreamReader(DataSourceStreamReader):
         pass  # offsets live in the streaming checkpoint
 
 
+class _TarCommitMsg(WriterCommitMessage):
+    """Per-task result: [(tmp_name, final_name, n_members, n_bytes,
+    member_metas_or_None)] — nothing is visible until the DRIVER commit
+    renames the temp files in."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+class VfTarWriter(DataSourceWriter):
+    """Batch writer with REAL job-commit semantics (the Spark 4 Python
+    DataSource writer API): every task writes its tar(s) to hidden
+    ``.uncommitted-*`` temp names; only the driver's ``commit`` renames
+    them to their final shard names (and writes index sidecars), and
+    ``abort`` removes every temp — a failed or retried task can never
+    leave a half-published or orphaned shard, which the hand-rolled
+    per-task rename in wds.write_webdataset cannot guarantee across JOB
+    failure.
+
+    Input rows: ``shard`` (final file name), ``member`` (name inside the
+    tar), ``data`` (binary), optional ``seq`` (string; members sort by
+    (seq, member) within a shard, else by member) — rows for one shard
+    must be co-partitioned (repartition on shard before writing). Tar
+    metadata is zeroed so equal row sets produce byte-identical shards.
+    Options: ``compress`` (gzip members NOT seekable -> no index),
+    ``index`` (write ``_<shard>.tar.idx.json`` sidecars at commit)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vf_tar write: path required")
+        self.compress = str(options.get("compress", "false")).lower() == "true"
+        self.index = str(options.get("index", "false")).lower() == "true"
+        if self.index and self.compress:
+            raise ValueError("vf_tar write: index requires compress=false (gzip tars are not seekable)")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import io
+        import os
+        import tarfile
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        by_shard: dict = {}
+        for r in rows:
+            seq = r["seq"] if "seq" in r.__fields__ else None
+            by_shard.setdefault(r["shard"], []).append((seq, r["member"], bytes(r["data"])))
+        out = []
+        for shard in sorted(by_shard):
+            members = sorted(by_shard[shard], key=lambda t: (t[0] or "", t[1]))
+            buf = io.BytesIO()
+            if self.compress:
+                import gzip
+
+                gz = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
+                tar = tarfile.open(fileobj=gz, mode="w")
+            else:
+                gz = None
+                tar = tarfile.open(fileobj=buf, mode="w")
+            for _seq, name, data in members:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(data))
+            tar.close()
+            if gz is not None:
+                gz.close()
+            blob = buf.getvalue()
+            metas = None
+            if self.index:
+                with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as t:
+                    metas = [
+                        {"name": m.name, "offset": m.offset_data, "size": m.size}
+                        for m in t
+                        if m.isfile()
+                    ]
+            tmp = f".uncommitted-{uuid.uuid4().hex}"
+            with open(os.path.join(self.path, tmp), "wb") as f:
+                f.write(blob)
+            out.append((tmp, shard, len(members), len(blob), metas))
+        return _TarCommitMsg(out)
+
+    def _cleanup_uncommitted(self):
+        import glob
+        import os
+
+        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def commit(self, messages):
+        import json
+        import os
+
+        # validate EVERYTHING before renaming ANYTHING: a commit that
+        # throws halfway would otherwise leave a partial publish
+        seen: set = set()
+        for msg in messages:
+            for _tmp, final, *_rest in msg.files:
+                if final in seen:
+                    self._cleanup_uncommitted()
+                    raise ValueError(
+                        f"vf_tar write: {final!r} produced by two tasks - "
+                        "repartition rows by the file-name column before writing"
+                    )
+                seen.add(final)
+        for msg in messages:
+            for tmp, final, _n, _b, metas in msg.files:
+                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
+                if metas is not None:
+                    side = os.path.join(self.path, f"_{final}.idx.json")
+                    with open(side + ".tmp", "w") as f:
+                        json.dump({"members": metas}, f)
+                    os.replace(side + ".tmp", side)
+        # temp files from retried/failed attempts whose messages never
+        # reached the driver
+        self._cleanup_uncommitted()
+
+    def abort(self, messages):
+        self._cleanup_uncommitted()
+
+
 class VfTarDataSource(DataSource):
     """``spark.read.format("vf_tar").load(path)`` for batch,
     ``spark.readStream.format("vf_tar").load(path)`` for continuous
-    shard ingest; register with ``tarsource.register(spark)``."""
+    shard ingest, ``df.write.format("vf_tar").save(path)`` for the
+    job-committed sink; register with ``tarsource.register(spark)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -323,6 +454,9 @@ class VfTarDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VfTarStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> VfTarWriter:
+        return VfTarWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

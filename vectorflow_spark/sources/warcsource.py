@@ -58,7 +58,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -514,10 +516,115 @@ class VfWarcStreamReader(DataSourceStreamReader):
         pass  # offsets live in the streaming checkpoint
 
 
+class _WarcCommitMsg(WriterCommitMessage):
+    """Per-task result: [(tmp_name, final_name, n_records, n_bytes,
+    cdx_records_or_None)]; visible only after the driver commit."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+class VfWarcWriter(DataSourceWriter):
+    """Batch WARC sink with job-commit semantics (Spark 4 Python
+    DataSource writer API): tasks write segments to ``.uncommitted-*``
+    temp names; the driver's ``commit`` renames them in (and writes CDX
+    sidecars), ``abort`` removes every temp — task retries and job
+    failures can never publish or orphan a half-written segment, which
+    warcmini.write_warc_corpus's per-task rename cannot guarantee
+    across job failure.
+
+    Input rows: ``segment`` (final file name), ``url``, ``body``
+    (binary) — rows of one segment co-partitioned (repartition on
+    segment first); records sort by (url, body) so equal row sets make
+    byte-identical segments. Options: ``compress`` (per-record gzip
+    members), ``index`` (CDX sidecars at commit), ``recordType``,
+    ``mime``."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vf_warc write: path required")
+        self.compress = str(options.get("compress", "true")).lower() == "true"
+        self.index = str(options.get("index", "false")).lower() == "true"
+        self.record_type = options.get("recordtype", "response")
+        self.mime = options.get("mime", "text/plain")
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        from vectorflow_spark.sources.warcmini import build_warc
+
+        os.makedirs(self.path, exist_ok=True)
+        by_seg: dict = {}
+        for r in rows:
+            by_seg.setdefault(r["segment"], []).append((r["url"], bytes(r["body"])))
+        out = []
+        for seg in sorted(by_seg):
+            recs = sorted(by_seg[seg])
+            records = [(u, b, self.mime) for u, b in recs]
+            blob, rec_index = build_warc(
+                records, compress=self.compress, record_type=self.record_type,
+                return_index=True,
+            )
+            cdx = None
+            if self.index:
+                urls = [None] + [u for u, _ in recs]  # warcinfo first
+                cdx = [
+                    {"offset": o, "length": n, "url": u}
+                    for (o, n), u in zip(rec_index, urls)
+                ]
+            tmp = f".uncommitted-{uuid.uuid4().hex}"
+            with open(os.path.join(self.path, tmp), "wb") as f:
+                f.write(blob)
+            out.append((tmp, seg, len(records), len(blob), cdx))
+        return _WarcCommitMsg(out)
+
+    def _cleanup_uncommitted(self):
+        import glob
+        import os
+
+        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def commit(self, messages):
+        import json
+        import os
+
+        # validate EVERYTHING before renaming ANYTHING: a commit that
+        # throws halfway would otherwise leave a partial publish
+        seen: set = set()
+        for msg in messages:
+            for _tmp, final, *_rest in msg.files:
+                if final in seen:
+                    self._cleanup_uncommitted()
+                    raise ValueError(
+                        f"vf_warc write: {final!r} produced by two tasks - "
+                        "repartition rows by the file-name column before writing"
+                    )
+                seen.add(final)
+        for msg in messages:
+            for tmp, final, _n, _b, cdx in msg.files:
+                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
+                if cdx is not None:
+                    side = os.path.join(self.path, f"_{final}.cdx.json")
+                    with open(side + ".tmp", "w") as f:
+                        json.dump({"records": cdx}, f)
+                    os.replace(side + ".tmp", side)
+        self._cleanup_uncommitted()
+
+    def abort(self, messages):
+        self._cleanup_uncommitted()
+
+
 class VfWarcDataSource(DataSource):
     """``spark.read.format("vf_warc").load(path)`` for batch,
     ``spark.readStream.format("vf_warc").load(path)`` for continuous
-    segment ingest; register once per session with
+    segment ingest, ``df.write.format("vf_warc").save(path)`` for the
+    job-committed sink; register once per session with
     ``spark.dataSource.register(VfWarcDataSource)`` (or use
     ``warcmini.read_warc`` which does both)."""
 
@@ -533,6 +640,9 @@ class VfWarcDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VfWarcStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> VfWarcWriter:
+        return VfWarcWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

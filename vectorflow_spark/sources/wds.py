@@ -139,7 +139,13 @@ def write_webdataset(
     ``vf_tar`` scan's ``index`` mode turns each shard into many
     sample-aligned byte-range partitions, so a few huge shards no
     longer cap parallelism. The leading underscore keeps sidecars out
-    of shard listings (the hidden-name rule every scan applies)."""
+    of shard listings (the hidden-name rule every scan applies).
+
+    Strict JOB-commit semantics (no file visible before the whole job
+    commits; task retries orphan nothing) are available via the
+    DataSource writer instead: ``rows.repartition(n, "shard")
+    .write.format("vf_tar").save(dir)`` with rows (shard, member, data
+    [, seq]) — see sources/tarsource.VfTarWriter."""
     import io
     import json
     import os
