@@ -150,6 +150,23 @@ def main() -> None:
         for name, t in timings.items()
         if name in prev and prev[name] > 0 and t > 1.5 * prev[name] and t - prev[name] > 0.5
     }
+
+    # per-query BUDGETS (BENCH_budgets.json, scripts/make_bench_budgets.py):
+    # the suite-average gate can hide one query tripling while the average
+    # improves; any post-retry timing above its committed budget is a breach.
+    budget_breaches: dict = {}
+    budgets_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json")
+    try:
+        with open(budgets_file) as f:
+            bdoc = json.load(f)
+        if str(bdoc.get("sf")) == sf or float(bdoc.get("sf", -1)) == float(sf):
+            for name, t in timings.items():
+                b = bdoc["budgets"].get(name)
+                if b is not None and t > b:
+                    budget_breaches[name] = {"budget": b, "now": t, "ratio": round(t / b, 2)}
+    except (OSError, ValueError, KeyError):
+        pass
+
     print(
         json.dumps(
             {
@@ -164,6 +181,8 @@ def main() -> None:
                 "prev_bench": prev_file,
                 "regressions": regressions,
                 "regression_count": len(regressions),
+                "budget_breaches": budget_breaches,
+                "budget_breach_count": len(budget_breaches),
             }
         )
     )

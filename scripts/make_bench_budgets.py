@@ -1,0 +1,72 @@
+"""Regenerate BENCH_budgets.json from the newest BENCH_r*.json at sf0.1.
+
+Per-query budget = recorded_time * tolerance + absolute floor. The suite
+2x gate compares AVERAGES, so a single query could triple while the
+average improves; bench.py checks every query against its budget and
+reports breaches in the JSON tail (budget_breaches / budget_breach_count)
+the same way the driver's regression field works. Re-run this after a
+round whose headline timings legitimately moved (corpus growth, new
+operator work inside a gate query) and commit the result."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+TOLERANCE = 2.0
+ABS_FLOOR_S = 0.75  # sub-second queries breathe: JIT + scheduler noise
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest_timings() -> tuple[str, dict[str, float]]:
+    # an explicit raw bench-output file (one JSON line from bench.py)
+    # wins — driver BENCH_r*.json snapshots sometimes hold only a
+    # truncated 'tail' string
+    paths = sys.argv[1:] or sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True
+    )
+    for path in paths:
+        with open(path) as f:
+            # a raw bench run may have log noise before the JSON line
+            line = [ln for ln in f.read().splitlines() if ln.startswith("{")][-1]
+            d = json.loads(line)
+        if str(d.get("sf")) != "0.1":
+            continue
+        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        q = parsed.get("queries") if isinstance(parsed.get("queries"), dict) else None
+        out = {k: float(v) for k, v in (q or {}).items()}
+        if not out:
+            for m in re.finditer(r'"(q_\w+|e2e_pipeline)":\s*([0-9.]+)', d.get("tail") or ""):
+                out[m.group(1)] = float(m.group(2))
+        if out:
+            return os.path.basename(path), out
+    raise SystemExit("no BENCH_r*.json with sf0.1 timings found")
+
+
+def main() -> None:
+    src, timings = newest_timings()
+    budgets = {
+        name: round(t * TOLERANCE + ABS_FLOOR_S, 3)
+        for name, t in sorted(timings.items())
+        if name != "_warmup"
+    }
+    doc = {
+        "source": src,
+        "tolerance_ratio": TOLERANCE,
+        "abs_floor_s": ABS_FLOOR_S,
+        "sf": 0.1,
+        "budgets": budgets,
+    }
+    out = os.path.join(repo, "BENCH_budgets.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}: {len(budgets)} budgets from {src}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
