@@ -666,8 +666,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plane = (
             px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
-        # upsample to full MCU-padded resolution, then crop
-        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        # crop to the component's REAL sample extent (ceil(dim * f/fmax))
+        # and clamp to sample range BEFORE upsampling — libjpeg's pipeline
+        # is uint8 end-to-end and replicates at downsampled_width, so MCU
+        # padding must not bleed into edge interpolation; then upsample:
+        # factor-2 axes use the TRIANGULAR (3/4, 1/4) filter — libjpeg's
+        # "fancy" upsampler, the de-facto standard decode real JPEGs are
+        # judged against (tests/test_jpeg_libjpeg_parity.py pins us
+        # against libjpeg on genuine 4:2:0 streams); other factors
+        # replicate.
+        ch = -(-h * c["v"] // vmax)
+        cw = -(-w * c["h"] // hmax)
+        plane = np.clip(plane[:ch, :cw], 0.0, 255.0)
+        plane = _upsample(plane, vmax // c["v"], axis=0)
+        plane = _upsample(plane, hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
@@ -681,6 +693,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Chroma upsampling along one axis: factor 1 passes through, factor
+    2 applies the separable triangular filter (out[2i] = 3/4 s[i] + 1/4
+    s[i-1]; out[2i+1] = 3/4 s[i] + 1/4 s[i+1]; edges replicate — JPEG
+    leaves upsampling to the decoder, and this is libjpeg's choice),
+    anything else replicates."""
+    if factor == 1:
+        return plane
+    if factor != 2:
+        return np.repeat(plane, factor, axis=axis)
+    s = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([s[:1], s[:-1]], axis=0)
+    nxt = np.concatenate([s[1:], s[-1:]], axis=0)
+    out = np.empty((2 * s.shape[0],) + s.shape[1:], dtype=plane.dtype)
+    out[0::2] = 0.75 * s + 0.25 * prev
+    out[1::2] = 0.75 * s + 0.25 * nxt
+    return np.moveaxis(out, 0, axis)
 
 
 # ---------------------------------------------------------------------------
