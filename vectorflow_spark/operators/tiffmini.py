@@ -163,10 +163,12 @@ def _lzw_decode(src: bytes, expected: int) -> bytes:
             raise ValueError("tiff: corrupt LZW code")
         out += entry
         prev = entry
-        # EARLY change, decoder side: the decoder's table lags the
-        # encoder's by one addition, so it must widen one entry sooner
-        # than the encoder's next_code == (1 << size) - 1 rule
-        if len(table) == (1 << size) - 2 and size < 12:
+        # EARLY change, decoder side: widen when the table reaches
+        # (1 << size) - 1 entries — verified against genuine libtiff LZW
+        # strips (tests/test_tiff_libtiff_parity.py); the round-5
+        # roundtrip-derived (1 << size) - 2 was self-consistent with our
+        # encoder but decoded real libtiff streams as corrupt
+        if len(table) == (1 << size) - 1 and size < 12:
             size += 1
     if len(out) < expected:
         raise ValueError("tiff: LZW strip shorter than expected")
@@ -190,16 +192,16 @@ def _lzw_encode(src: bytes) -> bytes:
         out_bits.append((table[w], size))
         table[w + c] = next_code
         next_code += 1
-        # EARLY change: the writer bumps when the NEXT emitted code
-        # could be next_code - 1 == (1 << size) - 1
-        if next_code == (1 << size) - 1:
-            if size < 12:
-                size += 1
-            else:
-                out_bits.append((_CLEAR, size))
-                table = {bytes([i]): i for i in range(256)}
-                next_code = _FIRST
-                size = 9
+        # EARLY change, writer side: one insert after the decoder's
+        # (1 << size) - 1 table point (its table lags ours by one);
+        # libtiff clears one entry before the 12-bit table fills
+        if next_code == (1 << size) and size < 12:
+            size += 1
+        elif next_code == (1 << 12) - 2:
+            out_bits.append((_CLEAR, size))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _FIRST
+            size = 9
         w = c
     if w:
         out_bits.append((table[w], size))
