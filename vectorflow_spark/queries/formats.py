@@ -1932,3 +1932,50 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(walk, out_schema)
+
+
+@query(
+    "q_cdx_prefix_scan",
+    """
+    SELECT doc_id, text AS warc_text FROM documents
+    WHERE CAST(doc_id AS VARCHAR) LIKE '7%' AND doc_id % 3 = 1
+    """,
+)
+def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOMAIN-prefix wayback lookup through the consolidated URL
+    index: where q_cdx_lookup proves equality/IN planning, this gate
+    proves the PREFIX path — "every page under this URL prefix" plans
+    only the matching record ranges from the _url_index parquet (the
+    per-segment sidecars are deleted after consolidation, so nothing
+    else can have planned it), composed with a residual predicate Spark
+    re-applies. Exact text identity against the relational oracle."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import (
+        consolidate_cdx,
+        read_warc,
+        write_warc_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_cdxp_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
+    consolidate_cdx(spark, out_dir)
+    for side in _glob.glob(os.path.join(out_dir, "_*.cdx.json")):
+        os.remove(side)
+    rows = read_warc(spark, out_dir).filter(
+        F.col("url").startswith("http://corpus.local/7")
+    )
+    return rows.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        F.decode("body", "UTF-8").alias("warc_text"),
+    ).filter(F.col("doc_id") % 3 == 1)

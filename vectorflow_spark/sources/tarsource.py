@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -404,14 +405,17 @@ class VfTarWriter(DataSourceWriter):
             except OSError:
                 pass
 
-    def commit(self, messages):
+    def _install(self, messages, prefix: str = "") -> None:
+        """Validate EVERYTHING before renaming ANYTHING (a commit that
+        throws halfway would otherwise leave a partial publish), then
+        rename temps to ``prefix + final`` and write sidecars."""
         import json
         import os
 
-        # validate EVERYTHING before renaming ANYTHING: a commit that
-        # throws halfway would otherwise leave a partial publish
         seen: set = set()
         for msg in messages:
+            if msg is None:
+                continue
             for _tmp, final, *_rest in msg.files:
                 if final in seen:
                     self._cleanup_uncommitted()
@@ -421,10 +425,13 @@ class VfTarWriter(DataSourceWriter):
                     )
                 seen.add(final)
         for msg in messages:
+            if msg is None:
+                continue
             for tmp, final, _n, _b, metas in msg.files:
-                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
+                name = prefix + final
+                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, name))
                 if metas is not None:
-                    side = os.path.join(self.path, f"_{final}.idx.json")
+                    side = os.path.join(self.path, f"_{name}.idx.json")
                     with open(side + ".tmp", "w") as f:
                         json.dump({"members": metas}, f)
                     os.replace(side + ".tmp", side)
@@ -432,8 +439,31 @@ class VfTarWriter(DataSourceWriter):
         # reached the driver
         self._cleanup_uncommitted()
 
+    def commit(self, messages):
+        self._install(messages)
+
     def abort(self, messages):
         self._cleanup_uncommitted()
+
+
+class VfTarStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of VfTarWriter: each micro-batch's shards land as
+    ``b<batchId>-<shard>`` via the same temp-write/validate/rename
+    discipline — a REPLAYED batch re-renames onto its own batch-keyed
+    names (os.replace overwrite), so at-least-once re-fires are
+    idempotent exactly like the repo's batch_id=N parquet convention."""
+
+    def __init__(self, options):
+        self._core = VfTarWriter(options, overwrite=False)
+
+    def write(self, iterator):
+        return self._core.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._core._install(messages, prefix=f"b{batchId:09d}-")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._core._cleanup_uncommitted()
 
 
 class VfTarDataSource(DataSource):
@@ -457,6 +487,9 @@ class VfTarDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> VfTarWriter:
         return VfTarWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> VfTarStreamWriter:
+        return VfTarStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -590,14 +591,16 @@ class VfWarcWriter(DataSourceWriter):
             except OSError:
                 pass
 
-    def commit(self, messages):
+    def _install(self, messages, prefix: str = "") -> None:
+        """Validate every message, then rename temps to ``prefix +
+        final`` and write CDX sidecars (no partial publish)."""
         import json
         import os
 
-        # validate EVERYTHING before renaming ANYTHING: a commit that
-        # throws halfway would otherwise leave a partial publish
         seen: set = set()
         for msg in messages:
+            if msg is None:
+                continue
             for _tmp, final, *_rest in msg.files:
                 if final in seen:
                     self._cleanup_uncommitted()
@@ -607,17 +610,42 @@ class VfWarcWriter(DataSourceWriter):
                     )
                 seen.add(final)
         for msg in messages:
+            if msg is None:
+                continue
             for tmp, final, _n, _b, cdx in msg.files:
-                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
+                name = prefix + final
+                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, name))
                 if cdx is not None:
-                    side = os.path.join(self.path, f"_{final}.cdx.json")
+                    side = os.path.join(self.path, f"_{name}.cdx.json")
                     with open(side + ".tmp", "w") as f:
                         json.dump({"records": cdx}, f)
                     os.replace(side + ".tmp", side)
         self._cleanup_uncommitted()
 
+    def commit(self, messages):
+        self._install(messages)
+
     def abort(self, messages):
         self._cleanup_uncommitted()
+
+
+class VfWarcStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of VfWarcWriter: micro-batch segments land as
+    ``b<batchId>-<segment>`` with the same temp/validate/rename
+    discipline; replayed batches overwrite their own batch-keyed names,
+    so at-least-once re-fires are idempotent."""
+
+    def __init__(self, options):
+        self._core = VfWarcWriter(options, overwrite=False)
+
+    def write(self, iterator):
+        return self._core.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._core._install(messages, prefix=f"b{batchId:09d}-")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._core._cleanup_uncommitted()
 
 
 class VfWarcDataSource(DataSource):
@@ -643,6 +671,9 @@ class VfWarcDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> VfWarcWriter:
         return VfWarcWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> VfWarcStreamWriter:
+        return VfWarcStreamWriter(self.options)
 
 
 def register(spark) -> None:
