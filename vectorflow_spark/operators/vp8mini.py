@@ -557,14 +557,19 @@ def _needs_filter(p, idx, step, t) -> bool:
 
 
 def _needs_filter2(p, idx, step, t, it) -> bool:
-    p3, p2, p1, p0 = (int(p[idx - 4 * step]), int(p[idx - 3 * step]), int(p[idx - 2 * step]), int(p[idx - step]))
-    q0, q1, q2, q3 = (int(p[idx]), int(p[idx + step]), int(p[idx + 2 * step]), int(p[idx + 3 * step]))
+    p1 = int(p[idx - 2 * step])
+    p0 = int(p[idx - step])
+    q0 = int(p[idx])
+    q1 = int(p[idx + step])
     if 4 * abs(p0 - q0) + abs(p1 - q1) > t:
         return False
-    return (
-        abs(p3 - p2) <= it and abs(p2 - p1) <= it and abs(p1 - p0) <= it
-        and abs(q3 - q2) <= it and abs(q2 - q1) <= it and abs(q1 - q0) <= it
-    )
+    if abs(p1 - p0) > it or abs(q1 - q0) > it:
+        return False
+    p2 = int(p[idx - 3 * step])
+    q2 = int(p[idx + 2 * step])
+    if abs(p2 - p1) > it or abs(q2 - q1) > it:
+        return False
+    return abs(int(p[idx - 4 * step]) - p2) <= it and abs(int(p[idx + 3 * step]) - q2) <= it
 
 
 def _filter_loop(plane, rows, cols, horiz, edge_limit, ilimit, hev_t, mb_edge):
