@@ -85,3 +85,27 @@ class TestOurStreamsInLibjpeg:
         px = rng.integers(0, 256, (33, 29, 3), np.uint8)
         blob = encode_jpeg_progressive(px, quality=95, optimize=optimize)
         assert _diff(decode_jpeg(blob), ref.decode_rgb(blob)) <= TOL
+
+
+class TestOur420StreamsInLibjpeg:
+    """Our 4:2:0 encoder (the real-web default shape: 2x2 luma MCUs,
+    box-downsampled chroma) — accepted by libjpeg, and both decoders
+    agree within the IDCT tolerance, with optimize/restart composing."""
+
+    @pytest.mark.parametrize(
+        "knobs",
+        [
+            {"quality": 92},
+            {"quality": 100, "optimize": True},
+            {"quality": 90, "restart_interval": 2},
+            {"quality": 90, "optimize": True, "restart_interval": 3},
+        ],
+    )
+    @pytest.mark.parametrize("shape", [(16, 16), (17, 31), (48, 64)])
+    def test_parity(self, knobs, shape):
+        from vectorflow_spark.operators.jpegmini import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(shape[0] + len(knobs))
+        px = rng.integers(0, 256, (*shape, 3), np.uint8)
+        blob = encode_jpeg(px, subsampling="420", **knobs)
+        assert _diff(decode_jpeg(blob), ref.decode_rgb(blob)) <= TOL

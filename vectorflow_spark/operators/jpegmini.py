@@ -18,9 +18,10 @@ no external library required:
   approximation (T.81 Annex G: multi-scan coefficient accumulation,
   EOB runs, DC/AC refinement bits) — a large share of real web JPEGs
   are progressive, so image dedup over a crawl needs this path.
-* ``encode_jpeg(px, quality)`` — the inverse writer (4:4:4, Annex K
-  quantization tables scaled IJG-style, Annex K Huffman tables), used
-  for fixtures and PSNR roundtrips. JPEG is lossy: roundtrip tests
+* ``encode_jpeg(px, quality)`` — the inverse writer (4:4:4 default or
+  subsampling="420", the real-web MCU shape; Annex K quantization
+  tables scaled IJG-style, Annex K Huffman tables), used for fixtures
+  and PSNR roundtrips. JPEG is lossy: roundtrip tests
   assert reconstruction error bounds, never bit equality.
 * ``encode_jpeg_progressive(px, quality, successive)`` — SOF2 writer
   (DC scan + per-component AC scans; with ``successive``, a 2-level
@@ -885,10 +886,22 @@ def _encode_block(
     return dc
 
 
-def _quantize_planes(px: np.ndarray, quality: int):
+def _block_zz(plane: np.ndarray, q: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Pad (edge-replicate) to bh x bw 8-pixel blocks, forward-DCT,
+    quantize, zigzag."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT).reshape(-1, 64)
+    return np.rint(coefs[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+
+def _quantize_planes(px: np.ndarray, quality: int, subsampling: str = "444"):
     """Shared encoder front half: pixels -> per-component quantized
-    zigzag coefficient arrays (4:4:4). Returns
-    (h, w, bh, bw, all_zz, q_lum, q_chrom)."""
+    zigzag coefficient arrays. Returns (h, w, bh, bw, all_zz, q_lum,
+    q_chrom) where bh/bw count MCU ROWS/COLS (8-pixel blocks at 4:4:4,
+    16-pixel MCUs at 4:2:0 — chroma is 2x2 box-downsampled first, the
+    real-web default)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -905,19 +918,22 @@ def _quantize_planes(px: np.ndarray, quality: int):
         ]
     q_lum = _scaled_quant(QUANT_LUM, quality)
     q_chrom = _scaled_quant(QUANT_CHROM, quality)
-    quants = [q_lum] + [q_chrom] * (len(planes) - 1)
 
-    # pad to 8 | edge-replicate, block, forward DCT, quantize, zigzag
+    if subsampling == "420" and nch > 1:
+        bh, bw = -(-h // 16), -(-w // 16)  # MCU grid
+        all_zz = [_block_zz(planes[0], q_lum, bh * 2, bw * 2)]
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        for c in planes[1:]:
+            cp = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+            down = (cp[0::2, 0::2] + cp[0::2, 1::2] + cp[1::2, 0::2] + cp[1::2, 1::2]) / 4.0
+            all_zz.append(_block_zz(down, q_chrom, bh, bw))
+        return h, w, bh, bw, all_zz, q_lum, q_chrom
+    if subsampling != "444" and not (subsampling == "420" and nch == 1):
+        if subsampling != "420":
+            raise ValueError(f"jpeg: subsampling must be '444' or '420', got {subsampling!r}")
     bh, bw = -(-h // 8), -(-w // 8)
-    all_zz = []
-    for plane, q in zip(planes, quants):
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
-        blocks = (
-            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        coefs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT).reshape(-1, 64)
-        zz = np.rint(coefs[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
-        all_zz.append(zz)
+    quants = [q_lum] + [q_chrom] * (len(planes) - 1)
+    all_zz = [_block_zz(p, q, bh, bw) for p, q in zip(planes, quants)]
     return h, w, bh, bw, all_zz, q_lum, q_chrom
 
 
@@ -925,9 +941,11 @@ def _seg_bytes(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables) -> bytes:
+def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables,
+                  y_sampling: int = 0x11) -> bytes:
     """SOI + APP0 + DQT + SOF + DHT prologue shared by both encoders.
-    ``huff_tables``: list of (tc, th, (bits, values))."""
+    ``huff_tables``: list of (tc, th, (bits, values)); ``y_sampling``
+    0x22 writes the 4:2:0 luma factors."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg_bytes(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += _seg_bytes(0xDB, b"\x00" + bytes(int(v) for v in q_lum[ZIGZAG]))
@@ -935,7 +953,7 @@ def _header_bytes(sof_marker: int, h, w, ncomp, q_lum, q_chrom, huff_tables) -> 
         out += _seg_bytes(0xDB, b"\x01" + bytes(int(v) for v in q_chrom[ZIGZAG]))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        sof += bytes([ci + 1, y_sampling if ci == 0 else 0x11, 0 if ci == 0 else 1])
     out += _seg_bytes(sof_marker, sof)
     for tc, th, (bits, vals) in huff_tables:
         out += _seg_bytes(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
@@ -947,8 +965,15 @@ def encode_jpeg(
     quality: int = 85,
     optimize: bool = False,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes (4:4:4, no subsampling).
+    """(h, w, 3|1) uint8 -> baseline JFIF JPEG bytes.
+
+    ``subsampling="420"`` emits the REAL-WEB default shape (2x2 luma
+    sampling, box-downsampled chroma, 6-block interleaved MCUs) —
+    decoded by our own 4:2:0 path and by libjpeg
+    (tests/test_jpeg_libjpeg_parity.py); the default stays 4:4:4 so the
+    existing bit-identity contracts (progressive/optimize twins) hold.
 
     ``optimize=True`` is the two-pass mode real encoders ship (cjpeg
     -optimize, mozjpeg's default): pass 1 runs the identical block walk
@@ -966,22 +991,42 @@ def encode_jpeg(
     that roundtrip-pins the decoder's restart path (byte-aligned
     segment boundaries, m%8 marker cycling) beyond its hand-built
     stream tests."""
-    h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality)
+    h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality, subsampling)
     ncomp = len(all_zz)
-    n_mcus = bh * bw
+    sub420 = subsampling == "420" and ncomp > 1
+    # MCU unit list: (component, block-index) in transmission order —
+    # 4:4:4 is one block per component per MCU; 4:2:0 interleaves the
+    # 2x2 luma quad then one block of each chroma component
+    if sub420:
+        ybw = bw * 2
+        mcu_units = [
+            [
+                (0, (2 * my) * ybw + 2 * mx),
+                (0, (2 * my) * ybw + 2 * mx + 1),
+                (0, (2 * my + 1) * ybw + 2 * mx),
+                (0, (2 * my + 1) * ybw + 2 * mx + 1),
+                (1, my * bw + mx),
+                (2, my * bw + mx),
+            ]
+            for my in range(bh)
+            for mx in range(bw)
+        ]
+    else:
+        mcu_units = [[(ci, k) for ci in range(ncomp)] for k in range(bh * bw)]
+    n_mcus = len(mcu_units)
 
     if optimize:
         null = _NullWriter()
         dc_cnt = [_CountingCodes(), _CountingCodes()]
         ac_cnt = [_CountingCodes(), _CountingCodes()]
         preds = [0] * ncomp
-        for blk in range(n_mcus):
+        for blk, units in enumerate(mcu_units):
             if restart_interval and blk and blk % restart_interval == 0:
                 preds = [0] * ncomp  # mirror the emission pass resets
-            for ci in range(ncomp):
+            for ci, bi in units:
                 t = 0 if ci == 0 else 1
                 preds[ci] = _encode_block(
-                    null, all_zz[ci][blk], preds[ci], dc_cnt[t], ac_cnt[t]
+                    null, all_zz[ci][bi], preds[ci], dc_cnt[t], ac_cnt[t]
                 )
         dc_lum_t = optimal_huffman_table(dc_cnt[0].counts)
         ac_lum_t = optimal_huffman_table(ac_cnt[0].counts)
@@ -999,15 +1044,15 @@ def encode_jpeg(
     segments: list[bytes] = []
     writer = _BitWriter()
     preds = [0] * ncomp
-    for blk in range(n_mcus):
+    for blk, units in enumerate(mcu_units):
         if restart_interval and blk and blk % restart_interval == 0:
             segments.append(writer.flush())
             writer = _BitWriter()
             preds = [0] * ncomp
-        for ci in range(ncomp):
+        for ci, bi in units:
             dc_c = dc_lum_codes if ci == 0 else dc_chrom_codes
             ac_c = ac_lum_codes if ci == 0 else ac_chrom_codes
-            preds[ci] = _encode_block(writer, all_zz[ci][blk], preds[ci], dc_c, ac_c)
+            preds[ci] = _encode_block(writer, all_zz[ci][bi], preds[ci], dc_c, ac_c)
     segments.append(writer.flush())
     entropy = b"".join(
         seg + (bytes([0xFF, 0xD0 + i % 8]) if i < len(segments) - 1 else b"")
@@ -1017,7 +1062,12 @@ def encode_jpeg(
     tables = [(0, 0, dc_lum_t), (1, 0, ac_lum_t)]
     if ncomp > 1:
         tables += [(0, 1, dc_chrom_t), (1, 1, ac_chrom_t)]
-    out = bytearray(_header_bytes(0xC0, h, w, ncomp, q_lum, q_chrom, tables))
+    out = bytearray(
+        _header_bytes(
+            0xC0, h, w, ncomp, q_lum, q_chrom, tables,
+            y_sampling=0x22 if sub420 else 0x11,
+        )
+    )
     if restart_interval:
         out += _seg_bytes(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])

@@ -583,6 +583,7 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quality=100,
                 optimize=(i // 4) % 2 == 1,
                 restart_interval=3 if (i // 8) % 2 else 0,
+                subsampling="420" if (i // 32) % 2 else "444",  # real-web shape
             )
         if k == 3:
             return encode_jpeg_progressive(
