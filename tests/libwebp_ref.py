@@ -110,3 +110,24 @@ def decode_yuv(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return y.copy(), up.copy(), vp.copy()
     finally:
         _lib.WebPFree(buf)
+
+
+def encode_lossy_rgba(px: np.ndarray, quality: float = 75.0) -> bytes:
+    """(h, w, 4) uint8 -> lossy WebP; with non-opaque alpha libwebp emits
+    the VP8X + ALPH + VP8 extended container."""
+    h, w = px.shape[:2]
+    _lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    out = ctypes.c_void_p()
+    n = _lib.WebPEncodeRGBA(
+        np.ascontiguousarray(px).tobytes(), w, h, w * 4, quality, ctypes.byref(out)
+    )
+    if not n:
+        raise RuntimeError("WebPEncodeRGBA failed")
+    try:
+        return ctypes.string_at(out, n)
+    finally:
+        _lib.WebPFree(out)

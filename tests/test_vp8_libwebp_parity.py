@@ -89,3 +89,57 @@ class TestOurStreamsDecodeInLibwebp:
         ry, ru, rv = ref.decode_yuv(bytes(blob))
         my, mu, mv = decode_vp8(_payload(blob))
         assert np.array_equal(my, ry) and np.array_equal(mu, ru) and np.array_equal(mv, rv)
+
+
+class TestVp8xExtendedContainer:
+    """Real alpha-carrying lossy WebPs ride the VP8X extended container
+    (VP8X + ALPH + VP8); the walk must reach the inner VP8 keyframe and
+    decode it with bit-exact YUV, alpha dropped per the codec contract
+    (every decoder here returns RGB). Animated VP8X refuses loudly."""
+
+    def test_vp8x_alpha_file_decodes_yuv_exact(self):
+        import struct as _struct
+
+        from vectorflow_spark.operators.webpmini import decode_webp, webp_meta
+
+        rng = np.random.default_rng(21)
+        rgba = rng.integers(0, 256, (16, 24, 4), np.uint8)
+        blob = ref.encode_lossy_rgba(rgba, 80.0)
+        assert blob[12:16] == b"VP8X"  # non-opaque alpha forces VP8X
+        assert webp_meta(blob) == (24, 16, 4)
+        out = decode_webp(blob)  # walks through VP8X/ALPH to the VP8 chunk
+        assert out.shape == (16, 24, 3)
+        # the normative pin: the inner VP8 chunk's YUV planes bit-exact
+        pos = 12
+        while pos + 8 <= len(blob):
+            fc = blob[pos : pos + 4]
+            (sz,) = _struct.unpack_from("<I", blob, pos + 4)
+            if fc == b"VP8 ":
+                my, mu, mv = decode_vp8(blob[pos + 8 : pos + 8 + sz])
+                break
+            pos += 8 + sz + (sz & 1)
+        ry, ru, rv = ref.decode_yuv(blob)
+        assert np.array_equal(my, ry) and np.array_equal(mu, ru) and np.array_equal(mv, rv)
+
+    def test_opaque_alpha_collapses_to_plain_vp8(self):
+        from vectorflow_spark.operators.webpmini import decode_webp
+
+        rng = np.random.default_rng(22)
+        rgba = np.concatenate(
+            [rng.integers(0, 256, (16, 24, 3), np.uint8), np.full((16, 24, 1), 255, np.uint8)],
+            axis=2,
+        )
+        blob = ref.encode_lossy_rgba(rgba, 80.0)
+        assert blob[12:16] == b"VP8 "  # libwebp drops all-opaque alpha
+        assert decode_webp(blob).shape == (16, 24, 3)
+
+    def test_animated_vp8x_refuses(self):
+        import struct as _struct
+
+        from vectorflow_spark.operators.webpmini import decode_webp
+
+        body = bytes([0x02, 0, 0, 0]) + (23).to_bytes(3, "little") + (15).to_bytes(3, "little")
+        chunk = b"VP8X" + _struct.pack("<I", len(body)) + body
+        blob = b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        with pytest.raises(NotImplementedError, match="animated"):
+            decode_webp(blob)

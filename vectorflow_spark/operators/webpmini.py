@@ -471,7 +471,16 @@ def _apply_add_green(pix: np.ndarray) -> None:
 
 
 def webp_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the VP8L or VP8 header only."""
+    """(width, height, channels) from the VP8X, VP8L or VP8 header only."""
+    x = vp8x_meta(bytes(data))
+    if x is not None:
+        # run the chunk walk so ANIMATION refuses here exactly like the
+        # pixel path (it raises NotImplementedError on the ANIM flag)
+        try:
+            _vp8l_payload(bytes(data))
+        except _LossyWebp:
+            pass
+        return x
     try:
         payload = _vp8l_payload(data)
     except _LossyWebp as lw:
@@ -491,6 +500,13 @@ def webp_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def _vp8l_payload(data: bytes) -> bytes:
+    """Chunk walk to the still-image payload. VP8X (extended) containers
+    — which many real encoders emit even for plain stills, and which
+    every alpha-carrying lossy file uses — are WALKED THROUGH to the
+    inner VP8L/VP8 chunk; ALPH chunks are skipped (every decoder here
+    returns RGB, alpha dropped — the BMP/PNG contract), and VP8X
+    ANIMATION flags refuse loudly (ANMF frame decode is a different
+    surface)."""
     if data[:4] != WEBP_RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
         raise ValueError("not a WEBP RIFF container")
     pos = 12
@@ -502,12 +518,31 @@ def _vp8l_payload(data: bytes) -> bytes:
         if fourcc == b"VP8 ":
             raise _LossyWebp(data[pos + 8 : pos + 8 + size])
         if fourcc == b"VP8X":
-            raise ValueError(
-                "webp: VP8X (extended) profile not supported — "
-                "VP8L lossless and VP8 lossy keyframes only"
-            )
+            flags = data[pos + 8]
+            if flags & 0x02:  # ANIMATION
+                raise NotImplementedError(
+                    "webp: animated (ANIM/ANMF) VP8X not supported — "
+                    "still VP8X images decode; use video surfaces for animation"
+                )
+            # fall through: keep walking to ALPH (skipped) / VP8 / VP8L
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk")
+
+
+def vp8x_meta(data: bytes) -> tuple[int, int, int] | None:
+    """(canvas_w, canvas_h, channels) from a VP8X header, or None when
+    the container has no VP8X chunk."""
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if fourcc == b"VP8X":
+            flags = data[pos + 8]
+            w = 1 + int.from_bytes(data[pos + 12 : pos + 15], "little")
+            h = 1 + int.from_bytes(data[pos + 15 : pos + 18], "little")
+            return w, h, 4 if flags & 0x10 else 3
+        pos += 8 + size + (size & 1)
+    return None
 
 
 class _LossyWebp(Exception):
