@@ -494,3 +494,69 @@ class TestMetaHuffmanGroups:
             )
 
         inner()
+
+
+class TestAnimatedWebp:
+    """VP8X + ANIM + ANMF: the third animation container (next to GIF
+    and MJPEG AVI). Lossless (VP8L payload) frames roundtrip EXACTLY;
+    lossy (VP8 payload) frames decode identically to the still path;
+    sub-rect placement and dispose-to-background composite per spec."""
+
+    def test_lossless_roundtrip_and_meta(self):
+        from vectorflow_spark.operators.codecs import decode_video
+        from vectorflow_spark.operators.multimodal import decode_meta
+        from vectorflow_spark.operators.webpmini import (
+            decode_webp_anim,
+            encode_webp_anim,
+            webp_anim_meta,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (12, 16, 3), np.uint8) for _ in range(4)]
+        blob = encode_webp_anim(frames)
+        out = decode_webp_anim(blob)
+        assert out.shape == (4, 12, 16, 3)
+        for i in range(4):
+            assert np.array_equal(out[i], frames[i])
+        assert webp_anim_meta(blob) == {"width": 16, "height": 12, "n_frames": 4}
+        m = decode_meta(blob)
+        assert (m["kind"], m["n_frames"], m["width"], m["height"]) == ("video", 4, 16, 12)
+        assert np.array_equal(decode_video(blob), out)  # unified dispatch
+
+    def test_subrect_and_disposal(self):
+        from vectorflow_spark.operators.webpmini import decode_webp_anim, encode_webp_anim
+
+        rng = np.random.default_rng(6)
+        f0 = rng.integers(0, 256, (12, 16, 3), np.uint8)
+        patch = rng.integers(0, 256, (4, 6, 3), np.uint8)
+        blob = encode_webp_anim([f0, patch], offsets=[(0, 0), (2, 4)], disposals=[False, True])
+        out = decode_webp_anim(blob)
+        assert np.array_equal(out[0], f0)
+        exp = f0.copy()
+        exp[4:8, 2:8] = patch
+        assert np.array_equal(out[1], exp)
+
+    def test_lossy_frames_match_still_path(self):
+        from vectorflow_spark.operators.vp8mini import encode_webp_lossy
+        from vectorflow_spark.operators.webpmini import (
+            decode_webp,
+            decode_webp_anim,
+            encode_webp_anim,
+        )
+
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, (12, 16, 3), np.uint8) for _ in range(3)]
+        anim = decode_webp_anim(encode_webp_anim(frames, lossless=False))
+        for i, f in enumerate(frames):
+            assert np.array_equal(anim[i], decode_webp(encode_webp_lossy(f, qi=4)))
+
+    def test_frame_sampling(self):
+        from vectorflow_spark.operators.codecs import sample_video_frames
+        from vectorflow_spark.operators.webpmini import encode_webp_anim
+
+        rng = np.random.default_rng(8)
+        frames = [rng.integers(0, 256, (8, 8, 3), np.uint8) for _ in range(6)]
+        got = list(sample_video_frames(encode_webp_anim(frames), every_k=2))
+        assert [i for i, _ in got] == [0, 2, 4]
+        for i, f in got:
+            assert np.array_equal(f, frames[i])

@@ -1294,10 +1294,14 @@ def decode_video(data: bytes) -> np.ndarray:
         return decode_avi_mjpeg(data)
     if data[:4] == GIF_MAGIC:
         return decode_gif(data)
+    if data[:4] == RIFF_MAGIC and data[8:12] == b"WEBP" and data[12:16] == b"VP8X" and len(data) > 20 and data[20] & 0x02:
+        from vectorflow_spark.operators.webpmini import decode_webp_anim
+
+        return decode_webp_anim(data)
     raise NotImplementedError(
-        "video decode supports the FAKE codec, MJPEG AVI and animated GIF; "
-        "MP4 and other AVI codecs need external libraries not installed in "
-        "this environment"
+        "video decode supports the FAKE codec, MJPEG AVI, animated GIF and "
+        "animated WebP; MP4 and other AVI codecs need external libraries "
+        "not installed in this environment"
     )
 
 
@@ -1328,6 +1332,13 @@ def sample_video_frames(data: bytes, every_k: int = 1):
         # decodes all frames up to the last sampled one; still bounded by
         # the container, and most corpus GIFs are full-frame updates
         frames = decode_gif(data)
+        for i in range(0, frames.shape[0], every_k):
+            yield i, frames[i]
+        return
+    if data[:4] == RIFF_MAGIC and data[8:12] == b"WEBP" and data[12:16] == b"VP8X" and len(data) > 20 and data[20] & 0x02:
+        from vectorflow_spark.operators.webpmini import decode_webp_anim
+
+        frames = decode_webp_anim(data)  # composites like GIF
         for i in range(0, frames.shape[0], every_k):
             yield i, frames[i]
         return

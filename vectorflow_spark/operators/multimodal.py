@@ -139,6 +139,12 @@ def decode_meta(data: bytes) -> dict:
             )
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}
     if magic == codecs.RIFF_MAGIC and data[8:12] == b"WEBP":
+        if bytes(data[12:16]) == b"VP8X" and len(data) > 20 and data[20] & 0x02:
+            from vectorflow_spark.operators.webpmini import webp_anim_meta
+
+            m = webp_anim_meta(bytes(data))
+            return {"kind": "video", "n_frames": m["n_frames"], "width": m["width"],
+                    "height": m["height"], "n_bytes": len(data)}
         from vectorflow_spark.operators.webpmini import webp_meta
 
         w, h, c = webp_meta(bytes(data))

@@ -555,13 +555,19 @@ class _LossyWebp(Exception):
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w, 3) uint8 RGB: VP8L lossless (this module) or
-    VP8 lossy keyframes (operators/vp8mini)."""
+    VP8 lossy keyframes (operators/vp8mini), plain or VP8X-wrapped."""
     try:
         payload = _vp8l_payload(data)
     except _LossyWebp as lw:
         from vectorflow_spark.operators.vp8mini import decode_vp8, yuv420_to_rgb
 
         return yuv420_to_rgb(*decode_vp8(lw.payload))
+    return decode_vp8l_stream(payload)
+
+
+def decode_vp8l_stream(payload: bytes) -> np.ndarray:
+    """Raw VP8L bitstream (no RIFF framing) -> (h, w, 3) uint8 RGB —
+    the payload form ANMF animation frames carry."""
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("vp8l: bad signature byte")
@@ -1203,3 +1209,142 @@ def encode_webp(
         chunk += b"\x00"
     riff = WEBP_RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
     return riff
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM + ANMF): the third animation container next to
+# GIF and MJPEG AVI. Frames are ordinary VP8/VP8L payloads (the codecs
+# pinned against libwebp above), composited onto the VP8X canvas; ALPH
+# frame subchunks are skipped (RGB contract — blending degenerates to
+# overwrite, which is what our opaque fixture corpora use).
+# ---------------------------------------------------------------------------
+
+
+def decode_webp_anim(data: bytes) -> np.ndarray:
+    """Animated WebP -> (n_frames, h, w, 3) uint8 composited frames."""
+    data = bytes(data)
+    if data[:4] != WEBP_RIFF_MAGIC or data[8:12] != WEBP_FOURCC:
+        raise ValueError("not a WEBP RIFF container")
+    x = vp8x_meta(data)
+    if x is None:
+        raise ValueError("webp: not an animated (VP8X/ANIM) file")
+    cw, ch, _ = x
+    bg = np.zeros(3, np.uint8)
+    frames = []
+    canvas = None
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"ANIM":
+            b, g, r, _a = body[0], body[1], body[2], body[3]  # BGRA background
+            bg = np.array([r, g, b], np.uint8)
+            canvas = np.tile(bg, (ch, cw, 1))
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                canvas = np.tile(bg, (ch, cw, 1))
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            flags = body[15]
+            # frame data: optional ALPH subchunk then VP8/VP8L
+            fpos = 16
+            rgb = None
+            while fpos + 8 <= len(body):
+                fc = body[fpos : fpos + 4]
+                (fsz,) = struct.unpack("<I", body[fpos + 4 : fpos + 8])
+                payload = body[fpos + 8 : fpos + 8 + fsz]
+                if fc == b"VP8L":
+                    rgb = decode_vp8l_stream(payload)
+                    break
+                if fc == b"VP8 ":
+                    from vectorflow_spark.operators.vp8mini import decode_vp8, yuv420_to_rgb
+
+                    rgb = yuv420_to_rgb(*decode_vp8(payload))
+                    break
+                fpos += 8 + fsz + (fsz & 1)  # skip ALPH etc.
+            if rgb is None:
+                raise ValueError("webp: ANMF frame without VP8/VP8L payload")
+            if rgb.shape[:2] != (fh, fw):
+                raise ValueError("webp: ANMF frame dims disagree with payload")
+            if fy + fh > ch or fx + fw > cw:
+                raise ValueError("webp: ANMF frame rect outside canvas")
+            canvas[fy : fy + fh, fx : fx + fw] = rgb  # overwrite composite
+            frames.append(canvas.copy())
+            if flags & 0x01:  # dispose to background
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("webp: animated file holds no ANMF frames")
+    return np.stack(frames)
+
+
+def encode_webp_anim(
+    frames, durations_ms: int = 40, lossless: bool = True, offsets=None, disposals=None
+) -> bytes:
+    """Deterministic animated-WebP writer for fixtures: each (h, w, 3)
+    frame becomes one ANMF holding a VP8L (lossless, default — frame
+    pixels roundtrip EXACTLY) or VP8 (qi=4) payload; ``offsets`` places
+    frames on the canvas ((0,0) default, must be even), ``disposals``
+    marks dispose-to-background frames. Canvas = bounding box."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [False] * len(frames)
+    cw = max(x + f.shape[1] for f, (x, _y) in zip(frames, offsets))
+    ch = max(y + f.shape[0] for f, (_x, y) in zip(frames, offsets))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = chunk(
+        b"VP8X",
+        bytes([0x02, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little"),
+    )
+    anim = chunk(b"ANIM", bytes([255, 255, 255, 255]) + struct.pack("<H", 0))
+    body_chunks = [vp8x, anim]
+    for f, (x, y), disp in zip(frames, offsets, disposals):
+        if x % 2 or y % 2:
+            raise ValueError("webp anim: frame offsets must be even")
+        h, w = f.shape[:2]
+        if lossless:
+            full = encode_webp(f, transform="subtract_green", cache_bits=4)
+            payload = _vp8l_payload(full)
+            inner = chunk(b"VP8L", payload)
+        else:
+            from vectorflow_spark.operators.vp8mini import encode_webp_lossy
+
+            full = encode_webp_lossy(f, qi=4)
+            (n,) = struct.unpack_from("<I", full, 16)
+            inner = chunk(b"VP8 ", full[20 : 20 + n])
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(durations_ms).to_bytes(3, "little")
+            + bytes([0x02 | (0x01 if disp else 0)])  # no-blend [+ dispose]
+        )
+        body_chunks.append(chunk(b"ANMF", head + inner))
+    payload = b"".join(body_chunks)
+    return WEBP_RIFF_MAGIC + struct.pack("<I", 4 + len(payload)) + WEBP_FOURCC + payload
+
+
+def webp_anim_meta(data: bytes) -> dict:
+    """Header-only: canvas dims + frame count of an animated WebP."""
+    data = bytes(data)
+    x = vp8x_meta(data)
+    if x is None or not (data[20] & 0x02 if len(data) > 20 and data[12:16] == b"VP8X" else False):
+        raise ValueError("webp: not an animated (VP8X ANIM) file")
+    n = 0
+    pos = 12
+    while pos + 8 <= len(data):
+        if data[pos : pos + 4] == b"ANMF":
+            n += 1
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        pos += 8 + size + (size & 1)
+    return {"width": x[0], "height": x[1], "n_frames": n}

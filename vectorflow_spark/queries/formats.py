@@ -1059,9 +1059,10 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     video-pair rollup requiring >= 6 of 8 matching frames. Corpus: unique
     8-frame 16x12 videos (seed = id) in a MIXED-CONTAINER rotation —
     thirds ride a REAL MJPEG AVI (operators/codecs.encode_avi_mjpeg:
-    RIFF framing + one baseline JPEG per frame), a REAL animated GIF
-    (LZW + grayscale palette — lossless for these gray frames), or the
-    FAKE container — except every 5th, a re-render of its successor with
+    RIFF framing + one baseline JPEG per frame), a REAL animated GIF or
+    ANIMATED WEBP alternating (GIF LZW + grayscale palette; WebP
+    VP8X/ANIM/ANMF with lossless VP8L frames — both exact for these
+    gray frames), or the FAKE container — except every 5th, a re-render of its successor with
     three pixels nudged IN EVERY FRAME (the re-encode model), usually
     landing in the OTHER container family: the dedup key is the frames'
     pixels, never the container bytes. Twins match on aligned frames
@@ -1086,8 +1087,12 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pack(i: int, frames: np.ndarray) -> bytes:
         if i % 3 == 1:  # real MJPEG AVI container
             return encode_avi_mjpeg(frames, quality=100)
-        if i % 3 == 2:  # real animated GIF (gray palette: lossless here)
-            return encode_gif(frames)
+        if i % 3 == 2:
+            if (i // 3) % 2:  # real ANIMATED WEBP (VP8L frames: lossless)
+                from vectorflow_spark.operators.webpmini import encode_webp_anim
+
+                return encode_webp_anim([np.repeat(f[:, :, None], 3, axis=2) for f in frames])
+            return encode_gif(frames)  # real animated GIF (gray: lossless)
         return b"FVID" + _struct.pack("<HHH", NF, W, H) + frames.tobytes()
 
     def _one(i) -> bytes:
