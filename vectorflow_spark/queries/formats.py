@@ -1985,3 +1985,90 @@ def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         F.decode("body", "UTF-8").alias("warc_text"),
     ).filter(F.col("doc_id") % 3 == 1)
+
+
+@query(
+    "q_webp_anim_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 5 AS INT) AS n_frames,
+           CAST(10 + doc_id % 9 AS INT) AS w,
+           CAST(8 + doc_id % 5 AS INT) AS h,
+           TRUE AS frames_exact,
+           TRUE AS meta_ok,
+           TRUE AS still_path_refuses
+    FROM documents WHERE doc_id % 7 = 3
+    """,
+)
+def q_webp_anim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP (VP8X/ANIM/ANMF) ingestion readiness — the third
+    video container next to GIF and MJPEG AVI (operators/webpmini.py).
+    Per document a deterministic clip (2-6 frames, 10-18 x 8-12) is
+    written with lossless VP8L frame payloads and decoded back through
+    the unified video dispatch; the oracle pins exact frame recovery
+    (VP8L frames are lossless), header metadata (canvas dims + frame
+    count), and the contract that the STILL-image path refuses animated
+    files loudly. One Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("frames_exact", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+            StructField("still_path_refuses", BooleanType()),
+        ]
+    )
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image, decode_video
+        from vectorflow_spark.operators.multimodal import decode_meta, make_fake_image
+        from vectorflow_spark.operators.webpmini import encode_webp_anim
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf, w, h = 2 + i % 5, 10 + i % 9, 8 + i % 5
+                frames = [
+                    decode_image(make_fake_image(f"{i}/{k}", width=w, height=h))
+                    for k in range(nf)
+                ]
+                blob = encode_webp_anim(frames)
+                out = decode_video(blob)
+                exact = out.shape == (nf, h, w, 3) and all(
+                    np.array_equal(out[k], frames[k]) for k in range(nf)
+                )
+                m = decode_meta(blob)
+                meta_ok = (
+                    m["kind"] == "video"
+                    and m["n_frames"] == nf
+                    and m["width"] == w
+                    and m["height"] == h
+                )
+                try:
+                    decode_image(blob)
+                    refuses = False
+                except NotImplementedError:
+                    refuses = True
+                rows.append((i, nf, w, h, exact, meta_ok, refuses))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
