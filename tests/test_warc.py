@@ -621,6 +621,47 @@ class TestCdxIndexedScan:
         assert full.filter(F.col("warc_type") == "response").count() == 120
         assert full.filter(F.col("warc_type") == "error").count() == 0
 
+    def test_index_unions_segments_appended_after_consolidation(self, spark, tmp_path):
+        """r6 ADVICE: a consolidated _url_index must not hide segments
+        appended AFTER consolidate_cdx ran. The index's _segments.json
+        manifest names the covered segments; url-constrained planning
+        unions index ranges with per-segment sidecars of NEWER segments
+        (one sidecar read per appended segment, never per covered one)."""
+        import os
+
+        from vectorflow_spark.sources import warcsource
+        from vectorflow_spark.sources.warcmini import consolidate_cdx
+
+        self._corpus(spark, tmp_path, n=40)
+        consolidate_cdx(spark, str(tmp_path))
+        assert (tmp_path / "_url_index" / "_segments.json").exists()
+        for side in list(tmp_path.glob("_*.cdx.json")):
+            os.remove(side)
+        # append a NEW segment (own sidecar) after consolidation
+        warcsource.register(spark)
+        spark.createDataFrame(
+            [("seg-new.warc.gz", "http://h/900", b"body 900"),
+             ("seg-new.warc.gz", "http://h/901", b"body 901")],
+            "segment string, url string, body binary",
+        ).repartition(1, "segment").write.format("vf_warc").option(
+            "index", "true"
+        ).mode("append").save(str(tmp_path))
+
+        # new segment's record is visible through a url-constrained scan
+        got = read_warc(spark, str(tmp_path), records_per_task=10).filter(
+            F.col("url") == "http://h/900"
+        ).collect()
+        assert [(r.url, bytes(r.body)) for r in got] == [("http://h/900", b"body 900")]
+        # old records still plan from the index
+        old = read_warc(spark, str(tmp_path), records_per_task=10).filter(
+            F.col("url") == "http://h/17"
+        ).collect()
+        assert [(r.url, bytes(r.body)) for r in old] == [("http://h/17", b"body 17")]
+        # prefix scans union both sides
+        pre = read_warc(spark, str(tmp_path)).filter(F.col("url").startswith("http://h/9"))
+        exp = sorted(["http://h/9", "http://h/900", "http://h/901"])
+        assert sorted(r.url for r in pre.collect()) == exp
+
     def test_cdx_through_mount_opener(self, spark, tmp_path):
         d = tmp_path / "bucket" / "crawl"
         d.mkdir(parents=True)

@@ -560,3 +560,89 @@ class TestAnimatedWebp:
         assert [i for i, _ in got] == [0, 2, 4]
         for i, f in got:
             assert np.array_equal(f, frames[i])
+
+
+class TestAnimatedWebpAlphaRefusal:
+    """The anim compositor's opacity contract (r6 ADVICE): overwrite
+    compositing is only correct for opaque frames, so alpha-carrying
+    inputs (VP8X ALPHA flag, ANMF ALPH subchunk, non-opaque VP8L pixels)
+    refuse loudly instead of producing silently wrong blended frames."""
+
+    @staticmethod
+    def _chunk(fourcc: bytes, body: bytes) -> bytes:
+        import struct
+
+        out = fourcc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    @classmethod
+    def _anim_container(cls, w: int, h: int, anmf_inner: bytes) -> bytes:
+        import struct
+
+        vp8x = cls._chunk(
+            b"VP8X",
+            bytes([0x02, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little"),
+        )
+        anim = cls._chunk(b"ANIM", bytes([255, 255, 255, 255]) + struct.pack("<H", 0))
+        head = (
+            (0).to_bytes(3, "little")
+            + (0).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")
+            + bytes([0x02])
+        )
+        anmf = cls._chunk(b"ANMF", head + anmf_inner)
+        payload = vp8x + anim + anmf
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    @staticmethod
+    def _vp8l_payload_with_alpha(w: int, h: int, alpha: int) -> bytes:
+        from vectorflow_spark.operators.webpmini import _BitWriter, _emit_image
+
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(1 if alpha != 0xFF else 0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        flat = [(alpha << 24) | (x * 7 % 256) << 16 | 0x4080 for x in range(w * h)]
+        _emit_image(bw, flat, use_lz77=False, cache_bits=0, width=w, main=True)
+        return bw.tobytes()
+
+    def test_vp8x_alpha_flag_refuses(self):
+        from vectorflow_spark.operators.webpmini import decode_webp_anim, encode_webp_anim
+
+        rng = np.random.default_rng(9)
+        blob = bytearray(encode_webp_anim([rng.integers(0, 256, (8, 8, 3), np.uint8)] * 2))
+        assert blob[12:16] == b"VP8X"
+        blob[20] |= 0x10  # ALPHA flag
+        with pytest.raises(NotImplementedError, match="ALPHA flag"):
+            decode_webp_anim(bytes(blob))
+
+    def test_anmf_alph_subchunk_refuses(self):
+        from vectorflow_spark.operators.webpmini import decode_webp_anim
+
+        vp8l = self._chunk(b"VP8L", self._vp8l_payload_with_alpha(8, 6, 0xFF))
+        inner = self._chunk(b"ALPH", b"\x00" + b"\xff" * 48) + vp8l
+        with pytest.raises(NotImplementedError, match="ALPH subchunk"):
+            decode_webp_anim(self._anim_container(8, 6, inner))
+
+    def test_nonopaque_vp8l_frame_refuses(self):
+        from vectorflow_spark.operators.webpmini import decode_vp8l_stream, decode_webp_anim
+
+        payload = self._vp8l_payload_with_alpha(8, 6, 0x80)
+        # the permissive still path still decodes the RGB planes
+        assert decode_vp8l_stream(payload).shape == (6, 8, 3)
+        with pytest.raises(NotImplementedError, match="non-opaque alpha"):
+            decode_webp_anim(self._anim_container(8, 6, self._chunk(b"VP8L", payload)))
+
+    def test_opaque_synthesized_frame_still_decodes(self):
+        from vectorflow_spark.operators.webpmini import decode_webp_anim
+
+        payload = self._vp8l_payload_with_alpha(8, 6, 0xFF)
+        out = decode_webp_anim(self._anim_container(8, 6, self._chunk(b"VP8L", payload)))
+        assert out.shape == (1, 6, 8, 3)

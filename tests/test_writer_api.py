@@ -221,3 +221,90 @@ class TestStreamWriters:
         assert sorted(p.name for p in out.iterdir()) == ["b000000000-segment-00000.warc.gz"]
         back = read_warc(spark, str(out))
         assert back.filter("warc_type = 'response'").count() == 10
+
+
+class TestOverwriteAndJobScopedTemps:
+    """r6 ADVICE closures: (a) mode('overwrite') retires ALL prior
+    shards/sidecars instead of silently mixing stale and new output;
+    (b) temp cleanup is job-scoped, so a concurrent writer's in-flight
+    .uncommitted files survive another job's commit."""
+
+    def test_tar_overwrite_retires_prior_output(self, spark, tmp_path):
+        from vectorflow_spark.sources import tarsource
+
+        tarsource.register(spark)
+        d = str(tmp_path)
+        _tar_rows(spark, n=40, n_shards=4).repartition(4, "shard").write.format(
+            "vf_tar"
+        ).option("index", "true").mode("append").save(d)
+        assert len([n for n in os.listdir(d) if n.endswith(".tar")]) == 4
+        # second job: DIFFERENT shard names, overwrite mode
+        rows = _tar_rows(spark, n=20, n_shards=2).withColumn(
+            "shard", F.concat(F.lit("new-"), F.col("shard"))
+        )
+        rows.repartition(2, "shard").write.format("vf_tar").option("index", "true").mode(
+            "overwrite"
+        ).save(d)
+        names = sorted(os.listdir(d))
+        assert [n for n in names if n.endswith(".tar")] == [
+            "new-shard-00000.tar",
+            "new-shard-00001.tar",
+        ]
+        # prior sidecars retired too — nothing stale mixed in
+        assert [n for n in names if n.endswith(".idx.json")] == [
+            "_new-shard-00000.tar.idx.json",
+            "_new-shard-00001.tar.idx.json",
+        ]
+
+    def test_warc_overwrite_retires_prior_output(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        d = str(tmp_path)
+
+        def rows(seg):
+            return spark.range(0, 6).select(
+                F.lit(seg).alias("segment"),
+                F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+                F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("body"),
+            )
+
+        rows("old.warc.gz").repartition(1, "segment").write.format("vf_warc").option(
+            "index", "true"
+        ).mode("append").save(d)
+        rows("new.warc.gz").repartition(1, "segment").write.format("vf_warc").mode(
+            "overwrite"
+        ).save(d)
+        names = sorted(os.listdir(d))
+        assert "old.warc.gz" not in names and "_old.warc.gz.cdx.json" not in names
+        assert "new.warc.gz" in names
+
+    def test_foreign_job_temps_survive_commit(self, spark, tmp_path):
+        from vectorflow_spark.sources import tarsource
+
+        tarsource.register(spark)
+        d = tmp_path
+        d.mkdir(exist_ok=True)
+        foreign = d / ".uncommitted-otherjob-deadbeef"
+        foreign.write_bytes(b"another job's in-flight shard")
+        _tar_rows(spark).repartition(4, "shard").write.format("vf_tar").mode(
+            "append"
+        ).save(str(d))
+        names = os.listdir(str(d))
+        assert ".uncommitted-otherjob-deadbeef" in names  # survived our commit
+        own = [n for n in names if n.startswith(".uncommitted-") and "otherjob" not in n]
+        assert own == []  # our temps all renamed or cleaned
+
+    def test_overwrite_keeps_inflight_temps(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        d = tmp_path
+        foreign = d / ".uncommitted-otherjob-cafe"
+        foreign.write_bytes(b"x")
+        spark.range(0, 3).select(
+            F.lit("s.warc.gz").alias("segment"),
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+        ).repartition(1, "segment").write.format("vf_warc").mode("overwrite").save(str(d))
+        assert ".uncommitted-otherjob-cafe" in os.listdir(str(d))

@@ -69,7 +69,7 @@ class PipelineConfig:
     chunk_size: int = 512
     chunk_overlap: int = 256
     lines_per_batch: int = DEFAULT_LINES_PER_BATCH
-    embeddings_type: str = "deterministic"  # openai | hugging_face | deterministic
+    embeddings_type: str = "deterministic"  # openai | hugging_face | deterministic | md5hex
     model: str = "text-embedding-ada-002"
     embedding_dim: int = 64  # driver testdata dim; ada=1536, bge=384
     embed_batch_size: int = MAX_OPENAI_EMBEDDING_BATCH_SIZE

@@ -56,6 +56,39 @@ def _deterministic_batch(texts: list[str], dim: int) -> list[list[float]]:
     return [deterministic_embedding(t or "", dim) for t in texts]
 
 
+def md5hex_embedding(text: str, dim: int) -> list[float]:
+    """SQL-checkable deterministic embedding: component ``j`` is the value
+    (0..15) of hex digit ``j % 32`` of ``md5(text + "|" + str(j // 32))``.
+
+    Exists so gates that exercise the embed *plumbing* (mapInPandas batch
+    slicing, thread pools) can be verified content-exact against a DuckDB
+    oracle: every component is an integer-valued float both engines compute
+    from the same md5 hex string — no float-fold parity risk at all.
+    blake2b-based ``deterministic_embedding`` stays the default (E3).
+    """
+    out: list[float] = []
+    block = 0
+    while len(out) < dim:
+        h = hashlib.md5(text.encode("utf-8") + b"|" + str(block).encode()).hexdigest()
+        out.extend(float(int(c, 16)) for c in h)
+        block += 1
+    return out[:dim]
+
+
+def _md5hex_batch(texts: list[str], dim: int) -> list[list[float]]:
+    return [md5hex_embedding(t or "", dim) for t in texts]
+
+
+def md5_bucket_embedding(text: str, n_buckets: int = 16) -> list[float]:
+    """One-hot embedding on ``md5(text)``'s first hex digit. Cosine between
+    two texts is EXACTLY 1.0 (same bucket) or 0.0 — no float comparison can
+    straddle a threshold — which makes semantic-boundary chunk gates
+    (smart_chunk) expressible in DuckDB as ``substr(md5(sentence), 1, 1)``
+    inequality between adjacent sentences."""
+    b = int(hashlib.md5(text.encode("utf-8")).hexdigest()[0], 16) % n_buckets
+    return [1.0 if i == b else 0.0 for i in range(n_buckets)]
+
+
 def with_retries(
     fn: Callable[[list[str]], list[list[float]]],
     retries: int,
@@ -164,6 +197,8 @@ def embed(
 
         if backend == "deterministic":
             fn = lambda texts: _deterministic_batch(texts, dim)  # noqa: E731
+        elif backend == "md5hex":
+            fn = lambda texts: _md5hex_batch(texts, dim)  # noqa: E731
         elif backend == "openai":
             fn = _openai_batch_fn(model, retries, client_factory)
         elif backend == "hugging_face":

@@ -565,9 +565,13 @@ def decode_webp(data: bytes) -> np.ndarray:
     return decode_vp8l_stream(payload)
 
 
-def decode_vp8l_stream(payload: bytes) -> np.ndarray:
+def decode_vp8l_stream(payload: bytes, require_opaque: bool = False) -> np.ndarray:
     """Raw VP8L bitstream (no RIFF framing) -> (h, w, 3) uint8 RGB —
-    the payload form ANMF animation frames carry."""
+    the payload form ANMF animation frames carry. ``require_opaque``
+    raises NotImplementedError when any decoded pixel carries alpha
+    != 255 (callers that composite, e.g. decode_webp_anim, must not
+    silently drop alpha — the codec contract is parse correctly or
+    refuse, never guess)."""
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("vp8l: bad signature byte")
@@ -687,6 +691,12 @@ def decode_vp8l_stream(payload: bytes) -> np.ndarray:
             )
             cur_w = w
 
+    if require_opaque and bool(np.any((pix >> np.uint32(24)) != np.uint32(0xFF))):
+        raise NotImplementedError(
+            "webp anim: VP8L frame carries non-opaque alpha — alpha "
+            "compositing is not implemented; refusing rather than "
+            "producing silently wrong blended frames"
+        )
     rgb = np.zeros((h * cur_w, 3), dtype=np.uint8)
     rgb[:, 0] = (pix >> np.uint32(16)) & np.uint32(0xFF)
     rgb[:, 1] = (pix >> np.uint32(8)) & np.uint32(0xFF)
@@ -1214,9 +1224,11 @@ def encode_webp(
 # ---------------------------------------------------------------------------
 # Animated WebP (VP8X + ANIM + ANMF): the third animation container next to
 # GIF and MJPEG AVI. Frames are ordinary VP8/VP8L payloads (the codecs
-# pinned against libwebp above), composited onto the VP8X canvas; ALPH
-# frame subchunks are skipped (RGB contract — blending degenerates to
-# overwrite, which is what our opaque fixture corpora use).
+# pinned against libwebp above), composited onto the VP8X canvas. The RGB
+# contract is PROVEN, not assumed: files carrying alpha (VP8X ALPHA flag,
+# an ANMF ALPH subchunk, or non-opaque VP8L pixels) REFUSE loudly —
+# overwrite compositing is only correct for opaque frames, where the ANMF
+# blend flag also degenerates to overwrite.
 # ---------------------------------------------------------------------------
 
 
@@ -1228,7 +1240,12 @@ def decode_webp_anim(data: bytes) -> np.ndarray:
     x = vp8x_meta(data)
     if x is None:
         raise ValueError("webp: not an animated (VP8X/ANIM) file")
-    cw, ch, _ = x
+    cw, ch, channels = x
+    if channels == 4:
+        raise NotImplementedError(
+            "webp anim: VP8X ALPHA flag set — alpha compositing is not "
+            "implemented; refusing rather than blending wrong frames"
+        )
     bg = np.zeros(3, np.uint8)
     frames = []
     canvas = None
@@ -1248,6 +1265,11 @@ def decode_webp_anim(data: bytes) -> np.ndarray:
             fy = 2 * int.from_bytes(body[3:6], "little")
             fw = 1 + int.from_bytes(body[6:9], "little")
             fh = 1 + int.from_bytes(body[9:12], "little")
+            # flags bit 0x01 = dispose-to-background; bit 0x02 = no-blend.
+            # Blend-vs-overwrite only differs for non-opaque pixels, and
+            # every composited frame below is PROVEN opaque (VP8 has no
+            # alpha; VP8L decodes with require_opaque) — so both flag
+            # values composite identically and no refusal is needed here.
             flags = body[15]
             # frame data: optional ALPH subchunk then VP8/VP8L
             fpos = 16
@@ -1256,15 +1278,24 @@ def decode_webp_anim(data: bytes) -> np.ndarray:
                 fc = body[fpos : fpos + 4]
                 (fsz,) = struct.unpack("<I", body[fpos + 4 : fpos + 8])
                 payload = body[fpos + 8 : fpos + 8 + fsz]
+                if fc == b"ALPH":
+                    raise NotImplementedError(
+                        "webp anim: ANMF frame carries an ALPH subchunk — "
+                        "alpha compositing is not implemented; refusing "
+                        "rather than dropping alpha into wrong frames"
+                    )
                 if fc == b"VP8L":
-                    rgb = decode_vp8l_stream(payload)
+                    # opaque proven per-pixel: blend flag degenerates to
+                    # overwrite only for fully-opaque frames
+                    rgb = decode_vp8l_stream(payload, require_opaque=True)
                     break
                 if fc == b"VP8 ":
                     from vectorflow_spark.operators.vp8mini import decode_vp8, yuv420_to_rgb
 
+                    # VP8 without ALPH is inherently opaque
                     rgb = yuv420_to_rgb(*decode_vp8(payload))
                     break
-                fpos += 8 + fsz + (fsz & 1)  # skip ALPH etc.
+                fpos += 8 + fsz + (fsz & 1)  # skip ICCP/EXIF-style metadata
             if rgb is None:
                 raise ValueError("webp: ANMF frame without VP8/VP8L payload")
             if rgb.shape[:2] != (fh, fw):

@@ -641,23 +641,86 @@ def q_chunk_sentence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunkers.chunk(docs, cfg, with_ids=False)
 
 
-@query("q_smart_chunker")  # rows-only: blake2b embedder not expressible in SQL
+@query(
+    "q_smart_chunker",
+    """
+    WITH sent AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(text, '([.!?…]) +', '\\1' || chr(1), 'g'), chr(1))) AS sentence,
+               generate_subscripts(string_split(regexp_replace(text, '([.!?…]) +', '\\1' || chr(1), 'g'), chr(1)), 1) - 1 AS idx
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, sentence, idx, substr(md5(sentence), 1, 1) AS bucket FROM sent
+    ),
+    g AS (
+        SELECT doc_id, sentence, idx,
+               CASE WHEN idx > 0 AND bucket IS DISTINCT FROM
+                         lag(bucket) OVER (PARTITION BY doc_id ORDER BY idx)
+                    THEN 1 ELSE 0 END AS nb
+        FROM b
+    ),
+    grp AS (
+        SELECT doc_id, sentence, idx,
+               sum(nb) OVER (PARTITION BY doc_id ORDER BY idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM g
+    )
+    SELECT doc_id, CAST(gid AS INT) AS chunk_seq, CAST(min(idx) AS INT) AS chunk_offset,
+           'smart' AS chunk_tag, string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
 def q_smart_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 roadmap "smart chunking" (reference README.md:290-299, no code
     in the snapshot): semantic-boundary chunker — cut where adjacent
     sentences' embedding cosine drops below threshold or the chunk
-    exceeds max_chars. Deterministic embedder here; a real model is
-    injectable (tests pin boundary behavior)."""
+    exceeds max_chars. The GATE runs the md5-bucket one-hot embedder
+    (cosine is exactly 1.0 or 0.0 — no float-threshold parity risk) with
+    max_chars effectively unbounded, so the boundary rule is expressible
+    in DuckDB as first-hex-digit inequality between adjacent sentences;
+    the blake2b default embedder and the max_chars packing rule are
+    pinned by pytest (test_chunkers.py)."""
+    from vectorflow_spark.embed.backends import md5_bucket_embedding
     from vectorflow_spark.operators.chunkers import smart_chunk
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
-    return smart_chunk(docs, max_chars=256, threshold=0.99)
+    out = smart_chunk(
+        docs,
+        max_chars=1_000_000_000,
+        threshold=0.5,
+        embed_fn=md5_bucket_embedding,
+        with_ids=False,
+    )
+    return out.select(
+        "doc_id", "chunk_seq", "chunk_offset", "chunk_tag", F.col("text").alias("chunk_text")
+    )
 
 
-@query("q_custom_chunker")  # rows-only: user-supplied Python plugin (C7)
+@query(
+    "q_custom_chunker",
+    """
+    WITH h AS (
+        SELECT doc_id, text, greatest(1, length(text) // 2) AS mid
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(0 AS INT) AS chunk_seq, CAST(0 AS INT) AS chunk_offset,
+           'custom' AS chunk_tag, substring(text, 1, CAST(mid AS INT)) AS chunk_text,
+           '{"half":"first"}' AS metadata_json
+    FROM h
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS chunk_seq, CAST(1 AS INT) AS chunk_offset,
+           'custom' AS chunk_tag, substring(text, CAST(mid AS INT) + 1) AS chunk_text,
+           '{"half":"second"}' AS metadata_json
+    FROM h
+    """,
+)
 def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 plugin surface: a user chunker returning dicts with extra
-    metadata keys, validated like the reference's validate_chunked_data."""
+    metadata keys, validated like the reference's validate_chunked_data.
+    The gate projects ``to_json(metadata)`` — the operator's real output
+    stays a map, but the driver's canonicalizer needs scalar columns
+    (round-6 verdict item 1) and JSON is also what the oracle can pin."""
 
     def halves(text: str) -> list[dict]:
         mid = max(1, len(text) // 2)
@@ -668,36 +731,136 @@ def q_custom_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = PipelineConfig(chunk_strategy=ChunkStrategy.CUSTOM)
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
-    return chunkers.chunk(docs, cfg, custom_chunker=halves)
+    out = chunkers.chunk(docs, cfg, custom_chunker=halves, with_ids=False)
+    return out.select(
+        "doc_id",
+        "chunk_seq",
+        "chunk_offset",
+        "chunk_tag",
+        F.col("text").alias("chunk_text"),
+        F.to_json("metadata").alias("metadata_json"),
+    )
 
 
-@query("q_enhance_chunks")  # rows-only: L1-L5 with the deterministic LLM stand-in
+@query(
+    "q_enhance_chunks",
+    """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 < 3
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   lower('Extract entities/keywords/themes from: ' || substr(coalesce(text, ''), 1, 3000)),
+                   '[a-z]{4,}')) AS wrd
+        FROM d
+    ),
+    cnt AS (SELECT doc_id, wrd, count(*) AS c FROM w GROUP BY doc_id, wrd),
+    top AS (
+        SELECT doc_id, wrd, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, wrd) AS rn
+        FROM cnt
+    ),
+    ctx AS (
+        SELECT d.doc_id,
+               coalesce(t.items, '') AS items,
+               coalesce(t.summary, '') AS summary,
+               coalesce(t.n_items, 0) AS n_items
+        FROM d LEFT JOIN (
+            SELECT doc_id,
+                   string_agg(wrd, ', ' ORDER BY rn) AS items,
+                   string_agg(wrd, '. ' ORDER BY rn) AS summary,
+                   count(*) AS n_items
+            FROM top WHERE rn <= 5 GROUP BY doc_id
+        ) t USING (doc_id)
+    ),
+    ch AS (
+        SELECT doc_id, CAST(i // 200 AS INT) AS chunk_seq, CAST(i AS INT) AS chunk_offset,
+               'exact' AS chunk_tag, substring(text, CAST(i AS INT) + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text, unnest(range(0, length(text), 200)) AS i FROM d)
+    )
+    SELECT ch.doc_id, ch.chunk_seq, ch.chunk_offset, ch.chunk_tag, ch.chunk_text AS text,
+           CASE WHEN ctx.n_items > 0 THEN ch.chunk_text || ', ' || ctx.items
+                ELSE ch.chunk_text END AS enhanced_text
+    FROM ch JOIN ctx ON ch.doc_id = ctx.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INT) AS chunk_seq, CAST(NULL AS INT) AS chunk_offset,
+           'summary' AS chunk_tag, summary AS text, summary AS enhanced_text
+    FROM ctx
+    """,
+)
 def q_enhance_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1+L3+L4+L5: chunk -> per-document context extraction (mapInPandas
     over an injectable completion fn) -> broadcast context join -> literal
-    concat enhancement -> summary rows appended via unionByName."""
+    concat enhancement -> summary rows appended via unionByName. The
+    deterministic completion (top-5 most frequent >=4-letter lowercase
+    words of the prompt, count-desc then alpha, comma-joined;
+    operators/enhancer.py:37-48) IS SQL — the oracle recomputes it with
+    regexp_extract_all + GROUP BY + string_agg (round-6 verdict item 2).
+    The doc subset is a deterministic doc_id filter (limit() is not
+    reproducible across engines)."""
     from vectorflow_spark.operators.enhancer import enhance_chunks
 
     cfg = PipelineConfig(
         chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS, chunk_size=200, chunk_overlap=0
     )
-    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text").limit(300)
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 5) < 3)
+    )
     chunked = chunkers.chunk(docs, cfg, with_ids=False)
     # documents supplied -> context dim built from the source table, no
     # collect_list shuffle of chunk text (r1 verdict "What's wrong" #3)
     return enhance_chunks(chunked, documents=docs)
 
 
-@query("q_embed_stage")  # rows-only: mapInPandas stage (E1 shape)
+@query(
+    "q_embed_stage",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               md5(coalesce(text, '') || '|0') AS h0,
+               md5(coalesce(text, '') || '|1') AS h1
+        FROM documents WHERE doc_id % 5 < 2
+    ),
+    comp AS (
+        SELECT doc_id, j,
+               strpos('0123456789abcdef',
+                      substr(CASE WHEN j < 32 THEN h0 ELSE h1 END,
+                             CAST(j % 32 AS INT) + 1, 1)) - 1 AS v
+        FROM d, (SELECT unnest(range(0, 64)) AS j) js
+    )
+    SELECT doc_id, CAST(64 AS INT) AS dim, CAST(sum(v) AS BIGINT) AS vec_sum,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS vec_str
+    FROM comp GROUP BY doc_id
+    """,
+)
 def q_embed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1/E3: the batched mapInPandas embed stage with the deterministic
-    backend — exercises the Arrow batch slicing + thread-pool plumbing the
-    OpenAI/HF backends share."""
+    """E1/E3: the batched mapInPandas embed stage — exercises the Arrow
+    batch slicing + thread-pool plumbing the OpenAI/HF backends share.
+    The gate runs the md5hex backend (every component is an integer-valued
+    float from md5 hex digits both engines compute) and projects scalar
+    digests — dim, exact integer component sum, and the comma-joined
+    integer rendering of the full vector — so the result is content-exact
+    against DuckDB AND canonicalizer-safe (round-6 verdict item 1: raw
+    array columns crash the driver's sort)."""
     from vectorflow_spark.embed.backends import embed
 
-    cfg = PipelineConfig(embeddings_type="deterministic", embedding_dim=64)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
-    return embed(docs, cfg)
+    cfg = PipelineConfig(embeddings_type="md5hex", embedding_dim=64)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 5) < 2)
+    )
+    out = embed(docs, cfg)
+    return out.select(
+        "doc_id",
+        F.size("vector").alias("dim"),
+        F.expr("CAST(aggregate(vector, 0D, (a, x) -> a + x) AS BIGINT)").alias("vec_sum"),
+        F.expr(
+            "array_join(transform(vector, x -> CAST(CAST(x AS INT) AS STRING)), ',')"
+        ).alias("vec_str"),
+    )
 
 
 @query(

@@ -337,6 +337,8 @@ class VfTarWriter(DataSourceWriter):
     ``index`` (write ``_<shard>.tar.idx.json`` sidecars at commit)."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vf_tar write: path required")
@@ -345,6 +347,12 @@ class VfTarWriter(DataSourceWriter):
         if self.index and self.compress:
             raise ValueError("vf_tar write: index requires compress=false (gzip tars are not seekable)")
         self.overwrite = overwrite
+        # temps are JOB-scoped: the id is chosen once on the driver and
+        # rides serialization to every task, so commit/abort cleanup only
+        # deletes THIS job's temps — two jobs (or streaming queries)
+        # writing the same path can no longer delete each other's
+        # in-flight files mid-commit (r6 ADVICE)
+        self.job_id = uuid.uuid4().hex
 
     def write(self, rows):
         import io
@@ -389,7 +397,7 @@ class VfTarWriter(DataSourceWriter):
                         for m in t
                         if m.isfile()
                     ]
-            tmp = f".uncommitted-{uuid.uuid4().hex}"
+            tmp = f".uncommitted-{self.job_id}-{uuid.uuid4().hex}"
             with open(os.path.join(self.path, tmp), "wb") as f:
                 f.write(blob)
             out.append((tmp, shard, len(members), len(blob), metas))
@@ -399,11 +407,31 @@ class VfTarWriter(DataSourceWriter):
         import glob
         import os
 
-        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+        # only THIS job's temps: a concurrent writer's in-flight files
+        # must survive our commit/abort (r6 ADVICE)
+        for p in glob.glob(os.path.join(self.path, f".uncommitted-{self.job_id}-*")):
             try:
                 os.remove(p)
             except OSError:
                 pass
+
+    def _remove_previous_output(self) -> None:
+        """mode('overwrite'): retire EVERY previously-published shard and
+        index sidecar before installing the new set — replacing only
+        same-named files would silently mix stale and new output
+        (r6 ADVICE). Dot-prefixed names (in-flight temps, this job's or
+        another's) survive."""
+        import os
+
+        for entry in os.listdir(self.path):
+            if entry.startswith("."):
+                continue
+            fp = os.path.join(self.path, entry)
+            if os.path.isfile(fp):
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
 
     def _install(self, messages, prefix: str = "") -> None:
         """Validate EVERYTHING before renaming ANYTHING (a commit that
@@ -424,6 +452,8 @@ class VfTarWriter(DataSourceWriter):
                         "repartition rows by the file-name column before writing"
                     )
                 seen.add(final)
+        if self.overwrite and not prefix:
+            self._remove_previous_output()
         for msg in messages:
             if msg is None:
                 continue

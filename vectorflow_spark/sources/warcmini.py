@@ -371,6 +371,17 @@ def consolidate_cdx(spark, out_dir: str, n_files: int = 4):
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    # manifest of COVERED segments (all consolidated sidecars, including
+    # url-less ones): vf_warc planning unions the index with per-segment
+    # sidecars of segments APPENDED after consolidation — without this
+    # set, a stale index would silently hide new segments from
+    # url-constrained scans. Lands atomically with the parquet parts;
+    # Spark ignores the underscore name when reading the dataset.
+    import json
+
+    segments = sorted(os.path.basename(s)[1 : -len(".cdx.json")] for s in sides)
+    with open(os.path.join(tmp, "_segments.json"), "w") as f:
+        json.dump({"segments": segments}, f)
     target = os.path.join(out_dir, "_url_index")
     shutil.rmtree(target, ignore_errors=True)
     os.replace(tmp, target)

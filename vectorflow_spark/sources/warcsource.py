@@ -251,14 +251,20 @@ class VfWarcReader(DataSourceReader):
         )
 
     def _consolidated_ranges(self):
-        """Matching (segment_name, offset, length, url) rows from the
-        consolidated ``_url_index`` parquet dataset (warcmini.
-        consolidate_cdx), or None when no index exists. This is the
-        crawl-scale wayback path: ONE indexed dataset read at planning —
-        url-sorted part files, so equality/IN lookups prune row groups by
-        statistics on local paths — instead of one sidecar read per
-        segment (100k driver reads on a real crawl)."""
+        """(matching (segment_name, offset, length, url) rows, covered
+        segment-name set or None) from the consolidated ``_url_index``
+        parquet dataset (warcmini.consolidate_cdx), or None when no index
+        exists. This is the crawl-scale wayback path: ONE indexed dataset
+        read at planning — url-sorted part files, so equality/IN lookups
+        prune row groups by statistics on local paths — instead of one
+        sidecar read per segment (100k driver reads on a real crawl).
+        ``covered`` comes from the index's ``_segments.json`` manifest and
+        lets partitions() union the index with per-segment sidecars of
+        segments appended AFTER consolidation (r6 ADVICE: a stale index
+        must not silently hide new segments); None for a manifest-less
+        legacy index."""
         import contextlib
+        import json
         import posixpath
 
         idx_dir = posixpath.join(self.path.rstrip("/"), "_url_index")
@@ -268,6 +274,14 @@ class VfWarcReader(DataSourceReader):
             return None
         if not parts:
             return None
+        covered = None
+        try:
+            with contextlib.closing(
+                self._fs().open(posixpath.join(idx_dir, "_segments.json"))
+            ) as f:
+                covered = set(json.load(f)["segments"])
+        except (OSError, ValueError, KeyError):
+            covered = None
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -309,37 +323,53 @@ class VfWarcReader(DataSourceReader):
                     t["url"].to_pylist(),
                 )
             )
-        return out
+        return out, covered
 
     def partitions(self):
+        cons_parts = None
+        covered = None
         if self._url_constrained() and self.index != "never":
-            cons = self._consolidated_ranges()
-            if cons is not None:
+            loaded = self._consolidated_ranges()
+            if loaded is not None:
                 import posixpath
 
+                cons, covered = loaded
                 by_seg: dict = {}
                 for seg, off, ln, url in cons:
                     by_seg.setdefault(seg, []).append((off, ln, url))
-                parts = []
+                cons_parts = []
                 for seg in sorted(by_seg):
                     seg_path = posixpath.join(self.path.rstrip("/"), seg)
                     if not self._keep_file(seg_path):
                         continue  # pushed warc_file filters compose
                     ranges = sorted(by_seg[seg])
                     for i in range(0, len(ranges), self.records_per_task):
-                        parts.append(
+                        cons_parts.append(
                             _WarcRangePartition(seg_path, ranges[i : i + self.records_per_task])
                         )
-                return parts or [_WarcFilePartition(None)]
+                if covered is None:
+                    # manifest-less legacy index: cannot distinguish
+                    # covered from later-appended segments, so the index
+                    # wins unconditionally (pre-r7 behavior; re-run
+                    # consolidate_cdx to get union freshness)
+                    return cons_parts or [_WarcFilePartition(None)]
         files = self._files()
         if not files:
             raise FileNotFoundError(f"no WARC files under {self.path}")
         kept = [f for f in files if self._keep_file(f)]
-        if not kept:
+        if cons_parts is not None:
+            # index covers consolidated segments; segments appended after
+            # consolidate_cdx ran keep their per-segment sidecars and flow
+            # through the sidecar loop below — one listing plus one
+            # sidecar read per NEW segment, never per covered segment
+            kept = [p for p in kept if p.rsplit("/", 1)[-1] not in covered]
+            if not kept:
+                return cons_parts or [_WarcFilePartition(None)]
+        elif not kept:
             # filters pruned every segment: a legitimately EMPTY scan
             # (distinct from the no-files-at-all error above)
             return [_WarcFilePartition(None)]
-        parts = []
+        parts = list(cons_parts or [])
         for p in kept:
             loaded = self._load_cdx(p) if self.index != "never" else None
             if loaded is None:
@@ -542,6 +572,8 @@ class VfWarcWriter(DataSourceWriter):
     ``mime``."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vf_warc write: path required")
@@ -549,6 +581,10 @@ class VfWarcWriter(DataSourceWriter):
         self.index = str(options.get("index", "false")).lower() == "true"
         self.record_type = options.get("recordtype", "response")
         self.mime = options.get("mime", "text/plain")
+        self.overwrite = overwrite
+        # job-scoped temps: see VfTarWriter (r6 ADVICE — concurrent
+        # writers must not delete each other's in-flight files)
+        self.job_id = uuid.uuid4().hex
 
     def write(self, rows):
         import os
@@ -575,7 +611,7 @@ class VfWarcWriter(DataSourceWriter):
                     {"offset": o, "length": n, "url": u}
                     for (o, n), u in zip(rec_index, urls)
                 ]
-            tmp = f".uncommitted-{uuid.uuid4().hex}"
+            tmp = f".uncommitted-{self.job_id}-{uuid.uuid4().hex}"
             with open(os.path.join(self.path, tmp), "wb") as f:
                 f.write(blob)
             out.append((tmp, seg, len(records), len(blob), cdx))
@@ -585,9 +621,29 @@ class VfWarcWriter(DataSourceWriter):
         import glob
         import os
 
-        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+        # only THIS job's temps (r6 ADVICE)
+        for p in glob.glob(os.path.join(self.path, f".uncommitted-{self.job_id}-*")):
             try:
                 os.remove(p)
+            except OSError:
+                pass
+
+    def _remove_previous_output(self) -> None:
+        """mode('overwrite'): retire every previously-published segment
+        and CDX sidecar (including a consolidated ``_url_index``) before
+        installing the new set; dot-prefixed in-flight temps survive."""
+        import os
+        import shutil
+
+        for entry in os.listdir(self.path):
+            if entry.startswith("."):
+                continue
+            fp = os.path.join(self.path, entry)
+            try:
+                if os.path.isfile(fp):
+                    os.remove(fp)
+                elif entry == "_url_index":
+                    shutil.rmtree(fp, ignore_errors=True)
             except OSError:
                 pass
 
@@ -609,6 +665,8 @@ class VfWarcWriter(DataSourceWriter):
                         "repartition rows by the file-name column before writing"
                     )
                 seen.add(final)
+        if self.overwrite and not prefix:
+            self._remove_previous_output()
         for msg in messages:
             if msg is None:
                 continue
