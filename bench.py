@@ -155,10 +155,12 @@ def main() -> None:
     # the suite-average gate can hide one query tripling while the average
     # improves; any post-retry timing above its committed budget is a breach.
     budget_breaches: dict = {}
+    workload_revs: dict = {}
     budgets_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json")
     try:
         with open(budgets_file) as f:
             bdoc = json.load(f)
+        workload_revs = bdoc.get("workload_revs", {}) or {}
         if str(bdoc.get("sf")) == sf or float(bdoc.get("sf", -1)) == float(sf):
             for name, t in timings.items():
                 b = bdoc["budgets"].get(name)
@@ -166,6 +168,13 @@ def main() -> None:
                     budget_breaches[name] = {"budget": b, "now": t, "ratio": round(t / b, 2)}
     except (OSError, ValueError, KeyError):
         pass
+    # a recorded workload revision means the gate's in-gate WORK changed
+    # since the budget/previous round was recorded: the flag is expected
+    # growth, not a plan regression (r6 verdict item 4)
+    for flagged in (regressions, budget_breaches):
+        for name, info in flagged.items():
+            if name in workload_revs:
+                info["workload_rev"] = workload_revs[name]
 
     print(
         json.dumps(

@@ -31,8 +31,13 @@ def newest_timings() -> tuple[str, dict[str, float]]:
     )
     for path in paths:
         with open(path) as f:
-            # a raw bench run may have log noise before the JSON line
-            line = [ln for ln in f.read().splitlines() if ln.startswith("{")][-1]
+            text = f.read()
+        try:
+            # driver BENCH_r*.json snapshots are pretty-printed documents
+            d = json.loads(text)
+        except ValueError:
+            # a raw bench run may have log noise before the one JSON line
+            line = [ln for ln in text.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
         if str(d.get("sf")) != "0.1":
             continue
@@ -54,14 +59,27 @@ def main() -> None:
         for name, t in sorted(timings.items())
         if name != "_warmup"
     }
+    # workload_revs survive regeneration: a rev entry records that a gate's
+    # in-gate WORK changed (corpus grew, new operator work measured inside
+    # it), so a flagged regression is attributable at a glance instead of
+    # reading as a plan regression (r6 verdict item 4). Bump by hand when
+    # you change what a gate measures; bench.py attaches the note to any
+    # regression/breach it reports for that gate.
+    workload_revs: dict = {}
+    out = os.path.join(repo, "BENCH_budgets.json")
+    try:
+        with open(out) as f:
+            workload_revs = json.load(f).get("workload_revs", {})
+    except (OSError, ValueError):
+        pass
     doc = {
         "source": src,
         "tolerance_ratio": TOLERANCE,
         "abs_floor_s": ABS_FLOOR_S,
         "sf": 0.1,
         "budgets": budgets,
+        "workload_revs": workload_revs,
     }
-    out = os.path.join(repo, "BENCH_budgets.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
