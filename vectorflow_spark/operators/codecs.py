@@ -1271,15 +1271,23 @@ def build_mp3(
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """FAUD or WAV -> (samples float64, sample_rate)."""
+    """FAUD, WAV or FLAC -> (samples float64 [first channel], sample_rate)."""
     if data[:4] == FAKE_AUD_MAGIC:
         (rate, n) = struct.unpack("<IH", data[4:10])
         return np.frombuffer(data, dtype=np.uint8, offset=10, count=n).astype(np.float64), rate
     if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_FORM:
         return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from vectorflow_spark.operators.flacmini import decode_flac
+
+        pcm, rate, _meta = decode_flac(data)
+        return pcm[:, 0].astype(np.float64), rate
     raise NotImplementedError(
-        "audio decode supports the FAKE codec and PCM WAV; MP3/AAC need "
-        "external libraries not installed in this environment"
+        "audio decode supports the FAKE codec, PCM WAV and FLAC; MP3/AAC "
+        "need external libraries not installed in this environment "
+        "(and shipping an MP3 Layer-III decoder whose Huffman tables "
+        "cannot be verified against any reference here would violate the "
+        "parse-correctly-or-refuse contract)"
     )
 
 

@@ -108,6 +108,16 @@ def decode_meta(data: bytes) -> dict:
             "n_samples": m["n_samples"],
             "n_bytes": len(data),
         }
+    if magic == b"fLaC":
+        from vectorflow_spark.operators.flacmini import flac_meta
+
+        m = flac_meta(bytes(data))
+        return {
+            "kind": "audio",
+            "sample_rate": m["sample_rate"],
+            "n_samples": m["n_samples"],
+            "n_bytes": len(data),
+        }
     if magic == codecs.RIFF_MAGIC and data[8:12] == codecs.AVI_FORM:
         m = codecs.avi_meta(bytes(data))
         return {

@@ -1125,9 +1125,13 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-duplicate pairs (rows-only: FFT kernel is
     Python) — the audio leg of the cross-modal dedup family: clips are
-    unique 2048-sample streams (seed = id) rotating FAKE/WAV containers,
-    except every 5th, which is a deterministic light-noise re-render of
-    its successor (the re-encode/transcode model). The fingerprint is
+    unique 2048-sample streams (seed = id) rotating FAKE/WAV/FLAC
+    containers (FLAC decode is LOSSLESS, so its fingerprint is identical
+    to the same clip in any container — the dedup key is the samples,
+    never the container bytes), except every 5th, which is a
+    deterministic light-noise re-render of its successor (the
+    re-encode/transcode model), so dup pairs routinely cross formats
+    incl. FLAC<->WAV. The fingerprint is
     operators/multimodal.audio_fingerprint — framed rfft band-energy
     derivative signs majority-voted to a 63-bit clip code (measured:
     twins land 0-8 bits apart, unrelated clips 15+) — and pairing is the
@@ -1137,6 +1141,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band-key shuffle."""
     from vectorflow_spark.operators.codecs import decode_audio, encode_wav
     from vectorflow_spark.operators.dedup import hamming_candidate_pairs
+    from vectorflow_spark.operators.flacmini import encode_flac
     from vectorflow_spark.operators.multimodal import audio_fingerprint, make_fake_audio
 
     import numpy as np
@@ -1145,9 +1150,12 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _base(i: int) -> bytes:
         blob = make_fake_audio(str(i), 8000, 2048)
-        if i % 2:  # odd ids carry real WAV containers
+        if i % 4 == 1:  # real WAV containers
             samples, rate = decode_audio(blob)
             return encode_wav(samples.astype(np.uint8), rate)
+        if i % 4 == 3:  # real FLAC containers (lossless: same samples back)
+            samples, rate = decode_audio(blob)
+            return encode_flac(samples.astype(np.int16), rate, block_size=512)
         return blob
 
     def _one(i) -> bytes:
@@ -2069,6 +2077,113 @@ def q_webp_anim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents", split=True)
         .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_flac_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(600 + (doc_id % 7) * 91 AS INT) AS n_samples,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           TRUE AS exact,
+           TRUE AS md5_verified,
+           TRUE AS meta_ok,
+           TRUE AS corrupt_refuses
+    FROM documents WHERE doc_id % 9 = 4
+    """,
+)
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC ingestion readiness (operators/flacmini.py — RFC 9639): per
+    document a deterministic clip (mono/stereo alternating; stereo
+    decorrelation mode, LPC order and rice partition order all rotate by
+    doc_id) encodes and decodes back BIT-EXACTLY, the decoder verifies
+    the stream's own STREAMINFO MD5 (the format's embedded reference —
+    every real-world file self-verifies), header metadata parses, and a
+    corrupted byte REFUSES via frame CRC instead of decoding silently
+    wrong samples. The oracle pins the deterministic shape + the four
+    contract booleans (constants-table oracle: the rice/LPC kernel is
+    Python, but the gate's observable outputs are exact by construction).
+    One Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("exact", BooleanType()),
+            StructField("md5_verified", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+            StructField("corrupt_refuses", BooleanType()),
+        ]
+    )
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.flacmini import decode_flac, encode_flac, flac_meta
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 600 + (i % 7) * 91
+                ch = 1 + i % 2
+                rng = np.random.default_rng(i)
+                t = np.arange(n)
+                sig = np.stack(
+                    [
+                        np.clip(
+                            np.rint(2500 * np.sin(t / (6 + (i + c) % 9)))
+                            + rng.integers(-120, 120, n),
+                            -32768,
+                            32767,
+                        ).astype(np.int16)
+                        for c in range(ch)
+                    ],
+                    axis=1,
+                )
+                mode = ["indep", "mid", "left", "right"][i % 4]
+                blob = encode_flac(
+                    sig,
+                    sample_rate=16000,
+                    block_size=512,
+                    stereo_mode=mode,
+                    lpc_order=(i % 3) * 4,
+                    partition_order=i % 3,
+                )
+                pcm, rate, dmeta = decode_flac(blob)
+                exact = rate == 16000 and np.array_equal(pcm, sig)
+                m = flac_meta(blob)
+                meta_ok = (
+                    m["kind"] == "audio"
+                    and m["n_samples"] == n
+                    and m["channels"] == ch
+                    and m["bits_per_sample"] == 16
+                )
+                bad = bytearray(blob)
+                bad[len(bad) - len(bad) // 3] ^= 0x2C  # inside frame data
+                try:
+                    decode_flac(bytes(bad))
+                    refuses = False
+                except (ValueError, IndexError):
+                    refuses = True
+                rows.append((i, n, ch, exact, bool(dmeta["md5_verified"]), meta_ok, refuses))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 9 == 4)
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
