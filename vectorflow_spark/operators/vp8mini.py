@@ -70,24 +70,34 @@ class _BoolDec:
         self.cnt = 0
 
     def bit(self, prob: int = 128) -> int:
-        split = 1 + (((self.rng - 1) * prob) >> 8)
+        # hot path: locals + MULTI-BIT renorm (shift = 8 - bit_length;
+        # cnt0 <= 7 and shift <= 7, so at most one byte feeds per call,
+        # ORed at bit offset cnt-8 exactly like the bit-at-a-time loop)
+        rng = self.rng
+        val = self.val
+        split = 1 + (((rng - 1) * prob) >> 8)
         big = split << 8
-        if self.val >= big:
+        if val >= big:
             ret = 1
-            self.rng -= split
-            self.val -= big
+            rng -= split
+            val -= big
         else:
             ret = 0
-            self.rng = split
-        while self.rng < 128:
-            self.rng <<= 1
-            self.val <<= 1
-            self.cnt += 1
-            if self.cnt == 8:
-                self.cnt = 0
-                if self.pos < self.n:
-                    self.val |= self.d[self.pos]
-                    self.pos += 1
+            rng = split
+        if rng < 128:
+            shift = 8 - rng.bit_length()
+            rng <<= shift
+            val <<= shift
+            cnt = self.cnt + shift
+            if cnt >= 8:
+                cnt -= 8
+                pos = self.pos
+                if pos < self.n:
+                    val |= self.d[pos] << cnt
+                    self.pos = pos + 1
+            self.cnt = cnt
+        self.rng = rng
+        self.val = val
         return ret
 
     def lit(self, nbits: int) -> int:
@@ -264,26 +274,41 @@ def _mul2(a: int) -> int:
 
 
 def _idct4x4_add(coeffs, dst: np.ndarray, y0: int, x0: int) -> None:
-    """in-place: dst[y0:y0+4, x0:x0+4] += idct(coeffs) (clipped)."""
+    """in-place: dst[y0:y0+4, x0:x0+4] += idct(coeffs) (clipped).
+
+    Hot path (r6 verdict item 5): the patch is read and written as ONE
+    4x4 slice (tolist / list assign) with all arithmetic on Python ints
+    — 16 per-element numpy scalar reads/writes were ~2x the whole
+    function's cost. Integer-exact, same >> semantics as the C code."""
     tmp = [0] * 16
     for i in range(4):
+        c4, c12 = coeffs[4 + i], coeffs[12 + i]
         a = coeffs[i] + coeffs[8 + i]
         b = coeffs[i] - coeffs[8 + i]
-        c = _mul2(coeffs[4 + i]) - _mul1(coeffs[12 + i])
-        d = _mul1(coeffs[4 + i]) + _mul2(coeffs[12 + i])
+        c = ((c4 * 35468) >> 16) - (((c12 * 20091) >> 16) + c12)
+        d = (((c4 * 20091) >> 16) + c4) + ((c12 * 35468) >> 16)
         tmp[i] = a + d
         tmp[4 + i] = b + c
         tmp[8 + i] = b - c
         tmp[12 + i] = a - d
+    patch = dst[y0 : y0 + 4, x0 : x0 + 4].tolist()
     for i in range(4):
+        t1, t3 = tmp[4 * i + 1], tmp[4 * i + 3]
         dc = tmp[4 * i] + 4
         a = dc + tmp[4 * i + 2]
         b = dc - tmp[4 * i + 2]
-        c = _mul2(tmp[4 * i + 1]) - _mul1(tmp[4 * i + 3])
-        d = _mul1(tmp[4 * i + 1]) + _mul2(tmp[4 * i + 3])
-        row = dst[y0 + i]
-        for j, v in ((0, a + d), (1, b + c), (2, b - c), (3, a - d)):
-            row[x0 + j] = _clip255(int(row[x0 + j]) + (v >> 3))
+        c = ((t1 * 35468) >> 16) - (((t3 * 20091) >> 16) + t3)
+        d = (((t1 * 20091) >> 16) + t1) + ((t3 * 35468) >> 16)
+        row = patch[i]
+        v = row[0] + ((a + d) >> 3)
+        row[0] = 0 if v < 0 else 255 if v > 255 else v
+        v = row[1] + ((b + c) >> 3)
+        row[1] = 0 if v < 0 else 255 if v > 255 else v
+        v = row[2] + ((b - c) >> 3)
+        row[2] = 0 if v < 0 else 255 if v > 255 else v
+        v = row[3] + ((a - d) >> 3)
+        row[3] = 0 if v < 0 else 255 if v > 255 else v
+    dst[y0 : y0 + 4, x0 : x0 + 4] = patch
 
 
 def _iwht4x4(coeffs) -> list:
