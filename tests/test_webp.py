@@ -646,3 +646,56 @@ class TestAnimatedWebpAlphaRefusal:
         payload = self._vp8l_payload_with_alpha(8, 6, 0xFF)
         out = decode_webp_anim(self._anim_container(8, 6, self._chunk(b"VP8L", payload)))
         assert out.shape == (1, 6, 8, 3)
+
+
+class TestLz77HashChains:
+    """Real-window LZ77 (r6 verdict item 7): the tokenizer's hash chains
+    find repeats anywhere in the prior window, not just dist 1/width —
+    verified by roundtrip AND by libwebp decoding our streams bit-exactly
+    on content whose only good matches sit >1k pixels back."""
+
+    @staticmethod
+    def _long_range_image():
+        rng = np.random.default_rng(1)
+        w, h = 64, 120
+        px = rng.integers(0, 256, (h, w, 3), np.uint8)
+        for r in range(53, h):
+            if r % 3 == 0:
+                px[r] = px[r - 53]  # dist = 53*64 = 3392 pixels
+        return px
+
+    def test_emits_long_distance_copies(self):
+        from vectorflow_spark.operators.webpmini import _tokenize
+
+        px = self._long_range_image()
+        argb = [
+            0xFF000000 | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+            for p in px.reshape(-1, 3)
+        ]
+        toks = _tokenize(argb, True, 0, width=px.shape[1])
+        dists = [t[2] for t in toks if t[0] == "copy"]
+        assert sum(1 for d in dists if d > 1000) >= 10
+        assert max(dists) == 53 * px.shape[1]
+
+    def test_long_distance_roundtrip_and_ratio(self):
+        from vectorflow_spark.operators.webpmini import decode_webp, encode_webp
+
+        px = self._long_range_image()
+        blob = encode_webp(px)
+        assert np.array_equal(decode_webp(blob), px)
+        rng = np.random.default_rng(2)
+        tile = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        big = np.tile(tile, (8, 8, 1))
+        b2 = encode_webp(big)
+        assert np.array_equal(decode_webp(b2), big)
+        assert len(b2) < big.size // 20  # tiles collapse to backrefs
+
+    def test_libwebp_decodes_long_distance_stream(self):
+        pytest.importorskip("ctypes")
+        from tests import libwebp_ref
+        from vectorflow_spark.operators.webpmini import encode_webp
+
+        px = self._long_range_image()
+        for transform in ("none", "subtract_green"):
+            blob = encode_webp(px, transform=transform, cache_bits=4)
+            assert np.array_equal(libwebp_ref.decode_rgb(blob), px), transform

@@ -846,38 +846,69 @@ def _prefix_encode(v: int) -> tuple[int, int, int]:
     raise ValueError(f"vp8l: value out of prefix range: {v}")
 
 
-def _tokenize(argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0):
+_LZ_MAX_LEN = 4096  # 24 length prefix codes: offset 3<<10 + 2^10 = 4096
+_LZ_MAX_DIST = (1 << 20) - 121  # 40 dist codes cover dist+120 <= 3<<18 + 2^18
+
+
+def _tokenize(
+    argb: list[int], use_lz77: bool, cache_bits: int, width: int = 0, max_chain: int = 32
+):
     """Pixel stream -> tokens: ('lit', px) | ('copy', length, dist) |
-    ('cache', idx). Deterministic: greedy horizontal (dist 1) and
-    vertical (dist = width) runs — enough to exercise the decoder's
-    copy + cache paths AND both ends of the plane-code map (vertical
-    copies transmit as plane code 1, horizontal as code 2)."""
+    ('cache', idx). Deterministic greedy LZ77 over the REAL window
+    (r6 verdict item 7): structural candidates (left run dist 1,
+    above run dist = width — the plane-code fast cases) plus a
+    2-pixel-keyed HASH CHAIN walked up to ``max_chain`` links, so
+    repeats anywhere in the prior ~1M pixels match (the decoder's full
+    backref range, previously only dist 1/width were ever emitted).
+    Longest match wins, nearest on ties (cheaper distance prefix)."""
     tokens = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
     i, n = 0, len(argb)
-
-    def run_at(d: int) -> int:
-        if i < d or argb[i] != argb[i - d]:
-            return 0
-        run = 1
-        while i + run < n and argb[i + run] == argb[i + run - d] and run < 4096:
-            run += 1
-        return run
+    head: dict[int, int] = {}
+    prev = [-1] * n if use_lz77 else []
 
     while i < n:
-        if use_lz77:
-            best_d, best_run = 1, run_at(1)
-            if width > 1:
-                vrun = run_at(width)
-                if vrun > best_run:
-                    best_d, best_run = width, vrun
+        if use_lz77 and i + 1 < n:
+            best_run, best_d = 0, 0
+            # structural candidates: left neighbor and pixel above
+            for d in (1, width) if width > 1 else (1,):
+                if i >= d and argb[i] == argb[i - d]:
+                    run = 1
+                    while i + run < n and run < _LZ_MAX_LEN and argb[i + run] == argb[i + run - d]:
+                        run += 1
+                    if run > best_run or (run == best_run and d < best_d):
+                        best_run, best_d = run, d
+            # hash-chain candidates across the full window
+            key = ((argb[i] * 0x9E3779B1) ^ (argb[i + 1] * 0x85EBCA77)) & 0xFFFFFFFF
+            p = head.get(key, -1)
+            chain = 0
+            while p >= 0 and chain < max_chain:
+                d = i - p
+                if d > _LZ_MAX_DIST:
+                    break  # chains are recency-ordered: all older links are farther
+                if argb[p] == argb[i] and argb[p + 1] == argb[i + 1]:
+                    run = 2
+                    # argb[p+run] == argb[i+run-d]: overlap-correct like the decoder
+                    while i + run < n and run < _LZ_MAX_LEN and argb[i + run] == argb[p + run]:
+                        run += 1
+                    if run > best_run or (run == best_run and d < best_d):
+                        best_run, best_d = run, d
+                p = prev[p]
+                chain += 1
             if best_run >= 2:
-                tokens.append(("copy", best_run, best_d))
+                end = min(i + best_run, n - 1)
+                for q in range(i, end):  # index every covered position
+                    kq = ((argb[q] * 0x9E3779B1) ^ (argb[q + 1] * 0x85EBCA77)) & 0xFFFFFFFF
+                    prev[q] = head.get(kq, -1)
+                    head[kq] = q
                 if cache is not None:
                     for k in range(best_run):
                         cache[_color_cache_key(argb[i + k], cache_bits)] = argb[i + k]
+                tokens.append(("copy", best_run, best_d))
                 i += best_run
                 continue
+            prev[i] = head.get(key, -1)
+            head[key] = i
         px = argb[i]
         if cache is not None:
             key = _color_cache_key(px, cache_bits)
