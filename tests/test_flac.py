@@ -257,3 +257,23 @@ class TestLibFlacParity:
         pcm, rate, meta = decode_flac(out.read_bytes())
         assert rate == 44100 and meta["md5_verified"]
         assert np.array_equal(pcm, st)
+
+
+class TestBitDepths:
+    @pytest.mark.parametrize("bits", [8, 16, 24])
+    def test_depth_roundtrip(self, bits):
+        rng = np.random.default_rng(bits)
+        hi = 1 << (bits - 1)
+        st = np.stack(
+            [rng.integers(-hi, hi, 2500), rng.integers(-hi, hi, 2500)], axis=1
+        ).astype(np.int64)
+        blob = encode_flac(st, 44100, block_size=512, bits=bits, lpc_order=4)
+        pcm, rate, meta = decode_flac(blob)
+        assert meta["bits_per_sample"] == bits and meta["md5_verified"]
+        assert np.array_equal(pcm, st)
+
+    def test_range_guard(self):
+        with pytest.raises(ValueError, match="int8 range"):
+            encode_flac(np.array([300]), 8000, bits=8)
+        with pytest.raises(ValueError, match="bits must be"):
+            encode_flac(np.array([1]), 8000, bits=12)

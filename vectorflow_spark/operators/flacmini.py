@@ -703,22 +703,26 @@ def encode_flac(
     lpc_order: int = 0,
     partition_order: int = 0,
     force: str | None = None,
+    bits: int = 16,
 ) -> bytes:
-    """(n,) or (n, channels) int16 PCM -> FLAC bytes (16-bit).
+    """(n,) or (n, channels) integer PCM -> FLAC bytes (8/16/24-bit).
 
     Deterministic: no psychoacoustics, no search beyond the fixed-order
     pick and per-partition rice parameter. ``stereo_mode``: 'indep' |
     'mid' | 'left' | 'right' | 'auto' (mid-side for 2 channels);
     ``lpc_order`` > 0 encodes LPC subframes (decoder-identical integer
     predictor, so still lossless); ``force`` = 'verbatim' exercises that
-    path. Blocksize must divide by 2^partition_order."""
+    path; ``bits`` in (8, 16, 24) — the sample-size codes the frame
+    header carries natively. Blocksize must divide by 2^partition_order."""
+    if bits not in (8, 16, 24):
+        raise ValueError("flac encode: bits must be 8, 16 or 24")
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
-    if s.dtype != np.int16:
-        if np.any(s > 32767) or np.any(s < -32768):
-            raise ValueError("flac encode: samples out of int16 range")
-        s = s.astype(np.int16)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if np.any(s > hi) or np.any(s < lo):
+        raise ValueError(f"flac encode: samples out of int{bits} range")
+    s = s.astype(np.int64)
     n, n_ch = s.shape
     if n == 0:
         raise ValueError("flac encode: empty signal")
@@ -726,13 +730,13 @@ def encode_flac(
         raise ValueError("flac encode: more than 8 channels")
     if block_size % (1 << partition_order):
         raise ValueError("flac encode: partition order must divide block size")
-    bps = 16
+    bps = bits
     if stereo_mode == "auto":
         stereo_mode = "mid" if n_ch == 2 else "indep"
     if n_ch != 2:
         stereo_mode = "indep"
 
-    md5 = hashlib.md5(_pcm_bytes(s.astype(np.int64), 2)).digest()
+    md5 = hashlib.md5(_pcm_bytes(s, bits // 8)).digest()
     packed = (
         (sample_rate << 44)
         | ((n_ch - 1) << 41)

@@ -720,7 +720,8 @@ def _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -
                     pred = 0
                     eobrun = 0
                 by, bx = divmod(b, bw_c)
-                coef = coefs[cid][by * (mcus_x * c["h"]) + bx]
+                row = by * (mcus_x * c["h"]) + bx
+                coef = coefs[cid][row]
                 if ss == 0:
                     if ah == 0:
                         s = _read_huffman(reader, dc_tbl)
@@ -729,9 +730,16 @@ def _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -
                     elif reader.bit():
                         coef[0] |= 1 << al
                 elif ah == 0:
-                    eobrun = _ac_first(reader, ac_tbl, coef, ss, se, al, eobrun)
+                    # per-block list round-trip: the band workers do tens
+                    # of element reads/writes, far cheaper on a Python
+                    # list than as numpy scalar accesses
+                    blk = coef.tolist()
+                    eobrun = _ac_first(reader, ac_tbl, blk, ss, se, al, eobrun)
+                    coefs[cid][row] = blk
                 else:
-                    eobrun = _ac_refine(reader, ac_tbl, coef, ss, se, al, eobrun)
+                    blk = coef.tolist()
+                    eobrun = _ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun)
+                    coefs[cid][row] = blk
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:

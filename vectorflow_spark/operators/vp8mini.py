@@ -345,46 +345,132 @@ def _iwht4x4(coeffs) -> list:
 def _get_coeffs(br: _BoolDec, probs_plane, ctx: int, dq, first: int, out) -> int:
     """Decode one block's tokens into out[16] (dequantized, zigzag-placed).
     Returns the coefficient position reached (EOB position). ``dq`` is
-    (dc_factor, ac_factor); probs_plane is coeff_probs[plane]."""
+    (dc_factor, ac_factor); probs_plane is coeff_probs[plane].
+
+    The bool decoder is INLINED at the two hottest decisions (EOB and
+    the DCT_0 run — the large majority of all bit() calls in a frame;
+    per-call dispatch overhead dominated decode time, r6 verdict item
+    5) and runs through the local closure ``_b`` for the value tree.
+    Both are the exact _BoolDec.bit algorithm over local state, synced
+    back on exit; the 175-case libwebp parity matrix pins the output
+    bit-exactly."""
+    d = br.d
+    nlen = br.n
+    pos = br.pos
+    rng = br.rng
+    val = br.val
+    cnt = br.cnt
+
+    def _b(pr: int) -> int:
+        nonlocal rng, val, cnt, pos
+        split = 1 + (((rng - 1) * pr) >> 8)
+        big = split << 8
+        if val >= big:
+            rng -= split
+            val -= big
+            ret = 1
+        else:
+            rng = split
+            ret = 0
+        if rng < 128:
+            sh = 8 - rng.bit_length()
+            rng <<= sh
+            val <<= sh
+            cnt += sh
+            if cnt >= 8:
+                cnt -= 8
+                if pos < nlen:
+                    val |= d[pos] << cnt
+                    pos += 1
+        return ret
+
     n = first
     p = probs_plane[COEFF_BANDS[n]][ctx]
-    while n < 16:
-        if not br.bit(p[0]):  # EOB
-            return n
-        while not br.bit(p[1]):  # DCT_0 run
+    try:
+        while n < 16:
+            # inline bit(p[0]): EOB?
+            split = 1 + (((rng - 1) * p[0]) >> 8)
+            big = split << 8
+            if val >= big:
+                rng -= split
+                val -= big
+                b = 1
+            else:
+                rng = split
+                b = 0
+            if rng < 128:
+                sh = 8 - rng.bit_length()
+                rng <<= sh
+                val <<= sh
+                cnt += sh
+                if cnt >= 8:
+                    cnt -= 8
+                    if pos < nlen:
+                        val |= d[pos] << cnt
+                        pos += 1
+            if not b:
+                return n
+            while True:
+                # inline bit(p[1]): DCT_0 run
+                split = 1 + (((rng - 1) * p[1]) >> 8)
+                big = split << 8
+                if val >= big:
+                    rng -= split
+                    val -= big
+                    b = 1
+                else:
+                    rng = split
+                    b = 0
+                if rng < 128:
+                    sh = 8 - rng.bit_length()
+                    rng <<= sh
+                    val <<= sh
+                    cnt += sh
+                    if cnt >= 8:
+                        cnt -= 8
+                        if pos < nlen:
+                            val |= d[pos] << cnt
+                            pos += 1
+                if b:
+                    break
+                n += 1
+                if n == 16:
+                    return 16
+                p = probs_plane[COEFF_BANDS[n]][0]
+            # nonzero value
+            if not _b(p[2]):
+                v = 1
+                next_ctx = 1
+            else:
+                next_ctx = 2
+                if not _b(p[3]):
+                    if not _b(p[4]):
+                        v = 2
+                    else:
+                        v = 3 if not _b(p[5]) else 4
+                else:
+                    if not _b(p[6]):
+                        cat = 5 if not _b(p[7]) else 6
+                    else:
+                        cat = (7 if not _b(p[9]) else 8) if not _b(p[8]) else (9 if not _b(p[10]) else 10)
+                    v = CAT_BASE[cat]
+                    extra = 0
+                    for cp in CAT_PROBS[cat]:
+                        extra = (extra << 1) | _b(cp)
+                    v += extra
+            if _b(128):  # sign
+                v = -v
+            out[ZIGZAG[n]] = v * dq[n > 0]
             n += 1
             if n == 16:
                 return 16
-            p = probs_plane[COEFF_BANDS[n]][0]
-        # nonzero value
-        if not br.bit(p[2]):
-            v = 1
-            next_ctx = 1
-        else:
-            next_ctx = 2
-            if not br.bit(p[3]):
-                if not br.bit(p[4]):
-                    v = 2
-                else:
-                    v = 3 if not br.bit(p[5]) else 4
-            else:
-                if not br.bit(p[6]):
-                    cat = 5 if not br.bit(p[7]) else 6
-                else:
-                    cat = (7 if not br.bit(p[9]) else 8) if not br.bit(p[8]) else (9 if not br.bit(p[10]) else 10)
-                v = CAT_BASE[cat]
-                extra = 0
-                for cp in CAT_PROBS[cat]:
-                    extra = (extra << 1) | br.bit(cp)
-                v += extra
-        if br.bit():  # sign
-            v = -v
-        out[ZIGZAG[n]] = v * dq[n > 0]
-        n += 1
-        if n == 16:
-            return 16
-        p = probs_plane[COEFF_BANDS[n]][next_ctx]
-    return 16
+            p = probs_plane[COEFF_BANDS[n]][next_ctx]
+        return 16
+    finally:
+        br.pos = pos
+        br.rng = rng
+        br.val = val
+        br.cnt = cnt
 
 
 # ---------------------------------------------------------------------------
