@@ -1055,3 +1055,42 @@ class TestPaletteBmp:
         idx = np.full((3, 3), 7, np.uint8)  # beyond the 4-color palette
         with pytest.raises(ValueError, match="palette"):
             decode_bmp(encode_bmp_palette(idx, pal))
+
+
+class TestBmpSub8Bit:
+    """r7: 4-bit and 1-bit palette BMPs (legacy clip-art depths) decode
+    through the same palette machinery; rows pad to 4 bytes, MSB-first."""
+
+    @pytest.mark.parametrize("bits,ncol", [(1, 2), (4, 13), (4, 16), (8, 250)])
+    def test_palette_depth_roundtrip(self, bits, ncol):
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
+        from vectorflow_spark.operators.multimodal import decode_meta
+
+        rng = np.random.default_rng(bits * 100 + ncol)
+        pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+        idx = rng.integers(0, ncol, (21, 37), np.uint8)
+        blob = encode_bmp_palette(idx, pal, bits=bits)
+        assert np.array_equal(decode_bmp(blob), pal[idx])
+        m = decode_meta(blob)
+        assert (m["kind"], m["width"], m["height"]) == ("image", 37, 21)
+
+    def test_odd_width_nibble_padding(self):
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)  # w=3: odd nibbles
+        blob = encode_bmp_palette(idx, pal, bits=4)
+        assert np.array_equal(decode_bmp(blob), pal[idx])
+
+    def test_rle4_and_16bpp_still_refuse(self):
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
+
+        pal = np.zeros((4, 3), np.uint8)
+        idx = np.zeros((4, 4), np.uint8)
+        blob = bytearray(encode_bmp_palette(idx, pal, bits=4))
+        import struct as _s
+        _s.pack_into("<I", blob, 30, 2)  # BI_RLE4
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(blob))
+        with pytest.raises(ValueError, match="RLE fixtures are 8-bit"):
+            encode_bmp_palette(idx, pal, rle=True, bits=4)

@@ -201,3 +201,72 @@ class TestDispatch:
         blob = encode_tiff(px)
         re = encode_image_like(decode_image(blob), blob)
         assert re[:4] == b"II*\x00" and np.array_equal(decode_image(re), px)
+
+
+class TestSub8BitAndPalette:
+    """r7: 1-bit bilevel, 4-bit gray and 4/8-bit palette-color — the
+    depths scanned-document and legacy clip-art corpora carry. Gray
+    expansion is libtiff's x*255/maxval; palette uses the 16-bit
+    ColorMap high byte. Each path pinned against libtiff where present
+    (tests/libtiff_ref.py)."""
+
+    def test_1bit_roundtrip_all_compressions(self):
+        rng = np.random.default_rng(0)
+        b1 = rng.integers(0, 2, (23, 37), np.uint8)
+        exp = np.repeat((b1 * 255)[:, :, None], 3, axis=2)
+        for comp in ("none", "packbits", "lzw"):
+            blob = encode_tiff(b1, compression=comp, bits=1)
+            assert np.array_equal(decode_tiff(blob), exp), comp
+
+    def test_4bit_gray_roundtrip(self):
+        rng = np.random.default_rng(1)
+        g4 = rng.integers(0, 16, (19, 31), np.uint8)
+        exp = np.repeat((g4 * 17)[:, :, None], 3, axis=2)
+        for comp in ("none", "packbits", "lzw"):
+            blob = encode_tiff(g4, compression=comp, bits=4)
+            assert np.array_equal(decode_tiff(blob), exp), comp
+
+    @pytest.mark.parametrize("ncol", [12, 200])
+    def test_palette_roundtrip(self, ncol):
+        rng = np.random.default_rng(ncol)
+        pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+        idx = rng.integers(0, ncol, (17, 29), np.uint8)
+        for comp in ("none", "lzw"):
+            blob = encode_tiff(idx, compression=comp, palette=pal)
+            assert np.array_equal(decode_tiff(blob), pal[idx]), comp
+
+    def test_guards(self):
+        rng = np.random.default_rng(2)
+        with pytest.raises(ValueError, match="predictor is 8-bit only"):
+            encode_tiff(rng.integers(0, 2, (4, 4), np.uint8), compression="lzw",
+                        predictor=True, bits=1)
+        with pytest.raises(ValueError, match="exceed 4-bit"):
+            encode_tiff(np.full((4, 4), 20, np.uint8), bits=4)
+        with pytest.raises(ValueError, match="index out of range"):
+            encode_tiff(np.full((4, 4), 9, np.uint8),
+                        palette=np.zeros((8, 3), np.uint8))
+
+
+@pytest.mark.skipif(
+    not __import__("tests.libtiff_ref", fromlist=["HAVE_LIBTIFF"]).HAVE_LIBTIFF,
+    reason="libtiff not present",
+)
+class TestSub8BitLibtiffParity:
+    def test_depths_match_libtiff(self):
+        from tests.libtiff_ref import decode_rgb
+
+        rng = np.random.default_rng(5)
+        cases = []
+        b1 = rng.integers(0, 2, (23, 37), np.uint8)
+        cases.append((encode_tiff(b1, compression="lzw", bits=1),
+                      np.repeat((b1 * 255)[:, :, None], 3, axis=2)))
+        g4 = rng.integers(0, 16, (19, 31), np.uint8)
+        cases.append((encode_tiff(g4, compression="packbits", bits=4),
+                      np.repeat((g4 * 17)[:, :, None], 3, axis=2)))
+        for ncol in (12, 200):
+            pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+            idx = rng.integers(0, ncol, (17, 29), np.uint8)
+            cases.append((encode_tiff(idx, compression="lzw", palette=pal), pal[idx]))
+        for blob, exp in cases:
+            assert np.array_equal(decode_rgb(blob), exp)
+            assert np.array_equal(decode_tiff(blob), exp)

@@ -105,8 +105,9 @@ def _bmp_rle8(src: bytes, w: int, h: int) -> np.ndarray:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP -> (h, w, 3) uint8 RGB: uncompressed 24/32-bit BI_RGB, plus
-    8-bit palette-indexed (BI_RGB and the legacy BI_RLE8 run-length
-    form) — the containers old web content actually carries."""
+    palette-indexed 8-bit (BI_RGB and the legacy BI_RLE8 run-length
+    form), 4-bit and 1-bit (BI_RGB; the depths legacy clip-art corpora
+    carry; r7) — the containers old web content actually carries."""
     if data[:2] != BMP_MAGIC:
         raise ValueError("not a BMP file")
     (pixel_offset,) = struct.unpack_from("<I", data, 10)
@@ -116,6 +117,27 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_raw = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp in (1, 4) and compression == 0:
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        h = abs(h_raw)
+        row_bytes = ((w * bpp + 7) // 8 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=pixel_offset
+        ).reshape(h, row_bytes)
+        if bpp == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first
+        else:
+            idx = np.stack([rows >> 4, rows & 0x0F], axis=2).reshape(h, -1)[:, :w]
+        if h_raw > 0:
+            idx = idx[::-1]  # bottom-up storage
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP: palette index out of range")
+        return np.ascontiguousarray(pal[idx])
     if bpp == 8 and compression in (0, 1):
         (clr_used,) = struct.unpack_from("<I", data, 46)
         n_colors = clr_used or 256
@@ -141,7 +163,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         return np.ascontiguousarray(pal[idx])
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit and palette 8-bit (BI_RGB/BI_RLE8) "
+            f"only uncompressed 24/32-bit and palette 8/4/1-bit (BI_RGB/BI_RLE8) "
             f"BMP supported (bpp={bpp}, compression={compression})"
         )
     top_down = h_raw < 0
@@ -158,16 +180,46 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3][:, :, ::-1])
 
 
-def encode_bmp_palette(idx: np.ndarray, palette: np.ndarray, rle: bool = False) -> bytes:
-    """(h, w) uint8 indices + (n<=256, 3) RGB palette -> 8-bit BMP
-    (BI_RGB, or BI_RLE8 with per-row encoded runs when ``rle``) —
-    fixtures for the palette decode path."""
+def encode_bmp_palette(
+    idx: np.ndarray, palette: np.ndarray, rle: bool = False, bits: int = 8
+) -> bytes:
+    """(h, w) uint8 indices + (n<=256, 3) RGB palette -> palette BMP
+    (BI_RGB at 8/4/1 bits, or BI_RLE8 with per-row encoded runs when
+    ``rle``) — fixtures for the palette decode paths."""
     idx = np.asarray(idx, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
     n_colors = len(palette)
     if n_colors > 256:
         raise ValueError("BMP palette holds at most 256 colors")
+    if bits not in (1, 4, 8):
+        raise ValueError("BMP palette bits must be 1, 4 or 8")
+    if bits != 8:
+        if rle:
+            raise ValueError("BMP RLE fixtures are 8-bit only (BI_RLE8)")
+        if n_colors > (1 << bits):
+            raise ValueError(f"palette too large for {bits}-bit indices")
+        row_bytes = ((w * bits + 7) // 8 + 3) & ~3
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        if bits == 1:
+            packed = np.packbits(idx, axis=1)
+        else:
+            flat = idx if w % 2 == 0 else np.concatenate(
+                [idx, np.zeros((h, 1), np.uint8)], axis=1
+            )
+            packed = (flat[:, 0::2] << 4) | flat[:, 1::2]
+        rows[:, : packed.shape[1]] = packed
+        body = rows[::-1].tobytes()  # bottom-up
+        pal = np.zeros((n_colors, 4), dtype=np.uint8)
+        pal[:, :3] = palette[:, ::-1]
+        pixel_offset = 14 + 40 + 4 * n_colors
+        header = BMP_MAGIC + struct.pack(
+            "<IHHI", pixel_offset + len(body), 0, 0, pixel_offset
+        )
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, 0, len(body), 2835, 2835, n_colors, 0
+        )
+        return header + dib + pal.tobytes() + body
     pal = np.zeros((n_colors, 4), dtype=np.uint8)
     pal[:, :3] = palette[:, ::-1]  # RGB -> BGRX
     if rle:

@@ -138,13 +138,13 @@ def decode_meta(data: bytes) -> dict:
         w, h_raw = struct.unpack_from("<ii", data, 18)
         _planes, bpp = struct.unpack_from("<HH", data, 26)
         (compression,) = struct.unpack_from("<I", data, 30)
-        ok = (compression == 0 and bpp in (24, 32)) or (bpp == 8 and compression in (0, 1))
+        ok = (compression == 0 and bpp in (1, 4, 24, 32)) or (bpp == 8 and compression in (0, 1))
         if not ok:
             # full decode_bmp parity: 16-bpp / exotic-compression BMPs must
             # refuse here too, not report channels=3 metadata the pixel
             # kernels then refuse to decode
             raise NotImplementedError(
-                f"only uncompressed 24/32-bit and palette 8-bit BMP supported "
+                f"only uncompressed 24/32-bit and palette 8/4/1-bit BMP supported "
                 f"(bpp={bpp}, compression={compression})"
             )
         return {"kind": "image", "width": w, "height": abs(h_raw), "channels": 3, "n_bytes": len(data)}

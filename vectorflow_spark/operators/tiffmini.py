@@ -12,11 +12,15 @@ fully public spec (Adobe TIFF 6.0) needing no external library:
   start, ClearCode 256 / EOI 257, the spec's EARLY code-size change at
   next_code == (1 << size) - 1 — one code earlier than GIF's LZW),
   horizontal-differencing predictor (tag 317 = 2), photometric 0
-  (white-is-zero, inverted), 1 (gray) and 2 (RGB), 8 bits/sample.
+  (white-is-zero, inverted), 1 (gray) and 2 (RGB) at 8 bits/sample,
+  plus 1-bit bilevel and 4-bit gray (scanned-document depths; libtiff's
+  x*255/maxval gray expansion) and photometric 3 palette-color with a
+  16-bit ColorMap at 4 or 8 bits (r7; all pinned bit-exact against
+  libtiff in tests/test_tiff_libtiff_parity.py).
   Returns (h, w, 3) uint8 (gray broadcast, matching the other codecs).
-  Refuses loudly on: tiles (tag 322), planar=2, bits != 8, palette
-  TIFFs (photometric 3), unknown compressions — parse correctly or
-  refuse, never guess.
+  Refuses loudly on: tiles (tag 322), planar=2, other bit depths,
+  FillOrder 2, predictor on sub-8-bit data, unknown compressions —
+  parse correctly or refuse, never guess.
 * ``encode_tiff(px, compression=..., predictor=..., rows_per_strip=...,
   big_endian=...)`` — deterministic writer covering every decoder path
   (multi-strip layout, all three compressions, predictor, both byte
@@ -243,26 +247,37 @@ def decode_tiff(data: bytes) -> np.ndarray:
     w, h = tags[256][0], tags[257][0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise ValueError(f"tiff: only 8 bits/sample supported, got {bits}")
+    bps = bits[0]
+    if any(b != bps for b in bits) or bps not in (1, 4, 8):
+        raise ValueError(f"tiff: bits/sample {bits} not supported (uniform 1, 4 or 8)")
+    if bps != 8 and spp != 1:
+        raise ValueError("tiff: sub-8-bit data with multiple samples not supported")
+    if tags.get(266, [1])[0] != 1:
+        raise ValueError("tiff: FillOrder 2 (LSB-first) not supported")
     if tags.get(284, [1])[0] != 1:
         raise ValueError("tiff: planar configuration 2 not supported")
     photo = tags.get(262, [1])[0]
     if photo == 3:
-        raise ValueError("tiff: palette-color not supported")
-    if photo not in (0, 1, 2):
+        if spp != 1 or bps not in (4, 8):
+            raise ValueError("tiff: palette-color requires one 4- or 8-bit sample")
+        if 320 not in tags:
+            raise ValueError("tiff: palette-color image missing ColorMap")
+    elif photo not in (0, 1, 2):
         raise ValueError(f"tiff: photometric {photo} not supported")
     comp = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"tiff: predictor {predictor} not supported")
+    if predictor == 2 and bps != 8:
+        raise ValueError("tiff: horizontal predictor is only defined for 8-bit samples here")
     offsets = tags[273]
     counts = tags[279]
     rps = tags.get(278, [h])[0] or h
     if len(offsets) != len(counts):
         raise ValueError("tiff: StripOffsets/StripByteCounts mismatch")
 
-    row_bytes = w * spp
+    # rows are byte-aligned: sub-8-bit rows pad to whole bytes (spec §3)
+    row_bytes = (w * spp * bps + 7) >> 3
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip_rows = min(rps, h - si * rps)
@@ -278,14 +293,41 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw += _lzw_decode(chunk, expected)
         else:
             raise ValueError(f"tiff: compression {comp} not supported")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)  # mod-256 undiff
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if bps == 8:
+        vals = arr.reshape(h, w, spp)
+        if predictor == 2:
+            vals = np.cumsum(vals.astype(np.int64), axis=1).astype(np.uint8)
+        idx = vals[:, :, 0]
+    else:
+        rows = arr.reshape(h, row_bytes)
+        if bps == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first = FillOrder 1
+        else:
+            idx = np.stack([rows >> 4, rows & 0x0F], axis=2).reshape(h, -1)[:, :w]
+        vals = None
+    if photo == 3:
+        # ColorMap: 3 * 2^bps SHORTs (all R, all G, all B), 16-bit range;
+        # take the high byte (well-formed maps store v*257) — the same
+        # expansion libtiff's RGBA reader applies to 16-bit maps
+        ncolors = 1 << bps
+        cm = tags[320]
+        if len(cm) < 3 * ncolors:
+            raise ValueError("tiff: ColorMap shorter than 3 * 2^bits")
+        rgb = (np.array(cm[: 3 * ncolors], dtype=np.uint32).reshape(3, ncolors) >> 8).astype(
+            np.uint8
+        )
+        return np.ascontiguousarray(np.stack([rgb[0][idx], rgb[1][idx], rgb[2][idx]], axis=2))
+    if bps != 8:
+        # grayscale expansion to full range (libtiff: x * 255 / maxval)
+        px = (idx * (255 if bps == 1 else 17)).astype(np.uint8)[:, :, None]
+    else:
+        px = vals
     if photo == 0:
         px = 255 - px
-    if spp == 1:
+    if px.shape[2] == 1:
         px = np.repeat(px, 3, axis=2)
-    elif spp > 3:
+    elif px.shape[2] > 3:
         px = px[:, :, :3]  # drop extra samples (alpha)
     return np.ascontiguousarray(px)
 
@@ -296,18 +338,46 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    bits: int = 8,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """(h, w, 3|1) uint8 -> baseline TIFF bytes.
 
     ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor`` applies
     horizontal differencing (tag 317 = 2, the standard LZW companion);
     ``rows_per_strip`` splits the image into multiple strips;
-    ``big_endian`` writes the MM form."""
+    ``big_endian`` writes the MM form. ``bits`` in (1, 4, 8) packs
+    grayscale rows at that depth (input values must already fit;
+    document-scan corpora are overwhelmingly 1-bit). ``palette`` is an
+    (n<=256, 3) uint8 colormap making ``px`` (h, w) indices — written as
+    a photometric-3 TIFF with a 16-bit ColorMap (v*257), 4-bit packed
+    when n <= 16."""
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        idx = np.asarray(px)
+        if idx.ndim != 2:
+            raise ValueError("tiff: palette encoding expects (h, w) index input")
+        n_colors = len(palette)
+        if n_colors > 256 or palette.shape[1] != 3:
+            raise ValueError("tiff: palette must be (n<=256, 3)")
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("tiff: palette index out of range")
+        bits = 4 if n_colors <= 16 else 8
+        px = idx.astype(np.uint8)
+    if bits not in (1, 4, 8):
+        raise ValueError("tiff: bits must be 1, 4 or 8")
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     if gray:
         px = px[:, :, None]
     h, w, spp = px.shape
+    if bits != 8:
+        if spp != 1:
+            raise ValueError("tiff: sub-8-bit encoding is single-sample only")
+        if int(px.max(initial=0)) >= (1 << bits):
+            raise ValueError(f"tiff: sample values exceed {bits}-bit range")
+        if predictor:
+            raise ValueError("tiff: predictor is 8-bit only")
     order = ">" if big_endian else "<"
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
     if predictor and compression == "none":
@@ -318,6 +388,13 @@ def encode_tiff(
     if predictor:
         d = body.astype(np.int64)
         body = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1).astype(np.uint8)
+    if bits == 1:
+        body = np.packbits(body[:, :, 0], axis=1)  # MSB-first, row-padded
+    elif bits == 4:
+        flat = body[:, :, 0]
+        if w & 1:
+            flat = np.concatenate([flat, np.zeros((h, 1), np.uint8)], axis=1)
+        body = (flat[:, 0::2] << 4) | flat[:, 1::2]
 
     strips = []
     for y0 in range(0, h, rps):
@@ -340,9 +417,16 @@ def encode_tiff(
 
     short(256, w)
     short(257, h)
-    short(258, *([8] * spp))
+    short(258, *([bits] * spp))
     short(259, comp_id)
-    short(262, 1 if spp == 1 else 2)
+    if palette is not None:
+        short(262, 3)
+        ncolors = 1 << bits
+        cm = np.zeros((3, ncolors), dtype=np.uint32)
+        cm[:, : len(palette)] = palette.T.astype(np.uint32) * 257
+        short(320, *[int(v) for v in cm.reshape(-1)])
+    else:
+        short(262, 1 if spp == 1 else 2)
     long(273, *([0] * len(strips)))  # patched below
     short(277, spp)
     short(278, rps)

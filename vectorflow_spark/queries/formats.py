@@ -2187,3 +2187,98 @@ def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_lowdepth_roundtrip",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'tiff1' WHEN 1 THEN 'tiff4'
+                WHEN 2 THEN 'tiffpal4' WHEN 3 THEN 'bmp1' ELSE 'bmp4' END AS family,
+           CAST(11 + doc_id % 13 AS INT) AS w,
+           CAST(7 + doc_id % 9 AS INT) AS h,
+           TRUE AS exact,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id % 8 = 5
+    """,
+)
+def q_lowdepth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-8-bit raster ingestion (r7): 1-bit bilevel TIFF, 4-bit gray
+    TIFF, 4-bit palette TIFF and 1/4-bit palette BMP — the depths
+    scanned-document and legacy clip-art corpora carry — roundtrip
+    bit-exactly per document (family/dims rotate by doc_id) with header
+    metadata cross-checked. TIFF paths are additionally pinned against
+    libtiff in tests/test_tiff.py; the oracle pins the rotation plus both
+    invariants. One Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("family", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("exact", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+    fams = ["tiff1", "tiff4", "tiffpal4", "bmp1", "bmp4"]
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_image, encode_bmp_palette
+        from vectorflow_spark.operators.multimodal import decode_meta
+        from vectorflow_spark.operators.tiffmini import encode_tiff
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                fam = fams[i % 5]
+                w, h = 11 + i % 13, 7 + i % 9
+                rng = np.random.default_rng(i)
+                if fam == "tiff1":
+                    src = rng.integers(0, 2, (h, w), np.uint8)
+                    blob = encode_tiff(src, compression=["none", "packbits", "lzw"][i % 3], bits=1)
+                    exp = np.repeat((src * 255)[:, :, None], 3, axis=2)
+                elif fam == "tiff4":
+                    src = rng.integers(0, 16, (h, w), np.uint8)
+                    blob = encode_tiff(src, compression=["none", "lzw"][i % 2], bits=4)
+                    exp = np.repeat((src * 17)[:, :, None], 3, axis=2)
+                else:
+                    n_col = 2 if fam == "bmp1" else 13
+                    pal = rng.integers(0, 256, (n_col, 3), np.uint8)
+                    idx = rng.integers(0, n_col, (h, w), np.uint8)
+                    exp = pal[idx]
+                    if fam == "tiffpal4":
+                        blob = encode_tiff(idx, compression="lzw", palette=pal)
+                    else:
+                        blob = encode_bmp_palette(idx, pal, bits=1 if fam == "bmp1" else 4)
+                m = decode_meta(blob)
+                rows.append(
+                    (
+                        i,
+                        fam,
+                        w,
+                        h,
+                        bool(np.array_equal(decode_image(blob), exp)),
+                        m["kind"] == "image" and m["width"] == w and m["height"] == h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 8 == 5)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
