@@ -1088,18 +1088,32 @@ def q_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_image_dhash_dedup")
+@query(
+    "q_image_dhash_dedup",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_images
+    FROM documents GROUP BY doc_id % 97 HAVING count(*) > 1
+    """,
+)
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image dedup (rows-only: the pixel kernel is a Python
-    mapInPandas stage DuckDB cannot mirror): synthesize images whose
-    pixel seed is doc_id mod 97 — guaranteeing duplicate pixel content —
-    dHash them, and report hash groups with >1 member (Hamming-0 exact
-    groups; Hamming-band the integer like SimHash for near-dups).
+    """Perceptual image dedup: synthesize images whose pixel seed is
+    doc_id mod 97 — guaranteeing duplicate pixel content — dHash them,
+    and report hash groups with >1 member (Hamming-0 exact groups;
+    Hamming-band the integer like SimHash for near-dups).
     CROSS-CONTAINER by construction: ids rotate mod 3 through FAKE-codec
     blobs, real BMP files and real PNG files (stdlib zlib decode), so
     every duplicate group mixes all three container families — the dedup
     key is the pixels, not the bytes. Plan: Arrow-batched hash UDF, then
-    one groupBy on the 8-byte hash."""
+    one groupBy on the 8-byte hash.
+
+    The oracle (r7, upgraded from rows-only) checks the recovered GROUP
+    STRUCTURE against ground truth: because images with equal seeds are
+    pixel-identical, every dHash group must be exactly one seed class —
+    (min doc_id, member count) per seed with >1 member. The dhash VALUE
+    itself is the one thing DuckDB cannot mirror, so the gate projects
+    the group facts; a hash collision merging two seed classes would
+    (correctly) fail the oracle."""
     from vectorflow_spark.operators.codecs import decode_image, encode_bmp, encode_png
     from vectorflow_spark.operators.multimodal import image_dhash, make_fake_image
 
@@ -1129,6 +1143,7 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.groupBy("dhash")
         .agg(F.count(F.lit(1)).alias("n_images"), F.min("asset_id").alias("keeper"))
         .filter(F.col("n_images") > 1)
+        .select("keeper", "n_images")
     )
 
 

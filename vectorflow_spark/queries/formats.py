@@ -517,10 +517,15 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_image_neardup_pairs")
+@query(
+    "q_image_neardup_pairs",
+    """
+    SELECT doc_id AS a, CAST(doc_id + 1 AS BIGINT) AS b FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    """,
+)
 def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual NEAR-duplicate image pairs (rows-only: the pixel kernel
-    is Python) over a MIXED-CONTAINER corpus — the web-corpus shape:
+    """Perceptual NEAR-duplicate image pairs over a MIXED-CONTAINER corpus — the web-corpus shape:
     unique images (seed = id) rotate through FAKE blobs, a lossless slot
     cycling real BMP / Adam7-INTERLACED PNG / WebP-VP8L (predictor
     transform + color cache) / TIFF-LZW (horizontal predictor), a lossy
@@ -609,10 +614,13 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = hamming_candidate_pairs(
         hashed, "asset_id", "dhash", bits=63, n_bands=7, max_hamming=6
     )
-    return pairs.groupBy("hamming").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min(F.col("a")).alias("min_a"),
-    )
+    # ground-truth-structure output (r7, upgraded from rows-only): the
+    # corpus construction makes the TRUE near-dup pair set exactly
+    # {(i, i+1) : i %% 5 == 0} - emitting the recovered pairs themselves
+    # lets the SQL oracle assert BOTH perfect twin recall (every
+    # perturbed twin lands within 6 bits) and zero false pairs
+    # (unrelated images never do); hamming VALUES stay kernel-internal
+    return pairs.select(F.col("a").cast("bigint"), F.col("b").cast("bigint"))
 
 
 @query(
@@ -915,10 +923,26 @@ def q_wds_caption_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_wds_image_dedup")
+@query(
+    "q_wds_image_dedup",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    pairs AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM d
+        WHERE doc_id % 5 = 0 AND doc_id + 1 IN (SELECT doc_id FROM d)
+    )
+    SELECT CAST(2 AS BIGINT) AS n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(a) AS BIGINT) AS min_keeper
+    FROM pairs HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(min(doc_id) AS BIGINT)
+    FROM d WHERE doc_id NOT IN (SELECT a FROM pairs)
+             AND doc_id NOT IN (SELECT b FROM pairs)
+    HAVING count(*) > 0
+    """,
+)
 def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-shard image dedup over a WebDataset corpus (rows-only:
-    pixel kernel is Python) — the LAION-style pipeline: image+caption
+    """Cross-shard image dedup over a WebDataset corpus — the LAION-style pipeline: image+caption
     samples land in tar shards (every 5th image a DUPLICATE of its
     successor's pixels, usually in a different shard since sharding
     hashes the key; containers mix — WebP-VP8L every 5th source, and
@@ -1049,10 +1073,16 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_video_neardup_pairs")
+@query(
+    "q_video_neardup_pairs",
+    """
+    SELECT doc_id AS video_a, CAST(doc_id + 1 AS BIGINT) AS video_b FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id < 249
+          AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    """,
+)
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-duplicate detection (rows-only: dHash kernel is
-    Python) — the video leg of the cross-modal dedup triad, built by
+    """Video near-duplicate detection — the video leg of the cross-modal dedup triad, built by
     COMPOSING verified operators rather than a new kernel
     (multimodal.video_neardup_pairs): frame explode -> per-frame dHash ->
     Hamming-ball frame pairs -> temporally-aligned (same frame index)
@@ -1115,16 +1145,23 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = docs.select(F.col("doc_id").alias("asset_id"), gen("doc_id").alias("data"))
     pairs = video_neardup_pairs(assets, frame_hamming=6, min_frames=6)
-    return pairs.groupBy("n_frames_matched").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min("video_a").alias("min_a"),
+    # ground-truth pair-set output (r7): see q_image_neardup_pairs - the
+    # oracle asserts exact twin recall + zero false pairs; the per-pair
+    # matched-frame counts stay kernel-internal
+    return pairs.select(
+        F.col("video_a").cast("bigint"), F.col("video_b").cast("bigint")
     )
 
 
-@query("q_audio_fingerprint_dedup")
+@query(
+    "q_audio_fingerprint_dedup",
+    """
+    SELECT doc_id AS a, CAST(doc_id + 1 AS BIGINT) AS b FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    """,
+)
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual AUDIO near-duplicate pairs (rows-only: FFT kernel is
-    Python) — the audio leg of the cross-modal dedup family: clips are
+    """Perceptual AUDIO near-duplicate pairs — the audio leg of the cross-modal dedup family: clips are
     unique 2048-sample streams (seed = id) rotating FAKE/WAV/FLAC
     containers (FLAC decode is LOSSLESS, so its fingerprint is identical
     to the same clip in any container — the dedup key is the samples,
@@ -1174,10 +1211,8 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = hamming_candidate_pairs(
         printed, "asset_id", "afp", bits=63, n_bands=9, max_hamming=8
     )
-    return pairs.groupBy("hamming").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min(F.col("a")).alias("min_a"),
-    )
+    # ground-truth pair-set output (r7): see q_image_neardup_pairs
+    return pairs.select(F.col("a").cast("bigint"), F.col("b").cast("bigint"))
 
 
 @query(
