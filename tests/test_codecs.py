@@ -469,9 +469,9 @@ class TestWav:
 
         blob = bytearray(encode_wav_float(np.zeros(4, np.float32), 8000))
         i = bytes(blob).find(b"fmt ") + 8
-        blob[i : i + 2] = st.pack("<H", 0xFFFE)  # extensible
-        with pytest.raises(NotImplementedError):
-            decode_wav(bytes(blob))
+        blob[i : i + 2] = st.pack("<H", 0xFFFE)  # extensible...
+        with pytest.raises(ValueError, match="EXTENSIBLE"):
+            decode_wav(bytes(blob))  # ...but the 16-byte fmt chunk is truncated
         blob[i : i + 2] = st.pack("<H", 7)  # mu-law
         with pytest.raises((NotImplementedError, Exception)):
             decode_wav(bytes(blob))
@@ -1094,3 +1094,66 @@ class TestBmpSub8Bit:
             decode_bmp(bytes(blob))
         with pytest.raises(ValueError, match="RLE fixtures are 8-bit"):
             encode_bmp_palette(idx, pal, rle=True, bits=4)
+
+
+class TestWavStudioDepths:
+    """r7: 24/32-bit integer PCM and the WAVE_FORMAT_EXTENSIBLE wrapper
+    (the form every >2-channel or 24-bit studio WAV actually carries —
+    the real format code hides in the SubFormat GUID's leading u16)."""
+
+    def test_24bit_roundtrip(self):
+        from vectorflow_spark.operators.codecs import decode_wav, encode_wav
+
+        rng = np.random.default_rng(0)
+        s = rng.integers(-(1 << 23), 1 << 23, 500)
+        out, rate = decode_wav(encode_wav(s, 48000, sampwidth=3))
+        assert rate == 48000
+        assert np.array_equal(out.astype(np.int64), s)
+
+    def test_32bit_roundtrip(self):
+        from vectorflow_spark.operators.codecs import decode_audio, encode_wav
+
+        rng = np.random.default_rng(1)
+        s = rng.integers(-(1 << 31), 1 << 31, 300, dtype=np.int64)
+        out, rate = decode_audio(encode_wav(s, 44100, sampwidth=4))
+        assert np.array_equal(out.astype(np.int64), s)
+
+    @staticmethod
+    def _extensible_24bit_stereo(st, rate):
+        import struct as _s
+
+        v = st.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)[:, :3]
+        raw = np.ascontiguousarray(v).tobytes()
+        sub_pcm = b"\x01\x00" + bytes.fromhex("000000001000800000aa00389b71")
+        fmt = (
+            _s.pack("<HHIIHH", 0xFFFE, 2, rate, rate * 6, 6, 24)
+            + _s.pack("<HHI", 22, 24, 3)
+            + sub_pcm
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    def test_extensible_pcm_unwraps(self):
+        from vectorflow_spark.operators.codecs import decode_audio
+
+        rng = np.random.default_rng(2)
+        st = rng.integers(-(1 << 23), 1 << 23, (200, 2))
+        out, rate = decode_audio(self._extensible_24bit_stereo(st, 96000))
+        assert rate == 96000
+        assert np.array_equal(out.astype(np.int64), st[:, 0])  # first channel
+
+    def test_truncated_extensible_refuses(self):
+        from vectorflow_spark.operators.codecs import decode_wav
+        import struct as _s
+
+        rng = np.random.default_rng(3)
+        blob = bytearray(self._extensible_24bit_stereo(
+            rng.integers(-100, 100, (10, 2)), 8000))
+        # shrink the fmt chunk below the 40-byte extensible minimum
+        _s.pack_into("<I", blob, 16, 16)
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_wav(bytes(blob))

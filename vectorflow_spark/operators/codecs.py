@@ -858,15 +858,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             frames = f.readframes(f.getnframes())
     except wave.Error:
         return _decode_wav_float(data)
-    if width == 1:
-        samples = np.frombuffer(frames, dtype=np.uint8)
-    elif width == 2:
-        samples = np.frombuffer(frames, dtype="<i2")
-    else:
-        raise NotImplementedError(f"{8 * width}-bit WAV not supported (8/16 only)")
+    samples = _pcm_samples(frames, width)
     if n_ch > 1:
         samples = samples[::n_ch]  # first channel
     return samples.astype(np.float64), rate
+
+
+def _pcm_samples(frames: bytes, width: int) -> np.ndarray:
+    """Raw interleaved PCM bytes -> sample values (8-bit unsigned
+    passthrough; 16/24/32-bit signed little-endian — 24-bit is the
+    studio-master width real audio corpora carry)."""
+    if width == 1:
+        return np.frombuffer(frames, dtype=np.uint8)
+    if width == 2:
+        return np.frombuffer(frames, dtype="<i2")
+    if width == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        return (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+    if width == 4:
+        return np.frombuffer(frames, dtype="<i4")
+    raise NotImplementedError(f"{8 * width}-bit PCM WAV not supported (8/16/24/32 only)")
 
 
 def _g711_ulaw_table() -> np.ndarray:
@@ -919,22 +931,36 @@ def encode_wav_g711(codes: np.ndarray, sample_rate: int, law: str = "ulaw") -> b
 
 
 def _decode_wav_float(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE with fmt audio_format 3 (IEEE float) or the G.711
-    telephony formats 6 (A-law) / 7 (mu-law) -> samples."""
+    """RIFF/WAVE forms the stdlib ``wave`` module refuses: fmt audio
+    format 3 (IEEE float), the G.711 telephony formats 6 (A-law) /
+    7 (mu-law), and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the wrapper every
+    >2-channel or 24-bit studio WAV carries; the REAL format code is the
+    first two bytes of the SubFormat GUID) -> samples."""
     if data[:4] != RIFF_MAGIC or data[8:12] != WAVE_FORM:
         raise ValueError("not a WAV file")
     fmt = None
+    fmt_body = fmt_size = 0
     payload = None
     for fourcc, body, size in _riff_chunks(data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
         if fourcc == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", data, body)
+            fmt_body, fmt_size = body, size
         elif fourcc == b"data":
             payload = data[body : body + size]
     if fmt is None or payload is None:
         raise ValueError("WAV: missing fmt or data chunk")
     audio_format, n_ch, rate, _bps, _align, bits = fmt
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+        # 16 base bytes + cbSize(2) + validbits(2) + channel mask(4),
+        # then the SubFormat GUID whose leading u16 is the format code
+        if fmt_size < 40:
+            raise ValueError("WAV: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (audio_format,) = struct.unpack_from("<H", data, fmt_body + 24)
+    if audio_format == 1:  # integer PCM the stdlib wave module refused
+        samples = _pcm_samples(payload, bits // 8)
+        if n_ch > 1:
+            samples = samples[::n_ch]
+        return samples.astype(np.float64), rate
     if audio_format in (6, 7):  # G.711 A-law / mu-law (telephony speech)
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
@@ -970,9 +996,16 @@ def encode_wav_float(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 1) -> bytes:
-    """Mono PCM writer: sampwidth 1 -> u8, 2 -> i16."""
+    """Mono PCM writer: sampwidth 1 -> u8, 2 -> i16, 3 -> i24 LE,
+    4 -> i32 (widths 3/4 are fixtures for the studio-depth decode path)."""
     arr = np.asarray(samples)
-    raw = arr.astype(np.uint8 if sampwidth == 1 else "<i2").tobytes()
+    if sampwidth == 3:
+        v = arr.astype("<i4").view(np.uint8).reshape(-1, 4)
+        raw = np.ascontiguousarray(v[:, :3]).tobytes()
+    elif sampwidth == 4:
+        raw = arr.astype("<i4").tobytes()
+    else:
+        raw = arr.astype(np.uint8 if sampwidth == 1 else "<i2").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
         f.setnchannels(1)

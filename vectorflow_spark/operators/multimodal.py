@@ -11,7 +11,7 @@ BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib; sequential
 (LZW, palettes, interlace, animation compositing — single-frame GIFs are
 images, animated GIFs are videos), WebP-lossless (VP8L via
 operators/webpmini.py), baseline TIFF (strips/PackBits/TIFF-LZW/
-predictor via operators/tiffmini.py), PCM WAV audio (8/16-bit), MJPEG
+predictor via operators/tiffmini.py), PCM WAV audio (8/16/24/32-bit incl. WAVE_FORMAT_EXTENSIBLE), MJPEG
 AVI video (RIFF + one JPEG per frame) and MP3 frame headers (metadata
 only) — plus the deterministic FAKE codec family below; every kernel
 (metadata, resize, dHash, frame sample, audio features) dispatches on
