@@ -1157,3 +1157,39 @@ class TestWavStudioDepths:
         _s.pack_into("<I", blob, 16, 16)
         with pytest.raises((ValueError, NotImplementedError)):
             decode_wav(bytes(blob))
+
+
+class TestMp3VbrHeaders:
+    """r7: Xing/Info (LAME) and VBRI VBR tags parse out of the first
+    frame's payload — header-only, cross-checked against the exact frame
+    walk (a tag that disagrees marks a spliced file and refuses)."""
+
+    def test_xing_parses_and_cross_checks(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        m = mp3_meta(build_mp3(12, xing=True))
+        assert m["vbr_tag"] == "xing"
+        assert m["vbr_frames"] == 12 and m["n_frames"] == 12
+        assert m["vbr_bytes"] == m["n_bytes"]
+
+    def test_plain_cbr_has_no_tag(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        assert mp3_meta(build_mp3(7))["vbr_tag"] is None
+
+    def test_mismatching_tag_refuses(self):
+        import struct as _s
+
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        blob = bytearray(build_mp3(12, xing=True))
+        _s.pack_into(">I", blob, blob.find(b"Xing") + 8, 999)
+        with pytest.raises(ValueError, match="claims 999 frames"):
+            mp3_meta(bytes(blob))
+
+    def test_mpeg2_side_info_offset(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        m = mp3_meta(build_mp3(5, bitrate_kbps=64, sample_rate=22050,
+                               version="MPEG2", xing=True))
+        assert m["vbr_tag"] == "xing" and m["vbr_frames"] == 5

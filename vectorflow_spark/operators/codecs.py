@@ -1301,11 +1301,22 @@ def mp3_meta(data: bytes) -> dict:
             raise ValueError(f"MP3: degenerate frame length at byte {o}")
         if first is None:
             first = info
+            first_off, first_len = o, frame_len
         n_frames += 1
         duration += info["samples_per_frame"] / info["sample_rate"]
         o += frame_len
     if first is None:
         raise ValueError("MP3: no audio frames found")
+    vbr = _mp3_vbr_header(data, first_off, first_len, first)
+    if vbr and vbr.get("vbr_frames") is not None:
+        # encoders write frames-AFTER-the-tag-frame; the walk counts all.
+        # A tag that disagrees with the exact walk by more than that one
+        # frame marks a spliced/corrupt file — refuse, never guess.
+        if vbr["vbr_frames"] not in (n_frames, n_frames - 1):
+            raise ValueError(
+                f"MP3: {vbr['vbr_tag']} header claims {vbr['vbr_frames']} frames, "
+                f"walk found {n_frames}"
+            )
     return {
         "kind": "audio",
         **{k: first[k] for k in ("version", "layer", "bitrate_kbps", "sample_rate", "channels")},
@@ -1313,7 +1324,40 @@ def mp3_meta(data: bytes) -> dict:
         "n_samples": n_frames * first["samples_per_frame"],
         "duration_s": duration,
         "n_bytes": len(data),
+        **(vbr or {"vbr_tag": None}),
     }
+
+
+def _mp3_vbr_header(data: bytes, off: int, frame_len: int, info: dict) -> dict | None:
+    """Parse a Xing/Info (LAME-style) or VBRI (Fraunhofer) VBR tag out of
+    the FIRST frame's payload — header-only, public spec. Real VBR files
+    carry one so players can seek/estimate duration without walking;
+    mp3_meta walks anyway (exact), so the tag doubles as a cross-check.
+    Returns {vbr_tag, vbr_frames?, vbr_bytes?} or None."""
+    if info["layer"] != 3:
+        return None
+    # Xing sits after the side info: MPEG1 17/32 bytes (mono/stereo),
+    # MPEG2/2.5 9/17; +2 when the CRC-protection bit (b1 & 1 == 0) is set
+    mono = info["channels"] == 1
+    side = (17 if mono else 32) if info["version"] == "MPEG1" else (9 if mono else 17)
+    crc = 2 if (data[off + 1] & 1) == 0 else 0
+    p = off + 4 + crc + side
+    if p + 8 <= off + frame_len and data[p : p + 4] in (b"Xing", b"Info"):
+        tag = data[p : p + 4].decode()
+        (flags,) = struct.unpack_from(">I", data, p + 4)
+        q = p + 8
+        out: dict = {"vbr_tag": tag.lower()}
+        if flags & 1:  # frames field
+            (out["vbr_frames"],) = struct.unpack_from(">I", data, q)
+            q += 4
+        if flags & 2:  # bytes field
+            (out["vbr_bytes"],) = struct.unpack_from(">I", data, q)
+        return out
+    v = off + 4 + 32  # VBRI: fixed 32 bytes after the header
+    if v + 26 <= off + frame_len and data[v : v + 4] == b"VBRI":
+        vbr_bytes, vbr_frames = struct.unpack_from(">II", data, v + 10)
+        return {"vbr_tag": "vbri", "vbr_frames": vbr_frames, "vbr_bytes": vbr_bytes}
+    return None
 
 
 def looks_like_mp3(data: bytes) -> bool:
@@ -1330,6 +1374,7 @@ def build_mp3(
     version: str = "MPEG1",
     layer: int = 3,
     seed: int = 0,
+    xing: bool = False,
 ) -> bytes:
     """Deterministic spec-shaped MP3 fixture: real frame headers with
     zeroed payloads sized exactly per the header arithmetic — what the
@@ -1350,8 +1395,17 @@ def build_mp3(
     _info, frame_len = _mp3_frame(hdr + b"\x00" * 4, 0)
     rng = np.random.default_rng(seed)
     out = bytearray()
-    for _ in range(n_frames):
-        out += hdr + bytes(rng.integers(0, 255, frame_len - 4, dtype=np.uint8))
+    for k in range(n_frames):
+        payload = bytearray(rng.integers(0, 255, frame_len - 4, dtype=np.uint8))
+        if xing and k == 0:
+            # Xing tag after the (zeroed) side info: frames+bytes fields
+            side = 17 if version == "MPEG1" else 9  # layer III mono, no CRC
+            payload[:side] = bytes(side)
+            total = n_frames * frame_len
+            payload[side : side + 16] = (
+                b"Xing" + struct.pack(">III", 3, n_frames, total)
+            )
+        out += hdr + bytes(payload)
     return bytes(out)
 
 
