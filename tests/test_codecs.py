@@ -1193,3 +1193,13 @@ class TestMp3VbrHeaders:
         m = mp3_meta(build_mp3(5, bitrate_kbps=64, sample_rate=22050,
                                version="MPEG2", xing=True))
         assert m["vbr_tag"] == "xing" and m["vbr_frames"] == 5
+
+
+class TestVbrHeaderHardening:
+    def test_truncated_xing_refuses_with_valueerror(self):
+        from vectorflow_spark.operators.codecs import build_mp3, mp3_meta
+
+        blob = build_mp3(3, xing=True)
+        for cut in (26, 30, 33):
+            with pytest.raises(ValueError):
+                mp3_meta(blob[:cut])

@@ -277,3 +277,32 @@ class TestBitDepths:
             encode_flac(np.array([300]), 8000, bits=8)
         with pytest.raises(ValueError, match="bits must be"):
             encode_flac(np.array([1]), 8000, bits=12)
+
+
+class TestReviewHardening:
+    """r7 self-review closures: every malformed input refuses with
+    ValueError (codec-layer contract), divergence guards cover the FIXED
+    predictor path too, and md5_verified is honest."""
+
+    def test_truncation_always_valueerror(self):
+        s = _signal(300, 21)
+        blob = encode_flac(s, 8000)
+        for cut in range(5, len(blob), 7):
+            try:
+                decode_flac(blob[:cut])
+            except ValueError:
+                pass  # the ONLY acceptable refusal type
+
+    def test_trailing_bytes_refused(self):
+        blob = encode_flac(_signal(200, 22), 8000)
+        for junk in (b"\x00", b"\xde\xad", b"\xde\xad\xbe\xef"):
+            with pytest.raises(ValueError):
+                decode_flac(blob + junk)
+
+    def test_fixed_predictor_divergence_refuses(self):
+        from vectorflow_spark.operators.flacmini import _reconstruct_fixed
+
+        with pytest.raises(ValueError, match="out of range"):
+            _reconstruct_fixed(2, [0, 0], [1 << 50] * 100)
+        with pytest.raises(ValueError, match="out of range"):
+            _reconstruct_fixed(4, [0, 0, 0, 0], [1 << 39] * 100000)

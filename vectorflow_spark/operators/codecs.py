@@ -194,6 +194,10 @@ def encode_bmp_palette(
         raise ValueError("BMP palette holds at most 256 colors")
     if bits not in (1, 4, 8):
         raise ValueError("BMP palette bits must be 1, 4 or 8")
+    if int(idx.max(initial=0)) >= n_colors:
+        # np.packbits / nibble packing would silently rewrite or corrupt
+        # out-of-range indices — refuse like the TIFF writer does
+        raise ValueError("BMP: palette index out of range")
     if bits != 8:
         if rle:
             raise ValueError("BMP RLE fixtures are 8-bit only (BI_RLE8)")
@@ -1341,20 +1345,32 @@ def _mp3_vbr_header(data: bytes, off: int, frame_len: int, info: dict) -> dict |
     mono = info["channels"] == 1
     side = (17 if mono else 32) if info["version"] == "MPEG1" else (9 if mono else 17)
     crc = 2 if (data[off + 1] & 1) == 0 else 0
+    # bound every read by the REAL buffer, not the header-claimed frame
+    # length — a truncated first frame must refuse with ValueError, never
+    # escape as struct.error (parse correctly or refuse)
+    end = min(off + frame_len, len(data))
     p = off + 4 + crc + side
-    if p + 8 <= off + frame_len and data[p : p + 4] in (b"Xing", b"Info"):
+    if p + 4 <= end and data[p : p + 4] in (b"Xing", b"Info"):
         tag = data[p : p + 4].decode()
+        if p + 8 > end:
+            raise ValueError("MP3: truncated Xing/Info header")
         (flags,) = struct.unpack_from(">I", data, p + 4)
         q = p + 8
         out: dict = {"vbr_tag": tag.lower()}
         if flags & 1:  # frames field
+            if q + 4 > end:
+                raise ValueError("MP3: truncated Xing/Info frames field")
             (out["vbr_frames"],) = struct.unpack_from(">I", data, q)
             q += 4
         if flags & 2:  # bytes field
+            if q + 4 > end:
+                raise ValueError("MP3: truncated Xing/Info bytes field")
             (out["vbr_bytes"],) = struct.unpack_from(">I", data, q)
         return out
     v = off + 4 + 32  # VBRI: fixed 32 bytes after the header
-    if v + 26 <= off + frame_len and data[v : v + 4] == b"VBRI":
+    if v + 4 <= end and data[v : v + 4] == b"VBRI":
+        if v + 18 > end:
+            raise ValueError("MP3: truncated VBRI header")
         vbr_bytes, vbr_frames = struct.unpack_from(">II", data, v + 10)
         return {"vbr_tag": "vbri", "vbr_frames": vbr_frames, "vbr_bytes": vbr_bytes}
     return None

@@ -49,6 +49,7 @@ _SAMPLE_RATE_CODES = {
 }
 _SAMPLE_SIZE_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 _SIZE_FROM_CODE = {v: k for k, v in _SAMPLE_SIZE_CODES.items()}
+_RATE_FROM_CODE = {v: k for k, v in _SAMPLE_RATE_CODES.items()}
 
 
 def _crc_table(poly: int, width: int) -> np.ndarray:
@@ -237,6 +238,8 @@ def _parse_streaminfo(data: bytes) -> tuple[dict, int]:
         hdr = data[pos]
         length = int.from_bytes(data[pos + 1 : pos + 4], "big")
         body = data[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("flac: truncated metadata block body")
         if hdr & 0x7F == 0:
             if length != 34:
                 raise ValueError("flac: STREAMINFO must be 34 bytes")
@@ -296,9 +299,20 @@ def _reconstruct_fixed(order: int, warmup: list[int], residual: list[int]) -> np
     """k-fold integration: a fixed order-k predictor means the residual is
     the k-th finite difference of the signal, so reconstruction is k
     cumulative sums seeded from the warmup's difference pyramid — fully
-    vectorized (no per-sample Python loop)."""
+    vectorized (no per-sample Python loop).
+
+    Divergence-guarded like the LPC path: corrupt residuals (subframes
+    decode BEFORE the frame CRC runs) could otherwise wrap int64 inside
+    np.cumsum and come back as silently wrong samples. Each integration
+    step adds one bounded value, so any overflow must first pass through
+    the (2^40, 2^63) window the per-level check catches."""
+    _LIM = 1 << 40
     w = np.asarray(warmup, dtype=np.int64)
     seq = np.asarray(residual, dtype=np.int64)
+    if (len(w) and int(np.abs(w).max()) > _LIM) or (
+        len(seq) and int(np.abs(seq).max()) > _LIM
+    ):
+        raise ValueError("flac: fixed-predictor input out of range (corrupt stream)")
     # difference pyramid of the warmup: level j holds Δ^j values
     pyramid = [w]
     for _ in range(order):
@@ -306,6 +320,8 @@ def _reconstruct_fixed(order: int, warmup: list[int], residual: list[int]) -> np
     for j in range(order - 1, -1, -1):
         seed = pyramid[j][-1] if len(pyramid[j]) else 0
         seq = seed + np.cumsum(seq)
+        if len(seq) and int(np.abs(seq).max()) > _LIM:
+            raise ValueError("flac: fixed-predictor reconstruction out of range (corrupt stream)")
     return np.concatenate([w, seq]) if len(w) else seq
 
 
@@ -393,8 +409,8 @@ def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int, i
         blocksize = 256 << (bs_code - 8)
     if sr_code == 0:
         rate = info["sample_rate"]
-    elif sr_code in set(_SAMPLE_RATE_CODES.values()):
-        rate = {v: k for k, v in _SAMPLE_RATE_CODES.items()}[sr_code]
+    elif sr_code in _RATE_FROM_CODE:
+        rate = _RATE_FROM_CODE[sr_code]
     elif sr_code == 12:
         rate = data[pos] * 1000
         pos += 1
@@ -462,13 +478,20 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, dict]:
     CRC-16, and — when STREAMINFO carries a nonzero MD5 — the MD5 of the
     reconstructed PCM (the format's own end-to-end reference)."""
     data = bytes(data)
-    info, pos = _parse_streaminfo(data)
-    frames = []
-    rate = info["sample_rate"]
-    n = len(data)
-    while pos < n and n - pos > 2:
-        block, rate, pos = _decode_frame(data, pos, info)
-        frames.append(block)
+    try:
+        info, pos = _parse_streaminfo(data)
+        frames = []
+        rate = info["sample_rate"]
+        n = len(data)
+        while pos < n:
+            if n - pos < 5:  # can't even hold a frame header
+                raise ValueError("flac: trailing bytes after the last frame")
+            block, rate, pos = _decode_frame(data, pos, info)
+            frames.append(block)
+    except (IndexError, struct.error) as e:
+        # codec-layer contract (same as jpegmini): malformed input is
+        # always ValueError, never a raw indexing/struct error escaping
+        raise ValueError(f"flac: truncated or malformed stream ({e})") from None
     if not frames:
         raise ValueError("flac: no audio frames")
     pcm = np.concatenate(frames, axis=0)
@@ -476,15 +499,18 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, dict]:
     if total and len(pcm) != total:
         raise ValueError(f"flac: decoded {len(pcm)} samples, STREAMINFO says {total}")
     md5 = info["md5"]
-    if any(md5):
-        bps = info["bits_per_sample"]
-        if bps % 8 == 0:
-            width = bps // 8
-            got = hashlib.md5(_pcm_bytes(pcm, width)).digest()
-            if got != md5:
-                raise ValueError("flac: decoded PCM MD5 mismatch (corrupt or misdecoded stream)")
+    bps = info["bits_per_sample"]
+    verified = False
+    if any(md5) and bps % 8 == 0:
+        got = hashlib.md5(_pcm_bytes(pcm, bps // 8)).digest()
+        if got != md5:
+            raise ValueError("flac: decoded PCM MD5 mismatch (corrupt or misdecoded stream)")
+        verified = True
     meta = {k: info[k] for k in ("sample_rate", "channels", "bits_per_sample", "total_samples")}
-    meta["md5_verified"] = bool(any(md5))
+    # True ONLY when the end-to-end check actually ran: a nonzero MD5 on
+    # a non-byte-aligned bps is skipped, and reporting it as verified
+    # would claim a reference check that never happened
+    meta["md5_verified"] = verified
     return pcm.astype(np.int32), rate, meta
 
 
