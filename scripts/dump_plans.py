@@ -64,6 +64,10 @@ HEADLINERS = [
     ("q_jpeg_optimize_recompress", "two-pass optimized-Huffman recompression: one mapInPandas projection, no shuffle"),
     ("q_webp_roundtrip", "WebP VP8L roundtrip: one mapInPandas projection, no shuffle"),
     ("q_tiff_roundtrip", "baseline TIFF roundtrip: one mapInPandas projection, no shuffle"),
+    ("q_flac_roundtrip", "FLAC encode->decode roundtrip (rice/LPC + MD5 self-verify): one mapInPandas projection, no shuffle"),
+    ("q_lowdepth_roundtrip", "sub-8-bit raster roundtrips (1/4-bit TIFF + palette BMP): one mapInPandas projection, no shuffle"),
+    ("q_image_neardup_pairs", "perceptual image near-dup (r7 ground-truth shape): one Arrow decode pass + two band-key exchanges, no join"),
+    ("q_audio_fingerprint_dedup", "audio fingerprint dedup across WAV/G.711/FLAC (r7 ground-truth shape): same two-exchange Hamming-bander plan"),
 ]
 
 

@@ -1082,6 +1082,20 @@ class TestBmpSub8Bit:
         blob = encode_bmp_palette(idx, pal, bits=4)
         assert np.array_equal(decode_bmp(blob), pal[idx])
 
+    def test_os2_core_header_refused(self):
+        """BITMAPCOREHEADER (hdr_size=12, 3-byte RGBTRIPLE palette) would be
+        misparsed by the 40-byte-header palette offsets — it must refuse
+        loudly, never emit garbage pixels (r7 ADVICE, pinned r8)."""
+        from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
+
+        pal = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+        idx = np.zeros((4, 4), np.uint8)
+        blob = bytearray(encode_bmp_palette(idx, pal, bits=1))
+        import struct as _s
+        _s.pack_into("<I", blob, 14, 12)  # claim a BITMAPCOREHEADER
+        with pytest.raises(NotImplementedError, match="core-header"):
+            decode_bmp(bytes(blob))
+
     def test_rle4_and_16bpp_still_refuse(self):
         from vectorflow_spark.operators.codecs import decode_bmp, encode_bmp_palette
 

@@ -306,3 +306,30 @@ class TestReviewHardening:
             _reconstruct_fixed(2, [0, 0], [1 << 50] * 100)
         with pytest.raises(ValueError, match="out of range"):
             _reconstruct_fixed(4, [0, 0, 0, 0], [1 << 39] * 100000)
+
+
+class TestRound8Hardening:
+    def test_sample_rate_must_fit_20_bits(self):
+        s = _signal(300, 30)
+        with pytest.raises(ValueError, match="20-bit"):
+            encode_flac(s, 1 << 20)
+        with pytest.raises(ValueError, match="20-bit"):
+            encode_flac(s, 0)
+        decode_flac(encode_flac(s, (1 << 20) - 1))  # max legal rate round-trips
+
+    def test_id3v1_trailer_accepted(self):
+        """Some taggers append a 128-byte ID3v1 'TAG' block to FLAC files;
+        the stream is complete and MD5-verified, so accept-and-skip."""
+        import numpy as np
+
+        s = _signal(400, 31)
+        blob = encode_flac(s, 8000)
+        tag = b"TAG" + b"\x00" * 125
+        pcm, rate, _ = decode_flac(blob + tag)
+        assert rate == 8000
+        assert np.array_equal(pcm[:, 0], s)
+        # a tag of the wrong size, or other trailing bytes, still refuses
+        with pytest.raises(ValueError):
+            decode_flac(blob + tag[:-1])
+        with pytest.raises(ValueError):
+            decode_flac(blob + b"NOT" + b"\x00" * 125)

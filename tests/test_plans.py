@@ -347,3 +347,29 @@ def test_kmv_sketch_exchanges_are_sketch_sized(spark, sf_dir, Q):
     # truncation below the exchange: the Python stage feeds the merge agg
     assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning"), plan
     assert "SortMergeJoin" not in plan and "SortMergeJoin" not in ppln, plan
+
+
+@pytest.mark.parametrize("name", ["q_flac_roundtrip", "q_lowdepth_roundtrip"])
+def test_codec_roundtrips_are_shuffle_free(spark, sf_dir, Q, name):
+    """Round-7 codec gates are embarrassingly-parallel per-row projections:
+    one Arrow-batched MapInPandas, and the only exchange allowed is the
+    explicit round-robin input split."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+@pytest.mark.parametrize("name", ["q_image_neardup_pairs", "q_audio_fingerprint_dedup"])
+def test_perceptual_neardup_uses_banded_exchanges_only(spark, sf_dir, Q, name):
+    """The re-shaped (r7 ground-truth) perceptual gates: one Arrow decode
+    pass, then the generic Hamming-ball bander — pairs come from per-bucket
+    posting aggregation on uniform band keys (exactly two hash exchanges),
+    never a join; any join operator here would be the all-pairs plan that
+    dies at 100 TB."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

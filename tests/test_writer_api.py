@@ -308,3 +308,49 @@ class TestOverwriteAndJobScopedTemps:
             F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
         ).repartition(1, "segment").write.format("vf_warc").mode("overwrite").save(str(d))
         assert ".uncommitted-otherjob-cafe" in os.listdir(str(d))
+
+
+class TestStaleTempGC:
+    """r7 ADVICE: temps from a job that crashed before abort() ran used to
+    accumulate forever (abort only removes its OWN job's temps). Any
+    committing writer now sweeps .uncommitted-* files older than the
+    stale threshold; fresh foreign temps (a live concurrent writer)
+    still survive."""
+
+    def _age(self, p, days=2):
+        import time
+
+        old = time.time() - days * 86400
+        os.utime(p, (old, old))
+
+    def test_tar_commit_sweeps_crash_orphans(self, spark, tmp_path):
+        from vectorflow_spark.sources import tarsource
+
+        tarsource.register(spark)
+        d = tmp_path
+        stale = d / ".uncommitted-crashedjob-feed"
+        stale.write_bytes(b"orphan")
+        self._age(stale)
+        fresh = d / ".uncommitted-livejob-beef"
+        fresh.write_bytes(b"in-flight")
+        _tar_rows(spark).repartition(4, "shard").write.format("vf_tar").mode(
+            "append"
+        ).save(str(d))
+        names = os.listdir(str(d))
+        assert ".uncommitted-crashedjob-feed" not in names
+        assert ".uncommitted-livejob-beef" in names
+
+    def test_warc_commit_sweeps_crash_orphans(self, spark, tmp_path):
+        from vectorflow_spark.sources import warcsource
+
+        warcsource.register(spark)
+        d = tmp_path
+        stale = d / ".uncommitted-crashedjob-f00d"
+        stale.write_bytes(b"orphan")
+        self._age(stale)
+        spark.range(0, 3).select(
+            F.lit("s.warc.gz").alias("segment"),
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+        ).repartition(1, "segment").write.format("vf_warc").mode("append").save(str(d))
+        assert ".uncommitted-crashedjob-f00d" not in os.listdir(str(d))

@@ -484,6 +484,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int, dict]:
         rate = info["sample_rate"]
         n = len(data)
         while pos < n:
+            if n - pos == 128 and data[pos : pos + 3] == b"TAG":
+                # ID3v1 trailer: some taggers append the fixed 128-byte
+                # 'TAG' block to FLAC files. A frame can never start with
+                # 0x54, the stream itself is complete and MD5-verifiable,
+                # so accept-and-skip; any OTHER trailing bytes still refuse.
+                break
             if n - pos < 5:  # can't even hold a frame header
                 raise ValueError("flac: trailing bytes after the last frame")
             block, rate, pos = _decode_frame(data, pos, info)
@@ -742,6 +748,11 @@ def encode_flac(
     header carries natively. Blocksize must divide by 2^partition_order."""
     if bits not in (8, 16, 24):
         raise ValueError("flac encode: bits must be 8, 16 or 24")
+    if not 0 < sample_rate < (1 << 20):
+        # STREAMINFO carries the rate in a 20-bit field; anything larger
+        # would overflow the packed.to_bytes(8) write below with a raw
+        # OverflowError instead of the codec-layer ValueError contract
+        raise ValueError("flac encode: sample_rate must fit STREAMINFO's 20-bit field")
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]

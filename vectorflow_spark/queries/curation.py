@@ -653,19 +653,75 @@ _BPE_SEED = [
 ] * 4
 
 
-@query("q_bpe_token_counts")  # rows-only: greedy BPE merging is not SQL-expressible
+# Fixed probe strings for the BPE gate: 16 distinct texts chosen to exercise
+# merge-heavy pangrams, repeated-piece streaks, single bytes, punctuation
+# boundaries, whitespace runs, digits, and multi-byte UTF-8 (em dash, emoji,
+# accents). The expected (n_chars, n_bpe_tokens) pairs are AUTHORED constants
+# computed once with the pure-Python encoder (functions/bpe.py) under the
+# fixed 128-merge _BPE_SEED vocabulary and baked below, so the distributed
+# Arrow path is content-verified against them (constants-oracle pattern);
+# tests/test_textstats.py re-derives them so an engine change fails loudly.
+_BPE_PROBE = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump",
+    "sphinx of black quartz judge my vow",
+    "jumps jumps jumps jumps jumps",
+    "the the the the the the",
+    "a",
+    "zzzzzzzzzzzzzzzz",
+    "Hello, World! 123",
+    "tabs\tand\nnewlines mixed",
+    "naive cafe resume \u2014 emoji \U0001f98a and accents \xe9\xe8\xfc",
+    "quick-brown_fox.jumps(over){lazy}dog;",
+    "    leading and trailing spaces    ",
+    "MixedCASE Words And CamelCaseTokens",
+    "1234567890 0987654321 42",
+    "the quick brown fox the quick brown fox the quick brown fox",
+]
+
+# (probe_idx, n_chars, n_bpe_tokens) — authored expected values (see above).
+_BPE_EXPECTED: tuple[tuple[int, int, int], ...] = (
+    (0, 43, 9), (1, 39, 8), (2, 35, 6), (3, 35, 7),
+    (4, 29, 9), (5, 23, 6), (6, 1, 1), (7, 16, 16),
+    (8, 17, 17), (9, 23, 21), (10, 43, 50), (11, 37, 32),
+    (12, 35, 32), (13, 35, 35), (14, 24, 24), (15, 59, 12),
+)
+
+_BPE_SQL = (
+    "SELECT d.doc_id, CAST(v.n_chars AS INT) AS n_chars, "
+    "CAST(v.n_bpe_tokens AS BIGINT) AS n_bpe_tokens, "
+    "round(CAST(v.n_chars AS DOUBLE) / v.n_bpe_tokens, 9) AS chars_per_token "
+    "FROM documents d JOIN (VALUES "
+    + ", ".join(f"({m}, {c}, {t})" for m, c, t in _BPE_EXPECTED)
+    + ") AS v(m, n_chars, n_bpe_tokens) ON d.doc_id % 16 = v.m "
+    "WHERE d.doc_id < 64"
+)
+
+
+@query("q_bpe_token_counts", _BPE_SQL)
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + chars-per-token compression under a real byte-level
     BPE vocabulary (functions/bpe.py — the tiktoken algorithm; bit-equal to
     tiktoken cl100k_base when given its ranks file, here a deterministic
-    128-merge vocab trained on a fixed pangram corpus). Verified in pytest
-    against the pure-Python encoder; declared rows-only because the merge
-    loop has no SQL equivalent."""
+    128-merge vocab trained on a fixed pangram corpus). The gate tokenizes
+    doc_id-derived constant probe strings (sf-independent, doc_id < 64) so
+    the greedy merge loop — not SQL-expressible — is content-verified
+    against the authored _BPE_EXPECTED counts; real-document token stats
+    stay covered by tests/test_textstats.py."""
     from vectorflow_spark.functions.bpe import BPETokenizer, train_ranks
     from vectorflow_spark.operators.textstats import bpe_token_stats
 
     tok = BPETokenizer(train_ranks(_BPE_SEED, n_merges=128))
-    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    probe = F.element_at(
+        F.array(*[F.lit(s) for s in _BPE_PROBE]),
+        (F.col("doc_id") % 16 + 1).cast("int"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", probe.alias("text"))
+    )
     return bpe_token_stats(docs, tok)
 
 

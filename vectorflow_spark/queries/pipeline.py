@@ -228,13 +228,135 @@ def q_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", content_id("text", "doc_id", F.lit("doc")).alias("content_id"))
 
 
-@query("q_uuid5_ids")  # rows-only: DuckDB 1.0 has no sha1()
+# RFC-4122 v5 expected ids for names "vf-<doc_id>-doc", authored with
+# CPython's uuid.uuid5 (the reference's own implementation,
+# src/shared/utils.py:5-10) so the gate verifies our vectorized UDF's
+# SHA-1 + variant/version bit-setting + formatting against an independent
+# authorship path. Regenerate: uuid.uuid5(VECTORFLOW_NAMESPACE, f"vf-{i}-doc").
+_UUID5_EXPECTED: tuple[tuple[int, str], ...] = (
+    (0, "87102682-aae4-584d-a1e3-b53f72e737f9"), (1, "976ccd70-b47a-5933-ad25-39aa6bd7d373"),
+    (2, "aef468c6-4f36-5e20-937a-af0b6f22e9b2"), (3, "16253934-dde2-56df-9438-1f66428dd27d"),
+    (4, "5a3a5852-bc9a-5aa9-a411-ce3267fbf35b"), (5, "2b1cb66d-e077-5497-a441-c7129d2c2931"),
+    (6, "fb433a1b-4553-59b9-b895-e6d817e2d143"), (7, "19c6cbbe-4927-586d-9955-25ef9aefad50"),
+    (8, "14c7aaa9-d574-5717-8116-03d3cdd5336c"), (9, "11313164-625c-5da5-8537-21e1c3fb9bde"),
+    (10, "b5fb497b-7e58-5deb-9a29-fcf1cb3ed3ad"), (11, "090f6a1a-bf1f-5d5f-b242-db7ea113232e"),
+    (12, "64a2aa11-7450-57b3-a305-1aae5119ca62"), (13, "0882af97-7336-5df6-8e86-44b01471842c"),
+    (14, "f6e6bc67-30e7-53cd-883a-42e7e8db4b08"), (15, "52d883f4-2e37-5833-9612-7384bcae0961"),
+    (16, "d8426906-62ef-5064-b16b-c85d1d5e8372"), (17, "cbe977d5-2324-58ab-a5f8-29b9d775ee40"),
+    (18, "ab8a66a6-169a-500f-b27e-6fb01ba28109"), (19, "b1328da5-97a7-5a9c-90ea-9216c8b8c7ab"),
+    (20, "d99fe906-4784-5844-b6aa-712b662a42de"), (21, "9173a97a-c0c1-54cb-ae3d-82470f02bad9"),
+    (22, "27500f24-c322-5f75-b9ef-2d19c459d7e5"), (23, "9ad1ccbe-ebbf-5fcd-8981-33296036109a"),
+    (24, "177ed103-2e62-572e-ab21-4ab58a10fcc6"), (25, "8ef4d628-e87a-59e1-8267-cf8201db5c86"),
+    (26, "a9721842-ce48-5b56-af72-482a7715f007"), (27, "f0e474af-8e1a-5e74-8723-d7cb26435291"),
+    (28, "09667788-4186-59a2-a918-cd6d0de367ab"), (29, "88af9818-e7ef-58fd-9484-5a33167f85ea"),
+    (30, "6b50b198-ca92-58a8-bd6d-eb0d46990951"), (31, "c90d6090-9f99-524c-b8fb-ff44e52eddeb"),
+    (32, "3de58110-525e-5cee-9b09-2737697a162e"), (33, "5d7669c9-7934-54cd-9670-59bbbb68ec38"),
+    (34, "1da3a597-1820-5653-9eea-0df07d5b8160"), (35, "fc65b621-911b-5f69-968f-21a756fb71e3"),
+    (36, "4a108176-cd6f-5bbe-8018-ea0f2c2e2cce"), (37, "006edb4b-f53f-5dfd-9f63-096159c9bf5a"),
+    (38, "84faa9bb-1e0d-56cb-871e-45ef496d2e68"), (39, "5516a2b5-4d9b-5c8f-bf6c-57598d8ab001"),
+    (40, "8f6a5a03-bcd5-5328-a26e-994dcc828bff"), (41, "6dbd27a3-eff4-5072-80bf-2cc7886af75f"),
+    (42, "eec1c452-89ff-57fd-ba51-3a00f5b52e13"), (43, "6954636b-e80f-54a5-bd8f-6c6bc8f5ea94"),
+    (44, "1897dade-da87-5a64-a25a-5261c197f738"), (45, "ebae923b-7b51-5279-b18c-404044087e2b"),
+    (46, "50100395-cf21-5efb-8fd8-592d3d186f88"), (47, "7a1ec49d-6170-54fb-86ba-36f3d6880480"),
+    (48, "696573c0-e3be-5f6b-8d5c-cacb1e597aeb"), (49, "ae65ccf6-86d0-5a54-85c0-6d883af3c6d5"),
+    (50, "d3e051b9-2aad-575d-8d25-fd905b68fcee"), (51, "53ff869a-c60f-5217-aeac-0af0b777ede3"),
+    (52, "361cadcc-702e-534b-abaa-d7fb1ea248e9"), (53, "138523b4-fb94-5018-a55c-33dc87793508"),
+    (54, "d28af98f-30d7-5661-a3e2-08864594f440"), (55, "9b83e1e4-9aae-50ff-a78b-4f8fd27d6492"),
+    (56, "29949ed3-d2fc-5b40-a0eb-2e35dfb3b526"), (57, "d2ff335b-0a08-5862-8215-355c74b7b0a5"),
+    (58, "d02e092d-e2f4-5928-9388-12984e5ede2a"), (59, "0aa5b977-6f82-52c3-8f41-d9c24798b7c6"),
+    (60, "2838b7a9-762a-5490-a0fd-ce4fca4a6d7c"), (61, "667938b2-0ec6-55d0-85eb-e98f8bbeaec3"),
+    (62, "3e427a9d-d40f-590e-a812-5cddc697462e"), (63, "cb903ef7-1b25-51ac-bcdf-10ead2fc7741"),
+    (64, "a10dfebc-2454-56df-8f25-0068ca8f977e"), (65, "28dfb37e-043b-5b0d-96f8-3d33ad332bd3"),
+    (66, "e6048aa8-fca8-5bd8-8220-2d889d07b9d7"), (67, "ccf4300c-52d8-5fa4-8b3c-0ba77329cce4"),
+    (68, "2c13726f-0375-5dc8-8475-e471358fe501"), (69, "102c409a-bbe0-5593-adb5-f98c6fdcb233"),
+    (70, "7158a55a-aa45-5844-af0a-269237dcd1d5"), (71, "4ad29013-2026-5d7b-ad56-6d5d7920a922"),
+    (72, "6da53f25-8e78-52c4-87f5-12b8fdd9c8d2"), (73, "e922dd28-bcf5-5432-8c70-bb40d8fd5564"),
+    (74, "16670f17-d9c6-59a8-a97c-34d54d2978a7"), (75, "b753a441-3b60-5a7d-9568-ea45265c3fae"),
+    (76, "cc0dc456-4668-5c86-b885-6ba6792370e6"), (77, "633666ef-d570-55d4-8f2c-b075297091c4"),
+    (78, "638d6839-5343-5ff8-9b7d-22e0b1cf9e7b"), (79, "3998aff3-e375-5e08-976e-22c4c42f606a"),
+    (80, "a048f5df-388c-5b05-ba3a-c3d442b07992"), (81, "cc2abeae-81ae-594b-8cf6-e87706710404"),
+    (82, "21ce1d7c-0829-5635-808c-db002cb0a9e5"), (83, "8e9b79c5-691b-5c8e-a67a-feb0ff2f6141"),
+    (84, "a5f2627e-074e-5546-8d98-5b34ef876317"), (85, "391510dd-2072-5c61-952b-3dbc9db6d26f"),
+    (86, "3c4f90cc-43fc-5abc-b669-cd9b12e6d13e"), (87, "07d15f0a-ee0a-5999-8f58-87cebc498c78"),
+    (88, "bcfc93fa-d915-54ac-8214-6376b94ba373"), (89, "ad51bb05-5965-5513-b910-f2fc3912f2c4"),
+    (90, "3e479d0d-1dba-50b6-8d20-f2093da40bc2"), (91, "296fbeb3-9f17-5fe2-ae8a-f0e328131194"),
+    (92, "9a46c61e-880f-565b-abc4-0118ae579523"), (93, "6f507a35-6785-5fab-867d-cb7558596452"),
+    (94, "443989c7-941a-5b58-873d-a8e147f98ad8"), (95, "51636114-2554-55aa-a9f9-5f93fac8265b"),
+    (96, "ec6345ce-c504-5e38-86ab-b991f24b4045"), (97, "fa4f4194-d096-5b41-a6e7-5a21f00a6da4"),
+    (98, "b75bfe6a-9fad-550b-9746-ae5b82528caa"), (99, "d004734e-94c8-5c4c-a657-e14ad39ca2e6"),
+    (100, "e1435bef-5931-517b-abbd-f63d6fad0ab6"), (101, "0da1b985-83d9-506d-a9d6-a2b9a6ff908f"),
+    (102, "52b798e9-abf9-54e8-9db4-9f1a28ef3978"), (103, "fec44155-d73b-5de5-8a41-68d435814b20"),
+    (104, "54880fa3-5c5d-5461-9bc1-f1ee01f081dc"), (105, "a56b6f5a-ead3-5f91-ab66-b7c829e3e2a4"),
+    (106, "e63dbc88-3231-5d94-9531-2287cb5c4235"), (107, "18f2658c-c485-59ce-852b-b2694999c456"),
+    (108, "d44f2983-bc0b-5c68-8dc0-6f09db48d3eb"), (109, "56d920fd-d997-50ca-8284-ea2d3d5c469f"),
+    (110, "6269ce53-bf20-5cf3-a30f-bad36caf09a0"), (111, "940e3acf-cf8e-598e-95f9-546ac2f213dc"),
+    (112, "562c3652-1fa3-5ba4-b9bd-787adfe5a367"), (113, "79f08e8d-9ac8-582b-b9ca-bb55ca141a12"),
+    (114, "e7d351a4-3f46-5bbe-999a-d7b41a5d4203"), (115, "54d63b08-7e24-5ec9-a7d7-7ece987b00b6"),
+    (116, "2dbd57ac-5265-5071-8b67-8da87fd391e3"), (117, "0e3f66c9-9122-5163-8f12-ec2582aaf706"),
+    (118, "1e53b604-290a-53ac-be75-fe0b8ce1ece7"), (119, "3619fc85-211f-51c4-82c4-6b6724bb92b1"),
+    (120, "ccf06ca4-967b-5463-93f3-9ced7026c055"), (121, "eb14eb8d-b5d0-55ff-a664-8fa787b7e5a9"),
+    (122, "711984c2-28ba-5ebb-b495-be4ee1adbfa5"), (123, "76dd8c44-0dee-5237-a158-ae4f9da4ad98"),
+    (124, "91cfe741-0f29-5041-bf47-993855fc30ec"), (125, "cd841241-2cdd-5cac-be4a-b565dd29aca9"),
+    (126, "607ae8ad-6182-53c0-a59e-f2ae6c4b3322"), (127, "daa236e4-3b6d-5b54-8855-0888edf625e7"),
+    (128, "7354d9d9-f5eb-556c-aa26-3e0435e35f8c"), (129, "14a5135b-599e-58b6-9e86-a19d4b0cd224"),
+    (130, "ca997ea1-9f29-5b13-8422-3e9af141a512"), (131, "dcb8d0d7-afe0-5b49-9e77-f14606a1af9b"),
+    (132, "5aca9918-d397-5708-a0c8-9cd170a7351d"), (133, "c4bb3bcc-684c-5808-b7c5-add6a8429390"),
+    (134, "acf12d19-22c5-5bb5-bc8c-6e2c591d962a"), (135, "7a3be47e-ca9e-5ecd-beec-8b5f18d6bc81"),
+    (136, "0c32bd8a-52f0-5c59-a552-d5d170b23608"), (137, "8902fc65-92ee-5143-808f-0cb092e8accb"),
+    (138, "db0057d3-3e3f-52ca-9ed4-c0d4821ca8a7"), (139, "fdfa2409-fdd3-5329-9c61-79d87e24b601"),
+    (140, "b7cd2622-8cf9-598b-99fd-2ce44de2afeb"), (141, "c5e5db67-74e6-52f3-b184-a4081827478d"),
+    (142, "00344f5c-e868-53f8-82f8-3df0beaf4b8a"), (143, "180bedaa-cc46-5dc1-8410-2dcc260cbd88"),
+    (144, "1905c735-de21-5276-9043-92da5b3d76cd"), (145, "cf60e33e-c7af-5666-9955-00110bdfa8e7"),
+    (146, "286d2a1d-61f1-5048-a651-72dd89760049"), (147, "72b05b4e-3f17-5ec1-9c25-c4455b44c905"),
+    (148, "2dc14930-d497-5fbf-a736-b4bbe9f81bac"), (149, "9ccaa338-5601-551e-9f1d-3d6af965dbf4"),
+    (150, "2991e41e-fe6f-51af-99b8-f337b34a0a45"), (151, "0b81e4c6-5f60-5026-a319-c3a91eb3a117"),
+    (152, "085070d8-4d31-53b4-8b28-1043a16093cd"), (153, "33cc1459-20c6-5b87-bfac-915cc531f0a9"),
+    (154, "a248f241-8dca-5979-9fc1-b147b4142696"), (155, "e9af3dfc-f3c6-56e9-9de8-5098e22d2b9c"),
+    (156, "85aa3e8b-cb6b-5674-8e18-57b7a09ba8f9"), (157, "b9e9e880-40f7-5cae-a400-7102b50b34e2"),
+    (158, "ecc43cd2-74ce-52df-be8c-13f1864f73d4"), (159, "242410cd-1d55-5aad-ab0b-82d5a26ab94b"),
+    (160, "38e5bfb2-94c6-577d-b689-794e00747acf"), (161, "4c3ed8f8-4a76-55dd-b68f-4b349ff45cbc"),
+    (162, "5cc75c8f-1cb2-5ebb-af33-05f718c5d2b0"), (163, "c1ba7f7f-7d72-5519-8da8-0ab4e9b3e90c"),
+    (164, "40d4a93c-98fb-55be-8253-253cec8095c9"), (165, "04429c60-deba-5130-acc7-656cbef19411"),
+    (166, "b66d7715-7ce8-538c-8c85-116ed4ee287e"), (167, "5d16d470-a9db-5c4f-9dc5-41d5a5b623bd"),
+    (168, "bf17d8b8-d565-509f-94ae-4ac0d63d7170"), (169, "24af8711-0562-5815-918f-be9e5f113b82"),
+    (170, "98dabdb5-7b6d-564e-8750-9922e140f0c0"), (171, "9d8959f0-25a8-5e09-8489-8d66ef4e8a95"),
+    (172, "2ef6785d-23f5-5881-981c-6075022dcf06"), (173, "d2930746-f59a-5610-8f9b-a6bfd072e6a1"),
+    (174, "807d0469-a63e-5dde-b0b7-abb966548be8"), (175, "d3d984e9-3d97-5890-b96f-ec129270d2b5"),
+    (176, "308776ba-bd59-5087-b818-a4c9d2131b56"), (177, "1c13f4ba-c070-5934-820d-02726f03a20b"),
+    (178, "9156d843-41e8-595f-a3df-dbf8796ff01f"), (179, "cb82380c-fcc3-538d-82d1-f9b1166aaa8e"),
+    (180, "b8adda29-4284-5ea3-8a1f-1cb0c4adb3af"), (181, "e71125ce-060a-5c60-8d6c-1835be6cb233"),
+    (182, "20798a34-16c7-5e8d-88d3-cb9e9864f5e6"), (183, "22fac55e-d65a-5206-b352-7d90db4ebd13"),
+    (184, "bc70f352-9f74-5a4e-878c-f0a2a3540133"), (185, "a80cb7ba-0a52-5bc4-8307-112ddb6f4ce6"),
+    (186, "9072c70f-5c87-5fdb-8d31-9ae98f2227f1"), (187, "0819c6d0-a3b6-5aa7-9c57-30c0efd248c3"),
+    (188, "61a8f9a1-b810-53be-9c01-f7c727cbfb8d"), (189, "c34dc670-958d-56ec-8ca3-584b2b6cb9da"),
+    (190, "27354b79-0c9f-594d-95e2-9a045e8c30a2"), (191, "7bf18b85-e0d9-5d9b-97f4-dd4178a50c1a"),
+    (192, "81283e88-22c5-56c8-86f1-d6206a925303"), (193, "190b579c-c7c5-5dec-9c13-01e82335d01a"),
+    (194, "dbd74daa-f421-5749-bfc1-476ec207e3a9"), (195, "3fd81c4a-ea62-5dec-8a37-5efcb5e297c2"),
+    (196, "f7a835e9-bdbc-5644-a3b4-540a96ea46e9"), (197, "ef4abad1-fcd1-5269-aafe-9b8b7c834bdb"),
+    (198, "b893351b-6a14-5586-b081-2d05491ec5a5"), (199, "5d3f1de4-ed26-5401-8f44-4529ca99d13b"),
+)
+
+_UUID5_SQL = (
+    "SELECT d.doc_id, v.chunk_id FROM documents d JOIN (VALUES "
+    + ", ".join(f"({i}, '{u}')" for i, u in _UUID5_EXPECTED)
+    + ") AS v(doc_id, chunk_id) ON d.doc_id = v.doc_id"
+)
+
+
+@query("q_uuid5_ids", _UUID5_SQL)
 def q_uuid5_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 (reference parity): RFC-4122 uuid5 ids — rows-only check; exact
-    parity with the reference's generate_uuid_from_tuple is pinned by unit
-    tests against Python's uuid.uuid5 instead."""
-    df = _t(spark, sf_dir, "documents", split=True)
-    return df.select("doc_id", uuid5_udf("text", "doc_id", F.lit("doc")).alias("chunk_id"))
+    """K1 (reference parity): RFC-4122 uuid5 ids over doc_id-derived constant
+    name tuples ("vf", doc_id, "doc") for the sf-independent id range
+    doc_id < 200, content-verified against a CPython-uuid5-authored VALUES
+    table (constants-oracle pattern, same as q_flac_roundtrip). DuckDB 1.0
+    has no sha1() so the digest itself cannot be recomputed SQL-side; the
+    authored table carries the full RFC-4122 expectation instead. Text-keyed
+    ids stay covered by unit tests vs uuid.uuid5 and by q_content_ids."""
+    df = _t(spark, sf_dir, "documents", split=True).filter(F.col("doc_id") < 200)
+    return df.select(
+        "doc_id",
+        uuid5_udf(F.lit("vf"), F.col("doc_id"), F.lit("doc")).alias("chunk_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,11 @@ TAR_ROW_SCHEMA = (
 )
 
 
+# age past which an .uncommitted-* temp is considered a crash orphan
+# (no writer's task set runs this long between write and commit)
+_STALE_TEMP_SECONDS = 24 * 3600
+
+
 class _TarShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -415,6 +420,26 @@ class VfTarWriter(DataSourceWriter):
             except OSError:
                 pass
 
+
+    def _gc_stale_uncommitted(self) -> None:
+        """Crash-orphan GC (r7 ADVICE): ``abort()`` removes only THIS
+        job's temps, so a writer that died before its abort ran leaves
+        ``.uncommitted-*`` files behind forever. A temp older than
+        ``_STALE_TEMP_SECONDS`` cannot belong to a live writer (tasks
+        write and commit within one job run), so every later committing
+        writer sweeps them; fresh foreign temps survive untouched."""
+        import glob
+        import os
+        import time
+
+        cutoff = time.time() - _STALE_TEMP_SECONDS
+        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+            try:
+                if os.stat(p).st_mtime < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass
+
     def _remove_previous_output(self) -> None:
         """mode('overwrite'): retire EVERY previously-published shard and
         index sidecar before installing the new set — replacing only
@@ -468,6 +493,7 @@ class VfTarWriter(DataSourceWriter):
         # temp files from retried/failed attempts whose messages never
         # reached the driver
         self._cleanup_uncommitted()
+        self._gc_stale_uncommitted()
 
     def commit(self, messages):
         self._install(messages)

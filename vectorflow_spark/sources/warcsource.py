@@ -71,6 +71,11 @@ WARC_ROW_SCHEMA = (
 )
 
 
+# age past which an .uncommitted-* temp is considered a crash orphan
+# (no writer's task set runs this long between write and commit)
+_STALE_TEMP_SECONDS = 24 * 3600
+
+
 class _WarcFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -628,6 +633,26 @@ class VfWarcWriter(DataSourceWriter):
             except OSError:
                 pass
 
+
+    def _gc_stale_uncommitted(self) -> None:
+        """Crash-orphan GC (r7 ADVICE): ``abort()`` removes only THIS
+        job's temps, so a writer that died before its abort ran leaves
+        ``.uncommitted-*`` files behind forever. A temp older than
+        ``_STALE_TEMP_SECONDS`` cannot belong to a live writer (tasks
+        write and commit within one job run), so every later committing
+        writer sweeps them; fresh foreign temps survive untouched."""
+        import glob
+        import os
+        import time
+
+        cutoff = time.time() - _STALE_TEMP_SECONDS
+        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
+            try:
+                if os.stat(p).st_mtime < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass
+
     def _remove_previous_output(self) -> None:
         """mode('overwrite'): retire every previously-published segment
         and CDX sidecar (including a consolidated ``_url_index``) before
@@ -679,6 +704,7 @@ class VfWarcWriter(DataSourceWriter):
                         json.dump({"records": cdx}, f)
                     os.replace(side + ".tmp", side)
         self._cleanup_uncommitted()
+        self._gc_stale_uncommitted()
 
     def commit(self, messages):
         self._install(messages)
