@@ -72,11 +72,19 @@ def main() -> None:
             workload_revs = json.load(f).get("workload_revs", {})
     except (OSError, ValueError):
         pass
+    m = re.search(r"_r0*(\d+)", src)
     doc = {
         "source": src,
         "tolerance_ratio": TOLERANCE,
         "abs_floor_s": ABS_FLOOR_S,
         "sf": 0.1,
+        "frozen_from_round": int(m.group(1)) if m else None,
+        "policy": (
+            "budgets are FROZEN from the PRIOR round's committed run and only "
+            "regenerated with a recorded reason when a gate's workload "
+            "legitimately changes (r6 verdict item 4); never regenerate from "
+            "the current round's own run"
+        ),
         "budgets": budgets,
         "workload_revs": workload_revs,
     }
