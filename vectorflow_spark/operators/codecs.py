@@ -1437,6 +1437,12 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
         pcm, rate, _meta = decode_flac(data)
         return pcm[:, 0].astype(np.float64), rate
+    if data[:4] == b"OggS":
+        raise NotImplementedError(
+            "ogg: Opus/Vorbis SAMPLE decode needs libopus/libvorbis, absent "
+            "in this environment (same adjudication as MP3 Layer-III); "
+            "container/header metadata parses via operators/oggmini.ogg_meta"
+        )
     raise NotImplementedError(
         "audio decode supports the FAKE codec, PCM WAV and FLAC; MP3/AAC "
         "need external libraries not installed in this environment "

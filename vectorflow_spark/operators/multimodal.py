@@ -108,6 +108,16 @@ def decode_meta(data: bytes) -> dict:
             "n_samples": m["n_samples"],
             "n_bytes": len(data),
         }
+    if magic == b"OggS":
+        from vectorflow_spark.operators.oggmini import ogg_meta
+
+        m = ogg_meta(bytes(data))
+        return {
+            "kind": "audio",
+            "sample_rate": m["sample_rate"],
+            "n_samples": m["n_samples"],
+            "n_bytes": len(data),
+        }
     if magic == b"fLaC":
         from vectorflow_spark.operators.flacmini import flac_meta
 

@@ -1,0 +1,471 @@
+"""Ogg container metadata (RFC 3533) with Opus (RFC 7845) and Vorbis
+identification/comment header parsing — the second big crawl-audio family
+next to MP3 (operators/codecs.mp3_meta is the sibling surface; the
+reference repo has no audio handling at all, this is extension scope).
+
+Scope and verification strategy (the FLAC/MP4 precedent):
+
+* **Pages and headers only.** Every Ogg page carries a spec'd CRC-32
+  (poly 0x04C11DB7, init 0, MSB-first, no reflection, no final xor —
+  RFC 3533 appendix A.2) over the whole page with the CRC field zeroed,
+  so the container layer is SELF-VERIFYING: a single flipped bit in any
+  real file fails the page CRC. The CRC itself is pinned two independent
+  ways in tests: the table-driven fast path vs a naive bitwise
+  implementation, and the published CRC-32/CKSUM catalogue check value
+  (crc("123456789") == 0x765E7680 after the final-xor that distinguishes
+  CKSUM from Ogg's variant — i.e. ogg_crc("123456789") == 0x89A1897F).
+* **Audio sample decode REFUSES.** Opus (SILK/CELT) and Vorbis (MDCT +
+  floor/residue codebooks) decoders cannot be verified in this container
+  (no libopus/libvorbis/ffmpeg to pin against — same adjudication as MP3
+  Layer-III, codecs.py), so per the parse-correctly-or-refuse contract
+  the coded packets stay opaque. Classification, duration, channel
+  layout, pre-skip, vendor strings — everything a corpus-triage pass
+  needs — come from the header packets, which ARE fully spec'd and
+  verified field-by-field by the q_ogg_meta constants oracle.
+* The deterministic writer (``build_ogg_opus`` / ``build_ogg_vorbis``)
+  emits real RFC-conformant pages — correct lacing incl. >255-byte
+  packets, packets spanning pages with the continued-packet flag,
+  header-on-its-own-page discipline, BOS/EOS flags, granule positions —
+  with deterministic OPAQUE payload bytes standing in for coded audio
+  (clearly a fixture: we never claim to produce decodable Opus/Vorbis
+  frames). Reader and writer cross two independently-written layers of
+  the page math.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "ogg_crc",
+    "ogg_pages",
+    "ogg_packets",
+    "ogg_meta",
+    "build_ogg_stream",
+    "build_opus_head",
+    "build_opus_tags",
+    "build_vorbis_id",
+    "build_vorbis_comment",
+    "build_ogg_opus",
+    "build_ogg_vorbis",
+]
+
+_OGG_POLY = 0x04C11DB7
+_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ _OGG_POLY) & 0xFFFFFFFF if _r & 0x80000000 else (_r << 1) & 0xFFFFFFFF
+    _CRC_TABLE.append(_r)
+
+_NO_GRANULE = (1 << 64) - 1  # -1: no packet completes on this page
+
+
+def ogg_crc(data: bytes, crc: int = 0) -> int:
+    """RFC 3533 page CRC: table-driven, MSB-first, init 0, no final xor."""
+    table = _CRC_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_pages(data: bytes) -> list[dict]:
+    """Walk every page, verifying capture pattern, version and CRC.
+
+    Returns dicts with ``flags granule serial seq segments`` where
+    ``segments`` is the list of raw segment byte strings and
+    ``closes_last`` says whether the final segment terminates a packet
+    (lacing < 255). Refuses loudly (ValueError) on any malformation."""
+    data = bytes(data)
+    pages = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if n - pos < 27:
+            raise ValueError(f"ogg: truncated page header at byte {pos}")
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"ogg: bad capture pattern at byte {pos}")
+        version = data[pos + 4]
+        if version != 0:
+            raise ValueError(f"ogg: unsupported stream structure version {version}")
+        flags = data[pos + 5]
+        (granule,) = struct.unpack_from("<Q", data, pos + 6)
+        serial, seq, crc = struct.unpack_from("<III", data, pos + 14)
+        n_segs = data[pos + 26]
+        table_end = pos + 27 + n_segs
+        if table_end > n:
+            raise ValueError(f"ogg: truncated segment table at byte {pos}")
+        lacings = data[pos + 27 : table_end]
+        body_len = sum(lacings)
+        page_end = table_end + body_len
+        if page_end > n:
+            raise ValueError(f"ogg: truncated page body at byte {pos}")
+        zeroed = data[pos : pos + 22] + b"\x00\x00\x00\x00" + data[pos + 26 : page_end]
+        if ogg_crc(zeroed) != crc:
+            raise ValueError(f"ogg: page CRC mismatch at byte {pos}")
+        segments = []
+        off = table_end
+        for lac in lacings:
+            segments.append(data[off : off + lac])
+            off += lac
+        pages.append(
+            {
+                "flags": flags,
+                "granule": granule,
+                "serial": serial,
+                "seq": seq,
+                "lacings": bytes(lacings),
+                "segments": segments,
+                "closes_last": bool(lacings) and lacings[-1] < 255,
+            }
+        )
+        pos = page_end
+    if not pages:
+        raise ValueError("ogg: no pages")
+    return pages
+
+
+def ogg_packets(pages: list[dict]) -> list[bytes]:
+    """Reassemble packets from one logical stream's pages (continued
+    packets span pages via the 0x01 flag and 255-lacing tails)."""
+    packets: list[bytes] = []
+    partial = bytearray()
+    open_packet = False
+    expect_seq = None
+    for pg in pages:
+        if expect_seq is not None and pg["seq"] != expect_seq:
+            raise ValueError(
+                f"ogg: page sequence gap (expected {expect_seq}, got {pg['seq']})"
+            )
+        expect_seq = pg["seq"] + 1
+        if bool(pg["flags"] & 0x01) != open_packet:
+            raise ValueError("ogg: continued-packet flag inconsistent with lacing")
+        lacings, segments = pg["lacings"], pg["segments"]
+        for lac, seg in zip(lacings, segments):
+            partial += seg
+            if lac < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+        open_packet = bool(lacings) and lacings[-1] == 255
+    if open_packet:
+        raise ValueError("ogg: stream ends inside a continued packet")
+    return packets
+
+
+def _parse_opus_head(pkt: bytes) -> dict:
+    if len(pkt) < 19:
+        raise ValueError("ogg: truncated OpusHead")
+    version = pkt[8]
+    if version >> 4 != 0:  # RFC 7845 §5.1: major version must be 0
+        raise ValueError(f"ogg: unsupported OpusHead version {version}")
+    channels = pkt[9]
+    if channels == 0:
+        raise ValueError("ogg: OpusHead with zero channels")
+    pre_skip, input_rate = struct.unpack_from("<HI", pkt, 10)
+    (output_gain,) = struct.unpack_from("<h", pkt, 16)
+    mapping_family = pkt[18]
+    if mapping_family != 0 and len(pkt) < 21 + channels:
+        raise ValueError("ogg: truncated OpusHead channel mapping table")
+    return {
+        "codec": "opus",
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "input_sample_rate": input_rate,
+        "output_gain_q8": output_gain,
+        "mapping_family": mapping_family,
+    }
+
+
+def _parse_vorbis_id(pkt: bytes) -> dict:
+    if len(pkt) < 30:
+        raise ValueError("ogg: truncated Vorbis identification header")
+    (version,) = struct.unpack_from("<I", pkt, 7)
+    if version != 0:
+        raise ValueError(f"ogg: unsupported Vorbis version {version}")
+    channels = pkt[11]
+    if channels == 0:
+        raise ValueError("ogg: Vorbis header with zero channels")
+    rate, br_max, br_nom, br_min = struct.unpack_from("<Iiii", pkt, 12)
+    if rate == 0:
+        raise ValueError("ogg: Vorbis header with zero sample rate")
+    blocks = pkt[28]
+    if not pkt[29] & 0x01:
+        raise ValueError("ogg: Vorbis identification framing bit unset")
+    return {
+        "codec": "vorbis",
+        "channels": channels,
+        "sample_rate": rate,
+        "bitrate_nominal": br_nom,
+        "blocksize_0": 1 << (blocks & 0x0F),
+        "blocksize_1": 1 << (blocks >> 4),
+    }
+
+
+def _parse_comment_block(buf: bytes, off: int, what: str) -> tuple[str, int]:
+    """Shared OpusTags / Vorbis-comment body: vendor string + tag count."""
+    if len(buf) < off + 4:
+        raise ValueError(f"ogg: truncated {what} vendor length")
+    (vlen,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    if len(buf) < off + vlen + 4:
+        raise ValueError(f"ogg: truncated {what} vendor string")
+    vendor = buf[off : off + vlen].decode("utf-8", errors="strict")
+    off += vlen
+    (n_tags,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    for i in range(n_tags):
+        if len(buf) < off + 4:
+            raise ValueError(f"ogg: truncated {what} tag {i}")
+        (tlen,) = struct.unpack_from("<I", buf, off)
+        off += 4 + tlen
+        if len(buf) < off:
+            raise ValueError(f"ogg: truncated {what} tag {i}")
+    return vendor, n_tags
+
+
+def ogg_meta(data: bytes) -> dict:
+    """Ogg bytes -> container/codec metadata (headers only; every page
+    CRC-verified). Single logical stream only — grouped/chained files
+    refuse loudly rather than report one stream's fields as the file's."""
+    pages = ogg_pages(data)
+    serials = {p["serial"] for p in pages}
+    if len(serials) > 1:
+        raise NotImplementedError(
+            f"ogg: {len(serials)} multiplexed/chained logical streams not supported"
+        )
+    if not pages[0]["flags"] & 0x02:
+        raise ValueError("ogg: first page is not beginning-of-stream")
+    if any(p["flags"] & 0x02 for p in pages[1:]):
+        raise ValueError("ogg: duplicate beginning-of-stream page")
+    if not pages[-1]["flags"] & 0x04:
+        raise ValueError("ogg: stream has no end-of-stream page (truncated file)")
+    packets = ogg_packets(pages)
+    if not packets:
+        raise ValueError("ogg: no packets")
+    first = packets[0]
+
+    last_granule = 0
+    for p in pages:
+        if p["granule"] != _NO_GRANULE and p["closes_last"]:
+            last_granule = p["granule"]
+
+    meta: dict
+    if first.startswith(b"OpusHead"):
+        meta = _parse_opus_head(first)
+        if len(packets) < 2 or not packets[1].startswith(b"OpusTags"):
+            raise ValueError("ogg: missing OpusTags packet")
+        vendor, n_tags = _parse_comment_block(packets[1], 8, "OpusTags")
+        # granules count 48 kHz samples regardless of input rate; pre-skip
+        # samples are decoder warm-up, not output (RFC 7845 §4/§5.1)
+        n_samples = max(0, last_granule - meta["pre_skip"])
+        meta["sample_rate"] = 48000
+        meta["duration_ms"] = n_samples * 1000 // 48000
+        n_header_packets = 2
+    elif first.startswith(b"\x01vorbis"):
+        meta = _parse_vorbis_id(first)
+        if len(packets) < 2 or not packets[1].startswith(b"\x03vorbis"):
+            raise ValueError("ogg: missing Vorbis comment header")
+        vendor, n_tags = _parse_comment_block(packets[1], 7, "Vorbis comment")
+        n_samples = last_granule
+        meta["duration_ms"] = n_samples * 1000 // meta["sample_rate"]
+        n_header_packets = 3  # id + comment + setup
+        if len(packets) < 3 or not packets[2].startswith(b"\x05vorbis"):
+            raise ValueError("ogg: missing Vorbis setup header")
+    else:
+        magic = bytes(first[:8])
+        raise NotImplementedError(f"ogg: codec with BOS magic {magic!r} not supported")
+
+    meta.update(
+        {
+            "vendor": vendor,
+            "n_tags": n_tags,
+            "n_samples": n_samples,
+            "n_pages": len(pages),
+            "n_audio_packets": len(packets) - n_header_packets,
+            "serial": pages[0]["serial"],
+        }
+    )
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# deterministic writer
+# ---------------------------------------------------------------------------
+
+
+def _emit_page(flags: int, granule: int, serial: int, seq: int, lacings: list[int], body: bytes) -> bytes:
+    hdr = b"OggS" + bytes([0, flags]) + struct.pack("<QIII", granule & _NO_GRANULE, serial, seq, 0)
+    hdr += bytes([len(lacings)]) + bytes(lacings)
+    crc = ogg_crc(hdr + body)
+    return hdr[:22] + struct.pack("<I", crc) + hdr[26:] + body
+
+
+def build_ogg_stream(
+    groups: list[list[tuple[bytes, int]]],
+    serial: int,
+    max_segs_per_page: int = 50,
+) -> bytes:
+    """Pack packet groups into RFC 3533 pages.
+
+    ``groups`` is a list of packet groups; each group starts on a fresh
+    page (the header-on-its-own-page discipline Opus/Vorbis want), and
+    each packet is ``(payload, granule_when_it_completes)``. Packets
+    larger than 255*max_segs bytes span pages with the continued flag;
+    first page gets BOS, last gets EOS."""
+    pages: list[bytes] = []
+    seq = 0
+    flat: list[tuple[bytes, int, bool]] = []  # payload, granule, starts_new_page
+    for g in groups:
+        for k, (pkt, gran) in enumerate(g):
+            flat.append((pkt, gran, k == 0))
+    if not flat:
+        raise ValueError("ogg build: no packets")
+
+    cur_lac: list[int] = []
+    cur_body = bytearray()
+    cur_granule = _NO_GRANULE
+    cur_flags = 0
+    n_total = len(flat)
+    done = 0
+
+    def flush(eos: bool) -> None:
+        nonlocal seq, cur_lac, cur_body, cur_granule, cur_flags
+        flags = cur_flags | (0x02 if seq == 0 else 0) | (0x04 if eos else 0)
+        pages.append(_emit_page(flags, cur_granule, serial, seq, cur_lac, bytes(cur_body)))
+        seq += 1
+        cur_lac, cur_body, cur_granule, cur_flags = [], bytearray(), _NO_GRANULE, 0
+
+    for pkt, gran, fresh_page in flat:
+        if fresh_page and cur_lac:
+            flush(eos=False)
+        lacs = [255] * (len(pkt) // 255) + [len(pkt) % 255]
+        off = 0
+        for j, lac in enumerate(lacs):
+            if len(cur_lac) >= max_segs_per_page:
+                flush(eos=False)
+                if j > 0:  # page break MID-packet: next page continues it
+                    cur_flags = 0x01
+            cur_lac.append(lac)
+            cur_body += pkt[off : off + lac]
+            off += lac
+            if j == len(lacs) - 1:
+                cur_granule = gran
+        done += 1
+        if done == n_total:
+            flush(eos=True)
+    return b"".join(pages)
+
+
+def build_opus_head(
+    channels: int,
+    pre_skip: int,
+    input_sample_rate: int,
+    output_gain_q8: int = 0,
+    mapping_family: int = 0,
+) -> bytes:
+    return (
+        b"OpusHead"
+        + bytes([1, channels])
+        + struct.pack("<HIh", pre_skip, input_sample_rate, output_gain_q8)
+        + bytes([mapping_family])
+    )
+
+
+def _comment_body(vendor: str, tags: list[str]) -> bytes:
+    out = struct.pack("<I", len(vendor.encode())) + vendor.encode()
+    out += struct.pack("<I", len(tags))
+    for t in tags:
+        out += struct.pack("<I", len(t.encode())) + t.encode()
+    return out
+
+
+def build_opus_tags(vendor: str, tags: list[str]) -> bytes:
+    return b"OpusTags" + _comment_body(vendor, tags)
+
+
+def build_vorbis_id(channels: int, sample_rate: int, bitrate_nominal: int = 0) -> bytes:
+    return (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)
+        + bytes([channels])
+        + struct.pack("<Iiii", sample_rate, 0, bitrate_nominal, 0)
+        + bytes([(11 << 4) | 8])  # blocksizes 2048/256
+        + bytes([0x01])
+    )
+
+
+def build_vorbis_comment(vendor: str, tags: list[str]) -> bytes:
+    return b"\x03vorbis" + _comment_body(vendor, tags) + b"\x01"
+
+
+def _fake_payload(seed: int, size: int) -> bytes:
+    """Deterministic OPAQUE stand-in for coded audio (never decodable —
+    this module refuses sample decode by design). Avoid 'O' as the first
+    byte so a fixture payload can never alias a page capture pattern in
+    scanning tools."""
+    out = bytearray()
+    x = (seed * 2654435761 + 1) & 0xFFFFFFFF
+    while len(out) < size:
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        out.append((x >> 16) & 0xFF)
+    if out and out[0] == 0x4F:
+        out[0] = 0x50
+    return bytes(out[:size])
+
+
+def build_ogg_opus(
+    seed: int,
+    channels: int,
+    pre_skip: int,
+    input_sample_rate: int,
+    n_audio_packets: int,
+    samples_per_packet: int = 960,
+    vendor: str = "vectorflow-spark oggmini",
+    tags: list[str] | None = None,
+    serial: int | None = None,
+    packet_size: int = 120,
+    max_segs_per_page: int = 50,
+) -> bytes:
+    """Deterministic Ogg Opus file: real container, opaque audio payloads."""
+    tags = list(tags or [])
+    serial = (seed * 7 + 0x5EED) & 0xFFFFFFFF if serial is None else serial
+    audio = []
+    granule = pre_skip
+    for i in range(n_audio_packets):
+        granule += samples_per_packet
+        audio.append((_fake_payload(seed * 1000 + i, packet_size + (i % 3) * 170), granule))
+    groups = [
+        [(build_opus_head(channels, pre_skip, input_sample_rate), 0)],
+        [(build_opus_tags(vendor, tags), 0)],
+        audio,
+    ]
+    return build_ogg_stream(groups, serial, max_segs_per_page)
+
+
+def build_ogg_vorbis(
+    seed: int,
+    channels: int,
+    sample_rate: int,
+    n_audio_packets: int,
+    samples_per_packet: int = 1024,
+    vendor: str = "vectorflow-spark oggmini",
+    tags: list[str] | None = None,
+    serial: int | None = None,
+    packet_size: int = 90,
+    max_segs_per_page: int = 50,
+) -> bytes:
+    """Deterministic Ogg Vorbis file: id + comment + (opaque) setup
+    headers on their own pages, then opaque audio payloads."""
+    tags = list(tags or [])
+    serial = (seed * 11 + 0xB0B5) & 0xFFFFFFFF if serial is None else serial
+    setup = b"\x05vorbis" + _fake_payload(seed ^ 0x5E70, 300)
+    audio = []
+    granule = 0
+    for i in range(n_audio_packets):
+        granule += samples_per_packet
+        audio.append((_fake_payload(seed * 1000 + 500 + i, packet_size + (i % 4) * 80), granule))
+    groups = [
+        [(build_vorbis_id(channels, sample_rate), 0)],
+        [(build_vorbis_comment(vendor, tags), 0), (setup, 0)],
+        audio,
+    ]
+    return build_ogg_stream(groups, serial, max_segs_per_page)

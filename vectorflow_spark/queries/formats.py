@@ -2317,3 +2317,131 @@ def q_lowdepth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
+    "q_ogg_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(1 + (doc_id % 3) % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+                ELSE CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                     ELSE 44100 END END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CASE doc_id % 4 WHEN 0 THEN 8000 ELSE 44100 END
+                ELSE NULL END AS BIGINT) AS input_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + (doc_id % 7) * 31
+                ELSE NULL END AS BIGINT) AS pre_skip,
+           CAST((10 + doc_id % 23) * CASE WHEN doc_id % 2 = 0 THEN 960
+                ELSE 1024 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (10 + doc_id % 23) * 20
+                ELSE ((10 + doc_id % 23) * 1024 * 1000)
+                     // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                         ELSE 44100 END) END AS BIGINT) AS duration_ms,
+           CAST(doc_id % 4 AS INT) AS n_tags,
+           CAST(10 + doc_id % 23 AS INT) AS n_audio_packets,
+           TRUE AS dispatch_ok
+    FROM documents WHERE doc_id % 5 = 3
+    """,
+)
+def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Opus/Vorbis header metadata at scale — the other big crawl-audio
+    family next to MP3 (r7 verdict item 4; operators/oggmini.py): classify
+    and triage by a CRC-verified page walk + OpusHead / Vorbis-id header
+    parse, never touching a coded sample (Opus/Vorbis decode refuses — no
+    library here to pin against, the MP3 adjudication). Per document a
+    deterministic RFC-conformant file is built (codec, channels, rates,
+    pre-skip, tag counts, packet counts all doc_id formulas; every 6th
+    stream packs with tiny pages so packets SPAN pages via the continued
+    flag) and walked back; the oracle recomputes every field from the
+    doc_id arithmetic, so a hash-match pins the page walk, lacing
+    reassembly, granule->duration math and both header layouts. One
+    Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("codec", StringType()),
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", LongType()),
+            StructField("input_rate", LongType()),
+            StructField("pre_skip", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("n_tags", IntegerType()),
+            StructField("n_audio_packets", IntegerType()),
+            StructField("dispatch_ok", BooleanType()),
+        ]
+    )
+
+    def walk(pdfs):
+        from vectorflow_spark.operators.multimodal import decode_meta
+        from vectorflow_spark.operators.oggmini import (
+            build_ogg_opus,
+            build_ogg_vorbis,
+            ogg_meta,
+        )
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                channels = 1 + (i % 3) % 2
+                n_audio = 10 + i % 23
+                tags = [f"k{j}=v{j}" for j in range(i % 4)]
+                max_segs = 3 if i % 6 in (0, 3) else 50
+                if i % 2 == 0:
+                    blob = build_ogg_opus(
+                        seed=i, channels=channels,
+                        pre_skip=100 + (i % 7) * 31,
+                        input_sample_rate=[8000, 16000, 44100, 48000][i % 4],
+                        n_audio_packets=n_audio, tags=tags,
+                        max_segs_per_page=max_segs,
+                    )
+                else:
+                    blob = build_ogg_vorbis(
+                        seed=i, channels=channels,
+                        sample_rate=[8000, 22050, 44100][i % 3],
+                        n_audio_packets=n_audio, tags=tags,
+                        max_segs_per_page=max_segs,
+                    )
+                m = ogg_meta(blob)
+                dm = decode_meta(blob)  # the unified dispatch agrees
+                dispatch_ok = (
+                    dm["kind"] == "audio"
+                    and dm["sample_rate"] == m["sample_rate"]
+                    and dm["n_samples"] == m["n_samples"]
+                )
+                rows.append(
+                    (
+                        i,
+                        m["codec"],
+                        m["channels"],
+                        m["sample_rate"],
+                        m.get("input_sample_rate"),
+                        m.get("pre_skip"),
+                        m["n_samples"],
+                        m["duration_ms"],
+                        m["n_tags"],
+                        m["n_audio_packets"],
+                        dispatch_ok,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(walk, out_schema)
