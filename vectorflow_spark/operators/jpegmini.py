@@ -575,88 +575,24 @@ def _decode_baseline_scan(frame, scan, coefs, mcus_x, mcus_y) -> None:
                     out[(my * cv + by) * row_stride + (mx * ch + bx)] = block
 
 
-def _ac_first(reader, ac_tbl, coef, ss, se, al, eobrun) -> int:
-    """Progressive AC first scan for one block (T.81 G.1.2.2 / F.2.2.2
-    semantics with EOB runs); returns the updated EOB run counter."""
-    if eobrun > 0:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        rs = _read_huffman(reader, ac_tbl)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r != 15:
-                eobrun = (1 << r) - 1
-                if r:
-                    eobrun += reader.bits(r)
-                return eobrun
-            k += 16  # ZRL
-            continue
-        k += r
-        if k > se:
-            raise ValueError("JPEG: AC run past band end")
-        coef[k] = _extend(reader.bits(s), s) << al
-        k += 1
-    return 0
-
-
-def _ac_refine(reader, ac_tbl, coef, ss, se, al, eobrun) -> int:
-    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
-    significant coefficients arrive as ±1<<Al, history-nonzero ones get
-    one correction bit each; EOB runs cover whole blocks whose remaining
-    nonzero coefficients still consume correction bits."""
-    p1 = 1 << al
-    m1 = -1 << al
-
-    def correct(k: int) -> None:
-        if reader.bit() and not (coef[k] & p1):
-            coef[k] += p1 if coef[k] >= 0 else m1
-
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            rs = _read_huffman(reader, ac_tbl)
-            r, s = rs >> 4, rs & 0x0F
-            newval = 0
-            if s:
-                if s != 1:
-                    raise ValueError("JPEG: invalid AC refinement magnitude")
-                newval = p1 if reader.bit() else m1
-            elif r != 15:
-                eobrun = 1 << r
-                if r:
-                    eobrun += reader.bits(r)
-                break
-            # advance over r zero-history coefficients (r=15 => ZRL skips
-            # 16 with the trailing k+=1), correcting nonzero-history ones
-            while k <= se:
-                if coef[k] != 0:
-                    correct(k)
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
-            if s:
-                if k > se:
-                    raise ValueError("JPEG: refinement position past band end")
-                coef[k] = newval
-            k += 1
-    if eobrun > 0:
-        while k <= se:
-            if coef[k] != 0:
-                correct(k)
-            k += 1
-        eobrun -= 1
-    return eobrun
-
-
 def _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
     """Accumulate coefficients across every scan (T.81 Annex G). DC
     scans may interleave components (MCU order); AC scans are always
     single-component in that component's own block-raster order, whose
-    grid derives from the SAMPLED dimensions (not the MCU-padded grid)."""
+    grid derives from the SAMPLED dimensions (not the MCU-padded grid).
+
+    Hot path (r8, the baseline-scan treatment applied to the progressive
+    AC band workers): the first/refinement loops are fully INLINED — one
+    3-byte window fetch per Huffman symbol / value field / correction bit
+    against the list LUTs, all state in locals, zero per-symbol calls —
+    and the coefficient store is list-of-lists for the whole scan pass
+    (progressive files revisit every block once per scan; the per-block
+    numpy-row round-trips dominated the r7 profile). Error contract
+    identical to the baseline inline loop (truncation and invalid codes
+    raise the same ValueErrors; tests/test_jpeg_libjpeg_parity.py pins
+    output bit-exactness against libjpeg)."""
     h, w = frame["h"], frame["w"]
+    store = {cid: arr.tolist() for cid, arr in coefs.items()}
     for scan in scans:
         comps = scan["comps"]
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
@@ -671,75 +607,298 @@ def _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -
         if ss == 0 and len(comps) > 1:  # interleaved DC scan, MCU order
             n_mcus = mcus_x * mcus_y
             interval = scan["restart_interval"] or n_mcus
-            seg_idx = 0
-            reader = _BitReader(segments[0])
-            pred = {c["id"]: 0 for c in comps}
+            plans = []
+            for c in comps:
+                lut = None
+                if ah == 0:
+                    dc_tbl, _ = _require_tables(scan, c["id"], dc=True, ac=False)
+                    lut = dc_tbl.lut
+                plans.append((c["id"], c["h"], c["v"], lut, store[c["id"]]))
+            seg_idx = -1
+            data = b"\xff\xff\xff"
+            pos = 0
+            nbits = 0
+            pred: dict = {}
             for mcu in range(n_mcus):
-                if mcu and mcu % interval == 0:
+                if mcu % interval == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):
                         raise ValueError("JPEG: missing restart segment")
-                    reader = _BitReader(segments[seg_idx])
-                    pred = {c["id"]: 0 for c in comps}
+                    seg = segments[seg_idx]
+                    data = seg + b"\xff\xff\xff"
+                    pos = 0
+                    nbits = len(seg) * 8
+                    pred = {p[0]: 0 for p in plans}
                 my, mx = divmod(mcu, mcus_x)
-                for c in comps:
-                    cid = c["id"]
-                    if ah == 0:
-                        dc_tbl, _ = _require_tables(scan, cid, dc=True, ac=False)
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            row = (my * c["v"] + by) * (mcus_x * c["h"]) + (mx * c["h"] + bx)
-                            coef = coefs[cid][row]
+                for cid, ch, cv, lut, out in plans:
+                    row_stride = mcus_x * ch
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef = out[(my * cv + by) * row_stride + (mx * ch + bx)]
                             if ah == 0:
-                                s = _read_huffman(reader, dc_tbl)
-                                pred[cid] += _extend(reader.bits(s), s)
+                                i = pos >> 3
+                                wv = (
+                                    (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                                    >> (8 - (pos & 7))
+                                ) & 0xFFFF
+                                e = lut[wv]
+                                if e == 0:
+                                    if pos + 16 > nbits:
+                                        raise ValueError("JPEG: truncated entropy data")
+                                    raise ValueError(
+                                        "JPEG: invalid Huffman code in entropy stream"
+                                    )
+                                length = e & 31
+                                if pos + length > nbits:
+                                    raise ValueError("JPEG: truncated entropy data")
+                                pos += length
+                                s = e >> 5
+                                if s:
+                                    if pos + s > nbits:
+                                        raise ValueError("JPEG: truncated entropy data")
+                                    i = pos >> 3
+                                    v = (
+                                        (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                                        >> (8 - (pos & 7)) >> (16 - s)
+                                    ) & ((1 << s) - 1)
+                                    pos += s
+                                    pred[cid] += (
+                                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                                    )
                                 coef[0] = pred[cid] << al
-                            elif reader.bit():
-                                coef[0] |= 1 << al
-        else:  # single-component scan: the component's own block raster
-            c = comps[0]
-            cid = c["id"]
-            bw_c = -(-(-(-w * c["h"] // hmax)) // 8)
-            bh_c = -(-(-(-h * c["v"] // vmax)) // 8)
-            n_blocks = bw_c * bh_c
-            interval = scan["restart_interval"] or n_blocks
-            seg_idx = 0
-            reader = _BitReader(segments[0])
-            pred = 0
-            eobrun = 0
-            if ss == 0 and ah == 0:
+                            else:
+                                if pos >= nbits:
+                                    raise ValueError("JPEG: truncated entropy data")
+                                if (data[pos >> 3] >> (7 - (pos & 7))) & 1:
+                                    coef[0] |= 1 << al
+                                pos += 1
+            continue
+
+        # single-component scan: the component's own block raster
+        c = comps[0]
+        cid = c["id"]
+        bw_c = -(-(-(-w * c["h"] // hmax)) // 8)
+        bh_c = -(-(-(-h * c["v"] // vmax)) // 8)
+        n_blocks = bw_c * bh_c
+        interval = scan["restart_interval"] or n_blocks
+        row_stride = mcus_x * c["h"]
+        out = store[cid]
+
+        if ss == 0:  # non-interleaved DC scan (first or refinement)
+            lut = None
+            if ah == 0:
                 dc_tbl, _ = _require_tables(scan, cid, dc=True, ac=False)
-            if ss > 0:
-                _, ac_tbl = _require_tables(scan, cid, dc=False, ac=True)
+                lut = dc_tbl.lut
+            seg_idx = -1
+            data = b"\xff\xff\xff"
+            pos = 0
+            nbits = 0
+            pred = 0
             for b in range(n_blocks):
-                if b and b % interval == 0:
+                if b % interval == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):
                         raise ValueError("JPEG: missing restart segment")
-                    reader = _BitReader(segments[seg_idx])
+                    seg = segments[seg_idx]
+                    data = seg + b"\xff\xff\xff"
+                    pos = 0
+                    nbits = len(seg) * 8
                     pred = 0
-                    eobrun = 0
                 by, bx = divmod(b, bw_c)
-                row = by * (mcus_x * c["h"]) + bx
-                coef = coefs[cid][row]
-                if ss == 0:
-                    if ah == 0:
-                        s = _read_huffman(reader, dc_tbl)
-                        pred += _extend(reader.bits(s), s)
-                        coef[0] = pred << al
-                    elif reader.bit():
-                        coef[0] |= 1 << al
-                elif ah == 0:
-                    # per-block list round-trip: the band workers do tens
-                    # of element reads/writes, far cheaper on a Python
-                    # list than as numpy scalar accesses
-                    blk = coef.tolist()
-                    eobrun = _ac_first(reader, ac_tbl, blk, ss, se, al, eobrun)
-                    coefs[cid][row] = blk
+                coef = out[by * row_stride + bx]
+                if ah == 0:
+                    i = pos >> 3
+                    wv = (
+                        (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                        >> (8 - (pos & 7))
+                    ) & 0xFFFF
+                    e = lut[wv]
+                    if e == 0:
+                        if pos + 16 > nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        raise ValueError("JPEG: invalid Huffman code in entropy stream")
+                    length = e & 31
+                    if pos + length > nbits:
+                        raise ValueError("JPEG: truncated entropy data")
+                    pos += length
+                    s = e >> 5
+                    if s:
+                        if pos + s > nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        i = pos >> 3
+                        v = (
+                            (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                            >> (8 - (pos & 7)) >> (16 - s)
+                        ) & ((1 << s) - 1)
+                        pos += s
+                        pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    coef[0] = pred << al
                 else:
-                    blk = coef.tolist()
-                    eobrun = _ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun)
-                    coefs[cid][row] = blk
+                    if pos >= nbits:
+                        raise ValueError("JPEG: truncated entropy data")
+                    if (data[pos >> 3] >> (7 - (pos & 7))) & 1:
+                        coef[0] |= 1 << al
+                    pos += 1
+            continue
+
+        # AC band scan — fully inlined entropy loops
+        _, ac_tbl = _require_tables(scan, cid, dc=False, ac=True)
+        lut = ac_tbl.lut
+        seg_idx = -1
+        data = b"\xff\xff\xff"
+        pos = 0
+        nbits = 0
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -1 << al
+        for b in range(n_blocks):
+            if b % interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                seg = segments[seg_idx]
+                data = seg + b"\xff\xff\xff"  # peek window never faults
+                pos = 0
+                nbits = len(seg) * 8
+                eobrun = 0
+            by, bx = divmod(b, bw_c)
+            blk = out[by * row_stride + bx]
+
+            if ah == 0:
+                # --- AC first scan (T.81 G.1.2.2 / F.2.2.2, EOB runs) ---
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    i = pos >> 3
+                    wv = (
+                        (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                        >> (8 - (pos & 7))
+                    ) & 0xFFFF
+                    e = lut[wv]
+                    if e == 0:
+                        if pos + 16 > nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        raise ValueError("JPEG: invalid Huffman code in entropy stream")
+                    length = e & 31
+                    if pos + length > nbits:
+                        raise ValueError("JPEG: truncated entropy data")
+                    pos += length
+                    rs = e >> 5
+                    s = rs & 0x0F
+                    r = rs >> 4
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                if pos + r > nbits:
+                                    raise ValueError("JPEG: truncated entropy data")
+                                i = pos >> 3
+                                eobrun += (
+                                    (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                                    >> (8 - (pos & 7)) >> (16 - r)
+                                ) & ((1 << r) - 1)
+                                pos += r
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run past band end")
+                    if pos + s > nbits:
+                        raise ValueError("JPEG: truncated entropy data")
+                    i = pos >> 3
+                    v = (
+                        (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                        >> (8 - (pos & 7)) >> (16 - s)
+                    ) & ((1 << s) - 1)
+                    pos += s
+                    blk[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+                    k += 1
+                continue
+
+            # --- AC refinement scan (T.81 G.1.2.3): newly significant
+            # coefficients arrive as ±1<<Al, history-nonzero ones get one
+            # correction bit each; EOB runs cover whole blocks whose
+            # remaining nonzero coefficients still consume correction bits
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    i = pos >> 3
+                    wv = (
+                        (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                        >> (8 - (pos & 7))
+                    ) & 0xFFFF
+                    e = lut[wv]
+                    if e == 0:
+                        if pos + 16 > nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        raise ValueError("JPEG: invalid Huffman code in entropy stream")
+                    length = e & 31
+                    if pos + length > nbits:
+                        raise ValueError("JPEG: truncated entropy data")
+                    pos += length
+                    rs = e >> 5
+                    s = rs & 0x0F
+                    r = rs >> 4
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("JPEG: invalid AC refinement magnitude")
+                        if pos >= nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        newval = p1 if (data[pos >> 3] >> (7 - (pos & 7))) & 1 else m1
+                        pos += 1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            if pos + r > nbits:
+                                raise ValueError("JPEG: truncated entropy data")
+                            i = pos >> 3
+                            eobrun += (
+                                (data[i] << 16 | data[i + 1] << 8 | data[i + 2])
+                                >> (8 - (pos & 7)) >> (16 - r)
+                            ) & ((1 << r) - 1)
+                            pos += r
+                        break
+                    # advance over r zero-history coefficients (r=15 => ZRL
+                    # skips 16 with the trailing k+=1), correcting
+                    # nonzero-history ones
+                    while k <= se:
+                        cv = blk[k]
+                        if cv != 0:
+                            if pos >= nbits:
+                                raise ValueError("JPEG: truncated entropy data")
+                            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+                            pos += 1
+                            if bit and not (cv & p1):
+                                blk[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError("JPEG: refinement position past band end")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    cv = blk[k]
+                    if cv != 0:
+                        if pos >= nbits:
+                            raise ValueError("JPEG: truncated entropy data")
+                        bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+                        pos += 1
+                        if bit and not (cv & p1):
+                            blk[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+    for cid, rows in store.items():
+        coefs[cid][:] = rows
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -774,7 +933,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raster[:, ZIGZAG] = coefs[c["id"]] * q[ZIGZAG]
         blocks = raster.reshape(-1, 8, 8)
         # pixels = DCT^T @ F @ DCT  (DCT-III both axes)
-        px = np.einsum("ux,nuv,vy->nxy", _DCT32, blocks, _DCT32) + np.float32(128.0)
+        # pixels = DCT^T @ F @ DCT as two BLAS-batched matmuls (~6x faster
+        # than the element-loop einsum at 1 MP; fold-order difference is
+        # <2^-12 in f32, far inside the ±1 libjpeg parity tolerance)
+        px = np.matmul(np.matmul(_DCT32.T, blocks), _DCT32) + np.float32(128.0)
         bw = mcus_x * c["h"]  # blocks per row
         bh = mcus_y * c["v"]
         plane = (
