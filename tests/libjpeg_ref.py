@@ -82,7 +82,8 @@ _ENC_WORKER = r"""
 import ctypes, sys
 
 lib = ctypes.CDLL("libjpeg.so.62")
-w, h, quality, progressive, restart = (int(a) for a in sys.argv[1:6])
+w, h, quality, progressive, restart, arith = (int(a) for a in sys.argv[1:7])
+dc_l, dc_u, ac_k = (int(a) for a in sys.argv[7:10]) if len(sys.argv) > 7 else (0, 1, 5)
 raw = sys.stdin.buffer.read()
 assert len(raw) == w * h * 3
 
@@ -121,11 +122,20 @@ lib.jpeg_set_quality(ctypes.byref(cinfo), quality, 1)
 if progressive:
     lib.jpeg_simple_progression.argtypes = [ctypes.c_void_p]
     lib.jpeg_simple_progression(ctypes.byref(cinfo))
+# v62 x86-64 offsets past the huff table pointers (@160-192):
+#   arith_dc_L/U[16] @192/@208, arith_ac_K[16] @224, num_scans @240,
+#   scan_info @248, raw_data_in @256, arith_code @260, optimize_coding
+#   @264, CCIR601 @268, smoothing @272, dct_method @276,
+#   restart_interval @280 — the emitted markers (SOF9/SOF10, DRI/RSTn)
+#   verify each poke landed, so a layout drift fails loudly in the tests
+if arith:
+    ctypes.c_int.from_address(base + 260).value = 1
+    for t in range(16):  # DAC conditioning (defaults 0/1/5)
+        ctypes.c_uint8.from_address(base + 192 + t).value = dc_l
+        ctypes.c_uint8.from_address(base + 208 + t).value = dc_u
+        ctypes.c_uint8.from_address(base + 224 + t).value = ac_k
 if restart:
-    # restart_interval lives right before the scan script pointer; use
-    # jpeg_c_set_int_param? not in v62 -- locate restart_interval by the
-    # documented field order is fragile; skip unless needed (restart=0)
-    sys.exit(4)
+    ctypes.c_uint.from_address(base + 280).value = restart
 lib.jpeg_start_compress.argtypes = [ctypes.c_void_p, ctypes.c_int]
 lib.jpeg_start_compress(ctypes.byref(cinfo), 1)
 lib.jpeg_write_scanlines.restype = ctypes.c_uint
@@ -142,13 +152,21 @@ sys.stdout.buffer.write(ctypes.string_at(outbuf, outsize.value))
 """
 
 
-def encode_rgb(px: np.ndarray, quality: int = 90, progressive: bool = False) -> bytes:
+def encode_rgb(
+    px: np.ndarray,
+    quality: int = 90,
+    progressive: bool = False,
+    restart: int = 0,
+    arith: bool = False,
+    conditioning: tuple = (0, 1, 5),
+) -> bytes:
     """(h, w, 3) uint8 -> JPEG bytes via the system libjpeg (subprocess):
     genuine third-party streams for decode-conformance pinning."""
     h, w = px.shape[:2]
     p = subprocess.run(
         [sys.executable, "-c", _ENC_WORKER, str(w), str(h), str(quality),
-         "1" if progressive else "0", "0"],
+         "1" if progressive else "0", str(restart), "1" if arith else "0",
+         str(conditioning[0]), str(conditioning[1]), str(conditioning[2])],
         input=np.ascontiguousarray(px).tobytes(),
         capture_output=True,
         timeout=60,

@@ -197,15 +197,17 @@ class TestSpecDecode:
         ).astype(np.uint8)
         assert np.all(px == exp[None, None, :])
 
-    def test_arithmetic_coding_refused(self):
-        """SOF9 (arithmetic sequential) stays refuse-loudly; SOF2 is now
-        a supported frame type."""
-        sof9 = _seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        blob = b"\xff\xd8" + _dqt_ones() + sof9
-        with pytest.raises(NotImplementedError, match="SOF0"):
-            decode_jpeg(blob + b"\xff\xd9")
-        with pytest.raises(NotImplementedError, match="SOF0"):
-            jpeg_meta(blob + b"\xff\xd9")
+    def test_unsupported_sof_variants_refused(self):
+        """SOF9/SOF10 (arithmetic DCT) decode as of r8 (operators/
+        jpegarith.py, tests/test_jpeg_arith.py); the lossless/differential
+        frame types stay refuse-loudly."""
+        for sof in (0xC3, 0xCB):  # lossless Huffman / lossless arithmetic
+            seg = _seg(sof, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            blob = b"\xff\xd8" + _dqt_ones() + seg
+            with pytest.raises(NotImplementedError, match="SOF"):
+                decode_jpeg(blob + b"\xff\xd9")
+            with pytest.raises(NotImplementedError, match="SOF"):
+                jpeg_meta(blob + b"\xff\xd9")
 
     def test_progressive_hand_built_successive_approximation(self):
         """SOF2 pinned to T.81 Annex G independently of our encoder: a

@@ -1,0 +1,121 @@
+"""Arithmetic-coded JPEG (SOF9/SOF10) conformance, pinned end-to-end
+against the system libjpeg (operators/jpegarith.py): libjpeg ENCODES
+genuine arithmetic streams across a quality / progression / restart /
+DAC-conditioning matrix, and our decoder must agree with libjpeg's own
+decoder on every pixel within the same |diff| <= 3 IDCT tolerance the
+Huffman parity matrix uses — the entropy decode itself is exact, so any
+QM-coder or context-model slip shows up as gross corruption, not a
+tolerance miss. The baked state table's provenance is separately
+re-validated against the library's rodata (scripts/extract_jpeg_aritab.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests import libjpeg_ref as ref
+from vectorflow_spark.operators.jpegmini import decode_jpeg, jpeg_meta
+
+pytestmark = pytest.mark.skipif(not ref.HAVE_LIBJPEG, reason="libjpeg not available")
+
+
+def _fixture(h: int = 41, w: int = 53, seed: int = 1) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0) + rng.normal(0, 10, (h, w)))[
+        ..., None
+    ]
+    px = np.repeat(base, 3, axis=2).clip(0, 255).astype(np.uint8)
+    px[:, :, 1] = 255 - px[:, :, 1]
+    return px
+
+
+def _maxdiff(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+class TestArithParity:
+    @pytest.mark.parametrize("quality", [30, 75, 95])
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_quality_progression_matrix(self, quality, progressive):
+        px = _fixture()
+        blob = ref.encode_rgb(px, quality=quality, progressive=progressive, arith=True)
+        assert jpeg_meta(blob) == (53, 41, 3)
+        assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3
+
+    @pytest.mark.parametrize("restart", [1, 3])
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_restart_intervals_reset_stats(self, restart, progressive):
+        """RSTn boundaries must reset the decoder registers AND every
+        statistics area (unlike Huffman, which only resets predictors)."""
+        px = _fixture(40, 56, seed=2)
+        blob = ref.encode_rgb(
+            px, quality=80, progressive=progressive, restart=restart, arith=True
+        )
+        assert b"\xff\xdd" in blob  # DRI actually present
+        assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3
+
+    @pytest.mark.parametrize("cond", [(2, 3, 1), (0, 4, 63), (1, 2, 16)])
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_nondefault_dac_conditioning(self, cond, progressive):
+        """DAC markers with nondefault (L, U, Kx) change both the DC
+        context classification and the AC high-magnitude area split —
+        a decoder ignoring DAC corrupts immediately."""
+        px = _fixture(32, 48, seed=3)
+        blob = ref.encode_rgb(
+            px, quality=85, progressive=progressive, arith=True, conditioning=cond
+        )
+        assert any(
+            blob[i] == 0xFF and blob[i + 1] == 0xCC for i in range(len(blob) - 1)
+        )
+        assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3
+
+    def test_flat_and_noise_extremes(self):
+        """All-EOB blocks (flat) and dense high-magnitude coefficients
+        (noise at q95) walk opposite ends of the context models."""
+        flat = np.full((24, 40, 3), 130, np.uint8)
+        noise = np.random.default_rng(4).integers(0, 256, (24, 40, 3), np.uint8)
+        for px, q in [(flat, 75), (noise, 95)]:
+            blob = ref.encode_rgb(px, quality=q, arith=True)
+            assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3
+
+    def test_same_pixels_as_huffman_twin(self):
+        """Same source, same quality, Huffman vs arithmetic container:
+        the quantized coefficients are identical, so OUR decoder must
+        produce BIT-IDENTICAL pixels for the two encodings."""
+        px = _fixture(40, 56, seed=5)
+        huff = ref.encode_rgb(px, quality=80, arith=False)
+        arit = ref.encode_rgb(px, quality=80, arith=True)
+        assert np.array_equal(decode_jpeg(huff), decode_jpeg(arit))
+
+
+class TestArithRefusals:
+    def test_truncation_refuses(self):
+        blob = ref.encode_rgb(_fixture(), quality=80, arith=True)
+        # cut inside the entropy stream: the terminating EOI disappears
+        for cut in (len(blob) - 3, len(blob) * 3 // 4, len(blob) // 2):
+            with pytest.raises(ValueError):
+                decode_jpeg(blob[:cut])
+
+    def test_lossless_arith_sof_still_refuses(self):
+        import struct
+
+        seg = b"\xff\xcb" + struct.pack(">H", 11) + bytes(
+            [8]
+        ) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(b"\xff\xd8" + seg + b"\xff\xd9")
+
+    def test_aritab_matches_system_library(self):
+        """Re-extract jpeg_aritab from the installed libjpeg rodata and
+        compare with the baked table (provenance pin)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from extract_jpeg_aritab import extract
+
+        from vectorflow_spark.operators.jpegarith import _ARITAB
+
+        vals = extract("/usr/lib/x86_64-linux-gnu/libjpeg.so.62")
+        assert tuple(vals) == _ARITAB

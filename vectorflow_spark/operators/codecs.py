@@ -39,8 +39,10 @@ stdlib ``wave`` module, so this layer de-gates them:
   ``operators/tiffmini.py``.
 
 Formats that genuinely need external libraries (VP8 interframes,
-arithmetic-coded JPEG, MP3/AAC sample decode, MP4) still raise loudly —
-the contract is "parse correctly or refuse", never guess.
+MP3/AAC/Opus/Vorbis sample decode, MP4 samples) still raise loudly —
+the contract is "parse correctly or refuse", never guess. Arithmetic-
+coded JPEG (SOF9/SOF10) decodes as of r8 (``operators/jpegarith.py``,
+pinned against the system libjpeg's arithmetic encoder+decoder).
 """
 
 from __future__ import annotations

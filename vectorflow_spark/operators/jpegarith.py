@@ -1,0 +1,355 @@
+"""Arithmetic-coded JPEG entropy decoding (ITU-T T.81 Annexes D, F.2.4,
+G.2) — the last JPEG entropy variant the repo used to refuse.
+
+Scope: DECODE only, sequential (SOF9) and progressive (SOF10) DCT with
+8-bit precision, the variants libjpeg emits. The QM-coder probability
+state machine (T.81 Table D.3, 113 adaptive states + libjpeg's fixed
+0.5-probability bin at index 113) is baked below; its provenance is the
+system libjpeg-turbo's ``jpeg_aritab`` rodata, extracted and two-way
+validated by scripts/extract_jpeg_aritab.py (spec anchors for the Qe
+values + closed state machine), and the decoder is pinned end-to-end by
+tests/test_jpeg_arith.py: libjpeg ENCODES arithmetic streams across a
+quality/sampling/restart/progression matrix and this decoder must agree
+with libjpeg's own decoder on every pixel within the IDCT tolerance the
+existing Huffman parity matrix uses (entropy decode itself is exact).
+
+Statistical models follow T.81 Tables F.4/F.5 exactly as libjpeg lays
+them out (jdarith.c is the de-facto reference implementation of the
+spec's flowcharts): DC contexts 0..19 chosen by the previous diff's
+magnitude category against the DAC (L, U) conditioning bounds, X1 bin at
+20, magnitude-bit bins +14; AC bins 3 per coefficient index (end-of-
+block / zero-run / magnitude-first), high-magnitude areas at 189/217
+split by the DAC Kx conditioning index, signs through the fixed bin.
+
+Deviation from libjpeg: where libjpeg emits JWRN_ARITH_BAD_CODE and
+zero-fills on a corrupt magnitude walk, this decoder raises ValueError —
+the repo's parse-correctly-or-refuse contract (valid-stream parity is
+what the matrix pins).
+
+Each packed entry: ``(Qe << 16) | (NMPS << 8) | (switch << 7) | NLPS``.
+"""
+
+from __future__ import annotations
+
+__all__ = ["decode_arith_scans"]
+
+# T.81 Table D.3 (+ fixed bin 113); provenance: scripts/extract_jpeg_aritab.py
+_ARITAB = (
+    0x00005A1D0181, 0x00002586020E, 0x000011140310, 0x0000080B0412, 0x000003D80514, 0x000001DA0617,
+    0x000000E50719, 0x0000006F081C, 0x00000036091E, 0x0000001A0A21, 0x0000000D0B23, 0x000000060C09,
+    0x000000030D0A, 0x000000010D0C, 0x00005A7F0F8F, 0x00003F251024, 0x00002CF21126, 0x0000207C1227,
+    0x000017B91328, 0x00001182142A, 0x00000CEF152B, 0x000009A1162D, 0x0000072F172E, 0x0000055C1830,
+    0x000004061931, 0x000003031A33, 0x000002401B34, 0x000001B11C36, 0x000001441D38, 0x000000F51E39,
+    0x000000B71F3B, 0x0000008A203C, 0x00000068213E, 0x0000004E223F, 0x0000003B2320, 0x0000002C0921,
+    0x00005AE125A5, 0x0000484C2640, 0x00003A0D2741, 0x00002EF12843, 0x0000261F2944, 0x00001F332A45,
+    0x000019A82B46, 0x000015182C48, 0x000011772D49, 0x00000E742E4A, 0x00000BFB2F4B, 0x000009F8304D,
+    0x00000861314E, 0x00000706324F, 0x000005CD3330, 0x000004DE3432, 0x0000040F3532, 0x000003633633,
+    0x000002D43734, 0x0000025C3835, 0x000001F83936, 0x000001A43A37, 0x000001603B38, 0x000001253C39,
+    0x000000F63D3A, 0x000000CB3E3B, 0x000000AB3F3D, 0x0000008F203D, 0x00005B1241C1, 0x00004D044250,
+    0x0000412C4351, 0x000037D84452, 0x00002FE84553, 0x0000293C4654, 0x000023794756, 0x00001EDF4857,
+    0x00001AA94957, 0x0000174E4A48, 0x000014244B48, 0x0000119C4C4A, 0x00000F6B4D4A, 0x00000D514E4B,
+    0x00000BB64F4D, 0x00000A40304D, 0x0000583251D0, 0x00004D1C5258, 0x0000438E5359, 0x00003BDD545A,
+    0x000034EE555B, 0x00002EAE565C, 0x0000299A575D, 0x000025164756, 0x0000557059D8, 0x00004CA95A5F,
+    0x000044D95B60, 0x00003E225C61, 0x000038245D63, 0x000032B45E63, 0x00002E17565D, 0x000056A860DF,
+    0x00004F466165, 0x000047E56266, 0x000041CF6367, 0x00003C3D6468, 0x0000375E5D63, 0x000052316669,
+    0x00004C0F676A, 0x00004639686B, 0x0000415E6367, 0x000056276AE9, 0x000050E76B6C, 0x00004B85676D,
+    0x000055976D6E, 0x0000504F6B6F, 0x00005A106FEE, 0x000055226D70, 0x000059EB6FF0, 0x00005A1D7171,
+)
+
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+
+
+class _QMDecoder:
+    """T.81 F.2.2.5 'software conventions' QM decoder over one destuffed
+    entropy segment; past-end reads deliver zero bytes (hitting the next
+    marker mid-segment is LEGAL in arithmetic coding — the encoder omits
+    flushable trailing bytes, unlike Huffman)."""
+
+    __slots__ = ("data", "pos", "n", "c", "a", "ct")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.n = len(data)
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces two initial byte fetches (INITDEC)
+
+    def decode(self, st: list, i: int) -> int:
+        c = self.c
+        a = self.a
+        ct = self.ct
+        data = self.data
+        # renormalization + byte feed (F.2.2.5)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                if self.pos < self.n:
+                    b = data[self.pos]
+                    self.pos += 1
+                else:
+                    b = 0  # zero-stuff past the marker
+                c = (c << 8) | b
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:  # got 2 initial bytes: full interval
+                        a = 0x8000  # => 0x10000 after the shift below
+            a <<= 1
+
+        sv = st[i]
+        v = _ARITAB[sv & 0x7F]
+        qe = v >> 16
+        # decode decision + probability estimation (F.2.4.2, D.2.5)
+        a -= qe
+        temp = a << ct
+        if c >= temp:
+            c -= temp
+            if a < qe:  # conditional MPS exchange
+                st[i] = (sv & 0x80) ^ ((v >> 8) & 0xFF)
+            else:
+                st[i] = (sv & 0x80) ^ (v & 0xFF)
+                sv ^= 0x80  # decoded the LPS
+            a = qe
+        elif a < 0x8000:
+            if a < qe:  # conditional LPS exchange
+                st[i] = (sv & 0x80) ^ (v & 0xFF)
+                sv ^= 0x80
+            else:
+                st[i] = (sv & 0x80) ^ ((v >> 8) & 0xFF)
+        self.c = c
+        self.a = a
+        self.ct = ct
+        return sv >> 7
+
+
+def _corrupt() -> None:
+    raise ValueError("JPEG: corrupt arithmetic-coded stream (magnitude overflow)")
+
+
+def _decode_dc(dec, stats, ctx, last_dc, L, U):
+    """One DC diff (F.2.4.1 / F.1.4.4.1); returns (new_last_dc, new_ctx)."""
+    d = dec.decode(stats, ctx)
+    if d == 0:
+        return last_dc, 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m != 0:
+        st = 20  # X1 (Table F.4)
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                _corrupt()
+            st += 1
+    if m < (1 << L) >> 1:
+        new_ctx = 0
+    elif m > (1 << U) >> 1:
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    v = m
+    st += 14  # magnitude bits (F.24)
+    m >>= 1
+    while m:
+        if dec.decode(stats, st):
+            v |= m
+        m >>= 1
+    v += 1
+    if sign:
+        v = -v
+    return last_dc + v, new_ctx
+
+
+def _decode_ac_band(dec, stats, fixed, blk, ss, se, kx, al):
+    """AC coefficients k in [ss, se] (F.2.4.2 / G.2; sequential uses the
+    full 1..63 band with al=0). Writes zigzag-order ``blk`` in place."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # end of block
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG: arithmetic AC run past band end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m != 0:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        _corrupt()
+                    st += 1
+        v = m
+        st += 14
+        m >>= 1
+        while m:
+            if dec.decode(stats, st):
+                v |= m
+            m >>= 1
+        v += 1
+        if sign:
+            v = -v
+        blk[k] = v << al
+        k += 1
+
+
+def decode_arith_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
+    """Decode every arithmetic scan (sequential or progressive) into the
+    per-component zigzag coefficient store — the arithmetic twin of
+    jpegmini's Huffman scan decoders, sharing its grid conventions."""
+    h, w = frame["h"], frame["w"]
+    store = {cid: arr.tolist() for cid, arr in coefs.items()}
+    fixed = [113]  # non-adapting 0.5-probability bin (AC signs, DC refine)
+
+    for scan in scans:
+        comps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        segments = scan["segments"]
+        if scan.get("unterminated"):
+            # no marker ever ended this scan's entropy data: the file is
+            # cut mid-stream. Huffman catches this via bit exhaustion;
+            # arithmetic data zero-stuffs past markers by design, so the
+            # missing terminator is the only reliable truncation signal.
+            raise ValueError("JPEG: truncated arithmetic entropy stream")
+        cond = scan["arith_cond"]
+        tblnos = scan["arith_tblnos"]
+        progressive = frame["progressive"]
+        if not progressive:
+            ss, se, ah, al = 0, 63, 0, 0  # sequential full-band semantics
+        elif ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive DC scan must have Se=0")
+        elif ss > 0 and len(comps) != 1:
+            raise ValueError("JPEG: progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG: invalid spectral selection")
+
+        dc_stats: dict[int, list] = {}
+        ac_stats: dict[int, list] = {}
+        for c in comps:
+            td, ta = tblnos[c["id"]]
+            dc_stats.setdefault(td, [0] * _DC_STAT_BINS)
+            ac_stats.setdefault(ta, [0] * _AC_STAT_BINS)
+
+        def reset_stats():
+            for s in dc_stats.values():
+                s[:] = [0] * _DC_STAT_BINS
+            for s in ac_stats.values():
+                s[:] = [0] * _AC_STAT_BINS
+            fixed[0] = 113
+
+        if ss == 0 or not progressive:  # MCU-ordered (DC and sequential)
+            n_units = mcus_x * mcus_y
+        else:  # single-component AC scan: the component's own block raster
+            c = comps[0]
+            bw_c = -(-(-(-w * c["h"] // hmax)) // 8)
+            bh_c = -(-(-(-h * c["v"] // vmax)) // 8)
+            n_units = bw_c * bh_c
+        interval = scan["restart_interval"] or n_units
+
+        dec = None
+        seg_idx = -1
+        last_dc: dict = {}
+        dc_ctx: dict = {}
+        for u in range(n_units):
+            if u % interval == 0:  # scan start / restart: full reset (E.2.4)
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                dec = _QMDecoder(segments[seg_idx])
+                reset_stats()
+                last_dc = {c["id"]: 0 for c in comps}
+                dc_ctx = {c["id"]: 0 for c in comps}
+
+            if not progressive:
+                my, mx = divmod(u, mcus_x)
+                for c in comps:
+                    cid = c["id"]
+                    td, ta = tblnos[cid]
+                    L, U = cond.get((0, td), (0, 1))
+                    kx = cond.get((1, ta), 5)
+                    out = store[cid]
+                    row_stride = mcus_x * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
+                            last_dc[cid], dc_ctx[cid] = _decode_dc(
+                                dec, dc_stats[td], dc_ctx[cid], last_dc[cid], L, U
+                            )
+                            blk[0] = last_dc[cid]
+                            _decode_ac_band(dec, ac_stats[ta], fixed, blk, 1, 63, kx, 0)
+            elif ss == 0 and ah == 0:  # progressive DC first (G.2.1)
+                my, mx = divmod(u, mcus_x)
+                for c in comps:
+                    cid = c["id"]
+                    td, _ = tblnos[cid]
+                    L, U = cond.get((0, td), (0, 1))
+                    out = store[cid]
+                    row_stride = mcus_x * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
+                            last_dc[cid], dc_ctx[cid] = _decode_dc(
+                                dec, dc_stats[td], dc_ctx[cid], last_dc[cid], L, U
+                            )
+                            blk[0] = last_dc[cid] << al
+            elif ss == 0:  # progressive DC refinement: one fixed-bin bit/block
+                my, mx = divmod(u, mcus_x)
+                p1 = 1 << al
+                for c in comps:
+                    cid = c["id"]
+                    out = store[cid]
+                    row_stride = mcus_x * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
+                            if dec.decode(fixed, 0):
+                                blk[0] |= p1
+            else:
+                c = comps[0]
+                cid = c["id"]
+                _, ta = tblnos[cid]
+                kx = cond.get((1, ta), 5)
+                by, bx = divmod(u, bw_c)
+                blk = store[cid][by * (mcus_x * c["h"]) + bx]
+                if ah == 0:  # progressive AC first (G.2.2)
+                    _decode_ac_band(dec, ac_stats[ta], fixed, blk, ss, se, kx, al)
+                else:  # progressive AC refinement (G.2.3 / jdarith shape)
+                    stats = ac_stats[ta]
+                    p1 = 1 << al
+                    m1 = -1 << al
+                    kex = se
+                    while kex > 0 and blk[kex] == 0:
+                        kex -= 1
+                    k = ss
+                    while k <= se:
+                        st = 3 * (k - 1)
+                        if k > kex:
+                            if dec.decode(stats, st):
+                                break  # end of block
+                        while True:
+                            cv = blk[k]
+                            if cv:  # history-nonzero: one correction bit
+                                if dec.decode(stats, st + 2):
+                                    blk[k] = cv + (m1 if cv < 0 else p1)
+                                break
+                            if dec.decode(stats, st + 1):  # newly nonzero
+                                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                                break
+                            st += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: arithmetic AC refinement past band end"
+                                )
+                        k += 1
+
+    for cid, rows in store.items():
+        coefs[cid][:] = rows

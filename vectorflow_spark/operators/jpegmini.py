@@ -332,6 +332,7 @@ def _parse_stream(data: bytes):
         raise ValueError("not a JPEG file (missing SOI)")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> codes
+    arith_cond: dict[tuple[int, int], tuple | int] = {}  # (class, tb) -> (L,U) | Kx
     frame = None
     restart_interval = 0
     scans: list[dict] = []
@@ -376,7 +377,9 @@ def _parse_stream(data: bytes):
                 vals = tuple(seg[j + 17 : j + 17 + nvals])
                 huff[(tc, th)] = _decoder_table(bits, vals)
                 j += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive (Huffman); SOF9 sequential /
+            # SOF10 progressive (arithmetic, operators/jpegarith.py)
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} not supported")
@@ -384,12 +387,33 @@ def _parse_stream(data: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
-                f"got SOF marker 0x{marker:02x}"
+                f"only baseline/progressive DCT JPEG (Huffman SOF0/SOF2, "
+                f"arithmetic SOF9/SOF10) supported, got SOF marker 0x{marker:02x}"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            j = 0
+            while j + 1 < len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                cs = seg[j + 1]
+                j += 2
+                if tc == 0:
+                    L, U = cs & 0x0F, cs >> 4
+                    if L > U or U > 15:
+                        raise ValueError("JPEG: invalid DAC DC conditioning")
+                    arith_cond[(0, tb)] = (L, U)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG: invalid DAC AC conditioning")
+                    arith_cond[(1, tb)] = cs
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -397,7 +421,7 @@ def _parse_stream(data: bytes):
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             by_id = {c["id"]: c for c in frame["comps"]}
-            scan_comps, tables = [], {}
+            scan_comps, tables, tblnos = [], {}, {}
             for c in range(ns):
                 cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
                 if cid not in by_id:
@@ -406,18 +430,26 @@ def _parse_stream(data: bytes):
                 # snapshot the RESOLVED dicts: a later DHT replaces the
                 # huff entry with a new dict, leaving these intact
                 tables[cid] = (huff.get((0, tbls >> 4)), huff.get((1, tbls & 0x0F)))
+                tblnos[cid] = (tbls >> 4, tbls & 0x0F)  # arith stat table ids
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             end = _entropy_end(data, i)
+            # arithmetic streams zero-stuff past a marker, so bit
+            # exhaustion can never flag truncation the way Huffman's
+            # nbits checks do — record whether a terminating marker
+            # actually followed (jpegarith refuses when it didn't)
             scans.append(
                 {
                     "comps": scan_comps,
                     "tables": tables,
+                    "arith_tblnos": tblnos,
+                    "arith_cond": dict(arith_cond),  # snapshot (DAC may follow)
                     "ss": ss,
                     "se": se,
                     "ah": ahal >> 4,
                     "al": ahal & 0x0F,
                     "restart_interval": restart_interval,
                     "segments": _destuff(data[i:end]),
+                    "unterminated": end >= n,
                 }
             )
             i = end
@@ -441,14 +473,14 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack_from(">H", data, i)
-        if marker in (0xC0, 0xC2):
+        if marker in (0xC0, 0xC2, 0xC9, 0xCA):
             h, w = struct.unpack_from(">HH", data, i + 3)
             ncomp = data[i + 7]
             return w, h, (3 if ncomp == 3 else 1)
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
-                f"got SOF marker 0x{marker:02x}"
+                f"only baseline/progressive DCT JPEG (Huffman SOF0/SOF2, "
+                f"arithmetic SOF9/SOF10) supported, got SOF marker 0x{marker:02x}"
             )
         i += seglen
     raise ValueError("JPEG: no frame header found")
@@ -918,7 +950,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for c in comps
     }
 
-    if frame["progressive"]:
+    if frame.get("arith"):
+        from vectorflow_spark.operators.jpegarith import decode_arith_scans
+
+        decode_arith_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax)
+    elif frame["progressive"]:
         _decode_progressive_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax)
     else:
         _decode_baseline_scan(frame, scans[0], coefs, mcus_x, mcus_y)
