@@ -56,6 +56,7 @@ HEADLINERS = [
     ("q_curation_funnel", "staged curation accounting: five 1-row partial aggs over a shrinking lineage"),
     ("q_mp3_meta", "MP3 header classification: one mapInPandas pass, no shuffle, no sample decode"),
     ("q_ogg_meta", "Ogg/Opus/Vorbis header classification: CRC-verified page walk, one mapInPandas pass, no sample decode"),
+    ("q_jpeg_arith_roundtrip", "arithmetic-coded JPEG (SOF9) QM-coder roundtrip: one mapInPandas projection, no shuffle"),
     ("q_wat_outlinks", "WAT sidecar graph: engine-side JSON envelope, warc_type pushdown scan, one aggregate shuffle"),
     ("q_webdataset_scan", "WebDataset cycle: tar-shard sink, vf_tar scan, zero-shuffle sample assembly"),
     ("q_wds_caption_leg", "selective-leg WebDataset read: ext pushdown + indexed seek partitions, images never materialize"),

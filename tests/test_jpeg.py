@@ -742,3 +742,18 @@ class TestRestartIntervalEncoding:
         blob = encode_jpeg(px, 90, restart_interval=1)  # 11 RST markers
         assert blob.count(b"\xff\xd0") >= 2  # RST0 reused after wrap
         assert np.array_equal(decode_jpeg(blob), decode_jpeg(encode_jpeg(px, 90)))
+
+
+class TestParseStreamHardening:
+    def test_header_truncation_always_valueerror(self):
+        """Cuts landing inside MARKER SEGMENT headers (not entropy data)
+        must surface as ValueError, never struct.error/IndexError (found
+        by the q_jpeg_arith_roundtrip truncation sweep at doc_id=18)."""
+        from vectorflow_spark.operators.jpegmini import encode_jpeg
+
+        blob = encode_jpeg(np.full((16, 24, 3), 77, np.uint8), quality=60)
+        for cut in range(2, len(blob), 5):
+            try:
+                decode_jpeg(blob[:cut])
+            except ValueError:
+                pass  # the ONLY acceptable refusal type

@@ -119,3 +119,43 @@ class TestArithRefusals:
 
         vals = extract("/usr/lib/x86_64-linux-gnu/libjpeg.so.62")
         assert tuple(vals) == _ARITAB
+
+
+class TestArithEncoder:
+    """encode_jpeg_arith (SOF9): QM-coder mirror sharing _quantize_planes
+    with the Huffman encoders."""
+
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    @pytest.mark.parametrize("restart", [0, 2])
+    def test_huffman_twin_bit_identity(self, subsampling, restart):
+        from vectorflow_spark.operators.jpegarith import encode_jpeg_arith
+        from vectorflow_spark.operators.jpegmini import encode_jpeg
+
+        px = _fixture(41, 53, seed=7)
+        ar = encode_jpeg_arith(px, quality=80, restart_interval=restart,
+                               subsampling=subsampling)
+        hf = encode_jpeg(px, quality=80, restart_interval=restart,
+                         subsampling=subsampling)
+        assert np.array_equal(decode_jpeg(ar), decode_jpeg(hf))
+        assert len(ar) < len(hf)  # arithmetic's raison d'etre
+
+    @pytest.mark.parametrize("quality", [30, 95])
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    def test_libjpeg_decodes_our_streams(self, quality, subsampling):
+        from vectorflow_spark.operators.jpegarith import encode_jpeg_arith
+
+        noise = np.random.default_rng(10).integers(0, 256, (24, 40, 3), np.uint8)
+        blob = encode_jpeg_arith(noise, quality=quality, restart_interval=2,
+                                 subsampling=subsampling)
+        assert blob[2:4] != b"\xff\xc4"  # no DHT anywhere
+        assert b"\xff\xc9" in blob  # SOF9
+        assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3
+
+    def test_grayscale(self):
+        from vectorflow_spark.operators.jpegarith import encode_jpeg_arith
+
+        g = _fixture(24, 32, seed=11)[:, :, :1]
+        blob = encode_jpeg_arith(g, quality=85)
+        out = decode_jpeg(blob)
+        assert out.shape == (24, 32, 3)
+        assert _maxdiff(out, ref.decode_rgb(blob)) <= 3

@@ -353,3 +353,315 @@ def decode_arith_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
 
     for cid, rows in store.items():
         coefs[cid][:] = rows
+
+
+# ---------------------------------------------------------------------------
+# Encoder (sequential SOF9) — the QM-coder mirror of the decoder above
+# (T.81 Annexes D.1/F.1.4; jcarith.c is the reference layout). Produces
+# streams libjpeg's own arithmetic decoder accepts (pinned in
+# tests/test_jpeg_arith.py) and that decode BIT-IDENTICALLY to the same
+# pixels' Huffman encoding (shared _quantize_planes coefficients).
+# ---------------------------------------------------------------------------
+
+
+class _QMEncoder:
+    """QM arithmetic encoder over one entropy segment, with the
+    stacked-0xFF carry resolution and byte-stuffing of F.1.4.3/D.1.6."""
+
+    __slots__ = ("c", "a", "sc", "zc", "ct", "buffer", "out")
+
+    def __init__(self) -> None:
+        self.c = 0
+        self.a = 0x10000
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # pending zero bytes
+        self.ct = 11  # shift counter: 3 spacer bits below the byte window
+        self.buffer = -1  # last unemitted byte (-1: none yet)
+        self.out = bytearray()
+
+    def encode(self, st: list, i: int, val: int) -> None:
+        sv = st[i]
+        v = _ARITAB[sv & 0x7F]
+        qe = v >> 16
+        self.a -= qe
+        if val != (sv >> 7):  # LPS
+            if self.a >= qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ (v & 0xFF)
+        else:  # MPS
+            if self.a >= 0x8000:
+                return  # no renormalization needed
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ ((v >> 8) & 0xFF)
+
+        # renormalization + byte output (F.1.4.3)
+        out = self.out
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:  # carry: ripple into the buffered byte
+                    if self.buffer >= 0:
+                        if self.zc:
+                            out.extend(b"\x00" * self.zc)
+                            self.zc = 0
+                        b = self.buffer + 1
+                        out.append(b)
+                        if b == 0xFF:
+                            out.append(0x00)  # byte stuffing
+                    self.zc += self.sc  # stacked 0xFFs overflow to 0x00s
+                    self.sc = 0
+                    # spacer bits guarantee the new byte can't be 0xFF
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1  # stack; may still catch a carry
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        if self.zc:
+                            out.extend(b"\x00" * self.zc)
+                            self.zc = 0
+                        out.append(self.buffer)
+                    if self.sc:
+                        if self.zc:
+                            out.extend(b"\x00" * self.zc)
+                            self.zc = 0
+                        out.extend(b"\xff\x00" * self.sc)
+                        self.sc = 0
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8/D.1.9 termination: pick the in-interval code value with
+        the most trailing zeros, emit what remains, drop trailing zeros
+        (the decoder zero-stuffs them back)."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        out = self.out
+        if self.c & 0xF8000000:  # final carry
+            if self.buffer >= 0:
+                if self.zc:
+                    out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                b = self.buffer + 1
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                if self.zc:
+                    out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                out.append(self.buffer)
+            if self.sc:
+                if self.zc:
+                    out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                out.extend(b"\xff\x00" * self.sc)
+                self.sc = 0
+        if self.c & 0x7FFF800:  # final bytes, only if nonzero
+            if self.zc:
+                out.extend(b"\x00" * self.zc)
+                self.zc = 0
+            b = (self.c >> 19) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+        return bytes(out)
+
+
+def _encode_dc(enc, stats, ctx, last_dc, v_new, L, U) -> int:
+    """Encode one DC value (F.1.4.1); returns the new conditioning ctx."""
+    v = v_new - last_dc
+    if v == 0:
+        enc.encode(stats, ctx, 0)
+        return 0
+    enc.encode(stats, ctx, 1)
+    sign = 1 if v < 0 else 0
+    enc.encode(stats, ctx + 1, sign)
+    if sign:
+        v = -v
+    st = ctx + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    if m < (1 << L) >> 1:
+        new_ctx = 0
+    elif m > (1 << U) >> 1:
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    st += 14
+    m >>= 1
+    while m:
+        enc.encode(stats, st, 1 if (m & v) else 0)
+        m >>= 1
+    return new_ctx
+
+
+def _encode_ac_block(enc, stats, fixed, blk, kx) -> None:
+    """Encode AC coefficients 1..63 of one zigzag block (F.1.4.2)."""
+    ke = 63
+    while ke > 0 and blk[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB yet
+        v = blk[k]
+        while v == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+            v = blk[k]
+        enc.encode(stats, st + 1, 1)
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        if sign:
+            v = -v
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(stats, st, 0)
+        st += 14
+        m >>= 1
+        while m:
+            enc.encode(stats, st, 1 if (m & v) else 0)
+            m >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(stats, 3 * (ke + 1 - 1), 1)  # EOB decision at k = ke+1
+
+
+def encode_jpeg_arith(
+    px,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w, 3|1) uint8 -> sequential arithmetic-coded (SOF9) JPEG.
+
+    Shares ``_quantize_planes`` with the Huffman encoders, so
+    decode(arith) == decode(huffman) BIT-IDENTICALLY for the same input
+    and quality; default DAC conditioning (L=0, U=1, Kx=5), so no DAC
+    marker is needed. libjpeg accepts these streams (parity-pinned)."""
+    import struct
+
+    from vectorflow_spark.operators.jpegmini import (
+        _header_bytes,
+        _quantize_planes,
+        _seg_bytes,
+    )
+
+    h, w, bh, bw, all_zz, q_lum, q_chrom = _quantize_planes(px, quality, subsampling)
+    ncomp = len(all_zz)
+    sub420 = subsampling == "420" and ncomp > 1
+    if sub420:
+        ybw = bw * 2
+        mcu_units = [
+            [
+                (0, (2 * my) * ybw + 2 * mx),
+                (0, (2 * my) * ybw + 2 * mx + 1),
+                (0, (2 * my + 1) * ybw + 2 * mx),
+                (0, (2 * my + 1) * ybw + 2 * mx + 1),
+                (1, my * bw + mx),
+                (2, my * bw + mx),
+            ]
+            for my in range(bh)
+            for mx in range(bw)
+        ]
+    else:
+        mcu_units = [[(ci, k) for ci in range(ncomp)] for k in range(bh * bw)]
+
+    zz_lists = [comp.tolist() if hasattr(comp, "tolist") else comp for comp in all_zz]
+    segments: list[bytes] = []
+    enc = _QMEncoder()
+    dc_stats = {0: [0] * _DC_STAT_BINS, 1: [0] * _DC_STAT_BINS}
+    ac_stats = {0: [0] * _AC_STAT_BINS, 1: [0] * _AC_STAT_BINS}
+    fixed = [113]
+    last_dc = [0] * ncomp
+    dc_ctx = [0] * ncomp
+    for blk_i, units in enumerate(mcu_units):
+        if restart_interval and blk_i and blk_i % restart_interval == 0:
+            segments.append(enc.flush())
+            enc = _QMEncoder()
+            for s in dc_stats.values():
+                s[:] = [0] * _DC_STAT_BINS
+            for s in ac_stats.values():
+                s[:] = [0] * _AC_STAT_BINS
+            fixed[0] = 113
+            last_dc = [0] * ncomp
+            dc_ctx = [0] * ncomp
+        for ci, bi in units:
+            t = 0 if ci == 0 else 1
+            blk = zz_lists[ci][bi]
+            dc_ctx[ci] = _encode_dc(
+                enc, dc_stats[t], dc_ctx[ci], last_dc[ci], blk[0], 0, 1
+            )
+            last_dc[ci] = blk[0]
+            _encode_ac_block(enc, ac_stats[t], fixed, blk, 5)
+    segments.append(enc.flush())
+    entropy = b"".join(
+        seg + (bytes([0xFF, 0xD0 + i % 8]) if i < len(segments) - 1 else b"")
+        for i, seg in enumerate(segments)
+    )
+
+    out = bytearray(
+        _header_bytes(
+            0xC9, h, w, ncomp, q_lum, q_chrom, [],
+            y_sampling=0x22 if sub420 else 0x11,
+        )
+    )
+    if restart_interval:
+        out += _seg_bytes(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg_bytes(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -330,6 +330,15 @@ def _parse_stream(data: bytes):
     them between scans."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
+    try:
+        return _parse_stream_inner(data)
+    except (IndexError, struct.error) as e:
+        # codec-layer contract (same as flacmini): malformed input is
+        # always ValueError, never a raw indexing/struct error escaping
+        raise ValueError(f"JPEG: truncated or malformed stream ({e})") from None
+
+
+def _parse_stream_inner(data: bytes):
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> codes
     arith_cond: dict[tuple[int, int], tuple | int] = {}  # (class, tb) -> (L,U) | Kx

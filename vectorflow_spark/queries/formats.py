@@ -2445,3 +2445,113 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(walk, out_schema)
+
+
+@query(
+    "q_jpeg_arith_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(24 + (doc_id % 5) * 8 AS INT) AS width,
+           CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
+           TRUE AS huffman_twin_identical,
+           TRUE AS meta_ok,
+           TRUE AS smaller_than_huffman,
+           TRUE AS truncation_refuses
+    FROM documents WHERE doc_id % 7 = 4
+    """,
+)
+def q_jpeg_arith_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG (SOF9) at scale — the last JPEG entropy
+    variant, decoded+encoded by our own QM coder (operators/jpegarith.py,
+    r8; parity-pinned against the system libjpeg's arithmetic
+    encoder+decoder in tests/test_jpeg_arith.py). Per document a
+    deterministic pixel field is encoded BOTH ways — arithmetic and
+    Huffman share _quantize_planes, so their decodes must be
+    BIT-IDENTICAL — and the gate emits that identity, the header metadata
+    check, the compression win (the QM coder beating Huffman on every
+    fixture is the format's raison d'etre), and the refusal contract for
+    streams cut mid-entropy (zero-stuffing makes bit exhaustion
+    undetectable, so the missing terminator must be the signal). One
+    Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("huffman_twin_identical", BooleanType()),
+            StructField("meta_ok", BooleanType()),
+            StructField("smaller_than_huffman", BooleanType()),
+            StructField("truncation_refuses", BooleanType()),
+        ]
+    )
+
+    def roundtrip(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.jpegarith import encode_jpeg_arith
+        from vectorflow_spark.operators.jpegmini import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_meta,
+        )
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 24 + (i % 5) * 8
+                h = 16 + (i % 3) * 8
+                quality = [30, 80, 95][i % 3]
+                sub = "420" if i % 2 else "444"
+                rst = i % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = 128 + 55 * np.sin(xx / (3.0 + i % 7)) * np.cos(
+                    yy / (4.0 + i % 5)
+                ) + ((i * 37) % 64) - 32
+                px = np.repeat(
+                    base[..., None].clip(0, 255).astype(np.uint8), 3, axis=2
+                )
+                px[:, :, 2] = 255 - px[:, :, 2]
+                ar = encode_jpeg_arith(
+                    px, quality=quality, restart_interval=rst, subsampling=sub
+                )
+                hf = encode_jpeg(
+                    px, quality=quality, restart_interval=rst, subsampling=sub
+                )
+                da, dh = decode_jpeg(ar), decode_jpeg(hf)
+                mw, mh, mc = jpeg_meta(ar)
+                try:
+                    decode_jpeg(ar[: max(8, len(ar) * 2 // 3)])
+                    refuses = False
+                except ValueError:
+                    refuses = True
+                except NotImplementedError:
+                    refuses = False  # wrong error class would be a defect
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        bool(np.array_equal(da, dh)),
+                        (mw, mh, mc) == (w, h, 3),
+                        len(ar) < len(hf),
+                        refuses,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 7 == 4)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(roundtrip, out_schema)
