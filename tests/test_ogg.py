@@ -212,3 +212,79 @@ class TestDispatch:
         assert m["sample_rate"] == 48000
         assert m["n_samples"] == 10 * 960
         assert m["n_bytes"] == len(blob)
+
+
+class TestOggFlac:
+    """FLAC-to-Ogg mapping (RFC 5334): the one Ogg codec whose samples
+    fully decode — the payload is our own flacmini, so page CRCs AND the
+    embedded STREAMINFO PCM MD5 verify the whole reconstruction."""
+
+    def _native(self, n=3000, seed=13, rate=8000, bs=512):
+        import numpy as np
+
+        from vectorflow_spark.operators.flacmini import encode_flac
+
+        rng = np.random.default_rng(seed)
+        s = (np.sin(np.arange(n) / 7.0) * 5000 + rng.integers(-99, 100, n)).astype(
+            np.int16
+        )
+        return s, encode_flac(s, rate, block_size=bs)
+
+    def test_sample_roundtrip_md5_verified(self):
+        import numpy as np
+
+        from vectorflow_spark.operators.oggmini import build_ogg_flac, decode_ogg_flac
+
+        s, native = self._native()
+        ogg = build_ogg_flac(native, tags=["title=t"])
+        pcm, rate = decode_ogg_flac(ogg)
+        assert rate == 8000
+        assert np.array_equal(pcm[:, 0], s)
+
+    def test_meta_fields(self):
+        from vectorflow_spark.operators.oggmini import build_ogg_flac, ogg_meta
+
+        s, native = self._native()
+        m = ogg_meta(build_ogg_flac(native, tags=["a=1", "b=2"]))
+        assert m["codec"] == "flac"
+        assert (m["channels"], m["sample_rate"], m["bits_per_sample"]) == (1, 8000, 16)
+        assert m["n_samples"] == len(s)
+        assert m["duration_ms"] == len(s) * 1000 // 8000
+        assert m["n_tags"] == 2
+        assert m["n_audio_packets"] == -(-len(s) // 512)
+
+    def test_decode_audio_routes_ogg_flac(self):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import decode_audio
+        from vectorflow_spark.operators.oggmini import build_ogg_flac
+
+        s, native = self._native()
+        samples, rate = decode_audio(build_ogg_flac(native))
+        assert rate == 8000
+        assert np.array_equal(samples.astype(np.int32), s)
+        # Opus streams still refuse sample decode
+        blob = build_ogg_opus(seed=1, channels=1, pre_skip=0,
+                              input_sample_rate=8000, n_audio_packets=2)
+        with pytest.raises(NotImplementedError, match="libopus"):
+            decode_audio(blob)
+
+    def test_corruption_anywhere_refuses(self):
+        from vectorflow_spark.operators.oggmini import build_ogg_flac, decode_ogg_flac
+
+        _, native = self._native(800, bs=256)
+        ogg = bytearray(build_ogg_flac(native))
+        for pos in range(0, len(ogg), 151):
+            mutated = bytearray(ogg)
+            mutated[pos] ^= 0x10
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_ogg_flac(bytes(mutated))
+
+    def test_decode_meta_routes(self):
+        from vectorflow_spark.operators.multimodal import decode_meta
+        from vectorflow_spark.operators.oggmini import build_ogg_flac
+
+        s, native = self._native()
+        m = decode_meta(build_ogg_flac(native))
+        assert m["kind"] == "audio"
+        assert (m["sample_rate"], m["n_samples"]) == (8000, len(s))

@@ -1440,6 +1440,13 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         pcm, rate, _meta = decode_flac(data)
         return pcm[:, 0].astype(np.float64), rate
     if data[:4] == b"OggS":
+        from vectorflow_spark.operators.oggmini import decode_ogg_flac, ogg_meta
+
+        if ogg_meta(bytes(data))["codec"] == "flac":
+            # FLAC-in-Ogg (RFC 5334): the payload codec is ours, so the
+            # samples fully decode and the STREAMINFO MD5 verifies them
+            pcm, rate = decode_ogg_flac(bytes(data))
+            return pcm[:, 0].astype(np.float64), rate
         raise NotImplementedError(
             "ogg: Opus/Vorbis SAMPLE decode needs libopus/libvorbis, absent "
             "in this environment (same adjudication as MP3 Layer-III); "

@@ -38,6 +38,8 @@ import struct
 
 __all__ = [
     "ogg_crc",
+    "build_ogg_flac",
+    "decode_ogg_flac",
     "ogg_pages",
     "ogg_packets",
     "ogg_meta",
@@ -270,6 +272,35 @@ def ogg_meta(data: bytes) -> dict:
         n_header_packets = 3  # id + comment + setup
         if len(packets) < 3 or not packets[2].startswith(b"\x05vorbis"):
             raise ValueError("ogg: missing Vorbis setup header")
+    elif first.startswith(b"\x7fFLAC"):
+        # FLAC-to-Ogg mapping (RFC 5334): BOS packet = 0x7F 'FLAC'
+        # major minor nheaders(BE16) + the native fLaC signature and
+        # STREAMINFO block; the native stream is fully reconstructable,
+        # so this is the one Ogg codec whose SAMPLES we can decode and
+        # MD5-verify (decode_ogg_flac).
+        from vectorflow_spark.operators.flacmini import _parse_streaminfo
+
+        if len(first) < 13:
+            raise ValueError("ogg: truncated FLAC mapping header")
+        if first[5] != 1:
+            raise ValueError(f"ogg: unsupported FLAC mapping version {first[5]}")
+        (nheaders,) = struct.unpack_from(">H", first, 7)
+        info, _ = _parse_streaminfo(first[9:])
+        meta = {
+            "codec": "flac",
+            "channels": info["channels"],
+            "sample_rate": info["sample_rate"],
+            "bits_per_sample": info["bits_per_sample"],
+        }
+        if len(packets) < 2:
+            raise ValueError("ogg: missing FLAC Vorbis-comment header packet")
+        cmt = packets[1]
+        if len(cmt) < 4 or cmt[0] & 0x7F != 4:
+            raise ValueError("ogg: first FLAC header packet is not a Vorbis comment")
+        vendor, n_tags = _parse_comment_block(cmt, 4, "FLAC comment")
+        n_samples = last_granule
+        meta["duration_ms"] = n_samples * 1000 // meta["sample_rate"]
+        n_header_packets = 1 + max(nheaders, 1)
     else:
         magic = bytes(first[:8])
         raise NotImplementedError(f"ogg: codec with BOS magic {magic!r} not supported")
@@ -469,3 +500,68 @@ def build_ogg_vorbis(
         audio,
     ]
     return build_ogg_stream(groups, serial, max_segs_per_page)
+
+
+# ---------------------------------------------------------------------------
+# FLAC-to-Ogg mapping (RFC 5334): wrap / unwrap native FLAC streams. One
+# FLAC frame per Ogg packet; granule = number of samples completed. Unlike
+# Opus/Vorbis, the payload codec is OURS (operators/flacmini.py), so the
+# samples fully decode and the embedded STREAMINFO MD5 verifies them.
+# ---------------------------------------------------------------------------
+
+
+def build_ogg_flac(
+    native: bytes,
+    serial: int | None = None,
+    vendor: str = "vectorflow-spark oggmini",
+    tags: list[str] | None = None,
+    max_segs_per_page: int = 50,
+) -> bytes:
+    """Native fLaC bytes -> Ogg FLAC bytes (RFC 5334 mapping)."""
+    from vectorflow_spark.operators.flacmini import decode_flac, flac_frame_offsets
+
+    native = bytes(native)
+    first, frames = flac_frame_offsets(native)
+    pcm, rate, _meta = decode_flac(native)  # also yields per-frame granules
+    serial = (len(native) * 2654435761 + 0xF1AC) & 0xFFFFFFFF if serial is None else serial
+    bos = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + native[:first]
+    body = _comment_body(vendor, list(tags or []))
+    cmt = bytes([0x84]) + len(body).to_bytes(3, "big") + body  # last|type4
+    # per-frame granules: cumulative samples completed (our encoder emits
+    # fixed max_blocksize frames with one short tail, per STREAMINFO)
+    from vectorflow_spark.operators.flacmini import _parse_streaminfo
+
+    info, _ = _parse_streaminfo(native)
+    total = len(pcm)
+    bs = info["max_blocksize"]
+    audio = []
+    done = 0
+    for a, b in frames:
+        done = min(done + bs, total)
+        audio.append((native[a:b], done))
+    if done != total:
+        raise ValueError("ogg flac: frame granules do not cover the stream")
+    groups = [[(bos, 0)], [(cmt, 0)], audio]
+    return build_ogg_stream(groups, serial, max_segs_per_page)
+
+
+def decode_ogg_flac(data: bytes):
+    """Ogg FLAC bytes -> ((n, channels) int32 PCM, sample_rate).
+
+    Reconstructs the native stream (BOS-embedded fLaC header + one frame
+    per audio packet) and runs the full flacmini decode — every page CRC
+    AND the STREAMINFO PCM MD5 verify end-to-end."""
+    from vectorflow_spark.operators.flacmini import decode_flac
+
+    pages = ogg_pages(data)
+    if len({p["serial"] for p in pages}) > 1:
+        raise NotImplementedError("ogg: multiplexed/chained logical streams not supported")
+    packets = ogg_packets(pages)
+    if not packets or not packets[0].startswith(b"\x7fFLAC"):
+        raise ValueError("ogg: not a FLAC-mapped stream")
+    first = packets[0]
+    (nheaders,) = struct.unpack_from(">H", first, 7)
+    skip = 1 + max(nheaders, 1)
+    native = first[9:] + b"".join(packets[skip:])
+    pcm, rate, _meta = decode_flac(native)
+    return pcm, rate

@@ -1162,8 +1162,8 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-duplicate pairs — the audio leg of the cross-modal dedup family: clips are
-    unique 2048-sample streams (seed = id) rotating FAKE/WAV/FLAC
-    containers (FLAC decode is LOSSLESS, so its fingerprint is identical
+    unique 2048-sample streams (seed = id) rotating FAKE/WAV/
+    Ogg-FLAC (RFC 5334, r8)/native-FLAC containers (FLAC decode is LOSSLESS, so its fingerprint is identical
     to the same clip in any container — the dedup key is the samples,
     never the container bytes), except every 5th, which is a
     deterministic light-noise re-render of its successor (the
@@ -1190,6 +1190,13 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 4 == 1:  # real WAV containers
             samples, rate = decode_audio(blob)
             return encode_wav(samples.astype(np.uint8), rate)
+        if i % 4 == 2:  # Ogg-FLAC containers (RFC 5334; r8 — lossless too)
+            from vectorflow_spark.operators.oggmini import build_ogg_flac
+
+            samples, rate = decode_audio(blob)
+            return build_ogg_flac(
+                encode_flac(samples.astype(np.int16), rate, block_size=512)
+            )
         if i % 4 == 3:  # real FLAC containers (lossless: same samples back)
             samples, rate = decode_audio(blob)
             return encode_flac(samples.astype(np.int16), rate, block_size=512)
