@@ -84,6 +84,7 @@ import ctypes, sys
 lib = ctypes.CDLL("libjpeg.so.62")
 w, h, quality, progressive, restart, arith = (int(a) for a in sys.argv[1:7])
 dc_l, dc_u, ac_k = (int(a) for a in sys.argv[7:10]) if len(sys.argv) > 7 else (0, 1, 5)
+script = sys.argv[10] if len(sys.argv) > 10 else ""
 raw = sys.stdin.buffer.read()
 assert len(raw) == w * h * 3
 
@@ -122,6 +123,19 @@ lib.jpeg_set_quality(ctypes.byref(cinfo), quality, 1)
 if progressive:
     lib.jpeg_simple_progression.argtypes = [ctypes.c_void_p]
     lib.jpeg_simple_progression(ctypes.byref(cinfo))
+if script:
+    # custom scan script: jpeg_scan_info = {comps_in_scan, component_index[4],
+    # Ss, Se, Ah, Al} = 9 ints; scans separated by ';', fields by ','
+    scans = [tuple(int(x) for x in part.split(",")) for part in script.split(";")]
+    ScanInfo = ctypes.c_int * 9
+    arr = (ScanInfo * len(scans))()
+    for si, sc in enumerate(scans):
+        ncs = sc[0]
+        fields = [ncs] + list(sc[1 : 1 + ncs]) + [0] * (4 - ncs) + list(sc[1 + ncs :])
+        for fi, val in enumerate(fields):
+            arr[si][fi] = val
+    ctypes.c_int.from_address(base + 240).value = len(scans)  # num_scans
+    ctypes.c_void_p.from_address(base + 248).value = ctypes.addressof(arr)  # scan_info
 # v62 x86-64 offsets past the huff table pointers (@160-192):
 #   arith_dc_L/U[16] @192/@208, arith_ac_K[16] @224, num_scans @240,
 #   scan_info @248, raw_data_in @256, arith_code @260, optimize_coding
@@ -159,6 +173,7 @@ def encode_rgb(
     restart: int = 0,
     arith: bool = False,
     conditioning: tuple = (0, 1, 5),
+    scan_script: str = "",
 ) -> bytes:
     """(h, w, 3) uint8 -> JPEG bytes via the system libjpeg (subprocess):
     genuine third-party streams for decode-conformance pinning."""
@@ -166,7 +181,8 @@ def encode_rgb(
     p = subprocess.run(
         [sys.executable, "-c", _ENC_WORKER, str(w), str(h), str(quality),
          "1" if progressive else "0", str(restart), "1" if arith else "0",
-         str(conditioning[0]), str(conditioning[1]), str(conditioning[2])],
+         str(conditioning[0]), str(conditioning[1]), str(conditioning[2]),
+         scan_script],
         input=np.ascontiguousarray(px).tobytes(),
         capture_output=True,
         timeout=60,

@@ -159,3 +159,22 @@ class TestArithEncoder:
         out = decode_jpeg(blob)
         assert out.shape == (24, 32, 3)
         assert _maxdiff(out, ref.decode_rgb(blob)) <= 3
+
+
+class TestNonInterleavedScans:
+    """Per-component DC scans over subsampled components (legal via scan
+    scripts) decode over the COMPONENT's block raster, not the MCU grid —
+    the r8 self-review finding; both entropy variants pinned vs libjpeg."""
+
+    SCRIPT = ";".join([
+        "1,0,0,0,0,1", "1,1,0,0,0,1", "1,2,0,0,0,1",
+        "1,0,1,63,0,0", "1,1,1,63,0,0", "1,2,1,63,0,0",
+        "1,0,0,0,1,0", "1,1,0,0,1,0", "1,2,0,0,1,0",
+    ])
+
+    @pytest.mark.parametrize("arith", [True, False])
+    def test_per_component_dc_scans(self, arith):
+        px = np.random.default_rng(21).integers(0, 256, (33, 49, 3), np.uint8)
+        blob = ref.encode_rgb(px, quality=80, arith=arith, scan_script=self.SCRIPT)
+        assert (b"\xff\xca" if arith else b"\xff\xc2") in blob
+        assert _maxdiff(decode_jpeg(blob), ref.decode_rgb(blob)) <= 3

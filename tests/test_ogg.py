@@ -288,3 +288,82 @@ class TestOggFlac:
         m = decode_meta(build_ogg_flac(native))
         assert m["kind"] == "audio"
         assert (m["sample_rate"], m["n_samples"]) == (8000, len(s))
+
+
+class TestOggFlacConformance:
+    """RFC 5334 details the r8 self-review surfaced: the BOS-embedded
+    STREAMINFO must carry last-metadata-block flag UNSET (the comment
+    packet terminates the chain), granules are true per-frame sample
+    counts, and the reader walks the header chain rather than trusting
+    the advisory count blindly."""
+
+    def _ogg(self, **kw):
+        import numpy as np
+
+        from vectorflow_spark.operators.flacmini import encode_flac
+        from vectorflow_spark.operators.oggmini import build_ogg_flac
+
+        s = (np.sin(np.arange(1500) / 5.0) * 7000).astype(np.int16)
+        return s, build_ogg_flac(encode_flac(s, 8000, block_size=256), **kw)
+
+    def test_bos_streaminfo_last_flag_unset(self):
+        from vectorflow_spark.operators.oggmini import ogg_packets, ogg_pages
+
+        _, ogg = self._ogg()
+        bos = ogg_packets(ogg_pages(ogg))[0]
+        assert bos[:5] == b"\x7fFLAC"
+        assert bos[9:13] == b"fLaC"
+        assert not bos[13] & 0x80  # chain continues into the comment packet
+        cmt = ogg_packets(ogg_pages(ogg))[1]
+        assert cmt[0] == 0x84  # last | VORBIS_COMMENT terminates it
+
+    def test_granules_are_true_sample_counts(self):
+        from vectorflow_spark.operators.oggmini import ogg_pages
+
+        s, ogg = self._ogg()
+        pages = ogg_pages(ogg)
+        grans = [p["granule"] for p in pages if p["closes_last"] and p["granule"]]
+        assert grans[-1] == len(s)
+        assert all(g % 256 == 0 or g == len(s) for g in grans)
+
+    def test_header_count_mismatch_refuses(self):
+        from vectorflow_spark.operators.oggmini import decode_ogg_flac, ogg_pages
+
+        _, ogg = self._ogg()
+        pages = ogg_pages(ogg)
+        bos_body_at = 27 + len(pages[0]["lacings"])
+        mutated = bytearray(ogg)
+        mutated[bos_body_at + 8] = 7  # claim nheaders=7 (chain says 1)
+        # recompute the BOS page CRC so only the count lies
+        import struct as _s
+
+        from vectorflow_spark.operators.oggmini import ogg_crc
+
+        end = bos_body_at + sum(pages[0]["lacings"])
+        mutated[22:26] = b"\x00\x00\x00\x00"
+        _s.pack_into("<I", mutated, 22, ogg_crc(bytes(mutated[:end])))
+        with pytest.raises(ValueError, match="disagrees"):
+            decode_ogg_flac(bytes(mutated))
+
+    def test_short_bos_packet_is_valueerror(self):
+        from vectorflow_spark.operators.oggmini import build_ogg_stream, decode_ogg_flac
+
+        blob = build_ogg_stream([[(b"\x7fFLAC\x01\x00", 0)]], serial=5)
+        with pytest.raises(ValueError, match="truncated FLAC mapping"):
+            decode_ogg_flac(blob)
+
+    def test_empty_page_inside_continued_packet(self):
+        """A zero-segment page between two halves of a continued packet
+        is legal; the reassembler must not reset the open-packet state."""
+        from vectorflow_spark.operators.oggmini import (
+            _emit_page,
+            ogg_packets,
+            ogg_pages,
+        )
+
+        pkt = bytes(range(256)) + b"tail"  # lacings [255, ...]
+        p0 = _emit_page(0x02, (1 << 64) - 1, 9, 0, [255], pkt[:255])
+        p1 = _emit_page(0x01, (1 << 64) - 1, 9, 1, [], b"")  # empty, mid-packet
+        p2 = _emit_page(0x01 | 0x04, 42, 9, 2, [len(pkt) - 255], pkt[255:])
+        got = ogg_packets(ogg_pages(p0 + p1 + p2))
+        assert got == [pkt]

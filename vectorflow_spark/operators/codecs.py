@@ -1442,11 +1442,16 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == b"OggS":
         from vectorflow_spark.operators.oggmini import decode_ogg_flac, ogg_meta
 
-        if ogg_meta(bytes(data))["codec"] == "flac":
+        # cheap BOS-packet peek (first segment starts right after the
+        # segment table) so the hot FLAC path walks the pages only once
+        raw = bytes(data)
+        p0 = 27 + (raw[26] if len(raw) > 26 else 0)
+        if raw[p0 : p0 + 5] == b"\x7fFLAC":
             # FLAC-in-Ogg (RFC 5334): the payload codec is ours, so the
             # samples fully decode and the STREAMINFO MD5 verifies them
-            pcm, rate = decode_ogg_flac(bytes(data))
+            pcm, rate = decode_ogg_flac(raw)
             return pcm[:, 0].astype(np.float64), rate
+        ogg_meta(raw)  # malformed input refuses with ValueError here
         raise NotImplementedError(
             "ogg: Opus/Vorbis SAMPLE decode needs libopus/libvorbis, absent "
             "in this environment (same adjudication as MP3 Layer-III); "

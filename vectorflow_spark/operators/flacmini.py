@@ -536,18 +536,20 @@ def _pcm_bytes(pcm: np.ndarray, width: int) -> bytes:
     raise ValueError(f"flac: unsupported PCM width {width}")
 
 
-def flac_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int]]]:
-    """-> (first-frame offset, [(start, end) byte range per frame]).
+def flac_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int, int]]]:
+    """-> (first-frame offset, [(start, end, n_samples) per frame]).
 
     Walks (and fully CRC-verifies, by decoding) every frame of a native
     FLAC stream — the splitter the Ogg-FLAC mapping writer needs, since
-    RFC 5334 packs exactly one FLAC frame per Ogg packet. Trailing ID3v1
-    'TAG' blocks are skipped like decode_flac does."""
+    RFC 5334 packs exactly one FLAC frame per Ogg packet and granule
+    positions need the true per-frame sample counts (NOT max_blocksize:
+    variable-blocksize streams are legal). Trailing ID3v1 'TAG' blocks
+    are skipped like decode_flac does."""
     data = bytes(data)
     try:
         info, pos = _parse_streaminfo(data)
         first = pos
-        out: list[tuple[int, int]] = []
+        out: list[tuple[int, int, int]] = []
         n = len(data)
         while pos < n:
             if n - pos == 128 and data[pos : pos + 3] == b"TAG":
@@ -555,8 +557,8 @@ def flac_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int]]]:
             if n - pos < 5:
                 raise ValueError("flac: trailing bytes after the last frame")
             start = pos
-            _block, _rate, pos = _decode_frame(data, pos, info)
-            out.append((start, pos))
+            block, _rate, pos = _decode_frame(data, pos, info)
+            out.append((start, pos, len(block)))
     except (IndexError, struct.error) as e:
         raise ValueError(f"flac: truncated or malformed stream ({e})") from None
     if not out:

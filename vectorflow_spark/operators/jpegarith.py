@@ -245,13 +245,19 @@ def decode_arith_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
                 s[:] = [0] * _AC_STAT_BINS
             fixed[0] = 113
 
-        if ss == 0 or not progressive:  # MCU-ordered (DC and sequential)
+        if not progressive or len(comps) > 1:  # MCU-ordered
             n_units = mcus_x * mcus_y
-        else:  # single-component AC scan: the component's own block raster
+            mcu_order = True
+        else:
+            # single-component progressive scan (DC with Ns=1, or any AC
+            # scan): the component's OWN block raster, whose grid derives
+            # from the SAMPLED dimensions — same convention as the
+            # Huffman twin (_decode_progressive_scans)
             c = comps[0]
             bw_c = -(-(-(-w * c["h"] // hmax)) // 8)
             bh_c = -(-(-(-h * c["v"] // vmax)) // 8)
             n_units = bw_c * bh_c
+            mcu_order = False
         interval = scan["restart_interval"] or n_units
 
         dec = None
@@ -286,32 +292,51 @@ def decode_arith_scans(frame, scans, coefs, mcus_x, mcus_y, hmax, vmax) -> None:
                             blk[0] = last_dc[cid]
                             _decode_ac_band(dec, ac_stats[ta], fixed, blk, 1, 63, kx, 0)
             elif ss == 0 and ah == 0:  # progressive DC first (G.2.1)
-                my, mx = divmod(u, mcus_x)
-                for c in comps:
+                if mcu_order:
+                    my, mx = divmod(u, mcus_x)
+                    for c in comps:
+                        cid = c["id"]
+                        td, _ = tblnos[cid]
+                        L, U = cond.get((0, td), (0, 1))
+                        out = store[cid]
+                        row_stride = mcus_x * c["h"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
+                                last_dc[cid], dc_ctx[cid] = _decode_dc(
+                                    dec, dc_stats[td], dc_ctx[cid], last_dc[cid], L, U
+                                )
+                                blk[0] = last_dc[cid] << al
+                else:  # Ns=1 DC scan: component block raster
+                    c = comps[0]
                     cid = c["id"]
                     td, _ = tblnos[cid]
                     L, U = cond.get((0, td), (0, 1))
-                    out = store[cid]
-                    row_stride = mcus_x * c["h"]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
-                            last_dc[cid], dc_ctx[cid] = _decode_dc(
-                                dec, dc_stats[td], dc_ctx[cid], last_dc[cid], L, U
-                            )
-                            blk[0] = last_dc[cid] << al
+                    by, bx = divmod(u, bw_c)
+                    blk = store[cid][by * (mcus_x * c["h"]) + bx]
+                    last_dc[cid], dc_ctx[cid] = _decode_dc(
+                        dec, dc_stats[td], dc_ctx[cid], last_dc[cid], L, U
+                    )
+                    blk[0] = last_dc[cid] << al
             elif ss == 0:  # progressive DC refinement: one fixed-bin bit/block
-                my, mx = divmod(u, mcus_x)
                 p1 = 1 << al
-                for c in comps:
-                    cid = c["id"]
-                    out = store[cid]
-                    row_stride = mcus_x * c["h"]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
-                            if dec.decode(fixed, 0):
-                                blk[0] |= p1
+                if mcu_order:
+                    my, mx = divmod(u, mcus_x)
+                    for c in comps:
+                        cid = c["id"]
+                        out = store[cid]
+                        row_stride = mcus_x * c["h"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = out[(my * c["v"] + by) * row_stride + (mx * c["h"] + bx)]
+                                if dec.decode(fixed, 0):
+                                    blk[0] |= p1
+                else:
+                    c = comps[0]
+                    by, bx = divmod(u, bw_c)
+                    blk = store[comps[0]["id"]][by * (mcus_x * c["h"]) + bx]
+                    if dec.decode(fixed, 0):
+                        blk[0] |= p1
             else:
                 c = comps[0]
                 cid = c["id"]

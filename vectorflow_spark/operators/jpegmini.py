@@ -469,10 +469,17 @@ def _parse_stream_inner(data: bytes):
 
 
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the SOF0/SOF2 header, entropy
-    untouched."""
+    """(width, height, channels) from the SOF header, entropy untouched."""
     if data[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG file")
+    try:
+        return _jpeg_meta_inner(data)
+    except (IndexError, struct.error) as e:
+        # same contract as _parse_stream: malformed input is ValueError
+        raise ValueError(f"JPEG: truncated or malformed stream ({e})") from None
+
+
+def _jpeg_meta_inner(data: bytes) -> tuple[int, int, int]:
     i, n = 2, len(data)
     while i + 4 <= n:
         if data[i] != 0xFF:

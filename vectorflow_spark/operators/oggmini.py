@@ -147,7 +147,8 @@ def ogg_packets(pages: list[dict]) -> list[bytes]:
             if lac < 255:
                 packets.append(bytes(partial))
                 partial.clear()
-        open_packet = bool(lacings) and lacings[-1] == 255
+        if lacings:  # a zero-segment page leaves the packet state as-is
+            open_packet = lacings[-1] == 255
     if open_packet:
         raise ValueError("ogg: stream ends inside a continued packet")
     return packets
@@ -280,12 +281,17 @@ def ogg_meta(data: bytes) -> dict:
         # MD5-verify (decode_ogg_flac).
         from vectorflow_spark.operators.flacmini import _parse_streaminfo
 
-        if len(first) < 13:
+        if len(first) < 51:
             raise ValueError("ogg: truncated FLAC mapping header")
         if first[5] != 1:
             raise ValueError(f"ogg: unsupported FLAC mapping version {first[5]}")
         (nheaders,) = struct.unpack_from(">H", first, 7)
-        info, _ = _parse_streaminfo(first[9:])
+        # conformant files leave the embedded STREAMINFO's last-block
+        # flag UNSET (the comment packet terminates the chain) — patch a
+        # terminated 42-byte copy so _parse_streaminfo accepts both forms
+        hdr = bytearray(first[9:51])
+        hdr[4] |= 0x80
+        info, _ = _parse_streaminfo(bytes(hdr))
         meta = {
             "codec": "flac",
             "channels": info["channels"],
@@ -300,7 +306,12 @@ def ogg_meta(data: bytes) -> dict:
         vendor, n_tags = _parse_comment_block(cmt, 4, "FLAC comment")
         n_samples = last_granule
         meta["duration_ms"] = n_samples * 1000 // meta["sample_rate"]
-        n_header_packets = 1 + max(nheaders, 1)
+        n_header_packets = _flac_header_chain_len(first, packets)
+        if nheaders and nheaders != n_header_packets - 1:
+            raise ValueError(
+                f"ogg: FLAC header count {nheaders} disagrees with the chain "
+                f"({n_header_packets - 1})"
+            )
     else:
         magic = bytes(first[:8])
         raise NotImplementedError(f"ogg: codec with BOS magic {magic!r} not supported")
@@ -517,30 +528,28 @@ def build_ogg_flac(
     tags: list[str] | None = None,
     max_segs_per_page: int = 50,
 ) -> bytes:
-    """Native fLaC bytes -> Ogg FLAC bytes (RFC 5334 mapping)."""
-    from vectorflow_spark.operators.flacmini import decode_flac, flac_frame_offsets
+    """Native fLaC bytes -> Ogg FLAC bytes (RFC 5334 mapping).
+
+    Conformance details real muxers (``flac --ogg``) follow and decoders
+    check: the BOS-embedded STREAMINFO has its last-metadata-block flag
+    UNSET (the Vorbis-comment header packet follows and terminates the
+    chain with its own last flag), and granule positions carry the TRUE
+    cumulative per-frame sample counts from the frame walk."""
+    from vectorflow_spark.operators.flacmini import flac_frame_offsets
 
     native = bytes(native)
-    first, frames = flac_frame_offsets(native)
-    pcm, rate, _meta = decode_flac(native)  # also yields per-frame granules
+    first, frames = flac_frame_offsets(native)  # decodes + CRC-verifies
     serial = (len(native) * 2654435761 + 0xF1AC) & 0xFFFFFFFF if serial is None else serial
-    bos = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + native[:first]
+    header = bytearray(native[:first])
+    header[4] &= 0x7F  # more header packets follow (RFC 5334 §3)
+    bos = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + bytes(header)
     body = _comment_body(vendor, list(tags or []))
     cmt = bytes([0x84]) + len(body).to_bytes(3, "big") + body  # last|type4
-    # per-frame granules: cumulative samples completed (our encoder emits
-    # fixed max_blocksize frames with one short tail, per STREAMINFO)
-    from vectorflow_spark.operators.flacmini import _parse_streaminfo
-
-    info, _ = _parse_streaminfo(native)
-    total = len(pcm)
-    bs = info["max_blocksize"]
     audio = []
     done = 0
-    for a, b in frames:
-        done = min(done + bs, total)
+    for a, b, ns in frames:
+        done += ns
         audio.append((native[a:b], done))
-    if done != total:
-        raise ValueError("ogg flac: frame granules do not cover the stream")
     groups = [[(bos, 0)], [(cmt, 0)], audio]
     return build_ogg_stream(groups, serial, max_segs_per_page)
 
@@ -560,8 +569,36 @@ def decode_ogg_flac(data: bytes):
     if not packets or not packets[0].startswith(b"\x7fFLAC"):
         raise ValueError("ogg: not a FLAC-mapped stream")
     first = packets[0]
+    if len(first) < 51:  # 9 mapping bytes + fLaC + block header + STREAMINFO
+        raise ValueError("ogg: truncated FLAC mapping header")
+    if first[5] != 1:
+        raise ValueError(f"ogg: unsupported FLAC mapping version {first[5]}")
     (nheaders,) = struct.unpack_from(">H", first, 7)
-    skip = 1 + max(nheaders, 1)
-    native = first[9:] + b"".join(packets[skip:])
+    n_hdr = _flac_header_chain_len(first, packets)
+    if nheaders and nheaders != n_hdr - 1:
+        raise ValueError(
+            f"ogg: FLAC header count {nheaders} disagrees with the chain ({n_hdr - 1})"
+        )
+    # header packets ARE native metadata blocks (RFC 5334): concatenating
+    # everything reconstructs the native stream, whose own block walk,
+    # frame CRCs and STREAMINFO MD5 then verify the whole file
+    native = first[9:] + b"".join(packets[1:])
     pcm, rate, _meta = decode_flac(native)
     return pcm, rate
+
+
+def _flac_header_chain_len(first: bytes, packets: list[bytes]) -> int:
+    """Number of header PACKETS (incl. BOS) by walking the native
+    metadata chain's last-block flags across packets."""
+    k = 1
+    if not first[13] & 0x80:  # embedded STREAMINFO says more blocks follow
+        while True:
+            if k >= len(packets):
+                raise ValueError("ogg: unterminated FLAC metadata chain")
+            blk = packets[k]
+            if not blk:
+                raise ValueError("ogg: empty FLAC header packet")
+            k += 1
+            if blk[0] & 0x80:
+                break
+    return k
