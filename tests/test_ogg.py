@@ -367,3 +367,41 @@ class TestOggFlacConformance:
         p2 = _emit_page(0x01 | 0x04, 42, 9, 2, [len(pkt) - 255], pkt[255:])
         got = ogg_packets(ogg_pages(p0 + p1 + p2))
         assert got == [pkt]
+
+
+class TestChainedOgg:
+    def test_chain_of_three_links(self):
+        import numpy as np
+
+        from vectorflow_spark.operators.flacmini import encode_flac
+        from vectorflow_spark.operators.oggmini import build_ogg_flac, ogg_chain_meta
+
+        a = build_ogg_opus(seed=1, channels=2, pre_skip=312,
+                           input_sample_rate=44100, n_audio_packets=5, serial=10)
+        b = build_ogg_vorbis(seed=2, channels=1, sample_rate=22050,
+                             n_audio_packets=7, serial=11)
+        s = (np.arange(600) % 97).astype(np.int16)
+        c = build_ogg_flac(encode_flac(s, 8000, block_size=256), serial=12)
+        metas = ogg_chain_meta(a + b + c)
+        assert [m["codec"] for m in metas] == ["opus", "vorbis", "flac"]
+        assert metas[0]["n_samples"] == 5 * 960
+        assert metas[1]["n_samples"] == 7 * 1024
+        assert metas[2]["n_samples"] == 600
+        # single-stream input works too, and ogg_meta stays strict
+        assert ogg_chain_meta(a)[0]["codec"] == "opus"
+        with pytest.raises(NotImplementedError, match="logical streams"):
+            ogg_meta(a + b)
+
+    def test_truncated_link_refuses(self):
+        a = build_ogg_opus(seed=3, channels=1, pre_skip=0,
+                           input_sample_rate=8000, n_audio_packets=3, serial=20)
+        b = build_ogg_opus(seed=4, channels=1, pre_skip=0,
+                           input_sample_rate=8000, n_audio_packets=3, serial=21)
+        from vectorflow_spark.operators.oggmini import ogg_chain_meta, ogg_pages
+
+        pages = ogg_pages(b)
+        last_len = len(b) - sum(
+            27 + len(p["lacings"]) + sum(p["lacings"]) for p in pages[:-1]
+        )
+        with pytest.raises(ValueError, match="end-of-stream"):
+            ogg_chain_meta(a + b[:-last_len])

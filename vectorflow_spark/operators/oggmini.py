@@ -14,7 +14,11 @@ Scope and verification strategy (the FLAC/MP4 precedent):
   implementation, and the published CRC-32/CKSUM catalogue check value
   (crc("123456789") == 0x765E7680 after the final-xor that distinguishes
   CKSUM from Ogg's variant — i.e. ogg_crc("123456789") == 0x89A1897F).
-* **Audio sample decode REFUSES.** Opus (SILK/CELT) and Vorbis (MDCT +
+* **FLAC-in-Ogg fully decodes** (RFC 5334; the payload codec is ours —
+  operators/flacmini) and chained files parse link-by-link via
+  ``ogg_chain_meta``; everything below about refusal applies to the
+  codecs whose payloads we cannot verify here.
+* **Opus/Vorbis sample decode REFUSES.** Opus (SILK/CELT) and Vorbis (MDCT +
   floor/residue codebooks) decoders cannot be verified in this container
   (no libopus/libvorbis/ffmpeg to pin against — same adjudication as MP3
   Layer-III, codecs.py), so per the parse-correctly-or-refuse contract
@@ -43,6 +47,7 @@ __all__ = [
     "ogg_pages",
     "ogg_packets",
     "ogg_meta",
+    "ogg_chain_meta",
     "build_ogg_stream",
     "build_opus_head",
     "build_opus_tags",
@@ -233,7 +238,9 @@ def ogg_meta(data: bytes) -> dict:
     serials = {p["serial"] for p in pages}
     if len(serials) > 1:
         raise NotImplementedError(
-            f"ogg: {len(serials)} multiplexed/chained logical streams not supported"
+            f"ogg: {len(serials)} multiplexed/chained logical streams in a "
+            "single-stream parse — CHAINED files parse via ogg_chain_meta; "
+            "grouped (interleaved) files are not supported"
         )
     if not pages[0]["flags"] & 0x02:
         raise ValueError("ogg: first page is not beginning-of-stream")
@@ -602,3 +609,44 @@ def _flac_header_chain_len(first: bytes, packets: list[bytes]) -> int:
             if blk[0] & 0x80:
                 break
     return k
+
+
+def ogg_chain_meta(data: bytes) -> list[dict]:
+    """CHAINED Ogg (RFC 3533 §6: whole streams concatenated — the
+    icecast/webradio dump shape) -> one ogg_meta dict per chain link.
+
+    Chain boundaries are EOS->BOS transitions; every link must itself be
+    a complete single-serial stream (grouped/multiplexed files, where
+    pages of different serials interleave, still refuse — that form
+    needs a codec-aware demuxer). ogg_meta stays strict single-stream;
+    this is the multi-link surface."""
+    pages = ogg_pages(data)
+    links: list[list[dict]] = []
+    cur: list[dict] = []
+    for pg in pages:
+        if pg["flags"] & 0x02:  # BOS starts a new link
+            if cur:
+                links.append(cur)
+            cur = [pg]
+        else:
+            if not cur:
+                raise ValueError("ogg: first page is not beginning-of-stream")
+            if pg["serial"] != cur[0]["serial"]:
+                raise NotImplementedError(
+                    "ogg: grouped/multiplexed logical streams not supported"
+                )
+            cur.append(pg)
+    if cur:
+        links.append(cur)
+
+    out = []
+    offset = 0
+    for link in links:
+        if not link[-1]["flags"] & 0x04:
+            raise ValueError("ogg: chain link has no end-of-stream page (truncated)")
+        # re-serialize the link's pages? No need: ogg_meta re-parses from
+        # bytes, so hand it the byte span instead — compute it from sizes
+        span = sum(27 + len(p["lacings"]) + sum(p["lacings"]) for p in link)
+        out.append(ogg_meta(data[offset : offset + span]))
+        offset += span
+    return out
