@@ -405,3 +405,59 @@ class TestChainedOgg:
         )
         with pytest.raises(ValueError, match="end-of-stream"):
             ogg_chain_meta(a + b[:-last_len])
+
+
+class TestOpusToc:
+    """RFC 6716 §3.1 TOC parsing: duration is pure header math, and
+    ogg_meta cross-checks the per-packet sum against granule positions."""
+
+    def test_frame_size_table_and_codes(self):
+        from vectorflow_spark.operators.oggmini import opus_packet_samples
+
+        assert opus_packet_samples(bytes([31 << 3])) == 960       # 20ms CELT FB x1
+        assert opus_packet_samples(bytes([(30 << 3) | 1])) == 960  # 10ms x2
+        assert opus_packet_samples(bytes([(28 << 3) | 0])) == 120  # 2.5ms CELT
+        assert opus_packet_samples(bytes([(0 << 3) | 0])) == 480   # 10ms SILK NB
+        assert opus_packet_samples(bytes([(3 << 3) | 2])) == 5760  # 60ms x2 = cap
+        assert opus_packet_samples(bytes([(16 << 3) | 3, 4])) == 480  # code3: 4x2.5ms
+
+    def test_refusals(self):
+        from vectorflow_spark.operators.oggmini import opus_packet_samples
+
+        with pytest.raises(ValueError, match="empty"):
+            opus_packet_samples(b"")
+        with pytest.raises(ValueError, match="zero frames"):
+            opus_packet_samples(bytes([(31 << 3) | 3, 0x40]))
+        with pytest.raises(ValueError, match="120 ms"):
+            opus_packet_samples(bytes([(3 << 3) | 3, 3]))  # 3 x 60ms
+        with pytest.raises(ValueError, match="truncated code-3"):
+            opus_packet_samples(bytes([(31 << 3) | 3]))
+
+    def test_fixture_tocs_cross_check(self):
+        from vectorflow_spark.operators.oggmini import ogg_meta, ogg_packets, ogg_pages
+
+        blob = build_ogg_opus(seed=6, channels=2, pre_skip=100,
+                              input_sample_rate=48000, n_audio_packets=9)
+        m = ogg_meta(blob)
+        assert m["toc_n_samples"] == m["n_samples"] == 9 * 960
+        # corrupt one TOC byte (declare 60ms SILK) and re-CRC the page:
+        # the granule cross-check must refuse
+        pages = ogg_pages(blob)
+        import struct as _s
+
+        from vectorflow_spark.operators.oggmini import ogg_crc
+
+        off = 0
+        mutated = bytearray(blob)
+        for p in pages:
+            span = 27 + len(p["lacings"]) + sum(p["lacings"])
+            if p["granule"] not in (0, (1 << 64) - 1):  # first audio page
+                body_at = off + 27 + len(p["lacings"])
+                mutated[body_at] = 3 << 3  # 60ms SILK, code 0
+                mutated[off + 22 : off + 26] = b"\x00\x00\x00\x00"
+                _s.pack_into("<I", mutated, off + 22,
+                             ogg_crc(bytes(mutated[off : off + span])))
+                break
+            off += span
+        with pytest.raises(ValueError, match="TOC durations"):
+            ogg_meta(bytes(mutated))

@@ -183,6 +183,41 @@ def _parse_opus_head(pkt: bytes) -> dict:
     }
 
 
+# RFC 6716 §3.1: frame duration (48 kHz samples) by TOC config number.
+# configs 0-11 SILK {10,20,40,60} ms, 12-15 Hybrid {10,20} ms,
+# 16-31 CELT {2.5,5,10,20} ms — all times 48 samples/ms.
+_OPUS_FRAME_SAMPLES = (
+    [480, 960, 1920, 2880] * 3  # SILK NB/MB/WB
+    + [480, 960] * 2            # Hybrid SWB/FB
+    + [120, 240, 480, 960] * 4  # CELT NB/WB/SWB/FB
+)
+
+
+def opus_packet_samples(pkt: bytes) -> int:
+    """48 kHz sample count of one Opus packet from its TOC byte
+    (RFC 6716 §3.1) — pure header math, no payload decode. Refuses
+    malformed frame-count codes and the 120 ms packet-duration cap."""
+    if not pkt:
+        raise ValueError("opus: empty packet")
+    toc = pkt[0]
+    per_frame = _OPUS_FRAME_SAMPLES[toc >> 3]
+    c = toc & 0x03
+    if c == 0:
+        n = 1
+    elif c in (1, 2):  # two equal / two different (VBR) frames
+        n = 2
+    else:  # code 3: next byte carries the frame count
+        if len(pkt) < 2:
+            raise ValueError("opus: truncated code-3 packet")
+        n = pkt[1] & 0x3F
+        if n == 0:
+            raise ValueError("opus: code-3 packet with zero frames")
+    total = per_frame * n
+    if total > 5760:  # 120 ms at 48 kHz (RFC 6716 §3.1 limit)
+        raise ValueError("opus: packet exceeds the 120 ms duration limit")
+    return total
+
+
 def _parse_vorbis_id(pkt: bytes) -> dict:
     if len(pkt) < 30:
         raise ValueError("ogg: truncated Vorbis identification header")
@@ -270,6 +305,18 @@ def ogg_meta(data: bytes) -> dict:
         meta["sample_rate"] = 48000
         meta["duration_ms"] = n_samples * 1000 // 48000
         n_header_packets = 2
+        # RFC 6716 TOC cross-check: every audio packet's header-declared
+        # duration sums to the granule total (the final granule may trim
+        # up to one packet's worth for end-clipping, RFC 7845 §4.4)
+        toc_total = sum(opus_packet_samples(p) for p in packets[2:])
+        meta["toc_n_samples"] = toc_total
+        if packets[2:]:
+            last_dur = opus_packet_samples(packets[-1])
+            if not (n_samples <= toc_total < n_samples + last_dur + 1):
+                raise ValueError(
+                    f"ogg: Opus TOC durations ({toc_total}) disagree with "
+                    f"granule positions ({n_samples})"
+                )
     elif first.startswith(b"\x01vorbis"):
         meta = _parse_vorbis_id(first)
         if len(packets) < 2 or not packets[1].startswith(b"\x03vorbis"):
@@ -479,9 +526,20 @@ def build_ogg_opus(
     serial = (seed * 7 + 0x5EED) & 0xFFFFFFFF if serial is None else serial
     audio = []
     granule = pre_skip
+    if samples_per_packet == 960:
+        # real RFC 6716 TOC bytes, alternating forms that both declare
+        # 960 samples: one 20 ms CELT-FB frame (config 31, code 0) and
+        # two 10 ms CELT-FB frames (config 30, code 1)
+        stereo = 0x04 if channels == 2 else 0
+        tocs = [bytes([(31 << 3) | stereo]), bytes([(30 << 3) | stereo | 1])]
+    else:
+        tocs = None
     for i in range(n_audio_packets):
         granule += samples_per_packet
-        audio.append((_fake_payload(seed * 1000 + i, packet_size + (i % 3) * 170), granule))
+        body = _fake_payload(seed * 1000 + i, packet_size + (i % 3) * 170)
+        if tocs is not None:
+            body = tocs[i % 2] + body[1:]
+        audio.append((body, granule))
     groups = [
         [(build_opus_head(channels, pre_skip, input_sample_rate), 0)],
         [(build_opus_tags(vendor, tags), 0)],

@@ -2348,6 +2348,8 @@ def q_lowdepth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE 44100 END) END AS BIGINT) AS duration_ms,
            CAST(doc_id % 4 AS INT) AS n_tags,
            CAST(10 + doc_id % 23 AS INT) AS n_audio_packets,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (10 + doc_id % 23) * 960
+                ELSE NULL END AS BIGINT) AS toc_n_samples,
            TRUE AS dispatch_ok
     FROM documents WHERE doc_id % 5 = 3
     """,
@@ -2363,8 +2365,10 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream packs with tiny pages so packets SPAN pages via the continued
     flag) and walked back; the oracle recomputes every field from the
     doc_id arithmetic, so a hash-match pins the page walk, lacing
-    reassembly, granule->duration math and both header layouts. One
-    Arrow-batched projection, no shuffle."""
+    reassembly, granule->duration math, both header layouts and the
+    RFC 6716 TOC duration sum (Opus packets carry real TOC bytes that
+    ogg_meta cross-checks against the granules). One Arrow-batched
+    projection, no shuffle."""
     import pandas as pd
     from pyspark.sql.types import (
         BooleanType,
@@ -2387,6 +2391,7 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("duration_ms", LongType()),
             StructField("n_tags", IntegerType()),
             StructField("n_audio_packets", IntegerType()),
+            StructField("toc_n_samples", LongType()),
             StructField("dispatch_ok", BooleanType()),
         ]
     )
@@ -2441,6 +2446,7 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m["duration_ms"],
                         m["n_tags"],
                         m["n_audio_packets"],
+                        m.get("toc_n_samples"),
                         dispatch_ok,
                     )
                 )
