@@ -118,6 +118,29 @@ ctypes.c_int.from_address(base + 56).value = 3
 ctypes.c_int.from_address(base + 60).value = 2  # JCS_RGB
 lib.jpeg_set_defaults.argtypes = [ctypes.c_void_p]
 lib.jpeg_set_defaults(ctypes.byref(cinfo))
+
+# ABI layout gate: jpeg_CreateCompress(62, sizeof) above already made
+# libjpeg itself verify JPEG_LIB_VERSION==62 and the exact struct size
+# (ERREXIT -> exit() on mismatch). Field OFFSETS are additionally
+# fingerprinted here against values jpeg_set_defaults just wrote: the
+# 48-byte (0*16, 1*16, 5*16) arith-conditioning pattern plus zeroed
+# num_scans/scan_info/arith_code/restart_interval at our claimed
+# addresses. If this build's layout differs, the pattern cannot match
+# and the fixture fails loudly instead of poking unrelated fields.
+_layout_ok = (
+    bytes((ctypes.c_uint8 * 16).from_address(base + 192)) == b"\x00" * 16
+    and bytes((ctypes.c_uint8 * 16).from_address(base + 208)) == b"\x01" * 16
+    and bytes((ctypes.c_uint8 * 16).from_address(base + 224)) == b"\x05" * 16
+    and ctypes.c_int.from_address(base + 240).value == 0
+    and ctypes.c_void_p.from_address(base + 248).value in (None, 0)
+    and ctypes.c_int.from_address(base + 260).value == 0
+    and ctypes.c_uint.from_address(base + 280).value == 0
+    and ctypes.c_uint.from_address(base + 48).value == w
+    and ctypes.c_uint.from_address(base + 52).value == h
+)
+if not _layout_ok:
+    sys.stderr.write("libjpeg v62 x86-64 struct layout fingerprint mismatch; refusing to poke offsets\n")
+    sys.exit(4)
 lib.jpeg_set_quality.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
 lib.jpeg_set_quality(ctypes.byref(cinfo), quality, 1)
 if progressive:

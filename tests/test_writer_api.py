@@ -317,7 +317,7 @@ class TestStaleTempGC:
     stale threshold; fresh foreign temps (a live concurrent writer)
     still survive."""
 
-    def _age(self, p, days=2):
+    def _age(self, p, days=8):
         import time
 
         old = time.time() - days * 86400
@@ -333,12 +333,29 @@ class TestStaleTempGC:
         self._age(stale)
         fresh = d / ".uncommitted-livejob-beef"
         fresh.write_bytes(b"in-flight")
+        # a multi-DAY foreign job's temp is inside the conservative 7-day
+        # contract window and must survive other writers' commits
+        slow = d / ".uncommitted-slowbackfill-cafe"
+        slow.write_bytes(b"long-held")
+        self._age(slow, days=2)
         _tar_rows(spark).repartition(4, "shard").write.format("vf_tar").mode(
             "append"
         ).save(str(d))
         names = os.listdir(str(d))
         assert ".uncommitted-crashedjob-feed" not in names
         assert ".uncommitted-livejob-beef" in names
+        assert ".uncommitted-slowbackfill-cafe" in names
+
+    def test_stale_window_env_override(self, monkeypatch):
+        from vectorflow_spark.sources import tarsource, warcsource
+
+        monkeypatch.setenv("VFS_SINK_STALE_TEMP_SECONDS", "3600")
+        assert tarsource._stale_temp_seconds() == 3600.0
+        assert warcsource._stale_temp_seconds() == 3600.0
+        monkeypatch.setenv("VFS_SINK_STALE_TEMP_SECONDS", "not-a-number")
+        assert tarsource._stale_temp_seconds() == 7 * 24 * 3600.0
+        monkeypatch.delenv("VFS_SINK_STALE_TEMP_SECONDS")
+        assert warcsource._stale_temp_seconds() == 7 * 24 * 3600.0
 
     def test_warc_commit_sweeps_crash_orphans(self, spark, tmp_path):
         from vectorflow_spark.sources import warcsource

@@ -2340,9 +2340,12 @@ def q_lowdepth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE NULL END AS BIGINT) AS input_rate,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + (doc_id % 7) * 31
                 ELSE NULL END AS BIGINT) AS pre_skip,
-           CAST((10 + doc_id % 23) * CASE WHEN doc_id % 2 = 0 THEN 960
-                ELSE 1024 END AS BIGINT) AS n_samples,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN (10 + doc_id % 23) * 20
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (10 + doc_id % 23) * 960 - (100 + (doc_id % 7) * 31)
+                ELSE (10 + doc_id % 23) * 1024 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN ((10 + doc_id % 23) * 960 - (100 + (doc_id % 7) * 31))
+                     * 1000 // 48000
                 ELSE ((10 + doc_id % 23) * 1024 * 1000)
                      // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
                          ELSE 44100 END) END AS BIGINT) AS duration_ms,

