@@ -45,6 +45,34 @@ def _prev_round_timings(repo_dir: str, sf: str) -> tuple[str | None, dict[str, f
     return None, {}
 
 
+def classify_budget(
+    t: float,
+    budget: float,
+    tolerance: float = 2.0,
+    floor: float = 0.75,
+    soft_ratio: float = 1.35,
+) -> str | None:
+    """Two-tier per-query budget classifier. ``budget`` is the frozen
+    value (base * tolerance + floor, scripts/make_bench_budgets.py);
+    above it is a hard ``'breach'``. The ``'soft'`` tier fires above
+    base * soft_ratio + floor — the trend alert that catches compounding
+    drift the 2.0x hard gate lets slide for two rounds (r8 verdict item
+    3: q_cdx_prefix_scan regressed +56% round-over-round yet stayed
+    silent because 1.56 < 2.0). The soft tier uses a 0.5 s ABSOLUTE
+    excess guard instead of the full floor (the floor would push the
+    effective soft ratio to ~1.6x at multi-second bases — exactly the
+    band the tier exists to catch), mirroring the regression guard's
+    abs floor that keeps sub-second JIT/scheduler noise out. Soft
+    offenders are reported, not failed: they are the shortlist for the
+    next round's min-of-N warmed probe."""
+    base = (budget - floor) / tolerance
+    if t > budget:
+        return "breach"
+    if t > base * soft_ratio and t - base > 0.5:
+        return "soft"
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -155,23 +183,36 @@ def main() -> None:
     # the suite-average gate can hide one query tripling while the average
     # improves; any post-retry timing above its committed budget is a breach.
     budget_breaches: dict = {}
+    soft_trends: dict = {}
     workload_revs: dict = {}
     budgets_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json")
     try:
         with open(budgets_file) as f:
             bdoc = json.load(f)
         workload_revs = bdoc.get("workload_revs", {}) or {}
+        tol = float(bdoc.get("tolerance_ratio", 2.0))
+        floor = float(bdoc.get("abs_floor_s", 0.75))
         if str(bdoc.get("sf")) == sf or float(bdoc.get("sf", -1)) == float(sf):
             for name, t in timings.items():
                 b = bdoc["budgets"].get(name)
-                if b is not None and t > b:
+                if b is None:
+                    continue
+                tier = classify_budget(t, b, tolerance=tol, floor=floor)
+                if tier == "breach":
                     budget_breaches[name] = {"budget": b, "now": t, "ratio": round(t / b, 2)}
+                elif tier == "soft":
+                    base = (b - floor) / tol
+                    soft_trends[name] = {
+                        "frozen_base": round(base, 3),
+                        "now": t,
+                        "ratio_vs_base": round(t / base, 2) if base > 0 else None,
+                    }
     except (OSError, ValueError, KeyError):
         pass
     # a recorded workload revision means the gate's in-gate WORK changed
     # since the budget/previous round was recorded: the flag is expected
     # growth, not a plan regression (r6 verdict item 4)
-    for flagged in (regressions, budget_breaches):
+    for flagged in (regressions, budget_breaches, soft_trends):
         for name, info in flagged.items():
             if name in workload_revs:
                 info["workload_rev"] = workload_revs[name]
@@ -192,6 +233,8 @@ def main() -> None:
                 "regression_count": len(regressions),
                 "budget_breaches": budget_breaches,
                 "budget_breach_count": len(budget_breaches),
+                "soft_trends": soft_trends,
+                "soft_trend_count": len(soft_trends),
             }
         )
     )

@@ -1,0 +1,65 @@
+"""The two-tier per-query budget classifier (bench.py, r8 verdict item
+3): the 2.0x hard gate over frozen budgets let a query regress ~40% per
+round for two rounds before any breach fired (q_cdx_prefix_scan,
+2.87 -> 4.47 s). The soft tier alerts at >1.35x of the frozen base so
+compounding drift surfaces in the round it starts."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+class TestClassifier:
+    # frozen base 2.0 s -> budget = 2.0*2 + 0.75 = 4.75, soft above
+    # 2.0*1.35 = 2.70 (abs excess 0.5 s satisfied there)
+    BUDGET = 4.75
+
+    def test_quiet_run_is_unflagged(self):
+        assert bench.classify_budget(2.0, self.BUDGET) is None
+        assert bench.classify_budget(2.70, self.BUDGET) is None  # boundary: not above
+
+    def test_soft_tier_fires_between_thresholds(self):
+        assert bench.classify_budget(2.71, self.BUDGET) == "soft"
+        assert bench.classify_budget(4.75, self.BUDGET) == "soft"  # at budget: not above
+
+    def test_hard_breach_above_budget(self):
+        assert bench.classify_budget(4.76, self.BUDGET) == "breach"
+        assert bench.classify_budget(40.0, self.BUDGET) == "breach"
+
+    def test_r8_case_would_have_fired(self):
+        # the motivating case: r7 base 2.87 s frozen -> budget 6.49;
+        # r8's 4.47 s (+56%) stayed under the hard gate but must trip soft
+        budget = 2.87 * 2 + 0.75
+        assert bench.classify_budget(4.47, budget) == "soft"
+
+    def test_subsecond_noise_stays_quiet(self):
+        # base 0.1 s: the 0.5 s absolute excess guard keeps JIT/scheduler
+        # noise on tiny queries out of the soft tier
+        budget = 0.1 * 2 + 0.75
+        assert bench.classify_budget(0.45, budget) is None
+        assert bench.classify_budget(0.61, budget) == "soft"
+
+    def test_custom_knobs(self):
+        assert bench.classify_budget(2.0, 2.5, tolerance=1.0, floor=0.5, soft_ratio=1.0) is None
+        assert bench.classify_budget(2.51, 2.5, tolerance=1.0, floor=0.5) == "breach"
+
+
+class TestFrozenBudgetsFile:
+    def test_budget_doc_is_consistent_with_classifier(self):
+        with open(os.path.join(REPO, "BENCH_budgets.json")) as f:
+            doc = json.load(f)
+        assert doc["tolerance_ratio"] >= 1.35, "soft tier must sit below the hard gate"
+        assert doc["frozen_from_round"] >= 8
+        # every budget admits a non-empty quiet band: base itself never flags
+        tol, floor = doc["tolerance_ratio"], doc["abs_floor_s"]
+        for name, b in doc["budgets"].items():
+            base = (b - floor) / tol
+            assert bench.classify_budget(base, b, tolerance=tol, floor=floor) is None, name

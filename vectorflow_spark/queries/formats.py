@@ -1021,6 +1021,56 @@ def q_wds_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bump when write_warc_corpus/consolidate_cdx output layout changes: the
+# cached fixture directory name carries the rev, so stale fixtures from
+# older code are never reused
+_CDX_FIXTURE_REV = 1
+
+
+def _cdx_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once WARC + consolidated-CDX fixture shared by the wayback
+    gates (q_cdx_lookup / q_cdx_prefix_scan): 16 gzip segments of the
+    documents table, per-segment CDX sidecars folded into one
+    partitioned ``_url_index`` parquet, then DELETED — so url pushdown
+    below can only have planned from the consolidated index.
+
+    Cached keyed on (fixture rev, sf basename) with a ``_COMPLETE``
+    marker committed last (r8 verdict item: the gates previously rebuilt
+    the corpus inside every timed run, so the bench number mostly
+    measured the writer — ~16 segment writes + a consolidation shuffle —
+    not the prefix-pruned read each gate exists to prove). A dir without
+    the marker (crashed build) is discarded and rebuilt. The marker's
+    leading underscore keeps it out of segment listings (hidden-file
+    rule shared by vf_warc and binaryFile)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from vectorflow_spark.sources.warcmini import consolidate_cdx, write_warc_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_cdxfix_r{_CDX_FIXTURE_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id",
+        F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
+    consolidate_cdx(spark, out_dir)
+    for side in _glob.glob(os.path.join(out_dir, "_*.cdx.json")):
+        os.remove(side)  # planning can only use the consolidated index
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _cdx_corpus_dir\n")
+    return out_dir
+
+
 @query(
     "q_cdx_lookup",
     """
@@ -1038,30 +1088,15 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100k-segment crawls). Each hit is one seek + one gzip
     member. The oracle selects the same sparse id set relationally;
     exact text identity proves the index-driven path returns precisely
-    the demanded records."""
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
+    the demanded records. The corpus itself is a build-once cached
+    fixture (_cdx_corpus_dir) so the measured body is the indexed READ,
+    not the writer (r8 verdict item 2)."""
+    from vectorflow_spark.sources.warcmini import read_warc
 
-    from vectorflow_spark.sources.warcmini import (
-        consolidate_cdx,
-        read_warc,
-        write_warc_corpus,
-    )
-
+    out_dir = _cdx_corpus_dir(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents", split=True).select(
-        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
+        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url")
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"vf_cdx_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
-    consolidate_cdx(spark, out_dir)
-    for side in _glob.glob(os.path.join(out_dir, "_*.cdx.json")):
-        os.remove(side)  # planning below can only use the consolidated index
     wanted = docs.filter(F.col("doc_id") % 211 == 42).select("url")
     urls = [r.url for r in wanted.collect()]  # the lookup's query set:
     # driver-sized by construction (sparse ids), exactly like a wayback
@@ -2004,30 +2039,15 @@ def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the matching record ranges from the _url_index parquet (the
     per-segment sidecars are deleted after consolidation, so nothing
     else can have planned it), composed with a residual predicate Spark
-    re-applies. Exact text identity against the relational oracle."""
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
+    re-applies. Exact text identity against the relational oracle. The
+    corpus is the build-once cached fixture shared with q_cdx_lookup
+    (_cdx_corpus_dir), so the measured body is the prefix-pruned READ,
+    not 16 segment writes + a consolidation shuffle (r8 verdict item 2:
+    the in-gate fixture build dominated the gate's bench number and its
+    round-over-round drift)."""
+    from vectorflow_spark.sources.warcmini import read_warc
 
-    from vectorflow_spark.sources.warcmini import (
-        consolidate_cdx,
-        read_warc,
-        write_warc_corpus,
-    )
-
-    docs = _t(spark, sf_dir, "documents", split=True).select(
-        "doc_id", F.concat(F.lit("http://corpus.local/"), F.col("doc_id")).alias("url"), "text"
-    )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"vf_cdxp_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_warc_corpus(docs, out_dir, n_files=16, index=True).count()
-    consolidate_cdx(spark, out_dir)
-    for side in _glob.glob(os.path.join(out_dir, "_*.cdx.json")):
-        os.remove(side)
+    out_dir = _cdx_corpus_dir(spark, sf_dir)
     rows = read_warc(spark, out_dir).filter(
         F.col("url").startswith("http://corpus.local/7")
     )
