@@ -782,6 +782,43 @@ class TestCorruptSegments:
         assert all(r.payload_type for r in errs)  # message carried
         assert any("truncated WARC" in r.payload_type for r in errs)
 
+    def test_zstd_warc_refuses_with_reason(self, tmp_path):
+        """.warc.zst (zstd frame magic 0x28B52FFD) refuses loudly with
+        the documented environment reason — no zstandard package or
+        stdlib zstd codec here to verify a decoder against (module
+        docstring; the MP3 adjudication) — instead of a confusing
+        framing error from the raw-WARC fallback."""
+        import io
+
+        from vectorflow_spark.sources.warcmini import (
+            iter_warc_stream,
+            parse_warc,
+        )
+
+        fake_zst = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
+        with pytest.raises(NotImplementedError, match="warc.zst"):
+            parse_warc(fake_zst)
+        with pytest.raises(NotImplementedError, match="zstandard"):
+            list(iter_warc_stream(io.BytesIO(fake_zst)))
+        # and the env precondition the refusal documents actually holds
+        import importlib.util
+
+        assert importlib.util.find_spec("zstandard") is None
+        # stdlib compression.zstd arrives in 3.14; parent package absent here
+        assert importlib.util.find_spec("compression") is None
+
+    def test_zstd_segment_yields_error_row(self, spark, tmp_path):
+        # through the scan: onCorrupt='row' turns the refusal into one
+        # error row carrying the reason, same contract as truncation
+        good = build_warc([("http://h/ok", b"fine", "text/plain")])
+        (tmp_path / "good.warc.gz").write_bytes(good)
+        (tmp_path / "s.warc.zst").write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 64)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        errs = [r for r in rows if r.warc_type == "error"]
+        assert {r.warc_file for r in errs} == {"s.warc.zst"}
+        assert any("zst" in r.payload_type for r in errs)
+        assert {r.url for r in rows if r.warc_type == "response"} == {"http://h/ok"}
+
     def test_strict_mode_fails(self, spark, tmp_path):
         from py4j.protocol import Py4JJavaError
         from pyspark.errors import PythonException

@@ -30,6 +30,15 @@ request / warcinfo / resource / metadata types. Chunked
 transfer-encoding inside archived HTTP payloads is NOT decoded (crawl
 writers store payloads de-chunked; a raw chunked body passes through
 verbatim, loudly visible in the body).
+
+Zstandard WARC (``.warc.zst``, increasingly emitted by Common Crawl
+tooling) REFUSES loudly: this environment has no ``zstandard`` package
+and Python 3.11's stdlib has no zstd codec (``compression.zstd``
+arrives in 3.14), so the member framing could not be verified against
+any reference — the same parse-correctly-or-refuse adjudication as MP3
+sample decode (BASELINE.md). The refusal triggers on the zstd frame
+magic (0x28 B5 2F FD) before any parsing, so a ``.warc.zst`` fed to any
+entry point fails with the reason, not a framing error.
 """
 
 from __future__ import annotations
@@ -40,8 +49,21 @@ from typing import Iterator
 
 CRLF = b"\r\n"
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic, little-endian
+
+
+def _refuse_zstd() -> None:
+    raise NotImplementedError(
+        "warc: zstd-compressed WARC (.warc.zst) is not supported — no "
+        "zstandard package or stdlib zstd codec exists in this "
+        "environment to verify a decoder against (module docstring); "
+        "recompress to .warc.gz"
+    )
+
 
 def _decompress_if_gzip(data: bytes) -> bytes:
+    if data[:4] == _ZSTD_MAGIC:
+        _refuse_zstd()
     if data[:2] == b"\x1f\x8b":
         # GzipFile reads ALL concatenated members (the .warc.gz layout)
         with gzip.GzipFile(fileobj=io.BytesIO(data)) as f:
@@ -133,9 +155,11 @@ def iter_warc_stream(raw, chunk_size: int = 1 << 16) -> Iterator[dict]:
     members incrementally off ``raw``), so peak memory stays
     record-bounded for ``.warc.gz`` too. The caller owns ``raw``'s
     lifetime; the gzip wrapper (when any) is closed here."""
-    magic = raw.read(2)
+    magic = raw.read(4)
     raw.seek(0)
-    f = gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" else raw
+    if magic == _ZSTD_MAGIC:
+        _refuse_zstd()
+    f = gzip.GzipFile(fileobj=raw) if magic[:2] == b"\x1f\x8b" else raw
     try:
         yield from iter_warc_records(f, chunk_size=chunk_size)
     finally:

@@ -466,7 +466,7 @@ class VfWarcReader(DataSourceReader):
                         if data[:2] == b"\x1f\x8b":
                             data = gzip.decompress(data)
                         [rec] = list(iter_warc_records(io.BytesIO(data)))
-                    except (ValueError, OSError, EOFError, zlib.error) as e:
+                    except (ValueError, OSError, EOFError, zlib.error, NotImplementedError) as e:
                         if self.on_corrupt == "strict":
                             raise
                         if types is None or "error" in types:
@@ -499,7 +499,7 @@ class VfWarcReader(DataSourceReader):
                 return
             # gzip truncation surfaces as EOFError/zlib.error, framing as
             # ValueError, filesystem as OSError (BadGzipFile is OSError)
-            except (ValueError, OSError, EOFError, zlib.error) as e:
+            except (ValueError, OSError, EOFError, zlib.error, NotImplementedError) as e:
                 if self.on_corrupt == "strict":
                     raise
                 # records already yielded stay; one error row marks the file
