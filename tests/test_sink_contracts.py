@@ -199,3 +199,115 @@ class TestWeaviateContract:
         # 'vectoflow_id' typo (vector_uploader.py:149)
         assert set(obj["data_object"]) == {"source_data", "vectorflow_id", "source_document"}
         assert len(obj["vector"]) == 2
+
+
+def make_fake_pg_factory(spool: str):
+    def factory():
+        import json as j
+        import pathlib as pl
+        import uuid as u
+
+        class FakeCursor:
+            def __init__(self, conn):
+                self.conn = conn
+
+            def execute(self, sql, params):
+                self.conn.pending.append({"sql": sql, "params": list(params)})
+
+            def close(self):
+                pass
+
+        class FakePgConn:
+            def __init__(self):
+                self.pending, self.closed = [], False
+
+            def cursor(self):
+                return FakeCursor(self)
+
+            def commit(self):
+                # only COMMITTED batches reach the spool: asserts the
+                # one-commit-per-flush contract
+                for stmt in self.pending:
+                    (pl.Path(spool) / f"{u.uuid4().hex}.json").write_text(j.dumps(stmt))
+                self.pending = []
+
+            def close(self):
+                self.closed = True
+
+        return FakePgConn()
+
+    return factory
+
+
+class TestPgvectorContract:
+    def test_slicing_upsert_shape_and_idempotency(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_pgvector
+
+        spool = str(tmp_path)
+        write_pgvector(records, "chunks", client_factory=make_fake_pg_factory(spool))
+        flushes = _flushes(spool)
+        # 4 bind params per row: [128, 128, 44]
+        assert sorted(len(f["params"]) // 4 for f in flushes) == [44, 128, 128]
+        for f in flushes:
+            n = len(f["params"]) // 4
+            sql = f["sql"]
+            assert sql.startswith(
+                "INSERT INTO chunks (id, embedding, source_data, source_document) VALUES "
+            )
+            # idempotent upsert on the deterministic uuid5 key (U6)
+            assert (
+                "ON CONFLICT (id) DO UPDATE SET embedding = EXCLUDED.embedding, "
+                "source_data = EXCLUDED.source_data, "
+                "source_document = EXCLUDED.source_document" in sql
+            )
+            # one parameterized row-tuple per buffered row; values are
+            # NEVER interpolated into the SQL text
+            assert sql.count("(%s, %s::vector, %s, %s)") == n
+            assert "chunk text" not in sql
+            # embedding travels as the pgvector text literal
+            for i in range(n):
+                vec = f["params"][i * 4 + 1]
+                assert vec.startswith("[") and vec.endswith("]")
+                assert len(vec[1:-1].split(",")) == 2
+
+        # idempotent re-run converges: same ids -> same full param tuples
+        write_pgvector(records, "chunks", client_factory=make_fake_pg_factory(spool))
+        store = {}
+        for f in _flushes(spool):
+            p = f["params"]
+            for i in range(len(p) // 4):
+                row = tuple(p[i * 4 : i * 4 + 4])
+                if row[0] in store:
+                    assert store[row[0]] == row
+                store[row[0]] = row
+        assert len(store) == 300
+
+    def test_table_identifier_validated(self, records):
+        from vectorflow_spark.sinks.writers import write_pgvector
+
+        with pytest.raises(ValueError, match="table identifier"):
+            write_pgvector(records, "chunks; DROP TABLE users")
+        with pytest.raises(ValueError, match="table identifier"):
+            write_pgvector(records, 'pub"lic.chunks')
+        # schema-qualified names are fine (validated, not executed)
+        import re
+
+        assert re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", "public.chunks"
+        )
+
+    def test_dispatch_routes_pgvector(self, records, tmp_path, monkeypatch):
+        from vectorflow_spark import config as cfgmod
+        from vectorflow_spark.sinks import writers
+
+        seen = {}
+        monkeypatch.setattr(
+            writers, "write_pgvector",
+            lambda recs, table, dsn, batch: seen.update(table=table, dsn=dsn, batch=batch),
+        )
+        cfg = cfgmod.PipelineConfig(
+            sink="pgvector",
+            sink_options={"table": "chunks", "dsn": "postgresql://h/db"},
+        )
+        writers.write_vectors(records, cfg)
+        assert seen == {"table": "chunks", "dsn": "postgresql://h/db", "batch": cfg.upsert_batch_size}

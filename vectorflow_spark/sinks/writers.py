@@ -207,6 +207,95 @@ def write_weaviate(
     records.foreachPartition(per_partition)
 
 
+def write_pgvector(
+    records: DataFrame,
+    table: str,
+    dsn: str = "postgresql://localhost:5432/vectors",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """pgvector upsert — the first VectorDBType the reference enumerates
+    but never implements (reference src/shared/vector_db_type.py:8;
+    src/worker/vector_uploader.py ships only Pinecone/Qdrant/Weaviate),
+    and the backend real users reach for first. Same pattern as U1-U3:
+    ``foreachPartition``, partition-local connection, ``batch_size``-row
+    buffered multi-row INSERTs, idempotent via the deterministic uuid5
+    id (K1) composed with ``ON CONFLICT (id) DO UPDATE`` — Spark's
+    at-least-once task retry converges to effectively-once (U6).
+
+    Expected table (dim = embedding width)::
+
+        CREATE EXTENSION IF NOT EXISTS vector;
+        CREATE TABLE <table> (
+            id uuid PRIMARY KEY,
+            embedding vector(<dim>) NOT NULL,
+            source_data text,
+            source_document text
+        );
+
+    Values travel as bind parameters (never interpolated); the embedding
+    crosses as pgvector's text literal ``[x,y,...]`` cast with
+    ``::vector``, which works on every driver without registering the
+    pgvector type adapter. ``client_factory`` must return a DB-API
+    connection (``cursor()``/``commit()``/``close()``); the default
+    import-gates psycopg (3.x) then psycopg2. One commit per flushed
+    batch keeps retry windows small; replays are absorbed by the
+    conflict clause."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", table):
+        raise ValueError(f"invalid pgvector table identifier: {table!r}")
+
+    def per_partition(partition: Iterator) -> None:
+        if client_factory is None:
+            try:  # pragma: no cover - no postgres driver in this env
+                import psycopg
+
+                conn = psycopg.connect(dsn)
+            except ImportError:
+                try:
+                    import psycopg2
+
+                    conn = psycopg2.connect(dsn)
+                except ImportError as e:
+                    raise RuntimeError(
+                        "no postgres driver (psycopg/psycopg2) is installed; "
+                        "use the parquet sink"
+                    ) from e
+        else:
+            conn = client_factory()
+        upsert = (
+            f"INSERT INTO {table} (id, embedding, source_data, source_document) "
+            "VALUES {placeholders} "
+            "ON CONFLICT (id) DO UPDATE SET "
+            "embedding = EXCLUDED.embedding, "
+            "source_data = EXCLUDED.source_data, "
+            "source_document = EXCLUDED.source_document"
+        )
+
+        def flush(rows: list) -> None:
+            params: list = []
+            for r in rows:
+                vec = "[" + ",".join(repr(float(x)) for x in r.embeddings) + "]"
+                params.extend((r.id, vec, r.source_data, r.source_document))
+            sql = upsert.format(
+                placeholders=",".join(["(%s, %s::vector, %s, %s)"] * len(rows))
+            )
+            cur = conn.cursor()
+            try:
+                cur.execute(sql, params)
+                conn.commit()
+            finally:
+                cur.close()
+
+        try:
+            _buffered(partition, flush, batch_size)
+        finally:
+            conn.close()
+
+    records.foreachPartition(per_partition)
+
+
 def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
     """U5: POST chunks+vectors to a user webhook (reference
     send_embeddings_to_webhook, src/shared/utils.py:15-32)."""
@@ -293,6 +382,13 @@ def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
         write_pinecone(records, opts["index_name"], opts.get("api_key_env", "VECTOR_DB_KEY"), cfg.upsert_batch_size)
     elif cfg.sink == "weaviate":
         write_weaviate(records, opts["class_name"], opts.get("url", "http://localhost:8080"), cfg.upsert_batch_size)
+    elif cfg.sink == "pgvector":
+        write_pgvector(
+            records,
+            opts["table"],
+            opts.get("dsn", "postgresql://localhost:5432/vectors"),
+            cfg.upsert_batch_size,
+        )
     elif cfg.sink == "webhook":
         write_webhook(records, opts["url"], opts.get("webhook_key", ""), cfg.upsert_batch_size)
     else:
