@@ -243,8 +243,10 @@ def _parse_vorbis_id(pkt: bytes) -> dict:
     }
 
 
-def _parse_comment_block(buf: bytes, off: int, what: str) -> tuple[str, int]:
-    """Shared OpusTags / Vorbis-comment body: vendor string + tag count."""
+def _parse_comment_block(buf: bytes, off: int, what: str) -> tuple[str, int, list[bytes]]:
+    """Shared OpusTags / Vorbis-comment body: vendor string + tag count +
+    the raw tag values (``key=value`` bytes; kept raw because binary-ish
+    payloads like METADATA_BLOCK_PICTURE base64 ride in tags)."""
     if len(buf) < off + 4:
         raise ValueError(f"ogg: truncated {what} vendor length")
     (vlen,) = struct.unpack_from("<I", buf, off)
@@ -255,6 +257,7 @@ def _parse_comment_block(buf: bytes, off: int, what: str) -> tuple[str, int]:
     off += vlen
     (n_tags,) = struct.unpack_from("<I", buf, off)
     off += 4
+    tags: list[bytes] = []
     for i in range(n_tags):
         if len(buf) < off + 4:
             raise ValueError(f"ogg: truncated {what} tag {i}")
@@ -262,7 +265,8 @@ def _parse_comment_block(buf: bytes, off: int, what: str) -> tuple[str, int]:
         off += 4 + tlen
         if len(buf) < off:
             raise ValueError(f"ogg: truncated {what} tag {i}")
-    return vendor, n_tags
+        tags.append(bytes(buf[off - tlen : off]))
+    return vendor, n_tags, tags
 
 
 def ogg_meta(data: bytes) -> dict:
@@ -298,7 +302,7 @@ def ogg_meta(data: bytes) -> dict:
         meta = _parse_opus_head(first)
         if len(packets) < 2 or not packets[1].startswith(b"OpusTags"):
             raise ValueError("ogg: missing OpusTags packet")
-        vendor, n_tags = _parse_comment_block(packets[1], 8, "OpusTags")
+        vendor, n_tags, _tags = _parse_comment_block(packets[1], 8, "OpusTags")
         n_header_packets = 2
         toc = [opus_packet_samples(p) for p in packets[2:]]
         toc_total = sum(toc)
@@ -338,7 +342,7 @@ def ogg_meta(data: bytes) -> dict:
         meta = _parse_vorbis_id(first)
         if len(packets) < 2 or not packets[1].startswith(b"\x03vorbis"):
             raise ValueError("ogg: missing Vorbis comment header")
-        vendor, n_tags = _parse_comment_block(packets[1], 7, "Vorbis comment")
+        vendor, n_tags, _tags = _parse_comment_block(packets[1], 7, "Vorbis comment")
         n_samples = last_granule
         meta["duration_ms"] = n_samples * 1000 // meta["sample_rate"]
         n_header_packets = 3  # id + comment + setup
@@ -374,7 +378,7 @@ def ogg_meta(data: bytes) -> dict:
         cmt = packets[1]
         if len(cmt) < 4 or cmt[0] & 0x7F != 4:
             raise ValueError("ogg: first FLAC header packet is not a Vorbis comment")
-        vendor, n_tags = _parse_comment_block(cmt, 4, "FLAC comment")
+        vendor, n_tags, _tags = _parse_comment_block(cmt, 4, "FLAC comment")
         n_samples = last_granule
         meta["duration_ms"] = n_samples * 1000 // meta["sample_rate"]
         n_header_packets = _flac_header_chain_len(first, packets)

@@ -2484,6 +2484,157 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_albumart_dedup",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'flac' WHEN 1 THEN 'ogg-opus'
+                WHEN 2 THEN 'ogg-vorbis' ELSE 'ogg-flac' END AS container,
+           CAST(doc_id % 21 AS INT) AS picture_type,
+           'image/bmp' AS mime,
+           CAST(9 + (CASE WHEN doc_id % 4 = 1 THEN doc_id + 7 ELSE doc_id END) % 7
+                AS INT) AS pic_w,
+           CAST(8 + (CASE WHEN doc_id % 4 = 1 THEN doc_id + 7 ELSE doc_id END) % 5
+                AS INT) AS pic_h,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id + 7 ELSE doc_id END
+                AS BIGINT) AS img_id
+    FROM documents WHERE doc_id % 5 = 2
+    """,
+)
+def q_albumart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL album-art dedup — the highest-volume duplicate channel
+    between crawled audio and the image corpus: the same cover image
+    rides inside audio containers AND circulates standalone. Per document
+    a deterministic audio container (rotating all four families: native
+    FLAC with an RFC 9639 §8.8 PICTURE block, and Ogg Opus / Vorbis /
+    FLAC carrying base64 METADATA_BLOCK_PICTURE comment tags —
+    operators/albumart.py) embeds a cover image; every 4th document
+    embeds a DONOR's art (doc_id+7) instead of its own. The pipeline
+    extracts the picture, dHashes its PIXELS (multimodal.image_dhash,
+    container-independent by construction), builds the standalone image
+    corpus's hashes the same way, and joins audio-side to image-side on
+    the hash — an equality hash-join, the 100-TB shape (no pairwise
+    scan; at scale the smaller side broadcasts or both sides bucket on
+    the hash). The oracle recomputes container family, picture header
+    fields and the matched image id from doc_id arithmetic, so a
+    hash-match pins extraction, base64/binary parsing, pixel-exact BMP
+    recovery and the cross-modal join end-to-end."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectorflow_spark.operators.multimodal import image_dhash
+
+    audio_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("container", StringType()),
+            StructField("picture_type", IntegerType()),
+            StructField("mime", StringType()),
+            StructField("pic_w", IntegerType()),
+            StructField("pic_h", IntegerType()),
+            StructField("art", BinaryType()),
+        ]
+    )
+    img_schema = StructType(
+        [StructField("img_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def _art_bmp(img_id: int) -> tuple[bytes, int, int]:
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import encode_bmp
+
+        h, w = 8 + img_id % 5, 9 + img_id % 7
+        rng = np.random.default_rng(img_id * 9176 + 11)
+        return encode_bmp(rng.integers(0, 256, (h, w, 3), np.uint8)), w, h
+
+    def build_audio(pdfs):
+        import numpy as np
+
+        from vectorflow_spark.operators.albumart import (
+            add_flac_picture,
+            build_picture_block,
+            flac_pictures,
+            ogg_pictures,
+            picture_comment_tag,
+        )
+        from vectorflow_spark.operators.flacmini import encode_flac
+        from vectorflow_spark.operators.oggmini import (
+            build_ogg_flac,
+            build_ogg_opus,
+            build_ogg_vorbis,
+        )
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                art_id = i + 7 if i % 4 == 1 else i
+                bmp, w, h = _art_bmp(art_id)
+                pic = build_picture_block(
+                    bmp, "image/bmp", w, h, 24,
+                    picture_type=i % 21, description=f"cover-{art_id}",
+                )
+                fam = i % 4
+                if fam in (0, 3):
+                    sig = ((np.arange(600 + i % 200) * (i % 7 + 1)) % 251 - 125).astype(np.int16)
+                    native = encode_flac(sig, 8000, block_size=256)
+                if fam == 0:
+                    blob, container = add_flac_picture(native, pic), "flac"
+                    pics = flac_pictures(blob)
+                else:
+                    tag = picture_comment_tag(pic)
+                    if fam == 1:
+                        blob = build_ogg_opus(
+                            seed=i, channels=1, pre_skip=0, input_sample_rate=48000,
+                            n_audio_packets=3 + i % 4, tags=[f"title=t{i}", tag],
+                        )
+                        container = "ogg-opus"
+                    elif fam == 2:
+                        blob = build_ogg_vorbis(
+                            seed=i, channels=1, sample_rate=22050,
+                            n_audio_packets=3 + i % 4, tags=[tag],
+                        )
+                        container = "ogg-vorbis"
+                    else:
+                        blob = build_ogg_flac(native, tags=[tag])
+                        container = "ogg-flac"
+                    pics = ogg_pictures(blob)
+                assert len(pics) == 1, f"doc {i}: {len(pics)} pictures"
+                p = pics[0]
+                rows.append(
+                    (i, container, p["picture_type"], p["mime"],
+                     p["width"], p["height"], p["data"])
+                )
+            yield pd.DataFrame(rows, columns=audio_schema.fieldNames())
+
+    def build_images(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, _art_bmp(i)[0]))
+                if i % 4 == 1:  # the donor whose art this doc embeds
+                    rows.append((i + 7, _art_bmp(i + 7)[0]))
+            yield pd.DataFrame(rows, columns=img_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+    )
+    audio = image_dhash(docs.mapInPandas(build_audio, audio_schema), data_col="art").drop("art")
+    imgs = image_dhash(docs.mapInPandas(build_images, img_schema), data_col="img").drop("img")
+    return audio.join(imgs, "dhash").drop("dhash")
+
+
+@query(
     "q_jpeg_arith_roundtrip",
     """
     SELECT doc_id,
