@@ -159,6 +159,139 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_id3_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '2.4.0' ELSE '2.3.0' END AS id3_version,
+           4 AS n_tag_frames,
+           CAST(doc_id % 33 AS INT) AS padding,
+           'Title ' || doc_id || ' ï' || (doc_id % 10) AS title,
+           'Artist ' || (doc_id % 13) AS artist,
+           CAST(1 + doc_id % 12 AS VARCHAR) AS track,
+           CAST(doc_id % 21 AS INT) AS pic_type,
+           'image/bmp' AS mime,
+           CAST(9 + doc_id % 6 AS INT) AS pic_w,
+           CAST(6 + doc_id % 4 AS INT) AS pic_h,
+           CAST(8 + doc_id % 21 AS INT) AS mp3_frames,
+           CAST((8 + doc_id % 21) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+           TRUE AS tag_skip_ok
+    FROM documents WHERE doc_id % 7 = 4
+    """,
+)
+def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag triage over MP3 crawl audio (operators/id3mini.py): per
+    document a deterministic v2.3/v2.4 tag (rotating all spec'd text
+    encodings legal for the version — ISO-8859-1, both UTF-16 forms,
+    UTF-8 in v2.4) with TIT2/TPE1/TRCK text frames, an APIC album-art
+    BMP and formula-sized padding fronts a spec-shaped MP3
+    (codecs.build_mp3); the gate parses the tag back (version, frame
+    walk, padding, text decode in every encoding, APIC extraction with
+    pixel-exact BMP recovery via decoded dimensions) AND cross-checks
+    the two independent tag-size implementations: id3v2_meta's parsed
+    tag_size must equal the hop mp3_meta takes before finding the first
+    audio frame (tag_skip_ok). The oracle re-derives every field from
+    doc_id arithmetic. One Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("id3_version", StringType()),
+            StructField("n_tag_frames", IntegerType()),
+            StructField("padding", IntegerType()),
+            StructField("title", StringType()),
+            StructField("artist", StringType()),
+            StructField("track", StringType()),
+            StructField("pic_type", IntegerType()),
+            StructField("mime", StringType()),
+            StructField("pic_w", IntegerType()),
+            StructField("pic_h", IntegerType()),
+            StructField("mp3_frames", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("tag_skip_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from vectorflow_spark.operators.codecs import (
+            build_mp3,
+            decode_image,
+            encode_bmp,
+            mp3_meta,
+        )
+        from vectorflow_spark.operators.id3mini import (
+            apic_frame,
+            build_id3v2,
+            id3_pictures,
+            id3_text,
+            id3v2_meta,
+            text_frame,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ver = 4 if i % 2 == 0 else 3
+                enc = (i // 2) % (4 if ver == 4 else 3)
+                h, w = 6 + i % 4, 9 + i % 6
+                art = encode_bmp(
+                    np.random.default_rng(i * 131 + 7).integers(0, 256, (h, w, 3), np.uint8)
+                )
+                frames = [
+                    text_frame("TIT2", f"Title {i} ï{i % 10}", enc),
+                    text_frame("TPE1", f"Artist {i % 13}", 0),
+                    text_frame("TRCK", str(1 + i % 12), 0),
+                    apic_frame(art, picture_type=i % 21,
+                               description=f"c{i}", encoding=enc),
+                ]
+                tag = build_id3v2(frames, version=ver, padding=i % 33)
+                n_audio = 8 + i % 21
+                blob = tag + build_mp3(n_audio, seed=i)
+                m = id3v2_meta(blob)
+                mm = mp3_meta(blob)  # hops the tag by its own arithmetic
+                pics = id3_pictures(m)
+                assert len(pics) == 1, f"doc {i}: {len(pics)} APIC frames"
+                px = decode_image(pics[0]["data"])
+                rows.append(
+                    (
+                        i,
+                        m["version"],
+                        m["n_frames"],
+                        m["padding"],
+                        id3_text(m, "TIT2"),
+                        id3_text(m, "TPE1"),
+                        id3_text(m, "TRCK"),
+                        pics[0]["picture_type"],
+                        pics[0]["mime"],
+                        px.shape[1],
+                        px.shape[0],
+                        mm["n_frames"],
+                        mm["n_samples"] * 1000 // mm["sample_rate"],
+                        m["tag_size"] == len(tag) and mm["n_frames"] == n_audio,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 7 == 4)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(run, out_schema)
+
+
+@query(
     "q_gif_meta",
     """
     SELECT doc_id AS asset_id,
