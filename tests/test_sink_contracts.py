@@ -311,3 +311,218 @@ class TestPgvectorContract:
         )
         writers.write_vectors(records, cfg)
         assert seen == {"table": "chunks", "dsn": "postgresql://h/db", "batch": cfg.upsert_batch_size}
+
+
+def _spooling(spool: str, make):
+    """Build a picklable factory whose fake records each flush to the spool."""
+    def factory():
+        import json as j
+        import pathlib as pl
+        import uuid as u
+
+        def record(payload):
+            (pl.Path(spool) / f"{u.uuid4().hex}.json").write_text(j.dumps(payload))
+
+        return make(record)
+
+    return factory
+
+
+def make_fake_milvus_factory(spool: str):
+    def make(record):
+        class FakeMilvus:
+            def upsert(self, collection_name, data):
+                record({"collection": collection_name, "data": data})
+
+        return FakeMilvus()
+
+    return _spooling(spool, make)
+
+
+def make_fake_redis_factory(spool: str):
+    def make(record):
+        class FakePipe:
+            def __init__(self):
+                self.cmds = []
+
+            def hset(self, name, mapping):
+                self.cmds.append({"name": name, "mapping": {
+                    k: (v.hex() if isinstance(v, (bytes, bytearray)) else v)
+                    for k, v in mapping.items()}})
+
+            def execute(self):
+                record({"cmds": self.cmds})
+
+        class FakeRedis:
+            def pipeline(self, transaction):
+                assert transaction is False
+                return FakePipe()
+
+        return FakeRedis()
+
+    return _spooling(spool, make)
+
+
+def make_fake_lancedb_factory(spool: str):
+    def make(record):
+        class FakeMerge:
+            def __init__(self, on):
+                self.on, self.matched, self.unmatched = on, False, False
+
+            def when_matched_update_all(self):
+                self.matched = True
+                return self
+
+            def when_not_matched_insert_all(self):
+                self.unmatched = True
+                return self
+
+            def execute(self, rows):
+                record({"on": self.on, "matched": self.matched,
+                        "unmatched": self.unmatched, "rows": rows})
+
+        class FakeTable:
+            def merge_insert(self, on):
+                return FakeMerge(on)
+
+        return FakeTable()
+
+    return _spooling(spool, make)
+
+
+def make_fake_mongo_factory(spool: str):
+    def make(record):
+        class FakeColl:
+            def bulk_write(self, ops, ordered):
+                record({"ordered": ordered, "ops": ops})
+
+        return FakeColl()
+
+    return _spooling(spool, make)
+
+
+def make_fake_vespa_factory(spool: str):
+    def make(record):
+        class FakeResp:
+            def raise_for_status(self):
+                pass
+
+        class FakeSession:
+            def put(self, url, json, timeout):
+                record({"url": url, "json": json})
+                return FakeResp()
+
+        return FakeSession()
+
+    return _spooling(spool, make)
+
+
+def make_fake_deeplake_factory(spool: str):
+    def make(record):
+        class FakeStore:
+            def add(self, **cols):
+                record(cols)
+
+        return FakeStore()
+
+    return _spooling(spool, make)
+
+
+class TestMilvusContract:
+    def test_slicing_fields_idempotency(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_milvus
+
+        spool = str(tmp_path)
+        write_milvus(records, "chunks", client_factory=make_fake_milvus_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["data"]) for f in flushes) == [44, 128, 128]
+        assert all(f["collection"] == "chunks" for f in flushes)
+        rows = [r for f in flushes for r in f["data"]]
+        assert len(rows) == 300
+        assert set(rows[0]) == {"id", "vector", "source_data", "source_document"}
+        write_milvus(records, "chunks", client_factory=make_fake_milvus_factory(spool))
+        store = {}
+        for f in _flushes(spool):
+            for r in f.get("data", []):
+                if r["id"] in store:
+                    assert store[r["id"]] == r
+                store[r["id"]] = r
+        assert len(store) == 300
+
+
+class TestRedisContract:
+    def test_keys_blob_and_pipeline_batching(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_redis
+
+        spool = str(tmp_path)
+        write_redis(records, "vec", client_factory=make_fake_redis_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["cmds"]) for f in flushes) == [44, 128, 128]
+        cmd = flushes[0]["cmds"][0]
+        assert cmd["name"].startswith("vec:")
+        assert set(cmd["mapping"]) == {"embedding", "source_data", "source_document"}
+        # float32 LE blob: 2-dim vector -> 8 bytes -> 16 hex chars
+        assert len(cmd["mapping"]["embedding"]) == 16
+        import struct
+
+        v0 = struct.unpack("<2f", bytes.fromhex(cmd["mapping"]["embedding"]))
+        assert v0[0] == 0.25
+
+
+class TestLancedbContract:
+    def test_merge_insert_chain_and_slicing(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_lancedb
+
+        spool = str(tmp_path)
+        write_lancedb(records, "chunks", client_factory=make_fake_lancedb_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["rows"]) for f in flushes) == [44, 128, 128]
+        for f in flushes:
+            assert f["on"] == "id" and f["matched"] and f["unmatched"]
+            assert set(f["rows"][0]) == {"id", "vector", "source_data", "source_document"}
+
+
+class TestMongodbContract:
+    def test_unordered_replaceone_upserts(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_mongodb
+
+        spool = str(tmp_path)
+        write_mongodb(records, "chunks", client_factory=make_fake_mongo_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["ops"]) for f in flushes) == [44, 128, 128]
+        op = flushes[0]["ops"][0]
+        assert flushes[0]["ordered"] is False
+        assert op["upsert"] is True
+        assert op["filter"]["_id"] == op["replacement"]["_id"]
+        assert set(op["replacement"]) == {"_id", "embedding", "source_data", "source_document"}
+
+
+class TestVespaContract:
+    def test_put_per_doc_idempotent_url(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_vespa
+
+        spool = str(tmp_path)
+        write_vespa(records, "chunk", session_factory=make_fake_vespa_factory(spool))
+        puts = _flushes(spool)
+        assert len(puts) == 300
+        p = puts[0]
+        assert "/document/v1/vectorflow/chunk/docid/" in p["url"]
+        assert set(p["json"]["fields"]) == {"embedding", "source_data", "source_document"}
+        assert p["json"]["fields"]["embedding"]["values"][0] == 0.25
+        # the docid path component IS the record id (PUT replaces ->
+        # idempotent), so the 300 records address 300 distinct URLs
+        assert len({q["url"] for q in puts}) == 300
+
+
+class TestDeeplakeContract:
+    def test_columnar_add_slicing(self, records, tmp_path):
+        from vectorflow_spark.sinks.writers import write_deeplake
+
+        spool = str(tmp_path)
+        write_deeplake(records, client_factory=make_fake_deeplake_factory(spool))
+        flushes = _flushes(spool)
+        assert sorted(len(f["id"]) for f in flushes) == [44, 128, 128]
+        f = flushes[0]
+        assert set(f) == {"id", "text", "embedding", "metadata"}
+        assert len(f["id"]) == len(f["embedding"]) == len(f["metadata"])
+        assert set(f["metadata"][0]) == {"source_document"}

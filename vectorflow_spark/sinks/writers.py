@@ -17,6 +17,14 @@ Vector-DB client libraries are not installed in the build environment; each
 writer import-gates its client and raises a clear error when missing. The
 parquet sink is the real, always-available path (and what tests/bench use).
 
+Backend coverage: ALL TEN values of the reference's ``VectorDBType`` enum
+(src/shared/vector_db_type.py:3-13) have writers here — the reference itself
+implements only Pinecone/Qdrant/Weaviate (src/worker/vector_uploader.py);
+milvus/deeplake/vespa/pgvector/redis/lancedb/mongodb are enum-only there, so
+those seven extend parity. All follow the keyed-idempotent-upsert shape
+except Deep Lake, whose store is append-only (contract documented on
+``write_deeplake``).
+
 Every external writer takes an optional ``client_factory`` — a picklable
 zero-arg callable built ON THE EXECUTOR (called once per partition). The
 default constructs the real client (import-gated); tests inject a fake that
@@ -296,6 +304,274 @@ def write_pgvector(
     records.foreachPartition(per_partition)
 
 
+def write_milvus(
+    records: DataFrame,
+    collection: str,
+    uri: str = "http://localhost:19530",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """Milvus upsert (reference enum src/shared/vector_db_type.py:5,
+    never implemented there). ``MilvusClient.upsert(collection_name,
+    data=[{id, vector, source_data, source_document}, ...])`` — keyed on
+    the deterministic uuid5 id, so task retries converge (U6).
+    ``client_factory`` must return an object with that ``upsert``."""
+
+    def per_partition(partition: Iterator) -> None:
+        if client_factory is None:
+            try:  # pragma: no cover - client not installed in this env
+                from pymilvus import MilvusClient
+            except ImportError as e:
+                raise RuntimeError("pymilvus is not installed; use the parquet sink") from e
+            client = MilvusClient(uri=uri)
+        else:
+            client = client_factory()
+
+        def flush(rows: list) -> None:
+            client.upsert(
+                collection_name=collection,
+                data=[
+                    {
+                        "id": r.id,
+                        "vector": list(r.embeddings),
+                        "source_data": r.source_data,
+                        "source_document": r.source_document,
+                    }
+                    for r in rows
+                ],
+            )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_redis(
+    records: DataFrame,
+    key_prefix: str = "vec",
+    url: str = "redis://localhost:6379",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """Redis (RediSearch vector index shape): one HSET per record at
+    ``{key_prefix}:{id}`` with the embedding as a little-endian float32
+    blob — the layout RediSearch's HNSW/FLAT vector fields index — plus
+    the text payload fields; batched through a pipeline, one round trip
+    per flush. HSET full-overwrite on the deterministic key is the
+    idempotent upsert. ``client_factory`` must return an object whose
+    ``pipeline()`` supports ``hset(name, mapping=...)`` + ``execute()``."""
+
+    def per_partition(partition: Iterator) -> None:
+        import struct as _struct
+
+        if client_factory is None:
+            try:  # pragma: no cover - client not installed in this env
+                import redis as redis_lib
+            except ImportError as e:
+                raise RuntimeError("redis client is not installed; use the parquet sink") from e
+            client = redis_lib.Redis.from_url(url)
+        else:
+            client = client_factory()
+
+        def flush(rows: list) -> None:
+            pipe = client.pipeline(transaction=False)
+            for r in rows:
+                vec = r.embeddings
+                pipe.hset(
+                    f"{key_prefix}:{r.id}",
+                    mapping={
+                        "embedding": _struct.pack(f"<{len(vec)}f", *vec),
+                        "source_data": r.source_data,
+                        "source_document": r.source_document,
+                    },
+                )
+            pipe.execute()
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_lancedb(
+    records: DataFrame,
+    table: str,
+    uri: str = "/tmp/lancedb",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """LanceDB merge-insert ("upsert" in their docs): match on ``id``,
+    update matched rows, insert the rest — idempotent on the uuid5 key.
+    ``client_factory`` must return a table-like object exposing the
+    documented ``merge_insert(on).when_matched_update_all()
+    .when_not_matched_insert_all().execute(rows)`` chain."""
+
+    def per_partition(partition: Iterator) -> None:
+        if client_factory is None:
+            try:  # pragma: no cover - client not installed in this env
+                import lancedb
+            except ImportError as e:
+                raise RuntimeError("lancedb is not installed; use the parquet sink") from e
+            tbl = lancedb.connect(uri).open_table(table)
+        else:
+            tbl = client_factory()
+
+        def flush(rows: list) -> None:
+            (
+                tbl.merge_insert("id")
+                .when_matched_update_all()
+                .when_not_matched_insert_all()
+                .execute(
+                    [
+                        {
+                            "id": r.id,
+                            "vector": list(r.embeddings),
+                            "source_data": r.source_data,
+                            "source_document": r.source_document,
+                        }
+                        for r in rows
+                    ]
+                )
+            )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_mongodb(
+    records: DataFrame,
+    collection: str,
+    database: str = "vectors",
+    uri: str = "mongodb://localhost:27017",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """MongoDB (Atlas Vector Search document shape): unordered
+    ``bulk_write`` of ``ReplaceOne(..., upsert=True)`` keyed on ``_id``
+    (the uuid5 id), one round trip per flush — replays replace with
+    identical documents (U6). With an injected ``client_factory`` the
+    operations are plain dicts of the same fields."""
+
+    def per_partition(partition: Iterator) -> None:
+        if client_factory is None:
+            try:  # pragma: no cover - client not installed in this env
+                from pymongo import MongoClient, ReplaceOne
+            except ImportError as e:
+                raise RuntimeError("pymongo is not installed; use the parquet sink") from e
+            coll = MongoClient(uri)[database][collection]
+
+            def make_op(flt, doc):
+                return ReplaceOne(flt, doc, upsert=True)
+        else:
+            coll = client_factory()
+
+            def make_op(flt, doc):
+                return {"filter": flt, "replacement": doc, "upsert": True}
+
+        def flush(rows: list) -> None:
+            coll.bulk_write(
+                [
+                    make_op(
+                        {"_id": r.id},
+                        {
+                            "_id": r.id,
+                            "embedding": list(r.embeddings),
+                            "source_data": r.source_data,
+                            "source_document": r.source_document,
+                        },
+                    )
+                    for r in rows
+                ],
+                ordered=False,
+            )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_vespa(
+    records: DataFrame,
+    doc_type: str,
+    namespace: str = "vectorflow",
+    endpoint: str = "http://localhost:8080",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    session_factory: Callable[[], Any] | None = None,
+) -> None:
+    """Vespa Document V1 API: one idempotent PUT per document at
+    ``/document/v1/{namespace}/{doc_type}/docid/{id}`` with the tensor
+    field as the values list — PUT replaces, so retries converge. HTTP
+    rides an injectable session (the webhook-sink pattern);
+    ``session_factory`` must return an object with ``put(url, json=...)``
+    returning a response with ``raise_for_status``."""
+
+    def per_partition(partition: Iterator) -> None:
+        if session_factory is None:
+            import requests  # pragma: no cover - exercised via injection
+
+            session = requests.Session()
+        else:
+            session = session_factory()
+
+        def flush(rows: list) -> None:
+            for r in rows:
+                resp = session.put(
+                    f"{endpoint}/document/v1/{namespace}/{doc_type}/docid/{r.id}",
+                    json={
+                        "fields": {
+                            "embedding": {"values": list(r.embeddings)},
+                            "source_data": r.source_data,
+                            "source_document": r.source_document,
+                        }
+                    },
+                    timeout=30,
+                )
+                resp.raise_for_status()
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_deeplake(
+    records: DataFrame,
+    dataset_path: str = "hub://org/vectors",
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    client_factory: Callable[[], Any] | None = None,
+) -> None:
+    """Deep Lake vector store: batched ``add(text=..., embedding=...,
+    id=..., metadata=...)`` calls (the deeplake VectorStore API). Deep
+    Lake appends rather than keying on id, so EXACTLY-once here needs
+    the id column: replays under task retry may duplicate rows and the
+    documented dedup is a downstream ``dropDuplicates('id')`` or the
+    store's own id-based search — recorded as this sink's contract
+    (weaker than U6's keyed upsert; the reference never implemented any
+    semantics for its DEEPLAKE enum value to match). ``client_factory``
+    must return an object with ``add(**columns)``."""
+
+    def per_partition(partition: Iterator) -> None:
+        if client_factory is None:
+            try:  # pragma: no cover - client not installed in this env
+                from deeplake.core.vectorstore import VectorStore
+            except ImportError as e:
+                raise RuntimeError("deeplake is not installed; use the parquet sink") from e
+            store = VectorStore(path=dataset_path)
+        else:
+            store = client_factory()
+
+        def flush(rows: list) -> None:
+            store.add(
+                id=[r.id for r in rows],
+                text=[r.source_data for r in rows],
+                embedding=[list(r.embeddings) for r in rows],
+                metadata=[{"source_document": r.source_document} for r in rows],
+            )
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
 def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_size: int = VECTOR_UPSERT_BATCH_SIZE) -> None:
     """U5: POST chunks+vectors to a user webhook (reference
     send_embeddings_to_webhook, src/shared/utils.py:15-32)."""
@@ -387,6 +663,36 @@ def write_vectors(records: DataFrame, cfg: PipelineConfig) -> None:
             records,
             opts["table"],
             opts.get("dsn", "postgresql://localhost:5432/vectors"),
+            cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "milvus":
+        write_milvus(
+            records, opts["collection"], opts.get("uri", "http://localhost:19530"),
+            cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "redis":
+        write_redis(
+            records, opts.get("key_prefix", "vec"),
+            opts.get("url", "redis://localhost:6379"), cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "lancedb":
+        write_lancedb(
+            records, opts["table"], opts.get("uri", "/tmp/lancedb"),
+            cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "mongodb":
+        write_mongodb(
+            records, opts["collection"], opts.get("database", "vectors"),
+            opts.get("uri", "mongodb://localhost:27017"), cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "vespa":
+        write_vespa(
+            records, opts["doc_type"], opts.get("namespace", "vectorflow"),
+            opts.get("endpoint", "http://localhost:8080"), cfg.upsert_batch_size,
+        )
+    elif cfg.sink == "deeplake":
+        write_deeplake(
+            records, opts.get("dataset_path", "hub://org/vectors"),
             cfg.upsert_batch_size,
         )
     elif cfg.sink == "webhook":
