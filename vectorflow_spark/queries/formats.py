@@ -2484,6 +2484,135 @@ def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_exif_orientation",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(9 + doc_id % 6 AS INT) AS disp_w,
+           CAST(8 + doc_id % 5 AS INT) AS disp_h,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 8 + doc_id % 5
+                ELSE 9 + doc_id % 6 END AS INT) AS stored_w,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 9 + doc_id % 6
+                ELSE 8 + doc_id % 5 END AS INT) AS stored_h,
+           'Cam' || (doc_id % 5) AS make,
+           'M' || (doc_id % 11) AS model,
+           '2021:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               || ' 00:00:00' AS dt,
+           TRUE AS normalized_matches,
+           CAST(1 + doc_id % 8 AS INT) AS jpeg_orientation,
+           CAST(9 + doc_id % 6 AS BIGINT) AS jpeg_pixel_x,
+           CAST(8 + doc_id % 5 AS BIGINT) AS jpeg_pixel_y,
+           TRUE AS jpeg_decode_unchanged
+    FROM documents WHERE doc_id % 6 = 3
+    """,
+)
+def q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation normalization (operators/exifmini.py) — the
+    preprocessing step without which perceptual image dedup MISSES every
+    duplicate pair that differs only by camera rotation (dHash is not
+    invariant under the dihedral group). Per document: display pixels
+    are derived from doc_id, stored camera-style (inverse-transformed
+    under orientation 1+doc%8), written as TIFF via the libtiff-pinned
+    encoder, EXIF-tagged by the IFD-rewrite (image strips untouched —
+    the pinned decoder must return identical pixels), parsed back, and
+    normalized: apply_exif_orientation(decoded, tag) must recover the
+    display image EXACTLY (lossless container, numpy array_equal). The
+    JPEG leg inserts an APP1 segment (rotating byte order) and proves
+    the libjpeg-pinned decode is untouched while orientation and the
+    Exif sub-IFD pixel dimensions read back. The oracle re-derives every
+    field — including the stored-dimension SWAP for orientations 5-8 —
+    from doc_id arithmetic. One Arrow-batched projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("orientation", IntegerType()),
+            StructField("disp_w", IntegerType()),
+            StructField("disp_h", IntegerType()),
+            StructField("stored_w", IntegerType()),
+            StructField("stored_h", IntegerType()),
+            StructField("make", StringType()),
+            StructField("model", StringType()),
+            StructField("dt", StringType()),
+            StructField("normalized_matches", BooleanType()),
+            StructField("jpeg_orientation", IntegerType()),
+            StructField("jpeg_pixel_x", LongType()),
+            StructField("jpeg_pixel_y", LongType()),
+            StructField("jpeg_decode_unchanged", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from vectorflow_spark.operators.exifmini import (
+            apply_exif_orientation,
+            build_exif_app1,
+            exif_meta,
+            inverse_exif_orientation,
+            jpeg_add_exif,
+            tiff_add_exif,
+        )
+        from vectorflow_spark.operators.jpegmini import decode_jpeg, encode_jpeg
+        from vectorflow_spark.operators.tiffmini import decode_tiff, encode_tiff, tiff_meta
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                o = 1 + i % 8
+                h, w = 8 + i % 5, 9 + i % 6
+                display = np.random.default_rng(i * 977 + 3).integers(
+                    0, 256, (h, w, 3), np.uint8
+                )
+                stored = inverse_exif_orientation(display, o)
+                make, model = f"Cam{i % 5}", f"M{i % 11}"
+                dt = f"2021:01:{1 + i % 28:02d} 00:00:00"
+                tagged = tiff_add_exif(
+                    encode_tiff(stored), orientation=o, make=make, model=model, datetime=dt
+                )
+                m = exif_meta(tagged)
+                sw, sh, _spp = tiff_meta(tagged)
+                decoded = decode_tiff(tagged)
+                normalized_ok = bool(
+                    np.array_equal(apply_exif_orientation(decoded, m["orientation"]), display)
+                )
+                # JPEG leg: APP1 insertion must not perturb the pinned decode
+                jpeg = encode_jpeg(stored, quality=85)
+                app1 = build_exif_app1(
+                    orientation=o, make=make, pixel_x=w, pixel_y=h,
+                    byte_order="little" if i % 2 == 0 else "big",
+                )
+                jj = jpeg_add_exif(jpeg, app1)
+                jm = exif_meta(jj)
+                jpeg_same = bool(np.array_equal(decode_jpeg(jj), decode_jpeg(jpeg)))
+                rows.append(
+                    (
+                        i, m["orientation"], w, h, sw, sh,
+                        m["make"], m["model"], m["datetime"], normalized_ok,
+                        jm["orientation"], jm["pixel_x"], jm["pixel_y"], jpeg_same,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = (
+        _t(spark, sf_dir, "documents", split=True)
+        .filter(F.col("doc_id") % 6 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(run, out_schema)
+
+
+@query(
     "q_albumart_dedup",
     """
     SELECT doc_id,
