@@ -178,6 +178,42 @@ def test_image_dhash_exact_dup_groups(spark):
     assert first == again
 
 
+def test_image_dhash_exif_orientation_normalization(spark):
+    """Camera-rotated duplicates: raw dHash misses the pair, the
+    normalize_orientation path recovers it (operators/exifmini.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from vectorflow_spark.operators.multimodal import image_dhash
+
+    def gen_one(i: int) -> bytes:
+        from vectorflow_spark.operators.exifmini import (
+            inverse_exif_orientation,
+            tiff_add_exif,
+        )
+        from vectorflow_spark.operators.tiffmini import encode_tiff
+
+        display = np.random.default_rng(7).integers(0, 256, (10, 14, 3), np.uint8)
+        o = 1 + i % 8  # same display image, stored under all 8 orientations
+        return tiff_add_exif(
+            encode_tiff(inverse_exif_orientation(display, o)), orientation=o
+        )
+
+    gen = F.pandas_udf(
+        lambda ids: pd.Series([gen_one(int(i)) for i in ids]), BinaryType()
+    )
+    assets = spark.range(0, 8).select(F.col("id").alias("asset_id"), gen("id").alias("data"))
+    raw = image_dhash(assets).select("dhash").distinct().count()
+    normalized = (
+        image_dhash(assets, normalize_orientation=True)
+        .select("dhash").distinct().count()
+    )
+    assert raw > 1  # rotated copies hash apart without normalization
+    assert normalized == 1  # one duplicate group once orientation is applied
+
+
 # --- S4 extractor-path parity: markdown_reader_expr vs a python twin -------
 
 

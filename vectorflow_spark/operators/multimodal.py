@@ -496,7 +496,12 @@ def synth_assets(docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     )
 
 
-def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) -> DataFrame:
+def image_dhash(
+    assets: DataFrame,
+    data_col: str = "data",
+    hash_bits: int = 64,
+    normalize_orientation: bool = False,
+) -> DataFrame:
     """Perceptual difference-hash (dHash) over any decodable image
     container (FAKE, BMP or PNG): resize to 9x8 luma, compare horizontal
     neighbors, pack 64 bits into a BIGINT. The standard near-duplicate-
@@ -505,7 +510,15 @@ def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) 
     regardless of container, which is what makes it a cross-format dedup
     key. Pixel work is numpy over Arrow batches. Downstream dedup is
     engine-side: group or Hamming-band the integer exactly like SimHash
-    (operators/dedup.simhash_candidate_pairs)."""
+    (operators/dedup.simhash_candidate_pairs).
+
+    ``normalize_orientation=True`` applies the EXIF orientation
+    transform (operators/exifmini.py) before hashing for the containers
+    that carry it (TIFF, JPEG): dHash is NOT invariant under the
+    dihedral group, so without this a camera-rotated duplicate hashes
+    differently and the pair is missed. Malformed EXIF in a carrier
+    container refuses (parse-or-refuse); containers with no EXIF
+    concept (BMP/PNG/FAKE) hash as stored."""
     fields = [f.name for f in assets.schema.fields]
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields)
     schema += ", dhash bigint"
@@ -513,6 +526,13 @@ def image_dhash(assets: DataFrame, data_col: str = "data", hash_bits: int = 64) 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes) -> int:
             px = codecs.decode_image(bytes(b))
+            if normalize_orientation and bytes(b[:2]) in (b"II", b"MM", b"\xff\xd8"):
+                from vectorflow_spark.operators.exifmini import (
+                    apply_exif_orientation,
+                    exif_meta,
+                )
+
+                px = apply_exif_orientation(px, exif_meta(bytes(b))["orientation"])
             h, w = px.shape[:2]
             luma = px.mean(axis=2)
             ys = (np.arange(8) * h // 8).astype(int)
