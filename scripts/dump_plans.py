@@ -70,6 +70,8 @@ HEADLINERS = [
     ("q_lowdepth_roundtrip", "sub-8-bit raster roundtrips (1/4-bit TIFF + palette BMP): one mapInPandas projection, no shuffle"),
     ("q_image_neardup_pairs", "perceptual image near-dup (r7 ground-truth shape): one Arrow decode pass + two band-key exchanges, no join"),
     ("q_audio_fingerprint_dedup", "audio fingerprint dedup across WAV/G.711/FLAC (r7 ground-truth shape): same two-exchange Hamming-bander plan"),
+    ("q_albumart_dedup", "cross-modal album-art dedup: equality join on the 63-bit pixel dHash — no pairwise scan, broadcast/bucket-ready at scale"),
+    ("q_cdx_prefix_scan", "domain-prefix wayback scan (r9 cached-fixture shape): consolidated _url_index prefix range + residual re-apply, flat across four decades"),
 ]
 
 

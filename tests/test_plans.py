@@ -373,3 +373,29 @@ def test_perceptual_neardup_uses_banded_exchanges_only(spark, sf_dir, Q, name):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+@pytest.mark.parametrize("name", ["q_id3_meta", "q_exif_orientation"])
+def test_r9_metadata_gates_are_shuffle_free(spark, sf_dir, Q, name):
+    """Round-9 metadata gates (ID3v2, EXIF) are per-row projections: one
+    Arrow-batched MapInPandas, only the explicit input split."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_albumart_dedup_joins_on_hash_equality(spark, sf_dir, Q):
+    """Cross-modal album-art dedup must pair via an EQUALITY join on the
+    pixel dHash — a nested-loop or cartesian here would be the pairwise
+    scan that dies at 100 TB. Either equi-join family is acceptable
+    (AQE/stats pick broadcast vs sort-merge); what is pinned is the
+    absence of any non-equi join."""
+    plan = physical(Q["q_albumart_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    # build + dhash stages on each side: (builder, hasher) x (audio, image)
+    assert plan.count("MapInPandas") == 4, plan
