@@ -40,3 +40,67 @@ def test_bpe_constants_rederive():
         s = _BPE_PROBE[m]
         assert len(s) == n_chars, (m, s)
         assert len(tok.encode(s)) == n_tokens, (m, s)
+
+
+def test_adpcm_constants_rederive_from_audioop():
+    """The q_adpcm_roundtrip VALUES table must re-derive from an
+    independent WAV-IMA decoder built ONLY on stdlib audioop (nibble
+    swap per block + header-seeded adpcm2lin) — never from aiffmini's
+    own DP."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from vectorflow_spark.operators.aiffmini import encode_wav_ima_adpcm
+    from vectorflow_spark.queries.audio import _ADPCM_EXPECTED
+
+    def independent_decode(blob: bytes) -> np.ndarray:
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        o, fmt, payload, n_total = 12, None, None, None
+        end = 8 + struct.unpack_from("<I", blob, 4)[0]
+        while o + 8 <= end:
+            fourcc = blob[o : o + 4]
+            (size,) = struct.unpack_from("<I", blob, o + 4)
+            body = o + 8
+            if fourcc == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", blob, body)
+            elif fourcc == b"fact":
+                (n_total,) = struct.unpack_from("<I", blob, body)
+            elif fourcc == b"data":
+                payload = blob[body : body + size]
+            o = body + size + (size & 1)
+        block_align = fmt[4]
+        out: list[int] = []
+        remaining = n_total
+        for b0 in range(0, len(payload), block_align):
+            block = payload[b0 : b0 + block_align]
+            pred, idx = struct.unpack_from("<hB", block, 0)
+            swapped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in block[4:])
+            lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+            samples = ([pred] + list(np.frombuffer(lin, "<i2")))[:remaining]
+            remaining -= len(samples)
+            out.extend(int(x) for x in samples)
+            if remaining == 0:
+                break
+        return np.array(out, dtype=np.int64)
+
+    assert len(_ADPCM_EXPECTED) == 160
+    for i, n, total, lo, hi, first, last in _ADPCM_EXPECTED:
+        s = np.array(
+            [(((i + 3) * (k * k + 7 * k + 1)) % 6007) - 3003 for k in range(n)],
+            dtype=np.int16,
+        )
+        v = independent_decode(encode_wav_ima_adpcm(s, 8000, block_frames=33))
+        assert len(v) == n
+        assert (int(v.sum()), int(v.min()), int(v.max()), int(v[0]), int(v[-1])) == (
+            total,
+            lo,
+            hi,
+            first,
+            last,
+        ), i

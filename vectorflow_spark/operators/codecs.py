@@ -967,6 +967,11 @@ def _decode_wav_float(data: bytes) -> tuple[np.ndarray, int]:
         if n_ch > 1:
             samples = samples[::n_ch]
         return samples.astype(np.float64), rate
+    if audio_format == 0x11:  # IMA ADPCM (4:1 telephony/voicemail)
+        from vectorflow_spark.operators.aiffmini import decode_wav_ima_adpcm
+
+        samples, rate = decode_wav_ima_adpcm(data)
+        return samples.astype(np.float64), rate
     if audio_format in (6, 7):  # G.711 A-law / mu-law (telephony speech)
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
@@ -1434,6 +1439,16 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         return np.frombuffer(data, dtype=np.uint8, offset=10, count=n).astype(np.float64), rate
     if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_FORM:
         return decode_wav(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        from vectorflow_spark.operators.aiffmini import decode_aiff
+
+        samples, rate, _meta = decode_aiff(data)
+        return samples[:, 0].astype(np.float64), rate
+    if data[:4] == b".snd":
+        from vectorflow_spark.operators.aiffmini import decode_au
+
+        samples, rate, _meta = decode_au(data)
+        return samples[:, 0].astype(np.float64), rate
     if data[:4] == b"fLaC":
         from vectorflow_spark.operators.flacmini import decode_flac
 

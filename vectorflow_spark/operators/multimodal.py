@@ -11,7 +11,8 @@ BMP images (uncompressed 24/32-bit), PNG (zlib IS the stdlib; sequential
 (LZW, palettes, interlace, animation compositing — single-frame GIFs are
 images, animated GIFs are videos), WebP-lossless (VP8L via
 operators/webpmini.py), baseline TIFF (strips/PackBits/TIFF-LZW/
-predictor via operators/tiffmini.py), PCM WAV audio (8/16/24/32-bit incl. WAVE_FORMAT_EXTENSIBLE), MJPEG
+predictor via operators/tiffmini.py), PCM WAV audio (8/16/24/32-bit incl. WAVE_FORMAT_EXTENSIBLE),
+AIFF/AIFF-C and Sun AU containers + IMA-ADPCM WAV (operators/aiffmini.py), MJPEG
 AVI video (RIFF + one JPEG per frame) and MP3 frame headers (metadata
 only) — plus the deterministic FAKE codec family below; every kernel
 (metadata, resize, dHash, frame sample, audio features) dispatches on
@@ -116,6 +117,26 @@ def decode_meta(data: bytes) -> dict:
             "kind": "audio",
             "sample_rate": m["sample_rate"],
             "n_samples": m["n_samples"],
+            "n_bytes": len(data),
+        }
+    if magic == b"FORM" and bytes(data[8:12]) in (b"AIFF", b"AIFC"):
+        from vectorflow_spark.operators.aiffmini import aiff_meta
+
+        m = aiff_meta(bytes(data))
+        return {
+            "kind": "audio",
+            "sample_rate": int(round(m["sample_rate"])),
+            "n_samples": m["n_frames"],
+            "n_bytes": len(data),
+        }
+    if magic == b".snd":
+        from vectorflow_spark.operators.aiffmini import au_meta
+
+        m = au_meta(bytes(data))
+        return {
+            "kind": "audio",
+            "sample_rate": m["sample_rate"],
+            "n_samples": m["n_frames"],
             "n_bytes": len(data),
         }
     if magic == b"fLaC":
