@@ -71,6 +71,62 @@ def q_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_epub_roundtrip",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS epub_text,
+           TRUE AS meta_ok
+    FROM documents
+    """,
+)
+def q_epub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension, content-verified: documents -> valid EPUB 3
+    containers (epubmini writer: stored mimetype first, container.xml
+    indirection, OPF spine, one <p> per line) -> the spine-walk
+    extraction with the strip_html_expr whitespace normalization. The
+    oracle recomputes the normalization relationally (collapse + trim);
+    ``meta_ok`` pins epub_meta (title/spine count) and the JVM-side
+    zip-vs-epub magic discriminator (readers.sniff_kind's fixed-offset
+    byte compare, via its Python twin looks_like_epub). Same plan class
+    as the pdf/docx roundtrips: per-row Arrow-batched projection, zero
+    exchanges beyond the input split."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("epub_text", StringType()),
+            StructField("meta_ok", BooleanType()),
+        ]
+    )
+
+    def roundtrip(pdfs):
+        from vectorflow_spark.sources.epubmini import (
+            build_epub,
+            epub_meta,
+            extract_epub_text,
+            looks_like_epub,
+        )
+
+        for pdf in pdfs:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = build_epub([text], title=f"doc-{doc_id}")
+                meta = epub_meta(blob)
+                ok = (
+                    looks_like_epub(blob)
+                    and meta["title"] == f"doc-{doc_id}"
+                    and meta["n_spine"] == 1
+                )
+                rows.append((int(doc_id), extract_epub_text(blob), bool(ok)))
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
     "q_merge_upsert",
     """
     WITH target AS (

@@ -117,13 +117,23 @@ def sniff_kind(source_col: str = "source", content_col: str = "content"):
         f"THEN decode(substring({content_col}, 1, 4), 'UTF-8') END"
     )
     decodable = F.expr(f"is_valid_utf8(substring({content_col}, 1, 1024))")
+    # EPUB vs docx inside the shared zip magic: a conforming EPUB's FIRST
+    # local header is the STORED `mimetype` entry, so the discriminator
+    # sits at fixed offsets (name at byte 31, mime right behind) — a pure
+    # JVM-side byte compare, no zip directory walk (epubmini.looks_like_epub
+    # is the Python twin of this expression)
+    epub_sig = F.expr(f"substring({content_col}, 31, 28)") == F.lit(
+        b"mimetypeapplication/epub+zip"
+    )
     return (
         F.when(lowered.endswith(".pdf"), F.lit("pdf"))
         .when(lowered.endswith(".docx"), F.lit("docx"))
+        .when(lowered.endswith(".epub"), F.lit("epub"))
         .when(lowered.endswith(".md"), F.lit("md"))
         .when(lowered.endswith(".html"), F.lit("html"))
         .when(lowered.endswith(".txt"), F.lit("txt"))
         .when(head == _PDF_MAGIC, F.lit("pdf"))
+        .when((head == _ZIP_MAGIC) & epub_sig, F.lit("epub"))
         .when(head == _ZIP_MAGIC, F.lit("docx"))
         .when(decodable, F.lit("txt"))
         .otherwise(F.lit("unsupported"))
@@ -191,6 +201,27 @@ def _docx_extract_udf():
                 return extract_docx_text(bytes(b))
             d = docx.Document(io.BytesIO(bytes(b)))
             return "\n".join(p.text for p in d.paragraphs)
+
+        return contents.map(one)
+
+    return _udf
+
+
+def _epub_extract_udf():
+    """S-family extension: EPUB spine-ordered chapter extraction
+    (sources/epubmini.py, pure stdlib — zip container + OPF spine walk +
+    the strip_html_expr text normalization). Same NULL-tolerant contract
+    as _pdf_extract_udf; malformed containers raise loudly."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _udf(contents: pd.Series) -> pd.Series:
+        def one(b) -> str | None:
+            if b is None:
+                return None
+            from vectorflow_spark.sources.epubmini import extract_epub_text
+
+            return extract_epub_text(bytes(b))
 
         return contents.map(one)
 
@@ -330,7 +361,7 @@ def extract_documents(
     pure projection, no Python."""
     if markdown_mode not in ("raw", "reader"):
         raise ValueError(f"markdown_mode must be 'raw' or 'reader', got {markdown_mode!r}")
-    fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx"}
+    fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx", "epub"}
     kinds = raw.withColumn("kind", sniff_kind())
     utf8 = F.expr("CASE WHEN is_valid_utf8(content) THEN decode(content, 'UTF-8') END")
 
@@ -350,6 +381,9 @@ def extract_documents(
     if "docx" in fmts:
         docx_in = F.when(F.col("kind") == "docx", F.col("content"))
         text = F.when(F.col("kind") == "docx", _docx_extract_udf()(docx_in)).otherwise(text)
+    if "epub" in fmts:
+        epub_in = F.when(F.col("kind") == "epub", F.col("content"))
+        text = F.when(F.col("kind") == "epub", _epub_extract_udf()(epub_in)).otherwise(text)
 
     out = kinds.withColumn("text", text)
     return out.select("source", "kind", "text").filter(F.col("kind") != "unsupported")
