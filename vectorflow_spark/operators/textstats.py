@@ -682,3 +682,47 @@ def normalize_text_nfc(docs, text_col: str = "text", out_col: str = "norm_text")
     # annotations when pandas is imported function-locally
     nfc_udf = F.pandas_udf(_nfc, StringType())
     return docs.withColumn(out_col, nfc_udf(F.col(text_col)))
+
+
+def smart_metadata(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text", source_col: str | None = None
+) -> DataFrame:
+    """Reference-roadmap '"Smart" metadata extractor' (README.md:299) as
+    a pure-expression projection: per document derive the sidecar fields
+    a catalog/metadata store wants next to the vectors — title (first
+    non-empty line, whitespace-collapsed, capped at 120 chars), file
+    extension (when a source column exists), URL / email / ISO-date
+    counts, the first ISO date, exact word count, and an integer reading
+    time at the canonical 238 wpm. Everything is JVM-side regex/codegen
+    (zero Python, zero shuffle) so at 100 TB this rides the same scan as
+    extraction; compose with predict_language / quality_score for the
+    model-ish fields. Feed the result to to_vector_records(metadata=...)
+    or write_metadata_store to land it beside the vectors."""
+    text = F.col(text_col)
+    # F.get (0-based) is NULL-safe on the all-blank-lines edge where ANSI
+    # element_at would throw INVALID_ARRAY_INDEX
+    first_line = F.get(F.filter(F.split(text, "\n"), lambda x: F.trim(x) != ""), 0)
+    title = F.substring(F.trim(F.regexp_replace(first_line, r"\s+", " ")), 1, 120)
+    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    cols = [
+        F.col(doc_col),
+        title.alias("title"),
+        F.regexp_count(text, F.lit(r"https?://[^\s]+")).alias("n_urls"),
+        F.regexp_count(
+            text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).alias("n_emails"),
+        F.regexp_count(text, F.lit(r"\d{4}-\d{2}-\d{2}")).alias("n_dates"),
+        F.nullif(F.regexp_extract(text, r"(\d{4}-\d{2}-\d{2})", 1), F.lit("")).alias(
+            "first_date"
+        ),
+        n_words.alias("n_words"),
+        # explicit floor: Spark's cast-to-bigint truncates where DuckDB's
+        # rounds, so the floor keeps the two engines bit-identical
+        F.floor(n_words * F.lit(60) / F.lit(238)).cast("bigint").alias("reading_time_s"),
+    ]
+    if source_col is not None:
+        cols.insert(
+            2,
+            F.lower(F.regexp_extract(F.col(source_col), r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+        )
+    return docs.select(*cols)

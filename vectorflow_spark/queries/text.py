@@ -100,3 +100,42 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "n_chars_t", "n_words", "n_punct", "quality_score")
 
 
+
+
+@query(
+    "q_smart_metadata",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> trim(x) != '')[1] AS first_line,
+               len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}')) AS n_dates,
+               nullif(regexp_extract(text, '(\d{4}-\d{2}-\d{2})', 1), '') AS first_date,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               lower(regexp_extract(source, '\.([A-Za-z0-9]+)$', 1)) AS ext
+        FROM documents
+    )
+    SELECT doc_id,
+           substring(trim(regexp_replace(first_line, '\s+', ' ', 'g')), 1, 120) AS title,
+           ext,
+           CAST(n_urls AS INT) AS n_urls,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_dates AS INT) AS n_dates,
+           first_date,
+           CAST(n_words AS INT) AS n_words,
+           CAST(floor(n_words * 60 / 238) AS BIGINT) AS reading_time_s
+    FROM m
+    """,
+)
+def q_smart_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-roadmap smart metadata extractor
+    (operators/textstats.smart_metadata): title / extension / URL-email-
+    date counts / first ISO date / word count / reading time, every field
+    recomputed relationally by DuckDB from the same regex definitions.
+    Pure JVM-side projection — zero Python, zero shuffle; the catalog
+    sidecar a 100-TB ingest derives on the same scan as extraction."""
+    from vectorflow_spark.operators.textstats import smart_metadata
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text", "source")
+    return smart_metadata(docs, source_col="source")

@@ -52,6 +52,7 @@ def to_vector_records(
     doc_col: str = "source",
     vector_col: str = "vector",
     dedupe: bool = False,
+    metadata: dict[str, Any] | None = None,
 ) -> DataFrame:
     """U4: project the canonical upsert payload.
 
@@ -60,14 +61,43 @@ def to_vector_records(
     the fattest data in the pipeline (text + embeddings) right before the
     sink, and keyed upserts are already idempotent per id (U6 / reference
     README.md:210) — duplicates converge at the store. Turn it on only for
-    non-keyed sinks (plain parquet append) where duplicate rows persist."""
-    out = chunks.select(
+    non-keyed sinks (plain parquet append) where duplicate rows persist.
+
+    ``metadata`` makes the sink schema DYNAMICALLY CONFIGURABLE (reference
+    roadmap README.md:294): a mapping of payload-field-name -> source
+    column name (str) or Column expression, carried as a string-valued
+    ``metadata`` map column that every dict-payload writer (Qdrant point
+    payload, Pinecone metadata, Weaviate data_object, webhook/Mongo/Vespa
+    documents) merges into its per-record payload. Values are cast to
+    string (the lowest common denominator across the ten backends); the
+    four canonical fields are reserved and always win on key collision so
+    a schema config can never corrupt the idempotency key."""
+    cols = [
         F.col(id_col).cast("string").alias("id"),
         F.col(text_col).alias("source_data"),
         F.col(doc_col).alias("source_document"),
         F.col(vector_col).alias("embeddings"),
-    )
+    ]
+    if metadata:
+        reserved = {"id", "source_data", "source_document", "embeddings"}
+        bad = reserved & set(metadata)
+        if bad:
+            raise ValueError(f"metadata schema may not redefine canonical fields: {sorted(bad)}")
+        pairs: list = []
+        for name, src in sorted(metadata.items()):
+            expr = F.col(src) if isinstance(src, str) else src
+            pairs.extend((F.lit(name), expr.cast("string")))
+        cols.append(F.create_map(*pairs).alias("metadata"))
+    out = chunks.select(*cols)
     return out.dropDuplicates(["id"]) if dedupe else out
+
+
+def _payload_extras(row: Any) -> dict:
+    """Configured-schema extras for a record row: the ``metadata`` map
+    column when present (to_vector_records(metadata=...)), else empty.
+    Callers merge extras FIRST so canonical fields win collisions."""
+    extras = getattr(row, "metadata", None)
+    return dict(extras) if extras else {}
 
 
 def _buffered(partition: Iterator, flush: Callable[[list], None], batch_size: int) -> None:
@@ -120,7 +150,11 @@ def write_qdrant(
                 make_point(
                     id=r.id,
                     vector=list(r.embeddings),
-                    payload={"source_data": r.source_data, "source_document": r.source_document},
+                    payload={
+                        **_payload_extras(r),
+                        "source_data": r.source_data,
+                        "source_document": r.source_document,
+                    },
                 )
                 for r in rows
             ]
@@ -162,7 +196,11 @@ def write_pinecone(
                     (
                         r.id,
                         list(r.embeddings),
-                        {"source_text": r.source_data, "source_document": r.source_document},
+                        {
+                            **_payload_extras(r),
+                            "source_text": r.source_data,
+                            "source_document": r.source_document,
+                        },
                     )
                     for r in rows
                 ]
@@ -202,6 +240,7 @@ def write_weaviate(
                 for r in rows:
                     batch.add_data_object(
                         data_object={
+                            **_payload_extras(r),
                             "source_data": r.source_data,
                             "vectorflow_id": r.id,
                             "source_document": r.source_document,
@@ -332,6 +371,7 @@ def write_milvus(
                 collection_name=collection,
                 data=[
                     {
+                        **_payload_extras(r),
                         "id": r.id,
                         "vector": list(r.embeddings),
                         "source_data": r.source_data,
@@ -380,6 +420,7 @@ def write_redis(
                 pipe.hset(
                     f"{key_prefix}:{r.id}",
                     mapping={
+                        **_payload_extras(r),
                         "embedding": _struct.pack(f"<{len(vec)}f", *vec),
                         "source_data": r.source_data,
                         "source_document": r.source_document,
@@ -423,6 +464,7 @@ def write_lancedb(
                 .execute(
                     [
                         {
+                            **_payload_extras(r),
                             "id": r.id,
                             "vector": list(r.embeddings),
                             "source_data": r.source_data,
@@ -474,6 +516,7 @@ def write_mongodb(
                     make_op(
                         {"_id": r.id},
                         {
+                            **_payload_extras(r),
                             "_id": r.id,
                             "embedding": list(r.embeddings),
                             "source_data": r.source_data,
@@ -519,6 +562,7 @@ def write_vespa(
                     f"{endpoint}/document/v1/{namespace}/{doc_type}/docid/{r.id}",
                     json={
                         "fields": {
+                            **_payload_extras(r),
                             "embedding": {"values": list(r.embeddings)},
                             "source_data": r.source_data,
                             "source_document": r.source_document,
@@ -564,7 +608,9 @@ def write_deeplake(
                 id=[r.id for r in rows],
                 text=[r.source_data for r in rows],
                 embedding=[list(r.embeddings) for r in rows],
-                metadata=[{"source_document": r.source_document} for r in rows],
+                metadata=[
+                    {**_payload_extras(r), "source_document": r.source_document} for r in rows
+                ],
             )
 
         _buffered(partition, flush, batch_size)
@@ -583,6 +629,7 @@ def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_siz
             payload = {
                 "Embeddings": [
                     {
+                        **_payload_extras(r),
                         "chunk_id": r.id,
                         "text": r.source_data,
                         "vector": list(r.embeddings),
@@ -598,6 +645,49 @@ def write_webhook(records: DataFrame, url: str, webhook_key: str = "", batch_siz
                 timeout=30,
             )
             resp.raise_for_status()
+
+        _buffered(partition, flush, batch_size)
+
+    records.foreachPartition(per_partition)
+
+
+def write_metadata_store(
+    records: DataFrame,
+    callback: Callable[[list[dict]], None],
+    batch_size: int = VECTOR_UPSERT_BATCH_SIZE,
+    include_stats: bool = True,
+) -> None:
+    """Object-metadata callback sink (reference roadmap README.md:293:
+    "Support callbacks for writing object metadata to a separate store"):
+    stream per-object metadata — NEVER vectors or text bodies — to a
+    user-supplied callback in ``batch_size`` slices, one partition at a
+    time. The callback receives ``[{id, source_document, n_chars, dim,
+    **configured metadata}, ...]`` and typically POSTs to a catalog /
+    metadata DB beside the vector store.
+
+    Run it as a SECOND action after the vector write, on the same cached
+    ``records`` DataFrame — the metadata row is ~100 bytes where the
+    vector row is KBs, so the extra pass is catalog-priced, and keeping
+    it a separate action means a metadata-store outage never fails the
+    vector upsert (and vice versa). Idempotent for keyed metadata stores
+    by the same uuid5-id argument as U6; the callback must tolerate
+    replays. The callback is executed ON EXECUTORS (it must be picklable
+    and create its own connections lazily, like ``client_factory``)."""
+
+    def per_partition(partition: Iterator) -> None:
+        def flush(rows: list) -> None:
+            batch = []
+            for r in rows:
+                meta = {
+                    **_payload_extras(r),
+                    "id": r.id,
+                    "source_document": r.source_document,
+                }
+                if include_stats:
+                    meta["n_chars"] = len(r.source_data) if r.source_data is not None else 0
+                    meta["dim"] = len(r.embeddings) if r.embeddings is not None else 0
+                batch.append(meta)
+            callback(batch)
 
         _buffered(partition, flush, batch_size)
 
