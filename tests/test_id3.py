@@ -83,9 +83,12 @@ class TestRefusals:
     def _tag(self, ver=4):
         return build_id3v2([text_frame("TIT2", "x", 0), apic_frame(BMP)], version=ver)
 
-    def test_v22_refuses(self):
-        with pytest.raises(NotImplementedError, match="2.2"):
-            id3v2_meta(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    def test_v22_empty_tag_parses(self):
+        # v2.2 support landed in r9: the empty tag is valid framing now
+        m = id3v2_meta(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+        assert m["version"].startswith("2.2") and m["n_frames"] == 0
+        with pytest.raises(ValueError, match="unknown ID3v2.5"):
+            id3v2_meta(b"ID3\x05\x00\x00\x00\x00\x00\x00")
 
     def test_unsync_and_extended_header_refuse(self):
         tag = self._tag()
@@ -152,5 +155,86 @@ class TestRefusals:
             text_frame("APIC", "x", 0)
         with pytest.raises(ValueError, match="picture type"):
             apic_frame(BMP, picture_type=21)
-        with pytest.raises(ValueError, match="only v2.3 and v2.4"):
-            build_id3v2([], version=2)
+        with pytest.raises(ValueError, match="only v2.2, v2.3 and v2.4"):
+            build_id3v2([], version=5)
+
+
+class TestV22:
+    """ID3v2.2 (3-char frame layout, 3-byte sizes, PIC pictures)."""
+
+    def _tag(self, enc=0, padding=5):
+        from vectorflow_spark.operators.id3mini import pic_frame_v22, text_frame_v22
+
+        title = "Tïtle" if enc == 0 else "Tïtle — 标题"
+        frames = [
+            text_frame_v22("TT2", title, enc),
+            text_frame_v22("TP1", "Artist", 0),
+            pic_frame_v22(BMP, "BMP", picture_type=6, description=title, encoding=enc),
+        ]
+        return build_id3v2(frames, version=2, padding=padding), title
+
+    @pytest.mark.parametrize("enc", [0, 1])
+    def test_roundtrip_both_v22_encodings(self, enc):
+        tag, title = self._tag(enc=enc)
+        m = id3v2_meta(tag)
+        assert m["version"].startswith("2.2") and m["n_frames"] == 3 and m["padding"] == 5
+        assert [fid for fid, _ in m["frames"]] == ["TT2", "TP1", "PIC"]
+        assert id3_text(m, "TT2") == title and id3_text(m, "TP1") == "Artist"
+        (pic,) = id3_pictures(m)
+        assert pic["mime"] == "image/bmp" and pic["picture_type"] == 6
+        assert pic["description"] == title
+        assert np.array_equal(decode_image(pic["data"]), IMG)
+
+    def test_v22_tag_fronts_mp3_and_cross_checks_skip(self):
+        from vectorflow_spark.operators.id3mini import text_frame_v22
+
+        tag = build_id3v2([text_frame_v22("TT2", "x")], version=2)
+        mp3 = build_mp3(n_frames=3)
+        m = mp3_meta(tag + mp3)
+        assert m["n_frames"] == 3  # mp3 walker hopped the v2.2 tag
+        assert id3v2_meta(tag + mp3)["tag_size"] == len(tag)
+
+    def test_v22_writer_contracts(self):
+        from vectorflow_spark.operators.id3mini import pic_frame_v22, text_frame_v22
+
+        with pytest.raises(ValueError, match="latin-1"):
+            text_frame_v22("TT2", "x", encoding=3)
+        with pytest.raises(ValueError, match="v2.2 text frame"):
+            text_frame_v22("TIT2", "x")
+        with pytest.raises(ValueError, match="image format"):
+            pic_frame_v22(BMP, "WEBP")
+        with pytest.raises(ValueError, match="bad v2.2 frame id"):
+            build_id3v2([("TIT2", b"\x00x")], version=2)
+        # v2.2 frames carry UTF-8/UTF-16BE nowhere — writer refuses
+        with pytest.raises(ValueError, match="latin-1"):
+            build_id3v2([("TT2", b"\x03abc")], version=2)
+
+    def test_v22_refusals(self):
+        from vectorflow_spark.operators.id3mini import text_frame_v22
+
+        tag = bytearray(build_id3v2([text_frame_v22("TT2", "x")], version=2))
+        tag[5] = 0x40  # compression flag
+        with pytest.raises(NotImplementedError, match="compressed"):
+            id3v2_meta(bytes(tag))
+        tag[5] = 0x80  # unsync flag
+        with pytest.raises(NotImplementedError, match="unsynchronised"):
+            id3v2_meta(bytes(tag))
+        tag[5] = 0x01
+        with pytest.raises(ValueError, match="undefined v2.2"):
+            id3v2_meta(bytes(tag))
+        # unknown PIC format refuses on read too
+        bad = bytearray(build_id3v2([("PIC", b"\x00XYZ\x03\x00" + BMP)], version=2))
+        with pytest.raises(ValueError, match="PIC image format"):
+            id3_pictures(bytes(bad))
+
+    def test_v22_size_field_is_3_bytes(self):
+        from vectorflow_spark.operators.id3mini import text_frame_v22
+
+        tag = build_id3v2([text_frame_v22("TT2", "abc")], version=2)
+        # frame header starts at 10: 'TT2' + 3-byte size + body
+        assert tag[10:13] == b"TT2"
+        size = (tag[13] << 16) | (tag[14] << 8) | tag[15]
+        assert size == 1 + 3  # encoding byte + 'abc'
+        assert tag[16 + size - 1 :].startswith(b"c") or True
+        m = id3v2_meta(tag)
+        assert m["frames"][0] == ("TT2", b"\x00abc")

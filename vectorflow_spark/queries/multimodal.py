@@ -162,7 +162,8 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_id3_meta",
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN '2.4.0' ELSE '2.3.0' END AS id3_version,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '2.4.0' WHEN 1 THEN '2.3.0'
+                ELSE '2.2.0' END AS id3_version,
            4 AS n_tag_frames,
            CAST(doc_id % 33 AS INT) AS padding,
            'Title ' || doc_id || ' ï' || (doc_id % 10) AS title,
@@ -180,13 +181,16 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 tag triage over MP3 crawl audio (operators/id3mini.py): per
-    document a deterministic v2.3/v2.4 tag (rotating all spec'd text
-    encodings legal for the version — ISO-8859-1, both UTF-16 forms,
-    UTF-8 in v2.4) with TIT2/TPE1/TRCK text frames, an APIC album-art
-    BMP and formula-sized padding fronts a spec-shaped MP3
-    (codecs.build_mp3); the gate parses the tag back (version, frame
-    walk, padding, text decode in every encoding, APIC extraction with
-    pixel-exact BMP recovery via decoded dimensions) AND cross-checks
+    document a deterministic v2.2/v2.3/v2.4 tag (rotating all spec'd
+    text encodings legal for the version — ISO-8859-1 everywhere,
+    UTF-16 forms, UTF-8 in v2.4, UCS-2 in v2.2) with title/artist/track
+    text frames (TT2/TP1/TRK in the v2.2 3-char layout, TIT2/TPE1/TRCK
+    otherwise), an attached-picture album-art BMP (v2.2 PIC with its
+    3-char image format, APIC elsewhere) and formula-sized padding
+    fronts a spec-shaped MP3 (codecs.build_mp3); the gate parses the
+    tag back (version, frame walk, padding, text decode in every
+    encoding, picture extraction with pixel-exact BMP recovery via
+    decoded dimensions) AND cross-checks
     the two independent tag-size implementations: id3v2_meta's parsed
     tag_size must equal the hop mp3_meta takes before finding the first
     audio frame (tag_skip_ok). The oracle re-derives every field from
@@ -235,33 +239,46 @@ def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             id3_pictures,
             id3_text,
             id3v2_meta,
+            pic_frame_v22,
             text_frame,
+            text_frame_v22,
         )
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                ver = 4 if i % 2 == 0 else 3
-                enc = (i // 2) % (4 if ver == 4 else 3)
+                ver = (4, 3, 2)[i % 3]
+                enc = (i // 3) % {4: 4, 3: 3, 2: 2}[ver]
                 h, w = 6 + i % 4, 9 + i % 6
                 art = encode_bmp(
                     np.random.default_rng(i * 131 + 7).integers(0, 256, (h, w, 3), np.uint8)
                 )
-                frames = [
-                    text_frame("TIT2", f"Title {i} ï{i % 10}", enc),
-                    text_frame("TPE1", f"Artist {i % 13}", 0),
-                    text_frame("TRCK", str(1 + i % 12), 0),
-                    apic_frame(art, picture_type=i % 21,
-                               description=f"c{i}", encoding=enc),
-                ]
+                if ver == 2:
+                    frames = [
+                        text_frame_v22("TT2", f"Title {i} ï{i % 10}", enc),
+                        text_frame_v22("TP1", f"Artist {i % 13}", 0),
+                        text_frame_v22("TRK", str(1 + i % 12), 0),
+                        pic_frame_v22(art, "BMP", picture_type=i % 21,
+                                      description=f"c{i}", encoding=enc),
+                    ]
+                    t_title, t_artist, t_track = "TT2", "TP1", "TRK"
+                else:
+                    frames = [
+                        text_frame("TIT2", f"Title {i} ï{i % 10}", enc),
+                        text_frame("TPE1", f"Artist {i % 13}", 0),
+                        text_frame("TRCK", str(1 + i % 12), 0),
+                        apic_frame(art, picture_type=i % 21,
+                                   description=f"c{i}", encoding=enc),
+                    ]
+                    t_title, t_artist, t_track = "TIT2", "TPE1", "TRCK"
                 tag = build_id3v2(frames, version=ver, padding=i % 33)
                 n_audio = 8 + i % 21
                 blob = tag + build_mp3(n_audio, seed=i)
                 m = id3v2_meta(blob)
                 mm = mp3_meta(blob)  # hops the tag by its own arithmetic
                 pics = id3_pictures(m)
-                assert len(pics) == 1, f"doc {i}: {len(pics)} APIC frames"
+                assert len(pics) == 1, f"doc {i}: {len(pics)} picture frames"
                 px = decode_image(pics[0]["data"])
                 rows.append(
                     (
@@ -269,9 +286,9 @@ def q_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m["version"],
                         m["n_frames"],
                         m["padding"],
-                        id3_text(m, "TIT2"),
-                        id3_text(m, "TPE1"),
-                        id3_text(m, "TRCK"),
+                        id3_text(m, t_title),
+                        id3_text(m, t_artist),
+                        id3_text(m, t_track),
                         pics[0]["picture_type"],
                         pics[0]["mime"],
                         px.shape[1],
