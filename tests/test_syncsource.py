@@ -1,0 +1,231 @@
+"""vf_sync streaming source contracts (sources/syncsource.py): the
+watermark cursor as stream offset — incremental micro-batches, empty
+triggers, commit pruning, batch-mode full refresh — plus the
+GDrive/Salesforce provider adapters' window bounds."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+
+import pytest
+
+from vectorflow_spark.sources import syncsource
+from vectorflow_spark.sources.syncsource import (
+    GDriveSyncProvider,
+    SalesforceSyncProvider,
+    VfSyncStreamReader,
+    provider_option,
+)
+
+# ---------------------------------------------------------------------------
+# fake provider: listing reads a JSON file (the planning runs in a separate
+# Python worker process, so in-memory state would be invisible there);
+# fetch derives payloads from the item dict alone — stateless on executors
+# ---------------------------------------------------------------------------
+
+
+class FakeProvider:
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+
+    @staticmethod
+    def schema() -> str:
+        return "item_id string, payload string, cursor string"
+
+    def list_range(self, after, upto):
+        import json as j
+        import pathlib as pl
+
+        path = pl.Path(self.store_path)
+        items = j.loads(path.read_text()) if path.exists() else []
+        return [
+            it
+            for it in items
+            if (after is None or it["cursor"] > after)
+            and (upto is None or it["cursor"] <= upto)
+        ]
+
+    def fetch(self, items):
+        for it in items:
+            yield (it["id"], f"payload-{it['id']}", it["cursor"])
+
+
+def _store(tmp_path, items):
+    path = tmp_path / "items.json"
+    path.write_text(json.dumps(items))
+    return path
+
+
+def _item(i: int, t: str) -> dict:
+    return {"id": f"it-{i}", "cursor": t}
+
+
+@pytest.fixture()
+def sync_spark(spark):
+    syncsource.register(spark)
+    return spark
+
+
+def test_stream_advances_with_cursor_and_never_refetches(sync_spark, tmp_path):
+    items = [_item(0, "2026-01-01"), _item(1, "2026-01-02")]
+    store = _store(tmp_path, items)
+    opt = provider_option(FakeProvider(str(store)))
+    batches: list[set] = []
+
+    def sink(df, _bid):
+        batches.append({(r.item_id, r.payload, r.cursor) for r in df.collect()})
+
+    q = (
+        sync_spark.readStream.format("vf_sync")
+        .option("provider", opt)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        store.write_text(json.dumps(items + [_item(2, "2026-01-03")]))
+        q.processAllAvailable()
+        q.processAllAvailable()  # no new items -> no re-fetch
+    finally:
+        q.stop()
+    seen = [b for b in batches if b]
+    assert seen[0] == {
+        ("it-0", "payload-it-0", "2026-01-01"),
+        ("it-1", "payload-it-1", "2026-01-02"),
+    }
+    assert seen[1] == {("it-2", "payload-it-2", "2026-01-03")}
+    assert len(seen) == 2  # exactly-once planning
+
+
+def test_items_per_task_fans_out(sync_spark, tmp_path):
+    store = _store(tmp_path, [_item(i, f"2026-02-{i + 1:02d}") for i in range(9)])
+    npartitions: list[int] = []
+
+    def sink(df, _bid):
+        npartitions.append(df.rdd.getNumPartitions())
+        df.collect()
+
+    q = (
+        sync_spark.readStream.format("vf_sync")
+        .option("provider", provider_option(FakeProvider(str(store))))
+        .option("itemsPerTask", "4")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert npartitions[0] == 3  # ceil(9 / 4)
+
+
+def test_batch_mode_full_refresh(sync_spark, tmp_path):
+    store = _store(tmp_path, [_item(i, f"2026-03-{i + 1:02d}") for i in range(5)])
+    opt = provider_option(FakeProvider(str(store)))
+    df = sync_spark.read.format("vf_sync").option("provider", opt).load()
+    assert df.count() == 5
+
+
+def test_bad_provider_option_refuses(sync_spark):
+    with pytest.raises(Exception, match="not a provider_option"):
+        sync_spark.read.format("vf_sync").option("provider", "ghost").load().count()
+    with pytest.raises(Exception, match="requires .option"):
+        sync_spark.read.format("vf_sync").load().count()
+
+
+def test_stream_reader_recovery_relists_committed_window(tmp_path):
+    # simulate a restart: fresh reader, checkpointed offsets passed in
+    store = _store(tmp_path, [_item(i, f"2026-04-{i + 1:02d}") for i in range(4)])
+    r = VfSyncStreamReader({"provider": provider_option(FakeProvider(str(store)))})
+    assert r.initialOffset() == {"cursor": ""}
+    # recovery: partitions() called for a window the pending cache never saw
+    parts = r.partitions({"cursor": "2026-04-01"}, {"cursor": "2026-04-03"})
+    items = [it for p in parts for it in p.items]
+    assert [it["id"] for it in items] == ["it-1", "it-2"]
+    # the incremental walk resumes past the recovered window
+    assert r.latestOffset() == {"cursor": "2026-04-04"}
+    parts = r.partitions({"cursor": "2026-04-03"}, {"cursor": "2026-04-04"})
+    assert [it["id"] for p in parts for it in p.items] == ["it-3"]
+    r.commit({"cursor": "2026-04-04"})
+    assert r._pending == []
+
+
+def test_commit_prunes_pending(tmp_path):
+    store = _store(tmp_path, [_item(0, "a"), _item(1, "b")])
+    r = VfSyncStreamReader({"provider": provider_option(FakeProvider(str(store)))})
+    r.latestOffset()
+    assert len(r._pending) == 2
+    r.commit({"cursor": "a"})
+    assert [it["id"] for it in r._pending] == ["it-1"]
+
+
+# ---------------------------------------------------------------------------
+# provider adapters: window bounds hit the wire correctly
+# ---------------------------------------------------------------------------
+
+
+def test_gdrive_provider_bounds_and_fetch():
+    from vectorflow_spark.sources.connectors import GDriveConnector
+
+    queries: list[str] = []
+
+    def transport(method, url, headers, body):
+        split = urllib.parse.urlsplit(url)
+        params = dict(urllib.parse.parse_qsl(split.query))
+        if split.path.endswith("/files"):
+            queries.append(params["q"])
+            files = [
+                {"id": "f1", "name": "a", "mimeType": "text/plain", "modifiedTime": "2026-05-02T00:00:00Z"},
+            ]
+            return 200, {}, json.dumps({"files": files}).encode()
+        return 200, {}, b"bytes-" + split.path.split("/")[-1].encode()
+
+    gd = GDriveConnector("t", transport=transport, sleep=lambda s: None)
+    p = GDriveSyncProvider(gd, folder_id="fold")
+    items = p.list_range("2026-05-01T00:00:00Z", "2026-05-03T00:00:00Z")
+    assert queries == [
+        "trashed = false and 'fold' in parents "
+        "and modifiedTime > '2026-05-01T00:00:00Z' "
+        "and modifiedTime <= '2026-05-03T00:00:00Z'"
+    ]
+    (row,) = list(p.fetch(items))
+    assert row[0] == "f1" and row[3] == "media" and row[4] == b"bytes-f1"
+    assert row[7] == "2026-05-02T00:00:00Z"  # cursor column
+
+
+def test_salesforce_provider_bounds_and_fetch():
+    from vectorflow_spark.sources.connectors import SalesforceConnector
+
+    soqls: list[str] = []
+
+    def transport(method, url, headers, body):
+        split = urllib.parse.urlsplit(url)
+        params = dict(urllib.parse.parse_qsl(split.query))
+        if split.path.endswith("/query"):
+            soqls.append(params["q"])
+            recs = [{"Id": "001", "SystemModstamp": "2026-06-02T00:00:00.000+0000"}]
+            return 200, {}, json.dumps({"done": True, "records": recs}).encode()
+        ids = params["ids"].split(",")
+        return 200, {}, json.dumps(
+            [{"attributes": {}, "Id": i, "Name": f"n-{i}"} for i in ids]
+        ).encode()
+
+    sf = SalesforceConnector("https://x", "t", transport=transport, sleep=lambda s: None)
+    p = SalesforceSyncProvider(sf, "Doc", ["Id", "Name"])
+    items = p.list_range("2026-06-01T00:00:00.000+0000", "2026-06-03T00:00:00.000+0000")
+    assert soqls == [
+        "SELECT Id, SystemModstamp FROM Doc "
+        "WHERE SystemModstamp > 2026-06-01T00:00:00.000+0000 "
+        "AND SystemModstamp <= 2026-06-03T00:00:00.000+0000 ORDER BY SystemModstamp"
+    ]
+    (row,) = list(p.fetch(items))
+    assert row[0] == "001" and json.loads(row[1]) == {"Id": "001", "Name": "n-001"}
+    assert row[3] == "2026-06-02T00:00:00.000+0000"
+    # unbounded start: no WHERE
+    p.list_range(None, None)
+    assert soqls[-1] == "SELECT Id, SystemModstamp FROM Doc ORDER BY SystemModstamp"

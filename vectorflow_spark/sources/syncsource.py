@@ -1,0 +1,314 @@
+"""Structured-Streaming incremental connector sync (``vf_sync``): the
+Spark-native form of the nightly-delta ingest the Salesforce/GDrive
+connectors (sources/connectors.py) expose as batch helpers.
+
+The watermark cursor IS the stream offset: each micro-batch lists the
+items whose modification stamp falls in the half-open window
+``(start_cursor, end_cursor]`` (driver-side, metadata only — the same
+listing walk the batch connectors do) and fetches their payloads on the
+executors, ``itemsPerTask`` per partition. Checkpointed offsets give
+exactly-once PLANNING; payload fetches are at-least-once under task
+retry, absorbed by the uuid5-keyed idempotent sinks (U6) exactly like
+every other source here.
+
+Providers are injected as a pickled option — a connector carries auth
+and an injectable transport that cannot ride a plain string option map,
+and Spark 4 instantiates Python data sources in a separate planning
+worker where a driver-side registry would be invisible::
+
+    p = SalesforceSyncProvider(conn, "Doc", ["Id", "Name"])
+    (spark.readStream.format("vf_sync")
+        .option("provider", syncsource.provider_option(p)).load())
+
+A provider is any picklable object with three methods:
+
+* ``schema() -> str`` — the output DDL;
+* ``list_range(after, upto) -> list[dict]`` — driver-side listing of
+  items with ``after < item["cursor"] <= upto`` (either bound may be
+  None for unbounded); each item dict must carry ``cursor`` plus
+  whatever ``fetch`` needs;
+* ``fetch(items) -> iterable of row tuples`` — executor-side payload
+  pull, emitting per-item error rows instead of raising (the A4
+  accounting contract).
+
+Watermark semantics (documented limitation, shared with every
+timestamp-cursor replication scheme incl. Salesforce's own guidance):
+the lower bound is STRICTLY greater, so an item whose stamp ties the
+committed cursor but appears after that batch listed is skipped; use
+source timestamps with enough granularity, or re-run a bounded batch
+backfill (connectors.read_records) to heal. Batch mode
+(``spark.read.format("vf_sync")``) runs one unbounded listing+fetch —
+the full-refresh twin.
+
+100-TB shape: listing is O(delta metadata) on the driver by the
+provider protocols' own pagination (cursor-sequential); payload bytes
+only ever exist in executor partitions. Offline-testable end to end
+with fake providers (tests/test_syncsource.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+def provider_option(provider: Any) -> str:
+    """Serialize a sync provider for ``.option('provider', ...)``:
+    cloudpickle + base64, so the object (auth, injectable transport and
+    all) survives the trip through the string option map into the
+    planning worker and out to executors."""
+    import base64
+
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(provider)).decode("ascii")
+
+
+def _provider(options: dict) -> Any:
+    blob = options.get("provider")
+    if not blob:
+        raise ValueError(
+            "vf_sync requires .option('provider', syncsource.provider_option(p))"
+        )
+    import base64
+
+    from pyspark import cloudpickle
+
+    try:
+        return cloudpickle.loads(base64.b64decode(blob.encode("ascii")))
+    except Exception as e:
+        raise ValueError(
+            "vf_sync: the 'provider' option is not a provider_option() "
+            f"payload ({type(e).__name__}: {e})"
+        ) from e
+
+
+class _ItemsPartition(InputPartition):
+    def __init__(self, items: list[dict]):
+        self.items = items
+
+
+class VfSyncReader(DataSourceReader):
+    """Batch mode: one unbounded listing, fetched in parallel."""
+
+    def __init__(self, options: dict):
+        self.provider = _provider(options)
+        self.items_per_task = max(1, int(options.get("itemspertask", "256")))
+
+    def partitions(self):
+        items = self.provider.list_range(None, None)
+        return [
+            _ItemsPartition(items[i : i + self.items_per_task])
+            for i in range(0, len(items), self.items_per_task)
+        ] or [_ItemsPartition([])]
+
+    def read(self, partition: _ItemsPartition):
+        yield from self.provider.fetch(partition.items)
+
+
+class VfSyncStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.provider = _provider(options)
+        self.items_per_task = max(1, int(options.get("itemspertask", "256")))
+        self._last = ""  # "" = beginning of time (cursor strings sort lexically)
+        self._pending: list[dict] = []  # listed but not yet committed
+
+    def initialOffset(self) -> dict:
+        return {"cursor": ""}
+
+    def latestOffset(self) -> dict:
+        items = self.provider.list_range(self._last or None, None)
+        if items:
+            top = max(it["cursor"] for it in items)
+            self._last = max(self._last, top)
+            self._pending.extend(items)
+        return {"cursor": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["cursor"], end["cursor"]
+        items = [it for it in self._pending if lo < it["cursor"] <= hi]
+        if not items and lo != hi:
+            # checkpoint recovery: the pending cache died with the old
+            # driver — re-list exactly the committed window
+            items = self.provider.list_range(lo or None, hi)
+            # recovery listing restarts the incremental walk from hi
+            self._last = max(self._last, hi)
+        return [
+            _ItemsPartition(items[i : i + self.items_per_task])
+            for i in range(0, len(items), self.items_per_task)
+        ] or [_ItemsPartition([])]
+
+    def read(self, partition: _ItemsPartition):
+        yield from self.provider.fetch(partition.items)
+
+    def commit(self, end: dict) -> None:
+        hi = end["cursor"]
+        self._pending = [it for it in self._pending if it["cursor"] > hi]
+
+
+class VfSyncDataSource(DataSource):
+    """``spark.readStream.format("vf_sync").option("provider", name)``
+    for incremental sync; ``spark.read.format("vf_sync")`` for the
+    full-refresh batch twin. Register once per session with
+    ``syncsource.register(spark)`` AFTER registering providers."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vf_sync"
+
+    def schema(self) -> str | StructType:
+        return _provider(self.options).schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return VfSyncReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return VfSyncStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VfSyncDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Provider adapters over the batch connectors
+# ---------------------------------------------------------------------------
+
+
+class GDriveSyncProvider:
+    """Google Drive files as a sync stream: cursor = ``modifiedTime``
+    (RFC 3339, lexically ordered). Listing uses the connector's q
+    bounds; fetch downloads media / Docs exports per item with error
+    rows (same row shape as GDriveConnector.read_files plus the
+    ``modified_time`` cursor column)."""
+
+    def __init__(self, connector, folder_id: str | None = None):
+        self.connector = connector
+        self.folder_id = folder_id
+
+    @staticmethod
+    def schema() -> str:
+        return (
+            "file_id string, name string, mime_type string, kind string, "
+            "content binary, n_bytes long, error string, modified_time string"
+        )
+
+    def list_range(self, after: str | None, upto: str | None) -> list[dict]:
+        q = self.connector.incremental_query(self.folder_id, after)
+        if upto:
+            q += f" and modifiedTime <= '{upto}'"
+        return [
+            {
+                "cursor": f["modifiedTime"],
+                "id": f["id"],
+                "name": f.get("name"),
+                "mimeType": f.get("mimeType", "application/octet-stream"),
+            }
+            for f in self.connector.list_files(q=q)
+        ]
+
+    def fetch(self, items: list[dict]):
+        import urllib.parse
+
+        from vectorflow_spark.sources.connectors import (
+            _EXPORT_MIME,
+            _GOOGLE_NATIVE_PREFIX,
+            ConnectorError,
+        )
+
+        conn = self.connector
+        for it in items:
+            fid, name, mime = it["id"], it["name"], it["mimeType"]
+            try:
+                if mime.startswith(_GOOGLE_NATIVE_PREFIX):
+                    export_as = _EXPORT_MIME.get(mime)
+                    if export_as is None:
+                        raise ConnectorError(f"google-native type {mime} has no byte stream/export")
+                    url = (
+                        f"{conn.base_url}/files/{fid}/export?"
+                        + urllib.parse.urlencode({"mimeType": export_as})
+                    )
+                    kind = "export"
+                else:
+                    url = f"{conn.base_url}/files/{fid}?alt=media"
+                    kind = "media"
+                status, _h, payload = conn._get(url)
+                if status != 200:
+                    raise ConnectorError(f"download -> {status}")
+                yield (fid, name, mime, kind, payload, len(payload), None, it["cursor"])
+            except Exception as e:
+                yield (fid, name, mime, None, None, None, f"{type(e).__name__}: {e}", it["cursor"])
+
+
+class SalesforceSyncProvider:
+    """Salesforce records as a sync stream: cursor = ``SystemModstamp``
+    (the replication-safe stamp, lexically ordered in the API's fixed
+    format). Listing is the bounded incremental SOQL; fetch is the
+    composite retrieve at the 200-id API limit with positional-null
+    error rows."""
+
+    def __init__(self, connector, object_type: str, fields: list[str]):
+        self.connector = connector
+        self.object_type = object_type
+        self.fields = fields
+
+    @staticmethod
+    def schema() -> str:
+        return "id string, record string, error string, modstamp string"
+
+    def list_range(self, after: str | None, upto: str | None) -> list[dict]:
+        soql = self.connector.incremental_soql(
+            self.object_type, ["Id", "SystemModstamp"], after
+        )
+        if upto:
+            clause = f"SystemModstamp <= {upto}"
+            soql = (
+                soql.replace(" ORDER BY", f" AND {clause} ORDER BY")
+                if " WHERE " in soql
+                else soql.replace(" ORDER BY", f" WHERE {clause} ORDER BY")
+            )
+        return [
+            {"cursor": r["SystemModstamp"], "id": r["Id"]}
+            for r in self.connector.query(soql)
+        ]
+
+    def fetch(self, items: list[dict]):
+        import json as _json
+        import urllib.parse
+
+        from vectorflow_spark.sources.connectors import ConnectorError, _request
+
+        conn = self.connector
+        by_id = {it["id"]: it["cursor"] for it in items}
+        ids = [it["id"] for it in items]
+        for j in range(0, len(ids), conn.COMPOSITE_BATCH):
+            chunk = ids[j : j + conn.COMPOSITE_BATCH]
+            url = (
+                f"{conn.instance_url}/services/data/{conn.api_version}"
+                f"/composite/sobjects/{self.object_type}"
+                f"?ids={','.join(chunk)}&fields={urllib.parse.quote(','.join(self.fields))}"
+            )
+            try:
+                status, _h, payload = _request(
+                    conn.transport, "GET", url, conn._headers(),
+                    max_retries=conn.max_retries, sleep=conn.sleep,
+                )
+                if status != 200:
+                    raise ConnectorError(f"composite retrieve -> {status}")
+                docs = _json.loads(payload)
+            except Exception as e:
+                for i in chunk:
+                    yield (i, None, f"{type(e).__name__}: {e}", by_id[i])
+                continue
+            for i, doc in zip(chunk, docs):
+                if doc is None:
+                    yield (i, None, "not retrieved", by_id[i])
+                else:
+                    doc = {k: v for k, v in doc.items() if k != "attributes"}
+                    yield (i, _json.dumps(doc, sort_keys=True), None, by_id[i])
