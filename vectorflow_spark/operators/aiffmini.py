@@ -606,8 +606,10 @@ def decode_wav_ima_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     for fourcc, body, size in _riff_chunks(data, 12, end):
         if fourcc == b"fmt ":
+            if size < 16 or body + 16 > len(data):
+                raise ValueError("WAV: truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, body)
-        elif fourcc == b"fact" and size >= 4:
+        elif fourcc == b"fact" and size >= 4 and body + 4 <= len(data):
             (n_total,) = struct.unpack_from("<I", data, body)
         elif fourcc == b"data":
             payload = data[body : body + size]

@@ -40,6 +40,25 @@ _CONTAINER_NS = "{urn:oasis:names:tc:opendocument:xmlns:container}"
 _OPF_NS = "{http://www.idpf.org/2007/opf}"
 _DC_NS = "{http://purl.org/dc/elements/1.1/}"
 
+def _read_entry(zf: zipfile.ZipFile, name: str) -> bytes:
+    """Read one archive member, converting the zipfile/zlib corruption
+    zoo (BadZipFile, zlib.error, truncated streams) into the module's
+    ValueError refusal contract."""
+    import zlib
+
+    try:
+        return zf.read(name)
+    except (zipfile.BadZipFile, zlib.error, EOFError, OSError, KeyError) as e:
+        raise ValueError(f"EPUB: corrupt or missing archive member {name!r}: {e}") from e
+
+
+def _parse_xml(payload: bytes, what: str) -> ET.Element:
+    try:
+        return ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise ValueError(f"EPUB: malformed {what}: {e}") from e
+
+
 _WS = re.compile(r"\s+", re.ASCII)
 _TAG = re.compile(r"<[^>]+>")
 _BLOCKS = re.compile(r"(?is)<(script|style|head)[^>]*>.*?</\1>")
@@ -63,14 +82,14 @@ def extract_epub_text(data: bytes, joiner: str = "\n") -> str:
     names = set(zf.namelist())
     if "mimetype" not in names:
         raise ValueError("EPUB: missing mimetype entry")
-    if zf.read("mimetype").strip() != b"application/epub+zip":
+    if _read_entry(zf, "mimetype").strip() != b"application/epub+zip":
         raise ValueError("EPUB: mimetype entry is not application/epub+zip")
     if "META-INF/encryption.xml" in names:
         raise NotImplementedError("EPUB: encrypted (DRM) container not supported")
     if "META-INF/container.xml" not in names:
         raise ValueError("EPUB: missing META-INF/container.xml")
 
-    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    container = _parse_xml(_read_entry(zf, "META-INF/container.xml"), "container.xml")
     rootfile = container.find(f".//{_CONTAINER_NS}rootfile")
     if rootfile is None or not rootfile.get("full-path"):
         raise ValueError("EPUB: container.xml has no rootfile full-path")
@@ -79,7 +98,7 @@ def extract_epub_text(data: bytes, joiner: str = "\n") -> str:
         raise ValueError(f"EPUB: OPF package file {opf_path!r} not in archive")
     opf_dir = posixpath.dirname(opf_path)
 
-    opf = ET.fromstring(zf.read(opf_path))
+    opf = _parse_xml(_read_entry(zf, opf_path), "OPF package")
     manifest = {}
     for item in opf.iter(f"{_OPF_NS}item"):
         manifest[item.get("id")] = (item.get("href"), item.get("media-type", ""))
@@ -98,17 +117,23 @@ def extract_epub_text(data: bytes, joiner: str = "\n") -> str:
         path = posixpath.normpath(posixpath.join(opf_dir, href)) if opf_dir else href
         if path not in names:
             raise ValueError(f"EPUB: spine chapter {path!r} not in archive")
-        chapters.append(_xhtml_to_text(zf.read(path).decode("utf-8")))
+        chapters.append(_xhtml_to_text(_read_entry(zf, path).decode("utf-8")))
     return joiner.join(chapters)
 
 
 def epub_meta(data: bytes) -> dict:
     """Header-level metadata: title/identifier/language + chapter count
     (spine length), without extracting text."""
-    zf = zipfile.ZipFile(io.BytesIO(data))
-    container = ET.fromstring(zf.read("META-INF/container.xml"))
-    opf_path = container.find(f".//{_CONTAINER_NS}rootfile").get("full-path")
-    opf = ET.fromstring(zf.read(opf_path))
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not a zip container: {e}") from e
+    container = _parse_xml(_read_entry(zf, "META-INF/container.xml"), "container.xml")
+    rootfile = container.find(f".//{_CONTAINER_NS}rootfile")
+    if rootfile is None or not rootfile.get("full-path"):
+        raise ValueError("EPUB: container.xml has no rootfile full-path")
+    opf_path = rootfile.get("full-path")
+    opf = _parse_xml(_read_entry(zf, opf_path), "OPF package")
 
     def dc(tag: str) -> str | None:
         el = opf.find(f".//{_DC_NS}{tag}")
