@@ -622,3 +622,86 @@ def maxsim_rerank(
         .filter(F.col("rnk") <= topk)
         .select(query_id, doc_id, "maxsim_micro", "rnk")
     )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    k: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    rel_col: str = "rel_micro",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell/Goldstein MMR):
+    greedily pick k items maximizing ``lam*rel - (1-lam)*max_sim(to
+    already picked)`` — the diversity step training pipelines run when
+    building eval sets, few-shot pools, or dedup-aware retrieval
+    results from a candidate list.
+
+    Exactness contract (engine-vs-engine): relevance arrives as an
+    integer (``rel_col``, e.g. the rounded cosine micro-quantized) and
+    the pairwise similarity is the SIGN-AGREEMENT count over dimensions
+    (0..dim — an order-free integer, the binarized-embedding cosine),
+    rescaled to micro-units by ``sim*1e6 DIV dim``.  The greedy
+    objective ``lam_num*rel - (lam_den-lam_num)*sim_micro`` therefore
+    never touches a float and a DuckDB re-implementation (unrolled
+    iteration) matches it bit-for-bit; ties break on id.
+
+    Scale contract: MMR is inherently sequential in k, so it runs WHERE
+    the candidates are — one ``applyInPandas`` per ``group_col`` group
+    (per query), each group a BOUNDED top-N candidate list (the same
+    bound that legalizes q_knn_batch).  O(k*N) sign-compares per group,
+    embarrassingly parallel across queries, no shuffle beyond the group
+    exchange."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_fields = [
+        StructField("sel_order", LongType()),
+        StructField("sel_id", LongType()),
+        StructField("mmr_micro", LongType()),
+    ]
+    group_out = [StructField(group_col, candidates.schema[group_col].dataType)] if group_col else []
+    out_schema = StructType(group_out + out_fields)
+    lam_rest = lam_den - lam_num
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy().astype(np.int64)
+        vecs = np.stack(pdf[vec_col].to_numpy())
+        dim = vecs.shape[1]
+        signs = vecs >= 0
+        order = np.lexsort((ids, -rel))  # deterministic candidate order
+        ids, rel, signs = ids[order], rel[order], signs[order]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.zeros(n, dtype=np.int64)  # max sign-agreement vs picked
+        rows = []
+        for step in range(min(k, n)):
+            sim_micro = max_sim * 1_000_000 // dim if picked else np.zeros(n, dtype=np.int64)
+            score = lam_num * rel - lam_rest * sim_micro
+            score[picked] = np.iinfo(np.int64).min
+            # argmax with id tiebreak: scores are ints, ids ascend within
+            # equal rel by the lexsort, but equal scores can cross rel
+            # levels — resolve explicitly
+            best = np.flatnonzero(score == score.max())
+            j = best[np.argmin(ids[best])]
+            rows.append((step, int(ids[j]), int(score[j])))
+            picked.append(j)
+            agree = (signs == signs[j]).sum(axis=1).astype(np.int64)
+            max_sim = np.maximum(max_sim, agree)
+        out = pd.DataFrame(rows, columns=["sel_order", "sel_id", "mmr_micro"])
+        if group_col:
+            out.insert(0, group_col, pdf[group_col].iloc[0])
+        return out
+
+    if group_col is None:
+        grouped = candidates.withColumn("_g", F.lit(0)).groupBy("_g")
+        return grouped.applyInPandas(
+            lambda pdf: select_group(pdf.drop(columns=["_g"])), out_schema
+        )
+    return candidates.groupBy(group_col).applyInPandas(select_group, out_schema)

@@ -213,3 +213,70 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
 
+
+
+def _mmr_sql(n_cand: int = 24, k: int = 8, lam_num: int = 7, lam_rest: int = 3, dim: int = 64) -> str:
+    """Unrolled-iteration MMR oracle: k chained CTE steps, each selecting
+    the argmax of ``lam_num*rel - lam_rest*(max_agree*1e6 // dim)`` over
+    the not-yet-picked candidates (id tiebreak) — pure integer math, no
+    recursion, fully independent of the pandas implementation."""
+    rel = "list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))"
+    agree = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CASE WHEN (CAST(p[1] AS DOUBLE) >= 0) = (CAST(p[2] AS DOUBLE) >= 0) "
+        "THEN 1 ELSE 0 END))"
+    )
+    parts = [
+        f"WITH cand AS MATERIALIZED (SELECT vec_id, {rel} AS rel, embedding FROM embeddings "
+        f"ORDER BY rel DESC, vec_id LIMIT {n_cand})",
+        f"sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, CAST({agree} AS BIGINT) AS agree "
+        "FROM cand a, cand b)",
+        f"s0 AS (SELECT vec_id, CAST({lam_num} * rel AS BIGINT) AS mmr FROM cand "
+        "ORDER BY mmr DESC, vec_id LIMIT 1)",
+        "sel0 AS MATERIALIZED (SELECT vec_id FROM s0)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT c.vec_id, "
+            f"CAST({lam_num} * c.rel - {lam_rest} * (max(s.agree) * 1000000 // {dim}) AS BIGINT) AS mmr "
+            f"FROM cand c JOIN sims s ON s.ia = c.vec_id "
+            f"AND s.ib IN (SELECT vec_id FROM sel{i - 1}) "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}) "
+            f"GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_order, vec_id AS sel_id, mmr AS mmr_micro FROM s{i}"
+        for i in range(k)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY sel_order"
+
+
+@query("q_mmr_diversify", _mmr_sql())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse selection (operators/similarity.mmr_diversify): from
+    the top-24 candidates by integer-quantized relevance, greedily pick
+    8 maximizing 7*rel - 3*sign_agreement_micro — the eval-set /
+    few-shot-pool diversity step. The DuckDB oracle UNROLLS the greedy
+    iteration as 8 chained CTE argmax steps over the same integer
+    arithmetic (per-dim floor-quantized relevance, order-free
+    sign-agreement similarity), so the sequential algorithm itself is
+    verified engine-vs-engine, not just its inputs. Plan: candidate
+    top-N via TakeOrderedAndProject, then ONE bounded applyInPandas
+    group — at scale, one group per query, parallel across queries."""
+    from vectorflow_spark.operators.similarity import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    rel = F.aggregate(
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        emb.select("vec_id", rel.alias("rel_micro"), "embedding")
+        .orderBy(F.col("rel_micro").desc(), "vec_id")
+        .limit(24)
+    )
+    return mmr_diversify(cand, k=8)
