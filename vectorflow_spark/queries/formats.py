@@ -71,6 +71,39 @@ def q_docx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rtf_roundtrip",
+    "SELECT doc_id, text AS rtf_text FROM documents",
+)
+def q_rtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension, content-verified: documents -> minimal RTF
+    (rtfmini writer: \\par per line, codepage + unicode escapes) -> the
+    full control-word parser (group nesting, destination skipping,
+    \\ucN fallback protocol). Oracle = identity, so every escape path
+    must reproduce the source text exactly for all documents. Same plan
+    class as the pdf/docx/epub roundtrips: per-row Arrow batches, zero
+    exchanges."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("rtf_text", StringType())]
+    )
+
+    def roundtrip(pdfs):
+        from vectorflow_spark.sources.rtfmini import build_rtf, extract_rtf_text
+
+        for pdf in pdfs:
+            rows = [
+                (int(doc_id), extract_rtf_text(build_rtf(text)))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=out_schema.fieldNames())
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    return docs.mapInPandas(roundtrip, out_schema)
+
+
+@query(
     "q_epub_roundtrip",
     """
     SELECT doc_id,

@@ -129,10 +129,12 @@ def sniff_kind(source_col: str = "source", content_col: str = "content"):
         F.when(lowered.endswith(".pdf"), F.lit("pdf"))
         .when(lowered.endswith(".docx"), F.lit("docx"))
         .when(lowered.endswith(".epub"), F.lit("epub"))
+        .when(lowered.endswith(".rtf"), F.lit("rtf"))
         .when(lowered.endswith(".md"), F.lit("md"))
         .when(lowered.endswith(".html"), F.lit("html"))
         .when(lowered.endswith(".txt"), F.lit("txt"))
         .when(head == _PDF_MAGIC, F.lit("pdf"))
+        .when(head == "{\\rt", F.lit("rtf"))
         .when((head == _ZIP_MAGIC) & epub_sig, F.lit("epub"))
         .when(head == _ZIP_MAGIC, F.lit("docx"))
         .when(decodable, F.lit("txt"))
@@ -201,6 +203,26 @@ def _docx_extract_udf():
                 return extract_docx_text(bytes(b))
             d = docx.Document(io.BytesIO(bytes(b)))
             return "\n".join(p.text for p in d.paragraphs)
+
+        return contents.map(one)
+
+    return _udf
+
+
+def _rtf_extract_udf():
+    """S-family extension: RTF text extraction (sources/rtfmini.py —
+    group-nesting control-word parser, destination skipping, codepage +
+    unicode escapes). Same NULL-tolerant contract as _pdf_extract_udf."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _udf(contents: pd.Series) -> pd.Series:
+        def one(b) -> str | None:
+            if b is None:
+                return None
+            from vectorflow_spark.sources.rtfmini import extract_rtf_text
+
+            return extract_rtf_text(bytes(b))
 
         return contents.map(one)
 
@@ -340,7 +362,7 @@ def extract_documents(
     markdown_mode: str = "raw",
 ) -> DataFrame:
     """Dispatch extraction -> (source, kind, text). Text formats decode
-    JVM-side; pdf/docx route through their pandas UDFs.
+    JVM-side; pdf/docx/epub/rtf route through their pandas UDFs.
 
     Plan-only — triggers ZERO Spark jobs (the r1 version probed the data
     with two ``limit(1).count()`` jobs to decide whether to attach the
@@ -361,7 +383,7 @@ def extract_documents(
     pure projection, no Python."""
     if markdown_mode not in ("raw", "reader"):
         raise ValueError(f"markdown_mode must be 'raw' or 'reader', got {markdown_mode!r}")
-    fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx", "epub"}
+    fmts = formats if formats is not None else {"txt", "md", "html", "pdf", "docx", "epub", "rtf"}
     kinds = raw.withColumn("kind", sniff_kind())
     utf8 = F.expr("CASE WHEN is_valid_utf8(content) THEN decode(content, 'UTF-8') END")
 
@@ -384,6 +406,9 @@ def extract_documents(
     if "epub" in fmts:
         epub_in = F.when(F.col("kind") == "epub", F.col("content"))
         text = F.when(F.col("kind") == "epub", _epub_extract_udf()(epub_in)).otherwise(text)
+    if "rtf" in fmts:
+        rtf_in = F.when(F.col("kind") == "rtf", F.col("content"))
+        text = F.when(F.col("kind") == "rtf", _rtf_extract_udf()(rtf_in)).otherwise(text)
 
     out = kinds.withColumn("text", text)
     return out.select("source", "kind", "text").filter(F.col("kind") != "unsupported")
