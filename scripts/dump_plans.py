@@ -72,6 +72,11 @@ HEADLINERS = [
     ("q_audio_fingerprint_dedup", "audio fingerprint dedup across WAV/G.711/FLAC (r7 ground-truth shape): same two-exchange Hamming-bander plan"),
     ("q_albumart_dedup", "cross-modal album-art dedup: equality join on the 63-bit pixel dHash — no pairwise scan, broadcast/bucket-ready at scale"),
     ("q_cdx_prefix_scan", "domain-prefix wayback scan (r9 cached-fixture shape): consolidated _url_index prefix range + residual re-apply, flat across four decades"),
+    ("q_smart_metadata", "smart metadata extraction: ONE whole-stage-codegen regex projection, zero Python, zero shuffle"),
+    ("q_mmr_diversify", "MMR diverse selection: candidate TakeOrderedAndProject + one bounded FlatMapGroupsInPandas group"),
+    ("q_aiff_au_roundtrip", "AIFF/AU container roundtrip: one mapInPandas projection over a pruned doc_id scan, no shuffle"),
+    ("q_epub_roundtrip", "EPUB spine-walk roundtrip: one mapInPandas projection, no shuffle"),
+    ("q_rtf_roundtrip", "RTF control-word roundtrip: one mapInPandas projection, no shuffle"),
 ]
 
 

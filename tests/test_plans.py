@@ -399,3 +399,40 @@ def test_albumart_dedup_joins_on_hash_equality(spark, sf_dir, Q):
     ), plan
     # build + dhash stages on each side: (builder, hasher) x (audio, image)
     assert plan.count("MapInPandas") == 4, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_aiff_au_roundtrip", "q_au_g711", "q_adpcm_roundtrip", "q_epub_roundtrip", "q_rtf_roundtrip"]
+)
+def test_r9_container_gates_are_shuffle_free(spark, sf_dir, Q, name):
+    """Round-9 container gates (AIFF/AU/ADPCM audio, EPUB, RTF) are
+    per-row projections: one Arrow-batched MapInPandas, only the
+    explicit input split."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_smart_metadata_is_pure_codegen_projection(spark, sf_dir, Q):
+    """The smart metadata extractor must stay entirely JVM-side: no
+    Python boundary of any kind and no exchange beyond the input split
+    — at 100 TB it rides the extraction scan for free."""
+    plan = physical(Q["q_smart_metadata"](spark, sf_dir))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    # pre-AQE explain shows no codegen labels; the Python-free + single
+    # Project shape is the codegen guarantee
+    assert plan.count("Project") >= 1, plan
+
+
+def test_mmr_candidates_are_takeordered_then_one_group(spark, sf_dir, Q):
+    """MMR: the corpus is only touched by the candidate
+    TakeOrderedAndProject; the greedy selection is ONE bounded
+    FlatMapGroupsInPandas group — never a pairwise join or global
+    sort."""
+    plan = physical(Q["q_mmr_diversify"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
