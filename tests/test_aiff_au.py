@@ -383,3 +383,20 @@ def test_decode_audio_dispatches_aiff_au_and_ima():
     assert rate == 22050 and len(s) == len(X)
     ref, _ = A.decode_wav_ima_adpcm(A.encode_wav_ima_adpcm(X, 22050))
     assert np.array_equal(s, ref.astype(np.float64))
+
+
+def test_au_annotation_roundtrips_from_byte_24():
+    """The AU info field starts at byte 24 (right after the five u32
+    header words); a reader that skips 28 drops the first 4 bytes."""
+    blob = A.encode_au(X[:32], 8000, "pcm16", annotation=b"hello world")
+    assert A.au_meta(blob)["annotation"] == "hello world"
+
+
+def test_aifc_pstring_overrun_refuses():
+    """A compressionName length byte larger than the COMM chunk must
+    refuse, not leak the next chunk's bytes into the name."""
+    blob = bytearray(A.encode_aiff(X[:32], 8000, 2, "sowt"))
+    i = blob.index(b"sowt", 20)
+    blob[i + 4] = 200  # pstring length byte
+    with pytest.raises(ValueError, match="pstring"):
+        A.aiff_meta(bytes(blob))

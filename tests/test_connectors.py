@@ -307,3 +307,37 @@ def test_gdrive_listing_error_raises_driver_side():
     gd = GDriveConnector("gd-token", transport=always_503, max_retries=0, sleep=lambda s: None)
     with pytest.raises(ConnectorError, match="503"):
         list(gd.list_files())
+
+
+def test_composite_response_length_mismatch_becomes_error_rows():
+    """A truncated/short positional response may never silently drop
+    ids — every requested id gets a record OR an error row."""
+
+    def truncating(method, url, headers, body):
+        if "/composite/" in url:
+            q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(url).query))
+            ids = q["ids"].split(",")
+            docs = [{"attributes": {}, "Id": i, "Name": f"n-{i}"} for i in ids[:-1]]
+            return 200, {}, json.dumps(docs).encode()
+        return fake_sf_transport(method, url, headers, body)
+
+    sf = SalesforceConnector(SF_BASE, "t", transport=truncating, sleep=lambda s: None)
+    rows = sf.retrieve_chunk("Doc", ["001", "002", "003"], ["Id", "Name"])
+    assert [r[0] for r in rows] == ["001", "002", "003"]
+    assert all(r[1] is None and "positional" in r[2] for r in rows)
+
+
+def test_retrieve_chunk_rejects_oversized_chunk():
+    sf = SalesforceConnector(SF_BASE, "t", transport=fake_sf_transport, sleep=lambda s: None)
+    with pytest.raises(ValueError, match="at most"):
+        sf.retrieve_chunk("Doc", [f"{i}" for i in range(201)], ["Id"])
+
+
+def test_gdrive_fetch_file_shared_helper():
+    gd = GDriveConnector("gd-token", transport=fake_gdrive_transport, sleep=lambda s: None)
+    kind, payload = gd.fetch_file("f1", "text/plain")
+    assert (kind, payload) == ("media", b"media-f1")
+    kind, payload = gd.fetch_file("gdoc", "application/vnd.google-apps.document")
+    assert (kind, payload) == ("export", b"exported-gdoc")
+    with pytest.raises(ConnectorError, match="no byte stream"):
+        gd.fetch_file("gform", "application/vnd.google-apps.form")

@@ -134,3 +134,29 @@ def test_extract_documents_dispatches_rtf(spark):
     out = {r.source: r for r in extract_documents(rows).collect()}
     assert out["a.rtf"].kind == "rtf" and out["a.rtf"].text == "From rtf\nsecond"
     assert out["noext"].kind == "rtf" and out["noext"].text == "From rtf\nsecond"
+
+
+def test_surrogate_pair_unicode_escapes_roundtrip():
+    """Word encodes astral chars (emoji, rare CJK) as \\uN surrogate
+    PAIRS; the reader must combine them and the writer must emit them —
+    a lone half refuses."""
+    emoji = chr(0x1F600)
+    assert extract_rtf_text(build_rtf(f"hi {emoji} there")) == f"hi {emoji} there"
+    # Word-style raw pair: \u-10179?\u-8704? == U+1F600
+    doc = ("{\\rtf1\\ansi\\uc1 hi " + "\\" + "u-10179?" + "\\" + "u-8704? there}").encode()
+    got = extract_rtf_text(doc)
+    assert got == f"hi {emoji} there"
+    got.encode("utf-8")  # no lone surrogates may survive extraction
+    with pytest.raises(ValueError, match="surrogate"):
+        extract_rtf_text(("{\\rtf1\\ansi\\uc1 x" + "\\" + "u-10179?y}").encode())
+    with pytest.raises(ValueError, match="surrogate"):
+        extract_rtf_text(("{\\rtf1\\ansi\\uc1 x" + "\\" + "u-8704?y}").encode())
+    with pytest.raises(ValueError, match="surrogate"):
+        build_rtf("lone " + chr(0xD800))
+
+
+def test_c1_codepoints_roundtrip_exactly():
+    """U+0080-U+009F disagree with cp1252 bytes, so the writer must use
+    \\uN for them — including the five cp1252 holes."""
+    c1 = "".join(chr(o) for o in range(0x80, 0xA0))
+    assert extract_rtf_text(build_rtf(c1)) == c1

@@ -191,3 +191,15 @@ def test_smart_metadata_edges(spark):
     assert r1.reading_time_s == r1.n_words * 60 // 238
     r2 = out[2]  # all-blank text: NULL title, no crash under ANSI mode
     assert r2.title is None and r2.first_date is None and r2.ext == ""
+
+
+def test_smart_metadata_empty_text_has_zero_words(spark):
+    from vectorflow_spark.operators.textstats import smart_metadata
+
+    rows = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in smart_metadata(rows).collect()}
+    assert out[1].n_words == 0 and out[1].reading_time_s == 0
+    assert out[2].n_words == 0
+    assert out[3].n_words == 2

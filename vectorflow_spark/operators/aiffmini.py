@@ -132,6 +132,11 @@ def aiff_meta(data: bytes) -> dict:
             if form == b"AIFC":
                 comp = data[body + 18 : body + 22]
                 name_len = data[body + 22] if size > 22 else 0
+                if name_len and 23 + name_len > size:
+                    raise ValueError(
+                        f"AIFC: compressionName pstring ({name_len} bytes) overruns "
+                        f"the COMM chunk (size {size})"
+                    )
                 comp_name = data[body + 23 : body + 23 + name_len].decode("latin-1")
             else:
                 comp, comp_name = b"NONE", "not compressed"
@@ -376,7 +381,7 @@ def au_meta(data: bytes) -> dict:
         "n_channels": int(n_ch),
         "data_bytes": int(size),
         "n_frames": int(size // (width * n_ch)),
-        "annotation": data[28 : hdr_size].split(b"\x00", 1)[0].decode("latin-1"),
+        "annotation": data[24:hdr_size].split(b"\x00", 1)[0].decode("latin-1"),
     }
 
 

@@ -703,7 +703,11 @@ def smart_metadata(
     # element_at would throw INVALID_ARRAY_INDEX
     first_line = F.get(F.filter(F.split(text, "\n"), lambda x: F.trim(x) != ""), 0)
     title = F.substring(F.trim(F.regexp_replace(first_line, r"\s+", " ")), 1, 120)
-    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    # split('') yields [''] (size 1), so the empty/blank case needs its own
+    # branch or the catalog records one word for empty documents
+    n_words = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
     cols = [
         F.col(doc_col),
         title.alias("title"),

@@ -112,7 +112,8 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
                len(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}')) AS n_dates,
                nullif(regexp_extract(text, '(\d{4}-\d{2}-\d{2})', 1), '') AS first_date,
-               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
                lower(regexp_extract(source, '\.([A-Za-z0-9]+)$', 1)) AS ext
         FROM documents
     )

@@ -209,6 +209,47 @@ class SalesforceConnector:
 
     # -- executor-side fetch -----------------------------------------------
 
+    def retrieve_chunk(
+        self, object_type: str, chunk: list[str], fields: list[str]
+    ) -> list[tuple[str, str | None, str | None]]:
+        """One composite-retrieve call (<= COMPOSITE_BATCH ids) ->
+        ``[(id, record_json | None, error | None), ...]`` with EVERY
+        input id accounted for: failed calls, positional nulls, AND a
+        response array whose length disagrees with the request (gateway
+        truncation / API drift) all become error rows — an id may never
+        silently vanish (the per-file accounting contract). Shared by
+        the batch DataFrame path and the vf_sync stream provider."""
+        if len(chunk) > self.COMPOSITE_BATCH:
+            raise ValueError(f"composite retrieve accepts at most {self.COMPOSITE_BATCH} ids")
+        url = (
+            f"{self.instance_url}/services/data/{self.api_version}"
+            f"/composite/sobjects/{object_type}"
+            f"?ids={','.join(chunk)}&fields={','.join(fields)}"
+        )
+        try:
+            status, _h, payload = _request(
+                self.transport, "GET", url, self._headers(),
+                max_retries=self.max_retries, sleep=self.sleep,
+            )
+            if status != 200:
+                raise ConnectorError(f"composite retrieve -> {status}")
+            docs = json.loads(payload)
+            if not isinstance(docs, list) or len(docs) != len(chunk):
+                raise ConnectorError(
+                    f"composite retrieve returned {len(docs) if isinstance(docs, list) else type(docs).__name__} "
+                    f"entries for {len(chunk)} ids (positional contract violated)"
+                )
+        except Exception as e:
+            return [(i, None, f"{type(e).__name__}: {e}") for i in chunk]
+        out: list[tuple[str, str | None, str | None]] = []
+        for i, doc in zip(chunk, docs):
+            if doc is None:
+                out.append((i, None, "not retrieved"))
+            else:
+                doc = {k: v for k, v in doc.items() if k != "attributes"}
+                out.append((i, json.dumps(doc, sort_keys=True), None))
+        return out
+
     def read_records(
         self,
         spark,
@@ -232,38 +273,17 @@ class SalesforceConnector:
             ]
         )
         conn = self  # picklable; ships to executors
-        field_list = ",".join(fields)
 
         def fetch(pdfs):
             for pdf in pdfs:
                 batch_ids = [str(x) for x in pdf["id"]]
                 rows = []
                 for j in range(0, len(batch_ids), conn.COMPOSITE_BATCH):
-                    chunk = batch_ids[j : j + conn.COMPOSITE_BATCH]
-                    url = (
-                        f"{conn.instance_url}/services/data/{conn.api_version}"
-                        f"/composite/sobjects/{object_type}"
-                        f"?ids={','.join(chunk)}&fields={field_list}"
-                    )
-                    try:
-                        status, _h, payload = _request(
-                            conn.transport, "GET", url, conn._headers(),
-                            max_retries=conn.max_retries, sleep=conn.sleep,
+                    rows.extend(
+                        conn.retrieve_chunk(
+                            object_type, batch_ids[j : j + conn.COMPOSITE_BATCH], fields
                         )
-                        if status != 200:
-                            raise ConnectorError(f"composite retrieve -> {status}")
-                        docs = json.loads(payload)
-                    except Exception as e:  # failed batch -> error rows, scan survives
-                        rows.extend((i, None, f"{type(e).__name__}: {e}") for i in chunk)
-                        continue
-                    # API contract: response array is positional with null
-                    # for ids that could not be retrieved
-                    for i, doc in zip(chunk, docs):
-                        if doc is None:
-                            rows.append((i, None, "not retrieved"))
-                        else:
-                            doc = {k: v for k, v in doc.items() if k != "attributes"}
-                            rows.append((i, json.dumps(doc, sort_keys=True), None))
+                    )
                 yield pd.DataFrame(rows, columns=["id", "record", "error"])
 
         df = spark.createDataFrame([(i,) for i in ids], "id string")
@@ -408,6 +428,29 @@ class GDriveConnector:
 
     # -- executor-side fetch -----------------------------------------------
 
+    def fetch_file(self, file_id: str, mime_type: str) -> tuple[str, bytes]:
+        """One file body: ``alt=media`` for regular files, the text
+        export for Docs-editor natives -> (kind, payload). Raises
+        ``ConnectorError`` on exportless native types and non-200s —
+        callers turn that into an error row. Shared by the batch
+        DataFrame path and the vf_sync stream provider."""
+        if mime_type.startswith(_GOOGLE_NATIVE_PREFIX):
+            export_as = _EXPORT_MIME.get(mime_type)
+            if export_as is None:
+                raise ConnectorError(f"google-native type {mime_type} has no byte stream/export")
+            url = (
+                f"{self.base_url}/files/{file_id}/export?"
+                + urllib.parse.urlencode({"mimeType": export_as})
+            )
+            kind = "export"
+        else:
+            url = f"{self.base_url}/files/{file_id}?alt=media"
+            kind = "media"
+        status, _h, payload = self._get(url)
+        if status != 200:
+            raise ConnectorError(f"download -> {status}")
+        return kind, payload
+
     def read_files(self, spark, files: list[dict], num_partitions: int = 32):
         """Listed metadata -> DataFrame(file_id, name, mime_type, kind,
         content, n_bytes, error). Regular files download ``alt=media``;
@@ -439,23 +482,7 @@ class GDriveConnector:
                 for fid, name, mime in zip(pdf["file_id"], pdf["name"], pdf["mime_type"]):
                     fid, mime = str(fid), str(mime)
                     try:
-                        if mime.startswith(_GOOGLE_NATIVE_PREFIX):
-                            export_as = _EXPORT_MIME.get(mime)
-                            if export_as is None:
-                                raise ConnectorError(
-                                    f"google-native type {mime} has no byte stream/export"
-                                )
-                            url = (
-                                f"{conn.base_url}/files/{fid}/export?"
-                                + urllib.parse.urlencode({"mimeType": export_as})
-                            )
-                            kind = "export"
-                        else:
-                            url = f"{conn.base_url}/files/{fid}?alt=media"
-                            kind = "media"
-                        status, _h, payload = conn._get(url)
-                        if status != 200:
-                            raise ConnectorError(f"download -> {status}")
+                        kind, payload = conn.fetch_file(fid, mime)
                         rows.append((fid, name, mime, kind, payload, len(payload), None))
                     except Exception as e:
                         rows.append(

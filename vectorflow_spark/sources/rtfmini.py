@@ -75,8 +75,12 @@ def extract_rtf_text(data: bytes) -> str:
     uc_stack: list[int] = [1]  # \ucN per group
     codepage = "cp1252"
     pending_skip = 0  # \uN fallback bytes to consume
+    high_surrogate: int | None = None  # held half of a \uN surrogate pair
 
     def emit(s: str) -> None:
+        nonlocal high_surrogate
+        if high_surrogate is not None:
+            raise ValueError("RTF: unpaired high surrogate before document text")
         if skip_until_depth is None and depth > 0:
             out.append(s)
 
@@ -146,7 +150,22 @@ def extract_rtf_text(data: bytes) -> str:
                     if pending_skip:
                         pending_skip -= 1
                     else:
-                        emit(chr(param + 65536 if param < 0 else param))
+                        cp = param + 65536 if param < 0 else param
+                        if 0xD800 <= cp <= 0xDBFF:
+                            # Word writes astral chars as a UTF-16 surrogate
+                            # PAIR of \uN tokens; hold the high half
+                            if high_surrogate is not None:
+                                raise ValueError("RTF: two high surrogates in a row")
+                            high_surrogate = cp
+                        elif 0xDC00 <= cp <= 0xDFFF:
+                            if high_surrogate is None:
+                                raise ValueError("RTF: low surrogate without a high surrogate")
+                            hi, high_surrogate = high_surrogate, None
+                            emit(chr(0x10000 + ((hi - 0xD800) << 10) + (cp - 0xDC00)))
+                        else:
+                            if high_surrogate is not None:
+                                raise ValueError("RTF: unpaired high surrogate")
+                            emit(chr(cp))
                         pending_skip = uc_stack[-1]
                     continue
                 pending_skip = 0  # any other control word ends a \uN fallback run
@@ -184,6 +203,8 @@ def extract_rtf_text(data: bytes) -> str:
             i += 1
     if depth != 0:
         raise ValueError(f"RTF: {depth} unclosed group(s)")
+    if high_surrogate is not None:
+        raise ValueError("RTF: unpaired high surrogate at end of document")
     return "".join(out)
 
 
@@ -203,8 +224,19 @@ def build_rtf(text: str, codepage: int = 1252) -> bytes:
                 body.append("\\tab ")
             elif 32 <= o < 128:
                 body.append(ch)
-            elif o < 256:
+            elif 0xA0 <= o < 256:
+                # the cp1252-agreeing byte range only; 0x80-0x9F map to
+                # DIFFERENT characters under the declared codepage, so C1
+                # code points go out as \uN like any other non-ANSI char
                 body.append(f"\\'{o:02x}")
+            elif 0xD800 <= o <= 0xDFFF:
+                raise ValueError(f"lone surrogate U+{o:04X} in input text is not encodable")
+            elif o > 0xFFFF:
+                # astral plane: Word's convention is a UTF-16 surrogate
+                # PAIR of \uN tokens, each with its own fallback char
+                v = o - 0x10000
+                hi, lo = 0xD800 + (v >> 10), 0xDC00 + (v & 0x3FF)
+                body.append(f"\\u{hi - 65536}?\\u{lo - 65536}?")
             else:
                 u = o - 65536 if o > 32767 else o
                 body.append(f"\\u{u}?")

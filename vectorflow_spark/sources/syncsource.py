@@ -214,33 +214,10 @@ class GDriveSyncProvider:
         ]
 
     def fetch(self, items: list[dict]):
-        import urllib.parse
-
-        from vectorflow_spark.sources.connectors import (
-            _EXPORT_MIME,
-            _GOOGLE_NATIVE_PREFIX,
-            ConnectorError,
-        )
-
-        conn = self.connector
         for it in items:
             fid, name, mime = it["id"], it["name"], it["mimeType"]
             try:
-                if mime.startswith(_GOOGLE_NATIVE_PREFIX):
-                    export_as = _EXPORT_MIME.get(mime)
-                    if export_as is None:
-                        raise ConnectorError(f"google-native type {mime} has no byte stream/export")
-                    url = (
-                        f"{conn.base_url}/files/{fid}/export?"
-                        + urllib.parse.urlencode({"mimeType": export_as})
-                    )
-                    kind = "export"
-                else:
-                    url = f"{conn.base_url}/files/{fid}?alt=media"
-                    kind = "media"
-                status, _h, payload = conn._get(url)
-                if status != 200:
-                    raise ConnectorError(f"download -> {status}")
+                kind, payload = self.connector.fetch_file(fid, mime)
                 yield (fid, name, mime, kind, payload, len(payload), None, it["cursor"])
             except Exception as e:
                 yield (fid, name, mime, None, None, None, f"{type(e).__name__}: {e}", it["cursor"])
@@ -279,36 +256,10 @@ class SalesforceSyncProvider:
         ]
 
     def fetch(self, items: list[dict]):
-        import json as _json
-        import urllib.parse
-
-        from vectorflow_spark.sources.connectors import ConnectorError, _request
-
         conn = self.connector
         by_id = {it["id"]: it["cursor"] for it in items}
         ids = [it["id"] for it in items]
         for j in range(0, len(ids), conn.COMPOSITE_BATCH):
             chunk = ids[j : j + conn.COMPOSITE_BATCH]
-            url = (
-                f"{conn.instance_url}/services/data/{conn.api_version}"
-                f"/composite/sobjects/{self.object_type}"
-                f"?ids={','.join(chunk)}&fields={urllib.parse.quote(','.join(self.fields))}"
-            )
-            try:
-                status, _h, payload = _request(
-                    conn.transport, "GET", url, conn._headers(),
-                    max_retries=conn.max_retries, sleep=conn.sleep,
-                )
-                if status != 200:
-                    raise ConnectorError(f"composite retrieve -> {status}")
-                docs = _json.loads(payload)
-            except Exception as e:
-                for i in chunk:
-                    yield (i, None, f"{type(e).__name__}: {e}", by_id[i])
-                continue
-            for i, doc in zip(chunk, docs):
-                if doc is None:
-                    yield (i, None, "not retrieved", by_id[i])
-                else:
-                    doc = {k: v for k, v in doc.items() if k != "attributes"}
-                    yield (i, _json.dumps(doc, sort_keys=True), None, by_id[i])
+            for i, record, error in conn.retrieve_chunk(self.object_type, chunk, self.fields):
+                yield (i, record, error, by_id[i])
