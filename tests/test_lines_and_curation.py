@@ -357,3 +357,26 @@ def test_read_shards_by_budget_prunes_directories(spark, tmp_path):
     assert "shard" in pf, plan
     # degenerate budget -> empty frame, same schema
     assert read_shards_by_budget(spark, p, manifest, 5).count() == 0
+
+
+def test_fold_homoglyphs_kernel(spark):
+    """Confusable folding: Cyrillic/Greek lookalikes -> Latin, fullwidth
+    -> ASCII, zero-width chars deleted, plain ASCII untouched."""
+    from vectorflow_spark.operators.textstats import (
+        HOMOGLYPH_FROM,
+        HOMOGLYPH_TO,
+        fold_homoglyphs,
+    )
+
+    assert len(HOMOGLYPH_FROM) == len(HOMOGLYPH_TO) + 5  # 5 deletions
+    cyr_apple = chr(0x0430) + "pple"  # Cyrillic а
+    fw = "".join(chr(0xFF21 + i) for i in range(3))  # ＡＢＣ
+    zw = "a" + chr(0x200B) + "b" + chr(0xFEFF) + "c"
+    rows = spark.createDataFrame(
+        [(1, cyr_apple), (2, fw), (3, zw), (4, "plain ascii")], "id long, t string"
+    )
+    out = {r.id: r.f for r in rows.select("id", fold_homoglyphs("t").alias("f")).collect()}
+    assert out[1] == "apple"
+    assert out[2] == "ABC"
+    assert out[3] == "abc"
+    assert out[4] == "plain ascii"

@@ -730,3 +730,26 @@ def smart_metadata(
             F.lower(F.regexp_extract(F.col(source_col), r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
         )
     return docs.select(*cols)
+
+
+# Confusable/homoglyph folding table: unambiguous single-codepoint
+# lookalikes only — Cyrillic and Greek letters whose glyphs are
+# indistinguishable from Latin (the script-mixing trick spam and
+# dedup-evasion text uses), the fullwidth ASCII block, NBSP -> space,
+# and zero-width characters (ZWSP/ZWNJ/ZWJ/BOM/soft hyphen) DELETED
+# (the from-string tail beyond the to-string length, per the shared
+# PostgreSQL translate() semantics both engines implement).
+HOMOGLYPH_FROM = '\xa0ΑΒΕΖΗΙΚΜΝΟΡΤΥΧοАВЕКМНОРСТУХаеорсухѕіј！＂＃＄％＆＇（）＊＋，－．／０１２３４５６７８９：；＜＝＞？＠ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ［＼］＾＿｀ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ｛｜｝～\u200b\u200c\u200d\ufeff\xad'
+HOMOGLYPH_TO = ' ABEZHIKMNOPTYXoABEKMHOPCTYXaeopcyxsij!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~'
+
+
+def fold_homoglyphs(text_col: str | Column) -> Column:
+    """Adversarial-dedup normalization: fold script-mixing homoglyphs
+    to their Latin forms and strip zero-width characters, as ONE
+    codegen translate() — the canonicalization pass before exact/
+    fingerprint dedup so \u0430pple and apple collide. 1:1 codepoint
+    mapping only (no NFKC expansions — compose with
+    normalize_text_nfc for those); at 100 TB this is a free projection
+    on the dedup scan."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.translate(col, HOMOGLYPH_FROM, HOMOGLYPH_TO)

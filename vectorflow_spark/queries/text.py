@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from vectorflow_spark.queries._core import _t, query
 
 
@@ -140,3 +141,50 @@ def q_smart_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text", "source")
     return smart_metadata(docs, source_col="source")
+
+
+_HG_FROM = '\xa0ΑΒΕΖΗΙΚΜΝΟΡΤΥΧοАВЕКМНОРСТУХаеорсухѕіј！＂＃＄％＆＇（）＊＋，－．／０１２３４５６７８９：；＜＝＞？＠ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ［＼］＾＿｀ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ｛｜｝～\u200b\u200c\u200d\ufeff\xad'
+_HG_TO = ' ABEZHIKMNOPTYXoABEKMHOPCTYXaeopcyxsij!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~'
+
+
+_HG_FROM_SQL = _HG_FROM.replace("'", "''")
+_HG_TO_SQL = _HG_TO.replace("'", "''")
+
+
+@query(
+    "q_homoglyph_fold",
+    f"""
+    WITH probed AS (
+        SELECT doc_id,
+               text || ' ' || substring('{_HG_FROM_SQL}', 1 + CAST(doc_id % 130 AS INT), 8) AS probe_text
+        FROM documents
+    )
+    SELECT doc_id,
+           translate(probe_text, '{_HG_FROM_SQL}', '{_HG_TO_SQL}') AS folded,
+           (translate(probe_text, '{_HG_FROM_SQL}', '{_HG_TO_SQL}') != probe_text) AS changed
+    FROM probed
+    """,
+)
+def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable folding (operators/textstats.fold_homoglyphs): the
+    canonicalization pass before exact/fingerprint dedup — Cyrillic and
+    Greek lookalikes to Latin, fullwidth ASCII to ASCII, zero-width
+    characters deleted — as one codegen translate() recomputed by
+    DuckDB's translate (shared PostgreSQL deletion semantics for the
+    unpaired from-tail). Because the corpus text is ASCII, every doc is
+    salted with an 8-char slice of the mapping table selected by doc_id,
+    so the hash match exercises the whole FROM alphabet including the
+    deletion tail. Zero Python, zero shuffle."""
+    from vectorflow_spark.operators.textstats import HOMOGLYPH_FROM, fold_homoglyphs
+
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text")
+    probe = F.substr(
+        F.lit(HOMOGLYPH_FROM), (F.col("doc_id") % 130 + 1).cast("int"), F.lit(8)
+    )
+    probed = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), probe).alias("probe_text")
+    )
+    folded = fold_homoglyphs("probe_text")
+    return probed.select(
+        "doc_id", folded.alias("folded"), (folded != F.col("probe_text")).alias("changed")
+    )
