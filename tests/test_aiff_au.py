@@ -400,3 +400,32 @@ def test_aifc_pstring_overrun_refuses():
     blob[i + 4] = 200  # pstring length byte
     with pytest.raises(ValueError, match="pstring"):
         A.aiff_meta(bytes(blob))
+
+
+def test_aifc_fl64_decodes():
+    """fl64 (big-endian double) AIFC: no writer here emits it, so build
+    the container by patching an fl32 file's COMM/SSND — the decode
+    branch must return the doubles exactly."""
+    vals = X[:64].astype(np.float64) / 3.0
+    blob = bytearray(A.encode_aiff(vals, 8000, compression="fl32"))
+    i = blob.index(b"fl32", 20)
+    blob[i : i + 4] = b"fl64"
+    # swap the SSND payload from >f4 to >f8 and fix sizes
+    ssnd_at = blob.index(b"SSND")
+    (old_size,) = struct.unpack_from(">I", blob, ssnd_at + 4)
+    new_payload = vals.astype(">f8").tobytes()
+    new_chunk = struct.pack(">I", 8 + len(new_payload)) + struct.pack(">II", 0, 0) + new_payload
+    out = bytes(blob[: ssnd_at + 4]) + new_chunk
+    # FORM size field
+    out = out[:4] + struct.pack(">I", len(out) - 8) + out[8:]
+    s, rate, meta = A.decode_aiff(out)
+    assert meta["compression"] == "fl64" and rate == 8000
+    assert np.array_equal(s[:, 0], vals)
+
+
+def test_au_stereo_deinterleaves_per_channel():
+    stereo = np.stack([X[:100], X[100:200]], axis=1)
+    blob = A.encode_au(stereo, 8000, "pcm16")
+    s, _rate, meta = A.decode_au(blob)
+    assert meta["n_channels"] == 2 and s.shape == (100, 2)
+    assert (s == stereo).all()
