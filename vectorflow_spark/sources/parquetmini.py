@@ -1,0 +1,1134 @@
+"""Byte-level Parquet introspection and column decode, pure Python.
+
+Why the engine carries its own Parquet internals when Spark already reads
+Parquet: a 100-TB table is planned from its FOOTERS — row-group boundaries,
+per-chunk min/max statistics, dictionary offsets, encodings — and an engine
+that can only see files through an opaque scan cannot audit pushdown, build
+external row-group indexes, prune before listing finishes, or salvage
+columns from partially-corrupt files. This module implements the public
+Parquet format (https://github.com/apache/parquet-format, Thrift IDL +
+format README) from bytes up:
+
+  * Thrift Compact Protocol reader (the footer/page-header wire format):
+    varint/zigzag, field-delta headers, structs/lists/unions, unknown-field
+    skip (forward compatible with newer writers).
+  * ``FileMetaData`` walk: schema tree (incl. nested LIST groups, logical +
+    converted types, def/rep levels), row groups, column chunks, typed
+    min/max/null_count statistics.
+  * Page decode: v1 + v2 data pages, dictionary pages, RLE/bit-packed
+    hybrid levels and indices, PLAIN values for BOOLEAN/INT32/INT64/FLOAT/
+    DOUBLE/BYTE_ARRAY/FIXED_LEN_BYTE_ARRAY, SNAPPY (our own codec:
+    operators/snappymini.py) and GZIP page compression.
+
+Contract: parse-correctly-or-refuse — unsupported encodings (DELTA_*,
+BYTE_STREAM_SPLIT), codecs without a verifiable decoder here (ZSTD/LZ4/
+BROTLI/LZO), INT96, encrypted footers and malformed framing all raise
+``ParquetError`` loudly; nothing is silently skipped.
+
+Verification: every layer is pinned against independent implementations on
+the same bytes — pyarrow's ParquetFile metadata object for the footer walk,
+DuckDB for the gates (q_parquet_meta / q_parquet_schema: footer facts vs
+data-derived facts; q_parquet_rawscan: our byte-level column decode vs the
+view's values; q_parquet_prune: stats-based row-group pruning vs an
+order-key reconstruction) — plus truncation/corruption fuzz tests.
+
+Scale shape: the unit of parallelism is (file, row_group). ``raw_scan``
+reads ONE footer driver-side (two ranged reads: 8-byte tail then the
+metadata block — the object-store pattern; no full-file read) and ships
+(path, row_group, column-chunk byte ranges) tasks to executors, each of
+which reads only its chunk's byte range. ``footer_meta_scan`` distributes
+whole-footer parsing across files via mapInPandas — the 100-TB catalog
+crawl is embarrassingly parallel over files, with only (file, stats) rows
+ever reaching the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Any, Callable, Iterator
+
+from vectorflow_spark.operators.snappymini import decompress as _snappy_decompress
+
+MAGIC = b"PAR1"
+MAGIC_ENCRYPTED = b"PARE"
+
+
+class ParquetError(ValueError):
+    """Malformed or unsupported Parquet bytes (refuse-loudly contract)."""
+
+
+# ---------------------------------------------------------------------------
+# Thrift Compact Protocol
+# ---------------------------------------------------------------------------
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_I8 = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+class _Thrift:
+    """Minimal Thrift Compact Protocol reader over a bytes buffer.
+
+    ``read_struct(spec)`` materializes only the fields named in ``spec``
+    ({field_id: (name, subspec)}); everything else is skipped by wire type,
+    so footers written by newer parquet-format revisions still parse.
+    """
+
+    __slots__ = ("buf", "pos", "end")
+
+    def __init__(self, buf: bytes, pos: int = 0, end: int | None = None):
+        self.buf = buf
+        self.pos = pos
+        self.end = len(buf) if end is None else end
+
+    def _need(self, n: int) -> None:
+        if self.pos + n > self.end:
+            raise ParquetError("thrift: truncated buffer")
+
+    def read_byte(self) -> int:
+        self._need(1)
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def read_varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.read_byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ParquetError("thrift: varint too long")
+
+    def read_zigzag(self) -> int:
+        v = self.read_varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def read_binary(self) -> bytes:
+        n = self.read_varint()
+        self._need(n)
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_double(self) -> float:
+        self._need(8)
+        (v,) = struct.unpack_from("<d", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def _read_value(self, ctype: int, subspec: Any):
+        if ctype == _CT_TRUE:
+            return True
+        if ctype == _CT_FALSE:
+            return False
+        if ctype in (_CT_I8, _CT_I16, _CT_I32, _CT_I64):
+            return self.read_zigzag()
+        if ctype == _CT_DOUBLE:
+            return self.read_double()
+        if ctype == _CT_BINARY:
+            return self.read_binary()
+        if ctype in (_CT_LIST, _CT_SET):
+            return self._read_list(subspec)
+        if ctype == _CT_STRUCT:
+            if subspec is None:
+                self._skip_struct()
+                return None
+            return self.read_struct(subspec)
+        if ctype == _CT_MAP:
+            self._skip_map()
+            return None
+        raise ParquetError(f"thrift: unsupported wire type {ctype}")
+
+    def _read_list(self, subspec: Any) -> list:
+        hdr = self.read_byte()
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            size = self.read_varint()
+        out = []
+        for _ in range(size):
+            if etype == _CT_TRUE or etype == _CT_FALSE:
+                # bool list elements are stored as one byte each
+                out.append(self.read_byte() == 1)
+            else:
+                out.append(self._read_value(etype, subspec))
+        return out
+
+    def _skip(self, ctype: int) -> None:
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            return
+        if ctype == _CT_I8:
+            self.pos += 1
+            self._need(0)
+            return
+        if ctype in (_CT_I16, _CT_I32, _CT_I64):
+            self.read_varint()
+            return
+        if ctype == _CT_DOUBLE:
+            self._need(8)
+            self.pos += 8
+            return
+        if ctype == _CT_BINARY:
+            self.read_binary()
+            return
+        if ctype in (_CT_LIST, _CT_SET):
+            hdr = self.read_byte()
+            size = hdr >> 4
+            etype = hdr & 0x0F
+            if size == 15:
+                size = self.read_varint()
+            for _ in range(size):
+                if etype in (_CT_TRUE, _CT_FALSE):
+                    self.read_byte()
+                else:
+                    self._skip(etype)
+            return
+        if ctype == _CT_MAP:
+            self._skip_map()
+            return
+        if ctype == _CT_STRUCT:
+            self._skip_struct()
+            return
+        raise ParquetError(f"thrift: cannot skip wire type {ctype}")
+
+    def _skip_map(self) -> None:
+        size = self.read_varint()
+        if size:
+            hdr = self.read_byte()
+            kt, vt = hdr >> 4, hdr & 0x0F
+            for _ in range(size):
+                self._skip(kt)
+                self._skip(vt)
+
+    def _skip_struct(self) -> None:
+        last = 0
+        while True:
+            hdr = self.read_byte()
+            if hdr == _CT_STOP:
+                return
+            delta = hdr >> 4
+            ctype = hdr & 0x0F
+            last = last + delta if delta else self.read_zigzag()
+            self._skip(ctype)
+
+    def read_struct(self, spec: dict[int, tuple[str, Any]]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        last = 0
+        while True:
+            hdr = self.read_byte()
+            if hdr == _CT_STOP:
+                return out
+            delta = hdr >> 4
+            ctype = hdr & 0x0F
+            last = last + delta if delta else self.read_zigzag()
+            ent = spec.get(last)
+            if ent is None:
+                self._skip(ctype)
+            else:
+                name, subspec = ent
+                out[name] = self._read_value(ctype, subspec)
+
+
+# ---------------------------------------------------------------------------
+# parquet-format Thrift specs (field ids from the public IDL)
+# ---------------------------------------------------------------------------
+
+_TIME_UNIT = {1: ("millis", None), 2: ("micros", None), 3: ("nanos", None)}
+_LOGICAL_TYPE = {
+    1: ("string", {}),
+    2: ("map", {}),
+    3: ("list", {}),
+    4: ("enum", {}),
+    5: ("decimal", {1: ("scale", None), 2: ("precision", None)}),
+    6: ("date", {}),
+    7: ("time", {1: ("is_adjusted_to_utc", None), 2: ("unit", _TIME_UNIT)}),
+    8: ("timestamp", {1: ("is_adjusted_to_utc", None), 2: ("unit", _TIME_UNIT)}),
+    10: ("integer", {1: ("bit_width", None), 2: ("is_signed", None)}),
+    11: ("unknown", {}),
+    12: ("json", {}),
+    13: ("bson", {}),
+    14: ("uuid", {}),
+    15: ("float16", {}),
+}
+_SCHEMA_ELEMENT = {
+    1: ("type", None),
+    2: ("type_length", None),
+    3: ("repetition_type", None),
+    4: ("name", None),
+    5: ("num_children", None),
+    6: ("converted_type", None),
+    7: ("scale", None),
+    8: ("precision", None),
+    9: ("field_id", None),
+    10: ("logical_type", _LOGICAL_TYPE),
+}
+_STATISTICS = {
+    1: ("max_deprecated", None),
+    2: ("min_deprecated", None),
+    3: ("null_count", None),
+    4: ("distinct_count", None),
+    5: ("max_value", None),
+    6: ("min_value", None),
+    7: ("is_max_value_exact", None),
+    8: ("is_min_value_exact", None),
+}
+_KEY_VALUE = {1: ("key", None), 2: ("value", None)}
+_COLUMN_META = {
+    1: ("type", None),
+    2: ("encodings", None),
+    3: ("path_in_schema", None),
+    4: ("codec", None),
+    5: ("num_values", None),
+    6: ("total_uncompressed_size", None),
+    7: ("total_compressed_size", None),
+    8: ("key_value_metadata", _KEY_VALUE),
+    9: ("data_page_offset", None),
+    10: ("index_page_offset", None),
+    11: ("dictionary_page_offset", None),
+    12: ("statistics", _STATISTICS),
+}
+_COLUMN_CHUNK = {
+    1: ("file_path", None),
+    2: ("file_offset", None),
+    3: ("meta_data", _COLUMN_META),
+    16: ("crypto_metadata", None),
+}
+_ROW_GROUP = {
+    1: ("columns", _COLUMN_CHUNK),
+    2: ("total_byte_size", None),
+    3: ("num_rows", None),
+    5: ("file_offset", None),
+    6: ("total_compressed_size", None),
+    7: ("ordinal", None),
+}
+_FILE_META = {
+    1: ("version", None),
+    2: ("schema", _SCHEMA_ELEMENT),
+    3: ("num_rows", None),
+    4: ("row_groups", _ROW_GROUP),
+    5: ("key_value_metadata", _KEY_VALUE),
+    6: ("created_by", None),
+    8: ("encryption_algorithm", None),
+}
+_DATA_PAGE_HEADER = {
+    1: ("num_values", None),
+    2: ("encoding", None),
+    3: ("definition_level_encoding", None),
+    4: ("repetition_level_encoding", None),
+}
+_DICT_PAGE_HEADER = {1: ("num_values", None), 2: ("encoding", None), 3: ("is_sorted", None)}
+_DATA_PAGE_HEADER_V2 = {
+    1: ("num_values", None),
+    2: ("num_nulls", None),
+    3: ("num_rows", None),
+    4: ("encoding", None),
+    5: ("definition_levels_byte_length", None),
+    6: ("repetition_levels_byte_length", None),
+    7: ("is_compressed", None),
+}
+_PAGE_HEADER = {
+    1: ("type", None),
+    2: ("uncompressed_page_size", None),
+    3: ("compressed_page_size", None),
+    4: ("crc", None),
+    5: ("data_page_header", _DATA_PAGE_HEADER),
+    7: ("dictionary_page_header", _DICT_PAGE_HEADER),
+    8: ("data_page_header_v2", _DATA_PAGE_HEADER_V2),
+}
+
+PHYSICAL_TYPES = {
+    0: "BOOLEAN",
+    1: "INT32",
+    2: "INT64",
+    3: "INT96",
+    4: "FLOAT",
+    5: "DOUBLE",
+    6: "BYTE_ARRAY",
+    7: "FIXED_LEN_BYTE_ARRAY",
+}
+CODECS = {
+    0: "UNCOMPRESSED",
+    1: "SNAPPY",
+    2: "GZIP",
+    3: "LZO",
+    4: "BROTLI",
+    5: "LZ4",
+    6: "ZSTD",
+    7: "LZ4_RAW",
+}
+ENCODINGS = {
+    0: "PLAIN",
+    2: "PLAIN_DICTIONARY",
+    3: "RLE",
+    4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED",
+    6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY",
+    8: "RLE_DICTIONARY",
+    9: "BYTE_STREAM_SPLIT",
+}
+REPETITION = {0: "REQUIRED", 1: "OPTIONAL", 2: "REPEATED"}
+_CONVERTED = {
+    0: "UTF8",
+    1: "MAP",
+    2: "MAP_KEY_VALUE",
+    3: "LIST",
+    4: "ENUM",
+    5: "DECIMAL",
+    6: "DATE",
+    7: "TIME_MILLIS",
+    8: "TIME_MICROS",
+    9: "TIMESTAMP_MILLIS",
+    10: "TIMESTAMP_MICROS",
+    11: "UINT_8",
+    12: "UINT_16",
+    13: "UINT_32",
+    14: "UINT_64",
+    15: "INT_8",
+    16: "INT_16",
+    17: "INT_32",
+    18: "INT_64",
+    19: "JSON",
+    20: "BSON",
+    21: "INTERVAL",
+}
+
+
+# ---------------------------------------------------------------------------
+# Footer parsing + schema walk
+# ---------------------------------------------------------------------------
+
+
+class _Leaf:
+    """A leaf column resolved from the schema tree."""
+
+    __slots__ = (
+        "path",
+        "physical_type",
+        "type_length",
+        "max_def_level",
+        "max_rep_level",
+        "logical",
+        "converted_type",
+        "element",
+    )
+
+    def __init__(self, path, physical_type, type_length, max_def, max_rep, logical, conv, element):
+        self.path = path
+        self.physical_type = physical_type
+        self.type_length = type_length
+        self.max_def_level = max_def
+        self.max_rep_level = max_rep
+        self.logical = logical
+        self.converted_type = conv
+        self.element = element  # the raw SchemaElement dict
+
+
+def parse_footer(meta_bytes: bytes) -> dict[str, Any]:
+    """Parse a FileMetaData thrift blob (the bytes between the data section
+    and the 8-byte tail)."""
+    meta = _Thrift(meta_bytes).read_struct(_FILE_META)
+    if meta.get("encryption_algorithm") is not None:
+        raise ParquetError("encrypted parquet footers are not supported")
+    for req in ("version", "schema", "num_rows", "row_groups"):
+        if req not in meta:
+            raise ParquetError(f"footer missing required field {req}")
+    if isinstance(meta.get("created_by"), bytes):
+        meta["created_by"] = meta["created_by"].decode("utf-8", "replace")
+    for el in meta["schema"]:
+        if isinstance(el.get("name"), bytes):
+            el["name"] = el["name"].decode("utf-8")
+    for rg in meta["row_groups"]:
+        for cc in rg.get("columns", []):
+            cm = cc.get("meta_data")
+            if cm is None:
+                raise ParquetError("column chunk without inline metadata (external/encrypted)")
+            cm["path_in_schema"] = [
+                p.decode("utf-8") if isinstance(p, bytes) else p for p in cm["path_in_schema"]
+            ]
+    return meta
+
+
+def read_file_meta(path: str) -> dict[str, Any]:
+    """Read only the footer of a parquet file: an 8-byte tail probe, then a
+    single ranged read of the metadata block — the object-store access
+    pattern (2 GETs per file, never a full download)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, io.SEEK_END)
+        size = fh.tell()
+        if size < 12:
+            raise ParquetError("file too small to be parquet")
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        magic = tail[4:]
+        if magic == MAGIC_ENCRYPTED:
+            raise ParquetError("encrypted parquet (PARE) is not supported")
+        if magic != MAGIC:
+            raise ParquetError("missing PAR1 trailing magic")
+        (meta_len,) = struct.unpack("<I", tail[:4])
+        if meta_len + 8 > size - 4:
+            raise ParquetError("footer length overruns file")
+        fh.seek(size - 8 - meta_len)
+        meta = parse_footer(fh.read(meta_len))
+        meta["_file_size"] = size
+        return meta
+
+
+def schema_leaves(meta: dict[str, Any]) -> list[_Leaf]:
+    """Flatten the schema tree to leaf columns with resolved dotted paths
+    and max definition/repetition levels (the page-decode inputs)."""
+    schema = meta["schema"]
+    if not schema:
+        raise ParquetError("empty schema")
+    leaves: list[_Leaf] = []
+    idx = 1  # element 0 is the root
+
+    def walk(path: tuple[str, ...], max_def: int, max_rep: int) -> None:
+        nonlocal idx
+        if idx >= len(schema):
+            raise ParquetError("schema tree truncated")
+        el = schema[idx]
+        idx += 1
+        rep = el.get("repetition_type", 0)
+        d = max_def + (1 if rep in (1, 2) else 0)
+        r = max_rep + (1 if rep == 2 else 0)
+        p = path + (el["name"],)
+        nch = el.get("num_children") or 0
+        if nch == 0:
+            if "type" not in el:
+                raise ParquetError(f"leaf {'.'.join(p)} missing physical type")
+            leaves.append(
+                _Leaf(
+                    ".".join(p),
+                    PHYSICAL_TYPES.get(el["type"], f"UNKNOWN({el['type']})"),
+                    el.get("type_length"),
+                    d,
+                    r,
+                    el.get("logical_type"),
+                    el.get("converted_type"),
+                    el,
+                )
+            )
+        else:
+            for _ in range(nch):
+                walk(p, d, r)
+
+    root_children = schema[0].get("num_children") or 0
+    for _ in range(root_children):
+        walk((), 0, 0)
+    if idx != len(schema):
+        raise ParquetError("schema tree has unattached elements")
+    return leaves
+
+
+def duckdb_type_of(meta: dict[str, Any], top_name: str) -> str:
+    """Map one TOP-LEVEL schema field to the DuckDB/SQL type name the same
+    file produces through ``read_parquet`` — the cross-engine schema gate.
+    Scalars map from (physical, logical); a LIST group maps to
+    ``<element>[]``. Unsupported shapes refuse."""
+    schema = meta["schema"]
+    i = 1
+    root_children = schema[0].get("num_children") or 0
+    found = None
+    for _ in range(root_children):
+        el = schema[i]
+        if el["name"] == top_name:
+            found = i
+        # advance past this subtree
+        stack = [el.get("num_children") or 0]
+        i += 1
+        while stack and stack[-1]:
+            stack[-1] -= 1
+            stack.append(schema[i].get("num_children") or 0)
+            i += 1
+        if found is not None:
+            break
+    if found is None:
+        raise ParquetError(f"no top-level field {top_name}")
+    el = schema[found]
+
+    def scalar(el: dict[str, Any]) -> str:
+        pt = PHYSICAL_TYPES.get(el.get("type"))
+        lt = el.get("logical_type") or {}
+        conv = el.get("converted_type")
+        if "string" in lt or conv == 0:
+            return "VARCHAR"
+        if "timestamp" in lt or conv in (9, 10):
+            ts = lt.get("timestamp", {})
+            utc = ts.get("is_adjusted_to_utc", False)
+            return "TIMESTAMP WITH TIME ZONE" if utc else "TIMESTAMP"
+        if "date" in lt or conv == 6:
+            return "DATE"
+        if "decimal" in lt or conv == 5:
+            sc = lt.get("decimal", {}).get("scale", el.get("scale", 0))
+            pr = lt.get("decimal", {}).get("precision", el.get("precision", 0))
+            return f"DECIMAL({pr},{sc})"
+        if "integer" in lt:
+            it = lt["integer"]
+            bits, signed = it.get("bit_width", 32), it.get("is_signed", True)
+            names = {8: "TINYINT", 16: "SMALLINT", 32: "INTEGER", 64: "BIGINT"}
+            n = names.get(bits)
+            if n is None:
+                raise ParquetError(f"integer bit width {bits}")
+            return n if signed else "U" + n
+        if pt == "BOOLEAN":
+            return "BOOLEAN"
+        if pt == "INT32":
+            return "INTEGER"
+        if pt == "INT64":
+            return "BIGINT"
+        if pt == "FLOAT":
+            return "FLOAT"
+        if pt == "DOUBLE":
+            return "DOUBLE"
+        if pt == "BYTE_ARRAY":
+            return "BLOB"
+        if pt == "FIXED_LEN_BYTE_ARRAY":
+            return "BLOB"
+        raise ParquetError(f"unmapped scalar type {pt}/{lt}/{conv}")
+
+    nch = el.get("num_children") or 0
+    if nch == 0:
+        return scalar(el)
+    lt = el.get("logical_type") or {}
+    if "list" in lt or el.get("converted_type") == 3:
+        mid = schema[found + 1]
+        if (mid.get("num_children") or 0) == 1 and mid.get("repetition_type") == 2:
+            inner = schema[found + 2]
+            if (inner.get("num_children") or 0) == 0:
+                return scalar(inner) + "[]"
+        # 2-level legacy list: repeated leaf directly under the list group
+        if (mid.get("num_children") or 0) == 0 and mid.get("repetition_type") == 2:
+            return scalar(mid) + "[]"
+        raise ParquetError("unsupported LIST shape")
+    raise ParquetError(f"unmapped group type for {top_name}")
+
+
+def _decode_stat(raw: bytes | None, leaf: _Leaf):
+    """Decode a min/max statistics value to its typed form."""
+    if raw is None:
+        return None
+    pt = leaf.physical_type
+    if pt == "INT32":
+        return struct.unpack("<i", raw)[0]
+    if pt == "INT64":
+        return struct.unpack("<q", raw)[0]
+    if pt == "FLOAT":
+        return struct.unpack("<f", raw)[0]
+    if pt == "DOUBLE":
+        return struct.unpack("<d", raw)[0]
+    if pt == "BOOLEAN":
+        return bool(raw[0])
+    if pt in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        lt = leaf.logical or {}
+        if "string" in lt or leaf.converted_type == 0:
+            return raw.decode("utf-8", "replace")
+        return raw
+    raise ParquetError(f"statistics for unsupported type {pt}")
+
+
+def footer_meta_rows(path: str) -> list[dict[str, Any]]:
+    """One dict per (row_group, column_chunk): the parquet_metadata() shape.
+    Typed min/max come from ``min_value``/``max_value`` (falling back to the
+    deprecated v1 fields only when the column order is the safe default)."""
+    meta = read_file_meta(path)
+    leaves = {lf.path: lf for lf in schema_leaves(meta)}
+    rows: list[dict[str, Any]] = []
+    for rg_id, rg in enumerate(meta["row_groups"]):
+        for col_id, cc in enumerate(rg["columns"]):
+            cm = cc["meta_data"]
+            pth = ".".join(cm["path_in_schema"])
+            leaf = leaves.get(pth)
+            if leaf is None:
+                raise ParquetError(f"column chunk path {pth} not in schema")
+            st = cm.get("statistics") or {}
+            mn = st.get("min_value", st.get("min_deprecated"))
+            mx = st.get("max_value", st.get("max_deprecated"))
+            rows.append(
+                {
+                    "file_name": path,
+                    "row_group_id": rg_id,
+                    "row_group_num_rows": rg["num_rows"],
+                    "row_group_num_columns": len(rg["columns"]),
+                    "row_group_bytes": rg["total_byte_size"],
+                    "column_id": col_id,
+                    "path_in_schema": pth,
+                    "type": leaf.physical_type,
+                    "num_values": cm["num_values"],
+                    "compression": CODECS.get(cm["codec"], f"UNKNOWN({cm['codec']})"),
+                    "encodings": ", ".join(
+                        sorted(ENCODINGS.get(e, str(e)) for e in cm["encodings"])
+                    ),
+                    "dictionary_page_offset": cm.get("dictionary_page_offset"),
+                    "data_page_offset": cm["data_page_offset"],
+                    "total_compressed_size": cm["total_compressed_size"],
+                    "total_uncompressed_size": cm["total_uncompressed_size"],
+                    "stats_null_count": st.get("null_count"),
+                    "stats_min": _decode_stat(mn, leaf),
+                    "stats_max": _decode_stat(mx, leaf),
+                }
+            )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Page decode
+# ---------------------------------------------------------------------------
+
+
+def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
+    if codec == 0:
+        out = data
+    elif codec == 1:
+        out = _snappy_decompress(data)
+    elif codec == 2:
+        out = zlib.decompress(data, 31)  # GZIP member framing
+    else:
+        raise ParquetError(
+            f"page codec {CODECS.get(codec, codec)} has no verifiable decoder here "
+            "(no native library in this environment to pin against)"
+        )
+    if len(out) != uncompressed_size:
+        raise ParquetError(
+            f"page decompressed to {len(out)} bytes, header declared {uncompressed_size}"
+        )
+    return out
+
+
+def _read_rle_hybrid(buf: bytes, pos: int, end: int, bit_width: int, n: int) -> tuple[list[int], int]:
+    """RLE/bit-packed hybrid runs until ``n`` values are produced."""
+    out: list[int] = []
+    if bit_width == 0:
+        return [0] * n, pos
+    byte_w = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < n:
+        if pos >= end:
+            raise ParquetError("rle-hybrid: truncated runs")
+        hdr = 0
+        shift = 0
+        while True:
+            if pos >= end:
+                raise ParquetError("rle-hybrid: truncated run header")
+            b = buf[pos]
+            pos += 1
+            hdr |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if hdr & 1:  # bit-packed: (hdr>>1) groups of 8 values
+            groups = hdr >> 1
+            nbytes = groups * bit_width
+            if pos + nbytes > end:
+                raise ParquetError("rle-hybrid: truncated bit-packed run")
+            word = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            cnt = groups * 8
+            for i in range(cnt):
+                out.append((word >> (i * bit_width)) & mask)
+        else:  # RLE run
+            cnt = hdr >> 1
+            if pos + byte_w > end:
+                raise ParquetError("rle-hybrid: truncated rle value")
+            val = int.from_bytes(buf[pos : pos + byte_w], "little") & mask
+            pos += byte_w
+            out.extend([val] * cnt)
+    if len(out) > n:
+        del out[n:]
+    return out, pos
+
+
+def _decode_plain(buf: bytes, pos: int, end: int, n: int, leaf: _Leaf) -> tuple[list, int]:
+    pt = leaf.physical_type
+    if pt == "INT32":
+        need = 4 * n
+        if pos + need > end:
+            raise ParquetError("plain int32 values truncated")
+        vals = list(struct.unpack_from(f"<{n}i", buf, pos))
+        return vals, pos + need
+    if pt == "INT64":
+        need = 8 * n
+        if pos + need > end:
+            raise ParquetError("plain int64 values truncated")
+        return list(struct.unpack_from(f"<{n}q", buf, pos)), pos + need
+    if pt == "FLOAT":
+        need = 4 * n
+        if pos + need > end:
+            raise ParquetError("plain float values truncated")
+        return list(struct.unpack_from(f"<{n}f", buf, pos)), pos + need
+    if pt == "DOUBLE":
+        need = 8 * n
+        if pos + need > end:
+            raise ParquetError("plain double values truncated")
+        return list(struct.unpack_from(f"<{n}d", buf, pos)), pos + need
+    if pt == "BOOLEAN":
+        need = (n + 7) // 8
+        if pos + need > end:
+            raise ParquetError("plain boolean values truncated")
+        word = int.from_bytes(buf[pos : pos + need], "little")
+        return [bool((word >> i) & 1) for i in range(n)], pos + need
+    if pt == "BYTE_ARRAY":
+        vals = []
+        for _ in range(n):
+            if pos + 4 > end:
+                raise ParquetError("plain byte_array length truncated")
+            (ln,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            if pos + ln > end:
+                raise ParquetError("plain byte_array value truncated")
+            vals.append(buf[pos : pos + ln])
+            pos += ln
+        return vals, pos
+    if pt == "FIXED_LEN_BYTE_ARRAY":
+        tl = leaf.type_length
+        if not tl:
+            raise ParquetError("fixed_len_byte_array without type_length")
+        need = tl * n
+        if pos + need > end:
+            raise ParquetError("plain flba values truncated")
+        vals = [buf[pos + i * tl : pos + (i + 1) * tl] for i in range(n)]
+        return vals, pos + need
+    raise ParquetError(f"PLAIN decode unsupported for {pt}")
+
+
+def _convert_logical(vals: list, leaf: _Leaf) -> list:
+    """Apply the logical-type view: utf8 decode for strings; timestamps stay
+    as raw epoch ints (callers choose the temporal presentation)."""
+    lt = leaf.logical or {}
+    if leaf.physical_type == "BYTE_ARRAY" and ("string" in lt or leaf.converted_type == 0):
+        return [v if v is None else v.decode("utf-8") for v in vals]
+    return vals
+
+
+def iter_pages(chunk: bytes, codec: int) -> Iterator[tuple[dict[str, Any], bytes]]:
+    """Walk the page stream of one column chunk, yielding
+    ``(page_header, raw_page_bytes)`` — raw bytes still compressed; v2 pages
+    carry their level sections uncompressed up front, handled by the caller."""
+    pos = 0
+    n = len(chunk)
+    while pos < n:
+        th = _Thrift(chunk, pos)
+        hdr = th.read_struct(_PAGE_HEADER)
+        pos = th.pos
+        for req in ("type", "uncompressed_page_size", "compressed_page_size"):
+            if req not in hdr:
+                raise ParquetError(f"page header missing {req}")
+        csize = hdr["compressed_page_size"]
+        if pos + csize > n:
+            raise ParquetError("page body overruns column chunk")
+        yield hdr, chunk[pos : pos + csize]
+        pos += csize
+
+
+def decode_column_chunk(chunk: bytes, cm: dict[str, Any], leaf: _Leaf) -> list:
+    """Decode every value of one column chunk (dictionary + data pages) to a
+    Python list with ``None`` for nulls. Flat columns only (max_rep_level
+    0); nested columns refuse (the raw-scan contract covers scalars)."""
+    if leaf.max_rep_level != 0:
+        raise ParquetError("raw decode of repeated (nested) columns is not supported")
+    codec = cm["codec"]
+    n_total = cm["num_values"]
+    dictionary: list | None = None
+    out: list = []
+    for hdr, body in iter_pages(chunk, codec):
+        ptype = hdr["type"]
+        if ptype == 2:  # dictionary page
+            dph = hdr.get("dictionary_page_header")
+            if dph is None:
+                raise ParquetError("dictionary page without header struct")
+            if dph.get("encoding") not in (0, 2):  # PLAIN / PLAIN_DICTIONARY
+                raise ParquetError("non-PLAIN dictionary page encoding")
+            data = _decompress(codec, body, hdr["uncompressed_page_size"])
+            vals, pos = _decode_plain(data, 0, len(data), dph["num_values"], leaf)
+            if pos != len(data):
+                raise ParquetError("dictionary page has trailing bytes")
+            dictionary = vals
+            continue
+        if ptype == 0:  # data page v1
+            dh = hdr.get("data_page_header")
+            if dh is None:
+                raise ParquetError("data page v1 without header struct")
+            nv = dh["num_values"]
+            enc = dh["encoding"]
+            data = _decompress(codec, body, hdr["uncompressed_page_size"])
+            pos, end = 0, len(data)
+            if leaf.max_def_level > 0:
+                if dh.get("definition_level_encoding", 3) != 3:
+                    raise ParquetError("non-RLE definition levels in v1 page")
+                if pos + 4 > end:
+                    raise ParquetError("def-level length truncated")
+                (ll,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                if pos + ll > end:
+                    raise ParquetError("def-level section truncated")
+                bw = max(leaf.max_def_level.bit_length(), 1)
+                defs, _ = _read_rle_hybrid(data, pos, pos + ll, bw, nv)
+                pos += ll
+            else:
+                defs = [leaf.max_def_level] * nv
+        elif ptype == 3:  # data page v2
+            dh = hdr.get("data_page_header_v2")
+            if dh is None:
+                raise ParquetError("data page v2 without header struct")
+            nv = dh["num_values"]
+            enc = dh["encoding"]
+            rl = dh.get("repetition_levels_byte_length", 0)
+            dl = dh.get("definition_levels_byte_length", 0)
+            if rl:
+                raise ParquetError("repetition levels on a flat column")
+            levels = body[: rl + dl]
+            values_raw = body[rl + dl :]
+            if dh.get("is_compressed", True):
+                data = _decompress(
+                    codec, values_raw, hdr["uncompressed_page_size"] - rl - dl
+                )
+            else:
+                data = values_raw
+            if leaf.max_def_level > 0:
+                bw = max(leaf.max_def_level.bit_length(), 1)
+                defs, _ = _read_rle_hybrid(levels, rl, rl + dl, bw, nv)
+            else:
+                defs = [leaf.max_def_level] * nv
+            pos, end = 0, len(data)
+        elif ptype == 1:  # index page: no values
+            continue
+        else:
+            raise ParquetError(f"unsupported page type {ptype}")
+
+        n_present = sum(1 for d in defs if d == leaf.max_def_level)
+        if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ParquetError("dictionary-encoded page before dictionary page")
+            if n_present:
+                if pos >= end:
+                    raise ParquetError("dictionary index section truncated")
+                bw = data[pos]
+                pos += 1
+                if bw > 32:
+                    raise ParquetError(f"dictionary index bit width {bw}")
+                idxs, pos = _read_rle_hybrid(data, pos, end, bw, n_present)
+                try:
+                    present = [dictionary[i] for i in idxs]
+                except IndexError:
+                    raise ParquetError("dictionary index out of range") from None
+            else:
+                present = []
+        elif enc == 0:  # PLAIN
+            present, pos = _decode_plain(data, pos, end, n_present, leaf)
+        elif enc == 3 and leaf.physical_type == "BOOLEAN":
+            # RLE-encoded boolean values (the v2-page default): 4-byte LE
+            # section length, then hybrid runs at bit width 1
+            if pos + 4 > end:
+                raise ParquetError("rle boolean section length truncated")
+            (ll,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if pos + ll > end:
+                raise ParquetError("rle boolean section truncated")
+            bits, _ = _read_rle_hybrid(data, pos, pos + ll, 1, n_present)
+            pos += ll
+            present = [bool(b) for b in bits]
+        else:
+            raise ParquetError(f"unsupported data encoding {ENCODINGS.get(enc, enc)}")
+        it = iter(present)
+        out.extend(next(it) if d == leaf.max_def_level else None for d in defs)
+    if len(out) != n_total:
+        raise ParquetError(f"chunk declared {n_total} values, decoded {len(out)}")
+    return _convert_logical(out, leaf)
+
+
+def _chunk_byte_range(cm: dict[str, Any]) -> tuple[int, int]:
+    start = cm["data_page_offset"]
+    dpo = cm.get("dictionary_page_offset")
+    if dpo is not None and 0 < dpo < start:
+        start = dpo
+    return start, start + cm["total_compressed_size"]
+
+
+def read_row_group(path: str, meta: dict[str, Any], rg_id: int, columns: list[str]) -> dict[str, list]:
+    """Decode the requested columns of one row group via ranged reads —
+    the executor-side task body of ``raw_scan``."""
+    leaves = {lf.path: lf for lf in schema_leaves(meta)}
+    rg = meta["row_groups"][rg_id]
+    by_path = {".".join(cc["meta_data"]["path_in_schema"]): cc for cc in rg["columns"]}
+    out: dict[str, list] = {}
+    with open(path, "rb") as fh:
+        for col in columns:
+            cc = by_path.get(col)
+            if cc is None:
+                raise ParquetError(f"row group {rg_id} has no column {col}")
+            cm = cc["meta_data"]
+            start, end = _chunk_byte_range(cm)
+            fh.seek(start)
+            chunk = fh.read(end - start)
+            if len(chunk) != end - start:
+                raise ParquetError("column chunk byte range overruns file")
+            out[col] = decode_column_chunk(chunk, cm, leaves[col])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing operators
+# ---------------------------------------------------------------------------
+
+
+def footer_meta_scan(spark, paths: list[str]):
+    """Distributed footer catalog: one task per file, each parsing ONLY the
+    footer (two ranged reads). Output is the per-column-chunk stats table —
+    the input to external row-group indexes and pruning audits."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("row_group_id", LongType()),
+            StructField("row_group_num_rows", LongType()),
+            StructField("column_id", LongType()),
+            StructField("path_in_schema", StringType()),
+            StructField("physical_type", StringType()),
+            StructField("num_values", LongType()),
+            StructField("compression", StringType()),
+            StructField("encodings", StringType()),
+            StructField("total_compressed_size", LongType()),
+            StructField("total_uncompressed_size", LongType()),
+            StructField("stats_null_count", LongType()),
+            StructField("stats_min_str", StringType()),
+            StructField("stats_max_str", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                for r in footer_meta_rows(p):
+                    rows.append(
+                        {
+                            "file_name": r["file_name"],
+                            "row_group_id": r["row_group_id"],
+                            "row_group_num_rows": r["row_group_num_rows"],
+                            "column_id": r["column_id"],
+                            "path_in_schema": r["path_in_schema"],
+                            "physical_type": r["type"],
+                            "num_values": r["num_values"],
+                            "compression": r["compression"],
+                            "encodings": r["encodings"],
+                            "total_compressed_size": r["total_compressed_size"],
+                            "total_uncompressed_size": r["total_uncompressed_size"],
+                            "stats_null_count": r["stats_null_count"],
+                            "stats_min_str": _stat_str(r["stats_min"]),
+                            "stats_max_str": _stat_str(r["stats_max"]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
+    return pdf.repartition(max(len(paths), 1), "path").mapInPandas(gen, schema)
+
+
+def _stat_str(v) -> str | None:
+    """Canonical string form for a typed stat (ints stay exact; floats use
+    repr, which round-trips; bytes refuse — callers pick string columns)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        raise ParquetError("raw-bytes statistic has no canonical string form")
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Callable] | None = None):
+    """Byte-level distributed column scan: footer parsed ONCE driver-side,
+    then one task per row group, each reading only its chunks' byte ranges.
+    This is the engine's own proof that it understands its storage format —
+    and the 100-TB shape: at 1000 executors the task list is (file ×
+    row_group), exactly how Spark's own parquet scan parallelizes.
+
+    ``presentation`` optionally maps column -> callable(list)->list applied
+    after decode (e.g. epoch-micros -> pandas timestamps)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    meta = read_file_meta(path)
+    leaves = {lf.path: lf for lf in schema_leaves(meta)}
+    for c in columns:
+        if c not in leaves:
+            raise ParquetError(f"unknown column {c}")
+
+    def spark_type(leaf: _Leaf):
+        lt = leaf.logical or {}
+        if "timestamp" in lt or leaf.converted_type in (9, 10):
+            return TimestampNTZType()
+        pt = leaf.physical_type
+        if pt == "BYTE_ARRAY" and ("string" in lt or leaf.converted_type == 0):
+            return StringType()
+        return {
+            "BOOLEAN": BooleanType(),
+            "INT32": IntegerType(),
+            "INT64": LongType(),
+            "FLOAT": FloatType(),
+            "DOUBLE": DoubleType(),
+        }.get(pt) or StringType()
+
+    schema = StructType([StructField(c, spark_type(leaves[c])) for c in columns])
+    n_rg = len(meta["row_groups"])
+
+    def default_presentation(leaf: _Leaf):
+        lt = leaf.logical or {}
+        if "timestamp" in lt or leaf.converted_type in (9, 10):
+            unit = "us"
+            ts = lt.get("timestamp", {})
+            if ts.get("unit", {}).get("millis") is not None or leaf.converted_type == 9:
+                unit = "ms"
+            elif ts.get("unit", {}).get("nanos") is not None:
+                unit = "ns"
+            return lambda vals: pd.to_datetime(pd.Series(vals, dtype="float64" if any(v is None for v in vals) else "int64"), unit=unit)
+        return None
+
+    def gen(batches):
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                cols = read_row_group(path, meta, int(rg), columns)
+                data = {}
+                for c in columns:
+                    vals = cols[c]
+                    pres = (presentation or {}).get(c) or default_presentation(leaves[c])
+                    data[c] = pres(vals) if pres else vals
+                yield pd.DataFrame(data, columns=columns)
+
+    tasks = spark.createDataFrame([(i,) for i in range(n_rg)], ["rg"])
+    return tasks.repartition(max(n_rg, 1), "rg").mapInPandas(gen, schema)
