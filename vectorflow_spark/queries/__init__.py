@@ -19,6 +19,7 @@ from vectorflow_spark.queries import analytics2 as _analytics2  # noqa: E402,F40
 from vectorflow_spark.queries import lines as _lines  # noqa: E402,F401
 from vectorflow_spark.queries import formats as _formats  # noqa: E402,F401
 from vectorflow_spark.queries import audio as _audio  # noqa: E402,F401
+from vectorflow_spark.queries import storage as _storage  # noqa: E402,F401
 
 # legacy re-exports used by tests
 from vectorflow_spark.queries.pipeline import _C1_SQL, _C3_SQL, _C4_SQL, _C5_SQL  # noqa: E402

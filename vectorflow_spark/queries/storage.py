@@ -1,0 +1,365 @@
+"""Storage-layer gates: the engine's own Parquet internals, engine-vs-engine.
+
+Four surfaces of sources/parquetmini.py (thrift footer parser, stats walk,
+schema mapper, byte-level page decoder + operators/snappymini.py) are each
+proven against INDEPENDENTLY derived facts on the same bytes:
+
+  * q_parquet_meta — footer statistics vs the data itself: per-column
+    num_values / null_count / min / max parsed from the thrift footers of
+    the sf tables must equal COUNT/MIN/MAX computed relationally by DuckDB
+    over the same files. A hash match proves the compact-protocol walk,
+    the typed stat decode, and the row-group aggregation.
+  * q_parquet_schema — our schema-tree walk + SQL type mapping vs
+    ``typeof()`` in DuckDB, column by column, ordinal by ordinal (incl.
+    the nested FLOAT[] list shape of embeddings).
+  * q_parquet_rawscan — full byte-level column decode (footer offsets ->
+    snappy pages -> levels -> dictionaries -> values) of a Spark-written
+    multi-file corpus vs the relational values.
+  * q_parquet_prune — min/max row-group pruning: the scan-planning
+    decision recomputed from OUR parsed stats must match per-bucket
+    min/max/count ground truth (the audit that pushdown planning at 100 TB
+    is trustworthy).
+  * q_snappy_roundtrip — the distributed compress->decompress identity of
+    our snappy codec over every document.
+
+Scale shapes: footer scans parallelize over FILES (2 ranged reads each, no
+data pages touched); raw scans over (file, row_group) — both exactly how a
+1000-executor catalog crawl or scan shards. The bucketed-orders corpus is a
+build-once cached fixture (same discipline as _cdx_corpus_dir) so the
+timed body of the scan gates is the read path, not the writer.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorflow_spark.queries._core import _t, query
+
+# (column, kind) per table: kind 'num' = plain numeric leaf, 'ts' =
+# timestamp-micros leaf (stats live as epoch micros), 'elems' = repeated
+# float leaf (the FLOAT[] element). Strings are covered by q_parquet_rawscan
+# and q_parquet_schema, not by the stats gate (their stats may legally be
+# truncated by writers).
+_META_COLS: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "num"), ("c_nationkey", "num"), ("c_acctbal", "num")],
+    "documents": [("doc_id", "num"), ("n_chars", "num")],
+    "embeddings": [("vec_id", "num"), ("label", "num"), ("embedding.list.element", "elems")],
+    "events": [("event_id", "num"), ("user_id", "num"), ("value", "num"), ("ts", "ts")],
+    "lineitem": [
+        ("l_orderkey", "num"),
+        ("l_partkey", "num"),
+        ("l_suppkey", "num"),
+        ("l_linenumber", "num"),
+        ("l_quantity", "num"),
+        ("l_extendedprice", "num"),
+        ("l_discount", "num"),
+        ("l_tax", "num"),
+        ("l_shipdate", "ts"),
+    ],
+    "nation": [("n_nationkey", "num"), ("n_regionkey", "num")],
+    "orders": [("o_orderkey", "num"), ("o_custkey", "num"), ("o_totalprice", "num"), ("o_orderdate", "ts")],
+    "part": [("p_partkey", "num"), ("p_size", "num"), ("p_retailprice", "num")],
+    "region": [("r_regionkey", "num")],
+    "supplier": [("s_suppkey", "num"), ("s_nationkey", "num"), ("s_acctbal", "num")],
+}
+
+# full SQL-facing column lists in file order (the schema gate's ground set)
+_ALL_COLS: dict[str, list[str]] = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "region": ["r_regionkey", "r_name"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+}
+
+
+def _meta_sql() -> str:
+    terms = []
+    for t in sorted(_META_COLS):
+        for c, kind in _META_COLS[t]:
+            if kind == "num":
+                mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+                nv = "CAST(COUNT(*) AS BIGINT)"
+                nn = f"CAST(COUNT(*) - COUNT({c}) AS BIGINT)"
+            elif kind == "ts":
+                mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+                mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+                nv = "CAST(COUNT(*) AS BIGINT)"
+                nn = f"CAST(COUNT(*) - COUNT({c}) AS BIGINT)"
+            else:  # repeated float leaf: one footer value slot per element
+                mn = (
+                    "CAST((SELECT MIN(e) FROM (SELECT UNNEST(embedding) AS e"
+                    f" FROM {t})) AS DOUBLE)"
+                )
+                mx = (
+                    "CAST((SELECT MAX(e) FROM (SELECT UNNEST(embedding) AS e"
+                    f" FROM {t})) AS DOUBLE)"
+                )
+                nv = "CAST(SUM(len(embedding)) AS BIGINT)"
+                nn = "CAST(0 AS BIGINT)"
+            terms.append(
+                f"SELECT '{t}' AS tbl, '{c}' AS col, {nv} AS n_values,"
+                f" {nn} AS n_nulls, {mn} AS min_v, {mx} AS max_v FROM {t}"
+            )
+    return "\nUNION ALL\n".join(terms)
+
+
+@query("q_parquet_meta", _meta_sql())
+def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thrift-footer statistics vs the data: parse every sf table's footer
+    with OUR compact-protocol reader (distributed, one task per file, two
+    ranged reads each — the object-store catalog crawl) and emit per-column
+    num_values / null_count / min / max aggregated across row groups; the
+    oracle recomputes the same facts relationally. Proves the parser reads
+    the true bytes — wrong offsets, wrong zigzag, wrong stat typing all
+    hash-mismatch. The 100-TB use: these rows ARE the external row-group
+    index that q_parquet_prune plans from."""
+    from vectorflow_spark.sources.parquetmini import footer_meta_scan
+
+    paths = [f"{sf_dir}/{t}.parquet" for t in sorted(_META_COLS)]
+    want = [f"{t}|{c}" for t in _META_COLS for c, _ in _META_COLS[t]]
+    scan = footer_meta_scan(spark, paths).withColumn(
+        "tbl", F.regexp_extract("file_name", r"([^/]+)\.parquet$", 1)
+    )
+    sel = scan.filter(F.concat_ws("|", "tbl", "path_in_schema").isin(want))
+    return (
+        sel.groupBy("tbl", F.col("path_in_schema").alias("col"))
+        .agg(
+            F.sum("num_values").cast("bigint").alias("n_values"),
+            F.sum("stats_null_count").cast("bigint").alias("n_nulls"),
+            F.min("stats_min_num").alias("min_v"),
+            F.max("stats_max_num").alias("max_v"),
+        )
+    )
+
+
+def _schema_sql() -> str:
+    terms = []
+    for t in sorted(_ALL_COLS):
+        for i, c in enumerate(_ALL_COLS[t]):
+            terms.append(
+                f"(SELECT '{t}' AS tbl, '{c}' AS col, CAST({i} AS BIGINT) AS ordinal,"
+                f" typeof({c}) AS sql_type FROM {t} LIMIT 1)"
+            )
+    return "\nUNION ALL\n".join(terms)
+
+
+@query("q_parquet_schema", _schema_sql())
+def q_parquet_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tree walk + SQL type mapping vs the engine: for every table
+    our footer parser emits (column, ordinal, mapped SQL type) — including
+    the 3-level LIST group of embeddings mapping to FLOAT[] — and the
+    oracle derives the same rows from DuckDB's ``typeof``. Distributed one
+    task per file like the catalog crawl."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from vectorflow_spark.sources.parquetmini import (
+        duckdb_type_of,
+        read_file_meta,
+        top_level_fields,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("tbl", StringType()),
+            StructField("col", StringType()),
+            StructField("ordinal", LongType()),
+            StructField("sql_type", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                meta = read_file_meta(p)
+                t = os.path.basename(p)[: -len(".parquet")]
+                for i, name in enumerate(top_level_fields(meta)):
+                    rows.append((t, name, i, duckdb_type_of(meta, name)))
+            yield pd.DataFrame(rows, columns=["tbl", "col", "ordinal", "sql_type"])
+
+    paths = [(f"{sf_dir}/{t}.parquet",) for t in sorted(_ALL_COLS)]
+    pdf = spark.createDataFrame(paths, ["path"])
+    return pdf.repartition(len(paths), "path").mapInPandas(gen, out_schema)
+
+
+# bump when the fixture layout (bucket width, columns, writer conf) changes:
+# the cached dir name carries the rev so stale corpora are never reused
+_PQFIX_REV = 1
+_BUCKET = 2048
+
+
+def _bucketed_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once bucketed-orders parquet corpus shared by q_parquet_rawscan
+    and q_parquet_prune: orders partitioned by ``o_orderkey div 2048`` into
+    one Spark-written file per bucket (hash repartition on the partition
+    key -> exactly one task owns each bucket dir). Value-derived buckets
+    make file membership reconstructable in pure SQL — no reliance on row
+    order. Timestamps are written as TIMESTAMP_MICROS (not Spark's INT96
+    default) so the byte-level decoder's supported-type contract holds;
+    the conf is restored after the write."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_pqfix_r{_PQFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders", split=True).withColumn(
+        "bucket", F.expr(f"o_orderkey div {_BUCKET}")
+    )
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        orders.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+            out_dir
+        )
+    finally:
+        spark.conf.set(key, old)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _bucketed_orders_dir\n")
+    return out_dir
+
+
+def _fixture_files(out_dir: str) -> list[str]:
+    files = sorted(_glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {out_dir}")
+    return files
+
+
+@query(
+    "q_parquet_rawscan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           epoch_us(o_orderdate) AS odate_us
+    FROM orders
+    """,
+)
+def q_parquet_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level column decode of a Spark-written multi-file corpus: every
+    value of five orders columns recovered by OUR footer walk -> chunk
+    ranged-read -> snappy (our codec) -> page headers -> RLE/bit-packed
+    levels -> dictionary/PLAIN values, one task per (file, row_group); the
+    oracle reads the same logical rows relationally. A hash match proves
+    the whole storage stack on parquet-java-written bytes (dictionary
+    fallback pages, v1 pages, CRC-bearing headers), not just on arrow's.
+    Timestamps surface as epoch micros so both engines compare integers."""
+    from vectorflow_spark.sources.parquetmini import raw_scan
+
+    files = _fixture_files(_bucketed_orders_dir(spark, sf_dir))
+    df = raw_scan(
+        spark,
+        files,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+    )
+    # UTC session: ntz -> timestamp is value-preserving (same presentation
+    # rule as _t's events handling)
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+    )
+
+
+@query(
+    "q_parquet_prune",
+    f"""
+    SELECT CAST(o_orderkey // {_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           (MAX(o_orderkey) >= 3000 AND MIN(o_orderkey) <= 9000) AS kept
+    FROM orders GROUP BY 1
+    """,
+)
+def q_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan-planning audit: harvest per-file o_orderkey stats from OUR
+    footer parser over the bucketed corpus (no data pages read — the
+    planning cost model at 100 TB) and decide which files a
+    ``BETWEEN 3000 AND 9000`` scan may skip. The oracle recomputes each
+    bucket's true min/max/count from the data; a hash match proves the
+    pruning decision would never skip a file that holds matching rows —
+    the property that makes stats-based pushdown safe to trust at scale."""
+    from vectorflow_spark.sources.parquetmini import footer_meta_scan
+
+    files = _fixture_files(_bucketed_orders_dir(spark, sf_dir))
+    scan = footer_meta_scan(spark, files).filter(
+        F.col("path_in_schema") == "o_orderkey"
+    )
+    per_bucket = (
+        scan.withColumn(
+            "bucket", F.regexp_extract("file_name", r"bucket=(\d+)", 1).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.sum("num_values") - F.sum("stats_null_count")).cast("bigint").alias("n_rows"),
+            F.min("stats_min_num").cast("bigint").alias("min_key"),
+            F.max("stats_max_num").cast("bigint").alias("max_key"),
+        )
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_rows",
+        "min_key",
+        "max_key",
+        ((F.col("max_key") >= 3000) & (F.col("min_key") <= 9000)).alias("kept"),
+    )
+
+
+@query("q_snappy_roundtrip", "SELECT doc_id, text FROM documents")
+def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed identity proof of the pure-Python snappy codec: every
+    document compressed and decompressed by OUR encoder/decoder inside an
+    Arrow-batched UDF; the oracle is the text itself. Unit tests pin both
+    halves against native snappy — this gate proves the same kernels under
+    executor parallelism."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from vectorflow_spark.operators.snappymini import compress, decompress
+
+    rt = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else decompress(compress(t.encode())).decode()
+        ),
+        StringType(),
+    )
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return docs.select("doc_id", rt("text").alias("text"))

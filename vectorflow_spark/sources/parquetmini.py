@@ -550,10 +550,13 @@ def duckdb_type_of(meta: dict[str, Any], top_name: str) -> str:
         el = schema[i]
         if el["name"] == top_name:
             found = i
-        # advance past this subtree
+        # advance past this subtree (pop exhausted groups, depth-first)
         stack = [el.get("num_children") or 0]
         i += 1
-        while stack and stack[-1]:
+        while stack:
+            if stack[-1] == 0:
+                stack.pop()
+                continue
             stack[-1] -= 1
             stack.append(schema[i].get("num_children") or 0)
             i += 1
@@ -618,6 +621,26 @@ def duckdb_type_of(meta: dict[str, Any], top_name: str) -> str:
             return scalar(mid) + "[]"
         raise ParquetError("unsupported LIST shape")
     raise ParquetError(f"unmapped group type for {top_name}")
+
+
+def top_level_fields(meta: dict[str, Any]) -> list[str]:
+    """Names of the root's direct children in schema order — the SQL-facing
+    column list of the file."""
+    schema = meta["schema"]
+    out = []
+    i = 1
+    for _ in range(schema[0].get("num_children") or 0):
+        out.append(schema[i]["name"])
+        stack = [schema[i].get("num_children") or 0]
+        i += 1
+        while stack:
+            if stack[-1] == 0:
+                stack.pop()
+                continue
+            stack[-1] -= 1
+            stack.append(schema[i].get("num_children") or 0)
+            i += 1
+    return out
 
 
 def _decode_stat(raw: bytes | None, leaf: _Leaf):
@@ -999,6 +1022,8 @@ def footer_meta_scan(spark, paths: list[str]):
         StructType,
     )
 
+    from pyspark.sql.types import DoubleType
+
     schema = StructType(
         [
             StructField("file_name", StringType()),
@@ -1015,6 +1040,8 @@ def footer_meta_scan(spark, paths: list[str]):
             StructField("stats_null_count", LongType()),
             StructField("stats_min_str", StringType()),
             StructField("stats_max_str", StringType()),
+            StructField("stats_min_num", DoubleType()),
+            StructField("stats_max_num", DoubleType()),
         ]
     )
 
@@ -1039,6 +1066,8 @@ def footer_meta_scan(spark, paths: list[str]):
                             "stats_null_count": r["stats_null_count"],
                             "stats_min_str": _stat_str(r["stats_min"]),
                             "stats_max_str": _stat_str(r["stats_max"]),
+                            "stats_min_num": _stat_num(r["stats_min"]),
+                            "stats_max_num": _stat_num(r["stats_max"]),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
@@ -1049,24 +1078,43 @@ def footer_meta_scan(spark, paths: list[str]):
 
 def _stat_str(v) -> str | None:
     """Canonical string form for a typed stat (ints stay exact; floats use
-    repr, which round-trips; bytes refuse — callers pick string columns)."""
+    repr, which round-trips; raw bytes present as hex — a catalog row must
+    never fail the whole file scan)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
-        raise ParquetError("raw-bytes statistic has no canonical string form")
+        return "0x" + v.hex()
     if isinstance(v, float):
         return repr(v)
     return str(v)
 
 
-def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Callable] | None = None):
-    """Byte-level distributed column scan: footer parsed ONCE driver-side,
-    then one task per row group, each reading only its chunks' byte ranges.
-    This is the engine's own proof that it understands its storage format —
-    and the 100-TB shape: at 1000 executors the task list is (file ×
-    row_group), exactly how Spark's own parquet scan parallelizes.
+def _stat_num(v) -> float | None:
+    """Numeric view of a typed stat (None for strings/bytes): the input to
+    min/max aggregation across row groups and to pruning predicates.
+    Exact for ints < 2^53 — every key/epoch in scope."""
+    if v is None or isinstance(v, (bytes, str)):
+        return None
+    if isinstance(v, bool):
+        return float(v)
+    return float(v)
+
+
+def raw_scan(
+    spark,
+    path: str | list[str],
+    columns: list[str],
+    presentation: dict[str, Callable] | None = None,
+):
+    """Byte-level distributed column scan: footers parsed ONCE driver-side
+    (each a 2-ranged-read fetch), then one task per (file, row_group), each
+    reading only its chunks' byte ranges. This is the engine's own proof
+    that it understands its storage format — and the 100-TB shape: at 1000
+    executors the task list is (file × row_group), exactly how Spark's own
+    parquet scan parallelizes. All files must share the leaf schema for the
+    requested columns (mismatches refuse at plan time).
 
     ``presentation`` optionally maps column -> callable(list)->list applied
     after decode (e.g. epoch-micros -> pandas timestamps)."""
@@ -1083,11 +1131,26 @@ def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Calla
         TimestampNTZType,
     )
 
-    meta = read_file_meta(path)
+    paths = [path] if isinstance(path, str) else sorted(path)
+    if not paths:
+        raise ParquetError("raw_scan needs at least one file")
+    metas = {p: read_file_meta(p) for p in paths}
+    meta = metas[paths[0]]
     leaves = {lf.path: lf for lf in schema_leaves(meta)}
     for c in columns:
         if c not in leaves:
             raise ParquetError(f"unknown column {c}")
+    for p in paths[1:]:
+        other = {lf.path: lf for lf in schema_leaves(metas[p])}
+        for c in columns:
+            if c not in other:
+                raise ParquetError(f"{p}: missing column {c}")
+            if (
+                other[c].physical_type != leaves[c].physical_type
+                or other[c].max_def_level != leaves[c].max_def_level
+                or other[c].max_rep_level != leaves[c].max_rep_level
+            ):
+                raise ParquetError(f"{p}: column {c} has a different leaf shape")
 
     def spark_type(leaf: _Leaf):
         lt = leaf.logical or {}
@@ -1105,7 +1168,9 @@ def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Calla
         }.get(pt) or StringType()
 
     schema = StructType([StructField(c, spark_type(leaves[c])) for c in columns])
-    n_rg = len(meta["row_groups"])
+    tasks_list = [
+        (p, i) for p in paths for i in range(len(metas[p]["row_groups"]))
+    ]
 
     def default_presentation(leaf: _Leaf):
         lt = leaf.logical or {}
@@ -1121,8 +1186,11 @@ def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Calla
 
     def gen(batches):
         for pdf in batches:
-            for rg in pdf["rg"]:
-                cols = read_row_group(path, meta, int(rg), columns)
+            for p, rg in zip(pdf["path"], pdf["rg"]):
+                # executor-side footer re-read: tasks ship only (path, rg),
+                # never the (possibly large) metadata object
+                m = read_file_meta(p)
+                cols = read_row_group(p, m, int(rg), columns)
                 data = {}
                 for c in columns:
                     vals = cols[c]
@@ -1130,5 +1198,5 @@ def raw_scan(spark, path: str, columns: list[str], presentation: dict[str, Calla
                     data[c] = pres(vals) if pres else vals
                 yield pd.DataFrame(data, columns=columns)
 
-    tasks = spark.createDataFrame([(i,) for i in range(n_rg)], ["rg"])
-    return tasks.repartition(max(n_rg, 1), "rg").mapInPandas(gen, schema)
+    tasks = spark.createDataFrame(tasks_list, ["path", "rg"])
+    return tasks.repartition(max(len(tasks_list), 1), "path", "rg").mapInPandas(gen, schema)
