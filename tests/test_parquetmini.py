@@ -250,6 +250,108 @@ def test_testdata_values_match_pyarrow():
 
 
 # ---------------------------------------------------------------------------
+# modern encodings: DELTA_* and BYTE_STREAM_SPLIT (pinned via pyarrow writer)
+# ---------------------------------------------------------------------------
+
+
+def _enc_roundtrip(tmp_path, arr, encoding, **extra):
+    table = pa.table({"x": arr})
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(
+        table, p, use_dictionary=False, column_encoding={"x": encoding},
+        compression=extra.pop("compression", "none"), **extra,
+    )
+    meta = pm.read_file_meta(p)
+    out = []
+    for rg in range(len(meta["row_groups"])):
+        out.extend(pm.read_row_group(p, meta, rg, ["x"])["x"])
+    assert out == table.column("x").to_pylist()
+    # confirm the writer actually used the requested encoding
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert encoding in md.encodings
+    return p
+
+
+def test_delta_binary_packed_int64(tmp_path):
+    rng = random.Random(5)
+    vals = [rng.randrange(-(2**62), 2**62) if rng.random() > 0.1 else None for _ in range(5000)]
+    _enc_roundtrip(tmp_path, pa.array(vals, pa.int64()), "DELTA_BINARY_PACKED")
+
+
+def test_delta_binary_packed_int32_multipage(tmp_path):
+    rng = random.Random(6)
+    vals = [rng.randrange(-(2**31), 2**31) for _ in range(20000)]
+    _enc_roundtrip(
+        tmp_path, pa.array(vals, pa.int32()), "DELTA_BINARY_PACKED",
+        data_page_size=2048, compression="snappy",
+    )
+
+
+def test_delta_binary_packed_extremes(tmp_path):
+    # alternating int64 extremes force max-width miniblocks and wraparound
+    vals = [0, 2**63 - 1, -(2**63), 2**63 - 1, -(2**63), 7, -7] * 50
+    _enc_roundtrip(tmp_path, pa.array(vals, pa.int64()), "DELTA_BINARY_PACKED")
+
+
+def test_delta_binary_packed_monotonic(tmp_path):
+    # sorted input: min_delta dominates, many zero-width miniblocks
+    _enc_roundtrip(tmp_path, pa.array(range(10000), pa.int64()), "DELTA_BINARY_PACKED")
+
+
+def test_delta_length_byte_array(tmp_path):
+    rng = random.Random(7)
+    vals = [
+        "".join(rng.choices("abcdef", k=rng.randrange(0, 40))) if rng.random() > 0.1 else None
+        for _ in range(3000)
+    ]
+    _enc_roundtrip(tmp_path, pa.array(vals, pa.string()), "DELTA_LENGTH_BYTE_ARRAY")
+
+
+def test_delta_byte_array_shared_prefixes(tmp_path):
+    rng = random.Random(8)
+    vals = sorted(
+        f"user/{rng.randrange(100)}/items/{rng.randrange(10000)}" for _ in range(4000)
+    )
+    _enc_roundtrip(tmp_path, pa.array(vals, pa.string()), "DELTA_BYTE_ARRAY", compression="gzip")
+
+
+def test_byte_stream_split_float_double(tmp_path):
+    rng = random.Random(9)
+    fv = [rng.random() * 1e3 if rng.random() > 0.1 else None for _ in range(3000)]
+    dv = [rng.random() * 1e9 if rng.random() > 0.1 else None for _ in range(3000)]
+    _enc_roundtrip(tmp_path, pa.array(fv, pa.float32()), "BYTE_STREAM_SPLIT")
+    _enc_roundtrip(tmp_path, pa.array(dv, pa.float64()), "BYTE_STREAM_SPLIT", compression="snappy")
+
+
+def test_v2_default_delta_encodings(tmp_path):
+    # data_page_version 2.0 + no dictionary: arrow picks DELTA encodings
+    # on its own — decode must handle whatever it wrote
+    table = _sample_table(3000, seed=11)
+    p = str(tmp_path / "v2.parquet")
+    pq.write_table(table, p, use_dictionary=False, data_page_version="2.0", compression="snappy")
+    meta = pm.read_file_meta(p)
+    got = pm.read_row_group(p, meta, 0, list(table.schema.names))
+    exp = _expected(table)
+    for c in exp:
+        assert got[c] == exp[c], c
+
+
+def test_delta_truncation_refuses(tmp_path):
+    vals = list(range(1000))
+    p = _enc_roundtrip(tmp_path, pa.array(vals, pa.int64()), "DELTA_BINARY_PACKED")
+    meta = pm.read_file_meta(p)
+    cm = meta["row_groups"][0]["columns"][0]["meta_data"]
+    start, end = pm._chunk_byte_range(cm)
+    with open(p, "rb") as fh:
+        fh.seek(start)
+        chunk = fh.read(end - start)
+    leaf = pm.schema_leaves(meta)[0]
+    for cut in (len(chunk) // 4, len(chunk) // 2, len(chunk) - 3):
+        with pytest.raises(pm.ParquetError):
+            pm.decode_column_chunk(chunk[:cut], cm, leaf)
+
+
+# ---------------------------------------------------------------------------
 # refusal contracts
 # ---------------------------------------------------------------------------
 
@@ -263,16 +365,25 @@ def test_refuse_zstd_pages(tmp_path):
         pm.read_row_group(p, meta, 0, ["i64"])
 
 
-def test_refuse_delta_encoding(tmp_path):
-    table = pa.table({"x": pa.array(range(1000), pa.int64())})
+def test_refuse_delta_on_wrong_type(tmp_path):
+    # DELTA_BINARY_PACKED is integer-only; a forged encoding id on a
+    # double column must refuse, not mis-decode
+    table = pa.table({"x": pa.array(range(100), pa.int64())})
     p = str(tmp_path / "d.parquet")
     pq.write_table(
         table, p, use_dictionary=False, column_encoding={"x": "DELTA_BINARY_PACKED"},
-        compression="snappy",
+        compression="none",
     )
     meta = pm.read_file_meta(p)
-    with pytest.raises(pm.ParquetError, match="DELTA"):
-        pm.read_row_group(p, meta, 0, ["x"])
+    leaf = pm.schema_leaves(meta)[0]
+    leaf.physical_type = "DOUBLE"  # forge the type
+    cm = meta["row_groups"][0]["columns"][0]["meta_data"]
+    start, end = pm._chunk_byte_range(cm)
+    with open(p, "rb") as fh:
+        fh.seek(start)
+        chunk = fh.read(end - start)
+    with pytest.raises(pm.ParquetError, match="non-integer"):
+        pm.decode_column_chunk(chunk, cm, leaf)
 
 
 def test_refuse_nested_decode():

@@ -830,6 +830,136 @@ def _decode_plain(buf: bytes, pos: int, end: int, n: int, leaf: _Leaf) -> tuple[
     raise ParquetError(f"PLAIN decode unsupported for {pt}")
 
 
+def _read_ule_varint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise ParquetError("delta: truncated varint")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ParquetError("delta: varint too long")
+
+
+def _decode_delta_binary_packed(
+    buf: bytes, pos: int, end: int, leaf_bits: int
+) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md): header of
+    (block_size, miniblocks_per_block, total_count, first_value), then
+    blocks of (min_delta, per-miniblock bit widths, LSB-first bit-packed
+    deltas). Values wrap at the physical width (two's complement)."""
+    block_size, pos = _read_ule_varint(buf, pos, end)
+    n_mini, pos = _read_ule_varint(buf, pos, end)
+    total, pos = _read_ule_varint(buf, pos, end)
+    if block_size <= 0 or block_size % 128 or n_mini <= 0 or block_size % n_mini:
+        raise ParquetError("delta: invalid block geometry")
+    per_mini = block_size // n_mini
+    if per_mini % 32:
+        raise ParquetError("delta: miniblock size not a multiple of 32")
+    first_u, pos = _read_ule_varint(buf, pos, end)
+    first = (first_u >> 1) ^ -(first_u & 1)
+    out = [first]
+    mod = 1 << leaf_bits
+    half = mod >> 1
+    cur = first
+    while len(out) < total:
+        md_u, pos = _read_ule_varint(buf, pos, end)
+        min_delta = (md_u >> 1) ^ -(md_u & 1)
+        if pos + n_mini > end:
+            raise ParquetError("delta: truncated miniblock widths")
+        widths = buf[pos : pos + n_mini]
+        pos += n_mini
+        for m in range(n_mini):
+            if len(out) >= total:
+                break  # trailing miniblocks of the last block carry no data
+            bw = widths[m]
+            if bw > leaf_bits + 1:
+                raise ParquetError(f"delta: miniblock bit width {bw}")
+            nbytes = per_mini * bw // 8
+            if pos + nbytes > end:
+                raise ParquetError("delta: truncated miniblock data")
+            word = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bw) - 1
+            take = min(per_mini, total - len(out))
+            for i in range(take):
+                d = ((word >> (i * bw)) & mask) + min_delta
+                cur = cur + d
+                # wrap to the physical width (the encoding is defined on
+                # the two's-complement bit pattern)
+                w = cur & (mod - 1)
+                out.append(w - mod if w >= half else w)
+            cur = out[-1]
+    if total == 0:
+        return [], pos
+    return out[:total], pos
+
+
+def _decode_delta_length_byte_array(
+    buf: bytes, pos: int, end: int, n: int
+) -> tuple[list[bytes], int]:
+    lens, pos = _decode_delta_binary_packed(buf, pos, end, 32)
+    if len(lens) < n:
+        raise ParquetError("delta-length: fewer lengths than values")
+    vals = []
+    for ln in lens[:n]:
+        if ln < 0 or pos + ln > end:
+            raise ParquetError("delta-length: byte section truncated")
+        vals.append(buf[pos : pos + ln])
+        pos += ln
+    return vals, pos
+
+
+def _decode_delta_byte_array(
+    buf: bytes, pos: int, end: int, n: int
+) -> tuple[list[bytes], int]:
+    prefixes, pos = _decode_delta_binary_packed(buf, pos, end, 32)
+    if len(prefixes) < n:
+        raise ParquetError("delta-byte-array: fewer prefixes than values")
+    suffixes, pos = _decode_delta_length_byte_array(buf, pos, end, n)
+    vals: list[bytes] = []
+    prev = b""
+    for pfx, sfx in zip(prefixes[:n], suffixes):
+        if pfx < 0 or pfx > len(prev):
+            raise ParquetError("delta-byte-array: prefix longer than previous value")
+        prev = prev[:pfx] + sfx
+        vals.append(prev)
+    return vals, pos
+
+
+def _decode_byte_stream_split(
+    buf: bytes, pos: int, end: int, n: int, leaf: _Leaf
+) -> tuple[list, int]:
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}.get(leaf.physical_type)
+    if width is None:
+        if leaf.physical_type == "FIXED_LEN_BYTE_ARRAY" and leaf.type_length:
+            width = leaf.type_length
+        else:
+            raise ParquetError(
+                f"BYTE_STREAM_SPLIT unsupported for {leaf.physical_type}"
+            )
+    need = n * width
+    if pos + need > end:
+        raise ParquetError("byte-stream-split section truncated")
+    streams = [buf[pos + k * n : pos + (k + 1) * n] for k in range(width)]
+    pos += need
+    raw = [bytes(streams[k][i] for k in range(width)) for i in range(n)]
+    if leaf.physical_type == "FLOAT":
+        return [struct.unpack("<f", b)[0] for b in raw], pos
+    if leaf.physical_type == "DOUBLE":
+        return [struct.unpack("<d", b)[0] for b in raw], pos
+    if leaf.physical_type == "INT32":
+        return [struct.unpack("<i", b)[0] for b in raw], pos
+    if leaf.physical_type == "INT64":
+        return [struct.unpack("<q", b)[0] for b in raw], pos
+    return raw, pos
+
+
 def _convert_logical(vals: list, leaf: _Leaf) -> list:
     """Apply the logical-type view: utf8 decode for strings; timestamps stay
     as raw epoch ints (callers choose the temporal presentation)."""
@@ -954,6 +1084,28 @@ def decode_column_chunk(chunk: bytes, cm: dict[str, Any], leaf: _Leaf) -> list:
                 present = []
         elif enc == 0:  # PLAIN
             present, pos = _decode_plain(data, pos, end, n_present, leaf)
+        elif enc == 5:  # DELTA_BINARY_PACKED
+            if leaf.physical_type not in ("INT32", "INT64"):
+                raise ParquetError("DELTA_BINARY_PACKED on a non-integer column")
+            bits = 32 if leaf.physical_type == "INT32" else 64
+            if n_present:
+                present, pos = _decode_delta_binary_packed(data, pos, end, bits)
+                if len(present) != n_present:
+                    raise ParquetError(
+                        f"delta page decoded {len(present)} of {n_present} values"
+                    )
+            else:
+                present = []
+        elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+            if leaf.physical_type != "BYTE_ARRAY":
+                raise ParquetError("DELTA_LENGTH_BYTE_ARRAY on a non-byte-array column")
+            present, pos = _decode_delta_length_byte_array(data, pos, end, n_present)
+        elif enc == 7:  # DELTA_BYTE_ARRAY
+            if leaf.physical_type not in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+                raise ParquetError("DELTA_BYTE_ARRAY on an unsupported column type")
+            present, pos = _decode_delta_byte_array(data, pos, end, n_present)
+        elif enc == 9:  # BYTE_STREAM_SPLIT
+            present, pos = _decode_byte_stream_split(data, pos, end, n_present, leaf)
         elif enc == 3 and leaf.physical_type == "BOOLEAN":
             # RLE-encoded boolean values (the v2-page default): 4-byte LE
             # section length, then hybrid runs at bit width 1
