@@ -476,6 +476,120 @@ def test_gzip_page_size_mismatch_refuses(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# writer: our bytes through four independent readers
+# ---------------------------------------------------------------------------
+
+
+def _writer_cols(n=3000, seed=13):
+    rng = random.Random(seed)
+    opt = lambda gen: [gen() if rng.random() > 0.1 else None for _ in range(n)]
+    return {
+        "k": opt(lambda: rng.randrange(-(2**50), 2**50)),
+        "i": opt(lambda: rng.randrange(-(2**30), 2**30)),
+        "d": opt(lambda: rng.random() * 1e6),
+        "s": opt(lambda: "".join(rng.choices("abc defé", k=rng.randrange(0, 30)))),
+        "b": opt(lambda: rng.random() > 0.5),
+        "t": opt(lambda: rng.randrange(0, 2**44)),
+    }
+
+
+_WRITER_KINDS = {"k": "i64", "i": "i32", "d": "f64", "s": "str", "b": "bool", "t": "ts_us"}
+
+
+@pytest.mark.parametrize("codec", ["snappy", "none", "gzip"])
+def test_writer_pyarrow_and_self(tmp_path, codec):
+    cols = _writer_cols()
+    blob = pm.encode_parquet(cols, _WRITER_KINDS, codec=codec, rows_per_page=700)
+    p = str(tmp_path / "w.parquet")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    t = pq.read_table(p)
+    for c in ("k", "i", "d", "s", "b"):
+        assert t.column(c).to_pylist() == cols[c], c
+    assert t.column("t").combine_chunks().cast(pa.int64()).to_pylist() == cols["t"]
+    # typed stats visible to arrow (column_orders present)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    kv = [v for v in cols["k"] if v is not None]
+    assert st.has_min_max and st.min == min(kv) and st.max == max(kv)
+    assert st.null_count == cols["k"].count(None)
+    # our own reader closes the loop
+    meta = pm.read_file_meta(p)
+    got = pm.read_row_group(p, meta, 0, list(cols))
+    for c in cols:
+        assert got[c] == cols[c], c
+
+
+def test_writer_duckdb(tmp_path):
+    import duckdb
+
+    cols = _writer_cols(seed=14)
+    p = str(tmp_path / "w.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, _WRITER_KINDS))
+    con = duckdb.connect()
+    r = con.execute(
+        f"SELECT COUNT(*), SUM(k), MIN(typeof(t)), MIN(typeof(i)), COUNT(s)"
+        f" FROM read_parquet('{p}')"
+    ).fetchone()
+    kv = [v for v in cols["k"] if v is not None]
+    assert r[0] == len(cols["k"]) and r[1] == sum(kv)
+    assert r[2] == "TIMESTAMP" and r[3] == "INTEGER"
+    assert r[4] == sum(1 for v in cols["s"] if v is not None)
+
+
+def test_writer_stats_prune_own_files(tmp_path):
+    """Our pruning path consumes our own writer's stats."""
+    p = str(tmp_path / "w.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet({"x": [3, 1, 4, 1, 5]}, {"x": "i64"}))
+    rows = pm.footer_meta_rows(p)
+    assert rows[0]["stats_min"] == 1 and rows[0]["stats_max"] == 5
+    assert rows[0]["stats_null_count"] == 0
+
+
+def test_writer_refusals():
+    with pytest.raises(pm.ParquetError, match="zero rows"):
+        pm.encode_parquet({"x": []}, {"x": "i64"})
+    with pytest.raises(pm.ParquetError, match="ragged"):
+        pm.encode_parquet({"x": [1], "y": [1, 2]}, {"x": "i64", "y": "i64"})
+    with pytest.raises(pm.ParquetError, match="unsupported writer kind"):
+        pm.encode_parquet({"x": [1]}, {"x": "decimal"})
+    with pytest.raises(pm.ParquetError, match="codec"):
+        pm.encode_parquet({"x": [1]}, {"x": "i64"}, codec="zstd")
+    with pytest.raises(pm.ParquetError, match="at least one column"):
+        pm.encode_parquet({}, {})
+
+
+def test_writer_all_null_and_unicode(tmp_path):
+    cols = {"x": [None, None, None], "s": ["é中文", "", None]}
+    p = str(tmp_path / "w.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, {"x": "i64", "s": "str"}))
+    t = pq.read_table(p)
+    assert t.column("x").to_pylist() == cols["x"]
+    assert t.column("s").to_pylist() == cols["s"]
+
+
+def test_write_parquet_corpus_spark_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    man = pm.write_parquet_corpus(docs.repartition(4), out, kinds).toPandas()
+    assert man.n_rows.sum() == docs.count()
+    assert len(man) <= 4
+    back = spark.read.parquet(out)
+    a = sorted(back.collect(), key=lambda r: r.doc_id)
+    b = sorted(docs.collect(), key=lambda r: r.doc_id)
+    assert a == b
+
+
+def test_write_parquet_corpus_missing_kind(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(pm.ParquetError, match="no writer kind"):
+        pm.write_parquet_corpus(docs, "/tmp/never", {"doc_id": "i64"})
+
+
+# ---------------------------------------------------------------------------
 # Spark-facing operators
 # ---------------------------------------------------------------------------
 

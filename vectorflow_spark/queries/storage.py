@@ -342,6 +342,37 @@ def q_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_parquet_write_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_parquet_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine WRITES its own storage format byte-level: the documents
+    table serialized by OUR pure-Python parquet writer (thrift-compact
+    footer encoder, PLAIN v1 pages, RLE def levels, our snappy, typed
+    stats, column_orders) through the distributed rename-commit sink — one
+    file per task, no driver data movement — then read back by Spark's own
+    parquet-java reader. The oracle is the table itself, so a hash match
+    proves a fully independent reader accepts every byte we emit. Unit
+    tests additionally pin pyarrow and DuckDB over the same output, and
+    our own decoder closes the loop. Per-process output dir, wiped before
+    each run (same discipline as q_warc_scan: rename-commit only replaces
+    files the current run produces)."""
+    from vectorflow_spark.sources.parquetmini import write_parquet_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_pqwrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True)
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    write_parquet_corpus(docs, out_dir, kinds).count()  # the write IS this action
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 @query("q_snappy_roundtrip", "SELECT doc_id, text FROM documents")
 def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed identity proof of the pure-Python snappy codec: every
