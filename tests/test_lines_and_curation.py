@@ -380,3 +380,28 @@ def test_fold_homoglyphs_kernel(spark):
     assert out[2] == "ABC"
     assert out[3] == "abc"
     assert out[4] == "plain ascii"
+
+
+def test_c4_clean_kernel(spark):
+    from vectorflow_spark.operators.lines import c4_clean
+
+    rows = [
+        (1, "One two three.\nTwo words.\nends without punct\nHas some JavaScript inside."),
+        (2, "Good first sentence here. \nSmart quote ending line here”"),
+        (3, "a { b\nFive words ending with period."),
+        (4, "lorem ipsum\nAnother fine sentence right here."),
+        (5, "Buy viagra now please.\nMore text follows after that line."),
+        (6, "\n".join(f"Sentence number {i} is fine." for i in range(6))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    # line rules: >=3 words, terminal punct, no javascript (case-insensitive)
+    assert out[1].clean_text == "One two three."
+    # trailing whitespace trimmed before the punct check; ” counts as terminal
+    assert out[2].clean_text == "Good first sentence here.\nSmart quote ending line here”"
+    # page rules
+    assert not out[3].keep_page  # curly brace
+    assert not out[4].keep_page  # lorem ipsum
+    assert not out[5].keep_page  # blocklist word
+    assert out[6].keep_page and out[6].n_sentences == 6
+    assert not out[1].keep_page  # fewer than 5 sentences post-clean

@@ -117,3 +117,63 @@ def drop_frequent_lines(
             "n_lines_dropped"
         ),
     )
+
+
+# -- C4 cleaning (Raffel et al. 2020, the public C4 heuristics) -------------
+
+C4_BADWORDS = ("porn", "xxx", "viagra", "sex cam")
+"""Representative subset of the public C4 blocklist ("List of Dirty,
+Naughty, Obscene..."); production callers inject the full list. Matching is
+whole-word over the lowercased page, per the C4 implementation."""
+
+
+def c4_keep_line_expr(line: Column | str) -> Column:
+    """C4's line-retention rule as one boolean expression over a TRIMMED
+    line: ends in a terminal punctuation mark (period / ! / ? / closing
+    quote), carries >= 3 words, and does not mention javascript. Zero
+    Python, zero shuffle — runs inside the scan projection."""
+    l = _c(line)
+    words = F.filter(F.split(l, F.lit(" "), -1), lambda w: w != "")
+    return (
+        l.rlike('[.!?"”]$')
+        & (F.size(words) >= 3)
+        & ~F.lower(l).contains("javascript")
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """The C4 cleaning pass: per-line retention (c4_keep_line_expr over
+    whitespace-trimmed lines), then the page-level discards — fewer than 5
+    sentences after cleaning, any curly brace, "lorem ipsum", or a
+    blocklist word. Emits (doc_id, clean_text, n_sentences, keep_page);
+    the drop-or-keep action belongs to the caller (the funnel wants the
+    counts). Entirely expression-level: at 100 TB this is a free rider on
+    the scan, no shuffle, no UDF.
+
+    Reference scope note: the reference pipeline roadmaps data curation
+    only (README.md:290-299); this implements the public C4 heuristics as
+    part of the engine's curation family.
+    """
+    text = _c(text_col)
+    trimmed = F.transform(F.split(text, F.lit("\n"), -1), lambda l: F.trim(l))
+    kept = F.filter(trimmed, c4_keep_line_expr)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    bad_re = r"\b(" + "|".join(badwords) + r")\b"
+    keep = (
+        (n_sent >= 5)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~F.lower(text).rlike(bad_re)
+    )
+    return docs.select(
+        F.col(doc_col),
+        clean.alias("clean_text"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep_page"),
+    )

@@ -1387,3 +1387,82 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_flags(ev)
 
 
+
+
+@query(
+    "q_c4_filters",
+    """
+    WITH S AS (
+        SELECT doc_id,
+            concat_ws(chr(10),
+                text,
+                'This is a good sentence number ' || doc_id || '.',
+                'Short line.',
+                'A javascript line never survives cleaning here.',
+                CASE WHEN doc_id % 7 = 0 THEN 'curly { brace page'
+                     ELSE 'No brace here today.' END,
+                CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum filler'
+                     ELSE 'Real content line indeed!' END,
+                CASE WHEN doc_id % 13 = 0 THEN 'Buy viagra now please.'
+                     ELSE 'Nothing to block here.' END,
+                repeat('Another sentence here. ', CAST(doc_id % 6 AS INT))
+            ) AS text
+        FROM documents),
+    L AS (
+        SELECT doc_id, text,
+            -- array_to_string([]) is NULL in DuckDB, '' in Spark: coalesce
+            COALESCE(array_to_string(
+                list_filter(
+                    list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> regexp_matches(l, '[.!?"\u201d]$')
+                         AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                         AND NOT contains(lower(l), 'javascript')
+                ), chr(10)), '') AS clean_text
+        FROM S)
+    SELECT doc_id, clean_text,
+        CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+        (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+         AND NOT contains(text, '{')
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT regexp_matches(lower(text), '\\b(porn|xxx|viagra|sex cam)\\b')
+        ) AS keep_page
+    FROM L
+    """,
+)
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020) engine-vs-engine: line
+    retention (terminal punctuation + >=3 words + no javascript, over
+    trimmed lines), then the page rules (>=5 sentences post-clean, curly
+    brace, lorem ipsum, blocklist words). The synthetic documents carry no
+    newlines or terminal punctuation, so each doc is SALTED (identically
+    in both engines) with lines that exercise every branch: a kept
+    sentence, a too-short line, a javascript line, rotating curly-brace /
+    lorem-ipsum / blocklist pages, and a doc_id-varied sentence count
+    around the >=5 threshold. Both engines rebuild the cleaned text
+    VERBATIM, so the hash match covers the exact per-line decisions, not
+    just aggregate counts. Pure expressions — the 100-TB plan is a free
+    rider on the scan projection."""
+    from vectorflow_spark.operators.lines import c4_clean
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("This is a good sentence number "), F.col("doc_id"), F.lit(".")),
+            F.lit("Short line."),
+            F.lit("A javascript line never survives cleaning here."),
+            F.when(F.col("doc_id") % 7 == 0, "curly { brace page").otherwise(
+                "No brace here today."
+            ),
+            F.when(F.col("doc_id") % 11 == 0, "lorem ipsum filler").otherwise(
+                "Real content line indeed!"
+            ),
+            F.when(F.col("doc_id") % 13 == 0, "Buy viagra now please.").otherwise(
+                "Nothing to block here."
+            ),
+            F.expr("repeat('Another sentence here. ', CAST(doc_id % 6 AS INT))"),
+        ).alias("text"),
+    )
+    return c4_clean(salted)
