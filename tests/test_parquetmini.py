@@ -570,6 +570,50 @@ def test_writer_all_null_and_unicode(tmp_path):
     assert t.column("s").to_pylist() == cols["s"]
 
 
+def test_writer_dictionary_pages(tmp_path):
+    import duckdb
+
+    rng = random.Random(21)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    cols = {
+        "cat": [rng.choice(vocab) if rng.random() > 0.1 else None for _ in range(8000)],
+        "code": [rng.randrange(50) if rng.random() > 0.1 else None for _ in range(8000)],
+        "uniq": list(range(8000)),  # all-distinct: must fall back to PLAIN
+    }
+    kinds = {"cat": "str", "code": "i64", "uniq": "i64"}
+    p = str(tmp_path / "d.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, kinds, rows_per_page=1000))
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    encs = {md.column(i).path_in_schema: md.column(i).encodings for i in range(3)}
+    assert "PLAIN_DICTIONARY" in encs["cat"] and "PLAIN_DICTIONARY" in encs["code"]
+    assert "PLAIN_DICTIONARY" not in encs["uniq"]
+    t = pq.read_table(p)
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    con = duckdb.connect()
+    assert con.execute(f"SELECT COUNT(DISTINCT cat) FROM read_parquet('{p}')").fetchone()[0] == 4
+    meta = pm.read_file_meta(p)
+    got = pm.read_row_group(p, meta, 0, list(cols))
+    assert got == cols
+    # dictionary beats PLAIN on repetitive data
+    plain = pm.encode_parquet(cols, kinds, use_dictionary=False, rows_per_page=1000)
+    with open(p, "rb") as fh:
+        assert len(fh.read()) < len(plain)
+
+
+def test_writer_hybrid_def_levels_mixed_runs(tmp_path):
+    # long null runs + scattered nulls: exercises RLE runs, boundary
+    # top-up, and literal groups inside ONE def-level stream
+    vals = ([None] * 40 + [1, None, 2, 3, None, None, 4] + [7] * 40 + [None, 9]) * 30
+    p = str(tmp_path / "h.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet({"x": vals}, {"x": "i64"}, rows_per_page=500))
+    assert pq.read_table(p).column("x").to_pylist() == vals
+    meta = pm.read_file_meta(p)
+    assert pm.read_row_group(p, meta, 0, ["x"])["x"] == vals
+
+
 def test_write_parquet_corpus_spark_roundtrip(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = str(tmp_path / "corpus")

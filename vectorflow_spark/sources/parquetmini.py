@@ -1284,18 +1284,68 @@ def _plain_encode(vals: list, kind: str) -> bytes:
 
 
 def _rle_bitpacked_defs(defs: list[int]) -> bytes:
-    """Definition levels at bit width 1 as one bit-packed hybrid run (padded
-    to a group of 8), with the v1 4-byte length prefix."""
-    n = len(defs)
-    groups = (n + 7) // 8
-    word = 0
-    for i, d in enumerate(defs):
-        if d:
-            word |= 1 << i
-    body = _ThriftW()
-    body.varint((groups << 1) | 1)
-    payload = bytes(body.out) + word.to_bytes(groups, "little")
+    """Definition levels at bit width 1 (hybrid runs: all-present pages
+    collapse to one 3-byte RLE run), with the v1 4-byte length prefix."""
+    payload = _hybrid_encode(defs, 1)
     return struct.pack("<I", len(payload)) + payload
+
+
+def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
+    """RLE/bit-packed hybrid encoder (the levels + dictionary-index wire
+    format): repeats of >= 8 become RLE runs; everything else accumulates
+    into bit-packed groups of 8 (padding only ever lands in the FINAL
+    group, which readers never consume past the declared value count)."""
+    out = bytearray()
+    byte_w = max((bit_width + 7) // 8, 1)
+
+    def put_varint(v: int) -> None:
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+
+    def flush_groups(buf: list[int]) -> None:
+        if not buf:
+            return
+        pad = (-len(buf)) % 8
+        padded = buf + [0] * pad
+        groups = len(padded) // 8
+        put_varint((groups << 1) | 1)
+        word = 0
+        for i, v in enumerate(padded):
+            word |= v << (i * bit_width)
+        out.extend(word.to_bytes(groups * bit_width, "little"))
+        buf.clear()
+
+    i = 0
+    n = len(values)
+    lit: list[int] = []
+    while i < n:
+        j = i
+        while j < n and values[j] == values[i]:
+            j += 1
+        run = j - i
+        if run >= 8 and len(lit) % 8 == 0:
+            flush_groups(lit)  # exact multiple of 8 — no mid-stream padding
+            put_varint(run << 1)
+            out.extend((values[i]).to_bytes(byte_w, "little"))
+            i = j
+        elif run >= 8:
+            # top the literal buffer up to an 8-boundary from the run head,
+            # then reconsider the (still >= 1) remaining run next pass
+            take = 8 - (len(lit) % 8)
+            lit.extend(values[i : i + take])
+            flush_groups(lit)
+            i += take
+        else:
+            lit.extend(values[i:j])
+            keep = len(lit) % 8
+            if len(lit) >= 8:
+                head, lit = lit[: len(lit) - keep], lit[len(lit) - keep :]
+                flush_groups(head)
+            i = j
+    flush_groups(lit)  # only the FINAL group may carry padding
+    return bytes(out)
 
 
 def _w_stats(w: _ThriftW, last: int, vals_present: list, kind: str, n_nulls: int) -> int:
@@ -1319,12 +1369,14 @@ def encode_parquet(
     kinds: dict[str, str],
     *,
     codec: str = "snappy",
+    use_dictionary: bool = True,
     rows_per_page: int = 20000,
     created_by: str = "vectorflow-spark parquetmini",
 ) -> bytes:
     """Serialize one row group of named columns to a complete parquet file
-    (PLAIN v1 pages, optional fields with RLE def levels, typed stats, our
-    snappy or stdlib gzip page compression). Every column list must share
+    (v1 pages — dictionary-encoded when a column's distinct set is small,
+    PLAIN otherwise — optional fields with RLE/bit-packed def levels, typed
+    stats, our snappy or stdlib gzip page compression). Every column list must share
     one length; ``kinds[name]`` picks the physical/logical type from
     {i64,i32,f64,f32,bool,str,bin,ts_us} (ts_us takes epoch micros).
 
@@ -1357,22 +1409,64 @@ def encode_parquet(
         return data
 
     out = bytearray(MAGIC)
-    chunk_meta = []  # (name, kind, offset, comp_size, uncomp_size, n_nulls, present)
+    chunk_meta: list[dict[str, Any]] = []
     for name in names:
         kind = kinds[name]
         vals = cols[name]
         offset = len(out)
         comp_total = 0
         uncomp_total = 0
-        all_present = []
-        n_nulls = 0
-        for start in range(0, max(n_rows, 1), rows_per_page):
+        all_present = [v for v in vals if v is not None]
+        n_nulls = n_rows - len(all_present)
+
+        # dictionary decision: hashable kinds with a small distinct set
+        # (floats excluded — NaN breaks dict-key equality)
+        dict_vals: list | None = None
+        if use_dictionary and kind in ("i64", "i32", "ts_us", "str", "bin") and all_present:
+            seen: dict = {}
+            for v in all_present:
+                if v not in seen:
+                    seen[v] = len(seen)
+                    if len(seen) > 65536:
+                        break
+            if len(seen) <= 65536 and len(seen) <= max(1, len(all_present) // 2):
+                dict_vals = list(seen)
+                dict_idx = seen
+        dict_page_offset = None
+        if dict_vals is not None:
+            dict_page_offset = offset
+            body = _plain_encode(dict_vals, kind)
+            comp = compress(body)
+            hdr = _ThriftW()
+            last = hdr.i_field(0, 1, 2, _CT_I32)  # PageType.DICTIONARY_PAGE
+            last = hdr.i_field(last, 2, len(body), _CT_I32)
+            last = hdr.i_field(last, 3, len(comp), _CT_I32)
+            last = hdr.field(last, 7, _CT_STRUCT)
+            dph = _ThriftW()
+            dlast = dph.i_field(0, 1, len(dict_vals), _CT_I32)
+            dlast = dph.i_field(dlast, 2, 2, _CT_I32)  # Encoding.PLAIN_DICTIONARY
+            dph.stop()
+            hdr.out += dph.out
+            hdr.stop()
+            out += hdr.out
+            out += comp
+            comp_total += len(hdr.out) + len(comp)
+            uncomp_total += len(hdr.out) + len(body)
+
+        data_page_offset = len(out)
+        for start in range(0, n_rows, rows_per_page):
             page_vals = vals[start : start + rows_per_page]
             defs = [0 if v is None else 1 for v in page_vals]
             present = [v for v in page_vals if v is not None]
-            n_nulls += len(page_vals) - len(present)
-            all_present.extend(present)
-            body = _rle_bitpacked_defs(defs) + _plain_encode(present, kind)
+            if dict_vals is not None:
+                bw = max((len(dict_vals) - 1).bit_length(), 1)
+                idx_bytes = _hybrid_encode([dict_idx[v] for v in present], bw)
+                values_bytes = bytes([bw]) + idx_bytes
+                page_enc = 2  # PLAIN_DICTIONARY (the v1 data-page id)
+            else:
+                values_bytes = _plain_encode(present, kind)
+                page_enc = 0  # PLAIN
+            body = _rle_bitpacked_defs(defs) + values_bytes
             comp = compress(body)
             hdr = _ThriftW()
             last = hdr.i_field(0, 1, 0, _CT_I32)  # PageType.DATA_PAGE
@@ -1381,7 +1475,7 @@ def encode_parquet(
             last = hdr.field(last, 5, _CT_STRUCT)
             dph = _ThriftW()
             dlast = dph.i_field(0, 1, len(page_vals), _CT_I32)
-            dlast = dph.i_field(dlast, 2, 0, _CT_I32)  # Encoding.PLAIN
+            dlast = dph.i_field(dlast, 2, page_enc, _CT_I32)
             dlast = dph.i_field(dlast, 3, 3, _CT_I32)  # def levels: RLE
             dlast = dph.i_field(dlast, 4, 3, _CT_I32)  # rep levels: RLE (absent)
             dph.stop()
@@ -1391,7 +1485,20 @@ def encode_parquet(
             out += comp
             comp_total += len(hdr.out) + len(comp)
             uncomp_total += len(hdr.out) + len(body)
-        chunk_meta.append((name, kind, offset, comp_total, uncomp_total, n_nulls, all_present))
+        chunk_meta.append(
+            {
+                "name": name,
+                "kind": kind,
+                "offset": offset,
+                "dict_page_offset": dict_page_offset,
+                "data_page_offset": data_page_offset,
+                "comp": comp_total,
+                "uncomp": uncomp_total,
+                "n_nulls": n_nulls,
+                "present": all_present,
+                "dict": dict_vals is not None,
+            }
+        )
 
     # FileMetaData
     fm = _ThriftW()
@@ -1403,12 +1510,12 @@ def encode_parquet(
     rlast = root.i_field(rlast, 5, len(names), _CT_I32)
     root.stop()
     fm.out += root.out
-    for name, kind, *_ in chunk_meta:
+    for m in chunk_meta:
         el = _ThriftW()
-        elast = el.i_field(0, 1, _w_physical(kind), _CT_I32)
+        elast = el.i_field(0, 1, _w_physical(m["kind"]), _CT_I32)
         elast = el.i_field(elast, 3, 1, _CT_I32)  # OPTIONAL
-        elast = el.bin_field(elast, 4, name.encode("utf-8"))
-        elast = _w_logical(el, elast, kind)
+        elast = el.bin_field(elast, 4, m["name"].encode("utf-8"))
+        elast = _w_logical(el, elast, m["kind"])
         el.stop()
         fm.out += el.out
     last = fm.i_field(last, 3, n_rows)
@@ -1417,32 +1524,34 @@ def encode_parquet(
     rg = _ThriftW()
     rglast = rg.field(0, 1, _CT_LIST)
     rg.list_header(len(names), _CT_STRUCT)
-    for name, kind, offset, comp_total, uncomp_total, n_nulls, present in chunk_meta:
+    for m in chunk_meta:
         cc = _ThriftW()
-        clast = cc.i_field(0, 2, offset)  # file_offset
+        clast = cc.i_field(0, 2, m["offset"])  # file_offset
         clast = cc.field(clast, 3, _CT_STRUCT)
         cm = _ThriftW()
-        mlast = cm.i_field(0, 1, _w_physical(kind), _CT_I32)
+        mlast = cm.i_field(0, 1, _w_physical(m["kind"]), _CT_I32)
         mlast = cm.field(mlast, 2, _CT_LIST)
         cm.list_header(2, _CT_I32)
-        cm.zigzag(0)  # PLAIN
+        cm.zigzag(2 if m["dict"] else 0)  # PLAIN_DICTIONARY / PLAIN
         cm.zigzag(3)  # RLE (levels)
         mlast = cm.field(mlast, 3, _CT_LIST)
         cm.list_header(1, _CT_BINARY)
-        nb = name.encode("utf-8")
+        nb = m["name"].encode("utf-8")
         cm.varint(len(nb))
         cm.out += nb
         mlast = cm.i_field(mlast, 4, codec_id, _CT_I32)
         mlast = cm.i_field(mlast, 5, n_rows)
-        mlast = cm.i_field(mlast, 6, uncomp_total)
-        mlast = cm.i_field(mlast, 7, comp_total)
-        mlast = cm.i_field(mlast, 9, offset)  # data_page_offset
-        mlast = _w_stats(cm, mlast, present, kind, n_nulls)
+        mlast = cm.i_field(mlast, 6, m["uncomp"])
+        mlast = cm.i_field(mlast, 7, m["comp"])
+        mlast = cm.i_field(mlast, 9, m["data_page_offset"])
+        if m["dict_page_offset"] is not None:
+            mlast = cm.i_field(mlast, 11, m["dict_page_offset"])
+        mlast = _w_stats(cm, mlast, m["present"], m["kind"], m["n_nulls"])
         cm.stop()
         cc.out += cm.out
         cc.stop()
         rg.out += cc.out
-    rglast = rg.i_field(rglast, 2, sum(m[4] for m in chunk_meta))  # total_byte_size
+    rglast = rg.i_field(rglast, 2, sum(m["uncomp"] for m in chunk_meta))  # total_byte_size
     rglast = rg.i_field(rglast, 3, n_rows)
     rg.stop()
     fm.out += rg.out
