@@ -161,3 +161,50 @@ def pagerank_quantized(
             ).alias("r"),
         )
     return r
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community detection),
+    engine-exact.
+
+    Classic LPA breaks ties randomly; this variant is fully deterministic:
+    each round every node adopts the label with the highest neighbor count,
+    ties to the SMALLEST label. The (count desc, label asc) argmin is
+    encoded arithmetically — key = label - count * 2^42, take MIN(key),
+    recover label = key mod 2^42 (positive mod) — so both engines compute
+    the identical integer, no struct-ordering or min_by semantics to align
+    (the q_pagerank3 trade: quantized integer math for bit-exact
+    cross-engine parity).
+
+    Input is DIRECTED (src, dst); pass both directions for an undirected
+    graph. Nodes with no in-neighbors drop out (same join semantics both
+    engines). Plan per iteration: one hash join of the label table onto
+    edges by dst + two map-side-combinable aggregations keyed on (src,
+    label) then src — O(iterations) shuffles, no driver state; the edge
+    set is localCheckpointed once so the unrolled loop never re-derives
+    it (the connected_components / pagerank_quantized lesson). Fixed
+    iteration count keeps the plan O(k) deep — at 100 TB, synchronous
+    rounds with a bounded k is the shape that survives (the same contract
+    as q_pagerank3), and oscillation on bipartite graphs is irrelevant to
+    a fixed-k snapshot."""
+    m = 1 << 42
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
+    labels = e.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("lbl"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        keyed = contribs.select("src", (F.col("lbl") - F.col("cnt") * F.lit(m)).alias("key"))
+        labels = (
+            keyed.groupBy("src")
+            .agg(F.min("key").alias("key"))
+            .select(F.col("src").alias("v"), F.pmod(F.col("key"), F.lit(m)).alias("lbl"))
+        )
+    return labels

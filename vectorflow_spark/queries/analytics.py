@@ -1147,3 +1147,65 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _label_prop_sql(iters: int = 3, m: int = 1 << 42) -> str:
+    prev = "l0"
+    ctes = []
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    l{i} AS (
+        SELECT src AS v, ((min(key) % {m}) + {m}) % {m} AS lbl
+        FROM (
+            SELECT e.src, l.lbl - count(*) * {m} AS key
+            FROM edges e JOIN {prev} l ON e.dst = l.v
+            GROUP BY e.src, l.lbl)
+        GROUP BY 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH eo AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s + 1000000 AS dst FROM eo
+        UNION ALL
+        SELECT s + 1000000 AS src, c AS dst FROM eo
+    ),
+    l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),{",".join(ctes)}
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM (SELECT lbl, count(*) AS sz FROM {prev} GROUP BY 1)
+    GROUP BY 1
+    """
+
+
+@query("q_label_prop", _label_prop_sql())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic label propagation over the undirected
+    customer<->supplier trade graph (same edge derivation as q_pagerank3):
+    each node adopts its neighborhood's majority label, ties to the
+    smallest, via the arithmetic (count desc, label asc) argmin encoding —
+    bit-exact on both engines (operators/graph.label_propagation). Output
+    is the community-size histogram after round 3; the oracle unrolls the
+    identical rounds as chained CTEs."""
+    from vectorflow_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    eo = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = eo.select(F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")).union(
+        eo.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=3)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+    )
