@@ -19,6 +19,7 @@ import zlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql.functions import col as F_col
 
 from vectorflow_spark.operators import snappymini as sm
 from vectorflow_spark.sources import parquetmini as pm
@@ -612,6 +613,96 @@ def test_writer_hybrid_def_levels_mixed_runs(tmp_path):
     assert pq.read_table(p).column("x").to_pylist() == vals
     meta = pm.read_file_meta(p)
     assert pm.read_row_group(p, meta, 0, ["x"])["x"] == vals
+
+
+def test_page_index_pinned_against_arrow(tmp_path):
+    """Arrow-written ColumnIndex/OffsetIndex vs our own page decode: the
+    index was computed by arrow's writer, the page slices by our reader —
+    agreement pins both."""
+    rng = random.Random(2)
+    vals = [rng.randrange(-(10**9), 10**9) if rng.random() > 0.1 else None for _ in range(20000)]
+    txt = ["".join(rng.choices("abcdef", k=8)) if rng.random() > 0.1 else None for _ in range(20000)]
+    t = pa.table({"x": pa.array(vals, pa.int64()), "s": pa.array(txt, pa.string())})
+    p = str(tmp_path / "pi.parquet")
+    pq.write_table(t, p, write_page_index=True, data_page_size=4096, compression="snappy")
+    meta = pm.read_file_meta(p)
+    decoded = pm.read_row_group(p, meta, 0, ["x", "s"])
+    for col in ("x", "s"):
+        pages = pm.read_page_index(p, meta, 0, col)
+        assert len(pages) > 3
+        for pg in pages:
+            sl = decoded[col][pg["first_row_index"] : pg["last_row_index"] + 1]
+            present = [v for v in sl if v is not None]
+            assert pg["min"] == min(present) and pg["max"] == max(present)
+            assert pg["null_count"] == sl.count(None)
+
+
+def test_page_index_roundtrip_own_writer(tmp_path):
+    rng = random.Random(4)
+    cols = {
+        "k": sorted(rng.randrange(10**9) for _ in range(10000)),
+        "s": ["".join(rng.choices("abcdef", k=6)) if rng.random() > 0.1 else None for _ in range(10000)],
+    }
+    p = str(tmp_path / "wpi.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, {"k": "i64", "s": "str"}, rows_per_page=1000))
+    meta = pm.read_file_meta(p)
+    dec = pm.read_row_group(p, meta, 0, list(cols))
+    for col in cols:
+        pages = pm.read_page_index(p, meta, 0, col)
+        assert len(pages) == 10
+        for pg in pages:
+            sl = dec[col][pg["first_row_index"] : pg["last_row_index"] + 1]
+            present = [v for v in sl if v is not None]
+            assert pg["min"] == min(present) and pg["max"] == max(present)
+            assert pg["null_count"] == sl.count(None)
+    # sorted int column advertises ASCENDING boundary order
+    assert pm.read_page_index(p, meta, 0, "k")[0]["boundary_order"] == 1
+    # arrow still reads the file with the index-bearing footer fields
+    assert pq.read_table(p).column("k").to_pylist() == cols["k"]
+
+
+def test_page_index_absent_refuses(tmp_path):
+    p = str(tmp_path / "no.parquet")
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet({"x": [1, 2]}, {"x": "i64"}, write_page_index=False))
+    meta = pm.read_file_meta(p)
+    with pytest.raises(pm.ParquetError, match="no page index"):
+        pm.read_page_index(p, meta, 0, "x")
+
+
+def test_page_index_nan_column_dropped(tmp_path):
+    p = str(tmp_path / "nan.parquet")
+    cols = {"d": [1.0, float("nan"), 3.0], "k": [1, 2, 3]}
+    with open(p, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, {"d": "f64", "k": "i64"}))
+    meta = pm.read_file_meta(p)
+    with pytest.raises(pm.ParquetError, match="no page index"):
+        pm.read_page_index(p, meta, 0, "d")  # NaN bounds would lie
+    assert pm.read_page_index(p, meta, 0, "k")[0]["min"] == 1  # others keep theirs
+
+
+def test_write_parquet_grouped(spark, tmp_path):
+    out = str(tmp_path / "grp")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", (F_col("o_orderkey") % 3).alias("g")
+    )
+    man = pm.write_parquet_grouped(
+        orders, out, {"o_orderkey": "i64", "o_custkey": "i64"}, "g", ["o_orderkey"],
+        rows_per_page=100,
+    ).toPandas()
+    assert sorted(man.grp) == ["0", "1", "2"]
+    files = sorted(glob.glob(f"{out}/g=*.parquet"))
+    assert len(files) == 3
+    total = 0
+    for f in files:
+        meta = pm.read_file_meta(f)
+        ks = pm.read_row_group(f, meta, 0, ["o_orderkey"])["o_orderkey"]
+        assert ks == sorted(ks)  # sorted within group
+        total += len(ks)
+        pages = pm.read_page_index(f, meta, 0, "o_orderkey")
+        assert pages[0]["boundary_order"] == 1
+    assert total == orders.count()
 
 
 def test_write_parquet_corpus_spark_roundtrip(spark, tmp_path):

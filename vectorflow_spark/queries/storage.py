@@ -394,3 +394,84 @@ def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", split=True)
     return docs.select("doc_id", rt("text").alias("text"))
+
+
+# bump when the page-fixture layout (bucket width, page size, sort) changes
+_PGFIX_REV = 1
+_PG_BUCKET = 8192
+_PG_ROWS = 1024
+
+
+def _paged_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once page-indexed orders corpus for q_parquet_page_prune: one
+    file per ``o_orderkey div 8192`` bucket, written by OUR writer through
+    the group-wise sink — each file sorted by o_orderkey and paged at 1024
+    rows with ColumnIndex/OffsetIndex. Orderkey uniqueness makes every
+    page's row-rank range reconstructable in pure SQL."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_pgfix_r{_PGFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    from vectorflow_spark.sources.parquetmini import write_parquet_grouped
+
+    orders = _t(spark, sf_dir, "orders", split=True).select(
+        "o_orderkey", "o_custkey", F.expr(f"o_orderkey div {_PG_BUCKET}").alias("bucket")
+    )
+    write_parquet_grouped(
+        orders,
+        out_dir,
+        {"o_orderkey": "i64", "o_custkey": "i64"},
+        "bucket",
+        ["o_orderkey"],
+        rows_per_page=_PG_ROWS,
+    ).count()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _paged_orders_dir\n")
+    return out_dir
+
+
+@query(
+    "q_parquet_page_prune",
+    f"""
+    WITH r AS (
+        SELECT o_orderkey, o_orderkey // {_PG_BUCKET} AS bucket,
+               row_number() OVER (PARTITION BY o_orderkey // {_PG_BUCKET}
+                                  ORDER BY o_orderkey) - 1 AS rn
+        FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(rn // {_PG_ROWS} AS BIGINT) AS page,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           (MAX(o_orderkey) >= 5000 AND MIN(o_orderkey) <= 6000) AS kept
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_parquet_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-level pruning — one granularity below q_parquet_prune: harvest
+    per-page min/max from OUR ColumnIndex/OffsetIndex (written by OUR
+    writer through the group-wise clustered sink, parsed by OUR reader —
+    three ranged reads per file, zero data pages) and decide which 1024-row
+    pages a ``BETWEEN 5000 AND 6000`` point-range scan may skip. The
+    oracle reconstructs every page's true bounds from rank arithmetic over
+    the unique sort key. This is the 100-TB point-lookup plan: file ->
+    row group -> page, all from index bytes."""
+    from vectorflow_spark.sources.parquetmini import page_index_scan
+
+    out_dir = _paged_orders_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "bucket=*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {out_dir}")
+    scan = page_index_scan(spark, files, "o_orderkey")
+    return scan.select(
+        F.regexp_extract("file_name", r"bucket=(-?\d+)", 1).cast("bigint").alias("bucket"),
+        "page",
+        (F.col("last_row_index") - F.col("first_row_index") + 1).alias("n_rows"),
+        F.col("min_num").cast("bigint").alias("min_key"),
+        F.col("max_num").cast("bigint").alias("max_key"),
+        ((F.col("max_num") >= 5000) & (F.col("min_num") <= 6000)).alias("kept"),
+    )

@@ -307,7 +307,24 @@ _COLUMN_CHUNK = {
     1: ("file_path", None),
     2: ("file_offset", None),
     3: ("meta_data", _COLUMN_META),
+    4: ("offset_index_offset", None),
+    5: ("offset_index_length", None),
+    6: ("column_index_offset", None),
+    7: ("column_index_length", None),
     16: ("crypto_metadata", None),
+}
+_PAGE_LOCATION = {
+    1: ("offset", None),
+    2: ("compressed_page_size", None),
+    3: ("first_row_index", None),
+}
+_OFFSET_INDEX = {1: ("page_locations", _PAGE_LOCATION)}
+_COLUMN_INDEX = {
+    1: ("null_pages", None),
+    2: ("min_values", None),
+    3: ("max_values", None),
+    4: ("boundary_order", None),
+    5: ("null_counts", None),
 }
 _ROW_GROUP = {
     1: ("columns", _COLUMN_CHUNK),
@@ -1127,6 +1144,69 @@ def decode_column_chunk(chunk: bytes, cm: dict[str, Any], leaf: _Leaf) -> list:
     return _convert_logical(out, leaf)
 
 
+def read_page_index(path: str, meta: dict[str, Any], rg_id: int, column: str) -> list[dict[str, Any]]:
+    """Parse the PAGE INDEX of one column chunk — the OffsetIndex (page
+    offsets + first row indexes) zipped with the ColumnIndex (per-page
+    null_pages / typed min / max / null_counts). This is the sub-row-group
+    pruning granularity: a point lookup at 100 TB plans (file -> row group
+    -> page) from these rows alone, reading zero data pages. Refuses when
+    the file carries no index for the chunk."""
+    leaves = {lf.path: lf for lf in schema_leaves(meta)}
+    leaf = leaves.get(column)
+    if leaf is None:
+        raise ParquetError(f"unknown column {column}")
+    rg = meta["row_groups"][rg_id]
+    cc = None
+    for cand in rg["columns"]:
+        if ".".join(cand["meta_data"]["path_in_schema"]) == column:
+            cc = cand
+            break
+    if cc is None:
+        raise ParquetError(f"row group {rg_id} has no column {column}")
+    oi_off, oi_len = cc.get("offset_index_offset"), cc.get("offset_index_length")
+    ci_off, ci_len = cc.get("column_index_offset"), cc.get("column_index_length")
+    if oi_off is None or ci_off is None:
+        raise ParquetError(f"column {column} carries no page index")
+    with open(path, "rb") as fh:
+        fh.seek(oi_off)
+        oi_raw = fh.read(oi_len)
+        fh.seek(ci_off)
+        ci_raw = fh.read(ci_len)
+    if len(oi_raw) != oi_len or len(ci_raw) != ci_len:
+        raise ParquetError("page index byte range overruns file")
+    oi = _Thrift(oi_raw).read_struct(_OFFSET_INDEX)
+    ci = _Thrift(ci_raw).read_struct(_COLUMN_INDEX)
+    locs = oi.get("page_locations") or []
+    nulls = ci.get("null_pages") or []
+    mins = ci.get("min_values") or []
+    maxs = ci.get("max_values") or []
+    ncounts = ci.get("null_counts") or [None] * len(locs)
+    if not (len(locs) == len(nulls) == len(mins) == len(maxs)):
+        raise ParquetError("offset/column index page counts disagree")
+    n_rg_rows = rg["num_rows"]
+    out = []
+    for i, loc in enumerate(locs):
+        first = loc["first_row_index"]
+        last = (
+            locs[i + 1]["first_row_index"] - 1 if i + 1 < len(locs) else n_rg_rows - 1
+        )
+        out.append(
+            {
+                "page": i,
+                "offset": loc["offset"],
+                "compressed_page_size": loc["compressed_page_size"],
+                "first_row_index": first,
+                "last_row_index": last,
+                "null_page": nulls[i],
+                "min": None if nulls[i] else _decode_stat(mins[i], leaf),
+                "max": None if nulls[i] else _decode_stat(maxs[i], leaf),
+                "null_count": ncounts[i] if i < len(ncounts) else None,
+                "boundary_order": ci.get("boundary_order"),
+            }
+        )
+    return out
+
+
 def _chunk_byte_range(cm: dict[str, Any]) -> tuple[int, int]:
     start = cm["data_page_offset"]
     dpo = cm.get("dictionary_page_offset")
@@ -1348,6 +1428,25 @@ def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
     return bytes(out)
 
 
+def _ci_encode(v, kind: str) -> bytes:
+    """Typed bound encoding for ColumnIndex min/max (the chunk-statistics
+    wire format). Strings compare as unsigned UTF-8 bytes under TYPE_ORDER,
+    which python's str ordering matches for valid UTF-8."""
+    if kind in ("i64", "ts_us"):
+        return struct.pack("<q", v)
+    if kind == "i32":
+        return struct.pack("<i", v)
+    if kind == "f64":
+        return struct.pack("<d", v)
+    if kind == "f32":
+        return struct.pack("<f", v)
+    if kind == "bool":
+        return b"\x01" if v else b"\x00"
+    if kind == "str":
+        return v.encode("utf-8")
+    return bytes(v)
+
+
 def _w_stats(w: _ThriftW, last: int, vals_present: list, kind: str, n_nulls: int) -> int:
     """Statistics struct: null_count always; typed min/max for numeric and
     timestamp kinds (string/binary ordering is reader-defined, so omitted)."""
@@ -1370,6 +1469,7 @@ def encode_parquet(
     *,
     codec: str = "snappy",
     use_dictionary: bool = True,
+    write_page_index: bool = True,
     rows_per_page: int = 20000,
     created_by: str = "vectorflow-spark parquetmini",
 ) -> bytes:
@@ -1454,10 +1554,26 @@ def encode_parquet(
             uncomp_total += len(hdr.out) + len(body)
 
         data_page_offset = len(out)
+        page_records: list[dict[str, Any]] | None = [] if write_page_index else None
         for start in range(0, n_rows, rows_per_page):
+            page_start = len(out)
             page_vals = vals[start : start + rows_per_page]
             defs = [0 if v is None else 1 for v in page_vals]
             present = [v for v in page_vals if v is not None]
+            if page_records is not None:
+                if kind in ("f32", "f64") and any(v != v for v in present):
+                    page_records = None  # NaN bounds lie; drop this column's index
+                else:
+                    page_records.append(
+                        {
+                            "offset": page_start,
+                            "first_row": start,
+                            "null_page": not present,
+                            "min": min(present) if present else None,
+                            "max": max(present) if present else None,
+                            "null_count": len(page_vals) - len(present),
+                        }
+                    )
             if dict_vals is not None:
                 bw = max((len(dict_vals) - 1).bit_length(), 1)
                 idx_bytes = _hybrid_encode([dict_idx[v] for v in present], bw)
@@ -1485,6 +1601,8 @@ def encode_parquet(
             out += comp
             comp_total += len(hdr.out) + len(comp)
             uncomp_total += len(hdr.out) + len(body)
+            if page_records is not None:
+                page_records[-1]["size"] = len(out) - page_start
         chunk_meta.append(
             {
                 "name": name,
@@ -1497,8 +1615,71 @@ def encode_parquet(
                 "n_nulls": n_nulls,
                 "present": all_present,
                 "dict": dict_vals is not None,
+                "pages": page_records,
             }
         )
+
+    # page indexes: after all row-group data, before the footer
+    # (ColumnIndex + OffsetIndex per chunk, referenced from ColumnChunk)
+    for m in chunk_meta:
+        pages = m["pages"]
+        if not pages:
+            m["ci"] = m["oi"] = None
+            continue
+        kind = m["kind"]
+        ci = _ThriftW()
+        cilast = ci.field(0, 1, _CT_LIST)
+        ci.list_header(len(pages), _CT_TRUE)
+        for p in pages:
+            ci.out.append(1 if p["null_page"] else 2)  # bool list elements
+        mins = [b"" if p["null_page"] else _ci_encode(p["min"], kind) for p in pages]
+        maxs = [b"" if p["null_page"] else _ci_encode(p["max"], kind) for p in pages]
+        nonnull = [i for i, p in enumerate(pages) if not p["null_page"]]
+        asc = all(
+            mins[nonnull[i]] >= mins[nonnull[i - 1]] and maxs[nonnull[i]] >= maxs[nonnull[i - 1]]
+            for i in range(1, len(nonnull))
+        ) if kind in ("str", "bin") else all(
+            pages[nonnull[i]]["min"] >= pages[nonnull[i - 1]]["min"]
+            and pages[nonnull[i]]["max"] >= pages[nonnull[i - 1]]["max"]
+            for i in range(1, len(nonnull))
+        )
+        desc = all(
+            pages[nonnull[i]]["min"] <= pages[nonnull[i - 1]]["min"]
+            and pages[nonnull[i]]["max"] <= pages[nonnull[i - 1]]["max"]
+            for i in range(1, len(nonnull))
+        ) if kind not in ("str", "bin") else all(
+            mins[nonnull[i]] <= mins[nonnull[i - 1]] and maxs[nonnull[i]] <= maxs[nonnull[i - 1]]
+            for i in range(1, len(nonnull))
+        )
+        for fid, blobs in ((2, mins), (3, maxs)):
+            cilast = ci.field(cilast, fid, _CT_LIST)
+            ci.list_header(len(blobs), _CT_BINARY)
+            for b in blobs:
+                ci.varint(len(b))
+                ci.out += b
+        cilast = ci.i_field(cilast, 4, 1 if asc else (2 if desc else 0), _CT_I32)
+        cilast = ci.field(cilast, 5, _CT_LIST)
+        ci.list_header(len(pages), _CT_I64)
+        for p in pages:
+            ci.zigzag(p["null_count"])
+        ci.stop()
+        ci_off = len(out)
+        out += ci.out
+        oi = _ThriftW()
+        oi.field(0, 1, _CT_LIST)
+        oi.list_header(len(pages), _CT_STRUCT)
+        for p in pages:
+            loc = _ThriftW()
+            llast = loc.i_field(0, 1, p["offset"])
+            llast = loc.i_field(llast, 2, p["size"], _CT_I32)
+            llast = loc.i_field(llast, 3, p["first_row"])
+            loc.stop()
+            oi.out += loc.out
+        oi.stop()
+        oi_off = len(out)
+        out += oi.out
+        m["ci"] = (ci_off, len(ci.out))
+        m["oi"] = (oi_off, len(oi.out))
 
     # FileMetaData
     fm = _ThriftW()
@@ -1528,6 +1709,13 @@ def encode_parquet(
         cc = _ThriftW()
         clast = cc.i_field(0, 2, m["offset"])  # file_offset
         clast = cc.field(clast, 3, _CT_STRUCT)
+        cc_tail = _ThriftW()  # fields 4-7 must follow field 3's struct
+        tlast = 3
+        if m["oi"] is not None:
+            tlast = cc_tail.i_field(tlast, 4, m["oi"][0])
+            tlast = cc_tail.i_field(tlast, 5, m["oi"][1], _CT_I32)
+            tlast = cc_tail.i_field(tlast, 6, m["ci"][0])
+            tlast = cc_tail.i_field(tlast, 7, m["ci"][1], _CT_I32)
         cm = _ThriftW()
         mlast = cm.i_field(0, 1, _w_physical(m["kind"]), _CT_I32)
         mlast = cm.field(mlast, 2, _CT_LIST)
@@ -1549,6 +1737,7 @@ def encode_parquet(
         mlast = _w_stats(cm, mlast, m["present"], m["kind"], m["n_nulls"])
         cm.stop()
         cc.out += cm.out
+        cc.out += cc_tail.out
         cc.stop()
         rg.out += cc.out
     rglast = rg.i_field(rglast, 2, sum(m["uncomp"] for m in chunk_meta))  # total_byte_size
@@ -1813,3 +2002,111 @@ def raw_scan(
 
     tasks = spark.createDataFrame(tasks_list, ["path", "rg"])
     return tasks.repartition(max(len(tasks_list), 1), "path", "rg").mapInPandas(gen, schema)
+
+
+def write_parquet_grouped(
+    df,
+    out_dir: str,
+    kinds: dict[str, str],
+    group_col: str,
+    sort_cols: list[str],
+    *,
+    rows_per_page: int = 20000,
+    codec: str = "snappy",
+):
+    """Group-wise sink over OUR writer: one parquet file per GROUP (not per
+    partition), each sorted on ``sort_cols`` and paged at ``rows_per_page``
+    with page indexes — the layout a page-level pruning plan wants
+    (clustered files, ordered pages, tight per-page bounds). applyInPandas
+    gives exactly-one-task-per-group; files commit via write-then-rename.
+    Returns a manifest of (group, n_rows, n_bytes)."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    names = [f.name for f in df.schema.fields if f.name != group_col]
+    for c in names:
+        if c not in kinds:
+            raise ParquetError(f"no writer kind declared for column {c}")
+    _os.makedirs(out_dir, exist_ok=True)
+    man_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def sink(key, pdf):
+        g = key[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        cols = {c: [None if pd.isna(v) else v for v in pdf[c].tolist()] for c in names}
+        blob = encode_parquet(
+            cols, {c: kinds[c] for c in names}, codec=codec, rows_per_page=rows_per_page
+        )
+        part = f"{group_col}={g}.parquet"
+        tmp = _os.path.join(out_dir, f".uncommitted-{part}")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.replace(tmp, _os.path.join(out_dir, part))
+        return pd.DataFrame([(str(g), len(pdf), len(blob))], columns=["grp", "n_rows", "n_bytes"])
+
+    return df.groupBy(group_col).applyInPandas(sink, man_schema)
+
+
+def page_index_scan(spark, paths: list[str], column: str):
+    """Distributed page-index catalog: one task per file, each parsing only
+    the footer + the column's ColumnIndex/OffsetIndex (three ranged reads,
+    zero data pages) — the planning read pattern for page-level pruning at
+    100 TB."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("row_group_id", LongType()),
+            StructField("page", LongType()),
+            StructField("first_row_index", LongType()),
+            StructField("last_row_index", LongType()),
+            StructField("null_page", BooleanType()),
+            StructField("null_count", LongType()),
+            StructField("min_num", DoubleType()),
+            StructField("max_num", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                meta = read_file_meta(p)
+                for rg in range(len(meta["row_groups"])):
+                    for pg in read_page_index(p, meta, rg, column):
+                        rows.append(
+                            {
+                                "file_name": p,
+                                "row_group_id": rg,
+                                "page": pg["page"],
+                                "first_row_index": pg["first_row_index"],
+                                "last_row_index": pg["last_row_index"],
+                                "null_page": pg["null_page"],
+                                "null_count": pg["null_count"],
+                                "min_num": _stat_num(pg["min"]),
+                                "max_num": _stat_num(pg["max"]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
+    return pdf.repartition(max(len(paths), 1), "path").mapInPandas(gen, schema)
