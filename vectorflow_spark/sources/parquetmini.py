@@ -20,10 +20,13 @@ format README) from bytes up:
     DOUBLE/BYTE_ARRAY/FIXED_LEN_BYTE_ARRAY, SNAPPY (our own codec:
     operators/snappymini.py) and GZIP page compression.
 
-Contract: parse-correctly-or-refuse — unsupported encodings (DELTA_*,
-BYTE_STREAM_SPLIT), codecs without a verifiable decoder here (ZSTD/LZ4/
-BROTLI/LZO), INT96, encrypted footers and malformed framing all raise
-``ParquetError`` loudly; nothing is silently skipped.
+Contract: parse-correctly-or-refuse — codecs without a verifiable decoder
+here (ZSTD/LZ4/BROTLI/LZO), encrypted footers and malformed framing all
+raise ``ParquetError`` loudly; nothing is silently skipped. The full
+modern encoding set decodes (PLAIN, RLE, dictionary, DELTA_*,
+BYTE_STREAM_SPLIT), as do legacy INT96 timestamps (Spark's default
+output), whose unordered legacy stats are deliberately presented as
+absent.
 
 Verification: every layer is pinned against independent implementations on
 the same bytes — pyarrow's ParquetFile metadata object for the footer walk,
@@ -607,6 +610,8 @@ def duckdb_type_of(meta: dict[str, Any], top_name: str) -> str:
             if n is None:
                 raise ParquetError(f"integer bit width {bits}")
             return n if signed else "U" + n
+        if pt == "INT96":
+            return "TIMESTAMP"
         if pt == "BOOLEAN":
             return "BOOLEAN"
         if pt == "INT32":
@@ -680,6 +685,11 @@ def _decode_stat(raw: bytes | None, leaf: _Leaf):
         if "string" in lt or leaf.converted_type == 0:
             return raw.decode("utf-8", "replace")
         return raw
+    if pt == "INT96":
+        # legacy INT96 stats are byte-wise, not value-ordered — never
+        # trustworthy as bounds (parquet-mr stopped writing them); present
+        # as absent rather than as a lying bound
+        return None
     raise ParquetError(f"statistics for unsupported type {pt}")
 
 
@@ -843,6 +853,21 @@ def _decode_plain(buf: bytes, pos: int, end: int, n: int, leaf: _Leaf) -> tuple[
         if pos + need > end:
             raise ParquetError("plain flba values truncated")
         vals = [buf[pos + i * tl : pos + (i + 1) * tl] for i in range(n)]
+        return vals, pos + need
+    if pt == "INT96":
+        # the legacy Spark/Impala timestamp: 8-byte LE nanos-of-day then
+        # 4-byte LE Julian day. Decoded to epoch MICROS (sub-microsecond
+        # precision truncates — documented, matches Spark's own reader
+        # default of microsecond timestamps).
+        need = 12 * n
+        if pos + need > end:
+            raise ParquetError("plain int96 values truncated")
+        vals = []
+        for i in range(n):
+            o = pos + i * 12
+            nanos = int.from_bytes(buf[o : o + 8], "little")
+            jday = int.from_bytes(buf[o + 8 : o + 12], "little")
+            vals.append((jday - 2440588) * 86_400_000_000 + nanos // 1000)
         return vals, pos + need
     raise ParquetError(f"PLAIN decode unsupported for {pt}")
 
@@ -1956,7 +1981,7 @@ def raw_scan(
 
     def spark_type(leaf: _Leaf):
         lt = leaf.logical or {}
-        if "timestamp" in lt or leaf.converted_type in (9, 10):
+        if "timestamp" in lt or leaf.converted_type in (9, 10) or leaf.physical_type == "INT96":
             return TimestampNTZType()
         pt = leaf.physical_type
         if pt == "BYTE_ARRAY" and ("string" in lt or leaf.converted_type == 0):
@@ -1976,8 +2001,8 @@ def raw_scan(
 
     def default_presentation(leaf: _Leaf):
         lt = leaf.logical or {}
-        if "timestamp" in lt or leaf.converted_type in (9, 10):
-            unit = "us"
+        if "timestamp" in lt or leaf.converted_type in (9, 10) or leaf.physical_type == "INT96":
+            unit = "us"  # INT96 decodes to epoch micros
             ts = lt.get("timestamp", {})
             if ts.get("unit", {}).get("millis") is not None or leaf.converted_type == 9:
                 unit = "ms"
