@@ -799,3 +799,70 @@ def test_int96_spark_default_timestamps(spark, tmp_path):
     # distributed raw_scan path with the timestamp presentation
     df = pm.raw_scan(spark, f, ["event_id", "ts"]).toPandas()
     assert len(df) == len(got["event_id"]) and str(df.dtypes["ts"]).startswith("datetime64")
+
+
+# ---------------------------------------------------------------------------
+# lz4 (block format) — the second page codec
+# ---------------------------------------------------------------------------
+
+
+def test_lz4_pinned_both_directions():
+    from vectorflow_spark.operators import lz4mini as lz
+
+    codec = pa.Codec("lz4_raw")
+    rng = random.Random(11)
+    seed = os.urandom(70000)
+    cases = [
+        b"", b"a", b"short", b"a" * 1000, b"ab" * 50000, os.urandom(80000),
+        bytes(rng.choices(b"abcdef\n ", k=150000)),
+        seed + seed,  # long-range repeat beyond the 64 KiB offset window
+    ]
+    for c in cases:
+        nat = bytes(codec.compress(c))
+        assert lz.decompress(nat, len(c)) == c
+        ours = lz.compress(c)
+        assert bytes(codec.decompress(ours, decompressed_size=len(c))) == c
+        assert lz.decompress(ours, len(c)) == c
+
+
+def test_lz4_refusals():
+    from vectorflow_spark.operators import lz4mini as lz
+
+    with pytest.raises(lz.Lz4Error):
+        lz.decompress(bytes([0x10]))  # 1 literal declared, none present
+    with pytest.raises(lz.Lz4Error):  # zero offset
+        lz.decompress(bytes([0x12, 65, 0, 0]), 20)
+    with pytest.raises(lz.Lz4Error):  # offset beyond produced output
+        lz.decompress(bytes([0x12, 65, 9, 0]), 20)
+    with pytest.raises(lz.Lz4Error):  # declared-size mismatch
+        lz.decompress(bytes([0x20, 65, 66]), 3)
+    ok = pa.Codec("lz4_raw").compress(b"hello world, hello world, hello")
+    with pytest.raises(lz.Lz4Error):  # truncation fuzz
+        lz.decompress(bytes(ok)[: len(bytes(ok)) // 2], 31)
+
+
+def test_lz4_parquet_pages_both_ways(tmp_path):
+    # arrow-written LZ4_RAW pages through OUR reader
+    table = _sample_table(4000, seed=19)
+    p = str(tmp_path / "a.parquet")
+    pq.write_table(table, p, compression="lz4")
+    meta = pm.read_file_meta(p)
+    got = pm.read_row_group(p, meta, 0, list(table.schema.names))
+    assert got == _expected(table)
+    # OUR LZ4-written file through arrow + duckdb + self
+    import duckdb
+
+    cols = _writer_cols(seed=20)
+    p2 = str(tmp_path / "b.parquet")
+    with open(p2, "wb") as fh:
+        fh.write(pm.encode_parquet(cols, _WRITER_KINDS, codec="lz4", rows_per_page=700))
+    t = pq.read_table(p2)
+    for c in ("k", "i", "s", "b"):
+        assert t.column(c).to_pylist() == cols[c], c
+    kv = [v for v in cols["k"] if v is not None]
+    assert duckdb.connect().execute(
+        f"SELECT SUM(k) FROM read_parquet('{p2}')"
+    ).fetchone()[0] == sum(kv)
+    meta2 = pm.read_file_meta(p2)
+    assert pm.footer_meta_rows(p2)[0]["compression"] == "LZ4_RAW"
+    assert pm.read_row_group(p2, meta2, 0, list(cols)) == cols

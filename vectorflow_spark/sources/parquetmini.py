@@ -749,7 +749,13 @@ def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
         out = _snappy_decompress(data)
     elif codec == 2:
         out = zlib.decompress(data, 31)  # GZIP member framing
+    elif codec == 7:  # LZ4_RAW: one LZ4 block per page (operators/lz4mini.py)
+        from vectorflow_spark.operators.lz4mini import decompress as _lz4_decompress
+
+        out = _lz4_decompress(data, uncompressed_size)
     else:
+        # codec 5 (legacy Hadoop-framed LZ4) stays refused: deprecated,
+        # framing ambiguity is why LZ4_RAW exists
         raise ParquetError(
             f"page codec {CODECS.get(codec, codec)} has no verifiable decoder here "
             "(no native library in this environment to pin against)"
@@ -1516,7 +1522,9 @@ def encode_parquet(
             raise ParquetError("ragged columns")
         if kinds.get(c) not in _W_KINDS:
             raise ParquetError(f"unsupported writer kind {kinds.get(c)} for {c}")
-    codec_id = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2}.get(codec)
+    codec_id = {
+        "none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "lz4": 7, "lz4_raw": 7
+    }.get(codec)
     if codec_id is None:
         raise ParquetError(f"unsupported writer codec {codec}")
     if n_rows == 0:
@@ -1531,6 +1539,10 @@ def encode_parquet(
         if codec_id == 2:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             return co.compress(data) + co.flush()
+        if codec_id == 7:
+            from vectorflow_spark.operators.lz4mini import compress as _lz4_compress
+
+            return _lz4_compress(data)
         return data
 
     out = bytearray(MAGIC)
