@@ -866,3 +866,43 @@ def test_lz4_parquet_pages_both_ways(tmp_path):
     meta2 = pm.read_file_meta(p2)
     assert pm.footer_meta_rows(p2)[0]["compression"] == "LZ4_RAW"
     assert pm.read_row_group(p2, meta2, 0, list(cols)) == cols
+
+
+def test_page_crc_verified_and_written(tmp_path):
+    # arrow-written checksummed pages decode; a flipped body byte refuses
+    table = _sample_table(2000, seed=23)
+    p = str(tmp_path / "crc.parquet")
+    pq.write_table(table, p, write_page_checksum=True, compression="snappy")
+    meta = pm.read_file_meta(p)
+    assert pm.read_row_group(p, meta, 0, ["i64"])["i64"] == table.column("i64").to_pylist()
+    cm = meta["row_groups"][0]["columns"][0]["meta_data"]
+    start, end = pm._chunk_byte_range(cm)
+    blob = bytearray(open(p, "rb").read())
+    blob[end - 3] ^= 0x40  # flip a byte inside the last page body
+    p2 = str(tmp_path / "bad.parquet")
+    open(p2, "wb").write(bytes(blob))
+    meta2 = pm.read_file_meta(p2)
+    leaf = pm.schema_leaves(meta2)[0]
+    with open(p2, "rb") as fh:
+        fh.seek(start)
+        chunk = fh.read(end - start)
+    with pytest.raises(pm.ParquetError, match="CRC"):
+        pm.decode_column_chunk(chunk, cm, leaf)
+    # our writer emits CRCs that pyarrow's verification accepts
+    cols = {"x": list(range(5000)), "s": [f"v{i%7}" for i in range(5000)]}
+    p3 = str(tmp_path / "ours.parquet")
+    open(p3, "wb").write(pm.encode_parquet(cols, {"x": "i64", "s": "str"}))
+    t = pq.read_table(p3, page_checksum_verification=True)
+    assert t.column("x").to_pylist() == cols["x"]
+    # and a corrupted body fails BOTH verifiers the same way
+    blob3 = bytearray(open(p3, "rb").read())
+    m3 = pm.read_file_meta(p3)
+    cm3 = m3["row_groups"][0]["columns"][0]["meta_data"]
+    s3, e3 = pm._chunk_byte_range(cm3)
+    blob3[e3 - 2] ^= 0x10
+    p4 = str(tmp_path / "ours_bad.parquet")
+    open(p4, "wb").write(bytes(blob3))
+    with pytest.raises(Exception):
+        pq.read_table(p4, page_checksum_verification=True)
+    with pytest.raises(pm.ParquetError, match="CRC"):
+        pm.read_row_group(p4, pm.read_file_meta(p4), 0, ["x"])

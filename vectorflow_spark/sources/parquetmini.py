@@ -1033,7 +1033,12 @@ def iter_pages(chunk: bytes, codec: int) -> Iterator[tuple[dict[str, Any], bytes
         csize = hdr["compressed_page_size"]
         if pos + csize > n:
             raise ParquetError("page body overruns column chunk")
-        yield hdr, chunk[pos : pos + csize]
+        body = chunk[pos : pos + csize]
+        crc = hdr.get("crc")
+        if crc is not None and zlib.crc32(body) != (crc & 0xFFFFFFFF):
+            # spec: CRC-32 over the page bytes as written, header excluded
+            raise ParquetError("page CRC mismatch (corrupt page body)")
+        yield hdr, body
         pos += csize
 
 
@@ -1459,6 +1464,13 @@ def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
     return bytes(out)
 
 
+def _crc_i32(body: bytes) -> int:
+    """Page CRC-32 (zlib polynomial, over the bytes as written) as the
+    signed i32 the thrift field carries."""
+    c = zlib.crc32(body)
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
 def _ci_encode(v, kind: str) -> bytes:
     """Typed bound encoding for ColumnIndex min/max (the chunk-statistics
     wire format). Strings compare as unsigned UTF-8 bytes under TYPE_ORDER,
@@ -1578,6 +1590,7 @@ def encode_parquet(
             last = hdr.i_field(0, 1, 2, _CT_I32)  # PageType.DICTIONARY_PAGE
             last = hdr.i_field(last, 2, len(body), _CT_I32)
             last = hdr.i_field(last, 3, len(comp), _CT_I32)
+            last = hdr.i_field(last, 4, _crc_i32(comp), _CT_I32)
             last = hdr.field(last, 7, _CT_STRUCT)
             dph = _ThriftW()
             dlast = dph.i_field(0, 1, len(dict_vals), _CT_I32)
@@ -1625,6 +1638,7 @@ def encode_parquet(
             last = hdr.i_field(0, 1, 0, _CT_I32)  # PageType.DATA_PAGE
             last = hdr.i_field(last, 2, len(body), _CT_I32)
             last = hdr.i_field(last, 3, len(comp), _CT_I32)
+            last = hdr.i_field(last, 4, _crc_i32(comp), _CT_I32)
             last = hdr.field(last, 5, _CT_STRUCT)
             dph = _ThriftW()
             dlast = dph.i_field(0, 1, len(page_vals), _CT_I32)
