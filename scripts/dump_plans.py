@@ -77,6 +77,11 @@ HEADLINERS = [
     ("q_aiff_au_roundtrip", "AIFF/AU container roundtrip: one mapInPandas projection over a pruned doc_id scan, no shuffle"),
     ("q_epub_roundtrip", "EPUB spine-walk roundtrip: one mapInPandas projection, no shuffle"),
     ("q_rtf_roundtrip", "RTF control-word roundtrip: one mapInPandas projection, no shuffle"),
+    ("q_parquet_meta", "footer catalog crawl: one mapInPandas task per file (2 ranged reads), map-side-combinable stat rollup"),
+    ("q_parquet_rawscan", "byte-level raw scan: (file,row_group) task list, Arrow-batched decode, no shuffle past the task repartition"),
+    ("q_parquet_indexed_lookup", "index-driven lookup: stats harvest -> driver-bounded file prune -> targeted decode + residual filter"),
+    ("q_c4_filters", "C4 cleaning: ONE whole-stage-codegen lambda-array projection, zero Python, zero shuffle"),
+    ("q_label_prop", "label propagation: per-round dst join + two combinable aggs over a checkpointed edge set"),
 ]
 
 

@@ -163,17 +163,28 @@ def c4_clean(
     trimmed = F.transform(F.split(text, F.lit("\n"), -1), lambda l: F.trim(l))
     kept = F.filter(trimmed, c4_keep_line_expr)
     clean = F.array_join(kept, "\n")
-    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
     bad_re = r"\b(" + "|".join(badwords) + r")\b"
-    keep = (
-        (n_sent >= 5)
-        & ~text.contains("{")
-        & ~F.lower(text).contains("lorem ipsum")
-        & ~F.lower(text).rlike(bad_re)
-    )
-    return docs.select(
+    # chained selects so the cleaning lambda and the sentence count are
+    # each computed ONCE (CollapseProject keeps multi-referenced aliases
+    # separate; a single select would inline the array pipeline three
+    # times into clean_text / n_sentences / keep_page)
+    staged = docs.select(
         F.col(doc_col),
         clean.alias("clean_text"),
-        n_sent.alias("n_sentences"),
-        keep.alias("keep_page"),
+        (
+            ~text.contains("{")
+            & ~F.lower(text).contains("lorem ipsum")
+            & ~F.lower(text).rlike(bad_re)
+        ).alias("_page_ok"),
+    ).select(
+        doc_col,
+        "clean_text",
+        F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+        "_page_ok",
+    )
+    return staged.select(
+        doc_col,
+        "clean_text",
+        "n_sentences",
+        ((F.col("n_sentences") >= 5) & F.col("_page_ok")).alias("keep_page"),
     )
