@@ -436,3 +436,58 @@ def test_mmr_candidates_are_takeordered_then_one_group(spark, sf_dir, Q):
     assert "TakeOrderedAndProject" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_c4_filters_single_clean_evaluation(spark, sf_dir, Q):
+    """The C4 cleaning lambda pipeline must be computed ONCE per row:
+    a collapsed projection re-evaluates the split-trim-filter-join chain
+    for clean_text, n_sentences AND keep_page — a tripled regex cost at
+    100 TB. Also: zero Python, zero shuffles beyond the input split."""
+    df = Q["q_c4_filters"](spark, sf_dir)
+    plan_opt = optimized(df)
+    assert plan_opt.count("array_join") == 1, plan_opt
+    plan = physical(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_label_prop_edges_checkpointed_once(spark, sf_dir, Q):
+    """The unrolled LPA loop must reference a CHECKPOINTED edge set: an
+    uncut lineage re-derives the orders x lineitem join every round.
+    Three rounds = three dst joins + per-round (src,lbl)+src aggs; the
+    scan of the raw fact tables must appear zero times in the final
+    plan (the checkpoint replaces it)."""
+    plan = physical(Q["q_label_prop"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan  # the localCheckpoint
+    assert "lineitem" not in plan, plan
+
+
+def test_indexed_lookup_prunes_files(spark, Q):
+    """The index-driven lookup must decode only files whose stats range
+    intersects the probe — at sf0.01 the bucketed corpus has ~8 files
+    and the [1024, 1400] range lives in exactly one."""
+    import glob
+
+    from vectorflow_spark.queries.storage import _bucketed_orders_dir, _fixture_files
+
+    sf = "/root/testdata/sf0.01"
+    files = _fixture_files(_bucketed_orders_dir(spark, sf))
+    assert len(files) >= 4
+    df = Q["q_parquet_indexed_lookup"](spark, sf)
+    plan = physical(df)
+    # the raw_scan task list is built from the surviving files only: the
+    # physical plan's task-source RDD row count equals 1 (file,rg) task
+    rows = df.collect()
+    assert rows and all(1024 <= r.o_orderkey <= 1400 for r in rows)
+    # prune effectiveness is observable from the operator itself
+    from vectorflow_spark.sources.parquetmini import footer_meta_scan
+    import pyspark.sql.functions as F
+
+    stats = (
+        footer_meta_scan(spark, files)
+        .filter(F.col("path_in_schema") == "o_orderkey")
+        .groupBy("file_name")
+        .agg(F.min("stats_min_num").alias("mn"), F.max("stats_max_num").alias("mx"))
+        .filter((F.col("mx") >= 1024) & (F.col("mn") <= 1400))
+    )
+    assert stats.count() == 1
