@@ -906,3 +906,73 @@ def test_page_crc_verified_and_written(tmp_path):
         pq.read_table(p4, page_checksum_verification=True)
     with pytest.raises(pm.ParquetError, match="CRC"):
         pm.read_row_group(p4, pm.read_file_meta(p4), 0, ["x"])
+
+
+def test_raw_scan_timestamp_units(tmp_path, spark):
+    """Parsed TimeUnit union values are empty (None) structs — unit
+    detection must test key presence. ms/ns columns were previously all
+    presented as micros (1000x off)."""
+    import pandas as pd
+
+    base = 1_700_000_000  # seconds
+    t = pa.table(
+        {
+            "ms": pa.array([base * 1000, base * 1000 + 1], pa.timestamp("ms")),
+            "us": pa.array([base * 10**6, base * 10**6 + 1], pa.timestamp("us")),
+            "ns": pa.array([base * 10**9 + 1, base * 10**9 + 999], pa.timestamp("ns")),  # sub-us truncates
+        }
+    )
+    p = str(tmp_path / "tu.parquet")
+    pq.write_table(t, p)
+    df = pm.raw_scan(spark, p, ["ms", "us", "ns"]).toPandas()
+    want = pd.Timestamp(base, unit="s")
+    for c in ("ms", "us", "ns"):
+        assert df[c].iloc[0] == want, (c, df[c].iloc[0])
+
+
+def test_writer_sink_nullable_int_columns(spark, tmp_path):
+    """Arrow->pandas widens nullable ints to float64; the sinks must
+    coerce back before PLAIN-encoding (previously struct.error)."""
+    rows = [(1, 10), (2, None), (3, 30)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = str(tmp_path / "nullable")
+    man = pm.write_parquet_corpus(df.coalesce(1), out, {"k": "i64", "v": "i64"}).toPandas()
+    assert man.n_rows.sum() == 3
+    back = spark.read.parquet(out)
+    got = {r.k: r.v for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: 30}
+    assert dict(back.dtypes)["v"] == "bigint"
+
+
+def test_deprecated_stats_fallback_numeric_only(tmp_path):
+    """Legacy v1 min/max used signed-byte ordering: trust them for
+    numeric physical types only; byte-array legacy bounds stay absent."""
+    meta = pm.read_file_meta(f"{SF}/nation.parquet")
+    cm = meta["row_groups"][0]["columns"][0]["meta_data"]  # n_nationkey INT32
+    st = dict(cm["statistics"])
+    forged = {
+        "min_deprecated": st["min_value"],
+        "max_deprecated": st["max_value"],
+        "null_count": st.get("null_count"),
+    }
+    cm2 = dict(cm, statistics=forged)
+    meta2 = dict(meta, row_groups=[{**meta["row_groups"][0], "columns": [
+        {**meta["row_groups"][0]["columns"][0], "meta_data": cm2}]}])
+    # numeric: fallback applies
+    import unittest.mock as mock
+
+    with mock.patch.object(pm, "read_file_meta", return_value=meta2):
+        rows = pm.footer_meta_rows(f"{SF}/nation.parquet")
+    assert rows[0]["stats_min"] is not None
+    # byte-array: same shape must present as absent
+    cm_s = meta["row_groups"][0]["columns"][1]["meta_data"]  # n_name VARCHAR
+    st_s = dict(cm_s["statistics"])
+    cm_s2 = dict(cm_s, statistics={
+        "min_deprecated": st_s["min_value"].encode() if isinstance(st_s["min_value"], str) else st_s["min_value"],
+        "max_deprecated": st_s["max_value"].encode() if isinstance(st_s["max_value"], str) else st_s["max_value"],
+    })
+    meta3 = dict(meta, row_groups=[{**meta["row_groups"][0], "columns": [
+        {**meta["row_groups"][0]["columns"][1], "meta_data": cm_s2}]}])
+    with mock.patch.object(pm, "read_file_meta", return_value=meta3):
+        rows = pm.footer_meta_rows(f"{SF}/nation.parquet")
+    assert rows[0]["stats_min"] is None and rows[0]["stats_max"] is None

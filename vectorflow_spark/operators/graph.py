@@ -194,6 +194,19 @@ def label_propagation(
     a fixed-k snapshot."""
     m = 1 << 42
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
+    # precondition guards (assert_true raises inside the job, never
+    # corrupts): the arithmetic encoding needs ids in [0, 2^42) and
+    # per-(node,label) neighbor counts below 2^21, else the packed key
+    # wraps and elects a wrong label SILENTLY. xxhash-derived ids
+    # (negative / 63-bit) must be densified first.
+    e = e.select(
+        "src",
+        "dst",
+        F.assert_true(
+            (F.col("src") >= 0) & (F.col("src") < m) & (F.col("dst") >= 0) & (F.col("dst") < m),
+            F.lit(f"label_propagation: node ids must be in [0, 2^42) for the packed argmin"),
+        ).alias("_chk"),
+    ).drop("_chk")
     labels = e.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("lbl"))
     for _ in range(iterations):
         contribs = (
@@ -201,6 +214,15 @@ def label_propagation(
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        contribs = contribs.select(
+            "src",
+            "lbl",
+            "cnt",
+            F.assert_true(
+                F.col("cnt") < F.lit(1 << 21),
+                F.lit("label_propagation: neighbor count overflows the packed argmin"),
+            ).alias("_chk"),
+        ).drop("_chk")
         keyed = contribs.select("src", (F.col("lbl") - F.col("cnt") * F.lit(m)).alias("key"))
         labels = (
             keyed.groupBy("src")

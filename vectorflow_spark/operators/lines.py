@@ -159,11 +159,15 @@ def c4_clean(
     only (README.md:290-299); this implements the public C4 heuristics as
     part of the engine's curation family.
     """
+    import re as _re
+
     text = _c(text_col)
     trimmed = F.transform(F.split(text, F.lit("\n"), -1), lambda l: F.trim(l))
     kept = F.filter(trimmed, c4_keep_line_expr)
     clean = F.array_join(kept, "\n")
-    bad_re = r"\b(" + "|".join(badwords) + r")\b"
+    # the real C4 blocklist carries regex metacharacters ("a$$", "s&m"):
+    # escape every word so each matches literally, never as syntax
+    bad_re = r"\b(" + "|".join(_re.escape(w) for w in badwords) + r")\b"
     # chained selects so the cleaning lambda and the sentence count are
     # each computed ONCE (CollapseProject keeps multi-referenced aliases
     # separate; a single select would inline the array pipeline three

@@ -708,8 +708,14 @@ def footer_meta_rows(path: str) -> list[dict[str, Any]]:
             if leaf is None:
                 raise ParquetError(f"column chunk path {pth} not in schema")
             st = cm.get("statistics") or {}
-            mn = st.get("min_value", st.get("min_deprecated"))
-            mx = st.get("max_value", st.get("max_deprecated"))
+            mn, mx = st.get("min_value"), st.get("max_value")
+            if mn is None and mx is None and leaf.physical_type in (
+                "BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE"
+            ):
+                # the deprecated v1 fields used SIGNED comparison — correct
+                # for these physical types only; byte-array/unsigned bounds
+                # from legacy writers are order-unsafe and stay absent
+                mn, mx = st.get("min_deprecated"), st.get("max_deprecated")
             rows.append(
                 {
                     "file_name": path,
@@ -1686,22 +1692,16 @@ def encode_parquet(
         mins = [b"" if p["null_page"] else _ci_encode(p["min"], kind) for p in pages]
         maxs = [b"" if p["null_page"] else _ci_encode(p["max"], kind) for p in pages]
         nonnull = [i for i, p in enumerate(pages) if not p["null_page"]]
-        asc = all(
-            mins[nonnull[i]] >= mins[nonnull[i - 1]] and maxs[nonnull[i]] >= maxs[nonnull[i - 1]]
-            for i in range(1, len(nonnull))
-        ) if kind in ("str", "bin") else all(
-            pages[nonnull[i]]["min"] >= pages[nonnull[i - 1]]["min"]
-            and pages[nonnull[i]]["max"] >= pages[nonnull[i - 1]]["max"]
-            for i in range(1, len(nonnull))
-        )
-        desc = all(
-            pages[nonnull[i]]["min"] <= pages[nonnull[i - 1]]["min"]
-            and pages[nonnull[i]]["max"] <= pages[nonnull[i - 1]]["max"]
-            for i in range(1, len(nonnull))
-        ) if kind not in ("str", "bin") else all(
-            mins[nonnull[i]] <= mins[nonnull[i - 1]] and maxs[nonnull[i]] <= maxs[nonnull[i - 1]]
-            for i in range(1, len(nonnull))
-        )
+        # boundary order from ONE pairwise pass over typed keys (encoded
+        # bytes for str/bin — unsigned lex — raw values otherwise)
+        if kind in ("str", "bin"):
+            keys = [(mins[i], maxs[i]) for i in nonnull]
+        else:
+            keys = [(pages[i]["min"], pages[i]["max"]) for i in nonnull]
+        # componentwise (NOT lexicographic): asc iff mins AND maxs both
+        # never decrease (parquet-format BoundaryOrder rules)
+        asc = all(a[0] <= b[0] and a[1] <= b[1] for a, b in zip(keys, keys[1:]))
+        desc = all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(keys, keys[1:]))
         for fid, blobs in ((2, mins), (3, maxs)):
             cilast = ci.field(cilast, fid, _CT_LIST)
             ci.list_header(len(blobs), _CT_BINARY)
@@ -1814,6 +1814,25 @@ def encode_parquet(
     return bytes(out)
 
 
+def _pdf_column(series, kind: str) -> list:
+    """pandas series -> writer value list. Arrow->pandas widens nullable
+    int/bool columns to float64/object; coerce non-null values back to the
+    declared kind so _plain_encode never sees a 1.0 where an int belongs."""
+    import pandas as pd
+
+    out = []
+    for v in series.tolist():
+        if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+            out.append(None)
+        elif kind in ("i64", "i32", "ts_us"):
+            out.append(int(v))
+        elif kind == "bool":
+            out.append(bool(v))
+        else:
+            out.append(v)
+    return out
+
+
 def write_parquet_corpus(df, out_dir: str, kinds: dict[str, str], *, codec: str = "snappy"):
     """Distributed sink over OUR writer: each task serializes its partition
     to one part file with encode_parquet and commits via write-then-rename
@@ -1847,10 +1866,7 @@ def write_parquet_corpus(df, out_dir: str, kinds: dict[str, str], *, codec: str 
         pdfs = [p for p in batches if len(p)]
         if pdfs:
             pdf = pd.concat(pdfs, ignore_index=True)
-            cols = {}
-            for c in names:
-                s = pdf[c]
-                cols[c] = [None if pd.isna(v) else v for v in s.tolist()]
+            cols = {c: _pdf_column(pdf[c], kinds[c]) for c in names}
             blob = encode_parquet(cols, {c: kinds[c] for c in names}, codec=codec)
             part = f"part-{_uuid.uuid4().hex}.parquet"
             tmp = _os.path.join(out_dir, f".uncommitted-{part}")
@@ -2029,20 +2045,35 @@ def raw_scan(
         lt = leaf.logical or {}
         if "timestamp" in lt or leaf.converted_type in (9, 10) or leaf.physical_type == "INT96":
             unit = "us"  # INT96 decodes to epoch micros
-            ts = lt.get("timestamp", {})
-            if ts.get("unit", {}).get("millis") is not None or leaf.converted_type == 9:
+            ts = lt.get("timestamp") or {}
+            tu = ts.get("unit") or {}
+            # parsed TimeUnit union values are empty structs (None): test
+            # KEY PRESENCE, never the value
+            if "millis" in tu or leaf.converted_type == 9:
                 unit = "ms"
-            elif ts.get("unit", {}).get("nanos") is not None:
-                unit = "ns"
+            elif "nanos" in tu:
+                # Spark surface is microsecond timestamps: truncate sub-µs
+                # (the same documented rule as INT96 decode)
+                return lambda vals: pd.to_datetime(
+                    pd.Series(
+                        [None if v is None else v // 1000 for v in vals],
+                        dtype="float64" if any(v is None for v in vals) else "int64",
+                    ),
+                    unit="us",
+                )
             return lambda vals: pd.to_datetime(pd.Series(vals, dtype="float64" if any(v is None for v in vals) else "int64"), unit=unit)
         return None
 
     def gen(batches):
+        meta_cache: dict[str, dict] = {}
         for pdf in batches:
             for p, rg in zip(pdf["path"], pdf["rg"]):
-                # executor-side footer re-read: tasks ship only (path, rg),
-                # never the (possibly large) metadata object
-                m = read_file_meta(p)
+                # executor-side footer read: tasks ship only (path, rg),
+                # never the metadata object; memoized per path so a file's
+                # k row-group tasks cost one footer fetch, not k
+                m = meta_cache.get(p)
+                if m is None:
+                    m = meta_cache[p] = read_file_meta(p)
                 cols = read_row_group(p, m, int(rg), columns)
                 data = {}
                 for c in columns:
@@ -2093,7 +2124,7 @@ def write_parquet_grouped(
     def sink(key, pdf):
         g = key[0]
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        cols = {c: [None if pd.isna(v) else v for v in pdf[c].tolist()] for c in names}
+        cols = {c: _pdf_column(pdf[c], kinds[c]) for c in names}
         blob = encode_parquet(
             cols, {c: kinds[c] for c in names}, codec=codec, rows_per_page=rows_per_page
         )
