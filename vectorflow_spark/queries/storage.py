@@ -514,3 +514,76 @@ def q_parquet_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.filter(
         F.col("o_orderkey").between(1024, 1400) & (F.col("o_orderkey") % 13 == 5)
     )
+
+
+# bump when the ORC fixture layout changes
+_ORCFIX_REV = 1
+
+
+def _orc_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once ORC corpus of the documents table: one pyarrow-written
+    .orc file per partition (mapInPandas, rename-commit). pyarrow is the
+    EXTERNAL writer here — the pinning direction the gate wants: foreign
+    bytes through OUR byte-level reader."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_orcfix_r{_ORCFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents", split=True)
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    man_schema = StructType(
+        [StructField("part", StringType()), StructField("n_rows", LongType())]
+    )
+
+    def sink(batches):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        rows = []
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            part = f"part-{uuid.uuid4().hex}.orc"
+            tmp = os.path.join(out_dir, f".uncommitted-{part}")
+            orc.write_table(table, tmp, compression="zlib")
+            os.replace(tmp, os.path.join(out_dir, part))
+            rows.append((part, len(pdf)))
+        yield pd.DataFrame(rows, columns=["part", "n_rows"])
+
+    docs.mapInPandas(sink, man_schema).count()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _orc_docs_dir\n")
+    return out_dir
+
+
+@query(
+    "q_orc_rawscan",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_orc_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND columnar format, byte-level: the documents table written
+    to ORC by pyarrow (foreign bytes) and decoded entirely by OUR reader —
+    protobuf footers, ZLIB chunk framing, RLEv2 runs, dictionary and
+    direct strings, PRESENT bitstreams — one task per (file, stripe),
+    hash-matched against the table itself. With q_parquet_rawscan this
+    makes the engine storage-format-complete for the two formats a 100-TB
+    lake actually holds (sources/orcmini.py; scope and refusals in the
+    module docstring)."""
+    from vectorflow_spark.sources.orcmini import orc_raw_scan
+
+    out_dir = _orc_docs_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.orc")))
+    if not files:
+        raise FileNotFoundError(f"no orc files under {out_dir}")
+    return orc_raw_scan(spark, files, ["doc_id", "text", "lang", "source", "n_chars"])

@@ -1,0 +1,702 @@
+"""Byte-level ORC reader, pure Python — the second mainstream columnar
+format of the storage stack (companion to sources/parquetmini.py).
+
+Implements the public ORC v1 specification (orc.apache.org/specification,
+orc_proto.proto) from bytes up:
+
+  * Protocol Buffers wire-format reader (varint/zigzag, length-delimited,
+    packed repeated) with spec-driven field maps and unknown-field skip —
+    PostScript, Footer, StripeInformation, Type tree, StripeFooter,
+    Stream and ColumnEncoding messages.
+  * ORC compression chunk framing (3-byte little-endian headers with the
+    is-original bit) over ZLIB (raw deflate), SNAPPY and LZ4 — the latter
+    two through this repo's own codecs (operators/snappymini.py,
+    operators/lz4mini.py); ZSTD refuses loudly (no verifiable decoder in
+    this environment).
+  * Byte-RLE and bit streams (PRESENT), integer RLEv1 and all four RLEv2
+    sub-encodings (SHORT_REPEAT, DIRECT, PATCHED_BASE, DELTA), both
+    signednesses, big-endian bit packing.
+  * Column readers for BOOLEAN / BYTE / SHORT / INT / LONG / FLOAT /
+    DOUBLE / STRING+VARCHAR+CHAR (DIRECT_V2 and DICTIONARY_V2) / BINARY /
+    DATE / TIMESTAMP (ORC 2015 epoch, trailing-zero nano encoding).
+
+Scope contract: flat struct schemas (the analytics shape); LIST / MAP /
+UNION / DECIMAL columns refuse loudly, as do ZSTD compression and
+encodings outside the v2 era — parse-correctly-or-refuse, never silently
+wrong.
+
+Verification: pinned against pyarrow.orc on the same bytes across type,
+null-density, compression and encoding matrices (dictionary + direct
+strings, monotonic/delta/patched int shapes), plus truncation/corruption
+refusal tests; the q_orc_rawscan gate decodes a pyarrow-written corpus
+distributed and hash-matches the documents table relationally.
+
+Scale shape: the unit of parallelism is (file, stripe) — ``orc_raw_scan``
+parses footers driver-side (tail reads only) and ships stripe tasks to
+executors, each reading one stripe's byte range, exactly how Spark's own
+ORC scan shards at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+from vectorflow_spark.operators.lz4mini import decompress as _lz4_decompress
+from vectorflow_spark.operators.snappymini import decompress as _snappy_decompress
+
+MAGIC = b"ORC"
+_ORC_TS_EPOCH = 1420070400  # 2015-01-01 00:00:00 UTC, seconds from unix epoch
+
+
+class OrcError(ValueError):
+    """Malformed or unsupported ORC bytes (refuse-loudly contract)."""
+
+
+# ---------------------------------------------------------------------------
+# Protocol Buffers wire format
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise OrcError("protobuf: truncated varint")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise OrcError("protobuf: varint too long")
+
+
+def _pb_parse(buf: bytes, spec: dict[int, tuple[str, Any]], pos: int = 0, end: int | None = None) -> dict[str, Any]:
+    """Parse one protobuf message. ``spec``: {field: (name, kind)} with kind
+    in {'uint','sint','bytes','string','double','packed_uint'} or a nested
+    spec dict (length-delimited message). Repeated fields accumulate into
+    lists when the name ends with '[]'. Unknown fields skip by wire type."""
+    if end is None:
+        end = len(buf)
+    out: dict[str, Any] = {}
+
+    def store(name: str, val) -> None:
+        if name.endswith("[]"):
+            out.setdefault(name[:-2], []).append(val)
+        else:
+            out[name] = val
+
+    while pos < end:
+        key, pos = _pb_varint(buf, pos, end)
+        field, wire = key >> 3, key & 7
+        ent = spec.get(field)
+        if wire == 0:
+            v, pos = _pb_varint(buf, pos, end)
+            if ent is not None:
+                name, kind = ent
+                if kind == "sint":
+                    v = (v >> 1) ^ -(v & 1)
+                store(name, v)
+        elif wire == 2:
+            ln, pos = _pb_varint(buf, pos, end)
+            if pos + ln > end:
+                raise OrcError("protobuf: length-delimited field overruns buffer")
+            chunk = buf[pos : pos + ln]
+            pos += ln
+            if ent is not None:
+                name, kind = ent
+                if isinstance(kind, dict):
+                    store(name, _pb_parse(chunk, kind))
+                elif kind == "string":
+                    store(name, chunk.decode("utf-8"))
+                elif kind == "packed_uint":
+                    vals = []
+                    p2 = 0
+                    while p2 < len(chunk):
+                        v, p2 = _pb_varint(chunk, p2, len(chunk))
+                        vals.append(v)
+                    # packed repeated: extend rather than nest
+                    if name.endswith("[]"):
+                        out.setdefault(name[:-2], []).extend(vals)
+                    else:
+                        out[name] = vals
+                else:
+                    store(name, chunk)
+        elif wire == 1:
+            if pos + 8 > end:
+                raise OrcError("protobuf: truncated fixed64")
+            if ent is not None:
+                name, kind = ent
+                v = struct.unpack_from("<d", buf, pos)[0] if kind == "double" else int.from_bytes(buf[pos : pos + 8], "little")
+                store(name, v)
+            pos += 8
+        elif wire == 5:
+            if pos + 4 > end:
+                raise OrcError("protobuf: truncated fixed32")
+            if ent is not None:
+                name, _ = ent
+                store(name, struct.unpack_from("<f", buf, pos)[0])
+            pos += 4
+        else:
+            raise OrcError(f"protobuf: unsupported wire type {wire}")
+    return out
+
+
+_PS_SPEC = {
+    1: ("footer_length", "uint"),
+    2: ("compression", "uint"),
+    3: ("compression_block_size", "uint"),
+    4: ("version", "packed_uint"),
+    5: ("metadata_length", "uint"),
+    6: ("writer_version", "uint"),
+    8000: ("magic", "string"),
+}
+_STRIPE_INFO = {
+    1: ("offset", "uint"),
+    2: ("index_length", "uint"),
+    3: ("data_length", "uint"),
+    4: ("footer_length", "uint"),
+    5: ("number_of_rows", "uint"),
+}
+_TYPE_SPEC = {
+    1: ("kind", "uint"),
+    2: ("subtypes", "packed_uint"),
+    3: ("field_names[]", "string"),
+    4: ("maximum_length", "uint"),
+    5: ("precision", "uint"),
+    6: ("scale", "uint"),
+}
+_FOOTER_SPEC = {
+    1: ("header_length", "uint"),
+    2: ("content_length", "uint"),
+    3: ("stripes[]", _STRIPE_INFO),
+    4: ("types[]", _TYPE_SPEC),
+    6: ("number_of_rows", "uint"),
+    8: ("row_index_stride", "uint"),
+}
+_STREAM_SPEC = {1: ("kind", "uint"), 2: ("column", "uint"), 3: ("length", "uint")}
+_ENCODING_SPEC = {1: ("kind", "uint"), 2: ("dictionary_size", "uint")}
+_STRIPE_FOOTER_SPEC = {
+    1: ("streams[]", _STREAM_SPEC),
+    2: ("columns[]", _ENCODING_SPEC),
+    3: ("writer_timezone", "string"),
+}
+
+_COMPRESSION = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4", 5: "ZSTD"}
+TYPE_KINDS = {
+    0: "BOOLEAN", 1: "BYTE", 2: "SHORT", 3: "INT", 4: "LONG", 5: "FLOAT",
+    6: "DOUBLE", 7: "STRING", 8: "BINARY", 9: "TIMESTAMP", 10: "LIST",
+    11: "MAP", 12: "STRUCT", 13: "UNION", 14: "DECIMAL", 15: "DATE",
+    16: "VARCHAR", 17: "CHAR", 18: "TIMESTAMP_INSTANT",
+}
+_STREAM_KINDS = {0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA", 5: "SECONDARY", 6: "ROW_INDEX"}
+
+
+# ---------------------------------------------------------------------------
+# Compression chunk framing
+# ---------------------------------------------------------------------------
+
+
+def _decompress_stream(data: bytes, compression: int) -> bytes:
+    """Undo ORC's chunked stream compression. NONE streams are raw."""
+    if compression == 0:
+        return data
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 3 > n:
+            raise OrcError("orc: truncated compression chunk header")
+        hdr = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        is_original = hdr & 1
+        ln = hdr >> 1
+        if pos + ln > n:
+            raise OrcError("orc: compression chunk overruns stream")
+        chunk = data[pos : pos + ln]
+        pos += ln
+        if is_original:
+            out += chunk
+        elif compression == 1:  # ZLIB = raw deflate
+            out += zlib.decompress(chunk, -15)
+        elif compression == 2:
+            out += _snappy_decompress(chunk)
+        elif compression == 4:
+            out += _lz4_decompress(chunk)
+        else:
+            raise OrcError(
+                f"orc: compression {_COMPRESSION.get(compression, compression)} has no"
+                " verifiable decoder here"
+            )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Run-length encodings
+# ---------------------------------------------------------------------------
+
+
+class _ByteStream:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise OrcError("orc: truncated run stream")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise OrcError("orc: truncated run payload")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def done(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+def _byte_rle(data: bytes, n: int) -> bytes:
+    """ORC byte RLE: header < 128 -> run of (header+3) copies of the next
+    byte; header >= 128 -> (256-header) literal bytes."""
+    s = _ByteStream(data)
+    out = bytearray()
+    while len(out) < n:
+        h = s.byte()
+        if h < 128:
+            out += bytes([s.byte()]) * (h + 3)
+        else:
+            out += s.take(256 - h)
+    return bytes(out[:n])
+
+
+def _bool_rle(data: bytes, n: int) -> list[bool]:
+    """Booleans: byte RLE over bit-packed bytes, MSB first."""
+    nbytes = (n + 7) // 8
+    raw = _byte_rle(data, nbytes)
+    out = []
+    for i in range(n):
+        out.append(bool((raw[i >> 3] >> (7 - (i & 7))) & 1))
+    return out
+
+
+_WIDTH_CODES = (
+    list(range(1, 25))  # 0..23 -> 1..24 bits
+    + [26, 28, 30, 32, 40, 48, 56, 64]  # 24..31
+)
+
+
+def _decode_width(code: int) -> int:
+    return _WIDTH_CODES[code]
+
+
+def _unpack_be(s: _ByteStream, count: int, bits: int) -> list[int]:
+    """Big-endian bit unpacking (ORC packs MSB-first)."""
+    if bits == 0:
+        return [0] * count
+    nbytes = (count * bits + 7) // 8
+    word = int.from_bytes(s.take(nbytes), "big")
+    total = nbytes * 8
+    mask = (1 << bits) - 1
+    return [(word >> (total - (i + 1) * bits)) & mask for i in range(count)]
+
+
+def _varint128(s: _ByteStream) -> int:
+    out = 0
+    shift = 0
+    while True:
+        b = s.byte()
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out
+        shift += 7
+        if shift > 70:
+            raise OrcError("orc: varint128 too long")
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _int_rle_v2(data: bytes, n: int, signed: bool) -> list[int]:
+    """All four RLEv2 sub-encodings (ORC spec 'Integer Run Length Encoding,
+    version 2')."""
+    s = _ByteStream(data)
+    out: list[int] = []
+    while len(out) < n:
+        first = s.byte()
+        enc = first >> 6
+        if enc == 0:  # SHORT_REPEAT
+            width = ((first >> 3) & 0x7) + 1
+            count = (first & 0x7) + 3
+            v = int.from_bytes(s.take(width), "big")
+            if signed:
+                v = _zigzag(v)
+            out.extend([v] * count)
+        elif enc == 1:  # DIRECT
+            w = _decode_width((first >> 1) & 0x1F)
+            count = (((first & 1) << 8) | s.byte()) + 1
+            vals = _unpack_be(s, count, w)
+            out.extend(_zigzag(v) for v in vals) if signed else out.extend(vals)
+        elif enc == 2:  # PATCHED_BASE
+            w = _decode_width((first >> 1) & 0x1F)
+            count = (((first & 1) << 8) | s.byte()) + 1
+            third = s.byte()
+            bw = (third >> 5) + 1  # base width, bytes
+            pw = _decode_width(third & 0x1F)  # patch width, bits
+            fourth = s.byte()
+            pgw = (fourth >> 5) + 1  # patch gap width, bits
+            pll = fourth & 0x1F  # patch list length
+            base = int.from_bytes(s.take(bw), "big")
+            sign_mask = 1 << (bw * 8 - 1)
+            if base & sign_mask:  # sign-magnitude base
+                base = -(base & (sign_mask - 1))
+            vals = _unpack_be(s, count, w)
+            patch_bits = pgw + pw
+            # patch entries are packed at the closest fixed width >= gap+patch
+            cw = patch_bits
+            for c in _WIDTH_CODES:
+                if c >= patch_bits:
+                    cw = c
+                    break
+            patches = _unpack_be(s, pll, cw)
+            idx = 0
+            for p in patches:
+                gap = p >> pw
+                patch = p & ((1 << pw) - 1)
+                idx += gap
+                if patch == 0:
+                    continue  # gap-255 jump marker carries no patch
+                if idx >= count:
+                    raise OrcError("orc: patch index out of range")
+                vals[idx] |= patch << w
+            out.extend(base + v for v in vals)
+        else:  # DELTA
+            wcode = (first >> 1) & 0x1F
+            count = (((first & 1) << 8) | s.byte()) + 1
+            base = _varint128(s)
+            if signed:
+                base = _zigzag(base)
+            out.append(base)
+            if count > 1:
+                delta_base = _zigzag(_varint128(s))
+                cur = base + delta_base
+                out.append(cur)
+                remaining = count - 2
+                if remaining > 0:
+                    if wcode == 0:  # fixed delta
+                        for _ in range(remaining):
+                            cur += delta_base
+                            out.append(cur)
+                    else:
+                        w = _decode_width(wcode)
+                        deltas = _unpack_be(s, remaining, w)
+                        sign = -1 if delta_base < 0 else 1
+                        for d in deltas:
+                            cur += sign * d
+                            out.append(cur)
+    if len(out) > n:
+        del out[n:]
+    return out
+
+
+def _int_rle_v1(data: bytes, n: int, signed: bool) -> list[int]:
+    """RLEv1 (DIRECT-era writers): runs of (count+3) with a signed-byte
+    delta, or literal groups of varint values."""
+    s = _ByteStream(data)
+    out: list[int] = []
+    while len(out) < n:
+        h = s.byte()
+        if h < 128:
+            count = h + 3
+            delta = s.byte()
+            if delta >= 128:
+                delta -= 256
+            v = _varint128(s)
+            if signed:
+                v = _zigzag(v)
+            for i in range(count):
+                out.append(v + i * delta)
+        else:
+            for _ in range(256 - h):
+                v = _varint128(s)
+                out.append(_zigzag(v) if signed else v)
+    if len(out) > n:
+        del out[n:]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# File / stripe readers
+# ---------------------------------------------------------------------------
+
+
+def read_orc_meta(path: str) -> dict[str, Any]:
+    """Tail-read the PostScript + Footer (the object-store pattern: one
+    bounded tail fetch, no data bytes)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        tail_len = min(size, 16 * 1024)
+        fh.seek(size - tail_len)
+        tail = fh.read(tail_len)
+    if size < 4 or not tail.endswith(b""):
+        pass
+    ps_len = tail[-1]
+    if ps_len + 1 > len(tail):
+        raise OrcError("orc: postscript overruns file")
+    ps_raw = tail[-1 - ps_len : -1]
+    ps = _pb_parse(ps_raw, _PS_SPEC)
+    if ps.get("magic") != "ORC":
+        raise OrcError("orc: missing ORC magic in postscript")
+    compression = ps.get("compression", 0)
+    if compression not in (0, 1, 2, 4):
+        raise OrcError(
+            f"orc: compression {_COMPRESSION.get(compression, compression)} unsupported"
+        )
+    flen = ps["footer_length"]
+    need = 1 + ps_len + flen
+    if need > len(tail):
+        with open(path, "rb") as fh:
+            fh.seek(size - need)
+            tail = fh.read(need)
+    footer_raw = _decompress_stream(tail[-1 - ps_len - flen : -1 - ps_len], compression)
+    footer = _pb_parse(footer_raw, _FOOTER_SPEC)
+    types = footer.get("types", [])
+    if not types:
+        raise OrcError("orc: footer carries no type tree")
+    root = types[0]
+    if root.get("kind") != 12:
+        raise OrcError("orc: root type is not a struct")
+    return {
+        "path": path,
+        "compression": compression,
+        "types": types,
+        "field_names": root.get("field_names", []),
+        "subtypes": root.get("subtypes", []),
+        "stripes": footer.get("stripes", []),
+        "number_of_rows": footer.get("number_of_rows", 0),
+        "_file_size": size,
+    }
+
+
+def _column_id(meta: dict[str, Any], name: str) -> int:
+    try:
+        i = meta["field_names"].index(name)
+    except ValueError:
+        raise OrcError(f"orc: no column {name}") from None
+    return meta["subtypes"][i]
+
+
+def _read_stripe_streams(fh, meta, stripe) -> tuple[dict, dict]:
+    comp = meta["compression"]
+    fh.seek(stripe["offset"] + stripe.get("index_length", 0) + stripe["data_length"])
+    sf_raw = fh.read(stripe["footer_length"])
+    sf = _pb_parse(_decompress_stream(sf_raw, comp), _STRIPE_FOOTER_SPEC)
+    encodings = {i: e for i, e in enumerate(sf.get("columns", []))}
+    streams: dict[tuple[int, int], bytes] = {}
+    pos = stripe["offset"]
+    for st in sf.get("streams", []):
+        kind = st.get("kind", 0)
+        col = st.get("column", 0)
+        ln = st.get("length", 0)
+        if kind in (0, 1, 2, 3, 5):  # PRESENT/DATA/LENGTH/DICTIONARY_DATA/SECONDARY
+            fh.seek(pos)
+            streams[(col, kind)] = fh.read(ln)
+        pos += ln
+    return streams, encodings
+
+
+def _decode_column(
+    meta: dict[str, Any], streams: dict, encodings: dict, col: int, n_rows: int
+) -> list:
+    comp = meta["compression"]
+    t = meta["types"][col]
+    kind = TYPE_KINDS.get(t.get("kind"), "?")
+    enc = encodings.get(col, {}).get("kind", 0)  # 0 DIRECT 1 DICT 2 DIRECT_V2 3 DICT_V2
+    v2 = enc in (2, 3)
+
+    present_raw = streams.get((col, 0))
+    if present_raw is not None:
+        present = _bool_rle(_decompress_stream(present_raw, comp), n_rows)
+        n_present = sum(present)
+    else:
+        present = None
+        n_present = n_rows
+
+    def data(kind_id: int) -> bytes:
+        raw = streams.get((col, kind_id))
+        if raw is None:
+            raise OrcError(f"orc: column {col} missing stream kind {kind_id}")
+        return _decompress_stream(raw, comp)
+
+    def ints(raw: bytes, count: int, signed: bool) -> list[int]:
+        return (_int_rle_v2 if v2 else _int_rle_v1)(raw, count, signed)
+
+    if kind in ("LONG", "INT", "SHORT"):
+        vals = ints(data(1), n_present, signed=True)
+    elif kind == "BYTE":
+        vals = list(_byte_rle(data(1), n_present))
+        vals = [v - 256 if v >= 128 else v for v in vals]
+    elif kind == "BOOLEAN":
+        vals = _bool_rle(data(1), n_present)
+    elif kind == "DOUBLE":
+        raw = data(1)
+        if len(raw) < 8 * n_present:
+            raise OrcError("orc: double stream truncated")
+        vals = list(struct.unpack_from(f"<{n_present}d", raw, 0))
+    elif kind == "FLOAT":
+        raw = data(1)
+        if len(raw) < 4 * n_present:
+            raise OrcError("orc: float stream truncated")
+        vals = list(struct.unpack_from(f"<{n_present}f", raw, 0))
+    elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+        as_text = kind != "BINARY"
+        if enc in (1, 3):  # dictionary
+            dict_size = encodings.get(col, {}).get("dictionary_size", 0)
+            dict_blob = data(3)
+            lengths = ints(data(2), dict_size, signed=False)
+            entries = []
+            p = 0
+            for ln in lengths:
+                entries.append(dict_blob[p : p + ln])
+                p += ln
+            idxs = ints(data(1), n_present, signed=False)
+            try:
+                vals = [entries[i] for i in idxs]
+            except IndexError:
+                raise OrcError("orc: dictionary index out of range") from None
+        else:
+            lengths = ints(data(2), n_present, signed=False)
+            blob = data(1)
+            vals = []
+            p = 0
+            for ln in lengths:
+                if p + ln > len(blob):
+                    raise OrcError("orc: string data stream truncated")
+                vals.append(blob[p : p + ln])
+                p += ln
+        if as_text:
+            vals = [v.decode("utf-8") for v in vals]
+    elif kind == "DATE":
+        vals = ints(data(1), n_present, signed=True)  # days since unix epoch
+    elif kind == "TIMESTAMP":
+        secs = ints(data(1), n_present, signed=True)
+        nanos_enc = ints(data(5), n_present, signed=False)  # SECONDARY stream
+        vals = []
+        for sec, ne in zip(secs, nanos_enc):
+            # the C++ writer stores pre-epoch rows as truncated seconds +
+            # NEGATIVE nanos, wrapped into the unsigned stream: reinterpret
+            # as two's complement, arithmetic-shift the payload
+            if ne >= 1 << 63:
+                ne -= 1 << 64
+            z = ne & 7
+            nanos = ne >> 3
+            if z:
+                # z trailing-zero marker restores z+1 removed zeros
+                # (orc-java TimestampTreeReader multiplies zeros+1 times)
+                nanos *= 10 ** (z + 1)
+            vals.append((sec + _ORC_TS_EPOCH) * 1_000_000_000 + nanos)
+    else:
+        raise OrcError(f"orc: column type {kind} is not supported (flat analytics scope)")
+
+    if present is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+def read_orc(path: str, columns: list[str]) -> dict[str, list]:
+    """Decode the requested top-level columns of every stripe."""
+    meta = read_orc_meta(path)
+    out: dict[str, list] = {c: [] for c in columns}
+    with open(path, "rb") as fh:
+        for stripe in meta["stripes"]:
+            n_rows = stripe["number_of_rows"]
+            streams, encodings = _read_stripe_streams(fh, meta, stripe)
+            for c in columns:
+                col = _column_id(meta, c)
+                out[c].extend(_decode_column(meta, streams, encodings, col, n_rows))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing operator
+# ---------------------------------------------------------------------------
+
+
+def orc_raw_scan(spark, path: str | list[str], columns: list[str]):
+    """Distributed byte-level ORC scan: one task per (file, stripe), each
+    reading only its stripe's byte range + stripe footer. Timestamps
+    surface as epoch NANOS (bigint) — the caller picks the presentation
+    (same rule as parquetmini's raw decode returning storage values)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    paths = [path] if isinstance(path, str) else sorted(path)
+    metas = {p: read_orc_meta(p) for p in paths}
+    meta0 = metas[paths[0]]
+
+    def spark_type(col_name: str):
+        t = meta0["types"][_column_id(meta0, col_name)]
+        kind = TYPE_KINDS.get(t.get("kind"), "?")
+        return {
+            "BOOLEAN": BooleanType(),
+            "BYTE": IntegerType(),
+            "SHORT": IntegerType(),
+            "INT": IntegerType(),
+            "LONG": LongType(),
+            "FLOAT": FloatType(),
+            "DOUBLE": DoubleType(),
+            "STRING": StringType(),
+            "VARCHAR": StringType(),
+            "CHAR": StringType(),
+            "DATE": IntegerType(),
+            "TIMESTAMP": LongType(),
+        }.get(kind) or StringType()
+
+    for p, m in metas.items():
+        for c in columns:
+            _column_id(m, c)  # refuse unknown columns at plan time
+
+    schema = StructType([StructField(c, spark_type(c)) for c in columns])
+    tasks = [(p, i) for p in paths for i in range(len(metas[p]["stripes"]))]
+
+    def gen(batches):
+        meta_cache: dict[str, dict] = {}
+        for pdf in batches:
+            for p, si in zip(pdf["path"], pdf["stripe"]):
+                m = meta_cache.get(p)
+                if m is None:
+                    m = meta_cache[p] = read_orc_meta(p)
+                stripe = m["stripes"][int(si)]
+                with open(p, "rb") as fh:
+                    streams, encodings = _read_stripe_streams(fh, m, stripe)
+                data = {
+                    c: _decode_column(
+                        m, streams, encodings, _column_id(m, c), stripe["number_of_rows"]
+                    )
+                    for c in columns
+                }
+                yield pd.DataFrame(data, columns=columns)
+
+    tdf = spark.createDataFrame(tasks, ["path", "stripe"])
+    return tdf.repartition(max(len(tasks), 1), "path", "stripe").mapInPandas(gen, schema)
