@@ -201,3 +201,73 @@ def test_orc_raw_scan_matches_spark_native(spark, tmp_path):
     assert ours["k"].equals(ref["k"])
     assert ours["d"].equals(ref["d"])
     assert ours["b"].equals(ref["b"])
+
+
+# ---------------------------------------------------------------------------
+# writer: our ORC bytes through three independent readers
+# ---------------------------------------------------------------------------
+
+
+def _writer_cols(n=7000, seed=5):
+    rng = random.Random(seed)
+    opt = lambda gen: [gen() if rng.random() > 0.1 else None for _ in range(n)]
+    return {
+        "k": opt(lambda: rng.randrange(-(10**14), 10**14)),
+        "d": opt(lambda: rng.random() * 1e6),
+        "s": opt(lambda: f"w{rng.randrange(40)}é"),
+        "b": opt(lambda: rng.random() > 0.5),
+        "run": [5] * n,  # RLEv1 run path
+    }
+
+
+_W_KINDS = {"k": "i64", "d": "f64", "s": "str", "b": "bool", "run": "i64"}
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib"])
+def test_writer_pyarrow_and_self(tmp_path, comp):
+    cols = _writer_cols()
+    p = str(tmp_path / "w.orc")
+    with open(p, "wb") as fh:
+        fh.write(om.encode_orc(cols, _W_KINDS, compression=comp))
+    t = orc.ORCFile(p).read()
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], (comp, c)
+    # our own reader closes the loop — and exercises the RLEv1 path no
+    # modern writer emits
+    assert om.read_orc(p, list(cols)) == cols
+
+
+def test_writer_spark_reads(spark, tmp_path):
+    cols = _writer_cols(3000, seed=6)
+    p = str(tmp_path / "w.orc")
+    with open(p, "wb") as fh:
+        fh.write(om.encode_orc(cols, _W_KINDS))
+    df = spark.read.orc(p).toPandas()
+    assert sorted(df["k"].dropna().astype(int).tolist()) == sorted(
+        v for v in cols["k"] if v is not None
+    )
+    assert df["s"].tolist() == cols["s"]
+    assert len(df) == 3000
+
+
+def test_writer_refusals():
+    with pytest.raises(om.OrcError, match="zero rows"):
+        om.encode_orc({"x": []}, {"x": "i64"})
+    with pytest.raises(om.OrcError, match="ragged"):
+        om.encode_orc({"x": [1], "y": [1, 2]}, {"x": "i64", "y": "i64"})
+    with pytest.raises(om.OrcError, match="kind"):
+        om.encode_orc({"x": [1]}, {"x": "decimal"})
+    with pytest.raises(om.OrcError, match="compression"):
+        om.encode_orc({"x": [1]}, {"x": "i64"}, compression="zstd")
+
+
+def test_write_orc_corpus_spark(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    man = om.write_orc_corpus(docs.repartition(4), out, kinds).toPandas()
+    assert man.n_rows.sum() == docs.count()
+    back = spark.read.orc(out)
+    a = sorted(back.collect(), key=lambda r: r.doc_id)
+    b = sorted(docs.collect(), key=lambda r: r.doc_id)
+    assert a == b

@@ -587,3 +587,29 @@ def q_orc_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no orc files under {out_dir}")
     return orc_raw_scan(spark, files, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@query(
+    "q_orc_write_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine WRITES ORC byte-level too: documents serialized by OUR
+    pure-Python ORC writer (protobuf footer encoder, RLEv1 ints, byte-RLE
+    booleans/presents, direct strings, ZLIB chunk framing) through the
+    distributed rename-commit sink, read back by Spark's own ORC reader
+    and hash-matched against the table. Symmetric with
+    q_parquet_write_roundtrip — the storage stack is read/write complete
+    for both lake formats. Per-process output dir wiped each run (the
+    q_warc_scan discipline)."""
+    from vectorflow_spark.sources.orcmini import write_orc_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_orcwrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True)
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    write_orc_corpus(docs, out_dir, kinds).count()  # the write IS this action
+    return spark.read.orc(out_dir).select("doc_id", "text", "lang", "source", "n_chars")

@@ -700,3 +700,303 @@ def orc_raw_scan(spark, path: str | list[str], columns: list[str]):
 
     tdf = spark.createDataFrame(tasks, ["path", "stripe"])
     return tdf.repartition(max(len(tasks), 1), "path", "stripe").mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Writer: minimal standard-conforming ORC (v1 DIRECT encodings)
+# ---------------------------------------------------------------------------
+
+
+class _PbW:
+    """Protocol Buffers writer (varint wire format)."""
+
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def varint(self, v: int) -> None:
+        while v >= 0x80:
+            self.out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        self.out.append(v)
+
+    def uint(self, field: int, v: int) -> None:
+        self.varint((field << 3) | 0)
+        self.varint(v)
+
+    def blob(self, field: int, data: bytes) -> None:
+        self.varint((field << 3) | 2)
+        self.varint(len(data))
+        self.out += data
+
+    def msg(self, field: int, sub: "_PbW") -> None:
+        self.blob(field, bytes(sub.out))
+
+    def packed(self, field: int, vals: list[int]) -> None:
+        sub = _PbW()
+        for v in vals:
+            sub.varint(v)
+        self.blob(field, bytes(sub.out))
+
+
+def _w_varint128(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _w_byte_rle(data: bytes) -> bytes:
+    """ORC byte RLE encoder: runs >= 3 -> (count-3, byte); else literal
+    groups up to 128 (header 256-count)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    while i < n:
+        j = i
+        while j < n and j - i < 130 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            while lit_start < i:
+                take = min(i - lit_start, 128)
+                out.append(256 - take)
+                out += data[lit_start : lit_start + take]
+                lit_start += take
+            out.append(j - i - 3)
+            out.append(data[i])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    while lit_start < n:
+        take = min(n - lit_start, 128)
+        out.append(256 - take)
+        out += data[lit_start : lit_start + take]
+        lit_start += take
+    return bytes(out)
+
+
+def _w_bool_rle(bits: list[bool]) -> bytes:
+    nbytes = (len(bits) + 7) // 8
+    raw = bytearray(nbytes)
+    for i, b in enumerate(bits):
+        if b:
+            raw[i >> 3] |= 1 << (7 - (i & 7))
+    return _w_byte_rle(bytes(raw))
+
+
+def _w_int_rle_v1(vals: list[int], signed: bool) -> bytes:
+    """RLEv1 encoder: constant runs of 3..127+3, else literal varint groups
+    (delta runs are legal but a zero-delta subset keeps the encoder
+    simple — readers accept any mix)."""
+    out = bytearray()
+
+    def enc(v: int) -> int:
+        return ((v << 1) ^ (v >> 63)) if signed and v < 0 else (v << 1 if signed else v)
+
+    i = 0
+    n = len(vals)
+    lit: list[int] = []
+
+    def flush_lit() -> None:
+        k = 0
+        while k < len(lit):
+            take = lit[k : k + 128]
+            out.append(256 - len(take))
+            for v in take:
+                _w_varint128(out, enc(v))
+            k += len(take)
+        lit.clear()
+
+    while i < n:
+        j = i
+        while j < n and j - i < 130 and vals[j] == vals[i]:
+            j += 1
+        if j - i >= 3:
+            flush_lit()
+            out.append(j - i - 3)
+            out.append(0)  # delta 0
+            _w_varint128(out, enc(vals[i]))
+        else:
+            lit.extend(vals[i:j])
+        i = j
+    flush_lit()
+    return bytes(out)
+
+
+_ORC_W_KINDS = {"i64": 4, "f64": 6, "str": 7, "bool": 0, "bin": 8}
+
+
+def encode_orc(cols: dict[str, list], kinds: dict[str, str], *, compression: str = "zlib") -> bytes:
+    """Serialize one stripe of named columns to a complete ORC file (v1
+    DIRECT encodings: RLEv1 ints, byte-RLE booleans/presents, raw doubles,
+    direct strings). Output is read back by pyarrow.orc, Spark's ORC
+    reader AND this module's own decoder — and exercises the RLEv1 read
+    path no modern writer emits."""
+    names = list(cols)
+    if not names:
+        raise OrcError("encode_orc needs at least one column")
+    n_rows = len(cols[names[0]])
+    if n_rows == 0:
+        raise OrcError("cannot encode zero rows")
+    comp_id = {"none": 0, "zlib": 1}.get(compression)
+    if comp_id is None:
+        raise OrcError(f"unsupported orc writer compression {compression}")
+    for c in names:
+        if len(cols[c]) != n_rows:
+            raise OrcError("ragged columns")
+        if kinds.get(c) not in _ORC_W_KINDS:
+            raise OrcError(f"unsupported orc writer kind {kinds.get(c)} for {c}")
+
+    def frame(stream: bytes) -> bytes:
+        """Apply compression chunk framing (256 KiB chunks)."""
+        if comp_id == 0 or not stream:
+            return stream
+        out = bytearray()
+        for i in range(0, len(stream), 256 * 1024):
+            chunk = stream[i : i + 256 * 1024]
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            dz = co.compress(chunk) + co.flush()
+            if len(dz) < len(chunk):
+                hdr = (len(dz) << 1) | 0
+                out += hdr.to_bytes(3, "little") + dz
+            else:
+                hdr = (len(chunk) << 1) | 1
+                out += hdr.to_bytes(3, "little") + chunk
+        return bytes(out)
+
+    out = bytearray(MAGIC)
+    streams: list[tuple[int, int, bytes]] = []  # (column, kind, framed bytes)
+    for ci, name in enumerate(names, start=1):
+        kind = kinds[name]
+        vals = cols[name]
+        present = [v is not None for v in vals]
+        nn = [v for v in vals if v is not None]
+        if len(nn) < n_rows:
+            streams.append((ci, 0, frame(_w_bool_rle(present))))
+        if kind == "i64":
+            streams.append((ci, 1, frame(_w_int_rle_v1(nn, signed=True))))
+        elif kind == "f64":
+            streams.append((ci, 1, frame(struct.pack(f"<{len(nn)}d", *nn))))
+        elif kind == "bool":
+            streams.append((ci, 1, frame(_w_bool_rle([bool(v) for v in nn]))))
+        else:  # str / bin
+            blobs = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in nn]
+            streams.append((ci, 1, frame(b"".join(blobs))))
+            streams.append((ci, 2, frame(_w_int_rle_v1([len(b) for b in blobs], signed=False))))
+
+    stripe_start = len(out)
+    for _, _, blob in streams:
+        out += blob
+    data_len = len(out) - stripe_start
+
+    sf = _PbW()
+    for col, skind, blob in streams:
+        st = _PbW()
+        st.uint(1, skind)
+        st.uint(2, col)
+        st.uint(3, len(blob))
+        sf.msg(1, st)
+    for _ in range(len(names) + 1):  # root + leaves, all DIRECT
+        enc = _PbW()
+        enc.uint(1, 0)
+        sf.msg(2, enc)
+    sf.blob(3, b"UTC")
+    sf_framed = frame(bytes(sf.out))
+    out += sf_framed
+
+    footer = _PbW()
+    footer.uint(1, 3)  # headerLength ("ORC")
+    footer.uint(2, len(out))  # contentLength
+    si = _PbW()
+    si.uint(1, stripe_start)
+    si.uint(2, 0)  # indexLength
+    si.uint(3, data_len)
+    si.uint(4, len(sf_framed))
+    si.uint(5, n_rows)
+    footer.msg(3, si)
+    root = _PbW()
+    root.uint(1, 12)  # STRUCT
+    root.packed(2, list(range(1, len(names) + 1)))
+    for name in names:
+        root.blob(3, name.encode("utf-8"))
+    footer.msg(4, root)
+    for name in names:
+        leaf = _PbW()
+        leaf.uint(1, _ORC_W_KINDS[kinds[name]])
+        footer.msg(4, leaf)
+    footer.uint(6, n_rows)
+    footer.uint(8, 0)  # rowIndexStride: no row indexes
+    footer_framed = frame(bytes(footer.out))
+    out += footer_framed
+
+    ps = _PbW()
+    ps.uint(1, len(footer_framed))
+    ps.uint(2, comp_id)
+    ps.uint(3, 256 * 1024)
+    ps.packed(4, [0, 12])  # version 0.12
+    ps.uint(5, 0)  # metadataLength
+    ps.uint(6, 1)  # writerVersion
+    ps.blob(8000, b"ORC")
+    if len(ps.out) > 255:
+        raise OrcError("postscript too long")
+    out += ps.out
+    out.append(len(ps.out))
+    return bytes(out)
+
+
+def write_orc_corpus(df, out_dir: str, kinds: dict[str, str], *, compression: str = "zlib"):
+    """Distributed sink over OUR ORC writer: one part file per task via
+    write-then-rename (the warcmini corpus protocol). Returns a manifest
+    of (part, n_rows, n_bytes)."""
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    names = [f.name for f in df.schema.fields]
+    for c in names:
+        if c not in kinds:
+            raise OrcError(f"no orc writer kind declared for column {c}")
+    _os.makedirs(out_dir, exist_ok=True)
+    man_schema = StructType(
+        [
+            StructField("part", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def sink(batches):
+        rows = []
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            cols = {}
+            for c in names:
+                kind = kinds[c]
+                vals = []
+                for v in pdf[c].tolist():
+                    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                        vals.append(None)
+                    elif kind == "i64":
+                        vals.append(int(v))  # nullable ints arrive as float64
+                    elif kind == "bool":
+                        vals.append(bool(v))
+                    else:
+                        vals.append(v)
+                cols[c] = vals
+            blob = encode_orc(cols, {c: kinds[c] for c in names}, compression=compression)
+            part = f"part-{_uuid.uuid4().hex}.orc"
+            tmp = _os.path.join(out_dir, f".uncommitted-{part}")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _os.replace(tmp, _os.path.join(out_dir, part))
+            rows.append((part, len(pdf), len(blob)))
+        yield pd.DataFrame(rows, columns=["part", "n_rows", "n_bytes"])
+
+    return df.mapInPandas(sink, man_schema)
