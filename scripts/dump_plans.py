@@ -82,6 +82,8 @@ HEADLINERS = [
     ("q_parquet_indexed_lookup", "index-driven lookup: stats harvest -> driver-bounded file prune -> targeted decode + residual filter"),
     ("q_c4_filters", "C4 cleaning: ONE whole-stage-codegen lambda-array projection, zero Python, zero shuffle"),
     ("q_label_prop", "label propagation: per-round dst join + two combinable aggs over a checkpointed edge set"),
+    ("q_orc_rawscan", "byte-level ORC scan: (file,stripe) task list, Arrow-batched decode, no shuffle past the task repartition"),
+    ("q_orc_write_roundtrip", "our ORC bytes through Spark's reader: one distributed serialize + one native scan"),
 ]
 
 
