@@ -271,3 +271,59 @@ def test_write_orc_corpus_spark(spark, tmp_path):
     a = sorted(back.collect(), key=lambda r: r.doc_id)
     b = sorted(docs.collect(), key=lambda r: r.doc_id)
     assert a == b
+
+
+def test_writer_emits_footer_statistics():
+    cols = {"k": [5, 1, None, 9], "s": ["b", "a", None, "c"], "d": [1.5, None, 2.5, 3.5],
+            "b": [True, None, False, True]}
+    blob = om.encode_orc(cols, {"k": "i64", "s": "str", "d": "f64", "b": "bool"})
+    p = "/tmp/vf_orc_stats_test.orc"
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    rows = {r["column"]: r for r in om.orc_stats_rows(p)}
+    assert rows["k"]["n_values"] == 3 and rows["k"]["min_num"] == 1
+    assert rows["k"]["max_num"] == 9 and rows["k"]["sum_num"] == 15
+    assert rows["k"]["has_null"]
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "c"
+    assert rows["d"]["min_num"] == 1.5 and rows["d"]["max_num"] == 3.5
+    assert rows["b"]["sum_num"] == 2  # true count
+    # NaN float bounds are never published
+    blob2 = om.encode_orc({"d": [1.0, float("nan")]}, {"d": "f64"})
+    with open(p, "wb") as fh:
+        fh.write(blob2)
+    r2 = om.orc_stats_rows(p)[0]
+    assert r2["min_num"] is None and r2["max_num"] is None
+
+
+def test_stats_rows_pinned_against_pyarrow(tmp_path):
+    t = _mixed_table(2000, seed=9)
+    p = str(tmp_path / "st.orc")
+    orc.write_table(t, p, compression="zlib")
+    rows = {r["column"]: r for r in om.orc_stats_rows(p)}
+    kv = [v for v in t.column("k").to_pylist() if v is not None]
+    assert rows["k"]["n_values"] == len(kv)
+    assert rows["k"]["min_num"] == min(kv) and rows["k"]["max_num"] == max(kv)
+    assert rows["k"]["sum_num"] == sum(kv)
+    sv = [v for v in t.column("s").to_pylist() if v is not None]
+    assert rows["s"]["min_str"] == min(sv) and rows["s"]["max_str"] == max(sv)
+
+
+def test_write_orc_grouped(spark, tmp_path):
+    out = str(tmp_path / "grp")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", (spark.read.parquet(f"{SF}/orders.parquet").o_orderkey % 3).alias("g")
+    )
+    man = om.write_orc_grouped(
+        orders, out, {"o_orderkey": "i64"}, "g", ["o_orderkey"]
+    ).toPandas()
+    assert sorted(man.grp) == ["0", "1", "2"]
+    files = sorted(glob.glob(f"{out}/g=*.orc"))
+    assert len(files) == 3
+    total = 0
+    for f in files:
+        ks = om.read_orc(f, ["o_orderkey"])["o_orderkey"]
+        assert ks == sorted(ks)
+        total += len(ks)
+        st = om.orc_stats_rows(f)[0]
+        assert st["min_num"] == ks[0] and st["max_num"] == ks[-1]
+    assert total == orders.count()

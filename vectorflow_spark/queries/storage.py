@@ -668,3 +668,76 @@ def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_mn").cast("bigint").cast("string"), F.col("_mns")).alias("min_s"),
         F.coalesce(F.col("_mx").cast("bigint").cast("string"), F.col("_mxs")).alias("max_s"),
     )
+
+
+# bump when the ORC prune-fixture layout changes
+_ORCPFIX_REV = 1
+
+
+def _bucketed_orders_orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once bucketed-orders ORC corpus (the parquet prune fixture's
+    twin): one OUR-writer file per ``o_orderkey div 2048`` bucket, sorted
+    within, footer stats intact."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_orcpfix_r{_ORCPFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    from vectorflow_spark.sources.orcmini import write_orc_grouped
+
+    orders = _t(spark, sf_dir, "orders", split=True).select(
+        "o_orderkey", "o_custkey", F.expr(f"o_orderkey div {_BUCKET}").alias("bucket")
+    )
+    write_orc_grouped(
+        orders, out_dir, {"o_orderkey": "i64", "o_custkey": "i64"}, "bucket", ["o_orderkey"]
+    ).count()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _bucketed_orders_orc_dir\n")
+    return out_dir
+
+
+@query(
+    "q_orc_prune",
+    f"""
+    SELECT CAST(o_orderkey // {_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           (MAX(o_orderkey) >= 3000 AND MIN(o_orderkey) <= 9000) AS kept
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orc_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file pruning over OUR ORC files (the q_parquet_prune
+    twin, closing the loop on both formats: our writer's footer statistics
+    are trustworthy planning inputs): per-bucket min/max/count harvested
+    by orc_footer_scan from OUR-written clustered files vs relational
+    ground truth, plus the BETWEEN keep/skip decision."""
+    from vectorflow_spark.sources.orcmini import orc_footer_scan
+
+    out_dir = _bucketed_orders_orc_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "bucket=*.orc")))
+    if not files:
+        raise FileNotFoundError(f"no orc files under {out_dir}")
+    scan = orc_footer_scan(spark, files).filter(F.col("column") == "o_orderkey")
+    per_bucket = (
+        scan.withColumn(
+            "bucket", F.regexp_extract("file_name", r"bucket=(-?\d+)", 1).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_values").cast("bigint").alias("n_rows"),
+            F.min("min_num").cast("bigint").alias("min_key"),
+            F.max("max_num").cast("bigint").alias("max_key"),
+        )
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_rows",
+        "min_key",
+        "max_key",
+        ((F.col("max_key") >= 3000) & (F.col("min_key") <= 9000)).alias("kept"),
+    )

@@ -928,6 +928,49 @@ def encode_orc(cols: dict[str, list], kinds: dict[str, str], *, compression: str
         leaf.uint(1, _ORC_W_KINDS[kinds[name]])
         footer.msg(4, leaf)
     footer.uint(6, n_rows)
+
+    # file-level column statistics (field 7): root, then one per column —
+    # the planning inputs stats-based pruning consumes (q_orc_prune)
+    def _zz(w: _PbW, field: int, v: int) -> None:
+        w.varint((field << 3) | 0)
+        w.varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    root_st = _PbW()
+    root_st.uint(1, n_rows)
+    root_st.uint(10, 0)
+    footer.msg(7, root_st)
+    for name in names:
+        kind = kinds[name]
+        nn = [v for v in cols[name] if v is not None]
+        st = _PbW()
+        st.uint(1, len(nn))
+        if nn and kind == "i64":
+            sub = _PbW()
+            _zz(sub, 1, min(nn))
+            _zz(sub, 2, max(nn))
+            _zz(sub, 3, sum(nn))
+            st.msg(2, sub)
+        elif nn and kind == "f64":
+            vals = [v for v in nn if v == v]  # NaN bounds would lie
+            if vals:
+                sub = _PbW()
+                for fid, v in ((1, min(vals)), (2, max(vals)), (3, sum(vals))):
+                    sub.varint((fid << 3) | 1)
+                    sub.out += struct.pack("<d", v)
+                st.msg(3, sub)
+        elif nn and kind == "str":
+            sub = _PbW()
+            sub.blob(1, min(nn).encode("utf-8"))
+            sub.blob(2, max(nn).encode("utf-8"))
+            sub.uint(3, sum(len(v.encode("utf-8")) for v in nn))
+            st.msg(4, sub)
+        elif nn and kind == "bool":
+            sub = _PbW()
+            sub.packed(1, [sum(1 for v in nn if v)])
+            st.msg(5, sub)
+        st.uint(10, 1 if len(nn) < n_rows else 0)  # has_null
+        footer.msg(7, st)
+
     footer.uint(8, 0)  # rowIndexStride: no row indexes
     footer_framed = frame(bytes(footer.out))
     out += footer_framed
@@ -1117,3 +1160,58 @@ def orc_footer_scan(spark, paths: list[str]):
 
     pdf = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
     return pdf.repartition(max(len(paths), 1), "path").mapInPandas(gen, schema)
+
+
+def write_orc_grouped(
+    df,
+    out_dir: str,
+    kinds: dict[str, str],
+    group_col: str,
+    sort_cols: list[str],
+    *,
+    compression: str = "zlib",
+):
+    """Group-wise ORC sink: one sorted file per GROUP via applyInPandas —
+    the clustered layout whose per-file footer stats make value-range
+    pruning exact (the write_parquet_grouped twin)."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    names = [f.name for f in df.schema.fields if f.name != group_col]
+    for c in names:
+        if c not in kinds:
+            raise OrcError(f"no orc writer kind declared for column {c}")
+    _os.makedirs(out_dir, exist_ok=True)
+    man_schema = StructType(
+        [StructField("grp", StringType()), StructField("n_rows", LongType())]
+    )
+
+    def sink(key, pdf):
+        g = key[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        cols = {}
+        for c in names:
+            kind = kinds[c]
+            vals = []
+            for v in pdf[c].tolist():
+                if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                    vals.append(None)
+                elif kind == "i64":
+                    vals.append(int(v))
+                elif kind == "bool":
+                    vals.append(bool(v))
+                else:
+                    vals.append(v)
+            cols[c] = vals
+        blob = encode_orc(cols, {c: kinds[c] for c in names}, compression=compression)
+        part = f"{group_col}={g}.orc"
+        tmp = _os.path.join(out_dir, f".uncommitted-{part}")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.replace(tmp, _os.path.join(out_dir, part))
+        return pd.DataFrame([(str(g), len(pdf))], columns=["grp", "n_rows"])
+
+    return df.groupBy(group_col).applyInPandas(sink, man_schema)
