@@ -309,9 +309,11 @@ def test_stats_rows_pinned_against_pyarrow(tmp_path):
 
 
 def test_write_orc_grouped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
     out = str(tmp_path / "grp")
     orders = spark.read.parquet(f"{SF}/orders.parquet").select(
-        "o_orderkey", (spark.read.parquet(f"{SF}/orders.parquet").o_orderkey % 3).alias("g")
+        "o_orderkey", (F.col("o_orderkey") % 3).alias("g")
     )
     man = om.write_orc_grouped(
         orders, out, {"o_orderkey": "i64"}, "g", ["o_orderkey"]

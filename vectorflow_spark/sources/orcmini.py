@@ -950,14 +950,14 @@ def encode_orc(cols: dict[str, list], kinds: dict[str, str], *, compression: str
             _zz(sub, 2, max(nn))
             _zz(sub, 3, sum(nn))
             st.msg(2, sub)
-        elif nn and kind == "f64":
-            vals = [v for v in nn if v == v]  # NaN bounds would lie
-            if vals:
-                sub = _PbW()
-                for fid, v in ((1, min(vals)), (2, max(vals)), (3, sum(vals))):
-                    sub.varint((fid << 3) | 1)
-                    sub.out += struct.pack("<d", v)
-                st.msg(3, sub)
+        elif nn and kind == "f64" and not any(v != v for v in nn):
+            # a NaN anywhere voids the bounds entirely (publishing min/max
+            # of the non-NaN subset would lie to pruning)
+            sub = _PbW()
+            for fid, v in ((1, min(nn)), (2, max(nn)), (3, sum(nn))):
+                sub.varint((fid << 3) | 1)
+                sub.out += struct.pack("<d", v)
+            st.msg(3, sub)
         elif nn and kind == "str":
             sub = _PbW()
             sub.blob(1, min(nn).encode("utf-8"))
