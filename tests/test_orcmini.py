@@ -329,3 +329,114 @@ def test_write_orc_grouped(spark, tmp_path):
         st = om.orc_stats_rows(f)[0]
         assert st["min_num"] == ks[0] and st["max_num"] == ks[-1]
     assert total == orders.count()
+
+
+def test_java_writer_pre_epoch_timestamps(spark, tmp_path):
+    """Spark's orc-java writer stores java.sql.Timestamp's (trunc seconds,
+    positive nanos); the reader repairs with the millis<0 && nanos>999999
+    rule. Our decode must match Spark's own read-back exactly — including
+    the known (-1, 0)-interval round-trip wart both readers share."""
+    import datetime
+
+    vals = [
+        "1969-12-31 23:59:59.5", "1969-12-31 23:59:59.000001",
+        "1950-06-01 12:00:00.25", "1969-12-31 23:59:58.75",
+        "1970-01-01 00:00:00.25", "1969-07-20 20:17:40.123456",
+    ]
+    old = spark.conf.get("spark.sql.orc.compression.codec", "zstd")
+    spark.conf.set("spark.sql.orc.compression.codec", "zlib")
+    try:
+        df = spark.sql(
+            "SELECT timestamp'" + "' AS t UNION ALL SELECT timestamp'".join(vals) + "' AS t"
+        )
+        out = str(tmp_path / "ts")
+        df.coalesce(1).write.orc(out)
+    finally:
+        spark.conf.set("spark.sql.orc.compression.codec", old)
+    f = glob.glob(f"{out}/part-*.orc")[0]
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    back = sorted(
+        round((r.t.replace(tzinfo=datetime.timezone.utc) - epoch).total_seconds() * 1e9)
+        for r in spark.read.orc(f).collect()
+    )
+    ours = sorted(om.read_orc(f, ["t"])["t"])
+    assert ours == back
+
+
+def test_spark_default_zstd_orc_refuses(spark, tmp_path):
+    out = str(tmp_path / "z")
+    assert spark.conf.get("spark.sql.orc.compression.codec") == "zstd"
+    spark.range(5).write.orc(out)
+    f = glob.glob(f"{out}/part-*.orc")[0]
+    with pytest.raises(om.OrcError, match="ZSTD"):
+        om.read_orc_meta(f)
+
+
+def test_orc_raw_scan_binary_column(spark, tmp_path):
+    rng = random.Random(10)
+    bn = [bytes(rng.randbytes(rng.randrange(1, 12))) for _ in range(500)]
+    t = pa.table({"k": pa.array(range(500)), "bin": pa.array(bn, pa.binary())})
+    p = str(tmp_path / "b.orc")
+    orc.write_table(t, p, compression="zlib")
+    df = om.orc_raw_scan(spark, p, ["k", "bin"]).toPandas().sort_values("k")
+    assert [bytes(v) for v in df["bin"]] == bn
+
+
+def test_orc_raw_scan_zero_stripe_file(spark, tmp_path):
+    t = pa.table({"k": pa.array([], pa.int64())})
+    p = str(tmp_path / "e.orc")
+    orc.write_table(t, p)
+    assert om.read_orc(p, ["k"]) == {"k": []}
+    df = om.orc_raw_scan(spark, p, ["k"])
+    assert df.count() == 0 and df.schema[0].name == "k"
+
+
+def test_string_sum_stat_is_zigzag(tmp_path):
+    t = pa.table({"s": pa.array(["ab", "cd", "éf"])})  # 2+2+3 = 7 utf-8 bytes
+    p = str(tmp_path / "s.orc")
+    orc.write_table(t, p)
+    assert om.orc_stats_rows(p)[0]["sum_num"] == 7
+    # and our writer emits the same wire form pyarrow's reader produced
+    with open(p, "rb") as fh:
+        pass
+    blob = om.encode_orc({"s": ["ab", "cd", "éf"]}, {"s": "str"})
+    p2 = str(tmp_path / "w.orc")
+    with open(p2, "wb") as fh:
+        fh.write(blob)
+    assert om.orc_stats_rows(p2)[0]["sum_num"] == 7
+
+
+def test_pb_unpacked_repeated_accepted():
+    # Type.subtypes declared packed may legally arrive as individual
+    # varints; both forms must accumulate
+    w = om._PbW()
+    w.uint(1, 12)  # kind STRUCT
+    w.uint(2, 1)   # subtypes, unpacked form
+    w.uint(2, 2)
+    w.uint(2, 3)
+    parsed = om._pb_parse(bytes(w.out), om._TYPE_SPEC)
+    assert parsed["subtypes"] == [1, 2, 3]
+
+
+def test_tiny_file_refuses(tmp_path):
+    p = str(tmp_path / "t.orc")
+    for blob in (b"", b"ORC", b"ORC\x00\x01"):
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        with pytest.raises(om.OrcError):
+            om.read_orc_meta(p)
+
+
+def test_dictionary_blob_truncation_refuses(tmp_path):
+    t = pa.table({"s": pa.array([f"w{i%5}" for i in range(2000)])})
+    p = str(tmp_path / "d.orc")
+    orc.write_table(t, p, compression="uncompressed")
+    meta = om.read_orc_meta(p)
+    stripe = dict(meta["stripes"][0])
+    with open(p, "rb") as fh:
+        streams, encodings = om._read_stripe_streams(fh, meta, stripe)
+    col = om._column_id(meta, "s")
+    if (col, 3) in streams:  # dictionary encoding chosen
+        streams[(col, 3)] = streams[(col, 3)][:2]  # truncate the dict blob
+        with pytest.raises(om.OrcError, match="dictionary data stream truncated"):
+            om._decode_column(meta, streams, encodings, col, stripe["number_of_rows"])

@@ -629,10 +629,10 @@ def q_orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(MAX(n_chars) AS BIGINT) AS VARCHAR)
     FROM documents
     UNION ALL
-    SELECT 'lang', CAST(COUNT(lang) AS BIGINT), CAST(NULL AS BIGINT),
+    SELECT 'lang', CAST(COUNT(lang) AS BIGINT), CAST(SUM(strlen(lang)) AS BIGINT),
            MIN(lang), MAX(lang) FROM documents
     UNION ALL
-    SELECT 'source', CAST(COUNT(source) AS BIGINT), CAST(NULL AS BIGINT),
+    SELECT 'source', CAST(COUNT(source) AS BIGINT), CAST(SUM(strlen(source)) AS BIGINT),
            MIN(source), MAX(source) FROM documents
     """,
 )
@@ -650,14 +650,13 @@ def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = orc_footer_scan(spark, files).filter(
         F.col("column").isin("doc_id", "n_chars", "lang", "source")
     )
-    # string-length sums are excluded: the ORC C++ writer's file-level
-    # merge double-counts them (observed 2x the true byte total) — a
-    # writer quirk, not a spec contract; integer sums are exact
+    # string sums included: StringStatistics.sum is sint64 — the first
+    # cut read it unzigzagged (exactly 2x) and misblamed the writer
     agg = scan.groupBy(F.col("column").alias("col")).agg(
         F.sum("n_values").cast("bigint").alias("n_values"),
-        F.sum(F.when(F.col("kind") == "LONG", F.col("sum_num"))).cast("bigint").alias("sum_v"),
-        F.min("min_num").alias("_mn"),
-        F.max("max_num").alias("_mx"),
+        F.sum("sum_num").cast("bigint").alias("sum_v"),
+        F.min("min_int").alias("_mn"),
+        F.max("max_int").alias("_mx"),
         F.min("min_str").alias("_mns"),
         F.max("max_str").alias("_mxs"),
     )
@@ -665,8 +664,8 @@ def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col",
         "n_values",
         "sum_v",
-        F.coalesce(F.col("_mn").cast("bigint").cast("string"), F.col("_mns")).alias("min_s"),
-        F.coalesce(F.col("_mx").cast("bigint").cast("string"), F.col("_mxs")).alias("max_s"),
+        F.coalesce(F.col("_mn").cast("string"), F.col("_mns")).alias("min_s"),
+        F.coalesce(F.col("_mx").cast("string"), F.col("_mxs")).alias("max_s"),
     )
 
 
@@ -730,8 +729,8 @@ def q_orc_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.sum("n_values").cast("bigint").alias("n_rows"),
-            F.min("min_num").cast("bigint").alias("min_key"),
-            F.max("max_num").cast("bigint").alias("max_key"),
+            F.min("min_int").alias("min_key"),
+            F.max("max_int").alias("max_key"),
         )
     )
     return per_bucket.select(

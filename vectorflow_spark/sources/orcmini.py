@@ -100,7 +100,11 @@ def _pb_parse(buf: bytes, spec: dict[int, tuple[str, Any]], pos: int = 0, end: i
                 name, kind = ent
                 if kind == "sint":
                     v = (v >> 1) ^ -(v & 1)
-                store(name, v)
+                if kind == "packed_uint":
+                    # repeated scalars may legally arrive unpacked: append
+                    out.setdefault(name[:-2] if name.endswith("[]") else name, []).append(v)
+                else:
+                    store(name, v)
         elif wire == 2:
             ln, pos = _pb_varint(buf, pos, end)
             if pos + ln > end:
@@ -440,18 +444,22 @@ def _int_rle_v1(data: bytes, n: int, signed: bool) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def read_orc_meta(path: str) -> dict[str, Any]:
-    """Tail-read the PostScript + Footer (the object-store pattern: one
-    bounded tail fetch, no data bytes)."""
+def _tail_sections(path: str) -> tuple[dict[str, Any], int, bytes, int]:
+    """Read and validate the PostScript, returning (postscript, compression,
+    raw footer bytes, file size) — one bounded tail fetch plus a targeted
+    re-read when postscript+footer exceed the probe (the object-store
+    pattern, shared by the meta and stats walks)."""
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         size = fh.tell()
         tail_len = min(size, 16 * 1024)
         fh.seek(size - tail_len)
         tail = fh.read(tail_len)
-    if size < 4 or not tail.endswith(b""):
-        pass
+    if size < 16:
+        raise OrcError("orc: file too small to carry a postscript")
     ps_len = tail[-1]
+    if ps_len == 0:
+        raise OrcError("orc: zero-length postscript")
     if ps_len + 1 > len(tail):
         raise OrcError("orc: postscript overruns file")
     ps_raw = tail[-1 - ps_len : -1]
@@ -465,11 +473,20 @@ def read_orc_meta(path: str) -> dict[str, Any]:
         )
     flen = ps["footer_length"]
     need = 1 + ps_len + flen
+    if need > size:
+        raise OrcError("orc: footer overruns file")
     if need > len(tail):
         with open(path, "rb") as fh:
             fh.seek(size - need)
             tail = fh.read(need)
     footer_raw = _decompress_stream(tail[-1 - ps_len - flen : -1 - ps_len], compression)
+    return ps, compression, footer_raw, size
+
+
+def read_orc_meta(path: str) -> dict[str, Any]:
+    """Tail-read the PostScript + Footer (the object-store pattern: one
+    bounded tail fetch, no data bytes)."""
+    ps, compression, footer_raw, size = _tail_sections(path)
     footer = _pb_parse(footer_raw, _FOOTER_SPEC)
     types = footer.get("types", [])
     if not types:
@@ -568,6 +585,8 @@ def _decode_column(
             entries = []
             p = 0
             for ln in lengths:
+                if p + ln > len(dict_blob):
+                    raise OrcError("orc: dictionary data stream truncated")
                 entries.append(dict_blob[p : p + ln])
                 p += ln
             idxs = ints(data(1), n_present, signed=False)
@@ -594,9 +613,16 @@ def _decode_column(
         nanos_enc = ints(data(5), n_present, signed=False)  # SECONDARY stream
         vals = []
         for sec, ne in zip(secs, nanos_enc):
-            # the C++ writer stores pre-epoch rows as truncated seconds +
-            # NEGATIVE nanos, wrapped into the unsigned stream: reinterpret
-            # as two's complement, arithmetic-shift the payload
+            # two writer conventions, split on the nano sign: the C++
+            # writer stores pre-epoch rows as truncated seconds + NEGATIVE
+            # nanos (wrapped into the unsigned stream — reinterpret as
+            # two's complement, arithmetic-shift the payload); the Java
+            # writer stores java.sql.Timestamp's (getTime()/1000,
+            # getNanos()) pair, which readers repair with the orc-java
+            # rule: subtract 1 s iff the millis view is negative AND the
+            # nanos carry a millisecond part (>999999). Both rules pinned
+            # empirically against each writer's own reader — including
+            # the shared (-1,0)-interval round-trip wart.
             if ne >= 1 << 63:
                 ne -= 1 << 64
             z = ne & 7
@@ -605,7 +631,11 @@ def _decode_column(
                 # z trailing-zero marker restores z+1 removed zeros
                 # (orc-java TimestampTreeReader multiplies zeros+1 times)
                 nanos *= 10 ** (z + 1)
-            vals.append((sec + _ORC_TS_EPOCH) * 1_000_000_000 + nanos)
+            sec_utc = sec + _ORC_TS_EPOCH
+            val = sec_utc * 1_000_000_000 + nanos
+            if nanos > 999_999 and sec_utc * 1000 + nanos // 1_000_000 < 0:
+                val -= 1_000_000_000
+            vals.append(val)
     else:
         raise OrcError(f"orc: column type {kind} is not supported (flat analytics scope)")
 
@@ -641,6 +671,7 @@ def orc_raw_scan(spark, path: str | list[str], columns: list[str]):
     (same rule as parquetmini's raw decode returning storage values)."""
     import pandas as pd
     from pyspark.sql.types import (
+        BinaryType,
         BooleanType,
         DoubleType,
         FloatType,
@@ -669,6 +700,7 @@ def orc_raw_scan(spark, path: str | list[str], columns: list[str]):
             "STRING": StringType(),
             "VARCHAR": StringType(),
             "CHAR": StringType(),
+            "BINARY": BinaryType(),
             "DATE": IntegerType(),
             "TIMESTAMP": LongType(),
         }.get(kind) or StringType()
@@ -698,8 +730,10 @@ def orc_raw_scan(spark, path: str | list[str], columns: list[str]):
                 }
                 yield pd.DataFrame(data, columns=columns)
 
-    tdf = spark.createDataFrame(tasks, ["path", "stripe"])
-    return tdf.repartition(max(len(tasks), 1), "path", "stripe").mapInPandas(gen, schema)
+    if not tasks:  # zero-stripe files are legal (empty tables)
+        return spark.createDataFrame([], schema)
+    tdf = spark.createDataFrame(tasks, "path string, stripe long")
+    return tdf.repartition(len(tasks), "path", "stripe").mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -962,7 +996,7 @@ def encode_orc(cols: dict[str, list], kinds: dict[str, str], *, compression: str
             sub = _PbW()
             sub.blob(1, min(nn).encode("utf-8"))
             sub.blob(2, max(nn).encode("utf-8"))
-            sub.uint(3, sum(len(v.encode("utf-8")) for v in nn))
+            _zz(sub, 3, sum(len(v.encode("utf-8")) for v in nn))  # sint64
             st.msg(4, sub)
         elif nn and kind == "bool":
             sub = _PbW()
@@ -1053,7 +1087,7 @@ _COL_STATS_SPEC = {
     1: ("number_of_values", "uint"),
     2: ("int_stats", {1: ("minimum", "sint"), 2: ("maximum", "sint"), 3: ("sum", "sint")}),
     3: ("double_stats", {1: ("minimum", "double"), 2: ("maximum", "double"), 3: ("sum", "double")}),
-    4: ("string_stats", {1: ("minimum", "string"), 2: ("maximum", "string"), 3: ("sum", "uint")}),
+    4: ("string_stats", {1: ("minimum", "string"), 2: ("maximum", "string"), 3: ("sum", "sint")}),
     5: ("bucket_stats", {1: ("count", "packed_uint")}),
     10: ("has_null", "uint"),
 }
@@ -1064,19 +1098,7 @@ def orc_stats_rows(path: str) -> list[dict[str, Any]]:
     is the NON-NULL count; int stats carry exact min/max/sum; string stats
     carry min/max and the total UTF-8 byte length. The catalog rows an
     external table index is built from — no stripe bytes touched."""
-    with open(path, "rb") as fh:
-        fh.seek(0, 2)
-        size = fh.tell()
-        tail_len = min(size, 256 * 1024)
-        fh.seek(size - tail_len)
-        tail = fh.read(tail_len)
-    ps_len = tail[-1]
-    ps = _pb_parse(tail[-1 - ps_len : -1], _PS_SPEC)
-    if ps.get("magic") != "ORC":
-        raise OrcError("orc: missing ORC magic in postscript")
-    comp = ps.get("compression", 0)
-    flen = ps["footer_length"]
-    footer_raw = _decompress_stream(tail[-1 - ps_len - flen : -1 - ps_len], comp)
+    _ps, _comp, footer_raw, _size = _tail_sections(path)
     spec = dict(_FOOTER_SPEC)
     spec[7] = ("statistics[]", _COL_STATS_SPEC)
     footer = _pb_parse(footer_raw, spec)
@@ -1141,6 +1163,10 @@ def orc_footer_scan(spark, paths: list[str]):
             StructField("has_null", BooleanType()),
             StructField("min_num", DoubleType()),
             StructField("max_num", DoubleType()),
+            # exact int64 bounds: pruning decisions must never pass through
+            # doubles (2^53 truncation could skip a file that holds rows)
+            StructField("min_int", LongType()),
+            StructField("max_int", LongType()),
             StructField("sum_num", LongType()),
             StructField("min_str", StringType()),
             StructField("max_str", StringType()),
@@ -1153,6 +1179,9 @@ def orc_footer_scan(spark, paths: list[str]):
             for p in pdf["path"]:
                 for r in orc_stats_rows(p):
                     r = dict(r)
+                    is_int = isinstance(r["min_num"], int)
+                    r["min_int"] = r["min_num"] if is_int else None
+                    r["max_int"] = r["max_num"] if is_int else None
                     for k in ("min_num", "max_num"):
                         r[k] = None if r[k] is None else float(r[k])
                     rows.append(r)
