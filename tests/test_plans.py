@@ -491,3 +491,22 @@ def test_indexed_lookup_prunes_files(spark, Q):
         .filter((F.col("mx") >= 1024) & (F.col("mn") <= 1400))
     )
     assert stats.count() == 1
+
+
+@pytest.mark.parametrize("name", ["q_orc_rawscan", "q_snappy_roundtrip"])
+def test_storage_scan_gates_are_shuffle_free(spark, sf_dir, Q, name):
+    """Byte-level storage scans are per-(file,stripe|row) projections: one
+    Arrow-batched python stage, no hash/range exchange beyond the task or
+    input repartition."""
+    plan = physical(Q[name](spark, sf_dir))
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_parquet_meta_aggregation_is_partial(spark, sf_dir, Q):
+    """The footer catalog rollup must map-side combine: partial_sum/min/max
+    below the exchange, final above — the property that keeps the catalog
+    crawl's shuffle proportional to (files x columns), not rows."""
+    plan = physical(Q["q_parquet_meta"](spark, sf_dir))
+    assert "partial_" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
