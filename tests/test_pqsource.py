@@ -1,0 +1,98 @@
+"""vf_rawpq Python DataSource: byte-level decode behind spark.read.format,
+with stats-based row-group pruning at planning time."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vectorflow_spark.sources import pqsource
+from vectorflow_spark.sources.pqsource import VfRawPqReader
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rawpq(spark):
+    pqsource.register(spark)
+    return spark
+
+
+def test_matches_native_reader(rawpq):
+    df = rawpq.read.format("vf_rawpq").load(f"{SF}/orders.parquet")
+    ref = rawpq.read.parquet(f"{SF}/orders.parquet").select(*df.columns)
+    a = sorted(df.collect(), key=lambda r: r.o_orderkey)
+    b = sorted(ref.collect(), key=lambda r: r.o_orderkey)
+    assert a == b
+
+
+def test_directory_load_and_filter(rawpq, tmp_path):
+    rng_tables = []
+    import random
+
+    rng = random.Random(1)
+    for part in range(4):
+        vals = list(range(part * 1000, part * 1000 + 1000))
+        rng.shuffle(vals)
+        t = pa.table({"k": pa.array(vals, pa.int64()), "v": pa.array([f"s{v}" for v in vals])})
+        pq.write_table(t, str(tmp_path / f"part-{part}.parquet"))
+        rng_tables.append(t)
+    df = rawpq.read.format("vf_rawpq").load(str(tmp_path))
+    assert df.count() == 4000
+    got = sorted(r.k for r in df.filter("k >= 2500 AND k < 2600").collect())
+    assert got == list(range(2500, 2600))
+
+
+def test_planning_prunes_row_groups(tmp_path):
+    """The partition list must shrink when pushed ranges exclude row-group
+    stats — the Python-source analog of parquet row-group skipping."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    for part in range(4):
+        vals = list(range(part * 1000, part * 1000 + 1000))
+        t = pa.table({"k": pa.array(vals, pa.int64())})
+        pq.write_table(t, str(tmp_path / f"part-{part}.parquet"), row_group_size=250)
+    class _GreaterThanOrEqual:
+        def __init__(self, attribute, value):
+            self.attribute = attribute
+            self.value = value
+    GreaterThanOrEqual = type("GreaterThanOrEqual", (_GreaterThanOrEqual,), {})
+    reader = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+    assert len(reader.partitions()) == 16  # 4 files x 4 row groups
+    reader2 = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+    returned = list(reader2.pushFilters([GreaterThanOrEqual(("k",), 3600)]))
+    assert len(returned) == 1  # advisory: every filter comes back to Spark
+    parts = reader2.partitions()
+    assert len(parts) == 2  # rows 3500-3749 (stats-overlap) + 3750-3999
+    assert reader2.pruned == 14
+    eq = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+    list(eq.pushFilters([EqualTo(("k",), 1234)]))
+    assert len(eq.partitions()) == 1
+
+
+def test_pruning_is_superset_safe(rawpq, tmp_path):
+    """End-to-end: pruned scan + Spark's re-applied filter == ground truth."""
+    for part in range(4):
+        vals = list(range(part * 1000, part * 1000 + 1000))
+        t = pa.table({"k": pa.array(vals, pa.int64())})
+        pq.write_table(t, str(tmp_path / f"p{part}.parquet"), row_group_size=250)
+    df = rawpq.read.format("vf_rawpq").load(str(tmp_path)).filter("k >= 3600 AND k % 7 = 0")
+    assert sorted(r.k for r in df.collect()) == [k for k in range(3600, 4000) if k % 7 == 0]
+
+
+def test_refuses_nested_schema():
+    src = pqsource.VfRawPqDataSource({"path": f"{SF}/embeddings.parquet"})
+    with pytest.raises(Exception, match="nested"):
+        src.schema()
+
+
+def test_timestamp_column_roundtrip(rawpq):
+    df = rawpq.read.format("vf_rawpq").load(f"{SF}/events.parquet").select("event_id", "ts")
+    ref = rawpq.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    a = {r.event_id: r.ts for r in df.collect()}
+    b = {r.event_id: r.ts for r in ref.collect()}
+    assert a == b

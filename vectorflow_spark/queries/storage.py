@@ -740,3 +740,33 @@ def q_orc_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key",
         ((F.col("max_key") >= 3000) & (F.col("min_key") <= 9000)).alias("kept"),
     )
+
+
+@query(
+    "q_rawpq_pushdown_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 1024 AND 1400 AND o_orderkey % 13 = 5
+    """,
+)
+def q_rawpq_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level reader as a FIRST-CLASS Spark source: the bucketed
+    corpus read through ``spark.read.format("vf_rawpq")`` with the range
+    predicate pushed into the source (sources/pqsource.py), which prunes
+    row groups from footer stats at PLANNING time and returns every filter
+    for exact re-application — same relational result as
+    q_parquet_indexed_lookup but planned by Catalyst end to end through
+    the Python DataSource pushdown API instead of a hand-built
+    harvest->prune->decode pipeline. One bucket file of ~73 survives
+    planning at sf0.1."""
+    from vectorflow_spark.sources import pqsource
+
+    pqsource.register(spark)
+    out_dir = _bucketed_orders_dir(spark, sf_dir)
+    df = spark.read.format("vf_rawpq").load(out_dir)
+    return (
+        df.filter(
+            F.col("o_orderkey").between(1024, 1400) & (F.col("o_orderkey") % 13 == 5)
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+    )
