@@ -96,3 +96,90 @@ def test_timestamp_column_roundtrip(rawpq):
     a = {r.event_id: r.ts for r in df.collect()}
     b = {r.event_id: r.ts for r in ref.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# vf_raworc — the ORC twin
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def raworc(spark):
+    from vectorflow_spark.sources import orcsource
+
+    orcsource.register(spark)
+    return spark
+
+
+def _orc_dir(tmp_path, n_files=4):
+    import pyarrow.orc as orc
+
+    for part in range(n_files):
+        vals = list(range(part * 1000, part * 1000 + 1000))
+        t = pa.table({"k": pa.array(vals, pa.int64()), "v": pa.array([f"s{v}" for v in vals])})
+        orc.write_table(t, str(tmp_path / f"part-{part}.orc"), compression="zlib")
+    return str(tmp_path)
+
+
+def test_raworc_matches_native(raworc, tmp_path):
+    d = _orc_dir(tmp_path)
+    df = raworc.read.format("vf_raworc").load(d)
+    ref = raworc.read.orc(d)
+    assert sorted(r.k for r in df.collect()) == sorted(r.k for r in ref.collect())
+    assert df.count() == 4000
+
+
+def test_raworc_file_pruning(tmp_path):
+    from pyspark.sql.types import StructType
+
+    from vectorflow_spark.sources.orcsource import VfRawOrcReader
+
+    d = _orc_dir(tmp_path)
+    r = VfRawOrcReader({"path": d}, StructType.fromDDL("k bigint"))
+    base = len(r.partitions())
+    r2 = VfRawOrcReader({"path": d}, StructType.fromDDL("k bigint"))
+    class GreaterThanOrEqual:
+        def __init__(self, attribute, value):
+            self.attribute = attribute
+            self.value = value
+    returned = list(r2.pushFilters([GreaterThanOrEqual(("k",), 3000)]))
+    assert len(returned) == 1
+    assert len(r2.partitions()) < base
+    assert r2.pruned_files == 3  # files 0-2 entirely below the bound
+
+
+def test_raworc_superset_safe(raworc, tmp_path):
+    d = _orc_dir(tmp_path)
+    got = sorted(
+        r.k
+        for r in raworc.read.format("vf_raworc")
+        .load(d)
+        .filter("k >= 2600 AND k % 11 = 0")
+        .collect()
+    )
+    assert got == [k for k in range(2600, 4000) if k % 11 == 0]
+
+
+def test_raworc_own_writer_files(raworc, tmp_path):
+    from vectorflow_spark.sources import orcmini as om
+
+    cols = {"k": list(range(500)), "s": [f"w{i%9}" for i in range(500)]}
+    p = str(tmp_path / "ours.orc")
+    with open(p, "wb") as fh:
+        fh.write(om.encode_orc(cols, {"k": "i64", "s": "str"}))
+    df = raworc.read.format("vf_raworc").load(p)
+    assert sorted(r.k for r in df.collect()) == cols["k"]
+
+
+def test_all_pruned_returns_empty_typed(rawpq, raworc, tmp_path):
+    """A range excluding every file/row group must plan the sentinel empty
+    partition, not crash."""
+    import pyarrow.orc as orc
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    orc.write_table(t, str(tmp_path / "a.orc"))
+    d1 = rawpq.read.format("vf_rawpq").load(str(tmp_path / "a.parquet")).filter("k > 10000")
+    assert d1.count() == 0 and d1.schema[0].name == "k"
+    d2 = raworc.read.format("vf_raworc").load(str(tmp_path / "a.orc")).filter("k > 10000")
+    assert d2.count() == 0 and d2.schema[0].name == "k"

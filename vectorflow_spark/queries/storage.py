@@ -770,3 +770,28 @@ def q_rawpq_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").between(1024, 1400) & (F.col("o_orderkey") % 13 == 5)
         ).select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "q_raworc_pushdown_scan",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_orderkey BETWEEN 3000 AND 4000 AND o_orderkey % 7 = 2
+    """,
+)
+def q_raworc_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vf_rawpq gate's ORC twin: the bucketed ORC corpus (OUR writer,
+    OUR footer statistics) read through ``spark.read.format("vf_raworc")``
+    with the range predicate pruning whole FILES from file-level stats at
+    planning time (sources/orcsource.py), filters re-applied exactly by
+    Spark. Closes the loop: our ORC bytes, our stats, Catalyst's pushdown
+    machinery, relational ground truth."""
+    from vectorflow_spark.sources import orcsource
+
+    orcsource.register(spark)
+    out_dir = _bucketed_orders_orc_dir(spark, sf_dir)
+    df = spark.read.format("vf_raworc").load(out_dir)
+    return df.filter(
+        F.col("o_orderkey").between(3000, 4000) & (F.col("o_orderkey") % 7 == 2)
+    ).select("o_orderkey", "o_custkey")

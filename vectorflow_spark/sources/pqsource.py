@@ -65,7 +65,7 @@ def _spark_ddl_type(leaf: _Leaf) -> str | None:
 class _RgPartition(InputPartition):
     def __init__(self, path: str, rg: int):
         self.path = path
-        self.rg = rg
+        self.rg = rg  # -1 = sentinel: yield an empty typed batch
 
 
 class VfRawPqReader(DataSourceReader):
@@ -148,6 +148,10 @@ class VfRawPqReader(DataSourceReader):
             else:
                 for rg in range(len(read_file_meta(p)["row_groups"])):
                     parts.append(_RgPartition(p, rg))
+        if not parts:
+            # everything pruned: Spark needs >= 1 partition — yield one
+            # that produces an empty typed batch
+            parts.append(_RgPartition(self._files()[0], -1))
         return parts
 
     def read(self, partition: _RgPartition) -> Iterator:
@@ -155,7 +159,10 @@ class VfRawPqReader(DataSourceReader):
 
         meta = read_file_meta(partition.path)
         leaves = {lf.path: lf for lf in schema_leaves(meta)}
-        cols = read_row_group(partition.path, meta, partition.rg, self.columns)
+        if partition.rg < 0:
+            cols = {c: [] for c in self.columns}
+        else:
+            cols = read_row_group(partition.path, meta, partition.rg, self.columns)
         arrays = []
         for c in self.columns:
             leaf = leaves[c]
