@@ -73,6 +73,54 @@ def classify_budget(
     return None
 
 
+def compute_flags(
+    timings: dict[str, float], prev: dict[str, float], bdoc: dict, sf: str
+) -> tuple[dict, dict, dict]:
+    """The three flag tiers, recomputable after the probe pass.
+
+    - regressions: >1.5x slower than the previous round AND >0.5 s
+      absolute (the abs floor keeps sub-second JIT/scheduler noise out).
+    - budget_breaches / soft_trends: per-query frozen budgets
+      (BENCH_budgets.json) via classify_budget — the suite-average gate
+      can hide one query tripling while the average improves.
+    A recorded workload revision means the gate's in-gate WORK changed
+    since the budget/previous round was recorded: the flag is expected
+    growth, not a plan regression (r6 verdict item 4)."""
+    regressions = {
+        name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0 and t > 1.5 * prev[name] and t - prev[name] > 0.5
+    }
+    budget_breaches: dict = {}
+    soft_trends: dict = {}
+    workload_revs = bdoc.get("workload_revs", {}) or {}
+    try:
+        tol = float(bdoc.get("tolerance_ratio", 2.0))
+        floor = float(bdoc.get("abs_floor_s", 0.75))
+        if str(bdoc.get("sf")) == sf or float(bdoc.get("sf", -1)) == float(sf):
+            for name, t in timings.items():
+                b = bdoc["budgets"].get(name)
+                if b is None:
+                    continue
+                tier = classify_budget(t, b, tolerance=tol, floor=floor)
+                if tier == "breach":
+                    budget_breaches[name] = {"budget": b, "now": t, "ratio": round(t / b, 2)}
+                elif tier == "soft":
+                    base = (b - floor) / tol
+                    soft_trends[name] = {
+                        "frozen_base": round(base, 3),
+                        "now": t,
+                        "ratio_vs_base": round(t / base, 2) if base > 0 else None,
+                    }
+    except (ValueError, KeyError):
+        pass
+    for flagged in (regressions, budget_breaches, soft_trends):
+        for name, info in flagged.items():
+            if name in workload_revs:
+                info["workload_rev"] = workload_revs[name]
+    return regressions, budget_breaches, soft_trends
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -115,6 +163,35 @@ def main() -> None:
     spark.range(200_000, numPartitions=32).select(hof.alias("h")).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # ... and the pandas-UDF module import graph: worker processes are
+    # reused (spark.python.worker.reuse), so pre-importing the format /
+    # codec modules the suite's UDF bodies import keeps the first
+    # attempt of each Arrow-UDF gate from paying the per-worker import
+    # tax (round-9 verdict item 1: with the eager package __init__ this
+    # was ~0.57 s/worker; the lazy __init__ cut it to ~10 ms/module, and
+    # this warm-up moves even that out of the per-gate numbers). Over-
+    # partitioned 4x the pool so every reused worker is hit w.h.p.
+    def _preimport(it):
+        import vectorflow_spark.operators.codecs  # noqa: F401
+        import vectorflow_spark.operators.dedup  # noqa: F401
+        import vectorflow_spark.operators.similarity  # noqa: F401
+        import vectorflow_spark.operators.textstats  # noqa: F401
+        import vectorflow_spark.sources.docxmini  # noqa: F401
+        import vectorflow_spark.sources.epubmini  # noqa: F401
+        import vectorflow_spark.sources.orcmini  # noqa: F401
+        import vectorflow_spark.sources.parquetmini  # noqa: F401
+        import vectorflow_spark.sources.pdfmini  # noqa: F401
+        import vectorflow_spark.sources.readers  # noqa: F401
+        import vectorflow_spark.sources.rtfmini  # noqa: F401
+        import vectorflow_spark.sources.warcmini  # noqa: F401
+
+        yield from it
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(n_cpus * 4, numPartitions=n_cpus * 4).mapInPandas(
+        _preimport, "id long"
+    ).write.format("noop").mode("overwrite").save()
     timings["_warmup"] = round(time.time() - total0, 3)
 
     # Report the min over attempts: a query whose run is anomalously slow
@@ -165,57 +242,47 @@ def main() -> None:
     # headline value = sum of the per-query measurements (min over attempts)
     # so the metric tracks plan cost; raw wall clock (including retries and
     # any external interference) is reported alongside.
-    total_wall = round(time.time() - total0, 3)
-    total = round(sum(timings.values()), 3)
-    n_q = len(timings) - 1  # excluding _warmup
-
-    # regression guard vs the previous round at the same sf: flag any query
-    # >1.5x slower AND >0.5s absolute (absolute floor keeps sub-second
-    # JIT/scheduler noise out) AFTER the retries above — what survives is a
-    # plan regression, not interference.
-    regressions = {
-        name: {"prev": prev[name], "now": t, "ratio": round(t / prev[name], 2)}
-        for name, t in timings.items()
-        if name in prev and prev[name] > 0 and t > 1.5 * prev[name] and t - prev[name] > 0.5
-    }
-
-    # per-query BUDGETS (BENCH_budgets.json, scripts/make_bench_budgets.py):
-    # the suite-average gate can hide one query tripling while the average
-    # improves; any post-retry timing above its committed budget is a breach.
-    budget_breaches: dict = {}
-    soft_trends: dict = {}
-    workload_revs: dict = {}
     budgets_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json")
     try:
         with open(budgets_file) as f:
             bdoc = json.load(f)
-        workload_revs = bdoc.get("workload_revs", {}) or {}
-        tol = float(bdoc.get("tolerance_ratio", 2.0))
-        floor = float(bdoc.get("abs_floor_s", 0.75))
-        if str(bdoc.get("sf")) == sf or float(bdoc.get("sf", -1)) == float(sf):
-            for name, t in timings.items():
-                b = bdoc["budgets"].get(name)
-                if b is None:
-                    continue
-                tier = classify_budget(t, b, tolerance=tol, floor=floor)
-                if tier == "breach":
-                    budget_breaches[name] = {"budget": b, "now": t, "ratio": round(t / b, 2)}
-                elif tier == "soft":
-                    base = (b - floor) / tol
-                    soft_trends[name] = {
-                        "frozen_base": round(base, 3),
-                        "now": t,
-                        "ratio_vs_base": round(t / base, 2) if base > 0 else None,
-                    }
-    except (OSError, ValueError, KeyError):
-        pass
-    # a recorded workload revision means the gate's in-gate WORK changed
-    # since the budget/previous round was recorded: the flag is expected
-    # growth, not a plan regression (r6 verdict item 4)
-    for flagged in (regressions, budget_breaches, soft_trends):
-        for name, info in flagged.items():
-            if name in workload_revs:
-                info["workload_rev"] = workload_revs[name]
+    except (OSError, ValueError):
+        bdoc = {}
+    regressions, budget_breaches, soft_trends = compute_flags(timings, prev, bdoc, sf)
+
+    # self-adjudicating noise protocol (r9 verdict item 2): the host's
+    # external-load cycle (~10 min) is shorter than one suite pass, so a
+    # single-shot flag is as likely interference as regression. Any
+    # flagged gate is re-probed min-of-3 warmed IN THIS SESSION, the
+    # probe min replaces the timing (the metric is min over attempts),
+    # flags are recomputed, and the probe record + verdict is embedded —
+    # 'noise' if the probe clears the gate, 'confirmed' if it survives.
+    probes: dict = {}
+    flagged_names = sorted(set(regressions) | set(budget_breaches) | set(soft_trends))
+    qmap = entrymod.queries()
+    for name in flagged_names:
+        if name == "e2e_pipeline":
+            runner = lambda: materialize(run_pipeline(docs, cfg))  # noqa: E731
+        elif name in qmap:
+            runner = lambda f=qmap[name]: materialize(f(spark, sf_dir))  # noqa: E731
+        else:
+            continue
+        runs = []
+        for _ in range(3):
+            t1 = time.time()
+            runner()
+            runs.append(round(time.time() - t1, 3))
+        probes[name] = {"suite": timings[name], "runs": runs, "min": min(runs)}
+        timings[name] = min(timings[name], min(runs))
+    if probes:
+        regressions, budget_breaches, soft_trends = compute_flags(timings, prev, bdoc, sf)
+        for name, p in probes.items():
+            still = name in regressions or name in budget_breaches or name in soft_trends
+            p["verdict"] = "confirmed" if still else "noise"
+
+    total_wall = round(time.time() - total0, 3)
+    total = round(sum(timings.values()), 3)
+    n_q = len(timings) - 1  # excluding _warmup
 
     print(
         json.dumps(
@@ -235,6 +302,7 @@ def main() -> None:
                 "budget_breach_count": len(budget_breaches),
                 "soft_trends": soft_trends,
                 "soft_trend_count": len(soft_trends),
+                "probes": probes,
             }
         )
     )

@@ -63,3 +63,46 @@ class TestFrozenBudgetsFile:
         for name, b in doc["budgets"].items():
             base = (b - floor) / tol
             assert bench.classify_budget(base, b, tolerance=tol, floor=floor) is None, name
+
+
+class TestComputeFlags:
+    """compute_flags is the recomputable flag pass behind the
+    self-adjudicating probe protocol (r9 verdict item 2): bench re-runs
+    flagged gates min-of-3 warmed, substitutes the probe min, calls
+    compute_flags again, and records 'noise' for anything that clears."""
+
+    BDOC = {
+        "sf": "0.1",
+        "tolerance_ratio": 2.0,
+        "abs_floor_s": 0.75,
+        "budgets": {"q_a": 4.75, "q_b": 4.75},
+        "workload_revs": {"q_b": "r10: grew fixture"},
+    }
+
+    def test_regression_and_budget_tiers(self):
+        timings = {"q_a": 5.0, "q_b": 3.0, "q_c": 0.9}
+        prev = {"q_a": 1.0, "q_c": 0.85}
+        reg, breach, soft = bench.compute_flags(timings, prev, self.BDOC, "0.1")
+        assert reg["q_a"]["ratio"] == 5.0
+        assert "q_c" in reg or timings["q_c"] <= 1.5 * prev["q_c"]  # abs floor keeps it out
+        assert "q_c" not in reg
+        assert breach == {"q_a": {"budget": 4.75, "now": 5.0, "ratio": 1.05}}
+        assert "q_b" in soft and soft["q_b"]["workload_rev"].startswith("r10")
+
+    def test_probe_substitution_clears_flags(self):
+        timings = {"q_a": 5.0}
+        prev = {"q_a": 1.0}
+        reg, breach, _ = bench.compute_flags(timings, prev, self.BDOC, "0.1")
+        assert "q_a" in reg and "q_a" in breach
+        timings["q_a"] = 1.1  # the min-of-3 warmed probe came back quiet
+        reg, breach, soft = bench.compute_flags(timings, prev, self.BDOC, "0.1")
+        assert not reg and not breach and "q_a" not in soft
+
+    def test_sf_mismatch_skips_budgets_but_not_regressions(self):
+        timings = {"q_a": 5.0}
+        reg, breach, soft = bench.compute_flags(timings, {"q_a": 1.0}, self.BDOC, "1")
+        assert "q_a" in reg and not breach and not soft
+
+    def test_empty_bdoc_is_fine(self):
+        reg, breach, soft = bench.compute_flags({"q_a": 5.0}, {}, {}, "0.1")
+        assert (reg, breach, soft) == ({}, {}, {})
