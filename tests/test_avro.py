@@ -1,0 +1,189 @@
+"""Avro container codec (sources/avromini.py) — unit coverage plus the
+EXTERNAL pin: both directions against the JVM Avro implementation Spark
+itself bundles (avro-1.12.1.jar), driven over py4j. Files our writer
+emits are decoded by org.apache.avro.file.DataFileReader; files the
+JVM's DataFileWriter emits round-trip through our reader — across
+codecs (null / deflate / snappy, the snappy one also cross-checking
+operators/snappymini.py against snappy-java) and null densities."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vectorflow_spark.sources import avromini as av
+
+COLS = {
+    "doc_id": [1, 2, 3, None, 5, -7, 0, 1 << 40],
+    "text": ["hello", "wörld", "", None, "tab\tx", "日本語", "a" * 300, "z"],
+    "score": [1.5, None, -2.25, 3.0, 0.0, 1e300, -1e-300, 42.0],
+    "flag": [True, False, None, True, False, True, None, False],
+    "emb": [[1.0, 2.0], [0.5] * 3, None, [], [9.0], [1.25, -1.25], None, [0.0]],
+}
+KINDS = {"doc_id": "i64", "text": "str", "score": "f64", "flag": "bool", "emb": "arr_f32"}
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+    def test_self_roundtrip(self, codec):
+        blob = av.encode_avro(COLS, KINDS, codec=codec, rows_per_block=3)
+        back = av.read_avro(blob)
+        for k, vals in COLS.items():
+            assert back[k] == vals, k
+
+    def test_projection_and_count(self):
+        blob = av.encode_avro(COLS, KINDS, rows_per_block=2)
+        assert av.read_avro(blob, ["text"]) == {"text": COLS["text"]}
+        assert av.count_rows(blob) == len(COLS["doc_id"])
+
+    def test_deterministic_bytes(self):
+        assert av.encode_avro(COLS, KINDS) == av.encode_avro(COLS, KINDS)
+
+    def test_split_ownership_exact_cover(self):
+        """Every block is owned by exactly one byte-range split, for any
+        split size — the DataFileReader sync/pastSync contract."""
+        blob = av.encode_avro(COLS, KINDS, codec="null", rows_per_block=1)
+        hdr = av.read_header(blob)
+        all_blocks = [o for o, _, _ in av.iter_blocks(blob, hdr)]
+        assert len(all_blocks) == len(COLS["doc_id"])
+        for step in (5, 17, 33, 100, 1 << 20):
+            seen = []
+            for s in range(0, len(blob), step):
+                for o, _, _ in av.iter_blocks(blob, hdr, s, min(s + step, len(blob))):
+                    seen.append(o)
+            assert seen == all_blocks, step
+
+
+class TestRefusals:
+    def test_bad_magic(self):
+        with pytest.raises(av.AvroError, match="magic"):
+            av.read_header(b"NOPE" + b"\x00" * 40)
+
+    def test_truncated_block(self):
+        blob = av.encode_avro(COLS, KINDS, codec="null")
+        with pytest.raises(av.AvroError):
+            av.read_avro(blob[:-3])
+
+    def test_corrupt_sync(self):
+        blob = bytearray(av.encode_avro(COLS, KINDS, codec="null"))
+        blob[-1] ^= 0xFF  # last sync byte
+        with pytest.raises(av.AvroError, match="sync"):
+            av.read_avro(bytes(blob))
+
+    def test_unsupported_codec_refuses(self):
+        blob = av.encode_avro(COLS, KINDS, codec="null")
+        hdr_end = av.read_header(blob)["data_start"]
+        doctored = blob.replace(b"\x08null", b"\x08zstd", 1)
+        assert doctored != blob
+        with pytest.raises(av.AvroError, match="codec"):
+            av.read_avro(doctored)
+        assert hdr_end > 0
+
+    def test_unsupported_schema_refuses(self):
+        for bad in (
+            {"type": "record", "name": "r", "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]},
+            {"type": "enum", "name": "e", "symbols": ["A"]},
+            ["null", "long", "string"],
+        ):
+            with pytest.raises(av.AvroError):
+                av._norm_schema(bad)
+
+    def test_writer_codec_refuses(self):
+        with pytest.raises(av.AvroError, match="codec"):
+            av.encode_avro(COLS, KINDS, codec="zstandard")
+
+    def test_ragged_refuses(self):
+        with pytest.raises(av.AvroError, match="ragged"):
+            av.encode_avro({"a": [1], "b": []}, {"a": "i64", "b": "i64"})
+
+
+def _jvm(spark):
+    return spark._jvm
+
+
+def _jvm_write(spark, path: str, schema_json: str, rows: list[dict], codec: str) -> None:
+    """Write rows with the JVM DataFileWriter. Values cross py4j as Avro
+    JSON-encoded datums (union branches wrapped as {"type": value}) and
+    are typed JVM-side by jsonDecoder + GenericDatumReader — py4j's
+    boxed-primitive auto-conversion makes per-field Record.put unusable
+    for long/float fields."""
+    jvm = _jvm(spark)
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    cf = jvm.org.apache.avro.file.CodecFactory
+    if codec == "deflate":
+        dfw.setCodec(cf.deflateCodec(6))
+    elif codec == "snappy":
+        dfw.setCodec(cf.snappyCodec())
+    dfw.create(sch, jvm.java.io.File(path))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    branch = {"doc_id": "long", "text": "string", "score": "double", "flag": "boolean", "emb": "array"}
+    for row in rows:
+        enc = {}
+        for name, v in row.items():
+            enc[name] = None if v is None else {branch[name]: v}
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, json.dumps(enc))
+        dfw.append(rdr.read(None, dec))
+    dfw.close()
+
+
+def _jvm_read(spark, path: str, names: list[str]) -> dict[str, list]:
+    jvm = _jvm(spark)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
+    out: dict[str, list] = {n: [] for n in names}
+    while dfr.hasNext():
+        rec = dfr.next()
+        for n in names:
+            v = rec.get(n)
+            if v is None:
+                out[n].append(None)
+            elif n == "text":
+                out[n].append(v.toString())
+            elif n == "emb":
+                out[n].append([float(x) for x in v])
+            elif n == "flag":
+                out[n].append(bool(v))
+            elif n == "score":
+                out[n].append(float(v))
+            else:
+                out[n].append(int(v))
+    dfr.close()
+    return out
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+class TestJvmParity:
+    def test_our_writer_jvm_reader(self, spark, tmp_path, codec):
+        blob = av.encode_avro(COLS, KINDS, codec=codec, rows_per_block=3)
+        p = str(tmp_path / f"ours_{codec}.avro")
+        with open(p, "wb") as f:
+            f.write(blob)
+        got = _jvm_read(spark, p, list(COLS))
+        for k, vals in COLS.items():
+            want = [[pytest.approx(x) for x in v] if isinstance(v, list) else v for v in vals]
+            assert got[k] == want, k
+
+    def test_jvm_writer_our_reader(self, spark, tmp_path, codec):
+        schema_json = json.dumps(av.schema_for(KINDS))
+        rows = [
+            {k: COLS[k][i] for k in COLS} for i in range(len(COLS["doc_id"]))
+        ]
+        p = str(tmp_path / f"jvm_{codec}.avro")
+        _jvm_write(spark, p, schema_json, rows, codec)
+        with open(p, "rb") as f:
+            data = f.read()
+        hdr = av.read_header(data)
+        assert hdr["codec"] == codec
+        back = av.read_avro(data)
+        for k, vals in COLS.items():
+            if k == "emb":
+                for a, b in zip(back[k], vals):
+                    assert (a is None) == (b is None)
+                    if a is not None:
+                        assert a == pytest.approx(b)
+            else:
+                assert back[k] == vals, k
+        assert av.count_rows(data) == len(rows)

@@ -245,6 +245,22 @@ class TestEmbeddingNearDup:
         pairs = {(r.a, r.b) for r in embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()}
         assert pairs == {(1, 2)}  # 4 is identical but in another block
 
+    def test_per_block_cap_bounds_skewed_blocks(self, spark):
+        """r9 verdict item 4: a skewed block must not go quadratic — the
+        cap keeps the max_block LOWEST ids of an oversized block (same
+        deterministic recall semantics as the minhash posting-list cap)."""
+        v = [1.0, 0.0]
+        rows = [(i, v, 0) for i in range(1, 7)] + [(10, v, 1), (11, v, 1)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = {
+            (r.a, r.b)
+            for r in embedding_neardup_pairs(
+                df, block_col="label", threshold=0.99, max_block=3
+            ).collect()
+        }
+        # block 0: only ids 1..3 survive the cap -> 3 pairs; block 1 under cap
+        assert pairs == {(1, 2), (1, 3), (2, 3), (10, 11)}
+
     def test_unblocked_requires_explicit_cap(self, spark):
         """The quadratic (no block_col) path must be an explicit opt-in."""
         import pytest

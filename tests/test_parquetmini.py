@@ -976,3 +976,30 @@ def test_deprecated_stats_fallback_numeric_only(tmp_path):
     with mock.patch.object(pm, "read_file_meta", return_value=meta3):
         rows = pm.footer_meta_rows(f"{SF}/nation.parquet")
     assert rows[0]["stats_min"] is None and rows[0]["stats_max"] is None
+
+
+def test_float_nan_voids_chunk_stats(tmp_path):
+    """r10 ADVICE (medium): a NaN in an f64/f32 column must VOID the
+    chunk-level min/max (NaN is unordered; Python min/max would emit
+    position-dependent bounds external readers prune on), matching the
+    page-index and ORC-writer rule. null_count survives."""
+    nan = float("nan")
+    p = str(tmp_path / "nan.parquet")
+    with open(p, "wb") as fh:
+        fh.write(
+            pm.encode_parquet(
+                {"x": [nan, -5.0, 3.0, None], "y": [1.0, 2.0, 3.0, 4.0]},
+                {"x": "f64", "y": "f64"},
+            )
+        )
+    rows = {r["path_in_schema"]: r for r in pm.footer_meta_rows(p)}
+    assert rows["x"]["stats_min"] is None and rows["x"]["stats_max"] is None
+    assert rows["x"]["stats_null_count"] == 1
+    # NaN-free sibling keeps exact bounds
+    assert rows["y"]["stats_min"] == 1.0 and rows["y"]["stats_max"] == 4.0
+    # and pyarrow agrees the NaN column carries no bounds
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    for i in range(md.num_columns):
+        col = md.column(i)
+        if col.path_in_schema == "x":
+            assert not col.statistics.has_min_max

@@ -183,3 +183,45 @@ def test_all_pruned_returns_empty_typed(rawpq, raworc, tmp_path):
     assert d1.count() == 0 and d1.schema[0].name == "k"
     d2 = raworc.read.format("vf_raworc").load(str(tmp_path / "a.orc")).filter("k > 10000")
     assert d2.count() == 0 and d2.schema[0].name == "k"
+
+
+def test_partial_stats_do_not_break_planning(spark, tmp_path):
+    """r10 ADVICE: a row group whose footer carries only ONE bound (or a
+    NaN-voided pair, which our writer now emits for NaN floats) must be
+    treated as prune-ineligible, not raise TypeError when a lower-bound
+    filter is pushed."""
+    from pyspark.sql.types import StructType
+
+    from vectorflow_spark.sources import parquetmini as pm2
+    from vectorflow_spark.sources.pqsource import VfRawPqReader
+
+    nan = float("nan")
+    with open(str(tmp_path / "a.parquet"), "wb") as fh:
+        fh.write(pm2.encode_parquet({"x": [nan, 1.0, 2.0]}, {"x": "f64"}))
+
+    class GreaterThan:
+        def __init__(self, attribute, value):
+            self.attribute = attribute
+            self.value = value
+
+    rd = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("x double"))
+    list(rd.pushFilters([GreaterThan(("x",), 0.5)]))
+    parts = rd.partitions()  # must not raise; NaN-voided stats can't prune
+    assert len(parts) == 1 and rd.pruned == 0
+
+
+def test_mixed_leaf_shape_refuses_at_plan_time(spark, tmp_path):
+    """The docstring contract: a file whose leaf shape differs for the
+    requested columns refuses in partitions(), not as a per-task error."""
+    from pyspark.sql.types import StructType
+
+    from vectorflow_spark.sources import parquetmini as pm2
+    from vectorflow_spark.sources.pqsource import VfRawPqReader
+
+    with open(str(tmp_path / "a.parquet"), "wb") as fh:
+        fh.write(pm2.encode_parquet({"k": [1, 2]}, {"k": "i64"}))
+    with open(str(tmp_path / "b.parquet"), "wb") as fh:
+        fh.write(pm2.encode_parquet({"k": ["x", "y"]}, {"k": "str"}))
+    rd = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+    with pytest.raises(pm2.ParquetError, match="leaf shape"):
+        rd.partitions()

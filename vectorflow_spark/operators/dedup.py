@@ -557,12 +557,24 @@ def embedding_neardup_pairs(
     block_col: str | None = None,
     threshold: float = 0.99,
     max_rows: int | None = None,
+    max_block: int = 8192,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. With a
     block_col (e.g. an LSH bucket or cluster id) the self-join is confined
     to blocks; without one this is quadratic, so the unblocked path REQUIRES
     an explicit ``max_rows`` opt-in (enforced by a driver-side count before
     the crossJoin — a caller cannot ship the O(n^2) plan by accident).
+
+    ``max_block`` caps a pathological block at its ``max_block`` lowest
+    ids (r9 verdict item 4: blocking bounds the EXPECTED cost, but one
+    skewed block still degrades quadratically — the sf1 probe measured a
+    100x pair blowup from block growth alone). Same recall semantics as
+    the minhash/simhash posting-list caps: rows beyond the cap in an
+    oversized block are excluded from pairing within that block, the
+    cutoff is deterministic (lowest ids win), and the row_number window
+    sorts BEFORE the join so the cap itself streams/spills rather than
+    buffering the block. Per-block candidate work is bounded at
+    O(max_block^2) regardless of skew.
 
     Norms are computed once per ROW before the join (O(n) folds) so each of
     the O(n^2/blocks) candidate pairs only pays the dot product — the norm
@@ -591,7 +603,18 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    ).localCheckpoint()
+    )
+    if block_col is not None:
+        from pyspark.sql import Window
+
+        base = (
+            base.withColumn(
+                "_rn", F.row_number().over(Window.partitionBy("blk").orderBy("_id"))
+            )
+            .filter(F.col("_rn") <= max_block)
+            .drop("_rn")
+        )
+    base = base.localCheckpoint()
     a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *(["blk"] if block_col else []))
     b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), *(["blk"] if block_col else []))
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)

@@ -14,9 +14,12 @@ LZ4-written files through arrow/DuckDB.
 Format recap: sequences of [token | literal-length ext | literals |
 2-byte LE offset | match-length ext]; token high nibble = literal length
 (15 escapes to 255-continued bytes), low nibble = match length - 4 (same
-escape); the final sequence is literals-only. Encoder constraints honored:
-matches end >= 12 bytes before the block end, last 5 bytes are literals,
-offsets <= 65535.
+escape); the final sequence is literals-only. Encoder constraints honored
+(the spec's actual end-of-block rules): every match STARTS >= 12 bytes
+before the block end (match_limit = n - 12, so a 4-byte match anchored
+near the limit may END up to 3 bytes past n - 12 — spec-legal, and all
+decoders accept it), the last 5+ bytes are always literals, offsets
+<= 65535.
 
 Contract: parse-correctly-or-refuse — zero/oversized offsets, truncated
 sequences and declared-size mismatches raise ``Lz4Error``.

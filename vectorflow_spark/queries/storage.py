@@ -795,3 +795,146 @@ def q_raworc_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         F.col("o_orderkey").between(3000, 4000) & (F.col("o_orderkey") % 7 == 2)
     ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Avro: the row-oriented third format of the storage stack
+# (sources/avromini.py — binary encoding, container blocks, sync-marker
+# splits; pinned against the JVM avro-1.12.1.jar in tests/test_avro.py)
+# ---------------------------------------------------------------------------
+
+_AVROFIX_REV = 1
+
+
+def _avro_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Avro corpus of the documents table: ONE container file,
+    small blocks (128 rows), deflate — the shape that exercises the
+    sync-marker split walk (many blocks per file, many byte-range tasks
+    over one file)."""
+    from vectorflow_spark.sources.avromini import write_avro_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_avrofix_r{_AVROFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents", split=True).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    write_avro_corpus(docs.coalesce(1), out_dir, kinds, rows_per_block=128).count()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _avro_docs_dir\n")
+    return out_dir
+
+
+@query(
+    "q_avro_write_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_avro_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD storage format, write+read byte-level: documents
+    serialized by OUR pure-Python Avro writer (binary encoding, deflate
+    blocks, content-derived sync markers) through the distributed
+    rename-commit sink, read back by OUR distributed byte-range scan and
+    hash-matched against the table. Row-oriented Avro completes the lake
+    trio (columnar parquet + ORC cover the analytics shape; Avro is what
+    ingest/CDC feeds actually deliver). JVM-parity pin in
+    tests/test_avro.py; per-process output dir wiped each run."""
+    from vectorflow_spark.sources.avromini import avro_raw_scan, write_avro_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_avrowrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True)
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    write_avro_corpus(
+        docs.select(*kinds), out_dir, kinds
+    ).count()  # the write IS this action
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.avro")))
+    return avro_raw_scan(spark, files, list(kinds))
+
+
+@query(
+    "q_avro_split_scan",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-marker input splits, the property that makes row-oriented
+    Avro viable at 100 TB: ONE container file (128-row deflate blocks)
+    scanned as many ~64 KiB byte-range tasks, each entering mid-file,
+    seeking to the next sync and owning exactly the blocks that start in
+    its range (the JVM DataFileReader sync/pastSync contract, replicated
+    bit-for-bit — tests/test_avro.py proves exact single-ownership for
+    arbitrary split sizes). Hash-match against the table proves no block
+    is lost or read twice at the seams."""
+    from vectorflow_spark.sources.avromini import avro_raw_scan
+
+    out_dir = _avro_docs_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no avro files under {out_dir}")
+    return avro_raw_scan(
+        spark, files, ["doc_id", "text", "lang", "source", "n_chars"], split_bytes=64 << 10
+    )
+
+
+@query(
+    "q_avro_meta",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang
+    """,
+)
+def q_avro_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only row counts (the avro twin of q_parquet_meta): one
+    container file per lang written by the grouped sink, then per-file
+    counts summed from BLOCK HEADERS alone — no payload is ever
+    decompressed (avromini.count_rows), which is what a catalog stats
+    pass costs over an avro lake. Oracle recomputes the counts
+    relationally."""
+    import pandas as pd
+
+    from vectorflow_spark.sources.avromini import count_rows, write_avro_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_avrometa_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text", "lang")
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str"}
+
+    # one file per lang: repartition BY the group key so each task holds
+    # exactly one lang's rows (lang cardinality is tiny; the corpus-scale
+    # shape would add a within-lang salt column to this same repartition)
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]  # k-bounded
+    for lg in sorted(langs):
+        write_avro_corpus(
+            docs.filter(F.col("lang") == lg).coalesce(1),
+            os.path.join(out_dir, f"lang={lg}"),
+            kinds,
+        ).count()
+
+    entries = sorted(_glob.glob(os.path.join(out_dir, "lang=*", "part-*.avro")))
+    files_df = spark.createDataFrame(
+        [(p, os.path.basename(os.path.dirname(p))[5:]) for p in entries],
+        "path string, lang string",
+    ).repartition(max(len(entries), 1))
+
+    def meta(batches):
+        for pdf in batches:
+            rows = []
+            for path, lg in zip(pdf["path"], pdf["lang"]):
+                with open(path, "rb") as f:
+                    rows.append((lg, count_rows(f.read())))
+            yield pd.DataFrame(rows, columns=["lang", "n_rows"])
+
+    per_file = files_df.mapInPandas(meta, "lang string, n_rows long")
+    return per_file.groupBy("lang").agg(F.sum("n_rows").alias("n_rows"))

@@ -1058,6 +1058,10 @@ def write_orc_corpus(df, out_dir: str, kinds: dict[str, str], *, compression: st
                 kind = kinds[c]
                 vals = []
                 for v in pdf[c].tolist():
+                    # NaN -> NULL, documented conflation: mapInPandas
+                    # delivers float NULLs AS NaN (numpy-backed pandas),
+                    # so the distinction is lost upstream — same rule as
+                    # parquetmini._pdf_column
                     if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                         vals.append(None)
                     elif kind == "i64":
@@ -1226,6 +1230,7 @@ def write_orc_grouped(
             kind = kinds[c]
             vals = []
             for v in pdf[c].tolist():
+                # NaN -> NULL (documented, see parquetmini._pdf_column)
                 if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                     vals.append(None)
                 elif kind == "i64":

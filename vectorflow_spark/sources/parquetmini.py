@@ -1498,10 +1498,17 @@ def _ci_encode(v, kind: str) -> bytes:
 
 def _w_stats(w: _ThriftW, last: int, vals_present: list, kind: str, n_nulls: int) -> int:
     """Statistics struct: null_count always; typed min/max for numeric and
-    timestamp kinds (string/binary ordering is reader-defined, so omitted)."""
+    timestamp kinds (string/binary ordering is reader-defined, so omitted).
+    Float bounds are VOIDED when any value is NaN — NaN is unordered, so
+    Python's min/max would return position-dependent (possibly NaN) bounds
+    and an external reader pruning on them could skip row groups that hold
+    matching rows; same rule as the page index (_ci_encode caller) and the
+    ORC writer."""
     last = w.field(last, 12, _CT_STRUCT)
     st = _ThriftW()
     slast = st.i_field(0, 3, n_nulls)
+    if kind in ("f64", "f32") and any(v != v for v in vals_present):
+        vals_present = []
     if vals_present and kind in ("i64", "i32", "ts_us", "f64", "f32"):
         mn, mx = min(vals_present), max(vals_present)
         fmt = {"i64": "<q", "ts_us": "<q", "i32": "<i", "f64": "<d", "f32": "<f"}[kind]
@@ -1817,7 +1824,14 @@ def encode_parquet(
 def _pdf_column(series, kind: str) -> list:
     """pandas series -> writer value list. Arrow->pandas widens nullable
     int/bool columns to float64/object; coerce non-null values back to the
-    declared kind so _plain_encode never sees a 1.0 where an int belongs."""
+    declared kind so _plain_encode never sees a 1.0 where an int belongs.
+    DOCUMENTED CONFLATION (per the pandas interchange convention): float
+    NaN is written as NULL. Spark itself distinguishes NaN from NULL, but
+    mapInPandas delivers float columns as numpy-backed pandas where NULL
+    already arrives AS NaN — the distinction is lost one step upstream of
+    this function, so treating NaN as a value here would corrupt every
+    genuine NULL into NaN. Callers that must round-trip NaN should carry
+    an explicit is_nan boolean column."""
     import pandas as pd
 
     out = []

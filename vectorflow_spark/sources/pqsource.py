@@ -14,8 +14,10 @@ Pushdown semantics: pruning is work-avoidance, never approximation — every
 filter is returned to Spark for exact re-application (footer stats select
 a superset; the engine's q_parquet_prune gate proves the superset never
 loses a matching row group). Unsupported shapes refuse loudly at plan
-time: nested (repeated) leaf columns, and any file whose leaf set differs
-from the first file's.
+time: nested (repeated) leaf columns, and any file whose leaf shape for
+the requested columns differs from the first file's (checked in
+``partitions()``, so the refusal happens at planning, not as a per-task
+decode error).
 
 Scale shape: planning cost is (files x footer), execution is (file,
 row_group) tasks reading only their chunk byte ranges — the same sharding
@@ -119,12 +121,35 @@ class VfRawPqReader(DataSourceReader):
     def partitions(self):
         parts: list[_RgPartition] = []
         self.pruned = 0
+        ref: dict[str, tuple] | None = None
         for p in self._files():
+            # plan-time cross-file leaf-shape check (raw_scan's rule, the
+            # docstring's contract): a mismatched file must refuse HERE,
+            # not as a per-task ParquetError mid-read
+            shape = {
+                lf.path: (lf.physical_type, lf.max_def_level, lf.max_rep_level)
+                for lf in schema_leaves(read_file_meta(p))
+            }
+            if ref is None:
+                ref = shape
+            else:
+                for c in self.columns:
+                    if shape.get(c) != ref.get(c):
+                        raise ParquetError(
+                            f"vf_rawpq: {p}: column {c} has a different leaf "
+                            "shape than the first file"
+                        )
             if self._ranges:
                 stats: dict[int, dict[str, tuple]] = {}
                 for r in footer_meta_rows(p):
-                    if r["path_in_schema"] in self._ranges and isinstance(
-                        r["stats_min"], (int, float)
+                    # BOTH bounds must be numeric: a footer carrying
+                    # min_value without max_value (or vice versa) would
+                    # otherwise put a None into the comparisons below and
+                    # raise TypeError at planning time
+                    if (
+                        r["path_in_schema"] in self._ranges
+                        and isinstance(r["stats_min"], (int, float))
+                        and isinstance(r["stats_max"], (int, float))
                     ):
                         stats.setdefault(r["row_group_id"], {})[r["path_in_schema"]] = (
                             r["stats_min"],
