@@ -187,3 +187,77 @@ class TestJvmParity:
             else:
                 assert back[k] == vals, k
         assert av.count_rows(data) == len(rows)
+
+
+class TestVfRawAvroDataSource:
+    def test_scan_with_small_splits(self, spark, tmp_path):
+        from vectorflow_spark.sources import avrosource
+
+        n = 3000
+        cols = {
+            "doc_id": list(range(n)),
+            "text": [f"doc {i} " + (f"w{i * 7919 % 1000} " * 30) for i in range(n)],
+            "score": [float(i) / 7 if i % 5 else None for i in range(n)],
+        }
+        kinds = {"doc_id": "i64", "text": "str", "score": "f64"}
+        blob = av.encode_avro(cols, kinds, codec="null", rows_per_block=64)
+        p = tmp_path / "big.avro"
+        p.write_bytes(blob)
+        avrosource.register(spark)
+        df = (
+            spark.read.format("vf_rawavro")
+            .option("split_bytes", 1 << 16)
+            .load(str(tmp_path))
+        )
+        assert [f.name for f in df.schema.fields] == ["doc_id", "text", "score"]
+        # multiple byte-range partitions over ONE file
+        assert df.rdd.getNumPartitions() > 1
+        got = df.orderBy("doc_id").collect()
+        assert len(got) == n
+        assert [r.doc_id for r in got] == cols["doc_id"]
+        assert [r.text for r in got] == cols["text"]
+        import math
+
+        for r, want in zip(got, cols["score"]):
+            assert (r.score is None) == (want is None)
+            if want is not None:
+                assert math.isclose(r.score, want)
+
+    def test_reads_jvm_written_file(self, spark, tmp_path):
+        from vectorflow_spark.sources import avrosource
+
+        schema_json = json.dumps(av.schema_for(KINDS))
+        rows = [{k: COLS[k][i] for k in COLS} for i in range(len(COLS["doc_id"]))]
+        p = str(tmp_path / "jvm.avro")
+        _jvm_write(spark, p, schema_json, rows, "deflate")
+        avrosource.register(spark)
+        df = spark.read.format("vf_rawavro").load(p)
+        got = {r.doc_id: r for r in df.collect() if r.doc_id is not None}
+        assert got[5].text == "tab\tx"
+        assert df.count() == len(rows)
+
+    def test_split_bytes_floor(self, spark, tmp_path):
+        from vectorflow_spark.sources.avrosource import VfRawAvroReader
+
+        with pytest.raises(ValueError, match="64 KiB"):
+            VfRawAvroReader({"path": "/x", "split_bytes": 10}, None.__class__ and __import__("pyspark.sql.types", fromlist=["StructType"]).StructType.fromDDL("a bigint"))
+
+
+class TestGroupedSink:
+    def test_one_sorted_file_per_group(self, spark, tmp_path):
+        from vectorflow_spark.sources.avromini import write_avro_grouped
+
+        rows = [(3, "c", "en"), (1, "a", "en"), (2, "b", "fr"), (4, "d", "fr"), (5, "e", "de")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = str(tmp_path / "grouped")
+        man = {r.grp: r.n_rows for r in write_avro_grouped(
+            df, out, {"doc_id": "i64", "text": "str"}, group_col="lang", sort_cols=["doc_id"]
+        ).collect()}
+        assert man == {"en": 2, "fr": 2, "de": 1}
+        import glob as g
+
+        files = sorted(g.glob(out + "/lang=*.avro"))
+        assert [f.rsplit("/", 1)[1] for f in files] == ["lang=de.avro", "lang=en.avro", "lang=fr.avro"]
+        en = av.read_avro(open(out + "/lang=en.avro", "rb").read())
+        assert en["doc_id"] == [1, 3] and en["text"] == ["a", "c"]  # sorted within group
+        assert "lang" not in en  # group value lives in the file name

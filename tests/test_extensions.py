@@ -418,3 +418,29 @@ class TestRemoveDuplicateSpans:
         out = {r.doc_id: r for r in remove_duplicate_spans(docs, window=8).collect()}
         assert out[1].clean_text == rep and out[1].n_removed_tokens == 0
         assert out[2].clean_text == "" and out[2].n_removed_tokens == 8
+
+
+class TestBinaryQuantize:
+    def test_pack_and_hamming(self, spark):
+        from vectorflow_spark.operators.similarity import binary_quantize, hamming_topk
+
+        rows = [
+            (0, [1.0] * 64),                      # all bits set
+            (1, [-1.0] * 64),                     # no bits
+            (2, [1.0] * 32 + [-1.0] * 32),        # word0 full, word1 empty
+            (3, [0.0] * 63 + [2.5]),              # only bit 31 of word 1 (zero is NOT positive)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        coded = {r.vec_id: r.code for r in binary_quantize(df, dim=64).collect()}
+        full = (1 << 32) - 1
+        assert coded[0] == [full, full]
+        assert coded[1] == [0, 0]
+        assert coded[2] == [full, 0]
+        assert coded[3] == [0, 1 << 31]
+        # hamming distances against query 0: 0, 64, 32, 63
+        qs = binary_quantize(df, dim=64).filter("vec_id = 0").selectExpr(
+            "vec_id as q_id", "code as q_code"
+        )
+        out = hamming_topk(qs, binary_quantize(df, dim=64), k=4)
+        got = {r.vec_id: (r.hamming, r.rank) for r in out.collect()}
+        assert got == {0: (0, 1), 2: (32, 2), 3: (63, 3), 1: (64, 4)}

@@ -33,6 +33,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "mining scores corpus × k anchors, same bounded-k contract as "
         "q_knn_batch",
     ),
+    "q_binary_hamming_topk": (
+        {"BNLJ_UNBOUNDED"},
+        "broadcast side is the query batch (vec_id < 4 — k codes by "
+        "construction); BNLJ IS the binary-ANN candidate scan: O(n·k) "
+        "bit_count(xor) folds, zero shuffle of the corpus — the "
+        "q_knn_batch contract over 8-byte codes instead of 256-byte "
+        "vectors",
+    ),
     "q_maxsim_rerank": (
         {"BNLJ_UNBOUNDED"},
         "broadcast side is the query batch (vec_id < 4 — k multi-vector "

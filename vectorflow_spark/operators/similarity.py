@@ -705,3 +705,59 @@ def mmr_diversify(
             lambda pdf: select_group(pdf.drop(columns=["_g"])), out_schema
         )
     return candidates.groupBy(group_col).applyInPandas(select_group, out_schema)
+
+
+def binary_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "code",
+) -> DataFrame:
+    """Sign-bit binary quantization: d float32s -> ceil(d/32) packed
+    32-bit words (stored in BIGINTs so the packing is exactly expressible
+    in ANSI SQL too — bit 31 of a word never touches a sign bit, which a
+    64-bit packing would: shiftleft(1, 63) overflows portable SQL).
+
+    This is the 128x memory step of a binary ANN index (64-dim float32
+    256 B -> 8 B) and the cheapest distance in the repo: Hamming via
+    bit_count(xor) is a handful of ALU ops per word, no multiplies. Pure
+    expressions — JVM-side, whole-stage codegen, zero Python, zero
+    shuffle: the quantization is a projection."""
+    words = (dim + 31) // 32
+    code = F.expr(
+        f"""transform(sequence(0, {words - 1}), w ->
+              aggregate(sequence(0, 31), 0L, (acc, b) ->
+                CASE WHEN w * 32 + b < {dim}
+                          AND element_at({vec_col}, w * 32 + b + 1) > CAST(0.0 AS DOUBLE)
+                     THEN acc + shiftleft(1L, b) ELSE acc END))"""
+    )
+    return vectors.withColumn(out_col, code)
+
+
+def hamming_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_code: str = "q_code",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Batch top-k by Hamming distance over binary-quantized codes — the
+    candidate-generation stage of a binary ANN pipeline (rerank the
+    survivors with exact cosine via knn_join semantics when recall
+    matters). Same plan contract as knn_join: the query batch broadcasts
+    (bounded-k by construction, the q_knn_batch allowlist rule), the
+    corpus never shuffles, distance is a per-pair fold of
+    bit_count(word_a XOR word_b) — integer ALU ops only, the cheapest
+    possible scan at 100 TB."""
+    from pyspark.sql import Window
+
+    joined = vectors.crossJoin(F.broadcast(queries))
+    dist = F.expr(
+        f"aggregate(zip_with({code_col}, {q_code}, (x, y) -> bit_count(x ^ y)), 0, (a, h) -> a + h)"
+    )
+    scored = joined.select(q_id, id_col, dist.cast("long").alias("hamming"))
+    w = Window.partitionBy(q_id).orderBy("hamming", id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -280,3 +280,47 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(24)
     )
     return mmr_diversify(cand, k=8)
+
+
+def _binary_hamming_sql(k: int = 5, kq: int = 4, dim: int = 64) -> str:
+    words = (dim + 31) // 32
+    pack = f"""list_transform(range(0, {words}), w ->
+        list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN embedding[w * 32 + b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)))"""
+    ham = " + ".join(
+        f"bit_count(xor(v.code[{i + 1}], q.q_code[{i + 1}]))" for i in range(words)
+    )
+    return f"""
+    WITH codes AS (SELECT vec_id, {pack} AS code FROM embeddings),
+    q AS (SELECT vec_id AS q_id, code AS q_code FROM codes WHERE vec_id < {kq}),
+    pairs AS (
+        SELECT q.q_id, v.vec_id, CAST({ham} AS BIGINT) AS hamming
+        FROM codes v CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_binary_hamming_topk", _binary_hamming_sql())
+def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit codes packed into 32-bit words as a
+    pure projection (operators/similarity.binary_quantize — 128x memory
+    reduction, the scan format real binary indexes ship), then batch
+    top-k by Hamming distance (bit_count over XOR, integer ALU only)
+    with the bounded broadcast + per-query window of q_knn_batch. The
+    DuckDB oracle recomputes the packing AND the distances bit-for-bit —
+    exact cross-engine parity, no float tolerance needed anywhere."""
+    from vectorflow_spark.operators.similarity import binary_quantize, hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    coded = binary_quantize(emb, dim=64)
+    qs = coded.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("code").alias("q_code")
+    )
+    out = hamming_topk(qs, coded, k=5)
+    return out.select("q_id", "vec_id", "hamming", F.col("rank").cast("int").alias("rank"))

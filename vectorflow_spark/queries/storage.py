@@ -901,7 +901,7 @@ def q_avro_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally."""
     import pandas as pd
 
-    from vectorflow_spark.sources.avromini import count_rows, write_avro_corpus
+    from vectorflow_spark.sources.avromini import count_rows, write_avro_grouped
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
@@ -909,22 +909,16 @@ def q_avro_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "text", "lang")
-    kinds = {"doc_id": "i64", "text": "str", "lang": "str"}
+    kinds = {"doc_id": "i64", "text": "str"}
 
-    # one file per lang: repartition BY the group key so each task holds
-    # exactly one lang's rows (lang cardinality is tiny; the corpus-scale
-    # shape would add a within-lang salt column to this same repartition)
-    langs = [r[0] for r in docs.select("lang").distinct().collect()]  # k-bounded
-    for lg in sorted(langs):
-        write_avro_corpus(
-            docs.filter(F.col("lang") == lg).coalesce(1),
-            os.path.join(out_dir, f"lang={lg}"),
-            kinds,
-        ).count()
+    # ONE grouped-sink job writes every lang=value.avro file (applyInPandas
+    # over groupBy(lang)) — a per-lang driver loop would serialize thousands
+    # of groups into thousands of jobs at corpus scale
+    write_avro_grouped(docs, out_dir, kinds, group_col="lang", sort_cols=["doc_id"]).count()
 
-    entries = sorted(_glob.glob(os.path.join(out_dir, "lang=*", "part-*.avro")))
+    entries = sorted(_glob.glob(os.path.join(out_dir, "lang=*.avro")))
     files_df = spark.createDataFrame(
-        [(p, os.path.basename(os.path.dirname(p))[5:]) for p in entries],
+        [(p, os.path.basename(p)[5:-5]) for p in entries],
         "path string, lang string",
     ).repartition(max(len(entries), 1))
 
@@ -938,3 +932,27 @@ def q_avro_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_file = files_df.mapInPandas(meta, "lang string, n_rows long")
     return per_file.groupBy("lang").agg(F.sum("n_rows").alias("n_rows"))
+
+
+@query(
+    "q_rawavro_scan",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_rawavro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vf_rawpq/vf_raworc sibling for the ingest format:
+    ``spark.read.format("vf_rawavro")`` over the single-file fixture with
+    64 KiB splits — Catalyst sees a normal relation, the Python DataSource
+    underneath plans byte-range partitions from file sizes alone and each
+    task does the sync-marker split walk. No pushdown, honestly: avro
+    blocks carry no statistics (sources/avrosource.py docstring); Spark
+    re-applies everything post-scan."""
+    from vectorflow_spark.sources import avrosource
+
+    avrosource.register(spark)
+    out_dir = _avro_docs_dir(spark, sf_dir)
+    return (
+        spark.read.format("vf_rawavro")
+        .option("split_bytes", 64 << 10)
+        .load(out_dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

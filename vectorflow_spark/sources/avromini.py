@@ -671,3 +671,64 @@ def write_avro_corpus(
         yield pd.DataFrame(rows, columns=["part", "n_rows", "n_bytes"])
 
     return df.mapInPandas(sink, man_schema)
+
+
+def write_avro_grouped(
+    df,
+    out_dir: str,
+    kinds: dict[str, str],
+    group_col: str,
+    sort_cols: list[str],
+    *,
+    codec: str = "deflate",
+):
+    """Group-wise Avro sink: one sorted container file per GROUP via
+    applyInPandas — ONE Spark job however many groups there are (the
+    write_orc_grouped twin; a per-group driver loop would serialize
+    thousands of groups into thousands of jobs at corpus scale). The
+    group value is carried in the file NAME (hive-ish ``col=value``),
+    not duplicated into the rows."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    names = [f.name for f in df.schema.fields if f.name != group_col]
+    for c in names:
+        if c not in kinds:
+            raise AvroError(f"no avro writer kind declared for column {c}")
+    _os.makedirs(out_dir, exist_ok=True)
+    man_schema = StructType(
+        [StructField("grp", StringType()), StructField("n_rows", LongType())]
+    )
+
+    def sink(key, pdf):
+        g = key[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        cols = {}
+        for c in names:
+            kind = kinds[c]
+            vals = []
+            for v in pdf[c].tolist():
+                # NaN -> NULL (documented, see parquetmini._pdf_column)
+                if v is None or (not isinstance(v, (str, bytes, list)) and pd.isna(v)):
+                    vals.append(None)
+                elif kind in ("i64", "i32"):
+                    vals.append(int(v))
+                elif kind == "bool":
+                    vals.append(bool(v))
+                elif kind in ("arr_f32", "arr_f64"):
+                    vals.append([float(x) for x in v])
+                else:
+                    vals.append(v)
+            cols[c] = vals
+        blob = encode_avro(cols, {c: kinds[c] for c in names}, codec=codec)
+        part = f"{group_col}={g}.avro"
+        tmp = _os.path.join(out_dir, f".uncommitted-{part}")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.replace(tmp, _os.path.join(out_dir, part))
+        return pd.DataFrame([(str(g), len(pdf))], columns=["grp", "n_rows"])
+
+    return df.groupBy(group_col).applyInPandas(sink, man_schema)

@@ -1,0 +1,168 @@
+"""``vf_rawavro`` — the byte-level Avro reader as a Spark Python
+DataSource (the row-oriented sibling of vf_rawpq / vf_raworc).
+
+``spark.read.format("vf_rawavro").load("/dir/of/avro")`` plans one input
+partition per ~``split_bytes`` byte range from file SIZES alone (row
+formats carry no footer — nothing to read per file at plan time beyond
+the first file's header for the schema), then each task performs the
+sync-marker split walk (sources/avromini.py `iter_blocks`, the JVM
+DataFileReader ``sync``/``pastSync`` contract replicated exactly) and
+ships Arrow record batches to the JVM.
+
+NO filter pushdown, by design and honestly: Avro blocks carry no
+column statistics, so there is nothing to prune on — ``pushFilters``
+is deliberately absent and Spark applies every predicate after the
+scan. A lake that wants skip-scans converts to parquet/ORC (this
+repo's writers) — the avro source's job is ingest-side: split-parallel
+reads of what CDC/event feeds deliver.
+
+Options: ``split_bytes`` (default 32 MiB) — the split granularity, the
+knob that fans one huge container file across executors.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from vectorflow_spark.sources.avromini import (
+    AvroError,
+    _R,
+    _read_value,
+    iter_blocks,
+    read_header,
+)
+
+
+def _files_of(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.avro"), recursive=True))
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    if not files:
+        raise ValueError(f"vf_rawavro: no avro files under {path}")
+    return files
+
+
+def _ddl_of(sch) -> str | None:
+    base = sch[1] if isinstance(sch, tuple) and sch[0] == "union" else sch
+    if isinstance(base, tuple) and base[0] == "array":
+        inner = _ddl_of(base[1])
+        return f"array<{inner}>" if inner else None
+    return {
+        "boolean": "boolean",
+        "int": "bigint",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "bytes": "binary",
+    }.get(base)
+
+
+class _SplitPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class VfRawAvroReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vf_rawavro requires a load path: .load('/dir/or/file')")
+        self.columns = [f.name for f in schema.fields]
+        self.split_bytes = int(options.get("split_bytes", 32 << 20))
+        if self.split_bytes < 1 << 16:
+            raise ValueError("vf_rawavro: split_bytes must be >= 64 KiB")
+
+    def partitions(self):
+        parts: list[_SplitPartition] = []
+        for p in _files_of(self.path):
+            size = os.path.getsize(p)
+            if size == 0:
+                raise AvroError(f"avro: empty file {p}")
+            for s in range(0, size, self.split_bytes):
+                parts.append(_SplitPartition(p, s, min(s + self.split_bytes, size)))
+        return parts
+
+    def read(self, partition: _SplitPartition) -> Iterator:
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        hdr = read_header(data)
+        norm = hdr["norm"]
+        names = [n for n, _ in norm[1]]
+        fields = dict(norm[1])
+        idx = {n: i for i, n in enumerate(names)}
+        for c in self.columns:
+            if c not in fields:
+                raise AvroError(f"avro: {partition.path}: unknown column {c}")
+        cols: dict[str, list] = {c: [] for c in self.columns}
+        start = partition.start if partition.start > 0 else None
+        for _, cnt, raw in iter_blocks(data, hdr, start, partition.end):
+            r = _R(raw)
+            for _ in range(cnt):
+                rec = _read_value(r, norm)
+                for c in self.columns:
+                    cols[c].append(rec[idx[c]])
+        arrays = []
+        for c in self.columns:
+            ddl = _ddl_of(fields[c])
+            if ddl is None:
+                raise AvroError(f"avro: unsupported type for column {c}")
+            pa_type = {
+                "boolean": pa.bool_(),
+                "bigint": pa.int64(),
+                "float": pa.float32(),
+                "double": pa.float64(),
+                "string": pa.string(),
+                "binary": pa.binary(),
+                "array<float>": pa.list_(pa.float32()),
+                "array<double>": pa.list_(pa.float64()),
+                "array<bigint>": pa.list_(pa.int64()),
+            }.get(ddl)
+            if pa_type is None:
+                raise AvroError(f"avro: unsupported arrow mapping for {ddl}")
+            arrays.append(pa.array(cols[c], pa_type))
+        yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
+
+
+class VfRawAvroDataSource(DataSource):
+    """``spark.read.format("vf_rawavro").load(path)``; register with
+    ``avrosource.register(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vf_rawavro"
+
+    def schema(self) -> str | StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("vf_rawavro requires a load path")
+        files = _files_of(path)
+        with open(files[0], "rb") as f:
+            hdr = read_header(f.read(1 << 16))
+        norm = hdr["norm"]
+        if not (isinstance(norm, tuple) and norm[0] == "record"):
+            raise AvroError("avro: top-level schema must be a record")
+        fields = []
+        for name, sch in norm[1]:
+            ddl = _ddl_of(sch)
+            if ddl is None:
+                raise AvroError(f"avro: unsupported type for column {name}")
+            fields.append(f"{name} {ddl}")
+        return ", ".join(fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return VfRawAvroReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VfRawAvroDataSource)
