@@ -1,0 +1,207 @@
+"""Parquet split-block bloom filters: the pure-Python XXH64, the bloom
+bitset reader, and vf_rawpq's plan-time point-lookup pruning — all pinned
+against parquet-java (Spark's writer) and Spark's own xxhash64 SQL
+function, never self-checked."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorflow_spark.functions.xxh import xxh64
+from vectorflow_spark.sources import parquetmini as pm
+
+
+class TestXxh64:
+    def test_spec_vectors(self):
+        # the xxHash specification's published test vectors (seed 0 / prime)
+        assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+        assert xxh64(b"", 2654435761) == 0xAC75FDA2929B17EF
+
+    def test_pinned_against_spark_xxhash64(self, spark):
+        """Spark SQL xxhash64 = XXH64(value bytes, seed 42) signed — the
+        JVM pin for our implementation, over both the <32-byte and the
+        stripe (>=32-byte) code paths."""
+        longs = [0, 1, -1, 42, 1 << 40, -(1 << 40)]
+        got = spark.createDataFrame([(v,) for v in longs], "v long").select(
+            "v", F.xxhash64("v").alias("h")
+        ).collect()
+        for r in got:
+            mine = xxh64(struct.pack("<q", r.v), 42)
+            assert mine - (1 << 64) * (mine >> 63) == r.h
+        strs = ["", "a", "hello world", "日本語テキスト", "x" * 100]
+        got = spark.createDataFrame([(s,) for s in strs], "s string").select(
+            "s", F.xxhash64("s").alias("h")
+        ).collect()
+        for r in got:
+            mine = xxh64(r.s.encode(), 42)
+            assert mine - (1 << 64) * (mine >> 63) == r.h
+
+
+@pytest.fixture(scope="module")
+def bloom_file(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bloom"))
+    df = spark.range(0, 50000, 7).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "10000")
+        .option("parquet.bloom.filter.enabled#s", "true")
+        .option("parquet.bloom.filter.expected.ndv#s", "10000")
+        .parquet(d)
+    )
+    return glob.glob(d + "/*.parquet")[0]
+
+
+class TestBloomReader:
+    def test_no_false_negatives_and_low_fp(self, bloom_file):
+        rows = {r["path_in_schema"]: r for r in pm.footer_meta_rows(bloom_file)}
+        assert isinstance(rows["k"]["bloom_filter_offset"], int)
+        bs_k = pm.read_bloom_filter(bloom_file, rows["k"]["bloom_filter_offset"])
+        bs_s = pm.read_bloom_filter(bloom_file, rows["s"]["bloom_filter_offset"])
+        present = list(range(0, 50000, 7))[:1500]
+        # the filter contract: present values are NEVER excluded
+        assert all(pm.bloom_maybe_contains(bs_k, v, "INT64") for v in present)
+        assert all(pm.bloom_maybe_contains(bs_s, str(v), "BYTE_ARRAY") for v in present)
+        absent = [v + 1 for v in present]
+        fp_k = sum(pm.bloom_maybe_contains(bs_k, v, "INT64") for v in absent)
+        fp_s = sum(pm.bloom_maybe_contains(bs_s, str(v), "BYTE_ARRAY") for v in absent)
+        assert fp_k < 75 and fp_s < 75  # ~1% NDV-sized filter: FP ~ 0.1-1%
+
+    def test_unknown_variant_refuses(self, bloom_file, tmp_path):
+        """A doctored header claiming a non-split-block algorithm must
+        refuse, never silently prune everything."""
+        rows = {r["path_in_schema"]: r for r in pm.footer_meta_rows(bloom_file)}
+        off = rows["k"]["bloom_filter_offset"]
+        with open(bloom_file, "rb") as f:
+            data = bytearray(f.read())
+        # field 2 (algorithm) union: flip its inner field id 1 -> 2 by
+        # rewriting the nested struct's first field header byte
+        t = pm._Thrift(bytes(data), off)
+        hdr = t.read_struct(pm._BLOOM_HEADER)
+        assert "block" in hdr["algorithm"]
+        # the algorithm union encodes as 1c 1c 00 00 (field+1 struct,
+        # inner field 1 empty struct, two stops); flip the inner member
+        # to field id 2 (1c -> 2c) = a union variant we do not know
+        window = bytes(data[off : off + 24])
+        i = window.index(b"\x1c\x1c\x00\x00")
+        data[off + i + 1] = 0x2C
+        p2 = tmp_path / "doctored.parquet"
+        p2.write_bytes(bytes(data))
+        with pytest.raises(pm.ParquetError, match="algorithm"):
+            pm.read_bloom_filter(str(p2), off)
+
+
+class TestVfRawPqBloomPruning:
+    def test_point_lookup_prunes_row_groups(self, spark, tmp_path):
+        """Keys hash-distributed across files: min/max spans the whole
+        domain everywhere (range pruning can drop NOTHING), so any row
+        group the point lookup skips is the bloom filter working."""
+        from pyspark.sql.types import StructType
+
+        from vectorflow_spark.sources.pqsource import VfRawPqReader
+
+        df = spark.range(0, 8000).selectExpr("id AS k", "id % 997 AS v")
+        (
+            df.repartition(8, "k")  # every file spans ~the full key range
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#k", "true")
+            .option("parquet.bloom.filter.expected.ndv#k", "8000")
+            .parquet(str(tmp_path))
+        )
+        from pyspark.sql.datasource import EqualTo
+
+        rd = VfRawPqReader(
+            {"path": str(tmp_path)}, StructType.fromDDL("k bigint, v bigint")
+        )
+        returned = list(rd.pushFilters([EqualTo(("k",), 4242)]))
+        assert len(returned) == 1  # advisory: Spark re-applies exactly
+        parts = rd.partitions()
+        # range stats admit every row group; bloom must drop most of them
+        assert rd.pruned >= 5, (len(parts), rd.pruned)
+        assert len(parts) + rd.pruned >= 8
+
+    def test_end_to_end_matches_ground_truth(self, spark, tmp_path):
+        from vectorflow_spark.sources import pqsource
+
+        df = spark.range(0, 8000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+        (
+            df.repartition(8, "k")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#s", "true")
+            .option("parquet.bloom.filter.expected.ndv#s", "8000")
+            .parquet(str(tmp_path))
+        )
+        pqsource.register(spark)
+        out = (
+            spark.read.format("vf_rawpq")
+            .load(str(tmp_path))
+            .filter(F.col("s") == "1234")  # STRING point lookup via bloom
+            .collect()
+        )
+        assert [(r.k, r.s) for r in out] == [(1234, "1234")]
+        missing = (
+            spark.read.format("vf_rawpq")
+            .load(str(tmp_path))
+            .filter(F.col("s") == "nope")
+            .count()
+        )
+        assert missing == 0
+
+
+class TestSharedRelationConflation:
+    """The KNOWN SPARK-SIDE LIMITATION in pqsource's docstring: one loaded
+    DataFrame reused under differently-filtered scans gets the LAST
+    branch's pruned partitions for every branch. These tests pin the two
+    SAFE usages; the canary records the upstream behavior so a Spark fix
+    (or regression) surfaces here."""
+
+    def _write(self, spark, path):
+        df = spark.range(0, 8000).selectExpr("id AS k")
+        (
+            df.repartition(8, "k")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#k", "true")
+            .option("parquet.bloom.filter.expected.ndv#k", "8000")
+            .parquet(path)
+        )
+
+    def test_separate_loads_are_correct(self, spark, tmp_path):
+        from vectorflow_spark.sources import pqsource
+
+        self._write(spark, str(tmp_path))
+        pqsource.register(spark)
+        a = spark.read.format("vf_rawpq").load(str(tmp_path)).filter(F.col("k") == 0)
+        b = spark.read.format("vf_rawpq").load(str(tmp_path)).filter(F.col("k") == 7999)
+        assert sorted(r.k for r in a.unionAll(b).collect()) == [0, 7999]
+
+    def test_pushdown_prune_false_makes_shared_relation_safe(self, spark, tmp_path):
+        from vectorflow_spark.sources import pqsource
+
+        self._write(spark, str(tmp_path))
+        pqsource.register(spark)
+        base = (
+            spark.read.format("vf_rawpq")
+            .option("pushdown_prune", "false")
+            .load(str(tmp_path))
+        )
+        u = base.filter(F.col("k") == 0).unionAll(base.filter(F.col("k") == 7999))
+        assert sorted(r.k for r in u.collect()) == [0, 7999]
+
+    def test_upstream_conflation_canary(self, spark, tmp_path):
+        """Current Spark 4.1 behavior: the shared-relation self-union loses
+        the first branch's rows (last plan wins). If this starts returning
+        the CORRECT [0, 7999], Spark fixed the conflation — delete the
+        pushdown_prune escape hatch and this canary together."""
+        from vectorflow_spark.sources import pqsource
+
+        self._write(spark, str(tmp_path))
+        pqsource.register(spark)
+        base = spark.read.format("vf_rawpq").load(str(tmp_path))
+        u = base.filter(F.col("k") == 0).unionAll(base.filter(F.col("k") == 7999))
+        rows = sorted(r.k for r in u.collect())
+        assert rows in ([7999], [0, 7999]), rows

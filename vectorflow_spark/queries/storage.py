@@ -956,3 +956,74 @@ def q_rawavro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out_dir)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+_BLOOMFIX_REV = 1
+
+
+def _bloom_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once: orders HASH-distributed over 8 parquet files with a
+    split-block bloom filter on o_orderkey (Spark/parquet-java is the
+    writer — foreign filters through OUR reader). Hash distribution makes
+    every file span ~the whole key domain, so min/max range pruning can
+    drop NOTHING for a point lookup: whatever vf_rawpq prunes here is the
+    bloom probe working."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_bloomfix_r{_BLOOMFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders", split=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+@query(
+    "q_parquet_bloom_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT MIN(o_orderkey) FROM orders)
+       OR o_orderkey IN (SELECT MAX(o_orderkey) FROM orders)
+    """,
+)
+def q_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup row-group skipping via split-block BLOOM filters —
+    the pruning class min/max statistics can NEVER provide: the fixture
+    hash-distributes o_orderkey over 8 files so every chunk's [min, max]
+    spans the whole domain, then two equality lookups (the min and max
+    key, computed from the table driver-side — 1-row aggregates) run
+    through ``vf_rawpq``, whose planner probes each row group's
+    parquet-java-written filter with OUR xxhash64 (functions/xxh.py,
+    pinned against Spark's xxhash64 and the spec vectors) and keeps only
+    admitting row groups. tests/test_bloom.py asserts pruned >= 5 of 8
+    for this shape; correctness here is the relational ground truth."""
+    from vectorflow_spark.sources import pqsource
+
+    pqsource.register(spark)
+    out_dir = _bloom_orders_dir(spark, sf_dir)
+    bounds = _t(spark, sf_dir, "orders", split=True).agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]  # driver-side: two scalars
+    # two SEPARATE loads: a shared relation instance would route both
+    # (contradictory) equality pushdowns into one reader's filter state
+    lo = (
+        spark.read.format("vf_rawpq").load(out_dir)
+        .filter(F.col("o_orderkey") == int(bounds.lo))
+    )
+    hi = (
+        spark.read.format("vf_rawpq").load(out_dir)
+        .filter(F.col("o_orderkey") == int(bounds.hi))
+    )
+    return lo.unionAll(hi).select("o_orderkey", "o_custkey", "o_totalprice")

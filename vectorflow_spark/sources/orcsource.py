@@ -74,10 +74,19 @@ class VfRawOrcReader(DataSourceReader):
             raise ValueError("vf_raworc requires a load path: .load('/dir/or/file')")
         self.columns = [f.name for f in schema.fields]
         self._ranges: dict[str, tuple[float | None, float | None]] = {}
+        # same shared-relation conflation escape hatch as vf_rawpq (the
+        # KNOWN SPARK-SIDE LIMITATION in pqsource's module docstring):
+        # a DataFrame reused under differently-filtered scans must set
+        # .option("pushdown_prune", "false") or load per branch
+        self._prune = str(options.get("pushdown_prune", "true")).lower() != "false"
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import EqualTo
 
+        # reset per call: a reader instance can be reused across scans of
+        # the same relation, and accumulating two scans' conjunctions
+        # intersects them into over-pruning (see pqsource.pushFilters)
+        self._ranges = {}
         for f in filters:
             attr = getattr(f, "attribute", None)
             value = getattr(f, "value", None)
@@ -123,7 +132,7 @@ class VfRawOrcReader(DataSourceReader):
         parts: list[_StripePartition] = []
         self.pruned_files = 0
         for p in _files_of(self.path):
-            if not self._file_survives(p):
+            if self._prune and not self._file_survives(p):
                 self.pruned_files += 1
                 continue
             for i in range(len(read_orc_meta(p)["stripes"])):

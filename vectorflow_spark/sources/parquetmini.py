@@ -305,6 +305,8 @@ _COLUMN_META = {
     10: ("index_page_offset", None),
     11: ("dictionary_page_offset", None),
     12: ("statistics", _STATISTICS),
+    14: ("bloom_filter_offset", None),
+    15: ("bloom_filter_length", None),
 }
 _COLUMN_CHUNK = {
     1: ("file_path", None),
@@ -738,6 +740,7 @@ def footer_meta_rows(path: str) -> list[dict[str, Any]]:
                     "stats_null_count": st.get("null_count"),
                     "stats_min": _decode_stat(mn, leaf),
                     "stats_max": _decode_stat(mx, leaf),
+                    "bloom_filter_offset": cm.get("bloom_filter_offset"),
                 }
             )
     return rows
@@ -2206,3 +2209,86 @@ def page_index_scan(spark, paths: list[str], column: str):
 
     pdf = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
     return pdf.repartition(max(len(paths), 1), "path").mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Split-block bloom filters (parquet-format BloomFilter.md)
+# ---------------------------------------------------------------------------
+
+_BLOOM_HEADER = {
+    1: ("num_bytes", None),
+    2: ("algorithm", {1: ("block", {})}),
+    3: ("hash", {1: ("xxhash", {})}),
+    4: ("compression", {1: ("uncompressed", {})}),
+}
+
+# the eight odd 32-bit salts of the split-block bloom spec
+_BLOOM_SALT = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+
+
+def read_bloom_filter(path: str, offset: int) -> bytes:
+    """Read one column chunk's split-block bloom bitset from
+    ``bloom_filter_offset``: a compact-thrift BloomFilterHeader followed by
+    ``num_bytes`` of bitset. Refuses any algorithm/hash/compression other
+    than (split-block, xxhash, uncompressed) — the only variants the spec
+    defines today — so an unknown future variant can never be misread as
+    an always-false filter."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        head = f.read(64)  # header is a handful of bytes; 64 is generous
+        t = _Thrift(head)
+        hdr = t.read_struct(_BLOOM_HEADER)
+        num_bytes = hdr.get("num_bytes")
+        if not isinstance(num_bytes, int) or num_bytes <= 0 or num_bytes % 32:
+            raise ParquetError("bloom: bad numBytes (must be a positive multiple of 32)")
+        if "block" not in (hdr.get("algorithm") or {}):
+            raise ParquetError("bloom: unsupported algorithm (not split-block)")
+        if "xxhash" not in (hdr.get("hash") or {}):
+            raise ParquetError("bloom: unsupported hash (not xxhash)")
+        if "uncompressed" not in (hdr.get("compression") or {}):
+            raise ParquetError("bloom: unsupported compression")
+        f.seek(offset + t.pos)
+        bitset = f.read(num_bytes)
+    if len(bitset) != num_bytes:
+        raise ParquetError("bloom: truncated bitset")
+    return bitset
+
+
+def bloom_plain_bytes(value, physical_type: str) -> bytes:
+    """The bytes the spec hashes: the value's PLAIN encoding (without the
+    BYTE_ARRAY length prefix)."""
+    if physical_type == "INT64":
+        return struct.pack("<q", int(value))
+    if physical_type == "INT32":
+        return struct.pack("<i", int(value))
+    if physical_type == "DOUBLE":
+        return struct.pack("<d", float(value))
+    if physical_type == "FLOAT":
+        return struct.pack("<f", float(value))
+    if physical_type == "BYTE_ARRAY":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    raise ParquetError(f"bloom: unsupported physical type {physical_type}")
+
+
+def bloom_maybe_contains(bitset: bytes, value, physical_type: str) -> bool:
+    """Split-block membership probe: False = value DEFINITELY absent from
+    the chunk (prune), True = maybe present (read). Block chosen by the
+    top 32 hash bits scaled to the block count; within the 256-bit block,
+    one bit per salt from the low 32 bits — both exactly as the public
+    spec (and parquet-java, which wrote the filters our tests pin against)
+    compute them."""
+    from vectorflow_spark.functions.xxh import xxh64
+
+    h = xxh64(bloom_plain_bytes(value, physical_type), 0)
+    n_blocks = len(bitset) // 32
+    block = ((h >> 32) * n_blocks) >> 32
+    x = h & 0xFFFFFFFF
+    words = struct.unpack_from("<8I", bitset, block * 32)
+    for i in range(8):
+        bit = ((x * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+        if not (words[i] >> bit) & 1:
+            return False
+    return True

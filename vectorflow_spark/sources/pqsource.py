@@ -8,7 +8,13 @@ pure-Python page decoder, and ships Arrow record batches to the JVM. With
 ``spark.sql.python.filterPushdown.enabled``, comparison filters on numeric
 columns reach ``pushFilters`` and PRUNE row groups whose [min, max] stats
 cannot satisfy them — the partition list shrinks at PLANNING time, the
-Python-source analog of parquet row-group skipping.
+Python-source analog of parquet row-group skipping. Equality filters
+(numeric AND string) additionally probe each row group's split-block
+BLOOM filter when the writer stored one (parquetmini.read_bloom_filter /
+bloom_maybe_contains, xxhash64 seed 0 over the plain encoding): the
+point-lookup case where min/max can never prune — hash-distributed keys
+span every chunk's range — drops to the 1-2 row groups whose filter
+admits the value, for a few hundred driver-side bytes per probe.
 
 Pushdown semantics: pruning is work-avoidance, never approximation — every
 filter is returned to Spark for exact re-application (footer stats select
@@ -23,6 +29,22 @@ Scale shape: planning cost is (files x footer), execution is (file,
 row_group) tasks reading only their chunk byte ranges — the same sharding
 as Spark's native scan, but with OUR bytes-up decode path underneath,
 and prune decisions auditable from footer_meta_scan's catalog rows.
+
+KNOWN SPARK-SIDE LIMITATION (measured, round 10): when ONE loaded
+DataFrame is reused under several differently-filtered scans in a single
+query (``base.filter(A).union(base.filter(B))``), Spark 4.1's Python-
+DataSource planner runs pushdown per branch but attaches the LAST
+planned (partitions, read function) to the shared relation — every
+branch then reads the last branch's pruned partition set, silently
+dropping rows a different branch needed (observed: a two-point-lookup
+self-union returned one row). The trace shows each pushFilters/
+partitions pair computing correctly in isolation; the conflation is in
+the JVM rule, and it affects ANY pruning (ranges as much as blooms).
+Safe usages, both tested: one filtered scan per loaded DataFrame (load
+again per branch — separate relations never conflate), or
+``.option("pushdown_prune", "false")`` on a DataFrame that must be
+reused, which keeps the full partition list so every branch sees a
+superset and Spark's exact re-applied filters stay correct.
 """
 
 from __future__ import annotations
@@ -38,7 +60,9 @@ from vectorflow_spark.sources.parquetmini import (
     ParquetError,
     _chunk_byte_range,
     _Leaf,
+    bloom_maybe_contains,
     footer_meta_rows,
+    read_bloom_filter,
     read_file_meta,
     read_row_group,
     schema_leaves,
@@ -77,6 +101,11 @@ class VfRawPqReader(DataSourceReader):
             raise ValueError("vf_rawpq requires a load path: .load('/dir/or/file')")
         self.columns = [f.name for f in schema.fields]
         self._ranges: dict[str, tuple[float | None, float | None]] = {}
+        self._eqs: dict[str, object] = {}  # point lookups -> bloom probes
+        self._bloom_cache: dict[tuple[str, int], bytes] = {}
+        # escape hatch for the shared-relation conflation documented in
+        # the module docstring: "false" keeps the full partition list
+        self._prune = str(options.get("pushdown_prune", "true")).lower() != "false"
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
@@ -91,14 +120,31 @@ class VfRawPqReader(DataSourceReader):
         """Accept nothing, learn everything: comparison filters on numeric
         columns tighten a per-column [lo, hi] window used to DROP row
         groups at planning time; every filter is yielded back so Spark
-        re-applies exact semantics (stats select a superset)."""
+        re-applies exact semantics (stats select a superset).
+
+        State RESETS on entry: Spark can reuse one reader instance across
+        several scans of the same relation (observed with a self-union of
+        two different point lookups), and accumulating each scan's
+        conjunction would intersect them into a contradiction that prunes
+        rows a branch needs. Each call describes exactly one scan."""
         from pyspark.sql.datasource import EqualTo
 
+        self._ranges = {}
+        self._eqs = {}
         for f in filters:
             attr = getattr(f, "attribute", None)
             value = getattr(f, "value", None)
             cname = attr[0] if isinstance(attr, tuple) and len(attr) == 1 else None
             kind = type(f).__name__
+            if (
+                cname in self.columns
+                and isinstance(f, EqualTo)
+                and isinstance(value, (int, float, str))
+                and not isinstance(value, bool)
+            ):
+                # point lookups also feed the BLOOM probe (strings too —
+                # bloom pruning needs no ordered stats, just the filter)
+                self._eqs[cname] = value
             if (
                 cname in self.columns
                 and isinstance(value, (int, float))
@@ -139,8 +185,9 @@ class VfRawPqReader(DataSourceReader):
                             f"vf_rawpq: {p}: column {c} has a different leaf "
                             "shape than the first file"
                         )
-            if self._ranges:
+            if self._prune and (self._ranges or self._eqs):
                 stats: dict[int, dict[str, tuple]] = {}
+                blooms: dict[int, dict[str, tuple]] = {}
                 for r in footer_meta_rows(p):
                     # BOTH bounds must be numeric: a footer carrying
                     # min_value without max_value (or vice versa) would
@@ -155,6 +202,14 @@ class VfRawPqReader(DataSourceReader):
                             r["stats_min"],
                             r["stats_max"],
                         )
+                    if (
+                        r["path_in_schema"] in self._eqs
+                        and isinstance(r.get("bloom_filter_offset"), int)
+                    ):
+                        blooms.setdefault(r["row_group_id"], {})[r["path_in_schema"]] = (
+                            r["bloom_filter_offset"],
+                            r["type"],
+                        )
                 n_rg = len(read_file_meta(p)["row_groups"])
                 for rg in range(n_rg):
                     keep = True
@@ -166,6 +221,24 @@ class VfRawPqReader(DataSourceReader):
                         if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                             keep = False
                             break
+                    if keep:
+                        # bloom probe for point lookups: a few hundred bytes
+                        # of driver-side read per (rg, col) buys dropping
+                        # whole row groups a min/max range can never exclude
+                        # (uuid-ish keys where every chunk spans the domain)
+                        for c, v in self._eqs.items():
+                            off_type = blooms.get(rg, {}).get(c)
+                            if off_type is None:
+                                continue  # no filter written: must read
+                            off, ptype = off_type
+                            try:
+                                bitset = self._bloom_cache[(p, off)]
+                            except KeyError:
+                                bitset = read_bloom_filter(p, off)
+                                self._bloom_cache[(p, off)] = bitset
+                            if not bloom_maybe_contains(bitset, v, ptype):
+                                keep = False
+                                break
                     if keep:
                         parts.append(_RgPartition(p, rg))
                     else:
