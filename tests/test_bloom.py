@@ -205,3 +205,80 @@ class TestSharedRelationConflation:
         u = base.filter(F.col("k") == 0).unionAll(base.filter(F.col("k") == 7999))
         rows = sorted(r.k for r in u.collect())
         assert rows in ([7999], [0, 7999]), rows
+
+
+class TestBloomWriter:
+    """encode_parquet's bloom WRITE path — pinned against parquet-java's
+    BlockSplitBloomFilter constructed over OUR bitset bytes: hash AND
+    membership must agree value-for-value (no self-checking)."""
+
+    def _write(self, tmp_path):
+        base = 1 << 35  # >= 2^31 so py4j boxes Long (INT64 hash path)
+        vals = [base + v for v in range(0, 5000, 3)]
+        svals = [f"doc-{v % 300}" for v in range(len(vals))]
+        blob = pm.encode_parquet(
+            {"k": vals, "s": svals}, {"k": "i64", "s": "str"}, bloom_columns=["k", "s"]
+        )
+        p = str(tmp_path / "ours.parquet")
+        with open(p, "wb") as f:
+            f.write(blob)
+        return p, vals, sorted(set(svals))
+
+    def test_parquet_java_hash_and_membership_parity(self, spark, tmp_path):
+        p, vals, svals = self._write(tmp_path)
+        rows = {r["path_in_schema"]: r for r in pm.footer_meta_rows(p)}
+        bk = pm.read_bloom_filter(p, rows["k"]["bloom_filter_offset"])
+        bs = pm.read_bloom_filter(p, rows["s"]["bloom_filter_offset"])
+        jvm = spark._jvm
+        bfk = jvm.org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter(
+            bytearray(bk)
+        )
+        bfs = jvm.org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter(
+            bytearray(bs)
+        )
+        Binary = jvm.org.apache.parquet.io.api.Binary
+
+        def signed(h):
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for v in vals[:150] + [vals[0] + 1, vals[0] + 100001]:
+            hj = bfk.hash(v)
+            assert hj == signed(xxh64(struct.pack("<q", v), 0)), v
+            assert bfk.findHash(hj) == pm.bloom_maybe_contains(bk, v, "INT64"), v
+        for s in svals[:100] + ["nope", "absent"]:
+            hj = bfs.hash(Binary.fromString(s))
+            assert hj == signed(xxh64(s.encode(), 0)), s
+            assert bfs.findHash(hj) == pm.bloom_maybe_contains(bs, s, "BYTE_ARRAY"), s
+
+    def test_no_false_negatives_and_spark_reads_file(self, spark, tmp_path):
+        p, vals, _ = self._write(tmp_path)
+        rows = {r["path_in_schema"]: r for r in pm.footer_meta_rows(p)}
+        bk = pm.read_bloom_filter(p, rows["k"]["bloom_filter_offset"])
+        assert all(pm.bloom_maybe_contains(bk, v, "INT64") for v in vals)
+        fp = sum(pm.bloom_maybe_contains(bk, v + 1, "INT64") for v in vals)
+        assert fp < len(vals) * 0.03  # fpp target 0.01
+        # Spark (parquet-mr read path, bloom-aware) over OUR file
+        got = spark.read.parquet(p).filter(F.col("k") == vals[7]).collect()
+        assert [r.k for r in got] == [vals[7]]
+        assert spark.read.parquet(p).filter(F.col("k") == vals[0] + 1).count() == 0
+
+    def test_vf_rawpq_prunes_on_our_own_blooms(self, spark, tmp_path):
+        """Read/write symmetry: our DataSource point-lookup pruning over
+        files OUR writer bloomed, keys hash-spread so ranges can't help."""
+        from pyspark.sql.datasource import EqualTo
+        from pyspark.sql.types import StructType
+
+        from vectorflow_spark.sources.pqsource import VfRawPqReader
+
+        for part in range(4):
+            vals = [v for v in range(8000) if v % 4 == part]
+            blob = pm.encode_parquet({"k": vals}, {"k": "i64"}, bloom_columns=["k"])
+            (tmp_path / f"part-{part}.parquet").write_bytes(blob)
+        rd = VfRawPqReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+        list(rd.pushFilters([EqualTo(("k",), 4242)]))
+        parts = rd.partitions()
+        assert rd.pruned >= 2, (len(parts), rd.pruned)  # ranges admit all 4
+
+    def test_bool_bloom_refuses(self):
+        with pytest.raises(pm.ParquetError, match="bloom"):
+            pm.encode_parquet({"b": [True, False]}, {"b": "bool"}, bloom_columns=["b"])

@@ -1027,3 +1027,50 @@ def q_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") == int(bounds.hi))
     )
     return lo.unionAll(hi).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_parquet_bloom_write",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents)
+       OR doc_id IN (SELECT MAX(doc_id) FROM documents)
+    """,
+)
+def q_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the bloom story (q_parquet_bloom_prune's twin):
+    documents written by OUR distributed parquet sink with split-block
+    bloom filters on doc_id (encode_parquet bloom_columns — bitset sized
+    from the true distinct count, parquet-java hash/membership parity
+    pinned in tests/test_bloom.py), hash-spread over 8 tasks so every
+    part spans the id domain, then two point lookups read back through
+    vf_rawpq, whose planner prunes on the blooms WE wrote. Read/write
+    symmetric: our bytes, our filters, our pruning, relational ground
+    truth. Per-process output dir wiped each run."""
+    from vectorflow_spark.sources import pqsource
+    from vectorflow_spark.sources.parquetmini import write_parquet_corpus
+
+    pqsource.register(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_bloomwrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True).select("doc_id", "lang", "n_chars")
+    kinds = {"doc_id": "i64", "lang": "str", "n_chars": "i64"}
+    write_parquet_corpus(
+        docs.repartition(8, "doc_id"), out_dir, kinds, bloom_columns=["doc_id"]
+    ).count()
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo = (
+        spark.read.format("vf_rawpq").load(out_dir)
+        .filter(F.col("doc_id") == int(bounds.lo))
+    )
+    hi = (
+        spark.read.format("vf_rawpq").load(out_dir)
+        .filter(F.col("doc_id") == int(bounds.hi))
+    )
+    return lo.unionAll(hi).select("doc_id", "lang", "n_chars")

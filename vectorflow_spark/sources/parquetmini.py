@@ -1531,6 +1531,8 @@ def encode_parquet(
     write_page_index: bool = True,
     rows_per_page: int = 20000,
     created_by: str = "vectorflow-spark parquetmini",
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> bytes:
     """Serialize one row group of named columns to a complete parquet file
     (v1 pages — dictionary-encoded when a column's distinct set is small,
@@ -1742,6 +1744,59 @@ def encode_parquet(
         m["ci"] = (ci_off, len(ci.out))
         m["oi"] = (oi_off, len(oi.out))
 
+    # split-block bloom filters: after the page indexes, before the footer.
+    # Sized from the TRUE distinct count (we hold the whole chunk) instead
+    # of a caller NDV hint; bitset bytes rounded up to a power of two with
+    # the parquet-java floor of 32 B. Readers seek via ColumnMetaData
+    # fields 14/15, so placement is free.
+    for m in chunk_meta:
+        m["bloom"] = None
+        if not bloom_columns or m["name"] not in bloom_columns:
+            continue
+        kind = m["kind"]
+        fmt = {"i64": "<q", "ts_us": "<q", "i32": "<i", "f64": "<d", "f32": "<f"}.get(kind)
+        if fmt is None and kind not in ("str", "bin"):
+            raise ParquetError(f"bloom filters unsupported for kind {kind}")
+        from vectorflow_spark.functions.xxh import xxh64 as _xxh64
+
+        distinct = set(m["present"])
+        import math as _math
+
+        n_bits = max(1, int(-len(distinct) * _math.log(bloom_fpp) / (_math.log(2) ** 2)))
+        num_bytes = 32
+        while num_bytes * 8 < n_bits and num_bytes < (1 << 22):
+            num_bytes *= 2
+        bitset = bytearray(num_bytes)
+        n_blocks = num_bytes // 32
+        for v in distinct:
+            plain = (
+                struct.pack(fmt, v)
+                if fmt
+                else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
+            )
+            h = _xxh64(plain, 0)
+            block = ((h >> 32) * n_blocks) >> 32
+            x = h & 0xFFFFFFFF
+            for i in range(8):
+                bit = ((x * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+                woff = block * 32 + i * 4
+                (w,) = struct.unpack_from("<I", bitset, woff)
+                struct.pack_into("<I", bitset, woff, w | (1 << bit))
+        bh = _ThriftW()
+        blast = bh.i_field(0, 1, num_bytes, _CT_I32)
+        for fid in (2, 3, 4):  # algorithm=block, hash=xxhash, compression=off
+            blast = bh.field(blast, fid, _CT_STRUCT)
+            union = _ThriftW()
+            union.field(0, 1, _CT_STRUCT)  # union member 1
+            union.stop()  # empty member struct
+            union.stop()  # union
+            bh.out += union.out
+        bh.stop()
+        bloom_off = len(out)
+        out += bh.out
+        out += bitset
+        m["bloom"] = (bloom_off, len(bh.out) + num_bytes)
+
     # FileMetaData
     fm = _ThriftW()
     last = fm.i_field(0, 1, 1, _CT_I32)  # version
@@ -1796,6 +1851,9 @@ def encode_parquet(
         if m["dict_page_offset"] is not None:
             mlast = cm.i_field(mlast, 11, m["dict_page_offset"])
         mlast = _w_stats(cm, mlast, m["present"], m["kind"], m["n_nulls"])
+        if m.get("bloom") is not None:
+            mlast = cm.i_field(mlast, 14, m["bloom"][0])
+            mlast = cm.i_field(mlast, 15, m["bloom"][1], _CT_I32)
         cm.stop()
         cc.out += cm.out
         cc.out += cc_tail.out
@@ -1850,7 +1908,14 @@ def _pdf_column(series, kind: str) -> list:
     return out
 
 
-def write_parquet_corpus(df, out_dir: str, kinds: dict[str, str], *, codec: str = "snappy"):
+def write_parquet_corpus(
+    df,
+    out_dir: str,
+    kinds: dict[str, str],
+    *,
+    codec: str = "snappy",
+    bloom_columns: list[str] | None = None,
+):
     """Distributed sink over OUR writer: each task serializes its partition
     to one part file with encode_parquet and commits via write-then-rename
     (the same crash-safe protocol as warcmini's corpus sink). Returns a
@@ -1884,7 +1949,9 @@ def write_parquet_corpus(df, out_dir: str, kinds: dict[str, str], *, codec: str 
         if pdfs:
             pdf = pd.concat(pdfs, ignore_index=True)
             cols = {c: _pdf_column(pdf[c], kinds[c]) for c in names}
-            blob = encode_parquet(cols, {c: kinds[c] for c in names}, codec=codec)
+            blob = encode_parquet(
+                cols, {c: kinds[c] for c in names}, codec=codec, bloom_columns=bloom_columns
+            )
             part = f"part-{_uuid.uuid4().hex}.parquet"
             tmp = _os.path.join(out_dir, f".uncommitted-{part}")
             with open(tmp, "wb") as fh:
