@@ -261,3 +261,50 @@ class TestGroupedSink:
         en = av.read_avro(open(out + "/lang=en.avro", "rb").read())
         assert en["doc_id"] == [1, 3] and en["text"] == ["a", "c"]  # sorted within group
         assert "lang" not in en  # group value lives in the file name
+
+
+class TestStreamIter:
+    """iter_blocks_stream must (a) equal the in-memory iterator for every
+    split size and (b) read only the split's bytes — N splits over one
+    file read it ~once collectively, not N times (the r10 self-review
+    flaw: a whole-file read per split made total I/O O(size x splits))."""
+
+    class _CountingFile:
+        def __init__(self, raw):
+            self._f = raw
+            self.bytes_read = 0
+
+        def read(self, n=-1):
+            b = self._f.read(n)
+            self.bytes_read += len(b)
+            return b
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+    def test_equivalence_and_bounded_io(self, tmp_path):
+        import io
+
+        n = 2000
+        cols = {"doc_id": list(range(n)), "text": [f"w{i} " * 20 for i in range(n)]}
+        blob = av.encode_avro(cols, {"doc_id": "i64", "text": "str"}, codec="null", rows_per_block=50)
+        hdr = av.read_header(blob)
+        all_blocks = [(o, c) for o, c, _ in av.iter_blocks(blob, hdr)]
+        for step in (1 << 12, 1 << 14, len(blob)):
+            seen = []
+            total_read = 0
+            for s in range(0, len(blob), step):
+                cf = self._CountingFile(io.BytesIO(blob))
+                start = s if s > 0 else None
+                for o, c, raw in av.iter_blocks_stream(
+                    cf, hdr, start, min(s + step, len(blob)), len(blob)
+                ):
+                    seen.append((o, c))
+                total_read += cf.bytes_read
+            assert seen == all_blocks, step
+            # collective I/O stays ~O(file): blocks read once + one ~1 MiB
+            # (here: <= file-sized) entry window per split
+            n_splits = -(-len(blob) // step)
+            assert total_read <= len(blob) + n_splits * (1 << 20)
+            if step >= len(blob):
+                assert total_read <= len(blob) + 64

@@ -50,6 +50,8 @@ from typing import Any, Callable, Iterator
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
+# refuse-loudly ceiling for a single block buffered by the split readers
+MAX_BLOCK_BYTES = 256 << 20
 
 
 class AvroError(ValueError):
@@ -62,6 +64,8 @@ class AvroError(ValueError):
 
 
 def _w_long(out: bytearray, n: int) -> None:
+    if not -(1 << 63) <= n < (1 << 63):
+        raise AvroError(f"avro: value {n} outside signed 64-bit range")
     z = (n << 1) ^ (n >> 63)
     z &= (1 << 64) - 1  # two's-complement view for negatives
     while True:
@@ -330,6 +334,21 @@ def _encode_block(raw: bytes, codec: str) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def read_header_of(f, window: int = 1 << 16) -> dict:
+    """read_header over a file handle, growing the read window (doubling,
+    up to 16 MiB) when the metadata map outruns it — a foreign file with
+    a giant schema gets more bytes, not a misleading truncation error."""
+    while True:
+        f.seek(0)
+        data = f.read(window)
+        try:
+            return read_header(data)
+        except AvroError:
+            if len(data) < window or window >= (1 << 24):
+                raise
+            window *= 2
+
+
 def read_header(data: bytes) -> dict:
     """Parse the container header: returns {schema, norm, codec, sync,
     meta, data_start}."""
@@ -396,6 +415,71 @@ def iter_blocks(data: bytes, hdr: dict, start: int | None = None, end: int | Non
             raise AvroError("avro: block sync mismatch")
         yield pos, cnt, _decode_block(payload, hdr["codec"])
         pos = r.i
+
+
+def _read_exact(f, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise AvroError("avro: truncated block")
+    return b
+
+
+def iter_blocks_stream(f, hdr: dict, start: int | None, end: int, file_size: int):
+    """File-handle twin of ``iter_blocks`` with the same ownership rule,
+    reading ONLY the split's bytes: the entry scan reads ~1 MiB windows
+    from ``start`` until it finds the sync marker, then each block costs
+    exactly (header varints + payload + sync). A whole-file read per
+    split would make total I/O O(file_size x n_splits) — the r10
+    self-review flaw this function closes; with this, N splits over one
+    file read the file once collectively, which is the entire point of
+    the sync-marker design."""
+    sync = hdr["sync"]
+    if start is None or start == 0:
+        pos = hdr["data_start"]
+    else:
+        # scan forward for the first sync STARTING at byte >= start
+        window_abs = start
+        tail = b""
+        f.seek(start)
+        pos = -1
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return
+            window = tail + chunk
+            idx = window.find(sync)
+            if idx >= 0:
+                pos = window_abs - len(tail) + idx + SYNC_SIZE
+                break
+            tail = window[-(SYNC_SIZE - 1):]
+            window_abs += len(chunk)
+    stop = min(end + SYNC_SIZE, file_size)
+    while pos < stop:
+        if pos >= file_size:
+            return
+        f.seek(pos)
+        head = f.read(20)  # two varints, <= 10 bytes each
+        r = _R(head)
+        cnt = r.long()
+        size = r.long()
+        if cnt < 0 or size < 0:
+            raise AvroError("avro: negative block header")
+        if size > MAX_BLOCK_BYTES:
+            raise AvroError(
+                f"avro: block of {size} bytes exceeds MAX_BLOCK_BYTES="
+                f"{MAX_BLOCK_BYTES} (a legal but executor-hostile foreign "
+                "block; raise avromini.MAX_BLOCK_BYTES to accept it)"
+            )
+        consumed = r.i
+        payload = head[consumed : consumed + size]
+        if len(payload) < size:
+            payload += _read_exact(f, size - len(payload))
+        else:
+            f.seek(pos + consumed + size)
+        if _read_exact(f, SYNC_SIZE) != sync:
+            raise AvroError("avro: block sync mismatch")
+        yield pos, cnt, _decode_block(bytes(payload), hdr["codec"])
+        pos = pos + consumed + size + SYNC_SIZE
 
 
 def count_rows(data: bytes) -> int:
@@ -555,8 +639,7 @@ def avro_raw_scan(spark, paths: list[str], columns: list[str], split_bytes: int 
     heads: dict[str, dict] = {}
     for p in sorted(paths):
         with open(p, "rb") as f:
-            head = f.read(1 << 16)
-        heads[p] = read_header(head)
+            heads[p] = read_header_of(f)
     norm0 = heads[sorted(paths)[0]]["norm"]
     fields0 = dict(norm0[1])
     for p, hdr in heads.items():
@@ -587,22 +670,24 @@ def avro_raw_scan(spark, paths: list[str], columns: list[str], split_bytes: int 
     )
 
     def scan(batches):
+        import os as _os
+
         for pdf in batches:
             for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                size = _os.path.getsize(path)
                 with open(path, "rb") as f:
-                    data = f.read()
-                hdr = read_header(data)
-                norm = hdr["norm"]
-                names = [n for n, _ in norm[1]]
-                idx = {n: i for i, n in enumerate(names)}
-                out = {c: [] for c in columns}
-                s = int(start) if int(start) > 0 else None
-                for _, cnt, raw in iter_blocks(data, hdr, s, int(end)):
-                    r = _R(raw)
-                    for _ in range(cnt):
-                        rec = _read_value(r, norm)
-                        for c in columns:
-                            out[c].append(rec[idx[c]])
+                    hdr = read_header_of(f)
+                    norm = hdr["norm"]
+                    names = [n for n, _ in norm[1]]
+                    idx = {n: i for i, n in enumerate(names)}
+                    out = {c: [] for c in columns}
+                    s = int(start) if int(start) > 0 else None
+                    for _, cnt, raw in iter_blocks_stream(f, hdr, s, int(end), size):
+                        r = _R(raw)
+                        for _ in range(cnt):
+                            rec = _read_value(r, norm)
+                            for c in columns:
+                                out[c].append(rec[idx[c]])
                 yield pd.DataFrame(out, columns=columns)
 
     return tasks_df.mapInPandas(scan, schema)

@@ -33,8 +33,8 @@ from vectorflow_spark.sources.avromini import (
     AvroError,
     _R,
     _read_value,
-    iter_blocks,
-    read_header,
+    iter_blocks_stream,
+    read_header_of,
 )
 
 
@@ -94,24 +94,24 @@ class VfRawAvroReader(DataSourceReader):
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa
 
-        with open(partition.path, "rb") as f:
-            data = f.read()
-        hdr = read_header(data)
-        norm = hdr["norm"]
-        names = [n for n, _ in norm[1]]
-        fields = dict(norm[1])
-        idx = {n: i for i, n in enumerate(names)}
-        for c in self.columns:
-            if c not in fields:
-                raise AvroError(f"avro: {partition.path}: unknown column {c}")
+        size = os.path.getsize(partition.path)
         cols: dict[str, list] = {c: [] for c in self.columns}
-        start = partition.start if partition.start > 0 else None
-        for _, cnt, raw in iter_blocks(data, hdr, start, partition.end):
-            r = _R(raw)
-            for _ in range(cnt):
-                rec = _read_value(r, norm)
-                for c in self.columns:
-                    cols[c].append(rec[idx[c]])
+        with open(partition.path, "rb") as f:
+            hdr = read_header_of(f)
+            norm = hdr["norm"]
+            names = [n for n, _ in norm[1]]
+            fields = dict(norm[1])
+            idx = {n: i for i, n in enumerate(names)}
+            for c in self.columns:
+                if c not in fields:
+                    raise AvroError(f"avro: {partition.path}: unknown column {c}")
+            start = partition.start if partition.start > 0 else None
+            for _, cnt, raw in iter_blocks_stream(f, hdr, start, partition.end, size):
+                r = _R(raw)
+                for _ in range(cnt):
+                    rec = _read_value(r, norm)
+                    for c in self.columns:
+                        cols[c].append(rec[idx[c]])
         arrays = []
         for c in self.columns:
             ddl = _ddl_of(fields[c])
@@ -148,7 +148,7 @@ class VfRawAvroDataSource(DataSource):
             raise ValueError("vf_rawavro requires a load path")
         files = _files_of(path)
         with open(files[0], "rb") as f:
-            hdr = read_header(f.read(1 << 16))
+            hdr = read_header_of(f)
         norm = hdr["norm"]
         if not (isinstance(norm, tuple) and norm[0] == "record"):
             raise AvroError("avro: top-level schema must be a record")

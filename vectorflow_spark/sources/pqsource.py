@@ -231,6 +231,19 @@ class VfRawPqReader(DataSourceReader):
                             if off_type is None:
                                 continue  # no filter written: must read
                             off, ptype = off_type
+                            # probe only on an exact Python/physical type
+                            # match: a coerced value (int(3.5) -> 3) would
+                            # probe the wrong key — Spark folds such casts
+                            # before pushdown, but don't rely on it
+                            expected = {
+                                "INT64": int,
+                                "INT32": int,
+                                "DOUBLE": float,
+                                "FLOAT": float,
+                                "BYTE_ARRAY": str,
+                            }.get(ptype)
+                            if expected is None or type(v) is not expected:
+                                continue
                             try:
                                 bitset = self._bloom_cache[(p, off)]
                             except KeyError:
