@@ -282,3 +282,121 @@ class TestBloomWriter:
     def test_bool_bloom_refuses(self):
         with pytest.raises(pm.ParquetError, match="bloom"):
             pm.encode_parquet({"b": [True, False]}, {"b": "bool"}, bloom_columns=["b"])
+
+
+class TestOrcBloom:
+    """ORC bloom filters (orcmini.read_bloom_index + the hash pair) —
+    pinned against orc-core via py4j: Murmur3.hash64 value-for-value,
+    and BloomFilterUtf8 membership for longs, strings and the
+    doubleToLongBits path. The long hash is Thomas Wang with SIGNED
+    shifts (the orc-core bytecode uses lshr — the unsigned variant
+    diverges on any input whose intermediate has bit 63 set; caught by
+    this pin on -5 and 2^40)."""
+
+    def test_murmur3_hash64_parity(self, spark):
+        from vectorflow_spark.sources import orcmini as om
+
+        jvm = spark._jvm
+        for data in [b"", b"a", b"hello", b"x" * 7, b"y" * 8, b"z" * 33, "日本語".encode()]:
+            hj = jvm.org.apache.orc.util.Murmur3.hash64(bytearray(data))
+            hm = om.murmur3_hash64(data)
+            assert hj == hm - (1 << 64) * (hm >> 63), data
+
+    def test_membership_parity_all_types(self, spark):
+        from vectorflow_spark.sources import orcmini as om
+
+        jvm = spark._jvm
+        bf = jvm.org.apache.orc.util.BloomFilterUtf8(500, 0.01)
+        longs = [0, 1, -5, 42, 123456789, 1 << 40, -(1 << 62)]
+        for v in longs:
+            bf.addLong(v)
+        bf.addString("present")
+        bf.addDouble(2.718)
+        bits = [b & ((1 << 64) - 1) for b in bf.getBitSet()]
+        bloom = {"num_hash_functions": bf.getNumHashFunctions(), "bitset": bits}
+        for v in longs + [2, 7, -6, 4242, 1 << 41]:
+            assert om.orc_bloom_test_hash(bloom, om.wang_long_hash(v)) == bool(
+                bf.testLong(v)
+            ), v
+        for s in ["present", "absent", "日本語", ""]:
+            assert om.orc_bloom_test_hash(bloom, om.murmur3_hash64(s.encode())) == bool(
+                bf.testString(s)
+            ), s
+        bits_d = struct.unpack("<q", struct.pack("<d", 2.718))[0]
+        assert om.orc_bloom_test_hash(bloom, om.wang_long_hash(bits_d))
+        bits_a = struct.unpack("<q", struct.pack("<d", 3.14))[0]
+        assert om.orc_bloom_test_hash(bloom, om.wang_long_hash(bits_a)) == bool(
+            bf.testDouble(3.14)
+        )
+
+    def test_spark_written_file_blooms(self, spark, tmp_path):
+        """Blooms parsed from a Spark-written ORC file admit every present
+        key in its own row group and reject most absent ones."""
+        import glob as g
+
+        from vectorflow_spark.sources import orcmini as om
+
+        (
+            spark.range(0, 20000)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS s")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .option("orc.bloom.filter.columns", "k,s")
+            .option("orc.row.index.stride", "5000")
+            .orc(str(tmp_path))
+        )
+        f = g.glob(str(tmp_path) + "/*.orc")[0]
+        meta = om.read_orc_meta(f)
+        st = meta["stripes"][0]
+        bk = om.read_bloom_index(f, meta, st, om._column_id(meta, "k"))
+        bs = om.read_bloom_index(f, meta, st, om._column_id(meta, "s"))
+        assert len(bk) == 4 and len(bs) == 4  # 20000 rows / 5000 stride
+        for v in (0, 4999, 5000, 12345, 19999):
+            rg = v // 5000
+            assert om.orc_bloom_test_hash(bk[rg], om.wang_long_hash(v)), v
+            assert om.orc_bloom_test_hash(bs[rg], om.murmur3_hash64(str(v).encode())), v
+        # absent keys: mostly rejected everywhere (fpp 0.05 default)
+        rejects = sum(
+            not om.orc_bloom_test_hash(b, om.wang_long_hash(v))
+            for v in range(20001, 20200)
+            for b in bk
+        )
+        assert rejects > 199 * 4 * 0.8
+
+    def test_vf_raworc_stripe_pruning_end_to_end(self, spark, tmp_path):
+        from vectorflow_spark.sources import orcsource
+        from vectorflow_spark.sources.orcsource import VfRawOrcReader
+
+        (
+            spark.range(0, 40000)
+            .selectExpr("id AS k")
+            .repartition(4, "k")  # every file spans the domain: ranges useless
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .option("orc.bloom.filter.columns", "k")
+            .orc(str(tmp_path))
+        )
+        from pyspark.sql.datasource import EqualTo
+        from pyspark.sql.types import StructType
+
+        rd = VfRawOrcReader({"path": str(tmp_path)}, StructType.fromDDL("k bigint"))
+        list(rd.pushFilters([EqualTo(("k",), 31337)]))
+        parts = rd.partitions()
+        assert rd.pruned_stripes >= 2, (len(parts), rd.pruned_stripes)
+        # end to end through Spark: exactly the right row survives
+        orcsource.register(spark)
+        out = (
+            spark.read.format("vf_raworc")
+            .load(str(tmp_path))
+            .filter(F.col("k") == 31337)
+            .collect()
+        )
+        assert [r.k for r in out] == [31337]
+        assert (
+            spark.read.format("vf_raworc")
+            .load(str(tmp_path))
+            .filter(F.col("k") == 999999)
+            .count()
+            == 0
+        )

@@ -1074,3 +1074,68 @@ def q_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == int(bounds.hi))
     )
     return lo.unionAll(hi).select("doc_id", "lang", "n_chars")
+
+
+_ORCBLOOMFIX_REV = 1
+
+
+def _orc_bloom_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once: orders hash-distributed over 8 ORC files with bloom
+    filters on o_orderkey (Spark/orc-core writes them; zlib so OUR reader
+    decodes). Hash distribution defeats min/max pruning for point lookups
+    — only the bloom can skip stripes."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_orcbloomfix_r{_ORCBLOOMFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders", split=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .option("orc.bloom.filter.columns", "o_orderkey")
+        .orc(out_dir)
+    )
+    return out_dir
+
+
+@query(
+    "q_orc_bloom_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT MIN(o_orderkey) FROM orders)
+       OR o_orderkey IN (SELECT MAX(o_orderkey) FROM orders)
+    """,
+)
+def q_orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_parquet_bloom_prune's ORC twin: point lookups through
+    ``vf_raworc`` probing orc-core-written per-row-group bloom filter
+    indexes (kind-9 streams) with OUR hash pair — Thomas Wang signed-
+    shift mix for longs, Murmur3 hash64 for strings — both pinned
+    value-for-value against the orc.util classes in tests/test_bloom.py.
+    Stripes whose every row group rejects the key are dropped at
+    planning; correctness is the relational ground truth. Separate loads
+    per branch (the documented shared-relation rule)."""
+    from vectorflow_spark.sources import orcsource
+
+    orcsource.register(spark)
+    out_dir = _orc_bloom_orders_dir(spark, sf_dir)
+    bounds = _t(spark, sf_dir, "orders", split=True).agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]  # driver-side: two scalars
+    lo = (
+        spark.read.format("vf_raworc").load(out_dir)
+        .filter(F.col("o_orderkey") == int(bounds.lo))
+    )
+    hi = (
+        spark.read.format("vf_raworc").load(out_dir)
+        .filter(F.col("o_orderkey") == int(bounds.hi))
+    )
+    return lo.unionAll(hi).select("o_orderkey", "o_custkey", "o_totalprice")

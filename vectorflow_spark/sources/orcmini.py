@@ -1249,3 +1249,134 @@ def write_orc_grouped(
         return pd.DataFrame([(str(g), len(pdf))], columns=["grp", "n_rows"])
 
     return df.groupBy(group_col).applyInPandas(sink, man_schema)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter indexes (ORC spec "Bloom Filters"; stream kinds 8/9)
+# ---------------------------------------------------------------------------
+
+_BLOOM_FILTER_SPEC = {
+    1: ("num_hash_functions", "uint"),
+    2: ("bitset[]", "fixed64"),
+    3: ("utf8bitset", "bytes"),
+}
+_BLOOM_INDEX_SPEC = {1: ("bloom_filter[]", _BLOOM_FILTER_SPEC)}
+
+_MURMUR3_SEED = 104729  # orc.util.Murmur3 DEFAULT_SEED
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def murmur3_hash64(data: bytes, seed: int = _MURMUR3_SEED) -> int:
+    """orc.util.Murmur3.hash64 (the Guava-derived 64-bit Murmur3 variant,
+    public algorithm) — unsigned result; ORC hashes STRING values' UTF-8
+    bytes with it. Pinned against the JVM class in tests/test_bloom.py."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h = seed & _M64
+    n = len(data)
+    nblocks = n >> 3
+    for i in range(nblocks):
+        (k,) = struct.unpack_from("<Q", data, i * 8)
+        k = (k * c1) & _M64
+        k = _rotl64(k, 31)
+        k = (k * c2) & _M64
+        h ^= k
+        h = (_rotl64(h, 27) * 5 + 0x52DCE729) & _M64
+    k1 = 0
+    tail = nblocks << 3
+    for i in range(n - 1, tail - 1, -1):
+        k1 = (k1 << 8) | data[i]
+    if n & 7:
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h ^= k1
+    h ^= n
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def _sshr64(x: int, n: int) -> int:
+    """Java's SIGNED >> on a 64-bit two's-complement pattern."""
+    if x & (1 << 63):
+        return ((x >> n) | (_M64 << (64 - n))) & _M64
+    return x >> n
+
+
+def wang_long_hash(v: int) -> int:
+    """Thomas Wang's 64-bit integer mix — how ORC's BloomFilter hashes
+    LONG values (addLong/getLongHash), public algorithm. NOTE the shifts
+    are Java's SIGNED ``>>`` (the orc-core bytecode uses lshr, not
+    lushr) — the variant with unsigned shifts produces different values
+    for any input whose intermediate state has bit 63 set."""
+    key = v & _M64
+    key = ((~key & _M64) + ((key << 21) & _M64)) & _M64
+    key ^= _sshr64(key, 24)
+    key = (key + ((key << 3) & _M64) + ((key << 8) & _M64)) & _M64
+    key ^= _sshr64(key, 14)
+    key = (key + ((key << 2) & _M64) + ((key << 4) & _M64)) & _M64
+    key ^= _sshr64(key, 28)
+    key = (key + ((key << 31) & _M64)) & _M64
+    return key
+
+
+def orc_bloom_test_hash(bloom: dict, h64: int) -> bool:
+    """ORC BloomFilter membership from a 64-bit hash: k probes at
+    hash1 + i*hash2 (Java 32-bit signed arithmetic, ~ on negative),
+    bit tested in the little-endian long array. False = definitely
+    absent (prune)."""
+    bits = bloom.get("bitset")
+    if not bits:
+        raw = bloom.get("utf8bitset") or b""
+        bits = [
+            int.from_bytes(raw[i : i + 8], "little") for i in range(0, len(raw), 8)
+        ]
+    if not bits:
+        return True  # no bitset: cannot prune
+    m = len(bits) * 64
+    k = bloom.get("num_hash_functions", 3)
+    hash1 = h64 & 0xFFFFFFFF
+    hash2 = (h64 >> 32) & 0xFFFFFFFF
+    for i in range(1, k + 1):
+        combined = (hash1 + i * hash2) & 0xFFFFFFFF
+        if combined & 0x80000000:  # Java int < 0 -> ~
+            combined = (~combined) & 0xFFFFFFFF
+        pos = combined % m
+        if not (bits[pos >> 6] >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def read_bloom_index(path: str, meta: dict, stripe: dict, col: int) -> list[dict] | None:
+    """Per-row-group bloom filters for one column in one stripe, parsed
+    from the BLOOM_FILTER_UTF8 (kind 9, preferred) or legacy BLOOM_FILTER
+    (kind 8) index stream; None when the writer stored neither. Index
+    streams live at the stripe head — this reads ONLY that stream's
+    bytes (the plan-time cost of bloom pruning)."""
+    comp = meta["compression"]
+    with open(path, "rb") as fh:
+        fh.seek(stripe["offset"] + stripe.get("index_length", 0) + stripe["data_length"])
+        sf_raw = fh.read(stripe["footer_length"])
+        sf = _pb_parse(_decompress_stream(sf_raw, comp), _STRIPE_FOOTER_SPEC)
+        pos = stripe["offset"]
+        found: dict[int, tuple[int, int]] = {}
+        for st in sf.get("streams", []):
+            kind = st.get("kind", 0)
+            ln = st.get("length", 0)
+            if st.get("column", 0) == col and kind in (8, 9):
+                found[kind] = (pos, ln)
+            pos += ln
+        if not found:
+            return None
+        off, ln = found.get(9) or found[8]
+        fh.seek(off)
+        raw = fh.read(ln)
+    idx = _pb_parse(_decompress_stream(raw, comp), _BLOOM_INDEX_SPEC)
+    return idx.get("bloom_filter", [])

@@ -79,6 +79,7 @@ class VfRawOrcReader(DataSourceReader):
         # a DataFrame reused under differently-filtered scans must set
         # .option("pushdown_prune", "false") or load per branch
         self._prune = str(options.get("pushdown_prune", "true")).lower() != "false"
+        self._eqs: dict[str, object] = {}
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import EqualTo
@@ -87,11 +88,21 @@ class VfRawOrcReader(DataSourceReader):
         # the same relation, and accumulating two scans' conjunctions
         # intersects them into over-pruning (see pqsource.pushFilters)
         self._ranges = {}
+        self._eqs = {}
         for f in filters:
             attr = getattr(f, "attribute", None)
             value = getattr(f, "value", None)
             cname = attr[0] if isinstance(attr, tuple) and len(attr) == 1 else None
             kind = type(f).__name__
+            if (
+                cname in self.columns
+                and isinstance(f, EqualTo)
+                and isinstance(value, (int, float, str))
+                and not isinstance(value, bool)
+            ):
+                # point lookups feed the per-stripe BLOOM probe (strings
+                # too): orc.bloom.filter.columns indexes, kind 8/9 streams
+                self._eqs[cname] = value
             if (
                 cname in self.columns
                 and isinstance(value, (int, float))
@@ -128,14 +139,59 @@ class VfRawOrcReader(DataSourceReader):
                 return False
         return True
 
+    def _stripe_bloom_survives(self, path: str, meta: dict, stripe: dict) -> bool:
+        """Equality probes against the stripe's per-row-group bloom
+        filters (orcmini.read_bloom_index): a stripe whose EVERY row
+        group's filter rejects the value for some column cannot hold a
+        match. Hashing follows orc-core exactly (pinned in
+        tests/test_bloom.py): longs via Thomas Wang with SIGNED shifts,
+        strings via Murmur3 hash64, doubles via the long bits."""
+        import struct as _st
+
+        from vectorflow_spark.sources.orcmini import (
+            TYPE_KINDS,
+            _column_id,
+            murmur3_hash64,
+            orc_bloom_test_hash,
+            read_bloom_index,
+            wang_long_hash,
+        )
+
+        for c, v in self._eqs.items():
+            col = _column_id(meta, c)
+            tkind = TYPE_KINDS.get(meta["types"][col].get("kind"), "?")
+            if tkind in ("BYTE", "SHORT", "INT", "LONG") and type(v) is int:
+                h = wang_long_hash(v)
+            elif tkind in ("STRING", "VARCHAR", "CHAR") and type(v) is str:
+                h = murmur3_hash64(v.encode("utf-8"))
+            elif tkind in ("DOUBLE", "FLOAT") and type(v) is float:
+                h = wang_long_hash(_st.unpack("<q", _st.pack("<d", v))[0])
+            else:
+                continue  # type mismatch: never probe a coerced value
+            blooms = read_bloom_index(path, meta, stripe, col)
+            if not blooms:
+                continue  # writer stored no filter: must read
+            if not any(orc_bloom_test_hash(b, h) for b in blooms):
+                return False
+        return True
+
     def partitions(self):
         parts: list[_StripePartition] = []
         self.pruned_files = 0
+        self.pruned_stripes = 0
         for p in _files_of(self.path):
             if self._prune and not self._file_survives(p):
                 self.pruned_files += 1
                 continue
-            for i in range(len(read_orc_meta(p)["stripes"])):
+            meta = read_orc_meta(p)
+            for i, stripe in enumerate(meta["stripes"]):
+                if (
+                    self._prune
+                    and self._eqs
+                    and not self._stripe_bloom_survives(p, meta, stripe)
+                ):
+                    self.pruned_stripes += 1
+                    continue
                 parts.append(_StripePartition(p, i))
         if not parts:
             # everything pruned (or zero-stripe files): Spark needs >= 1
