@@ -308,3 +308,115 @@ class TestStreamIter:
             assert total_read <= len(blob) + n_splits * (1 << 20)
             if step >= len(blob):
                 assert total_read <= len(blob) + 64
+
+
+class TestSchemaResolution:
+    """Avro Schema Resolution (spec): dropped fields skip, added fields
+    fill from defaults, promotions follow the spec table — pinned against
+    the JVM's GenericDatumReader(writer, reader) on the same bytes."""
+
+    def _reader_schema(self):
+        return {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "doc_id", "type": ["null", "long"]},
+                {"name": "score", "type": ["null", "double"]},
+                # 'text', 'flag', 'emb' dropped; 'stage' added with default
+                {"name": "stage", "type": ["null", "string"], "default": "raw"},
+            ],
+        }
+
+    def test_resolution_matches_jvm(self, spark, tmp_path):
+        blob = av.encode_avro(COLS, KINDS, codec="deflate", rows_per_block=3)
+        ours = av.read_avro(
+            blob, reader_schema=self._reader_schema(), defaults={"stage": "raw"}
+        )
+        assert ours["doc_id"] == COLS["doc_id"]
+        assert ours["score"] == COLS["score"]
+        assert ours["stage"] == ["raw"] * len(COLS["doc_id"])
+        assert set(ours) == {"doc_id", "score", "stage"}
+        # the JVM resolves the same bytes to the same rows
+        p = str(tmp_path / "r.avro")
+        with open(p, "wb") as f:
+            f.write(blob)
+        jvm = spark._jvm
+        wsch = jvm.org.apache.avro.Schema.Parser().parse(
+            json.dumps(av.schema_for(KINDS))
+        )
+        rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(self._reader_schema()))
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader(wsch, rsch)
+        dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+        i = 0
+        while dfr.hasNext():
+            rec = dfr.next()
+            assert rec.get("doc_id") == ours["doc_id"][i]
+            jscore = rec.get("score")
+            assert (jscore is None) == (ours["score"][i] is None)
+            if jscore is not None:
+                assert float(jscore) == ours["score"][i]
+            assert rec.get("stage").toString() == "raw"
+            i += 1
+        dfr.close()
+        assert i == len(COLS["doc_id"])
+
+    def test_promotions(self):
+        cols = {"a": [1, 2, None], "b": [1.5, None, -2.0], "s": ["x", None, "z"]}
+        blob = av.encode_avro(cols, {"a": "i32", "b": "f32", "s": "str"})
+        reader = {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "b", "type": ["null", "double"]},
+                {"name": "s", "type": ["null", "bytes"]},
+            ],
+        }
+        out = av.read_avro(blob, reader_schema=reader)
+        assert out["a"] == [1, 2, None]
+        assert out["b"][0] == pytest.approx(1.5) and out["b"][1] is None
+        assert out["s"] == [b"x", None, b"z"]
+
+    def test_illegal_resolution_refuses(self):
+        blob = av.encode_avro({"a": [1]}, {"a": "i64"})
+        bad = {"type": "record", "name": "row",
+               "fields": [{"name": "a", "type": ["null", "string"]}]}
+        with pytest.raises(av.AvroError, match="does not resolve"):
+            av.read_avro(blob, reader_schema=bad)
+        missing_default = {"type": "record", "name": "row",
+                           "fields": [{"name": "zz", "type": ["null", "long"]}]}
+        with pytest.raises(av.AvroError, match="needs a default"):
+            av.read_avro(blob, reader_schema=missing_default)
+
+    def test_projection_skips_not_decodes(self):
+        """Column projection goes through _skip_value — same results,
+        and the skip path handles the array fast-skip form."""
+        out = av.read_avro(av.encode_avro(COLS, KINDS), ["flag"])
+        assert out == {"flag": COLS["flag"]}
+
+    def test_alias_rename_matches_jvm(self, spark, tmp_path):
+        """Reader-field aliases (the spec's rename mechanism): reader
+        'identifier' resolves writer 'doc_id'; JVM agrees."""
+        reader = {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "identifier", "type": ["null", "long"], "aliases": ["doc_id"]},
+            ],
+        }
+        blob = av.encode_avro(COLS, KINDS, rows_per_block=4)
+        ours = av.read_avro(blob, reader_schema=reader)
+        assert ours == {"identifier": COLS["doc_id"]}
+        p = str(tmp_path / "alias.avro")
+        with open(p, "wb") as f:
+            f.write(blob)
+        jvm = spark._jvm
+        wsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(av.schema_for(KINDS)))
+        rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader))
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader(wsch, rsch)
+        dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+        got = []
+        while dfr.hasNext():
+            got.append(dfr.next().get("identifier"))
+        dfr.close()
+        assert got == COLS["doc_id"]

@@ -1139,3 +1139,58 @@ def q_orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") == int(bounds.hi))
     )
     return lo.unionAll(hi).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_avro_evolution",
+    """
+    SELECT doc_id,
+           lang,
+           CAST(n_chars AS DOUBLE) AS n_chars_d,
+           'unscored' AS quality
+    FROM documents
+    """,
+)
+def q_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Schema Resolution, distributed (the spec's evolution rules,
+    JVM-pinned in tests/test_avro.py): the v1 container fixture is read
+    with a v2 READER schema that drops text/source (skip-decoded, never
+    materialized), promotes n_chars long->double (spec promotion table),
+    and adds a ``quality`` field filled from its default — the shape
+    every long-lived CDC/ingest pipeline hits when producers evolve
+    ahead of consumers. Oracle recomputes the projection relationally."""
+    import pandas as pd
+
+    from vectorflow_spark.sources.avromini import read_avro
+
+    out_dir = _avro_docs_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.avro")))
+    reader_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars_d", "type": ["null", "double"], "aliases": ["n_chars"]},
+            {"name": "quality", "type": ["null", "string"], "default": "unscored"},
+        ],
+    }
+    files_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        max(len(files), 1)
+    )
+
+    def evolve(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    data = f.read()
+                cols = read_avro(
+                    data,
+                    reader_schema=reader_schema,
+                    defaults={"quality": "unscored"},
+                )
+                yield pd.DataFrame(cols, columns=["doc_id", "lang", "n_chars_d", "quality"])
+
+    return files_df.mapInPandas(
+        evolve, "doc_id long, lang string, n_chars_d double, quality string"
+    )

@@ -504,27 +504,181 @@ def count_rows(data: bytes) -> int:
     return total
 
 
-def read_avro(data: bytes, columns: list[str] | None = None) -> dict[str, list]:
-    """Whole-file decode -> column dict (the reader's reference path; the
-    distributed path is avro_raw_scan's per-split walk)."""
+def _skip_value(r: _R, sch: Any) -> None:
+    """Advance past one value WITHOUT materializing it — the fast path for
+    unprojected fields (a wide text column costs one length varint + a
+    raw slice skip instead of a UTF-8 decode) and for fields the reader
+    schema drops. Arrays honor the negative-count fast-skip form: the
+    writer-provided byte size skips the whole block in O(1)."""
+    if isinstance(sch, str):
+        if sch == "null":
+            return
+        if sch == "boolean":
+            r.raw(1)
+        elif sch in ("int", "long"):
+            r.long()
+        elif sch == "float":
+            r.raw(4)
+        elif sch == "double":
+            r.raw(8)
+        elif sch in ("string", "bytes"):
+            r.bytes_()  # one varint + raw slice skip, no decode
+        else:
+            raise AvroError(f"avro: unknown primitive {sch}")
+        return
+    tag = sch[0]
+    if tag == "union":
+        idx = r.long()
+        if idx == 1:
+            _skip_value(r, sch[1])
+        elif idx != 0:
+            raise AvroError("avro: union branch out of range")
+        return
+    if tag == "record":
+        for _, fs in sch[1]:
+            _skip_value(r, fs)
+        return
+    if tag == "array":
+        while True:
+            cnt = r.long()
+            if cnt == 0:
+                return
+            if cnt < 0:
+                size = r.long()
+                if size < 0:
+                    raise AvroError("avro: negative array block size")
+                r.raw(size)  # O(1) whole-block skip
+                continue
+            for _ in range(cnt):
+                _skip_value(r, sch[1])
+    raise AvroError(f"avro: unknown schema tag {tag}")
+
+
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda s: s.encode("utf-8"),
+    ("bytes", "string"): lambda b: b.decode("utf-8"),
+}
+
+
+def _base(sch: Any):
+    return sch[1] if isinstance(sch, tuple) and sch[0] == "union" else sch
+
+
+def resolve_plan(writer_norm: Any, reader_norm: Any, aliases: dict | None = None):
+    """Avro Schema Resolution (spec section of that name) for flat record
+    schemas: per WRITER field either ('read', reader_field_name, cast) or
+    ('skip',); plus defaults for reader fields absent from the writer.
+    Promotions follow the spec table (int->long/float/double,
+    long->float/double, float->double, string<->bytes); ``aliases`` maps
+    a reader field name to the set of writer names it also answers to
+    (the spec's field-alias rename mechanism). Anything the two schemas
+    disagree on beyond that refuses loudly."""
+    if not (isinstance(writer_norm, tuple) and writer_norm[0] == "record"):
+        raise AvroError("avro: writer schema must be a record")
+    if not (isinstance(reader_norm, tuple) and reader_norm[0] == "record"):
+        raise AvroError("avro: reader schema must be a record")
+    reader_fields = dict(reader_norm[1])
+    by_writer_name = {}
+    for rname, _ in reader_norm[1]:
+        by_writer_name[rname] = rname
+        for a in (aliases or {}).get(rname, ()):
+            by_writer_name[a] = rname
+    plan = []
+    matched = set()
+    for wname, wsch in writer_norm[1]:
+        rname = by_writer_name.get(wname)
+        if rname is None:
+            plan.append(("skip", wname, None, wname))
+            continue
+        matched.add(rname)
+        rsch = reader_fields[rname]
+        wb, rb = _base(wsch), _base(rsch)
+        if wb == rb:
+            cast = None
+        elif isinstance(wb, str) and isinstance(rb, str) and (wb, rb) in _PROMOTIONS:
+            cast = _PROMOTIONS[(wb, rb)]
+        else:
+            raise AvroError(
+                f"avro: field {wname}: writer type {wb!r} does not resolve "
+                f"to reader type {rb!r}"
+            )
+        # nullability: writer nullable -> reader must be nullable too
+        if isinstance(wsch, tuple) and wsch[0] == "union" and not (
+            isinstance(rsch, tuple) and rsch[0] == "union"
+        ):
+            raise AvroError(f"avro: field {wname}: nullable writer, non-null reader")
+        plan.append(("read", rname, cast, wname))
+    defaults = [rname for rname, _ in reader_norm[1] if rname not in matched]
+    return plan, defaults
+
+
+def read_avro(
+    data: bytes,
+    columns: list[str] | None = None,
+    reader_schema: dict | None = None,
+    defaults: dict | None = None,
+) -> dict[str, list]:
+    """Whole-file decode -> column dict (the reference path; the
+    distributed path is avro_raw_scan's per-split walk). Unrequested
+    columns are SKIPPED, not decoded. With ``reader_schema`` the spec's
+    Schema Resolution applies: writer fields missing from the reader are
+    skipped, reader fields missing from the writer fill from
+    ``defaults`` (which must then cover them), and type promotions
+    follow the spec table. JVM parity in tests/test_avro.py
+    (GenericDatumReader(writer, reader))."""
     hdr = read_header(data)
-    norm = hdr["norm"]
-    if not (isinstance(norm, tuple) and norm[0] == "record"):
+    wnorm = hdr["norm"]
+    if not (isinstance(wnorm, tuple) and wnorm[0] == "record"):
         raise AvroError("avro: top-level schema must be a record")
-    names = [n for n, _ in norm[1]]
-    cols = {n: [] for n in (columns or names)}
-    for n in cols:
-        if n not in names:
+    if reader_schema is not None:
+        rnorm = _norm_schema(reader_schema)
+        aliases = {
+            f["name"]: tuple(f.get("aliases", ()))
+            for f in reader_schema.get("fields", [])
+        }
+        plan, dflt_names = resolve_plan(wnorm, rnorm, aliases)
+        for n in dflt_names:
+            if defaults is None or n not in defaults:
+                raise AvroError(f"avro: reader field {n} needs a default")
+        rnames = [n for n, _ in rnorm[1]]
+    else:
+        plan = [("read", n, None, n) for n, _ in wnorm[1]]
+        dflt_names = []
+        rnames = [n for n, _ in wnorm[1]]
+    want = set(columns) if columns is not None else set(rnames)
+    for n in want:
+        if n not in rnames:
             raise AvroError(f"avro: unknown column {n}")
-    idx = {n: i for i, n in enumerate(names)}
+    wfields = dict(wnorm[1])
+    steps = [
+        (op if (op == "read" and name in want) else "skip", name, cast, wfields[wname])
+        for op, name, cast, wname in plan
+    ]
+    cols: dict[str, list] = {n: [] for n in rnames if n in want}
+    n_rows = 0
     for _, cnt, raw in iter_blocks(data, hdr):
         r = _R(raw)
         for _ in range(cnt):
-            rec = _read_value(r, norm)
-            for n in cols:
-                cols[n].append(rec[idx[n]])
+            for op, name, cast, wsch in steps:
+                if op == "skip":
+                    _skip_value(r, wsch)
+                else:
+                    v = _read_value(r, wsch)
+                    if cast is not None and v is not None:
+                        v = cast(v)
+                    cols[name].append(v)
+        n_rows += cnt
         if r.i != r.n:
             raise AvroError("avro: trailing bytes in block")
+    for n in dflt_names:
+        if n in want:
+            cols[n] = [defaults[n]] * n_rows
     return cols
 
 
@@ -678,16 +832,22 @@ def avro_raw_scan(spark, paths: list[str], columns: list[str], split_bytes: int 
                 with open(path, "rb") as f:
                     hdr = read_header_of(f)
                     norm = hdr["norm"]
-                    names = [n for n, _ in norm[1]]
-                    idx = {n: i for i, n in enumerate(names)}
+                    want = set(columns)
+                    # unprojected fields are SKIPPED (length-hop), not
+                    # decoded — the scan cost tracks the projection
+                    steps = [
+                        ("read" if n in want else "skip", n, fs) for n, fs in norm[1]
+                    ]
                     out = {c: [] for c in columns}
                     s = int(start) if int(start) > 0 else None
                     for _, cnt, raw in iter_blocks_stream(f, hdr, s, int(end), size):
                         r = _R(raw)
                         for _ in range(cnt):
-                            rec = _read_value(r, norm)
-                            for c in columns:
-                                out[c].append(rec[idx[c]])
+                            for op, name, fs in steps:
+                                if op == "skip":
+                                    _skip_value(r, fs)
+                                else:
+                                    out[name].append(_read_value(r, fs))
                 yield pd.DataFrame(out, columns=columns)
 
     return tasks_df.mapInPandas(scan, schema)
