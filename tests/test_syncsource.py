@@ -229,3 +229,84 @@ def test_salesforce_provider_bounds_and_fetch():
     # unbounded start: no WHERE
     p.list_range(None, None)
     assert soqls[-1] == "SELECT Id, SystemModstamp FROM Doc ORDER BY SystemModstamp"
+
+
+class TestAvroDirProvider:
+    """AvroDirSyncProvider: an avro drop-zone directory tailed as a
+    vf_sync stream — new rename-committed files arrive in later
+    micro-batches exactly once; malformed files yield error rows."""
+
+    def _write(self, path, ids, mtime=None):
+        import os
+
+        from vectorflow_spark.sources.avromini import encode_avro
+
+        blob = encode_avro(
+            {"doc_id": ids, "text": [f"t{v}" for v in ids]},
+            {"doc_id": "i64", "text": "str"},
+        )
+        tmp = str(path) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, str(path))  # the rename-commit producers must use
+        if mtime is not None:
+            os.utime(str(path), (mtime, mtime))
+
+    def test_stream_tails_directory_exactly_once(self, sync_spark, tmp_path):
+        from vectorflow_spark.sources.syncsource import AvroDirSyncProvider
+
+        land = tmp_path / "land"
+        land.mkdir()
+        self._write(land / "a.avro", [1, 2], mtime=1_000_000.0)
+        prov = AvroDirSyncProvider(
+            str(land), "doc_id long, text string", ["doc_id", "text"]
+        )
+        opt = syncsource.provider_option(prov)
+        batches: list[set] = []
+
+        def sink(df, _bid):
+            batches.append({(r.doc_id, r.text, r._error) for r in df.collect()})
+
+        q = (
+            sync_spark.readStream.format("vf_sync")
+            .option("provider", opt)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            self._write(land / "b.avro", [3], mtime=2_000_000.0)
+            (land / "broken.avro").write_bytes(b"Obj\x01garbage")
+            import os
+
+            os.utime(str(land / "broken.avro"), (3_000_000.0, 3_000_000.0))
+            q.processAllAvailable()
+            q.processAllAvailable()  # nothing new -> no refetch
+        finally:
+            q.stop()
+        seen = [b for b in batches if b]
+        assert seen[0] == {(1, "t1", None), (2, "t2", None)}
+        assert {(d, t) for d, t, e in seen[1] if e is None} == {(3, "t3")}
+        errors = [e for b in seen for _, _, e in b if e is not None]
+        assert len(errors) == 1 and "AvroError" in errors[0]
+        assert len(seen) == 2
+
+    def test_batch_mode_reads_everything(self, sync_spark, tmp_path):
+        from vectorflow_spark.sources.syncsource import AvroDirSyncProvider
+
+        land = tmp_path / "land2"
+        land.mkdir()
+        self._write(land / "a.avro", [1, 2])
+        self._write(land / "b.avro", [3])
+        prov = AvroDirSyncProvider(
+            str(land), "doc_id long, text string", ["doc_id", "text"]
+        )
+        df = (
+            sync_spark.read.format("vf_sync")
+            .option("provider", syncsource.provider_option(prov))
+            .load()
+        )
+        assert sorted(r.doc_id for r in df.collect()) == [1, 2, 3]
+        assert all(r._file.endswith(".avro") for r in df.collect())

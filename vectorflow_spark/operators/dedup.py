@@ -603,18 +603,28 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).localCheckpoint()
     if block_col is not None:
-        from pyspark.sql import Window
+        # ADAPTIVE cap (r10 bench caught the unconditional form regressing
+        # q_embedding_neardup/q_semantic_dedup 2.7x: a row_number window
+        # costs a shuffle + sort + re-materialization on EVERY call, even
+        # when no block is oversized — the overwhelmingly common case).
+        # One map-side-combined count over the checkpointed frame decides;
+        # only a skewed input pays the window.
+        biggest = (
+            base.groupBy("blk").agg(F.count(F.lit(1)).alias("_c")).agg(F.max("_c"))
+        ).collect()[0][0]  # driver-side: one scalar
+        if biggest is not None and biggest > max_block:
+            from pyspark.sql import Window
 
-        base = (
-            base.withColumn(
-                "_rn", F.row_number().over(Window.partitionBy("blk").orderBy("_id"))
+            base = (
+                base.withColumn(
+                    "_rn", F.row_number().over(Window.partitionBy("blk").orderBy("_id"))
+                )
+                .filter(F.col("_rn") <= max_block)
+                .drop("_rn")
+                .localCheckpoint()
             )
-            .filter(F.col("_rn") <= max_block)
-            .drop("_rn")
-        )
-    base = base.localCheckpoint()
     a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *(["blk"] if block_col else []))
     b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), *(["blk"] if block_col else []))
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)

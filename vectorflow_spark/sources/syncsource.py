@@ -263,3 +263,56 @@ class SalesforceSyncProvider:
             chunk = ids[j : j + conn.COMPOSITE_BATCH]
             for i, record, error in conn.retrieve_chunk(self.object_type, chunk, self.fields):
                 yield (i, record, error, by_id[i])
+
+
+class AvroDirSyncProvider:
+    """An Avro landing DIRECTORY as a sync stream — the classic CDC/event
+    drop-zone shape: producers rename-commit ``*.avro`` container files
+    into a directory, the stream tails it. Cursor = the file's
+    zero-padded mtime + name (lexically ordered, stable under re-list);
+    fetch decodes each committed file with the byte-level reader
+    (sources/avromini.py), executor-side, with per-file error rows
+    instead of task aborts (the A4 accounting contract).
+
+    Producers must write-then-rename (every sink in this repo does): a
+    file's mtime is fixed by the rename, so a file can never appear
+    UNDER the committed cursor later. Rows carry ``_file`` so downstream
+    uuid5 content ids stay idempotent under at-least-once fetches."""
+
+    def __init__(self, path: str, ddl: str, columns: list[str]):
+        self.path = path
+        self._ddl = ddl
+        self.columns = columns
+
+    def schema(self) -> str:
+        return self._ddl + ", _file string, _error string"
+
+    def list_range(self, after: str | None, upto: str | None) -> list[dict]:
+        import glob as g
+        import os as _os
+
+        out = []
+        for p in sorted(g.glob(_os.path.join(self.path, "*.avro"))):
+            try:
+                cursor = f"{_os.path.getmtime(p):020.6f}/{_os.path.basename(p)}"
+            except OSError:
+                continue  # raced a concurrent delete: not yet committed
+            if (after is None or cursor > after) and (upto is None or cursor <= upto):
+                out.append({"cursor": cursor, "path": p})
+        return out
+
+    def fetch(self, items: list[dict]):
+        from vectorflow_spark.sources.avromini import read_avro
+
+        for it in items:
+            try:
+                with open(it["path"], "rb") as f:
+                    cols = read_avro(f.read(), self.columns)
+                n = len(cols[self.columns[0]]) if self.columns else 0
+                for i in range(n):
+                    yield tuple(cols[c][i] for c in self.columns) + (it["path"], None)
+            except Exception as e:
+                yield tuple(None for _ in self.columns) + (
+                    it["path"],
+                    f"{type(e).__name__}: {e}",
+                )
