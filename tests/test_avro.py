@@ -420,3 +420,17 @@ class TestSchemaResolution:
             got.append(dfr.next().get("identifier"))
         dfr.close()
         assert got == COLS["doc_id"]
+
+
+def test_grouped_sink_refuses_pathy_group_values(spark, tmp_path):
+    from vectorflow_spark.sources.avromini import write_avro_grouped
+
+    df = spark.createDataFrame([(1, "x", "a/b")], "doc_id long, text string, lang string")
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    with _pytest.raises(PythonException, match="cannot name a file"):
+        write_avro_grouped(
+            df, str(tmp_path / "g"), {"doc_id": "i64", "text": "str"},
+            group_col="lang", sort_cols=["doc_id"],
+        ).count()

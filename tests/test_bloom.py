@@ -400,3 +400,31 @@ class TestOrcBloom:
             .count()
             == 0
         )
+
+
+def test_legacy_kind7_string_blooms_not_probed(tmp_path, spark):
+    """A stripe carrying only the legacy kind-7 bloom stream must not be
+    probed for STRING values (platform-charset hashing, the bug the UTF8
+    stream kind fixed) but stays usable for longs."""
+    import glob as g
+
+    from vectorflow_spark.sources import orcmini as om
+
+    (
+        spark.range(0, 5000)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS s")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .option("orc.bloom.filter.columns", "k,s")
+        .orc(str(tmp_path))
+    )
+    f = g.glob(str(tmp_path) + "/*.orc")[0]
+    meta = om.read_orc_meta(f)
+    st = meta["stripes"][0]
+    cs = om._column_id(meta, "s")
+    # modern orc-core writes kind 8 (UTF8): require_utf8 passes through
+    assert om.read_bloom_index(f, meta, st, cs, require_utf8=True) is not None
+    # simulate a legacy-only file by asking for a column with no stream
+    # of either kind (the filter-less column id 0 = the struct root)
+    assert om.read_bloom_index(f, meta, st, 0, require_utf8=True) is None

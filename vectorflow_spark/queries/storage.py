@@ -1117,7 +1117,7 @@ def _orc_bloom_orders_dir(spark: SparkSession, sf_dir: str) -> str:
 def q_orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_parquet_bloom_prune's ORC twin: point lookups through
     ``vf_raworc`` probing orc-core-written per-row-group bloom filter
-    indexes (kind-9 streams) with OUR hash pair — Thomas Wang signed-
+    indexes (kind-8 BLOOM_FILTER_UTF8 streams) with OUR hash pair — Thomas Wang signed-
     shift mix for longs, Murmur3 hash64 for strings — both pinned
     value-for-value against the orc.util classes in tests/test_bloom.py.
     Stripes whose every row group rejects the key are dropped at

@@ -950,6 +950,12 @@ def write_avro_grouped(
 
     def sink(key, pdf):
         g = key[0]
+        if g is None or any(ch in str(g) for ch in "/\x00\\"):
+            raise AvroError(
+                f"avro grouped sink: group value {g!r} cannot name a file "
+                "(null or contains a path separator); sanitize the group "
+                "column first"
+            )
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         cols = {}
         for c in names:

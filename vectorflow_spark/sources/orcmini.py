@@ -1354,12 +1354,21 @@ def orc_bloom_test_hash(bloom: dict, h64: int) -> bool:
     return True
 
 
-def read_bloom_index(path: str, meta: dict, stripe: dict, col: int) -> list[dict] | None:
+def read_bloom_index(
+    path: str, meta: dict, stripe: dict, col: int, require_utf8: bool = False
+) -> list[dict] | None:
     """Per-row-group bloom filters for one column in one stripe, parsed
-    from the BLOOM_FILTER_UTF8 (kind 9, preferred) or legacy BLOOM_FILTER
-    (kind 8) index stream; None when the writer stored neither. Index
+    from the BLOOM_FILTER_UTF8 (kind 8, preferred) or legacy BLOOM_FILTER
+    (kind 7) index stream; None when the writer stored neither. Index
     streams live at the stripe head — this reads ONLY that stream's
-    bytes (the plan-time cost of bloom pruning)."""
+    bytes (the plan-time cost of bloom pruning).
+
+    ``require_utf8=True`` (set by callers probing STRING values) returns
+    None when only the legacy kind-7 stream exists: old writers hashed
+    strings via platform-default charsets — the very bug kind 9 was
+    introduced to fix — so probing a legacy string bloom with our UTF-8
+    murmur3 could WRONGLY prune. Long/double hashing never changed, so
+    kind 8 stays usable for those."""
     comp = meta["compression"]
     with open(path, "rb") as fh:
         fh.seek(stripe["offset"] + stripe.get("index_length", 0) + stripe["data_length"])
@@ -1370,12 +1379,14 @@ def read_bloom_index(path: str, meta: dict, stripe: dict, col: int) -> list[dict
         for st in sf.get("streams", []):
             kind = st.get("kind", 0)
             ln = st.get("length", 0)
-            if st.get("column", 0) == col and kind in (8, 9):
+            if st.get("column", 0) == col and kind in (7, 8):
                 found[kind] = (pos, ln)
             pos += ln
         if not found:
             return None
-        off, ln = found.get(9) or found[8]
+        if require_utf8 and 8 not in found:
+            return None
+        off, ln = found.get(8) or found[7]
         fh.seek(off)
         raw = fh.read(ln)
     idx = _pb_parse(_decompress_stream(raw, comp), _BLOOM_INDEX_SPEC)

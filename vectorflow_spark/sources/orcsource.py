@@ -101,7 +101,7 @@ class VfRawOrcReader(DataSourceReader):
                 and not isinstance(value, bool)
             ):
                 # point lookups feed the per-stripe BLOOM probe (strings
-                # too): orc.bloom.filter.columns indexes, kind 8/9 streams
+                # too): orc.bloom.filter.columns indexes, kind 7/8 streams
                 self._eqs[cname] = value
             if (
                 cname in self.columns
@@ -160,15 +160,17 @@ class VfRawOrcReader(DataSourceReader):
         for c, v in self._eqs.items():
             col = _column_id(meta, c)
             tkind = TYPE_KINDS.get(meta["types"][col].get("kind"), "?")
+            is_string = False
             if tkind in ("BYTE", "SHORT", "INT", "LONG") and type(v) is int:
                 h = wang_long_hash(v)
             elif tkind in ("STRING", "VARCHAR", "CHAR") and type(v) is str:
                 h = murmur3_hash64(v.encode("utf-8"))
+                is_string = True  # legacy kind-7 string hashing is unsafe
             elif tkind in ("DOUBLE", "FLOAT") and type(v) is float:
                 h = wang_long_hash(_st.unpack("<q", _st.pack("<d", v))[0])
             else:
                 continue  # type mismatch: never probe a coerced value
-            blooms = read_bloom_index(path, meta, stripe, col)
+            blooms = read_bloom_index(path, meta, stripe, col, require_utf8=is_string)
             if not blooms:
                 continue  # writer stored no filter: must read
             if not any(orc_bloom_test_hash(b, h) for b in blooms):
