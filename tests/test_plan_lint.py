@@ -41,6 +41,13 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "q_knn_batch contract over 8-byte codes instead of 256-byte "
         "vectors",
     ),
+    "q_binary_rerank": (
+        {"BNLJ_UNBOUNDED"},
+        "stage 1 is q_binary_hamming_topk's bounded scan (broadcast side "
+        "= the vec_id < 3 query-code batch); stage 2 only ever joins the "
+        "top-24-per-query candidate list (broadcast by construction) "
+        "back onto the vectors — the two-stage binary-ANN contract",
+    ),
     "q_maxsim_rerank": (
         {"BNLJ_UNBOUNDED"},
         "broadcast side is the query batch (vec_id < 4 — k multi-vector "

@@ -324,3 +324,88 @@ def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hamming_topk(qs, coded, k=5)
     return out.select("q_id", "vec_id", "hamming", F.col("rank").cast("int").alias("rank"))
+
+
+def _binary_rerank_sql(k_cand: int = 24, k: int = 5, kq: int = 3, dim: int = 64) -> str:
+    words = (dim + 31) // 32
+    pack = f"""list_transform(range(0, {words}), w ->
+        list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN embedding[w * 32 + b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)))"""
+    ham = " + ".join(
+        f"bit_count(xor(v.code[{i + 1}], q.q_code[{i + 1}]))" for i in range(words)
+    )
+    cos = _DUCK_COS.format(a="e.embedding", b="qe.embedding")
+    return f"""
+    WITH codes AS (SELECT vec_id, {pack} AS code FROM embeddings),
+    q AS (SELECT vec_id AS q_id, code AS q_code FROM codes WHERE vec_id < {kq}),
+    pairs AS (
+        SELECT q.q_id, v.vec_id, CAST({ham} AS BIGINT) AS hamming
+        FROM codes v CROSS JOIN q
+    ),
+    cand AS (
+        SELECT q_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank
+        FROM pairs
+    ),
+    rerank AS (
+        SELECT c.q_id, c.vec_id, round({cos}, 9) AS score
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.q_id
+        WHERE c.hrank <= {k_cand}
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        FROM rerank
+    )
+    SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_binary_rerank", _binary_rerank_sql())
+def q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE binary-ANN pipeline: Hamming candidate generation
+    over 8-byte sign codes (q_binary_hamming_topk's scan — integer ALU
+    only, 32x less data touched than float vectors) feeding an exact
+    cosine rerank of just the top-24 survivors per query. This is the
+    production two-stage shape: the cheap scan bounds the expensive
+    metric to O(q x k_cand) pairs, and the rerank join broadcasts the
+    tiny candidate list back onto the full-precision vectors. Bit-exact
+    packing/Hamming parity with the DuckDB oracle; the cosine leg reuses
+    the engine's rounded-9 cross-engine convention."""
+    from vectorflow_spark.operators.similarity import binary_quantize, hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    coded = binary_quantize(emb, dim=64)
+    qs = coded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("code").alias("q_code")
+    )
+    cand = hamming_topk(qs, coded, k=24).select("q_id", "vec_id")
+    from vectorflow_spark.functions.vector import dot, l2_norm
+
+    v = emb.select("vec_id", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_n"))
+    qv = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_qv"),
+        l2_norm("embedding").alias("_qn"),
+    )
+    denom = F.col("_n") * F.col("_qn")
+    scored = (
+        F.broadcast(cand)
+        .join(v, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.when(denom != 0.0, dot(F.col("_v"), F.col("_qv")) / denom), 9).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
