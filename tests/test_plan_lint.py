@@ -44,9 +44,13 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     "q_binary_rerank": (
         {"BNLJ_UNBOUNDED"},
         "stage 1 is q_binary_hamming_topk's bounded scan (broadcast side "
-        "= the vec_id < 3 query-code batch); stage 2 only ever joins the "
-        "top-24-per-query candidate list (broadcast by construction) "
-        "back onto the vectors — the two-stage binary-ANN contract",
+        "= the vec_id < 3 query-code batch); stage 2's two broadcast "
+        "sides are the top-24-per-query candidate list (WindowGroupLimit "
+        "below the exchange) and the query-vector projection FILTERED to "
+        "vec_id < 3 before the broadcast (r10 verdict item 1: the "
+        "unfiltered form was a corpus-sized broadcast, now also caught "
+        "structurally by OVERSIZED_BROADCAST) — the two-stage binary-ANN "
+        "contract",
     ),
     "q_maxsim_rerank": (
         {"BNLJ_UNBOUNDED"},
@@ -118,6 +122,38 @@ def test_lint_catches_seeded_antipatterns(spark, sf_dir):
     # and the clean counterparts stay clean
     assert lint_plan(docs.groupBy("lang").count().orderBy("lang")) == []
     assert lint_plan(docs.select("doc_id").limit(5).orderBy("doc_id")) == []
+
+
+def test_lint_flags_oversized_broadcast(spark, sf_dir):
+    """OVERSIZED_BROADCAST must fire on the r10 q_binary_rerank defect
+    shape — broadcasting an UNFILTERED projection of the same relation
+    the plan streams — and must stay silent for (a) a filtered build
+    side, (b) an unfiltered broadcast of a *different* (dim) relation,
+    and (c) an aggregated build side."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    # (defect) stream embeddings, broadcast the SAME table unfiltered
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    bad = emb.join(F.broadcast(qv), emb.vec_id == F.col("q_id"))
+    assert "OVERSIZED_BROADCAST" in lint_plan(bad)
+
+    # (a) the one-line fix: filter the build side first
+    qv_f = qv.filter(F.col("q_id") < 3)
+    good = emb.join(F.broadcast(qv_f), emb.vec_id == F.col("q_id"))
+    assert "OVERSIZED_BROADCAST" not in lint_plan(good)
+
+    # (b) an unfiltered small-dim broadcast against a different relation
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dim = docs.join(F.broadcast(nation), docs.doc_id % 25 == nation.n_nationkey)
+    assert "OVERSIZED_BROADCAST" not in lint_plan(dim)
+
+    # (c) an aggregated build side of the same relation is bounded
+    agg = emb.groupBy((F.col("vec_id") % 8).alias("b")).count()
+    ok = emb.join(F.broadcast(agg), emb.vec_id % 8 == F.col("b"))
+    assert "OVERSIZED_BROADCAST" not in lint_plan(ok)
 
 
 def test_lint_flags_row_at_a_time_python_udf(spark, sf_dir):

@@ -30,6 +30,18 @@ turn into incidents at scale:
   has zero of them by design — every Python boundary is Arrow-batched
   (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``,
   10-100× faster) — and this finding keeps it that way.
+* ``OVERSIZED_BROADCAST``              — an EXPLICIT broadcast hint
+  (``F.broadcast`` / ``/*+ BROADCAST */``, read from the optimized
+  logical plan's ``Join.hint``) whose hinted side is an UNFILTERED base
+  relation (nothing but projection / null-rejection filters between the
+  relation and the join) that the probe side ALSO streams. A hint forces
+  the broadcast at every scale — unlike a stats-driven auto-broadcast,
+  which self-corrects once the table outgrows the threshold — and
+  hint-broadcasting the same relation you are streaming means the
+  "small" side is corpus-sized by construction: an executor-OOM at 100×
+  that is invisible at test sf (exactly the r10 q_binary_rerank defect
+  this rule exists to catch). Broadcasting an unfiltered small dim into
+  a DIFFERENT relation stays legal — dims are broadcast-by-design.
 
 "Reduced" means some node below the boundary provably bounds the row
 count crossing it: a (partial) aggregate, a limit, a WindowGroupLimit, a
@@ -118,11 +130,129 @@ def _sort_is_global(jnode) -> bool:
     return False
 
 
+import re as _re
+
+# Null-rejection predicates inserted by equi-join planning select
+# essentially every row of a real corpus — they prove nothing about size.
+_NULL_ONLY_FILTER = _re.compile(r"isnotnull\([^()]*\)|IsNotNull\([^()]*\)|AND|\s|[(),]")
+
+
+def _condition_is_null_only(cond: str) -> bool:
+    return _NULL_ONLY_FILTER.sub("", cond) == ""
+
+
+def _iter_logical(jnode):
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _iter_logical(ch.apply(i))
+
+
+def _logical_relation_identity(jnode) -> str | None:
+    """Stable identity for a logical base relation: its file root paths.
+    None for non-file relations (LocalRelation, Python DataSources) —
+    the OVERSIZED_BROADCAST rule then stays silent rather than
+    false-positive."""
+    try:
+        return str(jnode.relation().location().rootPaths())
+    except Exception:
+        return None
+
+
+def _logical_unfiltered_relation(jnode) -> str | None:
+    """If a join side's optimized logical subtree is nothing but
+    projection / null-rejection filters over one base relation, return
+    that relation's identity; else None (a real Filter / Aggregate /
+    Limit / LocalRelation anywhere on the path proves the side is smaller
+    than the relation)."""
+    node = jnode
+    while True:
+        name = node.nodeName()
+        if name == "Filter":
+            try:
+                if not _condition_is_null_only(str(node.condition())):
+                    return None
+            except Exception:
+                return None
+        elif name in ("Relation", "LogicalRelation"):
+            return _logical_relation_identity(node)
+        elif name not in ("Project", "SubqueryAlias", "ResolvedHint"):
+            return None  # aggregate/limit/join/Arrow stage — bounded or opaque
+        ch = node.children()
+        if ch.size() != 1:
+            return None
+        node = ch.apply(0)
+
+
+def _streamed_relation_identities(jnode) -> set:
+    """Relations actually STREAMED in this subtree: a relation sitting
+    under a broadcast-hinted join side does not count (q_market_share
+    broadcasts nation twice — neither copy streams)."""
+    out: set = set()
+    name = jnode.nodeName()
+    if name in ("Relation", "LogicalRelation"):
+        ident = _logical_relation_identity(jnode)
+        if ident:
+            out.add(ident)
+        return out
+    skip = set()
+    if name == "Join":
+        try:
+            hint = jnode.hint()
+            if _hint_is_broadcast(hint.leftHint()):
+                skip.add(0)
+            if _hint_is_broadcast(hint.rightHint()):
+                skip.add(1)
+        except Exception:
+            pass
+    ch = jnode.children()
+    for i in range(ch.size()):
+        if i not in skip:
+            out |= _streamed_relation_identities(ch.apply(i))
+    return out
+
+
+def _hint_is_broadcast(opt_hint) -> bool:
+    try:
+        return (not opt_hint.isEmpty()) and "broadcast" in str(opt_hint.get()).lower()
+    except Exception:
+        return False
+
+
+def _count_oversized_broadcasts(logical_root) -> int:
+    """Count joins where an EXPLICIT broadcast hint covers an unfiltered
+    base relation that the probe side also streams (see module doc)."""
+    count = 0
+    for n in _iter_logical(logical_root):
+        if n.nodeName() != "Join":
+            continue
+        try:
+            hint = n.hint()
+            left, right = n.children().apply(0), n.children().apply(1)
+            sides = (
+                (hint.leftHint(), left, right),
+                (hint.rightHint(), right, left),
+            )
+        except Exception:
+            continue
+        for side_hint, build, probe in sides:
+            if not _hint_is_broadcast(side_hint):
+                continue
+            ident = _logical_unfiltered_relation(build)
+            if ident and ident in _streamed_relation_identities(probe):
+                count += 1
+    return count
+
+
 def lint_plan(df) -> list[str]:
     """Classify scale anti-patterns in ``df``'s compiled physical plan.
     Returns finding codes (possibly repeated); empty list = clean."""
     findings: list[str] = []
     root = df._jdf.queryExecution().executedPlan()
+    findings.extend(
+        ["OVERSIZED_BROADCAST"]
+        * _count_oversized_broadcasts(df._jdf.queryExecution().optimizedPlan())
+    )
     for n in iter_nodes(root):
         name = n.nodeName()
         if name == "CartesianProduct":

@@ -385,7 +385,10 @@ def q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorflow_spark.functions.vector import dot, l2_norm
 
     v = emb.select("vec_id", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_n"))
-    qv = emb.select(
+    # The query-vector build side MUST be filtered to the query-id set
+    # before the broadcast: broadcasting the unfiltered embeddings table
+    # is correct-but-OOM at corpus scale (r10 verdict item 1).
+    qv = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("_qv"),
         l2_norm("embedding").alias("_qn"),
