@@ -434,3 +434,66 @@ def test_grouped_sink_refuses_pathy_group_values(spark, tmp_path):
             df, str(tmp_path / "g"), {"doc_id": "i64", "text": "str"},
             group_col="lang", sort_cols=["doc_id"],
         ).count()
+
+
+class TestVarintOverflow:
+    """r10 ADVICE: a 10-byte varint whose accumulated value exceeds 64
+    bits encodes no int64 — refuse, don't return an out-of-range int."""
+
+    def test_ten_byte_overflow_refuses(self):
+        with pytest.raises(av.AvroError, match="varint overflow"):
+            av._R(bytes([0xFF] * 9 + [0x7F])).long()
+
+    def test_eleven_byte_refuses(self):
+        with pytest.raises(av.AvroError, match="varint overflow"):
+            av._R(bytes([0xFF] * 10 + [0x01])).long()
+
+    def test_int64_extremes_still_decode(self):
+        for v in (-(1 << 63), (1 << 63) - 1, 0, -1, 1):
+            buf = bytearray()
+            av._w_long(buf, v)
+            assert av._R(bytes(buf)).long() == v
+
+
+class TestRawAvroSkipDecode:
+    """r10 ADVICE: the vf_rawavro read path must skip-decode unprojected
+    writer fields like avro_raw_scan does — projection reduces decode
+    cost, not just output width."""
+
+    def _file(self, tmp_path):
+        n = 200
+        cols = {
+            "doc_id": list(range(n)),
+            "text": [f"payload {i} " * 10 for i in range(n)],
+            "score": [float(i) for i in range(n)],
+        }
+        blob = av.encode_avro(
+            cols, {"doc_id": "i64", "text": "str", "score": "f64"}, codec="null"
+        )
+        p = tmp_path / "skip.avro"
+        p.write_bytes(blob)
+        return str(p), n
+
+    def test_projected_subset_reads_and_skips(self, tmp_path, monkeypatch):
+        from pyspark.sql.types import StructType
+
+        from vectorflow_spark.sources import avrosource
+
+        path, n = self._file(tmp_path)
+        reads, skips = [], []
+        real_read, real_skip = avrosource._read_value, avrosource._skip_value
+        monkeypatch.setattr(
+            avrosource, "_read_value", lambda r, s: (reads.append(1), real_read(r, s))[1]
+        )
+        monkeypatch.setattr(
+            avrosource, "_skip_value", lambda r, s: (skips.append(1), real_skip(r, s))[1]
+        )
+        rdr = avrosource.VfRawAvroReader(
+            {"path": path}, StructType.fromDDL("doc_id bigint")
+        )
+        (part,) = rdr.partitions()
+        (batch,) = list(rdr.read(part))
+        assert batch.num_rows == n
+        assert batch.column(0).to_pylist() == list(range(n))
+        assert len(reads) == n  # only doc_id decoded
+        assert len(skips) == 2 * n  # text + score raw-skipped

@@ -106,3 +106,46 @@ class TestComputeFlags:
     def test_empty_bdoc_is_fine(self):
         reg, breach, soft = bench.compute_flags({"q_a": 5.0}, {}, {}, "0.1")
         assert (reg, breach, soft) == ({}, {}, {})
+
+
+class TestHeadline:
+    """r10 verdict item 3: the driver's bounded stdout-tail capture must
+    always retain sec_per_query / n_queries / regression_count /
+    budget_breach_count — bench.py prints build_headline() as the final
+    line, and it must stay small no matter how many gates flag."""
+
+    def _record(self, n_flagged: int) -> dict:
+        names = [f"q_gate_{i:03d}" for i in range(n_flagged)]
+        return {
+            "metric": "suite_wall_clock",
+            "value": 271.3,
+            "unit": "sec",
+            "queries": {f"q_{i}": 0.9 for i in range(300)},
+            "sf": 0.1,
+            "n_queries": 300,
+            "sec_per_query": 0.904,
+            "wall_clock_incl_retries": 400.2,
+            "regressions": names,
+            "regression_count": n_flagged,
+            "budget_breaches": names,
+            "budget_breach_count": n_flagged,
+            "soft_trends": names,
+            "soft_trend_count": n_flagged,
+            "probes": {n: {"suite": 3.0, "runs": [1.0] * 3, "min": 1.0, "verdict": "noise"} for n in names},
+        }
+
+    def test_headline_is_bounded_even_fully_flagged(self):
+        line = json.dumps(bench.build_headline(self._record(300)))
+        assert len(line) < 1600, len(line)
+
+    def test_headline_carries_the_driver_fields(self):
+        h = bench.build_headline(self._record(2))
+        for key in ("sec_per_query", "n_queries", "regression_count", "budget_breach_count", "value", "sf"):
+            assert key in h
+        assert h["sec_per_query"] == 0.904
+        assert h["regressions"] == ["q_gate_000", "q_gate_001"]
+
+    def test_headline_truncation_marker(self):
+        h = bench.build_headline(self._record(20))
+        assert h["regressions"][-1] == "...+12"
+        assert len(h["regressions"]) == 9

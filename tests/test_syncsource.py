@@ -293,6 +293,34 @@ class TestAvroDirProvider:
         assert len(errors) == 1 and "AvroError" in errors[0]
         assert len(seen) == 2
 
+    def test_late_rename_of_old_file_is_not_skipped(self, tmp_path):
+        """r10 ADVICE (medium): rename(2) does NOT update mtime, so a file
+        whose last WRITE predates the committed cursor but which is
+        renamed into the drop zone afterwards must still be listed. The
+        cursor uses max(mtime, ctime) — ctime is bumped by the rename —
+        so the late arrival sorts above the committed watermark."""
+        from vectorflow_spark.sources.syncsource import AvroDirSyncProvider
+
+        land = tmp_path / "land3"
+        land.mkdir()
+        self._write(land / "a.avro", [1])
+        prov = AvroDirSyncProvider(
+            str(land), "doc_id long, text string", ["doc_id", "text"]
+        )
+        first = prov.list_range(None, None)
+        assert [i["path"].endswith("a.avro") for i in first] == [True]
+        committed = max(i["cursor"] for i in first)
+
+        # a slow producer: file fully written LONG ago (stale mtime via
+        # utime — the same effect as a write that finished before the
+        # cursor advanced), rename-committed only now
+        self._write(land / "late.avro", [2], mtime=1_000.0)
+        newly = prov.list_range(committed, None)
+        assert [i["path"].endswith("late.avro") for i in newly] == [True], (
+            "late-renamed file with stale mtime was skipped — cursor must "
+            "use max(mtime, ctime)"
+        )
+
     def test_batch_mode_reads_everything(self, sync_spark, tmp_path):
         from vectorflow_spark.sources.syncsource import AvroDirSyncProvider
 

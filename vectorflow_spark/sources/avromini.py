@@ -102,6 +102,11 @@ class _R:
             shift += 7
             if shift > 63:
                 raise AvroError("avro: varint overflow")
+        if acc >= 1 << 64:
+            # a 10-byte varint whose final byte carries payload above bit
+            # 63 (e.g. FF*9 7F) encodes no int64 — refuse, don't return a
+            # Python int outside the type (r10 ADVICE)
+            raise AvroError("avro: varint overflow")
         return (acc >> 1) ^ -(acc & 1)
 
     def raw(self, k: int) -> bytes:

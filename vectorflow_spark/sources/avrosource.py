@@ -33,6 +33,7 @@ from vectorflow_spark.sources.avromini import (
     AvroError,
     _R,
     _read_value,
+    _skip_value,
     iter_blocks_stream,
     read_header_of,
 )
@@ -99,19 +100,25 @@ class VfRawAvroReader(DataSourceReader):
         with open(partition.path, "rb") as f:
             hdr = read_header_of(f)
             norm = hdr["norm"]
-            names = [n for n, _ in norm[1]]
             fields = dict(norm[1])
-            idx = {n: i for i, n in enumerate(names)}
             for c in self.columns:
                 if c not in fields:
                     raise AvroError(f"avro: {partition.path}: unknown column {c}")
+            # per-field read/skip steps in writer order: unprojected
+            # fields are SKIPPED (raw-slice walk, no UTF-8 decode / list
+            # build), so projection reduces decode cost here exactly as
+            # in avro_raw_scan (r10 ADVICE)
+            want = set(self.columns)
+            steps = [(n, fsch, n in want) for n, fsch in norm[1]]
             start = partition.start if partition.start > 0 else None
             for _, cnt, raw in iter_blocks_stream(f, hdr, start, partition.end, size):
                 r = _R(raw)
                 for _ in range(cnt):
-                    rec = _read_value(r, norm)
-                    for c in self.columns:
-                        cols[c].append(rec[idx[c]])
+                    for n, fsch, wanted in steps:
+                        if wanted:
+                            cols[n].append(_read_value(r, fsch))
+                        else:
+                            _skip_value(r, fsch)
         arrays = []
         for c in self.columns:
             ddl = _ddl_of(fields[c])

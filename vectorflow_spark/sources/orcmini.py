@@ -1252,7 +1252,8 @@ def write_orc_grouped(
 
 
 # ---------------------------------------------------------------------------
-# Bloom filter indexes (ORC spec "Bloom Filters"; stream kinds 8/9)
+# Bloom filter indexes (ORC spec "Bloom Filters"; stream kinds 7/8 —
+# BLOOM_FILTER=7, BLOOM_FILTER_UTF8=8)
 # ---------------------------------------------------------------------------
 
 _BLOOM_FILTER_SPEC = {

@@ -695,11 +695,15 @@ def _decode_stat(raw: bytes | None, leaf: _Leaf):
     raise ParquetError(f"statistics for unsupported type {pt}")
 
 
-def footer_meta_rows(path: str) -> list[dict[str, Any]]:
+def footer_meta_rows(path: str, meta: dict[str, Any] | None = None) -> list[dict[str, Any]]:
     """One dict per (row_group, column_chunk): the parquet_metadata() shape.
     Typed min/max come from ``min_value``/``max_value`` (falling back to the
-    deprecated v1 fields only when the column order is the safe default)."""
-    meta = read_file_meta(path)
+    deprecated v1 fields only when the column order is the safe default).
+    Pass an already-parsed ``meta`` (read_file_meta output) to avoid
+    re-reading the footer — planning passes parse each footer exactly once
+    (r10 ADVICE)."""
+    if meta is None:
+        meta = read_file_meta(path)
     leaves = {lf.path: lf for lf in schema_leaves(meta)}
     rows: list[dict[str, Any]] = []
     for rg_id, rg in enumerate(meta["row_groups"]):

@@ -169,12 +169,16 @@ class VfRawPqReader(DataSourceReader):
         self.pruned = 0
         ref: dict[str, tuple] | None = None
         for p in self._files():
+            # ONE footer parse per file per planning pass (r10 ADVICE):
+            # leaf shapes, stats rows, and the row-group count all derive
+            # from this single read_file_meta result.
+            meta = read_file_meta(p)
             # plan-time cross-file leaf-shape check (raw_scan's rule, the
             # docstring's contract): a mismatched file must refuse HERE,
             # not as a per-task ParquetError mid-read
             shape = {
                 lf.path: (lf.physical_type, lf.max_def_level, lf.max_rep_level)
-                for lf in schema_leaves(read_file_meta(p))
+                for lf in schema_leaves(meta)
             }
             if ref is None:
                 ref = shape
@@ -188,7 +192,7 @@ class VfRawPqReader(DataSourceReader):
             if self._prune and (self._ranges or self._eqs):
                 stats: dict[int, dict[str, tuple]] = {}
                 blooms: dict[int, dict[str, tuple]] = {}
-                for r in footer_meta_rows(p):
+                for r in footer_meta_rows(p, meta=meta):
                     # BOTH bounds must be numeric: a footer carrying
                     # min_value without max_value (or vice versa) would
                     # otherwise put a None into the comparisons below and
@@ -210,7 +214,7 @@ class VfRawPqReader(DataSourceReader):
                             r["bloom_filter_offset"],
                             r["type"],
                         )
-                n_rg = len(read_file_meta(p)["row_groups"])
+                n_rg = len(meta["row_groups"])
                 for rg in range(n_rg):
                     keep = True
                     for c, (lo, hi) in self._ranges.items():
@@ -257,7 +261,7 @@ class VfRawPqReader(DataSourceReader):
                     else:
                         self.pruned += 1
             else:
-                for rg in range(len(read_file_meta(p)["row_groups"])):
+                for rg in range(len(meta["row_groups"])):
                     parts.append(_RgPartition(p, rg))
         if not parts:
             # everything pruned: Spark needs >= 1 partition — yield one

