@@ -1,22 +1,45 @@
-"""Full-suite sf1 bench (r8 verdict item 1): run EVERY queries() entry
-(plus e2e_pipeline) at sf1 (.scaledata/sf1, scripts/make_sf1.py) and
-record per-gate alpha(0.1 -> 1) against a same-code sf0.1 run — the
-budgets and most scaling probes only cover sf0.1, so this converts
-"plans I'd trust at 100x" from argued to measured for the whole suite.
+"""The standing sf1 gate (r8 item 1 -> r9 item 3 -> r10 item 2).
 
-Noise protocol: alpha > 1 is exactly the signal we must DETECT, so it
-cannot be retried away wholesale — instead a query whose first sf1 run
-lands above its LINEAR bound (sf0.1 time x 10, i.e. apparent alpha > 1)
-is re-run once and the min kept: the periodic host load rarely strikes
-the same query twice, while a genuinely super-linear gate stays above
-the bound on both runs and gets flagged. Queries inside the linear
-bound keep their first measurement.
+Three modes:
+
+* FULL (default): run EVERY queries() entry (plus e2e_pipeline) at sf1
+  (.scaledata/sf1, scripts/make_sf1.py) and record per-gate
+  alpha(0.1 -> 1) against a same-code sf0.1 record — converts "plans I'd
+  trust at 100x" from argued to measured for the whole suite.
+
+* ``--touched``: the per-round standing gate. Compute every gate's plan
+  FINGERPRINT (vectorflow_spark/planfp.py — executedPlan hash with
+  session-specific tokens scrubbed) and re-measure at sf1 only the gates
+  whose plan changed since the committed SF1_plan_fingerprints.json,
+  plus gates with no stored fingerprint or no frozen sf1 budget. Each
+  touched gate is measured at sf0.1 AND sf1 in the same session (alpha
+  needs same-code, same-host bases) and classified against
+  BENCH_sf1_budgets.json: alpha > 1.0 without a recorded adjudication
+  (``SUPERLINEAR``) or sf1 time above frozen * tol + slack
+  (``SF1_BUDGET_BREACH``) FAILS the run (exit 2).
+
+* ``--only a,b,c``: like --touched but with an explicit gate list (used
+  to fill budgets for newly added gates).
+
+``--write-fingerprints`` (composable with any mode, or alone) rewrites
+SF1_plan_fingerprints.json from the current code — run it when freezing
+budgets, so the next round's --touched measures only real deltas.
+
+Noise protocol (full + touched): alpha > 1 is exactly the signal we
+must DETECT, so it cannot be retried away wholesale — a query whose
+first sf1 run lands above its LINEAR bound (sf0.1 x 10) is re-run once
+and the min kept: the periodic host load rarely strikes the same query
+twice, while a genuinely super-linear gate stays above the bound on both
+runs and gets flagged. Queries inside the linear bound keep their first
+measurement.
 
 Usage:
-    python scripts/bench_sf1.py [--sf01 scripts/bench_r9_local.json]
+    python scripts/bench_sf1.py [--sf01 scripts/bench_r10c_local.json]
                                 [--sf1-dir /root/repo/.scaledata/sf1]
-                                [--out BENCH_sf1_r9.json]
-Prints ONE JSON line and writes it to --out.
+                                [--out BENCH_sf1_rN.json]
+                                [--touched | --only q_a,q_b]
+                                [--write-fingerprints]
+Prints ONE JSON line and writes the full record to --out.
 """
 
 from __future__ import annotations
@@ -31,6 +54,9 @@ import time
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
 
+FINGERPRINTS_FILE = os.path.join(repo, "SF1_plan_fingerprints.json")
+BUDGETS_FILE = os.path.join(repo, "BENCH_sf1_budgets.json")
+
 
 def load_sf01(path: str) -> dict[str, float]:
     with open(path) as f:
@@ -42,30 +68,42 @@ def load_sf01(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in d["queries"].items()}
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf01", default=os.path.join(repo, "scripts", "bench_r9_local.json"))
-    ap.add_argument("--sf1-dir", default=os.path.join(repo, ".scaledata", "sf1"))
-    ap.add_argument("--out", default=os.path.join(repo, "BENCH_sf1_r9.json"))
-    args = ap.parse_args()
+def _load_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
-    sf01 = load_sf01(args.sf01)
 
-    import __spark_entry__ as entrymod
+def _e2e_df(spark, sf_dir: str):
+    from vectorflow_spark.config import ChunkStrategy, PipelineConfig
+    from vectorflow_spark.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
+        chunk_size=512,
+        chunk_overlap=256,
+        embeddings_type="deterministic",
+        embedding_dim=64,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return run_pipeline(docs, cfg)
+
+
+def _gates(entrymod):
+    """name -> callable(spark, sf_dir) -> DataFrame, including the e2e
+    pipeline under the same contract."""
+    gates = dict(entrymod.queries())
+    gates["e2e_pipeline"] = _e2e_df
+    return gates
+
+
+def _warmup(spark) -> None:
+    # same warmup as bench.py: pandas-UDF worker pool + interpreted-HOF JIT
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    from vectorflow_spark.config import ChunkStrategy, PipelineConfig
-    from vectorflow_spark.pipeline import run_pipeline
-    from vectorflow_spark.session import get_spark
-
-    spark = get_spark("bench_sf1")
-
-    def materialize(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
-
-    t_all = time.time()
-    # same warmup as bench.py: pandas-UDF worker pool + interpreted-HOF JIT
     _warm = F.pandas_udf(lambda s: s, LongType())
     spark.range(1024, numPartitions=32).select(_warm("id")).write.format("noop").mode(
         "overwrite"
@@ -83,24 +121,53 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    results: dict[str, dict] = {}
-    items = list(entrymod.queries().items())
-    for n_done, (name, fn) in enumerate(items):
+
+def compute_fingerprints(spark, gates, fp_sf_dir: str) -> tuple[dict[str, str], dict[str, str]]:
+    """(fingerprints, errors). Plan compilation only — nothing executes."""
+    from vectorflow_spark.planfp import plan_fingerprint
+
+    fps: dict[str, str] = {}
+    errs: dict[str, str] = {}
+    for name, fn in sorted(gates.items()):
+        try:
+            fps[name] = plan_fingerprint(fn(spark, fp_sf_dir))
+        except Exception as e:  # noqa: BLE001
+            errs[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    return fps, errs
+
+
+def _measure(spark, fn, sf_dir: str, attempts: int = 1) -> list[float]:
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    out = []
+    for _ in range(attempts):
         t0 = time.time()
-        materialize(fn(spark, args.sf1_dir))
-        t = time.time() - t0
-        attempts = [round(t, 3)]
-        base = sf01.get(name)
+        materialize(fn(spark, sf_dir))
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
+def run_gates(spark, gates, names, sf1_dir: str, sf01_times: dict[str, float] | None,
+              sf01_dir: str | None) -> dict[str, dict]:
+    """Measure ``names`` at sf1 (linear-bound retry protocol). Bases come
+    from ``sf01_times`` when given (full mode), else each gate is also
+    measured at ``sf01_dir`` in-session, min-of-2 (touched/only mode)."""
+    results: dict[str, dict] = {}
+    for n_done, name in enumerate(names):
+        fn = gates[name]
+        if sf01_times is not None:
+            base = sf01_times.get(name)
+        else:
+            base = min(_measure(spark, fn, sf01_dir, attempts=2))
+        attempts = _measure(spark, fn, sf1_dir)
+        t = attempts[0]
         linear = (base * 10) if base else None
         if linear is not None and t > max(linear, 1.0):
-            t1 = time.time()
-            materialize(fn(spark, args.sf1_dir))
-            attempts.append(round(time.time() - t1, 3))
+            attempts += _measure(spark, fn, sf1_dir)
             t = min(attempts)
         alpha = (
-            round(math.log10(max(t, 1e-3) / base), 3)
-            if base and base > 0
-            else None
+            round(math.log10(max(t, 1e-3) / base), 3) if base and base > 0 else None
         )
         results[name] = {
             "sf1_s": round(t, 3),
@@ -109,49 +176,106 @@ def main() -> None:
             "attempts": attempts,
         }
         print(
-            f"[{n_done + 1}/{len(items)}] {name}: sf1 {t:.2f}s "
+            f"[{n_done + 1}/{len(names)}] {name}: sf1 {t:.2f}s "
             f"(sf0.1 {base}, alpha {alpha})",
             file=sys.stderr,
             flush=True,
         )
+    return results
 
-    t0 = time.time()
-    cfg = PipelineConfig(
-        chunk_strategy=ChunkStrategy.EXACT_BY_CHARACTERS,
-        chunk_size=512,
-        chunk_overlap=256,
-        embeddings_type="deterministic",
-        embedding_dim=64,
-    )
-    docs = spark.read.parquet(os.path.join(args.sf1_dir, "documents.parquet"))
-    materialize(run_pipeline(docs, cfg))
-    t = time.time() - t0
-    base = sf01.get("e2e_pipeline")
-    results["e2e_pipeline"] = {
-        "sf1_s": round(t, 3),
-        "sf01_s": base,
-        "alpha": round(math.log10(t / base), 3) if base else None,
-        "attempts": [round(t, 3)],
-    }
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default=os.path.join(repo, "scripts", "bench_r10c_local.json"))
+    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1-dir", default=os.path.join(repo, ".scaledata", "sf1"))
+    ap.add_argument("--fp-sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=os.path.join(repo, "BENCH_sf1_run.json"))
+    ap.add_argument("--touched", action="store_true")
+    ap.add_argument("--only", default=None, help="comma-separated gate names")
+    ap.add_argument("--write-fingerprints", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    from vectorflow_spark.planfp import classify_sf1, select_touched
+    from vectorflow_spark.session import get_spark
+
+    spark = get_spark("bench_sf1")
+    gates = _gates(entrymod)
+    budgets = _load_json(BUDGETS_FILE)
+
+    t_all = time.time()
+    mode = "touched" if args.touched else ("only" if args.only else "full")
+
+    reasons: dict[str, str] = {}
+    fp_errors: dict[str, str] = {}
+    current_fps: dict[str, str] = {}
+    if args.touched or args.write_fingerprints:
+        current_fps, fp_errors = compute_fingerprints(spark, gates, args.fp_sf_dir)
+
+    if args.touched:
+        stored = _load_json(FINGERPRINTS_FILE)
+        budgeted = set(budgets.get("queries") or {})
+        reasons = select_touched(current_fps, stored, budgeted)
+        names = sorted(reasons)
+    elif args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in gates]
+        if unknown:
+            raise SystemExit(f"unknown gates: {unknown}")
+        reasons = {n: "explicit" for n in names}
+    else:
+        names = sorted(gates)
+
+    if mode in ("touched", "only"):
+        _warmup(spark)
+        results = run_gates(spark, gates, names, args.sf1_dir, None, args.sf01_dir)
+    else:
+        sf01 = load_sf01(args.sf01)
+        _warmup(spark)
+        results = run_gates(spark, gates, names, args.sf1_dir, sf01, None)
+
+    failures: dict[str, list[str]] = {}
+    for name, r in results.items():
+        found = classify_sf1(name, r["sf1_s"], r["sf01_s"], budgets)
+        if found:
+            failures[name] = found
 
     superlinear = {
         k: v for k, v in results.items() if v["alpha"] is not None and v["alpha"] > 1.0
     }
     doc = {
-        "metric": "sf1_suite",
+        "metric": "sf1_suite" if mode == "full" else f"sf1_{mode}",
         "sf": 1.0,
-        "sf01_source": os.path.basename(args.sf01),
+        "mode": mode,
         "n_queries": len(results),
+        "reasons": reasons,
+        "fingerprint_errors": fp_errors,
         "total_sf1_s": round(sum(v["sf1_s"] for v in results.values()), 3),
         "wall_clock_s": round(time.time() - t_all, 3),
         "superlinear": sorted(superlinear),
         "superlinear_count": len(superlinear),
+        "failures": failures,
+        "failure_count": len(failures),
         "queries": results,
     }
+    if mode == "full":
+        doc["sf01_source"] = os.path.basename(args.sf01)
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
+
+    if args.write_fingerprints:
+        with open(FINGERPRINTS_FILE, "w") as f:
+            json.dump(current_fps, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {len(current_fps)} fingerprints to {FINGERPRINTS_FILE}",
+              file=sys.stderr)
+
     print(json.dumps({k: doc[k] for k in doc if k != "queries"}))
+    if failures or fp_errors:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -6,11 +6,17 @@ the given sf dir, then compares row count, column names, and values
 Floats are compared exactly first; on mismatch the max abs diff is reported
 so near-misses (engine fold-order noise) are distinguishable from logic bugs.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+With ``--record OUT.json`` the full per-query result table (rows, match
+status, wall seconds, error text) is written as a committable artifact —
+the diffable form of the "N/N oracle at sf X" claim (r10 verdict item
+8), e.g. CORRECTNESS_full_r11.json.
+
+Usage: python scripts/check_oracle.py [--record OUT.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -54,8 +60,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    record_path = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from vectorflow_spark.session import get_spark
@@ -70,6 +82,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,17 +92,24 @@ def main() -> int:
             spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {str(e)[:300]}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             if len(spark_pdf) == 0:
                 print(f"WARN {name}: zero rows")
+            results[name] = {
+                "status": "rows-only",
+                "rows": len(spark_pdf),
+                "s": round(time.time() - t0, 2),
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:300]}"}
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
@@ -98,9 +118,29 @@ def main() -> int:
             print(f"FAIL {name} ({time.time()-t0:.1f}s):")
             for p in problems:
                 print(f"     {p}")
+            results[name] = {"status": "fail", "problems": problems}
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{failures} failures / {len([n for n in qs if not only or n in only])} queries")
+            results[name] = {
+                "status": "match",
+                "rows": len(spark_pdf),
+                "s": round(time.time() - t0, 2),
+            }
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"\n{failures} failures / {n_run} queries")
+    if record_path:
+        doc = {
+            "sf_dir": sf_dir,
+            "n_queries": n_run,
+            "n_failures": failures,
+            "n_match": sum(1 for r in results.values() if r["status"] == "match"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+            "queries": dict(sorted(results.items())),
+        }
+        with open(record_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"recorded -> {record_path}")
     return 1 if failures else 0
 
 

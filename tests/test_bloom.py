@@ -196,7 +196,9 @@ class TestSharedRelationConflation:
         """Current Spark 4.1 behavior: the shared-relation self-union loses
         the first branch's rows (last plan wins). If this starts returning
         the CORRECT [0, 7999], Spark fixed the conflation — delete the
-        pushdown_prune escape hatch and this canary together."""
+        pushdown_prune escape hatch and this canary together, and update
+        the status line in docs/SPARK_PYTHON_DS_PUSHDOWN_CONFLATION.md
+        (the JIRA-ready minimal repro + analysis writeup)."""
         from vectorflow_spark.sources import pqsource
 
         self._write(spark, str(tmp_path))

@@ -1,15 +1,18 @@
-"""Optional LIVE integration for the U1/U3 sink wire paths (Pinecone,
-Weaviate), completing the pattern tests/test_live_qdrant.py sets for U2:
-offline contract tests pin slicing/fields/idempotency through injected
-fakes; these drive the REAL clients against reachable services and skip
-cleanly when either piece is absent (the reference runs these stores
-live — src/worker/vector_uploader.py:55-163 — so the day this sandbox
-allows network services, the wire paths turn green instead of untested).
+"""Optional LIVE integration for the U1/U3/pgvector sink wire paths
+(Pinecone, Weaviate, pgvector), completing the pattern
+tests/test_live_qdrant.py sets for U2: offline contract tests pin
+slicing/fields/idempotency through injected fakes; these drive the REAL
+clients against reachable services and skip cleanly when either piece is
+absent (the reference runs these stores live —
+src/worker/vector_uploader.py:55-163 — so the day this sandbox allows
+network services, the wire paths turn green instead of untested).
 
 Weaviate:  docker run -p 8080:8080 semitechnologies/weaviate
            pip install weaviate-client
 Pinecone:  export PINECONE_API_KEY=...  PINECONE_INDEX=<existing index>
            pip install pinecone
+pgvector:  docker run -p 5432:5432 -e POSTGRES_PASSWORD=pw pgvector/pgvector:pg16
+           pip install psycopg  # then export PGVECTOR_DSN if non-default
 """
 
 from __future__ import annotations
@@ -21,6 +24,32 @@ import pytest
 from pyspark.sql import functions as F
 
 WEAVIATE_URL = os.environ.get("WEAVIATE_URL", "http://localhost:8080")
+PGVECTOR_DSN = os.environ.get(
+    "PGVECTOR_DSN", "postgresql://postgres:pw@localhost:5432/postgres"
+)
+
+
+def _pgvector_reachable() -> bool:
+    try:
+        import psycopg
+    except ImportError:
+        try:
+            import psycopg2 as psycopg  # noqa: F401
+        except ImportError:
+            return False
+    try:
+        conn = psycopg.connect(PGVECTOR_DSN, connect_timeout=2)
+    except Exception:
+        return False
+    try:
+        with conn.cursor() as cur:
+            cur.execute("CREATE EXTENSION IF NOT EXISTS vector")
+        conn.commit()
+        return True
+    except Exception:
+        return False
+    finally:
+        conn.close()
 
 
 def _weaviate_reachable() -> bool:
@@ -109,6 +138,55 @@ def test_live_weaviate_upsert_and_idempotency(spark, records):
         assert all(o["source_document"] == "live.txt" for o in got)
     finally:
         client.schema.delete_class(class_name)
+
+
+@pytest.mark.skipif(
+    not _pgvector_reachable(),
+    reason="no live pgvector: install psycopg and run "
+    "`docker run -p 5432:5432 -e POSTGRES_PASSWORD=pw pgvector/pgvector:pg16` "
+    "(override PGVECTOR_DSN if non-default)",
+)
+def test_live_pgvector_upsert_and_idempotency(spark, records):
+    """The U4 pgvector wire path (writers.write_pgvector) against a real
+    postgres+pgvector: batched multi-row upserts, uuid5-id idempotency
+    (replay converges in place, U6), and the ::vector text-literal cast
+    round-tripping the embedding."""
+    import psycopg
+
+    from vectorflow_spark.sinks.writers import write_pgvector
+
+    table = "vf_live_smoke"
+    conn = psycopg.connect(PGVECTOR_DSN)
+    with conn.cursor() as cur:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        cur.execute(
+            f"CREATE TABLE {table} (id uuid PRIMARY KEY, embedding vector(8) "
+            "NOT NULL, source_data text, source_document text)"
+        )
+    conn.commit()
+    try:
+        write_pgvector(records, table, dsn=PGVECTOR_DSN)
+        n = records.count()
+        with conn.cursor() as cur:
+            cur.execute(f"SELECT count(*) FROM {table}")
+            assert cur.fetchone()[0] == n
+        # idempotent replay: same uuid5 ids ON CONFLICT DO UPDATE in place
+        write_pgvector(records, table, dsn=PGVECTOR_DSN)
+        with conn.cursor() as cur:
+            cur.execute(f"SELECT count(*) FROM {table}")
+            assert cur.fetchone()[0] == n
+            cur.execute(
+                f"SELECT embedding::text, source_document FROM {table} LIMIT 3"
+            )
+            for emb_text, src in cur.fetchall():
+                assert src == "live.txt"
+                vals = [float(x) for x in emb_text.strip("[]").split(",")]
+                assert len(vals) == 8
+    finally:
+        with conn.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
 
 
 @pytest.mark.skipif(
