@@ -52,6 +52,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "structurally by OVERSIZED_BROADCAST) — the two-stage binary-ANN "
         "contract",
     ),
+    "q_sq8_topk": (
+        {"BNLJ_UNBOUNDED"},
+        "broadcast side is the query batch (vec_id < 4 — k int8 code "
+        "vectors by construction); BNLJ IS the SQ8 candidate scan: "
+        "O(n·k) integer dot products + one double multiply per pair, "
+        "zero shuffle of the corpus — the q_knn_batch contract over "
+        "64-byte codes instead of 256-byte vectors",
+    ),
     "q_maxsim_rerank": (
         {"BNLJ_UNBOUNDED"},
         "broadcast side is the query batch (vec_id < 4 — k multi-vector "

@@ -761,3 +761,45 @@ def hamming_topk(
     scored = joined.select(q_id, id_col, dist.cast("long").alias("hamming"))
     w = Window.partitionBy(q_id).orderBy("hamming", id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_qv: str = "q_qv",
+    q_scale: str = "q_scale",
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Batch top-k dot-product over symmetric int8 scalar-quantized
+    vectors — the SEARCH leg completing the quantization family
+    (functions/vector.int8_scale + quantize_int8 are the encode leg;
+    binary_quantize/hamming_topk are the 1-bit tier below, PQ/ADC the
+    sub-byte tier). The hot inner product is an INTEGER fold over the two
+    int8 code arrays (exact in both engines, no float accumulation
+    order to disagree on); each pair then pays exactly ONE double
+    multiply, int_dot * scale_q * scale_v, which reconstructs the
+    dequantized dot product bit-for-bit identically on Spark and DuckDB.
+
+    Plan contract = knn_join/hamming_topk: the query batch broadcasts
+    (bounded-k by construction, the q_knn_batch allowlist rule), the
+    corpus never shuffles, and the top-k window compiles to
+    partial+final WindowGroupLimit. 4x less data touched than the float
+    scan, integer ALU in the loop — the standard memory/recall midpoint
+    between full-precision and binary at 100 TB."""
+    from pyspark.sql import Window
+
+    joined = vectors.crossJoin(F.broadcast(queries))
+    int_dot = F.expr(
+        f"aggregate(zip_with({qv_col}, {q_qv}, (x, y) -> CAST(x AS BIGINT) * y), "
+        f"CAST(0 AS BIGINT), (a, p) -> a + p)"
+    )
+    score = (
+        int_dot.cast("double") * F.col(scale_col) * F.col(q_scale)
+    ).alias("score")
+    scored = joined.select(q_id, id_col, int_dot.alias("int_dot"), score)
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -412,3 +412,75 @@ def q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _sq8_topk_sql(k: int = 5, kq: int = 4) -> str:
+    return f"""
+    WITH scales AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+               embedding
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x -> CAST(
+                   CASE WHEN scale != 0.0
+                        THEN floor(CAST(x AS DOUBLE) / scale + 0.5) ELSE 0 END AS INT)) AS qv
+        FROM scales
+    ),
+    q AS (SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv FROM qq WHERE vec_id < {kq}),
+    pairs AS (
+        SELECT q.q_id, v.vec_id,
+               CAST(list_sum(list_transform(list_zip(v.qv, q.q_qv),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS int_dot,
+               v.scale, q.q_scale
+        FROM qq v CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, int_dot,
+               round(CAST(int_dot AS DOUBLE) * scale * q_scale, 9) AS score,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY CAST(int_dot AS DOUBLE) * scale * q_scale DESC, vec_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT q_id, vec_id, int_dot, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_sq8_topk", _sq8_topk_sql())
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN search — the SEARCH leg the quantization
+    family was missing (q_quantize_embeddings is the encode leg; binary/
+    Hamming the 1-bit tier, PQ/ADC the sub-byte tier). Corpus and query
+    batch both carry symmetric int8 codes + one per-vector scale
+    (functions/vector.int8_scale / quantize_int8, the floor(x/scale+.5)
+    half-up convention both engines share); the hot loop is an INTEGER
+    dot product over the code arrays — exact in both engines — and each
+    pair pays exactly one double multiply (int_dot * scale_v * scale_q)
+    to reconstruct the dequantized score. Same bounded-broadcast +
+    WindowGroupLimit plan contract as q_knn_batch, 4x less data in the
+    scan."""
+    from vectorflow_spark.functions.vector import int8_scale, quantize_int8
+    from vectorflow_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings", split=True)
+    coded = emb.withColumn("scale", int8_scale("embedding")).withColumn(
+        "qv", quantize_int8("embedding", F.col("scale"))
+    ).select("vec_id", "scale", "qv")
+    qs = coded.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qv").alias("q_qv"),
+    )
+    out = sq8_topk(qs, coded, k=5)
+    return out.select(
+        "q_id",
+        "vec_id",
+        "int_dot",
+        F.round("score", 9).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
