@@ -1003,3 +1003,116 @@ def test_float_nan_voids_chunk_stats(tmp_path):
         col = md.column(i)
         if col.path_in_schema == "x":
             assert not col.statistics.has_min_max
+
+
+class TestDeltaWriter:
+    """The WRITE side of the DELTA encodings (r11): encode_parquet's
+    delta_columns emits DATA_PAGE_V2 pages with DELTA_BINARY_PACKED /
+    DELTA_BYTE_ARRAY, pinned against pyarrow, DuckDB AND our own decoder
+    (q_parquet_delta_roundtrip pins Spark's parquet-java on top)."""
+
+    def _cols(self, n=5000):
+        return (
+            {
+                "k": list(range(1000, 1000 + n)),
+                "j": [((i * 2654435761) % 100003) - 50000 for i in range(n)],
+                "s": sorted(f"key-{i % 997:05d}-{i:07d}" for i in range(n)),
+                "maybe": [None if i % 7 == 0 else i * 3 for i in range(n)],
+            },
+            {"k": "i64", "j": "i64", "s": "str", "maybe": "i64"},
+        )
+
+    def _write(self, tmp_path, codec="snappy", rows_per_page=600):
+        cols, kinds = self._cols()
+        blob = pm.encode_parquet(
+            cols, kinds, codec=codec,
+            delta_columns=["k", "j", "s", "maybe"], rows_per_page=rows_per_page,
+        )
+        p = str(tmp_path / "delta.parquet")
+        with open(p, "wb") as f:
+            f.write(blob)
+        return p, cols
+
+    def test_own_decoder_roundtrip(self, tmp_path):
+        p, cols = self._write(tmp_path)
+        meta = pm.read_file_meta(p)
+        got = pm.read_row_group(p, meta, 0, list(cols))
+        for c in cols:
+            assert got[c] == cols[c], c
+
+    def test_pyarrow_roundtrip_and_encodings(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        p, cols = self._write(tmp_path)
+        t = pq.read_table(p)
+        for c in cols:
+            assert t.column(c).to_pylist() == cols[c], c
+        md = pq.ParquetFile(p).metadata.row_group(0)
+        by_name = {md.column(i).path_in_schema: md.column(i).encodings for i in range(4)}
+        assert "DELTA_BINARY_PACKED" in by_name["k"]
+        assert "DELTA_BYTE_ARRAY" in by_name["s"]
+
+    def test_duckdb_roundtrip(self, tmp_path):
+        import duckdb
+
+        p, cols = self._write(tmp_path)
+        rows = duckdb.sql(f"SELECT k, j, s, maybe FROM '{p}' ORDER BY k").fetchall()
+        assert [r[0] for r in rows] == cols["k"]
+        assert [r[1] for r in rows] == cols["j"]
+        assert [r[2] for r in rows] == cols["s"]
+        assert [r[3] for r in rows] == cols["maybe"]
+
+    def test_uncompressed_v2_pages(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        p, cols = self._write(tmp_path, codec="none")
+        t = pq.read_table(p)
+        for c in cols:
+            assert t.column(c).to_pylist() == cols[c], c
+
+    def test_sorted_key_size_win_vs_plain(self, tmp_path):
+        cols, kinds = self._cols()
+        delta = pm.encode_parquet(cols, kinds, delta_columns=list(cols), rows_per_page=600)
+        plain = pm.encode_parquet(cols, kinds, use_dictionary=False, rows_per_page=600)
+        assert len(delta) * 2 < len(plain), (len(delta), len(plain))
+
+    def test_edge_pages(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # single row, all-null page, negative extremes, empty strings
+        cols = {
+            "a": [-(1 << 62), (1 << 62), None, 0, None],
+            "s": ["", "", "ab", "abc", ""],
+        }
+        kinds = {"a": "i64", "s": "str"}
+        blob = pm.encode_parquet(cols, kinds, delta_columns=["a", "s"], rows_per_page=2)
+        p = str(tmp_path / "edge.parquet")
+        with open(p, "wb") as f:
+            f.write(blob)
+        t = pq.read_table(p)
+        assert t.column("a").to_pylist() == cols["a"]
+        assert t.column("s").to_pylist() == cols["s"]
+        meta = pm.read_file_meta(p)
+        got = pm.read_row_group(p, meta, 0, ["a", "s"])
+        assert got["a"] == cols["a"] and got["s"] == cols["s"]
+
+    def test_refuses_float_delta(self):
+        with pytest.raises(pm.ParquetError, match="DELTA"):
+            pm.encode_parquet(
+                {"f": [1.0, 2.0]}, {"f": "f64"}, delta_columns=["f"]
+            )
+
+    def test_encoder_decoder_property(self):
+        # wrap-around deltas at int64 extremes through our own pair
+        vals = [0, (1 << 63) - 1, -(1 << 63), 17, -17] * 60
+        enc = pm._encode_delta_binary_packed(vals)
+        dec, _ = pm._decode_delta_binary_packed(enc, 0, len(enc), 64)
+        assert dec == vals
+
+    def test_spark_parquet_java_reads_delta_output(self, spark, tmp_path):
+        p, cols = self._write(tmp_path)
+        df = spark.read.parquet(p).orderBy("k")
+        rows = df.collect()
+        assert [r.k for r in rows] == cols["k"]
+        assert [r.s for r in rows] == cols["s"]
+        assert [r.maybe for r in rows] == cols["maybe"]

@@ -51,6 +51,21 @@ class TestNormalization:
         )
         assert a == b
 
+    def test_hof_lambda_counter_is_canonical(self):
+        """Higher-order-function lambda variables carry a session-global
+        counter (lambda x_11#, y_12#) that advances with every lambda the
+        session compiles — same query, different session history, same
+        fingerprint required."""
+        a = normalize_plan_string(
+            "Project [aggregate(emb#1, lambdafunction((lambda x_11# + "
+            "lambda y_12#), lambda x_11#, lambda y_12#)) AS s#2]"
+        )
+        b = normalize_plan_string(
+            "Project [aggregate(emb#9, lambdafunction((lambda x_45# + "
+            "lambda y_46#), lambda x_45#, lambda y_46#)) AS s#8]"
+        )
+        assert a == b
+
     def test_real_changes_still_differ(self):
         a = normalize_plan_string("SortMergeJoin [k#1], [k#2], Inner")
         b = normalize_plan_string("BroadcastHashJoin [k#1], [k#2], Inner")

@@ -24,6 +24,8 @@ _NORMALIZERS = (
     (re.compile(r"0x[0-9a-fA-F]+"), "0x"),          # python object addrs
     (re.compile(r"plan_id=\d+"), "plan_id="),
     (re.compile(r"gid#? ?= ?\d+"), "gid="),         # distinct-agg group ids
+    # HOF lambda variables carry a session-global counter (x_11, y_12)
+    (re.compile(r"\b(lambda [A-Za-z]+)_\d+"), r"\1"),
     (re.compile(r"file:[^\s,\]\)]*"), "file:"),     # scan locations
     (re.compile(r"/[^\s,\]\)]*(?:parquet|avro|orc|testdata)[^\s,\]\)]*"), "<path>"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),

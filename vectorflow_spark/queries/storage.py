@@ -373,6 +373,41 @@ def q_parquet_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_parquet_delta_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_parquet_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer's MODERN encoding tier: the documents table serialized by
+    OUR writer as DATA_PAGE_V2 pages with DELTA encodings —
+    DELTA_BINARY_PACKED for the int columns, DELTA_BYTE_ARRAY (front
+    coding) for the strings — sorted within each task by doc_id so the
+    delta streams are tight, then read back by Spark's parquet-java
+    reader with the table itself as the oracle. v2 pages keep def levels
+    uncompressed with explicit byte lengths and compress only the values
+    section; a hash match proves an independent reader accepts our v2
+    page headers, CRC placement, delta headers, miniblock widths and
+    front-coded suffix streams byte-for-byte. Unit tests additionally pin
+    pyarrow + DuckDB + our own decoder over the same writer, and pin the
+    size win vs PLAIN on sorted keys."""
+    from vectorflow_spark.sources.parquetmini import write_parquet_corpus
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_pqdelta_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents", split=True).sortWithinPartitions("doc_id")
+    kinds = {"doc_id": "i64", "text": "str", "lang": "str", "source": "str", "n_chars": "i64"}
+    write_parquet_corpus(
+        docs.select(*kinds), out_dir, kinds,
+        delta_columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).count()  # the write IS this action
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 @query("q_snappy_roundtrip", "SELECT doc_id, text FROM documents")
 def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed identity proof of the pure-Python snappy codec: every

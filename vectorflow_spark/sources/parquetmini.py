@@ -1419,6 +1419,101 @@ def _rle_bitpacked_defs(defs: list[int]) -> bytes:
     return struct.pack("<I", len(payload)) + payload
 
 
+def _w_ule(out: bytearray, v: int) -> None:
+    """Unsigned LEB128 (the DELTA_* header/varint form)."""
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _zz64(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _encode_delta_binary_packed(
+    vals: list[int], *, block_size: int = 128, n_mini: int = 4
+) -> bytes:
+    """DELTA_BINARY_PACKED encoder (parquet-format Encodings.md), the
+    inverse of _decode_delta_binary_packed: header of (block_size,
+    miniblocks_per_block, total_count, zigzag first_value), then per
+    block a zigzag min_delta, one bit-width byte per miniblock, and the
+    LSB-first bit-packed (delta - min_delta) payloads. Partial final
+    miniblocks are zero-padded to their full per-miniblock byte size;
+    miniblocks wholly past the data get width 0 and no payload (the
+    parquet-java convention both our decoder and pyarrow accept).
+    Deltas wrap to signed 64-bit — the encoding is defined on the
+    two's-complement bit pattern."""
+    out = bytearray()
+    _w_ule(out, block_size)
+    _w_ule(out, n_mini)
+    _w_ule(out, len(vals))
+    first = vals[0] if vals else 0
+    _w_ule(out, _zz64(first))
+    per_mini = block_size // n_mini
+    mod = 1 << 64
+    half = mod >> 1
+    prev = first
+    i = 1
+    while i < len(vals):
+        block = vals[i : i + block_size]
+        deltas = []
+        for v in block:
+            d = (v - prev) & (mod - 1)
+            deltas.append(d - mod if d >= half else d)
+            prev = v
+        min_d = min(deltas)
+        packed = [d - min_d for d in deltas]
+        _w_ule(out, _zz64(min_d))
+        widths = []
+        payloads = []
+        for m in range(n_mini):
+            chunk = packed[m * per_mini : (m + 1) * per_mini]
+            if not chunk:
+                widths.append(0)
+                payloads.append(b"")
+                continue
+            bw = max(x.bit_length() for x in chunk)
+            widths.append(bw)
+            if bw:
+                word = 0
+                for j, x in enumerate(chunk):
+                    word |= x << (j * bw)
+                payloads.append(word.to_bytes(per_mini * bw // 8, "little"))
+            else:
+                payloads.append(b"")
+        out += bytes(widths)
+        for p in payloads:
+            out += p
+        i += block_size
+    return bytes(out)
+
+
+def _encode_delta_byte_array(vals: list[bytes]) -> bytes:
+    """DELTA_BYTE_ARRAY (incremental/front coding): shared-prefix lengths
+    as DELTA_BINARY_PACKED, then the suffixes as DELTA_LENGTH_BYTE_ARRAY
+    (suffix lengths DELTA_BINARY_PACKED + concatenated bytes). The
+    encoding parquet-java picks for sorted string columns in v2 pages —
+    adjacent sorted keys share long prefixes, so this is the layout a
+    100 TB sorted-key corpus actually ships."""
+    prefixes: list[int] = []
+    suffixes: list[bytes] = []
+    prev = b""
+    for v in vals:
+        p = 0
+        lim = min(len(prev), len(v))
+        while p < lim and prev[p] == v[p]:
+            p += 1
+        prefixes.append(p)
+        suffixes.append(v[p:])
+        prev = v
+    return (
+        _encode_delta_binary_packed(prefixes)
+        + _encode_delta_binary_packed([len(s) for s in suffixes])
+        + b"".join(suffixes)
+    )
+
+
 def _hybrid_encode(values: list[int], bit_width: int) -> bytes:
     """RLE/bit-packed hybrid encoder (the levels + dictionary-index wire
     format): repeats of >= 8 become RLE runs; everything else accumulates
@@ -1537,6 +1632,7 @@ def encode_parquet(
     created_by: str = "vectorflow-spark parquetmini",
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    delta_columns: list[str] | None = None,
 ) -> bytes:
     """Serialize one row group of named columns to a complete parquet file
     (v1 pages — dictionary-encoded when a column's distinct set is small,
@@ -1544,6 +1640,13 @@ def encode_parquet(
     stats, our snappy or stdlib gzip page compression). Every column list must share
     one length; ``kinds[name]`` picks the physical/logical type from
     {i64,i32,f64,f32,bool,str,bin,ts_us} (ts_us takes epoch micros).
+
+    ``delta_columns`` opts columns into DATA_PAGE_V2 pages with the
+    modern DELTA encodings — DELTA_BINARY_PACKED for i64/i32/ts_us,
+    DELTA_BYTE_ARRAY (front coding) for str/bin — the layout
+    parquet-java v2 writers emit for sorted keys (v2 pages keep levels
+    uncompressed with explicit byte lengths and compress only the values
+    section).
 
     The output is read back by pyarrow, DuckDB, Spark's parquet-java reader
     AND this module's own decoder — the tests pin all four."""
@@ -1564,6 +1667,14 @@ def encode_parquet(
     if n_rows == 0:
         # an empty row group is a reader minefield; callers skip empty parts
         raise ParquetError("cannot encode zero rows")
+    delta_set = set(delta_columns or ())
+    for c in delta_set:
+        if c not in cols:
+            raise ParquetError(f"delta_columns names unknown column {c}")
+        if kinds[c] not in ("i64", "i32", "ts_us", "str", "bin"):
+            raise ParquetError(
+                f"DELTA encodings undefined for kind {kinds[c]} (column {c})"
+            )
 
     from vectorflow_spark.operators.snappymini import compress as _snappy_compress
 
@@ -1590,10 +1701,17 @@ def encode_parquet(
         all_present = [v for v in vals if v is not None]
         n_nulls = n_rows - len(all_present)
 
+        use_delta = name in delta_set
         # dictionary decision: hashable kinds with a small distinct set
-        # (floats excluded — NaN breaks dict-key equality)
+        # (floats excluded — NaN breaks dict-key equality); delta columns
+        # carry their own encoding and never dictionary-encode
         dict_vals: list | None = None
-        if use_dictionary and kind in ("i64", "i32", "ts_us", "str", "bin") and all_present:
+        if (
+            use_dictionary
+            and not use_delta
+            and kind in ("i64", "i32", "ts_us", "str", "bin")
+            and all_present
+        ):
             seen: dict = {}
             for v in all_present:
                 if v not in seen:
@@ -1646,6 +1764,47 @@ def encode_parquet(
                             "null_count": len(page_vals) - len(present),
                         }
                     )
+            if use_delta:
+                # DATA_PAGE_V2: [def levels, UNcompressed, explicit length]
+                # [values, DELTA-encoded, compressed] — the modern layout
+                if kind in ("str", "bin"):
+                    raw = [
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                        for v in present
+                    ]
+                    values_bytes = _encode_delta_byte_array(raw)
+                    page_enc = 7  # DELTA_BYTE_ARRAY
+                else:
+                    values_bytes = _encode_delta_binary_packed(present)
+                    page_enc = 5  # DELTA_BINARY_PACKED
+                dl_bytes = _hybrid_encode(defs, 1)  # no v1 length prefix
+                comp_vals = compress(values_bytes)
+                disk_body = dl_bytes + comp_vals
+                hdr = _ThriftW()
+                last = hdr.i_field(0, 1, 3, _CT_I32)  # PageType.DATA_PAGE_V2
+                last = hdr.i_field(last, 2, len(dl_bytes) + len(values_bytes), _CT_I32)
+                last = hdr.i_field(last, 3, len(disk_body), _CT_I32)
+                # crc covers the serialized page: levels + compressed values
+                last = hdr.i_field(last, 4, _crc_i32(disk_body), _CT_I32)
+                last = hdr.field(last, 8, _CT_STRUCT)
+                dph = _ThriftW()
+                dlast = dph.i_field(0, 1, len(page_vals), _CT_I32)
+                dlast = dph.i_field(dlast, 2, len(page_vals) - len(present), _CT_I32)
+                dlast = dph.i_field(dlast, 3, len(page_vals), _CT_I32)  # num_rows (flat)
+                dlast = dph.i_field(dlast, 4, page_enc, _CT_I32)
+                dlast = dph.i_field(dlast, 5, len(dl_bytes), _CT_I32)
+                dlast = dph.i_field(dlast, 6, 0, _CT_I32)  # rep levels: none
+                dlast = dph.bool_field(dlast, 7, codec_id != 0)
+                dph.stop()
+                hdr.out += dph.out
+                hdr.stop()
+                out += hdr.out
+                out += disk_body
+                comp_total += len(hdr.out) + len(disk_body)
+                uncomp_total += len(hdr.out) + len(dl_bytes) + len(values_bytes)
+                if page_records is not None:
+                    page_records[-1]["size"] = len(out) - page_start
+                continue
             if dict_vals is not None:
                 bw = max((len(dict_vals) - 1).bit_length(), 1)
                 idx_bytes = _hybrid_encode([dict_idx[v] for v in present], bw)
@@ -1688,6 +1847,11 @@ def encode_parquet(
                 "n_nulls": n_nulls,
                 "present": all_present,
                 "dict": dict_vals is not None,
+                "enc": (
+                    (7 if kind in ("str", "bin") else 5)
+                    if use_delta
+                    else (2 if dict_vals is not None else 0)
+                ),
                 "pages": page_records,
             }
         )
@@ -1840,7 +2004,7 @@ def encode_parquet(
         mlast = cm.i_field(0, 1, _w_physical(m["kind"]), _CT_I32)
         mlast = cm.field(mlast, 2, _CT_LIST)
         cm.list_header(2, _CT_I32)
-        cm.zigzag(2 if m["dict"] else 0)  # PLAIN_DICTIONARY / PLAIN
+        cm.zigzag(m["enc"])  # PLAIN_DICTIONARY / PLAIN / DELTA_* (v2)
         cm.zigzag(3)  # RLE (levels)
         mlast = cm.field(mlast, 3, _CT_LIST)
         cm.list_header(1, _CT_BINARY)
@@ -1919,13 +2083,16 @@ def write_parquet_corpus(
     *,
     codec: str = "snappy",
     bloom_columns: list[str] | None = None,
+    delta_columns: list[str] | None = None,
 ):
     """Distributed sink over OUR writer: each task serializes its partition
     to one part file with encode_parquet and commits via write-then-rename
     (the same crash-safe protocol as warcmini's corpus sink). Returns a
     manifest DataFrame of (part, n_rows, n_bytes); the written directory is
     readable by Spark/DuckDB/pyarrow — the gate has Spark itself read it
-    back. 100-TB shape: one file per task, no driver data movement."""
+    back. 100-TB shape: one file per task, no driver data movement.
+    ``delta_columns`` passes through to encode_parquet (DATA_PAGE_V2 +
+    DELTA encodings for the named columns)."""
     import os as _os
     import uuid as _uuid
 
@@ -1954,7 +2121,11 @@ def write_parquet_corpus(
             pdf = pd.concat(pdfs, ignore_index=True)
             cols = {c: _pdf_column(pdf[c], kinds[c]) for c in names}
             blob = encode_parquet(
-                cols, {c: kinds[c] for c in names}, codec=codec, bloom_columns=bloom_columns
+                cols,
+                {c: kinds[c] for c in names},
+                codec=codec,
+                bloom_columns=bloom_columns,
+                delta_columns=delta_columns,
             )
             part = f"part-{_uuid.uuid4().hex}.parquet"
             tmp = _os.path.join(out_dir, f".uncommitted-{part}")
