@@ -38,6 +38,10 @@ __all__ = [
     "kmv_sketch",
     "kmv_distinct_estimate",
     "kmv_intersection_estimate",
+    "hll_registers",
+    "hll_distinct_estimate",
+    "log2_histogram",
+    "histogram_quantiles",
 ]
 
 DEFAULT_DEPTH = 4
@@ -262,3 +266,160 @@ def kmv_intersection_estimate(
         )
     )
     return withx.select("grp_a", "grp_b", est.alias("est_common"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count sketch (Flajolet et al. 2007).
+#
+# m = 64 registers (p = 6); each key hashes once, lands in one register,
+# and the register keeps the MAX of the rank statistic rho (leading-zero
+# count + 1 of a 28-bit suffix). MAX-merge makes the sketch composable
+# across partitions, files, and days — Spark's map-side combine collapses
+# every partition to <= 64 rows per group before the shuffle, so a
+# 100 TB build exchanges kilobytes per group.
+#
+# Portability: the hash is the repo's md5-substring construction; rho is
+# computed from the UNPADDED binary string length (length(bin(v)) =
+# floor(log2 v) + 1), which Spark's bin() and DuckDB's bin() agree on
+# exactly. The harmonic sum is kept as an exact integer numerator over
+# the common denominator 2^29 (max 64 * 2^29 = 2^35 < 2^53), so the
+# estimate is ONE double division of exact integers — bit-reproducible
+# in ANSI SQL.
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6); std error ~ 1.04/sqrt(64) = 13%
+HLL_RHO_BITS = 28  # md5 hex chars 3..9 -> 28-bit rank suffix
+_HLL_NUM = 1559107488186.368  # alpha_64 * m^2 * 2^29 = 0.709 * 4096 * 536870912
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL register table: (grp, j, m_j) with j in [0, 64) and
+    m_j = max rank over keys landing in register j. Absent registers mean
+    rank 0. The groupBy is the merge: MAX is associative/commutative, so
+    partial aggregation bounds the shuffle at 64 rows per group per map
+    task regardless of input size."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll")))
+    j = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % HLL_M).alias("j")
+    v = F.conv(F.substring(h, 3, 7), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(v))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), j, rho.alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL cardinality estimate: (grp, est_distinct).
+
+    The harmonic mean sum(2^-m_j) over all 64 registers is carried as the
+    exact integer S = sum(2^(29 - m_j)) + absent * 2^29; the raw estimate
+    alpha_64 * m^2 / (S / 2^29) is one double division. Small-range
+    correction (linear counting, E <= 2.5m with empty registers) follows
+    the paper; the oracle gates pin cardinalities where the raw branch is
+    taken, so the ln() never has to be bit-matched across engines (it is
+    covered by a tolerance unit test instead)."""
+    regs = hll_registers(df, group_col, key_col)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_BITS + 1} - m_j)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    absent = F.lit(HLL_M) - F.col("n_present")
+    s = (F.col("s_present") + absent * F.lit(1 << (HLL_RHO_BITS + 1))).cast("double")
+    e_raw = F.lit(_HLL_NUM) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (absent > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / absent.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("grp").alias(group_col), F.round(est, 4).alias("est_distinct")
+    )
+
+
+# --------------------------------------------------------------------------
+# Log2-bucket histogram quantiles: the one-pass, fixed-memory, mergeable
+# answer to "p50/p90/p99 of a positive measure over 100 TB". Exact
+# quantiles need a global sort; a log2 histogram needs ~50 counters per
+# group, merges by ADD, and bounds the relative error of the estimate by
+# the bucket width (interpolation inside the bucket recovers most of it).
+# Every count, cumulative sum, and rank target is an exact integer; the
+# interpolated estimate is one double division — oracle-portable.
+# --------------------------------------------------------------------------
+
+
+def log2_histogram(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group log2 histogram: (grp, b, cnt) where bucket b covers
+    [2^(b-1), 2^b) for b >= 1 and [0, 1) for b = 0. Values must be
+    non-negative (the caller's contract; negatives would need a signed
+    mirror). length(bin(floor(x))) = floor(log2 x) + 1 exactly, with no
+    float log in the bucketing path."""
+    x = F.col(value_col).cast("double")
+    fl = F.floor(x).cast("bigint")
+    b = F.when(fl <= 0, F.lit(0)).otherwise(F.length(F.bin(fl)))
+    return (
+        df.select(F.col(group_col).alias("grp"), b.alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Per-group interpolated quantile estimates from the log2 histogram:
+    (grp, q, est) with q the percent numerator (50, 90, 99).
+
+    Quantile ranks are exact integers: target = ceil(num*n/den) computed
+    as (num*n + den - 1) div den — no float multiply whose rounding could
+    differ between engines' literal typing (a DuckDB 0.9 is DECIMAL, a
+    Spark 0.9 is double; integer rationals sidestep the mismatch). The
+    estimate linearly interpolates inside the selected bucket:
+    lo + (hi-lo) * (target - cum_prev) / cnt, all-integer until the one
+    division. The cumulative window partitions by group over <= ~50
+    bucket rows — sketch-sized state, no single-partition window."""
+    from pyspark.sql import Window
+
+    hist = log2_histogram(df, group_col, value_col)
+    w = Window.partitionBy("grp").orderBy("b")
+    cum = hist.select(
+        "grp",
+        "b",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+    )
+    # fan out the quantile list as a literal-array explode — no join node
+    # at all (a broadcast-true join here would be a BNLJ in the plan)
+    qarr = F.array(
+        *[
+            F.struct(F.lit(int(n)).alias("q_num"), F.lit(int(d)).alias("q_den"))
+            for n, d in quantiles
+        ]
+    )
+    j = cum.select("*", F.explode(qarr).alias("_q")).select(
+        "*", F.col("_q.q_num").alias("q_num"), F.col("_q.q_den").alias("q_den")
+    )
+    target = ((F.col("q_num").cast("bigint") * F.col("n") + F.col("q_den") - 1)
+              / F.col("q_den")).cast("bigint")
+    hit = j.where((F.col("cum") >= target) & (F.col("cum_prev") < target))
+    # 1L shift: buckets past 31 must not wrap in int arithmetic
+    lo = F.when(F.col("b") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("shiftleft(1L, b - 1)")
+    ).cast("double")
+    hi = F.when(F.col("b") == 0, F.lit(1).cast("bigint")).otherwise(
+        F.expr("shiftleft(1L, b)")
+    ).cast("double")
+    est = lo + (hi - lo) * (
+        (target - F.col("cum_prev")).cast("double") / F.col("cnt").cast("double")
+    )
+    return hit.select(
+        F.col("grp").alias(group_col),
+        F.col("q_num").alias("q"),
+        F.round(est, 6).alias("est"),
+    )

@@ -491,3 +491,111 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "q_hll_distinct",
+    """
+    WITH h AS (
+        SELECT l_returnflag AS grp,
+               md5(CAST(l_orderkey AS VARCHAR) || '|hll') AS hx
+        FROM lineitem
+    ),
+    r AS (
+        SELECT grp,
+               ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS j,
+               CASE WHEN ('0x' || substr(hx, 3, 7))::BIGINT = 0 THEN 29
+                    ELSE 29 - length(bin(('0x' || substr(hx, 3, 7))::BIGINT)) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT grp, j, max(rho) AS m_j FROM r GROUP BY 1, 2),
+    agg AS (
+        SELECT grp,
+               sum((CAST(1 AS BIGINT) << CAST(29 - m_j AS INT))) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    )
+    SELECT grp AS l_returnflag,
+           round(CASE WHEN (1559107488186.368 / CAST(s_present + (64 - n_present) * 536870912 AS DOUBLE)) <= 160.0
+                       AND (64 - n_present) > 0
+                 THEN 64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE))
+                 ELSE 1559107488186.368 / CAST(s_present + (64 - n_present) * 536870912 AS DOUBLE) END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch: estimated distinct orders per
+    return flag from 64 max-merged registers. The register build is ONE
+    map-side-combined groupBy whose shuffle carries <= 64 rows per group
+    per map task regardless of input size — the mergeable alternative to
+    countDistinct's exact-but-rehash-everything exchange at 100 TB. Every
+    register value and the harmonic sum are exact integers (numerator over
+    the common denominator 2^29); the estimate is one double division,
+    bit-reproduced by the oracle. m=64 keeps the tested cardinalities in
+    the raw-estimator branch (asserted in tests); the linear-counting
+    small-range branch is covered by a tolerance unit test.
+
+    vs q_approx_distinct: that gate exercises Spark's built-in
+    approx_count_distinct, whose sealed register layout forces a
+    rows-only check; this one owns its registers, so the estimate is
+    hash-matched against the oracle AND the registers stay available
+    for cross-group set algebra (the q_kmv_overlap motivation)."""
+    from vectorflow_spark.operators.sketches import hll_distinct_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return hll_distinct_estimate(li, "l_returnflag", "l_orderkey")
+
+
+@query(
+    "q_hist_quantiles",
+    """
+    WITH hist AS (
+        SELECT l_returnflag AS grp,
+               CASE WHEN CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT) <= 0 THEN 0
+                    ELSE length(bin(CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT))) END AS b,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, b, cnt,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY b) - cnt AS cum_prev,
+               sum(cnt) OVER (PARTITION BY grp) AS n
+        FROM hist
+    ),
+    qs AS (SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100)) AS t(q_num, q_den)),
+    j AS (
+        SELECT c.*, q.q_num,
+               (q.q_num * c.n + q.q_den - 1) // q.q_den AS target
+        FROM cum c CROSS JOIN qs q
+    )
+    SELECT grp AS l_returnflag, q_num AS q,
+           round(
+             (CASE WHEN b = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b-1 AS INT)) END)::DOUBLE
+             + ((CASE WHEN b = 0 THEN 1 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)::DOUBLE
+                - (CASE WHEN b = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b-1 AS INT)) END)::DOUBLE)
+               * (CAST(target - cum_prev AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
+    FROM j WHERE cum >= target AND cum_prev < target
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable quantile estimates (p50/p90/p99 of extended price
+    per return flag) from a log2-bucket histogram — fixed ~50 counters per
+    group where an exact quantile needs a global sort. Bucketing uses the
+    unpadded-binary-length identity (length(bin(floor(x))) = floor(log2 x)
+    + 1), so no float log anywhere; rank targets are exact integer
+    rationals (ceil via (num*n + den - 1) div den — NOT a float multiply,
+    whose literal typing differs between engines); the interpolated
+    estimate is one double division. The cumulative window partitions by
+    group over bucket rows only — sketch-sized state, no single-partition
+    window at any scale.
+
+    vs q_histogram_quantiles: that gate's equi-width 128 bins bound the
+    ABSOLUTE error by range/128 and need the min/max known up front;
+    log2 buckets bound the RELATIVE error (factor-2 bracket, recovered
+    by interpolation) with no prior pass and no degenerate tail on
+    heavy-tailed measures like document lengths or prices."""
+    from vectorflow_spark.operators.sketches import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return histogram_quantiles(li, "l_returnflag", "l_extendedprice")
