@@ -403,6 +403,57 @@ class TestStreamingSketch:
         assert again == want
 
 
+class TestStreamingHLL:
+    def test_streaming_hll_matches_batch_and_is_idempotent(self, spark, tmp_path):
+        """Max-merged per-batch register deltas must reproduce the batch
+        estimate exactly, and replaying a batch's delta — even onto a FRESH
+        path, the failure mode the CMS twin's path discipline exists to
+        prevent — changes nothing, because max-merge is idempotent."""
+        import json as _json
+
+        from vectorflow_spark.operators.sketches import (
+            hll_distinct_estimate,
+            hll_registers,
+        )
+        from vectorflow_spark.streaming.pipeline import read_hll, streaming_hll
+
+        inp = tmp_path / "keys"
+        inp.mkdir()
+        for fno in range(3):
+            with open(inp / f"f{fno}.json", "w") as f:
+                for i in range(400):
+                    f.write(
+                        _json.dumps({"g": "ab"[i % 2], "user_id": i * 3 + fno}) + "\n"
+                    )
+
+        stream = (
+            spark.readStream.schema("g string, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = streaming_hll(
+            stream, "g", "user_id", str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            map(tuple, read_hll(spark, str(tmp_path / "sketch"), "g").collect())
+        )
+        batch = spark.read.schema("g string, user_id long").json(str(inp))
+        want = sorted(map(tuple, hll_distinct_estimate(batch, "g", "user_id").collect()))
+        assert got == want
+
+        # replay batch 0 onto a NEW path: max-merge absorbs it unchanged
+        first = spark.read.schema("g string, user_id long").json(str(inp / "f0.json"))
+        hll_registers(first, "g", "user_id").write.mode("overwrite").parquet(
+            str(tmp_path / "sketch" / "batch_id=99")
+        )
+        again = sorted(
+            map(tuple, read_hll(spark, str(tmp_path / "sketch"), "g").collect())
+        )
+        assert again == want
+
+
 class TestStreamingKMV:
     def test_running_distinct_bounded_state(self, spark, tmp_path):
         """transformWithStateInPandas KMV: running per-group distinct counts

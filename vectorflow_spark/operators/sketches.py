@@ -39,6 +39,7 @@ __all__ = [
     "kmv_distinct_estimate",
     "kmv_intersection_estimate",
     "hll_registers",
+    "hll_estimate_from_registers",
     "hll_distinct_estimate",
     "log2_histogram",
     "histogram_quantiles",
@@ -311,8 +312,9 @@ def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
 
 
-def hll_distinct_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Per-group HLL cardinality estimate: (grp, est_distinct).
+def hll_estimate_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """Estimate from a (grp, j, m_j) register table — shared by the batch
+    build and the streaming max-merge reader (streaming/pipeline.read_hll).
 
     The harmonic mean sum(2^-m_j) over all 64 registers is carried as the
     exact integer S = sum(2^(29 - m_j)) + absent * 2^29; the raw estimate
@@ -321,7 +323,6 @@ def hll_distinct_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFr
     the paper; the oracle gates pin cardinalities where the raw branch is
     taken, so the ln() never has to be bit-matched across engines (it is
     covered by a tolerance unit test instead)."""
-    regs = hll_registers(df, group_col, key_col)
     agg = regs.groupBy("grp").agg(
         F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_BITS + 1} - m_j)")).alias("s_present"),
         F.count("*").alias("n_present"),
@@ -336,6 +337,13 @@ def hll_distinct_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFr
     return agg.select(
         F.col("grp").alias(group_col), F.round(est, 4).alias("est_distinct")
     )
+
+
+def hll_distinct_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL cardinality estimate: (grp, est_distinct). One
+    register build (map-side-combined max groupBy) + the shared estimate
+    step."""
+    return hll_estimate_from_registers(hll_registers(df, group_col, key_col), group_col)
 
 
 # --------------------------------------------------------------------------

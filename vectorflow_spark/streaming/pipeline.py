@@ -387,6 +387,53 @@ def read_cms(spark, sketch_dir: str) -> DataFrame:
     )
 
 
+def streaming_hll(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain per-group HyperLogLog registers over a stream: each
+    micro-batch writes its own (grp, j, m_j) register DELTA to
+    ``sketch_dir/batch_id=N``; readers merge deltas by MAX per register.
+
+    Stronger replay story than the count-min twin: max-merge is
+    IDEMPOTENT, not merely commutative, so a replayed batch could not
+    corrupt the total even if its delta landed on a fresh path — the
+    batch_id=N overwrite discipline is kept anyway for the shared GC /
+    manifest conventions. Per-batch write is <= 64 rows per group
+    regardless of batch size; running distinct-count over a day of
+    ingest costs one max-merge over n_batches * 64 tiny rows."""
+    from vectorflow_spark.operators.sketches import hll_registers
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = hll_registers(batch_df, group_col, key_col)
+        delta.write.mode("overwrite").parquet(f"{sketch_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll(spark, sketch_dir: str, group_col: str = "grp") -> DataFrame:
+    """Current per-group distinct estimate from the streamed register
+    deltas: max-merge registers, then the shared estimate step — numbers
+    identical to a batch hll_distinct_estimate over the same rows
+    (asserted in tests/test_streaming.py)."""
+    from vectorflow_spark.operators.sketches import hll_estimate_from_registers
+
+    regs = (
+        spark.read.parquet(sketch_dir)
+        .groupBy("grp", "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return hll_estimate_from_registers(regs, group_col)
+
+
 def streaming_scd2(
     update_stream: DataFrame,
     dim_dir: str,
