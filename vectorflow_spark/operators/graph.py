@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["orient_edges", "triangle_count"]
+__all__ = ["orient_edges", "triangle_count", "kcore_peel"]
 
 # rank = degree * RANK_BASE + id gives a single comparable int64 for the
 # (degree, id) total order; ids must be < RANK_BASE.
@@ -230,3 +230,55 @@ def label_propagation(
             .select(F.col("src").alias("v"), F.pmod(F.col("key"), F.lit(m)).alias("lbl"))
         )
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """k-core decomposition by ``rounds`` synchronous peel iterations:
+    repeatedly drop nodes of degree < k (and their edges), return the
+    surviving nodes with their in-core degree — (node, core_deg).
+
+    On a candidate-pair dedup graph the k-core separates DENSE duplicate
+    communities (real near-dup clusters triangulate, so their nodes keep
+    degree >= k under peeling) from hash-collision noise (stars and
+    chains, whose leaves peel away in the first rounds and whose hubs
+    follow). The round count is FIXED, not run-to-fixpoint: a fixed
+    unroll is deterministic, oracle-expressible round-for-round in plain
+    SQL (a peel DELETES rows, which a monotone recursive CTE cannot
+    express), and the fixpoint claim is asserted separately (tests pin
+    round R == round R+1 at the driver scale factors; at 100 TB the same
+    assertion is one extra cheap round whose emptiness certifies
+    convergence).
+
+    Plan shape per round: one map-side-combined degree aggregation over
+    the exploded endpoints + two shuffle semi-joins of the edge set
+    against the survivor list — each round's state is localCheckpointed
+    (same lineage-cut discipline as connected_components: without it the
+    plan doubles per round). Work per round never exceeds the CURRENT
+    edge set, which only shrinks; total cost <= rounds * E like the
+    synchronous peel in distributed k-core literature."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k)
+        e = (
+            e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

@@ -223,3 +223,59 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_expr_pipeline(_t(spark, sf_dir, "documents", split=True).select("doc_id", "text"))
 
 
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Round-for-round unroll of the synchronous k-core peel over the
+    LSH candidate-pair graph. A peel DELETES rows each round, which a
+    monotone recursive CTE cannot express — so the oracle replays the
+    exact fixed-round schedule the Spark operator runs."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, so a 4-round unroll would
+    # re-expand the whole minhash pipeline exponentially (3^rounds scans)
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_minhash_pairs_sql()}),",
+        "e0 AS MATERIALIZED (SELECT a, b FROM pairs)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    d{r} AS (
+        SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p}
+        ) GROUP BY 1
+    ),
+    k{r} AS (SELECT v FROM d{r} WHERE c >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{p} e
+        JOIN k{r} x ON e.a = x.v JOIN k{r} y ON e.b = y.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY 1 HAVING count(*) >= {k}
+    """
+    )
+    return "".join(parts)
+
+
+@query("q_kcore_dedup", _kcore_sql())
+def q_kcore_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the MinHash-LSH candidate graph: the nodes of DENSE
+    duplicate communities with their in-core degree. Real near-dup
+    clusters triangulate, so their members survive the peel; collision
+    noise (stars, chains) loses its leaves in round one and its hubs
+    soon after — the graph-shape complement to q_triangle_cohesion.
+    Four synchronous peel rounds (fixpoint by round 3 at both driver
+    sfs, asserted in tests/test_graph_ops.py with a round-5 equality
+    check); each round is one map-side-combined degree agg + two
+    semi-joins, state localCheckpointed (lineage cut per round)."""
+    from vectorflow_spark.operators.dedup import minhash_candidate_pairs
+    from vectorflow_spark.operators.graph import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    pairs = minhash_candidate_pairs(docs).select("a", "b")
+    out = kcore_peel(pairs, k=3, rounds=4)
+    return out.select(F.col("node").alias("doc_id"), "core_deg")
