@@ -1,5 +1,6 @@
-"""HyperLogLog and log2-histogram quantile sketches: estimator accuracy,
-merge algebra, branch selection, and partitioning invariance."""
+"""HyperLogLog and log2-histogram quantile sketches (estimator accuracy,
+merge algebra, branch selection, partitioning invariance) plus the
+TF-IDF cosine pair operator's exactness contracts."""
 
 import math
 
@@ -110,3 +111,71 @@ def test_hist_quantiles_partitioning_invariance(spark):
     one = sorted(map(tuple, histogram_quantiles(df.coalesce(1), "g", "v").collect()))
     many = sorted(map(tuple, histogram_quantiles(df.repartition(11), "g", "v").collect()))
     assert one == many
+
+
+# --- tfidf_cosine_pairs (operators/textstats.py) ---
+
+
+def test_tfidf_cosine_exact_fractional(spark):
+    """Hand corpus with partial overlap: verify the cosine against an
+    independent float computation of the same df-capped vector space."""
+    import math
+
+    from vectorflow_spark.operators.textstats import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.cos_sim for r in tfidf_cosine_pairs(docs, 0.0, 100).collect()}
+    n = 3
+    def idf(dfc):
+        return math.log((1 + n) / (1.0 + dfc)) + 1
+    # doc1/doc2 share alpha+beta (df=2); each also holds one df=1 term
+    w2 = round(1 * idf(2), 9)
+    w1 = round(1 * idf(1), 9)
+    dot = w2 * w2 + w2 * w2
+    norm = math.sqrt(w2 * w2 + w2 * w2 + w1 * w1)
+    assert got.keys() == {(1, 2)}  # doc3 shares no term
+    assert abs(got[(1, 2)] - dot / (norm * norm)) < 1e-8
+    assert 0.0 < got[(1, 2)] < 1.0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from vectorflow_spark.operators.textstats import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar foo baz"), (2, "foo bar foo baz"), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.cos_sim for r in tfidf_cosine_pairs(docs, 0.9, 100).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_df_cap_drops_common_terms(spark):
+    from vectorflow_spark.operators.textstats import tfidf_cosine_pairs
+
+    # 'the' appears in all 4 docs; cap=3 removes it, leaving no shared terms
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} token{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(docs, 0.0, 3).count() == 0
+    # cap high enough to keep 'the': every pair appears
+    assert tfidf_cosine_pairs(docs, 0.0, 100).count() == 6
+
+
+def test_tfidf_cosine_partitioning_invariance(spark):
+    from vectorflow_spark.operators.textstats import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words plus unique{i % 3} extra{i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    one = sorted(map(tuple, tfidf_cosine_pairs(docs.coalesce(1), 0.0, 100).collect()))
+    many = sorted(map(tuple, tfidf_cosine_pairs(docs.repartition(7), 0.0, 100).collect()))
+    assert one == many and len(one) > 0

@@ -753,3 +753,80 @@ def fold_homoglyphs(text_col: str | Column) -> Column:
     on the dedup scan."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.translate(col, HOMOGLYPH_FROM, HOMOGLYPH_TO)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    df_cap: int = 20,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= ``threshold``,
+    computed EXACTLY in the df-capped term space — (a, b, cos_sim).
+
+    The term-weighted tier of the near-dup ladder: n-gram Jaccard sees
+    surface overlap, dense-embedding cosine sees semantics through a
+    model; TF-IDF cosine sees shared DISTINCTIVE vocabulary with no
+    model at all. The df-cut (Bayardo et al., WWW'07 all-pairs
+    similarity) drops terms appearing in more than ``df_cap`` documents
+    BEFORE pair generation: high-df terms carry the lowest IDF weight
+    yet would dominate the posting-list self-join quadratically, so the
+    cut is simultaneously the quality prior and the scale bound — every
+    posting list joins at most df_cap^2 pairs. Within the capped term
+    space the cosine is exact, not approximate: weights are rounded at
+    9 then carried as DECIMAL(18,9), pair dot products and norm squares
+    are DECIMAL sums of exact DECIMAL(36,18) products (order-invariant
+    — a double fold here would hash-differ between engines), and each
+    pair pays exactly one sqrt+division in double at the end.
+
+    Plan at scale: tf/df aggregations as in tfidf_top_terms, the pair
+    join shuffles on term with df_cap bounding any one list, the pair
+    aggregation shuffles on (a, b), and norms join back on each side —
+    never broadcast (the norm table is corpus-sized)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df_.filter(F.col("df") <= df_cap), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((1 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    wa = w.select(F.col("doc_id").alias("a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("b"), "term", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 9).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

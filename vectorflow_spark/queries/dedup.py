@@ -279,3 +279,54 @@ def q_kcore_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(docs).select("a", "b")
     out = kcore_peel(pairs, k=3, rounds=4)
     return out.select(F.col("node").alias("doc_id"), "core_deg")
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(ROUND(tf.tf * (ln((1 + n.n_docs) / (1.0 + df.df)) + 1), 9) AS DECIMAL(18,9)) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE df.df <= 100
+    ),
+    norms AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm FROM w GROUP BY 1),
+    dots AS (
+        SELECT wa.doc_id AS a, wb.doc_id AS b, sum(wa.w * wb.w) AS dot
+        FROM w wa JOIN w wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, cos_sim FROM (
+        SELECT d.a, d.b, round(CAST(d.dot AS DOUBLE) / (na.norm * nb.norm), 9) AS cos_sim
+        FROM dots d JOIN norms na ON d.a = na.doc_id JOIN norms nb ON d.b = nb.doc_id
+    )
+    WHERE cos_sim >= 0.3
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-weighted near-dup pairs: exact TF-IDF cosine in the df-capped
+    term space (operators/textstats.tfidf_cosine_pairs). The middle tier
+    of the similarity ladder — n-gram Jaccard sees surface overlap,
+    embedding cosine sees model semantics, TF-IDF cosine sees shared
+    DISTINCTIVE vocabulary with no model. The df <= 100 cut (Bayardo
+    all-pairs) is both the quality prior (high-df terms carry the least
+    IDF) and the scale bound (every posting list joins <= cap^2 pairs).
+    Dot products and norm squares are DECIMAL sums of exact
+    DECIMAL(36,18) products — order-invariant where a double fold would
+    hash-differ — and each pair pays one sqrt+division in double. On
+    the driver corpus the surviving pairs are the exact-dup clusters
+    (mutated near-dups share only high-df vocabulary here); fractional
+    cosines are pinned by unit tests on a constructed corpus."""
+    from vectorflow_spark.operators.textstats import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    return tfidf_cosine_pairs(docs, threshold=0.3, df_cap=100)
