@@ -1466,3 +1466,38 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return c4_clean(salted)
+
+
+@query(
+    "q_weighted_sample",
+    """
+    WITH pri AS (
+        SELECT lang AS stratum, doc_id AS id, n_chars AS weight,
+               round(
+                 ln(268435456.0 / (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsamp'), 1, 7))::BIGINT + 1))
+                 / (CAST(n_chars AS DOUBLE) / 1000.0), 9) AS pri
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT stratum, id, weight, pri, rn FROM (
+        SELECT stratum, id, weight, pri,
+               CAST(row_number() OVER (PARTITION BY stratum ORDER BY pri ASC, id ASC) AS BIGINT) AS rn
+        FROM pri
+    ) WHERE rn <= 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 50 docs per language,
+    weight = document length (operators/sampling.py, Efraimidis-
+    Spirakis priority keys): the training-mixture primitive — "k docs
+    per domain, favoring longer ones" — reproducible across runs,
+    engines, and cluster sizes because the uniform comes from the
+    portable content hash, never rand(). The per-stratum top-k compiles
+    to partial WindowGroupLimit: each map task forwards at most k rows
+    per stratum, so the shuffle is sample-sized at any corpus size.
+    Priorities are rounded at 9 BEFORE ranking (the repo's
+    transcendental-score parity protocol) with id tiebreak."""
+    from vectorflow_spark.operators.sampling import weighted_sample_per_stratum
+
+    docs = _t(spark, sf_dir, "documents", split=True)
+    out = weighted_sample_per_stratum(docs, "lang", "doc_id", "n_chars", k=50)
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
