@@ -1229,3 +1229,127 @@ def q_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files_df.mapInPandas(
         evolve, "doc_id long, lang string, n_chars_d double, quality string"
     )
+
+
+# ---------------------------------------------------------------------------
+# vf_table snapshot gates (sources/table.py)
+# ---------------------------------------------------------------------------
+
+_TBLFIX_REV = 1
+
+
+def _table_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once vf_table over orders with a 4-snapshot history:
+    create (keys%4==0) -> append (%4 in 1,2) -> copy-on-write delete
+    (o_totalprice > 400000) -> append (%4==3). Every snapshot's content
+    is reconstructable in pure SQL from the orders table, which is what
+    makes the time-travel gate oracle-able. Appends are range-
+    repartitioned on o_orderkey so file stats have narrow key ranges and
+    manifest pruning has something to prune (asserted in
+    tests/test_table.py; the gates' OUTPUT never depends on the sampled
+    file boundaries)."""
+    from vectorflow_spark.sources.table import (
+        table_append,
+        table_create,
+        table_delete_where,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vf_tblfix_r{_TBLFIX_REV}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders", split=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    part = lambda m: orders.filter(F.col("o_orderkey") % 4 == m).repartitionByRange(  # noqa: E731
+        4, "o_orderkey"
+    )
+    table_create(part(0), out_dir)
+    table_append(part(1).unionByName(part(2)).repartitionByRange(4, "o_orderkey"), out_dir)
+    table_delete_where(
+        spark, out_dir, "o_totalprice > 400000", predicates=[("o_totalprice", ">", 400000.0)]
+    )
+    table_append(part(3), out_dir)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("built by _table_fixture_dir\n")
+    return out_dir
+
+
+_TBL_S3 = "((o_orderkey % 4 IN (0, 1, 2)) AND o_totalprice <= 400000)"
+_TBL_SNAP_SQL = {
+    1: "o_orderkey % 4 = 0",
+    2: "o_orderkey % 4 IN (0, 1, 2)",
+    3: _TBL_S3,
+    4: f"({_TBL_S3} OR o_orderkey % 4 = 3)",
+}
+
+
+@query(
+    "q_table_timetravel",
+    " UNION ALL ".join(
+        f"""
+    SELECT {sid} AS snapshot_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE {cond}"""
+        for sid, cond in _TBL_SNAP_SQL.items()
+    ),
+)
+def q_table_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across the vf_table's 4-snapshot history
+    (create -> append -> copy-on-write delete -> append): read each
+    snapshot id and aggregate rows + decimal-exact price sum. The oracle
+    reconstructs every snapshot's content directly from orders — a hash
+    match proves the manifest machinery (atomic commits, carried-forward
+    file references, delete rewrites) preserves EXACTLY the right rows
+    at every point in history. Reads resolve one json manifest and then
+    scan only that snapshot's files; no directory listing anywhere."""
+    from functools import reduce
+
+    from vectorflow_spark.sources.table import table_read
+
+    root = _table_fixture_dir(spark, sf_dir)
+    frames = [
+        table_read(spark, root, snapshot=sid).agg(
+            F.lit(sid).alias("snapshot_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        # agg puts the lit first only if grouped; re-select for stable order
+        .select("snapshot_id", "n_rows", "sum_price")
+        for sid in (1, 2, 3, 4)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@query(
+    "q_table_prune_read",
+    f"""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE ({_TBL_SNAP_SQL[4]}) AND o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q_table_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side scan planning: read the current snapshot with a
+    key-range predicate that prunes files by their footer-harvested
+    min/max BEFORE Spark lists or opens anything, then apply the exact
+    row filter. The oracle recomputes the same rows from orders — the
+    match proves pruning never drops a matching file (conservative
+    bounds), while tests/test_table.py asserts it does skip
+    non-overlapping ones. At a year-sized table this is the difference
+    between opening 4 files and 4000."""
+    from vectorflow_spark.sources.table import table_read
+
+    root = _table_fixture_dir(spark, sf_dir)
+    df = table_read(
+        spark, root, predicates=[("o_orderkey", "between", (1000, 2000))]
+    )
+    return df.filter("o_orderkey BETWEEN 1000 AND 2000").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )

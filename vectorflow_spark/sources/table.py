@@ -1,0 +1,364 @@
+"""vf_table: a snapshot-isolation table format over parquet files.
+
+What Iceberg/Delta exist for, re-expressed minimally: at 100 TB a
+"table" cannot be a directory listing — readers racing writers see
+partial file sets, deletes need tombstones or rewrites, and scan
+planning must skip files without opening them. The fix is the same in
+every modern table format, and here:
+
+* the ONLY source of truth is an immutable snapshot manifest committed
+  atomically (write-temp + os.replace, the sinks/writers.py discipline);
+  a reader that resolved snapshot N keeps seeing exactly N's file set
+  no matter what commits land meanwhile — snapshot isolation for free,
+  and time travel is just resolving an older id;
+* every manifest entry carries per-column min/max harvested from the
+  parquet footers BY OUR OWN parser (parquetmini.footer_meta_rows), so
+  scan planning prunes files manifest-side before Spark ever lists or
+  opens them — the Iceberg scan-planning win, and a standing pin of our
+  footer reader against Spark's writer;
+* deletes are copy-on-write: rewrite only the files whose stats overlap
+  the predicate, carry every other file forward untouched;
+* compaction bin-packs small files into target-sized ones in a new
+  snapshot with identical rows — the answer to streaming ingest's
+  small-file problem.
+
+The manifest here is ONE json document; at production scale the same
+structure shards into a manifest file per snapshot plus a tiny pointer
+(exactly Iceberg's metadata.json -> manifest-list indirection) without
+changing any semantics below. Writers use optimistic concurrency: a
+commit records the snapshot id it built on and refuses if the current
+id moved (the caller retries on ConflictError).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "ConflictError",
+    "table_create",
+    "table_append",
+    "table_delete_where",
+    "table_compact",
+    "table_read",
+    "table_snapshots",
+    "table_files",
+    "plan_files",
+]
+
+_META_DIR = "_vf_meta"
+_MANIFEST = "snapshots.json"
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed since this operation resolved its base
+    snapshot. Re-read and retry."""
+
+
+# ---------------------------------------------------------------------------
+# Manifest
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, _META_DIR, _MANIFEST)
+
+
+def _read_manifest(root: str) -> dict[str, Any]:
+    with open(_manifest_path(root)) as f:
+        return json.load(f)
+
+
+def _commit(root: str, manifest: dict[str, Any], expected_parent: int | None) -> None:
+    """Atomic manifest replace with an optimistic-concurrency check: the
+    check re-reads the CURRENT manifest immediately before the rename, so
+    two writers that both built on snapshot N cannot both land (one sees
+    current != N and raises). Not a distributed lock — on a real object
+    store this is the compare-and-swap the catalog provides — but the
+    single-host semantics match."""
+    path = _manifest_path(root)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if expected_parent is not None and os.path.exists(path):
+        cur = _read_manifest(root)["current"]
+        if cur != expected_parent:
+            raise ConflictError(
+                f"table moved to snapshot {cur} (expected {expected_parent})"
+            )
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, path)
+
+
+def table_snapshots(root: str) -> list[dict[str, Any]]:
+    """Snapshot metadata, ascending by id (file entries included)."""
+    return sorted(_read_manifest(root)["snapshots"], key=lambda s: s["id"])
+
+
+def _resolve(root: str, snapshot: int | None) -> dict[str, Any]:
+    m = _read_manifest(root)
+    sid = m["current"] if snapshot is None else snapshot
+    for s in m["snapshots"]:
+        if s["id"] == sid:
+            return s
+    raise KeyError(f"snapshot {sid} not found (have {[s['id'] for s in m['snapshots']]})")
+
+
+def table_files(root: str, snapshot: int | None = None) -> list[dict[str, Any]]:
+    """File entries (path, rows, bytes, stats) of a snapshot."""
+    return list(_resolve(root, snapshot)["files"])
+
+
+# ---------------------------------------------------------------------------
+# Data-file staging + stats harvest
+# ---------------------------------------------------------------------------
+
+
+def _harvest_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
+    """(rows, {column: [min, max]}) from the parquet footer via our own
+    parser. Bounds merge across row groups; a column missing either bound
+    in ANY row group gets no entry (pruning must stay conservative).
+    Binary payload columns produce byte bounds — json-unfriendly — so
+    non-scalar stats are dropped."""
+    from vectorflow_spark.sources.parquetmini import footer_meta_rows, read_file_meta
+
+    meta = read_file_meta(path)
+    rows = sum(rg["num_rows"] for rg in meta["row_groups"])
+    bounds: dict[str, list[Any]] = {}
+    dropped: set[str] = set()
+    for r in footer_meta_rows(path, meta):
+        col = r["path_in_schema"]
+        mn, mx = r["stats_min"], r["stats_max"]
+        if (
+            col in dropped
+            or mn is None
+            or mx is None
+            or not isinstance(mn, (int, float, str))
+            or not isinstance(mx, (int, float, str))
+            or isinstance(mn, bool)
+        ):
+            bounds.pop(col, None)
+            dropped.add(col)
+            continue
+        if col not in bounds:
+            bounds[col] = [mn, mx]
+        else:
+            bounds[col][0] = min(bounds[col][0], mn)
+            bounds[col][1] = max(bounds[col][1], mx)
+    return rows, bounds
+
+
+def _stage_dataframe(df: DataFrame, root: str, sid: int) -> list[dict[str, Any]]:
+    """Write ``df`` as parquet into a staging dir, move the part files to
+    data/ under collision-free names, harvest per-file stats. Files enter
+    the table ONLY via the subsequent manifest commit — a crash here
+    leaves unreferenced files that any later writer may GC, never a
+    corrupt table."""
+    staging = os.path.join(root, f".staged-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries: list[dict[str, Any]] = []
+    n = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(data_dir, f"s{sid:05d}-{n:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        os.replace(os.path.join(staging, name), dst)
+        rows, stats = _harvest_stats(dst)
+        entries.append(
+            {
+                "path": os.path.relpath(dst, root),
+                "rows": rows,
+                "bytes": os.path.getsize(dst),
+                "stats": stats,
+            }
+        )
+        n += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# Operations (each = stage files, then one atomic manifest commit)
+# ---------------------------------------------------------------------------
+
+
+def table_create(df: DataFrame, root: str) -> int:
+    """Create a table at ``root`` from ``df``; returns snapshot id 1."""
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(_manifest_path(root)):
+        raise FileExistsError(f"table already exists at {root}")
+    files = _stage_dataframe(df, root, 1)
+    _commit(
+        root,
+        {
+            "format_version": 1,
+            "current": 1,
+            "snapshots": [{"id": 1, "parent": None, "operation": "create", "files": files}],
+        },
+        expected_parent=None,
+    )
+    return 1
+
+
+def _next(root: str) -> tuple[dict[str, Any], dict[str, Any], int]:
+    m = _read_manifest(root)
+    base = _resolve(root, None)
+    return m, base, m["current"] + 1
+
+
+def table_append(df: DataFrame, root: str) -> int:
+    """Append rows in a new snapshot (base files carried forward)."""
+    m, base, sid = _next(root)
+    files = base["files"] + _stage_dataframe(df, root, sid)
+    m["snapshots"].append(
+        {"id": sid, "parent": base["id"], "operation": "append", "files": files}
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def _overlaps(stats: dict[str, list[Any]], pred: tuple[str, str, Any]) -> bool:
+    """Could a file with ``stats`` contain rows matching ``pred``?
+    Conservative: unknown column/stats -> True."""
+    col, op, val = pred
+    b = stats.get(col)
+    if b is None:
+        return True
+    lo, hi = b
+    if op == "=":
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "between":
+        vlo, vhi = val
+        return not (hi < vlo or lo > vhi)
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+def plan_files(
+    root: str,
+    predicates: list[tuple[str, str, Any]] | None = None,
+    snapshot: int | None = None,
+) -> tuple[list[dict[str, Any]], int]:
+    """Manifest-side scan planning: (surviving file entries, pruned
+    count). A file survives only if EVERY predicate may match its
+    bounds."""
+    files = table_files(root, snapshot)
+    if not predicates:
+        return files, 0
+    keep = [
+        f for f in files if all(_overlaps(f["stats"], p) for p in predicates)
+    ]
+    return keep, len(files) - len(keep)
+
+
+def table_read(
+    spark: SparkSession,
+    root: str,
+    snapshot: int | None = None,
+    predicates: list[tuple[str, str, Any]] | None = None,
+) -> DataFrame:
+    """Read a snapshot (default: current), manifest-pruned by
+    ``predicates``. NOTE: predicates only PRUNE FILES — they are bounds
+    filters, not row filters; apply the exact row filter on the returned
+    frame (files may contain non-matching rows). An empty survivor set
+    returns an empty frame with the table's schema (taken from any file
+    of the snapshot)."""
+    keep, _ = plan_files(root, predicates, snapshot)
+    all_files = table_files(root, snapshot)
+    if not all_files:
+        raise ValueError("empty table snapshot with no schema source")
+    if not keep:
+        any_file = os.path.join(root, all_files[0]["path"])
+        return spark.read.parquet(any_file).limit(0)
+    return spark.read.parquet(*[os.path.join(root, f["path"]) for f in keep])
+
+
+def table_delete_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    predicates: list[tuple[str, str, Any]] | None = None,
+) -> int:
+    """Copy-on-write delete: rows matching the SQL ``condition`` leave
+    the table in a new snapshot. Only files whose stats overlap
+    ``predicates`` (derived from the condition by the caller; defaults
+    to all files) are rewritten — every other file is carried forward
+    BY REFERENCE, the property that makes a delete of one day's rows
+    from a year-sized table touch 1/365th of it. Rewritten files that
+    end empty are dropped."""
+    m, base, sid = _next(root)
+    touch, _ = plan_files(root, predicates)
+    touch_paths = {f["path"] for f in touch}
+    carried = [f for f in base["files"] if f["path"] not in touch_paths]
+    new_entries: list[dict[str, Any]] = []
+    if touch:
+        src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in touch])
+        remaining = src.filter(f"NOT ({condition})")
+        new_entries = _stage_dataframe(remaining, root, sid)
+        new_entries = [e for e in new_entries if e["rows"] > 0]
+    m["snapshots"].append(
+        {
+            "id": sid,
+            "parent": base["id"],
+            "operation": "delete",
+            "condition": condition,
+            "files": carried + new_entries,
+        }
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def table_compact(spark: SparkSession, root: str, target_bytes: int) -> int:
+    """Bin-pack small files into ~target-sized ones in a new snapshot
+    with identical rows. Greedy first-fit over the manifest ordering:
+    files >= target carry forward untouched; runs of small files whose
+    cumulative size reaches the target rewrite as ONE file each. The
+    streaming-ingest answer: a thousand 1 MB micro-batch files become
+    a handful of scan-efficient ones, atomically, without blocking
+    readers (they keep their resolved snapshot)."""
+    m, base, sid = _next(root)
+    carried = [f for f in base["files"] if f["bytes"] >= target_bytes]
+    small = [f for f in base["files"] if f["bytes"] < target_bytes]
+    groups: list[list[dict[str, Any]]] = []
+    cur: list[dict[str, Any]] = []
+    size = 0
+    for f in small:
+        cur.append(f)
+        size += f["bytes"]
+        if size >= target_bytes:
+            groups.append(cur)
+            cur, size = [], 0
+    if cur:
+        groups.append(cur)
+    new_entries: list[dict[str, Any]] = []
+    for g in groups:
+        if len(g) == 1:
+            carried.append(g[0])
+            continue
+        src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in g])
+        new_entries.extend(_stage_dataframe(src.coalesce(1), root, sid))
+    m["snapshots"].append(
+        {"id": sid, "parent": base["id"], "operation": "compact", "files": carried + new_entries}
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
