@@ -145,3 +145,79 @@ def test_stats_match_own_footer_parser(spark, root):
     assert f["stats"]["k"] == [7, 52]
     assert f["stats"]["v"] == [70, 520]
     assert f["rows"] == 46
+
+
+# --- merge / txn append / streaming sink ---
+
+
+def test_merge_updates_and_inserts(spark, root):
+    from vectorflow_spark.sources.table import table_merge
+
+    table_create(_df(spark, 0, 100).coalesce(1), root)
+    table_append(_df(spark, 100, 200).coalesce(1), root)
+    # merge 1: updates confined to keys 10..19 — the 100..199 file lies
+    # outside the update key range, so it must carry forward BY REFERENCE
+    ups = spark.range(10, 20).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    table_merge(spark, root, ups, "k")
+    rows = {r.k: r.v for r in table_read(spark, root).collect()}
+    assert len(rows) == 200
+    assert all(rows[k] == -1 for k in range(10, 20))
+    assert rows[5] == 50 and rows[150] == 1500  # untouched
+    paths = {f["path"] for f in table_files(root)}
+    prev = {f["path"] for f in table_files(root, snapshot=2)}
+    assert prev & paths, "file outside the update key range must carry by reference"
+    # merge 2: pure inserts (new keys) appear alongside everything else
+    ins = spark.range(500, 505).select(F.col("id").alias("k"), F.lit(-2).alias("v"))
+    table_merge(spark, root, ins, "k")
+    rows = {r.k: r.v for r in table_read(spark, root).collect()}
+    assert len(rows) == 205
+    assert all(rows[k] == -2 for k in range(500, 505))
+    assert all(rows[k] == -1 for k in range(10, 20))
+
+
+def test_txn_append_is_idempotent(spark, root):
+    from vectorflow_spark.sources.table import committed_txns, table_append_txn
+
+    table_create(_df(spark, 0, 10), root)
+    s = table_append_txn(_df(spark, 10, 20), root, "batch-7")
+    assert s == 2
+    # replay: same txn token -> no-op, no double rows
+    assert table_append_txn(_df(spark, 10, 20), root, "batch-7") is None
+    assert table_read(spark, root).count() == 20
+    assert committed_txns(root) == {"batch-7"}
+
+
+def test_streaming_sink_exactly_once_with_compaction(spark, tmp_path):
+    import json as _json
+
+    from vectorflow_spark.sources.table import (
+        streaming_table_sink,
+        table_files,
+        table_read,
+        table_snapshots,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for fno in range(4):
+        with open(inp / f"f{fno}.json", "w") as f:
+            for i in range(25):
+                f.write(_json.dumps({"k": fno * 25 + i, "v": i}) + "\n")
+    root = str(tmp_path / "stbl")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = streaming_table_sink(stream, root, str(tmp_path / "ckpt"), compact_every=2)
+    q.awaitTermination(120)
+    assert table_read(spark, root).count() == 100
+    ops = [s["operation"] for s in table_snapshots(root)]
+    assert ops[0] == "create" and "compact" in ops
+    # replayed batch id -> absorbed by the txn token
+    from vectorflow_spark.sources.table import table_append_txn
+
+    assert table_append_txn(
+        spark.read.schema("k long, v long").json(str(inp / "f1.json")), root, "stream-batch-1"
+    ) is None
+    assert table_read(spark, root).count() == 100

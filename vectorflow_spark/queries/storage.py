@@ -1235,13 +1235,14 @@ def q_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vf_table snapshot gates (sources/table.py)
 # ---------------------------------------------------------------------------
 
-_TBLFIX_REV = 1
+_TBLFIX_REV = 2
 
 
 def _table_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once vf_table over orders with a 4-snapshot history:
     create (keys%4==0) -> append (%4 in 1,2) -> copy-on-write delete
-    (o_totalprice > 400000) -> append (%4==3). Every snapshot's content
+    (o_totalprice > 400000) -> append (%4==3) -> merge (upsert every
+    key%20==0 with a sentinel price/status). Every snapshot's content
     is reconstructable in pure SQL from the orders table, which is what
     makes the time-travel gate oracle-able. Appends are range-
     repartitioned on o_orderkey so file stats have narrow key ranges and
@@ -1274,6 +1275,18 @@ def _table_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         spark, out_dir, "o_totalprice > 400000", predicates=[("o_totalprice", ">", 400000.0)]
     )
     table_append(part(3), out_dir)
+    # snapshot 5: copy-on-write MERGE — every key % 20 == 0 upserted with
+    # a sentinel price/status (updates existing rows AND re-inserts keys
+    # the snapshot-3 delete removed)
+    from vectorflow_spark.sources.table import table_merge
+
+    ups = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(123.45).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    table_merge(spark, out_dir, ups, "o_orderkey")
     with open(marker, "w", encoding="utf-8") as f:
         f.write("built by _table_fixture_dir\n")
     return out_dir
@@ -1348,8 +1361,47 @@ def q_table_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _table_fixture_dir(spark, sf_dir)
     df = table_read(
-        spark, root, predicates=[("o_orderkey", "between", (1000, 2000))]
+        spark, root, snapshot=4, predicates=[("o_orderkey", "between", (1000, 2000))]
     )
     return df.filter("o_orderkey BETWEEN 1000 AND 2000").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+@query(
+    "q_table_merge_read",
+    f"""
+    WITH s5 AS (
+        SELECT o_orderkey, o_custkey, 123.45 AS o_totalprice, 'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE ({_TBL_SNAP_SQL[4]}) AND o_orderkey % 20 <> 0
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM s5 GROUP BY 1
+    """,
+)
+def q_table_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE verified end-to-end: snapshot 5 upserts every
+    key%20==0 order with a sentinel price/status — updating rows present
+    in snapshot 4 AND re-inserting keys the snapshot-3 delete removed.
+    The oracle reconstructs the post-merge content directly from orders
+    (updates-first union with the anti-set), so the hash match proves the
+    merge's anti-join + file carry logic loses nothing and doubles
+    nothing. Only files whose key bounds overlap the update range were
+    rewritten; the rest carry by reference (tests/test_table.py)."""
+    from vectorflow_spark.sources.table import table_read
+
+    root = _table_fixture_dir(spark, sf_dir)
+    return (
+        table_read(spark, root, snapshot=5)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
     )

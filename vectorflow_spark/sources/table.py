@@ -46,6 +46,10 @@ __all__ = [
     "table_append",
     "table_delete_where",
     "table_compact",
+    "table_merge",
+    "table_append_txn",
+    "committed_txns",
+    "streaming_table_sink",
     "table_read",
     "table_snapshots",
     "table_files",
@@ -362,3 +366,109 @@ def table_compact(spark: SparkSession, root: str, target_bytes: int) -> int:
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
+
+
+def table_merge(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_col: str,
+) -> int:
+    """Copy-on-write MERGE (upsert by key): rows of ``updates`` replace
+    same-key rows and append new keys, in one new snapshot. Only files
+    whose key bounds overlap the update key range are rewritten (matched
+    rows dropped there); every other file carries forward by reference.
+    The update set is assumed snapshot-sized relative to the table — the
+    CDC-ingest shape — so the anti-join inside the rewrite runs with the
+    update keys broadcast."""
+    from pyspark.sql import functions as F
+
+    m, base, sid = _next(root)
+    bounds = updates.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        raise ValueError("empty update set")
+    touch, _ = plan_files(root, [(key_col, "between", (bounds.lo, bounds.hi))])
+    touch_paths = {f["path"] for f in touch}
+    carried = [f for f in base["files"] if f["path"] not in touch_paths]
+    keys = updates.select(key_col).distinct()
+    parts = [updates]
+    if touch:
+        src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in touch])
+        parts.append(src.join(F.broadcast(keys), key_col, "left_anti"))
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    new_entries = [e for e in _stage_dataframe(merged, root, sid) if e["rows"] > 0]
+    m["snapshots"].append(
+        {
+            "id": sid,
+            "parent": base["id"],
+            "operation": "merge",
+            "key": key_col,
+            "files": carried + new_entries,
+        }
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def committed_txns(root: str) -> set[str]:
+    """Transaction ids already committed into the table (streaming
+    exactly-once bookkeeping)."""
+    return {
+        s["txn"] for s in _read_manifest(root)["snapshots"] if s.get("txn") is not None
+    }
+
+
+def table_append_txn(df: DataFrame, root: str, txn: str) -> int | None:
+    """Append with an idempotency token: if a snapshot carrying ``txn``
+    is already committed, do NOTHING and return None — the replayed
+    micro-batch of an at-least-once stream cannot double its rows. This
+    is the Delta/Iceberg streaming-sink pattern (txn version in the
+    commit), done here by recording the token in the snapshot record;
+    the check and the commit race safely because the manifest CAS
+    (expected_parent) forces the loser to re-read, at which point the
+    token is visible."""
+    if os.path.exists(_manifest_path(root)) and txn in committed_txns(root):
+        return None
+    m, base, sid = _next(root)
+    files = base["files"] + _stage_dataframe(df, root, sid)
+    m["snapshots"].append(
+        {"id": sid, "parent": base["id"], "operation": "append", "txn": txn, "files": files}
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def streaming_table_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+    target_bytes: int = 128 * 1024 * 1024,
+):
+    """Exactly-once streaming ingestion into a vf_table: each micro-batch
+    appends one snapshot keyed by its batch id (table_append_txn), so
+    at-least-once replay after a crash is absorbed by the idempotency
+    token instead of double-writing. With ``compact_every`` > 0, every
+    N-th batch also bin-packs the accumulated micro-batch files — the
+    maintenance loop that keeps a streaming table scan-efficient without
+    ever blocking readers (they hold their resolved snapshots)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(_manifest_path(root)):
+            table_create(batch_df, root)
+            return
+        sid = table_append_txn(batch_df, root, f"stream-batch-{batch_id}")
+        if sid is not None and compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            table_compact(spark, root, target_bytes)
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
