@@ -221,3 +221,55 @@ def test_streaming_sink_exactly_once_with_compaction(spark, tmp_path):
         spark.read.schema("k long, v long").json(str(inp / "f1.json")), root, "stream-batch-1"
     ) is None
     assert table_read(spark, root).count() == 100
+
+
+# --- clustering / snapshot expiry ---
+
+
+def test_cluster_tightens_pruning_on_both_columns(spark, root):
+    from vectorflow_spark.sources.table import table_cluster
+
+    # ingest order scatters k2: every file spans the whole k2 range
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k1"), ((F.col("id") * 2654435761) % 4096).alias("k2")
+    )
+    table_create(df.repartition(8), root)
+    before_k2 = plan_files(root, [("k2", "between", (0, 63))])[1]
+    assert before_k2 == 0  # nothing prunable: hash-scattered ingest
+    table_cluster(spark, root, ["k1", "k2"], n_files=8)
+    # after z-order clustering, a narrow predicate on EITHER column prunes
+    _, pruned_k1 = plan_files(root, [("k1", "between", (0, 63))])
+    _, pruned_k2 = plan_files(root, [("k2", "between", (0, 63))])
+    assert pruned_k1 >= 4 and pruned_k2 >= 4
+    # content identical
+    got = sorted(r.k1 for r in table_read(spark, root).collect())
+    assert got == list(range(4096))
+
+
+def test_expire_snapshots_gc_and_history_bound(spark, root):
+    from vectorflow_spark.sources.table import table_expire_snapshots
+
+    table_create(_df(spark, 0, 50).coalesce(1), root)
+    table_append(_df(spark, 50, 100).coalesce(1), root)
+    table_delete_where(spark, root, "k < 25", predicates=[("k", "<", 25)])
+    n_data = len(os.listdir(os.path.join(root, "data")))
+    expired, removed = table_expire_snapshots(root, keep=1)
+    assert expired == [1, 2]
+    # snapshot 1's original 0..49 file was rewritten by the delete -> gone
+    assert removed >= 1
+    assert len(os.listdir(os.path.join(root, "data"))) == n_data - removed
+    # current snapshot unaffected; deep time travel now refuses
+    assert table_read(spark, root).count() == 75
+    with pytest.raises(KeyError):
+        table_read(spark, root, snapshot=1)
+
+
+def test_expire_gc_spares_all_referenced_files(spark, root):
+    from vectorflow_spark.sources.table import table_expire_snapshots
+
+    table_create(_df(spark, 0, 40).coalesce(1), root)
+    table_append(_df(spark, 40, 80).coalesce(1), root)
+    # keep both snapshots: nothing may be deleted
+    expired, removed = table_expire_snapshots(root, keep=2)
+    assert expired == [] and removed == 0
+    assert table_read(spark, root, snapshot=1).count() == 40

@@ -46,6 +46,8 @@ __all__ = [
     "table_append",
     "table_delete_where",
     "table_compact",
+    "table_cluster",
+    "table_expire_snapshots",
     "table_merge",
     "table_append_txn",
     "committed_txns",
@@ -472,3 +474,74 @@ def streaming_table_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def table_cluster(
+    spark: SparkSession,
+    root: str,
+    cluster_by: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> int:
+    """Clustering rewrite: re-sort the CURRENT snapshot's rows by the
+    Z-order interleave of ``cluster_by`` (operators/layout.zvalue) into
+    ``n_files`` range-partitioned files. Z-ordering makes every listed
+    column's per-file min/max range narrow simultaneously, so manifest
+    pruning (plan_files) discards files for predicates on ANY clustered
+    column — the reason Delta/Iceberg OPTIMIZE ZORDER exists. One full
+    rewrite of the snapshot (the maintenance job a table pays rarely,
+    after ingest order has scattered its keys); readers keep their
+    resolved snapshots throughout."""
+    from vectorflow_spark.operators.layout import zvalue
+
+    m, base, sid = _next(root)
+    if not base["files"]:
+        raise ValueError("cannot cluster an empty snapshot")
+    src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in base["files"]])
+    ordered = (
+        src.withColumn("_z", zvalue(cluster_by, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    new_entries = [e for e in _stage_dataframe(ordered, root, sid) if e["rows"] > 0]
+    m["snapshots"].append(
+        {
+            "id": sid,
+            "parent": base["id"],
+            "operation": "cluster",
+            "cluster_by": list(cluster_by),
+            "files": new_entries,
+        }
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def table_expire_snapshots(root: str, keep: int) -> tuple[list[int], int]:
+    """Retention: drop all but the newest ``keep`` snapshots from the
+    manifest and DELETE data files no surviving snapshot references —
+    the vacuum that bounds a long-lived table's storage at the cost of
+    deep time travel. Returns (expired snapshot ids, files removed).
+    The manifest commit lands BEFORE any file is unlinked: a crash
+    between the two leaves unreferenced files (re-vacuumable), never a
+    manifest pointing at missing data. Also GCs orphaned files in
+    data/ that no snapshot ever referenced (crashed stagings)."""
+    m = _read_manifest(root)
+    snaps = sorted(m["snapshots"], key=lambda s: s["id"])
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    kept, expired = snaps[-keep:], snaps[:-keep]
+    live = {f["path"] for s in kept for f in s["files"]}
+    m["snapshots"] = kept
+    _commit(root, m, expected_parent=m["current"])
+    removed = 0
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join("data", name)
+            if rel not in live:
+                os.unlink(os.path.join(data_dir, name))
+                removed += 1
+    return [s["id"] for s in expired], removed
