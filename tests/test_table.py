@@ -273,3 +273,63 @@ def test_expire_gc_spares_all_referenced_files(spark, root):
     expired, removed = table_expire_snapshots(root, keep=2)
     assert expired == [] and removed == 0
     assert table_read(spark, root, snapshot=1).count() == 40
+
+
+# --- schema evolution / incremental changes ---
+
+
+def test_add_column_is_metadata_only_and_reads_null_backfilled(spark, root):
+    from vectorflow_spark.sources.table import (
+        table_add_column,
+        table_read_evolved,
+    )
+
+    table_create(_df(spark, 0, 10).coalesce(1), root)
+    files_before = {f["path"] for f in table_files(root)}
+    table_add_column(root, "score", "double")
+    assert {f["path"] for f in table_files(root)} == files_before  # no rewrite
+    # old rows read the new column as typed NULL
+    df = table_read_evolved(spark, root)
+    assert dict(df.dtypes)["score"] == "double"
+    assert df.filter("score IS NULL").count() == 10
+    # new appends carry values; old files still backfill
+    table_append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit(0.5).alias("score"),
+        ),
+        root,
+    )
+    df = table_read_evolved(spark, root)
+    assert df.count() == 15
+    assert df.filter("score IS NULL").count() == 10
+    assert df.filter("score = 0.5").count() == 5
+    # duplicate add refuses
+    with pytest.raises(ValueError):
+        table_add_column(root, "score", "double")
+
+
+def test_changes_between_append_snapshots(spark, root):
+    from vectorflow_spark.sources.table import table_changes
+
+    table_create(_df(spark, 0, 10).coalesce(1), root)
+    table_append(_df(spark, 10, 30).coalesce(1), root)
+    table_append(_df(spark, 30, 35).coalesce(1), root)
+    got = sorted(r.k for r in table_changes(spark, root, from_snapshot=1).collect())
+    assert got == list(range(10, 35))
+    got2 = sorted(r.k for r in table_changes(spark, root, 2, 3).collect())
+    assert got2 == list(range(30, 35))
+    assert table_changes(spark, root, 3, 3).count() == 0
+
+
+def test_changes_refuse_across_rewrites(spark, root):
+    from vectorflow_spark.sources.table import table_changes
+
+    table_create(_df(spark, 0, 10).coalesce(1), root)
+    table_delete_where(spark, root, "k < 3", predicates=[("k", "<", 3)])
+    table_append(_df(spark, 10, 12).coalesce(1), root)
+    with pytest.raises(ValueError, match="rewrite"):
+        table_changes(spark, root, from_snapshot=1)
+    # a range that skips the rewrite is fine
+    got = sorted(r.k for r in table_changes(spark, root, 2, 3).collect())
+    assert got == [10, 11]

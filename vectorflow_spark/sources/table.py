@@ -53,6 +53,9 @@ __all__ = [
     "committed_txns",
     "streaming_table_sink",
     "table_read",
+    "table_read_evolved",
+    "table_add_column",
+    "table_changes",
     "table_snapshots",
     "table_files",
     "plan_files",
@@ -221,13 +224,26 @@ def _next(root: str) -> tuple[dict[str, Any], dict[str, Any], int]:
     return m, base, m["current"] + 1
 
 
+def _snap(
+    sid: int, base: dict[str, Any], operation: str, files: list, **extra: Any
+) -> dict[str, Any]:
+    """New snapshot record. Schema evolution (added_columns) is TABLE
+    state, not per-snapshot state — every snapshot inherits it from its
+    parent (an append after an add_column must not lose the column;
+    regression-tested)."""
+    rec: dict[str, Any] = {"id": sid, "parent": base["id"], "operation": operation, "files": files}
+    inherited = base.get("added_columns")
+    if inherited:
+        rec["added_columns"] = dict(inherited)
+    rec.update(extra)
+    return rec
+
+
 def table_append(df: DataFrame, root: str) -> int:
     """Append rows in a new snapshot (base files carried forward)."""
     m, base, sid = _next(root)
     files = base["files"] + _stage_dataframe(df, root, sid)
-    m["snapshots"].append(
-        {"id": sid, "parent": base["id"], "operation": "append", "files": files}
-    )
+    m["snapshots"].append(_snap(sid, base, "append", files))
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -320,13 +336,7 @@ def table_delete_where(
         new_entries = _stage_dataframe(remaining, root, sid)
         new_entries = [e for e in new_entries if e["rows"] > 0]
     m["snapshots"].append(
-        {
-            "id": sid,
-            "parent": base["id"],
-            "operation": "delete",
-            "condition": condition,
-            "files": carried + new_entries,
-        }
+        _snap(sid, base, "delete", carried + new_entries, condition=condition)
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -362,9 +372,7 @@ def table_compact(spark: SparkSession, root: str, target_bytes: int) -> int:
             continue
         src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in g])
         new_entries.extend(_stage_dataframe(src.coalesce(1), root, sid))
-    m["snapshots"].append(
-        {"id": sid, "parent": base["id"], "operation": "compact", "files": carried + new_entries}
-    )
+    m["snapshots"].append(_snap(sid, base, "compact", carried + new_entries))
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -402,13 +410,7 @@ def table_merge(
     merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     new_entries = [e for e in _stage_dataframe(merged, root, sid) if e["rows"] > 0]
     m["snapshots"].append(
-        {
-            "id": sid,
-            "parent": base["id"],
-            "operation": "merge",
-            "key": key_col,
-            "files": carried + new_entries,
-        }
+        _snap(sid, base, "merge", carried + new_entries, key=key_col)
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -436,9 +438,7 @@ def table_append_txn(df: DataFrame, root: str, txn: str) -> int | None:
         return None
     m, base, sid = _next(root)
     files = base["files"] + _stage_dataframe(df, root, sid)
-    m["snapshots"].append(
-        {"id": sid, "parent": base["id"], "operation": "append", "txn": txn, "files": files}
-    )
+    m["snapshots"].append(_snap(sid, base, "append", files, txn=txn))
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -506,13 +506,7 @@ def table_cluster(
     )
     new_entries = [e for e in _stage_dataframe(ordered, root, sid) if e["rows"] > 0]
     m["snapshots"].append(
-        {
-            "id": sid,
-            "parent": base["id"],
-            "operation": "cluster",
-            "cluster_by": list(cluster_by),
-            "files": new_entries,
-        }
+        _snap(sid, base, "cluster", new_entries, cluster_by=list(cluster_by))
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -545,3 +539,84 @@ def table_expire_snapshots(root: str, keep: int) -> tuple[list[int], int]:
                 os.unlink(os.path.join(data_dir, name))
                 removed += 1
     return [s["id"] for s in expired], removed
+
+
+def table_add_column(root: str, name: str, sql_type: str) -> int:
+    """Metadata-only schema evolution: record a new nullable column in a
+    new snapshot — NO data file is touched (the Iceberg add-column
+    semantics: existing rows read the column as NULL, files written
+    before the change never rewrite). The read path honors the recorded
+    evolution by schema-merging old files with the backfilled null
+    column; type widening/renames are out of scope (they need column
+    ids, which this single-json manifest deliberately omits)."""
+    m, base, sid = _next(root)
+    cols = dict(base.get("added_columns") or {})
+    if name in cols:
+        raise ValueError(f"column {name!r} already added")
+    cols[name] = sql_type
+    m["snapshots"].append(
+        _snap(sid, base, "add_column", base["files"], added_columns=cols)
+    )
+    m["current"] = sid
+    _commit(root, m, expected_parent=base["id"])
+    return sid
+
+
+def table_read_evolved(
+    spark: SparkSession, root: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read a snapshot under its recorded schema evolution: files written
+    before an add_column surface the new column as typed NULLs, files
+    written after carry their values — one mergeSchema read plus typed
+    null backfill for columns absent everywhere."""
+    from pyspark.sql import functions as F
+
+    snap = _resolve(root, snapshot)
+    files = snap["files"]
+    if not files:
+        raise ValueError("empty table snapshot")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f["path"]) for f in files]
+    )
+    for name, sql_type in (snap.get("added_columns") or {}).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(sql_type))
+    return df
+
+
+def table_changes(
+    spark: SparkSession, root: str, from_snapshot: int, to_snapshot: int | None = None
+) -> DataFrame:
+    """Incremental read: rows ADDED between two snapshots — the files
+    present in ``to`` but not in ``from`` — the change feed a downstream
+    incremental pipeline tails instead of re-reading the table.
+
+    Exact for append-shaped history (create/append/merge inserts land in
+    new files). A rewrite operation (delete/compact/cluster/merge-update)
+    between the snapshots copies PRE-EXISTING rows into new files, where
+    a file-level diff would re-emit them as adds — silently wrong for a
+    consumer — so any such snapshot in the range raises instead
+    (row-level change tracking needs per-row lineage this format does
+    not carry; Delta's CDF writes explicit change files for the same
+    reason)."""
+    m = _read_manifest(root)
+    to_id = m["current"] if to_snapshot is None else to_snapshot
+    if to_id < from_snapshot:
+        raise ValueError(f"to_snapshot {to_id} < from_snapshot {from_snapshot}")
+    rewriting = [
+        s["id"]
+        for s in m["snapshots"]
+        if from_snapshot < s["id"] <= to_id
+        and s["operation"] not in ("append", "create")
+    ]
+    if rewriting:
+        raise ValueError(
+            f"snapshots {rewriting} rewrite files; file-level diff would "
+            "re-emit pre-existing rows as adds — not a valid change feed"
+        )
+    old = {f["path"] for f in table_files(root, from_snapshot)}
+    new_files = [f for f in table_files(root, to_id) if f["path"] not in old]
+    if not new_files:
+        any_file = table_files(root, to_id)[0]["path"]
+        return spark.read.parquet(os.path.join(root, any_file)).limit(0)
+    return spark.read.parquet(*[os.path.join(root, f["path"]) for f in new_files])
