@@ -338,3 +338,78 @@ class TestAvroDirProvider:
         )
         assert sorted(r.doc_id for r in df.collect()) == [1, 2, 3]
         assert all(r._file.endswith(".avro") for r in df.collect())
+
+
+class TestTableChangesSync:
+    """TableChangesSyncProvider: a vf_table tailed as a change-feed
+    stream — append snapshots arrive exactly once across micro-batches,
+    rewrite snapshots contribute nothing, merges fail loudly."""
+
+    def _mk(self, spark, root, lo, hi):
+        import pyspark.sql.functions as F
+
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1)
+
+    def test_stream_tails_appends_exactly_once(self, sync_spark, tmp_path):
+        from vectorflow_spark.sources.syncsource import TableChangesSyncProvider
+        from vectorflow_spark.sources.table import table_append, table_create
+
+        root = str(tmp_path / "tbl")
+        table_create(self._mk(sync_spark, root, 0, 5), root)
+        prov = TableChangesSyncProvider(root, "k long, v long", ["k", "v"])
+        opt = syncsource.provider_option(prov)
+        seen: list[set] = []
+
+        def sink(df, _bid):
+            seen.append({(r.k, r.v) for r in df.collect()})
+
+        q = (
+            sync_spark.readStream.format("vf_sync")
+            .option("provider", opt)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            table_append(self._mk(sync_spark, root, 5, 9), root)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = set().union(*seen) if seen else set()
+        assert got == {(k, k * 10) for k in range(9)}
+        # no row delivered twice across batches
+        assert sum(len(b) for b in seen) == 9
+
+    def test_rewrites_contribute_nothing_and_merge_raises(self, sync_spark, tmp_path):
+        import pytest as _pytest
+
+        from vectorflow_spark.sources.syncsource import TableChangesSyncProvider
+        from vectorflow_spark.sources.table import (
+            table_compact,
+            table_create,
+            table_delete_where,
+            table_merge,
+        )
+
+        root = str(tmp_path / "tbl2")
+        table_create(self._mk(sync_spark, root, 0, 8), root)
+        table_delete_where(sync_spark, root, "k < 2", predicates=[("k", "<", 2)])
+        table_compact(sync_spark, root, target_bytes=1 << 30)
+        prov = TableChangesSyncProvider(root, "k long, v long", ["k", "v"])
+        items = prov.list_range(None, None)
+        # only the create snapshot's file is in the feed
+        assert len(items) == 1
+        rows = list(prov.fetch(items))
+        assert {(r[0], r[1]) for r in rows} == {(k, k * 10) for k in range(8)}
+        table_merge(
+            sync_spark,
+            root,
+            self._mk(sync_spark, root, 100, 102),
+            "k",
+        )
+        with _pytest.raises(ValueError, match="merge"):
+            prov.list_range(None, None)

@@ -326,3 +326,75 @@ class AvroDirSyncProvider:
                     it["path"],
                     f"{type(e).__name__}: {e}",
                 )
+
+
+class TableChangesSyncProvider:
+    """A vf_table (sources/table.py) as a sync STREAM — tail the table's
+    append-shaped change feed: each committed snapshot's NEW data files
+    become stream items, cursored by ``(snapshot id, file path)`` so a
+    restart resumes exactly where the checkpoint left off and a replayed
+    range re-reads the same immutable files (manifest entries never
+    mutate — the stronger-than-mtime cursor the drop-zone provider has
+    to approximate).
+
+    Change-feed semantics follow table_changes: create/append snapshots
+    contribute their new files; delete/compact/cluster snapshots
+    contribute NOTHING (their new files hold only pre-existing rows — an
+    append-only feed by definition never re-emits them); a merge
+    snapshot RAISES, because its files interleave genuine inserts with
+    copied rows and either emitting or skipping would be silently wrong.
+    Files decode executor-side with the byte-level parquet reader
+    (sources/parquetmini.py), per-file error rows per the A4 contract."""
+
+    def __init__(self, root: str, ddl: str, columns: list[str]):
+        self.root = root
+        self._ddl = ddl
+        self.columns = columns
+
+    def schema(self) -> str:
+        return self._ddl + ", _file string, _error string"
+
+    def list_range(self, after: str | None, upto: str | None) -> list[dict]:
+        import os as _os
+
+        from vectorflow_spark.sources.table import table_snapshots
+
+        out = []
+        prev_files: set[str] = set()
+        for snap in table_snapshots(self.root):
+            paths = {f["path"] for f in snap["files"]}
+            new = sorted(paths - prev_files)
+            prev_files = paths
+            op = snap["operation"]
+            if op in ("delete", "compact", "cluster"):
+                continue  # rewrites: no new rows for an append-only feed
+            if op == "merge" and new:
+                raise ValueError(
+                    f"snapshot {snap['id']} is a merge: its files mix inserts "
+                    "with copied rows — not expressible as an append feed"
+                )
+            for p in new:
+                cursor = f"{snap['id']:010d}/{p}"
+                if (after is None or cursor > after) and (upto is None or cursor <= upto):
+                    out.append({"cursor": cursor, "path": _os.path.join(self.root, p)})
+        return out
+
+    def fetch(self, items: list[dict]):
+        from vectorflow_spark.sources.parquetmini import read_file_meta, read_row_group
+
+        for it in items:
+            try:
+                meta = read_file_meta(it["path"])
+                for rg_id in range(len(meta["row_groups"])):
+                    cols = read_row_group(it["path"], meta, rg_id, self.columns)
+                    n = len(cols[self.columns[0]]) if self.columns else 0
+                    for i in range(n):
+                        yield tuple(cols[c][i] for c in self.columns) + (
+                            it["path"],
+                            None,
+                        )
+            except Exception as e:
+                yield tuple(None for _ in self.columns) + (
+                    it["path"],
+                    f"{type(e).__name__}: {e}",
+                )
