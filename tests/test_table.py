@@ -119,10 +119,10 @@ def test_optimistic_concurrency_conflict(spark, root):
     # writer A resolves base snapshot 1... then writer B commits first
     from vectorflow_spark.sources import table as T
 
-    m, base, sid = T._next(root)
+    m, base, _, sid = T._next(root)
     table_append(_df(spark, 10, 20), root)  # B lands snapshot 2
     m["snapshots"].append(
-        {"id": sid, "parent": base["id"], "operation": "append", "files": base["files"]}
+        {"id": sid, "parent": base["id"], "operation": "append", "added": [], "removed": []}
     )
     m["current"] = sid
     with pytest.raises(ConflictError):
@@ -333,3 +333,123 @@ def test_changes_refuse_across_rewrites(spark, root):
     # a range that skips the rewrite is fine
     got = sorted(r.k for r in table_changes(spark, root, 2, 3).collect())
     assert got == [10, 11]
+
+
+# --- review-pass regression tests (r11 self-review findings) ---
+
+
+def test_streaming_create_batch_replay_is_absorbed(spark, root):
+    """Batch 0 creates the table; its txn token must land in the create
+    snapshot so a replayed first batch no-ops instead of re-appending."""
+    from vectorflow_spark.sources.table import committed_txns, table_append_txn
+
+    table_create(_df(spark, 0, 10), root, txn="stream-batch-0")
+    assert committed_txns(root) == {"stream-batch-0"}
+    assert table_append_txn(_df(spark, 0, 10), root, "stream-batch-0") is None
+    assert table_read(spark, root).count() == 10
+
+
+def test_decimal_columns_get_no_stats(spark, root):
+    """DECIMAL stats surface as unscaled physical ints; keeping them
+    would mis-prune COW deletes/merges — they must be dropped so the
+    column is always-overlapping (conservative)."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).cast("decimal(15,2)").alias("price"),
+    )
+    table_create(df.coalesce(1), root)
+    [f] = table_files(root)
+    assert "price" not in f["stats"]
+    assert f["stats"]["k"] == [0, 9]
+    # and therefore a price predicate prunes nothing
+    keep, pruned = plan_files(root, predicates=[("price", "<", 1)])
+    assert pruned == 0 and len(keep) == 1
+
+
+def test_changes_allowed_across_add_column(spark, root):
+    from vectorflow_spark.sources.table import table_add_column, table_changes
+
+    table_create(_df(spark, 0, 5).coalesce(1), root)
+    table_add_column(root, "score", "double")
+    table_append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit(1.0).alias("score")
+        ).coalesce(1),
+        root,
+    )
+    got = sorted(r.k for r in table_changes(spark, root, from_snapshot=1).collect())
+    assert got == [5, 6, 7]
+
+
+def test_expire_gc_spares_in_flight_staged_files(spark, root):
+    """A concurrent writer moves files into data/ BEFORE its manifest
+    commit under snapshot id current+1; the vacuum must not unlink
+    them."""
+    from vectorflow_spark.sources.table import table_expire_snapshots
+
+    table_create(_df(spark, 0, 10).coalesce(1), root)
+    table_append(_df(spark, 10, 20).coalesce(1), root)
+    inflight = os.path.join(root, "data", "s00003-00000-deadbeef.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"staged-by-in-flight-writer")
+    _, removed = table_expire_snapshots(root, keep=1)
+    assert os.path.exists(inflight), "in-flight staging must survive the vacuum"
+    assert removed == 0  # snapshot 2 references every committed file
+
+
+def test_concurrent_create_cannot_clobber(spark, root):
+    """_commit with expected_parent=None is atomic-exclusive: the loser
+    of a create race gets FileExistsError, never a silent overwrite."""
+    from vectorflow_spark.sources import table as T
+
+    table_create(_df(spark, 0, 5), root)
+    with pytest.raises(FileExistsError):
+        T._commit(root, {"format_version": 1, "current": 1, "snapshots": []}, None)
+    assert table_read(spark, root).count() == 5  # winner intact
+
+
+def test_manifest_stores_deltas_not_cumulative_lists(spark, root):
+    import json
+
+    from vectorflow_spark.sources import table as T
+
+    table_create(_df(spark, 0, 10).coalesce(1), root)
+    for i in range(4):
+        table_append(_df(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(1), root)
+    m = json.load(open(T._manifest_path(root)))
+    snaps = sorted(m["snapshots"], key=lambda s: s["id"])
+    assert "files" in snaps[0] and len(snaps[0]["files"]) == 1
+    for s in snaps[1:]:
+        assert "files" not in s
+        assert len(s["added"]) == 1 and s["removed"] == []
+    # reconstruction still yields the cumulative view
+    assert len(table_files(root)) == 5
+    assert len(table_files(root, snapshot=3)) == 3
+
+
+def test_sync_provider_merge_outside_window_and_expired_history(spark, tmp_path):
+    from vectorflow_spark.sources.syncsource import TableChangesSyncProvider
+    from vectorflow_spark.sources.table import (
+        table_expire_snapshots,
+        table_merge,
+    )
+
+    root = str(tmp_path / "tbl3")
+    table_create(_df(spark, 0, 5).coalesce(1), root)
+    table_append(_df(spark, 5, 9).coalesce(1), root)
+    prov = TableChangesSyncProvider(root, "k long, v long", ["k", "v"])
+    items = prov.list_range(None, None)
+    assert len(items) == 2
+    hi = items[-1]["cursor"]
+    # a merge lands AFTER the committed window: replaying the committed
+    # range must still work (the raise is window-scoped)
+    table_merge(spark, root, _df(spark, 100, 102).coalesce(1), "k")
+    replay = prov.list_range(None, hi)
+    assert [i["cursor"] for i in replay] == [i["cursor"] for i in items]
+    # ...but listing INTO the merge still refuses
+    with pytest.raises(ValueError, match="merge"):
+        prov.list_range(hi, None)
+    # retention truncates history below the committed cursor -> loud stop
+    table_expire_snapshots(root, keep=1)
+    with pytest.raises(ValueError, match="retained history"):
+        prov.list_range(items[0]["cursor"], None)

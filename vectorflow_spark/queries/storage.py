@@ -1235,7 +1235,7 @@ def q_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vf_table snapshot gates (sources/table.py)
 # ---------------------------------------------------------------------------
 
-_TBLFIX_REV = 2
+_TBLFIX_REV = 3
 
 
 def _table_fixture_dir(spark: SparkSession, sf_dir: str) -> str:

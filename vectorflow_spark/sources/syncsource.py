@@ -357,22 +357,52 @@ class TableChangesSyncProvider:
     def list_range(self, after: str | None, upto: str | None) -> list[dict]:
         import os as _os
 
-        from vectorflow_spark.sources.table import table_snapshots
+        from vectorflow_spark.sources.table import _read_manifest, _walk_file_sets
 
+        m = _read_manifest(self.root)
+        walked = [(snap, set(cum)) for snap, cum in _walk_file_sets(m)]
+        snaps = [snap for snap, _ in walked]
+        file_sets = {snap["id"]: paths for snap, paths in walked}
+        if after is not None and snaps:
+            after_sid = int(after.split("/", 1)[0])
+            if after_sid < snaps[0]["id"] and snaps[0]["parent"] is not None:
+                # the committed cursor predates the retained history
+                # (table_expire_snapshots truncated it); re-listing from
+                # the first kept snapshot would re-emit its cumulative
+                # file set as "new" — fail loudly, like a Kafka
+                # out-of-range offset, instead of duplicating rows
+                raise ValueError(
+                    f"cursor {after!r} predates retained history (first kept "
+                    f"snapshot {snaps[0]['id']}): cannot resume exactly-once"
+                )
         out = []
         prev_files: set[str] = set()
-        for snap in table_snapshots(self.root):
-            paths = {f["path"] for f in snap["files"]}
+        for i, snap in enumerate(snaps):
+            paths = file_sets[snap["id"]]
             new = sorted(paths - prev_files)
             prev_files = paths
             op = snap["operation"]
-            if op in ("delete", "compact", "cluster"):
-                continue  # rewrites: no new rows for an append-only feed
-            if op == "merge" and new:
-                raise ValueError(
-                    f"snapshot {snap['id']} is a merge: its files mix inserts "
-                    "with copied rows — not expressible as an append feed"
-                )
+            truncated_base = i == 0 and snap["parent"] is not None
+            if not truncated_base:
+                # (a truncated first snapshot is the table's initial
+                # state — emit its files whatever operation produced it)
+                if op in ("delete", "compact", "cluster", "add_column"):
+                    continue  # no new rows for an append-only feed
+                if op == "merge" and new:
+                    in_window = [
+                        p
+                        for p in new
+                        if (after is None or f"{snap['id']:010d}/{p}" > after)
+                        and (upto is None or f"{snap['id']:010d}/{p}" <= upto)
+                    ]
+                    if in_window:
+                        raise ValueError(
+                            f"snapshot {snap['id']} is a merge: its files mix "
+                            "inserts with copied rows — not expressible as an "
+                            "append feed"
+                        )
+                    continue  # merge outside the window: replay of a
+                    # committed range must not trip over later maintenance
             for p in new:
                 cursor = f"{snap['id']:010d}/{p}"
                 if (after is None or cursor > after) and (upto is None or cursor <= upto):

@@ -22,10 +22,13 @@ every modern table format, and here:
   snapshot with identical rows — the answer to streaming ingest's
   small-file problem.
 
-The manifest here is ONE json document; at production scale the same
-structure shards into a manifest file per snapshot plus a tiny pointer
-(exactly Iceberg's metadata.json -> manifest-list indirection) without
-changing any semantics below. Writers use optimistic concurrency: a
+The manifest here is ONE json document storing per-snapshot DELTAS
+(added entries / removed paths; full lists only at create and
+retention bases), so it grows O(total files), not O(snapshots x
+files). At production scale the same structure shards into a manifest
+file per snapshot plus a tiny pointer (exactly Iceberg's
+metadata.json -> manifest-list indirection) without changing any
+semantics below. Writers use optimistic concurrency: a
 commit records the snapshot id it built on and refuses if the current
 id moved (the caller retries on ConflictError).
 """
@@ -103,7 +106,18 @@ def _commit(root: str, manifest: dict[str, Any], expected_parent: int | None) ->
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.write("\n")
-    os.replace(tmp, path)
+    if expected_parent is None:
+        # table creation: os.link is atomic-exclusive, so two concurrent
+        # creates cannot both land (the exists() precheck alone races —
+        # the loser would silently clobber the winner's manifest)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise FileExistsError(f"table already exists at {os.path.dirname(path)}")
+        finally:
+            os.unlink(tmp)
+    else:
+        os.replace(tmp, path)
 
 
 def table_snapshots(root: str) -> list[dict[str, Any]]:
@@ -120,9 +134,38 @@ def _resolve(root: str, snapshot: int | None) -> dict[str, Any]:
     raise KeyError(f"snapshot {sid} not found (have {[s['id'] for s in m['snapshots']]})")
 
 
+def _walk_file_sets(m: dict[str, Any]):
+    """Yield (snapshot_record, {path: entry}) ascending, folding the
+    per-snapshot DELTAS (added/removed) from the nearest full-list
+    record. Snapshots store deltas, not cumulative lists — a streaming
+    table's manifest grows O(total files), not O(snapshots x files),
+    and each commit serializes only what actually changed (plus the
+    bookkeeping)."""
+    cum: dict[str, dict[str, Any]] = {}
+    for snap in sorted(m["snapshots"], key=lambda x: x["id"]):
+        if "files" in snap:
+            cum = {f["path"]: f for f in snap["files"]}
+        else:
+            for pth in snap.get("removed", ()):  # removed first: a rewrite
+                cum.pop(pth, None)  # replaces paths, never resurrects them
+            for f in snap.get("added", ()):
+                cum[f["path"]] = f
+        yield snap, cum
+
+
+def _files_of(m: dict[str, Any], snapshot: int | None) -> list[dict[str, Any]]:
+    sid = m["current"] if snapshot is None else snapshot
+    for snap, cum in _walk_file_sets(m):
+        if snap["id"] == sid:
+            return [cum[k] for k in sorted(cum)]
+    raise KeyError(
+        f"snapshot {sid} not found (have {[x['id'] for x in m['snapshots']]})"
+    )
+
+
 def table_files(root: str, snapshot: int | None = None) -> list[dict[str, Any]]:
     """File entries (path, rows, bytes, stats) of a snapshot."""
-    return list(_resolve(root, snapshot)["files"])
+    return _files_of(_read_manifest(root), snapshot)
 
 
 # ---------------------------------------------------------------------------
@@ -134,12 +177,28 @@ def _harvest_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
     """(rows, {column: [min, max]}) from the parquet footer via our own
     parser. Bounds merge across row groups; a column missing either bound
     in ANY row group gets no entry (pruning must stay conservative).
-    Binary payload columns produce byte bounds — json-unfriendly — so
-    non-scalar stats are dropped."""
-    from vectorflow_spark.sources.parquetmini import footer_meta_rows, read_file_meta
+    Binary payload columns produce byte bounds — json-unfriendly — and
+    DECIMAL/timestamp/date logical types surface UNSCALED physical ints
+    (a DECIMAL(15,2) file holding 2.00-90.00 reports [200, 9000]) which
+    would make _overlaps compare against user-scale predicate values and
+    mis-prune — so only plainly-comparable leaves (untyped numerics and
+    UTF8 strings) keep bounds; everything else stays statless, which
+    pruning treats as always-overlapping (conservative)."""
+    from vectorflow_spark.sources.parquetmini import (
+        footer_meta_rows,
+        read_file_meta,
+        schema_leaves,
+    )
 
     meta = read_file_meta(path)
     rows = sum(rg["num_rows"] for rg in meta["row_groups"])
+    plain: set[str] = set()
+    for lf in schema_leaves(meta):
+        is_utf8 = lf.converted_type == 0 or (
+            isinstance(lf.logical, dict) and "string" in lf.logical
+        )
+        if (lf.logical is None and lf.converted_type is None) or is_utf8:
+            plain.add(lf.path)
     bounds: dict[str, list[Any]] = {}
     dropped: set[str] = set()
     for r in footer_meta_rows(path, meta):
@@ -147,6 +206,7 @@ def _harvest_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
         mn, mx = r["stats_min"], r["stats_max"]
         if (
             col in dropped
+            or col not in plain
             or mn is None
             or mx is None
             or not isinstance(mn, (int, float, str))
@@ -200,38 +260,53 @@ def _stage_dataframe(df: DataFrame, root: str, sid: int) -> list[dict[str, Any]]
 # ---------------------------------------------------------------------------
 
 
-def table_create(df: DataFrame, root: str) -> int:
-    """Create a table at ``root`` from ``df``; returns snapshot id 1."""
+def table_create(df: DataFrame, root: str, txn: str | None = None) -> int:
+    """Create a table at ``root`` from ``df``; returns snapshot id 1.
+    ``txn`` records an idempotency token in the create snapshot — the
+    streaming sink's batch 0 needs it, or a replayed first batch would
+    re-append its own rows (the create carried no token to match)."""
     os.makedirs(root, exist_ok=True)
     if os.path.exists(_manifest_path(root)):
         raise FileExistsError(f"table already exists at {root}")
     files = _stage_dataframe(df, root, 1)
+    snap: dict[str, Any] = {"id": 1, "parent": None, "operation": "create", "files": files}
+    if txn is not None:
+        snap["txn"] = txn
     _commit(
         root,
-        {
-            "format_version": 1,
-            "current": 1,
-            "snapshots": [{"id": 1, "parent": None, "operation": "create", "files": files}],
-        },
+        {"format_version": 1, "current": 1, "snapshots": [snap]},
         expected_parent=None,
     )
     return 1
 
 
-def _next(root: str) -> tuple[dict[str, Any], dict[str, Any], int]:
+def _next(root: str) -> tuple[dict[str, Any], dict[str, Any], list, int]:
     m = _read_manifest(root)
     base = _resolve(root, None)
-    return m, base, m["current"] + 1
+    return m, base, _files_of(m, None), m["current"] + 1
 
 
 def _snap(
-    sid: int, base: dict[str, Any], operation: str, files: list, **extra: Any
+    sid: int,
+    base: dict[str, Any],
+    operation: str,
+    added: list,
+    removed: list[str],
+    **extra: Any,
 ) -> dict[str, Any]:
-    """New snapshot record. Schema evolution (added_columns) is TABLE
+    """New DELTA snapshot record: ``added`` file entries + ``removed``
+    paths relative to the parent (full lists live only in create /
+    retention-base records). Schema evolution (added_columns) is TABLE
     state, not per-snapshot state — every snapshot inherits it from its
     parent (an append after an add_column must not lose the column;
     regression-tested)."""
-    rec: dict[str, Any] = {"id": sid, "parent": base["id"], "operation": operation, "files": files}
+    rec: dict[str, Any] = {
+        "id": sid,
+        "parent": base["id"],
+        "operation": operation,
+        "added": added,
+        "removed": sorted(removed),
+    }
     inherited = base.get("added_columns")
     if inherited:
         rec["added_columns"] = dict(inherited)
@@ -241,9 +316,8 @@ def _snap(
 
 def table_append(df: DataFrame, root: str) -> int:
     """Append rows in a new snapshot (base files carried forward)."""
-    m, base, sid = _next(root)
-    files = base["files"] + _stage_dataframe(df, root, sid)
-    m["snapshots"].append(_snap(sid, base, "append", files))
+    m, base, _, sid = _next(root)
+    m["snapshots"].append(_snap(sid, base, "append", _stage_dataframe(df, root, sid), []))
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -277,11 +351,12 @@ def plan_files(
     root: str,
     predicates: list[tuple[str, str, Any]] | None = None,
     snapshot: int | None = None,
+    _m: dict[str, Any] | None = None,
 ) -> tuple[list[dict[str, Any]], int]:
     """Manifest-side scan planning: (surviving file entries, pruned
     count). A file survives only if EVERY predicate may match its
-    bounds."""
-    files = table_files(root, snapshot)
+    bounds. ``_m`` reuses an already-parsed manifest."""
+    files = _files_of(_m if _m is not None else _read_manifest(root), snapshot)
     if not predicates:
         return files, 0
     keep = [
@@ -302,8 +377,9 @@ def table_read(
     frame (files may contain non-matching rows). An empty survivor set
     returns an empty frame with the table's schema (taken from any file
     of the snapshot)."""
-    keep, _ = plan_files(root, predicates, snapshot)
-    all_files = table_files(root, snapshot)
+    m = _read_manifest(root)  # parsed once: planning + schema fallback
+    keep, _ = plan_files(root, predicates, snapshot, _m=m)
+    all_files = _files_of(m, snapshot)
     if not all_files:
         raise ValueError("empty table snapshot with no schema source")
     if not keep:
@@ -325,10 +401,9 @@ def table_delete_where(
     BY REFERENCE, the property that makes a delete of one day's rows
     from a year-sized table touch 1/365th of it. Rewritten files that
     end empty are dropped."""
-    m, base, sid = _next(root)
-    touch, _ = plan_files(root, predicates)
+    m, base, base_files, sid = _next(root)
+    touch, _ = plan_files(root, predicates, _m=m)
     touch_paths = {f["path"] for f in touch}
-    carried = [f for f in base["files"] if f["path"] not in touch_paths]
     new_entries: list[dict[str, Any]] = []
     if touch:
         src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in touch])
@@ -336,7 +411,7 @@ def table_delete_where(
         new_entries = _stage_dataframe(remaining, root, sid)
         new_entries = [e for e in new_entries if e["rows"] > 0]
     m["snapshots"].append(
-        _snap(sid, base, "delete", carried + new_entries, condition=condition)
+        _snap(sid, base, "delete", new_entries, list(touch_paths), condition=condition)
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -351,9 +426,8 @@ def table_compact(spark: SparkSession, root: str, target_bytes: int) -> int:
     streaming-ingest answer: a thousand 1 MB micro-batch files become
     a handful of scan-efficient ones, atomically, without blocking
     readers (they keep their resolved snapshot)."""
-    m, base, sid = _next(root)
-    carried = [f for f in base["files"] if f["bytes"] >= target_bytes]
-    small = [f for f in base["files"] if f["bytes"] < target_bytes]
+    m, base, base_files, sid = _next(root)
+    small = [f for f in base_files if f["bytes"] < target_bytes]
     groups: list[list[dict[str, Any]]] = []
     cur: list[dict[str, Any]] = []
     size = 0
@@ -366,13 +440,14 @@ def table_compact(spark: SparkSession, root: str, target_bytes: int) -> int:
     if cur:
         groups.append(cur)
     new_entries: list[dict[str, Any]] = []
+    removed: list[str] = []
     for g in groups:
         if len(g) == 1:
-            carried.append(g[0])
-            continue
+            continue  # a lone small file stays as-is
         src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in g])
         new_entries.extend(_stage_dataframe(src.coalesce(1), root, sid))
-    m["snapshots"].append(_snap(sid, base, "compact", carried + new_entries))
+        removed.extend(f["path"] for f in g)
+    m["snapshots"].append(_snap(sid, base, "compact", new_entries, removed))
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -393,15 +468,14 @@ def table_merge(
     update keys broadcast."""
     from pyspark.sql import functions as F
 
-    m, base, sid = _next(root)
+    m, base, base_files, sid = _next(root)
     bounds = updates.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     if bounds.lo is None:
         raise ValueError("empty update set")
-    touch, _ = plan_files(root, [(key_col, "between", (bounds.lo, bounds.hi))])
+    touch, _ = plan_files(root, [(key_col, "between", (bounds.lo, bounds.hi))], _m=m)
     touch_paths = {f["path"] for f in touch}
-    carried = [f for f in base["files"] if f["path"] not in touch_paths]
     keys = updates.select(key_col).distinct()
     parts = [updates]
     if touch:
@@ -410,7 +484,7 @@ def table_merge(
     merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     new_entries = [e for e in _stage_dataframe(merged, root, sid) if e["rows"] > 0]
     m["snapshots"].append(
-        _snap(sid, base, "merge", carried + new_entries, key=key_col)
+        _snap(sid, base, "merge", new_entries, list(touch_paths), key=key_col)
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -436,9 +510,10 @@ def table_append_txn(df: DataFrame, root: str, txn: str) -> int | None:
     token is visible."""
     if os.path.exists(_manifest_path(root)) and txn in committed_txns(root):
         return None
-    m, base, sid = _next(root)
-    files = base["files"] + _stage_dataframe(df, root, sid)
-    m["snapshots"].append(_snap(sid, base, "append", files, txn=txn))
+    m, base, _, sid = _next(root)
+    m["snapshots"].append(
+        _snap(sid, base, "append", _stage_dataframe(df, root, sid), [], txn=txn)
+    )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
     return sid
@@ -461,10 +536,11 @@ def streaming_table_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        token = f"stream-batch-{batch_id}"
         if not os.path.exists(_manifest_path(root)):
-            table_create(batch_df, root)
+            table_create(batch_df, root, txn=token)
             return
-        sid = table_append_txn(batch_df, root, f"stream-batch-{batch_id}")
+        sid = table_append_txn(batch_df, root, token)
         if sid is not None and compact_every and batch_id > 0 and batch_id % compact_every == 0:
             table_compact(spark, root, target_bytes)
 
@@ -494,10 +570,10 @@ def table_cluster(
     resolved snapshots throughout."""
     from vectorflow_spark.operators.layout import zvalue
 
-    m, base, sid = _next(root)
-    if not base["files"]:
+    m, base, base_files, sid = _next(root)
+    if not base_files:
         raise ValueError("cannot cluster an empty snapshot")
-    src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in base["files"]])
+    src = spark.read.parquet(*[os.path.join(root, f["path"]) for f in base_files])
     ordered = (
         src.withColumn("_z", zvalue(cluster_by, bits))
         .repartitionByRange(n_files, "_z")
@@ -506,7 +582,14 @@ def table_cluster(
     )
     new_entries = [e for e in _stage_dataframe(ordered, root, sid) if e["rows"] > 0]
     m["snapshots"].append(
-        _snap(sid, base, "cluster", new_entries, cluster_by=list(cluster_by))
+        _snap(
+            sid,
+            base,
+            "cluster",
+            new_entries,
+            [f["path"] for f in base_files],
+            cluster_by=list(cluster_by),
+        )
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -527,17 +610,40 @@ def table_expire_snapshots(root: str, keep: int) -> tuple[list[int], int]:
     if keep < 1:
         raise ValueError("keep must be >= 1")
     kept, expired = snaps[-keep:], snaps[:-keep]
-    live = {f["path"] for s in kept for f in s["files"]}
+    # reconstruct every kept snapshot's file set BEFORE truncation, then
+    # materialize the new base as a full list (its delta chain is gone)
+    sets = {snap["id"]: dict(cum) for snap, cum in _walk_file_sets(m)}
+    live = {p for snap in kept for p in sets[snap["id"]]}
+    if expired:
+        base = kept[0]
+        base_files = [sets[base["id"]][k] for k in sorted(sets[base["id"]])]
+        base.pop("added", None)
+        base.pop("removed", None)
+        base["files"] = base_files
     m["snapshots"] = kept
     _commit(root, m, expected_parent=m["current"])
     removed = 0
+    current = m["current"]
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             rel = os.path.join("data", name)
-            if rel not in live:
-                os.unlink(os.path.join(data_dir, name))
-                removed += 1
+            if rel in live:
+                continue
+            # files carry their snapshot id in the name (s{sid:05d}-...);
+            # an in-flight writer stages under current+1 BEFORE its
+            # manifest commit — unlinking those would let its commit land
+            # pointing at deleted data. Only GC files from snapshot ids
+            # at or below current: committed-and-expired or crashed
+            # stagings whose id has since been reused/passed.
+            try:
+                sid = int(name.split("-", 1)[0].lstrip("s"))
+            except ValueError:
+                continue
+            if sid > current:
+                continue
+            os.unlink(os.path.join(data_dir, name))
+            removed += 1
     return [s["id"] for s in expired], removed
 
 
@@ -549,13 +655,13 @@ def table_add_column(root: str, name: str, sql_type: str) -> int:
     evolution by schema-merging old files with the backfilled null
     column; type widening/renames are out of scope (they need column
     ids, which this single-json manifest deliberately omits)."""
-    m, base, sid = _next(root)
+    m, base, _, sid = _next(root)
     cols = dict(base.get("added_columns") or {})
     if name in cols:
         raise ValueError(f"column {name!r} already added")
     cols[name] = sql_type
     m["snapshots"].append(
-        _snap(sid, base, "add_column", base["files"], added_columns=cols)
+        _snap(sid, base, "add_column", [], [], added_columns=cols)
     )
     m["current"] = sid
     _commit(root, m, expected_parent=base["id"])
@@ -571,8 +677,9 @@ def table_read_evolved(
     null backfill for columns absent everywhere."""
     from pyspark.sql import functions as F
 
+    m = _read_manifest(root)
     snap = _resolve(root, snapshot)
-    files = snap["files"]
+    files = _files_of(m, snapshot)
     if not files:
         raise ValueError("empty table snapshot")
     df = spark.read.option("mergeSchema", "true").parquet(
@@ -607,16 +714,18 @@ def table_changes(
         s["id"]
         for s in m["snapshots"]
         if from_snapshot < s["id"] <= to_id
-        and s["operation"] not in ("append", "create")
+        # add_column is metadata-only (files identical to parent) — it
+        # must not poison the range the way a real rewrite does
+        and s["operation"] not in ("append", "create", "add_column")
     ]
     if rewriting:
         raise ValueError(
             f"snapshots {rewriting} rewrite files; file-level diff would "
             "re-emit pre-existing rows as adds — not a valid change feed"
         )
-    old = {f["path"] for f in table_files(root, from_snapshot)}
-    new_files = [f for f in table_files(root, to_id) if f["path"] not in old]
+    old_set = {f["path"] for f in _files_of(m, from_snapshot)}
+    to_files = _files_of(m, to_id)
+    new_files = [f for f in to_files if f["path"] not in old_set]
     if not new_files:
-        any_file = table_files(root, to_id)[0]["path"]
-        return spark.read.parquet(os.path.join(root, any_file)).limit(0)
+        return spark.read.parquet(os.path.join(root, to_files[0]["path"])).limit(0)
     return spark.read.parquet(*[os.path.join(root, f["path"]) for f in new_files])
