@@ -13,6 +13,7 @@ import pytest
 
 from vectorflow_spark.sources.table import (
     table_append,
+    table_cluster,
     table_compact,
     table_create,
     table_delete_where,
@@ -48,7 +49,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     history = {1: dict(model)}  # sid -> expected content
 
     for _ in range(12):
-        op = rnd.choice(["append", "delete", "merge", "compact", "expire"])
+        op = rnd.choice(["append", "delete", "merge", "compact", "cluster", "expire"])
         if op == "append":
             rows = fresh_rows(rnd.randrange(1, 15))
             sid = table_append(_frame(spark, rows), root)
@@ -74,6 +75,10 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             model.update(ups)
         elif op == "compact":
             sid = table_compact(spark, root, target_bytes=1 << 30)
+        elif op == "cluster":
+            if not model:
+                continue
+            sid = table_cluster(spark, root, ["k", "v"], n_files=rnd.randrange(1, 4))
         else:  # expire
             keep = rnd.randrange(1, len(table_snapshots(root)) + 1)
             kept_ids = {s["id"] for s in table_snapshots(root)[-keep:]}
