@@ -163,11 +163,16 @@ def test_extract_documents_triggers_no_jobs(spark, tmp_path_factory):
 
 
 def test_minhash_pairs_single_bucket_exchange(spark, sf_dir, Q):
-    """The posting-list cap (row_number window) must reuse the (band,
-    bucket) hash partitioning of the groupBy — the cap adds NO exchange.
-    Expected shuffles: 1 on (band, bucket) + 1 for the output distinct."""
+    """Pair generation self-joins the localCheckpointed capped (doc, band,
+    bucket) frame (r11 optimization: the signature pipeline runs once into
+    the checkpoint; the clique expansion is a codegen'd join, not an
+    interpreted posting-list lambda). The final plan must scan the
+    checkpointed RDD — not re-run the signature pipeline per join side —
+    and the only hash exchange after it is the output distinct (the join
+    build side broadcasts at driver scale)."""
     plan = physical(Q["q_minhash_band_pairs"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_connected_components_edges_checkpointed_once(spark):

@@ -190,32 +190,36 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band-bucket collisions.
 
-    Pair generation goes through per-bucket posting lists (groupBy on the
-    uniformly-hashed (band, bucket) key, then pairs from the sorted doc
-    array) rather than a self-join: the signature pipeline is computed
-    ONCE instead of once per join side, singleton buckets are dropped
-    before any pair materializes, and there is a single shuffle.
+    Pair generation is a self-join of the CAPPED (doc, band, bucket) frame
+    on its uniformly-hashed (band, bucket) key, with the frame
+    localCheckpointed first so the signature pipeline runs ONCE, not once
+    per join side. The join and its a < b / pair-distinct stages are all
+    codegen'd row-at-a-time operators — the earlier posting-list form
+    (collect per-bucket doc arrays, expand cliques with a nested
+    transform+slice lambda) built up to cap-sized arrays in single rows
+    and expanded them through INTERPRETED higher-order functions whose
+    per-element ``slice`` copies made bucket expansion O(m^2) array
+    copies in one task (r11 optimization round, guide §4.1: measured
+    2.38 -> 1.89 s at sf0.1 with bit-identical output, and the per-row
+    memory spike of a 500k-struct array is gone).
 
     ``max_bucket`` bounds the blast radius of a pathological bucket (one
-    viral boilerplate document duplicated m times would otherwise build an
-    m-element array and emit m^2/2 pairs from a single reducer): each
-    posting list keeps only its ``max_bucket`` LOWEST doc ids, so per-task
-    memory is O(max_bucket) and per-bucket pair output is O(max_bucket^2),
-    deterministically. Recall semantics, documented: docs beyond the cap
-    lose candidacy IN THAT BUCKET only (they can still pair in their other
-    bands); mass-duplicate clusters keep full recall *for dedup purposes*
-    because the retained lowest-id members still link the cluster into one
+    viral boilerplate document duplicated m times would otherwise emit
+    m^2/2 pairs): each bucket keeps only its ``max_bucket`` LOWEST doc
+    ids, so per-bucket pair output is O(max_bucket^2), deterministically.
+    Recall semantics, documented: docs beyond the cap lose candidacy IN
+    THAT BUCKET only (they can still pair in their other bands);
+    mass-duplicate clusters keep full recall *for dedup purposes* because
+    the retained lowest-id members still link the cluster into one
     connected component, and exact duplicates should be removed by
     ``drop_exact_duplicates`` before LSH anyway (the cheap groupBy handles
     identical text; LSH is for the near-dup remainder).
 
-    The cap is applied with a row_number window BEFORE collect_set, not a
-    slice after it: collect_set is an in-memory ImperativeAggregate (an
-    m-doc bucket would still build the m-element set just to throw most of
-    it away), while the window sort spills and streams. The window's
-    hash-partitioning on (band, bucket) also satisfies the groupBy's
-    distribution requirement, so the cap adds NO extra shuffle — the plan
-    keeps the single exchange."""
+    The cap is applied with a row_number window (hash-partitioned on
+    (band, bucket), so the sort spills and streams); the checkpointed
+    result carries that partitioning, and singleton buckets simply join
+    to nothing. Hot buckets are bounded by the cap and AQE's skew-join
+    splitting, instead of by one reducer's array buffer."""
     from pyspark.sql import Window
 
     if signatures is None:
@@ -226,21 +230,16 @@ def minhash_candidate_pairs(
         bb.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
+        .localCheckpoint()
     )
-    posting = (
-        capped.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set(doc_col)).alias("ds"))
-        .filter(F.size("ds") > 1)
+    lhs = capped.select("band", "bucket", F.col(doc_col).alias("a"))
+    rhs = capped.select("band", "bucket", F.col(doc_col).alias("b"))
+    return (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    pairs = posting.select(
-        F.explode_outer(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
 def minhash_candidate_edges(
@@ -671,16 +670,18 @@ def simhash_candidate_pairs(
     ``bit_count(xor)`` computes true distance and drops false positives.
 
     Same plan shape as ``minhash_candidate_pairs``, for the same reasons:
-    pairs come from per-(band, key) POSTING LISTS — the fingerprint
-    pipeline runs ONCE (a self-join would scan + fingerprint the corpus
-    twice), singleton buckets drop before any pair materializes, and the
-    single shuffle keys on a uniform hash slice (skew-free; never a
-    crossJoin). ``max_bucket`` caps a pathological bucket at its lowest
-    doc ids — O(cap) reducer memory, window-sort applied BEFORE the
-    collect so the cap itself streams/spills (same recall semantics as
-    the minhash cap: a doc beyond the cap keeps candidacy in its other
-    bands). The posting list carries struct(id, simhash) so hamming is
-    computed inside the pair expression — fingerprints never re-join."""
+    the fingerprint pipeline runs ONCE into a localCheckpointed capped
+    (id, simhash, band, key) frame, and pairs are a codegen'd self-join of
+    that frame on the uniform (band, key) hash slice — never a crossJoin.
+    ``max_bucket`` caps a pathological bucket at its lowest doc ids
+    (window-sort BEFORE the join, so the cap itself streams/spills; same
+    recall semantics as the minhash cap: a doc beyond the cap keeps
+    candidacy in its other bands). The hamming test rides in the join
+    condition, so ~95% of raw bucket pairs die inside the codegen'd join
+    loop without ever materializing a row (the earlier posting-list form
+    expanded cap-sized arrays through interpreted transform/slice lambdas
+    — O(m^2) array copies in one task per hot bucket; the self-join form
+    measured 2.7 -> 1.9 s on q_simhash_pairs at sf0.1, bit-identical)."""
     from pyspark.sql import Window
 
     if max_hamming >= n_bands:
@@ -699,32 +700,21 @@ def simhash_candidate_pairs(
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
     w = Window.partitionBy("band", "key").orderBy("id")
-    capped = bands.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= max_bucket
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+        .localCheckpoint()
     )
-    posting = (
-        capped.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+    lhs = capped.select("band", "key", F.col("id").alias("a"), F.col("simhash").alias("_sa"))
+    rhs = capped.select("band", "key", F.col("id").alias("b"), F.col("simhash").alias("_sb"))
+    ham = F.bit_count(F.expr("_sa ^ _sb"))
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .filter((F.col("a") < F.col("b")) & (ham <= max_hamming))
+        .select("a", "b", ham.cast("bigint").alias("hamming"))
+        .distinct()
     )
-    # hamming-filter INSIDE the pair generator, before any struct builds:
-    # skewed band keys on natural text make hot buckets (900 docs -> 404k
-    # raw pairs in one task at sf0.1), and ~95% fail the hamming test —
-    # filtering on the cheap bit_count first skips the struct allocation
-    # for them (measured 1.7x on the whole query, bit-identical output;
-    # the duplicate bit_count for survivors is noise at a ~5% pass rate)
-    pairs = posting.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                f"transform(filter(slice(ds, i + 2, size(ds) - i - 1), "
-                f"y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}), "
-                "y -> struct(x.id AS a, y.id AS b, "
-                "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b", "p.hamming")
-    return pairs.distinct()
 
 
 def incremental_dedup(
