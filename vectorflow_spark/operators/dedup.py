@@ -823,6 +823,18 @@ def blocked_edit_pairs(
         F.pmod(F.xxhash64("_nm"), F.lit(num_salts)).alias("_sb"),
     )
     # threshold-bounded levenshtein (banded DP, -1 above the bound) behind
+    # EXPLICIT repartition on the salted join key: the whole point of the
+    # salt is num_salts^2 independent comparison tasks, but AQE coalesces
+    # exchanges by BYTES, and a name projection is tiny — at sf0.1 the
+    # entire Levenshtein join was coalesced into ONE task (2.85 s of the
+    # gate's 3.2 s, measured per-job). A user repartition is exempt from
+    # AQE coalescing, so the comparison stage keeps the parallelism the
+    # salt bought; num_salts^2 partitions is the salting design's own
+    # unit count, independent of the local core count (r11 optimization,
+    # guide §2.5: 2.98 -> 1.06 s on q_fuzzy_name_pairs, bit-identical).
+    n_cmp = num_salts * num_salts
+    na = na.repartition(n_cmp, "_blk", "_sa", "_sb")
+    nb = nb.repartition(n_cmp, "_blk", "_sa", "_sb")
     # the necessary |len diff| prefilter — both only over distinct names.
     dist = F.levenshtein("a_name", "b_name", threshold=max_dist)
     name_pairs = (

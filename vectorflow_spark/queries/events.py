@@ -364,7 +364,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from vectorflow_spark.operators.sketches import cms_heavy_hitters
 
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    # split=True: the sketch build md5-hashes every (key, seed) row — the
+    # gate's dominant CPU — and otherwise runs on the single scan
+    # partition (r11: 2.35->1.33 s; cell counts are order-independent).
+    li = _t(spark, sf_dir, "lineitem", split=True).select("l_suppkey")
     return cms_heavy_hitters(li, "l_suppkey", threshold=700)
 
 

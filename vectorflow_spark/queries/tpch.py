@@ -784,8 +784,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, one window partitioned by partkey (same key → Spark reuses the
     hash partitioning, no second shuffle), part/supplier broadcast. The
     part filter applies after rn=1 — identical semantics to filtering
-    first since the window is per-part, but keeps the agg reusable."""
-    li = _t(spark, sf_dir, "lineitem")
+    first since the window is per-part, but keeps the agg reusable.
+    split=True: the exact-decimal partial agg is the gate's dominant CPU
+    and otherwise runs on the single scan partition (r11: 2.28->1.68 s,
+    decimal sums are order-independent so the result is unchanged)."""
+    li = _t(spark, sf_dir, "lineitem", split=True)
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
