@@ -263,6 +263,15 @@ def kcore_peel(
     edge set, which only shrinks; total cost <= rounds * E like the
     synchronous peel in distributed k-core literature."""
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
+    # Early exit on fixpoint: a peel only DELETES edges, so an unchanged
+    # edge COUNT means an unchanged edge set, and every remaining round is
+    # the identity — skipping them cannot change the round-``rounds``
+    # result the oracle unrolls. The count is a cheap scan of the frame
+    # the round just checkpointed anyway (r11 optimization: at sf0.1 the
+    # peel reaches fixpoint in 3 rounds, so round 4's full agg+semi-join
+    # job is replaced by a ~50 ms count; at 100 TB the same check stops a
+    # converged peel paying O(E) per leftover round).
+    prev_n = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("v"))
@@ -276,6 +285,10 @@ def kcore_peel(
             .select("a", "b")
             .localCheckpoint()
         )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
