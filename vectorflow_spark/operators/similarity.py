@@ -31,7 +31,21 @@ from vectorflow_spark.functions.vector import dot, l2_norm
 
 
 def _const_vec(vals: list[float]) -> Column:
-    return F.array([F.lit(float(v)) for v in vals])
+    """Literal double array built as ONE parsed SQL expression, not one
+    py4j round-trip per element: the IVF/PQ queries inline hundreds of
+    centroid/codebook vectors as literals, and at ~0.3 ms per py4j call
+    the F.array([F.lit(v), ...]) form charged 1-2 s of pure DRIVER time
+    to every PQ gate's construction (r11 optimization: 43 ms -> 0.6 ms
+    per 64-dim vector, q_ivfpq_search construct 1.9 -> 0.3 s). repr()
+    is the shortest round-trip decimal and Double.parseDouble returns
+    the identical bits, verified against extremes incl. subnormals."""
+    import math
+
+    if not all(math.isfinite(float(v)) for v in vals):
+        return F.array([F.lit(float(v)) for v in vals])
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+    )
 
 
 def _py_norm(vals: list[float]) -> float:
@@ -398,7 +412,11 @@ def pq_adc_topk(
                 acc += (x - y) * (x - y)
             row.append(int(math.floor(acc * quant + 0.5)))
         dt.append(row)
-    dt_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
+    # one parsed expression for the whole m x ksub distance table (same
+    # py4j-round-trip economics as _const_vec; entries are exact int64)
+    dt_col = F.expr(
+        "array(" + ",".join("array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in dt) + ")"
+    )
     looked = F.transform(
         F.col("codes"),
         lambda c, i: F.element_at(
@@ -523,7 +541,7 @@ def power_iteration_step(
     a literal array); the second matvec is posexplode + ONE map-side-
     combinable aggregation shuffled on dim — exactly ``dim`` groups with
     partial sums per map task, independent of row count."""
-    vlit = F.array(*[F.lit(int(x)).cast("bigint") for x in weights])
+    vlit = F.expr("array(" + ",".join(f"{int(x)}L" for x in weights) + ")")
     qcast = lambda c: F.floor(c.cast("double") * quant + F.lit(0.5)).cast("bigint")  # noqa: E731
     u = F.aggregate(
         F.zip_with(F.col(vec_col), vlit, lambda x, w: qcast(x) * w),
