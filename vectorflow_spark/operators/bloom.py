@@ -101,8 +101,14 @@ def bloom_might_contain(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> Column:
     """Membership probe as a pure Catalyst expression over an array
-    literal; false positives possible, false negatives impossible."""
-    arr = F.lit(bits)
+    literal; false positives possible, false negatives impossible.
+
+    The bit-array literal is ONE parsed SQL expression: F.lit(list) is
+    sugar for one py4j round-trip per element, and at num_bits=2^16 the
+    1024-word array alone charged ~0.3 s of driver time to every bloom
+    gate's plan construction (r11, same economics as
+    similarity._const_vec)."""
+    arr = F.expr("array(" + ",".join(f"{int(v)}L" for v in bits) + ")")
     cond = F.lit(True)
     for p in _positions(key, num_bits, num_hashes):
         word = F.shiftright(p, 6).cast("int")
