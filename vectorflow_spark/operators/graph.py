@@ -256,39 +256,63 @@ def kcore_peel(
     convergence).
 
     Plan shape per round: one map-side-combined degree aggregation over
-    the exploded endpoints + two shuffle semi-joins of the edge set
-    against the survivor list — each round's state is localCheckpointed
-    (same lineage-cut discipline as connected_components: without it the
-    plan doubles per round). Work per round never exceeds the CURRENT
-    edge set, which only shrinks; total cost <= rounds * E like the
-    synchronous peel in distributed k-core literature."""
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
-    # Early exit on fixpoint: a peel only DELETES edges, so an unchanged
-    # edge COUNT means an unchanged edge set, and every remaining round is
-    # the identity — skipping them cannot change the round-``rounds``
-    # result the oracle unrolls. The count is a cheap scan of the frame
-    # the round just checkpointed anyway (r11 optimization: at sf0.1 the
-    # peel reaches fixpoint in 3 rounds, so round 4's full agg+semi-join
-    # job is replaced by a ~50 ms count; at 100 TB the same check stops a
-    # converged peel paying O(E) per leftover round).
-    prev_n = e.count()
+    the exploded endpoints, localCheckpointed (it is node-count-sized),
+    then — only when the sub-``k`` DROP set is non-empty — two anti-joins
+    of the edge set against that drop set (applied lazily: the drop sets
+    are checkpointed-tiny, so they ride as broadcast filters on later
+    rounds' scans; the edge set itself is re-checkpointed only when a
+    round drops too many nodes to broadcast). Anti-join against the drop
+    set is equivalent to
+    semi-join against the keep set (every endpoint of ``e`` appears in
+    the degree table, null endpoints are filtered up front) and joins
+    against the SMALLER side: near fixpoint the drop set is a handful of
+    nodes while the keep set is the whole graph, so the build side stays
+    broadcast-tiny exactly when rounds repeat (guide §3). When a round's
+    drop set is empty the peel is at fixpoint: all later rounds are the
+    identity, the edge rewrite is skipped entirely, and the checkpointed
+    degree table IS the final answer — no re-aggregation over the edges
+    (at sf0.1 the peel deletes 94 of 1.23M edges and reaches fixpoint in
+    round 3; at 100 TB a converged peel stops paying O(E) per leftover
+    round). Work per round never exceeds the CURRENT edge set, which
+    only shrinks; total cost <= rounds * E like the synchronous peel in
+    distributed k-core literature."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if rounds > 0:
+        # A null endpoint never matches a semi-join, so the original form
+        # dropped such edges in round one; filtering them up front keeps
+        # the anti-join form identical on degenerate inputs.
+        e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    e = e.localCheckpoint()
     for _ in range(rounds):
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("c"))
-        )
-        keep = deg.filter(F.col("c") >= k)
-        e = (
-            e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-            .select("a", "b")
             .localCheckpoint()
         )
-        n = e.count()
-        if n == prev_n:
-            break
-        prev_n = n
+        drop = deg.filter(F.col("c") < k)
+        n_drop = drop.count()
+        if n_drop == 0:
+            # Fixpoint: deg is the degree table of the final edge set.
+            return (
+                deg.filter(F.col("c") >= k)
+                .select(F.col("v").alias("node"), F.col("c").alias("core_deg"))
+            )
+        e = (
+            e.join(drop.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(drop.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b")
+        )
+        # The drop set is already materialized (checkpointed deg), so the
+        # anti-joins ride as broadcast filters on the NEXT round's degree
+        # scan — re-materializing the full edge set to delete a handful
+        # of edges costs more than both anti-joins together. Only when a
+        # round's drop set is too big to broadcast (~8 MB of int64 keys)
+        # does the rewrite pay for itself: checkpoint then, so no later
+        # round re-runs a shuffled anti-join. Lineage depth stays bounded
+        # by ``rounds`` either way.
+        if n_drop > 1_000_000:
+            e = e.localCheckpoint()
     return (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
