@@ -146,10 +146,23 @@ def pagerank_quantized(
         F.col("src").alias("v"), base_unit.alias("r")
     )
     for _ in range(iterations):
-        contribs = (
-            e.join(r.withColumnRenamed("v", "src"), "src")
+        # Per-SOURCE contribution first: r and deg are both node-count
+        # tables, so r div d is one node x node join — then a single
+        # edge-sized join fans it out to the destinations. The previous
+        # form joined the edge set twice per round (e |x| r, then the
+        # edge-sized result |x| deg); at 100 TB that second edge join is
+        # a full extra shuffle of the fanned-out contribution stream
+        # (guide §3 / §2.2: join the small sides first, touch the big
+        # side once). Bit-identical: r div d per src is the same value
+        # on every outgoing edge either way. Measured flat at sf0.1
+        # (AQE broadcasts both node tables into the edge join locally).
+        per_src = (
+            r.withColumnRenamed("v", "src")
             .join(deg, "src")
-            .select("dst", F.expr("r div d").alias("c"))
+            .select("src", F.expr("r div d").alias("c"))
+        )
+        contribs = (
+            e.join(per_src, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -168,6 +181,7 @@ def label_propagation(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    undirected: bool = False,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (community detection),
     engine-exact.
@@ -207,13 +221,30 @@ def label_propagation(
             F.lit(f"label_propagation: node ids must be in [0, 2^42) for the packed argmin"),
         ).alias("_chk"),
     ).drop("_chk")
-    labels = e.select("src").distinct().select(F.col("src").alias("v"), F.col("src").alias("lbl"))
-    for _ in range(iterations):
-        contribs = (
-            e.join(labels.withColumnRenamed("v", "dst"), "dst")
-            .groupBy("src", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    # ``undirected=True`` is a caller ASSERTION that every dst value also
+    # appears as a src (true for any symmetrized edge set): round 1 then
+    # joins the edge set against the IDENTITY label table (label(x) = x
+    # restricted to the src set), which is the identity mapping — the
+    # distinct-src materialization and the round-1 join both vanish and
+    # round 1 is a single (src, dst) aggregation (guide §2.1: remove the
+    # shuffle outright). Directed inputs keep the join: a dst that never
+    # appears as src must drop out in round 1, which only the join does.
+    labels = None
+    for it in range(iterations):
+        if it == 0 and undirected:
+            contribs = e.groupBy("src", F.col("dst").alias("lbl")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        else:
+            if labels is None:
+                labels = e.select("src").distinct().select(
+                    F.col("src").alias("v"), F.col("src").alias("lbl")
+                )
+            contribs = (
+                e.join(labels.withColumnRenamed("v", "dst"), "dst")
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         contribs = contribs.select(
             "src",
             "lbl",

@@ -1202,7 +1202,9 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = eo.select(F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst")).union(
         eo.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
     )
-    labels = label_propagation(edges, iterations=3)
+    # the edge set is the symmetric union above, so every dst appears as
+    # src — the undirected assertion lets round 1 skip the identity join
+    labels = label_propagation(edges, iterations=3, undirected=True)
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("sz"))
