@@ -417,12 +417,13 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores rounded to 9 decimals before the threshold so both engines
     compare identical values."""
     from vectorflow_spark.functions.vector import dot, l2_norm
+    from vectorflow_spark.operators.similarity import _const_vec
 
     # HOF form on purpose: the filter re-evaluates the projected score, so
     # an unrolled score doubles past the codegen size budget (see
     # functions/vector.py) and the stage falls out of codegen entirely.
     df = _t(spark, sf_dir, "embeddings", split=True)
-    ones = F.array([F.lit(1.0)] * 64)
+    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = df.select(
         "vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
     )

@@ -262,10 +262,10 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from vectorflow_spark.functions.vector import dot, l2_norm
-    from vectorflow_spark.operators.similarity import rrf_fuse
+    from vectorflow_spark.operators.similarity import _const_vec, rrf_fuse
 
     emb = _t(spark, sf_dir, "embeddings", split=True)
-    ones = F.array([F.lit(1.0)] * 64)
+    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
     )

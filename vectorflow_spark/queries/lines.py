@@ -262,7 +262,8 @@ def q_hashed_bow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (order-free), so a trained model exported as a weight array runs
     entirely JVM-side with no Python and no shuffle at any scale."""
     w = _bow_weights(64)
-    wlit = F.array(*[F.lit(v).cast("bigint") for v in w])
+    # one parsed bigint-array expression, not 64 py4j lit+cast round-trips
+    wlit = F.expr("array(" + ",".join(f"{int(v)}L" for v in w) + ")")
     d = _t(spark, sf_dir, "documents", split=True)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("bigint") % 64  # noqa: E731

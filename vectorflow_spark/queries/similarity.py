@@ -35,9 +35,10 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query norm (8.0) is a driver-side literal and the row norm is computed
     once in its own projection — each row pays one dot + one norm fold."""
     from vectorflow_spark.functions.vector import dot, l2_norm
+    from vectorflow_spark.operators.similarity import _const_vec
 
     df = _t(spark, sf_dir, "embeddings", split=True)
-    ones = F.array([F.lit(1.0)] * 64)
+    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
     denom = F.col("_vn") * F.lit(8.0)
     scored = base.select(
