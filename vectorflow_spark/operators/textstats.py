@@ -522,9 +522,11 @@ def bigram_perplexity(
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    n_tot = toked.select(F.explode("_ts").alias("w")).agg(
-        F.count(F.lit(1)).alias("nn")
-    )
+    # N == sum of the unigram counts: derive it from `uni` instead of a
+    # second explode+count pass over every token of the corpus (guide
+    # §2.2 — the sketch-sized agg replaces a data-sized one; exact, both
+    # are the same integer)
+    n_tot = uni.agg(F.sum("cu").alias("nn"))
     p = (
         F.lit(lam) * F.col("cb") / F.col("cu1")
         + F.lit(1.0 - lam) * F.col("cu2") / F.col("nn")
