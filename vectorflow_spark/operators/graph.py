@@ -24,28 +24,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["orient_edges", "triangle_count", "kcore_peel"]
+__all__ = ["degree_table", "orient_edges", "triangle_count", "kcore_peel"]
 
 # rank = degree * RANK_BASE + id gives a single comparable int64 for the
 # (degree, id) total order; ids must be < RANK_BASE.
 RANK_BASE = 1_000_000_000
 
 
-def orient_edges(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+def degree_table(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(node, deg) over canonical (a < b, distinct) undirected edges —
+    one map-side-combinable aggregation over the exploded endpoints."""
+    return (
+        edges.select(F.explode(F.array(a_col, b_col)).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def orient_edges(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    degrees: DataFrame | None = None,
+) -> DataFrame:
     """Orient undirected (a, b) edges low-rank -> high-rank under the
     (degree, id) total order. Input must be canonical (a < b, distinct);
     output columns (src, dst, dst_rank).
 
     Degrees are one map-side-combinable aggregation over the exploded
-    endpoints; the two rank lookups join back on the endpoint id."""
-    deg = (
-        edges.select(F.explode(F.array(a_col, b_col)).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select(
-            "node",
-            (F.col("deg") * F.lit(RANK_BASE) + F.col("node")).alias("rank"),
-        )
+    endpoints (pass a precomputed/checkpointed ``degree_table`` result
+    via ``degrees`` to share it with other consumers); the two rank
+    lookups join back on the endpoint id."""
+    deg = (degrees if degrees is not None else degree_table(edges, a_col, b_col)).select(
+        "node",
+        (F.col("deg") * F.lit(RANK_BASE) + F.col("node")).alias("rank"),
     )
     ra = deg.select(F.col("node").alias("_na"), F.col("rank").alias("_ra"))
     rb = deg.select(F.col("node").alias("_nb"), F.col("rank").alias("_rb"))
@@ -76,9 +88,17 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     places (degrees, orientation, both wedge sides, closing probe, stats)
     — without the lineage cut Spark re-executes the generator per
     reference (the q_dedup_components lesson; 115 s -> ~3 s at sf0.1).
-    Both checkpoints are edge-count-sized, far smaller than the data."""
+    Both checkpoints are edge-count-sized, far smaller than the data.
+
+    The degree table is checkpointed separately (node-count-sized) and
+    shared three ways: the orientation's rank lookups, and BOTH summary
+    stats — n_nodes is its row count and n_edges is sum(deg) div 2, so
+    neither stat re-scans the edge set (previously n_nodes was an
+    explode + count_distinct over every endpoint and n_edges a second
+    full scan; guide §2.2 — aggregate the node-sized table instead)."""
     edges = edges.localCheckpoint()
-    directed = orient_edges(edges, a_col, b_col).localCheckpoint()
+    deg = degree_table(edges, a_col, b_col).localCheckpoint()
+    directed = orient_edges(edges, a_col, b_col, degrees=deg).localCheckpoint()
     lo = directed.select(
         F.col("src").alias("w_src"), F.col("dst").alias("w_lo"), F.col("dst_rank").alias("_lo_rank")
     )
@@ -90,13 +110,8 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     tri = wedges.join(closing, ["w_lo", "w_hi"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    stats = edges.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    )
-    nodes = (
-        edges.select(F.explode(F.array(a_col, b_col)).alias("node"))
-        .agg(F.count_distinct(F.col("node")).alias("n_nodes"))
-    )
+    stats = deg.agg(F.expr("sum(deg) div 2").alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return (
         nodes.join(F.broadcast(stats))
         .join(F.broadcast(tri))
