@@ -152,3 +152,22 @@ class TestCommittedArtifacts:
             and n not in budgets["adjudications"]
         }
         assert not bad, f"frozen super-linear gates without adjudication: {bad}"
+
+
+class TestFingerprintStability:
+    def test_fingerprint_invariant_to_expression_id_length(self, spark, sf_dir):
+        """Scan metadata is truncated at spark.sql.maxMetadataStringLength
+        BEFORE id scrubbing, so without the normalized_plan conf override a
+        gate with >100-char pushed-filter text (q_funnel_conversion) shifted
+        its truncation point — and its fingerprint — with the LENGTH of the
+        session's expression ids, flapping the --touched selector. Three
+        back-to-back builds (ids grow monotonically in-session) must agree,
+        and the rendered scan metadata must be untruncated."""
+        import __spark_entry__ as m
+
+        from vectorflow_spark.planfp import normalized_plan, plan_fingerprint
+
+        q = m.queries()["q_funnel_conversion"]
+        fps = {plan_fingerprint(q(spark, sf_dir)) for _ in range(3)}
+        assert len(fps) == 1, f"unstable fingerprints: {fps}"
+        assert "..." not in normalized_plan(q(spark, sf_dir))

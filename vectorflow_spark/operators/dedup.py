@@ -499,9 +499,30 @@ def connected_components(
     # orders of magnitude smaller; small enough that AQE broadcasts it
     # into the edge join, leaving the checkpointed edge set un-shuffled.
     # Isolated vertices rejoin once at the end with label = own id.
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node").cast("long")
-    ).localCheckpoint()
+    if max_iter <= 0:
+        labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node").cast("long")
+        ).localCheckpoint()
+    else:
+        # Round 1 against the IDENTITY label table (label(x) = x) needs no
+        # join at all: the neighborhood min unioned with the own label is
+        # min(x, min of x's neighbors), and the pointer jump through an
+        # identity table is the identity — so the first iteration's
+        # distinct-src materialization, edge join, union and jump join all
+        # collapse into ONE aggregation over the checkpointed edge set
+        # (und is symmetric, so dst covers every incident node). Same
+        # round count, same labels; the r11 label_propagation find applied
+        # here (paired A/B 2.73 -> 2.38 s on q_dedup_components at sf0.1).
+        labels = (
+            und.groupBy("dst")
+            .agg(F.min("src").alias("_cand"))
+            .select(
+                F.col("dst").alias("node"),
+                F.least("_cand", F.col("dst")).cast("long").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        max_iter = max_iter - 1
     # Convergence is detected from the LABEL SUM, not a changed-row count:
     # min-label propagation is monotone non-increasing per node (the
     # neighborhood min is unioned with the node's own label, and the

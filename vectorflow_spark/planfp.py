@@ -82,8 +82,28 @@ def normalize_plan_string(s: str) -> str:
 
 
 def normalized_plan(df) -> str:
-    """The executedPlan string with session-specific tokens scrubbed."""
-    return normalize_plan_string(df._jdf.queryExecution().executedPlan().toString())
+    """The executedPlan string with session-specific tokens scrubbed.
+
+    Scan-node metadata (PushedFilters, ReadSchema, Location) is truncated
+    by Spark at ``spark.sql.maxMetadataStringLength`` (default 100) chars
+    BEFORE this function scrubs expression ids — so the visible text, and
+    therefore the fingerprint, shifted with the LENGTH of the session's
+    expression ids (``ts#123`` vs ``ts#12345``), making gates with long
+    pushed-filter strings flap between 'touched' and 'unchanged' across
+    sessions. Raise the limit while rendering so no metadata is cut and
+    the scrubbed string is id-length-invariant; restore it after."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, 10000)
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return normalize_plan_string(s)
 
 
 def plan_fingerprint(df) -> str:
