@@ -35,7 +35,7 @@ HEADLINERS = [
     ("q_validate_webhook", "webhook validation: mapInPandas batch POSTs, no shuffle"),
     ("q_token_histogram", "integer-space log2 histogram: one map-side-combinable aggregation"),
     ("q_equidepth_bins", "global ranking via range-sort + partition offsets (no single-partition window)"),
-    ("q_waiting_suppliers", "Q21 shape: EXISTS/NOT-EXISTS as two per-order aggs sharing one orderkey partitioning"),
+    ("q_waiting_suppliers", "Q21 shape: one fact pass — stacked (orderkey,suppkey)/orderkey aggs, no join-back"),
     ("q_topk_per_group", "per-group top-k with WindowGroupLimit pruning below the exchange"),
     ("q_fuzzy_name_pairs", "edit distance on distinct (block,name) pairs, salted self-join, expand-back joins"),
     ("q_semantic_dedup", "SemDeDup: literal-folded cluster assign + cluster-confined pair join + anti join"),

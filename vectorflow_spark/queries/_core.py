@@ -42,6 +42,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+# Session-lifetime schema cache for the read-only driver tables, keyed by
+# (path, mtime_ns, size) so a changed file can never serve a stale schema.
+# spark.read.parquet() re-infers the schema from the footer on EVERY call
+# (~90 ms driver-side at any scale); an explicit read.schema() skips that.
+# This caches file METADATA only — rows are still scanned from parquet on
+# every action — the same class as Spark's own FileStatusCache, and the
+# local stand-in for the manifest catalog (Iceberg/Delta) a 100 TB table
+# would use to avoid per-query footer reads (guide §6).
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> DataFrame:
     """Read a driver table. ``split=True`` repartitions to the session's
     parallelism: the testdata parquet files are single-row-group (one scan
@@ -49,7 +60,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> Data
     run on one core. This mirrors the real-cluster discipline of sizing
     partitions for CPU-bound stages rather than scan bytes; the shuffle
     moves ~MBs locally and is dwarfed by the work it parallelizes."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         # events.ts arrives as parquet timestamp (read as TIMESTAMP_NTZ);
         # every consumer here does integer time arithmetic, so present it

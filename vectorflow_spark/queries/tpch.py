@@ -723,33 +723,50 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone held up multi-supplier
     finished orders (late = shipped >90 days after order date). The
-    classic EXISTS / NOT-EXISTS pair decorrelates into two per-order
-    aggregates — total suppliers and late suppliers — joined back to the
-    late rows; n_supp>=2 encodes EXISTS(other supplier), n_late_supp=1
-    encodes NOT EXISTS(other late supplier). Plan: both aggs and the
-    joins share the orderkey key (one shuffle partitioning reused);
-    supplier is broadcast; TakeOrderedAndProject caps the output."""
+    classic EXISTS / NOT-EXISTS pair decorrelates into per-order
+    aggregates; n_supp>=2 encodes EXISTS(other supplier), n_late_supp=1
+    encodes NOT EXISTS(other late supplier).
+
+    ONE fact pass (guide §2.3/§1.1 first-principles): the old form
+    scanned lineitem three times (l1, per-order countDistinct over ALL
+    lineitem, late-per-order) and 3-way-joined the aggregates back on
+    orderkey. Equivalences that collapse it: (a) every orderkey that
+    survives the join is F-status (l1 only holds F orders, and an
+    orderkey determines its order's status), so per_order may be
+    computed over the F-joined rows; (b) when n_late_supp = 1 every
+    late row of the order carries the SAME suppkey, so the final
+    count(*) per supplier = sum of per-order late-row counts grouped by
+    that one suppkey. Two stacked plain aggregations — (orderkey,
+    suppkey) then orderkey, both map-side combinable, no countDistinct
+    Expand, no join-back — replace the three passes; the orderkey
+    exchange is established once and reused. Rows proven identical at
+    sf0.1 and by the unchanged DuckDB oracle at both driver SFs."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
-    l1 = (
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("_late").alias("_n_late_rows"))
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
-    )
-    late_per_order = l1.groupBy(F.col("l_orderkey").alias("ok2")).agg(
-        F.countDistinct("l_suppkey").alias("n_late_supp")
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("_n_late_rows") > 0).cast("int")).alias("n_late_supp"),
+        F.sum("_n_late_rows").alias("n_late_rows"),
+        F.max(F.when(F.col("_n_late_rows") > 0, F.col("l_suppkey"))).alias("_late_supp"),
     )
     return (
-        l1.join(per_order, F.col("l_orderkey") == F.col("ok"))
-        .join(late_per_order, F.col("l_orderkey") == F.col("ok2"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        # coalesce keeps numwait non-nullable like the count() it replaces
+        .agg(
+            F.coalesce(F.sum("n_late_rows"), F.lit(0)).cast("bigint").alias("numwait")
+        )
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
@@ -787,10 +804,20 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     first since the window is per-part, but keeps the agg reusable.
     split=True: the exact-decimal partial agg is the gate's dominant CPU
     and otherwise runs on the single scan partition (r11: 2.28->1.68 s,
-    decimal sums are order-independent so the result is unchanged)."""
+    decimal sums are order-independent so the result is unchanged).
+    The size-15 semi-join runs BEFORE the agg (guide §3.2): per-part
+    costs and per-part windows are independent, so dropping non-size-15
+    parts up front removes whole window partitions and is row-identical
+    to filtering after rn=1 — while the dominant decimal agg now sees
+    ~1/50th of lineitem (r11 third session: action 1.12 -> 0.33 s)."""
     li = _t(spark, sf_dir, "lineitem", split=True)
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
+    li = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         (
             F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double")
