@@ -1147,14 +1147,31 @@ def optimal_huffman_table(counts: dict[int, int]) -> tuple[list[int], list[int]]
     codesize = [0] * 257
     others = [-1] * 257
 
-    while True:
-        # v1 = least nonzero freq (largest symbol on ties); v2 = next
-        cands = sorted((f, -i) for i, f in enumerate(freq) if f > 0)
-        if len(cands) < 2:
-            break
-        v1, v2 = -cands[0][1], -cands[1][1]
+    # v1 = least nonzero freq (largest symbol on ties); v2 = next. The
+    # two minima per merge come from a lazy-deletion heap instead of
+    # re-sorting every live frequency each round (same bit-identical
+    # O(n^2 log n) -> O(n log n) rewrite as webpmini._huff_lengths: a
+    # freq only strictly grows or drops to zero, so each symbol has
+    # exactly one live heap entry at any time).
+    import heapq
+
+    heap = [(f, -i) for i, f in enumerate(freq) if f > 0]
+    heapq.heapify(heap)
+    live = len(heap)
+
+    def pop_live() -> int:
+        while True:
+            f, ni = heapq.heappop(heap)
+            if freq[-ni] == f:
+                return -ni
+
+    while live >= 2:
+        v1 = pop_live()
+        v2 = pop_live()
         freq[v1] += freq[v2]
         freq[v2] = 0
+        heapq.heappush(heap, (freq[v1], -v1))
+        live -= 1
         codesize[v1] += 1
         while others[v1] != -1:
             v1 = others[v1]
