@@ -144,7 +144,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is read twice (df agg + score join): checkpoint the inverted-
+    # index-sized table so the raw corpus is tokenized exactly once
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -793,7 +795,10 @@ def tfidf_cosine_pairs(
             F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is read twice (df agg + weight join) and w three times (norms +
+    # both pair sides): checkpoint both posting-list-sized tables so the
+    # raw corpus is tokenized exactly once instead of once per reference
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
@@ -809,6 +814,7 @@ def tfidf_cosine_pairs(
             .cast("decimal(18,9)")
             .alias("w"),
         )
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")

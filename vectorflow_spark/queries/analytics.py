@@ -659,13 +659,20 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     so rank comparisons happen on integers (ties on the term string).
     Plan: tf/dl/df are map-side-combinable aggs; df joins tf on the token
     key (never broadcast — open vocabulary); corpus stats are a 1-row
-    broadcast; final per-doc top-3 is WindowGroupLimit-prunable."""
+    broadcast; final per-doc top-3 is WindowGroupLimit-prunable.
+    ONE tokenize pass (guide §2.3, r11 third session): dl/df/stats and
+    the score join all read the checkpointed tf table — dl = sum of a
+    doc's tf counts (the same integer as counting its tokens), so the
+    raw token stream is exploded exactly once; the old form re-ran the
+    tokenize+explode for every tf/dl reference (4 corpus passes)."""
     docs = _t(spark, sf_dir, "documents", split=True)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("nd"),
