@@ -161,9 +161,10 @@ class _DecoderTable:
         lut = [0] * 65536
         for (length, code), sym in self.codes.items():
             base = code << (16 - length)
-            entry = (sym << 5) | length
-            for j in range(1 << (16 - length)):
-                lut[base + j] = entry
+            span = 1 << (16 - length)
+            # canonical codes own disjoint LUT ranges (prefix property),
+            # so a C-speed slice fill replaces the per-entry Python loop
+            lut[base : base + span] = [(sym << 5) | length] * span
         self.lut = lut
 
 
@@ -1080,14 +1081,25 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # stuffing
+        # invariant: acc < 2^nbits (flushed bits are masked away — JPEG bit
+        # emission has no carries, so a flushed byte is never revisited)
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nbits = self.nbits + n
+        if nbits >= 8:
+            rem = nbits & 7
+            b = (acc >> rem).to_bytes(nbits >> 3, "big")
+            if b"\xff" in b:
+                out = self.out
+                for byte in b:
+                    out.append(byte)
+                    if byte == 0xFF:
+                        out.append(0x00)  # stuffing
+            else:
+                self.out += b
+            acc &= (1 << rem) - 1
+            nbits = rem
+        self.acc = acc
+        self.nbits = nbits
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -1228,9 +1240,15 @@ def _encode_block(
     diff = dc - pred
     s = _category(diff)
     code, length = dc_codes[s]
-    writer.write(code, length)
+    # the whole block is one contiguous bit string — accumulate it in
+    # locals and emit with a single write(): byte-identical, and the hot
+    # loop touches no attributes
     if s:
-        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        acc = (code << s) | ((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1))
+        n = length + s
+    else:
+        acc = code
+        n = length
     run = 0
     last_nz = 0
     for k in range(1, 64):
@@ -1243,16 +1261,21 @@ def _encode_block(
             continue
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
-            writer.write(code, length)
+            acc = (acc << length) | code
+            n += length
             run -= 16
         s = _category(v)
         code, length = ac_codes[(run << 4) | s]
-        writer.write(code, length)
-        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        acc = (acc << (length + s)) | (
+            (code << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+        )
+        n += length + s
         run = 0
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
-        writer.write(code, length)
+        acc = (acc << length) | code
+        n += length
+    writer.write(acc, n)
     return dc
 
 
@@ -1472,21 +1495,40 @@ class _ProgACState:
         self.pending: list[int] = []
 
 
-def _emit_eobrun(writer: _BitWriter, ac_codes, st: _ProgACState) -> None:
+def _eobrun_bits(ac_codes, st: _ProgACState) -> tuple[int, int]:
+    """Flush the pending EOB run + buffered correction bits as one
+    (bits, nbits) string — same bits in the same order as emitting them
+    one write() at a time."""
+    acc = 0
+    n = 0
     if st.eobrun > 0:
         r = st.eobrun.bit_length() - 1
         code, length = ac_codes[r << 4]
-        writer.write(code, length)
         if r:
-            writer.write(st.eobrun - (1 << r), r)
+            acc = (code << r) | ((st.eobrun - (1 << r)) & ((1 << r) - 1))
+            n = length + r
+        else:
+            acc = code
+            n = length
         st.eobrun = 0
-    for bit in st.pending:
-        writer.write(bit, 1)
-    st.pending = []
+    if st.pending:
+        for bit in st.pending:
+            acc = (acc << 1) | bit
+        n += len(st.pending)
+        st.pending = []
+    return acc, n
+
+
+def _emit_eobrun(writer: _BitWriter, ac_codes, st: _ProgACState) -> None:
+    acc, n = _eobrun_bits(ac_codes, st)
+    if n:
+        writer.write(acc, n)
 
 
 def _enc_ac_first(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
     run = 0
+    acc = 0
+    n = 0
     for k in range(ss, se + 1):
         v = int(zz[k])
         t = abs(v) >> al
@@ -1494,17 +1536,24 @@ def _enc_ac_first(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
             run += 1
             continue
         if st.eobrun:
-            _emit_eobrun(writer, ac_codes, st)
+            a2, n2 = _eobrun_bits(ac_codes, st)
+            acc = (acc << n2) | a2
+            n += n2
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
-            writer.write(code, length)
+            acc = (acc << length) | code
+            n += length
             run -= 16
         s = t.bit_length()
         code, length = ac_codes[(run << 4) | s]
-        writer.write(code, length)
         tv = t if v >= 0 else -t
-        writer.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+        acc = (acc << (length + s)) | (
+            (code << s) | ((tv if tv >= 0 else tv + (1 << s) - 1) & ((1 << s) - 1))
+        )
+        n += length + s
         run = 0
+    if n:
+        writer.write(acc, n)
     if run > 0:
         st.eobrun += 1
         if st.eobrun == 0x7FFF:
@@ -1521,31 +1570,44 @@ def _enc_ac_refine(writer, ac_codes, zz, ss, se, al, st: _ProgACState) -> None:
             eob = k
     run = 0
     br: list[int] = []  # correction bits since the last emitted symbol
+    acc = 0
+    n = 0
     for k in range(ss, se + 1):
         t = absvals[k]
         if t == 0:
             run += 1
             continue
         while run > 15 and k <= eob:
-            _emit_eobrun(writer, ac_codes, st)
+            a2, n2 = _eobrun_bits(ac_codes, st)
+            acc = (acc << n2) | a2
+            n += n2
             code, length = ac_codes[0xF0]  # ZRL
-            writer.write(code, length)
+            acc = (acc << length) | code
+            n += length
             run -= 16
             for bit in br:
-                writer.write(bit, 1)
+                acc = (acc << 1) | bit
+            n += len(br)
             br = []
         if t > 1:  # history-nonzero: buffer its correction bit
             br.append(t & 1)
             continue
         # newly significant at this precision
-        _emit_eobrun(writer, ac_codes, st)
+        a2, n2 = _eobrun_bits(ac_codes, st)
+        acc = (acc << n2) | a2
+        n += n2
         code, length = ac_codes[(run << 4) | 1]
-        writer.write(code, length)
-        writer.write(0 if int(zz[k]) < 0 else 1, 1)
+        # code + sign bit + buffered correction bits are one contiguous
+        # bit string
+        acc = (acc << (length + 1)) | (code << 1) | (0 if int(zz[k]) < 0 else 1)
+        n += length + 1
         for bit in br:
-            writer.write(bit, 1)
+            acc = (acc << 1) | bit
+        n += len(br)
         br = []
         run = 0
+    if n:
+        writer.write(acc, n)
     if run > 0 or br:
         st.eobrun += 1
         st.pending.extend(br)
@@ -1589,9 +1651,14 @@ def encode_jpeg_progressive(
                     preds[ci] = tmp
                     s = _category(diff)
                     code, length = codes_list[ci][s]
-                    writer.write(code, length)
                     if s:
-                        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        writer.write(
+                            (code << s)
+                            | ((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1)),
+                            length + s,
+                        )
+                    else:
+                        writer.write(code, length)
                 else:
                     writer.write((v >> al) & 1, 1)
 

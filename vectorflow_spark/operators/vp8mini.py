@@ -46,6 +46,16 @@ from vectorflow_spark.operators._vp8tables import (
     ZIGZAG,
 )
 
+# the keyframe header's 1056 "no coeff-prob update" flags, flattened once
+# for a single _BoolEnc.bits() pass (same bits in the same order)
+_COEFF_UPDATE_ZEROS = tuple(
+    (COEFF_UPDATE_PROBS[i][j][k][t], 0)
+    for i in range(4)
+    for j in range(8)
+    for k in range(3)
+    for t in range(11)
+)
+
 # mode ids (RFC 6386 8.2): luma 16x16 / chroma
 DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
 # 4x4 submodes — libwebp's enum order (RD/VR/LD differ from the RFC's
@@ -1040,6 +1050,44 @@ class _BoolEnc:
             self.cnt -= 8
         self.low = self.low << shift
 
+    def bits(self, pairs) -> None:
+        """Encode a sequence of (prob, bit) pairs with the coder state in
+        locals — same arithmetic as bit(), amortizing the attribute
+        traffic over a whole block."""
+        low = self.low
+        rng = self.rng
+        cnt = self.cnt
+        out = self.out
+        for prob, b in pairs:
+            split = 1 + (((rng - 1) * prob) >> 8)
+            if b:
+                low += split
+                rng -= split
+            else:
+                rng = split
+            shift = 0
+            while rng < 128:
+                rng <<= 1
+                shift += 1
+            cnt += shift
+            if cnt >= 0:
+                offset = shift - cnt
+                if (low << (offset - 1)) & 0x80000000:  # carry
+                    i = len(out) - 1
+                    while i >= 0 and out[i] == 0xFF:
+                        out[i] = 0
+                        i -= 1
+                    if i >= 0:
+                        out[i] += 1
+                out.append((low >> (24 - offset)) & 0xFF)
+                low = (low << offset) & 0xFFFFFF
+                shift = cnt
+                cnt -= 8
+            low = low << shift
+        self.low = low
+        self.rng = rng
+        self.cnt = cnt
+
     def lit(self, v: int, nbits: int) -> None:
         for i in range(nbits - 1, -1, -1):
             self.bit(128, (v >> i) & 1)
@@ -1054,35 +1102,39 @@ class _BoolEnc:
             self.bit(128, 1 if v < 0 else 0)
 
     def tobytes(self) -> bytes:
-        for _ in range(32):
-            self.bit(128, 0)
+        self.bits(((128, 0),) * 32)
         return bytes(self.out)
 
 
 def _fdct4x4(block: np.ndarray) -> list:
     """Forward 4x4 DCT (libvpx vp8_short_fdct4x4 arithmetic — the exact
     inverse pair of _idct4x4_add)."""
-    ip = block.astype(np.int64)
-    tmp = np.zeros((4, 4), np.int64)
-    for r in range(4):
-        a1 = (ip[r, 0] + ip[r, 3]) * 8
-        b1 = (ip[r, 1] + ip[r, 2]) * 8
-        c1 = (ip[r, 1] - ip[r, 2]) * 8
-        d1 = (ip[r, 0] - ip[r, 3]) * 8
-        tmp[r, 0] = a1 + b1
-        tmp[r, 2] = a1 - b1
-        tmp[r, 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
-        tmp[r, 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    # plain Python ints: numpy scalar indexing/arithmetic on a lone 4x4
+    # block is ~10x slower than int ops; >> stays an arithmetic shift in
+    # both, so the libvpx arithmetic is unchanged
+    ip = block.ravel().tolist()
+    tmp = [0] * 16
+    for r in (0, 4, 8, 12):
+        i0, i1, i2, i3 = ip[r], ip[r + 1], ip[r + 2], ip[r + 3]
+        a1 = (i0 + i3) * 8
+        b1 = (i1 + i2) * 8
+        c1 = (i1 - i2) * 8
+        d1 = (i0 - i3) * 8
+        tmp[r] = a1 + b1
+        tmp[r + 2] = a1 - b1
+        tmp[r + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[r + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
     out = [0] * 16
     for c in range(4):
-        a1 = tmp[0, c] + tmp[3, c]
-        b1 = tmp[1, c] + tmp[2, c]
-        c1 = tmp[1, c] - tmp[2, c]
-        d1 = tmp[0, c] - tmp[3, c]
-        out[c] = int((a1 + b1 + 7) >> 4)
-        out[8 + c] = int((a1 - b1 + 7) >> 4)
-        out[4 + c] = int(((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 != 0 else 0))
-        out[12 + c] = int((d1 * 2217 - c1 * 5352 + 51000) >> 16)
+        t0, t1, t2, t3 = tmp[c], tmp[4 + c], tmp[8 + c], tmp[12 + c]
+        a1 = t0 + t3
+        b1 = t1 + t2
+        c1 = t1 - t2
+        d1 = t0 - t3
+        out[c] = (a1 + b1 + 7) >> 4
+        out[8 + c] = (a1 - b1 + 7) >> 4
+        out[4 + c] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 != 0 else 0)
+        out[12 + c] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
     return out
 
 
@@ -1137,72 +1189,80 @@ def _put_tree(be: _BoolEnc, tree: tuple, probs, leaf: int, start: int = 0) -> No
         return False
 
     walk(start, [])
-    for prob, b in path:
-        be.bit(prob, b)
+    be.bits(path)
 
 
-def _put_value(be: _BoolEnc, p, a: int) -> None:
-    """Emit the magnitude bits for a (already |.|) nonzero coefficient."""
+def _value_bits(ap, p, a: int) -> None:
+    """Append the (prob, bit) pairs for a (already |.|) nonzero
+    coefficient magnitude to ``ap`` (a list.append)."""
     if a == 1:
-        be.bit(p[2], 0)
+        ap((p[2], 0))
         return
-    be.bit(p[2], 1)
+    ap((p[2], 1))
     if a <= 4:
-        be.bit(p[3], 0)
         if a == 2:
-            be.bit(p[4], 0)
+            ap((p[3], 0))
+            ap((p[4], 0))
         else:
-            be.bit(p[4], 1)
-            be.bit(p[5], a - 3)
+            ap((p[3], 0))
+            ap((p[4], 1))
+            ap((p[5], a - 3))
         return
-    be.bit(p[3], 1)
+    ap((p[3], 1))
     for cat in (5, 6, 7, 8, 9, 10):
         base = CAT_BASE[cat]
         nbits = len(CAT_PROBS[cat])
         if a < base + (1 << nbits):
             break
     if cat in (5, 6):
-        be.bit(p[6], 0)
-        be.bit(p[7], cat - 5)
+        ap((p[6], 0))
+        ap((p[7], cat - 5))
     else:
-        be.bit(p[6], 1)
-        be.bit(p[8], 1 if cat >= 9 else 0)
-        be.bit(p[9 + (1 if cat >= 9 else 0)], (cat - 7) & 1)
+        ap((p[6], 1))
+        ap((p[8], 1 if cat >= 9 else 0))
+        ap((p[9 + (1 if cat >= 9 else 0)], (cat - 7) & 1))
     extra = a - CAT_BASE[cat]
     cps = CAT_PROBS[cat]
     for i, cp in enumerate(cps):
-        be.bit(cp, (extra >> (len(cps) - 1 - i)) & 1)
+        ap((cp, (extra >> (len(cps) - 1 - i)) & 1))
 
 
 def _put_coeffs(be: _BoolEnc, probs_plane, ctx: int, first: int, levels) -> int:
     """Encode one block's quantized LEVELS (natural order); mirrors
-    _get_coeffs. Returns the EOB position (for nz-flag bookkeeping)."""
+    _get_coeffs. Returns the EOB position (for nz-flag bookkeeping).
+    The whole block's (prob, bit) pairs are collected first and encoded
+    with one bits() call — identical stream, locals-only hot loop."""
     zz = [levels[ZIGZAG[n]] for n in range(16)]
     eob = first
     for n in range(first, 16):
         if zz[n]:
             eob = n + 1
+    pb: list = []
+    ap = pb.append
     n = first
     p = probs_plane[COEFF_BANDS[n]][ctx]
+    ret = 16
     while n < 16:
         if n >= eob:
-            be.bit(p[0], 0)
-            return eob
-        be.bit(p[0], 1)
+            ap((p[0], 0))
+            ret = eob
+            break
+        ap((p[0], 1))
         while zz[n] == 0:
-            be.bit(p[1], 0)
+            ap((p[1], 0))
             n += 1
             p = probs_plane[COEFF_BANDS[n]][0]
-        be.bit(p[1], 1)
+        ap((p[1], 1))
         v = zz[n]
         a = abs(v)
-        _put_value(be, p, a)
-        be.bit(128, 1 if v < 0 else 0)
+        _value_bits(ap, p, a)
+        ap((128, 1 if v < 0 else 0))
         n += 1
         if n == 16:
-            return 16
+            break
         p = probs_plane[COEFF_BANDS[n]][2 if a > 1 else 1]
-    return 16
+    be.bits(pb)
+    return ret
 
 
 def rgb_to_yuv420(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1281,11 +1341,7 @@ def encode_vp8(px: np.ndarray, qi: int = 8, ymode: int = DC_PRED) -> bytes:
     for _ in range(5):
         be.bit(128, 0)  # no quantizer deltas
     be.bit(128, 1)  # refresh entropy probs
-    for i in range(4):
-        for j in range(8):
-            for k in range(3):
-                for t in range(11):
-                    be.bit(COEFF_UPDATE_PROBS[i][j][k][t], 0)
+    be.bits(_COEFF_UPDATE_ZEROS)  # 1056 "no update" flags in one pass
     be.bit(128, 0)  # mb_no_skip_coeff = 0 (no skip flags)
 
     tok = _BoolEnc()
