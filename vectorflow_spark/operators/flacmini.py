@@ -97,12 +97,15 @@ class _Bits:
         self.n = 0
 
     def read(self, k: int) -> int:
+        # refill 8 bytes at a time; align() rewinds whole over-read bytes,
+        # so the logical bit position (8*pos - n) is unchanged
         while self.n < k:
-            if self.pos >= len(self.data):
+            chunk = self.data[self.pos : self.pos + 8]
+            if not chunk:
                 raise ValueError("flac: bitstream truncated")
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.n += 8
+            self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            self.pos += len(chunk)
+            self.n += 8 * len(chunk)
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
         self.acc &= (1 << self.n) - 1
@@ -111,6 +114,24 @@ class _Bits:
     def read_signed(self, k: int) -> int:
         v = self.read(k)
         return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def read_signed_block(self, k: int, count: int) -> list[int]:
+        """``count`` consecutive k-bit signed fields — the same bits in
+        the same order as ``count`` read_signed() calls, consumed with ONE
+        wide read and unpacked vectorized (numpy bit matrix)."""
+        if count <= 0:
+            return []
+        if k > 62:  # keep the int64 weight vector exact (never hit: k<=33)
+            return [self.read_signed(k) for _ in range(count)]
+        total = k * count
+        big = self.read(total)
+        nbytes = (total + 7) >> 3
+        raw = np.frombuffer(
+            (big << (8 * nbytes - total)).to_bytes(nbytes, "big"), dtype=np.uint8
+        )
+        mat = np.unpackbits(raw)[:total].reshape(count, k).astype(np.int64)
+        u = mat @ (np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64))
+        return np.where(u >= (1 << (k - 1)), u - (1 << k), u).tolist()
 
     def read_unary(self) -> int:
         """Count of 0-bits before the terminating 1-bit. Bounded: a sane
@@ -122,11 +143,12 @@ class _Bits:
             if c > 1_000_000:
                 raise ValueError("flac: unary run too long (corrupt stream)")
             if self.n == 0:
-                if self.pos >= len(self.data):
+                chunk = self.data[self.pos : self.pos + 8]
+                if not chunk:
                     raise ValueError("flac: bitstream truncated in unary code")
-                self.acc = self.data[self.pos]
-                self.pos += 1
-                self.n = 8
+                self.acc = int.from_bytes(chunk, "big")
+                self.pos += len(chunk)
+                self.n = 8 * len(chunk)
             if self.acc == 0:
                 c += self.n
                 self.n = 0
@@ -138,9 +160,13 @@ class _Bits:
             return c
 
     def align(self) -> None:
-        """Drop padding bits to the next byte boundary (spec: zeros)."""
-        if self.n and self.acc != 0:
+        """Drop padding bits to the next byte boundary (spec: zeros) and
+        rewind any whole bytes the chunked refill over-read, so ``pos``
+        lands exactly on the frame's trailing byte boundary."""
+        pad = self.n & 7
+        if pad and (self.acc >> (self.n - pad)) != 0:
             raise ValueError("flac: nonzero frame padding bits")
+        self.pos -= (self.n - pad) >> 3
         self.acc = 0
         self.n = 0
 
@@ -154,18 +180,20 @@ class _BitW:
         self.n = 0
 
     def write(self, v: int, k: int) -> None:
-        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
-        self.n += k
-        while self.n >= 8:
-            self.n -= 8
-            self.buf.append((self.acc >> self.n) & 0xFF)
-        self.acc &= (1 << self.n) - 1
+        # arbitrary-width: whole bytes flush via one to_bytes (FLAC has
+        # no byte stuffing), only the sub-byte remainder stays in acc
+        acc = (self.acc << k) | (v & ((1 << k) - 1))
+        n = self.n + k
+        if n >= 8:
+            rem = n & 7
+            self.buf += (acc >> rem).to_bytes(n >> 3, "big")
+            acc &= (1 << rem) - 1
+            n = rem
+        self.acc = acc
+        self.n = n
 
     def write_unary(self, q: int) -> None:
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
-        self.write(1, q + 1)
+        self.write(1, q + 1)  # q zeros then the terminating 1, any width
 
     def align(self) -> None:
         if self.n:
@@ -286,7 +314,7 @@ def _read_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
             if raw == 0:
                 out.extend([0] * n)
             else:
-                out.extend(bits.read_signed(raw) for _ in range(n))
+                out.extend(bits.read_signed_block(raw, n))
         else:
             for _ in range(n):
                 q = bits.read_unary()
@@ -339,9 +367,7 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
         v = bits.read_signed(eff)
         out = np.full(blocksize, v, dtype=np.int64)
     elif ftype == 1:  # VERBATIM
-        out = np.fromiter(
-            (bits.read_signed(eff) for _ in range(blocksize)), dtype=np.int64, count=blocksize
-        )
+        out = np.asarray(bits.read_signed_block(eff, blocksize), dtype=np.int64)
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
         warmup = [bits.read_signed(eff) for _ in range(order)]
@@ -628,16 +654,34 @@ def _write_residual(bw: _BitW, residual: np.ndarray, order: int, partition_order
         u = (v << 1) ^ (v >> 63)
         param, rice_cost = _best_rice_param(u)
         raw = _signed_bits_needed(v)
+        # accumulate the partition's bit string in locals and emit in
+        # bounded chunks — identical bits, no per-sample method calls
+        acc = 0
+        nb = 0
         if 5 + n * raw < rice_cost:
             bw.write(0xF, 4)  # escape: raw signed samples
             bw.write(raw, 5)
-            for x in v:
-                bw.write(int(x), raw)
+            rmask = (1 << raw) - 1
+            for x in v.tolist():
+                acc = (acc << raw) | (x & rmask)
+                nb += raw
+                if nb >= 8192:
+                    bw.write(acc, nb)
+                    acc = 0
+                    nb = 0
         else:
             bw.write(param, 4)
-            for x in u:
-                bw.write_unary(int(x) >> param)
-                bw.write(int(x), param)
+            pmask = (1 << param) - 1
+            for x in u.tolist():
+                q = x >> param
+                acc = ((acc << (q + 1)) | 1) << param | (x & pmask)
+                nb += q + 1 + param
+                if nb >= 8192:
+                    bw.write(acc, nb)
+                    acc = 0
+                    nb = 0
+        if nb:
+            bw.write(acc, nb)
 
 
 def _fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
