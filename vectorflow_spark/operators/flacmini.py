@@ -64,21 +64,25 @@ def _crc_table(poly: int, width: int) -> np.ndarray:
     return tab
 
 
-_CRC8_TAB = _crc_table(0x07, 8)
-_CRC16_TAB = _crc_table(0x8005, 16)
+# plain-list tables: numpy scalar indexing costs ~10x a list index in
+# the per-byte loops below (same table values either way)
+_CRC8_TAB = _crc_table(0x07, 8).tolist()
+_CRC16_TAB = _crc_table(0x8005, 16).tolist()
 
 
 def _crc8(data: bytes) -> int:
     r = 0
+    tab = _CRC8_TAB
     for b in data:
-        r = int(_CRC8_TAB[r ^ b])
+        r = tab[r ^ b]
     return r
 
 
 def _crc16(data: bytes) -> int:
     r = 0
+    tab = _CRC16_TAB
     for b in data:
-        r = ((r << 8) & 0xFFFF) ^ int(_CRC16_TAB[(r >> 8) ^ b])
+        r = ((r << 8) & 0xFFFF) ^ tab[(r >> 8) ^ b]
     return r
 
 
