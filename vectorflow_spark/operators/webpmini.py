@@ -169,33 +169,54 @@ class _HuffTree:
             raise ValueError("vp8l: empty huffman code")
         if len(nz) == 1:
             self.single = next(iter(nz))
-            self.table: dict[tuple[int, int], int] = {}
             return
         self.single = None
-        # canonical assignment: sort by (length, symbol)
-        code = 0
-        prev_len = 0
-        table = {}
+        # canonical assignment: sort by (length, symbol); decode uses the
+        # classic first/limit/base arrays — same codes, same symbols,
+        # O(1) arithmetic per level instead of a dict probe
+        cnt = [0] * 16
+        syms: list[int] = []
         kraft = 0
         for sym, ln in sorted(nz.items(), key=lambda kv: (kv[1], kv[0])):
-            code <<= ln - prev_len
-            table[(ln, code)] = sym
-            code += 1
-            prev_len = ln
-            kraft += 1 << (15 - ln) if ln <= 15 else 0
+            if ln <= 15:
+                cnt[ln] += 1
+                kraft += 1 << (15 - ln)
+            syms.append(sym)
         if any(ln > 15 for ln in nz.values()) or kraft != (1 << 15):
             raise ValueError("vp8l: invalid (incomplete or overfull) huffman code")
-        self.table = table
+        first = [0] * 16
+        limit = [0] * 16
+        base = [0] * 16
+        code = 0
+        idx = 0
+        for ln in range(1, 16):
+            code <<= 1
+            first[ln] = code
+            base[ln] = idx
+            code += cnt[ln]
+            idx += cnt[ln]
+            limit[ln] = code
+        self.syms = syms
+        self.first = first
+        self.limit = limit
+        self.base = base
 
     def read_symbol(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        data = br.data
+        pos = br.pos
+        nbits = len(data) << 3
+        limit = self.limit
         code = 0
         for length in range(1, 16):
-            code = (code << 1) | br.read_bit()
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
+            if pos >= nbits:
+                raise ValueError("vp8l: truncated bitstream")
+            code = (code << 1) | ((data[pos >> 3] >> (pos & 7)) & 1)
+            pos += 1
+            if code < limit[length]:
+                br.pos = pos
+                return self.syms[self.base[length] + code - self.first[length]]
         raise ValueError("vp8l: bad huffman code in stream")
 
 
@@ -253,7 +274,11 @@ def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffTree:
         # assignment by (length, symbol) would reorder, so build directly
         t = _HuffTree.__new__(_HuffTree)
         t.single = None
-        t.table = {(1, 0): sym0, (1, 1): sym1}
+        t.syms = [sym0, sym1]  # code 0 -> sym0, code 1 -> sym1, as read
+        t.first = [0] * 16
+        t.base = [0] * 16
+        t.limit = [0] * 16
+        t.limit[1] = 2
         return t
     lengths = _read_code_lengths(br, alphabet_size)
     return _HuffTree(lengths)
@@ -262,7 +287,6 @@ def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffTree:
 def _single_tree(sym: int) -> _HuffTree:
     t = _HuffTree.__new__(_HuffTree)
     t.single = sym
-    t.table = {}
     return t
 
 
