@@ -67,6 +67,7 @@ def decompress(data: bytes) -> bytes:
         raise SnappyError("snappy: declared length exceeds 32-bit bound")
     out = bytearray()
     n = len(data)
+    cur = 0  # == len(out), tracked to keep the tag loop local-only
     while pos < n:
         tag = data[pos]
         pos += 1
@@ -95,7 +96,7 @@ def decompress(data: bytes) -> bytes:
                 ln = (tag >> 2) + 1
                 if pos + 2 > n:
                     raise SnappyError("snappy: truncated copy-2 offset")
-                off = int.from_bytes(data[pos : pos + 2], "little")
+                off = data[pos] | (data[pos + 1] << 8)
                 pos += 2
             else:
                 ln = (tag >> 2) + 1
@@ -103,7 +104,6 @@ def decompress(data: bytes) -> bytes:
                     raise SnappyError("snappy: truncated copy-4 offset")
                 off = int.from_bytes(data[pos : pos + 4], "little")
                 pos += 4
-            cur = len(out)
             if off == 0 or off > cur:
                 raise SnappyError("snappy: copy offset outside produced output")
             if cur + ln > ulen:
@@ -111,10 +111,16 @@ def decompress(data: bytes) -> bytes:
             if off >= ln:
                 start = cur - off
                 out += out[start : start + ln]
-            else:  # overlapping copy: byte-at-a-time semantics (RLE)
-                for _ in range(ln):
-                    out.append(out[-off])
-        if len(out) > ulen:
+            else:
+                # overlapping copy (RLE): byte-at-a-time semantics ==
+                # repeating the off-sized tail until ln bytes are written
+                chunk = bytes(out[cur - off : cur])
+                reps, rem = divmod(ln, off)
+                out += chunk * reps
+                if rem:
+                    out += chunk[:rem]
+        cur = len(out)
+        if cur > ulen:
             raise SnappyError("snappy: output overruns declared length")
     if len(out) != ulen:
         raise SnappyError(
