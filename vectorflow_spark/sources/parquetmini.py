@@ -1130,7 +1130,7 @@ def decode_column_chunk(chunk: bytes, cm: dict[str, Any], leaf: _Leaf) -> list:
         else:
             raise ParquetError(f"unsupported page type {ptype}")
 
-        n_present = sum(1 for d in defs if d == leaf.max_def_level)
+        n_present = defs.count(leaf.max_def_level)
         if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
             if dictionary is None:
                 raise ParquetError("dictionary-encoded page before dictionary page")
@@ -1186,8 +1186,11 @@ def decode_column_chunk(chunk: bytes, cm: dict[str, Any], leaf: _Leaf) -> list:
             present = [bool(b) for b in bits]
         else:
             raise ParquetError(f"unsupported data encoding {ENCODINGS.get(enc, enc)}")
-        it = iter(present)
-        out.extend(next(it) if d == leaf.max_def_level else None for d in defs)
+        if n_present == len(defs):  # no nulls on this page: plain extend
+            out.extend(present)
+        else:
+            it = iter(present)
+            out.extend(next(it) if d == leaf.max_def_level else None for d in defs)
     if len(out) != n_total:
         raise ParquetError(f"chunk declared {n_total} values, decoded {len(out)}")
     return _convert_logical(out, leaf)
