@@ -230,16 +230,7 @@ def _parse_header(d: bytes):
 
     br.bit()  # refresh entropy probs (keyframe: no effect within the frame)
 
-    probs = [[[list(DEFAULT_COEFF_PROBS[i][j][k]) for k in range(3)] for j in range(8)] for i in range(4)]
-    for i in range(4):
-        for j in range(8):
-            for k in range(3):
-                upd = COEFF_UPDATE_PROBS[i][j][k]
-                row = probs[i][j][k]
-                for t in range(11):
-                    if br.bit(upd[t]):
-                        row[t] = br.lit(8)
-    hdr.coeff_probs = probs
+    hdr.coeff_probs = _read_coeff_prob_updates(br)
 
     hdr.use_skip = bool(br.bit())
     hdr.prob_skip = br.lit(8) if hdr.use_skip else 0
@@ -247,6 +238,63 @@ def _parse_header(d: bytes):
     mb_w = (hdr.w + 15) >> 4
     mb_h = (hdr.h + 15) >> 4
     return hdr, br, toks, mb_w, mb_h
+
+
+def _read_coeff_prob_updates(br: _BoolDec):
+    """The 4x8x3x11 coeff-prob update block with the bool-decoder state
+    in LOCALS — same arithmetic as 1056 br.bit() calls (+ br.lit(8) per
+    set flag), one state write-back at the end."""
+    d = br.d
+    nlen = br.n
+    pos = br.pos
+    rng = br.rng
+    val = br.val
+    cnt = br.cnt
+    def _b(pr: int) -> int:
+        nonlocal rng, val, cnt, pos
+        split = 1 + (((rng - 1) * pr) >> 8)
+        big = split << 8
+        if val >= big:
+            rng -= split
+            val -= big
+            ret = 1
+        else:
+            rng = split
+            ret = 0
+        if rng < 128:
+            sh = 8 - rng.bit_length()
+            rng <<= sh
+            val <<= sh
+            cnt += sh
+            if cnt >= 8:
+                cnt -= 8
+                if pos < nlen:
+                    val |= d[pos] << cnt
+                    pos += 1
+        return ret
+
+    probs = []
+    for i in range(4):
+        pi = []
+        for j in range(8):
+            pj = []
+            for k in range(3):
+                upd = COEFF_UPDATE_PROBS[i][j][k]
+                row = list(DEFAULT_COEFF_PROBS[i][j][k])
+                for t in range(11):
+                    if _b(upd[t]):
+                        v = 0
+                        for _ in range(8):
+                            v = (v << 1) | _b(128)
+                        row[t] = v
+                pj.append(row)
+            pi.append(pj)
+        probs.append(pi)
+    br.pos = pos
+    br.rng = rng
+    br.val = val
+    br.cnt = cnt
+    return probs
 
 
 def _quantizers(hdr):
