@@ -186,8 +186,8 @@ class _BitW:
     def write(self, v: int, k: int) -> None:
         # arbitrary-width: whole bytes flush via one to_bytes (FLAC has
         # no byte stuffing), only the sub-byte remainder stays in acc
-        acc = (self.acc << k) | (v & ((1 << k) - 1))
-        n = self.n + k
+        acc = (self.acc << k) | (int(v) & ((1 << k) - 1))  # int(): a numpy
+        n = self.n + k  # scalar operand would wrap the shift at 64 bits
         if n >= 8:
             rem = n & 7
             self.buf += (acc >> rem).to_bytes(n >> 3, "big")
