@@ -20,6 +20,24 @@ def test_every_query_has_an_oracle():
     assert missing == [], f"queries without oracle_sql (driver errs no_oracle): {missing}"
 
 
+def test_registry_names_unique_and_assert_armed():
+    """A duplicate @query registration silently replaced the earlier gate
+    for two rounds (q_weighted_subsample, r11 verdict item 1). The deco
+    now asserts uniqueness; pin both the assert and the restored gate."""
+    import pytest
+
+    from vectorflow_spark.queries import QUERIES
+    from vectorflow_spark.queries._core import query
+
+    assert "q_weighted_subsample" in QUERIES
+    assert "q_weighted_sample" in QUERIES
+    existing = next(iter(QUERIES))
+    with pytest.raises(AssertionError, match="duplicate query registration"):
+        query(existing)(lambda spark, sf_dir: None)
+    # the failed registration must not have clobbered the live gate
+    assert QUERIES[existing] is not None
+
+
 def test_uuid5_constants_rederive():
     from vectorflow_spark.functions.ids import VECTORFLOW_NAMESPACE
     from vectorflow_spark.queries.pipeline import _UUID5_EXPECTED

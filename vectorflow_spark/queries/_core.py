@@ -91,6 +91,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> Data
 
 def query(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate registration silently replaces the earlier gate in
+        # both QUERIES and ORACLE — that cost q_weighted_subsample its
+        # oracle for two rounds (r11 verdict item 1). Fail loudly instead.
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

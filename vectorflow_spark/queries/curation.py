@@ -205,7 +205,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_weighted_sample",
+    "q_weighted_subsample",
     """
     SELECT doc_id, lang, n_chars
     FROM documents
@@ -213,12 +213,17 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
           < least(1.0, n_chars / 2000.0)
     """,
 )
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_weighted_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted subsampling: keep a document with probability
     proportional to a quality proxy (here min(1, n_chars/2000)), using an
     md5-derived per-doc uniform so the SAME rows are kept on every engine,
     every run, every partitioning — reproducible corpus construction, no
-    RNG state. Pure pushable predicate."""
+    RNG state. Pure pushable predicate.
+
+    Registered as q_weighted_subsample: this gate was silently shadowed for
+    two rounds by the later Efraimidis-Spirakis ``q_weighted_sample``
+    (same name, curation.py ~line 1480) — the duplicate-name assert in
+    queries/_core.py::query now makes that class of loss impossible."""
     docs = _t(spark, sf_dir, "documents")
     uniform = F.expr(
         "conv(substring(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) / 268435456.0"
