@@ -86,3 +86,14 @@ def test_kcore_gate_is_at_fixpoint(spark, sf_dir):
     r5 = sorted(map(tuple, kcore_peel(pairs, k=3, rounds=5).collect()))
     assert r4 == r5
     assert len(r4) > 0
+
+
+def test_label_propagation_zero_iterations_is_identity(spark):
+    # iterations=0 regressed to returning None in r11 (ADVICE item 1);
+    # the contract is the identity label table over the src set.
+    from vectorflow_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = label_propagation(e, iterations=0)
+    got = {(r.v, r.lbl) for r in out.collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}

@@ -41,3 +41,18 @@ def test_changed_file_is_not_served_stale(spark, sf_dir, tmp_path):
     assert second.schema != first.schema  # fresh inference, not the cache
     assert {f.name for f in second.schema.fields} >= {"r_regionkey"}
     assert n1 > 0
+
+
+def test_directory_table_is_never_cached(spark, sf_dir, tmp_path):
+    """Directory-of-part-files layout: an in-place part rewrite changes
+    neither dir mtime nor size, so the cache must skip directories
+    entirely (r11 ADVICE item 5)."""
+    _core._SCHEMA_CACHE.clear()
+    d = tmp_path / "sfdir2"
+    d.mkdir()
+    pdir = d / "nation.parquet"
+    pdir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), pdir / "part-0.parquet")
+    first = _core._t(spark, str(d), "nation")
+    assert _core._SCHEMA_CACHE == {}  # directory: not cached
+    assert first.count() > 0

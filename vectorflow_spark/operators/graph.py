@@ -275,6 +275,14 @@ def label_propagation(
             .agg(F.min("key").alias("key"))
             .select(F.col("src").alias("v"), F.pmod(F.col("key"), F.lit(m)).alias("lbl"))
         )
+    if labels is None:
+        # iterations == 0: the contract (and the pre-r11 behavior) is the
+        # identity label table over the src set — not None. Every current
+        # caller passes iterations >= 1; this keeps the degenerate call
+        # from crashing (r11 ADVICE item 1).
+        labels = e.select("src").distinct().select(
+            F.col("src").alias("v"), F.col("src").alias("lbl")
+        )
     return labels
 
 

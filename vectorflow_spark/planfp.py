@@ -91,7 +91,13 @@ def normalized_plan(df) -> str:
     expression ids (``ts#123`` vs ``ts#12345``), making gates with long
     pushed-filter strings flap between 'touched' and 'unchanged' across
     sessions. Raise the limit while rendering so no metadata is cut and
-    the scrubbed string is id-length-invariant; restore it after."""
+    the scrubbed string is id-length-invariant; restore it after.
+
+    CONCURRENCY CAVEAT (r11 ADVICE item 4): the override is session-wide
+    for the set/render/restore window. Every current caller (bench_sf1,
+    dump_plans, tests) fingerprints single-threaded; if a parallel gate
+    runner ever fingerprints concurrently, wrap this in a lock or use a
+    cloned session per call."""
     spark = df.sparkSession
     key = "spark.sql.maxMetadataStringLength"
     prev = spark.conf.get(key, None)

@@ -64,8 +64,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> Data
 
     path = f"{sf_dir}/{name}.parquet"
     try:
+        import stat as _stat
+
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        # cache only single-FILE tables: for a directory of part files
+        # (standard Spark write layout) an in-place part rewrite changes
+        # neither the dir mtime nor size, so a stale schema could be
+        # served (r11 ADVICE item 5). The driver tables are all single
+        # files; anything else just skips the cache.
+        key = (path, st.st_mtime_ns, st.st_size) if _stat.S_ISREG(st.st_mode) else None
     except OSError:
         key = None
     schema = _SCHEMA_CACHE.get(key) if key is not None else None

@@ -763,6 +763,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured 2.21 -> 1.02 s at sf0.1 (r11 optimization, guide §2.3
     aggregate-before-you-shuffle), collect-equality proven."""
     ev = _t(spark, sf_dir, "events")
+    # NULL-key precondition (r11 ADVICE item 2): exact_users counts
+    # (event_type, user_id) GROUPS — a NULL user_id would count as one
+    # "user", where countDistinct ignored it. The events fixture schema
+    # has user_id NOT NULL; a nullable source would need an IS NOT NULL
+    # pre-filter before the first-level groupBy.
     per_user = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_c"))
     return per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_users"),

@@ -753,6 +753,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum("_late").alias("_n_late_rows"))
     )
+    # NULL-key precondition (r11 ADVICE item 2): n_supp counts (orderkey,
+    # suppkey) GROUPS, which — unlike countDistinct(l_suppkey) — would
+    # count a NULL suppkey as one member. TPC-H l_suppkey is NOT NULL by
+    # schema (and the driver fixtures honor it), so the two are equal; a
+    # nullable fact table would need a suppkey IS NOT NULL pre-filter.
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum((F.col("_n_late_rows") > 0).cast("int")).alias("n_late_supp"),
