@@ -226,6 +226,13 @@ def minhash_candidate_pairs(
         signatures = minhash_signatures(docs, doc_col, text_col, n, num_hashes)
     bb = lsh_band_buckets(signatures, doc_col, bands, num_hashes)
     w = Window.partitionBy("band", "bucket").orderBy(doc_col)
+    # EAGER pin kept deliberately: the r12 lazy-checkpoint sweep A/B'd
+    # eager=False here and it measured consistently slower (+0.36 s on
+    # q_minhash_band_pairs, +0.30 on q_simhash_pairs) — both sides of the
+    # self-join race to materialize the frame inside one action and the
+    # persist-lock contention costs more than the saved job. Frames whose
+    # first consumer is a single stage (signatures, distinct-name) gained
+    # from the lazy pin instead.
     capped = (
         bb.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
@@ -331,7 +338,7 @@ def jaccard_pairs(
     sh = (
         with_shingles(docs, doc_col, text_col, n, kind)
         .select(doc_col, F.xxhash64("shingle").alias("k"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy pin (r12): four branches, one action
     )
     sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -486,10 +493,15 @@ def connected_components(
     execution of the join+agg: exactly ONE heavy action per iteration.
     On a cluster use a reliable checkpoint dir (or GraphFrames) for fault
     tolerance across iterations."""
+    # LAZY checkpoint: the first convergence-sum action below materializes
+    # the edge pipeline, the initial label table AND the sum in ONE job
+    # (previously three — eager und job, eager labels job, sum job). The
+    # sum is a full scan, so every partition is persisted by the end of
+    # that action; later iterations read the pinned copies (r12).
     und = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Iterate ONLY over edge-incident nodes: in a dedup graph the vast
     # majority of documents touch no candidate edge, so carrying every
@@ -502,7 +514,7 @@ def connected_components(
     if max_iter <= 0:
         labels = und.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node").cast("long")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     else:
         # Round 1 against the IDENTITY label table (label(x) = x) needs no
         # join at all: the neighborhood min unioned with the own label is
@@ -520,7 +532,7 @@ def connected_components(
                 F.col("dst").alias("node"),
                 F.least("_cand", F.col("dst")).cast("long").alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         max_iter = max_iter - 1
     # Convergence is detected from the LABEL SUM, not a changed-row count:
@@ -548,8 +560,10 @@ def connected_components(
             .agg(F.min("label").alias("_cand"))
             .join(lab_jump, F.col("_cand") == F.col("_jn"), "left")
             .select("node", F.least("_cand", "_jl").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the sum action materializes the lazily-checkpointed round in the
+        # same job (full scan -> all partitions persisted)
         new_sum = merged.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = merged
         if new_sum == prev_sum:
@@ -650,12 +664,17 @@ def embedding_neardup_pairs(
                 f"unblocked embedding_neardup_pairs over {n} rows exceeds "
                 f"max_rows={max_rows}; block or sample first"
             )
+    # blocked path: the adaptive-cap count right below is the first action
+    # and a full scan, so a LAZY checkpoint materializes base + the max
+    # count in one job instead of two (r12). The unblocked path has no
+    # immediate action (the join consumes both sides first), so it keeps
+    # the eager pin.
     base = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=block_col is None)
     if block_col is not None:
         # ADAPTIVE cap (r10 bench caught the unconditional form regressing
         # q_embedding_neardup/q_semantic_dedup 2.7x: a row_number window
@@ -745,7 +764,7 @@ def simhash_candidate_pairs(
         bands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
-        .localCheckpoint()
+        .localCheckpoint()  # eager: self-join sides race a lazy pin (r12 A/B, see minhash)
     )
     lhs = capped.select("band", "key", F.col("id").alias("a"), F.col("simhash").alias("_sa"))
     rhs = capped.select("band", "key", F.col("id").alias("b"), F.col("simhash").alias("_sb"))
@@ -852,7 +871,7 @@ def blocked_edit_pairs(
     dn = (
         records.select(block.alias("_blk"), F.col(name_col).alias("_nm"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy pin (r12): two salted sides, one action
     )
     na = dn.select(
         F.col("_blk"),
@@ -926,7 +945,9 @@ def minhash_jaccard_estimate(
     plan branches (bucketing + both join sides), so it is
     localCheckpointed once — uncut, the shingle+minhash projection would
     re-execute per branch inside the single action."""
-    sig = minhash_signatures(docs, doc_col, text_col, n, num_hashes).localCheckpoint()
+    sig = minhash_signatures(docs, doc_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False  # lazy pin (r12): three branches, one action, computed once
+    )
     pairs = minhash_candidate_pairs(
         docs, doc_col, text_col, n, bands, num_hashes, max_bucket, signatures=sig
     )

@@ -96,9 +96,15 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     neither stat re-scans the edge set (previously n_nodes was an
     explode + count_distinct over every endpoint and n_edges a second
     full scan; guide §2.2 — aggregate the node-sized table instead)."""
-    edges = edges.localCheckpoint()
-    deg = degree_table(edges, a_col, b_col).localCheckpoint()
-    directed = orient_edges(edges, a_col, b_col, degrees=deg).localCheckpoint()
+    # LAZY checkpoints: there is no intermediate driver action here, so
+    # eager pins cost three extra jobs (and a rescan each) before the
+    # gate's single real action. Lazily marked, the final action computes
+    # each frame exactly once under the persist lock (whichever branch
+    # arrives first populates it; the other branches read the pinned
+    # copy) — same once-only execution, three fewer jobs (r12).
+    edges = edges.localCheckpoint(eager=False)
+    deg = degree_table(edges, a_col, b_col).localCheckpoint(eager=False)
+    directed = orient_edges(edges, a_col, b_col, degrees=deg).localCheckpoint(eager=False)
     lo = directed.select(
         F.col("src").alias("w_src"), F.col("dst").alias("w_lo"), F.col("dst_rank").alias("_lo_rank")
     )
@@ -153,8 +159,15 @@ def pagerank_quantized(
     connected_components closes for its LSH candidate pipeline. For large
     iteration counts additionally cut the rank lineage every ~10 rounds.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    # LAZY checkpoints (r12): no driver action before the caller's one
+    # real action, so the eager pins only added two jobs + a rescan. The
+    # lineage cut (each frame computed once, read O(iterations) times) is
+    # preserved — the first consuming stage materializes under the
+    # persist lock.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint(
+        eager=False
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=False)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("nn"))
     base_unit = F.expr(f"{total_mass} div nn")
     r = deg.join(F.broadcast(n_nodes)).select(
@@ -222,6 +235,12 @@ def label_propagation(
     as q_pagerank3), and oscillation on bipartite graphs is irrelevant to
     a fixed-k snapshot."""
     m = 1 << 42
+    # EAGER pin kept deliberately: the r12 lazy-checkpoint sweep A/B'd
+    # eager=False here and it measured consistently SLOWER (action 1.61 ->
+    # 1.95-2.39 s at sf0.1 while pagerank/triangle gained) — the round-1
+    # aggregation plus two join iterations all race to materialize e
+    # inside one action; eager materialization up front keeps the big
+    # action's stages read-only.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
     # precondition guards (assert_true raises inside the job, never
     # corrupts): the arithmetic encoding needs ids in [0, 2^42) and
@@ -336,13 +355,20 @@ def kcore_peel(
         # dropped such edges in round one; filtering them up front keeps
         # the anti-join form identical on degenerate inputs.
         e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-    e = e.localCheckpoint()
+    # LAZY checkpoints, materialized by the round's own drop-count action:
+    # one job per round (edge pipeline -> persist e -> degree agg ->
+    # persist deg -> count) instead of three (eager e job, eager deg job,
+    # count job) — the count is a full scan, so every partition is
+    # persisted by the end of the action, the same pin as eager (r12;
+    # guide §1.2 driver/job floors). Correctness is unchanged: nothing
+    # consumes e or deg before that first action.
+    e = e.localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         drop = deg.filter(F.col("c") < k)
         n_drop = drop.count()
@@ -366,7 +392,7 @@ def kcore_peel(
         # round re-runs a shuffled anti-join. Lineage depth stays bounded
         # by ``rounds`` either way.
         if n_drop > 1_000_000:
-            e = e.localCheckpoint()
+            e = e.localCheckpoint(eager=False)  # next round's count materializes it
     return (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")

@@ -241,7 +241,7 @@ def kmv_intersection_estimate(
     hash + bottom-k pipeline per side). The per-pair arithmetic stays in
     exact integers until a single final division
     (numerator <= (k-1) * k * 2^28 < 2^53)."""
-    sk = kmv_sketch(df, group_col, key_col, k).localCheckpoint()
+    sk = kmv_sketch(df, group_col, key_col, k).localCheckpoint()  # eager: r12 A/B'd lazy +0.10 s
     a, b = sk.alias("a"), sk.alias("b")
     paired = a.join(
         F.broadcast(b), F.col("a.grp") < F.col("b.grp"), "inner"
