@@ -28,6 +28,38 @@ from pyspark.sql import functions as F
 __all__ = ["global_row_number", "global_running_sum", "equidepth_bins"]
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize the ranged frame ONCE before its two consumer branches.
+
+    This pin is REQUIRED for correctness, not a cache hint:
+    ``repartitionByRange`` samples its split points with a per-execution
+    seed, and the frame feeds two plan branches (local ranks/sums and the
+    per-partition offsets). Without one materialized copy the branches can
+    re-execute the exchange with DIFFERENT sampled boundaries — offsets
+    from one partitioning applied to ranks from another are silently
+    wrong.
+
+    Failure semantics (the checkpoint POLICY, r11 verdict item 7):
+
+    * default ``localCheckpoint()`` — executor-local, non-replicated.
+      On executor loss the pinned partitions are gone and Spark FAILS the
+      job instead of recomputing (a localCheckpoint truncates lineage, so
+      there is nothing to recompute from). Right trade on stable
+      executors and for the local bench.
+    * ``spark.vectorflow.reliableCheckpoint=true`` — uses reliable
+      ``checkpoint()`` into ``sparkContext.setCheckpointDir(...)``
+      (HDFS/object storage): survives executor loss at the cost of a
+      write+read of the frame. Set this at 100 TB on preemptible
+      executors; the two paths produce identical ranks (pinned by
+      tests/test_ranking.py::test_reliable_checkpoint_matches_local).
+    """
+    spark = df.sparkSession
+    reliable = str(
+        spark.conf.get("spark.vectorflow.reliableCheckpoint", "false")
+    ).lower() in ("true", "1")
+    return df.checkpoint() if reliable else df.localCheckpoint()
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -62,7 +94,7 @@ def global_row_number(
     # ranks (observed: exchange reuse is not guaranteed once the operator
     # is embedded in a larger plan). The checkpoint also pins the mid
     # assignment: a task retry re-reads the same checkpointed partition.
-    ranged = (
+    ranged = _pin(
         df.repartitionByRange(n_parts, *cols)
         .sortWithinPartitions(*cols)
         .select(
@@ -70,7 +102,6 @@ def global_row_number(
             F.spark_partition_id().alias("_pid"),
             F.monotonically_increasing_id().alias("_mid"),
         )
-        .localCheckpoint()
     )
     local = ranged.withColumn(
         "_local_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
@@ -114,11 +145,10 @@ def global_running_sum(
     # localCheckpoint for the same reason as global_row_number: the ranged
     # frame feeds both the local cumsum and the per-partition totals, and
     # repartitionByRange boundaries are sampled per execution.
-    ranged = (
+    ranged = _pin(
         df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_val", val)
-        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("_pid").orderBy(*cols).rowsBetween(Window.unboundedPreceding, 0)
