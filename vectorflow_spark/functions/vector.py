@@ -21,8 +21,41 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# SQL-text twins of the fold builders below. Building a higher-order
+# function through the Python DSL costs ~15-20 ms of py4j round-trips
+# per lambda (UnresolvedNamedLambdaVariable plumbing); parsing the whole
+# fold as ONE expression is a single round-trip (~0.5 ms) — the same
+# economics as similarity._const_vec (r11). The parsed tree is the same
+# ArrayAggregate/ZipWith with the same double casts and fold order, so
+# results are bit-identical; only the lambda variable NAMES in the plan
+# string differ (x vs x_0), which refreezes plan fingerprints but not
+# results.
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of ``dot`` over two array-typed SQL expressions."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(a_sql: str) -> str:
+    """SQL text of ``l2_norm`` over an array-typed SQL expression."""
+    return (
+        f"sqrt(aggregate({a_sql}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two float arrays, accumulated in double."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(_ident(a), _ident(b)))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,6 +64,8 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(l2_norm_sql(_ident(a)))
     return F.sqrt(
         F.aggregate(
             _c(a),

@@ -416,14 +416,14 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     output needs no global sort at all (fully parallel emit at 100 TB);
     scores rounded to 9 decimals before the threshold so both engines
     compare identical values."""
-    from vectorflow_spark.functions.vector import dot, l2_norm
-    from vectorflow_spark.operators.similarity import _const_vec
+    from vectorflow_spark.functions.vector import dot_sql, l2_norm
+    from vectorflow_spark.operators.similarity import _const_vec_sql
 
     # HOF form on purpose: the filter re-evaluates the projected score, so
     # an unrolled score doubles past the codegen size budget (see
     # functions/vector.py) and the stage falls out of codegen entirely.
     df = _t(spark, sf_dir, "embeddings", split=True)
-    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
+    ones_sql = _const_vec_sql([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = df.select(
         "vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
     )
@@ -431,7 +431,7 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.select(
         "vec_id",
         "label",
-        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
+        F.round(F.when(denom != 0.0, F.expr(dot_sql("`_v`", ones_sql)) / denom), 9).alias("score"),
     )
     return scored.filter(F.col("score") >= 0.2)
 

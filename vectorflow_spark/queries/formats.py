@@ -261,17 +261,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups k-sized lists."""
     from pyspark.sql import Window as W
 
-    from vectorflow_spark.functions.vector import dot, l2_norm
-    from vectorflow_spark.operators.similarity import _const_vec, rrf_fuse
+    from vectorflow_spark.functions.vector import dot_sql, l2_norm
+    from vectorflow_spark.operators.similarity import _const_vec_sql, rrf_fuse
 
     emb = _t(spark, sf_dir, "embeddings", split=True)
-    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
+    ones_sql = _const_vec_sql([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn")
     )
     denom = F.col("_vn") * F.lit(8.0)
     scored = base.select(
-        "id", F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score")
+        "id", F.round(F.when(denom != 0.0, F.expr(dot_sql("`_v`", ones_sql)) / denom), 9).alias("score")
     )
     dense = (
         scored.orderBy(F.col("score").desc(), "id")

@@ -34,17 +34,17 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id. At scale this is a single scan + TakeOrderedAndProject. The
     query norm (8.0) is a driver-side literal and the row norm is computed
     once in its own projection — each row pays one dot + one norm fold."""
-    from vectorflow_spark.functions.vector import dot, l2_norm
-    from vectorflow_spark.operators.similarity import _const_vec
+    from vectorflow_spark.functions.vector import dot_sql, l2_norm
+    from vectorflow_spark.operators.similarity import _const_vec_sql
 
     df = _t(spark, sf_dir, "embeddings", split=True)
-    ones = _const_vec([1.0] * 64)  # one parsed expr, not 64 py4j lits
+    ones_sql = _const_vec_sql([1.0] * 64)  # one parsed expr, not 64 py4j lits
     base = df.select("vec_id", "label", F.col("embedding").alias("_v"), l2_norm("embedding").alias("_vn"))
     denom = F.col("_vn") * F.lit(8.0)
     scored = base.select(
         "vec_id",
         "label",
-        F.round(F.when(denom != 0.0, dot("_v", ones) / denom), 9).alias("score"),
+        F.round(F.when(denom != 0.0, F.expr(dot_sql("`_v`", ones_sql)) / denom), 9).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(25)
 
@@ -402,7 +402,7 @@ def q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(F.when(denom != 0.0, dot(F.col("_v"), F.col("_qv")) / denom), 9).alias("score"),
+            F.round(F.when(denom != 0.0, dot("_v", "_qv") / denom), 9).alias("score"),
         )
     )
     from pyspark.sql import Window
