@@ -21,7 +21,7 @@ def main() -> None:
 
     spark = get_spark("explain_gate")
     qmap = entrymod.queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("VF_PLANS_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     for g in gates:
         df = qmap[g](spark, sf_dir)

@@ -127,6 +127,7 @@ def global_running_sum(
     val_col: str | Column,
     out_col: str = "running",
     num_partitions: int | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact global cumulative sum of ``val_col`` in ``order_cols`` order
     (inclusive of the current row) — same range-sort + partition-offset
@@ -134,6 +135,14 @@ def global_running_sum(
     any scale. ``order_cols`` must be a total order and ``val_col`` should
     be integer/decimal for an order-independent result (the per-partition
     offsets re-associate the addition).
+
+    ``rank_col``: also emit the exact global 1-based row number in the
+    SAME order. The rank rides the running sum's existing machinery — the
+    row_number window shares the cumsum window's partitioning and sort,
+    and the per-partition row counts ride the same tiny totals aggregate —
+    so a caller that needs both (q_vocab_coverage) pays ONE range
+    exchange + one pin instead of stacking two ranking operators
+    (r12; guide §2.4 "share one exchange").
 
     This is the primitive behind token-budget corpus selection ("take
     documents in priority order until N tokens"): a bare
@@ -154,16 +163,30 @@ def global_running_sum(
         Window.partitionBy("_pid").orderBy(*cols).rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("_local_sum", F.sum("_val").over(w_local))
-    totals = ranged.groupBy("_pid").agg(F.sum("_val").alias("_tot"))
+    if rank_col is not None:
+        local = local.withColumn(
+            "_local_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+        )
+    aggs = [F.sum("_val").alias("_tot")]
+    if rank_col is not None:
+        aggs.append(F.count(F.lit(1)).alias("_cnt"))
+    totals = ranged.groupBy("_pid").agg(*aggs)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-    ).select("_pid", "_offset")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
-        .drop("_pid", "_val", "_local_sum", "_offset")
     )
+    sel_offsets = ["_pid", "_offset"]
+    if rank_col is not None:
+        offsets = offsets.withColumn("_roff", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        sel_offsets.append("_roff")
+    out = local.join(F.broadcast(offsets.select(*sel_offsets)), "_pid").withColumn(
+        out_col, F.col("_offset") + F.col("_local_sum")
+    )
+    drop = ["_pid", "_val", "_local_sum", "_offset"]
+    if rank_col is not None:
+        out = out.withColumn(rank_col, (F.col("_roff") + F.col("_local_rn")).cast("long"))
+        drop += ["_local_rn", "_roff"]
+    return out.drop(*drop)
 
 
 def equidepth_bins(

@@ -606,7 +606,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in (freq DESC, term) order — vocabulary-sized input, and still
     no single-task global window even when the vocabulary itself is
     huge. Coverage is integral ppm: integer-exact on both engines."""
-    from vectorflow_spark.operators.ranking import global_row_number, global_running_sum
+    from vectorflow_spark.operators.ranking import global_running_sum
 
     d = _t(spark, sf_dir, "documents", split=True)
     toks = d.select(
@@ -616,8 +616,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     order = [F.col("freq").desc(), F.col("tok")]
-    run = global_running_sum(tf, order, "freq", out_col="cum_freq")
-    ranked = global_row_number(run, order, out_col="rank")
+    # rank and cumulative sum share ONE range exchange + pin (r12): the
+    # rank_col rides global_running_sum's window and totals machinery
+    # instead of a second stacked ranking operator over the same order.
+    ranked = global_running_sum(tf, order, "freq", out_col="cum_freq", rank_col="rank")
     tot = tf.agg(F.sum("freq").alias("_n_total"))
     return (
         ranked.filter(F.col("rank") <= 30)
