@@ -405,3 +405,15 @@ def test_c4_clean_kernel(spark):
     assert not out[5].keep_page  # blocklist word
     assert out[6].keep_page and out[6].n_sentences == 6
     assert not out[1].keep_page  # fewer than 5 sentences post-clean
+
+
+def test_global_running_sum_total_col(spark):
+    """total_col (r12) must equal the exact grand total on every row and
+    leave the running sum itself unchanged."""
+    df = spark.range(0, 501).select("id", ((F.col("id") * 13) % 97).alias("v"))
+    out = global_running_sum(
+        df, [F.col("v"), F.col("id")], "v", out_col="run", total_col="tot"
+    ).collect()
+    want_total = sum((i * 13) % 97 for i in range(501))
+    assert all(r.tot == want_total for r in out)
+    assert max(r.run for r in out) == want_total

@@ -93,3 +93,26 @@ def test_reliable_checkpoint_matches_local(spark, df, tmp_path):
     finally:
         spark.conf.set("spark.vectorflow.reliableCheckpoint", "false")
     assert base == reliable
+
+
+def test_n_col_attaches_exact_total(df):
+    """n_col (r12) must equal the exact row count on every row, and the
+    rank column must be unchanged vs the plain call."""
+    out = global_row_number(df, ["v", "id"], out_col="rn", n_col="n", num_partitions=7)
+    rows = out.select("rn", "n").collect()
+    assert all(r.n == 2003 for r in rows)
+    assert sorted(r.rn for r in rows) == list(range(1, 2004))
+
+
+def test_equidepth_plan_has_single_pin_scan(df):
+    """equidepth_bins (r12) derives n from the operator's own counts
+    table: the optimized plan must not re-scan the ranked frame for a
+    separate global count (exactly one LogicalRDD pin consumer tree)."""
+    plan = (
+        equidepth_bins(df, ["v", "id"], k=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one pin feeds the row side, one feeds the tiny counts agg: 2 refs.
+    assert plan.count("LogicalRDD") <= 2

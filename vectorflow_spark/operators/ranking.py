@@ -65,11 +65,19 @@ def global_row_number(
     order_cols: list[str | Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row number by ``order_cols`` without a global
     single-partition window. ``order_cols`` must be a TOTAL order (add a
     unique tiebreak column, e.g. the primary key) or ranks of tied rows
-    are arbitrary between runs."""
+    are arbitrary between runs.
+
+    ``n_col``: also attach the TOTAL row count as a column. The total is
+    one more window over the numPartitions-row counts table and rides the
+    existing broadcast-offsets join — callers that need (rank, n) pairs
+    (median/quantile selection, equi-depth binning) would otherwise pay a
+    second full scan of the ranked frame just to count it (r12;
+    guide §2.4 "share one exchange" / §2.3 aggregate-once)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # ONE data-sized exchange (the range partitioning), not two: the local
@@ -113,12 +121,23 @@ def global_row_number(
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_offset")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_offset", "_mid")
     )
+    sel_offsets = ["_pid", "_offset"]
+    if n_col is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn("_n_all", F.sum("_cnt").over(w_all))
+        sel_offsets.append("_n_all")
+    out = (
+        local.join(F.broadcast(offsets.select(*sel_offsets)), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
+    )
+    drop = ["_pid", "_local_rn", "_offset", "_mid"]
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("_n_all").cast("long"))
+        drop.append("_n_all")
+    return out.drop(*drop)
 
 
 def global_running_sum(
@@ -128,6 +147,7 @@ def global_running_sum(
     out_col: str = "running",
     num_partitions: int | None = None,
     rank_col: str | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global cumulative sum of ``val_col`` in ``order_cols`` order
     (inclusive of the current row) — same range-sort + partition-offset
@@ -143,6 +163,14 @@ def global_running_sum(
     so a caller that needs both (q_vocab_coverage) pays ONE range
     exchange + one pin instead of stacking two ranking operators
     (r12; guide §2.4 "share one exchange").
+
+    ``total_col``: also attach the GRAND total of ``val_col`` as a column
+    (same type as the running sum). One more window over the
+    numPartitions-row totals table, riding the existing broadcast join —
+    callers needing "running sum vs share of total" (coverage curves,
+    token budgets) would otherwise re-aggregate the INPUT pipeline from
+    scratch for one scalar: at 100 TB that is a second full corpus pass
+    (r12; guide §2.3 aggregate-once).
 
     This is the primitive behind token-budget corpus selection ("take
     documents in priority order until N tokens"): a bare
@@ -179,6 +207,12 @@ def global_running_sum(
     if rank_col is not None:
         offsets = offsets.withColumn("_roff", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
         sel_offsets.append("_roff")
+    if total_col is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn("_tot_all", F.sum("_tot").over(w_all))
+        sel_offsets.append("_tot_all")
     out = local.join(F.broadcast(offsets.select(*sel_offsets)), "_pid").withColumn(
         out_col, F.col("_offset") + F.col("_local_sum")
     )
@@ -186,6 +220,9 @@ def global_running_sum(
     if rank_col is not None:
         out = out.withColumn(rank_col, (F.col("_roff") + F.col("_local_rn")).cast("long"))
         drop += ["_local_rn", "_roff"]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_tot_all"))
+        drop.append("_tot_all")
     return out.drop(*drop)
 
 
@@ -199,12 +236,11 @@ def equidepth_bins(
     ``bin = floor((rn - 1) * k / n) + 1`` — the even-spread variant of
     ntile (remainder rows distributed across bins rather than ntile's
     front-loading) chosen because the closed form needs only (rn, n), both
-    of which we can compute scalably. n comes from re-aggregating the
-    per-partition counts (no second scan of the data)."""
-    ranked = global_row_number(df, order_cols, out_col="_rn")
-    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    of which we can compute scalably. n rides global_row_number's own
+    per-partition counts table (``n_col``), so there is no second scan of
+    the ranked frame at all (r12; previously a count() re-aggregation)."""
     return (
-        ranked.join(F.broadcast(total))
+        global_row_number(df, order_cols, out_col="_rn", n_col="_n")
         .withColumn(
             # integral DIV, not float division + floor: at 1e12 rows the
             # double quotient's ulp is comparable to remainder/n and could

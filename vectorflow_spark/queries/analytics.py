@@ -422,12 +422,14 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    ranked = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], out_col="rn")
-    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
-    with_n = ranked.join(F.broadcast(n_row))
+    # n rides the ranking operator's own counts table (n_col) — no
+    # separate count() re-scan of the pinned ranked frame (r12).
+    ranked = global_row_number(
+        li, ["v", "l_orderkey", "l_linenumber"], out_col="rn", n_col="n"
+    )
     k_lo = F.ceil(F.col("n") * F.lit(0.01)).cast("long")
     k_hi = F.ceil(F.col("n") * F.lit(0.99)).cast("long")
-    cuts = with_n.agg(
+    cuts = ranked.agg(
         F.max(F.when(F.col("rn") == k_lo, F.col("v"))).alias("lo"),
         F.max(F.when(F.col("rn") == k_hi, F.col("v"))).alias("hi"),
     )

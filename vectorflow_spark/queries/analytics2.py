@@ -289,12 +289,12 @@ def q_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    r = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], out_col="rn")
-    nrow = r.agg(F.count(F.lit(1)).alias("n"))
+    # n rides the ranking operator's own counts table (n_col) — no
+    # separate count() re-scan of the 6M-row pinned frame (r12).
+    r = global_row_number(li, ["v", "l_orderkey", "l_linenumber"], out_col="rn", n_col="n")
     med = (
-        r.join(F.broadcast(nrow))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(F.col("v").alias("m"), "n")
+        r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("v").alias("m"))
     )
     d = r.join(F.broadcast(med)).select(
         F.abs(F.col("v") - F.col("m")).alias("dev"), "m", "n", "rn"

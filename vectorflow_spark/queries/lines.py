@@ -152,16 +152,19 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_tok"),
     )
+    # The token-budget scalar rides the running sum's own totals table
+    # (total_col) — the separate toks.agg(sum) re-ran the whole tokenize
+    # pipeline for one number, a second full corpus pass at scale (r12;
+    # guide §2.3 aggregate-once). budget = total div 2, same integer.
     run = global_running_sum(
         toks,
         [F.col("n_chars").desc(), F.col("doc_id")],
         "n_tok",
         out_col="running_tok",
+        total_col="_tok_total",
     )
-    budget = toks.agg(F.expr("sum(n_tok) div 2").alias("_budget"))
     return (
-        run.join(F.broadcast(budget))
-        .filter(F.col("running_tok") <= F.col("_budget"))
+        run.filter(F.col("running_tok") <= F.expr("_tok_total div 2"))
         .select("doc_id", "n_tok", F.col("running_tok").cast("long").alias("running_tok"))
     )
 
@@ -616,14 +619,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     order = [F.col("freq").desc(), F.col("tok")]
-    # rank and cumulative sum share ONE range exchange + pin (r12): the
-    # rank_col rides global_running_sum's window and totals machinery
-    # instead of a second stacked ranking operator over the same order.
-    ranked = global_running_sum(tf, order, "freq", out_col="cum_freq", rank_col="rank")
-    tot = tf.agg(F.sum("freq").alias("_n_total"))
+    # rank, cumulative sum AND the corpus total share ONE range exchange +
+    # pin (r12): rank_col and total_col ride global_running_sum's window
+    # and totals machinery. The separate tf.agg(sum) re-ran the whole
+    # tokenize+groupBy pipeline for one scalar — a second full corpus
+    # pass at scale (guide §2.3 aggregate-once).
+    ranked = global_running_sum(
+        tf, order, "freq", out_col="cum_freq", rank_col="rank", total_col="_n_total"
+    )
     return (
         ranked.filter(F.col("rank") <= 30)
-        .join(F.broadcast(tot))
         .select(
             F.col("rank").cast("long").alias("rank"),
             "tok",
