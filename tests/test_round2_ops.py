@@ -413,3 +413,34 @@ def test_span_overlap_counts_equals_pair_join(spark):
     assert got == want
     assert got[11] == (2, 1)  # two spans, one user — the correction fired
     assert 12 not in got and 14 not in got
+
+
+def test_sql_expr_paths_match_dsl_fallback(spark, monkeypatch):
+    """r12: ivf_assign / pq_encode / random_projection compose their
+    literal-folded expressions as ONE parsed SQL text; the py4j-built DSL
+    form remains as the non-finite fallback. Both paths must produce
+    bit-identical rows (same casts, same fold order)."""
+    import vectorflow_spark.operators.similarity as sim
+
+    emb = spark.range(0, 40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(((id + 1) * i % 17) - 8 AS FLOAT) / 4.0F)"
+        " AS embedding",
+    )
+    cents = [(i, [((i + 2) * j % 7 - 3) / 3.0 for j in range(8)]) for i in range(4)]
+    cbs = [
+        [(c, [((s + c + 1) * j % 5 - 2) / 2.0 for j in range(4)]) for c in range(4)]
+        for s in range(2)
+    ]
+
+    def run_all():
+        a = sorted(map(tuple, sim.ivf_assign(emb, cents).select("vec_id", "cluster").collect()))
+        p = sorted(map(tuple, sim.pq_encode(emb, cbs).collect()))
+        r = sorted(map(tuple, sim.random_projection(emb, out_dim=3, in_dim=8).collect()))
+        return a, p, r
+
+    got_sql = run_all()
+    monkeypatch.setattr(sim, "_const_vec_sql", lambda vals: None)
+    monkeypatch.setattr(sim, "_dlit_sql", lambda v: None)
+    got_dsl = run_all()
+    assert got_sql == got_dsl

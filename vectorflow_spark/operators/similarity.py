@@ -55,6 +55,15 @@ def _const_vec(vals: list[float]) -> Column:
     return F.expr(text)
 
 
+def _dlit_sql(v: float) -> str | None:
+    """SQL text of one exact double literal (None when non-finite) —
+    Double.parseDouble(repr(v)) returns the identical bits (r11)."""
+    import math
+
+    v = float(v)
+    return f"CAST('{v!r}' AS DOUBLE)" if math.isfinite(v) else None
+
+
 def _py_norm(vals: list[float]) -> float:
     """Left-to-right sequential fold, matching the SQL aggregate() order so
     the precomputed literal is bit-identical to what the expression would
@@ -206,25 +215,46 @@ def ivf_assign(
     centroid constants inlined as literals in the plan. The vector's own
     norm is computed once (not once per centroid) and every centroid norm
     is a driver-side literal."""
-    vn = F.col("_vn")
     # one transform lambda over a literal (centroid, norm) struct array
     # instead of C sibling score expressions — same no-2^C shape, but the
     # dot fold and guard exist ONCE in the plan (see pq_encode: interpreted
-    # HOFs get no CSE across siblings; measured ~3x on the PQ twin)
-    lit_cents = F.array(
-        *[
-            F.struct(_const_vec(cvec).alias("v"), F.lit(_py_norm(cvec)).alias("n"))
-            for _, cvec in centroids
-        ]
-    )
-    scores = F.transform(
-        lit_cents,
-        lambda c: F.when(
-            vn * c["n"] != 0.0,
-            dot(F.col(vec_col), c["v"]) / (vn * c["n"]),
-        ),
-    )
-    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    # HOFs get no CSE across siblings; measured ~3x on the PQ twin).
+    # The whole scores/cluster expression is built as ONE parsed SQL text
+    # (r12): the DSL form paid ~40 py4j round-trips per call (~0.3 s of
+    # driver time, C _const_vec parses + struct/transform/when/dot lambda
+    # plumbing); the parsed tree is the same CaseWhen-over-ZipWith fold
+    # with the same casts and fold order, so scores are bit-identical.
+    cent_sqls = [_const_vec_sql(cvec) for _, cvec in centroids]
+    norm_sqls = [_dlit_sql(_py_norm(cvec)) for _, cvec in centroids]
+    if all(s is not None for s in cent_sqls) and all(s is not None for s in norm_sqls):
+        lit_cents_sql = "array(" + ",".join(
+            f"named_struct('v', {v}, 'n', {n})" for v, n in zip(cent_sqls, norm_sqls)
+        ) + ")"
+        score_body = (
+            "CASE WHEN (NOT ((`_vn` * c.n) = CAST(0.0 AS DOUBLE))) THEN ("
+            + dot_sql(_ident(vec_col), "c.v")
+            + " / (`_vn` * c.n)) END"
+        )
+        scores_sql = f"transform({lit_cents_sql}, c -> {score_body})"
+        cluster = F.expr(
+            f"CAST((array_position({scores_sql}, array_max({scores_sql})) - 1) AS INT)"
+        )
+    else:  # non-finite centroid data: keep the py4j-built fallback
+        vn = F.col("_vn")
+        lit_cents = F.array(
+            *[
+                F.struct(_const_vec(cvec).alias("v"), F.lit(_py_norm(cvec)).alias("n"))
+                for _, cvec in centroids
+            ]
+        )
+        scores = F.transform(
+            lit_cents,
+            lambda c: F.when(
+                vn * c["n"] != 0.0,
+                dot(F.col(vec_col), c["v"]) / (vn * c["n"]),
+            ),
+        )
+        cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return (
         vectors.withColumn("_vn", l2_norm(vec_col))
         .withColumn("cluster", cluster)
@@ -383,28 +413,48 @@ def pq_encode(
     no-2^C-blowup shape as ivf_assign), no shuffle, no UDF."""
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
-    code_cols = []
-    for s, cb in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        # ONE lambda over a literal array of centroids, not ksub separate
-        # fold expression trees: interpreted HOFs get no CSE, so the ksub
-        # sibling expressions each re-evaluated `sub` and re-entered their
-        # own interpreter; a single transform evaluates one closure per
-        # centroid instead. Measured 3x on the encode stage at sf0.1 with
-        # bit-identical codes (same per-element arithmetic order).
-        lit_cb = F.array(*[_const_vec(c) for _, c in cb])
-        dists = F.transform(
-            lit_cb,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    # ONE lambda over a literal array of centroids, not ksub separate
+    # fold expression trees: interpreted HOFs get no CSE, so the ksub
+    # sibling expressions each re-evaluated `sub` and re-entered their
+    # own interpreter; a single transform evaluates one closure per
+    # centroid instead (r11, measured 3x on the encode stage, bit-identical
+    # codes). The whole m-subspace codes array is ONE parsed SQL text
+    # (r12): the DSL built 3 lambdas per subspace (~0.5-0.7 s of py4j per
+    # call); the parsed tree is the same transform/aggregate/zip_with fold
+    # with the same casts and fold order, so codes are bit-identical.
+    cb_sqls = [[_const_vec_sql(c) for _, c in cb] for cb in codebooks]
+    if all(t is not None for row in cb_sqls for t in row):
+        code_sqls = []
+        for s, row in enumerate(cb_sqls):
+            sub_sql = f"slice({_ident(vec_col)}, {s * dsub + 1}, {dsub})"
+            dists_sql = (
+                "transform(array(" + ",".join(row) + "), c -> "
+                f"aggregate(zip_with({sub_sql}, c, "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+            )
+            code_sqls.append(
+                f"CAST((array_position({dists_sql}, array_min({dists_sql})) - 1) AS INT)"
+            )
+        codes = F.expr("array(" + ",".join(code_sqls) + ")")
+    else:  # non-finite codebook data: keep the py4j-built fallback
+        code_cols = []
+        for s, cb in enumerate(codebooks):
+            sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+            lit_cb = F.array(*[_const_vec(c) for _, c in cb])
+            dists = F.transform(
+                lit_cb,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
                 ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return vectors.select(id_col, *keep_cols, F.array(*code_cols).alias("codes"))
+            )
+            code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        codes = F.array(*code_cols)
+    return vectors.select(id_col, *keep_cols, codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -438,18 +488,19 @@ def pq_adc_topk(
                 acc += (x - y) * (x - y)
             row.append(int(math.floor(acc * quant + 0.5)))
         dt.append(row)
-    # one parsed expression for the whole m x ksub distance table (same
-    # py4j-round-trip economics as _const_vec; entries are exact int64)
-    dt_col = F.expr(
+    # one parsed expression for the whole score — the m x ksub distance
+    # table (exact int64 literals) AND the lookup/fold lambdas (r12; the
+    # lambda plumbing was 2 more py4j-heavy HOF builds per call). Same
+    # tree, same integer arithmetic: bit-stable.
+    dt_sql = (
         "array(" + ",".join("array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in dt) + ")"
     )
-    looked = F.transform(
-        F.col("codes"),
-        lambda c, i: F.element_at(
-            F.element_at(dt_col, (i + F.lit(1)).cast("int")), (c + F.lit(1)).cast("int")
-        ),
+    looked_sql = (
+        "transform(`codes`, (c, i) -> element_at("
+        f"element_at({dt_sql}, CAST((i + 1) AS INT)), CAST((c + 1) AS INT)))"
     )
-    qsum = F.aggregate(looked, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    qsum_sql = f"aggregate({looked_sql}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    qsum = F.expr(qsum_sql)
     return (
         codes_df.select(id_col, (qsum.cast("double") / F.lit(quant)).alias("adc_dist"))
         .orderBy("adc_dist", id_col)
@@ -536,11 +587,20 @@ def random_projection(
     planes = projection_planes(in_dim, out_dim)
     # single transform lambda over the literal plane matrix (see pq_encode:
     # sibling fold expressions pay the interpreter once EACH; one closure
-    # evaluated out_dim times doesn't)
-    vals = F.transform(
-        F.array(*[_const_vec(p) for p in planes]),
-        lambda p: F.round(dot(F.col(vec_col), p) * F.lit(scale), 9),
-    )
+    # evaluated out_dim times doesn't), composed as ONE parsed SQL text
+    # (r12) — same tree, same fold order, bit-identical values.
+    plane_sqls = [_const_vec_sql(p) for p in planes]
+    scale_sql = _dlit_sql(scale)
+    if all(t is not None for t in plane_sqls) and scale_sql is not None:
+        vals = F.expr(
+            "transform(array(" + ",".join(plane_sqls) + "), p -> "
+            f"round({dot_sql(_ident(vec_col), 'p')} * {scale_sql}, 9))"
+        )
+    else:  # non-finite plane data: keep the py4j-built fallback
+        vals = F.transform(
+            F.array(*[_const_vec(p) for p in planes]),
+            lambda p: F.round(dot(F.col(vec_col), p) * F.lit(scale), 9),
+        )
     return vectors.select(
         id_col, F.posexplode(vals).alias("dim_id", "value")
     )
