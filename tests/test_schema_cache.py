@@ -56,3 +56,28 @@ def test_directory_table_is_never_cached(spark, sf_dir, tmp_path):
     first = _core._t(spark, str(d), "nation")
     assert _core._SCHEMA_CACHE == {}  # directory: not cached
     assert first.count() > 0
+
+
+def test_df_cache_serves_same_object_and_invalidates(spark, sf_dir, tmp_path):
+    """r12: _t additionally caches the immutable base DataFrame object
+    (plan handle only — rows still come from parquet at action time). The
+    warm call returns the SAME object; a changed file invalidates it."""
+    _core._SCHEMA_CACHE.clear()
+    _core._DF_CACHE.clear()
+    cold = _core._t(spark, sf_dir, "orders")
+    warm = _core._t(spark, sf_dir, "orders")
+    assert warm is cold
+    # split=True must still return a FRESH repartition each call
+    s1 = _core._t(spark, sf_dir, "orders", split=True)
+    assert s1 is not cold
+    # invalidation: replacing the file changes (mtime_ns, size) -> new df
+    d = tmp_path / "sfdir3"
+    d.mkdir()
+    p = d / "nation.parquet"
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), p)
+    first = _core._t(spark, str(d), "nation")
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), p)
+    os.utime(p, ns=(1, 1))
+    second = _core._t(spark, str(d), "nation")
+    assert second is not first
+    assert second.schema != first.schema

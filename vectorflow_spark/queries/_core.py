@@ -42,15 +42,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-# Session-lifetime schema cache for the read-only driver tables, keyed by
-# (path, mtime_ns, size) so a changed file can never serve a stale schema.
-# spark.read.parquet() re-infers the schema from the footer on EVERY call
-# (~90 ms driver-side at any scale); an explicit read.schema() skips that.
-# This caches file METADATA only — rows are still scanned from parquet on
-# every action — the same class as Spark's own FileStatusCache, and the
-# local stand-in for the manifest catalog (Iceberg/Delta) a 100 TB table
-# would use to avoid per-query footer reads (guide §6).
+# Session-lifetime schema + base-DataFrame cache for the read-only driver
+# tables, keyed by (path, mtime_ns, size) so a changed file can never serve
+# a stale schema. spark.read.parquet() re-infers the schema from the footer
+# on EVERY call (~90 ms driver-side at any scale); an explicit
+# read.schema() skips that, and reusing the resulting immutable DataFrame
+# OBJECT skips the remaining ~15-20 ms of DataSource resolution per read
+# (r12 — 286 reader constructions per suite pass). This caches file
+# METADATA and the lazy plan handle only — rows are still scanned from
+# parquet on every action — the same class as Spark's own FileStatusCache,
+# and the local stand-in for the manifest catalog (Iceberg/Delta) a 100 TB
+# table would use to avoid per-query footer reads (guide §6). The cache
+# key includes the session id: a new SparkSession cannot be served a
+# DataFrame bound to a stopped one.
 _SCHEMA_CACHE: dict = {}
+_DF_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> DataFrame:
@@ -75,22 +81,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str, split: bool = False) -> Data
         key = (path, st.st_mtime_ns, st.st_size) if _stat.S_ISREG(st.st_mode) else None
     except OSError:
         key = None
-    schema = _SCHEMA_CACHE.get(key) if key is not None else None
-    if schema is not None:
-        df = spark.read.schema(schema).parquet(path)
-    else:
-        df = spark.read.parquet(path)
-        if key is not None:
-            _SCHEMA_CACHE[key] = df.schema
-    if name == "events":
-        # events.ts arrives as parquet timestamp (read as TIMESTAMP_NTZ);
-        # every consumer here does integer time arithmetic, so present it
-        # uniformly as epoch NANOS (bigint). The session timezone is UTC,
-        # so the ntz->timestamp cast is value-preserving, and the *1000
-        # matches DuckDB's epoch_ns() on the same micro-precision values.
-        df = df.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("bigint")
-        )
+    df_key = (
+        (key, spark.sparkContext.applicationId, name) if key is not None else None
+    )
+    df = _DF_CACHE.get(df_key) if df_key is not None else None
+    if df is None:
+        schema = _SCHEMA_CACHE.get(key) if key is not None else None
+        if schema is not None:
+            df = spark.read.schema(schema).parquet(path)
+        else:
+            df = spark.read.parquet(path)
+            if key is not None:
+                _SCHEMA_CACHE[key] = df.schema
+        if name == "events":
+            # events.ts arrives as parquet timestamp (read as TIMESTAMP_NTZ);
+            # every consumer here does integer time arithmetic, so present it
+            # uniformly as epoch NANOS (bigint). The session timezone is UTC,
+            # so the ntz->timestamp cast is value-preserving, and the *1000
+            # matches DuckDB's epoch_ns() on the same micro-precision values.
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("bigint")
+            )
+        if df_key is not None:
+            _DF_CACHE[df_key] = df
     if split:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
