@@ -9,6 +9,7 @@ from vectorflow_spark.queries import _core
 
 def test_cached_read_matches_inferred(spark, sf_dir):
     _core._SCHEMA_CACHE.clear()
+    _core._DF_CACHE.clear()
     cold = _core._t(spark, sf_dir, "orders")
     assert len(_core._SCHEMA_CACHE) == 1  # the cold read populated the cache
     warm = _core._t(spark, sf_dir, "orders")
@@ -20,6 +21,7 @@ def test_cached_read_matches_inferred(spark, sf_dir):
 
 def test_events_ts_cast_survives_cache(spark, sf_dir):
     _core._SCHEMA_CACHE.clear()
+    _core._DF_CACHE.clear()
     cold = _core._t(spark, sf_dir, "events")
     warm = _core._t(spark, sf_dir, "events")
     assert dict(warm.dtypes)["ts"] == "bigint"
@@ -28,6 +30,7 @@ def test_events_ts_cast_survives_cache(spark, sf_dir):
 
 def test_changed_file_is_not_served_stale(spark, sf_dir, tmp_path):
     _core._SCHEMA_CACHE.clear()
+    _core._DF_CACHE.clear()
     d = tmp_path / "sfdir"
     d.mkdir()
     p = d / "nation.parquet"
@@ -48,6 +51,7 @@ def test_directory_table_is_never_cached(spark, sf_dir, tmp_path):
     neither dir mtime nor size, so the cache must skip directories
     entirely (r11 ADVICE item 5)."""
     _core._SCHEMA_CACHE.clear()
+    _core._DF_CACHE.clear()
     d = tmp_path / "sfdir2"
     d.mkdir()
     pdir = d / "nation.parquet"
